@@ -1,0 +1,156 @@
+package graft.engine
+
+import graft.expr.OrientExpr
+import graft.loaders.Loaders
+import graft.sources.Sources
+import graft.spec.{ComponentSpec, PipelineSpec}
+import graft.stages.{LookupStages, Stages}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** The pipeline engine: compiles a 7-section config (SURVEY.md §2) into
+  * ONE lazy DataFrame plan and executes it.
+  *
+  * Key inversion vs the reference (SURVEY.md §7.1): OETLProcessor
+  * interprets the config per record on one thread (OETLPipeline.java:
+  * 98-139); we compile the whole config declaratively and let Catalyst do
+  * pipelining, pushdown, join planning and AQE — so the same config that
+  * processes 60k rows on local[32] scales to a 1000-executor cluster
+  * without a code change.
+  */
+object Engine {
+
+  /** Component registry — the analogue of OETLComponentFactory.java:
+    * 195-226's name → component map. */
+  val transformers: Map[String, (ComponentSpec, EtlContext) => DataFrame => DataFrame] = Map(
+    "csv"     -> Stages.csvTransform _,
+    "field"   -> Stages.field _,
+    "rename"  -> Stages.rename _,
+    "json"    -> Stages.jsonTransform _,
+    "log"     -> Stages.log _,
+    "code"    -> Stages.code _,
+    "command" -> Stages.command _,
+    "flow"    -> Stages.flow _,
+    "vertex"  -> Stages.vertex _,
+    "merge"   -> LookupStages.merge _,
+    "link"    -> LookupStages.link _,
+    "edge"    -> LookupStages.edge _,
+    "etl"     -> LookupStages.etl _,
+    "block"   -> blockTransformer _,
+  )
+
+  // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------
+  private val codeHooks = TrieMap.empty[String, DataFrame => DataFrame]
+  def registerCode(name: String)(fn: DataFrame => DataFrame): Unit =
+    codeHooks.put(name, fn)
+  def codeHook(name: String): DataFrame => DataFrame =
+    codeHooks.getOrElse(name, sys.error(s"no registered code hook '$name'"))
+
+  /** Run a full pipeline spec. Returns the final record stream (what the
+    * loader saw) so callers/tests can assert on it. */
+  def run(ctx: EtlContext, spec: PipelineSpec): DataFrame = {
+    // config section → context vars (OETLProcessor.java:245-250)
+    spec.config.foreach { case (k, v) => ctx.vars.put(k, v) }
+    // begin blocks execute before extraction (OETLProcessor.java:119-126)
+    spec.begin.foreach(executeBlock(ctx, _))
+
+    var df = Sources.build(ctx, spec.source, spec.extractor)
+    for (t <- spec.transformers) {
+      val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
+      df = fn(t, ctx)(df)
+    }
+    spec.loader.foreach(Loaders.load(ctx, _, df))
+    spec.end.foreach(executeBlock(ctx, _))
+    df
+  }
+
+  def runJson(ctx: EtlContext, json: String): DataFrame =
+    run(ctx, PipelineSpec.parse(json))
+
+  /** Run a child pipeline given as an already-parsed option map (the
+    * nested `etl` transformer's inline form). */
+  def runMap(ctx: EtlContext, m: Map[String, Any]): DataFrame = {
+    def comp(v: Any): Option[ComponentSpec] = v match {
+      case mm: Map[_, _] if mm.size == 1 =>
+        val (k, o) = mm.head
+        Some(ComponentSpec(k.toString, o.asInstanceOf[Map[String, Any]]))
+      case _ => None
+    }
+    def comps(v: Any): Seq[ComponentSpec] = v match {
+      case s: Seq[_] => s.flatMap(comp)
+      case other => comp(other).toSeq
+    }
+    run(ctx, PipelineSpec(
+      config = m.get("config").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty),
+      begin = m.get("begin").map(comps).getOrElse(Nil),
+      source = m.get("source").flatMap(comp),
+      extractor = m.get("extractor").flatMap(comp),
+      transformers = m.get("transformers").map(comps).getOrElse(Nil),
+      loader = m.get("loader").flatMap(comp),
+      end = m.get("end").map(comps).getOrElse(Nil)))
+  }
+
+  /** Blocks (SURVEY.md §2.5): driver-side procedures. */
+  def executeBlock(ctx: EtlContext, b: ComponentSpec): Unit = b.name match {
+    // `let` (OLetBlock.java:26-63): literal or dialect expression
+    case "let" =>
+      val name = b.str("name").getOrElse(sys.error("let: name required"))
+      val value: Any = b.str("expression") match {
+        case Some(e) =>
+          // evaluate over a 1-row frame for dialect parity
+          ctx.spark.range(1)
+            .select(OrientExpr.compile(e, ctx.varMap).as("v")).head().get(0)
+        case None => b.options.getOrElse("value", sys.error("let: value or expression required")) match {
+          case s: String => OrientExpr.resolveString(s, ctx.varMap)
+          case v => v
+        }
+      }
+      ctx.vars.put(name, value)
+    // `console` (OConsoleBlock.java:31-67): a DDL/SQL script
+    case "console" =>
+      b.strList("commands").foreach(c =>
+        ctx.spark.sql(OrientExpr.resolveString(c, ctx.varMap)))
+    // `code` (OCodeBlock.java:33-67): named driver hook
+    case "code" =>
+      val ref = b.str("ref").getOrElse(sys.error("code block: ref required (JS configs are out of parity scope)"))
+      codeHook(ref)(ctx.spark.emptyDataFrame)
+    case other => sys.error(s"unknown block $other")
+  }
+
+  /** Per-record `block` transformer wrapper (OBlockTransformer.java:50-73):
+    * executes the wrapped block at this pipeline position, input passes
+    * through. Row-dependent variables are rejected at compile time —
+    * SURVEY.md §7.5 (no shipped config needs them). */
+  private def blockTransformer(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    spec.options.collectFirst {
+      case (name, opts: Map[_, _]) if Set("let", "console", "code").contains(name) =>
+        ComponentSpec(name, opts.asInstanceOf[Map[String, Any]])
+    }.foreach(executeBlock(ctx, _))
+    df
+  }
+
+  /** Standard session factory used by mains + tests: local[32]-friendly
+    * defaults, AQE on, shuffle partitions sized for the local profile. */
+  def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // fixture `events.ts` is parquet TIMESTAMP(NANOS) — see sources.Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    master.orElse(sys.env.get("SPARK_GRAFT_MASTER"))
+      .orElse(Some(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .foreach(b.master)
+    b.getOrCreate()
+  }
+
+  /** Register the driver-testdata tables for a scale-factor directory. */
+  def registerSfTables(ctx: EtlContext, sfDir: String): Unit =
+    graft.sources.Tables.names.foreach { t =>
+      if (new java.io.File(s"$sfDir/$t.parquet").exists())
+        ctx.registerTable(t, graft.sources.Tables.load(ctx.spark, sfDir, t))
+    }
+}

@@ -1,0 +1,324 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Translator for the OrientDB SQL expression dialect used throughout the
+  * reference's configs (`field.expression`, per-component `if`, `let`
+  * blocks, lookup SELECTs, `etl` parameters).
+  *
+  * Reference semantics (all citations into /root/reference):
+  *   - method-chain syntax `field.trim()`, `$var.append('x')`,
+  *     `sysdate()` — resources/config.json:5-6, config-dbpedia.json:9-10
+  *   - `$var` / `${var}` / `={expr}` interpolation —
+  *     OAbstractETLComponent.java:501-530
+  *   - `if` predicates are OrientDB SQL filters over the current record —
+  *     OAbstractETLComponent.java:453-468
+  *
+  * Design (SURVEY.md §7.2 step 1): we do NOT interpret per record. The
+  * dialect string is parsed ONCE at plan-build time into a Spark
+  * [[Column]] tree of built-in (whole-stage-codegen'd) expressions, so the
+  * hot path stays inside Tungsten whole-stage codegen. No custom Catalyst
+  * Expression was needed: every dialect function observed in the reference
+  * maps to a built-in (SURVEY.md §4).
+  */
+object OrientExpr {
+
+  /** Parse a dialect expression to a Spark Column.
+    * @param vars driver-side context variables (`let` blocks, CLI -NAME=v);
+    *             `$var` resolves to a literal from here unless the name is
+    *             a per-row binding (see `rowVars`).
+    * @param rowVars names that resolve to row-level Columns (e.g. `$input`).
+    */
+  def compile(src: String,
+              vars: Map[String, Any] = Map.empty,
+              rowVars: Map[String, Column] = Map.empty): Column =
+    new Parser(src, vars, rowVars).parseFull().col
+
+  /** Resolve `$var` / `${var}` inside a *config string value*
+    * (path names, command text, …) to a driver-side string.
+    * Mirrors OAbstractETLComponent.java:501-530. */
+  def resolveString(s: String, vars: Map[String, Any]): String = {
+    val re = raw"\$$\{?([A-Za-z_][A-Za-z0-9_]*)\}?".r
+    re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      vars.get(m.group(1)).map(_.toString).getOrElse(m.matched)))
+  }
+
+  // ------------------------------------------------------------------
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok
+  private case class TVar(s: String) extends Tok
+  private case class TNum(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TOp(s: String) extends Tok
+  private case object TEOF extends Tok
+
+  /** A compiled sub-expression; `lit` carries the raw literal value when
+    * the sub-expression was a single literal token (some dialect methods —
+    * format strings, split separators — need the value at plan time). */
+  private case class Arg(col: Column, lit: Option[Any] = None) {
+    def litStr(what: String): String = lit match {
+      case Some(v) => v.toString
+      case None => throw new IllegalArgumentException(s"OrientExpr: $what must be a literal")
+    }
+  }
+
+  private final class Parser(src: String, vars: Map[String, Any],
+                             rowVars: Map[String, Column]) {
+    private val toks = lex(src)
+    private var pos = 0
+    private def peek: Tok = if (pos < toks.length) toks(pos) else TEOF
+    private def next(): Tok = { val t = peek; pos += 1; t }
+    private def expect(op: String): Unit = next() match {
+      case TOp(`op`) => ()
+      case t => fail(s"expected '$op' but got $t")
+    }
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"OrientExpr: $msg in <<$src>>")
+
+    def parseFull(): Arg = {
+      val c = parseOr()
+      if (peek != TEOF) fail(s"trailing tokens from $peek")
+      c
+    }
+
+    private def parseOr(): Arg = {
+      var l = parseAnd()
+      while (peekKw("OR")) { next(); l = Arg(l.col || parseAnd().col) }
+      l
+    }
+    private def parseAnd(): Arg = {
+      var l = parseNot()
+      while (peekKw("AND")) { next(); l = Arg(l.col && parseNot().col) }
+      l
+    }
+    private def parseNot(): Arg =
+      if (peekKw("NOT")) { next(); Arg(!parseNot().col) } else parseCmp()
+
+    private def peekKw(kw: String): Boolean = peek match {
+      case TIdent(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+
+    private def parseCmp(): Arg = {
+      val l = parseAdd()
+      peek match {
+        case TOp("=") | TOp("==") => next(); Arg(l.col === parseAdd().col)
+        case TOp("<>") | TOp("!=") => next(); Arg(l.col =!= parseAdd().col)
+        case TOp("<=") => next(); Arg(l.col <= parseAdd().col)
+        case TOp(">=") => next(); Arg(l.col >= parseAdd().col)
+        case TOp("<")  => next(); Arg(l.col < parseAdd().col)
+        case TOp(">")  => next(); Arg(l.col > parseAdd().col)
+        case TIdent(s) if s.equalsIgnoreCase("LIKE") =>
+          next(); val p = parseAdd(); Arg(l.col.like(p.litStr("LIKE pattern")))
+        case TIdent(s) if s.equalsIgnoreCase("IN") =>
+          next(); expect("("); val items = parseArgs(); expect(")")
+          Arg(items.map(i => l.col === i.col).reduceLeft(_ || _))
+        case TIdent(s) if s.equalsIgnoreCase("IS") =>
+          next()
+          if (peekKw("NOT")) { next(); kwNull(); Arg(l.col.isNotNull) }
+          else { kwNull(); Arg(l.col.isNull) }
+        case _ => l
+      }
+    }
+    private def kwNull(): Unit = next() match {
+      case TIdent(s) if s.equalsIgnoreCase("NULL") => ()
+      case t => fail(s"expected NULL, got $t")
+    }
+
+    private def parseAdd(): Arg = {
+      var l = parseMul()
+      var cont = true
+      while (cont) peek match {
+        case TOp("+") => next(); l = Arg(l.col + parseMul().col)
+        case TOp("-") => next(); l = Arg(l.col - parseMul().col)
+        case _ => cont = false
+      }
+      l
+    }
+    private def parseMul(): Arg = {
+      var l = parseUnary()
+      var cont = true
+      while (cont) peek match {
+        case TOp("*") => next(); l = Arg(l.col * parseUnary().col)
+        case TOp("/") => next(); l = Arg(l.col / parseUnary().col)
+        case TOp("%") => next(); l = Arg(l.col % parseUnary().col)
+        case _ => cont = false
+      }
+      l
+    }
+    private def parseUnary(): Arg = peek match {
+      case TOp("-") => next(); Arg(lit(0) - parsePostfix().col)
+      case _ => parsePostfix()
+    }
+
+    /** primary followed by zero or more `.method(args)` / `.field` hops. */
+    private def parsePostfix(): Arg = {
+      var c = parsePrimary()
+      var cont = true
+      while (cont) peek match {
+        case TOp(".") =>
+          next()
+          val name = next() match {
+            case TIdent(s) => s
+            case t => fail(s"expected method/field after '.', got $t")
+          }
+          if (peek == TOp("(")) {
+            next(); val args = parseArgs(); expect(")")
+            c = Arg(method(c.col, name, args))
+          } else c = Arg(c.col.getField(name))
+        case _ => cont = false
+      }
+      c
+    }
+
+    private def parseArgs(): List[Arg] = {
+      if (peek == TOp(")")) return Nil
+      def one(): Arg = {
+        val start = pos
+        val a = parseOr()
+        if (pos == start + 1) toks(start) match {
+          case TStr(s) => Arg(a.col, Some(s))
+          case TNum(s) => Arg(a.col, Some(s))
+          case _ => a
+        } else a
+      }
+      val buf = scala.collection.mutable.ListBuffer(one())
+      while (peek == TOp(",")) { next(); buf += one() }
+      buf.toList
+    }
+
+    private def parsePrimary(): Arg = next() match {
+      case TNum(s) =>
+        val c = if (s.contains('.') || s.toLowerCase.contains('e')) lit(s.toDouble)
+                else { val v = s.toLong; if (v >= Int.MinValue && v <= Int.MaxValue) lit(v.toInt) else lit(v) }
+        Arg(c, Some(s))
+      case TStr(s) => Arg(lit(s), Some(s))
+      case TVar(name) =>
+        rowVars.get(name).map(Arg(_)).getOrElse(
+          vars.get(name) match {
+            case Some(c: Column) => Arg(c)
+            case Some(v) => Arg(lit(v), Some(v))
+            case None => fail(s"unbound variable $$$name")
+          })
+      case TIdent(s) if s.equalsIgnoreCase("null")  => Arg(lit(null))
+      case TIdent(s) if s.equalsIgnoreCase("true")  => Arg(lit(true))
+      case TIdent(s) if s.equalsIgnoreCase("false") => Arg(lit(false))
+      case TIdent(name) if peek == TOp("(") =>
+        next(); val args = parseArgs(); expect(")")
+        Arg(freeFunction(name, args))
+      case TIdent(name) => Arg(col(name))
+      case TOp("(") => val c = parseOr(); expect(")"); Arg(c.col)
+      case t => fail(s"unexpected token $t")
+    }
+
+    /** Free functions of the dialect → Spark built-ins. */
+    private def freeFunction(name: String, args: List[Arg]): Column =
+      (name.toLowerCase, args) match {
+        case ("sysdate", Nil)           => current_timestamp()
+        case ("date", Seq(a))           => to_date(a.col)
+        case ("date", Seq(a, f))        => to_date(a.col, f.litStr("date format"))
+        case ("coalesce", as)           => coalesce(as.map(_.col): _*)
+        case ("ifnull", Seq(a, b))      => coalesce(a.col, b.col)
+        case ("if", Seq(c, t, f))       => when(c.col, t.col).otherwise(f.col)
+        case ("abs", Seq(a))            => abs(a.col)
+        case ("min", as) if as.size > 1 => least(as.map(_.col): _*)
+        case ("max", as) if as.size > 1 => greatest(as.map(_.col): _*)
+        case ("format", f :: a)         => format_string(f.litStr("format"), a.map(_.col): _*)
+        case ("uuid", Nil)              => expr("uuid()")
+        case _ => fail(s"unknown function $name/${args.size}")
+      }
+
+    /** Method-chain dialect → Spark built-ins.
+      * Surface: OrientDB OSQLMethod* dialect subset used by the reference's
+      * shipped configs plus the common string/number/cast methods. */
+    private def method(target: Column, name: String, args: List[Arg]): Column =
+      (name.toLowerCase, args) match {
+        case ("trim", Nil)             => trim(target)
+        case ("ltrim", Nil)            => ltrim(target)
+        case ("rtrim", Nil)            => rtrim(target)
+        case ("touppercase", Nil)      => upper(target)
+        case ("tolowercase", Nil)      => lower(target)
+        case ("append", Seq(a))        => concat(target, a.col)
+        case ("prefix", Seq(a))        => concat(a.col, target)
+        case ("substring", Seq(a))     => target.substr(a.col + lit(1), length(target))
+        case ("substring", Seq(a, b))  => target.substr(a.col + lit(1), b.col - a.col) // java [from,to)
+        case ("left", Seq(n))          => target.substr(lit(1), n.col)
+        case ("right", Seq(n))         => target.substr(length(target) - n.col + 1, n.col)
+        case ("charat", Seq(i))        => target.substr(i.col + lit(1), lit(1))
+        case ("indexof", Seq(s))       => locate(s.litStr("indexOf arg"), target) - 1 // 0-based, -1 absent
+        case ("length", Nil) | ("size", Nil) => length(target)
+        case ("replace", Seq(a, b)) =>
+          regexp_replace(target, java.util.regex.Pattern.quote(a.litStr("replace from")), b.litStr("replace to"))
+        case ("split", Seq(sep))       => split(target, java.util.regex.Pattern.quote(sep.litStr("separator")))
+        case ("normalize", Nil)        => trim(target)
+        case ("hash", Nil)             => md5(target.cast("string"))
+        case ("hash", Seq(alg))        => alg.litStr("hash alg").toLowerCase match {
+          case "md5" => md5(target.cast("string"))
+          case "sha-256" | "sha256" => sha2(target.cast("string"), 256)
+          case a => fail(s"unsupported hash $a")
+        }
+        case ("asstring", Nil)         => target.cast("string")
+        case ("asinteger", Nil)        => target.cast("int")
+        case ("aslong", Nil)           => target.cast("long")
+        case ("asfloat", Nil)          => target.cast("float")
+        case ("asdouble", Nil) | ("asdecimal", Nil) => target.cast("double")
+        case ("asboolean", Nil)        => target.cast("boolean")
+        case ("asdate", Nil)           => to_date(target)
+        case ("asdatetime", Nil)       => to_timestamp(target)
+        case ("format", Seq(f))        => date_format(target, f.litStr("format"))
+        case ("tojson", Nil)           => to_json(target)
+        case _ => fail(s"unknown method .$name/${args.size}")
+      }
+  }
+
+  // ------------------------------------------------------------------
+  private def lex(src: String): Vector[Tok] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    val n = src.length
+    def isIdentStart(c: Char) = c.isLetter || c == '_' || c == '@'
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '@'
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && src(i) != quote) {
+          if (src(i) == '\\' && i + 1 < n) { sb.append(src(i + 1)); i += 2 }
+          else { sb.append(src(i)); i += 1 }
+        }
+        if (i >= n) throw new IllegalArgumentException(s"OrientExpr: unterminated string in <<$src>>")
+        i += 1
+        out += TStr(sb.toString)
+      } else if (c == '$') {
+        i += 1
+        val braced = i < n && src(i) == '{'
+        if (braced) i += 1
+        val start = i
+        while (i < n && isIdent(src(i))) i += 1
+        val name = src.substring(start, i)
+        if (braced) { require(i < n && src(i) == '}', s"unclosed $${ in <<$src>>"); i += 1 }
+        out += TVar(name)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (src(i).isDigit ||
+               (src(i) == '.' && i + 1 < n && src(i + 1).isDigit) ||
+               ((src(i) == 'e' || src(i) == 'E') && i + 1 < n && (src(i + 1).isDigit || src(i + 1) == '-')) ||
+               (src(i) == '-' && i > start && (src(i - 1) == 'e' || src(i - 1) == 'E')))) i += 1
+        out += TNum(src.substring(start, i))
+      } else if (isIdentStart(c)) {
+        val start = i
+        while (i < n && isIdent(src(i))) i += 1
+        out += TIdent(src.substring(start, i))
+      } else {
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (Set("<>", "!=", "<=", ">=", "==").contains(two)) { out += TOp(two); i += 2 }
+        else { out += TOp(c.toString); i += 1 }
+      }
+    }
+    out.toVector
+  }
+}

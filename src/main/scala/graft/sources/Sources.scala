@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.engine.EtlContext
+import graft.expr.OrientExpr
+import graft.spec.ComponentSpec
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources + extractors, compiled to DataFrameReader plans.
+  *
+  * Reference shape: a Source yields a character Reader (file/http/stdin —
+  * source/OFileSource.java, OHttpSource.java, OInputSource.java) and an
+  * Extractor frames records out of it (row/json/jdbc —
+  * extractor/ORowExtractor.java, OJsonExtractor.java, OJDBCExtractor.java);
+  * CSV parsing is a *transformer* in the reference (OCSVTransformer.java).
+  *
+  * Spark-first inversion (SURVEY.md §2.1-2.2): source+extractor collapse
+  * into ONE distributed scan — `spark.read.{text,json,csv,jdbc}` — so
+  * splitting, decompression (gzip via Hadoop codecs, cf.
+  * OFileSource.java:135-136) and parallelism come from the data source
+  * framework instead of a single-threaded Reader loop.
+  */
+object Sources {
+
+  /** Line-numbered text scan: the `file` source + `row` extractor pair.
+    *
+    * `skipFirst`/`skipLast` implement the reference's *documented intent*
+    * (OFileSource.java:67-74 parses both but never applies them — a
+    * reference bug we do not replicate; SURVEY.md §7.5).
+    *
+    * The `_row_num` column reproduces `extractedNum` (OETLPipeline.java:
+    * 104-105) with a global zipWithIndex — stable because Hadoop text
+    * splits are ordered by file offset. At 100 TB this is a narrow
+    * transformation (no shuffle); we only pay it when line semantics are
+    * actually requested.
+    */
+  def textLines(spark: SparkSession, path: String,
+                skipFirst: Long = 0, skipLast: Long = 0): DataFrame = {
+    val rdd = spark.sparkContext.textFile(path)
+    val numbered = rdd.zipWithIndex().map { case (l, i) => Row(l, i) }
+    val schema = StructType(Seq(
+      StructField("value", StringType), StructField("_row_num", LongType)))
+    val df = spark.createDataFrame(numbered, schema)
+    val afterFirst = if (skipFirst > 0) df.filter(col("_row_num") >= skipFirst) else df
+    if (skipLast > 0) {
+      val total = rdd.count() // one extra pass, only when skipLast requested
+      afterFirst.filter(col("_row_num") < total - skipLast)
+    } else afterFirst
+  }
+
+  /** `http` source: driver-side fetch (OHttpSource.java:36-117) → a
+    * parallelized dataset of lines. Bounded payloads only — the reference
+    * buffers the whole response on one thread too. */
+  def httpLines(spark: SparkSession, url: String, method: String = "GET",
+                headers: Map[String, String] = Map.empty): DataFrame = {
+    import java.net.{HttpURLConnection, URL}
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method.toUpperCase)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+    val lines = try src.getLines().toVector finally { src.close(); conn.disconnect() }
+    import spark.implicits._
+    lines.toDF("value")
+  }
+
+  /** `input` source (stdin, OInputSource.java:30-51). */
+  def stdinLines(spark: SparkSession): DataFrame = {
+    val lines = scala.io.Source.stdin.getLines().toVector
+    import spark.implicits._
+    lines.toDF("value")
+  }
+
+  /** `json` extractor (OJsonExtractor.java:28-101): accepts a JSON array
+    * of objects or a single object; we additionally accept JSON-lines
+    * (the scalable layout). */
+  def json(spark: SparkSession, path: String, multiLine: Boolean = false,
+           schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", multiLine.toString)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** CSV scan with the reference transformer's option surface
+    * (OCSVTransformer.java:54-91): separator, columnsOnFirstLine,
+    * declared `name:type` columns, nullValue token, quote char. */
+  def csv(spark: SparkSession, path: String, spec: ComponentSpec): DataFrame = {
+    val sep = spec.strOr("separator", ",")
+    val header = spec.bool("columnsOnFirstLine", dflt = true)
+    val quote = spec.strOr("stringCharacter", "\"")
+    var r = spark.read
+      .option("sep", sep).option("header", header.toString).option("quote", quote)
+    spec.str("nullValue").foreach(nv => r = r.option("nullValue", nv))
+    val declared = spec.strList("columns")
+    if (declared.nonEmpty) {
+      r = r.schema(schemaFromColumns(declared)).option("header", header.toString)
+      r.csv(path)
+    } else r.option("inferSchema", "true").csv(path)
+  }
+
+  /** `columns: ["id:integer", "name:string", …]` → StructType
+    * (OCSVTransformer.java:62-75 `name:type` syntax, OType names). */
+  def schemaFromColumns(cols: Seq[String]): StructType =
+    StructType(cols.map { c =>
+      val (name, tpe) = c.indexOf(':') match {
+        case -1 => (c, "string")
+        case i => (c.substring(0, i), c.substring(i + 1))
+      }
+      StructField(name, oTypeToSpark(tpe))
+    })
+
+  /** OrientDB OType name → Spark type (SURVEY.md §1.2/§1.3 mapping;
+    * JDBC-side equivalences at OJDBCExtractor.java:126-171). */
+  def oTypeToSpark(t: String): DataType = t.trim.toLowerCase match {
+    case "boolean" => BooleanType
+    case "byte" => ByteType
+    case "short" => ShortType
+    case "integer" | "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "decimal" => DecimalType(38, 10)
+    case "string" | "any" | "" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "datetime" | "timestamp" => TimestampType
+    case other => throw new IllegalArgumentException(s"unknown OType $other")
+  }
+
+  /** `jdbc` extractor (OJDBCExtractor.java:47-314): arbitrary SQL pushed
+    * to the remote DB as a subquery; `fetchSize` honored; partitioned
+    * parallel reads available via partitionColumn options (free in Spark,
+    * absent in the reference's single forward-only cursor). */
+  def jdbc(spark: SparkSession, spec: ComponentSpec): DataFrame = {
+    val url = spec.str("url").getOrElse(sys.error("jdbc: url required"))
+    val query = spec.str("query").getOrElse(sys.error("jdbc: query required"))
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .option("fetchsize", spec.int("fetchSize", 10000).toString)
+    spec.str("driver").foreach(d => r = r.option("driver", d))
+    spec.str("userName").foreach(u => r = r.option("user", u))
+    spec.str("userPassword").foreach(p => r = r.option("password", p))
+    for (pc <- spec.str("partitionColumn"); lb <- spec.str("lowerBound");
+         ub <- spec.str("upperBound")) {
+      r = r.option("partitionColumn", pc).option("lowerBound", lb)
+        .option("upperBound", ub)
+        .option("numPartitions", spec.int("numPartitions", 8).toString)
+    }
+    r.load()
+  }
+
+  /** Build the extraction DataFrame for a (source, extractor) spec pair —
+    * the engine's entry scan. */
+  def build(ctx: EtlContext, source: Option[ComponentSpec],
+            extractor: Option[ComponentSpec]): DataFrame = {
+    val spark = ctx.spark
+    val vars = ctx.varMap
+    def sourcePath: String = {
+      val s = source.getOrElse(sys.error("extractor requires a source with a path/url"))
+      s.name match {
+        case "file" => OrientExpr.resolveString(
+          s.str("path").getOrElse(sys.error("file source: path required")), vars)
+        case "http" => OrientExpr.resolveString(
+          s.str("url").getOrElse(sys.error("http source: url required")), vars)
+        case other => sys.error(s"source $other provides no path")
+      }
+    }
+    def lines: DataFrame = source.map(_.name) match {
+      case Some("file") | None =>
+        val s = source.get
+        textLines(spark, sourcePath, s.long("skipFirst").getOrElse(0L),
+          s.long("skipLast").getOrElse(0L))
+      case Some("http") =>
+        val s = source.get
+        httpLines(spark, sourcePath, s.strOr("method", "GET"),
+          s.map("headers").map { case (k, v) => k -> v.toString })
+      case Some("input") => stdinLines(spark)
+      case Some(other) => sys.error(s"unknown source $other")
+    }
+    extractor.map(e => (e.name, e)) match {
+      case None | Some(("row", _)) => lines
+      case Some(("json", e)) =>
+        // array-of-objects and single-object forms need multiLine
+        json(spark, sourcePath, multiLine = e.bool("multiLine", dflt = true))
+      case Some(("jsonl", _)) => json(spark, sourcePath)
+      case Some(("csv", e)) => csv(spark, sourcePath, e)
+      case Some(("jdbc", e)) => jdbc(spark, e)
+      case Some(("parquet", _)) => spark.read.parquet(sourcePath)
+      case Some((other, _)) => sys.error(s"unknown extractor $other")
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loader for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * The `events` table carries a parquet TIMESTAMP(NANOS) column, which
+  * Spark cannot read natively (max precision = micros). Sessions set
+  * `spark.sql.legacy.parquet.nanosAsLong=true`; this loader converts the
+  * resulting nano-epoch long back to a micros timestamp, losslessly for
+  * the fixture data (micro-precision values). All table access in
+  * queries/benches goes through here so the shim lives in one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns that are TIMESTAMP(NANOS) in the fixture parquet. */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+      else d
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Typed model of the reference's 7-section JSON pipeline config
+  * (OETLProcessor.java:221-233: `config / begin / source / extractor /
+  * transformers / loader / end`). Each component is `{name: {options}}`
+  * — the single field name selects the component from the registry
+  * (OETLProcessor.java:516-519, OETLComponentFactory.java:195-226).
+  *
+  * We parse to plain Scala case classes at driver side; the plan builder
+  * ([[graft.engine.Engine]]) compiles the spec to ONE lazy DataFrame plan
+  * (SURVEY.md §7.1 — inversion of the reference's per-record interpreter).
+  */
+final case class ComponentSpec(name: String, options: Map[String, Any]) {
+  def str(key: String): Option[String] = options.get(key).map(_.toString)
+  def strOr(key: String, dflt: String): String = str(key).getOrElse(dflt)
+  def bool(key: String, dflt: Boolean): Boolean =
+    options.get(key).map(_.toString.toBoolean).getOrElse(dflt)
+  def int(key: String, dflt: Int): Int =
+    options.get(key).map(_.toString.toDouble.toInt).getOrElse(dflt)
+  def long(key: String): Option[Long] = options.get(key).map(_.toString.toDouble.toLong)
+  def list(key: String): Seq[Any] = options.get(key) match {
+    case Some(s: Seq[_]) => s
+    case Some(other) => Seq(other)
+    case None => Nil
+  }
+  def strList(key: String): Seq[String] = list(key).map(_.toString)
+  def map(key: String): Map[String, Any] = options.get(key) match {
+    case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  /** Common per-component options (OAbstractETLComponent.java:420-432):
+    * `if` predicate, `output` variable capture, `log` level. */
+  def ifExpr: Option[String] = str("if")
+  def outputVar: Option[String] = str("output")
+}
+
+final case class PipelineSpec(
+    config: Map[String, Any],
+    begin: Seq[ComponentSpec],
+    source: Option[ComponentSpec],
+    extractor: Option[ComponentSpec],
+    transformers: Seq[ComponentSpec],
+    loader: Option[ComponentSpec],
+    end: Seq[ComponentSpec])
+
+object PipelineSpec {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): PipelineSpec = fromNode(mapper.readTree(json))
+
+  def fromNode(root: JsonNode): PipelineSpec = {
+    def section(name: String): Option[JsonNode] = Option(root.get(name))
+    def comps(node: Option[JsonNode]): Seq[ComponentSpec] = node match {
+      case Some(a: ArrayNode) => a.elements().asScala.map(component).toSeq
+      case Some(o) => Seq(component(o))
+      case None => Nil
+    }
+    def component(node: JsonNode): ComponentSpec = {
+      val fields = node.properties().asScala.toSeq
+      require(fields.size == 1, s"component must have exactly one key: $node")
+      val e = fields.head
+      ComponentSpec(e.getKey, toScala(e.getValue).asInstanceOf[Map[String, Any]])
+    }
+    PipelineSpec(
+      config = section("config").map(toScala(_).asInstanceOf[Map[String, Any]]).getOrElse(Map.empty),
+      begin = comps(section("begin")),
+      source = section("source").map(component),
+      extractor = section("extractor").map(component),
+      transformers = comps(section("transformers")),
+      loader = section("loader").map(component),
+      end = comps(section("end")))
+  }
+
+  private def toScala(n: JsonNode): Any = n match {
+    case o: ObjectNode =>
+      o.properties().asScala.map(e => e.getKey -> toScala(e.getValue)).toMap
+    case a: ArrayNode => a.elements().asScala.map(toScala).toSeq
+    case v if v.isTextual => v.asText()
+    case v if v.isIntegralNumber => v.asLong()
+    case v if v.isNumber => v.asDouble()
+    case v if v.isBoolean => v.asBoolean()
+    case v if v.isNull => null
+    case v => v.asText()
+  }
+}

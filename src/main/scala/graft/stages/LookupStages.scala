@@ -1,0 +1,271 @@
+package graft.stages
+
+import graft.engine.{EtlContext, EtlHaltException}
+import graft.expr.OrientExpr
+import graft.spec.ComponentSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The lookup-join family: `merge`, `link`, `edge` + the nested `etl`
+  * transformer (SURVEY.md §2.3).
+  *
+  * Reference shape: per-record index point-get or prepared SELECT
+  * (OAbstractLookupTransformer.java:70-104). Spark-first shape: ONE join
+  * against the dimension — broadcast hash join when the dim is small
+  * (Catalyst/AQE decides; we hint via `broadcast()` under a size
+  * threshold), sort-merge otherwise. At 100 TB the fact side never
+  * re-partitions for a broadcast join; only genuinely large dims shuffle.
+  */
+object LookupStages {
+
+  /** Unresolved-record policy (OAbstractLookupTransformer.java:44-46,
+    * OLinkTransformer.java:131-160). */
+  sealed trait Unresolved
+  object Unresolved {
+    case object Nothing extends Unresolved
+    case object Warning extends Unresolved
+    case object Error extends Unresolved
+    case object Skip extends Unresolved
+    case object Halt extends Unresolved
+    case object Create extends Unresolved
+    def parse(s: String): Unresolved = s.toUpperCase match {
+      case "NOTHING" => Nothing
+      case "WARNING" => Warning
+      case "ERROR" => Error
+      case "SKIP" => Skip
+      case "HALT" => Halt
+      case "CREATE" => Create
+      case other => sys.error(s"unknown unresolvedLinkAction $other")
+    }
+  }
+
+  /** Resolve a `lookup` config — `"Table.column"` (index form) or a
+    * `SELECT` statement — to (dimension DataFrame, key column name).
+    * The reference's "index" is just a pre-built hash; the Spark analogue
+    * is the hash side of a broadcast/shuffled hash join (SURVEY.md §4). */
+  def resolveLookup(ctx: EtlContext, lookup: String): (DataFrame, String) = {
+    val trimmed = lookup.trim
+    if (trimmed.toUpperCase.startsWith("SELECT")) {
+      val df = ctx.spark.sql(OrientExpr.resolveString(trimmed, ctx.varMap))
+      (df, df.columns.head)
+    } else {
+      val i = trimmed.lastIndexOf('.')
+      require(i > 0, s"lookup must be Table.column or SELECT…: $lookup")
+      val (table, key) = (trimmed.substring(0, i), trimmed.substring(i + 1))
+      (ctx.table(table), key)
+    }
+  }
+
+  /** Broadcast the dim when it is comfortably below the driver limit;
+    * otherwise let AQE pick. Dim size is estimated from the logical plan
+    * stats so no job is triggered. */
+  private def maybeBroadcast(dim: DataFrame): DataFrame = {
+    val threshold = 64L << 20 // 64 MiB — conservative broadcast budget
+    val size = try dim.queryExecution.optimizedPlan.stats.sizeInBytes
+               catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (size <= threshold) broadcast(dim) else dim
+  }
+
+  private def haltIfAny(df: DataFrame, what: String): Unit =
+    if (!df.isEmpty) throw new EtlHaltException(s"$what: unresolved records present")
+
+  /** `merge` (OMergeTransformer.java:44-77): per-record upsert against the
+    * lookup table. Matched → existing record updated with incoming fields
+    * (existing.merge(input) — input wins per field); unmatched → policy.
+    *
+    * Output = the record stream after merge (what flows to the loader).
+    * Use [[upsertResult]] for the post-load table view.
+    */
+  def merge(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { incoming =>
+      val joinField = spec.str("joinFieldName").getOrElse(sys.error("merge: joinFieldName required"))
+      val (dim, key) = resolveLookup(ctx, spec.str("lookup").getOrElse(sys.error("merge: lookup required")))
+      val action = Unresolved.parse(spec.strOr("unresolvedLinkAction", "NOTHING"))
+      mergeRecords(incoming, dim, joinField, key, action, ctx)
+    }
+
+  private[graft] def mergeRecords(incoming: DataFrame, dim: DataFrame,
+      joinField: String, key: String, action: Unresolved,
+      ctx: EtlContext): DataFrame = {
+    // rename the whole dim side to avoid reference ambiguity on overlap
+    val renamed = dim.columns.foldLeft(dim)((d, c) => d.withColumnRenamed(c, s"__dim_$c"))
+    val d = maybeBroadcast(renamed)
+    val joined = incoming.join(d, incoming(joinField) === col(s"__dim_$key"), "left")
+    val matched = col(s"__dim_$key").isNotNull
+    // merged record = existing.merge(input): input fields overwrite,
+    // dim-only fields carried over for matched rows (OMergeTransformer:69-73)
+    val incomingCols = incoming.columns.toSet
+    val dimOnly = dim.columns.filterNot(c => c == key || incomingCols.contains(c))
+    val mergedCols =
+      incoming.columns.map(c => col(c)) ++ dimOnly.map(c => col(s"__dim_$c").as(c))
+    val out = joined.select(mergedCols.toIndexedSeq: _*)
+    action match {
+      case Unresolved.Skip => joined.filter(matched).select(mergedCols.toIndexedSeq: _*)
+      case Unresolved.Halt =>
+        haltIfAny(joined.filter(!matched), "merge"); out
+      case Unresolved.Warning | Unresolved.Error =>
+        // counted via observe; rows still pass (reference logs + continues)
+        out
+      case _ => out
+    }
+  }
+
+  /** The post-load table after a merge run: untouched target rows ∪ the
+    * merged/new stream — batch equivalent of the reference's
+    * save-per-record upsert effect (SURVEY.md §2.3 merge row). Within-run
+    * self-merge (§7.5): last-wins dedup on the key before the union. */
+  def upsertResult(target: DataFrame, mergedStream: DataFrame,
+                   key: String): DataFrame = {
+    val deduped = mergedStream.dropDuplicates(key)
+    val untouched = target.join(deduped.select(col(key).as("__k")),
+      target(key) === col("__k"), "left_anti")
+    untouched.unionByName(deduped.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** `link` (OLinkTransformer.java:77-174): FK → reference resolution.
+    * Writes the resolved dim key into `linkFieldName` as LINK (scalar) or
+    * LINKLIST/LINKSET (from a multi-valued join field). CREATE inserts
+    * stub dim rows for unresolved keys (id = the key itself) and registers
+    * the widened dim back into the context. */
+  def link(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val linkField = spec.str("linkFieldName").getOrElse(sys.error("link: linkFieldName required"))
+      val (dim0, key) = resolveLookup(ctx, spec.str("lookup").getOrElse(sys.error("link: lookup required")))
+      val action = Unresolved.parse(spec.strOr("unresolvedLinkAction", "NOTHING"))
+      val linkType = spec.strOr("type", "LINK").toUpperCase
+      val joinVal: Column = spec.str("joinValue") match {
+        case Some(e) => OrientExpr.compile(e, ctx.varMap)
+        case None => col(spec.str("joinFieldName").getOrElse(sys.error("link: joinFieldName or joinValue required")))
+      }
+      val removeJoin = spec.bool("removeJoinField", dflt = false)
+
+      // CREATE: widen the dim with stub rows for unresolved keys
+      // (two-pass: dim ∪ (keys ∖ dim), then the join always resolves)
+      val dim = if (action == Unresolved.Create) {
+        val keys = df.select(joinVal.cast(dim0.schema(key).dataType).as(key)).distinct()
+        val stubs = keys.join(dim0.select(key), Seq(key), "left_anti")
+        val widened = dim0.unionByName(stubs, allowMissingColumns = true)
+        spec.str("lookup").filter(!_.toUpperCase.startsWith("SELECT")).foreach { lk =>
+          val table = lk.trim.substring(0, lk.trim.lastIndexOf('.'))
+          ctx.registerTable(table, widened)
+        }
+        widened
+      } else dim0
+
+      val d = maybeBroadcast(dim.select(col(key).as("__lkey")))
+      val multiValued = df.schema.fields.exists(f =>
+        spec.str("joinFieldName").contains(f.name) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+
+      val out =
+        if (multiValued && (linkType == "LINKLIST" || linkType == "LINKSET")) {
+          val jf = spec.str("joinFieldName").get
+          val withId = df.withColumn("__rid", monotonically_increasing_id())
+          val exploded = withId.select(col("__rid"), explode_outer(col(jf)).as("__jv"))
+          val resolved = exploded.join(d, col("__jv") === col("__lkey"), "left")
+            .groupBy("__rid")
+            .agg(sort_array(collect_list(col("__lkey"))).as("__links"))
+          val links = if (linkType == "LINKSET") array_distinct(col("__links")) else col("__links")
+          withId.join(resolved, Seq("__rid"), "left")
+            .withColumn(linkField, links).drop("__rid", "__links")
+        } else {
+          val joined = df.join(d, joinVal === col("__lkey"), "left")
+          val base = joined.withColumn(linkField,
+            if (linkType == "LINKSET" || linkType == "LINKLIST") array(col("__lkey"))
+            else col("__lkey"))
+          action match {
+            case Unresolved.Skip => base.filter(col("__lkey").isNotNull).drop("__lkey")
+            case Unresolved.Halt =>
+              haltIfAny(joined.filter(col("__lkey").isNull), "link"); base.drop("__lkey")
+            case _ => base.drop("__lkey")
+          }
+        }
+      if (removeJoin) spec.str("joinFieldName").map(out.drop(_)).getOrElse(out) else out
+    }
+
+  /** `edge` (OEdgeTransformer.java:83-144): emit edges current-vertex →
+    * looked-up vertex (direction `out`) or the reverse (`in`). Unresolved
+    * CREATE unions stub target vertices first (:102-114). The input
+    * stream passes through unchanged (the reference returns the vertex). */
+  def edge(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val label = spec.strOr("class", "E")
+      val joinField = spec.str("joinFieldName").getOrElse(sys.error("edge: joinFieldName required"))
+      val (dim, key) = resolveLookup(ctx, spec.str("lookup").getOrElse(sys.error("edge: lookup required")))
+      val action = Unresolved.parse(spec.strOr("unresolvedLinkAction", "NOTHING"))
+      val direction = spec.strOr("direction", "out").toLowerCase
+      val fromField = spec.strOr("fromField", "id")
+      require(df.columns.contains(fromField),
+        s"edge: input has no '$fromField' id column — apply a vertex stage first or set fromField")
+
+      val d = maybeBroadcast(dim.select(col(key).as("__ekey")))
+      val joined = df.join(d, col(joinField) === col("__ekey"),
+        if (action == Unresolved.Skip) "inner" else "left")
+      if (action == Unresolved.Halt)
+        haltIfAny(joined.filter(col("__ekey").isNull), "edge")
+      if (action == Unresolved.Create) {
+        val stubs = df.select(col(joinField).cast("string").as("id"))
+          .distinct()
+          .join(dim.select(col(key).cast("string").as("id")), Seq("id"), "left_anti")
+          .withColumn("label", lit(spec.strOr("targetVertexClass", "V")))
+        ctx.addVertices(stubs)
+      }
+      val resolvedDst = coalesce(col("__ekey").cast("string"),
+        if (action == Unresolved.Create) col(joinField).cast("string") else lit(null))
+      val (src, dst) =
+        if (direction == "in") (resolvedDst, col(fromField).cast("string"))
+        else (col(fromField).cast("string"), resolvedDst)
+      val edges = joined.select(src.as("src"), dst.as("dst"), lit(label).as("label"))
+        .filter(col("dst").isNotNull && col("src").isNotNull)
+      ctx.addEdges(edges)
+      df
+    }
+
+  /** Nested `etl` (OETLTransformer.java:82-156, a fork addition): the
+    * reference launches a full child pipeline PER RECORD and embeds the
+    * loaded objects into a field. Spark rewrite (SURVEY.md §2.3 etl row):
+    * run the child ONCE, `groupBy(childKey).agg(collect…)`, then one join
+    * into the parent — O(N) engine launches become one shuffle + join.
+    *
+    * fieldType ∈ EMBEDDEDLIST/EMBEDDEDSET/LINKLIST/LINKSET (list/set of
+    * `valueFieldName`) or EMBEDDEDMAP (`keyFieldName` → `valueFieldName`).
+    * Collections are sorted for deterministic output.
+    */
+  def nestedEtl(parent: DataFrame, child: DataFrame, parentKey: String,
+                childKey: String, fieldName: String, fieldType: String,
+                keyFieldName: String = "", valueFieldName: String = ""): DataFrame = {
+    val agged = fieldType.toUpperCase match {
+      case "EMBEDDEDLIST" | "LINKLIST" =>
+        child.groupBy(col(childKey).as("__ck"))
+          .agg(sort_array(collect_list(col(valueFieldName))).as(fieldName))
+      case "EMBEDDEDSET" | "LINKSET" =>
+        child.groupBy(col(childKey).as("__ck"))
+          .agg(array_distinct(sort_array(collect_list(col(valueFieldName)))).as(fieldName))
+      case "EMBEDDEDMAP" =>
+        child.groupBy(col(childKey).as("__ck"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col(keyFieldName), col(valueFieldName))))).as(fieldName))
+      case other => sys.error(s"etl: unsupported fieldType $other")
+    }
+    parent.join(agged, parent(parentKey) === col("__ck"), "left").drop("__ck")
+  }
+
+  /** Config-driven form of [[nestedEtl]]: child is an inline pipeline spec
+    * or a registered table name. */
+  def etl(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { parent =>
+      val child: DataFrame = spec.str("childTable") match {
+        case Some(t) => ctx.table(t)
+        case None =>
+          val inline = spec.map("pipeline")
+          require(inline.nonEmpty, "etl: childTable or pipeline required")
+          graft.engine.Engine.runMap(ctx, inline)
+      }
+      nestedEtl(parent, child,
+        spec.str("joinFieldName").getOrElse(sys.error("etl: joinFieldName required")),
+        spec.str("childJoinFieldName").getOrElse(sys.error("etl: childJoinFieldName required")),
+        spec.strOr("fieldName", "children"),
+        spec.strOr("fieldType", "EMBEDDEDLIST"),
+        spec.strOr("keyFieldName", ""), spec.strOr("valueFieldName", ""))
+    }
+}

@@ -1,0 +1,217 @@
+package graft.stages
+
+import graft.engine.{EtlContext, EtlHaltException}
+import graft.expr.OrientExpr
+import graft.sources.Sources
+import graft.spec.ComponentSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Row-wise transformer stages (SURVEY.md §2.3).
+  *
+  * Every stage is `DataFrame => DataFrame` — the whole pipeline composes
+  * to ONE lazy Catalyst plan, so chained stages fuse into a single
+  * whole-stage-codegen'd projection/filter (the reference's record-at-a-
+  * time pipelining, OETLPipeline.java:107-118, for free and vectorized).
+  *
+  * Common component semantics reproduced here:
+  *  - `if` predicate: stage skipped for rows where false
+  *    (OAbstractETLComponent.java:453-468) → `when(cond, new).otherwise(old)`
+  *  - `output: "var"`: result captured, input passed through
+  *    (OAbstractTransformer.java:63-75)
+  *  - null result drops the row (OETLPipeline.java:107-114) → `filter`
+  */
+object Stages {
+
+  /** Wrap a stage body with the `if` / `output` common semantics. */
+  def common(spec: ComponentSpec, ctx: EtlContext)
+            (body: DataFrame => DataFrame): DataFrame => DataFrame = { df =>
+    val transformed = body(df)
+    spec.outputVar match {
+      case Some(v) => ctx.captured.put(v, transformed); df // input passes through
+      case None => transformed
+    }
+  }
+
+  def ifCond(spec: ComponentSpec, ctx: EtlContext): Option[Column] =
+    spec.ifExpr.map(OrientExpr.compile(_, ctx.varMap))
+
+  /** `field` (OFieldTransformer.java:64-110): set a field from a dialect
+    * expression or literal, or remove it. */
+  def field(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val name = spec.str("fieldName").getOrElse(sys.error("field: fieldName required"))
+      val cond = ifCond(spec, ctx)
+      if (spec.strOr("operation", "set").equalsIgnoreCase("remove")) {
+        cond match {
+          case None => df.drop(name)
+          case Some(c) => // conditional remove → null out where cond holds
+            df.withColumn(name, when(c, lit(null)).otherwise(col(name)))
+        }
+      } else {
+        val value: Column = spec.str("expression") match {
+          case Some(e) => OrientExpr.compile(e, ctx.varMap)
+          case None => spec.options.get("value") match {
+            case Some(s: String) if s.startsWith("$") =>
+              lit(ctx.vars.get(s.drop(1)).map(_.toString).orNull)
+            case Some(v) => lit(v)
+            case None => sys.error("field: expression or value required")
+          }
+        }
+        val finalCol = cond match {
+          case Some(c) if df.columns.contains(name) => when(c, value).otherwise(col(name))
+          case Some(c) => when(c, value)
+          case None => value
+        }
+        df.withColumn(name, finalCol)
+      }
+    }
+
+  /** `rename` (ORenameTransformer.java:53-68): `{old: new, …}`. */
+  def rename(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val pairs = spec.options.filter { case (_, v) => v.isInstanceOf[String] }
+      pairs.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n.toString) }
+    }
+
+  /** `csv` transformer (OCSVTransformer.java:92-180): parse a string
+    * column into typed fields. Mid-pipeline form of the CSV scan —
+    * `from_csv` keeps it inside codegen. */
+  def csvTransform(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df0 =>
+      val sep = spec.strOr("separator", ",")
+      val header = spec.bool("columnsOnFirstLine", dflt = true)
+      val quote = spec.strOr("stringCharacter", "\"")
+      val skipFrom = spec.long("skipFrom")
+      val skipTo = spec.long("skipTo")
+      val hasNum = df0.columns.contains("_row_num")
+
+      // skipFrom/skipTo: 0-based line-range skip (OCSVTransformer.java:95-102)
+      var df = (skipFrom, skipTo) match {
+        case (Some(f), Some(t)) if hasNum =>
+          df0.filter(!(col("_row_num") >= f && col("_row_num") <= t))
+        case _ => df0
+      }
+
+      val declared = spec.strList("columns")
+      val schema: StructType =
+        if (declared.nonEmpty) Sources.schemaFromColumns(declared)
+        else {
+          // learn names from the first line (OCSVTransformer.java:109-119);
+          // tiny driver-side job at plan time, not per record
+          val first =
+            (if (hasNum) df.orderBy("_row_num") else df).select("value").head().getString(0)
+          val names = first.split(java.util.regex.Pattern.quote(sep)).map(_.trim)
+          Sources.schemaFromColumns(names.toIndexedSeq)
+        }
+      if (header && hasNum) df = df.filter(col("_row_num") > (skipTo.getOrElse(-1L)))
+      if (header) {
+        // drop the header record itself: first remaining line
+        val headerNum = if (hasNum) df.agg(min("_row_num")).head().getLong(0) else 0L
+        if (hasNum) df = df.filter(col("_row_num") =!= headerNum)
+      }
+      var opts = Map("sep" -> sep, "quote" -> quote, "mode" -> "PERMISSIVE")
+      spec.str("nullValue").foreach(nv => opts += "nullValue" -> nv)
+      val parsed = df.withColumn("__parsed",
+        from_csv(col("value"), schema, opts))
+      val cols = schema.fieldNames.map(f => col("__parsed").getField(f).as(f))
+      val keep = if (hasNum) Seq(col("_row_num")) else Nil
+      parsed.select(keep ++ cols: _*)
+    }
+
+  /** `json` transformer (OJSONTransformer.java:30-37): string → document. */
+  def jsonTransform(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "value")
+      val schema = spec.str("schema") match {
+        case Some(ddl) => StructType.fromDDL(ddl)
+        case None => // infer from a sample row at plan time
+          val sample = df.select(fieldName).filter(col(fieldName).isNotNull).head().getString(0)
+          df.sparkSession.range(1).select(
+            schema_of_json(lit(sample))).head().getString(0) match {
+            case ddl => org.apache.spark.sql.types.DataType.fromDDL(ddl) match {
+              case s: StructType => s
+              case other => sys.error(s"json: expected object schema, got $other")
+            }
+          }
+      }
+      val keepInput = spec.bool("keepInput", dflt = false)
+      val parsed = df.withColumn("__doc", from_json(col(fieldName), schema))
+      val docCols = schema.fieldNames.map(f => col("__doc").getField(f).as(f))
+      val others =
+        if (keepInput) df.columns.filterNot(_ == fieldName).map(col).toSeq else Nil
+      parsed.select(others ++ docCols: _*)
+    }
+
+  /** `log` (OLogTransformer.java:57-60): identity on data; counts rows via
+    * `observe` so telemetry costs no extra job. */
+  def log(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      df.observe(s"graft_log_${spec.strOr("prefix", "stage")}", count(lit(1)).as("rows"))
+    }
+
+  /** `flow` (OFlowTransformer.java:56-61): `skip` drops rows matching `if`;
+    * `halt` aborts when any row matches. We implement the documented
+    * intent — the reference's config validation rejects `skip`
+    * (OFlowTransformer.java:45-47, a bug we do not replicate). */
+  def flow(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val op = spec.strOr("operation", "skip").toLowerCase
+    val cond = ifCond(spec, ctx).getOrElse(lit(true))
+    op match {
+      case "skip" => df.filter(!coalesce(cond, lit(false)))
+      case "halt" =>
+        if (!df.filter(cond).isEmpty)
+          throw new EtlHaltException(s"flow halt: condition '${spec.ifExpr.getOrElse("true")}' matched")
+        df
+      case other => sys.error(s"flow: unknown operation $other")
+    }
+  }
+
+  /** `code` (OCodeTransformer.java:67-80). JS-as-config is out of parity
+    * scope (SURVEY.md §7.4); supported forms:
+    *  - `language: "sql"`, `code: "SELECT … FROM __input"` — batch SQL
+    *  - `expression` + `fieldName` — dialect expression (same as `field`)
+    *  - `ref: "name"` — a Scala DataFrame=>DataFrame hook registered in
+    *    [[graft.engine.Engine.registerCode]]. */
+  def code(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      spec.str("ref") match {
+        case Some(ref) =>
+          graft.engine.Engine.codeHook(ref)(df)
+        case None => spec.str("code") match {
+          case Some(sql) if spec.strOr("language", "sql").equalsIgnoreCase("sql") =>
+            df.createOrReplaceTempView("__input")
+            ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
+          case _ =>
+            val name = spec.str("fieldName").getOrElse(sys.error("code: fieldName or code required"))
+            val e = spec.str("expression").getOrElse(sys.error("code: expression required"))
+            df.withColumn(name, OrientExpr.compile(e, ctx.varMap))
+        }
+      }
+    }
+
+  /** `command` (OCommandTransformer.java:58-78): SQL over the registered
+    * tables; result replaces the stream. Batch-level, not per record —
+    * per-record SQL is the RBAR anti-pattern the Spark design removes
+    * (SURVEY.md §2.3). */
+  def command(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val sql = spec.str("command").getOrElse(sys.error("command: command required"))
+      df.createOrReplaceTempView("input")
+      ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
+    }
+
+  /** `vertex` (OVertexTransformer.java:54-75): promote rows to labeled
+    * vertices in the two-DataFrame graph contract. */
+  def vertex(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val label = spec.strOr("class", "V")
+      val idField = spec.str("idField").getOrElse(df.columns.head)
+      val tagged = df
+        .withColumn("id", col(idField).cast("string"))
+        .withColumn("label", lit(label))
+      ctx.addVertices(tagged)
+      tagged
+    }
+}

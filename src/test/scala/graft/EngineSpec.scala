@@ -1,0 +1,167 @@
+package graft
+
+import graft.engine.{Engine, EtlHaltException}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end pipeline specs — SURVEY.md §7.3 minimum slice and the
+  * config-shaped e2e fixtures of FIXTURES.md §B. */
+class EngineSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-test").toFile.getPath
+
+  private def writeNationCsv(): String = {
+    val path = s"$tmp/nation_csv"
+    newCtx().table("nation")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    path
+  }
+
+  test("minimum slice: file → row → csv → field → flow skip → memory") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "row": {} },
+      "transformers": [
+        { "csv": { "separator": ",", "columnsOnFirstLine": true,
+                   "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        { "field": { "fieldName": "name_upper", "expression": "n_name.toUpperCase()" } },
+        { "flow": { "operation": "skip", "if": "n_regionkey is null" } }
+      ],
+      "loader": { "memory": { "name": "slice_out" } }
+    }""")
+    assert(out.count() == 25)
+    assert(out.columns.contains("name_upper"))
+    val row = out.filter(col("n_nationkey") === 3).head()
+    assert(row.getAs[String]("name_upper") == "NATION_3")
+    assert(ctx.captured.contains("slice_out"))
+  }
+
+  test("csv extractor reads header + types directly") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columnsOnFirstLine": true,
+        "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "loader": { "memory": {} }
+    }""")
+    assert(out.schema("n_nationkey").dataType.typeName == "integer")
+    assert(out.count() == 25)
+  }
+
+  test("gzip source is transparent (OFileSource gzip path)") {
+    val path = s"$tmp/nation_gz"
+    newCtx().table("nation").coalesce(1).write.mode("overwrite")
+      .option("header", "false").option("compression", "gzip").csv(path)
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "row": {} },
+      "loader": { "memory": {} }
+    }""")
+    assert(out.count() == 25)
+  }
+
+  test("json extractor: array-of-objects form") {
+    val ctx = newCtx()
+    val arr = ctx.table("nation").toJSON.collect().mkString("[", ",", "]")
+    val f = s"$tmp/nation.json"
+    Files.writeString(java.nio.file.Paths.get(f), arr)
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$f" } },
+      "extractor": { "json": {} },
+      "loader": { "memory": {} }
+    }""")
+    assert(out.count() == 25)
+  }
+
+  test("field remove + rename + let var") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "begin": [ { "let": { "name": "suffix", "value": "_X" } } ],
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [
+        { "field": { "fieldName": "tagged", "expression": "n_name.append($$suffix)" } },
+        { "field": { "fieldName": "n_regionkey", "operation": "remove" } },
+        { "rename": { "n_name": "name" } }
+      ],
+      "loader": { "memory": {} }
+    }""")
+    assert(out.columns.toSet == Set("n_nationkey", "name", "tagged"))
+    assert(out.filter(col("n_nationkey") === 0).head().getAs[String]("tagged") == "NATION_0_X")
+  }
+
+  test("if predicate gates a field stage per record") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [
+        { "field": { "fieldName": "n_name", "expression": "'LOW'", "if": "n_nationkey < 5" } }
+      ],
+      "loader": { "memory": {} }
+    }""")
+    assert(out.filter(col("n_name") === "LOW").count() == 5)
+    assert(out.filter(col("n_name") === "NATION_7").count() == 1)
+  }
+
+  test("flow halt aborts the pipeline") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    intercept[EtlHaltException] {
+      Engine.runJson(ctx, s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "flow": { "operation": "halt", "if": "n_nationkey > 20" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+  }
+
+  test("command stage: SQL over registered tables") {
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, """{
+      "source": { "file": { "path": "/root/testdata/sf0.001/nation.parquet" } },
+      "extractor": { "parquet": {} },
+      "transformers": [
+        { "command": { "command": "SELECT n_regionkey, count(*) AS n FROM input GROUP BY n_regionkey" } }
+      ],
+      "loader": { "memory": {} }
+    }""")
+    assert(out.count() == 5)
+    assert(out.agg(sum("n")).head().getLong(0) == 25)
+  }
+
+  test("output capture: result diverted, input passes through") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [
+        { "field": { "fieldName": "extra", "expression": "'captured'", "output": "sideline" } }
+      ],
+      "loader": { "memory": {} }
+    }""")
+    assert(!out.columns.contains("extra"))          // input passed through
+    assert(ctx.captured("sideline").columns.contains("extra"))
+  }
+
+  test("skipFirst/skipLast on file source (documented intent)") {
+    val f = s"$tmp/lines.txt"
+    Files.writeString(java.nio.file.Paths.get(f), (1 to 10).map("line" + _).mkString("\n"))
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$f", "skipFirst": 2, "skipLast": 3 } },
+      "extractor": { "row": {} },
+      "loader": { "memory": {} }
+    }""")
+    val lines = out.select("value").collect().map(_.getString(0)).toSet
+    assert(lines == (3 to 7).map("line" + _).toSet)
+  }
+}

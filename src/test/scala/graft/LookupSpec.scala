@@ -1,0 +1,203 @@
+package graft
+
+import graft.engine.EtlHaltException
+import graft.spec.ComponentSpec
+import graft.stages.LookupStages
+import graft.stages.LookupStages.Unresolved
+import org.apache.spark.sql.functions._
+
+class LookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def linkStage(opts: (String, Any)*) =
+    LookupStages.link(ComponentSpec("link", opts.toMap), newCtx())
+  private def mergeStage(opts: (String, Any)*) =
+    LookupStages.merge(ComponentSpec("merge", opts.toMap), newCtx())
+
+  test("link LINK: resolve orders.o_custkey → customer, counts match join arithmetic") {
+    val ctx = newCtx()
+    val orders = ctx.table("orders")
+    val out = linkStage(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link")(orders)
+    assert(out.count() == orders.count())
+    // every o_custkey exists in customer in the fixtures → all resolved
+    assert(out.filter(col("cust_link").isNull).count() == 0)
+    assert(out.filter(col("cust_link") =!= col("o_custkey")).count() == 0)
+  }
+
+  test("link SKIP vs NOTHING on dangling keys") {
+    val ctx = newCtx()
+    val orders = ctx.table("orders")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")))
+    val dangling = orders.filter(col("o_custkey") >= 1000000).count()
+    assert(dangling > 0)
+
+    val ctxN = newCtx()
+    val nothing = LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "NOTHING")), ctxN)(orders)
+    assert(nothing.count() == orders.count())
+    assert(nothing.filter(col("cust_link").isNull).count() == dangling)
+
+    val skip = LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "SKIP")), newCtx())(orders)
+    assert(skip.count() == orders.count() - dangling)
+  }
+
+  test("link CREATE: stubs added, everything resolves, dim widened in context") {
+    val ctx = newCtx()
+    val orders = ctx.table("orders")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")))
+    val before = ctx.table("customer").count()
+    val out = LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "CREATE")), ctx)(orders)
+    assert(out.filter(col("cust_link").isNull).count() == 0)
+    val widened = ctx.table("customer").count()
+    assert(widened > before) // stub rows inserted
+  }
+
+  test("link HALT throws on unresolved") {
+    val ctx = newCtx()
+    val orders = ctx.table("orders").withColumn("o_custkey", col("o_custkey") + 1000000)
+    intercept[EtlHaltException] {
+      LookupStages.link(ComponentSpec("link", Map(
+        "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+        "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "HALT")), ctx)(orders)
+        .count()
+    }
+  }
+
+  test("link removeJoinField drops the FK column") {
+    val ctx = newCtx()
+    val out = LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link", "removeJoinField" -> true)), ctx)(ctx.table("orders"))
+    assert(!out.columns.contains("o_custkey"))
+    assert(out.columns.contains("cust_link"))
+  }
+
+  test("link LINKLIST from multi-valued join field") {
+    val ctx = newCtx()
+    val df = Seq((1, Seq(0L, 1L)), (2, Seq(2L))).toDF("id", "keys")
+    val out = LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "keys", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "links", "type" -> "LINKLIST")), ctx)(df)
+    val r = out.orderBy("id").collect()
+    assert(r(0).getSeq[Long](r(0).fieldIndex("links")).toList == List(0L, 1L))
+    assert(r(1).getSeq[Long](r(1).fieldIndex("links")).toList == List(2L))
+  }
+
+  test("merge: matched rows updated with incoming fields; upsertResult = MERGE table") {
+    val ctx = newCtx()
+    val customer = ctx.table("customer")
+    // delta: every 10th customer gets a new balance + segment
+    val delta = customer.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("UPSERTED").as("c_mktsegment"))
+    val merged = LookupStages.merge(ComponentSpec("merge", Map(
+      "joinFieldName" -> "c_custkey", "lookup" -> "customer.c_custkey")), ctx)(delta)
+    // merged stream carries dim-only columns (c_name, c_nationkey)
+    assert(merged.columns.toSet ==
+      Set("c_custkey", "c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))
+    assert(merged.filter(col("c_mktsegment") =!= "UPSERTED").count() == 0)
+
+    val table = LookupStages.upsertResult(customer, merged, "c_custkey")
+    assert(table.count() == customer.count()) // pure update, no inserts
+    val touched = table.filter(col("c_custkey") % 10 === 0)
+    assert(touched.filter(col("c_mktsegment") =!= "UPSERTED").count() == 0)
+    val untouched = table.filter(col("c_custkey") % 10 =!= 0)
+      .select("c_custkey", "c_mktsegment")
+      .exceptAll(customer.filter(col("c_custkey") % 10 =!= 0)
+        .select("c_custkey", "c_mktsegment"))
+    assert(untouched.isEmpty)
+  }
+
+  test("merge SKIP drops unmatched; NOTHING passes them through (insert path)") {
+    val ctx = newCtx()
+    val delta = Seq((99999L, 42.0, "NEW"), (0L, 1.0, "UPD"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val skip = LookupStages.mergeRecords(delta, ctx.table("customer"),
+      "c_custkey", "c_custkey", Unresolved.Skip, ctx)
+    assert(skip.count() == 1)
+    val nothing = LookupStages.mergeRecords(delta, ctx.table("customer"),
+      "c_custkey", "c_custkey", Unresolved.Nothing, ctx)
+    assert(nothing.count() == 2)
+    // upsert with the NOTHING stream inserts the new row
+    val table = LookupStages.upsertResult(ctx.table("customer"), nothing, "c_custkey")
+    assert(table.count() == ctx.table("customer").count() + 1)
+  }
+
+  test("vertex + edge: graph contract, edge count == join arithmetic") {
+    val ctx = newCtx()
+    val customers = graft.stages.Stages.vertex(
+      ComponentSpec("vertex", Map("class" -> "customer", "idField" -> "c_custkey")), ctx)(
+      ctx.table("customer"))
+    assert(customers.columns.contains("id") && customers.columns.contains("label"))
+    val orders = graft.stages.Stages.vertex(
+      ComponentSpec("vertex", Map("class" -> "order", "idField" -> "o_orderkey")), ctx)(
+      ctx.table("orders"))
+    LookupStages.edge(ComponentSpec("edge", Map(
+      "class" -> "placed_order", "joinFieldName" -> "o_custkey",
+      "lookup" -> "customer.c_custkey")), ctx)(orders)
+    val edges = ctx.edges.get
+    val expected = ctx.table("orders").join(ctx.table("customer"),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(edges.count() == expected)
+    assert(edges.select("label").distinct().head().getString(0) == "placed_order")
+    // direction out: src = order id
+    assert(edges.join(ctx.table("orders"),
+      edges("src") === ctx.table("orders")("o_orderkey").cast("string")).count() == expected)
+  }
+
+  test("edge direction=in swaps src/dst") {
+    val ctx = newCtx()
+    val orders = graft.stages.Stages.vertex(
+      ComponentSpec("vertex", Map("class" -> "order", "idField" -> "o_orderkey")), ctx)(
+      ctx.table("orders"))
+    LookupStages.edge(ComponentSpec("edge", Map(
+      "class" -> "ordered_by", "joinFieldName" -> "o_custkey",
+      "lookup" -> "customer.c_custkey", "direction" -> "in")), ctx)(orders)
+    val edges = ctx.edges.get
+    // src = customer key now
+    val custKeys = ctx.table("customer").select(col("c_custkey").cast("string")).as[String].collect().toSet
+    assert(edges.select("src").as[String].collect().forall(custKeys.contains))
+  }
+
+  test("nested etl: child grouped + embedded into parent (one join, not N runs)") {
+    val ctx = newCtx()
+    val parent = ctx.table("customer")
+    val child = ctx.table("orders")
+    val out = LookupStages.nestedEtl(parent, child, "c_custkey", "o_custkey",
+      "order_keys", "EMBEDDEDLIST", valueFieldName = "o_orderkey")
+    assert(out.count() == parent.count())
+    val expected = child.groupBy("o_custkey").count()
+    val joined = out.join(expected, out("c_custkey") === expected("o_custkey"))
+    assert(joined.filter(size(col("order_keys")) =!= col("count")).count() == 0)
+
+    val asMap = LookupStages.nestedEtl(parent, child, "c_custkey", "o_custkey",
+      "order_prices", "EMBEDDEDMAP", keyFieldName = "o_orderkey", valueFieldName = "o_totalprice")
+    val m = asMap.filter(col("order_prices").isNotNull).head()
+      .getAs[Map[Long, Double]]("order_prices")
+    assert(m.nonEmpty)
+  }
+
+  test("lookup via SELECT form") {
+    val ctx = newCtx()
+    val out = LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey",
+      "lookup" -> "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+      "linkFieldName" -> "building_cust", "unresolvedLinkAction" -> "SKIP")), ctx)(
+      ctx.table("orders"))
+    val expected = ctx.table("orders").join(
+      ctx.table("customer").filter(col("c_mktsegment") === "BUILDING"),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(out.count() == expected)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.expr.OrientExpr
+import org.apache.spark.sql.functions._
+
+class OrientExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(src: String, vars: Map[String, Any] = Map.empty): Any =
+    spark.range(1).select(OrientExpr.compile(src, vars).as("v")).head().get(0)
+
+  test("literals and arithmetic") {
+    assert(eval1("1 + 2 * 3") == 7)
+    assert(eval1("(1 + 2) * 3") == 9)
+    assert(eval1("10 / 4") == 2.5)
+    assert(eval1("10 % 3") == 1)
+    assert(eval1("-5 + 2") == -3)
+    assert(eval1("1.5 + 0.25") == 1.75)
+    assert(eval1("'a'") == "a")
+    assert(eval1("true") == true)
+  }
+
+  test("string method chains — the reference's dialect surface") {
+    assert(eval1("'  x  '.trim()") == "x")
+    assert(eval1("'ab'.append('cd')") == "abcd")        // config.json:5 style
+    assert(eval1("'cd'.prefix('ab')") == "abcd")
+    assert(eval1("'hello'.toUpperCase()") == "HELLO")
+    assert(eval1("'HELLO'.toLowerCase()") == "hello")
+    assert(eval1("'hello'.substring(1, 3)") == "el")    // java [from,to)
+    assert(eval1("'hello'.substring(2)") == "llo")
+    assert(eval1("'hello'.left(2)") == "he")
+    assert(eval1("'hello'.right(2)") == "lo")
+    assert(eval1("'hello'.indexOf('ll')") == 2)          // 0-based
+    assert(eval1("'hello'.indexOf('zz')") == -1)
+    assert(eval1("'hello'.length()") == 5)
+    assert(eval1("'a.b.c'.replace('.', '-')") == "a-b-c") // literal, not regex
+    assert(eval1("'  x '.trim().append('!')") == "x!")   // chaining
+    assert(eval1("'42'.asInteger()") == 42)
+    assert(eval1("'4.5'.asDouble()") == 4.5)
+  }
+
+  test("variables: $var and ${var}") {
+    assert(eval1("$name.append('!')", Map("name" -> "bob")) == "bob!")
+    assert(eval1("${name}", Map("name" -> "bob")) == "bob")
+    assert(eval1("$n + 1", Map("n" -> 41)) == 42)
+    intercept[IllegalArgumentException](eval1("$missing"))
+  }
+
+  test("comparisons, boolean logic, is null, like, in") {
+    assert(eval1("1 < 2 AND 2 <= 2") == true)
+    assert(eval1("1 > 2 OR 2 >= 3 OR 1 = 1") == true)
+    assert(eval1("1 <> 2") == true)
+    assert(eval1("NOT (1 = 2)") == true)
+    assert(eval1("null is null") == true)
+    assert(eval1("'x' is not null") == true)
+    assert(eval1("'hello' LIKE 'he%'") == true)
+    assert(eval1("2 IN (1, 2, 3)") == true)
+    assert(eval1("5 IN (1, 2, 3)") == false)
+  }
+
+  test("free functions") {
+    assert(eval1("coalesce(null, 'x')") == "x")
+    assert(eval1("ifnull(null, 7)") == 7)
+    assert(eval1("if(1 < 2, 'yes', 'no')") == "yes")
+    assert(eval1("abs(0 - 5)") == 5)
+    assert(eval1("min(3, 1, 2)") == 1)
+    assert(eval1("max(3, 1, 2)") == 3)
+    assert(eval1("format('%s-%d', 'a', 1)") == "a-1")
+    assert(eval1("sysdate()").isInstanceOf[java.sql.Timestamp])
+  }
+
+  test("field references compile against a real frame") {
+    val df = Seq((1, "  Bob "), (2, "Ann")).toDF("id", "name")
+    val out = df.select(OrientExpr.compile("name.trim().toUpperCase()").as("v"))
+      .as[String].collect().toSeq
+    assert(out == Seq("BOB", "ANN"))
+    val filtered = df.filter(OrientExpr.compile("id > 1 AND name is not null"))
+    assert(filtered.count() == 1)
+  }
+
+  test("resolveString interpolation — OAbstractETLComponent semantics") {
+    val vars = Map[String, Any]("fileName" -> "data.csv", "n" -> 3)
+    assert(OrientExpr.resolveString("/tmp/$fileName", vars) == "/tmp/data.csv")
+    assert(OrientExpr.resolveString("${fileName}.gz", vars) == "data.csv.gz")
+    assert(OrientExpr.resolveString("x$n", vars) == "x3")
+    assert(OrientExpr.resolveString("$unknown stays", vars) == "$unknown stays")
+  }
+}
