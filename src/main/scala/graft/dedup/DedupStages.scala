@@ -1,0 +1,214 @@
+package graft.dedup
+
+import graft.engine.EtlContext
+import graft.spec.ComponentSpec
+import graft.stages.Stages
+import graft.text.TextStages
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication stages for LLM training-data pipelines (builder brief /
+  * SURVEY.md §7.2 step 10): exact content dedup, MinHash+LSH banded
+  * near-dup, SimHash near-dup, and exact n-gram Jaccard verification.
+  *
+  * Scale posture (the whole point of these at 100 TB):
+  *  - exact dedup is ONE hash-partitioned aggregation (`min_by` keeps the
+  *    canonical row) — no join, no window, map-side partial agg;
+  *  - MinHash signatures are computed per row with higher-order functions
+  *    (zero shuffle), and candidate generation explodes only the B band
+  *    keys per doc and self-joins on the band bucket — O(bucket²) pairs,
+  *    NEVER the all-pairs O(N²);
+  *  - SimHash candidates use the pigeonhole band trick (k bit-blocks →
+  *    any pair within Hamming distance < k shares a block) — again a
+  *    bucket equi-join.
+  */
+object DedupStages {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group on the key expression(s), keep the row with the
+    * minimal tie-break value (the reference row). Single shuffle. */
+  def exactDedup(df: DataFrame, keys: Seq[Column], tiebreak: Column): DataFrame = {
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keys: _*)
+      .agg(min_by(all, tiebreak).as("__keep"))
+      .select(col("__keep.*"))
+  }
+
+  /** `dedup` transformer. Options: `keyFields` (columns) or `keyExpr`
+    * (SQL expression, e.g. `md5(text)`), `tiebreakField` (default first
+    * key) — keeps the row with the smallest tie-break per key. */
+  def dedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val keys: Seq[Column] = spec.str("keyExpr") match {
+        case Some(e) => Seq(expr(e))
+        case None =>
+          val kf = spec.strList("keyFields")
+          require(kf.nonEmpty, "dedup: keyFields or keyExpr required")
+          kf.map(col)
+      }
+      val tb = col(spec.str("tiebreakField")
+        .orElse(spec.strList("keyFields").headOption)
+        .getOrElse(sys.error("dedup: tiebreakField required with keyExpr")))
+      exactDedup(df, keys, tb)
+    }
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of a text column (the MinHash/Jaccard
+    * universe). Pure per-row HOF projection. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = TextStages.tokens(c)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic per-permutation coefficients (split-mix style). */
+  private def seeds(n: Int): Seq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = { x += 0x9E3779B97F4A7C15L
+      var z = x; z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL; z ^ (z >>> 31) }
+    (0 until n).map(_ => ((next() & Long.MaxValue) % MersennePrime max 1L,
+                          (next() & Long.MaxValue) % MersennePrime))
+  }
+
+  /** MinHash signature (array of `numHashes` longs) of a shingle array —
+    * ONE aggregate pass over the shingle hashes per row, no shuffle.
+    * sig[i] = min over shingles of (a_i * h + b_i) mod p. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val ss = seeds(numHashes)
+    val seedArr = array(ss.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val hashes = transform(shingles, s => xxhash64(s))
+    aggregate(hashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, seedArr,
+        (m, s) => least(m, pmod(s.getField("a") * h + s.getField("b"), lit(MersennePrime)))))
+  }
+
+  /** `minhash` transformer: banded-LSH near-duplicate PAIRS.
+    * Options: `idField` (default doc_id), `field` (default text),
+    * `shingleSize` (words, default 3), `numHashes` (default 64), `bands`
+    * (default 16), `threshold` (exact-Jaccard filter on candidates,
+    * default 0.5).
+    *
+    * Output: (`a`, `b`, `jaccard`) with a < b — candidates from band
+    * buckets only, then exact-verified. */
+  def minhash(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val field = spec.strOr("field", "text")
+      val n = spec.int("shingleSize", 3)
+      val numHashes = spec.int("numHashes", 64)
+      val bands = spec.int("bands", 16)
+      val rows = numHashes / bands
+      require(bands * rows == numHashes, "minhash: bands must divide numHashes")
+      val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.5)
+
+      val docs = df.select(col(id).as("__id"),
+          wordShingles(col(field), n).as("__sh"))
+        .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+
+      // band keys: hash of each signature slice → explode B rows per doc
+      val bandKeys = array((0 until bands).map(bi =>
+        xxhash64(lit(bi), slice(col("__sig"), bi * rows + 1, rows))): _*)
+      val banded = docs.select(col("__id"),
+        posexplode(bandKeys).as(Seq("__band", "__bkey")))
+
+      // candidate pairs: equi-join on (band, bucket) — O(bucket²)
+      val l = banded.select(col("__band"), col("__bkey"), col("__id").as("a"))
+      val r = banded.select(col("__band"), col("__bkey"), col("__id").as("b"))
+      val cand = l.join(r, Seq("__band", "__bkey")).where(col("a") < col("b"))
+        .select("a", "b").distinct()
+
+      // exact verification on the candidate set only
+      val sh = docs.select(col("__id"), col("__sh"))
+      cand
+        .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
+        .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+        .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+        .where(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 weighted by
+    * token-hash bits; sign → signature bit. Pure per-row HOFs. */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(TextStages.tokens(c), t => xxhash64(t))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        // per-bit ±1 contribution of this token hash (bit masks are
+        // plan-time constants, unrolled)
+        array((0 until 64).map(i =>
+          when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)): _*),
+        (a, v) => a + v))
+    aggregate(counts, lit(0L), (acc, cnt) =>
+      shiftleft(acc, 1) + when(cnt > 0, 1L).otherwise(0L))
+  }
+
+  /** `simhash` transformer: near-dup pairs within Hamming distance
+    * `maxDistance` (default 3) using the pigeonhole band join — the
+    * signature is split into `maxDistance + 1` blocks; any qualifying
+    * pair must agree on at least one block. Output (a, b, hamming). */
+  def simhash(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val field = spec.strOr("field", "text")
+      val maxDist = spec.int("maxDistance", 3)
+      val blocks = maxDist + 1
+      val bits = 64 / blocks
+
+      val sigs = df.select(col(id).as("__id"), simhash64(col(field)).as("__sig"))
+      val blockKeys = array((0 until blocks).map(bi =>
+        shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
+      val banded = sigs.select(col("__id"), col("__sig"),
+        posexplode(blockKeys).as(Seq("__blk", "__bkey")))
+      val l = banded.select(col("__blk"), col("__bkey"),
+        col("__id").as("a"), col("__sig").as("__siga"))
+      val r = banded.select(col("__blk"), col("__bkey"),
+        col("__id").as("b"), col("__sig").as("__sigb"))
+      l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= maxDist)
+    }
+
+  // -------------------------------------------------- exact n-gram jaccard
+
+  /** `ngramjaccard` transformer: EXACT all-pairs word-n-gram Jaccard over
+    * the (pre-filtered) input — the verification/oracle path. All-pairs
+    * is O(N²) by definition: the stage requires the caller to bound the
+    * input (`maxRows`, default 10k) and is meant for candidate subsets;
+    * use `minhash` for the scale path. Output (a, b, jaccard >= threshold). */
+  def ngramJaccard(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val field = spec.strOr("field", "text")
+      val n = spec.int("shingleSize", 3)
+      val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.5)
+      val docs = df.select(col(id).as("__id"), wordShingles(col(field), n).as("__sh"))
+      val l = docs.select(col("__id").as("a"), col("__sh").as("__sha"))
+      val r = docs.select(col("__id").as("b"), col("__sh").as("__shb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+        .where(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    }
+}

@@ -37,6 +37,23 @@ object Engine {
     "edge"    -> LookupStages.edge _,
     "etl"     -> LookupStages.etl _,
     "block"   -> blockTransformer _,
+    // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
+    // step 10) — first-class registered transformers
+    "dedup"         -> graft.dedup.DedupStages.dedup _,
+    "minhash"       -> graft.dedup.DedupStages.minhash _,
+    "simhash"       -> graft.dedup.DedupStages.simhash _,
+    "ngramjaccard"  -> graft.dedup.DedupStages.ngramJaccard _,
+    "textstats"     -> graft.text.TextStages.textstats _,
+    "langid"        -> graft.text.TextStages.langid _,
+    "tokenize"      -> graft.text.TextStages.tokenize _,
+    "fingerprint"   -> graft.text.TextStages.fingerprint _,
+    "similarity"    -> graft.similarity.SimilarityStages.similarity _,
+    "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
+    "cosinedup"     -> graft.similarity.SimilarityStages.cosineDup _,
+    "mm_attach"     -> graft.multimodal.MultimodalStages.attach _,
+    "mm_decode"     -> graft.multimodal.MultimodalStages.decode _,
+    "mm_resize"     -> graft.multimodal.MultimodalStages.resize _,
+    "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
   )
 
   // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------
@@ -54,12 +71,34 @@ object Engine {
     // begin blocks execute before extraction (OETLProcessor.java:119-126)
     spec.begin.foreach(executeBlock(ctx, _))
 
-    var df = Sources.build(ctx, spec.source, spec.extractor)
-    for (t <- spec.transformers) {
+    // FUSION: `file` + `row` feeding a leading plain `csv` transformer
+    // compiles to ONE native spark.read.csv scan — vectorized, header
+    // handled per file by the reader, no zipWithIndex pass. The generic
+    // text-scan + from_csv path remains for skip ranges / mid-pipeline CSV.
+    val rowLike = spec.extractor.forall(_.name == "row")
+    val (remaining, fused) = (spec.source, spec.transformers) match {
+      case (Some(src), head +: tail)
+        if src.name == "file" && rowLike && head.name == "csv" &&
+           head.long("skipFrom").isEmpty && head.long("skipTo").isEmpty &&
+           src.long("skipFirst").isEmpty && src.long("skipLast").isEmpty &&
+           head.outputVar.isEmpty && head.ifExpr.isEmpty =>
+        val path = OrientExpr.resolveString(
+          src.str("path").getOrElse(sys.error("file source: path required")), ctx.varMap)
+        (tail, Some(Sources.csv(ctx.spark, path, head)))
+      case _ => (spec.transformers, None)
+    }
+    // `_row_num` (extractedNum) is paid only when a stage consumes it
+    val needNum = remaining.exists(t => t.name == "csv" &&
+      (t.long("skipFrom").isDefined || t.long("skipTo").isDefined ||
+       t.bool("columnsOnFirstLine", dflt = true)))
+    var df = fused.getOrElse(Sources.build(ctx, spec.source, spec.extractor, needNum))
+    for (t <- remaining) {
       val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
       df = fn(t, ctx)(df)
     }
-    spec.loader.foreach(Loaders.load(ctx, _, df))
+    // loader action → collect deferred observe checks (halt / counters)
+    val acted = spec.loader.exists(Loaders.load(ctx, _, df))
+    if (acted) ctx.drainChecks()
     spec.end.foreach(executeBlock(ctx, _))
     df
   }

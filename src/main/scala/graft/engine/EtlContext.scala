@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.util.LongAccumulator
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
 
 /** Run-scoped context for one pipeline execution.
   *
@@ -33,6 +34,60 @@ final class EtlContext(val spark: SparkSession) {
     * distributed counters, safe to bump from executors. */
   val warnings: LongAccumulator = spark.sparkContext.longAccumulator("graft.warnings")
   val errors: LongAccumulator = spark.sparkContext.longAccumulator("graft.errors")
+
+  /** Deferred plan-metric checks — the single-pass alternative to eager
+    * probe jobs. A stage that needs a data-dependent policy decision
+    * (flow `halt`, lookup HALT/WARNING/ERROR — OFlowTransformer.java:
+    * 56-61, OAbstractLookupTransformer.java:44-46) attaches an `observe`
+    * metric to its plan and registers the check here; the metric is
+    * collected for free during the pipeline's terminal action (one pass —
+    * no separate probe job over the upstream), then [[drainChecks]] raises
+    * halts / bumps the warning/error counters.
+    *
+    * Trade-off vs the reference, documented: the reference halts
+    * mid-stream after some records were already loaded (OETLPipeline.java:
+    * 121-139 — partial effects are its semantics too); deferred mode
+    * raises the halt after the batch action. Strict pre-load gating is
+    * available per stage via `haltMode: "eager"` (one extra probe job).
+    */
+  final case class PendingCheck(obs: Observation, metric: String,
+                                kind: String, msg: String)
+  private val checks = ArrayBuffer.empty[PendingCheck]
+  private var obsId = 0
+  def newObservation(prefix: String): Observation = synchronized {
+    obsId += 1; Observation(s"graft_${prefix}_$obsId")
+  }
+  def registerCheck(c: PendingCheck): Unit = synchronized { checks += c }
+
+  /** Collect all observed metrics after an action ran on the final plan.
+    * Throws [[EtlHaltException]] for any tripped halt check. */
+  def drainChecks(): Unit = {
+    val toDrain = synchronized { val c = checks.toVector; checks.clear(); c }
+    var halt: Option[String] = None
+    toDrain.foreach { c =>
+      // `get` blocks until the action completes; the observe node is part
+      // of the acted-on plan so metrics are already available. The bounded
+      // wait guards the edge case of a stage whose sub-plan the final
+      // action never executed (result replaced mid-pipeline) — treated as
+      // zero observations.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration._
+      val metrics: Map[String, Any] =
+        try Await.result(Future(c.obs.get)(ExecutionContext.global), 10.seconds)
+        catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+      val n = metrics.get(c.metric) match {
+        case Some(v: Number) => v.longValue()
+        case _ => 0L // action never touched this sub-plan → nothing observed
+      }
+      if (n > 0) c.kind match {
+        case "halt" => halt = halt.orElse(Some(s"${c.msg} ($n rows)"))
+        case "warning" => warnings.add(n)
+        case "error" => errors.add(n)
+        case _ => ()
+      }
+    }
+    halt.foreach(m => throw new EtlHaltException(m))
+  }
 
   def varMap: Map[String, Any] = vars.toMap
 

@@ -16,12 +16,43 @@ import org.apache.spark.sql.DataFrame
   */
 object Loaders {
 
-  def load(ctx: EtlContext, spec: ComponentSpec, df: DataFrame): Unit = {
+  /** Declared-schema surface — the DDL analogue of the orientdb loader
+    * (OOrientDBLoader.java:399-514 creates classes + typed properties
+    * with collate; :435-513 indexes). `columns: ["name:type", …]` on a
+    * parquet/jdbc loader validates presence and casts to the declared
+    * type, failing fast at PLAN time (missing column / unresolvable cast
+    * → clear error before any job runs). `indexes` is a documented no-op:
+    * columnar scan + join strategies replace point indexes in Spark
+    * (SURVEY.md §2.4). */
+  private def applyDeclaredSchema(df: DataFrame, spec: ComponentSpec): DataFrame = {
+    if (spec.list("indexes").nonEmpty)
+      System.err.println("[graft] loader `indexes` declared — no-op on Spark (see SURVEY.md §2.4)")
+    val declared = spec.strList("columns")
+    if (declared.isEmpty) df
+    else {
+      val target = graft.sources.Sources.schemaFromColumns(declared)
+      val missing = target.fieldNames.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"loader schema: missing columns [${missing.mkString(", ")}]; input has [${df.columns.mkString(", ")}]")
+      val casted = target.fields.map { f =>
+        val from = df.schema(f.name).dataType
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(from, f.dataType),
+          s"loader schema: cannot cast column ${f.name}: $from -> ${f.dataType}")
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+      }
+      df.select(casted.toIndexedSeq: _*)
+    }
+  }
+
+  /** Run the sink. Returns true when a terminal ACTION executed (so the
+    * engine can collect deferred observe checks — EtlContext.drainChecks);
+    * `memory` only registers the plan and returns false. */
+  def load(ctx: EtlContext, spec: ComponentSpec, df: DataFrame): Boolean = {
     val vars = ctx.varMap
     spec.name match {
       // `output` loader (OOutputLoader.java:27-52): console. Bounded —
       // never collect the full dataset to the driver.
-      case "output" => df.show(spec.int("limit", 20), truncate = false)
+      case "output" => df.show(spec.int("limit", 20), truncate = false); true
 
       // `memory` loader (OMemoryLoader.java:14-69, fork addition): hand
       // the result to a parent pipeline. We register the *plan*, not a
@@ -30,18 +61,20 @@ object Loaders {
         val name = spec.strOr("name", "loaded")
         ctx.registerTable(name, df)
         ctx.captured.put(name, df)
+        false
 
       case "parquet" =>
         val path = OrientExpr.resolveString(
           spec.str("path").getOrElse(sys.error("parquet loader: path required")), vars)
-        var w = df.write.mode(spec.strOr("mode", "overwrite"))
+        var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
         val parts = spec.strList("partitionBy")
         if (parts.nonEmpty) w = w.partitionBy(parts: _*)
         w.parquet(path)
+        true
 
       case "jdbc" =>
         val url = spec.str("url").getOrElse(sys.error("jdbc loader: url required"))
-        var w = df.write.format("jdbc")
+        var w = applyDeclaredSchema(df, spec).write.format("jdbc")
           .option("url", OrientExpr.resolveString(url, vars))
           .option("dbtable", spec.str("table").getOrElse(sys.error("jdbc loader: table required")))
           // batchCommit parity (OOrientDBLoader.java:181-194)
@@ -51,6 +84,7 @@ object Loaders {
         spec.str("userName").foreach(u => w = w.option("user", u))
         spec.str("userPassword").foreach(p => w = w.option("password", p))
         w.mode(spec.strOr("mode", "append")).save()
+        true
 
       // graph mode of the orientdb loader: persist the two-DataFrame
       // property-graph contract
@@ -59,6 +93,7 @@ object Loaders {
           spec.str("path").getOrElse(sys.error("graph loader: path required")), vars)
         ctx.vertices.foreach(_.write.mode("overwrite").parquet(s"$dir/vertices"))
         ctx.edges.foreach(_.write.mode("overwrite").parquet(s"$dir/edges"))
+        true
 
       case other => sys.error(s"unknown loader $other")
     }

@@ -1,0 +1,164 @@
+package graft.similarity
+
+import graft.engine.EtlContext
+import graft.spec.ComponentSpec
+import graft.stages.Stages
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — builder
+  * brief / SURVEY.md §7.2 step 10. Fixture: `embeddings(vec_id,
+  * embedding, label)`.
+  *
+  * Two paths:
+  *  - [[topk]] — brute-force cosine top-k: the QUERY side is broadcast
+  *    (it is the small side by construction), so the base table never
+  *    shuffles; one pass over base × |Q| with codegen'd HOF arithmetic,
+  *    then a per-query top-k window on the (query-partitioned) result.
+  *  - [[lshTopk]] — the scale path: signed-random-projection (SRP) LSH
+  *    buckets both sides on sign-bit bands; candidates come from bucket
+  *    equi-joins (never all-pairs), then exact cosine re-ranks.
+  *
+  * All vector math is `zip_with`/`aggregate` over the array column —
+  * per-row, no UDF, no collect.
+  */
+object SimilarityStages {
+
+  /** Dot product of two numeric array columns (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Brute-force cosine top-k: for each query row, the `k` nearest base
+    * rows (excluding itself). Ties break on ascending neighbour id. */
+  def topk(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
+           k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+        .withColumn("__qn", norm(col("__qv"))))
+    val b = base.select(col(idCol).as("n_id"), col(vecCol).as("__bv"))
+      .withColumn("__bn", norm(col("__bv")))
+    val scored = b.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** `similarity` transformer — brute-force top-k. Options: `idField`
+    * (default vec_id), `field` (default embedding), `k` (default 10),
+    * `queryIds` (optional list restricting the query side; default: all
+    * rows are queries — use `queryFilter` SQL for a predicate). */
+  def similarity(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "vec_id")
+      val vec = spec.strOr("field", "embedding")
+      val k = spec.int("k", 10)
+      val queries = spec.str("queryFilter") match {
+        case Some(f) => df.where(f)
+        case None => spec.strList("queryIds") match {
+          case Nil => df
+          case ids => df.where(col(id).isInCollection(ids.map(_.toLong)))
+        }
+      }
+      topk(queries, df, id, vec, k)
+    }
+
+  // ----------------------------------------------------------- SRP-LSH
+
+  /** Deterministic Rademacher (+1/-1) hyperplane sign for (plane, dim):
+    * parity of a hash — reproducible across runs and executors. */
+  private def planeSign(plane: Int, j: Column): Column =
+    when(pmod(xxhash64(lit(plane), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** SRP signature: `nBits` sign bits of projections onto deterministic
+    * ±1 hyperplanes, packed into a long. Per-row HOFs, no shuffle. */
+  def srpSignature(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeSign(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => shiftleft(b, i) }
+      .reduce(_ + _)
+  }
+
+  /** `similaritylsh` transformer — bucketed approximate top-k: SRP
+    * signature split into `bands` bit-blocks; candidates share a block
+    * value; exact cosine re-ranks within candidates. Recall < 1 by
+    * design (documented) — multiple bands trade shuffle volume for
+    * recall. Options: idField/field/k plus `nBits` (default 16) and
+    * `bands` (default 4). */
+  def similarityLsh(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "vec_id")
+      val vec = spec.strOr("field", "embedding")
+      val k = spec.int("k", 10)
+      val nBits = spec.int("nBits", 16)
+      val bands = spec.int("bands", 4)
+      val bits = nBits / bands
+      require(bands * bits == nBits, "similaritylsh: bands must divide nBits")
+
+      val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
+        .withColumn("__sig", srpSignature(col("__v"), nBits))
+        .withColumn("__n", norm(col("__v")))
+      val banded = sigs.select(col("__id"), col("__v"), col("__n"),
+        posexplode(array((0 until bands).map(bi =>
+          shiftright(col("__sig"), bi * bits)
+            .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
+      val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("q_id"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
+      val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("n_id"),
+        col("__v").as("__bv"), col("__n").as("__bn"))
+      val cand = l.join(r, Seq("__blk", "__bkey"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
+        .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    }
+
+  /** `cosinedup` transformer — embedding near-duplicate pairs: cosine >=
+    * `threshold` (default 0.99) via the SRP bucket join (scale path).
+    * Output (a, b, cosine). */
+  def cosineDup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "vec_id")
+      val vec = spec.strOr("field", "embedding")
+      val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.99)
+      val nBits = spec.int("nBits", 16)
+      val bands = spec.int("bands", 8)
+      val bits = nBits / bands
+      require(bands * bits == nBits, "cosinedup: bands must divide nBits")
+      val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
+        .withColumn("__sig", srpSignature(col("__v"), nBits))
+        .withColumn("__n", norm(col("__v")))
+      val banded = sigs.select(col("__id"), col("__v"), col("__n"),
+        posexplode(array((0 until bands).map(bi =>
+          shiftright(col("__sig"), bi * bits)
+            .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
+      val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"),
+        col("__v").as("__av"), col("__n").as("__an"))
+      val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"),
+        col("__v").as("__bv"), col("__n").as("__bn"))
+      l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
+        .distinct()
+        .where(col("cosine") >= threshold)
+    }
+}

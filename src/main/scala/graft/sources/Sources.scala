@@ -23,30 +23,39 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
-  /** Line-numbered text scan: the `file` source + `row` extractor pair.
+  /** Text scan: the `file` source + `row` extractor pair.
     *
     * `skipFirst`/`skipLast` implement the reference's *documented intent*
     * (OFileSource.java:67-74 parses both but never applies them — a
     * reference bug we do not replicate; SURVEY.md §7.5).
     *
-    * The `_row_num` column reproduces `extractedNum` (OETLPipeline.java:
-    * 104-105) with a global zipWithIndex — stable because Hadoop text
-    * splits are ordered by file offset. At 100 TB this is a narrow
-    * transformation (no shuffle); we only pay it when line semantics are
-    * actually requested.
+    * Scale posture: the FAST PATH (`needRowNumbers=false`, no skips) is a
+    * plain `spark.read.text` — one vectorized scan, full codegen, no RDD
+    * conversion. Line-number semantics (`_row_num` = `extractedNum`,
+    * OETLPipeline.java:104-105) cost one zipWithIndex partition-count job
+    * and are paid ONLY when a downstream stage genuinely consumes them
+    * (header learning / skipFrom/skipTo — the engine computes that from
+    * the spec, see [[graft.engine.Engine.run]]). `skipLast` adds one
+    * `count` pass, only when requested.
     */
   def textLines(spark: SparkSession, path: String,
-                skipFirst: Long = 0, skipLast: Long = 0): DataFrame = {
+                skipFirst: Long = 0, skipLast: Long = 0,
+                needRowNumbers: Boolean = false): DataFrame = {
+    if (skipFirst == 0 && skipLast == 0 && !needRowNumbers)
+      return spark.read.text(path).withColumnRenamed("value", "value")
     val rdd = spark.sparkContext.textFile(path)
     val numbered = rdd.zipWithIndex().map { case (l, i) => Row(l, i) }
     val schema = StructType(Seq(
       StructField("value", StringType), StructField("_row_num", LongType)))
     val df = spark.createDataFrame(numbered, schema)
     val afterFirst = if (skipFirst > 0) df.filter(col("_row_num") >= skipFirst) else df
-    if (skipLast > 0) {
+    val trimmed = if (skipLast > 0) {
       val total = rdd.count() // one extra pass, only when skipLast requested
       afterFirst.filter(col("_row_num") < total - skipLast)
     } else afterFirst
+    // renumber so downstream header/skip arithmetic sees 0-based lines
+    if (skipFirst > 0) trimmed.withColumn("_row_num", col("_row_num") - skipFirst)
+    else trimmed
   }
 
   /** `http` source: driver-side fetch (OHttpSource.java:36-117) → a
@@ -150,9 +159,16 @@ object Sources {
   }
 
   /** Build the extraction DataFrame for a (source, extractor) spec pair —
-    * the engine's entry scan. */
+    * the engine's entry scan.
+    *
+    * @param needRowNumbers true when a downstream stage consumes
+    *   `_row_num` (header learning, skipFrom/skipTo) — computed by the
+    *   engine from the transformer specs so the common path stays a plain
+    *   vectorized text scan.
+    */
   def build(ctx: EtlContext, source: Option[ComponentSpec],
-            extractor: Option[ComponentSpec]): DataFrame = {
+            extractor: Option[ComponentSpec],
+            needRowNumbers: Boolean = false): DataFrame = {
     val spark = ctx.spark
     val vars = ctx.varMap
     def sourcePath: String = {
@@ -165,11 +181,15 @@ object Sources {
         case other => sys.error(s"source $other provides no path")
       }
     }
+    val isHttp = source.exists(_.name == "http")
     def lines: DataFrame = source.map(_.name) match {
       case Some("file") | None =>
         val s = source.get
+        // remember the scan path so plan-time header learning can read
+        // the first line driver-side instead of running a full-scan job
+        ctx.vars.put("__lastSourcePath", sourcePath)
         textLines(spark, sourcePath, s.long("skipFirst").getOrElse(0L),
-          s.long("skipLast").getOrElse(0L))
+          s.long("skipLast").getOrElse(0L), needRowNumbers)
       case Some("http") =>
         val s = source.get
         httpLines(spark, sourcePath, s.strOr("method", "GET"),
@@ -179,6 +199,14 @@ object Sources {
     }
     extractor.map(e => (e.name, e)) match {
       case None | Some(("row", _)) => lines
+      case Some(("json", e)) if isHttp =>
+        // http payload is already on the driver as lines — parse with
+        // from_json over the fetched dataset (spark.read.json cannot
+        // open http URLs)
+        val df = lines.agg(concat_ws("\n", collect_list(col("value"))).as("body"))
+        val body = df.head().getString(0)
+        val ds = spark.createDataset(Seq(body))(org.apache.spark.sql.Encoders.STRING)
+        spark.read.json(ds)
       case Some(("json", e)) =>
         // array-of-objects and single-object forms need multiLine
         json(spark, sourcePath, multiLine = e.bool("multiLine", dflt = true))
@@ -188,5 +216,30 @@ object Sources {
       case Some(("parquet", _)) => spark.read.parquet(sourcePath)
       case Some((other, _)) => sys.error(s"unknown extractor $other")
     }
+  }
+
+  /** Driver-side read of the first line of a path (first file in
+    * lexicographic order for a directory) — used for CSV header learning
+    * at plan time, replacing a full-scan `orderBy.head` job. Goes through
+    * the Hadoop FS API so it works on any configured filesystem. */
+  def firstLine(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    try {
+      val p = new HPath(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(_.getPath)
+            .filterNot(_.getName.startsWith("_")).sortBy(_.getName).headOption
+        else Some(p)
+      file.flatMap { f =>
+        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+          spark.sparkContext.hadoopConfiguration).getCodec(f)
+        val raw = fs.open(f)
+        val in = if (codec != null) codec.createInputStream(raw) else raw
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        try Option(br.readLine()) finally br.close()
+      }
+    } catch { case _: Exception => None }
   }
 }

@@ -69,6 +69,30 @@ object LookupStages {
   private def haltIfAny(df: DataFrame, what: String): Unit =
     if (!df.isEmpty) throw new EtlHaltException(s"$what: unresolved records present")
 
+  /** Apply the non-row-shaping part of an unresolved policy in ONE pass:
+    * attach an `observe` metric counting unresolved rows and register the
+    * deferred check (halt raise / warning / error counter bump — stats
+    * parity with OETLProcessor.java:75-89) collected during the terminal
+    * action. `eager` restores the strict probe-job HALT gate. */
+  private def observePolicy(spec: ComponentSpec, ctx: EtlContext,
+      df: DataFrame, unresolved: Column, action: Unresolved,
+      what: String): DataFrame = action match {
+    case Unresolved.Halt if spec.strOr("haltMode", "deferred").equalsIgnoreCase("eager") =>
+      haltIfAny(df.filter(unresolved), what); df
+    case Unresolved.Halt =>
+      val obs = ctx.newObservation(s"${what}_halt")
+      ctx.registerCheck(ctx.PendingCheck(obs, "unresolved", "halt",
+        s"$what: unresolved records present"))
+      df.observe(obs, sum(when(unresolved, 1L).otherwise(0L)).as("unresolved"))
+    case Unresolved.Warning | Unresolved.Error =>
+      val kind = if (action == Unresolved.Warning) "warning" else "error"
+      val obs = ctx.newObservation(s"${what}_$kind")
+      ctx.registerCheck(ctx.PendingCheck(obs, "unresolved", kind,
+        s"$what: unresolved records"))
+      df.observe(obs, sum(when(unresolved, 1L).otherwise(0L)).as("unresolved"))
+    case _ => df
+  }
+
   /** `merge` (OMergeTransformer.java:44-77): per-record upsert against the
     * lookup table. Matched → existing record updated with incoming fields
     * (existing.merge(input) — input wins per field); unmatched → policy.
@@ -81,12 +105,12 @@ object LookupStages {
       val joinField = spec.str("joinFieldName").getOrElse(sys.error("merge: joinFieldName required"))
       val (dim, key) = resolveLookup(ctx, spec.str("lookup").getOrElse(sys.error("merge: lookup required")))
       val action = Unresolved.parse(spec.strOr("unresolvedLinkAction", "NOTHING"))
-      mergeRecords(incoming, dim, joinField, key, action, ctx)
+      mergeRecords(incoming, dim, joinField, key, action, ctx, spec)
     }
 
   private[graft] def mergeRecords(incoming: DataFrame, dim: DataFrame,
       joinField: String, key: String, action: Unresolved,
-      ctx: EtlContext): DataFrame = {
+      ctx: EtlContext, spec: ComponentSpec = ComponentSpec("merge", Map.empty)): DataFrame = {
     // rename the whole dim side to avoid reference ambiguity on overlap
     val renamed = dim.columns.foldLeft(dim)((d, c) => d.withColumnRenamed(c, s"__dim_$c"))
     val d = maybeBroadcast(renamed)
@@ -98,15 +122,11 @@ object LookupStages {
     val dimOnly = dim.columns.filterNot(c => c == key || incomingCols.contains(c))
     val mergedCols =
       incoming.columns.map(c => col(c)) ++ dimOnly.map(c => col(s"__dim_$c").as(c))
-    val out = joined.select(mergedCols.toIndexedSeq: _*)
     action match {
       case Unresolved.Skip => joined.filter(matched).select(mergedCols.toIndexedSeq: _*)
-      case Unresolved.Halt =>
-        haltIfAny(joined.filter(!matched), "merge"); out
-      case Unresolved.Warning | Unresolved.Error =>
-        // counted via observe; rows still pass (reference logs + continues)
-        out
-      case _ => out
+      case _ =>
+        observePolicy(spec, ctx, joined, !matched, action, "merge")
+          .select(mergedCols.toIndexedSeq: _*)
     }
   }
 
@@ -159,15 +179,32 @@ object LookupStages {
 
       val out =
         if (multiValued && (linkType == "LINKLIST" || linkType == "LINKSET")) {
+          // Multi-valued FK resolution (OLinkTransformer.java:94-100):
+          // posexplode keeps each element's position so the resolved list
+          // preserves the reference's element order; unresolved elements
+          // are counted per record so every policy applies — round-1 fix
+          // (they were silently dropped and order was lost to sort_array).
           val jf = spec.str("joinFieldName").get
           val withId = df.withColumn("__rid", monotonically_increasing_id())
-          val exploded = withId.select(col("__rid"), explode_outer(col(jf)).as("__jv"))
+          val exploded = withId.select(col("__rid"),
+            posexplode_outer(col(jf)).as(Seq("__pos", "__jv")))
           val resolved = exploded.join(d, col("__jv") === col("__lkey"), "left")
             .groupBy("__rid")
-            .agg(sort_array(collect_list(col("__lkey"))).as("__links"))
+            .agg(
+              // order by original position, then drop unresolved (null) slots
+              expr("transform(filter(array_sort(collect_list(struct(__pos as p, __lkey as k)))," +
+                " s -> s.k is not null), s -> s.k)").as("__links"),
+              sum(when(col("__jv").isNotNull && col("__lkey").isNull, 1L)
+                .otherwise(0L)).as("__miss"))
           val links = if (linkType == "LINKSET") array_distinct(col("__links")) else col("__links")
-          withId.join(resolved, Seq("__rid"), "left")
-            .withColumn(linkField, links).drop("__rid", "__links")
+          val joinedBack = withId.join(resolved, Seq("__rid"), "left")
+            .withColumn(linkField, links)
+          val unresolvedRec = coalesce(col("__miss"), lit(0L)) > 0
+          val policed = action match {
+            case Unresolved.Skip => joinedBack.filter(!unresolvedRec)
+            case _ => observePolicy(spec, ctx, joinedBack, unresolvedRec, action, "link")
+          }
+          policed.drop("__rid", "__links", "__miss")
         } else {
           val joined = df.join(d, joinVal === col("__lkey"), "left")
           val base = joined.withColumn(linkField,
@@ -175,9 +212,9 @@ object LookupStages {
             else col("__lkey"))
           action match {
             case Unresolved.Skip => base.filter(col("__lkey").isNotNull).drop("__lkey")
-            case Unresolved.Halt =>
-              haltIfAny(joined.filter(col("__lkey").isNull), "link"); base.drop("__lkey")
-            case _ => base.drop("__lkey")
+            case _ =>
+              observePolicy(spec, ctx, base, col("__lkey").isNull, action, "link")
+                .drop("__lkey")
           }
         }
       if (removeJoin) spec.str("joinFieldName").map(out.drop(_)).getOrElse(out) else out
@@ -199,10 +236,16 @@ object LookupStages {
         s"edge: input has no '$fromField' id column — apply a vertex stage first or set fromField")
 
       val d = maybeBroadcast(dim.select(col(key).as("__ekey")))
-      val joined = df.join(d, col(joinField) === col("__ekey"),
+      val joined0 = df.join(d, col(joinField) === col("__ekey"),
         if (action == Unresolved.Skip) "inner" else "left")
       if (action == Unresolved.Halt)
-        haltIfAny(joined.filter(col("__ekey").isNull), "edge")
+        haltIfAny(joined0.filter(col("__ekey").isNull), "edge")
+      // WARNING/ERROR: count unresolved targets during the edges action
+      val joined = action match {
+        case Unresolved.Warning | Unresolved.Error =>
+          observePolicy(spec, ctx, joined0, col("__ekey").isNull, action, "edge")
+        case _ => joined0
+      }
       if (action == Unresolved.Create) {
         val stubs = df.select(col(joinField).cast("string").as("id"))
           .distinct()

@@ -54,7 +54,10 @@ object Stages {
           case Some(e) => OrientExpr.compile(e, ctx.varMap)
           case None => spec.options.get("value") match {
             case Some(s: String) if s.startsWith("$") =>
-              lit(ctx.vars.get(s.drop(1)).map(_.toString).orNull)
+              // keep the context variable's runtime type (a numeric `let`
+              // stays numeric — OAbstractETLComponent.java:501-530 resolves
+              // to the typed value, not a string)
+              lit(ctx.vars.get(s.drop(1)).orNull)
             case Some(v) => lit(v)
             case None => sys.error("field: expression or value required")
           }
@@ -94,22 +97,38 @@ object Stages {
         case _ => df0
       }
 
+      // header line number: the first line not inside the skip range
+      // (OCSVTransformer.java:95-102 skips run before header consumption
+      // at :109-119) — pure arithmetic, no plan-time job
+      val headerNum: Long = (skipFrom, skipTo) match {
+        case (Some(f), Some(t)) if f <= 0 => t + 1
+        case _ => 0L
+      }
+      // first line for header learning / header dropping: read driver-side
+      // through the Hadoop FS API (Sources.firstLine) — replaces round 1's
+      // TakeOrdered-over-every-partition job. Falls back to a bounded
+      // single-row job for non-file inputs (http/stdin).
+      lazy val firstLineValue: String =
+        ctx.vars.get("__lastSourcePath").map(_.toString)
+          .flatMap(p => Sources.firstLine(ctx.spark, p))
+          .getOrElse {
+            (if (hasNum) df.filter(col("_row_num") === headerNum) else df.limit(1))
+              .select("value").head().getString(0)
+          }
       val declared = spec.strList("columns")
       val schema: StructType =
         if (declared.nonEmpty) Sources.schemaFromColumns(declared)
         else {
-          // learn names from the first line (OCSVTransformer.java:109-119);
-          // tiny driver-side job at plan time, not per record
-          val first =
-            (if (hasNum) df.orderBy("_row_num") else df).select("value").head().getString(0)
-          val names = first.split(java.util.regex.Pattern.quote(sep)).map(_.trim)
+          // learn names from the first line (OCSVTransformer.java:109-119)
+          val names = firstLineValue.split(java.util.regex.Pattern.quote(sep)).map(_.trim)
           Sources.schemaFromColumns(names.toIndexedSeq)
         }
-      if (header && hasNum) df = df.filter(col("_row_num") > (skipTo.getOrElse(-1L)))
       if (header) {
-        // drop the header record itself: first remaining line
-        val headerNum = if (hasNum) df.agg(min("_row_num")).head().getLong(0) else 0L
-        if (hasNum) df = df.filter(col("_row_num") =!= headerNum)
+        // drop the header record itself (no extra job: line-number
+        // arithmetic when numbered, literal match otherwise — the latter
+        // also drops data lines identical to the header, documented)
+        df = if (hasNum) df.filter(col("_row_num") =!= headerNum)
+             else df.filter(col("value") =!= lit(firstLineValue))
       }
       var opts = Map("sep" -> sep, "quote" -> quote, "mode" -> "PERMISSIVE")
       spec.str("nullValue").foreach(nv => opts += "nullValue" -> nv)
@@ -154,16 +173,30 @@ object Stages {
   /** `flow` (OFlowTransformer.java:56-61): `skip` drops rows matching `if`;
     * `halt` aborts when any row matches. We implement the documented
     * intent — the reference's config validation rejects `skip`
-    * (OFlowTransformer.java:45-47, a bug we do not replicate). */
+    * (OFlowTransformer.java:45-47, a bug we do not replicate).
+    *
+    * `halt` is SINGLE-PASS by default: an `observe` metric counts matching
+    * rows during the pipeline's terminal action and
+    * [[graft.engine.EtlContext.drainChecks]] raises the halt afterwards —
+    * no separate probe job re-executing the upstream (round-1 perf fix).
+    * `haltMode: "eager"` restores the strict pre-load gate (one extra
+    * bounded probe job) for pipelines that must not load anything on halt.
+    */
   def flow(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
     val op = spec.strOr("operation", "skip").toLowerCase
     val cond = ifCond(spec, ctx).getOrElse(lit(true))
     op match {
       case "skip" => df.filter(!coalesce(cond, lit(false)))
       case "halt" =>
-        if (!df.filter(cond).isEmpty)
-          throw new EtlHaltException(s"flow halt: condition '${spec.ifExpr.getOrElse("true")}' matched")
-        df
+        val msg = s"flow halt: condition '${spec.ifExpr.getOrElse("true")}' matched"
+        if (spec.strOr("haltMode", "deferred").equalsIgnoreCase("eager")) {
+          if (!df.filter(cond).isEmpty) throw new EtlHaltException(msg)
+          df
+        } else {
+          val obs = ctx.newObservation("flow_halt")
+          ctx.registerCheck(ctx.PendingCheck(obs, "matched", "halt", msg))
+          df.observe(obs, sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"))
+        }
       case other => sys.error(s"flow: unknown operation $other")
     }
   }

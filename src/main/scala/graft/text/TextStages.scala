@@ -1,0 +1,101 @@
+package graft.text
+
+import graft.engine.EtlContext
+import graft.spec.ComponentSpec
+import graft.stages.Stages
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis stages for LLM training-data pipelines (builder brief /
+  * SURVEY.md §7.2 step 10): token/length statistics, quality signals,
+  * heuristic language ID, BPE-ish token counting, and document
+  * fingerprinting — all over a string column (fixture: `documents.text`).
+  *
+  * Scale posture: every stage is a pure per-row projection built from
+  * built-in Catalyst expressions (no UDFs, no shuffle, no driver
+  * collects); at 100 TB these fuse into the scan's whole-stage-codegen
+  * pass.
+  */
+object TextStages {
+
+  /** Whitespace tokens of a trimmed string — the shared tokenizer.
+    * `split(trim(s), "\s+")` so runs of whitespace count once. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Small built-in stopword set used for the quality ratio. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "in", "to", "is")
+
+  /** `textstats`: length / token / quality statistics.
+    * Options: `field` (default "text"), `keepInput` (default true). */
+  def textstats(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      val toks = tokens(f)
+      val stop = Stopwords.map(lit(_))
+      val d = df
+        .withColumn("ts_chars", length(f))
+        .withColumn("ts_tokens", size(toks))
+        .withColumn("ts_distinct_tokens", size(array_distinct(toks)))
+        .withColumn("ts_avg_token_len",
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            greatest(size(toks).cast("double"), lit(1.0)))
+        .withColumn("ts_stopword_ratio",
+          size(filter(toks, t => t.isInCollection(stop))).cast("double") /
+            greatest(size(toks).cast("double"), lit(1.0)))
+      if (spec.bool("keepInput", dflt = true)) d
+      else d.select((Seq(spec.strOr("idField", "doc_id")) ++
+        d.columns.filter(_.startsWith("ts_"))).map(col).toIndexedSeq: _*)
+    }
+
+  /** Marker-word tables for the heuristic language ID. Declared order is
+    * the tie-break order (first language wins ties) — deterministic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** `langid`: n-gram/stopword-heuristic language identification — the
+    * score per language is the count of marker-word hits among the
+    * whitespace tokens; highest score wins, declared order breaks ties.
+    * Output column: `lang_pred`. */
+  def langid(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val toks = tokens(lower(col(spec.strOr("field", "text"))))
+      val scores = LangMarkers.map { case (lang, markers) =>
+        lang -> size(filter(toks, t => t.isInCollection(markers.map(lit(_)))))
+      }
+      // argmax with declared-order tie-break: fold left with a running
+      // (bestLang, bestScore); a later language replaces only on a
+      // strictly greater score
+      val (bestLang, _) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+        case ((bl, bs), (lang, s)) =>
+          (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+      }
+      df.withColumn("lang_pred", bestLang)
+    }
+
+  /** `tokenize`: BPE-ish token counting — word-or-single-punctuation
+    * units via `regexp_extract_all`, the classic pre-tokenizer regex
+    * shape. Output: `n_bpeish_tokens` (+ `ws_tokens` whitespace count). */
+  def tokenize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      df.withColumn("n_ws_tokens", size(tokens(f)))
+        .withColumn("n_bpeish_tokens",
+          size(regexp_extract_all(f, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+    }
+
+  /** `fingerprint`: document fingerprints over the normalized text
+    * (lowercased, whitespace collapsed): `fp_md5` (content hash, oracle-
+    * checkable) and `fp_xx` (xxhash64 — the cheap 64-bit rolling-hash
+    * analogue used for grouping at scale). */
+  def fingerprint(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      val norm = regexp_replace(lower(f), "\\s+", " ")
+      df.withColumn("fp_md5", md5(norm.cast("binary")))
+        .withColumn("fp_xx", xxhash64(norm))
+    }
+}

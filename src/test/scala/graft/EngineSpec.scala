@@ -110,17 +110,43 @@ class EngineSpec extends SparkSpec {
     assert(out.filter(col("n_name") === "NATION_7").count() == 1)
   }
 
-  test("flow halt aborts the pipeline") {
+  test("flow halt aborts the pipeline (eager gate)") {
     val path = writeNationCsv()
     val ctx = newCtx()
     intercept[EtlHaltException] {
       Engine.runJson(ctx, s"""{
         "source": { "file": { "path": "$path" } },
         "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
-        "transformers": [ { "flow": { "operation": "halt", "if": "n_nationkey > 20" } } ],
+        "transformers": [ { "flow": { "operation": "halt", "haltMode": "eager", "if": "n_nationkey > 20" } } ],
         "loader": { "memory": {} }
       }""")
     }
+  }
+
+  test("flow halt (deferred, single-pass): raised after the terminal action") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val df = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "flow": { "operation": "halt", "if": "n_nationkey > 20" } } ],
+      "loader": { "memory": {} }
+    }""")
+    df.count() // the pipeline's terminal action — one pass, no probe job
+    intercept[EtlHaltException] { ctx.drainChecks() }
+  }
+
+  test("flow halt deferred: condition never matched -> no halt") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val df = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "flow": { "operation": "halt", "if": "n_nationkey > 1000" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(df.count() == 25)
+    ctx.drainChecks() // must not throw
   }
 
   test("command stage: SQL over registered tables") {

@@ -63,15 +63,42 @@ class LookupSpec extends SparkSpec {
     assert(widened > before) // stub rows inserted
   }
 
-  test("link HALT throws on unresolved") {
+  test("link HALT (eager) throws on unresolved") {
     val ctx = newCtx()
     val orders = ctx.table("orders").withColumn("o_custkey", col("o_custkey") + 1000000)
     intercept[EtlHaltException] {
       LookupStages.link(ComponentSpec("link", Map(
         "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
-        "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "HALT")), ctx)(orders)
+        "linkFieldName" -> "cust_link", "haltMode" -> "eager",
+        "unresolvedLinkAction" -> "HALT")), ctx)(orders)
         .count()
     }
+  }
+
+  test("link HALT (deferred): raised via drainChecks after the action") {
+    val ctx = newCtx()
+    val orders = ctx.table("orders").withColumn("o_custkey", col("o_custkey") + 1000000)
+    LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "HALT")), ctx)(orders)
+      .count()
+    intercept[EtlHaltException] { ctx.drainChecks() }
+  }
+
+  test("link WARNING bumps the warnings accumulator (stats parity)") {
+    val ctx = newCtx()
+    val orders = ctx.table("orders").withColumn("o_custkey",
+      when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
+        .otherwise(col("o_custkey")))
+    // null join keys are unresolved too (the reference's lookup(null)
+    // fails → policy applies, OLinkTransformer.java:131-160)
+    val expected = orders.filter(col("o_custkey").isNull || col("o_custkey") > 1000000).count()
+    LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+      "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "WARNING")), ctx)(orders)
+      .count()
+    ctx.drainChecks()
+    assert(ctx.warnings.value == expected)
   }
 
   test("link removeJoinField drops the FK column") {
