@@ -1,13 +1,685 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.{Engine, EtlContext}
+import graft.stages.LookupStages
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
+  * SQL-expressible) per implemented operator from SURVEY.md §2 plus the
+  * LLM-data-pipeline stages. Every query goes through the REAL engine
+  * path (JSON pipeline specs → [[graft.engine.Engine.run]]) so the
+  * driver's correctness gate exercises the shipped code, not shortcuts.
+  *
+  * Conventions keeping the DuckDB compare deterministic:
+  *  - result columns are aliased identically on both sides;
+  *  - both sides ORDER BY the same key(s);
+  *  - float outputs are either pass-through/per-row arithmetic (bit-exact
+  *    in IEEE double on both engines) or integer-valued sums — never
+  *    order-dependent float accumulations.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ctx(spark: SparkSession, sfDir: String): EtlContext = {
+    val c = new EtlContext(spark)
+    Engine.registerSfTables(c, sfDir)
+    c
+  }
+
+  // ---------------------------------------------------------------------
+  // Derived text/CSV/JSON fixtures (FIXTURES.md "Derived text inputs"):
+  // generated once per scale dir from the parquet, so the oracle stays
+  // the parquet itself.
+  // ---------------------------------------------------------------------
+  private val fxDirs = TrieMap.empty[String, String]
+  private def fixtures(spark: SparkSession, sfDir: String): String =
+    fxDirs.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft_fx_${math.abs(sfDir.hashCode)}"
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+        .orderBy("n_nationkey").collect()
+      def csvLines(header: Boolean): Seq[String] = {
+        val hdr = if (header) Seq("n_nationkey,n_name,n_regionkey") else Nil
+        hdr ++ nation.map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nation.csv"),
+        csvLines(header = true).mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nation_noheader.csv"),
+        csvLines(header = false).mkString("\n").getBytes("UTF-8"))
+      val gz = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/nation.csv.gz"))
+      gz.write(csvLines(header = true).mkString("\n").getBytes("UTF-8")); gz.close()
+      // orders as JSON-lines (the scalable JSON layout)
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(s"$dir/orders_json")
+      // region as a single JSON array-of-objects document
+      // (OJsonExtractor.java:75-90 input shape)
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+        .orderBy("r_regionkey").toJSON.collect()
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "region_array.json"),
+        region.mkString("[", ",", "]").getBytes("UTF-8"))
+      dir
+    })
+
+  private def derbyUrl(sfDir: String): String =
+    s"jdbc:derby:/tmp/graft_derby_${math.abs(sfDir.hashCode)};create=true"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("link_fk")(spark, "/root/testdata/sf0.001")
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------ sources / extractors
+    "file_row_count" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation_noheader.csv"}},
+        "extractor": {"row": {}},
+        "transformers": [{"command": {"command": "SELECT count(*) AS n_lines FROM input"}}],
+        "loader": {"memory": {}} }""")
+    },
+    "csv_typed" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation.csv"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""").orderBy("n_nationkey")
+    },
+    "file_gzip" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation.csv.gz"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""").orderBy("n_nationkey")
+    },
+    "csv_skiprange" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation_noheader.csv"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"columnsOnFirstLine": false,
+          "skipFrom": 0, "skipTo": 4, "columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    },
+    "json_lines" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/orders_json"}},
+        "extractor": {"jsonl": {}},
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    "json_array" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/region_array.json"}},
+        "extractor": {"json": {"multiLine": true}},
+        "loader": {"memory": {}} }""")
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+    "jdbc_roundtrip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val url = derbyUrl(dir)
+      // write customer → Derby via the jdbc loader, read back via the
+      // jdbc extractor (OJDBCExtractor.java:47-314 semantics)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"jdbc": {"url": "$url", "table": "customer_rt",
+                            "mode": "overwrite", "batchCommit": 1000}} }""")
+      Engine.runJson(c, s"""{
+        "extractor": {"jdbc": {"url": "$url",
+          "query": "SELECT * FROM customer_rt"}},
+        "loader": {"memory": {"name": "cust_back"}} }""")
+        .select(col("C_CUSTKEY").as("c_custkey"), col("C_NAME").as("c_name"),
+          col("C_NATIONKEY").as("c_nationkey"), col("C_ACCTBAL").as("c_acctbal"),
+          col("C_MKTSEGMENT").as("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    // --------------------------------------------------------- transformers
+    "field_expr" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"field": {"fieldName": "upper_name",
+          "expression": "n_name.toUpperCase()"}}],
+        "loader": {"memory": {}} }""").orderBy("n_nationkey")
+    },
+    "field_if" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/part.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"field": {"fieldName": "bonus",
+          "expression": "p_retailprice + 10", "if": "p_size > 20"}}],
+        "loader": {"memory": {}} }""")
+        .select("p_partkey", "p_size", "p_retailprice", "bonus")
+        .orderBy("p_partkey")
+    },
+    "field_remove" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/supplier.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"field": {"fieldName": "s_acctbal", "operation": "remove"}}],
+        "loader": {"memory": {}} }""").orderBy("s_suppkey")
+    },
+    "rename_fields" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"rename": {"n_name": "name"}}],
+        "loader": {"memory": {}} }""").orderBy("n_nationkey")
+    },
+    "json_transform" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // events.props is a JSON string column (FIXTURES.md) — mid-pipeline
+      // from_json (OJSONTransformer.java:30-37)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"json": {"field": "props", "schema": "k BIGINT",
+                                   "keepInput": true}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "k").orderBy("event_id")
+    },
+    "flow_skip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"flow": {"operation": "skip", "if": "l_quantity > 45"}}],
+        "loader": {"memory": {}} }""")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "flow_halt_pass" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // halt condition never true → stream passes through; the halt check
+      // rides the terminal action (single-pass deferred mode)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"flow": {"operation": "halt", "if": "r_regionkey > 1000"}}],
+        "loader": {"memory": {}} }""").orderBy("r_regionkey")
+    },
+    "merge_upsert" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val stream = Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT c_custkey, c_acctbal + 100 AS c_acctbal FROM input WHERE c_custkey % 10 = 0"}},
+          {"merge": {"joinFieldName": "c_custkey", "lookup": "customer.c_custkey"}}],
+        "loader": {"memory": {"name": "merged_stream"}} }""")
+      LookupStages.upsertResult(c.table("customer"), stream, "c_custkey")
+        .orderBy("c_custkey")
+    },
+    "link_fk" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"link": {"joinFieldName": "o_custkey",
+          "lookup": "customer.c_custkey", "linkFieldName": "cust_link"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_custkey", "cust_link").orderBy("o_orderkey")
+    },
+    "link_skip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"link": {"joinFieldName": "o_custkey",
+          "lookup": "SELECT c_custkey FROM customer WHERE c_custkey <= 500",
+          "linkFieldName": "cust_link", "unresolvedLinkAction": "SKIP"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "cust_link").orderBy("o_orderkey")
+    },
+    "link_create" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"field": {"fieldName": "o_custkey", "expression": "o_custkey + 2000000",
+                     "if": "o_orderkey % 100 = 0"}},
+          {"link": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "linkFieldName": "cust_link", "unresolvedLinkAction": "CREATE"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "cust_link").orderBy("o_orderkey")
+    },
+    "link_list" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT l_orderkey, sort_array(collect_list(l_suppkey)) AS supps FROM input GROUP BY l_orderkey"}},
+          {"link": {"joinFieldName": "supps", "lookup": "supplier.s_suppkey",
+                    "linkFieldName": "supp_links", "type": "LINKLIST"}}],
+        "loader": {"memory": {}} }""")
+        .where(size(col("supp_links")) > 0)
+        .select("l_orderkey", "supp_links").orderBy("l_orderkey")
+    },
+    "vertex_label" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"vertex": {"class": "customer", "idField": "c_custkey"}}],
+        "loader": {"memory": {}} }""")
+        .select("id", "label", "c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    "edge_graph" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}}],
+        "loader": {"memory": {}} }""")
+      c.edges.get.orderBy("src", "dst")
+    },
+    "etl_list" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"etl": {"childTable": "orders",
+          "joinFieldName": "c_custkey", "childJoinFieldName": "o_custkey",
+          "fieldName": "order_keys", "fieldType": "EMBEDDEDLIST",
+          "valueFieldName": "o_orderkey"}}],
+        "loader": {"memory": {}} }""")
+        .where(col("order_keys").isNotNull)
+        .select("c_custkey", "order_keys").orderBy("c_custkey")
+    },
+    "etl_map" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // EMBEDDEDMAP form — map values are not portably hashable by the
+      // oracle; rows-only driver check, exact values covered in sbt specs
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"etl": {"childTable": "orders",
+          "joinFieldName": "c_custkey", "childJoinFieldName": "o_custkey",
+          "fieldName": "order_prices", "fieldType": "EMBEDDEDMAP",
+          "keyFieldName": "o_orderkey", "valueFieldName": "o_totalprice"}}],
+        "loader": {"memory": {}} }""")
+        .where(col("order_prices").isNotNull)
+        .select("c_custkey", "order_prices").orderBy("c_custkey")
+    },
+    "command_agg" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT c_mktsegment, count(*) AS cnt FROM input GROUP BY c_mktsegment"}}],
+        "loader": {"memory": {}} }""").orderBy("c_mktsegment")
+    },
+    "code_sql" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"language": "sql", "code":
+          "SELECT o_orderkey, o_totalprice * 0.9 AS discounted FROM __input"}}],
+        "loader": {"memory": {}} }""").orderBy("o_orderkey")
+    },
+    "let_field" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "begin": [{"let": {"name": "bonus", "value": 100}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"field": {"fieldName": "with_bonus",
+          "expression": "c_acctbal + $$bonus"}}],
+        "loader": {"memory": {}} }""")
+        .select("c_custkey", "with_bonus").orderBy("c_custkey")
+    },
+    "console_block" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands":
+          ["CREATE OR REPLACE TEMPORARY VIEW rich_cust AS SELECT * FROM customer WHERE c_acctbal > 5000"]}}],
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT count(*) AS n_rich FROM rich_cust"}}],
+        "loader": {"memory": {}} }""")
+    },
+    "block_let" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"block": {"let": {"name": "seg", "value": "BUILDING"}}},
+          {"field": {"fieldName": "is_seg", "expression": "c_mktsegment = $$seg"}}],
+        "loader": {"memory": {}} }""")
+        .select("c_custkey", "is_seg").orderBy("c_custkey")
+    },
+    // --------------------------------------------- LLM-pipeline operators
+    "dedup_exact" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"dedup": {"keyFields": ["n_chars"],
+                                    "tiebreakField": "doc_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+    },
+    "dedup_content" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"dedup": {"keyExpr": "md5(text)",
+                                    "tiebreakField": "doc_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+    },
+    "textstats" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"textstats": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("ts_chars").cast("long").as("ts_chars"),
+          col("ts_tokens").cast("long").as("ts_tokens"),
+          col("ts_distinct_tokens").cast("long").as("ts_distinct_tokens"),
+          col("ts_avg_token_len"), col("ts_stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    "langid" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"langid": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "lang_pred").orderBy("doc_id")
+    },
+    "tokenize" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"tokenize": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+          col("n_bpeish_tokens").cast("long").as("n_bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+    "fingerprint" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"fingerprint": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "fp_md5").orderBy("doc_id")
+    },
+    "ngram_jaccard" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id < 60"}},
+          {"ngramjaccard": {"idField": "doc_id", "field": "text",
+                            "shingleSize": 3, "threshold": 0.015}}],
+        "loader": {"memory": {}} }""").orderBy("a", "b")
+    },
+    "minhash_pairs" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // banded LSH candidates + exact verify — probabilistic candidate set,
+      // rows-only driver check; determinism + recall covered in sbt specs
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"minhash": {"idField": "doc_id", "field": "text",
+          "shingleSize": 3, "numHashes": 64, "bands": 16, "threshold": 0.2}}],
+        "loader": {"memory": {}} }""").orderBy("a", "b")
+    },
+    "simhash_pairs" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"simhash": {"idField": "doc_id", "field": "text",
+                                      "maxDistance": 7}}],
+        "loader": {"memory": {}} }""").orderBy("a", "b")
+    },
+    "similarity_topk" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"similarity": {"idField": "vec_id",
+          "field": "embedding", "k": 5, "queryFilter": "vec_id < 20"}}],
+        "loader": {"memory": {}} }""")
+        .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
+    },
+    "similarity_lsh" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"similaritylsh": {"idField": "vec_id",
+          "field": "embedding", "k": 5, "nBits": 16, "bands": 8}}],
+        "loader": {"memory": {}} }""")
+        .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
+    },
+    "cosine_dup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"cosinedup": {"idField": "vec_id",
+          "field": "embedding", "threshold": 0.4, "nBits": 16, "bands": 8}}],
+        "loader": {"memory": {}} }""")
+        .select("a", "b").orderBy("a", "b")
+    },
+    "mm_decode" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"mm_attach": {"field": "text", "mediaType": "image/fake"}},
+          {"mm_decode": {"idField": "doc_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "byte_len", "width", "height", "channels", "n_frames")
+        .orderBy("media_id")
+    },
+    "mm_frames" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"mm_attach": {"field": "text", "mediaType": "video/fake"}},
+          {"mm_decode": {"idField": "doc_id"}},
+          {"mm_frames": {"step": 2}}],
+        "loader": {"memory": {}} }""")
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    },
+    "mm_resize" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"mm_attach": {"field": "text", "mediaType": "image/fake"}},
+          {"mm_decode": {"idField": "doc_id"}},
+          {"mm_resize": {"maxWidth": 224, "maxHeight": 224}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "width", "height", "out_width", "out_height")
+        .orderBy("media_id")
+    },
+  )
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle SQL — same tables (driver reads the sf parquet), same
+  // column aliases, same ORDER BY. Omitted for the probabilistic /
+  // map-valued queries (driver records a rows-only check for those).
+  // -----------------------------------------------------------------------
+
+  private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+  private def shingles(rel: String): String =
+    s"CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')] " +
+    s"ELSE list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
+    s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) END"
+
+  def oracleSql: Map[String, String] = Map(
+    "file_row_count" -> "SELECT count(*) AS n_lines FROM nation",
+    "csv_typed" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "file_gzip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "csv_skiprange" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5 ORDER BY n_nationkey",
+    "json_lines" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "json_array" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "jdbc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "field_expr" ->
+      "SELECT n_nationkey, n_name, n_regionkey, upper(n_name) AS upper_name FROM nation ORDER BY n_nationkey",
+    "field_if" ->
+      "SELECT p_partkey, p_size, p_retailprice, CASE WHEN p_size > 20 THEN p_retailprice + 10 END AS bonus FROM part ORDER BY p_partkey",
+    "field_remove" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+    "rename_fields" ->
+      "SELECT n_nationkey, n_name AS name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "json_transform" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "flow_skip" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE NOT (l_quantity > 45) ORDER BY l_orderkey, l_linenumber",
+    "flow_halt_pass" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "merge_upsert" ->
+      "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "link_fk" ->
+      "SELECT o.o_orderkey, o.o_custkey, c.c_custkey AS cust_link FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o_orderkey",
+    "link_skip" ->
+      "SELECT o.o_orderkey, c.c_custkey AS cust_link FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey <= 500 ORDER BY o_orderkey",
+    "link_create" ->
+      "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 2000000 ELSE o_custkey END AS cust_link FROM orders ORDER BY o_orderkey",
+    "link_list" ->
+      "SELECT l.l_orderkey, list_sort(list(s.s_suppkey)) AS supp_links FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY l.l_orderkey ORDER BY l_orderkey",
+    "vertex_label" ->
+      "SELECT CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "edge_graph" ->
+      "SELECT CAST(o_orderkey AS VARCHAR) AS src, CAST(c_custkey AS VARCHAR) AS dst, 'placed' AS label FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY src, dst",
+    "etl_list" ->
+      "SELECT c.c_custkey, list_sort(list(o.o_orderkey)) AS order_keys FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey",
+    "command_agg" ->
+      "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "code_sql" ->
+      "SELECT o_orderkey, o_totalprice * 0.9 AS discounted FROM orders ORDER BY o_orderkey",
+    "let_field" ->
+      "SELECT c_custkey, c_acctbal + 100 AS with_bonus FROM customer ORDER BY c_custkey",
+    "console_block" ->
+      "SELECT count(*) AS n_rich FROM customer WHERE c_acctbal > 5000",
+    "block_let" ->
+      "SELECT c_custkey, c_mktsegment = 'BUILDING' AS is_seg FROM customer ORDER BY c_custkey",
+    "dedup_exact" ->
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT n_chars, min(doc_id) AS kid FROM documents GROUP BY n_chars) g ON d.doc_id = g.kid ORDER BY d.doc_id",
+    "dedup_content" ->
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT md5(text) AS h, min(doc_id) AS kid FROM documents GROUP BY md5(text)) g ON d.doc_id = g.kid ORDER BY d.doc_id",
+    "textstats" ->
+      (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS ts_chars, " +
+       s"CAST(len($toks) AS BIGINT) AS ts_tokens, " +
+       s"CAST(len(list_distinct($toks)) AS BIGINT) AS ts_distinct_tokens, " +
+       s"CAST(list_reduce(list_transform($toks, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)" +
+       s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS ts_avg_token_len, " +
+       s"CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
+       s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS ts_stopword_ratio " +
+       s"FROM documents ORDER BY doc_id"),
+    "langid" -> {
+      val lt = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+      def cnt(ws: Seq[String]) =
+        s"len(list_filter($lt, t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+      val en = cnt(Seq("the", "and", "of", "is", "a"))
+      val es = cnt(Seq("el", "la", "de", "que", "y"))
+      val de = cnt(Seq("der", "die", "das", "und", "ist"))
+      val fr = cnt(Seq("le", "les", "des", "et", "une"))
+      val zh = cnt(Seq("的", "是", "了", "在", "我"))
+      s"SELECT doc_id, CASE WHEN $zh > greatest($en, $es, $de, $fr) THEN 'zh' " +
+      s"WHEN $fr > greatest($en, $es, $de) THEN 'fr' " +
+      s"WHEN $de > greatest($en, $es) THEN 'de' " +
+      s"WHEN $es > $en THEN 'es' ELSE 'en' END AS lang_pred " +
+      s"FROM documents ORDER BY doc_id"
+    },
+    "tokenize" ->
+      (s"SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_ws_tokens, " +
+       raw"CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens " +
+       s"FROM documents ORDER BY doc_id"),
+    "fingerprint" ->
+      raw"SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5 FROM documents ORDER BY doc_id",
+    "ngram_jaccard" -> {
+      val sh = shingles("documents")
+      s"WITH s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 60) " +
+      s"SELECT a.doc_id AS a, b.doc_id AS b, " +
+      s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      s"CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard " +
+      s"FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      s"WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      s"CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.015 " +
+      s"ORDER BY a, b"
+    },
+    "similarity_topk" -> (
+      "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20), " +
+      "b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "scored AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_dot_product(q.e, b.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))) DESC, " +
+      "b.vec_id ASC) AS rank FROM q, b WHERE q.vec_id <> b.vec_id) " +
+      "SELECT q_id, n_id, rank FROM scored WHERE rank <= 5 ORDER BY q_id, rank"),
+    "mm_decode" ->
+      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+       "CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width, " +
+       "CAST(64 + octet_length(encode(text)) % 480 AS INTEGER) AS height, " +
+       "CAST(3 AS INTEGER) AS channels, " +
+       "CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames " +
+       "FROM documents ORDER BY media_id"),
+    "mm_frames" ->
+      ("SELECT doc_id AS media_id, CAST(unnest(generate_series(0, (1 + octet_length(encode(text)) % 16) - 1, 2)) AS BIGINT) AS frame_idx " +
+       "FROM documents ORDER BY media_id, frame_idx"),
+    "mm_resize" ->
+      ("SELECT doc_id AS media_id, " +
+       "CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width, " +
+       "CAST(64 + octet_length(encode(text)) % 480 AS INTEGER) AS height, " +
+       "CAST(floor((64 + octet_length(encode(text)) % 640) * least(224.0 / (64 + octet_length(encode(text)) % 640), 224.0 / (64 + octet_length(encode(text)) % 480), 1.0)) AS INTEGER) AS out_width, " +
+       "CAST(floor((64 + octet_length(encode(text)) % 480) * least(224.0 / (64 + octet_length(encode(text)) % 640), 224.0 / (64 + octet_length(encode(text)) % 480), 1.0)) AS INTEGER) AS out_height " +
+       "FROM documents ORDER BY media_id"),
+  )
 }

@@ -73,30 +73,18 @@ object DedupStages {
 
   // --------------------------------------------------------------- minhash
 
-  private val MersennePrime = (1L << 61) - 1
-
-  /** Deterministic per-permutation coefficients (split-mix style). */
-  private def seeds(n: Int): Seq[(Long, Long)] = {
-    var x = 0x9E3779B97F4A7C15L
-    def next(): Long = { x += 0x9E3779B97F4A7C15L
-      var z = x; z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL; z ^ (z >>> 31) }
-    (0 until n).map(_ => ((next() & Long.MaxValue) % MersennePrime max 1L,
-                          (next() & Long.MaxValue) % MersennePrime))
-  }
-
   /** MinHash signature (array of `numHashes` longs) of a shingle array —
     * ONE aggregate pass over the shingle hashes per row, no shuffle.
-    * sig[i] = min over shingles of (a_i * h + b_i) mod p. */
+    * The permutation family is hash-of-hash: sig[i] = min over shingles
+    * of xxhash64(i, h) — overflow-free under ANSI mode and as uniform as
+    * the classic (a·h+b) mod p family. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val ss = seeds(numHashes)
-    val seedArr = array(ss.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val seedArr = array((0 until numHashes).map(lit(_)): _*)
     val hashes = transform(shingles, s => xxhash64(s))
     aggregate(hashes,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, seedArr,
-        (m, s) => least(m, pmod(s.getField("a") * h + s.getField("b"), lit(MersennePrime)))))
+        (m, s) => least(m, xxhash64(s, h))))
   }
 
   /** `minhash` transformer: banded-LSH near-duplicate PAIRS.

@@ -179,17 +179,21 @@ object LookupStages {
 
       val out =
         if (multiValued && (linkType == "LINKLIST" || linkType == "LINKSET")) {
-          // Multi-valued FK resolution (OLinkTransformer.java:94-100):
-          // posexplode keeps each element's position so the resolved list
-          // preserves the reference's element order; unresolved elements
-          // are counted per record so every policy applies — round-1 fix
-          // (they were silently dropped and order was lost to sort_array).
+          // Multi-valued FK resolution (OLinkTransformer.java:94-100),
+          // keyed by the ARRAY VALUE itself: resolve each DISTINCT key
+          // array once (posexplode keeps element order; unresolved
+          // elements are dropped from the list but counted so every
+          // policy applies), then join back on array equality. No
+          // synthetic row ids — `monotonically_increasing_id` across two
+          // plan branches is recomputation-nondeterministic after a
+          // shuffle, which scrambled rows in round 1 — and resolving
+          // distinct arrays is also strictly less work than per-row.
           val jf = spec.str("joinFieldName").get
-          val withId = df.withColumn("__rid", monotonically_increasing_id())
-          val exploded = withId.select(col("__rid"),
-            posexplode_outer(col(jf)).as(Seq("__pos", "__jv")))
+          val arrs = df.select(col(jf).as("__arr")).distinct()
+          val exploded = arrs.select(col("__arr"),
+            posexplode_outer(col("__arr")).as(Seq("__pos", "__jv")))
           val resolved = exploded.join(d, col("__jv") === col("__lkey"), "left")
-            .groupBy("__rid")
+            .groupBy("__arr")
             .agg(
               // order by original position, then drop unresolved (null) slots
               expr("transform(filter(array_sort(collect_list(struct(__pos as p, __lkey as k)))," +
@@ -197,14 +201,15 @@ object LookupStages {
               sum(when(col("__jv").isNotNull && col("__lkey").isNull, 1L)
                 .otherwise(0L)).as("__miss"))
           val links = if (linkType == "LINKSET") array_distinct(col("__links")) else col("__links")
-          val joinedBack = withId.join(resolved, Seq("__rid"), "left")
+          val joinedBack = df.join(maybeBroadcast(resolved),
+              df(jf) <=> col("__arr"), "left")
             .withColumn(linkField, links)
           val unresolvedRec = coalesce(col("__miss"), lit(0L)) > 0
           val policed = action match {
             case Unresolved.Skip => joinedBack.filter(!unresolvedRec)
             case _ => observePolicy(spec, ctx, joinedBack, unresolvedRec, action, "link")
           }
-          policed.drop("__rid", "__links", "__miss")
+          policed.drop("__arr", "__links", "__miss")
         } else {
           val joined = df.join(d, joinVal === col("__lkey"), "left")
           val base = joined.withColumn(linkField,

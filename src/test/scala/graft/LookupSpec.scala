@@ -90,9 +90,11 @@ class LookupSpec extends SparkSpec {
     val orders = ctx.table("orders").withColumn("o_custkey",
       when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
         .otherwise(col("o_custkey")))
-    // null join keys are unresolved too (the reference's lookup(null)
+    // unresolved = rows whose (modified) key misses the dim — includes the
+    // fixture's own dangling FKs and null keys (reference lookup(null)
     // fails → policy applies, OLinkTransformer.java:131-160)
-    val expected = orders.filter(col("o_custkey").isNull || col("o_custkey") > 1000000).count()
+    val expected = orders.join(ctx.table("customer"),
+      orders("o_custkey") === col("c_custkey"), "left_anti").count()
     LookupStages.link(ComponentSpec("link", Map(
       "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
       "linkFieldName" -> "cust_link", "unresolvedLinkAction" -> "WARNING")), ctx)(orders)
