@@ -1,0 +1,196 @@
+package graft
+
+import graft.dedup.DedupStages
+import graft.similarity.SimilarityStages
+import graft.spec.ComponentSpec
+import graft.text.TextStages
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM training-data pipeline stages: dedup (exact /
+  * MinHash LSH / SimHash / exact Jaccard), text analysis, similarity
+  * search, multimodal. Constructed micro-fixtures with known answers +
+  * the driver documents/embeddings tables for scale-shaped checks. */
+class LlmStagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(name: String, opts: (String, Any)*) =
+    graft.engine.Engine.transformers(name)(ComponentSpec(name, opts.toMap), newCtx())
+
+  // ------------------------------------------------------------- exact dedup
+  test("dedup exact: keeps min-tiebreak row per key") {
+    val df = Seq(
+      (1L, "aaa", 10), (2L, "aaa", 20), (3L, "bbb", 30), (4L, "aaa", 40),
+      (5L, "ccc", 50)).toDF("id", "content", "v")
+    val out = stage("dedup", "keyFields" -> Seq("content"), "tiebreakField" -> "id")(df)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(10, 30, 50)) // whole row kept
+  }
+
+  test("dedup by keyExpr (content hash)") {
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
+    val out = stage("dedup", "keyExpr" -> "md5(text)", "tiebreakField" -> "doc_id")(df)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  // ----------------------------------------------------------------- minhash
+  test("minhash LSH finds constructed near-duplicates, not unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val unrelated = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = stage("minhash", "threshold" -> 0.5, "numHashes" -> 64,
+      "bands" -> 16)(df).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+    // jaccard on candidates is EXACT: verify against a hand computation
+    val j = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    // shingle sets: base has 58 3-grams, nearDup has 58; overlap = 56
+    assert(j > 0.8 && j < 1.0)
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val sig = DedupStages.minhashSignature(
+      DedupStages.wordShingles(col("text"), 3), 16)
+    val a = df.select(sig).head().getSeq[Long](0)
+    val b = df.select(sig).head().getSeq[Long](0)
+    assert(a == b && a.length == 16)
+  }
+
+  // ----------------------------------------------------------------- simhash
+  test("simhash: identical docs distance 0; near docs close; far docs far") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val far = (200 to 240).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), DedupStages.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val pairs = stage("simhash", "maxDistance" -> 3)(df).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Number]("hamming").longValue() == 0L))
+  }
+
+  // ---------------------------------------------------------- exact jaccard
+  test("ngramjaccard: exact value on a hand-checkable pair") {
+    // texts of 5 tokens → 3 shingles each; constructed overlap = 1
+    val df = Seq((1L, "a b c d e"), (2L, "x y a b c")).toDF("doc_id", "text")
+    val out = stage("ngramjaccard", "threshold" -> 0.1)(df).collect()
+    assert(out.length == 1)
+    // shingles: {abc,bcd,cde} vs {xya,yab,abc} → |∩|=1, |∪|=5 → 0.2
+    assert(math.abs(out.head.getDouble(2) - 0.2) < 1e-12)
+  }
+
+  // ------------------------------------------------------------- text stages
+  test("textstats: counts on known strings") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "  a  a  b  ")).toDF("doc_id", "text")
+    val out = stage("textstats", "keepInput" -> true)(df).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("ts_tokens") == 4)
+    assert(r1.getAs[Int]("ts_distinct_tokens") == 4)
+    assert(r1.getAs[Double]("ts_stopword_ratio") == 0.25) // "the"
+    val r2 = out(1)
+    assert(r2.getAs[Int]("ts_tokens") == 3) // runs of spaces collapse
+    assert(r2.getAs[Int]("ts_distinct_tokens") == 2)
+  }
+
+  test("langid: marker-word argmax with declared-order tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro de la casa y el gato"),
+      (3L, "der hund und die katze ist da"),
+      (4L, "nothing matching any marker")).toDF("doc_id", "text")
+    val out = stage("langid")(df).select("doc_id", "lang_pred").as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "es"); assert(out(3L) == "de")
+    assert(out(4L) == "en") // all-zero tie → first declared language
+  }
+
+  test("tokenize: BPE-ish units count words and punctuation separately") {
+    val df = Seq((1L, "don't stop, world!")).toDF("doc_id", "text")
+    val out = stage("tokenize")(df).head()
+    // units: don | ' | t | stop | , | world | ! → 7
+    assert(out.getAs[Int]("n_bpeish_tokens") == 7)
+    assert(out.getAs[Int]("n_ws_tokens") == 3)
+  }
+
+  test("fingerprint: normalization collapses case + whitespace") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
+    val out = stage("fingerprint")(df).select("fp_md5").as[String].collect()
+    assert(out(0) == out(1))
+  }
+
+  // -------------------------------------------------------------- similarity
+  test("similarity brute top-k: exact ranking on constructed vectors") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = stage("similarity", "k" -> 3, "queryFilter" -> "vec_id = 1")(df)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("n_id")).toSeq == Seq(2L, 3L, 4L))
+    // expected value computed through the same float→double widening the
+    // engine applies to the float[] column
+    val (x, y) = (0.9f.toDouble, 0.1f.toDouble)
+    assert(math.abs(out(0).getAs[Double]("cosine") -
+      (x / math.sqrt(x * x + y * y))) < 1e-12)
+  }
+
+  test("similarity LSH: recall vs brute force on fixture embeddings") {
+    val ctx = newCtx()
+    val emb = ctx.table("embeddings")
+    val brute = SimilarityStages.topk(
+      emb.where("vec_id < 10"), emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = stage("similaritylsh", "k" -> 5, "nBits" -> 16, "bands" -> 8)(emb)
+      .where("q_id < 10").select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall > 0.5, s"LSH recall too low: $recall") // 8 bands of 2 bits
+  }
+
+  // -------------------------------------------------------------- multimodal
+  test("mm pipeline: attach → decode(stub) → resize → frames") {
+    val df = Seq((7L, "abcdefgh")).toDF("doc_id", "text") // 8 bytes
+    val decoded = stage("mm_decode")(stage("mm_attach")(df))
+    val m = decoded.head()
+    assert(m.getAs[Long]("byte_len") == 8)
+    assert(m.getAs[Int]("width") == 72 && m.getAs[Int]("height") == 72)
+    assert(m.getAs[Int]("n_frames") == 9)
+    val resized = stage("mm_resize", "maxWidth" -> 36, "maxHeight" -> 72)(decoded).head()
+    assert(resized.getAs[Int]("out_width") == 36 && resized.getAs[Int]("out_height") == 36)
+    val frames = stage("mm_frames", "step" -> 4)(decoded)
+    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 4, 8))
+  }
+
+  // ----------------------------------------- LINKLIST policy matrix (VERDICT)
+  test("LINKLIST: order preserved, unresolved handling per policy") {
+    val ctx = newCtx()
+    ctx.registerTable("dim", Seq(10L, 20L, 30L).toDF("k"))
+    val df = Seq(
+      (1L, Seq(30L, 10L, 20L)),   // all resolve — order must be preserved
+      (2L, Seq(10L, 99L, 30L)),   // one dangling element
+      (3L, Seq(77L, 88L))         // nothing resolves
+    ).toDF("id", "fks")
+    def run(action: String) = {
+      val c = newCtx(); c.registerTable("dim", Seq(10L, 20L, 30L).toDF("k"))
+      (c, graft.stages.LookupStages.link(ComponentSpec("link", Map(
+        "joinFieldName" -> "fks", "lookup" -> "dim.k", "type" -> "LINKLIST",
+        "linkFieldName" -> "links", "unresolvedLinkAction" -> action)), c)(df))
+    }
+    val (_, nothing) = run("NOTHING")
+    val byId = nothing.select("id", "links").as[(Long, Seq[Long])].collect().toMap
+    assert(byId(1L) == Seq(30L, 10L, 20L)) // NOT sorted — input order
+    assert(byId(2L) == Seq(10L, 30L))      // dangling element dropped
+    assert(byId(3L) == Seq.empty)
+    val (_, skip) = run("SKIP")
+    assert(skip.select("id").as[Long].collect().toSet == Set(1L))
+    val (ch, haltDf) = run("HALT")
+    haltDf.count()
+    intercept[graft.engine.EtlHaltException] { ch.drainChecks() }
+    val (cw, warnDf) = run("WARNING")
+    warnDf.count(); cw.drainChecks()
+    assert(cw.warnings.value == 2L) // records 2 and 3
+  }
+}
