@@ -491,7 +491,7 @@ object SparkEntry {
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"similaritylsh": {"idField": "vec_id",
-          "field": "embedding", "k": 5, "nBits": 16, "bands": 8}}],
+          "field": "embedding", "k": 5, "nBits": 16, "bands": 4}}],
         "loader": {"memory": {}} }""")
         .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
     },
@@ -501,7 +501,7 @@ object SparkEntry {
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"cosinedup": {"idField": "vec_id",
-          "field": "embedding", "threshold": 0.4, "nBits": 16, "bands": 8}}],
+          "field": "embedding", "threshold": 0.4, "nBits": 16, "bands": 4}}],
         "loader": {"memory": {}} }""")
         .select("a", "b").orderBy("a", "b")
     },

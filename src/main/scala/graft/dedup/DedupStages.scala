@@ -77,7 +77,8 @@ object DedupStages {
     * ONE aggregate pass over the shingle hashes per row, no shuffle.
     * The permutation family is hash-of-hash: sig[i] = min over shingles
     * of xxhash64(i, h) — overflow-free under ANSI mode and as uniform as
-    * the classic (a·h+b) mod p family. */
+    * the classic (a·h+b) mod p family. (Reference semantics only; the
+    * stage uses the codegen'd [[minhashSignatures]], same values.) */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val seedArr = array((0 until numHashes).map(lit(_)): _*)
     val hashes = transform(shingles, s => xxhash64(s))
@@ -85,6 +86,23 @@ object DedupStages {
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, seedArr,
         (m, s) => least(m, xxhash64(s, h))))
+  }
+
+  /** Batch MinHash signatures via explode + `numHashes` codegen'd MIN
+    * aggregates — identical values to [[minhashSignature]] (asserted in
+    * specs) but the hot hashing loop stays inside whole-stage codegen
+    * instead of interpreted lambda evaluation, and map-side combine
+    * reduces the shuffle to ONE combined row per doc.
+    * Input: (__id, __sh: array<string>); output: (__id, __sig). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = docs.select(col("__id"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
+    exploded.groupBy("__id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** `minhash` transformer: banded-LSH near-duplicate PAIRS.
@@ -107,13 +125,13 @@ object DedupStages {
       val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.5)
 
       val docs = df.select(col(id).as("__id"),
-          wordShingles(col(field), n).as("__sh"))
-        .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+        wordShingles(col(field), n).as("__sh"))
+      val sigs = minhashSignatures(docs, numHashes)
 
       // band keys: hash of each signature slice → explode B rows per doc
       val bandKeys = array((0 until bands).map(bi =>
         xxhash64(lit(bi), slice(col("__sig"), bi * rows + 1, rows))): _*)
-      val banded = docs.select(col("__id"),
+      val banded = sigs.select(col("__id"),
         posexplode(bandKeys).as(Seq("__band", "__bkey")))
 
       // candidate pairs: equi-join on (band, bucket) — O(bucket²)
@@ -150,6 +168,24 @@ object DedupStages {
       shiftleft(acc, 1) + when(cnt > 0, 1L).otherwise(0L))
   }
 
+  /** Batch SimHash signatures via explode + 64 codegen'd SUM aggregates
+    * — identical values to [[simhash64]] (asserted in specs); map-side
+    * combine → one combined row per doc through the shuffle.
+    * Input: (__id, __text); output: (__id, __sig). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("__id"),
+        explode(TextStages.tokens(col("__text"))).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"__b$i"))
+    val packed = (0 until 64).foldLeft(lit(0L))((acc, i) =>
+      shiftleft(acc, 1) + when(col(s"__b$i") > 0, 1L).otherwise(0L))
+    toks.groupBy("__id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id"), packed.as("__sig"))
+  }
+
   /** `simhash` transformer: near-dup pairs within Hamming distance
     * `maxDistance` (default 3) using the pigeonhole band join — the
     * signature is split into `maxDistance + 1` blocks; any qualifying
@@ -162,7 +198,8 @@ object DedupStages {
       val blocks = maxDist + 1
       val bits = 64 / blocks
 
-      val sigs = df.select(col(id).as("__id"), simhash64(col(field)).as("__sig"))
+      val sigs = simhashSignatures(
+        df.select(col(id).as("__id"), col(field).as("__text")))
       val blockKeys = array((0 until blocks).map(bi =>
         shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
       val banded = sigs.select(col("__id"), col("__sig"),

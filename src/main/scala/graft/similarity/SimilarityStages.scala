@@ -25,14 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityStages {
 
-  /** Dot product of two numeric array columns (double math). */
+  /** Dot product of two numeric array columns (double math) — the
+    * native codegen'd [[graft.functions.ArrayDot]]; callers register it
+    * via [[graft.functions.VectorExpressions.ensure]] (the stages do). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    graft.functions.VectorExpressions.arrayDot(a, b)
+
+  /** HOF reference form of [[dot]] — kept for differential tests. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      coalesce(x.cast("double"), lit(0.0)) * coalesce(y.cast("double"), lit(0.0))),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
@@ -41,6 +46,7 @@ object SimilarityStages {
     * rows (excluding itself). Ties break on ascending neighbour id. */
   def topk(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
            k: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensure(queries.sparkSession)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
         .withColumn("__qn", norm(col("__qv"))))
@@ -75,18 +81,30 @@ object SimilarityStages {
 
   // ----------------------------------------------------------- SRP-LSH
 
-  /** Deterministic Rademacher (+1/-1) hyperplane sign for (plane, dim):
-    * parity of a hash — reproducible across runs and executors. */
-  private def planeSign(plane: Int, j: Column): Column =
-    when(pmod(xxhash64(lit(plane), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic Rademacher (±1) hyperplane matrix, computed ONCE on
+    * the driver (split-mix over (plane, dim)) and shipped as literals —
+    * the executors do pure multiply-add, no per-element hashing.
+    * `maxDim` planes cover any vector ≤ that dimensionality; projections
+    * ignore the tail beyond the vector's own length. */
+  private def planeSigns(nBits: Int, maxDim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, maxDim) { (p, j) =>
+      var z = p.toLong * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
 
   /** SRP signature: `nBits` sign bits of projections onto deterministic
-    * ±1 hyperplanes, packed into a long. Per-row HOFs, no shuffle. */
-  def srpSignature(vec: Column, nBits: Int): Column = {
+    * ±1 hyperplanes, packed into a long. Per-row `zip_with` against
+    * literal sign arrays (length `dim`) — no shuffle, no runtime
+    * hashing; dimensions beyond either side's length contribute 0. */
+  def srpSignature(vec: Column, nBits: Int, dim: Int = 64): Column = {
+    val signs = planeSigns(nBits, dim)
     val bits = (0 until nBits).map { p =>
+      val plane = array(signs(p).map(lit(_)): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeSign(p, j)),
+        zip_with(vec, plane, (x, s) =>
+          coalesce(x.cast("double"), lit(0.0)) * coalesce(s, lit(0.0))),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L)).otherwise(lit(0L))
     }
@@ -102,6 +120,7 @@ object SimilarityStages {
     * `bands` (default 4). */
   def similarityLsh(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
       val id = spec.strOr("idField", "vec_id")
       val vec = spec.strOr("field", "embedding")
       val k = spec.int("k", 10)
@@ -111,7 +130,7 @@ object SimilarityStages {
       require(bands * bits == nBits, "similaritylsh: bands must divide nBits")
 
       val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
-        .withColumn("__sig", srpSignature(col("__v"), nBits))
+        .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
         .withColumn("__n", norm(col("__v")))
       val banded = sigs.select(col("__id"), col("__v"), col("__n"),
         posexplode(array((0 until bands).map(bi =>
@@ -139,13 +158,14 @@ object SimilarityStages {
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "vec_id")
       val vec = spec.strOr("field", "embedding")
+      graft.functions.VectorExpressions.ensure(ctx.spark)
       val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.99)
       val nBits = spec.int("nBits", 16)
       val bands = spec.int("bands", 8)
       val bits = nBits / bands
       require(bands * bits == nBits, "cosinedup: bands must divide nBits")
       val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
-        .withColumn("__sig", srpSignature(col("__v"), nBits))
+        .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
         .withColumn("__n", norm(col("__v")))
       val banded = sigs.select(col("__id"), col("__v"), col("__n"),
         posexplode(array((0 until bands).map(bi =>

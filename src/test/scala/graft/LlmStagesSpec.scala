@@ -58,6 +58,26 @@ class LlmStagesSpec extends SparkSpec {
     assert(a == b && a.length == 16)
   }
 
+  test("codegen signature paths equal the per-row HOF reference forms") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t")).toDF("doc_id", "text")
+    // minhash: explode+agg stage form == HOF reference form
+    val hof = df.select(col("doc_id"), DedupStages.minhashSignature(
+      DedupStages.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = DedupStages.minhashSignatures(
+      df.select(col("doc_id").as("__id"),
+        DedupStages.wordShingles(col("text"), 3).as("__sh")), 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(hof == agg)
+    // simhash: explode+agg form == HOF reference form
+    val hofS = df.select(col("doc_id"), DedupStages.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val aggS = DedupStages.simhashSignatures(
+      df.select(col("doc_id").as("__id"), col("text").as("__text")))
+      .as[(Long, Long)].collect().toMap
+    assert(hofS == aggS)
+  }
+
   // ----------------------------------------------------------------- simhash
   test("simhash: identical docs distance 0; near docs close; far docs far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
@@ -136,6 +156,20 @@ class LlmStagesSpec extends SparkSpec {
     val (x, y) = (0.9f.toDouble, 0.1f.toDouble)
     assert(math.abs(out(0).getAs[Double]("cosine") -
       (x / math.sqrt(x * x + y * y))) < 1e-12)
+  }
+
+  test("native ArrayDot == HOF dot, bit-exact, on fixture embeddings") {
+    graft.functions.VectorExpressions.ensure(spark)
+    val emb = newCtx().table("embeddings")
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")),
+        col("a_id") < col("b_id"))
+      .limit(2000)
+    val diff = pairs.select(
+      SimilarityStages.dot(col("a"), col("b")).as("native"),
+      SimilarityStages.dotHof(col("a"), col("b")).as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0) // same left-to-right double accumulation order
   }
 
   test("similarity LSH: recall vs brute force on fixture embeddings") {
