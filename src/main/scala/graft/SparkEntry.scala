@@ -381,6 +381,68 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("c_custkey", "is_seg").orderBy("c_custkey")
     },
+    "log_identity" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"log": {"prefix": "regions"}}],
+        "loader": {"memory": {}} }""").orderBy("r_regionkey")
+    },
+    "code_expr" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"fieldName": "n_name_len",
+                                   "expression": "n_name.length()"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("n_nationkey"), col("n_name_len").cast("long").as("n_name_len"))
+        .orderBy("n_nationkey")
+    },
+    "http_csv" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // `http` source against an embedded localhost server — the payload
+      // is fetched driver-side at plan-build time (OHttpSource parity),
+      // so the server can stop as soon as the pipeline is built
+      val body = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$fx/nation.csv"))
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/nation.csv",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        })
+      server.start()
+      try Engine.runJson(c, s"""{
+        "source": {"http": {"url": "http://127.0.0.1:${server.getAddress.getPort}/nation.csv"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""").orderBy("n_nationkey")
+      finally server.stop(0)
+    },
+    "etl_params" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-record `parameters` (OETLTransformer.java:92-115): child runs
+      // once per distinct r_regionkey, results embedded as EMBEDDEDLIST
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"etl": {
+          "parameters": {"rk": "r_regionkey"},
+          "pipeline": {
+            "source": {"file": {"path": "$dir/nation.parquet"}},
+            "extractor": {"parquet": {}},
+            "transformers": [{"command": {"command":
+              "SELECT n_nationkey FROM input WHERE n_regionkey = $$rk"}}]
+          },
+          "fieldName": "nation_keys", "fieldType": "EMBEDDEDLIST",
+          "valueFieldName": "n_nationkey"}}],
+        "loader": {"memory": {}} }""")
+        .select("r_regionkey", "nation_keys").orderBy("r_regionkey")
+    },
     // --------------------------------------------- LLM-pipeline operators
     "dedup_exact" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -611,6 +673,14 @@ object SparkEntry {
       "SELECT count(*) AS n_rich FROM customer WHERE c_acctbal > 5000",
     "block_let" ->
       "SELECT c_custkey, c_mktsegment = 'BUILDING' AS is_seg FROM customer ORDER BY c_custkey",
+    "log_identity" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "code_expr" ->
+      "SELECT n_nationkey, length(n_name) AS n_name_len FROM nation ORDER BY n_nationkey",
+    "http_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "etl_params" ->
+      "SELECT r.r_regionkey, list_sort(list(n.n_nationkey)) AS nation_keys FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_regionkey ORDER BY r.r_regionkey",
     "dedup_exact" ->
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT n_chars, min(doc_id) AS kid FROM documents GROUP BY n_chars) g ON d.doc_id = g.kid ORDER BY d.doc_id",
     "dedup_content" ->

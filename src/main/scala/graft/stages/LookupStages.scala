@@ -299,21 +299,83 @@ object LookupStages {
   }
 
   /** Config-driven form of [[nestedEtl]]: child is an inline pipeline spec
-    * or a registered table name. */
+    * or a registered table name. With `parameters` (OETLTransformer.java:
+    * 92-115: per-record expressions handed to the child as context vars),
+    * the child runs once per DISTINCT parameter tuple — same semantics as
+    * the reference's run-per-record, strictly less work — and the results
+    * correlate back through one join on the tuple. The distinct-tuple
+    * count is capped (`maxParameterTuples`, default 1000): each tuple is
+    * a driver-side child-plan build, the inherently non-scalable part of
+    * the reference's design, surfaced as an explicit bound. */
   def etl(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { parent =>
-      val child: DataFrame = spec.str("childTable") match {
-        case Some(t) => ctx.table(t)
-        case None =>
-          val inline = spec.map("pipeline")
-          require(inline.nonEmpty, "etl: childTable or pipeline required")
-          graft.engine.Engine.runMap(ctx, inline)
+      val fieldName = spec.strOr("fieldName", "children")
+      val fieldType = spec.strOr("fieldType", "EMBEDDEDLIST")
+      val keyF = spec.strOr("keyFieldName", "")
+      val valueF = spec.strOr("valueFieldName", "")
+      val params = spec.map("parameters")
+
+      if (params.nonEmpty) {
+        val inline = spec.map("pipeline")
+        require(inline.nonEmpty, "etl: parameters require an inline pipeline")
+        val cap = spec.int("maxParameterTuples", 1000)
+        val names = params.keys.toSeq
+        val parentTagged = params.foldLeft(parent) { case (d, (k, e)) =>
+          d.withColumn(s"__p_$k", OrientExpr.compile(e.toString, ctx.varMap))
+        }
+        val tupleCols = names.map(n => col(s"__p_$n"))
+        val tuples = parentTagged.select(tupleCols: _*).distinct()
+          .limit(cap + 1).collect()
+        require(tuples.length <= cap,
+          s"etl: more than $cap distinct parameter tuples — bound the parent or raise maxParameterTuples")
+        val children = tuples.toSeq.map { row =>
+          val childCtx = new EtlContext(ctx.spark)
+          ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
+          ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
+          names.zipWithIndex.foreach { case (n, i) => childCtx.vars.put(n, row.get(i)) }
+          val child = graft.engine.Engine.runMap(childCtx, inline)
+          names.zipWithIndex.foldLeft(child) { case (d, (n, i)) =>
+            d.withColumn(s"__p_$n", lit(row.get(i)))
+          }
+        }
+        val unioned = children.reduce(_.unionByName(_, allowMissingColumns = true))
+        val agged = groupToField(unioned, tupleCols, fieldName, fieldType, keyF, valueF)
+          .withColumnsRenamed(names.map(n => s"__p_$n" -> s"__pt_$n").toMap)
+        val cond = names.map(n => col(s"__p_$n") <=> col(s"__pt_$n"))
+          .reduce(_ && _)
+        parentTagged.join(agged, cond, "left")
+          .drop(names.flatMap(n => Seq(s"__p_$n", s"__pt_$n")): _*)
+      } else {
+        val child: DataFrame = spec.str("childTable") match {
+          case Some(t) => ctx.table(t)
+          case None =>
+            val inline = spec.map("pipeline")
+            require(inline.nonEmpty, "etl: childTable or pipeline required")
+            graft.engine.Engine.runMap(ctx, inline)
+        }
+        nestedEtl(parent, child,
+          spec.str("joinFieldName").getOrElse(sys.error("etl: joinFieldName required")),
+          spec.str("childJoinFieldName").getOrElse(sys.error("etl: childJoinFieldName required")),
+          fieldName, fieldType, keyF, valueF)
       }
-      nestedEtl(parent, child,
-        spec.str("joinFieldName").getOrElse(sys.error("etl: joinFieldName required")),
-        spec.str("childJoinFieldName").getOrElse(sys.error("etl: childJoinFieldName required")),
-        spec.strOr("fieldName", "children"),
-        spec.strOr("fieldType", "EMBEDDEDLIST"),
-        spec.strOr("keyFieldName", ""), spec.strOr("valueFieldName", ""))
+    }
+
+  /** Shared collection builder: group `df` by `keys` into the
+    * EMBEDDEDLIST/SET/MAP/LINK* collection shapes (OETLTransformer.java:
+    * 122-153 builders). */
+  private def groupToField(df: DataFrame, keys: Seq[Column], fieldName: String,
+      fieldType: String, keyFieldName: String, valueFieldName: String): DataFrame =
+    fieldType.toUpperCase match {
+      case "EMBEDDEDLIST" | "LINKLIST" =>
+        df.groupBy(keys: _*)
+          .agg(sort_array(collect_list(col(valueFieldName))).as(fieldName))
+      case "EMBEDDEDSET" | "LINKSET" =>
+        df.groupBy(keys: _*)
+          .agg(array_distinct(sort_array(collect_list(col(valueFieldName)))).as(fieldName))
+      case "EMBEDDEDMAP" =>
+        df.groupBy(keys: _*)
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col(keyFieldName), col(valueFieldName))))).as(fieldName))
+      case other => sys.error(s"etl: unsupported fieldType $other")
     }
 }

@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.StructType
   */
 object Stages {
 
+  /** Serializes temp-view registration + SQL analysis for the `command`/
+    * `code` SQL forms: the contract view names (`input`, `__input`) are
+    * session-global, so concurrent pipeline builds on one session could
+    * cross-wire. Once `spark.sql` returns the plan is bound, so the view
+    * can be safely replaced by the next pipeline. */
+  private val sqlViewLock = new Object
+
   /** Wrap a stage body with the `if` / `output` common semantics. */
   def common(spec: ComponentSpec, ctx: EtlContext)
             (body: DataFrame => DataFrame): DataFrame => DataFrame = { df =>
@@ -214,8 +221,10 @@ object Stages {
           graft.engine.Engine.codeHook(ref)(df)
         case None => spec.str("code") match {
           case Some(sql) if spec.strOr("language", "sql").equalsIgnoreCase("sql") =>
-            df.createOrReplaceTempView("__input")
-            ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
+            sqlViewLock.synchronized {
+              df.createOrReplaceTempView("__input")
+              ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
+            }
           case _ =>
             val name = spec.str("fieldName").getOrElse(sys.error("code: fieldName or code required"))
             val e = spec.str("expression").getOrElse(sys.error("code: expression required"))
@@ -231,8 +240,10 @@ object Stages {
   def command(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
       val sql = spec.str("command").getOrElse(sys.error("command: command required"))
-      df.createOrReplaceTempView("input")
-      ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
+      sqlViewLock.synchronized {
+        df.createOrReplaceTempView("input")
+        ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
+      }
     }
 
   /** `vertex` (OVertexTransformer.java:54-75): promote rows to labeled
