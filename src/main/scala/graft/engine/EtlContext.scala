@@ -79,10 +79,11 @@ final class EtlContext(val spark: SparkSession) {
         case Some(v: Number) => v.longValue()
         case _ => 0L // action never touched this sub-plan → nothing observed
       }
-      if (n > 0) c.kind match {
-        case "halt" => halt = halt.orElse(Some(s"${c.msg} ($n rows)"))
-        case "warning" => warnings.add(n)
-        case "error" => errors.add(n)
+      c.kind match {
+        case "log" => System.err.println(s"${c.msg}: $n rows")
+        case "halt" if n > 0 => halt = halt.orElse(Some(s"${c.msg} ($n rows)"))
+        case "warning" if n > 0 => warnings.add(n)
+        case "error" if n > 0 => errors.add(n)
         case _ => ()
       }
     }

@@ -95,6 +95,28 @@ object Loaders {
         ctx.edges.foreach(_.write.mode("overwrite").parquet(s"$dir/edges"))
         true
 
+      // `orientdb` loader by its reference config surface
+      // (OOrientDBLoader.java:48-597): dbURL selects the storage —
+      // jdbc:* → the JDBC writer (class = table), anything else
+      // (plocal:/memory:/remote: path) → a parquet database directory;
+      // dbType=graph writes the vertices/edges table pair. tx/WAL/
+      // batchCommit map to writer batching; indexes are a no-op (noted).
+      case "orientdb" =>
+        val dbUrl = OrientExpr.resolveString(
+          spec.str("dbURL").getOrElse(sys.error("orientdb loader: dbURL required")), vars)
+        val cls = spec.strOr("class", "record")
+        if (dbUrl.startsWith("jdbc:")) {
+          load(ctx, ComponentSpec("jdbc", spec.options ++ Map(
+            "url" -> dbUrl, "table" -> cls)), df)
+        } else if (spec.strOr("dbType", "document").equalsIgnoreCase("graph")) {
+          val dir = dbUrl.replaceFirst("^[a-z]+:", "")
+          load(ctx, ComponentSpec("graph", spec.options ++ Map("path" -> dir)), df)
+        } else {
+          val dir = dbUrl.replaceFirst("^[a-z]+:", "")
+          load(ctx, ComponentSpec("parquet", spec.options ++ Map(
+            "path" -> s"$dir/$cls")), df)
+        }
+
       case other => sys.error(s"unknown loader $other")
     }
   }

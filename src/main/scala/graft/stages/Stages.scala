@@ -170,11 +170,17 @@ object Stages {
       parsed.select(others ++ docCols: _*)
     }
 
-  /** `log` (OLogTransformer.java:57-60): identity on data; counts rows via
-    * `observe` so telemetry costs no extra job. */
+  /** `log` (OLogTransformer.java:57-60): identity on data; counts rows
+    * via `observe` so telemetry costs no extra job — the count is
+    * collected with the pipeline's terminal action and printed by
+    * [[graft.engine.EtlContext.drainChecks]] (throughput parity with
+    * OETLProcessor.java:545-585 without a per-record println). */
   def log(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
-      df.observe(s"graft_log_${spec.strOr("prefix", "stage")}", count(lit(1)).as("rows"))
+      val prefix = spec.strOr("prefix", "stage")
+      val obs = ctx.newObservation(s"log_$prefix")
+      ctx.registerCheck(ctx.PendingCheck(obs, "rows", "log", s"[graft log] $prefix"))
+      df.observe(obs, count(lit(1)).as("rows"))
     }
 
   /** `flow` (OFlowTransformer.java:56-61): `skip` drops rows matching `if`;
