@@ -1,0 +1,106 @@
+package graft
+
+import graft.engine.Engine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB posture, checked in CI:
+  * filters reach the parquet scan, projections prune the read schema,
+  * small dims broadcast, the fused CSV path is a native vectorized scan
+  * (no zipWithIndex RDD pass), and exact dedup partial-aggregates
+  * map-side. A plan regression fails the suite even while results stay
+  * correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+  private def analyzedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flow skip on parquet: predicate pushed to the scan") {
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/lineitem.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"flow": {"operation": "skip", "if": "l_quantity > 45"}}],
+      "loader": {"memory": {}} }""").select("l_orderkey", "l_quantity")
+    val plan = analyzedPlan(out)
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").contains("l_quantity"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("column pruning: two-column projection reads a two-column schema") {
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/lineitem.parquet"}},
+      "extractor": {"parquet": {}},
+      "loader": {"memory": {}} }""").select("l_orderkey", "l_quantity")
+    val plan = analyzedPlan(out)
+    val schema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity"))
+    assert(!schema.contains("l_comment") && !schema.contains("l_extendedprice"),
+      s"scan reads more than the projection:\n$schema")
+  }
+
+  test("link join broadcasts the small dimension") {
+    val ctx = newCtx()
+    val out = graft.stages.LookupStages.link(
+      graft.spec.ComponentSpec("link", Map(
+        "joinFieldName" -> "o_custkey", "lookup" -> "customer.c_custkey",
+        "linkFieldName" -> "cust_link")), ctx)(ctx.table("orders"))
+    assert(planOf(out).contains("BroadcastHashJoin"),
+      "small dim should broadcast, not shuffle")
+  }
+
+  test("fused file+row+csv compiles to one native csv scan (no zipWithIndex)") {
+    val path = {
+      val f = java.nio.file.Files.createTempFile("plan_csv", ".csv")
+      java.nio.file.Files.write(f, "a,b\n1,x\n2,y\n".getBytes("UTF-8")); f.toString
+    }
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$path"}},
+      "extractor": {"row": {}},
+      "transformers": [{"csv": {"columns": ["a:integer", "b:string"]}}],
+      "loader": {"memory": {}} }""")
+    val plan = analyzedPlan(out)
+    assert(plan.contains("FileScan csv"), s"expected native csv scan:\n$plan")
+    assert(!plan.contains("zippedWithIndex") && !plan.contains("ExistingRDD"),
+      s"fused path must not fall back to the RDD text scan:\n$plan")
+  }
+
+  test("plain text ingest (no line semantics) is a native text scan") {
+    val path = {
+      val f = java.nio.file.Files.createTempFile("plan_txt", ".txt")
+      java.nio.file.Files.write(f, "l1\nl2\n".getBytes("UTF-8")); f.toString
+    }
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$path"}},
+      "extractor": {"row": {}},
+      "loader": {"memory": {}} }""")
+    val plan = analyzedPlan(out)
+    assert(plan.contains("FileScan text"), s"expected native text scan:\n$plan")
+    assert(!plan.contains("ExistingRDD"), s"no RDD conversion expected:\n$plan")
+  }
+
+  test("exact dedup partial-aggregates before the shuffle (map-side combine)") {
+    val ctx = newCtx()
+    val out = graft.dedup.DedupStages.dedup(graft.spec.ComponentSpec("dedup",
+      Map("keyFields" -> Seq("n_chars"), "tiebreakField" -> "doc_id")), ctx)(
+      ctx.table("documents"))
+    val plan = planOf(out)
+    // partial (map-side) min_by before the single exchange, final after
+    assert(plan.contains("partial_min_by"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("similarity topk: query side broadcast, base never shuffles pre-join") {
+    val ctx = newCtx()
+    val out = graft.similarity.SimilarityStages.topk(
+      ctx.table("embeddings").where("vec_id < 5"),
+      ctx.table("embeddings"), "vec_id", "embedding", 3)
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+  }
+}
