@@ -88,10 +88,11 @@ class PlanSpec extends SparkSpec {
     val out = graft.dedup.DedupStages.dedup(graft.spec.ComponentSpec("dedup",
       Map("keyFields" -> Seq("n_chars"), "tiebreakField" -> "doc_id")), ctx)(
       ctx.table("documents"))
-    val plan = planOf(out)
+    // AQE toString carries Initial + Final sections — audit the final one
+    val plan = planOf(out).split("== Initial Plan ==").head
     // partial (map-side) min_by before the single exchange, final after
     assert(plan.contains("partial_min_by"), plan)
-    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
   test("similarity topk: query side broadcast, base never shuffles pre-join") {
