@@ -1,0 +1,175 @@
+package graft.streaming
+
+import graft.engine.{Engine, EtlContext}
+import graft.spec.{ComponentSpec, PipelineSpec}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extension (SURVEY.md §2.7: the reference is
+  * strictly batch — bounded Readers, no watermarks — so this is an
+  * EXTENSION of the surface, not parity).
+  *
+  * Design: the batch transformers are `DataFrame => DataFrame`, and most
+  * are stream-safe as-is (field/rename/json/flow-skip/csv/textstats/
+  * langid/fingerprint/mm_*…), so a streaming pipeline reuses the SAME
+  * registry — `readStream` in, `writeStream` out, with two
+  * streaming-specific stages:
+  *  - `window_agg`: event-time windowed aggregation with a watermark;
+  *  - `sessionize`: gap-based sessions via `flatMapGroupsWithState`
+  *    (custom state — the operator Spark's built-ins can't express).
+  */
+object Streaming {
+
+  /** Build a streaming scan: `{"stream": {"path", "format", "schema"}}`.
+    * `schema` is required (streaming sources don't infer). */
+  def readStream(ctx: EtlContext, spec: ComponentSpec): DataFrame = {
+    val path = spec.str("path").getOrElse(sys.error("stream source: path required"))
+    val format = spec.strOr("format", "parquet")
+    val r = ctx.spark.readStream.format(format)
+    val withSchema = spec.str("schema") match {
+      case Some(ddl) => r.schema(StructType.fromDDL(ddl))
+      case None => r
+    }
+    spec.str("maxFilesPerTrigger")
+      .fold(withSchema)(n => withSchema.option("maxFilesPerTrigger", n))
+      .load(path)
+  }
+
+  /** `window_agg`: watermarked event-time windowed aggregation.
+    * Options: `tsField`, `watermark` ("10 minutes"), `window`
+    * ("5 minutes"), optional `slide`, `groupBy` (extra keys), `aggs`
+    * (["count", "sum:value", "avg:value", …]). Output: window start/end +
+    * keys + aggregates. */
+  def windowAgg(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val ts = spec.strOr("tsField", "ts")
+    val wm = spec.strOr("watermark", "10 minutes")
+    val win = spec.strOr("window", "5 minutes")
+    val slide = spec.strOr("slide", win)
+    val keys = spec.strList("groupBy").map(col)
+    val aggs = spec.strList("aggs") match {
+      case Nil => Seq(count(lit(1)).as("n"))
+      case specs => specs.map { a =>
+        a.split(":") match {
+          case Array("count") => count(lit(1)).as("n")
+          case Array("sum", f) => sum(col(f)).as(s"sum_$f")
+          case Array("avg", f) => avg(col(f)).as(s"avg_$f")
+          case Array("min", f) => min(col(f)).as(s"min_$f")
+          case Array("max", f) => max(col(f)).as(s"max_$f")
+          case other => sys.error(s"window_agg: unknown agg ${other.mkString(":")}")
+        }
+      }
+    }
+    val agged = df.withWatermark(ts, wm)
+      .groupBy(window(col(ts), win, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(col("window.start").as("window_start") +:
+      col("window.end").as("window_end") +:
+      agged.columns.filter(_ != "window").map(col): _*)
+  }
+
+  /** Session output row for [[sessionize]]. */
+  final case class Session(key: String, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** `sessionize`: gap-based session windows per key via
+    * `flatMapGroupsWithState` — custom event-time state with timeout,
+    * the canonical "built-ins can't express it" streaming operator.
+    * Options: `keyField`, `tsField`, `gapMs` (session gap, default 30m).
+    * Emits a session when the gap elapses (event-time timeout). */
+  def sessionize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val keyF = spec.strOr("keyField", "user_id")
+    val tsF = spec.strOr("tsField", "ts")
+    val gapMs = spec.long("gapMs").getOrElse(30L * 60 * 1000)
+    // event-time timeout requires a watermark on the input stream
+    val wm = spec.strOr("watermark", s"${math.max(gapMs / 1000, 1)} seconds")
+
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val tupleEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
+
+    // the watermarked timestamp column must flow INTO the stateful
+    // operator for event-time timeouts to be allowed
+    val pairs = df.withColumn("__ts", col(tsF).cast("timestamp"))
+      .withWatermark("__ts", wm)
+      .select(col(keyF).cast("string"), col("__ts"))
+      .as[(String, java.sql.Timestamp)](tupleEnc)
+
+    def fn(key: String, events: Iterator[(String, java.sql.Timestamp)],
+           state: GroupState[SessState]): Iterator[Session] = {
+      val sorted = events.map(_._2.getTime).toSeq.sorted
+      var out = List.empty[Session]
+      var st = state.getOption.orNull
+      if (state.hasTimedOut) {
+        if (st != null) out ::= Session(key,
+          new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last), st.n)
+        state.remove()
+        st = null
+      }
+      for (t <- sorted) {
+        if (st == null) st = SessState(t, t, 1)
+        else if (t - st.last > gapMs) {
+          out ::= Session(key,
+            new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last), st.n)
+          st = SessState(t, t, 1)
+        } else st = SessState(st.start, t, st.n + 1)
+      }
+      if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.last + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    pairs.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF()
+  }
+
+  /** Run a streaming pipeline spec: `stream` source → registered
+    * transformers (+ the streaming stages) → `streamsink` loader.
+    * Returns the started query; callers manage its lifecycle. */
+  def run(ctx: EtlContext, spec: PipelineSpec): StreamingQuery = {
+    val src = spec.source.getOrElse(sys.error("streaming: source required"))
+    require(src.name == "stream", "streaming: source must be {stream: {...}}")
+    var df = readStream(ctx, src)
+    for (t <- spec.transformers) {
+      val fn = t.name match {
+        case "window_agg" => windowAgg(t, ctx)
+        case "sessionize" => sessionize(t, ctx)
+        case other => Engine.transformers.getOrElse(other,
+          sys.error(s"unknown transformer $other"))(t, ctx)
+      }
+      df = fn(df)
+    }
+    val sink = spec.loader.getOrElse(sys.error("streaming: loader required"))
+    require(sink.name == "streamsink", "streaming: loader must be {streamsink: {...}}")
+    startSink(df, sink)
+  }
+
+  /** Start the `streamsink` writer: memory (named table), parquet dir, or
+    * console. A watermark-respecting checkpoint dir is required for
+    * durable sinks. */
+  def startSink(df: DataFrame, spec: ComponentSpec): StreamingQuery = {
+    val mode = spec.strOr("outputMode", "append")
+    spec.strOr("format", "memory") match {
+      case "memory" =>
+        df.writeStream.format("memory")
+          .queryName(spec.strOr("name", "stream_out"))
+          .outputMode(mode).start()
+      case "parquet" =>
+        df.writeStream.format("parquet")
+          .option("path", spec.str("path").getOrElse(sys.error("streamsink: path required")))
+          .option("checkpointLocation", spec.str("checkpoint")
+            .getOrElse(sys.error("streamsink: checkpoint required for parquet")))
+          .outputMode(mode).start()
+      case "console" =>
+        df.writeStream.format("console").outputMode(mode).start()
+      case other => sys.error(s"streamsink: unknown format $other")
+    }
+  }
+}

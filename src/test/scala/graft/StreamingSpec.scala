@@ -1,0 +1,91 @@
+package graft
+
+import graft.spec.{ComponentSpec, PipelineSpec}
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming extension: windowed agg with watermark, gap
+  * sessionization via flatMapGroupsWithState, file-stream pipeline. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("window_agg: 5-minute tumbling counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val out = Streaming.windowAgg(ComponentSpec("window_agg", Map(
+      "tsField" -> "ts", "watermark" -> "10 minutes", "window" -> "5 minutes",
+      "groupBy" -> Seq("event_type"), "aggs" -> Seq("count"))), newCtx())(df)
+    val q = out.writeStream.format("memory").queryName("wagg")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"), (ts(6), "a"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the early windows
+      mem.addData((ts(40), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("wagg")
+        .select(col("window_start"), col("event_type"), col("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts(0), "a", 2L)))
+      assert(rows.contains((ts(0), "b", 1L)))
+      assert(rows.contains((ts(5), "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val out = Streaming.sessionize(ComponentSpec("sessionize", Map(
+      "keyField" -> "user_id", "tsField" -> "ts",
+      "gapMs" -> (5 * 60 * 1000))), newCtx())(df)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // u1: events at 10:00,10:02,10:04 (one session), then 10:20 (new one)
+      mem.addData(("u1", ts(0)), ("u1", ts(2)), ("u1", ts(4)), ("u1", ts(20)))
+      q.processAllAvailable()
+      mem.addData(("u1", ts(55))) // push watermark to time out the sessions
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("key", "session_start", "session_end", "n_events")
+        .as[(String, Timestamp, Timestamp, Long)].collect().sortBy(_._2.getTime)
+      assert(sessions.length >= 2)
+      assert(sessions(0) == ("u1", ts(0), ts(4), 3L))
+      assert(sessions(1) == ("u1", ts(20), ts(20), 1L))
+    } finally q.stop()
+  }
+
+  test("file-stream pipeline: stream source + batch transformers + memory sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // seed one parquet file shaped like the events table
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value")
+      .limit(100).write.mode("overwrite").parquet(dir)
+    val q = Streaming.run(newCtx(), PipelineSpec(
+      config = Map.empty, begin = Nil,
+      source = Some(ComponentSpec("stream", Map(
+        "path" -> dir, "format" -> "parquet",
+        "schema" -> "event_id BIGINT, event_type STRING, value DOUBLE"))),
+      extractor = None,
+      transformers = Seq(
+        ComponentSpec("flow", Map("operation" -> "skip", "if" -> "value < 0")),
+        ComponentSpec("field", Map("fieldName" -> "vv",
+          "expression" -> "value + 1"))),
+      loader = Some(ComponentSpec("streamsink", Map(
+        "format" -> "memory", "name" -> "stream_events"))),
+      end = Nil))
+    try {
+      q.processAllAvailable()
+      val n = spark.table("stream_events").count()
+      assert(n > 0 && n <= 100)
+      assert(spark.table("stream_events").columns.contains("vv"))
+    } finally q.stop()
+  }
+}
