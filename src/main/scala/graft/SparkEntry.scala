@@ -381,6 +381,19 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("c_custkey", "is_seg").orderBy("c_custkey")
     },
+    "code_hook" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // `code` with a registered Scala hook (ref form — the JVM-lambda
+      // analogue of OCodeTransformer; JS-as-config is out of parity scope)
+      Engine.registerCode("discount_hook")(df =>
+        df.withColumn("dbl_price", col("o_totalprice") * 2))
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"ref": "discount_hook"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "dbl_price").orderBy("o_orderkey")
+    },
     "log_identity" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -673,6 +686,8 @@ object SparkEntry {
       "SELECT count(*) AS n_rich FROM customer WHERE c_acctbal > 5000",
     "block_let" ->
       "SELECT c_custkey, c_mktsegment = 'BUILDING' AS is_seg FROM customer ORDER BY c_custkey",
+    "code_hook" ->
+      "SELECT o_orderkey, o_totalprice * 2 AS dbl_price FROM orders ORDER BY o_orderkey",
     "log_identity" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "code_expr" ->

@@ -124,9 +124,19 @@ object DedupStages {
       require(bands * rows == numHashes, "minhash: bands must divide numHashes")
       val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.5)
 
+      // native one-pass shingle hashing (graft.functions.ShingleHashes) —
+      // byte-identical hash values to the HOF wordShingles+xxhash64 path
+      // (asserted in specs), ~10× cheaper per row
+      graft.functions.VectorExpressions.ensure(ctx.spark)
       val docs = df.select(col(id).as("__id"),
-        wordShingles(col(field), n).as("__sh"))
-      val sigs = minhashSignatures(docs, numHashes)
+        graft.functions.VectorExpressions.shingleHashes(col(field), n).as("__shh"))
+      val exploded = docs.select(col("__id"), explode(col("__shh")).as("__h"))
+      val minCols = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
+      val sigs = exploded.groupBy("__id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("__id"),
+          array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
 
       // band keys: hash of each signature slice → explode B rows per doc
       val bandKeys = array((0 until bands).map(bi =>
@@ -140,11 +150,17 @@ object DedupStages {
       val cand = l.join(r, Seq("__band", "__bkey")).where(col("a") < col("b"))
         .select("a", "b").distinct()
 
-      // exact verification on the candidate set only
-      val sh = docs.select(col("__id"), col("__sh"))
+      // exact verification on the candidate set only: shingle-hash arrays
+      // are (re)computed for CANDIDATE docs alone (the semi join pushes
+      // below the projection) and intersected as longs — same Jaccard
+      // modulo negligible 64-bit collisions
+      val candIds = cand.select(col("a").as("__cid"))
+        .union(cand.select(col("b").as("__cid"))).distinct()
+      val candSh = docs.join(candIds, col("__id") === col("__cid"), "left_semi")
+        .select(col("__id"), col("__shh"))
       cand
-        .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
-        .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+        .join(candSh.select(col("__id").as("a"), col("__shh").as("__sha")), Seq("a"))
+        .join(candSh.select(col("__id").as("b"), col("__shh").as("__shb")), Seq("b"))
         .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
         .where(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")

@@ -58,6 +58,18 @@ class LlmStagesSpec extends SparkSpec {
     assert(a == b && a.length == 16)
   }
 
+  test("native ShingleHashes == HOF wordShingles+xxhash64, in order") {
+    graft.functions.VectorExpressions.ensure(spark)
+    val docs = newCtx().table("documents").limit(100)
+      .union(Seq((9999L, "one two", "en", "x", 7L)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars")) // < n tokens edge
+    val diff = docs.select(
+      graft.functions.VectorExpressions.shingleHashes(col("text"), 3).as("native"),
+      transform(DedupStages.wordShingles(col("text"), 3), s => xxhash64(s)).as("hof"))
+      .where(not(col("native") === col("hof"))).count()
+    assert(diff == 0)
+  }
+
   test("codegen signature paths equal the per-row HOF reference forms") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t")).toDF("doc_id", "text")
     // minhash: explode+agg stage form == HOF reference form
