@@ -1,0 +1,86 @@
+package graft
+
+import graft.spec.ComponentSpec
+import graft.stages.LookupStages
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based suites promised in SURVEY.md §5.3: CSV quote/null/type
+  * round-trips, merge idempotence, link resolution totality, dedup
+  * invariants. Deterministic generated cases (fixed seeds) over raw
+  * ScalaCheck Gen — the scalatest bridge isn't in the offline cache. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val fieldGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.const("has,comma"), Gen.const("hasquoteend"), Gen.const(""),
+    Gen.const("NULLTOKEN"), Gen.const(" padded "))
+
+  test("csv: quoted round-trip through the csv transformer (15 cases)") {
+    for (rows <- samples(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(1, 9999), fieldGen)).map(_.take(6)), 15)) {
+      def q(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+      val lines = rows.map { case (i, s) => s"$i,${q(s)}" }
+      val df = spark.createDataset(lines).toDF("value")
+      val out = graft.stages.Stages.csvTransform(ComponentSpec("csv", Map(
+        "columnsOnFirstLine" -> false, "nullValue" -> "NULLTOKEN",
+        "columns" -> Seq("id:integer", "s:string"))), newCtx())(df)
+        .collect()
+      assert(out.length == rows.length)
+      val got = out.map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+      val want = rows.map { case (i, s) =>
+        (i, if (s == "NULLTOKEN") None else Some(s))
+      }.toSet
+      assert(got == want, s"rows=$rows got=$got")
+    }
+  }
+
+  test("merge upsert is idempotent: upsert(upsert(t, d), d) == upsert(t, d)") {
+    for (delta0 <- samples(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(1, 5), Gen.choose(0, 100))).map(_.take(8)), 10)) {
+      val target = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v")
+      // within-batch last-wins needs a deterministic batch: dedup input
+      val delta = delta0.distinctBy(_._1).toDF("k", "v")
+      val once = LookupStages.upsertResult(target, delta, "k")
+      val twice = LookupStages.upsertResult(once, delta, "k")
+      assert(once.orderBy("k", "v").collect().toSeq ==
+        twice.orderBy("k", "v").collect().toSeq, s"delta=$delta0")
+    }
+  }
+
+  test("link totality: resolved + unresolved == input count, any dim") {
+    for ((fks, dimKeys) <- samples(Gen.zip(
+        Gen.nonEmptyListOf(Gen.choose(1L, 20L)).map(_.take(12)),
+        Gen.listOfN(6, Gen.choose(1L, 20L))), 10)) {
+      val ctx = newCtx()
+      ctx.registerTable("pdim", dimKeys.distinct.toDF("k"))
+      val df = fks.zipWithIndex.map { case (fk, i) => (i.toLong, fk) }.toDF("id", "fk")
+      val out = LookupStages.link(ComponentSpec("link", Map(
+        "joinFieldName" -> "fk", "lookup" -> "pdim.k",
+        "linkFieldName" -> "lnk")), ctx)(df)
+      val resolved = out.filter(col("lnk").isNotNull).count()
+      val unresolved = out.filter(col("lnk").isNull).count()
+      assert(resolved + unresolved == fks.length)
+      assert(resolved == fks.count(dimKeys.toSet), s"fks=$fks dim=$dimKeys")
+    }
+  }
+
+  test("exact dedup: unique keys, rows drawn from input, one per key") {
+    for (rows <- samples(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0L, 6L), Gen.alphaNumStr.map(_.take(4)))).map(_.take(15)), 10)) {
+      val df = rows.zipWithIndex.map { case ((k, s), i) => (i.toLong, k, s) }
+        .toDF("id", "k", "s")
+      val out = graft.dedup.DedupStages.exactDedup(df, Seq(col("k")), col("id"))
+        .collect()
+      assert(out.map(_.getLong(1)).distinct.length == out.length)
+      val inputs = rows.zipWithIndex.map { case ((k, s), i) => (i.toLong, k, s) }.toSet
+      assert(out.forall(r => inputs((r.getLong(0), r.getLong(1), r.getString(2)))))
+      assert(out.length == rows.map(_._1).distinct.length)
+    }
+  }
+}
