@@ -570,6 +570,16 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
     },
+    "similarity_ivf" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"similarityivf": {"idField": "vec_id",
+          "field": "embedding", "k": 5, "nCells": 16, "nProbe": 3}}],
+        "loader": {"memory": {}} }""")
+        .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
+    },
     "cosine_dup" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{

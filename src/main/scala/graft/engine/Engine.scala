@@ -49,6 +49,7 @@ object Engine {
     "fingerprint"   -> graft.text.TextStages.fingerprint _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
+    "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,
     "cosinedup"     -> graft.similarity.SimilarityStages.cosineDup _,
     "mm_attach"     -> graft.multimodal.MultimodalStages.attach _,
     "mm_decode"     -> graft.multimodal.MultimodalStages.decode _,

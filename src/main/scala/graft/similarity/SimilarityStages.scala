@@ -151,6 +151,58 @@ object SimilarityStages {
         .select("q_id", "n_id", "rank", "cosine")
     }
 
+  /** `similarityivf` transformer — IVF-flat approximate top-k: a
+    * deterministic sample of `nCells` rows acts as the coarse quantizer;
+    * every vector is assigned to its nearest centroid (one pass against
+    * the BROADCAST centroid set — the base table never shuffles for
+    * assignment), queries probe their `nProbe` nearest cells, and exact
+    * cosine re-ranks within the probed cells. The classic IVF recall/
+    * work trade: candidates ≈ N·nProbe/nCells per query, never all-pairs.
+    * Options: idField/field/k, `nCells` (default 16), `nProbe`
+    * (default 2). */
+  def similarityIvf(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val id = spec.strOr("idField", "vec_id")
+      val vec = spec.strOr("field", "embedding")
+      val k = spec.int("k", 10)
+      val nCells = spec.int("nCells", 16)
+      val nProbe = spec.int("nProbe", 2)
+
+      val base = df.select(col(id).as("__id"), col(vec).as("__v"))
+        .withColumn("__n", norm(col("__v")))
+      // deterministic pseudo-random sample as centroids (IVF-flat coarse
+      // quantizer; a trained k-means would slot in here unchanged)
+      val cents = broadcast(base
+        .orderBy(xxhash64(col("__id"))).limit(nCells)
+        .select(col("__id").as("__cell"), col("__v").as("__cv"),
+          col("__n").as("__cn")))
+      val simToCell = cosine(col("__v"), col("__cv"), col("__n"), col("__cn"))
+      val scoredCells = base.join(cents, lit(true))
+        .select(col("__id"), col("__v"), col("__n"), col("__cell"),
+          simToCell.as("__csim"))
+      val wCell = Window.partitionBy("__id")
+        .orderBy(col("__csim").desc, col("__cell").asc)
+      val ranked = scoredCells
+        .withColumn("__crank", row_number().over(wCell))
+      val assigned = ranked.where(col("__crank") === 1) // base: 1 cell each
+      val probes = ranked.where(col("__crank") <= nProbe) // queries: nProbe
+
+      val l = probes.select(col("__cell"), col("__id").as("q_id"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
+      val r = assigned.select(col("__cell"), col("__id").as("n_id"),
+        col("__v").as("__bv"), col("__n").as("__bn"))
+      val cand = l.join(r, Seq("__cell"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
+        .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+      cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    }
+
   /** `cosinedup` transformer — embedding near-duplicate pairs: cosine >=
     * `threshold` (default 0.99) via the SRP bucket join (scale path).
     * Output (a, b, cosine). */

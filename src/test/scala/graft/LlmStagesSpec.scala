@@ -196,6 +196,18 @@ class LlmStagesSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall too low: $recall") // 8 bands of 2 bits
   }
 
+  test("similarity IVF: recall vs brute force on fixture embeddings") {
+    val ctx = newCtx()
+    val emb = ctx.table("embeddings")
+    val brute = SimilarityStages.topk(
+      emb.where("vec_id < 10"), emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = stage("similarityivf", "k" -> 5, "nCells" -> 8, "nProbe" -> 4)(emb)
+      .where("q_id < 10").select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall too low: $recall") // probing half the cells
+  }
+
   // -------------------------------------------------------------- multimodal
   test("mm pipeline: attach → decode(stub) → resize → frames") {
     val df = Seq((7L, "abcdefgh")).toDF("doc_id", "text") // 8 bytes
