@@ -487,8 +487,19 @@ object SparkEntry {
         .select(col("doc_id"), col("ts_chars").cast("long").as("ts_chars"),
           col("ts_tokens").cast("long").as("ts_tokens"),
           col("ts_distinct_tokens").cast("long").as("ts_distinct_tokens"),
-          col("ts_avg_token_len"), col("ts_stopword_ratio"))
+          col("ts_avg_token_len"), col("ts_stopword_ratio"),
+          col("ts_punct_ratio"), col("ts_upper_ratio"))
         .orderBy("doc_id")
+    },
+    "quality_filter" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"qualityfilter": {"field": "text",
+          "minChars": 160, "maxChars": 380, "maxStopwordRatio": 0.12}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
     },
     "langid" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -717,8 +728,16 @@ object SparkEntry {
        s"CAST(list_reduce(list_transform($toks, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)" +
        s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS ts_avg_token_len, " +
        s"CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
-       s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS ts_stopword_ratio " +
+       s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS ts_stopword_ratio, " +
+       s"CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)" +
+       s" / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ts_punct_ratio, " +
+       s"CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)" +
+       s" / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ts_upper_ratio " +
        s"FROM documents ORDER BY doc_id"),
+    "quality_filter" ->
+      (s"SELECT doc_id, n_chars FROM documents WHERE length(text) >= 160 AND length(text) <= 380 " +
+       s"AND CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
+       s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) <= 0.12 ORDER BY doc_id"),
     "langid" -> {
       val lt = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
       def cnt(ws: Seq[String]) =

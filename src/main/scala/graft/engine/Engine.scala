@@ -44,6 +44,7 @@ object Engine {
     "simhash"       -> graft.dedup.DedupStages.simhash _,
     "ngramjaccard"  -> graft.dedup.DedupStages.ngramJaccard _,
     "textstats"     -> graft.text.TextStages.textstats _,
+    "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,

@@ -42,9 +42,49 @@ object TextStages {
         .withColumn("ts_stopword_ratio",
           size(filter(toks, t => t.isInCollection(stop))).cast("double") /
             greatest(size(toks).cast("double"), lit(1.0)))
+        .withColumn("ts_punct_ratio",
+          length(regexp_replace(f, "[^\\p{Punct}]", "")).cast("double") /
+            greatest(length(f).cast("double"), lit(1.0)))
+        .withColumn("ts_upper_ratio",
+          length(regexp_replace(f, "[^A-Z]", "")).cast("double") /
+            greatest(length(f).cast("double"), lit(1.0)))
       if (spec.bool("keepInput", dflt = true)) d
       else d.select((Seq(spec.strOr("idField", "doc_id")) ++
         d.columns.filter(_.startsWith("ts_"))).map(col).toIndexedSeq: _*)
+    }
+
+  /** `qualityfilter`: threshold-based document filtering — the standard
+    * pretraining-corpus cleaning pass. Keeps rows satisfying ALL
+    * configured bounds; each bound is optional. Options: `field`,
+    * `minChars`/`maxChars`, `minTokens`/`maxTokens`,
+    * `maxStopwordRatio`/`minStopwordRatio`, `maxPunctRatio`,
+    * `minAvgTokenLen`/`maxAvgTokenLen`. Pure filter — pushes into the
+    * scan when the stats columns fold to scan-level expressions. */
+  def qualityFilter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      val toks = tokens(f)
+      val nToks = size(toks).cast("double")
+      val stopR = size(filter(toks, t =>
+        t.isInCollection(Stopwords.map(lit(_))))).cast("double") /
+        greatest(nToks, lit(1.0))
+      val punctR = length(regexp_replace(f, "[^\\p{Punct}]", "")).cast("double") /
+        greatest(length(f).cast("double"), lit(1.0))
+      val avgLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(nToks, lit(1.0))
+      val conds = Seq(
+        spec.long("minChars").map(v => length(f) >= v),
+        spec.long("maxChars").map(v => length(f) <= v),
+        spec.long("minTokens").map(v => size(toks) >= v),
+        spec.long("maxTokens").map(v => size(toks) <= v),
+        spec.str("minStopwordRatio").map(v => stopR >= v.toDouble),
+        spec.str("maxStopwordRatio").map(v => stopR <= v.toDouble),
+        spec.str("maxPunctRatio").map(v => punctR <= v.toDouble),
+        spec.str("minAvgTokenLen").map(v => avgLen >= v.toDouble),
+        spec.str("maxAvgTokenLen").map(v => avgLen <= v.toDouble),
+      ).flatten
+      require(conds.nonEmpty, "qualityfilter: at least one bound required")
+      df.filter(conds.reduce(_ && _))
     }
 
   /** Marker-word tables for the heuristic language ID. Declared order is
