@@ -491,6 +491,20 @@ object SparkEntry {
           col("ts_punct_ratio"), col("ts_upper_ratio"))
         .orderBy("doc_id")
     },
+    "events_window" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // batch event-time tumbling window over the registered events table
+      // (goes through Tables.load's TIMESTAMP(NANOS) shim)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT window.start AS window_start, event_type, count(*) AS n FROM (SELECT window(ts, '1 hour') AS window, event_type FROM events) GROUP BY 1, 2"}}],
+        "loader": {"memory": {}} }""")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
     "quality_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -734,6 +748,9 @@ object SparkEntry {
        s"CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)" +
        s" / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ts_upper_ratio " +
        s"FROM documents ORDER BY doc_id"),
+    "events_window" ->
+      ("SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+       "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     "quality_filter" ->
       (s"SELECT doc_id, n_chars FROM documents WHERE length(text) >= 160 AND length(text) <= 380 " +
        s"AND CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
