@@ -159,10 +159,20 @@ object LookupStages {
       }
       val removeJoin = spec.bool("removeJoinField", dflt = false)
 
+      val multiValued = df.schema.fields.exists(f =>
+        spec.str("joinFieldName").contains(f.name) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+
       // CREATE: widen the dim with stub rows for unresolved keys
-      // (two-pass: dim ∪ (keys ∖ dim), then the join always resolves)
+      // (two-pass: dim ∪ (keys ∖ dim), then the join always resolves);
+      // multi-valued join fields contribute their ELEMENTS as keys
+      // (per-element CREATE, OLinkTransformer.java:94-100, 134-146)
       val dim = if (action == Unresolved.Create) {
-        val keys = df.select(joinVal.cast(dim0.schema(key).dataType).as(key)).distinct()
+        val rawKeys = if (multiValued) df.select(explode(joinVal).as("__k"))
+                      else df.select(joinVal.as("__k"))
+        val keys = rawKeys
+          .select(col("__k").cast(dim0.schema(key).dataType).as(key))
+          .where(col(key).isNotNull).distinct()
         val stubs = keys.join(dim0.select(key), Seq(key), "left_anti")
         val widened = dim0.unionByName(stubs, allowMissingColumns = true)
         spec.str("lookup").filter(!_.toUpperCase.startsWith("SELECT")).foreach { lk =>
@@ -173,9 +183,6 @@ object LookupStages {
       } else dim0
 
       val d = maybeBroadcast(dim.select(col(key).as("__lkey")))
-      val multiValued = df.schema.fields.exists(f =>
-        spec.str("joinFieldName").contains(f.name) &&
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
 
       val out =
         if (multiValued && (linkType == "LINKLIST" || linkType == "LINKSET")) {

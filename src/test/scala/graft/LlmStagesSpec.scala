@@ -222,6 +222,19 @@ class LlmStagesSpec extends SparkSpec {
     assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 4, 8))
   }
 
+  test("LINKLIST + CREATE: stub rows from array ELEMENTS, all resolve") {
+    val ctx = newCtx()
+    ctx.registerTable("cdim", Seq(10L, 20L).toDF("k"))
+    val df = Seq((1L, Seq(10L, 99L)), (2L, Seq(77L, 20L))).toDF("id", "fks")
+    val out = graft.stages.LookupStages.link(ComponentSpec("link", Map(
+      "joinFieldName" -> "fks", "lookup" -> "cdim.k", "type" -> "LINKLIST",
+      "linkFieldName" -> "links", "unresolvedLinkAction" -> "CREATE")), ctx)(df)
+    val byId = out.select("id", "links").as[(Long, Seq[Long])].collect().toMap
+    assert(byId(1L) == Seq(10L, 99L)) // 99 resolved via its stub, order kept
+    assert(byId(2L) == Seq(77L, 20L))
+    assert(ctx.table("cdim").count() == 4) // two stubs inserted
+  }
+
   // ----------------------------------------- LINKLIST policy matrix (VERDICT)
   test("LINKLIST: order preserved, unresolved handling per policy") {
     val ctx = newCtx()
