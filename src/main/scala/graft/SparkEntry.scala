@@ -149,6 +149,25 @@ object SparkEntry {
           col("C_MKTSEGMENT").as("c_mktsegment"))
         .orderBy("c_custkey")
     },
+    "input_stdin" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // `input` source (OInputSource.java:30-51): stdin as the reader.
+      // The payload is consumed eagerly at plan-build time (reference
+      // parity — a single bounded Reader), so swapping System.in around
+      // the build is safe.
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$fx/nation_noheader.csv"))
+      val old = System.in
+      System.setIn(new java.io.ByteArrayInputStream(bytes))
+      try Engine.runJson(c, s"""{
+        "source": {"input": {}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"columnsOnFirstLine": false, "columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+      finally System.setIn(old)
+    },
     // --------------------------------------------------------- transformers
     "field_expr" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -456,6 +475,66 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("r_regionkey", "nation_keys").orderBy("r_regionkey")
     },
+    "output_loader" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // `output` loader (OOutputLoader.java:27-52): bounded console show
+      // is the terminal action; the returned stream is what it printed
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"output": {"limit": 5}} }""").orderBy("r_regionkey")
+    },
+    "orientdb_plocal" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // `orientdb` loader, plocal dbURL → parquet database directory with
+      // declared-schema DDL checks (OOrientDBLoader.java:399-514 analogue);
+      // round-trip read-back proves the writer executed
+      val db = s"/tmp/graft_odb_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/supplier.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"orientdb": {"dbURL": "plocal:$db", "class": "supplier",
+          "columns": ["s_suppkey:long", "s_name:string",
+                      "s_nationkey:integer", "s_acctbal:double"]}} }""")
+      s.read.parquet(s"$db/supplier").orderBy("s_suppkey")
+    },
+    "block_code" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // begin-phase `code` block (OCodeBlock.java:33-67): a named driver
+      // hook runs once before extraction
+      Engine.registerCode("mk_top_nation") { df =>
+        df.sparkSession.sql(
+          "CREATE OR REPLACE TEMPORARY VIEW top_nation AS SELECT * FROM nation WHERE n_nationkey < 10")
+        df
+      }
+      Engine.runJson(c, s"""{
+        "begin": [{"code": {"ref": "mk_top_nation"}}],
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT count(*) AS n_top FROM top_nation"}}],
+        "loader": {"memory": {}} }""")
+    },
+    "etl_map_entries" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // EMBEDDEDMAP with a deterministic serialization (sorted key:value
+      // entry strings) so the map content itself is oracle-checkable —
+      // complements `etl_map`'s rows-only check on the native map type
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"etl": {"childTable": "orders",
+          "joinFieldName": "c_custkey", "childJoinFieldName": "o_custkey",
+          "fieldName": "order_status", "fieldType": "EMBEDDEDMAP",
+          "keyFieldName": "o_orderkey", "valueFieldName": "o_orderstatus"}}],
+        "loader": {"memory": {}} }""")
+        .where(col("order_status").isNotNull)
+        .select(col("c_custkey"),
+          array_join(array_sort(transform(map_entries(col("order_status")),
+            e => concat(e("key").cast("string"), lit(":"), e("value")))), ",")
+            .as("entries"))
+        .orderBy("c_custkey")
+    },
     // --------------------------------------------- LLM-pipeline operators
     "dedup_exact" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -615,6 +694,18 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("a", "b").orderBy("a", "b")
     },
+    "cosine_dup_exact" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // brute-force all-pairs baseline (`exact: true`) — the oracle-
+      // checkable reference the LSH path's recall is measured against
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"cosinedup": {"idField": "vec_id",
+          "field": "embedding", "threshold": 0.4, "exact": true}}],
+        "loader": {"memory": {}} }""")
+        .select("a", "b").orderBy("a", "b")
+    },
     "mm_decode" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -681,6 +772,22 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "jdbc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "input_stdin" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "output_loader" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "orientdb_plocal" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "block_code" ->
+      "SELECT count(*) AS n_top FROM nation WHERE n_nationkey < 10",
+    "etl_map_entries" ->
+      ("SELECT c.c_custkey, array_to_string(list_sort(list(o.o_orderkey || ':' || o.o_orderstatus)), ',') AS entries " +
+       "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey"),
+    "cosine_dup_exact" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+       "SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+       "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4 " +
+       "ORDER BY a, b"),
     "field_expr" ->
       "SELECT n_nationkey, n_name, n_regionkey, upper(n_name) AS upper_name FROM nation ORDER BY n_nationkey",
     "field_if" ->

@@ -205,32 +205,48 @@ object SimilarityStages {
 
   /** `cosinedup` transformer — embedding near-duplicate pairs: cosine >=
     * `threshold` (default 0.99) via the SRP bucket join (scale path).
-    * Output (a, b, cosine). */
+    * Output (a, b, cosine). `exact: true` switches to the brute-force
+    * all-pairs baseline (broadcast right side, `a < b` triangle) — the
+    * oracle-checkable reference the LSH path's recall is measured
+    * against; O(N²) compare, small-N verification only. */
   def cosineDup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "vec_id")
       val vec = spec.strOr("field", "embedding")
       graft.functions.VectorExpressions.ensure(ctx.spark)
       val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.99)
-      val nBits = spec.int("nBits", 16)
-      val bands = spec.int("bands", 8)
-      val bits = nBits / bands
-      require(bands * bits == nBits, "cosinedup: bands must divide nBits")
-      val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
-        .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
-        .withColumn("__n", norm(col("__v")))
-      val banded = sigs.select(col("__id"), col("__v"), col("__n"),
-        posexplode(array((0 until bands).map(bi =>
-          shiftright(col("__sig"), bi * bits)
-            .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
-      val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"),
-        col("__v").as("__av"), col("__n").as("__an"))
-      val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"),
-        col("__v").as("__bv"), col("__n").as("__bn"))
-      l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
-        .distinct()
-        .where(col("cosine") >= threshold)
+      if (spec.bool("exact", dflt = false)) {
+        val base = df.select(col(id).as("__id"), col(vec).as("__v"))
+          .withColumn("__n", norm(col("__v")))
+        val l = base.select(col("__id").as("a"), col("__v").as("__av"),
+          col("__n").as("__an"))
+        val r = base.select(col("__id").as("b"), col("__v").as("__bv"),
+          col("__n").as("__bn"))
+        l.join(broadcast(r), col("a") < col("b"))
+          .select(col("a"), col("b"),
+            cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
+          .where(col("cosine") >= threshold)
+      } else {
+        val nBits = spec.int("nBits", 16)
+        val bands = spec.int("bands", 8)
+        val bits = nBits / bands
+        require(bands * bits == nBits, "cosinedup: bands must divide nBits")
+        val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
+          .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
+          .withColumn("__n", norm(col("__v")))
+        val banded = sigs.select(col("__id"), col("__v"), col("__n"),
+          posexplode(array((0 until bands).map(bi =>
+            shiftright(col("__sig"), bi * bits)
+              .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
+        val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"),
+          col("__v").as("__av"), col("__n").as("__an"))
+        val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"),
+          col("__v").as("__bv"), col("__n").as("__bn"))
+        l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
+          .distinct()
+          .where(col("cosine") >= threshold)
+      }
     }
 }
