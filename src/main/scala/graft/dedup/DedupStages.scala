@@ -130,13 +130,12 @@ object DedupStages {
       graft.functions.VectorExpressions.ensure(ctx.spark)
       val docs = df.select(col(id).as("__id"),
         graft.functions.VectorExpressions.shingleHashes(col(field), n).as("__shh"))
-      val exploded = docs.select(col("__id"), explode(col("__shh")).as("__h"))
-      val minCols = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
-      val sigs = exploded.groupBy("__id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("__id"),
-          array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+      // native per-row signature (graft.functions.MinHashSig): a pure
+      // map-side projection — no explode, NO shuffle before banding
+      // (values identical to the explode+MIN-agg form, asserted in specs)
+      val sigs = docs.select(col("__id"),
+        graft.functions.VectorExpressions.minhashSig(col("__shh"), numHashes)
+          .as("__sig"))
 
       // band keys: hash of each signature slice → explode B rows per doc
       val bandKeys = array((0 until bands).map(bi =>
@@ -214,8 +213,12 @@ object DedupStages {
       val blocks = maxDist + 1
       val bits = 64 / blocks
 
-      val sigs = simhashSignatures(
-        df.select(col(id).as("__id"), col(field).as("__text")))
+      // native per-row signature (graft.functions.SimHash64) — a pure
+      // projection, no explode + 64-SUM-agg shuffle (values identical to
+      // simhashSignatures, asserted in specs)
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val sigs = df.select(col(id).as("__id"),
+        graft.functions.VectorExpressions.simHash64(col(field)).as("__sig"))
       val blockKeys = array((0 until blocks).map(bi =>
         shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
       val banded = sigs.select(col("__id"), col("__sig"),

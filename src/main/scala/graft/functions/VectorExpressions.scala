@@ -167,6 +167,144 @@ object ShingleHashes {
   }
 }
 
+/** Native per-row MinHash signature from a shingle-hash array: sig[i] =
+  * min over shingle hashes h of xxhash64(i, h) — byte-identical to the
+  * explode + `numHashes` MIN-aggregate form ([[graft.dedup.DedupStages
+  * .minhashSignatures]], asserted in specs) but computed in ONE tight
+  * per-row loop. Scale consequence: signature computation becomes a pure
+  * map-side projection — NO shuffle before LSH banding (the explode+agg
+  * form pays a groupBy shuffle of one combined row per doc).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numHashes >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long> input and numHashes >= 1")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.MinHashSig.compute($c, $numHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** Per-permutation seeds: xxhash64(i, h) in Spark evaluates as
+    * hashLong(h, hashInt(i, 42)) — precompute hashInt(i, 42) once. */
+  private def seeds(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes,
+      n => Array.tabulate(n)(i => XXH64.hashInt(i, 42L)))
+
+  def compute(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val s = seeds(numHashes)
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = XXH64.hashLong(h, s(i))
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    out
+  }
+}
+
+/** Native per-row 64-bit SimHash of a string: tokenize on whitespace
+  * (same tokenizer as [[ShingleHashes]], mirroring `split(trim(s),
+  * "\\s+")` incl. its single-empty-token result for blank input),
+  * xxhash64 each token, accumulate per-bit ±1 counts, pack signs —
+  * byte-identical to the HOF/aggregate forms ([[graft.dedup.DedupStages
+  * .simhash64]]/[[graft.dedup.DedupStages.simhashSignatures]], asserted
+  * in specs). Same scale consequence as [[MinHashSig]]: the signature is
+  * a pure projection, no explode + 64-SUM-aggregate shuffle.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val Seed = 42L
+
+  def compute(str: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = str.getBytes
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    val counts = new Array[Int](64)
+    var nTok = 0
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i < bytes.length) {
+        val start = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        addToken(counts, XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, Seed))
+        nTok += 1
+      }
+    }
+    // split(trim(""), "\s+") yields [""] — one empty token, not zero
+    if (nTok == 0)
+      addToken(counts, XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 0, Seed))
+    var acc = 0L
+    var b = 0
+    while (b < 64) { // bit 0's sign lands in the MSB (matches the HOF fold)
+      acc = (acc << 1) | (if (counts(b) > 0) 1L else 0L)
+      b += 1
+    }
+    acc
+  }
+
+  private def addToken(counts: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+      b += 1
+    }
+  }
+}
+
 object VectorExpressions {
   private val registered =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
@@ -190,6 +328,20 @@ object VectorExpressions {
           ShingleHashes(exprs.head, n)
         },
         "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash_sig",
+        (exprs: Seq[Expression]) => {
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+            case other => sys.error(s"graft_minhash_sig: numHashes must be an int literal, got $other")
+          }
+          MinHashSig(exprs.head, n)
+        },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash64",
+        (exprs: Seq[Expression]) => SimHash64(exprs.head),
+        "built-in")
     }
 
   /** Native dot product of two float/double array columns. */
@@ -200,4 +352,13 @@ object VectorExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     call_function("graft_shingle_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Native per-row MinHash signature of a shingle-hash array column. */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", shingleHashes,
+      org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Native per-row 64-bit SimHash of a string column. */
+  def simHash64(text: Column): Column =
+    call_function("graft_simhash64", text)
 }

@@ -90,6 +90,41 @@ class LlmStagesSpec extends SparkSpec {
     assert(hofS == aggS)
   }
 
+  test("native per-row signatures (MinHashSig / SimHash64) equal HOF forms") {
+    graft.functions.VectorExpressions.ensure(spark)
+    // fixture docs + blank/whitespace/short edge cases (blank input must
+    // reproduce split(trim(s), "\s+")'s single-empty-token behavior)
+    val docs = newCtx().table("documents").limit(100)
+      .union(Seq((9001L, "", "en", "x", 0L), (9002L, "   ", "en", "x", 3L),
+        (9003L, "one", "en", "x", 3L)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars"))
+    val mhDiff = docs.select(
+      graft.functions.VectorExpressions.minhashSig(
+        graft.functions.VectorExpressions.shingleHashes(col("text"), 3), 64).as("native"),
+      DedupStages.minhashSignature(
+        DedupStages.wordShingles(col("text"), 3), 64).as("hof"))
+      .where(not(col("native") === col("hof"))).count()
+    assert(mhDiff == 0)
+    val shDiff = docs.select(
+      graft.functions.VectorExpressions.simHash64(col("text")).as("native"),
+      DedupStages.simhash64(col("text")).as("hof"))
+      .where(not(col("native") === col("hof"))).count()
+    assert(shDiff == 0)
+  }
+
+  test("cosinedup exact is the brute-force baseline; LSH recall measured against it") {
+    val ctx = newCtx()
+    val emb = ctx.table("embeddings")
+    val exact = stage("cosinedup", "threshold" -> 0.4, "exact" -> true)(emb)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = stage("cosinedup", "threshold" -> 0.4, "nBits" -> 16,
+      "bands" -> 4)(emb).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH pairs must be a subset of exact pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.3, s"LSH recall too low: $recall")
+  }
+
   // ----------------------------------------------------------------- simhash
   test("simhash: identical docs distance 0; near docs close; far docs far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

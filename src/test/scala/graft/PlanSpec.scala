@@ -95,6 +95,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("minhash/simhash signatures are pure projections — no shuffle") {
+    graft.functions.VectorExpressions.ensure(spark)
+    val ctx = newCtx()
+    val docs = ctx.table("documents")
+    val mh = docs.select(col("doc_id"),
+      graft.functions.VectorExpressions.minhashSig(
+        graft.functions.VectorExpressions.shingleHashes(col("text"), 3), 64))
+    assert(!planOf(mh).contains("Exchange"),
+      "minhash signature computation must not shuffle")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.VectorExpressions.simHash64(col("text")))
+    assert(!planOf(sh).contains("Exchange"),
+      "simhash signature computation must not shuffle")
+  }
+
   test("similarity topk: query side broadcast, base never shuffles pre-join") {
     val ctx = newCtx()
     val out = graft.similarity.SimilarityStages.topk(
