@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Spark extensions injector — the deployment-grade registration path
+  * for the native graft expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * makes `graft_array_dot`, `graft_shingle_hashes`, `graft_minhash_sig`
+  * and `graft_simhash64` available to every session (including pure-SQL
+  * users) without any driver-side `ensure()` call. The embedded engine
+  * path ([[graft.functions.VectorExpressions.ensure]]) registers the
+  * same functions per-session for programmatic use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => sys.error(s"$what must be an int literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_array_dot"),
+      info("graft_array_dot",
+        "graft_array_dot(a, b) - dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ArrayDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, n) - distinct xxhash64 of word n-gram shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ShingleHashes(exprs.head, intLit(exprs(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(shingleHashes, numHashes) - per-row MinHash signature"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(text) - per-row 64-bit SimHash"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SimHash64(exprs.head)))
+  }
+}

@@ -623,6 +623,34 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "fp_md5").orderBy("doc_id")
     },
+    "neardup_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // keep-one near-dup dedup via connected components; exact-pair mode
+      // (oracle-checkable — DuckDB recursive-CTE transitive closure)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id < 250"}},
+          {"neardupdedup": {"idField": "doc_id", "field": "text",
+            "mode": "exact", "shingleSize": 3, "threshold": 0.5}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    },
+    "neardup_dedup_lsh" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the scale path: banded-LSH pairs feed the same component pass —
+      // probabilistic candidates, rows-only driver check (recall/semantics
+      // covered in sbt specs)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"neardupdedup": {"idField": "doc_id",
+          "field": "text", "shingleSize": 3, "numHashes": 64, "bands": 16,
+          "threshold": 0.5}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -883,6 +911,19 @@ object SparkEntry {
        s"FROM documents ORDER BY doc_id"),
     "fingerprint" ->
       raw"SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5 FROM documents ORDER BY doc_id",
+    "neardup_dedup" -> {
+      val sh = shingles("documents")
+      s"WITH RECURSIVE s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 250), " +
+      "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5), " +
+      "sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), " +
+      "reach(src, dst) AS (SELECT a AS src, b AS dst FROM sym " +
+      "UNION SELECT r.src, s2.b AS dst FROM reach r JOIN sym s2 ON r.dst = s2.a) " +
+      "SELECT doc_id, lang, source, n_chars FROM documents d WHERE doc_id < 250 " +
+      "AND NOT EXISTS (SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id) " +
+      "ORDER BY doc_id"
+    },
     "ngram_jaccard" -> {
       val sh = shingles("documents")
       s"WITH s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 60) " +

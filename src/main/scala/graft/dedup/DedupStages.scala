@@ -255,4 +255,70 @@ object DedupStages {
         .where(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     }
+
+  // ------------------------------------------- near-dup dedup (keep-one)
+
+  /** Min-label connected components over an undirected pair list
+    * `(a, b)`: iteratively propagate the minimum label to neighbors
+    * until fixpoint. Near-dup clusters are tiny (pairs/triples/short
+    * chains), so this converges in a few rounds; `maxIter` caps
+    * pathological chains (propagation distance = graph diameter per
+    * round). The iteration state is only the PAIR GRAPH — orders of
+    * magnitude smaller than the corpus — with each round one
+    * broadcast-or-shuffle join + agg; intermediate labels are
+    * persisted and freed per round, so lineage stays flat.
+    * Returns `(id, comp)` for nodes that appear in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).persist()
+    labels.count()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("__nid"), col("comp").as("__ncomp")),
+          col("dst") === col("__nid"))
+        .groupBy(col("src").as("id")).agg(min("__ncomp").as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__new"))
+        .persist()
+      changed = next.where(col("__new") < col("comp")).count()
+      val prev = labels
+      labels = next.select(col("id"), col("__new").as("comp")).persist()
+      labels.count()
+      prev.unpersist(); next.unpersist()
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** `neardupdedup` transformer: DROP near-duplicate documents, keeping
+    * the minimum-id document per connected component of the near-dup
+    * pair graph (transitive: A≈B and B≈C drops both B and C even when
+    * A,C aren't directly similar). Documents in no pair pass through.
+    *
+    * Pair generation: `mode: "minhash"` (default — banded LSH, the
+    * scale path) or `"exact"` (all-pairs exact Jaccard — the
+    * oracle-checkable verification path, O(N²): small inputs only).
+    * Options: those of [[minhash]]/[[ngramJaccard]] plus `maxIter`
+    * (component propagation cap, default 12). */
+  def neardupDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      // strip `output` so the inner pair stage can't double-capture
+      val inner = ComponentSpec(spec.name, spec.options - "output")
+      val pairs = (spec.strOr("mode", "minhash") match {
+        case "exact" => ngramJaccard(inner, ctx)(df)
+        case _ => minhash(inner, ctx)(df)
+      }).select("a", "b")
+      val comps = connectedComponents(pairs, spec.int("maxIter", 12))
+      val losers = comps.where(col("id") =!= col("comp"))
+        .select(col("id").as("__drop"))
+      df.join(losers, col(id) === col("__drop"), "left_anti")
+    }
 }

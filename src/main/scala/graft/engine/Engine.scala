@@ -43,6 +43,7 @@ object Engine {
     "minhash"       -> graft.dedup.DedupStages.minhash _,
     "simhash"       -> graft.dedup.DedupStages.simhash _,
     "ngramjaccard"  -> graft.dedup.DedupStages.ngramJaccard _,
+    "neardupdedup"  -> graft.dedup.DedupStages.neardupDedup _,
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "langid"        -> graft.text.TextStages.langid _,
@@ -174,6 +175,9 @@ object Engine {
     * defaults, AQE on, shuffle partitions sized for the local profile. */
   def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
     val b = SparkSession.builder().appName(appName)
+      // native expressions available to pure-SQL users of the session
+      // (the stages also self-register via VectorExpressions.ensure)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -190,4 +190,17 @@ class EngineSpec extends SparkSpec {
     val lines = out.select("value").collect().map(_.getString(0)).toSet
     assert(lines == (3 to 7).map("line" + _).toSet)
   }
+
+  test("GraftExtensions: native functions callable from pure SQL (no ensure())") {
+    // the session was built with spark.sql.extensions=graft.GraftExtensions;
+    // the injected functions must resolve in SQL text without any
+    // programmatic VectorExpressions.ensure() registration
+    val r = spark.sql(
+      """SELECT graft_simhash64('a b c') AS sh,
+        |       graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |       size(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16)) AS nsig
+        |""".stripMargin).head()
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 16)
+  }
 }

@@ -125,6 +125,33 @@ class LlmStagesSpec extends SparkSpec {
     assert(recall > 0.3, s"LSH recall too low: $recall")
   }
 
+  test("neardupdedup: transitive keep-one via connected components") {
+    // chain cluster: 1≈2, 2≈3 (1 vs 3 below threshold) → only 1 survives;
+    // 4 is unrelated → survives; 5≈6 pair → 5 survives
+    val mk = (from: Int, to: Int) => (from to to).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, mk(1, 40)),                       // base
+      (2L, mk(3, 42)),                       // ≈1 (overlap 1..40 ∩ 3..42)
+      (3L, mk(6, 45)),                       // ≈2, farther from 1
+      (4L, (200 to 240).map(i => s"z$i").mkString(" ")), // unrelated
+      (5L, mk(100, 140).replace("tok", "q")),
+      (6L, mk(102, 142).replace("tok", "q"))).toDF("doc_id", "text")
+    for (mode <- Seq("exact", "minhash")) {
+      val out = stage("neardupdedup", "mode" -> mode, "threshold" -> 0.6,
+        "numHashes" -> 64, "bands" -> 16)(df)
+      val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 4L, 5L), s"mode=$mode kept $kept")
+    }
+  }
+
+  test("connectedComponents: chain converges to the min label") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (2L, 7L), (30L, 40L)).toDF("a", "b")
+    val comps = DedupStages.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(5L) == 2L && comps(9L) == 2L && comps(2L) == 2L && comps(7L) == 2L)
+    assert(comps(30L) == 30L && comps(40L) == 30L)
+  }
+
   // ----------------------------------------------------------------- simhash
   test("simhash: identical docs distance 0; near docs close; far docs far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
