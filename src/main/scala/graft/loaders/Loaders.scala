@@ -69,7 +69,20 @@ object Loaders {
         var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
         val parts = spec.strList("partitionBy")
         if (parts.nonEmpty) w = w.partitionBy(parts: _*)
-        w.parquet(path)
+        val buckets = spec.strList("bucketBy")
+        if (buckets.nonEmpty) {
+          // bucketed external table (requires `table`): co-locates joins
+          // and aggregations on the bucket key — downstream plans on
+          // spark.table(table) skip the shuffle entirely (asserted in
+          // PlanSpec). The 100 TB shape for repeated fact-table joins.
+          val table = spec.str("table")
+            .getOrElse(sys.error("parquet loader: bucketBy requires table"))
+          var bw = w.option("path", path)
+            .bucketBy(spec.int("buckets", 8), buckets.head, buckets.tail: _*)
+          val sorts = spec.strList("sortBy")
+          if (sorts.nonEmpty) bw = bw.sortBy(sorts.head, sorts.tail: _*)
+          bw.format("parquet").saveAsTable(table)
+        } else w.parquet(path)
         true
 
       case "jdbc" =>

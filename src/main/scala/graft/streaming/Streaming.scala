@@ -130,6 +130,22 @@ object Streaming {
       .toDF()
   }
 
+  /** `stream_dedup`: exact deduplication on a stream with state BOUNDED
+    * by the watermark (`dropDuplicatesWithinWatermark`): a duplicate
+    * arriving within the watermark delay of the first occurrence is
+    * dropped, and state for keys older than the watermark is evicted —
+    * so the operator runs indefinitely at constant state, the streaming
+    * analogue of the batch `dedup` stage. Options: `keyFields`
+    * (required), `tsField` (default ts), `watermark` (default
+    * "10 minutes"). */
+  def streamDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val keys = spec.strList("keyFields")
+    require(keys.nonEmpty, "stream_dedup: keyFields required")
+    val ts = spec.strOr("tsField", "ts")
+    val wm = spec.strOr("watermark", "10 minutes")
+    df.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
+  }
+
   /** Run a streaming pipeline spec: `stream` source → registered
     * transformers (+ the streaming stages) → `streamsink` loader.
     * Returns the started query; callers manage its lifecycle. */
@@ -141,6 +157,7 @@ object Streaming {
       val fn = t.name match {
         case "window_agg" => windowAgg(t, ctx)
         case "sessionize" => sessionize(t, ctx)
+        case "stream_dedup" => streamDedup(t, ctx)
         case other => Engine.transformers.getOrElse(other,
           sys.error(s"unknown transformer $other"))(t, ctx)
       }

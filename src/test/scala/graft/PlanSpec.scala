@@ -110,6 +110,27 @@ class PlanSpec extends SparkSpec {
       "simhash signature computation must not shuffle")
   }
 
+  test("bucketed parquet write: agg + self-join on the bucket key, no shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/orders.parquet"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$dir/orders_b", "table": "orders_b",
+        "bucketBy": ["o_custkey"], "buckets": 4, "sortBy": ["o_custkey"]}} }""")
+    val t = spark.table("orders_b")
+    // aggregation on the bucket key: bucketing replaces the exchange
+    val agg = t.groupBy("o_custkey").count()
+    assert(!planOf(agg).contains("Exchange"),
+      s"bucketed groupBy must not shuffle:\n${planOf(agg)}")
+    // self-join on the bucket key: both sides pre-partitioned, no exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = t.as("x").join(t.as("y"), "o_custkey")
+      assert(!planOf(j).contains("Exchange"),
+        s"bucketed self-join must not shuffle:\n${planOf(j)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("similarity topk: query side broadcast, base never shuffles pre-join") {
     val ctx = newCtx()
     val out = graft.similarity.SimilarityStages.topk(

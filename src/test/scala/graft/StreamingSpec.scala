@@ -88,4 +88,34 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("stream_events").columns.contains("vv"))
     } finally q.stop()
   }
+
+  test("stream_dedup: duplicates within the watermark are dropped, state bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // doc 1 duplicated twice within the watermark window, doc 2 once
+    Seq((1L, at(0), "a"), (1L, at(5), "a-dup"), (2L, at(10), "b"),
+      (1L, at(15), "a-dup2"), (3L, at(20), "c"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(dir)
+    val q = Streaming.run(newCtx(), PipelineSpec(
+      config = Map.empty, begin = Nil,
+      source = Some(ComponentSpec("stream", Map(
+        "path" -> dir, "format" -> "parquet",
+        "schema" -> "doc_id BIGINT, ts TIMESTAMP, text STRING"))),
+      extractor = None,
+      transformers = Seq(ComponentSpec("stream_dedup", Map(
+        "keyFields" -> Seq("doc_id"), "tsField" -> "ts",
+        "watermark" -> "1 minute"))),
+      loader = Some(ComponentSpec("streamsink", Map(
+        "format" -> "memory", "name" -> "stream_dedup_out"))),
+      end = Nil))
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
