@@ -21,12 +21,24 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb JVM/JIT/codegen/session warm-up OUTSIDE the timed loop so
+    // per-query numbers measure plan cost, not which query ran first
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.join(broadcast(w.limit(5)), Seq("n_nationkey")).count()
+      spark.range(1000000).selectExpr("sum(id)").collect()
+    }
     // stable ordering so per-query numbers are comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any cache a query left behind — cross-query leak pileup
+      // shows up as multi-second GC stalls on unrelated later queries
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -22,8 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case other => sys.error(s"$what must be an int literal, got $other")
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"$what must be an int literal, got $other"))
   }
+
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$name requires $n argument(s), got ${exprs.length}"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -33,25 +42,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_array_dot"),
       info("graft_array_dot",
         "graft_array_dot(a, b) - dot product of two float/double arrays"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.ArrayDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_array_dot", 2, exprs)
+        graft.functions.ArrayDot(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes",
         "graft_shingle_hashes(text, n) - distinct xxhash64 of word n-gram shingles"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.ShingleHashes(exprs.head, intLit(exprs(1), "n"))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2, exprs)
+        graft.functions.ShingleHashes(exprs.head, intLit(exprs(1), "n"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(shingleHashes, numHashes) - per-row MinHash signature"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_minhash_sig", 2, exprs)
+        graft.functions.MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64",
         "graft_simhash64(text) - per-row 64-bit SimHash"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("graft_simhash64", 1, exprs)
+        graft.functions.SimHash64(exprs.head)
+      }))
   }
 }

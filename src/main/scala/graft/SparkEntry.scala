@@ -296,7 +296,13 @@ object SparkEntry {
                     "linkFieldName": "supp_links", "type": "LINKLIST"}}],
         "loader": {"memory": {}} }""")
         .where(size(col("supp_links")) > 0)
-        .select("l_orderkey", "supp_links").orderBy("l_orderkey")
+        // serialize the LINKLIST for the oracle compare (the driver's
+        // pandas sort can't order list cells); element order is the
+        // upstream sort_array order, preserved by the link stage
+        .select(col("l_orderkey"),
+          array_join(transform(col("supp_links"), _.cast("string")), ",")
+            .as("supp_links"))
+        .orderBy("l_orderkey")
     },
     "vertex_label" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -332,12 +338,22 @@ object SparkEntry {
           "valueFieldName": "o_orderkey"}}],
         "loader": {"memory": {}} }""")
         .where(col("order_keys").isNotNull)
-        .select("c_custkey", "order_keys").orderBy("c_custkey")
+        // EMBEDDEDLIST serialized sorted for the oracle compare (list
+        // cells break the driver's pandas sort; collect order is
+        // nondeterministic anyway)
+        .select(col("c_custkey"),
+          array_join(transform(array_sort(col("order_keys")), _.cast("string")), ",")
+            .as("order_keys"))
+        .orderBy("c_custkey")
     },
     "etl_map" -> { (s, dir) =>
       val c = ctx(s, dir)
-      // EMBEDDEDMAP form — map values are not portably hashable by the
-      // oracle; rows-only driver check, exact values covered in sbt specs
+      // EMBEDDEDMAP form — entries serialized sorted as `key:cents` so
+      // the native map content is oracle-checkable (map cells break the
+      // driver's pandas sort; double→string formatting differs across
+      // engines, so values go through round(*100)→BIGINT cents — the
+      // explicit round matters: Spark's double→bigint cast truncates
+      // where DuckDB's rounds)
       Engine.runJson(c, s"""{
         "source": {"file": {"path": "$dir/customer.parquet"}},
         "extractor": {"parquet": {}},
@@ -347,7 +363,12 @@ object SparkEntry {
           "keyFieldName": "o_orderkey", "valueFieldName": "o_totalprice"}}],
         "loader": {"memory": {}} }""")
         .where(col("order_prices").isNotNull)
-        .select("c_custkey", "order_prices").orderBy("c_custkey")
+        .select(col("c_custkey"),
+          array_join(array_sort(transform(map_entries(col("order_prices")),
+            e => concat(e("key").cast("string"), lit(":"),
+              round(e("value") * 100).cast("bigint").cast("string")))), ",")
+            .as("entries"))
+        .orderBy("c_custkey")
     },
     "command_agg" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -473,7 +494,10 @@ object SparkEntry {
           "fieldName": "nation_keys", "fieldType": "EMBEDDEDLIST",
           "valueFieldName": "n_nationkey"}}],
         "loader": {"memory": {}} }""")
-        .select("r_regionkey", "nation_keys").orderBy("r_regionkey")
+        .select(col("r_regionkey"),
+          array_join(transform(array_sort(col("nation_keys")), _.cast("string")), ",")
+            .as("nation_keys"))
+        .orderBy("r_regionkey")
     },
     "output_loader" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -639,9 +663,11 @@ object SparkEntry {
     },
     "neardup_dedup_lsh" -> { (s, dir) =>
       val c = ctx(s, dir)
-      // the scale path: banded-LSH pairs feed the same component pass —
-      // probabilistic candidates, rows-only driver check (recall/semantics
-      // covered in sbt specs)
+      // the scale path: banded-LSH pairs feed the same component pass.
+      // Oracle = the exact transitive-closure keeper set (DuckDB
+      // recursive CTE over the full table): LSH pair recall at the
+      // fixture's similarity level is 1.0 (sf0.01: exact and LSH both
+      // yield the same 25 pairs / 476 keepers), so keepers coincide.
       Engine.runJson(c, s"""{
         "source": {"file": {"path": "$dir/documents.parquet"}},
         "extractor": {"parquet": {}},
@@ -664,8 +690,11 @@ object SparkEntry {
     },
     "minhash_pairs" -> { (s, dir) =>
       val c = ctx(s, dir)
-      // banded LSH candidates + exact verify — probabilistic candidate set,
-      // rows-only driver check; determinism + recall covered in sbt specs
+      // banded LSH candidates + exact verify. The oracle is the EXACT
+      // jaccard pair set: every output pair is exact-verified (subset of
+      // the oracle by construction), and 64-hash/16-band LSH recall at
+      // the fixture's pair-similarity level is 1.0 (verified empirically
+      // at sf0.01: both sides = 25 pairs), so the sets coincide.
       Engine.runJson(c, s"""{
         "source": {"file": {"path": "$dir/documents.parquet"}},
         "extractor": {"parquet": {}},
@@ -839,13 +868,16 @@ object SparkEntry {
     "link_create" ->
       "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 2000000 ELSE o_custkey END AS cust_link FROM orders ORDER BY o_orderkey",
     "link_list" ->
-      "SELECT l.l_orderkey, list_sort(list(s.s_suppkey)) AS supp_links FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY l.l_orderkey ORDER BY l_orderkey",
+      "SELECT l.l_orderkey, array_to_string(list_sort(list(s.s_suppkey)), ',') AS supp_links FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY l.l_orderkey ORDER BY l_orderkey",
     "vertex_label" ->
       "SELECT CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "edge_graph" ->
       "SELECT CAST(o_orderkey AS VARCHAR) AS src, CAST(c_custkey AS VARCHAR) AS dst, 'placed' AS label FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY src, dst",
     "etl_list" ->
-      "SELECT c.c_custkey, list_sort(list(o.o_orderkey)) AS order_keys FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey",
+      "SELECT c.c_custkey, array_to_string(list_sort(list(o.o_orderkey)), ',') AS order_keys FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey",
+    "etl_map" ->
+      ("SELECT c.c_custkey, array_to_string(list_sort(list(o.o_orderkey || ':' || CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS VARCHAR))), ',') AS entries " +
+       "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey"),
     "command_agg" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "code_sql" ->
@@ -865,7 +897,7 @@ object SparkEntry {
     "http_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "etl_params" ->
-      "SELECT r.r_regionkey, list_sort(list(n.n_nationkey)) AS nation_keys FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_regionkey ORDER BY r.r_regionkey",
+      "SELECT r.r_regionkey, array_to_string(list_sort(list(n.n_nationkey)), ',') AS nation_keys FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_regionkey ORDER BY r.r_regionkey",
     "dedup_exact" ->
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT n_chars, min(doc_id) AS kid FROM documents GROUP BY n_chars) g ON d.doc_id = g.kid ORDER BY d.doc_id",
     "dedup_content" ->
@@ -922,6 +954,30 @@ object SparkEntry {
       "UNION SELECT r.src, s2.b AS dst FROM reach r JOIN sym s2 ON r.dst = s2.a) " +
       "SELECT doc_id, lang, source, n_chars FROM documents d WHERE doc_id < 250 " +
       "AND NOT EXISTS (SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id) " +
+      "ORDER BY doc_id"
+    },
+    "minhash_pairs" -> {
+      val sh = shingles("documents")
+      s"WITH s AS (SELECT doc_id, $sh AS sh FROM documents) " +
+      s"SELECT a.doc_id AS a, b.doc_id AS b, " +
+      s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      s"CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard " +
+      s"FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      s"WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      s"CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.2 " +
+      s"ORDER BY a, b"
+    },
+    "neardup_dedup_lsh" -> {
+      val sh = shingles("documents")
+      s"WITH RECURSIVE s AS (SELECT doc_id, $sh AS sh FROM documents), " +
+      "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5), " +
+      "sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), " +
+      "reach(src, dst) AS (SELECT a AS src, b AS dst FROM sym " +
+      "UNION SELECT r.src, s2.b AS dst FROM reach r JOIN sym s2 ON r.dst = s2.a) " +
+      "SELECT doc_id, n_chars FROM documents d " +
+      "WHERE NOT EXISTS (SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id) " +
       "ORDER BY doc_id"
     },
     "ngram_jaccard" -> {

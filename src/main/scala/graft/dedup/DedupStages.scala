@@ -128,8 +128,13 @@ object DedupStages {
       // byte-identical hash values to the HOF wordShingles+xxhash64 path
       // (asserted in specs), ~10× cheaper per row
       graft.functions.VectorExpressions.ensure(ctx.spark)
+      // null-text docs carry null signatures whose band keys degenerate
+      // to the band-index hash — every null doc would collide into one
+      // bucket per band (O(K²) candidates). Null text can't be a
+      // near-dup; drop before banding (round-2 advisory).
       val docs = df.select(col(id).as("__id"),
-        graft.functions.VectorExpressions.shingleHashes(col(field), n).as("__shh"))
+          graft.functions.VectorExpressions.shingleHashes(col(field), n).as("__shh"))
+        .where(col("__shh").isNotNull)
       // native per-row signature (graft.functions.MinHashSig): a pure
       // map-side projection — no explode, NO shuffle before banding
       // (values identical to the explode+MIN-agg form, asserted in specs)
@@ -247,6 +252,13 @@ object DedupStages {
       val field = spec.strOr("field", "text")
       val n = spec.int("shingleSize", 3)
       val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.5)
+      // enforce the documented small-N contract BEFORE the O(N²) join —
+      // a clear error beats an hours-long cross join / broadcast OOM
+      val maxRows = spec.int("maxRows", 10000)
+      val got = df.limit(maxRows + 1).count()
+      require(got <= maxRows,
+        s"ngramjaccard: input exceeds maxRows=$maxRows (all-pairs exact " +
+        s"verification is O(N²) — pre-filter the input or use `minhash`)")
       val docs = df.select(col(id).as("__id"), wordShingles(col(field), n).as("__sh"))
       val l = docs.select(col("__id").as("a"), col("__sh").as("__sha"))
       val r = docs.select(col("__id").as("b"), col("__sh").as("__shb"))
@@ -259,41 +271,56 @@ object DedupStages {
   // ------------------------------------------- near-dup dedup (keep-one)
 
   /** Min-label connected components over an undirected pair list
-    * `(a, b)`: iteratively propagate the minimum label to neighbors
-    * until fixpoint. Near-dup clusters are tiny (pairs/triples/short
-    * chains), so this converges in a few rounds; `maxIter` caps
-    * pathological chains (propagation distance = graph diameter per
-    * round). The iteration state is only the PAIR GRAPH — orders of
-    * magnitude smaller than the corpus — with each round one
-    * broadcast-or-shuffle join + agg; intermediate labels are
-    * persisted and freed per round, so lineage stays flat.
-    * Returns `(id, comp)` for nodes that appear in a pair. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    * `(a, b)`: each round does one-hop min-neighbour propagation followed
+    * by POINTER JUMPING (`comp := comp(comp)`), so chain length halves
+    * per round and convergence is O(log diameter) — a diameter-10⁶ path
+    * graph still finishes in ~20 rounds (the plain one-hop variant needs
+    * diameter rounds and silently truncates, the round-2 advisory).
+    * The iteration state is only the PAIR GRAPH — orders of magnitude
+    * smaller than the corpus. Each round is checkpointed (see below), so
+    * neither the logical plan nor the cached blocks accumulate; the
+    * returned `(id, comp)` frame is lineage-free. Throws if `maxIter`
+    * rounds were insufficient — wrong dedup keeps are worse than a loud
+    * stop. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
+    // localCheckpoint (eager) each round: truncates the LOGICAL lineage
+    // to a LogicalRDD — the self-join below would otherwise double the
+    // plan tree twice per round (4^rounds nodes: planner/explain OOM
+    // long before the data is big). Checkpoint blocks are freed by the
+    // ContextCleaner once unreferenced, so rounds don't accumulate.
     var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).persist()
-    labels.count()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      // 1-hop: comp := min(comp, min over neighbours of their comp)
       val nbrMin = sym
         .join(labels.select(col("id").as("__nid"), col("comp").as("__ncomp")),
           col("dst") === col("__nid"))
         .groupBy(col("src").as("id")).agg(min("__ncomp").as("__nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__new"))
-        .persist()
-      changed = next.where(col("__new") < col("comp")).count()
-      val prev = labels
-      labels = next.select(col("id"), col("__new").as("comp")).persist()
-      labels.count()
-      prev.unpersist(); next.unpersist()
+      val hop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__hop"))
+        .localCheckpoint(true)
+      // pointer jump: comp := comp(comp) — labels are node ids, so the
+      // hop frame doubles as the id→comp mapping
+      val mapping = hop.select(col("id").as("__mid"), col("__hop").as("__mcomp"))
+      val next = hop.join(mapping, col("__hop") === col("__mid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__hop"), coalesce(col("__mcomp"), col("__hop"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.where(col("comp") < col("__old")).count()
+      labels = next.select("id", "comp")
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter")
     labels
   }
 

@@ -216,6 +216,14 @@ object SimilarityStages {
       graft.functions.VectorExpressions.ensure(ctx.spark)
       val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.99)
       if (spec.bool("exact", dflt = false)) {
+        // enforce the documented small-N contract: the right side is
+        // broadcast whole, so an unbounded input would surface as a
+        // broadcast-size/OOM error instead of a clear message
+        val maxRows = spec.int("maxRows", 100000)
+        val got = df.limit(maxRows + 1).count()
+        require(got <= maxRows,
+          s"cosinedup exact: input exceeds maxRows=$maxRows (all-pairs " +
+          s"broadcast compare — pre-filter the input or use the LSH mode)")
         val base = df.select(col(id).as("__id"), col(vec).as("__v"))
           .withColumn("__n", norm(col("__v")))
         val l = base.select(col("__id").as("a"), col("__v").as("__av"),

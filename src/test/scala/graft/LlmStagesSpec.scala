@@ -152,6 +152,17 @@ class LlmStagesSpec extends SparkSpec {
     assert(comps(30L) == 30L && comps(40L) == 30L)
   }
 
+  test("connectedComponents: deep chain (diameter >> rounds) still converges") {
+    // path graph 0-1-2-…-60: one-hop-only propagation needs 60 rounds and
+    // silently truncated at the old maxIter=12 (round-2 advisory);
+    // pointer jumping makes this O(log n) — well under maxIter
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = DedupStages.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 61)
+    assert(comps.values.forall(_ == 0L), "every node labels to the chain min")
+  }
+
   // ----------------------------------------------------------------- simhash
   test("simhash: identical docs distance 0; near docs close; far docs far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
