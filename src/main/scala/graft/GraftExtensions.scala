@@ -70,5 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_simhash64", 1, exprs)
         graft.functions.SimHash64(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(score, id, k) - bounded-heap top-k aggregate; returns array<struct<id,score>> ordered by (score desc, id asc)"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_topk", 3, exprs)
+        graft.functions.TopKByScore(exprs.head, exprs(1), intLit(exprs(2), "k"))
+      }))
   }
 }

@@ -608,6 +608,33 @@ object SparkEntry {
           col("event_type"), col("n"))
         .orderBy("window_start", "event_type")
     },
+    "stream_window" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // Structured Streaming end-to-end: file stream source → event-time
+      // windowed aggregation (watermarked) → memory sink, with
+      // Trigger.AvailableNow so the run is bounded and deterministic —
+      // the streaming plan must produce byte-identical results to the
+      // batch `events_window` oracle. ts is the fixture's
+      // TIMESTAMP(NANOS) read as long (Tables shim) — converted by a
+      // registered code hook before the watermark.
+      Engine.registerCode("nanos_to_ts")(df =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+        "transformers": [
+          {"code": {"ref": "nanos_to_ts"}},
+          {"window_agg": {"tsField": "ts", "watermark": "1 hour",
+            "window": "1 hour", "groupBy": ["event_type"], "aggs": ["count"]}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_win",
+          "outputMode": "complete", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_win")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
     "quality_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -916,6 +943,9 @@ object SparkEntry {
        s" / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ts_upper_ratio " +
        s"FROM documents ORDER BY doc_id"),
     "events_window" ->
+      ("SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+       "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "stream_window" ->
       ("SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     "quality_filter" ->

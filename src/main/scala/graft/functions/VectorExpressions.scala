@@ -342,6 +342,16 @@ object VectorExpressions {
         "graft_simhash64",
         (exprs: Seq[Expression]) => SimHash64(exprs.head),
         "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_topk",
+        (exprs: Seq[Expression]) => {
+          val k = exprs(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+            case other => sys.error(s"graft_topk: k must be an int literal, got $other")
+          }
+          TopKByScore(exprs.head, exprs(1), k) // analyzer wraps AggregateFunction
+        },
+        "built-in")
     }
 
   /** Native dot product of two float/double array columns. */
@@ -361,4 +371,10 @@ object VectorExpressions {
   /** Native per-row 64-bit SimHash of a string column. */
   def simHash64(text: Column): Column =
     call_function("graft_simhash64", text)
+
+  /** Bounded-heap top-k aggregate over (score, id) pairs — map-side
+    * partial top-k; see [[TopKByScore]]. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", score, id,
+      org.apache.spark.sql.functions.lit(k))
 }

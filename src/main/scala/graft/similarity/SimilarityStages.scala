@@ -4,7 +4,6 @@ import graft.engine.EtlContext
 import graft.spec.ComponentSpec
 import graft.stages.Stages
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`) — builder
@@ -42,8 +41,27 @@ object SimilarityStages {
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Per-query top-k over scored `(q_id, n_id, cosine)` rows via the
+    * bounded-heap aggregate ([[graft.functions.TopKByScore]]): map-side
+    * partial top-k reduces each task's slice to ≤ k pairs per query
+    * BEFORE the shuffle — O(Q·k·tasks) through the exchange instead of
+    * the window form's O(N·Q) shuffle-and-sort. Output ordering and id
+    * tie-breaks identical to `row_number() OVER (ORDER BY cosine DESC,
+    * n_id ASC)` (asserted in specs + the driver oracle). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.VectorExpressions.topK(
+        col("cosine"), col("n_id"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), col("__e.id").as("n_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.score").as("cosine"))
+
   /** Brute-force cosine top-k: for each query row, the `k` nearest base
-    * rows (excluding itself). Ties break on ascending neighbour id. */
+    * rows (excluding itself). Ties break on ascending neighbour id.
+    * The QUERY side is broadcast (small by construction) so the base
+    * never shuffles for scoring; the only exchange is the Q×k-sized
+    * top-k aggregation. */
   def topk(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
            k: Int): DataFrame = {
     graft.functions.VectorExpressions.ensure(queries.sparkSession)
@@ -53,11 +71,9 @@ object SimilarityStages {
     val b = base.select(col(idCol).as("n_id"), col(vecCol).as("__bv"))
       .withColumn("__bn", norm(col("__bv")))
     val scored = b.join(q, col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** `similarity` transformer — brute-force top-k. Options: `idField`
@@ -145,10 +161,7 @@ object SimilarityStages {
         .select(col("q_id"), col("n_id"),
           cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
         .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-      cand.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("q_id", "n_id", "rank", "cosine")
+      rankTopK(cand, k)
     }
 
   /** `similarityivf` transformer — IVF-flat approximate top-k: a
@@ -181,12 +194,21 @@ object SimilarityStages {
       val scoredCells = base.join(cents, lit(true))
         .select(col("__id"), col("__v"), col("__n"), col("__cell"),
           simToCell.as("__csim"))
-      val wCell = Window.partitionBy("__id")
-        .orderBy(col("__csim").desc, col("__cell").asc)
+      // nearest-cells rank via the bounded-heap aggregate, grouped on
+      // (__id, vector) so no re-join is needed to recover the vector —
+      // the window form would shuffle-and-sort N×nCells rows; this
+      // partial-aggregates to N rows before the exchange (nCells grows
+      // to thousands at 100 TB scale, the window does not survive that)
       val ranked = scoredCells
-        .withColumn("__crank", row_number().over(wCell))
-      val assigned = ranked.where(col("__crank") === 1) // base: 1 cell each
-      val probes = ranked.where(col("__crank") <= nProbe) // queries: nProbe
+        .groupBy(col("__id"), col("__v"), col("__n"))
+        .agg(graft.functions.VectorExpressions.topK(
+          col("__csim"), col("__cell"), nProbe).as("__cells"))
+        .select(col("__id"), col("__v"), col("__n"),
+          posexplode(col("__cells")).as(Seq("__crank", "__ce")))
+        .select(col("__id"), col("__v"), col("__n"),
+          col("__ce.id").as("__cell"), col("__crank"))
+      val assigned = ranked.where(col("__crank") === 0) // base: 1 cell each
+      val probes = ranked // queries: all nProbe probed cells
 
       val l = probes.select(col("__cell"), col("__id").as("q_id"),
         col("__v").as("__qv"), col("__n").as("__qn"))
@@ -197,10 +219,7 @@ object SimilarityStages {
         .select(col("q_id"), col("n_id"),
           cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
         .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-      cand.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("q_id", "n_id", "rank", "cosine")
+      rankTopK(cand, k)
     }
 
   /** `cosinedup` transformer — embedding near-duplicate pairs: cosine >=

@@ -32,9 +32,15 @@ object Streaming {
       case Some(ddl) => r.schema(StructType.fromDDL(ddl))
       case None => r
     }
-    spec.str("maxFilesPerTrigger")
-      .fold(withSchema)(n => withSchema.option("maxFilesPerTrigger", n))
-      .load(path)
+    // remaining string options pass through to the source (e.g.
+    // maxFilesPerTrigger, pathGlobFilter — file sources take a
+    // DIRECTORY; a single-file input is selected with a glob filter)
+    val handled = Set("path", "format", "schema")
+    spec.options.foldLeft(withSchema) {
+      case (w, (k, v: String)) if !handled(k) => w.option(k, v)
+      case (w, (k, v: Int)) if !handled(k) => w.option(k, v.toString)
+      case (w, _) => w
+    }.load(path)
   }
 
   /** `window_agg`: watermarked event-time windowed aggregation.
@@ -170,22 +176,33 @@ object Streaming {
 
   /** Start the `streamsink` writer: memory (named table), parquet dir, or
     * console. A watermark-respecting checkpoint dir is required for
-    * durable sinks. */
+    * durable sinks. `trigger`: `"availableNow"` (process everything
+    * currently available, then stop — the batch-over-stream mode),
+    * `"once"`, or a processing-time interval like `"5 seconds"`
+    * (default: micro-batches as fast as they arrive). */
   def startSink(df: DataFrame, spec: ComponentSpec): StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
     val mode = spec.strOr("outputMode", "append")
+    def triggered[W](w: org.apache.spark.sql.streaming.DataStreamWriter[W]) =
+      spec.str("trigger") match {
+        case Some("availableNow") => w.trigger(Trigger.AvailableNow())
+        case Some("once") => w.trigger(Trigger.Once())
+        case Some(interval) => w.trigger(Trigger.ProcessingTime(interval))
+        case None => w
+      }
     spec.strOr("format", "memory") match {
       case "memory" =>
-        df.writeStream.format("memory")
+        triggered(df.writeStream.format("memory")
           .queryName(spec.strOr("name", "stream_out"))
-          .outputMode(mode).start()
+          .outputMode(mode)).start()
       case "parquet" =>
-        df.writeStream.format("parquet")
+        triggered(df.writeStream.format("parquet")
           .option("path", spec.str("path").getOrElse(sys.error("streamsink: path required")))
           .option("checkpointLocation", spec.str("checkpoint")
             .getOrElse(sys.error("streamsink: checkpoint required for parquet")))
-          .outputMode(mode).start()
+          .outputMode(mode)).start()
       case "console" =>
-        df.writeStream.format("console").outputMode(mode).start()
+        triggered(df.writeStream.format("console").outputMode(mode)).start()
       case other => sys.error(s"streamsink: unknown format $other")
     }
   }

@@ -257,6 +257,29 @@ class LlmStagesSpec extends SparkSpec {
     assert(diff == 0) // same left-to-right double accumulation order
   }
 
+  test("topk heap aggregate ≡ window row_number (ties break on id asc)") {
+    graft.functions.VectorExpressions.ensure(spark)
+    // scores with deliberate duplicates across ids, several groups,
+    // groups smaller and larger than k
+    val rows = for (q <- 0L until 7L; n <- 0L until 23L if n != q)
+      yield (q, n, ((n * 7 + q) % 5).toDouble) // many exact ties
+    val scored = rows.toDF("q_id", "n_id", "cosine")
+    val k = 4
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    val windowed = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+      .orderBy("q_id", "rank").collect().toSeq
+    val heaped = scored.groupBy("q_id")
+      .agg(graft.functions.VectorExpressions.topK(col("cosine"), col("n_id"), k).as("t"))
+      .select(col("q_id"), posexplode(col("t")).as(Seq("p", "e")))
+      .select(col("q_id"), col("e.id").as("n_id"),
+        (col("p") + 1).cast("int").as("rank"), col("e.score").as("cosine"))
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(heaped == windowed)
+  }
+
   test("similarity LSH: recall vs brute force on fixture embeddings") {
     val ctx = newCtx()
     val emb = ctx.table("embeddings")

@@ -140,4 +140,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$plan")
   }
+
+  test("similarity topk: bounded-heap agg partial-aggregates map-side (no N×Q window sort)") {
+    val ctx = newCtx()
+    val out = graft.similarity.SimilarityStages.topk(
+      ctx.table("embeddings").where("vec_id < 5"),
+      ctx.table("embeddings"), "vec_id", "embedding", 3)
+    val plan = planOf(out).split("== Initial Plan ==").head
+    // TypedImperativeAggregate runs in ObjectHashAggregate with a
+    // partial pass before the exchange — the scored rows never
+    // shuffle whole, only ≤ k pairs per query per task do
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(plan.contains("partial_graft_topk"), s"expected map-side partial top-k:\n$plan")
+    assert(!plan.contains("Window"), s"window form should be gone:\n$plan")
+  }
 }
