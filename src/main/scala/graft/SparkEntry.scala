@@ -654,6 +654,30 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang_pred").orderBy("doc_id")
     },
+    "regex_mask" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // PII-style masking pass — regexes restricted to the Java∩RE2
+      // subset so the DuckDB oracle applies the identical substitutions
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"regexreplace": {"field": "text",
+          "outputField": "masked", "patterns": [
+            {"pattern": "\\\\btable\\\\b", "replacement": "<TBL>"},
+            {"pattern": "(key|row)", "replacement": "<K>"}]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "masked").orderBy("doc_id")
+    },
+    "repetition" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"repetition": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "rep_top_token_ratio", "rep_distinct_ratio")
+        .orderBy("doc_id")
+    },
     "tokenize" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -967,6 +991,15 @@ object SparkEntry {
       s"WHEN $es > $en THEN 'es' ELSE 'en' END AS lang_pred " +
       s"FROM documents ORDER BY doc_id"
     },
+    "regex_mask" ->
+      (raw"SELECT doc_id, regexp_replace(regexp_replace(text, '\btable\b', '<TBL>', 'g'), " +
+       "'(key|row)', '<K>', 'g') AS masked FROM documents ORDER BY doc_id"),
+    "repetition" ->
+      (s"SELECT doc_id, CAST(max(cnt) AS DOUBLE) / greatest(CAST(sum(cnt) AS DOUBLE), 1.0) AS rep_top_token_ratio, " +
+       s"CAST(count(*) AS DOUBLE) / greatest(CAST(sum(cnt) AS DOUBLE), 1.0) AS rep_distinct_ratio " +
+       s"FROM (SELECT doc_id, tok, count(*) AS cnt FROM " +
+       s"(SELECT doc_id, unnest($toks) AS tok FROM documents) GROUP BY doc_id, tok) " +
+       s"GROUP BY doc_id ORDER BY doc_id"),
     "tokenize" ->
       (s"SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_ws_tokens, " +
        raw"CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens " +

@@ -46,6 +46,8 @@ object Engine {
     "neardupdedup"  -> graft.dedup.DedupStages.neardupDedup _,
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
+    "regexreplace"  -> graft.text.TextStages.regexReplace _,
+    "repetition"    -> graft.text.TextStages.repetition _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,

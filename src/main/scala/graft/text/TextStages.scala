@@ -127,6 +127,60 @@ object TextStages {
           size(regexp_extract_all(f, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
     }
 
+  /** `regexreplace`: sequential regex substitutions over a text column —
+    * the PII-masking / markup-stripping pass of a training-data pipeline
+    * (mask emails, URLs, digit runs, strip tags…). Options: `field`
+    * (default text), `patterns`: list of `{pattern, replacement}` maps
+    * applied in declared order, `outputField` (default: overwrite the
+    * input field). Pure per-row projection — fuses into the scan.
+    * Patterns should stick to the regex subset shared by Java and RE2
+    * (no backrefs/lookbehind) so results stay oracle-portable. */
+  def regexReplace(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      val pats = spec.list("patterns").map {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          (mm.getOrElse("pattern", sys.error("regexreplace: pattern required")).toString,
+           mm.getOrElse("replacement", "").toString)
+        case other => sys.error(s"regexreplace: pattern entry must be a map, got $other")
+      }
+      require(pats.nonEmpty, "regexreplace: patterns required")
+      val out = pats.foldLeft(col(fieldName)) { case (c, (p, r)) =>
+        regexp_replace(c, p, r)
+      }
+      df.withColumn(spec.strOr("outputField", fieldName), out)
+    }
+
+  /** `repetition`: repetition quality signals (the Gopher-style filters
+    * for boilerplate/spam): `rep_top_token_ratio` — the fraction of
+    * tokens taken by the single most frequent token — and
+    * `rep_distinct_ratio` — distinct/total tokens. Computed PER ROW with
+    * a sort + run-length fold over the token array (no explode, no
+    * shuffle: a token-explode groupBy would shuffle the entire corpus'
+    * token stream at 100 TB; this fuses into the scan). */
+  def repetition(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      val toks = tokens(f)
+      val nToks = size(toks).cast("double")
+      // longest run in the sorted token array = max single-token count:
+      // fold state (prevToken, runLen, bestLen)
+      val best = aggregate(
+        array_sort(toks),
+        struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, t) => {
+          val run = when(t === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
+      df.withColumn("rep_top_token_ratio",
+          best.cast("double") / greatest(nToks, lit(1.0)))
+        .withColumn("rep_distinct_ratio",
+          size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0)))
+    }
+
   /** `fingerprint`: document fingerprints over the normalized text
     * (lowercased, whitespace collapsed): `fp_md5` (content hash, oracle-
     * checkable) and `fp_xx` (xxhash64 — the cheap 64-bit rolling-hash

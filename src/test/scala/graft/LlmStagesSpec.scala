@@ -228,6 +228,30 @@ class LlmStagesSpec extends SparkSpec {
     assert(out(0) == out(1))
   }
 
+  test("regexreplace: patterns apply in declared order, all occurrences") {
+    val df = Seq((1L, "mail me at a.b@x.co or c@y.io now")).toDF("doc_id", "text")
+    val out = stage("regexreplace",
+      "patterns" -> Seq(
+        Map("pattern" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+            "replacement" -> "<EMAIL>"),
+        Map("pattern" -> "\\bnow\\b", "replacement" -> "<T>")),
+      "outputField" -> "masked")(df)
+      .select("masked").as[String].head()
+    assert(out == "mail me at <EMAIL> or <EMAIL> <T>")
+  }
+
+  test("repetition: top-token and distinct ratios on known strings") {
+    val df = Seq(
+      (1L, "a a a b"),     // top 'a' 3/4, distinct 2/4
+      (2L, "x y z"),       // top 1/3, distinct 3/3
+      (3L, "w w w w")      // top 4/4, distinct 1/4
+    ).toDF("doc_id", "text")
+    val out = stage("repetition")(df).orderBy("doc_id")
+      .select("rep_top_token_ratio", "rep_distinct_ratio")
+      .as[(Double, Double)].collect().toSeq
+    assert(out == Seq((0.75, 0.5), (1.0 / 3, 1.0), (1.0, 0.25)))
+  }
+
   // -------------------------------------------------------------- similarity
   test("similarity brute top-k: exact ranking on constructed vectors") {
     val df = Seq(
