@@ -327,6 +327,55 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
       c.edges.get.orderBy("src", "dst")
     },
+    "graph_degree" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // batch graph analytics over the vertex/edge contract: customers'
+      // in-degree along `placed` edges == their order count
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"graphdegree": {"direction": "in", "label": "placed"}}],
+        "loader": {"memory": {}} }""").orderBy("id")
+    },
+    "graph_neighbors" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // one-hop expansion: each order's outbound neighbors along
+      // `placed` = the customer it links to (batch Gremlin-out step)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"graphneighbors": {"idField": "id", "direction": "out"}}],
+        "loader": {"memory": {}} }""")
+        .where(col("neighbors").isNotNull)
+        .select(col("o_orderkey"),
+          array_join(col("neighbors"), ",").as("neighbors"))
+        .orderBy("o_orderkey")
+    },
+    "partitioned_write" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // hive-style partitioned layout (the cluster-by analogue of the
+      // reference's named clusters, OOrientDBLoader.java:153-177):
+      // write supplier partitioned by nation, read one partition back —
+      // partition pruning asserted in PlanSpec
+      val out = s"/tmp/graft_part_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/supplier.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"parquet": {"path": "$out", "mode": "overwrite",
+                               "partitionBy": ["s_nationkey"]}} }""")
+      s.read.parquet(out).where(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    },
     "etl_list" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -924,6 +973,14 @@ object SparkEntry {
       "SELECT CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "edge_graph" ->
       "SELECT CAST(o_orderkey AS VARCHAR) AS src, CAST(c_custkey AS VARCHAR) AS dst, 'placed' AS label FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY src, dst",
+    "graph_degree" ->
+      ("SELECT CAST(c_custkey AS VARCHAR) AS id, count(*) AS degree " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY id"),
+    "graph_neighbors" ->
+      ("SELECT o_orderkey, CAST(c_custkey AS VARCHAR) AS neighbors " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "partitioned_write" ->
+      "SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey, s_acctbal FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey",
     "etl_list" ->
       "SELECT c.c_custkey, array_to_string(list_sort(list(o.o_orderkey)), ',') AS order_keys FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey",
     "etl_map" ->

@@ -37,6 +37,8 @@ object Engine {
     "edge"    -> LookupStages.edge _,
     "etl"     -> LookupStages.etl _,
     "block"   -> blockTransformer _,
+    "graphdegree"    -> graft.graph.GraphStages.graphDegree _,
+    "graphneighbors" -> graft.graph.GraphStages.graphNeighbors _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers
     "dedup"         -> graft.dedup.DedupStages.dedup _,

@@ -1,0 +1,41 @@
+package graft
+
+import graft.spec.ComponentSpec
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics stages over the vertices/edges contract. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withEdges() = {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "x"), ("b", "x"), ("a", "y"))
+      .toDF("src", "dst").withColumn("label", lit("e")))
+    ctx
+  }
+
+  test("graphdegree: out/in/both over the edges table") {
+    val ctx = withEdges()
+    def deg(dir: String) =
+      graft.graph.GraphStages.graphDegree(
+        ComponentSpec("graphdegree", Map("direction" -> dir)), ctx)(
+        spark.emptyDataFrame)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg("out") == Map("a" -> 2L, "b" -> 1L))
+    assert(deg("in") == Map("x" -> 2L, "y" -> 1L))
+    assert(deg("both") == Map("a" -> 2L, "b" -> 1L, "x" -> 2L, "y" -> 1L))
+  }
+
+  test("graphneighbors: one-hop expansion, sorted distinct, left join") {
+    val ctx = withEdges()
+    val in = Seq("a", "b", "z").toDF("id")
+    val out = graft.graph.GraphStages.graphNeighbors(
+      ComponentSpec("graphneighbors", Map("idField" -> "id")), ctx)(in)
+      .orderBy("id")
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toList))
+    assert(out.toSeq == Seq(
+      "a" -> Some(List("x", "y")),
+      "b" -> Some(List("x")),
+      "z" -> None)) // no edges → null neighbors, row passes through
+  }
+}

@@ -141,6 +141,25 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n$plan")
   }
 
+  test("partitioned write: partition filter prunes, not a data filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/supplier.parquet"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$dir/supp", "mode": "overwrite",
+                             "partitionBy": ["s_nationkey"]}} }""")
+    val plan = analyzedPlan(
+      spark.read.parquet(s"$dir/supp").where(col("s_nationkey") === 3))
+    val part = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(part.contains("s_nationkey"),
+      s"partition filter not applied as PartitionFilters:\n$plan")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("s_nationkey"),
+      s"partition column must prune directories, not row-filter:\n$plan")
+  }
+
   test("similarity topk: bounded-heap agg partial-aggregates map-side (no N×Q window sort)") {
     val ctx = newCtx()
     val out = graft.similarity.SimilarityStages.topk(
