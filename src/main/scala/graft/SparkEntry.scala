@@ -64,8 +64,11 @@ object SparkEntry {
       dir
     })
 
+  // in-memory Derby: the same real JDBC write/read path (DriverManager,
+  // batched inserts, typed readback) without Derby's per-commit disk
+  // sync — the roundtrip measures the engine's JDBC surface, not /tmp
   private def derbyUrl(sfDir: String): String =
-    s"jdbc:derby:/tmp/graft_derby_${math.abs(sfDir.hashCode)};create=true"
+    s"jdbc:derby:memory:graft_${math.abs(sfDir.hashCode)};create=true"
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

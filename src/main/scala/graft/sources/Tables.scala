@@ -20,12 +20,22 @@ object Tables {
   /** Columns that are TIMESTAMP(NANOS) in the fixture parquet. */
   private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
-      else d
-    }
-  }
+  // `spark.read.parquet` reads the footer for the schema at plan-build
+  // time (driver IO). The fixture tables are immutable per (session,
+  // dir), so cache the built plans — Verify/Bench construct a fresh
+  // EtlContext per query and would otherwise pay 10 footer reads × N
+  // queries of pure driver latency.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate(
+      (System.identityHashCode(spark.sessionState), sfDir, name), {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+          if (d.schema(c).dataType == LongType)
+            d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+          else d
+        }
+      })
 }
