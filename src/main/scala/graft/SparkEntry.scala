@@ -687,6 +687,32 @@ object SparkEntry {
           col("event_type"), col("n"))
         .orderBy("window_start", "event_type")
     },
+    "stream_sessions" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // gap-based sessionization via flatMapGroupsWithState (custom
+      // event-time state) under Trigger.AvailableNow — deterministic on
+      // the bounded input; which sessions flush (vs stay in state at
+      // stop) is pinned by the oracle below
+      Engine.registerCode("nanos_to_ts")(df =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+        "transformers": [
+          {"code": {"ref": "nanos_to_ts"}},
+          {"sessionize": {"keyField": "user_id", "tsField": "ts",
+                          "gapMs": 43200000, "watermark": "1 second"}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_sess",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_sess")
+        .select(col("key"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy("key", "session_start")
+    },
     "quality_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -1032,6 +1058,23 @@ object SparkEntry {
     "stream_window" ->
       ("SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    // sessions: closed-by-a-later-event sessions always emit; a user's
+    // LAST session emits iff its event-time timeout fired before the
+    // stream stopped — timeout fires when end + gap < final watermark
+    // (max event time − 1 s delay), Spark's strict `<` comparison
+    "stream_sessions" ->
+      ("WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
+       "epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 43200000 THEN 1 ELSE 0 END AS ns " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+       "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e), " +
+       "g AS (SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1, count(*) AS n FROM s GROUP BY user_id, sid), " +
+       "gm AS (SELECT *, max(sid) OVER (PARTITION BY user_id) m FROM g), " +
+       "wm AS (SELECT epoch_ms(max(ts)) - 1000 AS w FROM events) " +
+       "SELECT CAST(user_id AS VARCHAR) AS key, " +
+       "strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start, " +
+       "strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end, n AS n_events " +
+       "FROM gm, wm WHERE sid < m OR epoch_ms(t1) + 43200000 < w " +
+       "ORDER BY key, session_start"),
     "quality_filter" ->
       (s"SELECT doc_id, n_chars FROM documents WHERE length(text) >= 160 AND length(text) <= 380 " +
        s"AND CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
