@@ -362,6 +362,32 @@ object SparkEntry {
           array_join(col("neighbors"), ",").as("neighbors"))
         .orderBy("o_orderkey")
     },
+    "upsert_write" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // loader-level MERGE: base customer table, then a delta batch
+      // (custkey%10==0 rows with +100 acctbal) upserted into the files;
+      // the read-back must equal the merge transformer's oracle
+      val out = s"/tmp/graft_upsert_${math.abs(dir.hashCode)}"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(out))
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"parquet": {"path": "$out", "mode": "upsert",
+                               "key": "c_custkey"}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment FROM input WHERE c_custkey % 10 = 0"}}],
+        "loader": {"parquet": {"path": "$out", "mode": "upsert",
+                               "key": "c_custkey"}} }""")
+      s.read.parquet(out)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
     "partitioned_write" -> { (s, dir) =>
       val c = ctx(s, dir)
       // hive-style partitioned layout (the cluster-by analogue of the
@@ -1010,6 +1036,8 @@ object SparkEntry {
        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
     "partitioned_write" ->
       "SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey, s_acctbal FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey",
+    "upsert_write" ->
+      "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "etl_list" ->
       "SELECT c.c_custkey, array_to_string(list_sort(list(o.o_orderkey)), ',') AS order_keys FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey",
     "etl_map" ->

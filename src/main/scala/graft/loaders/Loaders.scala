@@ -44,6 +44,36 @@ object Loaders {
     }
   }
 
+  /** File-based MERGE — the reference's save-or-update per record
+    * (OOrientDBLoader.java:164-177) without a transactional store:
+    * existing table ⟕ incoming on `key` (last-wins per key within the
+    * batch, untouched rows preserved), rewritten through a staging dir
+    * so the source files are never read and overwritten in the same
+    * job, then swapped in with a rename. At real scale the same merge
+    * plan targets a transactional table format; the staging-rename is
+    * the plain-filesystem equivalent. */
+  private def upsertParquet(ctx: EtlContext, spec: ComponentSpec,
+                            df: DataFrame, path: String): Boolean = {
+    val key = spec.str("key").getOrElse(sys.error("parquet loader: upsert requires key"))
+    val incoming = applyDeclaredSchema(df, spec)
+    val target = new java.io.File(path)
+    val merged =
+      if (target.exists)
+        graft.stages.LookupStages.upsertResult(
+          ctx.spark.read.parquet(path), incoming, key)
+      else incoming
+    val staging = path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    if (target.exists) rmrf(target)
+    require(new java.io.File(staging).renameTo(target),
+      s"parquet upsert: staging rename failed for $path")
+    true
+  }
+
   /** Run the sink. Returns true when a terminal ACTION executed (so the
     * engine can collect deferred observe checks — EtlContext.drainChecks);
     * `memory` only registers the plan and returns false. */
@@ -66,24 +96,28 @@ object Loaders {
       case "parquet" =>
         val path = OrientExpr.resolveString(
           spec.str("path").getOrElse(sys.error("parquet loader: path required")), vars)
-        var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
-        val parts = spec.strList("partitionBy")
-        if (parts.nonEmpty) w = w.partitionBy(parts: _*)
-        val buckets = spec.strList("bucketBy")
-        if (buckets.nonEmpty) {
-          // bucketed external table (requires `table`): co-locates joins
-          // and aggregations on the bucket key — downstream plans on
-          // spark.table(table) skip the shuffle entirely (asserted in
-          // PlanSpec). The 100 TB shape for repeated fact-table joins.
-          val table = spec.str("table")
-            .getOrElse(sys.error("parquet loader: bucketBy requires table"))
-          var bw = w.option("path", path)
-            .bucketBy(spec.int("buckets", 8), buckets.head, buckets.tail: _*)
-          val sorts = spec.strList("sortBy")
-          if (sorts.nonEmpty) bw = bw.sortBy(sorts.head, sorts.tail: _*)
-          bw.format("parquet").saveAsTable(table)
-        } else w.parquet(path)
-        true
+        if (spec.strOr("mode", "overwrite") == "upsert")
+          upsertParquet(ctx, spec, df, path)
+        else {
+          var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
+          val parts = spec.strList("partitionBy")
+          if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+          val buckets = spec.strList("bucketBy")
+          if (buckets.nonEmpty) {
+            // bucketed external table (requires `table`): co-locates joins
+            // and aggregations on the bucket key — downstream plans on
+            // spark.table(table) skip the shuffle entirely (asserted in
+            // PlanSpec). The 100 TB shape for repeated fact-table joins.
+            val table = spec.str("table")
+              .getOrElse(sys.error("parquet loader: bucketBy requires table"))
+            var bw = w.option("path", path)
+              .bucketBy(spec.int("buckets", 8), buckets.head, buckets.tail: _*)
+            val sorts = spec.strList("sortBy")
+            if (sorts.nonEmpty) bw = bw.sortBy(sorts.head, sorts.tail: _*)
+            bw.format("parquet").saveAsTable(table)
+          } else w.parquet(path)
+          true
+        }
 
       case "jdbc" =>
         val url = spec.str("url").getOrElse(sys.error("jdbc loader: url required"))

@@ -191,6 +191,31 @@ class EngineSpec extends SparkSpec {
     assert(lines == (3 to 7).map("line" + _).toSet)
   }
 
+  test("parquet loader upsert mode: fresh write, then file-based MERGE") {
+    import spark.implicits._
+    val path = s"$tmp/upsert_tbl"
+    val ctx = newCtx()
+    val base = s"$tmp/up_base_pq"
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "x")
+      .write.mode("overwrite").parquet(base)
+    Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$base"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert", "key": "id"}} }""")
+    assert(spark.read.parquet(path).count() == 3) // fresh write
+    val deltaPq = s"$tmp/up_delta_pq"
+    Seq((2L, "B", 99), (4L, "d", 40)).toDF("id", "v", "x")
+      .write.mode("overwrite").parquet(deltaPq)
+    Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$deltaPq"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert", "key": "id"}} }""")
+    val out = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, "a", 10), (2L, "B", 99), (3L, "c", 30), (4L, "d", 40)))
+    assert(!new java.io.File(s"$path.staging").exists, "staging dir cleaned")
+  }
+
   test("GraftExtensions: native functions callable from pure SQL (no ensure())") {
     // the session was built with spark.sql.extensions=graft.GraftExtensions;
     // the injected functions must resolve in SQL text without any
