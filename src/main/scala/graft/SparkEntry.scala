@@ -362,6 +362,22 @@ object SparkEntry {
           array_join(col("neighbors"), ",").as("neighbors"))
         .orderBy("o_orderkey")
     },
+    "orc_roundtrip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // columnar-format breadth: part → ORC via the orc loader, read
+      // back via the orc extractor
+      val out = s"/tmp/graft_orc_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/part.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"orc": {"path": "$out"}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$out"}},
+        "extractor": {"orc": {}},
+        "loader": {"memory": {"name": "part_orc"}} }""")
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    },
     "upsert_write" -> { (s, dir) =>
       val c = ctx(s, dir)
       // loader-level MERGE: base customer table, then a delta batch
@@ -1038,6 +1054,8 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey, s_acctbal FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey",
     "upsert_write" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "etl_list" ->
       "SELECT c.c_custkey, array_to_string(list_sort(list(o.o_orderkey)), ',') AS order_keys FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey",
     "etl_map" ->

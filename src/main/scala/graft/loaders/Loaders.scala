@@ -119,6 +119,15 @@ object Loaders {
           true
         }
 
+      case "orc" =>
+        val path = OrientExpr.resolveString(
+          spec.str("path").getOrElse(sys.error("orc loader: path required")), vars)
+        var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
+        val parts = spec.strList("partitionBy")
+        if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+        w.orc(path)
+        true
+
       case "jdbc" =>
         val url = spec.str("url").getOrElse(sys.error("jdbc loader: url required"))
         var w = applyDeclaredSchema(df, spec).write.format("jdbc")

@@ -214,6 +214,7 @@ object Sources {
       case Some(("csv", e)) => csv(spark, sourcePath, e)
       case Some(("jdbc", e)) => jdbc(spark, e)
       case Some(("parquet", _)) => spark.read.parquet(sourcePath)
+      case Some(("orc", _)) => spark.read.orc(sourcePath)
       case Some((other, _)) => sys.error(s"unknown extractor $other")
     }
   }
