@@ -48,9 +48,61 @@ final case class PipelineSpec(
     end: Seq[ComponentSpec])
 
 object PipelineSpec {
-  private val mapper = new ObjectMapper()
+  // The reference parses configs with OrientDB's lenient ODocument JSON
+  // (its shipped resources/config*.json use unquoted keys) — accept the
+  // same relaxed syntax so those files run verbatim.
+  private val mapper = {
+    import com.fasterxml.jackson.core.json.JsonReadFeature
+    val m = new ObjectMapper()
+    m.enable(JsonReadFeature.ALLOW_UNQUOTED_FIELD_NAMES.mappedFeature())
+    m.enable(JsonReadFeature.ALLOW_SINGLE_QUOTES.mappedFeature())
+    m.enable(JsonReadFeature.ALLOW_JAVA_COMMENTS.mappedFeature())
+    m.enable(JsonReadFeature.ALLOW_TRAILING_COMMA.mappedFeature())
+    m
+  }
 
   def parse(json: String): PipelineSpec = fromNode(mapper.readTree(json))
+
+  /** Legacy component-name aliases used by the reference's SHIPPED
+    * config files (resources/config.json, config-jdbc.json) but absent
+    * from its own era's factory (`skip` is not in
+    * OETLComponentFactory.java:195-226 — the shipped config is broken
+    * in the reference; we implement the documented intent):
+    *  - extractor `line` ≡ `row`, with its `path` hoisted to a `file`
+    *    source when none is configured (the old extractor owned the
+    *    file handle);
+    *  - transformer `skip` {expression} ≡ `flow` {operation: skip, if};
+    *  - loaders `orientdb_doc`/`orientdb_graph` ≡ `orientdb` with
+    *    dbType document/graph (dbURL defaults to a plocal tmp dir when
+    *    omitted, as the old loader defaulted its db location). */
+  private def normalize(spec: PipelineSpec): PipelineSpec = {
+    var source = spec.source
+    val extractor = spec.extractor.map { e =>
+      if (e.name == "line") {
+        if (source.isEmpty && e.options.contains("path"))
+          source = Some(ComponentSpec("file",
+            e.options.filter { case (k, _) => k == "path" || k == "lock" }))
+        ComponentSpec("row", e.options - "path" - "lock")
+      } else e
+    }
+    val transformers = spec.transformers.map { t =>
+      if (t.name == "skip")
+        ComponentSpec("flow", Map("operation" -> "skip") ++
+          t.str("expression").map("if" -> _).toMap)
+      else t
+    }
+    val loader = spec.loader.map { l =>
+      if (l.name == "orientdb_doc" || l.name == "orientdb_graph") {
+        val dbType = if (l.name == "orientdb_graph") "graph" else "document"
+        val url = l.str("dbURL").getOrElse(
+          s"plocal:${System.getProperty("java.io.tmpdir")}/graft_odb_default")
+        ComponentSpec("orientdb",
+          l.options ++ Map("dbType" -> dbType, "dbURL" -> url))
+      } else l
+    }
+    spec.copy(source = source, extractor = extractor,
+      transformers = transformers, loader = loader)
+  }
 
   def fromNode(root: JsonNode): PipelineSpec = {
     def section(name: String): Option[JsonNode] = Option(root.get(name))
@@ -65,14 +117,14 @@ object PipelineSpec {
       val e = fields.head
       ComponentSpec(e.getKey, toScala(e.getValue).asInstanceOf[Map[String, Any]])
     }
-    PipelineSpec(
+    normalize(PipelineSpec(
       config = section("config").map(toScala(_).asInstanceOf[Map[String, Any]]).getOrElse(Map.empty),
       begin = comps(section("begin")),
       source = section("source").map(component),
       extractor = section("extractor").map(component),
       transformers = comps(section("transformers")),
       loader = section("loader").map(component),
-      end = comps(section("end")))
+      end = comps(section("end"))))
   }
 
   private def toScala(n: JsonNode): Any = n match {

@@ -56,6 +56,38 @@ class ParitySpec extends SparkSpec {
     } finally System.setIn(oldIn)
   }
 
+  test("reference's SHIPPED config.json runs verbatim (relaxed JSON + legacy aliases)") {
+    // resources/config.json from the reference, byte-identical except
+    // the input path (its /temp/test.csv doesn't exist here) and the
+    // loader db location. Exercises: unquoted-key JSON, the legacy
+    // `line` extractor (path hoisted to a file source), untyped csv
+    // columns with ';' separator, `dontknow.trim()` + `sysdate()`
+    // dialect expressions, and the `skip` transformer alias (absent
+    // from the reference's own factory — broken there, working here).
+    val dir = java.nio.file.Files.createTempDirectory("graft_refcfg").toString
+    val csv = s"$dir/test.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+      ("1;2001-01-01;a1;w1;s1;  keep me  ;2002-01-01\n" +
+       "2;2001-01-02;a2;w2;s2;;2002-01-02\n" +
+       "3;2001-01-03;a3;w3;s3; also keep ;2002-01-03\n").getBytes("UTF-8"))
+    val cfg = s"""{
+      extractor : { line: { path: "$csv", lock : true } },
+      transformers : [
+       { csv: { separator: ";", columnsOnFirstLine: false, columns: ["id","beginDate","aams","wow","serial","dontknow","endDate"] } },
+       { field: { fieldName: "dontknow", expression: "dontknow.trim()" } },
+       { field: { fieldName: "time", expression: "sysdate()" } },
+       { skip: { expression: "dontknow is null" } }
+      ],
+      loader : { orientdb_doc: { class: "Client", dbURL: "plocal:$dir/db" } }
+    }"""
+    Engine.runJson(newCtx(), cfg)
+    val out = spark.read.parquet(s"$dir/db/Client")
+    assert(out.count() == 2) // row with empty dontknow skipped
+    val dk = out.select("dontknow").orderBy("id").collect().map(_.getString(0)).toSeq
+    assert(dk == Seq("keep me", "also keep")) // trimmed
+    assert(out.columns.contains("time")) // sysdate() materialized
+  }
+
   test("CLI Main: config file + -NAME=value variable interpolation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
     val cfg = s"""{
