@@ -88,6 +88,22 @@ class ParitySpec extends SparkSpec {
     assert(out.columns.contains("time")) // sysdate() materialized
   }
 
+  test("all three shipped reference configs parse + normalize to known components") {
+    val known = Engine.transformers.keySet ++ Set("row", "line")
+    for (f <- Seq("config.json", "config-jdbc.json", "config-dbpedia.json")) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/src/main/resources/$f")), "UTF-8")
+      val spec = graft.spec.PipelineSpec.parse(src)
+      spec.transformers.foreach(t =>
+        assert(known.contains(t.name), s"$f: unknown transformer ${t.name}"))
+      spec.loader.foreach(l =>
+        assert(Set("orientdb", "output", "memory", "parquet", "orc", "jdbc", "graph")
+          .contains(l.name), s"$f: unknown loader ${l.name}"))
+      spec.begin.foreach(b =>
+        assert(Set("let", "console", "code").contains(b.name), s"$f: unknown block ${b.name}"))
+    }
+  }
+
   test("CLI Main: config file + -NAME=value variable interpolation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
     val cfg = s"""{
