@@ -70,6 +70,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_topk ≡ window row_number on random scored pairs (10 cases)") {
+    graft.functions.VectorExpressions.ensure(spark)
+    import org.apache.spark.sql.expressions.Window
+    // duplicate-heavy scores (small integer range cast to double) force
+    // the id tie-break on nearly every group
+    val rowGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L),
+      Gen.choose(0, 3).map(_.toDouble))
+    for ((rows, i) <- samples(Gen.nonEmptyListOf(rowGen).map(_.take(60)), 10).zipWithIndex) {
+      val scored = rows.distinct.toDF("q_id", "n_id", "cosine")
+      val k = 1 + i % 5
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+      val windowed = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+        .orderBy("q_id", "rank").collect().toSeq
+      val heaped = scored.groupBy("q_id")
+        .agg(graft.functions.VectorExpressions.topK(col("cosine"), col("n_id"), k).as("t"))
+        .select(col("q_id"), posexplode(col("t")).as(Seq("p", "e")))
+        .select(col("q_id"), col("e.id").as("n_id"),
+          (col("p") + 1).cast("int").as("rank"), col("e.score").as("cosine"))
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(heaped == windowed, s"case $i k=$k rows=${rows.take(10)}…")
+    }
+  }
+
   test("exact dedup: unique keys, rows drawn from input, one per key") {
     for (rows <- samples(Gen.nonEmptyListOf(
         Gen.zip(Gen.choose(0L, 6L), Gen.alphaNumStr.map(_.take(4)))).map(_.take(15)), 10)) {
