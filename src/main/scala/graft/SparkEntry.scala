@@ -404,6 +404,23 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "pagerank" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // iterative distributed PageRank (5 rounds, d=0.85) over the
+      // orders→customer graph; ranks rounded to 6 decimals on both
+      // sides so IEEE sum-order differences between engines vanish
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"pagerank": {"iterations": 5, "damping": "0.85"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), round(col("rank") * 1e6).cast("bigint").as("rank_ppm"))
+        .orderBy("id")
+    },
     "partitioned_write" -> { (s, dir) =>
       val c = ctx(s, dir)
       // hive-style partitioned layout (the cluster-by analogue of the
@@ -1047,6 +1064,24 @@ object SparkEntry {
     "graph_degree" ->
       ("SELECT CAST(c_custkey AS VARCHAR) AS id, count(*) AS degree " +
        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY id"),
+    "pagerank" -> {
+      // 5 unrolled iterations (recursive CTEs can't aggregate over the
+      // recursive term); rank_ppm = round(rank * 1e6) absorbs IEEE
+      // sum-order differences between the engines
+      val steps = (1 to 5).map(i =>
+        s"p$i AS (SELECT n.id, 0.15 / nc.n + 0.85 * coalesce(s.csum, 0) AS rank " +
+        s"FROM nodes n CROSS JOIN nc LEFT JOIN " +
+        s"(SELECT e.dst, sum(p.rank / dg.d) AS csum FROM p${i - 1} p " +
+        s"JOIN e ON e.src = p.id JOIN deg dg ON dg.src = p.id GROUP BY e.dst) s " +
+        s"ON s.dst = n.id)").mkString(", ")
+      "WITH e AS (SELECT CAST(o_orderkey AS VARCHAR) AS src, CAST(c_custkey AS VARCHAR) AS dst " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+      "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)), " +
+      "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+      "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src), " +
+      "p0 AS (SELECT id, 1.0 / nc.n AS rank FROM nodes, nc), " + steps + " " +
+      "SELECT id, CAST(round(rank * 1e6) AS BIGINT) AS rank_ppm FROM p5 ORDER BY id"
+    },
     "graph_neighbors" ->
       ("SELECT o_orderkey, CAST(c_custkey AS VARCHAR) AS neighbors " +
        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),

@@ -36,6 +36,54 @@ object GraphStages {
       keyed.groupBy("id").agg(count(lit(1)).as("degree"))
     }
 
+  /** `pagerank`: fixed-iteration PageRank over the edges table
+    * (simplified form without dangling-mass redistribution — rank mass
+    * at sinks decays, which keeps the per-iteration computation a plain
+    * join+aggregate and the result exactly reproducible by an unrolled
+    * SQL oracle). Options: `iterations` (default 5), `damping`
+    * (default 0.85). Output: (id, rank).
+    *
+    * Scale shape: each iteration is one equi-join of the edge list with
+    * the rank vector plus a hash aggregation on dst — the canonical
+    * distributed PageRank step; `localCheckpoint` per iteration keeps
+    * the logical plan flat (same pattern as
+    * [[graft.dedup.DedupStages.connectedComponents]]). */
+  def pageRank(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges = ctx.edges.getOrElse(
+        sys.error("pagerank: no edges — apply an `edge` stage first"))
+        .select(col("src"), col("dst"))
+      val iters = spec.int("iterations", 5)
+      val dampStr = spec.strOr("damping", "0.85")
+      val d = dampStr.toDouble
+      // (1 - d) via decimal arithmetic: the binary expression
+      // 1.0 - 0.85 is 0.15000000000000002, NOT the double literal 0.15
+      // a SQL oracle writes — the 2e-17 offset systematically breaks
+      // round-to-ppm on ranks that land exactly on .5 boundaries
+      val teleport = (BigDecimal(1) - BigDecimal(dampStr)).toDouble
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct().localCheckpoint(true)
+      val n = nodes.count()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .localCheckpoint(true)
+      var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 0 until iters) {
+        val contribs = edges
+          .join(ranks.select(col("id").as("__rid"), col("rank")),
+            col("src") === col("__rid"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("__cid"), (col("rank") / col("__deg")).as("__c"))
+          .groupBy("__cid").agg(sum("__c").as("__csum"))
+        ranks = nodes.join(contribs, col("id") === col("__cid"), "left")
+          .select(col("id"),
+            (lit(teleport / n) + lit(d) * coalesce(col("__csum"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    }
+
   /** `graphneighbors`: one-hop neighbor expansion — for each vertex id
     * in the input stream (column `idField`), the sorted distinct
     * neighbor ids along `direction`. The batch form of a Gremlin

@@ -26,6 +26,18 @@ class GraphSpec extends SparkSpec {
     assert(deg("both") == Map("a" -> 2L, "b" -> 1L, "x" -> 2L, "y" -> 1L))
   }
 
+  test("pagerank: hand-computed fixpoint on a 2-node chain") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "b")).toDF("src", "dst").withColumn("label", lit("e")))
+    val pr = graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("iterations" -> 5)), ctx)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a has no in-edges: (1-d)/2 = 0.075 from round 1 on;
+    // b = 0.075 + 0.85 * 0.075 = 0.13875 once a stabilizes
+    assert(math.abs(pr("a") - 0.075) < 1e-12)
+    assert(math.abs(pr("b") - 0.13875) < 1e-12)
+  }
+
   test("graphneighbors: one-hop expansion, sorted distinct, left join") {
     val ctx = withEdges()
     val in = Seq("a", "b", "z").toDF("id")
