@@ -791,6 +791,30 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang_pred").orderBy("doc_id")
     },
+    "data_split" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // deterministic key-stable train/val/test split — the md5-bucket
+      // assignment is engine-portable (same expression in DuckDB)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"datasplit": {"keyField": "doc_id", "salt": "v1",
+          "splits": [{"name": "train", "fraction": 0.8},
+                     {"name": "val", "fraction": 0.1},
+                     {"name": "test", "fraction": 0.1}]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "split").orderBy("doc_id")
+    },
+    "hash_sample" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"hashsample": {"keyField": "doc_id",
+                                         "fraction": "0.25"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
     "regex_mask" -> { (s, dir) =>
       val c = ctx(s, dir)
       // PII-style masking pass — regexes restricted to the Java∩RE2
@@ -1175,6 +1199,14 @@ object SparkEntry {
       s"WHEN $es > $en THEN 'es' ELSE 'en' END AS lang_pred " +
       s"FROM documents ORDER BY doc_id"
     },
+    "data_split" ->
+      ("SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split " +
+       "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 6))::BIGINT % 10000 AS b " +
+       "FROM documents) ORDER BY doc_id"),
+    "hash_sample" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 2500 " +
+       "ORDER BY doc_id"),
     "regex_mask" ->
       (raw"SELECT doc_id, regexp_replace(regexp_replace(text, '\btable\b', '<TBL>', 'g'), " +
        "'(key|row)', '<K>', 'g') AS masked FROM documents ORDER BY doc_id"),

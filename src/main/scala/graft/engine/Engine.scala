@@ -51,6 +51,8 @@ object Engine {
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "regexreplace"  -> graft.text.TextStages.regexReplace _,
     "repetition"    -> graft.text.TextStages.repetition _,
+    "datasplit"     -> graft.split.SplitStages.datasplit _,
+    "hashsample"    -> graft.split.SplitStages.hashsample _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,

@@ -240,6 +240,42 @@ class LlmStagesSpec extends SparkSpec {
     assert(out == "mail me at <EMAIL> or <EMAIL> <T>")
   }
 
+  test("datasplit: deterministic, key-stable, fractions approximately honored") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val opts = Seq("keyField" -> "doc_id", "salt" -> "s1",
+      "splits" -> Seq(
+        Map("name" -> "train", "fraction" -> 0.8),
+        Map("name" -> "val", "fraction" -> 0.1),
+        Map("name" -> "test", "fraction" -> 0.1)))
+    val a = stage("datasplit", opts: _*)(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = stage("datasplit", opts: _*)(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 120, s"counts=$counts")
+    assert(math.abs(counts("val") - 200) < 60, s"counts=$counts")
+    assert(math.abs(counts("test") - 200) < 60, s"counts=$counts")
+    // growing the dataset never moves existing keys between splits
+    val grown = stage("datasplit", opts: _*)((0L until 4000L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+  }
+
+  test("hashsample: deterministic subset of the datasplit bucket space") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val kept = stage("hashsample", "keyField" -> "doc_id", "fraction" -> "0.25")(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(math.abs(kept.size - 500) < 80, s"kept ${kept.size}")
+    val again = stage("hashsample", "keyField" -> "doc_id", "fraction" -> "0.25")(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    // monotone: a larger fraction keeps a superset
+    val more = stage("hashsample", "keyField" -> "doc_id", "fraction" -> "0.5")(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(more))
+  }
+
   test("repetition: top-token and distinct ratios on known strings") {
     val df = Seq(
       (1L, "a a a b"),     // top 'a' 3/4, distinct 2/4
