@@ -805,6 +805,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "split").orderBy("doc_id")
     },
+    "pack_chunks" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // token-budget packing: tokenize → ordered prefix-sum chunking
+      // (2048-token chunks). The oracle is DuckDB's window cumsum —
+      // proving the distributed two-phase scan equals the sequential
+      // definition exactly
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"tokenize": {"field": "text"}},
+          {"pack": {"orderField": "doc_id", "tokenField": "n_ws_tokens",
+                    "budget": 2048}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("chunk_id"),
+          col("chunk_offset").cast("long").as("chunk_offset"))
+        .orderBy("doc_id")
+    },
     "hash_sample" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -1203,6 +1221,12 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split " +
        "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 6))::BIGINT % 10000 AS b " +
        "FROM documents) ORDER BY doc_id"),
+    "pack_chunks" ->
+      (s"SELECT doc_id, CAST(floor(CAST(cum - n AS DOUBLE) / 2048) AS BIGINT) AS chunk_id, " +
+       s"CAST((cum - n) % 2048 AS BIGINT) AS chunk_offset FROM " +
+       s"(SELECT doc_id, CAST(len($toks) AS BIGINT) AS n, " +
+       s"sum(CAST(len($toks) AS BIGINT)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
+       s"FROM documents) ORDER BY doc_id"),
     "hash_sample" ->
       ("SELECT doc_id, n_chars FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 2500 " +

@@ -53,6 +53,7 @@ object Engine {
     "repetition"    -> graft.text.TextStages.repetition _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
+    "pack"          -> graft.split.SplitStages.pack _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,

@@ -60,6 +60,58 @@ object SplitStages {
       df.withColumn(spec.strOr("outputField", "split"), labeled)
     }
 
+  /** `pack`: contiguous token-budget packing — assign each document a
+    * `chunk_id` so that consecutive documents (in `orderField` order)
+    * accumulate into chunks of at most ~`budget` tokens:
+    * `chunk_id = floor(exclusive_prefix_sum(tokens) / budget)` — the
+    * standard streaming pack used to fill training context windows.
+    *
+    * Scale shape: a GLOBAL ordered prefix sum, done in two phases so it
+    * never funnels the data through one task (a bare
+    * `Window.orderBy(...)` without partitions would): range-partition
+    * on the order key, windowed prefix sum WITHIN each partition, then
+    * add per-partition base offsets. The offsets are one tiny
+    * driver-side aggregation (numPartitions rows) — the classic
+    * distributed scan pattern. Output columns: `chunk_id`,
+    * `chunk_offset` (the doc's exclusive token offset within its chunk).
+    */
+  def pack(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.expressions.Window
+      val orderField = spec.strOr("orderField", "doc_id")
+      val tokenField = spec.strOr("tokenField", "n_tokens")
+      val budget = spec.long("budget").getOrElse(sys.error("pack: budget required"))
+      require(budget > 0, "pack: budget must be positive")
+      val nPart = spec.int("partitions",
+        math.max(df.sparkSession.sparkContext.defaultParallelism, 1))
+
+      val parts = df.repartitionByRange(nPart, col(orderField))
+        .withColumn("__pid", spark_partition_id())
+      // phase 1: per-partition token totals → base offsets (driver-side:
+      // numPartitions rows, not data rows)
+      val totals = parts.groupBy("__pid")
+        .agg(sum(col(tokenField).cast("long")).as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+      val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) =>
+        acc + totals.getOrElse(pid, 0L))
+      val offsetExpr = offsets.zipWithIndex.dropRight(1)
+        .foldLeft(lit(0L)) { case (els, (off, pid)) =>
+          when(col("__pid") === pid, lit(off)).otherwise(els)
+        }
+      // phase 2: exclusive prefix sum within each range partition + base
+      val w = Window.partitionBy("__pid").orderBy(orderField)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumBefore =
+        (sum(col(tokenField).cast("long")).over(w) - col(tokenField).cast("long")) +
+          offsetExpr
+      parts
+        .withColumn("__cum", cumBefore)
+        .withColumn("chunk_id", floor(col("__cum") / budget))
+        .withColumn("chunk_offset", col("__cum") % budget)
+        .drop("__pid", "__cum")
+    }
+
   /** `hashsample`: keep a deterministic `fraction` of rows by the same
     * md5 bucket — the reproducible alternative to `TABLESAMPLE`/rand().
     * Options: `keyField`/`keyExpr`, `fraction` (required), `salt`. */

@@ -276,6 +276,25 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept.subsetOf(more))
   }
 
+  test("pack: two-phase distributed prefix sum equals the sequential pack") {
+    // tokens chosen so chunks straddle partition boundaries
+    val rows = (0L until 100L).map(i => (i, 7L + (i % 13)))
+    val df = rows.toDF("doc_id", "n_tokens")
+    def sequential(budget: Long): Seq[(Long, Long, Long)] = {
+      var cum = 0L
+      rows.map { case (id, t) =>
+        val r = (id, cum / budget, cum % budget); cum += t; r
+      }
+    }
+    for (nPart <- Seq(1, 3, 8)) {
+      val out = stage("pack", "orderField" -> "doc_id",
+        "tokenField" -> "n_tokens", "budget" -> 37, "partitions" -> nPart)(df)
+        .select("doc_id", "chunk_id", "chunk_offset").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(out == sequential(37L), s"nPart=$nPart")
+    }
+  }
+
   test("repetition: top-token and distinct ratios on known strings") {
     val df = Seq(
       (1L, "a a a b"),     // top 'a' 3/4, distinct 2/4
