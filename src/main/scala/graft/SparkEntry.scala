@@ -877,6 +877,22 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "fp_md5").orderBy("doc_id")
     },
+    "decontaminate" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // eval-overlap removal: docs < 20 act as the benchmark set; any
+      // corpus doc sharing a 5-gram with them is dropped (catches the
+      // planted near-dups of the eval docs)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id >= 20"}},
+          {"decontaminate": {"idField": "doc_id", "field": "text",
+            "shingleSize": 5,
+            "against": "SELECT text FROM documents WHERE doc_id < 20"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
     "neardup_dedup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // keep-one near-dup dedup via connected components; exact-pair mode
@@ -1246,6 +1262,16 @@ object SparkEntry {
        s"FROM documents ORDER BY doc_id"),
     "fingerprint" ->
       raw"SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5 FROM documents ORDER BY doc_id",
+    "decontaminate" -> {
+      val sh5 =
+        s"CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')] " +
+        s"ELSE list_distinct(list_transform(generate_series(1, len($toks) - 4), " +
+        s"i -> ${(0 until 5).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})) END"
+      s"WITH ev AS (SELECT list(s) AS l FROM " +
+      s"(SELECT DISTINCT unnest($sh5) AS s FROM documents WHERE doc_id < 20)) " +
+      s"SELECT doc_id, n_chars FROM documents, ev " +
+      s"WHERE doc_id >= 20 AND len(list_intersect($sh5, ev.l)) = 0 ORDER BY doc_id"
+    },
     "neardup_dedup" -> {
       val sh = shingles("documents")
       s"WITH RECURSIVE s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 250), " +

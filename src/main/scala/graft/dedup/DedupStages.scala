@@ -268,6 +268,58 @@ object DedupStages {
         .select("a", "b", "jaccard")
     }
 
+  // ----------------------------------------------------- decontamination
+
+  /** `decontaminate`: drop (or mark) documents sharing any word-n-gram
+    * with a benchmark/eval set — the standard pretraining
+    * decontamination pass (eval-overlap removal). Options: `idField`,
+    * `field`, `shingleSize` (default 13, the common eval-decontam
+    * n-gram), `against` (SQL SELECT or registered table name providing
+    * the eval documents; its text column = `againstField`, default
+    * `field`), `mode` ∈ drop (default) | mark (adds boolean
+    * `contaminated`).
+    *
+    * Scale shape: the EVAL side is the small side by construction —
+    * its distinct shingle hashes broadcast; the corpus explodes its
+    * shingle hashes once, semi-joins the broadcast set, and the
+    * distinct contaminated ids anti-join back. The corpus is never
+    * all-pairs compared with anything. */
+  def decontaminate(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val field = spec.strOr("field", "text")
+      val n = spec.int("shingleSize", 13)
+      val againstSpec = spec.str("against")
+        .getOrElse(sys.error("decontaminate: against (table or SELECT) required"))
+      val eval0 =
+        if (againstSpec.trim.toUpperCase.startsWith("SELECT"))
+          ctx.spark.sql(againstSpec)
+        else ctx.table(againstSpec)
+      val evalField = spec.strOr("againstField", field)
+
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      import org.apache.spark.sql.functions.broadcast
+      val evalShingles = broadcast(eval0
+        .select(explode(graft.functions.VectorExpressions
+          .shingleHashes(col(evalField), n)).as("__es"))
+        .distinct())
+      val docShingles = df.select(col(id).as("__did"),
+        explode(graft.functions.VectorExpressions
+          .shingleHashes(col(field), n)).as("__ds"))
+      val contaminated = docShingles
+        .join(evalShingles, col("__ds") === col("__es"), "left_semi")
+        .select(col("__did")).distinct()
+      spec.strOr("mode", "drop") match {
+        case "drop" => df.join(contaminated, col(id) === col("__did"), "left_anti")
+        case "mark" =>
+          df.join(contaminated.withColumn("__c", lit(true)),
+              col(id) === col("__did"), "left")
+            .withColumn("contaminated", coalesce(col("__c"), lit(false)))
+            .drop("__did", "__c")
+        case other => sys.error(s"decontaminate: unknown mode $other")
+      }
+    }
+
   // ------------------------------------------- near-dup dedup (keep-one)
 
   /** Min-label connected components over an undirected pair list

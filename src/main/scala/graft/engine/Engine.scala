@@ -47,6 +47,7 @@ object Engine {
     "simhash"       -> graft.dedup.DedupStages.simhash _,
     "ngramjaccard"  -> graft.dedup.DedupStages.ngramJaccard _,
     "neardupdedup"  -> graft.dedup.DedupStages.neardupDedup _,
+    "decontaminate" -> graft.dedup.DedupStages.decontaminate _,
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "regexreplace"  -> graft.text.TextStages.regexReplace _,

@@ -240,6 +240,26 @@ class LlmStagesSpec extends SparkSpec {
     assert(out == "mail me at <EMAIL> or <EMAIL> <T>")
   }
 
+  test("decontaminate: drops docs sharing an n-gram with the eval set; mark mode flags") {
+    val mk = (from: Int, to: Int) => (from to to).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, mk(1, 20)),     // shares 1..20 with eval -> contaminated
+      (2L, mk(100, 120)),  // disjoint -> clean
+      (3L, mk(15, 35)),    // overlaps eval's 15..25 window -> contaminated
+      (4L, mk(200, 220))   // disjoint -> clean
+    ).toDF("doc_id", "text")
+    df.sparkSession.sql("DROP VIEW IF EXISTS decon_eval")
+    Seq((100L, mk(10, 25))).toDF("eid", "text").createOrReplaceTempView("decon_eval")
+    val dropped = stage("decontaminate", "shingleSize" -> 5,
+      "against" -> "SELECT text FROM decon_eval")(df)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(dropped == Seq(2L, 4L))
+    val marked = stage("decontaminate", "shingleSize" -> 5, "mode" -> "mark",
+      "against" -> "SELECT text FROM decon_eval")(df)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(marked == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("datasplit: deterministic, key-stable, fractions approximately honored") {
     val df = (0L until 2000L).toDF("doc_id")
     val opts = Seq("keyField" -> "doc_id", "salt" -> "s1",
