@@ -85,8 +85,15 @@ object SplitStages {
       val nPart = spec.int("partitions",
         math.max(df.sparkSession.sparkContext.defaultParallelism, 1))
 
+      // materialize the range partitioning ONCE (localCheckpoint):
+      // phase 1's offsets and phase 2's window must see the SAME
+      // partition boundaries, but RangePartitioner re-SAMPLES on every
+      // execution — an un-checkpointed plan executes twice (offsets
+      // collect + output job) and can land rows in different partitions
+      // than the offsets describe (caught by the sf0.1 self-check)
       val parts = df.repartitionByRange(nPart, col(orderField))
         .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
       // phase 1: per-partition token totals → base offsets (driver-side:
       // numPartitions rows, not data rows)
       val totals = parts.groupBy("__pid")
