@@ -857,6 +857,14 @@ object SparkEntry {
         .select("doc_id", "rep_top_token_ratio", "rep_distinct_ratio")
         .orderBy("doc_id")
     },
+    "ngram_count" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"ngramcount": {"field": "text", "n": 3, "k": 50}}],
+        "loader": {"memory": {}} }""")
+    },
     "tokenize" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -1256,6 +1264,12 @@ object SparkEntry {
        s"FROM (SELECT doc_id, tok, count(*) AS cnt FROM " +
        s"(SELECT doc_id, unnest($toks) AS tok FROM documents) GROUP BY doc_id, tok) " +
        s"GROUP BY doc_id ORDER BY doc_id"),
+    "ngram_count" ->
+      (s"SELECT g AS ngram, count(*) AS cnt FROM (SELECT unnest(" +
+       s"CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')] " +
+       s"ELSE list_transform(generate_series(1, len($toks) - 2), " +
+       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END) AS g " +
+       s"FROM documents) GROUP BY g ORDER BY cnt DESC, ngram ASC LIMIT 50"),
     "tokenize" ->
       (s"SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_ws_tokens, " +
        raw"CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens " +

@@ -51,6 +51,7 @@ object Engine {
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "regexreplace"  -> graft.text.TextStages.regexReplace _,
+    "ngramcount"    -> graft.text.TextStages.ngramCount _,
     "repetition"    -> graft.text.TextStages.repetition _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,

@@ -181,6 +181,33 @@ object TextStages {
           size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0)))
     }
 
+  /** `ngramcount`: top-k most frequent word n-grams across the corpus —
+    * the standard vocabulary / boilerplate inspection query. Options:
+    * `field`, `n` (default 3), `k` (default 50), `distinctPerDoc`
+    * (default false — count every occurrence; true counts each n-gram
+    * once per document, the document-frequency variant). Output
+    * `(ngram, cnt)` ordered by (cnt desc, ngram asc).
+    *
+    * Scale shape: explode → hash-aggregate with map-side combine →
+    * TakeOrdered(k) — the global "top 50" never sorts the full n-gram
+    * distribution, each task contributes only its k best. */
+  def ngramCount(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      val n = spec.int("n", 3)
+      val k = spec.int("k", 50)
+      val toksC = tokens(f)
+      val grams0 = when(size(toksC) < n, array(concat_ws(" ", toksC)))
+        .otherwise(transform(sequence(lit(0), size(toksC) - n),
+          i => concat_ws(" ", slice(toksC, i + 1, lit(n)))))
+      val grams = if (spec.bool("distinctPerDoc", dflt = false))
+        array_distinct(grams0) else grams0
+      df.select(explode(grams).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(k)
+    }
+
   /** `fingerprint`: document fingerprints over the normalized text
     * (lowercased, whitespace collapsed): `fp_md5` (content hash, oracle-
     * checkable) and `fp_xx` (xxhash64 — the cheap 64-bit rolling-hash

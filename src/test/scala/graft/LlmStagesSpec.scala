@@ -240,6 +240,19 @@ class LlmStagesSpec extends SparkSpec {
     assert(out == "mail me at <EMAIL> or <EMAIL> <T>")
   }
 
+  test("ngramcount: top-k by count with ngram tie-break; distinctPerDoc variant") {
+    val df = Seq(
+      (1L, "a b c a b c"),  // "a b c"×2, "b c a", "c a b"
+      (2L, "a b c d")       // "a b c", "b c d"
+    ).toDF("doc_id", "text")
+    val top = stage("ngramcount", "n" -> 3, "k" -> 3)(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(top == Seq("a b c" -> 3L, "b c a" -> 1L, "b c d" -> 1L))
+    val dfreq = stage("ngramcount", "n" -> 3, "k" -> 1, "distinctPerDoc" -> true)(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(dfreq == Seq("a b c" -> 2L))
+  }
+
   test("decontaminate: drops docs sharing an n-gram with the eval set; mark mode flags") {
     val mk = (from: Int, to: Int) => (from to to).map(i => s"w$i").mkString(" ")
     val df = Seq(
