@@ -481,6 +481,28 @@ object SparkEntry {
             .as("entries"))
         .orderBy("c_custkey")
     },
+    "topk_per_group" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // top-3 orders by totalprice per customer — the generic "top N
+      // per key" on the bounded-heap aggregate (map-side partial top-k)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"topkpergroup": {"groupBy": ["o_custkey"],
+          "scoreField": "o_totalprice", "idField": "o_orderkey", "k": 3}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("o_custkey", "rank")
+    },
+    "histogram" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"histogram": {"field": "l_quantity",
+          "min": "0", "max": "50", "buckets": 10}}],
+        "loader": {"memory": {}} }""")
+        .select("bucket", "lo", "hi", "cnt").orderBy("bucket")
+    },
     "command_agg" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -1164,6 +1186,15 @@ object SparkEntry {
        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c_custkey"),
     "command_agg" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "topk_per_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rank FROM " +
+       "(SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER " +
+       "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank " +
+       "FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank"),
+    "histogram" ->
+      ("SELECT bucket, 0 + bucket * 5.0 AS lo, 0 + (bucket + 1) * 5.0 AS hi, cnt FROM " +
+       "(SELECT least(greatest(CAST(floor(CAST(l_quantity AS DOUBLE) / 5.0) AS BIGINT), 0), 9) AS bucket, " +
+       "count(*) AS cnt FROM lineitem GROUP BY 1) ORDER BY bucket"),
     "code_sql" ->
       "SELECT o_orderkey, o_totalprice * 0.9 AS discounted FROM orders ORDER BY o_orderkey",
     "let_field" ->

@@ -30,6 +30,8 @@ object Engine {
     "log"     -> Stages.log _,
     "code"    -> Stages.code _,
     "command" -> Stages.command _,
+    "topkpergroup" -> Stages.topkPerGroup _,
+    "histogram"    -> Stages.histogram _,
     "flow"    -> Stages.flow _,
     "vertex"  -> Stages.vertex _,
     "merge"   -> LookupStages.merge _,

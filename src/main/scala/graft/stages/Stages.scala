@@ -239,6 +239,59 @@ object Stages {
       }
     }
 
+  /** `topkpergroup`: the k best rows per group by a score column —
+    * "top N per key", the classic analytics ask. Options: `groupBy`
+    * (key columns), `scoreField`, `idField` (unique row id for
+    * deterministic tie-breaks), `k`. Output: group keys + id + score +
+    * `rank` (1-based, score desc / id asc).
+    *
+    * Runs on [[graft.functions.TopKByScore]] — map-side partial top-k
+    * inside ObjectHashAggregate, so the shuffle carries ≤ k rows per
+    * (task, group) instead of every row (a `row_number()` window
+    * shuffles and sorts the full input). */
+  def topkPerGroup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val keys = spec.strList("groupBy")
+      require(keys.nonEmpty, "topkpergroup: groupBy required")
+      val score = spec.str("scoreField").getOrElse(sys.error("topkpergroup: scoreField required"))
+      val id = spec.str("idField").getOrElse(sys.error("topkpergroup: idField required"))
+      val k = spec.int("k", 10)
+      df.groupBy(keys.map(col): _*)
+        .agg(graft.functions.VectorExpressions.topK(
+          col(score).cast("double"), col(id).cast("long"), k).as("__top"))
+        .select(keys.map(col) :+
+          posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+        .select(keys.map(col) ++ Seq(
+          col("__e.id").as(id),
+          col("__e.score").as(score),
+          (col("__pos") + 1).cast("int").as("rank")): _*)
+    }
+
+  /** `histogram`: fixed-width bucket counts of a numeric column over a
+    * CONFIGURED range (bounds from config, not from the data — a pure
+    * projection + one aggregation, no extra min/max pass). Options:
+    * `field`, `min`, `max`, `buckets` (default 10). Values outside
+    * [min, max) clamp into the edge buckets. Output (bucket, lo, hi,
+    * cnt) for non-empty buckets. */
+  def histogram(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val f = col(spec.str("field").getOrElse(sys.error("histogram: field required")))
+      val lo = spec.str("min").getOrElse(sys.error("histogram: min required")).toDouble
+      val hi = spec.str("max").getOrElse(sys.error("histogram: max required")).toDouble
+      val n = spec.int("buckets", 10)
+      require(hi > lo && n > 0, "histogram: max > min and buckets > 0 required")
+      val w = (hi - lo) / n
+      val b = least(greatest(
+        floor((f.cast("double") - lo) / w).cast("bigint"), lit(0L)), lit(n - 1L))
+      df.groupBy(b.as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"),
+          (lit(lo) + col("bucket") * w).as("lo"),
+          (lit(lo) + (col("bucket") + 1) * w).as("hi"),
+          col("cnt"))
+    }
+
   /** `command` (OCommandTransformer.java:58-78): SQL over the registered
     * tables; result replaces the stream. Batch-level, not per record —
     * per-record SQL is the RBAR anti-pattern the Spark design removes

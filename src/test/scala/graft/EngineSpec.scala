@@ -191,6 +191,29 @@ class EngineSpec extends SparkSpec {
     assert(lines == (3 to 7).map("line" + _).toSet)
   }
 
+  test("topkpergroup: k best per key with id tie-break; histogram: clamped buckets") {
+    import spark.implicits._
+    val ctx = newCtx()
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0), (1L, 13L, 1.0),
+      (2L, 20L, 3.0)).toDF("g", "id", "score")
+    val top = graft.stages.Stages.topkPerGroup(graft.spec.ComponentSpec("topkpergroup",
+      Map("groupBy" -> Seq("g"), "scoreField" -> "score", "idField" -> "id",
+          "k" -> 2)), ctx)(df)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // tie at 9.0 → smaller id first
+    assert(top == Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 20L, 1)))
+
+    val h = graft.stages.Stages.histogram(graft.spec.ComponentSpec("histogram",
+      Map("field" -> "v", "min" -> "0", "max" -> "10", "buckets" -> 2)), ctx)(
+      Seq(-5.0, 1.0, 4.9, 5.0, 9.9, 42.0).toDF("v"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // -5 clamps into bucket 0; 42 clamps into bucket 1
+    assert(h == Seq((0L, 3L), (1L, 3L)))
+  }
+
   test("parquet loader upsert mode: fresh write, then file-based MERGE") {
     import spark.implicits._
     val path = s"$tmp/upsert_tbl"
