@@ -235,8 +235,10 @@ object DedupStages {
       l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
         .select(col("a"), col("b"),
           bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
-        .distinct()
+        // filter BEFORE the dedup shuffle: most candidates fail the
+        // distance test and must not pay the distinct's exchange
         .where(col("hamming") <= maxDist)
+        .distinct()
     }
 
   // -------------------------------------------------- exact n-gram jaccard

@@ -272,8 +272,10 @@ object SimilarityStages {
         l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
           .select(col("a"), col("b"),
             cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
-          .distinct()
+          // filter BEFORE the dedup shuffle: most candidates fail the
+          // threshold and must not pay the distinct's exchange
           .where(col("cosine") >= threshold)
+          .distinct()
       }
     }
 }

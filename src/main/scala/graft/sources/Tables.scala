@@ -24,13 +24,17 @@ object Tables {
   // time (driver IO). The fixture tables are immutable per (session,
   // dir), so cache the built plans — Verify/Bench construct a fresh
   // EtlContext per query and would otherwise pay 10 footer reads × N
-  // queries of pure driver latency.
+  // queries of pure driver latency. Keyed by sessionUUID (stable and
+  // collision-free, unlike identity hashes); bounded so plans of
+  // long-stopped sessions can't accumulate without limit.
   private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  private val maxCached = 256
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (planCache.size > maxCached) planCache.clear()
     planCache.getOrElseUpdate(
-      (System.identityHashCode(spark.sessionState), sfDir, name), {
+      (spark.sessionUUID, sfDir, name), {
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
         nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
           if (d.schema(c).dataType == LongType)
@@ -38,4 +42,5 @@ object Tables {
           else d
         }
       })
+  }
 }
