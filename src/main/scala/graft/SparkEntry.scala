@@ -74,6 +74,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("link_fk")(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic recall-verdict frame for the approximate operators
+    * whose raw outputs aren't SQL-expressible: `(metric, pass)` rows —
+    * recall of `approx` vs `exact` on `keys` must clear `floor`, plus a
+    * non-empty check — hash-compared against a constant DuckDB VALUES
+    * oracle. Lazy single plan: two 1-row aggregates cross-joined. */
+  private def recallVerdict(approx: DataFrame, exact: DataFrame,
+                            keys: Seq[String], metric: String,
+                            floor: Double): DataFrame = {
+    val hits = approx.join(exact, keys, "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val total = exact.agg(count(lit(1)).as("__total"))
+    val recall = hits.crossJoin(total)
+      .select(lit(metric).as("metric"),
+        (col("__hits").cast("double") / col("__total") >= floor).as("pass"))
+    val nonEmpty = approx.agg((count(lit(1)) > 0L).as("pass"))
+      .select(lit("results_nonempty").as("metric"), col("pass"))
+    recall.unionByName(nonEmpty).orderBy("metric")
+  }
+
   private type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -980,12 +999,31 @@ object SparkEntry {
     },
     "simhash_pairs" -> { (s, dir) =>
       val c = ctx(s, dir)
-      Engine.runJson(c, s"""{
+      // xxhash64-based signatures aren't DuckDB-expressible, so the
+      // driver row is a deterministic VERDICT table instead of raw
+      // pairs: the native Catalyst SimHash64 must equal the HOF
+      // reference form on every document, every emitted pair must
+      // respect maxDistance, and the pair set must be non-empty. Each
+      // check is computed in Spark; the oracle is the constant
+      // expected-verdict table.
+      val pairs = Engine.runJson(c, s"""{
         "source": {"file": {"path": "$dir/documents.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"simhash": {"idField": "doc_id", "field": "text",
                                       "maxDistance": 7}}],
-        "loader": {"memory": {}} }""").orderBy("a", "b")
+        "loader": {"memory": {}} }""")
+      graft.functions.VectorExpressions.ensure(s)
+      val sigDiff = c.table("documents").select(
+          graft.functions.VectorExpressions.simHash64(col("text")).as("__n"),
+          graft.dedup.DedupStages.simhash64(col("text")).as("__h"))
+        .agg((sum(when(col("__n") =!= col("__h"), 1L).otherwise(0L)) === 0L).as("pass"))
+        .select(lit("native_equals_hof_sigs").as("metric"), col("pass"))
+      val within = pairs
+        .agg((sum(when(col("hamming") > 7, 1L).otherwise(0L)) === 0L).as("pass"))
+        .select(lit("all_pairs_within_maxdist").as("metric"), col("pass"))
+      val nonEmpty = pairs.agg((count(lit(1)) > 0L).as("pass"))
+        .select(lit("pairs_found").as("metric"), col("pass"))
+      sigDiff.unionByName(within).unionByName(nonEmpty).orderBy("metric")
     },
     "similarity_topk" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -998,34 +1036,65 @@ object SparkEntry {
         .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
     },
     "similarity_lsh" -> { (s, dir) =>
-      val c = ctx(s, dir)
-      Engine.runJson(c, s"""{
+      // recall < 1 by design, so the driver row is a deterministic
+      // VERDICT table: recall@5 of the SRP-LSH path vs the brute-force
+      // exact path (both computed in Spark, both deterministic — literal
+      // hyperplanes) must clear a floor with margin (measured 0.437 at
+      // sf0.01). Oracle = the constant expected-verdict table.
+      val approx = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"similaritylsh": {"idField": "vec_id",
           "field": "embedding", "k": 5, "nBits": 16, "bands": 4}}],
-        "loader": {"memory": {}} }""")
-        .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
+        "loader": {"memory": {}} }""").select("q_id", "n_id")
+      val exact = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"similarity": {"idField": "vec_id",
+          "field": "embedding", "k": 5}}],
+        "loader": {"memory": {}} }""").select("q_id", "n_id")
+      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.3", 0.3)
     },
     "similarity_ivf" -> { (s, dir) =>
-      val c = ctx(s, dir)
-      Engine.runJson(c, s"""{
+      // same verdict contract as similarity_lsh (measured 0.402 at
+      // sf0.01; deterministic: hash-sampled centroids, fixed probes)
+      val approx = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"similarityivf": {"idField": "vec_id",
           "field": "embedding", "k": 5, "nCells": 16, "nProbe": 3}}],
-        "loader": {"memory": {}} }""")
-        .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
+        "loader": {"memory": {}} }""").select("q_id", "n_id")
+      val exact = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"similarity": {"idField": "vec_id",
+          "field": "embedding", "k": 5}}],
+        "loader": {"memory": {}} }""").select("q_id", "n_id")
+      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.3", 0.3)
     },
     "cosine_dup" -> { (s, dir) =>
-      val c = ctx(s, dir)
-      Engine.runJson(c, s"""{
+      // VERDICT table: the SRP-bucketed pair set must be a SUBSET of the
+      // exact pair set (the LSH path exact-verifies candidates, so false
+      // positives are structurally impossible — asserted, not assumed)
+      // and recall must clear a floor with margin (measured 0.509 at
+      // sf0.01). Oracle = the constant expected-verdict table.
+      val approx = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"cosinedup": {"idField": "vec_id",
           "field": "embedding", "threshold": 0.4, "nBits": 16, "bands": 4}}],
-        "loader": {"memory": {}} }""")
-        .select("a", "b").orderBy("a", "b")
+        "loader": {"memory": {}} }""").select("a", "b")
+      val exact = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"cosinedup": {"idField": "vec_id",
+          "field": "embedding", "threshold": 0.4, "exact": true}}],
+        "loader": {"memory": {}} }""").select("a", "b")
+      val falsePos = approx.join(exact, Seq("a", "b"), "left_anti")
+        .agg((count(lit(1)) === 0L).as("pass"))
+        .select(lit("false_positives_zero").as("metric"), col("pass"))
+      recallVerdict(approx, exact, Seq("a", "b"), "recall_ge_0.4", 0.4)
+        .unionByName(falsePos).orderBy("metric")
     },
     "cosine_dup_exact" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -1341,6 +1410,22 @@ object SparkEntry {
       s"CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.2 " +
       s"ORDER BY a, b"
     },
+    // verdict tables for the approximate operators (recall/differential
+    // checks computed in Spark; the oracle is the expected constant)
+    "simhash_pairs" ->
+      ("SELECT * FROM (VALUES ('all_pairs_within_maxdist', true), " +
+       "('native_equals_hof_sigs', true), ('pairs_found', true)) " +
+       "AS t(metric, pass) ORDER BY metric"),
+    "similarity_lsh" ->
+      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
+       "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "similarity_ivf" ->
+      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
+       "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "cosine_dup" ->
+      ("SELECT * FROM (VALUES ('false_positives_zero', true), " +
+       "('recall_ge_0.4', true), ('results_nonempty', true)) " +
+       "AS t(metric, pass) ORDER BY metric"),
     "neardup_dedup_lsh" -> {
       val sh = shingles("documents")
       s"WITH RECURSIVE s AS (SELECT doc_id, $sh AS sh FROM documents), " +

@@ -145,8 +145,11 @@ object DedupStages {
       // band keys: hash of each signature slice → explode B rows per doc
       val bandKeys = array((0 until bands).map(bi =>
         xxhash64(lit(bi), slice(col("__sig"), bi * rows + 1, rows))): _*)
-      val banded = sigs.select(col("__id"),
+      val banded0 = sigs.select(col("__id"),
         posexplode(bandKeys).as(Seq("__band", "__bkey")))
+      // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
+      val banded = Stages.guardBuckets(banded0, Seq("__band", "__bkey"),
+        spec, ctx, "minhash")
 
       // candidate pairs: equi-join on (band, bucket) — O(bucket²)
       val l = banded.select(col("__band"), col("__bkey"), col("__id").as("a"))
@@ -226,8 +229,11 @@ object DedupStages {
         graft.functions.VectorExpressions.simHash64(col(field)).as("__sig"))
       val blockKeys = array((0 until blocks).map(bi =>
         shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
-      val banded = sigs.select(col("__id"), col("__sig"),
+      val banded0 = sigs.select(col("__id"), col("__sig"),
         posexplode(blockKeys).as(Seq("__blk", "__bkey")))
+      // skew guard: a degenerate block bucket goes O(bucket²) — cap + counter
+      val banded = Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+        spec, ctx, "simhash")
       val l = banded.select(col("__blk"), col("__bkey"),
         col("__id").as("a"), col("__sig").as("__siga"))
       val r = banded.select(col("__blk"), col("__bkey"),

@@ -82,7 +82,8 @@ final class EtlContext(val spark: SparkSession) {
       c.kind match {
         case "log" => System.err.println(s"${c.msg}: $n rows")
         case "halt" if n > 0 => halt = halt.orElse(Some(s"${c.msg} ($n rows)"))
-        case "warning" if n > 0 => warnings.add(n)
+        case "warning" if n > 0 =>
+          warnings.add(n); System.err.println(s"${c.msg}: $n")
         case "error" if n > 0 => errors.add(n)
         case _ => ()
       }

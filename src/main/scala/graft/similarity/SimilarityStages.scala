@@ -148,10 +148,13 @@ object SimilarityStages {
       val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
         .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
         .withColumn("__n", norm(col("__v")))
-      val banded = sigs.select(col("__id"), col("__v"), col("__n"),
+      val banded0 = sigs.select(col("__id"), col("__v"), col("__n"),
         posexplode(array((0 until bands).map(bi =>
           shiftright(col("__sig"), bi * bits)
             .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
+      // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
+      val banded = Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+        spec, ctx, "similaritylsh")
       val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("q_id"),
         col("__v").as("__qv"), col("__n").as("__qn"))
       val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("n_id"),
@@ -261,10 +264,13 @@ object SimilarityStages {
         val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
           .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
           .withColumn("__n", norm(col("__v")))
-        val banded = sigs.select(col("__id"), col("__v"), col("__n"),
+        val banded0 = sigs.select(col("__id"), col("__v"), col("__n"),
           posexplode(array((0 until bands).map(bi =>
             shiftright(col("__sig"), bi * bits)
               .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
+        // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
+        val banded = Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+          spec, ctx, "cosinedup")
         val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"),
           col("__v").as("__av"), col("__n").as("__an"))
         val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"),

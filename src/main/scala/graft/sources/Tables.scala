@@ -24,17 +24,23 @@ object Tables {
   // time (driver IO). The fixture tables are immutable per (session,
   // dir), so cache the built plans — Verify/Bench construct a fresh
   // EtlContext per query and would otherwise pay 10 footer reads × N
-  // queries of pure driver latency. Keyed by sessionUUID (stable and
-  // collision-free, unlike identity hashes); bounded so plans of
-  // long-stopped sessions can't accumulate without limit.
-  private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-  private val maxCached = 256
+  // queries of pure driver latency. Weak-keyed on the SparkSession
+  // itself: no identity-hash collisions, and plans of stopped sessions
+  // become collectable with the session instead of accumulating forever.
+  private val planCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (planCache.size > maxCached) planCache.clear()
-    planCache.getOrElseUpdate(
-      (spark.sessionUUID, sfDir, name), {
+    val perSession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        planCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(
+      (sfDir, name), {
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
         nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
           if (d.schema(c).dataType == LongType)

@@ -44,6 +44,14 @@ object Stages {
   def ifCond(spec: ComponentSpec, ctx: EtlContext): Option[Column] =
     spec.ifExpr.map(OrientExpr.compile(_, ctx.varMap))
 
+  /** LSH band-bucket skew guard (see [[BucketGuard]]): reads the stage's
+    * `maxBucket` option (default [[BucketGuard.DefaultMaxBucket]];
+    * `0`/negative disables). */
+  def guardBuckets(banded: DataFrame, keys: Seq[String], spec: ComponentSpec,
+                   ctx: EtlContext, stage: String): DataFrame =
+    BucketGuard.capBuckets(banded, keys,
+      spec.int("maxBucket", BucketGuard.DefaultMaxBucket), ctx, stage)
+
   /** `field` (OFieldTransformer.java:64-110): set a field from a dialect
     * expression or literal, or remove it. */
   def field(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =

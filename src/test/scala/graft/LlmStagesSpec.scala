@@ -472,4 +472,32 @@ class LlmStagesSpec extends SparkSpec {
     warnDf.count(); cw.drainChecks()
     assert(cw.warnings.value == 2L) // records 2 and 3
   }
+
+  // ------------------------------------------------------- LSH skew guard
+  test("minhash skew guard: hot bucket dropped and counted, cold pairs survive") {
+    val ctx = newCtx()
+    // 300 identical boilerplate docs: every band bucket holds all 300 →
+    // hot under maxBucket=100; plus one genuine near-dup pair whose
+    // buckets stay tiny
+    val boiler = (1 to 300).map(i =>
+      (1000L + i, "the same boilerplate text repeated on every page of the site"))
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val df = (boiler ++ Seq((1L, base), (2L, nearDup))).toDF("doc_id", "text")
+    val pairs = graft.engine.Engine.transformers("minhash")(
+      ComponentSpec("minhash", Map("threshold" -> 0.5, "maxBucket" -> 100)),
+      ctx)(df).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(0) > 1000L)) // hot cluster dropped
+    ctx.drainChecks()
+    assert(ctx.warnings.value > 0) // dropped-bucket counter fired
+  }
+
+  test("minhash skew guard disabled (maxBucket=0) keeps the hot cluster") {
+    val boiler = (1 to 120).map(i =>
+      (1000L + i, "the same boilerplate text repeated on every page of the site"))
+    val df = boiler.toDF("doc_id", "text")
+    val pairs = stage("minhash", "threshold" -> 0.5, "maxBucket" -> 0)(df)
+    assert(pairs.count() == 120L * 119 / 2)
+  }
 }
