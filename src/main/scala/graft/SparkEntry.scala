@@ -48,6 +48,14 @@ object SparkEntry {
         csvLines(header = true).mkString("\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nation_noheader.csv"),
         csvLines(header = false).mkString("\n").getBytes("UTF-8"))
+      // planted-dirty variant: every 5th row's n_regionkey cell is a
+      // non-numeric token (per-field conversion-error fixture)
+      val dirty = Seq("n_nationkey,n_name,n_regionkey") ++ nation.map { r =>
+        val rk = if (r.get(0).toString.toLong % 5 == 2) "bad" else r.get(2).toString
+        s"${r.get(0)},${r.get(1)},$rk"
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nation_dirty.csv"),
+        dirty.mkString("\n").getBytes("UTF-8"))
       val gz = new java.util.zip.GZIPOutputStream(
         new java.io.FileOutputStream(s"$dir/nation.csv.gz"))
       gz.write(csvLines(header = true).mkString("\n").getBytes("UTF-8")); gz.close()
@@ -113,6 +121,20 @@ object SparkEntry {
         "transformers": [{"csv": {"columns":
           ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
         "loader": {"memory": {}} }""").orderBy("n_nationkey")
+    },
+    "csv_badcells" -> { (s, dir) =>
+      // reference per-field conversion-error policy (OCSVTransformer
+      // .java:136-140, 171-174): the malformed n_regionkey cells drop to
+      // null, the rows survive, and the error counter observes the count
+      // (asserted in EngineSpec; the oracle checks the row semantics)
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation_dirty.csv"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"errorStats": true, "columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
     },
     "file_gzip" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
@@ -1166,6 +1188,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "file_gzip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "csv_badcells" ->
+      ("SELECT n_nationkey, n_name, " +
+       "CASE WHEN n_nationkey % 5 = 2 THEN NULL ELSE n_regionkey END AS n_regionkey " +
+       "FROM nation ORDER BY n_nationkey"),
     "csv_skiprange" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5 ORDER BY n_nationkey",
     "json_lines" ->

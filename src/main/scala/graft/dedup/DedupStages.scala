@@ -299,10 +299,12 @@ object DedupStages {
       val n = spec.int("shingleSize", 13)
       val againstSpec = spec.str("against")
         .getOrElse(sys.error("decontaminate: against (table or SELECT) required"))
-      val eval0 =
-        if (againstSpec.trim.toUpperCase.startsWith("SELECT"))
+      val eval0 = {
+        val head = againstSpec.trim.toUpperCase
+        if (head.startsWith("SELECT") || head.startsWith("WITH"))
           ctx.spark.sql(againstSpec)
         else ctx.table(againstSpec)
+      }
       val evalField = spec.strOr("againstField", field)
 
       graft.functions.VectorExpressions.ensure(ctx.spark)

@@ -96,7 +96,9 @@ object Engine {
         if src.name == "file" && rowLike && head.name == "csv" &&
            head.long("skipFrom").isEmpty && head.long("skipTo").isEmpty &&
            src.long("skipFirst").isEmpty && src.long("skipLast").isEmpty &&
-           head.outputVar.isEmpty && head.ifExpr.isEmpty =>
+           head.outputVar.isEmpty && head.ifExpr.isEmpty &&
+           // per-field error counters need the raw cells → from_csv path
+           !head.bool("errorStats", dflt = false) =>
         val path = OrientExpr.resolveString(
           src.str("path").getOrElse(sys.error("file source: path required")), ctx.varMap)
         (tail, Some(Sources.csv(ctx.spark, path, head)))
@@ -107,13 +109,51 @@ object Engine {
       (t.long("skipFrom").isDefined || t.long("skipTo").isDefined ||
        t.bool("columnsOnFirstLine", dflt = true)))
     var df = fused.getOrElse(Sources.build(ctx, spec.source, spec.extractor, needNum))
+    // `config: {"telemetry": true}` — engine-level rows/sec for the
+    // extract and load phases (OETLProcessor.java:545-585 parity).
+    // Observe-only: the counts ride the loader's terminal action, no
+    // extra job. Opt-in because each observe node is a codegen-fusion
+    // barrier in the plan — free pipelines stay byte-identical.
+    val telemetry = spec.config.get("telemetry").exists {
+      case b: Boolean => b
+      case s: String => s.equalsIgnoreCase("true")
+      case _ => false
+    }
+    val t0 = System.nanoTime
+    val extractObs = if (telemetry) {
+      val o = ctx.newObservation("rows_extracted")
+      df = df.observe(o, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      Some(o)
+    } else None
     for (t <- remaining) {
       val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
       df = fn(t, ctx)(df)
     }
+    val loadObs = if (telemetry) {
+      val o = ctx.newObservation("rows_loaded")
+      df = df.observe(o, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      Some(o)
+    } else None
     // loader action → collect deferred observe checks (halt / counters)
     val acted = spec.loader.exists(Loaders.load(ctx, _, df))
-    if (acted) ctx.drainChecks()
+    if (acted) {
+      ctx.drainChecks()
+      (extractObs, loadObs) match {
+        case (Some(eo), Some(lo)) =>
+          val elapsedMs = (System.nanoTime - t0) / 1000000L
+          val extracted = ctx.observedValue(eo, "rows")
+          val loaded = ctx.observedValue(lo, "rows")
+          ctx.lastStats = Some(ctx.RunStats(extracted, loaded, elapsedMs))
+          val secs = math.max(elapsedMs, 1L) / 1000.0
+          System.err.println(
+            f"[graft] extracted $extracted rows, loaded $loaded rows in " +
+            f"$secs%.2f s (${extracted / secs}%.0f extract rows/s, " +
+            f"${loaded / secs}%.0f load rows/s)")
+        case _ => ()
+      }
+    }
     spec.end.foreach(executeBlock(ctx, _))
     df
   }

@@ -59,6 +59,25 @@ final class EtlContext(val spark: SparkSession) {
   }
   def registerCheck(c: PendingCheck): Unit = synchronized { checks += c }
 
+  /** Throughput stats of the last acted-on pipeline run (engine-level
+    * telemetry — OETLProcessor.java:545-585 parity). */
+  final case class RunStats(extracted: Long, loaded: Long, elapsedMs: Long)
+  var lastStats: Option[RunStats] = None
+
+  /** Bounded read of one observed metric after an action (0 when the
+    * action never touched the observed sub-plan). */
+  def observedValue(obs: Observation, metric: String): Long = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val metrics: Map[String, Any] =
+      try Await.result(Future(obs.get)(ExecutionContext.global), 10.seconds)
+      catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+    metrics.get(metric) match {
+      case Some(v: Number) => v.longValue()
+      case _ => 0L
+    }
+  }
+
   /** Collect all observed metrics after an action ran on the final plan.
     * Throws [[EtlHaltException]] for any tripped halt check. */
   def drainChecks(): Unit = {
@@ -67,24 +86,17 @@ final class EtlContext(val spark: SparkSession) {
     toDrain.foreach { c =>
       // `get` blocks until the action completes; the observe node is part
       // of the acted-on plan so metrics are already available. The bounded
-      // wait guards the edge case of a stage whose sub-plan the final
-      // action never executed (result replaced mid-pipeline) — treated as
-      // zero observations.
-      import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration._
-      val metrics: Map[String, Any] =
-        try Await.result(Future(c.obs.get)(ExecutionContext.global), 10.seconds)
-        catch { case _: java.util.concurrent.TimeoutException => Map.empty }
-      val n = metrics.get(c.metric) match {
-        case Some(v: Number) => v.longValue()
-        case _ => 0L // action never touched this sub-plan → nothing observed
-      }
+      // wait (observedValue) guards the edge case of a stage whose
+      // sub-plan the final action never executed (result replaced
+      // mid-pipeline) — treated as zero observations.
+      val n = observedValue(c.obs, c.metric)
       c.kind match {
         case "log" => System.err.println(s"${c.msg}: $n rows")
         case "halt" if n > 0 => halt = halt.orElse(Some(s"${c.msg} ($n rows)"))
         case "warning" if n > 0 =>
           warnings.add(n); System.err.println(s"${c.msg}: $n")
-        case "error" if n > 0 => errors.add(n)
+        case "error" if n > 0 =>
+          errors.add(n); System.err.println(s"${c.msg}: $n")
         case _ => ()
       }
     }

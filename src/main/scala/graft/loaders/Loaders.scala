@@ -49,29 +49,136 @@ object Loaders {
     * existing table ⟕ incoming on `key` (last-wins per key within the
     * batch, untouched rows preserved), rewritten through a staging dir
     * so the source files are never read and overwritten in the same
-    * job, then swapped in with a rename. At real scale the same merge
-    * plan targets a transactional table format; the staging-rename is
-    * the plain-filesystem equivalent. */
+    * job, then swapped in with renames through the Hadoop `FileSystem`
+    * API — works on any Hadoop filesystem (local, HDFS; object stores
+    * without atomic rename get a copy-rename from their connector, with
+    * the same recoverability). The swap keeps a recoverable copy through
+    * the window: target → `.old`, staging → target, then delete `.old` —
+    * a crash mid-swap leaves either the old or the new table on disk,
+    * never neither. At real scale the same merge plan targets a
+    * transactional table format; this is the plain-filesystem
+    * equivalent. */
   private def upsertParquet(ctx: EtlContext, spec: ComponentSpec,
                             df: DataFrame, path: String): Boolean = {
     val key = spec.str("key").getOrElse(sys.error("parquet loader: upsert requires key"))
     val incoming = applyDeclaredSchema(df, spec)
-    val target = new java.io.File(path)
+    val hadoopConf = ctx.spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hadoopConf)
+    val existed = fs.exists(target)
     val merged =
-      if (target.exists)
+      if (existed)
         graft.stages.LookupStages.upsertResult(
           ctx.spark.read.parquet(path), incoming, key)
       else incoming
-    val staging = path + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a past crash
+    if (existed)
+      require(fs.rename(target, old),
+        s"parquet upsert: could not move current table aside ($target -> $old)")
+    if (!fs.rename(staging, target)) {
+      // roll back so the table is never lost: restore the old copy
+      if (existed) fs.rename(old, target)
+      sys.error(s"parquet upsert: staging rename failed for $path (staging " +
+        s"left at $staging; original table restored)")
     }
-    if (target.exists) rmrf(target)
-    require(new java.io.File(staging).renameTo(target),
-      s"parquet upsert: staging rename failed for $path")
+    if (existed) fs.delete(old, true)
     true
+  }
+
+  // ------------------------------------------------- orientdb DDL surface
+
+  /** Spark type → OrientDB property-type name (OType) for the schema
+    * sidecar — the analogue of createProperty's first-value inference
+    * (OOrientDBLoader.java:80-143), but from the PLAN schema: type-stable
+    * instead of whatever the first record happened to hold. */
+  private def orientTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "STRING"
+      case IntegerType => "INTEGER"
+      case LongType => "LONG"
+      case ShortType => "SHORT"
+      case ByteType => "BYTE"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "DATETIME"
+      case _: DecimalType => "DECIMAL"
+      case BinaryType => "BINARY"
+      case _: ArrayType => "EMBEDDEDLIST"
+      case _: MapType => "EMBEDDEDMAP"
+      case _: StructType => "EMBEDDED"
+      case other => other.simpleString.toUpperCase
+    }
+  }
+
+  /** Reference field-name normalization (OOrientDBLoader.java:591-597):
+    * a leading digit is prefixed with "field". Applied under
+    * `dbAutoCreateProperties`, exactly when the reference creates the
+    * property. */
+  private def transformFieldName(f: String): Option[String] =
+    if (f.nonEmpty && f.head.isDigit) Some("field" + f) else None
+
+  /** `classes` + `dbAutoCreateProperties` (OOrientDBLoader.java:406-432,
+    * 549-586, 80-143): class inheritance (`extends`/`abstract`) and
+    * declared or inferred property types have no storage analogue on a
+    * parquet database directory, so they are recorded as a
+    * `_schema.json` sidecar — queryable metadata a downstream catalog
+    * can apply — after validating that every `extends` target exists
+    * (parity with the reference's "Cannot find super class" failure).
+    * Returns the (possibly field-renamed) frame and the sidecar JSON. */
+  private def orientSchema(spec: ComponentSpec, df: DataFrame,
+                           cls: String): (DataFrame, Option[String]) = {
+    val auto = spec.bool("dbAutoCreateProperties", dflt = false)
+    val classes = spec.list("classes").collect {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    }
+    if (!auto && classes.isEmpty) return (df, None)
+    val renamed =
+      if (auto) df.columns.foldLeft(df) { (d, c) =>
+        transformFieldName(c).map(d.withColumnRenamed(c, _)).getOrElse(d)
+      } else df
+    val known = classes.flatMap(_.get("name").map(_.toString)).toSet ++
+      Set("V", "E", cls)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def renderFields(m: Map[String, Any]): String = m.get("fields") match {
+      case Some(fs: Seq[_]) =>
+        val items = fs.collect { case fm: Map[_, _] =>
+          val f = fm.asInstanceOf[Map[String, Any]]
+          val collate = f.get("collate").map(c =>
+            s", ${q("collate")}: ${q(c.toString)}").getOrElse("")
+          s"{${q("name")}: ${q(f("name").toString)}, " +
+          s"${q("type")}: ${q(f.getOrElse("type", "STRING").toString.toUpperCase)}$collate}"
+        }
+        s", ${q("fields")}: [${items.mkString(", ")}]"
+      case _ => ""
+    }
+    val declared = classes.map { m =>
+      val name = m.getOrElse("name",
+        sys.error("orientdb loader: classes entry requires name")).toString
+      val sup = m.get("extends").map(_.toString)
+      sup.foreach(s => require(known.contains(s),
+        s"orientdb loader: cannot find super class '$s' for class '$name'"))
+      val abs = m.get("abstract").exists {
+        case b: Boolean => b; case s: String => s.toBoolean; case _ => false
+      }
+      s"{${q("name")}: ${q(name)}" +
+        sup.map(s => s", ${q("extends")}: ${q(s)}").getOrElse("") +
+        s", ${q("abstract")}: $abs" + renderFields(m) + "}"
+    }
+    val inferred =
+      if (auto) {
+        val props = renamed.schema.fields.map(f =>
+          s"{${q("name")}: ${q(f.name)}, ${q("type")}: ${q(orientTypeName(f.dataType))}}")
+        Seq(s"{${q("name")}: ${q(cls)}, ${q("abstract")}: false, " +
+          s"${q("properties")}: [${props.mkString(", ")}]}")
+      } else Nil
+    val json = s"{${q("classes")}: [${(declared ++ inferred).mkString(", ")}]}"
+    (renamed, Some(json))
   }
 
   /** Run the sink. Returns true when a terminal ACTION executed (so the
@@ -161,16 +268,25 @@ object Loaders {
         val dbUrl = OrientExpr.resolveString(
           spec.str("dbURL").getOrElse(sys.error("orientdb loader: dbURL required")), vars)
         val cls = spec.strOr("class", "record")
+        val (df2, sidecar) = orientSchema(spec, df, cls)
+        def writeSidecar(dir: String): Unit = sidecar.foreach { json =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/_schema.json")
+          val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(p, true)
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+        }
         if (dbUrl.startsWith("jdbc:")) {
           load(ctx, ComponentSpec("jdbc", spec.options ++ Map(
-            "url" -> dbUrl, "table" -> cls)), df)
+            "url" -> dbUrl, "table" -> cls)), df2)
         } else if (spec.strOr("dbType", "document").equalsIgnoreCase("graph")) {
           val dir = dbUrl.replaceFirst("^[a-z]+:", "")
-          load(ctx, ComponentSpec("graph", spec.options ++ Map("path" -> dir)), df)
+          writeSidecar(dir)
+          load(ctx, ComponentSpec("graph", spec.options ++ Map("path" -> dir)), df2)
         } else {
           val dir = dbUrl.replaceFirst("^[a-z]+:", "")
+          writeSidecar(dir)
           load(ctx, ComponentSpec("parquet", spec.options ++ Map(
-            "path" -> s"$dir/$cls")), df)
+            "path" -> s"$dir/$cls")), df2)
         }
 
       case other => sys.error(s"unknown loader $other")

@@ -147,8 +147,35 @@ object Stages {
       }
       var opts = Map("sep" -> sep, "quote" -> quote, "mode" -> "PERMISSIVE")
       spec.str("nullValue").foreach(nv => opts += "nullValue" -> nv)
-      val parsed = df.withColumn("__parsed",
+      var parsed = df.withColumn("__parsed",
         from_csv(col("value"), schema, opts))
+      // `errorStats: true` — reference per-field conversion-error policy
+      // (OCSVTransformer.java:136-140, 171-174): a malformed cell DROPS
+      // THE FIELD (PERMISSIVE null, above), bumps the error counter, and
+      // keeps the row. Counting needs the raw cells, so the line is
+      // parsed a second time with an all-string schema (both parses fuse
+      // into one codegen'd projection; the counter itself is an observe
+      // metric riding the terminal action — zero extra jobs). A cell is
+      // an ERROR only if the raw cell is present and non-empty (empty /
+      // nullValue cells are legitimate nulls) but the typed parse
+      // nulled it.
+      val typedFields = schema.fields
+        .filter(_.dataType != org.apache.spark.sql.types.StringType)
+      if (spec.bool("errorStats", dflt = false) && typedFields.nonEmpty) {
+        val rawSchema = StructType(schema.fields.map(f =>
+          f.copy(dataType = org.apache.spark.sql.types.StringType)))
+        val withRaw = parsed.withColumn("__raw",
+          from_csv(col("value"), rawSchema, opts))
+        val badCells = typedFields.map { f =>
+          when(col("__raw").getField(f.name).isNotNull &&
+               trim(col("__raw").getField(f.name)) =!= "" &&
+               col("__parsed").getField(f.name).isNull, 1L).otherwise(0L)
+        }.reduce(_ + _)
+        val obs = ctx.newObservation("csv_badcells")
+        ctx.registerCheck(ctx.PendingCheck(obs, "badcells", "error",
+          "[graft csv] cells dropped on conversion error"))
+        parsed = withRaw.observe(obs, sum(badCells).as("badcells"))
+      }
       val cols = schema.fieldNames.map(f => col("__parsed").getField(f).as(f))
       val keep = if (hasNum) Seq(col("_row_num")) else Nil
       parsed.select(keep ++ cols: _*)
@@ -222,18 +249,25 @@ object Stages {
     }
   }
 
-  /** `code` (OCodeTransformer.java:67-80). JS-as-config is out of parity
-    * scope (SURVEY.md §7.4); supported forms:
+  /** `code` (OCodeTransformer.java:67-80). Supported forms:
     *  - `language: "sql"`, `code: "SELECT … FROM __input"` — batch SQL
     *  - `expression` + `fieldName` — dialect expression (same as `field`)
     *  - `ref: "name"` — a Scala DataFrame=>DataFrame hook registered in
-    *    [[graft.engine.Engine.registerCode]]. */
+    *    [[graft.engine.Engine.registerCode]]
+    *  - legacy JavaScript configs (the reference's default engine,
+    *    OCommandScript): a MIGRATION SHIM translates the trivial
+    *    `record.x = expr;` assignment form to the dialect-expression
+    *    path; anything richer fails with a message naming the supported
+    *    forms (full JS is out of parity scope, SURVEY.md §7.4 — no
+    *    script engine offline, and per-record JS is the RBAR pattern
+    *    the Spark design removes). */
   def code(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
       spec.str("ref") match {
         case Some(ref) =>
           graft.engine.Engine.codeHook(ref)(df)
         case None => spec.str("code") match {
+          case Some(c) if looksLikeJs(spec, c) => jsShim(c, ctx)(df)
           case Some(sql) if spec.strOr("language", "sql").equalsIgnoreCase("sql") =>
             sqlViewLock.synchronized {
               df.createOrReplaceTempView("__input")
@@ -246,6 +280,42 @@ object Stages {
         }
       }
     }
+
+  /** JS detection for the migration shim: an explicit javascript/js
+    * `language`, or an unlabeled `code` body that references `record.`
+    * and is clearly not SQL (the reference's DEFAULT engine was
+    * JavaScript, so legacy configs often carry no language tag). */
+  private def looksLikeJs(spec: ComponentSpec, code: String): Boolean = {
+    val lang = spec.strOr("language", "sql").toLowerCase
+    val head = code.trim.toUpperCase
+    lang.startsWith("j") ||
+      (code.contains("record.") &&
+       !head.startsWith("SELECT") && !head.startsWith("WITH"))
+  }
+
+  /** Trivial-JS translation: `record.x = expr;` statements become
+    * dialect-expression columns (`record.` prefixes resolve to fields);
+    * bare `record` / `return record` terminators are dropped. Anything
+    * else fails with a named migration path. */
+  private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val assign = raw"record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+    val stmts = code.split(";").map(_.trim).filter(_.nonEmpty)
+      .filterNot(s => s == "record" || s == "return record")
+    stmts.foldLeft(df) { (d, s) =>
+      s match {
+        case assign(name, rhs) =>
+          d.withColumn(name,
+            OrientExpr.compile(rhs.replace("record.", ""), ctx.varMap))
+        case other => sys.error(
+          s"code: JavaScript config not translatable (statement: `$other`). " +
+          "The migration shim covers only `record.x = expr;` assignments. " +
+          "Use language: \"sql\" with `code: \"SELECT ... FROM __input\"`, " +
+          "a dialect `expression` + `fieldName`, or a Scala hook via " +
+          "`ref` (Engine.registerCode) — full JS is out of parity scope " +
+          "(SURVEY.md §7.4).")
+      }
+    }
+  }
 
   /** `topkpergroup`: the k best rows per group by a score column —
     * "top N per key", the classic analytics ask. Options: `groupBy`
@@ -265,6 +335,18 @@ object Stages {
       val score = spec.str("scoreField").getOrElse(sys.error("topkpergroup: scoreField required"))
       val id = spec.str("idField").getOrElse(sys.error("topkpergroup: idField required"))
       val k = spec.int("k", 10)
+      // the bounded-heap aggregate carries (long id, double score);
+      // validate at PLAN time instead of letting non-numeric values cast
+      // to null and silently vanish from the results
+      import org.apache.spark.sql.types._
+      def numeric(c: String): Boolean = df.schema(c).dataType match {
+        case _: NumericType => true; case _ => false
+      }
+      require(numeric(id), s"topkpergroup: idField `$id` must be numeric " +
+        s"(got ${df.schema(id).dataType.simpleString}) — map string ids to " +
+        "a numeric surrogate first (e.g. a field stage with xxhash64)")
+      require(numeric(score), s"topkpergroup: scoreField `$score` must be " +
+        s"numeric (got ${df.schema(score).dataType.simpleString})")
       df.groupBy(keys.map(col): _*)
         .agg(graft.functions.VectorExpressions.topK(
           col(score).cast("double"), col(id).cast("long"), k).as("__top"))
@@ -292,7 +374,9 @@ object Stages {
       val w = (hi - lo) / n
       val b = least(greatest(
         floor((f.cast("double") - lo) / w).cast("bigint"), lit(0L)), lit(n - 1L))
-      df.groupBy(b.as("bucket"))
+      // nulls are EXCLUDED, not silently clamped into bucket 0
+      // (greatest(null, 0) = 0 — Spark's greatest skips nulls)
+      df.where(f.isNotNull).groupBy(b.as("bucket"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("bucket"),
           (lit(lo) + col("bucket") * w).as("lo"),

@@ -237,6 +237,98 @@ class EngineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(out == Seq((1L, "a", 10), (2L, "B", 99), (3L, "c", 30), (4L, "d", 40)))
     assert(!new java.io.File(s"$path.staging").exists, "staging dir cleaned")
+    assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
+  }
+
+  test("code JS shim: trivial record assignments translate; rich JS fails with migration hint") {
+    val path = writeNationCsv()
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "Javascript",
+        "code": "record.up = record.n_name.toUpperCase(); record.k2 = record.n_nationkey * 2; record;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val r = out.filter(col("n_nationkey") === 3).head()
+    assert(r.getAs[String]("up") == "NATION_3")
+    assert(r.getAs[Int]("k2") == 6)
+    // unlabeled legacy config that is clearly JS routes to the shim too
+    val out2 = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "code": "record.tag = record.n_regionkey" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(out2.columns.contains("tag"))
+    // non-translatable JS names the migration paths
+    val e = intercept[RuntimeException] {
+      Engine.runJson(newCtx(), s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "code": { "language": "Javascript",
+          "code": "for (var i = 0; i < 3; i++) { print(i); }" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(e.getMessage.contains("migration") || e.getMessage.contains("not translatable"))
+  }
+
+  test("telemetry: extract/load rows-per-sec stats ride the loader action") {
+    val path = writeNationCsv()
+    val ctx = newCtx()
+    val out = s"$tmp/telemetry_out"
+    Engine.runJson(ctx, s"""{
+      "config": { "telemetry": true },
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "flow": { "operation": "skip", "if": "n_nationkey >= 20" } } ],
+      "loader": { "parquet": { "path": "$out" } }
+    }""")
+    val stats = ctx.lastStats.getOrElse(fail("no RunStats recorded"))
+    assert(stats.extracted == 25L)
+    assert(stats.loaded == 20L) // 5 rows skipped between the two probes
+    assert(stats.elapsedMs >= 0L)
+  }
+
+  test("histogram excludes nulls; topkpergroup rejects non-numeric fields") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"), (null, "c"))
+      .toDF("v", "s")
+    val hist = graft.stages.Stages.histogram(graft.spec.ComponentSpec("histogram",
+      Map("field" -> "v", "min" -> "0", "max" -> "10", "buckets" -> 2)), newCtx())(df)
+    // null row excluded — NOT silently binned into bucket 0
+    assert(hist.agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      graft.stages.Stages.topkPerGroup(graft.spec.ComponentSpec("topkpergroup",
+        Map("groupBy" -> Seq("v"), "scoreField" -> "v", "idField" -> "s")),
+        newCtx())(df)
+    }
+    assert(e.getMessage.contains("idField"))
+  }
+
+  test("csv errorStats: bad cell drops the field, keeps the row, bumps the counter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty").toFile
+    val path = s"$dir/dirty.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "id,name,score\n1,a,10\n2,b,oops\n3,,30\n4,d,nope\n")
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "row": {} },
+      "transformers": [{ "csv": { "errorStats": true,
+        "columns": ["id:integer", "name:string", "score:integer"] } }],
+      "loader": { "memory": {} } }""")
+    // one terminal action, NO orderBy: the range partitioner's sampling
+    // pass would execute the observe subtree a second time and
+    // double-count (same reason Engine.run drains after the loader's
+    // single write action) — sort driver-side instead
+    val rows = out.collect().sortBy(_.getAs[Int]("id"))
+    ctx.drainChecks()
+    // rows kept, only the malformed cells nulled
+    assert(rows.length == 4)
+    assert(rows.map(r => Option(r.getAs[Any]("score"))).toSeq ==
+      Seq(Some(10), None, Some(30), None))
+    assert(ctx.errors.value == 2L) // 'oops' and 'nope'; empty name is NOT an error
   }
 
   test("GraftExtensions: native functions callable from pure SQL (no ensure())") {

@@ -271,6 +271,11 @@ class LlmStagesSpec extends SparkSpec {
       "against" -> "SELECT text FROM decon_eval")(df)
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(marked == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // WITH-prefixed `against` routes to spark.sql, not table lookup
+    val withCte = stage("decontaminate", "shingleSize" -> 5,
+      "against" -> "WITH e AS (SELECT text FROM decon_eval) SELECT text FROM e")(df)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(withCte == Seq(2L, 4L))
   }
 
   test("datasplit: deterministic, key-stable, fractions approximately honored") {

@@ -32,6 +32,44 @@ class ParitySpec extends SparkSpec {
     assert(edges.count() > 0)
   }
 
+  test("orientdb loader: classes inheritance + dbAutoCreateProperties sidecar") {
+    // config-dbpedia-style inheritance config (OOrientDBLoader.java:
+    // 406-432 classes, 549-586 getOrCreateClass, 80-143 auto properties)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inh").toString
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/nation.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"field": {"fieldName": "2letter", "expression": "n_name"}}],
+      "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+        "dbAutoCreateProperties": true,
+        "classes": [
+          {"name": "Place", "extends": "V", "abstract": true,
+           "fields": [{"name": "n_name", "type": "string", "collate": "ci"}]},
+          {"name": "Nation", "extends": "Place"}]}} }""")
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_schema.json")), "UTF-8")
+    assert(json.contains(""""name": "Place""""))
+    assert(json.contains(""""extends": "V""""))
+    assert(json.contains(""""abstract": true"""))
+    assert(json.contains(""""collate": "ci""""))
+    assert(json.contains(""""name": "Nation", "extends": "Place""""))
+    // inferred properties from the plan schema, typed
+    assert(json.contains(""""name": "n_nationkey", "type": "INTEGER""""))
+    // leading-digit field renamed (transformFieldName parity) in data + schema
+    assert(json.contains(""""name": "field2letter", "type": "STRING""""))
+    val data = spark.read.parquet(s"$dir/Nation")
+    assert(data.columns.contains("field2letter"))
+    // unknown super class fails like the reference
+    val err = intercept[IllegalArgumentException] {
+      Engine.runJson(newCtx(), s"""{
+        "source": {"file": {"path": "$sfDir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+          "classes": [{"name": "Nation", "extends": "NoSuch"}]}} }""")
+    }
+    assert(err.getMessage.contains("super class"))
+  }
+
   test("orientdb loader: declared columns validate and cast (DDL checks)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toString
     val err = intercept[IllegalArgumentException] {
