@@ -85,6 +85,7 @@ object Engine {
     spec.config.foreach { case (k, v) => ctx.vars.put(k, v) }
     // begin blocks execute before extraction (OETLProcessor.java:119-126)
     spec.begin.foreach(executeBlock(ctx, _))
+    ctx.fireListeners(_.onBegin(ctx))
 
     // FUSION: `file` + `row` feeding a leading plain `csv` transformer
     // compiles to ONE native spark.read.csv scan — vectorized, header
@@ -126,26 +127,32 @@ object Engine {
         org.apache.spark.sql.functions.lit(1)).as("rows"))
       Some(o)
     } else None
-    for (t <- remaining) {
-      val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
-      df = fn(t, ctx)(df)
+    var loadObs: Option[org.apache.spark.sql.Observation] = None
+    val acted = try {
+      for (t <- remaining) {
+        val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
+        df = fn(t, ctx)(df)
+      }
+      if (telemetry) {
+        val o = ctx.newObservation("rows_loaded")
+        df = df.observe(o, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        loadObs = Some(o)
+      }
+      // loader action → collect deferred observe checks (halt / counters)
+      val a = spec.loader.exists(Loaders.load(ctx, _, df))
+      if (a) ctx.drainChecks()
+      a
+    } catch { case e: EtlHaltException =>
+      ctx.fireListeners(_.onHalt(ctx, e.getMessage)); throw e
     }
-    val loadObs = if (telemetry) {
-      val o = ctx.newObservation("rows_loaded")
-      df = df.observe(o, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
-      Some(o)
-    } else None
-    // loader action → collect deferred observe checks (halt / counters)
-    val acted = spec.loader.exists(Loaders.load(ctx, _, df))
     if (acted) {
-      ctx.drainChecks()
       (extractObs, loadObs) match {
         case (Some(eo), Some(lo)) =>
           val elapsedMs = (System.nanoTime - t0) / 1000000L
           val extracted = ctx.observedValue(eo, "rows")
           val loaded = ctx.observedValue(lo, "rows")
-          ctx.lastStats = Some(ctx.RunStats(extracted, loaded, elapsedMs))
+          ctx.lastStats = Some(EtlContext.RunStats(extracted, loaded, elapsedMs))
           val secs = math.max(elapsedMs, 1L) / 1000.0
           System.err.println(
             f"[graft] extracted $extracted rows, loaded $loaded rows in " +
@@ -153,8 +160,10 @@ object Engine {
             f"${loaded / secs}%.0f load rows/s)")
         case _ => ()
       }
+      ctx.fireListeners(_.onLoaded(ctx, ctx.lastStats))
     }
     spec.end.foreach(executeBlock(ctx, _))
+    ctx.fireListeners(_.onEnd(ctx))
     df
   }
 

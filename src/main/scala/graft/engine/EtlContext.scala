@@ -61,8 +61,13 @@ final class EtlContext(val spark: SparkSession) {
 
   /** Throughput stats of the last acted-on pipeline run (engine-level
     * telemetry — OETLProcessor.java:545-585 parity). */
-  final case class RunStats(extracted: Long, loaded: Long, elapsedMs: Long)
-  var lastStats: Option[RunStats] = None
+  var lastStats: Option[EtlContext.RunStats] = None
+
+  /** Registered pipeline-lifecycle listeners (see [[EtlListener]]). */
+  val listeners = ArrayBuffer.empty[EtlListener]
+  def addListener(l: EtlListener): Unit = synchronized { listeners += l }
+  private[engine] def fireListeners(f: EtlListener => Unit): Unit =
+    listeners.toVector.foreach(f)
 
   /** Bounded read of one observed metric after an action (0 when the
     * action never touched the observed sub-plan). */
@@ -120,6 +125,29 @@ final class EtlContext(val spark: SparkSession) {
 
   private def unionByNameLoose(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+}
+
+object EtlContext {
+  /** Extract/load row counts + wall time of one acted-on pipeline run. */
+  final case class RunStats(extracted: Long, loaded: Long, elapsedMs: Long)
+}
+
+/** Pipeline-lifecycle listener — the Spark mapping of the reference's
+  * listener surface (listener/OImporterListener.java:27-41,
+  * OScriptImporterListener.java:30-99): the reference's per-record
+  * callbacks (onBeforeLine/onAfterLine) are the RBAR shape the
+  * declarative engine removes, so the hooks fire at PHASE granularity —
+  * begin (after config/begin blocks), loaded (after the loader's
+  * terminal action, with [[EtlContext.RunStats]] when telemetry is on),
+  * halt (a deferred `flow: halt` or lookup HALT tripped), end (after
+  * `end` blocks). Per-record counting remains available through the
+  * observe plumbing (`log` stages, csv errorStats) without a callback
+  * per row. Register via [[EtlContext.addListener]]. */
+trait EtlListener {
+  def onBegin(ctx: EtlContext): Unit = ()
+  def onLoaded(ctx: EtlContext, stats: Option[EtlContext.RunStats]): Unit = ()
+  def onHalt(ctx: EtlContext, reason: String): Unit = ()
+  def onEnd(ctx: EtlContext): Unit = ()
 }
 
 /** Pipeline abort requested by `flow: halt` / unresolvedLinkAction HALT —

@@ -141,9 +141,19 @@ object Stages {
       if (header) {
         // drop the header record itself (no extra job: line-number
         // arithmetic when numbered, literal match otherwise — the latter
-        // also drops data lines identical to the header, documented)
+        // also drops data lines identical to the header, so an observe
+        // counter surfaces any EXTRA drops beyond the one header line)
         df = if (hasNum) df.filter(col("_row_num") =!= headerNum)
-             else df.filter(col("value") =!= lit(firstLineValue))
+             else {
+               val obs = ctx.newObservation("csv_header_dup")
+               ctx.registerCheck(ctx.PendingCheck(obs, "extra", "warning",
+                 "[graft csv] data lines identical to the header dropped " +
+                 "(headerless-source fallback)"))
+               df.observe(obs,
+                   (sum(when(col("value") === lit(firstLineValue), 1L)
+                     .otherwise(0L)) - 1L).as("extra"))
+                 .filter(col("value") =!= lit(firstLineValue))
+             }
       }
       var opts = Map("sep" -> sep, "quote" -> quote, "mode" -> "PERMISSIVE")
       spec.str("nullValue").foreach(nv => opts += "nullValue" -> nv)

@@ -185,12 +185,32 @@ object TextStages {
     * the standard vocabulary / boilerplate inspection query. Options:
     * `field`, `n` (default 3), `k` (default 50), `distinctPerDoc`
     * (default false — count every occurrence; true counts each n-gram
-    * once per document, the document-frequency variant). Output
-    * `(ngram, cnt)` ordered by (cnt desc, ngram asc).
+    * once per document, the document-frequency variant), `approximate`
+    * (default false), `sketchSize`. Output `(ngram, cnt)` ordered by
+    * (cnt desc, ngram asc).
     *
-    * Scale shape: explode → hash-aggregate with map-side combine →
+    * Exact scale shape: explode → hash-aggregate with map-side combine →
     * TakeOrdered(k) — the global "top 50" never sorts the full n-gram
-    * distribution, each task contributes only its k best. */
+    * distribution, each task contributes only its k best. The one
+    * exchange still carries a partial count per DISTINCT n-gram per
+    * task; for heavy-tailed corpora where that dominates,
+    * `approximate: true` switches to a two-phase heavy-hitter plan:
+    *
+    *  1. per-partition Misra–Gries sketches (capacity `sketchSize`,
+    *     default 20·k; `mapPartitions` — bounded memory, amortized O(1)
+    *     per item, NO shuffle) nominate candidate n-grams. Any n-gram
+    *     with global count > totalN/sketchSize is locally frequent in
+    *     ≥1 partition (average argument) and Misra–Gries keeps every
+    *     item locally more frequent than n_p/sketchSize, so true heavy
+    *     hitters always survive;
+    *  2. candidates (≤ sketchSize·partitions rows, typically tiny)
+    *     broadcast back and the stream is re-counted EXACTLY on the
+    *     candidate subset only — the exchange now carries candidates,
+    *     not the full distribution.
+    *
+    * Result equals the exact top-k whenever the k-th count exceeds
+    * totalN/sketchSize (asserted in specs); counts are always exact for
+    * returned rows. */
   def ngramCount(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val f = col(spec.strOr("field", "text"))
@@ -202,11 +222,43 @@ object TextStages {
           i => concat_ws(" ", slice(toksC, i + 1, lit(n)))))
       val grams = if (spec.bool("distinctPerDoc", dflt = false))
         array_distinct(grams0) else grams0
-      df.select(explode(grams).as("ngram"))
-        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("ngram").asc)
-        .limit(k)
+      val stream = df.select(explode(grams).as("ngram"))
+      val counted =
+        if (!spec.bool("approximate", dflt = false))
+          stream.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        else {
+          val cap = spec.int("sketchSize", 20 * k)
+          import df.sparkSession.implicits._
+          val candidates = stream.as[String].mapPartitions(
+            it => misraGries(it, cap)).toDF("ngram").distinct()
+          stream.join(broadcast(candidates), Seq("ngram"), "left_semi")
+            .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        }
+      counted.orderBy(col("cnt").desc, col("ngram").asc).limit(k)
     }
+
+  /** Misra–Gries heavy-hitter sketch over one partition's stream: at
+    * most `cap` counters; when full, a miss decrements EVERY counter
+    * and drops zeros (each decrement is paid for by one increment →
+    * amortized O(1) per item). Guarantee: any item with local count
+    * > n_p/(cap+1) survives. Only the surviving KEYS are emitted —
+    * counts are re-derived exactly downstream. */
+  private def misraGries(it: Iterator[String], cap: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, Long](cap * 2)
+    it.foreach { x =>
+      if (counts.containsKey(x)) counts.put(x, counts.get(x) + 1L)
+      else if (counts.size < cap) counts.put(x, 1L)
+      else {
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val en = e.next()
+          if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.keySet().iterator().asScala.toVector.iterator
+  }
 
   /** `fingerprint`: document fingerprints over the normalized text
     * (lowercased, whitespace collapsed): `fp_md5` (content hash, oracle-

@@ -240,6 +240,40 @@ class EngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
   }
 
+  test("EtlListener: begin/loaded/end + halt callbacks fire at phase granularity") {
+    val path = writeNationCsv()
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new graft.engine.EtlListener {
+      override def onBegin(c: graft.engine.EtlContext): Unit = events += "begin"
+      override def onLoaded(c: graft.engine.EtlContext,
+          s: Option[graft.engine.EtlContext.RunStats]): Unit =
+        events += s"loaded:${s.map(_.loaded).getOrElse(-1L)}"
+      override def onHalt(c: graft.engine.EtlContext, r: String): Unit = events += "halt"
+      override def onEnd(c: graft.engine.EtlContext): Unit = events += "end"
+    }
+    val ctx = newCtx()
+    ctx.addListener(listener)
+    Engine.runJson(ctx, s"""{
+      "config": { "telemetry": true },
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "loader": { "parquet": { "path": "$tmp/listener_out" } }
+    }""")
+    assert(events.toSeq == Seq("begin", "loaded:25", "end"))
+    events.clear()
+    val ctx2 = newCtx()
+    ctx2.addListener(listener)
+    intercept[EtlHaltException] {
+      Engine.runJson(ctx2, s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "flow": { "operation": "halt", "haltMode": "eager", "if": "n_nationkey > 3" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(events.toSeq == Seq("begin", "halt"))
+  }
+
   test("code JS shim: trivial record assignments translate; rich JS fails with migration hint") {
     val path = writeNationCsv()
     val out = Engine.runJson(newCtx(), s"""{

@@ -478,6 +478,28 @@ class LlmStagesSpec extends SparkSpec {
     assert(cw.warnings.value == 2L) // records 2 and 3
   }
 
+  test("ngramcount approximate == exact top-k when the sketch bound holds") {
+    val docs = newCtx().table("documents")
+    def run(opts: (String, Any)*) =
+      stage("ngramcount", (Seq[(String, Any)]("n" -> 2, "k" -> 20) ++ opts): _*)(docs)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = run()
+    // the fixture's bigram distribution is FLAT (top counts ~50 over
+    // ~50k occurrences), so the guarantee "equal when k-th count >
+    // N/sketchSize" needs a sketch larger than N/50 ≈ 1k; with
+    // sketchSize above the per-partition distinct count Misra–Gries
+    // never evicts and equality is certain
+    val approx = run("approximate" -> true, "sketchSize" -> 5000)
+    assert(approx == exact)
+    // tight sketch still returns exact counts for whatever it returns
+    val tight = stage("ngramcount", "n" -> 2, "k" -> 5,
+      "approximate" -> true, "sketchSize" -> 8)(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exactMap = exact.toMap
+    tight.foreach { case (g, c) =>
+      assert(!exactMap.contains(g) || exactMap(g) == c) }
+  }
+
   // ------------------------------------------------------- LSH skew guard
   test("minhash skew guard: hot bucket dropped and counted, cold pairs survive") {
     val ctx = newCtx()
