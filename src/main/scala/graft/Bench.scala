@@ -29,8 +29,13 @@ object Bench {
       w.join(broadcast(w.limit(5)), Seq("n_nationkey")).count()
       spark.range(1000000).selectExpr("sum(id)").collect()
     }
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run (full suite otherwise)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
     // stable ordering so per-query numbers are comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }

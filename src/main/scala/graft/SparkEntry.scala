@@ -90,7 +90,10 @@ object SparkEntry {
   private def recallVerdict(approx: DataFrame, exact: DataFrame,
                             keys: Seq[String], metric: String,
                             floor: Double): DataFrame = {
-    val hits = approx.join(exact, keys, "left_semi")
+    // count from the EXACT side (exact rows that the approx result found):
+    // robust to an approx operator emitting duplicate key rows, which
+    // would inflate an approx-side count past true recall
+    val hits = exact.join(approx, keys, "left_semi")
       .agg(count(lit(1)).as("__hits"))
     val total = exact.agg(count(lit(1)).as("__total"))
     val recall = hits.crossJoin(total)

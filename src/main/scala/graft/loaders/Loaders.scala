@@ -55,7 +55,9 @@ object Loaders {
     * the same recoverability). The swap keeps a recoverable copy through
     * the window: target → `.old`, staging → target, then delete `.old` —
     * a crash mid-swap leaves either the old or the new table on disk,
-    * never neither. At real scale the same merge plan targets a
+    * never neither, and the next run restores a stranded `.old` before
+    * reading (so the crash window cannot silently drop prior rows).
+    * At real scale the same merge plan targets a
     * transactional table format; this is the plain-filesystem
     * equivalent. */
   private def upsertParquet(ctx: EtlContext, spec: ComponentSpec,
@@ -65,6 +67,13 @@ object Loaders {
     val hadoopConf = ctx.spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hadoopConf)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // crash recovery: a previous run that died between moving the target
+    // aside and swapping staging in leaves `.old` as the ONLY surviving
+    // copy of the table — restore it before reading, never delete it.
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target),
+        s"parquet upsert: crash recovery failed restoring $old -> $target")
     val existed = fs.exists(target)
     val merged =
       if (existed)
@@ -73,8 +82,9 @@ object Loaders {
       else incoming
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a past crash
+    // a leftover .old at this point coexists with a live target (crash
+    // after the staging swap but before cleanup) — safe to drop
+    if (fs.exists(old)) fs.delete(old, true)
     if (existed)
       require(fs.rename(target, old),
         s"parquet upsert: could not move current table aside ($target -> $old)")

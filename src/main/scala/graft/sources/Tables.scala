@@ -24,11 +24,19 @@ object Tables {
   // time (driver IO). The fixture tables are immutable per (session,
   // dir), so cache the built plans — Verify/Bench construct a fresh
   // EtlContext per query and would otherwise pay 10 footer reads × N
-  // queries of pure driver latency. Weak-keyed on the SparkSession
-  // itself: no identity-hash collisions, and plans of stopped sessions
-  // become collectable with the session instead of accumulating forever.
-  private val planCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // queries of pure driver latency. LRU-bounded at MaxSessions (a cached
+  // Dataset strongly references its session, so a WeakHashMap keyed on
+  // the session could never actually collect — an explicit bound is the
+  // honest policy): plans of old sessions are evicted, not accumulated.
+  private val MaxSessions = 8
+  private val planCache = new java.util.LinkedHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[SparkSession,
+          scala.collection.concurrent.TrieMap[(String, String), DataFrame]]): Boolean =
+      size > MaxSessions
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = planCache.synchronized {

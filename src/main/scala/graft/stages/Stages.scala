@@ -297,10 +297,17 @@ object Stages {
     * JavaScript, so legacy configs often carry no language tag). */
   private def looksLikeJs(spec: ComponentSpec, code: String): Boolean = {
     val lang = spec.strOr("language", "sql").toLowerCase
-    val head = code.trim.toUpperCase
-    lang.startsWith("j") ||
-      (code.contains("record.") &&
-       !head.startsWith("SELECT") && !head.startsWith("WITH"))
+    if (lang == "javascript" || lang == "js") return true
+    if (lang != "sql") return false // explicit non-JS language wins
+    // unlabeled (language defaults to sql): only claim JS when EVERY
+    // statement is assignment-shaped — a non-SELECT SQL body that merely
+    // mentions a `record.` alias must stay on the SQL path
+    spec.str("language").isEmpty && code.contains("record.") && {
+      val assign = raw"record\.[A-Za-z_][A-Za-z0-9_]*\s*=\s*.+".r
+      val stmts = code.split(";").map(_.trim).filter(_.nonEmpty)
+        .filterNot(s => s == "record" || s == "return record")
+      stmts.nonEmpty && stmts.forall(s => assign.pattern.matcher(s).matches())
+    }
   }
 
   /** Trivial-JS translation: `record.x = expr;` statements become

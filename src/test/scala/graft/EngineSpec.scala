@@ -240,6 +240,31 @@ class EngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
   }
 
+  test("parquet upsert crash recovery: stranded .old is restored, not deleted") {
+    import spark.implicits._
+    val path = s"$tmp/upsert_crash_tbl"
+    val basePq = s"$tmp/upcrash_base_pq"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(basePq)
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$basePq"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert", "key": "id"}} }""")
+    // simulate a crash between rename(target -> .old) and
+    // rename(staging -> target): target gone, .old holds the only copy
+    assert(new java.io.File(path).renameTo(new java.io.File(s"$path.old")))
+    val deltaPq = s"$tmp/upcrash_delta_pq"
+    Seq((3L, "c")).toDF("id", "v").write.mode("overwrite").parquet(deltaPq)
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$deltaPq"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert", "key": "id"}} }""")
+    // the prior table must have been recovered and merged with the delta
+    val out = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
+  }
+
   test("EtlListener: begin/loaded/end + halt callbacks fire at phase granularity") {
     val path = writeNationCsv()
     val events = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -305,6 +330,27 @@ class EngineSpec extends SparkSpec {
       }""")
     }
     assert(e.getMessage.contains("migration") || e.getMessage.contains("not translatable"))
+    // unlabeled SQL that merely MENTIONS a `record.` alias (and is not
+    // assignment-shaped) must stay on the SQL path, not misroute to the
+    // JS shim — here a parenthesized query that doesn't start with SELECT
+    val out3 = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "code": "(SELECT record.n_name AS nm FROM __input record WHERE record.n_nationkey = 1)" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(out3.columns.toSeq == Seq("nm") && out3.count() == 1)
+    // an explicit non-JS language never routes to the shim ('java' used
+    // to prefix-match 'j'); it falls through to the expression form
+    val e2 = intercept[RuntimeException] {
+      Engine.runJson(newCtx(), s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "code": { "language": "java", "code": "record.x = 1" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(!e2.getMessage.contains("JavaScript"), s"java must not hit the JS shim: ${e2.getMessage}")
   }
 
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
