@@ -451,8 +451,10 @@ object SparkEntry {
     "pagerank" -> { (s, dir) =>
       val c = ctx(s, dir)
       // iterative distributed PageRank (5 rounds, d=0.85) over the
-      // orders→customer graph; ranks rounded to 6 decimals on both
-      // sides so IEEE sum-order differences between engines vanish
+      // orders→customer graph; ranks quantized to ppm with a guard
+      // band on both sides (see the oracle comment: plain round() puts
+      // exact-decimal ranks on the .5 knife edge, decided by
+      // engine-specific sum order)
       Engine.runJson(c, s"""{
         "source": {"file": {"path": "$dir/orders.parquet"}},
         "extractor": {"parquet": {}},
@@ -462,7 +464,8 @@ object SparkEntry {
                     "class": "placed", "direction": "out"}},
           {"pagerank": {"iterations": 5, "damping": "0.85"}}],
         "loader": {"memory": {}} }""")
-        .select(col("id"), round(col("rank") * 1e6).cast("bigint").as("rank_ppm"))
+        .select(col("id"),
+          floor(col("rank") * lit(1e6) + lit(0.499999)).cast("bigint").as("rank_ppm"))
         .orderBy("id")
     },
     "partitioned_write" -> { (s, dir) =>
@@ -1252,8 +1255,13 @@ object SparkEntry {
        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY id"),
     "pagerank" -> {
       // 5 unrolled iterations (recursive CTEs can't aggregate over the
-      // recursive term); rank_ppm = round(rank * 1e6) absorbs IEEE
-      // sum-order differences between the engines
+      // recursive term). rank_ppm quantizes with a GUARD BAND:
+      // floor(x*1e6 + 0.499999) equals round() everywhere except values
+      // sitting EXACTLY on a .5 ppm boundary — which pagerank produces
+      // (many ranks are exact decimal fractions), and which plain
+      // round() resolves by the ~1e-13 engine-specific summation-order
+      // noise, i.e. by luck. The band (1e-6 ≫ noise) makes boundary
+      // sitters round DOWN deterministically in BOTH engines.
       val steps = (1 to 5).map(i =>
         s"p$i AS (SELECT n.id, 0.15 / nc.n + 0.85 * coalesce(s.csum, 0) AS rank " +
         s"FROM nodes n CROSS JOIN nc LEFT JOIN " +
@@ -1266,7 +1274,7 @@ object SparkEntry {
       "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
       "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src), " +
       "p0 AS (SELECT id, 1.0 / nc.n AS rank FROM nodes, nc), " + steps + " " +
-      "SELECT id, CAST(round(rank * 1e6) AS BIGINT) AS rank_ppm FROM p5 ORDER BY id"
+      "SELECT id, CAST(floor(rank * 1e6 + 0.499999) AS BIGINT) AS rank_ppm FROM p5 ORDER BY id"
     },
     "graph_neighbors" ->
       ("SELECT o_orderkey, CAST(c_custkey AS VARCHAR) AS neighbors " +

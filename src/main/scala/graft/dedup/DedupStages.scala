@@ -147,9 +147,13 @@ object DedupStages {
         xxhash64(lit(bi), slice(col("__sig"), bi * rows + 1, rows))): _*)
       val banded0 = sigs.select(col("__id"),
         posexplode(bandKeys).as(Seq("__band", "__bkey")))
-      // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
-      val banded = Stages.guardBuckets(banded0, Seq("__band", "__bkey"),
-        spec, ctx, "minhash")
+      // skew guard: a degenerate bucket goes O(bucket²) — cap + counter;
+      // spread: the bucket join expands quadratically, so an
+      // under-parallel input (or an AQE byte-coalesced exchange) must
+      // not serialize it on 1-2 tasks (SimilarityStages.spread)
+      val banded = graft.similarity.SimilarityStages.spread(
+        Stages.guardBuckets(banded0, Seq("__band", "__bkey"),
+          spec, ctx, "minhash"), Seq(col("__band"), col("__bkey")))
 
       // candidate pairs: equi-join on (band, bucket) — O(bucket²)
       val l = banded.select(col("__band"), col("__bkey"), col("__id").as("a"))
@@ -231,9 +235,11 @@ object DedupStages {
         shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
       val banded0 = sigs.select(col("__id"), col("__sig"),
         posexplode(blockKeys).as(Seq("__blk", "__bkey")))
-      // skew guard: a degenerate block bucket goes O(bucket²) — cap + counter
-      val banded = Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
-        spec, ctx, "simhash")
+      // skew guard: a degenerate block bucket goes O(bucket²) — cap +
+      // counter; spread for the quadratic join (SimilarityStages.spread)
+      val banded = graft.similarity.SimilarityStages.spread(
+        Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+          spec, ctx, "simhash"), Seq(col("__blk"), col("__bkey")))
       val l = banded.select(col("__blk"), col("__bkey"),
         col("__id").as("a"), col("__sig").as("__siga"))
       val r = banded.select(col("__blk"), col("__bkey"),

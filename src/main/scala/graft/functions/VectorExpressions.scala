@@ -305,6 +305,90 @@ object SimHash64 {
   }
 }
 
+/** Native SRP (signed-random-projection) LSH signature: `nBits` sign
+  * bits of projections of a float/double array onto deterministic ±1
+  * Rademacher hyperplanes, packed into a long (bit p = plane p's sign).
+  *
+  * Byte-identical to the HOF reference form
+  * ([[graft.similarity.SimilarityStages.srpSignatureHof]] — asserted in
+  * specs): same split-mix sign derivation over (plane, dim), same
+  * ascending-j double summation, null elements and dimensions beyond
+  * `dim` contribute 0. The HOF form inlines nBits×dim literal arrays
+  * into the plan (≈10³ expression nodes), which costs seconds of
+  * analysis + codegen PER QUERY and dominates the LSH operators'
+  * wall-clock at small scale; this expression is one plan node with one
+  * tight fused loop.
+  */
+case class SrpSig(child: Expression, nBits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> input, " +
+        s"got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_sig"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    SrpSig.compute(input.asInstanceOf[ArrayData], isFloat, nBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SrpSig.compute($c, $isFloat, $nBits, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
+}
+
+object SrpSig {
+  // sign matrices are tiny (nBits×dim doubles) and shared across rows —
+  // cache per (nBits, dim) so executors derive them once, not per row
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Deterministic Rademacher ±1 signs — the SAME split-mix derivation
+    * as the HOF form's driver-side literal matrix. */
+  def signs(nBits: Int, dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((nBits, dim), { case (b, d) =>
+      Array.tabulate(b, d) { (p, j) =>
+        var z = p.toLong * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+      }
+    })
+
+  def compute(arr: ArrayData, isFloat: Boolean, nBits: Int, dim: Int): Long = {
+    val s = signs(nBits, dim)
+    val n = math.min(arr.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      val row = s(p)
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j))
+          proj += (if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)) * row(j)
+        j += 1
+      }
+      if (proj >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+}
+
 object VectorExpressions {
   private val registered =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
@@ -343,6 +427,16 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => SimHash64(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_srp_sig",
+        (exprs: Seq[Expression]) => {
+          def intLit(e: Expression, what: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+            case other => sys.error(s"graft_srp_sig: $what must be an int literal, got $other")
+          }
+          SrpSig(exprs.head, intLit(exprs(1), "nBits"), intLit(exprs(2), "dim"))
+        },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_topk",
         (exprs: Seq[Expression]) => {
           val k = exprs(2) match {
@@ -371,6 +465,12 @@ object VectorExpressions {
   /** Native per-row 64-bit SimHash of a string column. */
   def simHash64(text: Column): Column =
     call_function("graft_simhash64", text)
+
+  /** Native SRP-LSH signature of a float/double array column. */
+  def srpSig(vec: Column, nBits: Int, dim: Int): Column =
+    call_function("graft_srp_sig", vec,
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(dim))
 
   /** Bounded-heap top-k aggregate over (score, id) pairs — map-side
     * partial top-k; see [[TopKByScore]]. */

@@ -45,15 +45,22 @@ object GraphStages {
     *
     * Scale shape: each iteration is one equi-join of the edge list with
     * the rank vector plus a hash aggregation on dst — the canonical
-    * distributed PageRank step; `localCheckpoint` per iteration keeps
-    * the logical plan flat (same pattern as
-    * [[graft.dedup.DedupStages.connectedComponents]]). */
+    * distributed PageRank step. Rank lineage grows LINEARLY per round
+    * (each rank vector is referenced once — unlike connected
+    * components' pointer jumping, where double self-reference grows the
+    * tree 4^rounds), so checkpointing every round would only pay extra
+    * job launches: `localCheckpoint` fires every `checkpointEvery`
+    * rounds (default 5) to bound analysis cost on long runs, and the
+    * edge list + degree table are checkpointed ONCE so the merged
+    * multi-round job reads them from the block manager instead of
+    * rescanning the source per round. */
   def pageRank(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { _ =>
       val edges = ctx.edges.getOrElse(
         sys.error("pagerank: no edges — apply an `edge` stage first"))
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")).localCheckpoint(true)
       val iters = spec.int("iterations", 5)
+      val ckptEvery = spec.int("checkpointEvery", 5)
       val dampStr = spec.strOr("damping", "0.85")
       val d = dampStr.toDouble
       // (1 - d) via decimal arithmetic: the binary expression
@@ -68,8 +75,7 @@ object GraphStages {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
         .localCheckpoint(true)
       var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-        .localCheckpoint(true)
-      for (_ <- 0 until iters) {
+      for (i <- 0 until iters) {
         val contribs = edges
           .join(ranks.select(col("id").as("__rid"), col("rank")),
             col("src") === col("__rid"))
@@ -79,7 +85,8 @@ object GraphStages {
         ranks = nodes.join(contribs, col("id") === col("__cid"), "left")
           .select(col("id"),
             (lit(teleport / n) + lit(d) * coalesce(col("__csum"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
+        if (i % ckptEvery == ckptEvery - 1 && i != iters - 1)
+          ranks = ranks.localCheckpoint(true)
       }
       ranks
     }

@@ -38,6 +38,25 @@ object SimilarityStages {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Spread an under-parallel frame across the cluster before a
+    * compute-heavy expansion (N×Q scoring, bucket self-join). Two cases
+    * this guards:
+    *  - a base small enough to sit in one file runs its whole expansion
+    *    on ONE task (the scan's partitioning is inherited);
+    *  - AQE coalesces a BYTE-tiny pre-join shuffle to ~1 partition, but
+    *    the join EXPANDS those rows quadratically — bytes at the
+    *    exchange are the wrong signal for compute after it. An explicit
+    *    keyed repartition is exempt from AQE coalescing.
+    * At real scale the input already has ≥ defaultParallelism partitions
+    * and this is the identity — the no-shuffle plan shape is preserved
+    * exactly where the data is big enough for shuffles to matter. */
+  private[graft] def spread(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else if (keys.isEmpty) df.repartition(par)
+    else df.repartition(par, keys: _*)
+  }
+
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
@@ -68,8 +87,10 @@ object SimilarityStages {
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
         .withColumn("__qn", norm(col("__qv"))))
-    val b = base.select(col(idCol).as("n_id"), col(vecCol).as("__bv"))
-      .withColumn("__bn", norm(col("__bv")))
+    // the N×Q scoring pass inherits the base's partitioning (broadcast
+    // join adds none) — see [[spread]]
+    val b = spread(base.select(col(idCol).as("n_id"), col(vecCol).as("__bv"))
+      .withColumn("__bn", norm(col("__bv"))))
     val scored = b.join(q, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
@@ -111,10 +132,17 @@ object SimilarityStages {
     }
 
   /** SRP signature: `nBits` sign bits of projections onto deterministic
-    * ±1 hyperplanes, packed into a long. Per-row `zip_with` against
-    * literal sign arrays (length `dim`) — no shuffle, no runtime
-    * hashing; dimensions beyond either side's length contribute 0. */
-  def srpSignature(vec: Column, nBits: Int, dim: Int = 64): Column = {
+    * ±1 hyperplanes, packed into a long — the native codegen'd
+    * [[graft.functions.SrpSig]] (one plan node; the HOF form below
+    * inlines nBits×dim literals, whose analysis/codegen cost dominates
+    * the LSH operators at small scale). No shuffle, no runtime plane
+    * generation; dimensions beyond either side's length contribute 0. */
+  def srpSignature(vec: Column, nBits: Int, dim: Int = 64): Column =
+    graft.functions.VectorExpressions.srpSig(vec, nBits, dim)
+
+  /** HOF reference form of [[srpSignature]] — kept for differential
+    * tests (the native expression must stay byte-identical). */
+  def srpSignatureHof(vec: Column, nBits: Int, dim: Int = 64): Column = {
     val signs = planeSigns(nBits, dim)
     val bits = (0 until nBits).map { p =>
       val plane = array(signs(p).map(lit(_)): _*)
@@ -153,8 +181,8 @@ object SimilarityStages {
           shiftright(col("__sig"), bi * bits)
             .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
       // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
-      val banded = Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
-        spec, ctx, "similaritylsh")
+      val banded = spread(Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+        spec, ctx, "similaritylsh"), Seq(col("__blk"), col("__bkey")))
       val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("q_id"),
         col("__v").as("__qv"), col("__n").as("__qn"))
       val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("n_id"),
@@ -185,8 +213,8 @@ object SimilarityStages {
       val nCells = spec.int("nCells", 16)
       val nProbe = spec.int("nProbe", 2)
 
-      val base = df.select(col(id).as("__id"), col(vec).as("__v"))
-        .withColumn("__n", norm(col("__v")))
+      val base = spread(df.select(col(id).as("__id"), col(vec).as("__v"))
+        .withColumn("__n", norm(col("__v")))) // N×nCells scoring — see spread
       // deterministic pseudo-random sample as centroids (IVF-flat coarse
       // quantizer; a trained k-means would slot in here unchanged)
       val cents = broadcast(base
@@ -269,8 +297,8 @@ object SimilarityStages {
             shiftright(col("__sig"), bi * bits)
               .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
         // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
-        val banded = Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
-          spec, ctx, "cosinedup")
+        val banded = spread(Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+          spec, ctx, "cosinedup"), Seq(col("__blk"), col("__bkey")))
         val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"),
           col("__v").as("__av"), col("__n").as("__an"))
         val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"),

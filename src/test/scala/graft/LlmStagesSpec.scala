@@ -374,6 +374,20 @@ class LlmStagesSpec extends SparkSpec {
     assert(diff == 0) // same left-to-right double accumulation order
   }
 
+  test("native SrpSig == HOF srpSignature, bit-exact, on fixture embeddings") {
+    graft.functions.VectorExpressions.ensure(spark)
+    val emb = newCtx().table("embeddings")
+    // cover a non-default shape too (nBits not a multiple of 8, dim
+    // shorter than the vectors so the tail-truncation path runs)
+    for ((nBits, dim) <- Seq((16, 64), (13, 7))) {
+      val diff = emb.select(
+        SimilarityStages.srpSignature(col("embedding"), nBits, dim).as("native"),
+        SimilarityStages.srpSignatureHof(col("embedding"), nBits, dim).as("hof"))
+        .where(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"nBits=$nBits dim=$dim")
+    }
+  }
+
   test("topk heap aggregate ≡ window row_number (ties break on id asc)") {
     graft.functions.VectorExpressions.ensure(spark)
     // scores with deliberate duplicates across ids, several groups,
