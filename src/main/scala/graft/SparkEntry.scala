@@ -902,6 +902,67 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
+    "stratified_sample" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // language-balanced corpus sampling: keep all German, half the
+      // Chinese, a fifth of the English, 3/4 of everything else —
+      // deterministic per-stratum md5 buckets (engine-portable)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"stratifiedsample": {"strataField": "lang",
+          "keyField": "doc_id", "salt": "s1",
+          "fractions": {"en": 0.2, "zh": 0.5, "de": 1.0},
+          "defaultFraction": 0.75}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+    "corpus_shuffle" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // deterministic training-order shuffle: the md5 sort key is
+      // reproducible across runs/engines (unlike rand()); changing the
+      // salt re-shuffles the epoch
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"shuffle": {"keyField": "doc_id", "salt": "epoch1"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "shuffle_key")
+    },
+    "group_cap" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-domain quota: synthesize a URL per document, decompose it
+      // (urlparse), cap at 10 docs per host keeping lowest doc_id —
+      // the anti-boilerplate-domain step of web curation
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, concat('https://www.', source, '-m.com/p/', CAST(doc_id AS STRING)) AS url FROM __input"}},
+          {"urlparse": {"field": "url", "parts": ["host", "domain", "path"]}},
+          {"groupcap": {"groupField": "url_host", "orderField": "doc_id",
+                        "maxPerGroup": 10}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "url_host", "url_domain", "url_path").orderBy("doc_id")
+    },
+    "mixture_sample" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // weighted training mixture: three deterministic hash-sampled
+      // slices of the corpus (the part NAME salts the bucket, so parts
+      // sample independently), tagged and unioned
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mixture": {"keyField": "doc_id",
+          "columns": ["doc_id", "lang"],
+          "includeInput": true, "inputFraction": 0.1, "inputName": "base",
+          "parts": [
+            {"path": "$dir/documents.parquet", "fraction": 0.3, "name": "web"},
+            {"path": "$dir/documents.parquet", "fraction": 0.15, "name": "code"}]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
+    },
     "regex_mask" -> { (s, dir) =>
       val c = ctx(s, dir)
       // PII-style masking pass — regexes restricted to the Java∩RE2
@@ -1392,6 +1453,33 @@ object SparkEntry {
       ("SELECT doc_id, n_chars FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 2500 " +
        "ORDER BY doc_id"),
+    "stratified_sample" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+       "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 6))::BIGINT % 10000 AS b, " +
+       "CASE lang WHEN 'de' THEN 10000 WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 " +
+       "ELSE 7500 END AS t FROM documents) WHERE b < t ORDER BY doc_id"),
+    "corpus_shuffle" ->
+      ("SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch1') AS shuffle_key " +
+       "FROM documents ORDER BY shuffle_key"),
+    "group_cap" ->
+      ("SELECT doc_id, url_host, url_domain, url_path FROM (" +
+       "SELECT doc_id, url_host, url_domain, url_path, " +
+       "row_number() OVER (PARTITION BY url_host ORDER BY doc_id) AS rn FROM (" +
+       "SELECT doc_id, " +
+       "coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '') AS url_host, " +
+       "coalesce(regexp_extract(coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), ''), '([^.]+\\.[^.]+)$', 1), '') AS url_domain, " +
+       "coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS url_path " +
+       "FROM (SELECT doc_id, 'https://www.' || source || '-m.com/p/' || CAST(doc_id AS VARCHAR) AS url " +
+       "FROM documents))) WHERE rn <= 10 ORDER BY doc_id"),
+    "mixture_sample" ->
+      ("SELECT doc_id, lang, mix_source FROM (" +
+       "SELECT doc_id, lang, 'base' AS mix_source FROM documents " +
+       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'base'), 1, 6))::BIGINT % 10000 < 1000 " +
+       "UNION ALL SELECT doc_id, lang, 'web' FROM documents " +
+       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'web'), 1, 6))::BIGINT % 10000 < 3000 " +
+       "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
+       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
+       ") ORDER BY mix_source, doc_id"),
     "regex_mask" ->
       (raw"SELECT doc_id, regexp_replace(regexp_replace(text, '\btable\b', '<TBL>', 'g'), " +
        "'(key|row)', '<K>', 'g') AS masked FROM documents ORDER BY doc_id"),

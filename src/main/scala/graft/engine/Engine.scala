@@ -57,6 +57,11 @@ object Engine {
     "repetition"    -> graft.text.TextStages.repetition _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
+    "stratifiedsample" -> graft.split.SplitStages.stratifiedSample _,
+    "shuffle"       -> graft.split.SplitStages.shuffle _,
+    "mixture"       -> graft.split.SplitStages.mixture _,
+    "urlparse"      -> graft.text.WebStages.urlparse _,
+    "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,

@@ -133,4 +133,109 @@ object SplitStages {
       require(frac > 0 && frac <= 1, s"hashsample: fraction in (0,1], got $frac")
       df.where(bucket(key, spec.strOr("salt", "")) < math.round(frac * Buckets))
     }
+
+  /** `stratifiedsample`: per-stratum deterministic sampling — the
+    * language/source-balancing primitive of corpus curation (keep 100%
+    * of low-resource languages, 10% of English, ...). Options:
+    * `strataField` (required), `fractions` (map stratum → fraction),
+    * `defaultFraction` (for strata not listed; default 0 — drop),
+    * `keyField`/`keyExpr`, `salt`. Same md5 bucket as [[hashsample]]:
+    * a row's fate depends only on (key, salt, its stratum's fraction),
+    * never on partitioning or data volume — adding data never flips
+    * existing rows. Pure per-row projection + filter; no shuffle. */
+  def stratifiedSample(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val strata = col(spec.str("strataField")
+        .getOrElse(sys.error("stratifiedsample: strataField required")))
+      val key = spec.str("keyExpr") match {
+        case Some(e) => expr(e)
+        case None => col(spec.strOr("keyField", "doc_id"))
+      }
+      val fracs = spec.map("fractions").map { case (k, v) => k -> v.toString.toDouble }
+      require(fracs.nonEmpty, "stratifiedsample: fractions required")
+      fracs.foreach { case (k, f) =>
+        require(f >= 0 && f <= 1, s"stratifiedsample: fraction for '$k' in [0,1], got $f") }
+      val dflt = spec.str("defaultFraction").map(_.toDouble).getOrElse(0.0)
+      // per-stratum threshold over the shared bucket space (sorted for a
+      // deterministic CASE chain)
+      val threshold = fracs.toSeq.sortBy(_._1)
+        .foldRight(lit(math.round(dflt * Buckets)): org.apache.spark.sql.Column) {
+          case ((name, f), els) =>
+            when(strata === name, lit(math.round(f * Buckets))).otherwise(els)
+        }
+      df.where(bucket(key, spec.strOr("salt", "")) < threshold)
+    }
+
+  /** `shuffle`: deterministic global shuffle order for training — each
+    * row gets `outputField` (default `shuffle_key`) = the full md5 hex
+    * of (key ++ salt); sorting by it IS the shuffle (reproducible
+    * across runs/engines/cluster sizes, unlike `rand()`). With
+    * `materialize: true` (default) the stream is returned ordered by
+    * (shuffle_key, key) — a Spark range-partitioned sort, the scalable
+    * global order (NOT a single-partition window). Downstream writers
+    * preserve the order per output file. Re-shuffle epochs by changing
+    * `salt`. */
+  def shuffle(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.str("keyExpr") match {
+        case Some(e) => expr(e)
+        case None => col(spec.strOr("keyField", "doc_id"))
+      }
+      val out = spec.strOr("outputField", "shuffle_key")
+      val keyed = df.withColumn(out,
+        md5(concat(key.cast("string"), lit(spec.strOr("salt", ""))).cast("binary")))
+      if (spec.bool("materialize", dflt = true))
+        keyed.orderBy(col(out), key) else keyed
+    }
+
+  /** `mixture`: weighted blend of corpus parts — the training-mixture
+    * primitive ("40% web, 30% code, ...") expressed as deterministic
+    * per-part hash sampling + union. Options: `parts` (list of
+    * `{path, fraction, name?}` parquet parts; required), `keyField`
+    * (shared sampling key, default doc_id), `columns` (projected
+    * columns; default = first part's schema), `salt`,
+    * `includeInput: true` to also blend the incoming stream (with
+    * `inputFraction`/`inputName`). Each part is tagged `mix_source`.
+    * Sampling reuses the [[hashsample]] bucket with the PART NAME in
+    * the salt, so the same document can ride in two parts
+    * independently. Pure scan + filter + union — no shuffle; Spark
+    * plans each part's scan with its own pushed-down filter. */
+  def mixture(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val keyField = spec.strOr("keyField", "doc_id")
+      val salt = spec.strOr("salt", "")
+      val parts = spec.list("parts").map {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val path = mm.getOrElse("path", sys.error("mixture: part path required")).toString
+          val frac = mm.getOrElse("fraction", sys.error("mixture: part fraction required"))
+            .toString.toDouble
+          val name = mm.get("name").map(_.toString)
+            .getOrElse(new java.io.File(path).getName.stripSuffix(".parquet"))
+          (path, frac, name)
+        case other => sys.error(s"mixture: part entry must be a map, got $other")
+      }
+      require(parts.nonEmpty, "mixture: parts required")
+      parts.foreach { case (_, f, n) =>
+        require(f > 0 && f <= 1, s"mixture: fraction for part '$n' in (0,1], got $f") }
+      def sampled(part: DataFrame, frac: Double, name: String): DataFrame = {
+        val cols = spec.strList("columns") match {
+          case Nil => part.columns.toSeq
+          case cs => cs
+        }
+        part
+          .where(bucket(col(keyField), salt + name) < math.round(frac * Buckets))
+          .select(cols.map(col) :+ lit(name).as("mix_source"): _*)
+      }
+      val partFrames = parts.map { case (path, frac, name) =>
+        sampled(ctx.spark.read.parquet(path), frac, name)
+      }
+      val base =
+        if (spec.bool("includeInput", dflt = false))
+          Seq(sampled(df,
+            spec.str("inputFraction").map(_.toDouble).getOrElse(1.0),
+            spec.strOr("inputName", "input")))
+        else Nil
+      (base ++ partFrames).reduce(_.unionByName(_))
+    }
 }

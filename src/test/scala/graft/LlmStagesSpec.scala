@@ -541,4 +541,106 @@ class LlmStagesSpec extends SparkSpec {
     val pairs = stage("minhash", "threshold" -> 0.5, "maxBucket" -> 0)(df)
     assert(pairs.count() == 120L * 119 / 2)
   }
+
+  // --------------------------------------------- curation: stratified sample
+  test("stratifiedsample: per-stratum fractions, key-stable under growth") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "de" else if (i % 4 == 1) "en" else "other"))
+      .toDF("doc_id", "lang")
+    val out = stage("stratifiedsample", "strataField" -> "lang",
+      "fractions" -> Map("de" -> 1.0, "en" -> 0.2), "keyField" -> "doc_id")(df)
+    val kept = out.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "de") == 100)        // fraction 1.0: all kept
+    val en = kept.filter(_._2 == "en").map(_._1).toSet
+    assert(en.size > 5 && en.size < 40)            // ~20 of 100 expected
+    assert(!kept.exists(_._2 == "other"))          // defaultFraction 0 drops
+    // key stability: the kept English set is unchanged when data grows
+    val bigger = (1L to 800L).map(i =>
+      (i, if (i % 4 == 1) "en" else "other")).toDF("doc_id", "lang")
+    val keptBigger = stage("stratifiedsample", "strataField" -> "lang",
+      "fractions" -> Map("en" -> 0.2), "keyField" -> "doc_id")(bigger)
+      .select("doc_id").as[Long].collect().toSet
+    assert(en.subsetOf(keptBigger))
+  }
+
+  // --------------------------------------------------- curation: shuffle
+  test("shuffle: deterministic order; salt re-shuffles; materialized sort") {
+    val df = (1L to 200L).toDF("doc_id")
+    def order(salt: String): Seq[Long] =
+      stage("shuffle", "keyField" -> "doc_id", "salt" -> salt)(df)
+        .select("doc_id").as[Long].collect().toSeq
+    val e1 = order("epoch1")
+    assert(e1 == order("epoch1"))                  // reproducible
+    assert(e1 != order("epoch2"))                  // new epoch, new order
+    assert(e1 != (1L to 200L).toSeq)               // actually shuffled
+    assert(e1.sorted == (1L to 200L).toSeq)        // a permutation
+    // the materialized stream is ordered by the emitted key
+    val keys = stage("shuffle", "keyField" -> "doc_id", "salt" -> "epoch1")(df)
+      .select("shuffle_key").as[String].collect().toSeq
+    assert(keys == keys.sorted)
+  }
+
+  // --------------------------------------------------- curation: mixture
+  test("mixture: parts sample independently, tag and union deterministically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mixture")
+      .resolve("part_src").toString
+    (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    val out = stage("mixture", "keyField" -> "doc_id",
+      "columns" -> Seq("doc_id"),
+      "parts" -> Seq(
+        Map("path" -> path, "fraction" -> 0.3, "name" -> "web"),
+        Map("path" -> path, "fraction" -> 0.3, "name" -> "code")))(
+      spark.emptyDataFrame)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    val web = rows.filter(_._2 == "web").map(_._1).toSet
+    val code = rows.filter(_._2 == "code").map(_._1).toSet
+    // same fraction, different part name → different (independent) sets
+    assert(web != code)
+    assert(web.size > 200 && web.size < 400 && code.size > 200 && code.size < 400)
+    // independence: overlap ≈ 9% of the corpus, far from 0 and from 30%
+    val overlap = (web & code).size
+    assert(overlap > 30 && overlap < 200)
+  }
+
+  // --------------------------------------------------- curation: urlparse
+  test("urlparse: host/domain/path/query extraction; malformed → empty") {
+    val df = Seq(
+      (1L, "https://user@www.example.co.uk:8443/a/b?q=1#frag"),
+      (2L, "http://single-host/"),
+      (3L, "not a url at all")).toDF("id", "url")
+    val out = stage("urlparse", "field" -> "url",
+      "parts" -> Seq("scheme", "host", "domain", "path", "query"))(df)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("url_scheme") == "https")
+    assert(out(0).getAs[String]("url_host") == "www.example.co.uk")
+    // documented heuristic: last two dot-labels (no public-suffix list,
+    // so a ccTLD second-level like co.uk is NOT special-cased)
+    assert(out(0).getAs[String]("url_domain") == "co.uk")
+    assert(out(0).getAs[String]("url_path") == "/a/b")
+    assert(out(0).getAs[String]("url_query") == "q=1")
+    assert(out(1).getAs[String]("url_host") == "single-host")
+    assert(out(1).getAs[String]("url_domain") == "")  // no dot-pair
+    assert(out(2).getAs[String]("url_host") == "")    // malformed → ''
+  }
+
+  // --------------------------------------------------- curation: groupcap
+  test("groupcap: keeps first N per group by order field, rows unchanged") {
+    val df = (1L to 100L).map(i => (i, s"d${i % 3}", s"payload$i"))
+      .toDF("doc_id", "domain", "text")
+    val out = stage("groupcap", "groupField" -> "domain",
+      "orderField" -> "doc_id", "maxPerGroup" -> 5)(df)
+    val kept = out.select("doc_id", "domain", "text").collect()
+    assert(kept.length == 15)
+    // per group: exactly the 5 smallest doc_ids survive, payload intact
+    val byDomain = kept.groupBy(_.getString(1))
+    byDomain.foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(0)).sorted.toSeq
+      assert(ids == ids.sorted && ids.length == 5)
+      rows.foreach(r => assert(r.getString(2) == s"payload${r.getLong(0)}"))
+    }
+    val d0 = byDomain("d0").map(_.getLong(0)).sorted.toSeq
+    assert(d0 == Seq(3L, 6L, 9L, 12L, 15L))
+  }
 }
