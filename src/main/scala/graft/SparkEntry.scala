@@ -1235,6 +1235,113 @@ object SparkEntry {
         .select("media_id", "width", "height", "out_width", "out_height")
         .orderBy("media_id")
     },
+    "stream_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // streaming exact dedup with watermark-BOUNDED state
+      // (dropDuplicatesWithinWatermark — the state store never grows
+      // past the watermark horizon, so the query runs indefinitely).
+      // Only the KEY columns are emitted: which duplicate row survives
+      // is arrival-order-dependent; the key set is deterministic and
+      // equals the batch DISTINCT oracle under availableNow.
+      Engine.registerCode("nanos_to_ts")(df =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+        "transformers": [
+          {"code": {"ref": "nanos_to_ts"}},
+          {"stream_dedup": {"tsField": "ts", "watermark": "1 hour",
+            "keyFields": ["user_id", "event_type"]}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_dd",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_dd")
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    },
+    "chunk_windows" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // sliding 64-token windows with 16-token overlap — the context-
+      // window prep step (pack concatenates ACROSS docs; chunk splits
+      // WITHIN them)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"chunk": {"idField": "doc_id", "field": "text",
+          "chunkTokens": 64, "overlap": 16}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "chunk_index", "chunk_text", "chunk_tokens")
+        .orderBy("doc_id", "chunk_index")
+    },
+    "sentence_split" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"sentencesplit": {"idField": "doc_id",
+          "field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "sent_idx", "sentence")
+        .orderBy("doc_id", "sent_idx")
+    },
+    "tfidf_terms" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // top-3 characteristic terms per doc by TF·(N/df) — linear idf
+      // keeps the score an exact integer product over one IEEE division
+      // (bit-identical in DuckDB; log differs in final ulps across libms)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"tfidf": {"idField": "doc_id", "field": "text",
+          "k": 3}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    },
+    "corpus_stats" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // one-row corpus summary over token counts; discrete quantiles
+      // (element-picking) keep the row hash-exact vs quantile_disc
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"tokenize": {"field": "text"}},
+          {"corpusstats": {"field": "n_ws_tokens"}}],
+        "loader": {"memory": {}} }""")
+    },
+    "cross_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // cross-snapshot dedup: docs >= 250 deduped against the "previous
+      // crawl" (docs < 250) on a 50-char normalized-prefix fingerprint
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id >= 250"}},
+          {"crossdedup": {"idField": "doc_id", "field": "text",
+            "keyExpr": "md5(cast(substring(regexp_replace(lower(__text), '\\\\s+', ' '), 1, 50) as binary))",
+            "against": "SELECT text FROM documents WHERE doc_id < 250"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+    "decontaminate_bloom" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the bloom-prefiltered decontamination plan — IDENTICAL result to
+      // `decontaminate` (false positives removed by the exact join; the
+      // bloom only shrinks what reaches the exchange), same oracle
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id >= 20"}},
+          {"decontaminate": {"idField": "doc_id", "field": "text",
+            "shingleSize": 5, "prefilter": "bloom", "expectedItems": 200000,
+            "against": "SELECT text FROM documents WHERE doc_id < 20"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
   )
 
   // -----------------------------------------------------------------------
@@ -1600,5 +1707,56 @@ object SparkEntry {
        "CAST(floor((64 + octet_length(encode(text)) % 640) * least(224.0 / (64 + octet_length(encode(text)) % 640), 224.0 / (64 + octet_length(encode(text)) % 480), 1.0)) AS INTEGER) AS out_width, " +
        "CAST(floor((64 + octet_length(encode(text)) % 480) * least(224.0 / (64 + octet_length(encode(text)) % 640), 224.0 / (64 + octet_length(encode(text)) % 480), 1.0)) AS INTEGER) AS out_height " +
        "FROM documents ORDER BY media_id"),
+    "stream_dedup" ->
+      ("SELECT DISTINCT user_id, event_type FROM events " +
+       "ORDER BY user_id, event_type"),
+    "chunk_windows" ->
+      (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
+       "u AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 48)) AS s FROM t) " +
+       "SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_index, " +
+       "array_to_string(list_slice(tk, s, s + 63), ' ') AS chunk_text, " +
+       "CAST(least(64, len(tk) - s + 1) AS BIGINT) AS chunk_tokens " +
+       "FROM u ORDER BY doc_id, chunk_index"),
+    "sentence_split" ->
+      ("WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents FROM documents), " +
+       "u AS (SELECT doc_id, sents, unnest(generate_series(1, len(sents))) AS i FROM t) " +
+       "SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, trim(sents[i]) AS sentence " +
+       "FROM u WHERE trim(sents[i]) <> '' ORDER BY doc_id, sent_idx"),
+    "tfidf_terms" -> {
+      val ltoks = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+      s"WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM " +
+      s"(SELECT doc_id, unnest($ltoks) AS t FROM documents) GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS nn FROM documents), " +
+      "scored AS (SELECT doc_id, term, tf, df, " +
+      "CAST(tf * nn AS DOUBLE) / CAST(df AS DOUBLE) AS score " +
+      "FROM tf JOIN dfq USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tf, df, score, CAST(row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS term_rank " +
+      "FROM scored QUALIFY term_rank <= 3 ORDER BY doc_id, term_rank"
+    },
+    "corpus_stats" ->
+      (s"SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS total, " +
+       "CAST(min(n) AS BIGINT) AS minv, CAST(max(n) AS BIGINT) AS maxv, " +
+       "CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean, " +
+       "CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25, " +
+       "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50, " +
+       "CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75, " +
+       "CAST(quantile_disc(n, 0.95) AS BIGINT) AS p95 " +
+       s"FROM (SELECT CAST(len($toks) AS BIGINT) AS n FROM documents)"),
+    "cross_dedup" ->
+      (raw"WITH f AS (SELECT doc_id, n_chars, md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 50)) AS fp FROM documents) " +
+       "SELECT doc_id, n_chars FROM f a WHERE doc_id >= 250 AND NOT EXISTS " +
+       "(SELECT 1 FROM f b WHERE b.doc_id < 250 AND b.fp = a.fp) ORDER BY doc_id"),
+    "decontaminate_bloom" -> {
+      val sh5 =
+        s"CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')] " +
+        s"ELSE list_distinct(list_transform(generate_series(1, len($toks) - 4), " +
+        s"i -> ${(0 until 5).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})) END"
+      s"WITH ev AS (SELECT list(s) AS l FROM " +
+      s"(SELECT DISTINCT unnest($sh5) AS s FROM documents WHERE doc_id < 20)) " +
+      s"SELECT doc_id, n_chars FROM documents, ev " +
+      s"WHERE doc_id >= 20 AND len(list_intersect($sh5, ev.l)) = 0 ORDER BY doc_id"
+    },
   )
 }

@@ -315,13 +315,36 @@ object DedupStages {
 
       graft.functions.VectorExpressions.ensure(ctx.spark)
       import org.apache.spark.sql.functions.broadcast
-      val evalShingles = broadcast(eval0
+      val evalShingleSet = eval0
         .select(explode(graft.functions.VectorExpressions
           .shingleHashes(col(evalField), n)).as("__es"))
-        .distinct())
-      val docShingles = df.select(col(id).as("__did"),
+        .distinct()
+      val docShingles0 = df.select(col(id).as("__did"),
         explode(graft.functions.VectorExpressions
           .shingleHashes(col(field), n)).as("__ds"))
+      // `prefilter: "bloom"` — the scale posture for LARGE eval sets: a
+      // Bloom filter over the eval shingle hashes (built in one job on
+      // the small-by-construction side, `expectedItems`/`fpp`
+      // configurable) is broadcast as a compact bitset instead of the
+      // raw distinct-hash list, and the corpus shingle stream is
+      // prefiltered map-side BEFORE anything shuffles. False positives
+      // are then removed by the exact join below, so the RESULT is
+      // identical (driver-verified against the same oracle) — the bloom
+      // pass only shrinks what reaches the exchange. With the bloom in
+      // front the exact join no longer needs the broadcast assumption,
+      // so eval sets too big for a literal broadcast still work: the
+      // surviving sliver shuffle-joins.
+      val (docShingles, evalShingles) = spec.strOr("prefilter", "none") match {
+        case "bloom" =>
+          val expected = spec.long("expectedItems").getOrElse(1000000L)
+          val fpp = spec.str("fpp").map(_.toDouble).getOrElse(0.01)
+          val bloom = evalShingleSet.stat.bloomFilter("__es", expected, fpp)
+          val bloomBc = ctx.spark.sparkContext.broadcast(bloom)
+          val might = udf((h: Long) => bloomBc.value.mightContainLong(h))
+          (docShingles0.where(might(col("__ds"))), evalShingleSet)
+        case "none" => (docShingles0, broadcast(evalShingleSet))
+        case other => sys.error(s"decontaminate: unknown prefilter $other")
+      }
       val contaminated = docShingles
         .join(evalShingles, col("__ds") === col("__es"), "left_semi")
         .select(col("__did")).distinct()
@@ -333,6 +356,61 @@ object DedupStages {
             .withColumn("contaminated", coalesce(col("__c"), lit(false)))
             .drop("__did", "__c")
         case other => sys.error(s"decontaminate: unknown mode $other")
+      }
+    }
+
+  // ------------------------------------------------- cross-corpus dedup
+
+  /** `crossdedup`: drop (or mark) documents whose content fingerprint
+    * already appears in ANOTHER corpus — the cross-snapshot /
+    * cross-source dedup pass (e.g. dedupe this crawl against the last
+    * one). Options: `idField`, `field` (default text), `against` (table
+    * name or SELECT; required), `againstField` (default `field`),
+    * `keyExpr` (optional SQL fingerprint expression evaluated on the
+    * text column of EACH side — default: md5 of the
+    * lowercased/whitespace-collapsed full text), `mode` ∈ drop (default)
+    * | mark (adds boolean `cross_dup`).
+    *
+    * Scale shape: both sides reduce to (fingerprint) keys; the corpus
+    * anti/left-joins the OTHER corpus' distinct fingerprints on the
+    * hash — a shuffle join on a key that is small per row, with no
+    * broadcast assumption (the reference corpus may be another 100 TB
+    * crawl). AQE picks broadcast when the against side is in fact
+    * small. */
+  def crossDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val field = spec.strOr("field", "text")
+      val againstSpec = spec.str("against")
+        .getOrElse(sys.error("crossdedup: against (table or SELECT) required"))
+      val other = {
+        val head = againstSpec.trim.toUpperCase
+        if (head.startsWith("SELECT") || head.startsWith("WITH"))
+          ctx.spark.sql(againstSpec)
+        else ctx.table(againstSpec)
+      }
+      val otherField = spec.strOr("againstField", field)
+      // the fingerprint expression sees each side's text column under the
+      // side-neutral name `__text`
+      def fp: Column = spec.str("keyExpr") match {
+        case Some(e) => expr(e)
+        case None => md5(regexp_replace(lower(col("__text")), "\\s+", " ")
+          .cast("binary"))
+      }
+      val otherFps = other.select(col(otherField).as("__text"))
+        .select(fp.as("__ofp")).distinct()
+      val withFp = df.withColumn("__text", col(field))
+        .withColumn("__fp", fp).drop("__text")
+      spec.strOr("mode", "drop") match {
+        case "drop" =>
+          withFp.join(otherFps, col("__fp") === col("__ofp"), "left_anti")
+            .drop("__fp")
+        case "mark" =>
+          withFp.join(otherFps.withColumn("__m", lit(true)),
+              col("__fp") === col("__ofp"), "left")
+            .withColumn("cross_dup", coalesce(col("__m"), lit(false)))
+            .drop("__fp", "__ofp", "__m")
+        case m => sys.error(s"crossdedup: unknown mode $m")
       }
     }
 

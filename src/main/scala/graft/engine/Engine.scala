@@ -50,6 +50,7 @@ object Engine {
     "ngramjaccard"  -> graft.dedup.DedupStages.ngramJaccard _,
     "neardupdedup"  -> graft.dedup.DedupStages.neardupDedup _,
     "decontaminate" -> graft.dedup.DedupStages.decontaminate _,
+    "crossdedup"    -> graft.dedup.DedupStages.crossDedup _,
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "regexreplace"  -> graft.text.TextStages.regexReplace _,
@@ -63,8 +64,12 @@ object Engine {
     "urlparse"      -> graft.text.WebStages.urlparse _,
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
+    "chunk"         -> graft.split.SplitStages.chunk _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
+    "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
+    "tfidf"         -> graft.text.TextStages.tfidf _,
+    "corpusstats"   -> graft.text.TextStages.corpusstats _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,

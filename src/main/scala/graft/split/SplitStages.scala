@@ -119,6 +119,44 @@ object SplitStages {
         .drop("__pid", "__cum")
     }
 
+  /** `chunk`: sliding token-window chunking — explode each document into
+    * fixed-size token windows (`chunkTokens`, default 512) with optional
+    * `overlap` (default 0), the context-window preparation step of a
+    * training pipeline (cf. [[pack]], which concatenates ACROSS
+    * documents; `chunk` splits WITHIN them). Output rows: the id column
+    * + `chunk_index` (0-based), `chunk_text`, `chunk_tokens`.
+    *
+    * Scale shape: a pure per-row projection + explode — no shuffle, no
+    * state; the expansion factor is tokens/step per row, which the
+    * parquet writer downstream re-blocks. Window starts advance by
+    * `chunkTokens - overlap`; the final window may be shorter (kept —
+    * `dropShort: true` drops trailing windows shorter than `minTokens`,
+    * default 1). */
+  def chunk(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.functions.col
+      val id = spec.strOr("idField", "doc_id")
+      val f = col(spec.strOr("field", "text"))
+      val n = spec.int("chunkTokens", 512)
+      val overlap = spec.int("overlap", 0)
+      require(n > 0, "chunk: chunkTokens must be positive")
+      require(overlap >= 0 && overlap < n,
+        s"chunk: overlap must be in [0, chunkTokens), got $overlap")
+      val step = n - overlap
+      val minTokens =
+        if (spec.bool("dropShort", dflt = false)) spec.int("minTokens", 1) else 1
+      val toks = graft.text.TextStages.tokens(f)
+      val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(step))
+      val windows = transform(starts, s =>
+        struct(concat_ws(" ", slice(toks, s, lit(n))).as("text"),
+          least(lit(n), size(toks) - s + 1).as("n")))
+      df.select(col(id), posexplode(windows).as(Seq("chunk_index", "__w")))
+        .select(col(id), col("chunk_index").cast("long").as("chunk_index"),
+          col("__w.text").as("chunk_text"),
+          greatest(col("__w.n"), lit(1)).cast("long").as("chunk_tokens"))
+        .where(col("chunk_tokens") >= minTokens)
+    }
+
   /** `hashsample`: keep a deterministic `fraction` of rows by the same
     * md5 bucket — the reproducible alternative to `TABLESAMPLE`/rand().
     * Options: `keyField`/`keyExpr`, `fraction` (required), `salt`. */

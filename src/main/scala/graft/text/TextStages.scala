@@ -260,6 +260,101 @@ object TextStages {
     counts.keySet().iterator().asScala.toVector.iterator
   }
 
+  /** `sentencesplit`: explode documents into sentences — the unit-of-
+    * analysis change for sentence-level filtering/dedup. Sentences are
+    * maximal runs `[^.!?]+` with their trailing terminators (a regex in
+    * the Java∩RE2 subset — no lookbehind, so the same pattern runs in
+    * any engine); whitespace-only fragments are dropped AFTER indexing,
+    * so `sent_idx` (0-based, position in the extracted list) is stable
+    * under the filter. Output: id + `sent_idx` + `sentence` (trimmed).
+    * Pure projection + explode — no shuffle. */
+  def sentenceSplit(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val f = col(spec.strOr("field", "text"))
+      val sents = regexp_extract_all(f, lit("[^.!?]+[.!?]*"), lit(0))
+      df.select(col(id), posexplode(sents).as(Seq("sent_idx", "__s")))
+        .select(col(id), col("sent_idx").cast("long").as("sent_idx"),
+          trim(col("__s")).as("sentence"))
+        .where(col("sentence") =!= "")
+    }
+
+  /** `tfidf`: top-`k` characteristic terms per document by TF·IDF — the
+    * keyword-extraction / topic-signal pass. IDF is the LINEAR ratio
+    * `N / df(term)` (not log): `tf·N` is an exact integer and the single
+    * IEEE division is bit-identical across engines, so results stay
+    * hash-exact against a SQL oracle (log(x) differs in final ulps
+    * between libm implementations — a documented deviation from the
+    * textbook formula that changes no ranking: log is monotone).
+    *
+    * Scale shape: tokenize+explode → per-(doc, term) count (ONE hash
+    * aggregation, map-side combine) → document-frequency aggregation of
+    * the distinct (doc, term) pairs (second hash agg) → join tf⋈df on
+    * term (AQE picks broadcast when the vocabulary is small; shuffle-hash
+    * on term otherwise — vocabulary rows, never corpus rows) → per-doc
+    * top-k by `row_number` over doc partitions (document count ≫ cores:
+    * the window's doc_id shuffle is balanced; within-group sort is over
+    * the DISTINCT terms of one doc, not the corpus). Options: `idField`,
+    * `field`, `k` (default 5), `minDf` (default 1), `lowercase`
+    * (default true). Output: id + `term` + `tf` + `df` + `score` +
+    * `term_rank`. */
+  def tfidf(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.expressions.Window
+      val id = spec.strOr("idField", "doc_id")
+      val f0 = col(spec.strOr("field", "text"))
+      val f = if (spec.bool("lowercase", dflt = true)) lower(f0) else f0
+      val k = spec.int("k", 5)
+      val minDf = spec.int("minDf", 1)
+      val total = df.agg(count(lit(1)).as("__n"))
+      val tf = df.select(col(id).as("__id"), explode(tokens(f)).as("term"))
+        .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .where(col("df") >= minDf)
+      val scored = tf.join(dfreq, "term").crossJoin(total)
+        .withColumn("score",
+          (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
+      val w = Window.partitionBy("__id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("term_rank", row_number().over(w))
+        .where(col("term_rank") <= k)
+        .select(col("__id").as(id), col("term"), col("tf"), col("df"),
+          col("score"), col("term_rank").cast("long").as("term_rank"))
+    }
+
+  /** `corpusstats`: one-row corpus summary of a NUMERIC column —
+    * count / sum / min / max / mean plus discrete quantiles
+    * (`percentile_disc`: picks actual elements, so results are
+    * hash-exact against any engine's SQL-standard `quantile_disc`;
+    * interpolating quantiles are float-order-sensitive). Options:
+    * `field` (required, numeric — chain `tokenize` first for token
+    * counts), `quantiles` (default [0.25, 0.5, 0.75, 0.95]).
+    * ONE aggregation; the quantile aggregates sort only within the
+    * final single group's collected values. */
+  def corpusstats(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fName = spec.str("field").getOrElse(sys.error("corpusstats: field required"))
+      val f = col(fName)
+      val qs = spec.strList("quantiles") match {
+        case Nil => Seq("0.25", "0.5", "0.75", "0.95")
+        case l => l
+      }
+      val qCols = qs.map { q =>
+        val pct = q.toDouble * 100
+        val label = "p" + (if (pct == math.floor(pct)) pct.toLong.toString
+          else pct.toString.replace('.', '_'))
+        expr(s"percentile_disc(${q.toDouble}) WITHIN GROUP (ORDER BY `$fName`)")
+          .cast("long").as(label)
+      }
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        (Seq(sum(f.cast("long")).as("total"),
+          min(f.cast("long")).as("minv"),
+          max(f.cast("long")).as("maxv"),
+          (sum(f.cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("mean")) ++ qCols): _*)
+    }
+
   /** `fingerprint`: document fingerprints over the normalized text
     * (lowercased, whitespace collapsed): `fp_md5` (content hash, oracle-
     * checkable) and `fp_xx` (xxhash64 — the cheap 64-bit rolling-hash

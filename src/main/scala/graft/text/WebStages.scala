@@ -62,10 +62,23 @@ object WebStages {
     * when orderField is the document key). Output: surviving input rows
     * unchanged.
     *
-    * Scale shape: one shuffle on the group key + an in-partition sort
-    * feeding a rank filter — the group-count distribution is exactly
-    * what AQE's skew handling splits if a single domain is huge; no
-    * global sort, no collect. */
+    * Two plans, `algorithm` option:
+    *  - `"threshold"` (default; requires a NUMERIC, per-group-unique
+    *    `orderField`): per group, find the cap-th smallest order key
+    *    with the bounded-heap top-k aggregate (map-side partial heaps —
+    *    each task contributes ≤ cap keys per group to the exchange),
+    *    then semi-join the per-group threshold back and filter
+    *    `order <= threshold`. A single hot domain (the boilerplate
+    *    domain every crawl has) stays DISTRIBUTED: its rows never
+    *    funnel through one task — only its ≤ cap·tasks candidate keys
+    *    do. The threshold join is a broadcast when the group count is
+    *    small; AQE decides.
+    *  - `"window"`: `row_number` over (group, order) — one shuffle +
+    *    in-partition sort. Exact for any orderField type, but a hot
+    *    group lands on ONE task (AQE skew-split does not apply inside
+    *    window partitions); the small-scale / non-numeric fallback.
+    * Both produce identical rows when orderField is unique per group
+    * (asserted in specs). */
   def groupcap(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val group = spec.str("groupField")
@@ -74,10 +87,42 @@ object WebStages {
         .getOrElse(sys.error("groupcap: orderField required"))
       val cap = spec.int("maxPerGroup", -1)
       require(cap > 0, "groupcap: maxPerGroup required (> 0)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(group)).orderBy(col(order).asc)
-      df.withColumn("__gc_rank", row_number().over(w))
-        .where(col("__gc_rank") <= cap)
-        .drop("__gc_rank")
+      // the heap threshold rides a LONG id — integral order keys only
+      // (a fractional double would truncate and mis-place the cut)
+      val isIntegral = {
+        import org.apache.spark.sql.types._
+        df.schema(order).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
+      spec.strOr("algorithm", if (isIntegral) "threshold" else "window") match {
+        case "threshold" =>
+          require(isIntegral, s"groupcap threshold: orderField `$order` must " +
+            s"be integral (got ${df.schema(order).dataType.simpleString}) — " +
+            "use algorithm: \"window\" for other order-key types")
+          graft.functions.VectorExpressions.ensure(ctx.spark)
+          // cap-th smallest order key per group = last element of the
+          // top-`cap` heap on score -order (heap keeps the cap smallest;
+          // a group with fewer than cap rows keeps its max → all rows
+          // pass the filter)
+          val thresholds = df
+            .groupBy(col(group).as("__gc_g"))
+            .agg(graft.functions.VectorExpressions.topK(
+              -col(order).cast("double"), col(order).cast("long"), cap).as("__t"))
+            .select(col("__gc_g"),
+              element_at(col("__t"), -1).getField("id").as("__gc_thresh"))
+          df.join(thresholds, col(group) === col("__gc_g"))
+            .where(col(order) <= col("__gc_thresh"))
+            .drop("__gc_g", "__gc_thresh")
+        case "window" =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(group)).orderBy(col(order).asc)
+          df.withColumn("__gc_rank", row_number().over(w))
+            .where(col("__gc_rank") <= cap)
+            .drop("__gc_rank")
+        case other => sys.error(s"groupcap: unknown algorithm '$other' " +
+          "(threshold|window)")
+      }
     }
 }

@@ -643,4 +643,142 @@ class LlmStagesSpec extends SparkSpec {
     val d0 = byDomain("d0").map(_.getLong(0)).sorted.toSeq
     assert(d0 == Seq(3L, 6L, 9L, 12L, 15L))
   }
+
+  test("groupcap: threshold and window algorithms agree, incl. a hot group") {
+    // one hot group (700 rows) + many small ones — the skew shape the
+    // threshold plan exists for
+    val rows = (1L to 700L).map(i => (i, "hot")) ++
+      (701L to 1000L).map(i => (i, s"g${i % 37}"))
+    val df = rows.toDF("doc_id", "domain")
+    def run(algo: String) =
+      stage("groupcap", "groupField" -> "domain", "orderField" -> "doc_id",
+        "maxPerGroup" -> 7, "algorithm" -> algo)(df)
+        .select("doc_id", "domain").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val thresh = run("threshold")
+    assert(thresh == run("window"))
+    assert(thresh.count(_._2 == "hot") == 7)
+    // default for an integral orderField is the threshold plan
+    val dflt = stage("groupcap", "groupField" -> "domain",
+      "orderField" -> "doc_id", "maxPerGroup" -> 7)(df)
+    assert(dflt.queryExecution.executedPlan.toString.contains("graft_topk"))
+    // non-integral order key falls back to the window plan
+    val sdf = rows.map { case (i, d) => (s"k$i", d) }.toDF("key", "domain")
+    val win = stage("groupcap", "groupField" -> "domain",
+      "orderField" -> "key", "maxPerGroup" -> 7)(sdf)
+    assert(!win.queryExecution.executedPlan.toString.contains("graft_topk"))
+  }
+
+  // ------------------------------------------------------ curation: chunk
+  test("chunk: sliding windows with overlap; trailing partial kept") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val out = stage("chunk", "chunkTokens" -> 4, "overlap" -> 1)(df)
+      .orderBy("doc_id", "chunk_index").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    // starts 1,4,7,10 (step 3): t1-4, t4-7, t7-10, t10
+    assert(c1.map(_.getString(2)).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(c1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c1.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 1L))
+    // empty text → one empty chunk (token array is [''])
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getString(2) == "")
+    // dropShort drops the trailing partial
+    val dropped = stage("chunk", "chunkTokens" -> 4, "overlap" -> 1,
+      "dropShort" -> true, "minTokens" -> 4)(df)
+      .where(col("doc_id") === 1L).collect()
+    assert(dropped.map(_.getString(2)).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+  }
+
+  // ---------------------------------------------- curation: sentencesplit
+  test("sentencesplit: indexes stable, whitespace fragments dropped") {
+    val df = Seq(
+      (1L, "Hello there. How are you? Fine! trailing"),
+      (2L, "...!?"), // only terminators → no sentences
+      (3L, "One")).toDF("doc_id", "text")
+    val out = stage("sentencesplit", Seq.empty[(String, Any)]: _*)(df)
+      .orderBy("doc_id", "sent_idx").collect()
+    val s1 = out.filter(_.getLong(0) == 1L)
+    assert(s1.map(_.getString(2)).toSeq ==
+      Seq("Hello there.", "How are you?", "Fine!", "trailing"))
+    assert(s1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(!out.exists(_.getLong(0) == 2L))
+    assert(out.filter(_.getLong(0) == 3L).map(_.getString(2)).toSeq == Seq("One"))
+  }
+
+  // -------------------------------------------------------------- tfidf
+  test("tfidf: linear-idf scores and ranks match hand computation") {
+    // 3 docs; "rare" only in doc 1, "common" in all
+    val df = Seq(
+      (1L, "rare common common"),
+      (2L, "common other"),
+      (3L, "common other third")).toDF("doc_id", "text")
+    val out = stage("tfidf", "k" -> 2)(df)
+      .orderBy("doc_id", "term_rank").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // doc1: rare tf=1 df=1 → score 1*3/1=3; common tf=2 df=3 → 2*3/3=2
+    assert(d1.map(r => (r.getString(1), r.getDouble(4))).toSeq ==
+      Seq(("rare", 3.0), ("common", 2.0)))
+    assert(d1.map(_.getLong(5)).toSeq == Seq(1L, 2L))
+    // doc2: "other" tf=1 df=2 → 1.5 outranks "common" tf=1 df=3 → 1.0
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(1)).toSeq == Seq("other", "common"))
+  }
+
+  // --------------------------------------------------------- corpusstats
+  test("corpusstats: one-row summary with discrete quantiles") {
+    val df = (1 to 10).map(n => (n.toLong, n)).toDF("id", "n_tok")
+    val out = stage("corpusstats", "field" -> "n_tok")(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("total") == 55L)
+    assert(r.getAs[Long]("minv") == 1L && r.getAs[Long]("maxv") == 10L)
+    assert(r.getAs[Double]("mean") == 5.5)
+    // SQL-standard percentile_disc: smallest v with cume_dist >= p
+    assert(r.getAs[Long]("p25") == 3L && r.getAs[Long]("p50") == 5L)
+    assert(r.getAs[Long]("p75") == 8L && r.getAs[Long]("p95") == 10L)
+  }
+
+  // ---------------------------------------------------------- crossdedup
+  test("crossdedup: drops docs whose fingerprint appears in `against`") {
+    val ctx = newCtx()
+    ctx.registerTable("prev_crawl", Seq(
+      (101L, "shared document text"), (102L, "other old text"))
+      .toDF("doc_id", "text"))
+    val df = Seq(
+      (1L, "Shared   Document\ttext"), // normalized match of 101
+      (2L, "brand new text")).toDF("doc_id", "text")
+    val drop = graft.engine.Engine.transformers("crossdedup")(
+      ComponentSpec("crossdedup", Map("against" -> "prev_crawl")), ctx)(df)
+    assert(drop.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val mark = graft.engine.Engine.transformers("crossdedup")(
+      ComponentSpec("crossdedup", Map("against" -> "prev_crawl",
+        "mode" -> "mark")), ctx)(df)
+      .orderBy("doc_id").collect()
+    assert(mark.map(_.getAs[Boolean]("cross_dup")).toSeq == Seq(true, false))
+  }
+
+  // ----------------------------------------- decontaminate: bloom prefilter
+  test("decontaminate bloom prefilter equals the exact path") {
+    val ctx = newCtx()
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    ctx.registerTable("eval_set", eval)
+    val corpus = (1 to 50).map(i =>
+      (i.toLong, if (i % 7 == 0) "alpha beta gamma delta epsilon contaminated"
+        else s"clean doc $i with its own words ${i * 31}"))
+      .toDF("doc_id", "text")
+    def run(opts: Map[String, Any]) =
+      graft.engine.Engine.transformers("decontaminate")(
+        ComponentSpec("decontaminate", Map("against" -> "eval_set",
+          "shingleSize" -> 5) ++ opts), ctx)(corpus)
+        .select("doc_id").as[Long].collect().toSet
+    val exact = run(Map.empty)
+    val bloom = run(Map("prefilter" -> "bloom", "expectedItems" -> 1000L))
+    assert(exact == bloom)
+    assert((1 to 50).filter(_ % 7 == 0).map(_.toLong).toSet
+      .intersect(exact).isEmpty)
+  }
 }
