@@ -82,6 +82,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("link_fk")(spark, "/root/testdata/sf0.001")
 
+  /** One-time derived-fixture generation for a scale dir (csv/json/gzip
+    * dumps of the parquet). Benchmarks call this in their UNTIMED warm-up
+    * so the first fixture-consuming query doesn't carry the generation
+    * cost in its number; queries themselves hit the memoized path. */
+  def warm(spark: SparkSession, sfDir: String): Unit = { fixtures(spark, sfDir); () }
+
   /** Deterministic recall-verdict frame for the approximate operators
     * whose raw outputs aren't SQL-expressible: `(metric, pass)` rows —
     * recall of `approx` vs `exact` on `keys` must clear `floor`, plus a
@@ -1252,7 +1258,8 @@ object SparkEntry {
         "transformers": [
           {"code": {"ref": "nanos_to_ts"}},
           {"stream_dedup": {"tsField": "ts", "watermark": "1 hour",
-            "keyFields": ["user_id", "event_type"]}}],
+            "keyFields": ["user_id", "event_type"],
+            "keepColumns": ["user_id", "event_type"]}}],
         "loader": {"streamsink": {"format": "memory", "name": "stream_dd",
           "outputMode": "append", "trigger": "availableNow"}} }"""))
       q.awaitTermination()

@@ -196,14 +196,19 @@ object SimilarityStages {
     }
 
   /** `similarityivf` transformer — IVF-flat approximate top-k: a
-    * deterministic sample of `nCells` rows acts as the coarse quantizer;
-    * every vector is assigned to its nearest centroid (one pass against
-    * the BROADCAST centroid set — the base table never shuffles for
-    * assignment), queries probe their `nProbe` nearest cells, and exact
-    * cosine re-ranks within the probed cells. The classic IVF recall/
-    * work trade: candidates ≈ N·nProbe/nCells per query, never all-pairs.
-    * Options: idField/field/k, `nCells` (default 16), `nProbe`
-    * (default 2). */
+    * deterministic sample of `nCells` rows acts as the coarse quantizer,
+    * held on the DRIVER and shipped as literals (an IVF coarse quantizer
+    * is small by construction — a trained k-means codebook would slot in
+    * identically); cell assignment is then a pure per-row projection —
+    * score the nCells literal centroids with codegen'd dot products and
+    * `array_sort` the (sim, cell) structs — so the base table does NOT
+    * shuffle, join, or aggregate to find its cells (the previous
+    * crossJoin + heap-agg form shuffled N×nCells rows with the vectors
+    * in the GROUP KEY). Queries probe their `nProbe` nearest cells and
+    * exact cosine re-ranks within the probed cells. The classic IVF
+    * recall/work trade: candidates ≈ N·nProbe/nCells per query, never
+    * all-pairs. Options: idField/field/k, `nCells` (default 16),
+    * `nProbe` (default 2). */
   def similarityIvf(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       graft.functions.VectorExpressions.ensure(ctx.spark)
@@ -214,30 +219,54 @@ object SimilarityStages {
       val nProbe = spec.int("nProbe", 2)
 
       val base = spread(df.select(col(id).as("__id"), col(vec).as("__v"))
-        .withColumn("__n", norm(col("__v")))) // N×nCells scoring — see spread
-      // deterministic pseudo-random sample as centroids (IVF-flat coarse
-      // quantizer; a trained k-means would slot in here unchanged)
-      val cents = broadcast(base
+        .withColumn("__n", norm(col("__v")))) // N×nProbe expansion — see spread
+      // deterministic pseudo-random sample as centroids: one bounded
+      // TakeOrdered job; nCells×dim doubles on the driver (float→double
+      // is exact, and the in-order driver norm matches ArrayDot's
+      // in-order accumulation bit-for-bit)
+      val centRows = df
+        .select(col(id).as("__id"), col(vec).as("__v"))
         .orderBy(xxhash64(col("__id"))).limit(nCells)
-        .select(col("__id").as("__cell"), col("__v").as("__cv"),
-          col("__n").as("__cn")))
-      val simToCell = cosine(col("__v"), col("__cv"), col("__n"), col("__cn"))
-      val scoredCells = base.join(cents, lit(true))
-        .select(col("__id"), col("__v"), col("__n"), col("__cell"),
-          simToCell.as("__csim"))
-      // nearest-cells rank via the bounded-heap aggregate, grouped on
-      // (__id, vector) so no re-join is needed to recover the vector —
-      // the window form would shuffle-and-sort N×nCells rows; this
-      // partial-aggregates to N rows before the exchange (nCells grows
-      // to thousands at 100 TB scale, the window does not survive that)
-      val ranked = scoredCells
-        .groupBy(col("__id"), col("__v"), col("__n"))
-        .agg(graft.functions.VectorExpressions.topK(
-          col("__csim"), col("__cell"), nProbe).as("__cells"))
+        .collect()
+      if (centRows.isEmpty) {
+        // empty input: empty (q_id, n_id, rank, cosine) result
+        base.select(col("__id").as("q_id"), col("__id").as("n_id"),
+          lit(1).cast("int").as("rank"), lit(0.0).as("cosine"))
+          .where(lit(false))
+      } else {
+      val cents = centRows.map { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case n: java.lang.Number => n.doubleValue
+        }
+        var s = 0.0
+        cv.foreach(x => s += x * x)
+        (cid, cv, math.sqrt(s))
+      }
+      val centArr = array(cents.map { case (cid, cv, cn) =>
+        struct(lit(cid).as("cell"),
+          array(cv.map(lit(_)): _*).as("cv"), lit(cn).as("cn"))
+      }.toIndexedSeq: _*)
+      // per-row: score all centroids, sort (sim desc, cell asc), keep
+      // nProbe — same ordering contract as the heap aggregate it replaces
+      val scored = transform(centArr, c => struct(
+        (dot(col("__v"), c.getField("cv")) /
+          (col("__n") * c.getField("cn"))).as("sim"),
+        c.getField("cell").as("cell")))
+      val sortedCells = array_sort(scored, (a, b) =>
+        when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1)
+          .when(a.getField("cell") < b.getField("cell"), -1)
+          .when(a.getField("cell") > b.getField("cell"), 1)
+          .otherwise(0))
+      val ranked = base
+        .withColumn("__probed", slice(sortedCells, 1, nProbe))
         .select(col("__id"), col("__v"), col("__n"),
-          posexplode(col("__cells")).as(Seq("__crank", "__ce")))
+          posexplode(col("__probed")).as(Seq("__crank", "__ce")))
         .select(col("__id"), col("__v"), col("__n"),
-          col("__ce.id").as("__cell"), col("__crank"))
+          col("__ce.cell").as("__cell"), col("__crank"))
       val assigned = ranked.where(col("__crank") === 0) // base: 1 cell each
       val probes = ranked // queries: all nProbe probed cells
 
@@ -251,6 +280,7 @@ object SimilarityStages {
           cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
         .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
       rankTopK(cand, k)
+      }
     }
 
   /** `cosinedup` transformer — embedding near-duplicate pairs: cosine >=

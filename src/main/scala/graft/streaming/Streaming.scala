@@ -143,13 +143,21 @@ object Streaming {
     * so the operator runs indefinitely at constant state, the streaming
     * analogue of the batch `dedup` stage. Options: `keyFields`
     * (required), `tsField` (default ts), `watermark` (default
-    * "10 minutes"). */
+    * "10 minutes"), `keepColumns` (project to these columns — plus the
+    * timestamp — BEFORE the stateful exchange; the dedup shuffle
+    * otherwise carries every column of every row to the state
+    * partitions, and Catalyst cannot prune columns through a sink that
+    * materializes them). */
   def streamDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
     val keys = spec.strList("keyFields")
     require(keys.nonEmpty, "stream_dedup: keyFields required")
     val ts = spec.strOr("tsField", "ts")
     val wm = spec.strOr("watermark", "10 minutes")
-    df.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
+    val kept = spec.strList("keepColumns") match {
+      case Nil => df
+      case cols => df.select((cols :+ ts).distinct.map(col): _*)
+    }
+    kept.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
   }
 
   /** Run a streaming pipeline spec: `stream` source → registered
