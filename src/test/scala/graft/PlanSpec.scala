@@ -173,4 +173,75 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_graft_topk"), s"expected map-side partial top-k:\n$plan")
     assert(!plan.contains("Window"), s"window form should be gone:\n$plan")
   }
+
+  private def exchanges(plan: String): Int =
+    "Exchange".r.findAllMatchIn(plan.split("== Initial Plan ==").head).size
+
+  test("chunk + sentencesplit are shuffle-free projections over a pruned scan") {
+    val chunk = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"chunk": {"chunkTokens": 32, "overlap": 8}}],
+      "loader": {"memory": {}} }""")
+    val cPlan = planOf(chunk)
+    assert(exchanges(cPlan) == 0, s"chunk must not shuffle:\n$cPlan")
+    val cSchema = cPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(cSchema.contains("doc_id") && cSchema.contains("text") &&
+      !cSchema.contains("lang"), s"chunk scan should read only id+text:\n$cSchema")
+    val sent = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"sentencesplit": {}}],
+      "loader": {"memory": {}} }""")
+    assert(exchanges(planOf(sent)) == 0, "sentencesplit must not shuffle")
+  }
+
+  test("tfidf: both counts partial-aggregate map-side; scan pruned to id+text") {
+    val ctx = newCtx()
+    val out = graft.text.TextStages.tfidf(
+      graft.spec.ComponentSpec("tfidf", Map("k" -> 3)), ctx)(ctx.table("documents"))
+    val plan = planOf(out)
+    assert(plan.contains("partial_count"),
+      s"tf/df counts must partial-aggregate before their exchanges:\n$plan")
+    val schema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schema.contains("lang") && !schema.contains("source"),
+      s"tfidf scan should read only id+text:\n$schema")
+  }
+
+  test("groupcap threshold: partial heap before the exchange, no Window") {
+    val ctx = newCtx()
+    val out = graft.text.WebStages.groupcap(
+      graft.spec.ComponentSpec("groupcap", Map("groupField" -> "lang",
+        "orderField" -> "doc_id", "maxPerGroup" -> 5,
+        "algorithm" -> "threshold")), ctx)(ctx.table("documents"))
+    val plan = planOf(out)
+    assert(plan.contains("partial_graft_topk"),
+      s"threshold plan must partial-aggregate the per-group heap:\n$plan")
+    assert(!plan.contains("Window"),
+      s"threshold plan must not contain a window:\n$plan")
+  }
+
+  test("corpusstats: ONE aggregation pass (single exchange)") {
+    val ctx = newCtx()
+    val out = graft.text.TextStages.corpusstats(
+      graft.spec.ComponentSpec("corpusstats", Map("field" -> "n_chars")),
+      ctx)(ctx.table("documents"))
+    val plan = planOf(out)
+    assert(exchanges(plan) == 1, s"expected one partial->final exchange:\n$plan")
+  }
+
+  test("similarity_ivf: cell assignment is a projection — no join or agg before the probe join") {
+    val ctx = newCtx()
+    val out = graft.similarity.SimilarityStages.similarityIvf(
+      graft.spec.ComponentSpec("similarityivf", Map("k" -> 3)),
+      ctx)(ctx.table("embeddings"))
+    val plan = planOf(out)
+    // the only join is probes x assigned on the cell key; the old form
+    // scored centroids through a crossJoin (BroadcastNestedLoopJoin) and
+    // ranked them with a heap agg KEYED on the vector
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid scoring must be a projection, not a join:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
 }
