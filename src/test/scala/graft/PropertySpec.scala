@@ -108,4 +108,68 @@ class PropertySpec extends SparkSpec {
       assert(out.length == rows.map(_._1).distinct.length)
     }
   }
+
+  test("chunk: every token covered; zero-overlap chunks reconstruct the doc") {
+    val tokGen = Gen.nonEmptyListOf(Gen.choose(0, 99).map(i => s"w$i")).map(_.take(40))
+    for ((toks, i) <- samples(tokGen, 12).zipWithIndex) {
+      val text = toks.mkString(" ")
+      val n = 3 + i % 5            // chunk sizes 3..7
+      val ov = i % n               // overlaps 0..n-1 (valid range)
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val out = graft.split.SplitStages.chunk(ComponentSpec("chunk", Map(
+        "chunkTokens" -> n, "overlap" -> ov)), newCtx())(df)
+        .orderBy("chunk_index").collect()
+      // coverage: concatenating chunks with the overlap removed
+      // reconstructs the token stream exactly
+      val rebuilt = out.zipWithIndex.flatMap { case (r, idx) =>
+        val ts = r.getString(2).split(" ").toSeq
+        if (idx == 0) ts else ts.drop(ov)
+      }
+      assert(rebuilt.toSeq == toks,
+        s"n=$n ov=$ov toks=$toks rebuilt=${rebuilt.toSeq}")
+      // declared chunk_tokens matches the actual window
+      out.foreach(r => assert(r.getLong(3) == r.getString(2).split(" ").length.toLong))
+    }
+  }
+
+  test("sentencesplit: fragments concatenate back to the non-space content") {
+    val sentGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(4)).suchThat(_.nonEmpty)).map(_.take(5)),
+      Gen.oneOf(".", "!", "?", ""))).map(_.take(6))
+    for (sents <- samples(sentGen, 12)) {
+      val text = sents.map { case (ws, p) => ws.mkString(" ") + p }.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val out = graft.text.TextStages.sentenceSplit(
+        ComponentSpec("sentencesplit", Map.empty), newCtx())(df)
+        .orderBy("sent_idx").collect()
+      // no content loss: the split is a partition of the non-space chars
+      assert(out.map(_.getString(2)).mkString.replaceAll("\\s", "") ==
+        text.replaceAll("\\s", ""))
+      // indexes strictly increasing
+      val idxs = out.map(_.getLong(1)).toSeq
+      assert(idxs == idxs.sorted && idxs.distinct == idxs)
+    }
+  }
+
+  test("tfidf: ranks contiguous from 1, scores non-increasing, df consistent") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf("apple", "pear", "plum", "kiwi", "fig"))
+        .map(_.take(8).mkString(" "))).map(_.take(6))
+    for (docs <- samples(docGen, 8)) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.text.TextStages.tfidf(
+        ComponentSpec("tfidf", Map("k" -> 3)), newCtx())(df).collect()
+      val byDoc = out.groupBy(_.getLong(0))
+      byDoc.foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(5))
+        assert(sorted.map(_.getLong(5)).toSeq == (1L to sorted.length).toSeq)
+        val scores = sorted.map(_.getDouble(4)).toSeq
+        assert(scores == scores.sorted.reverse, s"scores not sorted: $scores")
+      }
+      // df(term) = number of docs containing it
+      val termDocs = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").distinct.map(_ -> i) }.groupBy(_._1).view.mapValues(_.size)
+      out.foreach(r => assert(r.getLong(3) == termDocs(r.getString(1)).toLong))
+    }
+  }
 }
