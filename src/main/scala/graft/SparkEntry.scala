@@ -1318,6 +1318,18 @@ object SparkEntry {
           {"corpusstats": {"field": "n_ws_tokens"}}],
         "loader": {"memory": {}} }""")
     },
+    "distinct_count" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact mode hash-matches COUNT(DISTINCT ...); the approx (HLL)
+      // mode's error bound is asserted in LlmStagesSpec (sketch values
+      // are engine-specific by nature)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"distinctcount": {
+          "fields": ["lang", "source", "doc_id"]}}],
+        "loader": {"memory": {}} }""")
+    },
     "cross_dedup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // cross-snapshot dedup: docs >= 250 deduped against the "previous
@@ -1751,6 +1763,11 @@ object SparkEntry {
        "CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75, " +
        "CAST(quantile_disc(n, 0.95) AS BIGINT) AS p95 " +
        s"FROM (SELECT CAST(len($toks) AS BIGINT) AS n FROM documents)"),
+    "distinct_count" ->
+      ("SELECT CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct, " +
+       "CAST(count(DISTINCT source) AS BIGINT) AS source_distinct, " +
+       "CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct " +
+       "FROM documents"),
     "cross_dedup" ->
       (raw"WITH f AS (SELECT doc_id, n_chars, md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 50)) AS fp FROM documents) " +
        "SELECT doc_id, n_chars FROM f a WHERE doc_id >= 250 AND NOT EXISTS " +

@@ -70,6 +70,7 @@ object Engine {
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
     "corpusstats"   -> graft.text.TextStages.corpusstats _,
+    "distinctcount" -> graft.text.TextStages.distinctCount _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,

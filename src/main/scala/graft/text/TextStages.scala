@@ -355,6 +355,34 @@ object TextStages {
             count(lit(1)).cast("double")).as("mean")) ++ qCols): _*)
     }
 
+  /** `distinctcount`: distinct-value counts of one or more columns —
+    * corpus cardinality measurement (unique domains, languages, content
+    * hashes). `mode` ∈ `exact` (default: one hash aggregation per the
+    * grouped-distinct rewrite — shuffles the distinct values once) |
+    * `approx` (HyperLogLog++ via `approx_count_distinct`, `rsd` default
+    * 0.05): the 100 TB path — the sketch partial-aggregates map-side to
+    * a CONSTANT-size buffer per column, so the exchange carries sketches
+    * instead of the distinct-value stream (a trillion-row exact distinct
+    * shuffles every unique value; the HLL shuffles ~kilobytes per task).
+    * Output: one row, one `<col>_distinct` column per input. */
+  def distinctCount(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fields = spec.strList("fields") match {
+        case Nil => spec.str("field").toSeq
+        case l => l
+      }
+      require(fields.nonEmpty, "distinctcount: field or fields required")
+      val aggs = spec.strOr("mode", "exact") match {
+        case "exact" =>
+          fields.map(f => count_distinct(col(f)).as(s"${f}_distinct"))
+        case "approx" =>
+          val rsd = spec.str("rsd").map(_.toDouble).getOrElse(0.05)
+          fields.map(f => approx_count_distinct(col(f), rsd).as(s"${f}_distinct"))
+        case other => sys.error(s"distinctcount: unknown mode $other")
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+
   /** `fingerprint`: document fingerprints over the normalized text
     * (lowercased, whitespace collapsed): `fp_md5` (content hash, oracle-
     * checkable) and `fp_xx` (xxhash64 — the cheap 64-bit rolling-hash

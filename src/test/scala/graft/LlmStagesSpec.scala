@@ -760,6 +760,22 @@ class LlmStagesSpec extends SparkSpec {
     assert(mark.map(_.getAs[Boolean]("cross_dup")).toSeq == Seq(true, false))
   }
 
+  // -------------------------------------------------------- distinctcount
+  test("distinctcount: exact matches true cardinality; approx within rsd") {
+    val df = (1L to 5000L).map(i => (i, s"v${i % 137}", s"g${i % 11}"))
+      .toDF("id", "v", "g")
+    val exact = stage("distinctcount", "fields" -> Seq("v", "g", "id"))(df)
+      .head()
+    assert(exact.getAs[Long]("v_distinct") == 137L)
+    assert(exact.getAs[Long]("g_distinct") == 11L)
+    assert(exact.getAs[Long]("id_distinct") == 5000L)
+    val approx = stage("distinctcount", "fields" -> Seq("id"),
+      "mode" -> "approx", "rsd" -> "0.02")(df).head().getAs[Long]("id_distinct")
+    // HLL++ at rsd 0.02: allow 3 sigma
+    assert(math.abs(approx - 5000L) <= 5000 * 0.06,
+      s"approx distinct $approx too far from 5000")
+  }
+
   // ----------------------------------------- decontaminate: bloom prefilter
   test("decontaminate bloom prefilter equals the exact path") {
     val ctx = newCtx()
