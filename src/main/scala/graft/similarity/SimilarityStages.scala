@@ -176,22 +176,32 @@ object SimilarityStages {
       val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
         .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
         .withColumn("__n", norm(col("__v")))
-      val banded0 = sigs.select(col("__id"), col("__v"), col("__n"),
+      // the bucket join carries IDs ONLY — attaching the vectors here
+      // would ship 2·dim doubles through the quadratic join per
+      // candidate and score the same pair once per shared band; instead
+      // the distinct (q_id, n_id) pairs are scored ONCE after re-joining
+      // the (linear-sized) vector table (same shape as minhash's
+      // candidate verification)
+      val banded0 = sigs.select(col("__id"),
         posexplode(array((0 until bands).map(bi =>
           shiftright(col("__sig"), bi * bits)
             .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
       // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
       val banded = spread(Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
         spec, ctx, "similaritylsh"), Seq(col("__blk"), col("__bkey")))
-      val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("q_id"),
-        col("__v").as("__qv"), col("__n").as("__qn"))
-      val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("n_id"),
-        col("__v").as("__bv"), col("__n").as("__bn"))
-      val cand = l.join(r, Seq("__blk", "__bkey"))
+      val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("q_id"))
+      val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("n_id"))
+      val pairs = l.join(r, Seq("__blk", "__bkey"))
         .where(col("q_id") =!= col("n_id"))
+        .select("q_id", "n_id").distinct()
+      val vecs = sigs.select(col("__id"), col("__v"), col("__n"))
+      val cand = pairs
+        .join(vecs.select(col("__id").as("q_id"), col("__v").as("__qv"),
+          col("__n").as("__qn")), Seq("q_id"))
+        .join(vecs.select(col("__id").as("n_id"), col("__v").as("__bv"),
+          col("__n").as("__bn")), Seq("n_id"))
         .select(col("q_id"), col("n_id"),
           cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
-        .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
       rankTopK(cand, k)
     }
 
@@ -322,24 +332,30 @@ object SimilarityStages {
         val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
           .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
           .withColumn("__n", norm(col("__v")))
-        val banded0 = sigs.select(col("__id"), col("__v"), col("__n"),
+        // ids-only bucket join + distinct pairs BEFORE scoring (see
+        // similaritylsh): the quadratic exchange carries 3 longs per
+        // candidate instead of 2·dim doubles, and a pair sharing
+        // several bands is scored once, not once per band
+        val banded0 = sigs.select(col("__id"),
           posexplode(array((0 until bands).map(bi =>
             shiftright(col("__sig"), bi * bits)
               .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("__blk", "__bkey")))
         // skew guard: a degenerate bucket goes O(bucket²) — cap + counter
         val banded = spread(Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
           spec, ctx, "cosinedup"), Seq(col("__blk"), col("__bkey")))
-        val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"),
-          col("__v").as("__av"), col("__n").as("__an"))
-        val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"),
-          col("__v").as("__bv"), col("__n").as("__bn"))
-        l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
+        val l = banded.select(col("__blk"), col("__bkey"), col("__id").as("a"))
+        val r = banded.select(col("__blk"), col("__bkey"), col("__id").as("b"))
+        val pairs = l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val vecs = sigs.select(col("__id"), col("__v"), col("__n"))
+        pairs
+          .join(vecs.select(col("__id").as("a"), col("__v").as("__av"),
+            col("__n").as("__an")), Seq("a"))
+          .join(vecs.select(col("__id").as("b"), col("__v").as("__bv"),
+            col("__n").as("__bn")), Seq("b"))
           .select(col("a"), col("b"),
             cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
-          // filter BEFORE the dedup shuffle: most candidates fail the
-          // threshold and must not pay the distinct's exchange
           .where(col("cosine") >= threshold)
-          .distinct()
       }
     }
 }
