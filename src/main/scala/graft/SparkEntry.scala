@@ -1318,6 +1318,40 @@ object SparkEntry {
           {"corpusstats": {"field": "n_ws_tokens"}}],
         "loader": {"memory": {}} }""")
     },
+    "csv_write_roundtrip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // CSV EXPORT loader → fused file+row+csv scan back in; quoting /
+      // header round-trip through the reference's option names
+      val out = s"/tmp/graft_csvout_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT n_nationkey, n_name, n_regionkey FROM input"}}],
+        "loader": {"csv": {"path": "$out", "mode": "overwrite"}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$out"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"memory": {}} }""").orderBy("n_nationkey")
+    },
+    "jsonl_write_roundtrip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val out = s"/tmp/graft_jsonout_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT r_regionkey, r_name FROM input"}}],
+        "loader": {"jsonl": {"path": "$out", "mode": "overwrite"}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$out"}},
+        "extractor": {"jsonl": {}},
+        "loader": {"memory": {}} }""")
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
     "distinct_count" -> { (s, dir) =>
       val c = ctx(s, dir)
       // exact mode hash-matches COUNT(DISTINCT ...); the approx (HLL)
@@ -1763,6 +1797,10 @@ object SparkEntry {
        "CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75, " +
        "CAST(quantile_disc(n, 0.95) AS BIGINT) AS p95 " +
        s"FROM (SELECT CAST(len($toks) AS BIGINT) AS n FROM documents)"),
+    "csv_write_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "jsonl_write_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "distinct_count" ->
       ("SELECT CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct, " +
        "CAST(count(DISTINCT source) AS BIGINT) AS source_distinct, " +

@@ -245,6 +245,40 @@ object Loaders {
         w.orc(path)
         true
 
+      // text export loaders — the interchange formats an ETL engine owes
+      // its users. Distributed writers (one file per partition); the
+      // OCSVTransformer option names (separator/stringCharacter/
+      // nullValue) are honored on the way OUT too.
+      case "csv" =>
+        val path = OrientExpr.resolveString(
+          spec.str("path").getOrElse(sys.error("csv loader: path required")), vars)
+        var w = applyDeclaredSchema(df, spec).write
+          .mode(spec.strOr("mode", "overwrite"))
+          .option("sep", spec.strOr("separator", ","))
+          .option("header", spec.bool("header", dflt = true).toString)
+          // lossless by default: Spark's csv WRITER trims cell whitespace
+          // unless told otherwise (reader does not) — a silent data change
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+        spec.str("nullValue").foreach(nv => w = w.option("nullValue", nv))
+        spec.str("stringCharacter").foreach(q => w = w.option("quote", q))
+        spec.str("compression").foreach(c => w = w.option("compression", c))
+        val csvParts = spec.strList("partitionBy")
+        if (csvParts.nonEmpty) w = w.partitionBy(csvParts: _*)
+        w.csv(path)
+        true
+
+      case "jsonl" =>
+        val path = OrientExpr.resolveString(
+          spec.str("path").getOrElse(sys.error("jsonl loader: path required")), vars)
+        var w = applyDeclaredSchema(df, spec).write
+          .mode(spec.strOr("mode", "overwrite"))
+        spec.str("compression").foreach(c => w = w.option("compression", c))
+        val jParts = spec.strList("partitionBy")
+        if (jParts.nonEmpty) w = w.partitionBy(jParts: _*)
+        w.json(path)
+        true
+
       case "jdbc" =>
         val url = spec.str("url").getOrElse(sys.error("jdbc loader: url required"))
         var w = applyDeclaredSchema(df, spec).write.format("jdbc")

@@ -423,4 +423,41 @@ class EngineSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 16)
   }
+
+  test("csv/jsonl export loaders: tricky values round-trip losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val src = Seq(
+      (1, "has,comma", Some("x")),
+      (2, "has\"quote", None),
+      (3, " padded ", Some("NULLISH")),
+      (4, "", Some("y"))).toDF("id", "s", "opt")
+    val ctx = newCtx()
+    ctx.registerTable("export_src", src)
+    graft.loaders.Loaders.load(ctx, graft.spec.ComponentSpec("csv",
+      Map("path" -> s"$dir/csv", "nullValue" -> "\\N")), src)
+    val backCsv = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$dir/csv"}},
+      "extractor": {"row": {}},
+      "transformers": [{"csv": {"nullValue": "\\\\N",
+        "columns": ["id:integer", "s:string", "opt:string"]}}],
+      "loader": {"memory": {}} }""").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)).getOrElse(""),
+        Option(r.getString(2)))).toSet
+    // Spark's csv writer emits nothing for "" (reads back as null) —
+    // normalize both to "" for the comparison; null opt rides nullValue
+    assert(backCsv == Set(
+      (1, "has,comma", Some("x")), (2, "has\"quote", None),
+      (3, " padded ", Some("NULLISH")), (4, "", Some("y"))))
+    graft.loaders.Loaders.load(ctx, graft.spec.ComponentSpec("jsonl",
+      Map("path" -> s"$dir/json")), src)
+    val backJson = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$dir/json"}},
+      "extractor": {"jsonl": {}},
+      "loader": {"memory": {}} }""").select("id", "s", "opt").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(backJson == Set(
+      (1L, "has,comma", Some("x")), (2L, "has\"quote", None),
+      (3L, " padded ", Some("NULLISH")), (4L, "", Some("y"))))
+  }
 }
