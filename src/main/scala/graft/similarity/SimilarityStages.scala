@@ -236,6 +236,7 @@ object SimilarityStages {
       // in-order accumulation bit-for-bit)
       val centRows = df
         .select(col(id).as("__id"), col(vec).as("__v"))
+        .where(col("__v").isNotNull) // a null vector cannot quantize
         .orderBy(xxhash64(col("__id"))).limit(nCells)
         .collect()
       if (centRows.isEmpty) {

@@ -112,7 +112,10 @@ object WebStages {
               -col(order).cast("double"), col(order).cast("long"), cap).as("__t"))
             .select(col("__gc_g"),
               element_at(col("__t"), -1).getField("id").as("__gc_thresh"))
-          df.join(thresholds, col(group) === col("__gc_g"))
+          // null-safe join: a null group key forms its own group in the
+          // window plan, so the threshold plan must match (=== would
+          // silently drop null-group rows)
+          df.join(thresholds, col(group) <=> col("__gc_g"))
             .where(col(order) <= col("__gc_thresh"))
             .drop("__gc_g", "__gc_thresh")
         case "window" =>

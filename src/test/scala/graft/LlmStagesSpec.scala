@@ -667,6 +667,16 @@ class LlmStagesSpec extends SparkSpec {
     val win = stage("groupcap", "groupField" -> "domain",
       "orderField" -> "key", "maxPerGroup" -> 7)(sdf)
     assert(!win.queryExecution.executedPlan.toString.contains("graft_topk"))
+    // a NULL group key is a group of its own in BOTH plans (the
+    // threshold join is null-safe)
+    val withNull = (1L to 20L).map(i =>
+      (i, if (i <= 10) null else "g")).toDF("doc_id", "domain")
+    def capped(algo: String) =
+      stage("groupcap", "groupField" -> "domain", "orderField" -> "doc_id",
+        "maxPerGroup" -> 3, "algorithm" -> algo)(withNull)
+        .select("doc_id").as[Long].collect().toSet
+    assert(capped("threshold") == capped("window"))
+    assert(capped("threshold") == Set(1L, 2L, 3L, 11L, 12L, 13L))
   }
 
   // ------------------------------------------------------ curation: chunk
