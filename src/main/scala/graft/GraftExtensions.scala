@@ -71,6 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SimHash64(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_srp_sig"),
+      info("graft_srp_sig",
+        "graft_srp_sig(vec, nBits, maxDim) - signed-random-projection LSH signature packed into a long"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_srp_sig", 3, exprs)
+        graft.functions.SrpSig(exprs.head, intLit(exprs(1), "nBits"),
+          intLit(exprs(2), "maxDim"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(score, id, k) - bounded-heap top-k aggregate; returns array<struct<id,score>> ordered by (score desc, id asc)"),

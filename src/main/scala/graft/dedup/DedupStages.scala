@@ -303,14 +303,8 @@ object DedupStages {
       val id = spec.strOr("idField", "doc_id")
       val field = spec.strOr("field", "text")
       val n = spec.int("shingleSize", 13)
-      val againstSpec = spec.str("against")
-        .getOrElse(sys.error("decontaminate: against (table or SELECT) required"))
-      val eval0 = {
-        val head = againstSpec.trim.toUpperCase
-        if (head.startsWith("SELECT") || head.startsWith("WITH"))
-          ctx.spark.sql(againstSpec)
-        else ctx.table(againstSpec)
-      }
+      val eval0 = ctx.tableOrSql(spec.str("against")
+        .getOrElse(sys.error("decontaminate: against (table or SELECT) required")))
       val evalField = spec.strOr("againstField", field)
 
       graft.functions.VectorExpressions.ensure(ctx.spark)
@@ -381,14 +375,8 @@ object DedupStages {
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
       val field = spec.strOr("field", "text")
-      val againstSpec = spec.str("against")
-        .getOrElse(sys.error("crossdedup: against (table or SELECT) required"))
-      val other = {
-        val head = againstSpec.trim.toUpperCase
-        if (head.startsWith("SELECT") || head.startsWith("WITH"))
-          ctx.spark.sql(againstSpec)
-        else ctx.table(againstSpec)
-      }
+      val other = ctx.tableOrSql(spec.str("against")
+        .getOrElse(sys.error("crossdedup: against (table or SELECT) required")))
       val otherField = spec.strOr("againstField", field)
       // the fingerprint expression sees each side's text column under the
       // side-neutral name `__text`

@@ -118,6 +118,15 @@ final class EtlContext(val spark: SparkSession) {
   def table(name: String): DataFrame =
     tables.getOrElse(name, spark.table(name))
 
+  /** Resolve a table-name-or-SELECT option (the `against`/`lookup`
+    * convention shared by decontaminate/crossdedup): a string starting
+    * with SELECT/WITH runs as SQL; anything else is a table name. */
+  def tableOrSql(ref: String): DataFrame = {
+    val head = ref.trim.toUpperCase
+    if (head.startsWith("SELECT") || head.startsWith("WITH")) spark.sql(ref)
+    else table(ref)
+  }
+
   def addVertices(df: DataFrame): Unit =
     vertices = Some(vertices.map(v => unionByNameLoose(v, df)).getOrElse(df))
   def addEdges(df: DataFrame): Unit =

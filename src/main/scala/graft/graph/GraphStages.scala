@@ -85,7 +85,9 @@ object GraphStages {
         ranks = nodes.join(contribs, col("id") === col("__cid"), "left")
           .select(col("id"),
             (lit(teleport / n) + lit(d) * coalesce(col("__csum"), lit(0.0))).as("rank"))
-        if (i % ckptEvery == ckptEvery - 1 && i != iters - 1)
+        // checkpointEvery <= 0 means "never checkpoint" (and must not
+        // divide by zero)
+        if (ckptEvery > 0 && i % ckptEvery == ckptEvery - 1 && i != iters - 1)
           ranks = ranks.localCheckpoint(true)
       }
       ranks

@@ -47,14 +47,22 @@ object SimilarityStages {
     *    the join EXPANDS those rows quadratically — bytes at the
     *    exchange are the wrong signal for compute after it. An explicit
     *    keyed repartition is exempt from AQE coalescing.
-    * At real scale the input already has ≥ defaultParallelism partitions
-    * and this is the identity — the no-shuffle plan shape is preserved
-    * exactly where the data is big enough for shuffles to matter. */
+    *
+    * KEYED inputs (the bucket joins) repartition UNCONDITIONALLY: the
+    * banded stream is ids-only (3 longs/row), so the exchange is cheap
+    * at any scale, and probing the runtime partition count via
+    * `df.rdd` would EXECUTE every upstream AQE stage at plan-build time
+    * (getFinalPhysicalPlan materializes the exchanges) — the skew-guard
+    * configs would run their scan+agg twice. Key-less inputs are
+    * scan-partitioned projections with no upstream exchange (AQE
+    * doesn't even wrap exchange-free plans), so the partition probe is
+    * free there and the no-shuffle shape is preserved when the scan is
+    * already parallel. */
   private[graft] def spread(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df
-    else if (keys.isEmpty) df.repartition(par)
-    else df.repartition(par, keys: _*)
+    if (keys.nonEmpty) df.repartition(par, keys: _*)
+    else if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par)
   }
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
@@ -251,6 +259,7 @@ object SimilarityStages {
           case f: java.lang.Float => f.toDouble
           case d: java.lang.Double => d.doubleValue
           case n: java.lang.Number => n.doubleValue
+          case null => 0.0 // null elements contribute 0, as in ArrayDot
         }
         var s = 0.0
         cv.foreach(x => s += x * x)

@@ -145,7 +145,10 @@ object SplitStages {
       val step = n - overlap
       val minTokens =
         if (spec.bool("dropShort", dflt = false)) spec.int("minTokens", 1) else 1
-      val toks = graft.text.TextStages.tokens(f)
+      // null text behaves exactly like empty text (one empty 1-token
+      // chunk) — without the coalesce, size(null) poisons the window
+      // arithmetic into a phantom full-length chunk
+      val toks = coalesce(graft.text.TextStages.tokens(f), array(lit("")))
       val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(step))
       val windows = transform(starts, s =>
         struct(concat_ws(" ", slice(toks, s, lit(n))).as("text"),
@@ -256,15 +259,19 @@ object SplitStages {
       require(parts.nonEmpty, "mixture: parts required")
       parts.foreach { case (_, f, n) =>
         require(f > 0 && f <= 1, s"mixture: fraction for part '$n' in (0,1], got $f") }
-      def sampled(part: DataFrame, frac: Double, name: String): DataFrame = {
-        val cols = spec.strList("columns") match {
-          case Nil => part.columns.toSeq
-          case cs => cs
-        }
+      // default projection = the FIRST part's schema, applied to EVERY
+      // side (each part projecting its own schema would make
+      // heterogeneous parts fail the union below)
+      lazy val firstPartCols =
+        ctx.spark.read.parquet(parts.head._1).columns.toSeq
+      val cols = spec.strList("columns") match {
+        case Nil => firstPartCols
+        case cs => cs
+      }
+      def sampled(part: DataFrame, frac: Double, name: String): DataFrame =
         part
           .where(bucket(col(keyField), salt + name) < math.round(frac * Buckets))
           .select(cols.map(col) :+ lit(name).as("mix_source"): _*)
-      }
       val partFrames = parts.map { case (path, frac, name) =>
         sampled(ctx.spark.read.parquet(path), frac, name)
       }

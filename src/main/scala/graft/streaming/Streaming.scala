@@ -155,7 +155,9 @@ object Streaming {
     val wm = spec.strOr("watermark", "10 minutes")
     val kept = spec.strList("keepColumns") match {
       case Nil => df
-      case cols => df.select((cols :+ ts).distinct.map(col): _*)
+      // the key columns and the watermark column always ride along —
+      // a keepColumns list omitting a key must not break the operator
+      case cols => df.select((cols ++ keys :+ ts).distinct.map(col): _*)
     }
     kept.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
   }

@@ -339,19 +339,30 @@ object TextStages {
         case Nil => Seq("0.25", "0.5", "0.75", "0.95")
         case l => l
       }
+      // integral fields report longs (hash-exact vs BIGINT oracles);
+      // fractional fields keep double math end-to-end — a blanket long
+      // cast would TRUNCATE every value before the sum (CLAUDE.md rule)
+      val integral = {
+        import org.apache.spark.sql.types._
+        df.schema(fName).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
+      val statType = if (integral) "long" else "double"
       val qCols = qs.map { q =>
         val pct = q.toDouble * 100
         val label = "p" + (if (pct == math.floor(pct)) pct.toLong.toString
           else pct.toString.replace('.', '_'))
         expr(s"percentile_disc(${q.toDouble}) WITHIN GROUP (ORDER BY `$fName`)")
-          .cast("long").as(label)
+          .cast(statType).as(label)
       }
       df.agg(
         count(lit(1)).as("n_rows"),
-        (Seq(sum(f.cast("long")).as("total"),
-          min(f.cast("long")).as("minv"),
-          max(f.cast("long")).as("maxv"),
-          (sum(f.cast("long")).cast("double") /
+        (Seq(sum(f.cast(statType)).as("total"),
+          min(f.cast(statType)).as("minv"),
+          max(f.cast(statType)).as("maxv"),
+          (sum(f.cast(statType)).cast("double") /
             count(lit(1)).cast("double")).as("mean")) ++ qCols): _*)
     }
 

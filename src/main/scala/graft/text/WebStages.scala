@@ -78,7 +78,8 @@ object WebStages {
     *    group lands on ONE task (AQE skew-split does not apply inside
     *    window partitions); the small-scale / non-numeric fallback.
     * Both produce identical rows when orderField is unique per group
-    * (asserted in specs). */
+    * and non-null (asserted in specs; threshold mode excludes
+    * null-order rows from quota selection, window ranks them first). */
   def groupcap(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val group = spec.str("groupField")
@@ -105,8 +106,14 @@ object WebStages {
           // cap-th smallest order key per group = last element of the
           // top-`cap` heap on score -order (heap keeps the cap smallest;
           // a group with fewer than cap rows keeps its max → all rows
-          // pass the filter)
+          // pass the filter). NULL order keys are excluded up front:
+          // they can't be ranked by a value threshold (and an all-null
+          // group would aggregate to an empty heap, which ANSI
+          // element_at refuses) — a documented deviation from the
+          // window plan's nulls-first ranking; order keys are document
+          // keys by contract, never null.
           val thresholds = df
+            .where(col(order).isNotNull)
             .groupBy(col(group).as("__gc_g"))
             .agg(graft.functions.VectorExpressions.topK(
               -col(order).cast("double"), col(order).cast("long"), cap).as("__t"))
