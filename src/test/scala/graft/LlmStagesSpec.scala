@@ -602,6 +602,20 @@ class LlmStagesSpec extends SparkSpec {
     // independence: overlap ≈ 9% of the corpus, far from 0 and from 30%
     val overlap = (web & code).size
     assert(overlap > 30 && overlap < 200)
+    // heterogeneous parts: with `columns` unset, every side projects to
+    // the FIRST part's schema (a part's extra columns are dropped, not
+    // a union failure)
+    val path2 = java.nio.file.Files.createTempDirectory("graft-mixture2")
+      .resolve("part_extra").toString
+    (1L to 100L).map(i => (i, s"t$i", s"extra$i"))
+      .toDF("doc_id", "text", "only_here").write.mode("overwrite").parquet(path2)
+    val hetero = stage("mixture", "keyField" -> "doc_id",
+      "parts" -> Seq(
+        Map("path" -> path, "fraction" -> 0.5, "name" -> "plain"),
+        Map("path" -> path2, "fraction" -> 0.5, "name" -> "wide")))(
+      spark.emptyDataFrame)
+    assert(hetero.columns.toSet == Set("doc_id", "text", "mix_source"))
+    assert(hetero.where(col("mix_source") === "wide").count() > 0)
   }
 
   // --------------------------------------------------- curation: urlparse

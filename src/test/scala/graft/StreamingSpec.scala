@@ -117,5 +117,24 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(ids == Seq(1L, 2L, 3L), s"got $ids")
     } finally q.stop()
+    // keepColumns omitting the key: the key and ts ride along anyway
+    val q2 = Streaming.run(newCtx(), PipelineSpec(
+      config = Map.empty, begin = Nil,
+      source = Some(ComponentSpec("stream", Map(
+        "path" -> dir, "format" -> "parquet",
+        "schema" -> "doc_id BIGINT, ts TIMESTAMP, text STRING"))),
+      extractor = None,
+      transformers = Seq(ComponentSpec("stream_dedup", Map(
+        "keyFields" -> Seq("doc_id"), "tsField" -> "ts",
+        "watermark" -> "1 minute", "keepColumns" -> Seq("text")))),
+      loader = Some(ComponentSpec("streamsink", Map(
+        "format" -> "memory", "name" -> "stream_dedup_out2"))),
+      end = Nil))
+    try {
+      q2.processAllAvailable()
+      val out = spark.table("stream_dedup_out2")
+      assert(out.columns.toSet == Set("text", "doc_id", "ts"))
+      assert(out.count() == 3)
+    } finally q2.stop()
   }
 }
