@@ -328,9 +328,13 @@ object TextStages {
     * hash-exact against any engine's SQL-standard `quantile_disc`;
     * interpolating quantiles are float-order-sensitive). Options:
     * `field` (required, numeric — chain `tokenize` first for token
-    * counts), `quantiles` (default [0.25, 0.5, 0.75, 0.95]).
-    * ONE aggregation; the quantile aggregates sort only within the
-    * final single group's collected values. */
+    * counts), `quantiles` (default [0.25, 0.5, 0.75, 0.95]),
+    * `approximate` (default false) + `accuracy` (default 10000).
+    * ONE aggregation. Scale note: the exact quantile aggregate buffers
+    * a count per DISTINCT value — bounded for integral stats like
+    * token counts, unbounded for high-cardinality fractional fields;
+    * `approximate: true` switches to `approx_percentile` (KLL-style
+    * constant-memory sketch, rank error 1/accuracy) for those. */
   def corpusstats(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val fName = spec.str("field").getOrElse(sys.error("corpusstats: field required"))
@@ -350,12 +354,16 @@ object TextStages {
         }
       }
       val statType = if (integral) "long" else "double"
+      val approx = spec.bool("approximate", dflt = false)
+      val accuracy = spec.int("accuracy", 10000)
       val qCols = qs.map { q =>
         val pct = q.toDouble * 100
         val label = "p" + (if (pct == math.floor(pct)) pct.toLong.toString
           else pct.toString.replace('.', '_'))
-        expr(s"percentile_disc(${q.toDouble}) WITHIN GROUP (ORDER BY `$fName`)")
-          .cast(statType).as(label)
+        val agg =
+          if (approx) approx_percentile(f, lit(q.toDouble), lit(accuracy))
+          else expr(s"percentile_disc(${q.toDouble}) WITHIN GROUP (ORDER BY `$fName`)")
+        agg.cast(statType).as(label)
       }
       df.agg(
         count(lit(1)).as("n_rows"),

@@ -763,6 +763,14 @@ class LlmStagesSpec extends SparkSpec {
     // SQL-standard percentile_disc: smallest v with cume_dist >= p
     assert(r.getAs[Long]("p25") == 3L && r.getAs[Long]("p50") == 5L)
     assert(r.getAs[Long]("p75") == 8L && r.getAs[Long]("p95") == 10L)
+    // approximate mode (constant-memory sketch): exact at this accuracy
+    val ra = stage("corpusstats", "field" -> "n_tok",
+      "approximate" -> true)(df).head()
+    assert(ra.getAs[Long]("p50") == 5L && ra.getAs[Long]("p95") == 10L)
+    // fractional fields keep double math (no truncating long cast)
+    val dd = Seq(0.4, 0.6).toDF("x")
+    val rf = stage("corpusstats", "field" -> "x")(dd).head()
+    assert(rf.getAs[Double]("total") == 1.0 && rf.getAs[Double]("mean") == 0.5)
   }
 
   // ---------------------------------------------------------- crossdedup
