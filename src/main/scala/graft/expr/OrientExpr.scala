@@ -26,22 +26,22 @@ object OrientExpr {
 
   /** Parse a dialect expression to a Spark Column.
     * @param vars driver-side context variables (`let` blocks, CLI -NAME=v);
-    *             `$var` resolves to a literal from here unless the name is
-    *             a per-row binding (see `rowVars`).
-    * @param rowVars names that resolve to row-level Columns (e.g. `$input`).
+    *             `$var` resolves to a literal (or Column) from here.
     */
-  def compile(src: String,
-              vars: Map[String, Any] = Map.empty,
-              rowVars: Map[String, Column] = Map.empty): Column =
-    new Parser(src, vars, rowVars).parseFull().col
+  def compile(src: String, vars: Map[String, Any] = Map.empty): Column =
+    new Parser(src, vars).parseFull().col
 
   /** Resolve `$var` / `${var}` inside a *config string value*
     * (path names, command text, …) to a driver-side string.
-    * Mirrors OAbstractETLComponent.java:501-530. */
+    * Mirrors OAbstractETLComponent.java:501-530. The closing brace is
+    * consumed only when the opening one was present — `$var}` keeps the
+    * literal `}`. */
   def resolveString(s: String, vars: Map[String, Any]): String = {
-    val re = raw"\$$\{?([A-Za-z_][A-Za-z0-9_]*)\}?".r
-    re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-      vars.get(m.group(1)).map(_.toString).getOrElse(m.matched)))
+    val re = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}|\$$([A-Za-z_][A-Za-z0-9_]*)".r
+    re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      vars.get(name).map(_.toString).getOrElse(m.matched)
+    }))
   }
 
   // ------------------------------------------------------------------
@@ -63,8 +63,7 @@ object OrientExpr {
     }
   }
 
-  private final class Parser(src: String, vars: Map[String, Any],
-                             rowVars: Map[String, Column]) {
+  private final class Parser(src: String, vars: Map[String, Any]) {
     private val toks = lex(src)
     private var pos = 0
     private def peek: Tok = if (pos < toks.length) toks(pos) else TEOF
@@ -112,8 +111,18 @@ object OrientExpr {
         case TIdent(s) if s.equalsIgnoreCase("LIKE") =>
           next(); val p = parseAdd(); Arg(l.col.like(p.litStr("LIKE pattern")))
         case TIdent(s) if s.equalsIgnoreCase("IN") =>
-          next(); expect("("); val items = parseArgs(); expect(")")
-          Arg(items.map(i => l.col === i.col).reduceLeft(_ || _))
+          // both delimiters: `IN (a, b)` (SQL) and `IN [a, b]` (the
+          // OrientDB collection-literal form the reference configs use)
+          next()
+          val close = next() match {
+            case TOp("(") => ")"
+            case TOp("[") => "]"
+            case t => fail(s"expected ( or [ after IN, got $t")
+          }
+          val items = if (peek == TOp(close)) Nil else parseArgs()
+          expect(close)
+          if (items.isEmpty) Arg(lit(false)) // empty list matches nothing
+          else Arg(items.map(i => l.col === i.col).reduceLeft(_ || _))
         case TIdent(s) if s.equalsIgnoreCase("IS") =>
           next()
           if (peekKw("NOT")) { next(); kwNull(); Arg(l.col.isNotNull) }
@@ -174,17 +183,10 @@ object OrientExpr {
 
     private def parseArgs(): List[Arg] = {
       if (peek == TOp(")")) return Nil
-      def one(): Arg = {
-        val start = pos
-        val a = parseOr()
-        if (pos == start + 1) toks(start) match {
-          case TStr(s) => Arg(a.col, Some(s))
-          case TNum(s) => Arg(a.col, Some(s))
-          case _ => a
-        } else a
-      }
-      val buf = scala.collection.mutable.ListBuffer(one())
-      while (peek == TOp(",")) { next(); buf += one() }
+      // single-literal args keep their `lit` payload all the way up from
+      // parsePrimary — no re-attachment needed here
+      val buf = scala.collection.mutable.ListBuffer(parseOr())
+      while (peek == TOp(",")) { next(); buf += parseOr() }
       buf.toList
     }
 
@@ -195,12 +197,11 @@ object OrientExpr {
         Arg(c, Some(s))
       case TStr(s) => Arg(lit(s), Some(s))
       case TVar(name) =>
-        rowVars.get(name).map(Arg(_)).getOrElse(
-          vars.get(name) match {
-            case Some(c: Column) => Arg(c)
-            case Some(v) => Arg(lit(v), Some(v))
-            case None => fail(s"unbound variable $$$name")
-          })
+        vars.get(name) match {
+          case Some(c: Column) => Arg(c)
+          case Some(v) => Arg(lit(v), Some(v))
+          case None => fail(s"unbound variable $$$name")
+        }
       case TIdent(s) if s.equalsIgnoreCase("null")  => Arg(lit(null))
       case TIdent(s) if s.equalsIgnoreCase("true")  => Arg(lit(true))
       case TIdent(s) if s.equalsIgnoreCase("false") => Arg(lit(false))
@@ -244,12 +245,20 @@ object OrientExpr {
         case ("substring", Seq(a))     => target.substr(a.col + lit(1), length(target))
         case ("substring", Seq(a, b))  => target.substr(a.col + lit(1), b.col - a.col) // java [from,to)
         case ("left", Seq(n))          => target.substr(lit(1), n.col)
-        case ("right", Seq(n))         => target.substr(length(target) - n.col + 1, n.col)
+        // start clamps to 1: Spark substr counts a NON-positive start
+        // from the string's end, so right(n) on a string shorter than n
+        // would return a 1-char garbage suffix instead of the whole value
+        case ("right", Seq(n))         =>
+          target.substr(greatest(lit(1), length(target) - n.col + 1), n.col)
         case ("charat", Seq(i))        => target.substr(i.col + lit(1), lit(1))
         case ("indexof", Seq(s))       => locate(s.litStr("indexOf arg"), target) - 1 // 0-based, -1 absent
         case ("length", Nil) | ("size", Nil) => length(target)
         case ("replace", Seq(a, b)) =>
-          regexp_replace(target, java.util.regex.Pattern.quote(a.litStr("replace from")), b.litStr("replace to"))
+          // BOTH sides are literal text: an unquoted replacement would
+          // interpret $n / backslashes as group references
+          regexp_replace(target,
+            java.util.regex.Pattern.quote(a.litStr("replace from")),
+            java.util.regex.Matcher.quoteReplacement(b.litStr("replace to")))
         case ("split", Seq(sep))       => split(target, java.util.regex.Pattern.quote(sep.litStr("separator")))
         case ("normalize", Nil)        => trim(target)
         case ("hash", Nil)             => md5(target.cast("string"))
@@ -262,11 +271,21 @@ object OrientExpr {
         case ("asinteger", Nil)        => target.cast("int")
         case ("aslong", Nil)           => target.cast("long")
         case ("asfloat", Nil)          => target.cast("float")
-        case ("asdouble", Nil) | ("asdecimal", Nil) => target.cast("double")
+        case ("asdouble", Nil)         => target.cast("double")
+        // DECIMAL means exact decimal semantics (OrientDB converts via
+        // BigDecimal; a double cast would reintroduce binary rounding —
+        // the CLAUDE.md hash-exact-oracle rule)
+        case ("asdecimal", Nil)        => target.cast("decimal(38,18)")
         case ("asboolean", Nil)        => target.cast("boolean")
         case ("asdate", Nil)           => to_date(target)
         case ("asdatetime", Nil)       => to_timestamp(target)
-        case ("format", Seq(f))        => date_format(target, f.litStr("format"))
+        // OrientDB's format() is String.format for %-patterns and a
+        // date formatter otherwise (OSQLMethodFormat dispatches on the
+        // target; the pattern shape is the plan-time signal we have)
+        case ("format", Seq(f)) =>
+          val fmt = f.litStr("format")
+          if (fmt.contains('%')) format_string(fmt, target)
+          else date_format(target, fmt)
         case ("tojson", Nil)           => to_json(target)
         case _ => fail(s"unknown method .$name/${args.size}")
       }
@@ -287,7 +306,15 @@ object OrientExpr {
         val sb = new StringBuilder
         i += 1
         while (i < n && src(i) != quote) {
-          if (src(i) == '\\' && i + 1 < n) { sb.append(src(i + 1)); i += 2 }
+          if (src(i) == '\\' && i + 1 < n) {
+            // control-character escapes decode (OrientDB string
+            // semantics); anything else (\' \" \\) keeps the escaped char
+            sb.append(src(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          }
           else { sb.append(src(i)); i += 1 }
         }
         if (i >= n) throw new IllegalArgumentException(s"OrientExpr: unterminated string in <<$src>>")

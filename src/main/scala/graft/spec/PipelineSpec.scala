@@ -21,7 +21,13 @@ final case class ComponentSpec(name: String, options: Map[String, Any]) {
     options.get(key).map(_.toString.toBoolean).getOrElse(dflt)
   def int(key: String, dflt: Int): Int =
     options.get(key).map(_.toString.toDouble.toInt).getOrElse(dflt)
-  def long(key: String): Option[Long] = options.get(key).map(_.toString.toDouble.toLong)
+  def long(key: String): Option[Long] = options.get(key).map { v =>
+    // integers must not round-trip through Double (values past 2^53
+    // would silently lose precision); the Double path is only for
+    // decimal-formatted config values
+    val s = v.toString
+    try s.toLong catch { case _: NumberFormatException => s.toDouble.toLong }
+  }
   def list(key: String): Seq[Any] = options.get(key) match {
     case Some(s: Seq[_]) => s
     case Some(other) => Seq(other)

@@ -84,5 +84,31 @@ class OrientExprSpec extends SparkSpec {
     assert(OrientExpr.resolveString("${fileName}.gz", vars) == "data.csv.gz")
     assert(OrientExpr.resolveString("x$n", vars) == "x3")
     assert(OrientExpr.resolveString("$unknown stays", vars) == "$unknown stays")
+    // the closing brace belongs to the string unless the opening brace
+    // was present — `$var}` keeps the literal `}`
+    assert(OrientExpr.resolveString("{$n}", vars) == "{3}")
+    assert(OrientExpr.resolveString("a$n}b", vars) == "a3}b")
+  }
+
+  test("review-fix semantics: replace/right/IN/escapes/format/asDecimal") {
+    // replacement text with $ / backslash is literal, not a group ref
+    assert(eval1("'price'.replace('r', '$5')") == "p$5ice")
+    assert(eval1("'a-b'.replace('-', '\\\\')") == "a\\b")
+    // right(n) clamps when the value is shorter than n
+    assert(eval1("'hello'.right(7)") == "hello")
+    assert(eval1("'hello'.right(2)") == "lo")
+    // IN accepts both SQL parens and OrientDB bracket lists; empty → false
+    assert(eval1("2 IN (1, 2, 3)") == true)
+    assert(eval1("2 IN [1, 2, 3]") == true)
+    assert(eval1("5 IN [1, 2, 3]") == false)
+    assert(eval1("5 IN []") == false)
+    // control-character escapes decode in string literals
+    assert(eval1("'a\\nb'") == "a\nb")
+    assert(eval1("'a\\tb'") == "a\tb")
+    // format(): %-patterns are String.format, others date patterns
+    assert(eval1("3.14159.format('%.2f')") == "3.14")
+    // asDecimal keeps exact decimal semantics (no binary double rounding)
+    val d = eval1("'0.1'.asDecimal() + '0.2'.asDecimal()")
+    assert(d.toString.toDouble == 0.3)
   }
 }
