@@ -144,6 +144,10 @@ object Engine {
         val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
         df = fn(t, ctx)(df)
       }
+      // `_row_num` is internal bookkeeping (header/skip arithmetic) —
+      // the reference never emits a line number, so it must not reach
+      // the loader's output schema
+      if (df.columns.contains("_row_num")) df = df.drop("_row_num")
       if (telemetry) {
         val o = ctx.newObservation("rows_loaded")
         df = df.observe(o, org.apache.spark.sql.functions.count(

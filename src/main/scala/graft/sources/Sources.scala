@@ -62,22 +62,32 @@ object Sources {
     * parallelized dataset of lines. Bounded payloads only — the reference
     * buffers the whole response on one thread too. */
   def httpLines(spark: SparkSession, url: String, method: String = "GET",
-                headers: Map[String, String] = Map.empty): DataFrame = {
+                headers: Map[String, String] = Map.empty,
+                needRowNumbers: Boolean = false): DataFrame = {
     import java.net.{HttpURLConnection, URL}
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method.toUpperCase)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
     val lines = try src.getLines().toVector finally { src.close(); conn.disconnect() }
-    import spark.implicits._
-    lines.toDF("value")
+    driverLines(spark, lines, needRowNumbers)
   }
 
   /** `input` source (stdin, OInputSource.java:30-51). */
-  def stdinLines(spark: SparkSession): DataFrame = {
+  def stdinLines(spark: SparkSession, needRowNumbers: Boolean = false): DataFrame = {
     val lines = scala.io.Source.stdin.getLines().toVector
+    driverLines(spark, lines, needRowNumbers)
+  }
+
+  /** Driver-held lines → DataFrame, with `_row_num` when a downstream
+    * stage consumes line numbers (header/skip arithmetic) — without it,
+    * csv skipFrom/skipTo over http/stdin sources would silently no-op. */
+  private def driverLines(spark: SparkSession, lines: Vector[String],
+                          needRowNumbers: Boolean): DataFrame = {
     import spark.implicits._
-    lines.toDF("value")
+    if (!needRowNumbers) lines.toDF("value")
+    else lines.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+      .toDF("value", "_row_num")
   }
 
   /** `json` extractor (OJsonExtractor.java:28-101): accepts a JSON array
@@ -142,10 +152,15 @@ object Sources {
   def jdbc(spark: SparkSession, spec: ComponentSpec): DataFrame = {
     val url = spec.str("url").getOrElse(sys.error("jdbc: url required"))
     val query = spec.str("query").getOrElse(sys.error("jdbc: query required"))
+    val partitioned = spec.str("partitionColumn").isDefined &&
+      spec.str("lowerBound").isDefined && spec.str("upperBound").isDefined
     var r = spark.read.format("jdbc")
       .option("url", url)
-      .option("query", query)
       .option("fetchsize", spec.int("fetchSize", 10000).toString)
+    // Spark rejects `query` + `partitionColumn` together — partitioned
+    // reads must wrap the query as a dbtable subquery instead
+    r = if (partitioned) r.option("dbtable", s"($query) __graft_q")
+        else r.option("query", query)
     spec.str("driver").foreach(d => r = r.option("driver", d))
     spec.str("userName").foreach(u => r = r.option("user", u))
     spec.str("userPassword").foreach(p => r = r.option("password", p))
@@ -184,27 +199,33 @@ object Sources {
     val isHttp = source.exists(_.name == "http")
     def lines: DataFrame = source.map(_.name) match {
       case Some("file") | None =>
-        val s = source.get
+        val s = source.getOrElse(sys.error(
+          "row/csv extraction requires a source section (file/http/input)"))
+        val skipFirst = s.long("skipFirst").getOrElse(0L)
         // remember the scan path so plan-time header learning can read
-        // the first line driver-side instead of running a full-scan job
-        ctx.vars.put("__lastSourcePath", sourcePath)
-        textLines(spark, sourcePath, s.long("skipFirst").getOrElse(0L),
+        // the first line driver-side instead of running a full-scan job.
+        // ONLY valid when no leading lines are skipped: after skipFirst
+        // the renumbered line 0 is NOT the file's raw first line
+        if (skipFirst == 0L) ctx.vars.put("__lastSourcePath", sourcePath)
+        textLines(spark, sourcePath, skipFirst,
           s.long("skipLast").getOrElse(0L), needRowNumbers)
       case Some("http") =>
         val s = source.get
         httpLines(spark, sourcePath, s.strOr("method", "GET"),
-          s.map("headers").map { case (k, v) => k -> v.toString })
-      case Some("input") => stdinLines(spark)
+          s.map("headers").map { case (k, v) => k -> v.toString },
+          needRowNumbers)
+      case Some("input") => stdinLines(spark, needRowNumbers)
       case Some(other) => sys.error(s"unknown source $other")
     }
     extractor.map(e => (e.name, e)) match {
       case None | Some(("row", _)) => lines
       case Some(("json", e)) if isHttp =>
-        // http payload is already on the driver as lines — parse with
-        // from_json over the fetched dataset (spark.read.json cannot
-        // open http URLs)
-        val df = lines.agg(concat_ws("\n", collect_list(col("value"))).as("body"))
-        val body = df.head().getString(0)
+        // http payload is already on the driver — collect() of the
+        // parallelized local relation preserves element order (an
+        // aggregate with collect_list would not: its merge order is
+        // shuffle-fetch order) and runs no shuffle
+        val body = lines.select("value").collect().map(_.getString(0))
+          .mkString("\n")
         val ds = spark.createDataset(Seq(body))(org.apache.spark.sql.Encoders.STRING)
         spark.read.json(ds)
       case Some(("json", e)) =>

@@ -86,16 +86,45 @@ object Stages {
       }
     }
 
-  /** `rename` (ORenameTransformer.java:53-68): `{old: new, …}`. */
+  /** Quote-aware single-line CSV split (the reference's smartSplit,
+    * OCSVTransformer.java:106): separator hits inside the quote char are
+    * literal; surrounding quotes are stripped. Driver-side, header
+    * learning only — data rows go through `from_csv`. */
+  private[graft] def smartSplit(line: String, sep: String, quote: String): Seq[String] = {
+    val q = if (quote.nonEmpty) quote.head else '"'
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (c == q) { inQ = !inQ; i += 1 }
+      else if (!inQ && line.startsWith(sep, i)) { out += cur.toString; cur.clear(); i += sep.length }
+      else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** `rename` (ORenameTransformer.java:53-68): `{old: new, …}`. The
+    * reserved common component options are NOT rename pairs. */
   def rename(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
-      val pairs = spec.options.filter { case (_, v) => v.isInstanceOf[String] }
+      val reserved = Set("if", "output", "log")
+      val pairs = spec.options.filter { case (k, v) =>
+        v.isInstanceOf[String] && !reserved(k) }
       pairs.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n.toString) }
     }
 
   /** `csv` transformer (OCSVTransformer.java:92-180): parse a string
     * column into typed fields. Mid-pipeline form of the CSV scan —
-    * `from_csv` keeps it inside codegen. */
+    * `from_csv` keeps it inside codegen.
+    *
+    * Stream semantics match the reference (a single Reader): header
+    * consumption and skip ranges apply to the ONE numbered line stream.
+    * A directory of per-header files belongs on the fused
+    * `spark.read.csv` path (Engine.run), which handles headers per
+    * file. */
   def csvTransform(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df0 =>
       val sep = spec.strOr("separator", ",")
@@ -105,9 +134,16 @@ object Stages {
       val skipTo = spec.long("skipTo")
       val hasNum = df0.columns.contains("_row_num")
 
-      // skipFrom/skipTo: 0-based line-range skip (OCSVTransformer.java:95-102)
-      var df = (skipFrom, skipTo) match {
-        case (Some(f), Some(t)) if hasNum =>
+      // skipFrom/skipTo: 0-based line-range skip (OCSVTransformer.java:
+      // 95-102); a missing bound is open-ended on that side
+      val skipRange: Option[(Long, Long)] = (skipFrom, skipTo) match {
+        case (Some(f), Some(t)) => Some((f, t))
+        case (Some(f), None) => Some((f, Long.MaxValue))
+        case (None, Some(t)) => Some((0L, t))
+        case (None, None) => None
+      }
+      var df = skipRange match {
+        case Some((f, t)) if hasNum =>
           df0.filter(!(col("_row_num") >= f && col("_row_num") <= t))
         case _ => df0
       }
@@ -115,16 +151,19 @@ object Stages {
       // header line number: the first line not inside the skip range
       // (OCSVTransformer.java:95-102 skips run before header consumption
       // at :109-119) — pure arithmetic, no plan-time job
-      val headerNum: Long = (skipFrom, skipTo) match {
-        case (Some(f), Some(t)) if f <= 0 => t + 1
+      val headerNum: Long = skipRange match {
+        case Some((f, t)) if f <= 0 => t + 1
         case _ => 0L
       }
       // first line for header learning / header dropping: read driver-side
       // through the Hadoop FS API (Sources.firstLine) — replaces round 1's
-      // TakeOrdered-over-every-partition job. Falls back to a bounded
-      // single-row job for non-file inputs (http/stdin).
+      // TakeOrdered-over-every-partition job. The fast path is valid ONLY
+      // when the header really is the file's raw first line (headerNum 0;
+      // Sources.build withholds the path when skipFirst shifted the
+      // numbering). Falls back to a bounded single-row job otherwise.
       lazy val firstLineValue: String =
-        ctx.vars.get("__lastSourcePath").map(_.toString)
+        (if (headerNum == 0L) ctx.vars.get("__lastSourcePath").map(_.toString)
+         else None)
           .flatMap(p => Sources.firstLine(ctx.spark, p))
           .getOrElse {
             (if (hasNum) df.filter(col("_row_num") === headerNum) else df.limit(1))
@@ -135,7 +174,9 @@ object Stages {
         if (declared.nonEmpty) Sources.schemaFromColumns(declared)
         else {
           // learn names from the first line (OCSVTransformer.java:109-119)
-          val names = firstLineValue.split(java.util.regex.Pattern.quote(sep)).map(_.trim)
+          // with a quote-aware split — a naive separator split would keep
+          // quote chars in the names and mis-split quoted headers
+          val names = smartSplit(firstLineValue, sep, quote).map(_.trim)
           Sources.schemaFromColumns(names.toIndexedSeq)
         }
       if (header) {
@@ -198,7 +239,10 @@ object Stages {
       val schema = spec.str("schema") match {
         case Some(ddl) => StructType.fromDDL(ddl)
         case None => // infer from a sample row at plan time
-          val sample = df.select(fieldName).filter(col(fieldName).isNotNull).head().getString(0)
+          val sample = df.select(fieldName).filter(col(fieldName).isNotNull)
+            .take(1).headOption.map(_.getString(0))
+            .getOrElse(sys.error(s"json transformer: cannot infer a schema — " +
+              s"column `$fieldName` has no non-null rows; declare `schema` explicitly"))
           df.sparkSession.range(1).select(
             schema_of_json(lit(sample))).head().getString(0) match {
             case ddl => org.apache.spark.sql.types.DataType.fromDDL(ddl) match {

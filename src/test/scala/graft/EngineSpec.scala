@@ -424,6 +424,50 @@ class EngineSpec extends SparkSpec {
     assert(r.getInt(2) == 16)
   }
 
+  test("csv ingest hardening: single-bound skips, quoted headers, skipFirst, no _row_num leak") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvharden").toFile
+    // quoted header with an embedded separator + quote chars
+    val p1 = s"$dir/quoted.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p1),
+      "\"id\",\"name, full\"\n1,\"a, b\"\n2,c\n")
+    val out1 = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$p1"}},
+      "extractor": {"row": {}},
+      "transformers": [{"csv": {}}],
+      "loader": {"memory": {}} }""")
+    assert(out1.columns.toSeq == Seq("id", "name, full"))
+    assert(out1.count() == 2)
+    // skipFrom with NO skipTo skips to end-of-stream; header precedes it
+    val p2 = s"$dir/tail.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p2),
+      "id,v\n1,a\n2,b\n3,c\n")
+    val out2 = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$p2"}},
+      "extractor": {"row": {}},
+      "transformers": [{"csv": {"skipFrom": 3, "columns": ["id:integer", "v:string"]}}],
+      "loader": {"memory": {}} }""")
+    assert(out2.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // skipFirst: header learned from the stream AFTER the skip, and the
+    // internal _row_num never reaches the output schema
+    val p3 = s"$dir/skipfirst.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p3),
+      "garbage preamble\njunk\nid,v\n7,x\n8,y\n")
+    val out3 = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$p3", "skipFirst": 2}},
+      "extractor": {"row": {}},
+      "transformers": [{"csv": {}}],
+      "loader": {"memory": {}} }""")
+    assert(out3.columns.toSeq == Seq("id", "v"))
+    assert(out3.count() == 2)
+    // rename: reserved component options (if/output/log) are not rename
+    // pairs — a data column named `log` must survive untouched
+    val renamed = graft.stages.Stages.rename(
+      graft.spec.ComponentSpec("rename",
+        Map("a" -> "b", "if" -> "a is not null", "log" -> "debug")),
+      newCtx())(spark.range(1).selectExpr("id as a", "id as log"))
+    assert(renamed.columns.toSet == Set("b", "log"))
+  }
+
   test("csv/jsonl export loaders: tricky values round-trip losslessly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
