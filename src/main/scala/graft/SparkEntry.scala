@@ -948,7 +948,7 @@ object SparkEntry {
             "SELECT *, concat('https://www.', source, '-m.com/p/', CAST(doc_id AS STRING)) AS url FROM __input"}},
           {"urlparse": {"field": "url", "parts": ["host", "domain", "path"]}},
           {"groupcap": {"groupField": "url_host", "orderField": "doc_id",
-                        "maxPerGroup": 10}}],
+                        "maxPerGroup": 10, "algorithm": "threshold"}}],
         "loader": {"memory": {}} }""")
         .select("doc_id", "url_host", "url_domain", "url_path").orderBy("doc_id")
     },

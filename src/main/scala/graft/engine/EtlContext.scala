@@ -120,12 +120,13 @@ final class EtlContext(val spark: SparkSession) {
 
   /** Resolve a table-name-or-SELECT option (the `against`/`lookup`
     * convention shared by decontaminate/crossdedup): a string starting
-    * with SELECT/WITH runs as SQL; anything else is a table name. */
-  def tableOrSql(ref: String): DataFrame = {
-    val head = ref.trim.toUpperCase
-    if (head.startsWith("SELECT") || head.startsWith("WITH")) spark.sql(ref)
+    * with the SQL keyword SELECT or WITH (as a whole word — a table
+    * legitimately named `selections` or `with_holding` is NOT SQL) runs
+    * as SQL; anything else is a table name. */
+  private val SqlHead = "(?i)^(select|with)\\b".r
+  def tableOrSql(ref: String): DataFrame =
+    if (SqlHead.findFirstIn(ref.trim).isDefined) spark.sql(ref)
     else table(ref)
-  }
 
   def addVertices(df: DataFrame): Unit =
     vertices = Some(vertices.map(v => unionByNameLoose(v, df)).getOrElse(df))

@@ -236,6 +236,17 @@ object SimilarityStages {
       val nCells = spec.int("nCells", 16)
       val nProbe = spec.int("nProbe", 2)
 
+      // the centroid collect below reads ids as longs — fail with a typed
+      // message for non-integral id columns instead of a bare
+      // ClassCastException at plan-build time (ints/shorts widen lossless)
+      locally {
+        import org.apache.spark.sql.types._
+        df.schema(id).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case other => sys.error(s"similarityivf: idField `$id` must be " +
+            s"an integral type (got ${other.simpleString})")
+        }
+      }
       val base = spread(df.select(col(id).as("__id"), col(vec).as("__v"))
         .withColumn("__n", norm(col("__v")))) // N×nProbe expansion — see spread
       // deterministic pseudo-random sample as centroids: one bounded
@@ -254,7 +265,7 @@ object SimilarityStages {
           .where(lit(false))
       } else {
       val cents = centRows.map { r =>
-        val cid = r.getLong(0)
+        val cid = r.getAs[Number](0).longValue
         val cv = r.getSeq[Any](1).map {
           case f: java.lang.Float => f.toDouble
           case d: java.lang.Double => d.doubleValue

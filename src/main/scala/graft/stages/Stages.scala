@@ -98,7 +98,13 @@ object Stages {
     var i = 0
     while (i < line.length) {
       val c = line(i)
-      if (c == q) { inQ = !inQ; i += 1 }
+      // doubled quote inside a quoted region is the standard CSV escape
+      // for a literal quote — from_csv honors it for data rows, so header
+      // learning must agree or learned names diverge from parsed rows
+      if (c == q && inQ && i + 1 < line.length && line(i + 1) == q) {
+        cur.append(q); i += 2
+      }
+      else if (c == q) { inQ = !inQ; i += 1 }
       else if (!inQ && line.startsWith(sep, i)) { out += cur.toString; cur.clear(); i += sep.length }
       else { cur.append(c); i += 1 }
     }
@@ -137,8 +143,17 @@ object Stages {
       // skipFrom/skipTo: 0-based line-range skip (OCSVTransformer.java:
       // 95-102); a missing bound is open-ended on that side
       val skipRange: Option[(Long, Long)] = (skipFrom, skipTo) match {
-        case (Some(f), Some(t)) => Some((f, t))
-        case (Some(f), None) => Some((f, Long.MaxValue))
+        case (Some(f), Some(t)) =>
+          require(f <= t, s"csv: skipFrom ($f) must be <= skipTo ($t)")
+          Some((f, t))
+        case (Some(f), None) =>
+          // an open-ended range starting at (or before) line 0 skips the
+          // whole stream — header learning would then .head() an empty
+          // frame; reject up front instead of a bare NoSuchElementException
+          require(f > 0, s"csv: skipFrom ($f) with no skipTo skips every " +
+            "line from the start of the file — nothing remains to parse " +
+            "(set skipTo, or use skipFrom > 0)")
+          Some((f, Long.MaxValue))
         case (None, Some(t)) => Some((0L, t))
         case (None, None) => None
       }

@@ -63,8 +63,10 @@ object WebStages {
     * unchanged.
     *
     * Two plans, `algorithm` option:
-    *  - `"threshold"` (default; requires a NUMERIC, per-group-unique
-    *    `orderField`): per group, find the cap-th smallest order key
+    *  - `"threshold"` (explicit opt-in; requires an INTEGRAL,
+    *    per-group-unique `orderField` — rows TIED at the boundary key
+    *    all pass the `order <= threshold` filter, so duplicate order
+    *    keys can exceed the cap): per group, find the cap-th smallest order key
     *    with the bounded-heap top-k aggregate (map-side partial heaps —
     *    each task contributes ≤ cap keys per group to the exchange),
     *    then semi-join the per-group threshold back and filter
@@ -73,10 +75,12 @@ object WebStages {
     *    funnel through one task — only its ≤ cap·tasks candidate keys
     *    do. The threshold join is a broadcast when the group count is
     *    small; AQE decides.
-    *  - `"window"`: `row_number` over (group, order) — one shuffle +
-    *    in-partition sort. Exact for any orderField type, but a hot
-    *    group lands on ONE task (AQE skew-split does not apply inside
-    *    window partitions); the small-scale / non-numeric fallback.
+    *  - `"window"` (default): `row_number` over (group, order) — one
+    *    shuffle + in-partition sort. Exact cap for any orderField type
+    *    (ties included), but a hot group lands on ONE task (AQE
+    *    skew-split does not apply inside window partitions). The safe
+    *    default; switch to `"threshold"` for skewed corpora whose order
+    *    key is unique per group (e.g. a document id).
     * Both produce identical rows when orderField is unique per group
     * and non-null (asserted in specs; threshold mode excludes
     * null-order rows from quota selection, window ranks them first). */
@@ -97,7 +101,7 @@ object WebStages {
           case _ => false
         }
       }
-      spec.strOr("algorithm", if (isIntegral) "threshold" else "window") match {
+      spec.strOr("algorithm", "window") match {
         case "threshold" =>
           require(isIntegral, s"groupcap threshold: orderField `$order` must " +
             s"be integral (got ${df.schema(order).dataType.simpleString}) — " +
@@ -106,7 +110,12 @@ object WebStages {
           // cap-th smallest order key per group = last element of the
           // top-`cap` heap on score -order (heap keeps the cap smallest;
           // a group with fewer than cap rows keeps its max → all rows
-          // pass the filter). NULL order keys are excluded up front:
+          // pass the filter). The double score is only a COARSE key:
+          // long→double is monotone, and the heap's id tie-break (id ASC
+          // on ties, id = the exact long order key) resolves any two
+          // keys beyond 2^53 that collapse to one double — the kept set
+          // and the boundary element are exact for the full long range.
+          // NULL order keys are excluded up front:
           // they can't be ranked by a value threshold (and an all-null
           // group would aggregate to an empty heap, which ANSI
           // element_at refuses) — a documented deviation from the

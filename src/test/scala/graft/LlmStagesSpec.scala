@@ -672,15 +672,31 @@ class LlmStagesSpec extends SparkSpec {
     val thresh = run("threshold")
     assert(thresh == run("window"))
     assert(thresh.count(_._2 == "hot") == 7)
-    // default for an integral orderField is the threshold plan
+    // the DEFAULT is the tie-exact window plan — threshold (which can
+    // exceed the cap on duplicate order keys) is explicit opt-in
     val dflt = stage("groupcap", "groupField" -> "domain",
       "orderField" -> "doc_id", "maxPerGroup" -> 7)(df)
-    assert(dflt.queryExecution.executedPlan.toString.contains("graft_topk"))
-    // non-integral order key falls back to the window plan
+    assert(!dflt.queryExecution.executedPlan.toString.contains("graft_topk"))
+    assert(stage("groupcap", "groupField" -> "domain",
+      "orderField" -> "doc_id", "maxPerGroup" -> 7, "algorithm" -> "threshold")(df)
+      .queryExecution.executedPlan.toString.contains("graft_topk"))
+    // threshold refuses non-integral order keys with a typed message
     val sdf = rows.map { case (i, d) => (s"k$i", d) }.toDF("key", "domain")
-    val win = stage("groupcap", "groupField" -> "domain",
-      "orderField" -> "key", "maxPerGroup" -> 7)(sdf)
-    assert(!win.queryExecution.executedPlan.toString.contains("graft_topk"))
+    val err = intercept[Exception](stage("groupcap", "groupField" -> "domain",
+      "orderField" -> "key", "maxPerGroup" -> 7, "algorithm" -> "threshold")(sdf))
+    assert(err.getMessage.contains("integral"))
+    // window handles any order-key type and enforces the cap under ties
+    val tied = (1L to 20L).map(i => (i / 2, "g")).toDF("key", "domain")
+    assert(stage("groupcap", "groupField" -> "domain", "orderField" -> "key",
+      "maxPerGroup" -> 3)(tied).count() == 3)
+    // threshold boundary stays exact beyond 2^53: the heap's long id
+    // tie-break resolves order keys that collapse to one double
+    val big = (0L to 9L).map(i => ((1L << 60) + i, "g")).toDF("doc_id", "domain")
+    val bigKept = stage("groupcap", "groupField" -> "domain",
+      "orderField" -> "doc_id", "maxPerGroup" -> 4,
+      "algorithm" -> "threshold")(big)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bigKept == (0L to 3L).map((1L << 60) + _).toSet)
     // a NULL group key is a group of its own in BOTH plans (the
     // threshold join is null-safe)
     val withNull = (1L to 20L).map(i =>
