@@ -69,6 +69,9 @@ object SparkEntry {
         .orderBy("r_regionkey").toJSON.collect()
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "region_array.json"),
         region.mkString("[", ",", "]").getBytes("UTF-8"))
+      // real encoded images (PNG/JPEG/BMP/animated GIF), one per doc_id,
+      // generated executor-side — the mm_* decode queries' input
+      graft.multimodal.MediaFixtures.ensure(spark, sfDir, s"$dir/media_parquet")
       dir
     })
 
@@ -1203,42 +1206,55 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("a", "b").orderBy("a", "b")
     },
+    // The mm_* queries decode REAL image bytes (PNG/JPEG/BMP/GIF written
+    // by MediaFixtures with dimensions that are pure arithmetic in the
+    // doc id) — the oracle recomputes the arithmetic; the engine must
+    // recover it from the payload via javax.imageio.
     "mm_decode" -> { (s, dir) =>
-      val c = ctx(s, dir)
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
       Engine.runJson(c, s"""{
-        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "source": {"file": {"path": "$fx/media_parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [
-          {"mm_attach": {"field": "text", "mediaType": "image/fake"}},
-          {"mm_decode": {"idField": "doc_id"}}],
+          {"code": {"language": "sql", "code":
+            "SELECT * FROM __input WHERE media_type <> 'image/gif'"}},
+          {"mm_decode": {"idField": "media_id"}}],
         "loader": {"memory": {}} }""")
-        .select("media_id", "byte_len", "width", "height", "channels", "n_frames")
+        .select("media_id", "width", "height", "channels", "n_frames")
         .orderBy("media_id")
     },
     "mm_frames" -> { (s, dir) =>
-      val c = ctx(s, dir)
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // animated GIFs: the decoder reads the REAL frame count from the
+      // bytes; mm_frames explodes every second frame index
       Engine.runJson(c, s"""{
-        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "source": {"file": {"path": "$fx/media_parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [
-          {"mm_attach": {"field": "text", "mediaType": "video/fake"}},
-          {"mm_decode": {"idField": "doc_id"}},
+          {"code": {"language": "sql", "code":
+            "SELECT * FROM __input WHERE media_type = 'image/gif'"}},
+          {"mm_decode": {"idField": "media_id"}},
           {"mm_frames": {"step": 2}}],
         "loader": {"memory": {}} }""")
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("media_id", "frame_idx")
     },
     "mm_resize" -> { (s, dir) =>
-      val c = ctx(s, dir)
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // REAL pixel resample into a 24x24 box, then a second real decode
+      // OF THE RESAMPLED BYTES — width/height/channels below are
+      // measured from the output image, not carried metadata
       Engine.runJson(c, s"""{
-        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "source": {"file": {"path": "$fx/media_parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [
-          {"mm_attach": {"field": "text", "mediaType": "image/fake"}},
-          {"mm_decode": {"idField": "doc_id"}},
-          {"mm_resize": {"maxWidth": 224, "maxHeight": 224}}],
+          {"code": {"language": "sql", "code":
+            "SELECT * FROM __input WHERE media_type <> 'image/gif'"}},
+          {"mm_resize": {"resample": true, "idField": "media_id",
+                         "maxWidth": 24, "maxHeight": 24}},
+          {"mm_decode": {"idField": "media_id", "payloadField": "out_payload"}}],
         "loader": {"memory": {}} }""")
-        .select("media_id", "width", "height", "out_width", "out_height")
+        .select("media_id", "width", "height", "channels")
         .orderBy("media_id")
     },
     "stream_dedup" -> { (s, dir) =>
@@ -1743,23 +1759,25 @@ object SparkEntry {
       "list_dot_product(q.e, b.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))) DESC, " +
       "b.vec_id ASC) AS rank FROM q, b WHERE q.vec_id <> b.vec_id) " +
       "SELECT q_id, n_id, rank FROM scored WHERE rank <= 5 ORDER BY q_id, rank"),
+    // oracles recompute the MediaFixtures dimension arithmetic — the
+    // Spark side must recover the same numbers from REAL image bytes
     "mm_decode" ->
-      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
-       "CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width, " +
-       "CAST(64 + octet_length(encode(text)) % 480 AS INTEGER) AS height, " +
-       "CAST(3 AS INTEGER) AS channels, " +
-       "CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames " +
-       "FROM documents ORDER BY media_id"),
+      ("SELECT doc_id AS media_id, " +
+       "CAST(16 + (doc_id * 7) % 97 AS INTEGER) AS width, " +
+       "CAST(16 + (doc_id * 11) % 83 AS INTEGER) AS height, " +
+       "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels, " +
+       "CAST(1 AS INTEGER) AS n_frames " +
+       "FROM documents WHERE doc_id % 5 <> 4 ORDER BY media_id"),
     "mm_frames" ->
-      ("SELECT doc_id AS media_id, CAST(unnest(generate_series(0, (1 + octet_length(encode(text)) % 16) - 1, 2)) AS BIGINT) AS frame_idx " +
-       "FROM documents ORDER BY media_id, frame_idx"),
+      ("SELECT doc_id AS media_id, " +
+       "CAST(unnest(generate_series(0, CAST(doc_id % 6 AS INTEGER), 2)) AS BIGINT) AS frame_idx " +
+       "FROM documents WHERE doc_id % 5 = 4 ORDER BY media_id, frame_idx"),
     "mm_resize" ->
       ("SELECT doc_id AS media_id, " +
-       "CAST(64 + octet_length(encode(text)) % 640 AS INTEGER) AS width, " +
-       "CAST(64 + octet_length(encode(text)) % 480 AS INTEGER) AS height, " +
-       "CAST(floor((64 + octet_length(encode(text)) % 640) * least(224.0 / (64 + octet_length(encode(text)) % 640), 224.0 / (64 + octet_length(encode(text)) % 480), 1.0)) AS INTEGER) AS out_width, " +
-       "CAST(floor((64 + octet_length(encode(text)) % 480) * least(224.0 / (64 + octet_length(encode(text)) % 640), 224.0 / (64 + octet_length(encode(text)) % 480), 1.0)) AS INTEGER) AS out_height " +
-       "FROM documents ORDER BY media_id"),
+       "CAST(floor((16 + (doc_id * 7) % 97) * least(CAST(24 AS DOUBLE) / (16 + (doc_id * 7) % 97), CAST(24 AS DOUBLE) / (16 + (doc_id * 11) % 83), CAST(1 AS DOUBLE))) AS INTEGER) AS width, " +
+       "CAST(floor((16 + (doc_id * 11) % 83) * least(CAST(24 AS DOUBLE) / (16 + (doc_id * 7) % 97), CAST(24 AS DOUBLE) / (16 + (doc_id * 11) % 83), CAST(1 AS DOUBLE))) AS INTEGER) AS height, " +
+       "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels " +
+       "FROM documents WHERE doc_id % 5 <> 4 ORDER BY media_id"),
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Real image codec on the JDK's `javax.imageio` — PNG/JPEG/BMP/GIF
+  * decode (dimensions, channel count, GIF frame count) and pixel
+  * resample, with zero external dependencies. This is the production
+  * body behind the `mm_decode`/`mm_resize` `mapPartitions` seam; the
+  * deterministic [[MultimodalStages.StubDecoder]] remains only for
+  * media ImageIO cannot read (video/audio containers).
+  *
+  * Executor-side notes: `ImageIO` instance methods are obtained fresh
+  * per call (reader/writer instances are NOT thread-safe; the static
+  * lookups are), and the disk-backed stream cache is disabled once per
+  * JVM — a 100 TB decode must not funnel through temp-file creation.
+  */
+object ImageCodec {
+
+  // one-time per JVM (executor or driver): keep image streams on-heap
+  ImageIO.setUseCache(false)
+
+  /** Decode payload metadata: real width/height/channels and — for
+    * multi-frame formats (GIF) — the real frame count. Throws a typed
+    * error naming the row for an undecodable payload (callers choose
+    * the skip/stub policy). */
+  def decode(id: Long, payload: Array[Byte]): MultimodalStages.MediaMeta = {
+    if (payload == null || payload.isEmpty)
+      fail(id, "empty payload")
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) fail(id, "no ImageIO reader for payload " +
+        "(supported: png/jpeg/bmp/gif; route video/audio to decoder: \"stub\")")
+      val reader = readers.next()
+      reader.setInput(iis, false, false)
+      try {
+        val nFrames = reader.getNumImages(true) // forces a full scan: exact
+        val cm = reader.read(0).getColorModel
+        MultimodalStages.MediaMeta(
+          media_id = id,
+          byte_len = payload.length.toLong,
+          width = reader.getWidth(0),
+          height = reader.getHeight(0),
+          channels = cm.getNumComponents,
+          n_frames = nFrames)
+      } finally reader.dispose()
+    } catch {
+      case e: javax.imageio.IIOException => fail(id, e.getMessage)
+    } finally iis.close()
+  }
+
+  /** Resample the (first frame of the) payload to fit a `maxW`×`maxH`
+    * bounding box preserving aspect ratio (scale capped at 1 — never
+    * upscale), re-encoded as PNG. Returns the new payload; its decoded
+    * dimensions are `floor(w*s)`×`floor(h*s)`, `s = min(maxW/w, maxH/h,
+    * 1)` — the arithmetic an oracle can recompute without decoding. */
+  def resample(id: Long, payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) fail(id, "empty payload")
+    val src =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case e: javax.imageio.IIOException => fail(id, e.getMessage) }
+    if (src == null) fail(id, "no ImageIO reader for payload")
+    val s = math.min(math.min(maxW.toDouble / src.getWidth,
+      maxH.toDouble / src.getHeight), 1.0)
+    val ow = math.max(1, math.floor(src.getWidth * s).toInt)
+    val oh = math.max(1, math.floor(src.getHeight * s).toInt)
+    // preserve the channel structure (a grayscale corpus must not
+    // silently triple its training bytes); palette types flatten to RGB
+    val outType = src.getType match {
+      case BufferedImage.TYPE_BYTE_GRAY | BufferedImage.TYPE_USHORT_GRAY => src.getType
+      case BufferedImage.TYPE_INT_ARGB | BufferedImage.TYPE_4BYTE_ABGR => BufferedImage.TYPE_INT_ARGB
+      case _ => BufferedImage.TYPE_INT_RGB
+    }
+    val dst = new BufferedImage(ow, oh, outType)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, ow, oh, null)
+    } finally g.dispose()
+    encode(dst, "png")
+  }
+
+  /** Encode one frame as `fmt` (png/jpeg/bmp/gif). */
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, fmt, bos))
+      sys.error(s"ImageCodec: no ImageIO writer for format '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Encode an animated multi-frame GIF (used by the fixture generator
+    * and available to pipelines packing frame sequences). */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "ImageCodec.encodeGif: no frames")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new IIOImage(f, null, null),
+          writer.getDefaultWriteParam.asInstanceOf[ImageWriteParam])
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def fail(id: Long, why: String): Nothing =
+    sys.error(s"mm_decode: media_id=$id: $why")
+}

@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic real-image fixture generation for the multimodal
+  * stages: one media row per `documents.doc_id`, with a REAL encoded
+  * image payload whose dimensions / channels / frame count are pure
+  * arithmetic in `doc_id` — so a SQL oracle can recompute the expected
+  * metadata without any decoder, while the engine must actually decode
+  * the bytes to produce it.
+  *
+  * Format plan (`doc_id % 5`): 0 → PNG RGB (3 ch), 1 → JPEG (3 ch),
+  * 2 → BMP (3 ch), 3 → PNG grayscale (1 ch), 4 → animated GIF with
+  * `1 + doc_id % 6` frames. Dimensions: `w = 16 + (doc_id*7) % 97`,
+  * `h = 16 + (doc_id*11) % 83`. Pixels: solid fill derived from doc_id
+  * (irrelevant to the metadata oracle; stable across encoders).
+  *
+  * Generation is DISTRIBUTED (mapPartitions over the doc_id column) —
+  * the same path a real corpus's media ingest would take; nothing
+  * funnels through the driver.
+  */
+object MediaFixtures {
+
+  def width(id: Long): Int = (16 + (id * 7) % 97).toInt
+  def height(id: Long): Int = (16 + (id * 11) % 83).toInt
+  def gifFrames(id: Long): Int = (1 + id % 6).toInt
+
+  def mediaType(id: Long): String = (id % 5) match {
+    case 0 => "image/png"
+    case 1 => "image/jpeg"
+    case 2 => "image/bmp"
+    case 3 => "image/png" // grayscale png
+    case _ => "image/gif"
+  }
+
+  def channels(id: Long): Int = if (id % 5 == 3) 1 else 3
+
+  private def frame(id: Long): BufferedImage = {
+    val t = if (id % 5 == 3) BufferedImage.TYPE_BYTE_GRAY
+            else BufferedImage.TYPE_INT_RGB
+    val img = new BufferedImage(width(id), height(id), t)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(((id * 37) % 256).toInt,
+        ((id * 59) % 256).toInt, ((id * 83) % 256).toInt))
+      g.fillRect(0, 0, width(id), height(id))
+    } finally g.dispose()
+    img
+  }
+
+  /** Encode the payload for one doc_id. */
+  def payload(id: Long): Array[Byte] = (id % 5) match {
+    case 0 | 3 => ImageCodec.encode(frame(id), "png")
+    case 1 => ImageCodec.encode(frame(id), "jpg")
+    case 2 => ImageCodec.encode(frame(id), "bmp")
+    case _ => ImageCodec.encodeGif(Seq.fill(gifFrames(id))(frame(id)))
+  }
+
+  /** The fixture frame: (media_id, media_type, payload), one row per
+    * document id, encoded executor-side. */
+  def frame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, mediaType(id), payload(id))))(enc)
+      .toDF("media_id", "media_type", "payload")
+  }
+
+  /** Write the fixture parquet once per (sfDir, outPath); idempotent. */
+  def ensure(spark: SparkSession, sfDir: String, outPath: String): String = {
+    val done = new java.io.File(outPath, "_SUCCESS")
+    if (!done.exists())
+      frame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+    outPath
+  }
+}

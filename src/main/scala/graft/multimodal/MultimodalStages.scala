@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * `binary` payload columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment — see [[StubDecoder.decode]], clearly marked): it derives
-  * deterministic fake dimensions from the payload bytes. Everything
-  * Spark-side is REAL and is what matters at 100 TB: the binary column
-  * schema, the typed-metadata struct contract, partition-parallel
-  * `mapPartitions` batch decode (the exact seam where a JNI/Pandas-style
-  * decoder plugs in), and plan-level frame expansion.
+  * Image decode and resample are REAL (JDK `javax.imageio`, see
+  * [[ImageCodec]]): PNG/JPEG/BMP/GIF payloads yield their actual
+  * width/height/channel count and — for GIF — the actual frame count,
+  * and `mm_resize` re-encodes real resampled pixels. Only media ImageIO
+  * cannot read (video/audio containers — no codec libraries in this
+  * environment) goes through the clearly-marked [[StubDecoder]], kept as
+  * the seam where a JNI/ffmpeg-style decoder plugs in. The Spark shape
+  * is what matters at 100 TB either way: binary column schema, typed
+  * metadata struct contract, partition-parallel `mapPartitions` batch
+  * decode, plan-level frame expansion.
   */
 object MultimodalStages {
 
@@ -24,13 +27,15 @@ object MultimodalStages {
   final case class MediaMeta(media_id: Long, byte_len: Long, width: Int,
                              height: Int, channels: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic fake in lieu of a real codec library.
-    * A production build replaces this body with the real decode (e.g.
-    * javacv / a JNI codec) without touching the Spark plumbing around it. */
+  /** STUB decoder for media ImageIO cannot read (video/audio): derives
+    * deterministic fake dimensions from the payload bytes. A production
+    * build replaces this body with the real container decode (e.g.
+    * javacv / a JNI codec) without touching the Spark plumbing around
+    * it; images take the REAL [[ImageCodec.decode]] path. */
   object StubDecoder {
     def decode(id: Long, payload: Array[Byte]): MediaMeta = {
       val len = if (payload == null) 0L else payload.length.toLong
-      // ??? real decode goes here — deterministic fake derived from length
+      // ??? real container decode goes here — deterministic fake from length
       MediaMeta(
         media_id = id,
         byte_len = len,
@@ -56,33 +61,77 @@ object MultimodalStages {
     * on a typed Dataset — the decoder sees an iterator per partition
     * (batch shape), exactly how a real vectorized decoder integrates.
     * Options: `idField` (default doc_id), `payloadField` (default
-    * payload), `keepInput` (default false). */
+    * payload), `keepInput` (default false), `decoder`:
+    *  - `"image"` (default): REAL `javax.imageio` decode — actual
+    *    dimensions, channel count, GIF frame count; an undecodable
+    *    payload is a typed error naming the row (`onUndecodable:
+    *    "skip"` drops it instead — the 100 TB crawl posture, where a
+    *    corrupt image must not kill the job).
+    *  - `"stub"`: the deterministic fake, for video/audio payloads
+    *    ImageIO cannot read. */
   def decode(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
       val payload = spec.strOr("payloadField", "payload")
+      val decoder = spec.strOr("decoder", "image")
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_decode: unknown onUndecodable '$other' (error|skip)")
+      }
+      val one: (Long, Array[Byte]) => MediaMeta = decoder match {
+        case "image" => ImageCodec.decode
+        case "stub" => StubDecoder.decode
+        case other => sys.error(s"mm_decode: unknown decoder '$other' (image|stub)")
+      }
       val metaEnc = Encoders.product[MediaMeta]
       val pairs = df.select(col(id).cast("long"), col(payload).cast("binary"))
         .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      val meta = pairs.mapPartitions(
-        iter => iter.map { case (i, bytes) => StubDecoder.decode(i, bytes) })(metaEnc)
-        .toDF()
+      val meta = pairs.mapPartitions { iter =>
+        if (skip) iter.flatMap { case (i, bytes) =>
+          try Some(one(i, bytes)) catch { case scala.util.control.NonFatal(_) => None } }
+        else iter.map { case (i, bytes) => one(i, bytes) }
+      }(metaEnc).toDF()
       if (spec.bool("keepInput", dflt = false)) {
         df.join(meta.withColumnRenamed("media_id", id), Seq(id))
       } else meta
     }
 
-  /** `mm_resize`: metadata-level resize to fit a bounding box, preserving
-    * aspect ratio (integer floor) — the real pixel resample is part of
-    * the stubbed decode layer. Options: `maxWidth`/`maxHeight`. */
+  /** `mm_resize`: resize to fit a `maxWidth`×`maxHeight` bounding box,
+    * preserving aspect ratio (integer floor, never upscaled).
+    * Two modes, `resample` option:
+    *  - `false` (default): metadata-level — computes `out_width`/
+    *    `out_height` from existing `width`/`height` columns (a planning
+    *    pass over already-decoded metadata; pure projection).
+    *  - `true`: REAL pixel resample — decodes `payloadField`, scales via
+    *    bilinear `Graphics2D`, re-encodes PNG into `out_payload`, and
+    *    reports `out_width`/`out_height` measured FROM the resampled
+    *    image. Partition-parallel `mapPartitions`, same batch seam as
+    *    decode. */
   def resize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val mw = spec.int("maxWidth", 224)
       val mh = spec.int("maxHeight", 224)
-      val scale = least(lit(mw.toDouble) / col("width"),
-        lit(mh.toDouble) / col("height"), lit(1.0))
-      df.withColumn("out_width", floor(col("width") * scale).cast("int"))
-        .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      if (spec.bool("resample", dflt = false)) {
+        val id = spec.strOr("idField", "media_id")
+        val payload = spec.strOr("payloadField", "payload")
+        val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+        val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
+          Encoders.scalaInt, Encoders.scalaInt)
+        df.select(col(id).cast("long"), col(payload).cast("binary"))
+          .as[(Long, Array[Byte])](enc)
+          .mapPartitions(_.map { case (i, bytes) =>
+            val out = ImageCodec.resample(i, bytes, mw, mh)
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+            (i, out, img.getWidth, img.getHeight)
+          })(outEnc)
+          .toDF(id, "out_payload", "out_width", "out_height")
+      } else {
+        val scale = least(lit(mw.toDouble) / col("width"),
+          lit(mh.toDouble) / col("height"), lit(1.0))
+        df.withColumn("out_width", floor(col("width") * scale).cast("int"))
+          .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      }
     }
 
   /** `mm_frames`: frame sampling — one output row per sampled frame index

@@ -436,9 +436,11 @@ class LlmStagesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------- multimodal
+  // (real-image decode is covered in MultimodalSpec; this exercises the
+  // STUB path — the documented seam for video/audio containers)
   test("mm pipeline: attach → decode(stub) → resize → frames") {
     val df = Seq((7L, "abcdefgh")).toDF("doc_id", "text") // 8 bytes
-    val decoded = stage("mm_decode")(stage("mm_attach")(df))
+    val decoded = stage("mm_decode", "decoder" -> "stub")(stage("mm_attach")(df))
     val m = decoded.head()
     assert(m.getAs[Long]("byte_len") == 8)
     assert(m.getAs[Int]("width") == 72 && m.getAs[Int]("height") == 72)

@@ -1,0 +1,95 @@
+package graft
+
+import graft.multimodal.{ImageCodec, MediaFixtures, MultimodalStages}
+import graft.spec.ComponentSpec
+import org.apache.spark.sql.functions._
+
+/** Real-image decode: the fixture generator encodes actual PNG/JPEG/BMP/
+  * GIF bytes with dimensions that are pure arithmetic in the id; the
+  * decoder must recover them from the BYTES (the same contract the
+  * driver's DuckDB oracle checks at sf0.01). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(name: String, opts: (String, Any)*)(
+      df: org.apache.spark.sql.DataFrame) = {
+    val ctx = new graft.engine.EtlContext(spark)
+    graft.engine.Engine.transformers(name)(
+      ComponentSpec(name, opts.toMap), ctx)(df)
+  }
+
+  test("ImageCodec: every fixture format round-trips its real metadata") {
+    (0L to 24L).foreach { id =>
+      val m = ImageCodec.decode(id, MediaFixtures.payload(id))
+      assert(m.width == MediaFixtures.width(id), s"width for id=$id")
+      assert(m.height == MediaFixtures.height(id), s"height for id=$id")
+      if (id % 5 == 4) { // animated gif: real frame count from the bytes
+        assert(m.n_frames == MediaFixtures.gifFrames(id), s"frames id=$id")
+      } else {
+        assert(m.n_frames == 1, s"static image id=$id must have 1 frame")
+        assert(m.channels == MediaFixtures.channels(id), s"channels id=$id")
+      }
+    }
+  }
+
+  test("ImageCodec: undecodable payload is a typed error naming the row") {
+    val e = intercept[RuntimeException](
+      ImageCodec.decode(42L, "not an image".getBytes("UTF-8")))
+    assert(e.getMessage.contains("media_id=42"))
+    intercept[RuntimeException](ImageCodec.decode(7L, Array.emptyByteArray))
+  }
+
+  test("mm_decode(image): real dimensions through the engine stage; skip mode drops corrupt rows") {
+    val rows = Seq(
+      (10L, MediaFixtures.payload(10L)),
+      (13L, MediaFixtures.payload(13L)),
+      (99L, "corrupt".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val ok = stage("mm_decode", "onUndecodable" -> "skip")(df)
+      .orderBy("media_id").collect()
+    assert(ok.length == 2)
+    assert(ok(0).getAs[Int]("width") == MediaFixtures.width(10L))
+    assert(ok(1).getAs[Int]("channels") == 1) // 13 % 5 == 3 → grayscale png
+    val e = intercept[Exception](stage("mm_decode")(df).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("mm_resize(resample): re-decoded output has the floor-arithmetic dims; gray stays 1-channel") {
+    val ids = Seq(5L, 13L, 21L, 30L) // png/gray-png/jpeg/png mix
+    val df = ids.map(i => (i, MediaFixtures.payload(i))).toDF("media_id", "payload")
+    val out = stage("mm_resize", "resample" -> true,
+      "maxWidth" -> 24, "maxHeight" -> 24)(df)
+    val byId = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    ids.foreach { id =>
+      val w = MediaFixtures.width(id); val h = MediaFixtures.height(id)
+      val s = math.min(math.min(24.0 / w, 24.0 / h), 1.0)
+      val r = byId(id)
+      assert(r.getAs[Int]("out_width") == math.max(1, math.floor(w * s).toInt))
+      assert(r.getAs[Int]("out_height") == math.max(1, math.floor(h * s).toInt))
+      // the reported dims come from RE-DECODING the resampled bytes
+      val m = ImageCodec.decode(id, r.getAs[Array[Byte]]("out_payload"))
+      assert(m.width == r.getAs[Int]("out_width"))
+      assert(m.height == r.getAs[Int]("out_height"))
+      if (id % 5 == 3) assert(m.channels == 1, s"gray input id=$id stayed gray")
+    }
+  }
+
+  test("mm_frames: explodes the REAL gif frame count") {
+    val df = Seq((4L, MediaFixtures.payload(4L))).toDF("doc_id", "payload")
+    val frames = stage("mm_frames", "step" -> 1)(stage("mm_decode")(df))
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(frames == (0 until MediaFixtures.gifFrames(4L)))
+  }
+
+  test("MediaFixtures.frame: distributed generation, schema contract") {
+    val mf = MediaFixtures.frame(spark, "/root/testdata/sf0.001")
+    assert(mf.columns.toSeq == Seq("media_id", "media_type", "payload"))
+    val n = mf.count()
+    assert(n > 0)
+    // decode the whole fixture through the stage: no row lost, all real
+    val meta = stage("mm_decode", "idField" -> "media_id")(mf)
+    assert(meta.count() == n)
+    val bad = meta.where(col("width") =!= lit(16) + (col("media_id") * 7) % 97)
+    assert(bad.count() == 0)
+  }
+}
