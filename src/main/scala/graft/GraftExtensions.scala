@@ -80,6 +80,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(2), "maxDim"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_langid"),
+      info("graft_langid",
+        "graft_langid(text) - character-trigram naive-Bayes language id (14 languages)"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_langid", 1, exprs)
+        graft.functions.LangId(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(score, id, k) - bounded-heap top-k aggregate; returns array<struct<id,score>> ordered by (score desc, id asc)"),

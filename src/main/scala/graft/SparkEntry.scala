@@ -72,6 +72,20 @@ object SparkEntry {
       // real encoded images (PNG/JPEG/BMP/animated GIF), one per doc_id,
       // generated executor-side — the mm_* decode queries' input
       graft.multimodal.MediaFixtures.ensure(spark, sfDir, s"$dir/media_parquet")
+      // multilingual text: one held-out sentence per doc_id, language
+      // keyed by doc_id % 14 — the langid query must recover the key
+      // from the TEXT; the oracle recomputes the arithmetic
+      if (!new java.io.File(s"$dir/langid_parquet", "_SUCCESS").exists()) {
+        import graft.text.LangIdModel.{Languages, Holdout, HoldoutK}
+        val flat = Languages.flatMap(l => Holdout(l)) // idx = lang*K + sentence
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"))
+          .withColumn("text", element_at(typedLit(flat),
+            (expr(s"CAST(doc_id % ${Languages.length} AS INT)") * HoldoutK
+              + expr(s"CAST((doc_id DIV ${Languages.length}) % $HoldoutK AS INT)")
+              + 1)))
+          .write.mode("overwrite").parquet(s"$dir/langid_parquet")
+      }
       dir
     })
 
@@ -861,9 +875,12 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
     "langid" -> { (s, dir) =>
-      val c = ctx(s, dir)
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // real multilingual sentences (held out from the model's profile
+      // data); the oracle knows each row's language from doc_id
+      // arithmetic — the engine must recover it from the text itself
       Engine.runJson(c, s"""{
-        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "source": {"file": {"path": "$fx/langid_parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"langid": {"field": "text"}}],
         "loader": {"memory": {}} }""")
@@ -1601,19 +1618,13 @@ object SparkEntry {
        s"AND CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
        s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) <= 0.12 ORDER BY doc_id"),
     "langid" -> {
-      val lt = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
-      def cnt(ws: Seq[String]) =
-        s"len(list_filter($lt, t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
-      val en = cnt(Seq("the", "and", "of", "is", "a"))
-      val es = cnt(Seq("el", "la", "de", "que", "y"))
-      val de = cnt(Seq("der", "die", "das", "und", "ist"))
-      val fr = cnt(Seq("le", "les", "des", "et", "une"))
-      val zh = cnt(Seq("的", "是", "了", "在", "我"))
-      s"SELECT doc_id, CASE WHEN $zh > greatest($en, $es, $de, $fr) THEN 'zh' " +
-      s"WHEN $fr > greatest($en, $es, $de) THEN 'fr' " +
-      s"WHEN $de > greatest($en, $es) THEN 'de' " +
-      s"WHEN $es > $en THEN 'es' ELSE 'en' END AS lang_pred " +
-      s"FROM documents ORDER BY doc_id"
+      // each fixture row's true language is doc_id arithmetic; the Spark
+      // side must CLASSIFY the real text to match
+      val whens = graft.text.LangIdModel.Languages.zipWithIndex.map {
+        case (l, i) => s"WHEN $i THEN '$l'"
+      }.mkString(" ")
+      s"SELECT doc_id, CASE CAST(doc_id % ${graft.text.LangIdModel.Languages.length} AS INT) " +
+      s"$whens END AS lang_pred FROM documents ORDER BY doc_id"
     },
     "data_split" ->
       ("SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split " +

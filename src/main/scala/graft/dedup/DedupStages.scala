@@ -330,12 +330,21 @@ object DedupStages {
       // surviving sliver shuffle-joins.
       val (docShingles, evalShingles) = spec.strOr("prefilter", "none") match {
         case "bloom" =>
-          val expected = spec.long("expectedItems").getOrElse(1000000L)
+          // size the sketch from the ACTUAL eval-shingle cardinality (one
+          // bounded job on the small-by-construction side) unless pinned —
+          // an undersized bloom stays correct but stops filtering
+          val expected = spec.long("expectedItems")
+            .getOrElse(math.max(1L, evalShingleSet.count()))
           val fpp = spec.str("fpp").map(_.toDouble).getOrElse(0.01)
           val bloom = evalShingleSet.stat.bloomFilter("__es", expected, fpp)
-          val bloomBc = ctx.spark.sparkContext.broadcast(bloom)
-          val might = udf((h: Long) => bloomBc.value.mightContainLong(h))
-          (docShingles0.where(might(col("__ds"))), evalShingleSet)
+          // probe through Spark's native BloomFilterMightContain (the
+          // expression behind runtime row-level filtering): the sketch
+          // rides the plan as a binary literal and the probe stays inside
+          // whole-stage codegen — no per-row ScalaUDF serialization
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          (docShingles0.where(graft.functions.VectorExpressions
+            .bloomMightContain(lit(bos.toByteArray), col("__ds"))), evalShingleSet)
         case "none" => (docShingles0, broadcast(evalShingleSet))
         case other => sys.error(s"decontaminate: unknown prefilter $other")
       }

@@ -437,6 +437,16 @@ object VectorExpressions {
         },
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_might_contain",
+        (exprs: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprs.head, exprs(1)),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_langid",
+        (exprs: Seq[Expression]) => LangId(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_topk",
         (exprs: Seq[Expression]) => {
           val k = exprs(2) match {
@@ -465,6 +475,16 @@ object VectorExpressions {
   /** Native per-row 64-bit SimHash of a string column. */
   def simHash64(text: Column): Column =
     call_function("graft_simhash64", text)
+
+  /** Native per-row trigram naive-Bayes language id (14 languages). */
+  def langId(text: Column): Column =
+    call_function("graft_langid", text)
+
+  /** Codegen'd Bloom-filter probe (Spark's BloomFilterMightContain):
+    * `sketch` must be a foldable binary column (e.g. a literal of the
+    * serialized `util.sketch.BloomFilter`), `value` a long column. */
+  def bloomMightContain(sketch: Column, value: Column): Column =
+    call_function("graft_might_contain", sketch, value)
 
   /** Native SRP-LSH signature of a float/double array column. */
   def srpSig(vec: Column, nBits: Int, dim: Int): Column =

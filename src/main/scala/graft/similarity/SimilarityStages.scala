@@ -53,16 +53,34 @@ object SimilarityStages {
     * at any scale, and probing the runtime partition count via
     * `df.rdd` would EXECUTE every upstream AQE stage at plan-build time
     * (getFinalPhysicalPlan materializes the exchanges) — the skew-guard
-    * configs would run their scan+agg twice. Key-less inputs are
-    * scan-partitioned projections with no upstream exchange (AQE
-    * doesn't even wrap exchange-free plans), so the partition probe is
-    * free there and the no-shuffle shape is preserved when the scan is
-    * already parallel. */
+    * configs would run their scan+agg twice. Key-less inputs only probe
+    * the partition count when the ANALYZED PLAN is verifiably a
+    * scan/projection chain (no exchange-introducing node anywhere — AQE
+    * doesn't even wrap exchange-free plans, so `df.rdd` builds the DAG
+    * without running a job); any other shape repartitions
+    * unconditionally rather than risk plan-time execution. */
   private[graft] def spread(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (keys.nonEmpty) df.repartition(par, keys: _*)
+    else if (!exchangeFree(df.queryExecution.analyzed)) df.repartition(par)
     else if (df.rdd.getNumPartitions >= par) df
     else df.repartition(par)
+  }
+
+  /** True iff every node of `plan` is from the narrow scan-side
+    * whitelist — i.e. executing it can introduce no exchange, so
+    * building its RDD lineage cannot trigger AQE stage execution.
+    * Anything not whitelisted (join, aggregate, window, sort,
+    * repartition, …) counts as exchange-bearing. */
+  private def exchangeFree(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan.find {
+      case _: LeafNode | _: Project | _: Filter | _: SubqueryAlias |
+           _: Generate | _: Union | _: SerializeFromObject |
+           _: DeserializeToObject | _: MapPartitions | _: TypedFilter => false
+      case _ => true
+    }.isEmpty
   }
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =

@@ -202,16 +202,23 @@ class LlmStagesSpec extends SparkSpec {
     assert(r2.getAs[Int]("ts_distinct_tokens") == 2)
   }
 
-  test("langid: marker-word argmax with declared-order tie-break") {
-    val df = Seq(
-      (1L, "the cat and the dog of the house"),
-      (2L, "el perro de la casa y el gato"),
-      (3L, "der hund und die katze ist da"),
-      (4L, "nothing matching any marker")).toDF("doc_id", "text")
-    val out = stage("langid")(df).select("doc_id", "lang_pred").as[(Long, String)]
-      .collect().toMap
-    assert(out(1L) == "en"); assert(out(2L) == "es"); assert(out(3L) == "de")
-    assert(out(4L) == "en") // all-zero tie → first declared language
+  test("langid: trigram model classifies held-out sentences in 14 languages") {
+    // the model's own held-out set: no sentence appears in the profiles
+    val rows = graft.text.LangIdModel.Holdout.toSeq.flatMap {
+      case (lang, ss) => ss.map(s => (lang, s))
+    }
+    val df = rows.zipWithIndex.map { case ((lang, s), i) => (i.toLong, lang, s) }
+      .toDF("doc_id", "lang", "text")
+    val out = stage("langid")(df)
+    val wrong = out.where(col("lang_pred") =!= col("lang")).collect()
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString("; ")}")
+    // marker-free German (no 'der/die/das/und/ist' anywhere)
+    val free = stage("langid")(Seq((1L, "Er ging nach Hause."))
+      .toDF("doc_id", "text")).head().getAs[String]("lang_pred")
+    assert(free == "de", s"marker-free German classified as $free")
+    // empty text: deterministic first-declared-language fallback
+    assert(stage("langid")(Seq((1L, "")).toDF("doc_id", "text"))
+      .head().getAs[String]("lang_pred") == "en")
   }
 
   test("tokenize: BPE-ish units count words and punctuation separately") {
@@ -844,7 +851,17 @@ class LlmStagesSpec extends SparkSpec {
     val exact = run(Map.empty)
     val bloom = run(Map("prefilter" -> "bloom", "expectedItems" -> 1000L))
     assert(exact == bloom)
+    // expectedItems derived from the eval side when not pinned
+    assert(run(Map("prefilter" -> "bloom")) == exact)
     assert((1 to 50).filter(_ % 7 == 0).map(_.toLong).toSet
       .intersect(exact).isEmpty)
+    // the probe is the codegen'd native expression, not a ScalaUDF
+    val plan = graft.engine.Engine.transformers("decontaminate")(
+      ComponentSpec("decontaminate", Map("against" -> "eval_set",
+        "shingleSize" -> 5, "prefilter" -> "bloom")), ctx)(corpus)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"bloom probe must not be a UDF:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom probe should be BloomFilterMightContain:\n$plan")
   }
 }
