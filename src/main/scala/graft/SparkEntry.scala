@@ -429,6 +429,23 @@ object SparkEntry {
           array_join(col("neighbors"), ",").as("neighbors"))
         .orderBy("o_orderkey")
     },
+    "graph_motif" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // two-edge V-motif over the placed graph: pairs of orders sharing
+      // a customer — the batch replacement for a Gremlin co-purchase
+      // traversal; `where` de-mirrors the symmetric pattern
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"motif": {"pattern": "(a)-[:placed]->(c); (b)-[:placed]->(c)",
+                     "where": "a < b"}}],
+        "loader": {"memory": {}} }""")
+        .select("a", "b", "c").orderBy("a", "b")
+    },
     "orc_roundtrip" -> { (s, dir) =>
       val c = ctx(s, dir)
       // columnar-format breadth: part → ORC via the orc loader, read
@@ -1171,8 +1188,10 @@ object SparkEntry {
       recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.3", 0.3)
     },
     "similarity_ivf" -> { (s, dir) =>
-      // same verdict contract as similarity_lsh (measured 0.402 at
-      // sf0.01; deterministic: hash-sampled centroids, fixed probes)
+      // same verdict contract as similarity_lsh (measured 0.497 at
+      // sf0.01 with the trained spherical-k-means codebook, up from
+      // 0.402 sampled-rows; deterministic: hash-ordered training
+      // sample, fixed Lloyd's rounds, fixed probes)
       val approx = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
@@ -1185,7 +1204,7 @@ object SparkEntry {
         "transformers": [{"similarity": {"idField": "vec_id",
           "field": "embedding", "k": 5}}],
         "loader": {"memory": {}} }""").select("q_id", "n_id")
-      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.3", 0.3)
+      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.4", 0.4)
     },
     "cosine_dup" -> { (s, dir) =>
       // VERDICT table: the SRP-bucketed pair set must be a SUBSET of the
@@ -1507,6 +1526,12 @@ object SparkEntry {
     "graph_degree" ->
       ("SELECT CAST(c_custkey AS VARCHAR) AS id, count(*) AS degree " +
        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY id"),
+    "graph_motif" ->
+      ("WITH e AS (SELECT CAST(o_orderkey AS VARCHAR) AS src, " +
+       "CAST(c_custkey AS VARCHAR) AS dst " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey) " +
+       "SELECT e1.src AS a, e2.src AS b, e1.dst AS c FROM e e1 " +
+       "JOIN e e2 ON e1.dst = e2.dst WHERE e1.src < e2.src ORDER BY a, b"),
     "pagerank" -> {
       // 5 unrolled iterations (recursive CTEs can't aggregate over the
       // recursive term). rank_ppm quantizes with a GUARD BAND:
@@ -1732,7 +1757,7 @@ object SparkEntry {
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "similarity_ivf" ->
-      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
+      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.4', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "cosine_dup" ->
       ("SELECT * FROM (VALUES ('false_positives_zero', true), " +

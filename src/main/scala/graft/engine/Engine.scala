@@ -42,6 +42,7 @@ object Engine {
     "graphdegree"    -> graft.graph.GraphStages.graphDegree _,
     "graphneighbors" -> graft.graph.GraphStages.graphNeighbors _,
     "pagerank"       -> graft.graph.GraphStages.pageRank _,
+    "motif"          -> graft.graph.GraphStages.motif _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers
     "dedup"         -> graft.dedup.DedupStages.dedup _,

@@ -93,6 +93,73 @@ object GraphStages {
       ranks
     }
 
+  /** `motif`: declarative graph-pattern matching compiled to joins over
+    * the edges table — the batch answer to the reference's Gremlin
+    * `command` traversals (OCommandTransformer.java:58-78): a
+    * GraphFrames-style pattern instead of a per-record script.
+    *
+    * Options:
+    *  - `pattern` (required): semicolon-separated edge terms
+    *    `(a)-[e]->(b)`, where `a`/`b` name vertex columns of the result,
+    *    `e` optionally names the edge (emitting an `e_label` column) and
+    *    an optional `:label` constrains the edge label —
+    *    `(a)-[:placed]->(c); (b)-[:placed]->(c)` finds V-shapes.
+    *    Repeating a vertex name expresses the join; `(a)-[]->(a)` is a
+    *    self-loop constraint.
+    *  - `where` (optional): SQL boolean over the result columns, e.g.
+    *    `"a < b"` to de-mirror symmetric patterns.
+    *
+    * Output: one string column per named vertex (first-appearance
+    * order) + `<e>_label` per named edge. Replaces the stream (a query
+    * stage, like `command`).
+    *
+    * Scale shape: each term is a projection of the edges table; terms
+    * combine by equi-joins on shared vertex names — shuffle-on-key
+    * self-joins that AQE plans (broadcast when a filtered term is small,
+    * skew-split on hot vertices). No driver-side traversal state; the
+    * pattern's cardinality is the true result size, as with any motif
+    * engine. */
+  def motif(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges = ctx.edges.getOrElse(
+        sys.error("motif: no edges — apply an `edge` stage first"))
+      val patternStr = spec.str("pattern")
+        .getOrElse(sys.error("motif: pattern required, e.g. \"(a)-[e]->(b); (b)-[]->(c)\""))
+      val Term = """\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w*)\s*(?::\s*(\w+)\s*)?\]\s*->\s*\(\s*(\w+)\s*\)""".r
+      val terms = patternStr.split(";").map(_.trim).filter(_.nonEmpty).map {
+        case Term(src, ename, elabel, dst) =>
+          (src, Option(ename).filter(_.nonEmpty),
+            Option(elabel).filter(_.nonEmpty), dst)
+        case bad => sys.error(s"motif: cannot parse term '$bad' " +
+          "(expected (a)-[e:label]->(b) with named vertices)")
+      }.toSeq
+      require(terms.nonEmpty, "motif: empty pattern")
+      val enames = terms.flatMap(_._2)
+      require(enames.distinct.size == enames.size,
+        s"motif: duplicate edge names in '$patternStr'")
+      val frames = terms.map { case (src, ename, elabel, dst) =>
+        val filtered = elabel.fold(edges)(l => edges.where(col("label") === l))
+        val base =
+          if (src == dst) // self-loop term: one vertex column
+            filtered.where(col("src") === col("dst"))
+              .select(col("src").as(src) +:
+                ename.map(e => col("label").as(s"${e}_label")).toSeq: _*)
+          else filtered.select(Seq(col("src").as(src), col("dst").as(dst)) ++
+            ename.map(e => col("label").as(s"${e}_label")): _*)
+        base
+      }
+      val joined = frames.reduceLeft { (acc, next) =>
+        val common = acc.columns.intersect(next.columns).toSeq
+        if (common.isEmpty) acc.crossJoin(next) // disconnected pattern
+        else acc.join(next, common)
+      }
+      // stable column order: vertices by first appearance, then edges
+      val vcols = terms.flatMap(t => Seq(t._1, t._4)).distinct
+      val ecols = enames.map(e => s"${e}_label")
+      val result = joined.select((vcols ++ ecols).map(col): _*)
+      spec.str("where").fold(result)(w => result.where(expr(w)))
+    }
+
   /** `graphneighbors`: one-hop neighbor expansion — for each vertex id
     * in the input stream (column `idField`), the sorted distinct
     * neighbor ids along `direction`. The batch form of a Gremlin

@@ -24,14 +24,78 @@ object WebStages {
   private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
   private val QueryRe = "\\?([^#]*)"
 
+  /** Trimmed snapshot of the multi-label entries of the public suffix
+    * list (publicsuffix.org — public data; the common ccTLD second-level
+    * registries). A host whose last TWO labels are one of these takes
+    * three labels as its registrable domain (`news.bbc.co.uk` →
+    * `bbc.co.uk`), everything else takes two. Rare 3-label suffixes
+    * (`*.k12.ca.us` style) are out of snapshot scope — documented
+    * deviation; a full-list refresh slots into this set without code
+    * changes. */
+  private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    // UK / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "ltd.uk", "plc.uk", "nhs.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    // Japan / Korea / China / Taiwan / Hong Kong / Singapore
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    // India / Southeast Asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in", "nic.in",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "co.th", "in.th", "ac.th", "go.th", "or.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+    "com.ve", "net.ve", "org.ve", "gob.ve",
+    "com.cl", "gob.cl", "gov.cl",
+    "com.ec", "com.uy", "com.bo", "com.py", "com.gt", "com.do",
+    // Europe / Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "kiev.ua",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "web.za", "ac.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng")
+
   private[graft] def urlPart(url: Column, part: String): Column = part match {
     case "scheme" => regexp_extract(url, SchemeRe, 1)
     case "host" => regexp_extract(url, HostRe, 1)
-    // registrable-ish domain: last two dot-labels of the host (good
-    // enough for quota grouping without a public-suffix list, which
-    // would be a broadcast lookup in a production deployment)
-    case "domain" => regexp_extract(urlPart(url, "host"),
-      "([^.]+\\.[^.]+)$", 1)
+    // registrable domain: one label + the public suffix. The suffix is
+    // the last label, or the last TWO labels when they form one of the
+    // embedded multi-label registry suffixes (`bbc.co.uk` → `bbc.co.uk`,
+    // not `co.uk`). Pure per-row projection; the suffix membership test
+    // is a codegen'd IN over string literals. Hosts with no dot (or a
+    // bare public suffix with no registrable label) yield ''.
+    case "domain" =>
+      val labels = split(urlPart(url, "host"), "\\.")
+      val n = size(labels)
+      val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+      when(n < lit(2), lit(""))
+        .when(last2.isInCollection(MultiLabelSuffixes),
+          when(n >= lit(3),
+            concat_ws(".", element_at(labels, -3), last2)).otherwise(lit("")))
+        .otherwise(last2)
     case "path" => regexp_extract(url, PathRe, 1)
     case "query" => regexp_extract(url, QueryRe, 1)
     case other => sys.error(s"urlparse: unknown part '$other' " +

@@ -38,6 +38,46 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr("b") - 0.13875) < 1e-12)
   }
 
+  private def motifRun(ctx: graft.engine.EtlContext, opts: (String, Any)*) =
+    graft.graph.GraphStages.motif(
+      ComponentSpec("motif", opts.toMap), ctx)(spark.emptyDataFrame)
+
+  test("motif: chain, V-shape, label filter, edge-name column, where") {
+    val ctx = newCtx()
+    ctx.addEdges((Seq(("a", "b", "knows"), ("b", "c", "knows"),
+      ("a", "c", "likes"), ("d", "c", "knows")))
+      .toDF("src", "dst", "label"))
+    // two-hop chain
+    val chain = motifRun(ctx, "pattern" -> "(x)-[:knows]->(y); (y)-[:knows]->(z)")
+    assert(chain.columns.toSeq == Seq("x", "y", "z"))
+    assert(chain.as[(String, String, String)].collect().toSet ==
+      Set(("a", "b", "c")))
+    // V-shape with de-mirroring where; columns in first-appearance
+    // order (p, t, q)
+    val v = motifRun(ctx, "pattern" -> "(p)-[:knows]->(t); (q)-[:knows]->(t)",
+      "where" -> "p < q")
+    assert(v.columns.toSeq == Seq("p", "t", "q"))
+    assert(v.select("p", "q", "t").as[(String, String, String)]
+      .collect().toSet == Set(("b", "d", "c")))
+    // named edge emits its label column; no label constraint → all edges
+    val named = motifRun(ctx, "pattern" -> "(a)-[e]->(c)")
+      .where(col("a") === "a" && col("c") === "c")
+    assert(named.columns.toSeq == Seq("a", "c", "e_label"))
+    assert(named.select("e_label").as[String].collect().toSeq == Seq("likes"))
+    // unparsable term is a typed error
+    val err = intercept[RuntimeException](motifRun(ctx, "pattern" -> "a->b"))
+    assert(err.getMessage.contains("cannot parse"))
+  }
+
+  test("motif: self-loop term and shared-vertex join across terms") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("s", "s", "self"), ("s", "t", "out"))
+      .toDF("src", "dst", "label"))
+    val loops = motifRun(ctx, "pattern" -> "(v)-[:self]->(v); (v)-[:out]->(w)")
+      .as[(String, String)].collect().toSet
+    assert(loops == Set(("s", "t")))
+  }
+
   test("graphneighbors: one-hop expansion, sorted distinct, left join") {
     val ctx = withEdges()
     val in = Seq("a", "b", "z").toDF("id")

@@ -439,7 +439,30 @@ class LlmStagesSpec extends SparkSpec {
     val approx = stage("similarityivf", "k" -> 5, "nCells" -> 8, "nProbe" -> 4)(emb)
       .where("q_id < 10").select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect approx).size.toDouble / brute.size
-    assert(recall > 0.3, s"IVF recall too low: $recall") // probing half the cells
+    assert(recall > 0.4, s"IVF recall too low: $recall") // probing half the cells
+  }
+
+  test("trainCodebook: deterministic spherical k-means separates clusters") {
+    // two obvious directions plus noise dimensions
+    def v(dir: Int, j: Int): Array[Double] =
+      Array.tabulate(4)(d =>
+        (if (d == dir) 10.0 else 0.0) + (j % 3) * 0.1)
+    val sample = (0 until 40).map(j => v(j % 2, j)).toArray
+    val cb1 = SimilarityStages.trainCodebook(sample, 2, 3)
+    val cb2 = SimilarityStages.trainCodebook(sample.map(_.clone()), 2, 3)
+    assert(cb1.length == 2)
+    // determinism: bit-identical across runs
+    assert(cb1.zip(cb2).forall { case (a, b) => a.sameElements(b) })
+    // each centroid is unit-norm and dominated by one cluster's axis
+    cb1.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12)
+    }
+    assert(cb1.map(_.zipWithIndex.maxBy(_._1)._2).toSet == Set(0, 1))
+    // an emptied cell keeps its previous centroid rather than NaN-ing
+    val one = Array(Array(1.0, 0.0))
+    val cbOne = SimilarityStages.trainCodebook(one ++ one, 2, 2)
+    assert(cbOne.forall(_.forall(d => !d.isNaN)))
   }
 
   // -------------------------------------------------------------- multimodal
@@ -638,14 +661,30 @@ class LlmStagesSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(out(0).getAs[String]("url_scheme") == "https")
     assert(out(0).getAs[String]("url_host") == "www.example.co.uk")
-    // documented heuristic: last two dot-labels (no public-suffix list,
-    // so a ccTLD second-level like co.uk is NOT special-cased)
-    assert(out(0).getAs[String]("url_domain") == "co.uk")
+    // public-suffix aware: co.uk is a registry suffix, so the
+    // registrable domain takes three labels
+    assert(out(0).getAs[String]("url_domain") == "example.co.uk")
     assert(out(0).getAs[String]("url_path") == "/a/b")
     assert(out(0).getAs[String]("url_query") == "q=1")
     assert(out(1).getAs[String]("url_host") == "single-host")
     assert(out(1).getAs[String]("url_domain") == "")  // no dot-pair
     assert(out(2).getAs[String]("url_host") == "")    // malformed → ''
+  }
+
+  test("urlparse domain: public-suffix snapshot grouping") {
+    val cases = Seq(
+      (1L, "https://news.bbc.co.uk/story", "bbc.co.uk"),
+      (2L, "https://shop.example.com.au/x", "example.com.au"),
+      (3L, "https://www.example.com/x", "example.com"),
+      (4L, "https://example.com/x", "example.com"),
+      (5L, "https://a.b.co.jp/x", "b.co.jp"),
+      (6L, "https://co.uk/x", ""), // bare suffix: no registrable label
+      (7L, "https://deep.sub.domain.example.org/x", "example.org"))
+    val out = stage("urlparse", "field" -> "url", "parts" -> Seq("domain"))(
+      cases.map(c => (c._1, c._2)).toDF("id", "url")).orderBy("id").collect()
+    cases.zip(out).foreach { case ((_, url, want), row) =>
+      assert(row.getAs[String]("url_domain") == want, s"for $url")
+    }
   }
 
   // --------------------------------------------------- curation: groupcap
