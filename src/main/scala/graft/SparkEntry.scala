@@ -739,8 +739,22 @@ object SparkEntry {
         "extractor": {"parquet": {}},
         "loader": {"orientdb": {"dbURL": "plocal:$db", "class": "supplier",
           "columns": ["s_suppkey:long", "s_name:string",
-                      "s_nationkey:integer", "s_acctbal:double"]}} }""")
-      s.read.parquet(s"$db/supplier").orderBy("s_suppkey")
+                      "s_nationkey:integer", "s_acctbal:double"],
+          "classes": [
+            {"name": "party", "abstract": true,
+             "fields": [{"name": "s_name", "type": "STRING"}]},
+            {"name": "supplier", "extends": "party",
+             "fields": [{"name": "s_name", "type": "STRING"},
+                        {"name": "s_suppkey", "type": "LONG"}]}]}} }""")
+      // the inheritance metadata must land in the schema sidecar —
+      // schema_ok is a content check the oracle predicts as constant true
+      val sidecar = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$db/_schema.json")), "UTF-8")
+      val ok = sidecar.contains("\"name\": \"supplier\", \"extends\": \"party\"") &&
+        sidecar.contains("\"name\": \"party\"") &&
+        sidecar.contains("\"abstract\": true")
+      s.read.parquet(s"$db/supplier")
+        .withColumn("schema_ok", lit(ok)).orderBy("s_suppkey")
     },
     "block_code" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -1484,7 +1498,8 @@ object SparkEntry {
     "output_loader" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "orientdb_plocal" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+      ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal, true AS schema_ok " +
+       "FROM supplier ORDER BY s_suppkey"),
     "block_code" ->
       "SELECT count(*) AS n_top FROM nation WHERE n_nationkey < 10",
     "etl_map_entries" ->

@@ -154,6 +154,46 @@ object Loaders {
       } else df
     val known = classes.flatMap(_.get("name").map(_.toString)).toSet ++
       Set("V", "E", cls)
+    // inheritance validation (OOrientDBLoader.java:549-586 parity, plus
+    // the schema-manager rule the reference delegates to OrientDB
+    // itself): the extends chain must be acyclic, and a child class may
+    // not redeclare an ancestor's field with a DIFFERENT type — the
+    // redeclaration would silently shadow the parent property in any
+    // catalog that applies this sidecar.
+    locally {
+      val byName = classes.flatMap(m => m.get("name").map(_.toString -> m)).toMap
+      def fieldTypes(m: Map[String, Any]): Map[String, String] = m.get("fields") match {
+        case Some(fs: Seq[_]) => fs.collect { case fm: Map[_, _] =>
+          val f = fm.asInstanceOf[Map[String, Any]]
+          f("name").toString -> f.getOrElse("type", "STRING").toString.toUpperCase
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
+      classes.foreach { m =>
+        val name = m.getOrElse("name",
+          sys.error("orientdb loader: classes entry requires name")).toString
+        val mine = fieldTypes(m)
+        var seen = Set(name)
+        var cur = m.get("extends").map(_.toString)
+        while (cur.isDefined) {
+          val s = cur.get
+          require(!seen.contains(s),
+            s"orientdb loader: inheritance cycle through class '$s'")
+          seen += s
+          byName.get(s) match {
+            case Some(pm) =>
+              val theirs = fieldTypes(pm)
+              mine.foreach { case (f, t) =>
+                theirs.get(f).foreach(pt => require(pt == t,
+                  s"orientdb loader: class '$name' redeclares field '$f' " +
+                  s"as $t but super class '$s' declares $pt"))
+              }
+              cur = pm.get("extends").map(_.toString)
+            case None => cur = None // V/E/target built-ins declare no fields
+          }
+        }
+      }
+    }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def renderFields(m: Map[String, Any]): String = m.get("fields") match {
       case Some(fs: Seq[_]) =>

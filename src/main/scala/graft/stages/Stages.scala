@@ -359,32 +359,79 @@ object Stages {
     if (lang == "javascript" || lang == "js") return true
     if (lang != "sql") return false // explicit non-JS language wins
     // unlabeled (language defaults to sql): only claim JS when EVERY
-    // statement is assignment-shaped — a non-SELECT SQL body that merely
-    // mentions a `record.` alias must stay on the SQL path
+    // statement is shim-shaped (assignment / var local / if-guarded
+    // assignment) with at least one record assignment — a non-SELECT SQL
+    // body that merely mentions a `record.` alias must stay on the SQL path
     spec.str("language").isEmpty && code.contains("record.") && {
-      val assign = raw"record\.[A-Za-z_][A-Za-z0-9_]*\s*=\s*.+".r
-      val stmts = code.split(";").map(_.trim).filter(_.nonEmpty)
-        .filterNot(s => s == "record" || s == "return record")
-      stmts.nonEmpty && stmts.forall(s => assign.pattern.matcher(s).matches())
+      val stmts = jsStatements(code)
+      stmts.nonEmpty &&
+        stmts.exists(s => JsAssign.pattern.matcher(s).matches() ||
+          JsIfAssign.pattern.matcher(s).matches()) &&
+        stmts.forall(s => JsAssign.pattern.matcher(s).matches() ||
+          JsVarDecl.pattern.matcher(s).matches() ||
+          JsIfAssign.pattern.matcher(s).matches())
     }
   }
 
-  /** Trivial-JS translation: `record.x = expr;` statements become
-    * dialect-expression columns (`record.` prefixes resolve to fields);
-    * bare `record` / `return record` terminators are dropped. Anything
-    * else fails with a named migration path. */
-  private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
-    val assign = raw"record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
-    val stmts = code.split(";").map(_.trim).filter(_.nonEmpty)
+  private val JsAssign = raw"record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+  private val JsVarDecl = raw"(?:var|let|const)\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+  private val JsIfAssign =
+    raw"if\s*\((.+)\)\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+
+  /** Split a JS body into shim statements: single-assignment braces
+    * (`if (c) { record.x = e; }`) normalize to the brace-free form
+    * first; bare `record` / `return record` terminators are dropped. */
+  private def jsStatements(code: String): Seq[String] =
+    code.replaceAll(
+        raw"if\s*\(([^)]*)\)\s*\{\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^;{}]+);\s*\}",
+        "if ($1) record.$2 = $3;")
+      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
       .filterNot(s => s == "record" || s == "return record")
+
+  /** Legacy-JS translation (the reference's default `code` engine was
+    * JavaScript — OCodeTransformer.java:67-80): the three statement
+    * shapes real configs are made of compile to Columns —
+    *  - `record.x = expr;` → a dialect-expression column,
+    *  - `var x = expr;` → a LOCAL: its (rewritten) expression inlines
+    *    into every later reference, so locals cost nothing in the plan,
+    *  - `if (cond) record.x = expr;` (braces allowed around a single
+    *    assignment) → `when(cond, expr)` keeping the existing value
+    *    (null for a new column) otherwise.
+    * `record.` prefixes resolve to fields. Anything richer (loops,
+    * function calls, multi-statement blocks) fails with a named
+    * migration path — full JS is out of parity scope (SURVEY.md §7.4,
+    * no script engine offline). */
+  private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val stmts = jsStatements(code)
+    var locals = List.empty[(String, String)] // insertion order; later wins applied last
+    def rewrite(s: String): String = {
+      // JS boolean operators → dialect keywords
+      var e = s.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
+      // inline locals (latest definition first so redefinition chains
+      // resolve through their predecessors already being inlined)
+      locals.foreach { case (n, rhs) =>
+        e = e.replaceAll(raw"\b" + java.util.regex.Pattern.quote(n) + raw"\b",
+          "(" + rhs + ")")
+      }
+      e
+    }
     stmts.foldLeft(df) { (d, s) =>
       s match {
-        case assign(name, rhs) =>
+        case JsIfAssign(c, name, rhs) =>
+          val keep = if (d.columns.contains(name)) col(name)
+                     else lit(null).cast("string")
           d.withColumn(name,
-            OrientExpr.compile(rhs.replace("record.", ""), ctx.varMap))
+            when(OrientExpr.compile(rewrite(c), ctx.varMap),
+              OrientExpr.compile(rewrite(rhs), ctx.varMap)).otherwise(keep))
+        case JsVarDecl(name, rhs) =>
+          locals = (name, rewrite(rhs)) :: locals
+          d
+        case JsAssign(name, rhs) =>
+          d.withColumn(name, OrientExpr.compile(rewrite(rhs), ctx.varMap))
         case other => sys.error(
           s"code: JavaScript config not translatable (statement: `$other`). " +
-          "The migration shim covers only `record.x = expr;` assignments. " +
+          "The migration shim covers `record.x = expr;` assignments, " +
+          "`var x = expr;` locals, and `if (cond) record.x = expr;` guards. " +
           "Use language: \"sql\" with `code: \"SELECT ... FROM __input\"`, " +
           "a dialect `expression` + `fieldName`, or a Scala hook via " +
           "`ref` (Engine.registerCode) — full JS is out of parity scope " +

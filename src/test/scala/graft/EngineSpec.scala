@@ -353,6 +353,41 @@ class EngineSpec extends SparkSpec {
     assert(!e2.getMessage.contains("JavaScript"), s"java must not hit the JS shim: ${e2.getMessage}")
   }
 
+  test("code JS shim: var locals and if-guarded assignments translate") {
+    val path = writeNationCsv()
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var base = record.n_nationkey * 10; var big = base >= 100 && record.n_regionkey > 1; record.scaled = base + record.n_regionkey; if (big) record.tier = 'high'; if (record.n_nationkey < 3) { record.tier = 'tiny'; } return record;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val rows = out.select("n_nationkey", "n_regionkey", "scaled", "tier").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val k = r.getInt(0); val reg = r.getInt(1)
+      assert(r.getAs[Number]("scaled").longValue == k * 10L + reg,
+        s"scaled wrong for key $k")
+      val expected =
+        if (k < 3) "tiny"
+        else if (k * 10 >= 100 && reg > 1) "high"
+        else null
+      assert(r.getAs[String]("tier") == expected, s"tier wrong for key $k")
+    }
+    // unlabeled configs with the extended shapes still route to the shim
+    val out2 = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "code":
+        "var d = record.n_regionkey + 1; if (record.n_nationkey > 20) record.bucket = d * 100;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(out2.columns.contains("bucket"))
+    val r24 = out2.filter(col("n_nationkey") === 24).head()
+    assert(r24.getAs[Number]("bucket").longValue ==
+      (r24.getAs[Number]("n_regionkey").longValue + 1) * 100)
+  }
+
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
     val path = writeNationCsv()
     val ctx = newCtx()

@@ -68,6 +68,40 @@ class ParitySpec extends SparkSpec {
           "classes": [{"name": "Nation", "extends": "NoSuch"}]}} }""")
     }
     assert(err.getMessage.contains("super class"))
+    // a child may not redeclare an ancestor field with a DIFFERENT type
+    val redecl = intercept[IllegalArgumentException] {
+      Engine.runJson(newCtx(), s"""{
+        "source": {"file": {"path": "$sfDir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+          "classes": [
+            {"name": "Place", "abstract": true,
+             "fields": [{"name": "n_name", "type": "STRING"}]},
+            {"name": "Nation", "extends": "Place",
+             "fields": [{"name": "n_name", "type": "LONG"}]}]}} }""")
+    }
+    assert(redecl.getMessage.contains("redeclares"))
+    // same-type redeclaration is legal; grandparent chains are walked
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/nation.parquet"}},
+      "extractor": {"parquet": {}},
+      "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+        "classes": [
+          {"name": "Root", "fields": [{"name": "n_name", "type": "STRING"}]},
+          {"name": "Place", "extends": "Root"},
+          {"name": "Nation", "extends": "Place",
+           "fields": [{"name": "n_name", "type": "STRING"}]}]}} }""")
+    // an extends cycle is a typed error, not an infinite loop
+    val cycle = intercept[IllegalArgumentException] {
+      Engine.runJson(newCtx(), s"""{
+        "source": {"file": {"path": "$sfDir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+          "classes": [
+            {"name": "A", "extends": "B"},
+            {"name": "B", "extends": "A"}]}} }""")
+    }
+    assert(cycle.getMessage.contains("cycle"))
   }
 
   test("orientdb loader: declared columns validate and cast (DDL checks)") {
