@@ -74,17 +74,26 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.ensure(spark, sfDir, s"$dir/media_parquet")
       // multilingual text: one held-out sentence per doc_id, language
       // keyed by doc_id % 14 — the langid query must recover the key
-      // from the TEXT; the oracle recomputes the arithmetic
-      if (!new java.io.File(s"$dir/langid_parquet", "_SUCCESS").exists()) {
+      // from the TEXT; the oracle recomputes the arithmetic. The cache
+      // marker is CONTENT-KEYED on the holdout data so an edit to
+      // LangIdModel can never leave a stale /tmp fixture silently
+      // disagreeing with the oracle arithmetic.
+      locally {
         import graft.text.LangIdModel.{Languages, Holdout, HoldoutK}
         val flat = Languages.flatMap(l => Holdout(l)) // idx = lang*K + sentence
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"))
-          .withColumn("text", element_at(typedLit(flat),
-            (expr(s"CAST(doc_id % ${Languages.length} AS INT)") * HoldoutK
-              + expr(s"CAST((doc_id DIV ${Languages.length}) % $HoldoutK AS INT)")
-              + 1)))
-          .write.mode("overwrite").parquet(s"$dir/langid_parquet")
+        val contentKey = math.abs(
+          scala.util.hashing.MurmurHash3.orderedHash(flat ++ Languages))
+        val marker = new java.io.File(s"$dir/langid_parquet", s"_graft_$contentKey")
+        if (!marker.exists()) {
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"))
+            .withColumn("text", element_at(typedLit(flat),
+              (expr(s"CAST(doc_id % ${Languages.length} AS INT)") * HoldoutK
+                + expr(s"CAST((doc_id DIV ${Languages.length}) % $HoldoutK AS INT)")
+                + 1)))
+            .write.mode("overwrite").parquet(s"$dir/langid_parquet")
+          marker.createNewFile()
+        }
       }
       dir
     })

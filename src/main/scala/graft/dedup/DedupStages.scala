@@ -332,11 +332,18 @@ object DedupStages {
         case "bloom" =>
           // size the sketch from the ACTUAL eval-shingle cardinality (one
           // bounded job on the small-by-construction side) unless pinned —
-          // an undersized bloom stays correct but stops filtering
-          val expected = spec.long("expectedItems")
-            .getOrElse(math.max(1L, evalShingleSet.count()))
-          val fpp = spec.str("fpp").map(_.toDouble).getOrElse(0.01)
-          val bloom = evalShingleSet.stat.bloomFilter("__es", expected, fpp)
+          // an undersized bloom stays correct but stops filtering. The
+          // derived count and the bloom build are two jobs over the same
+          // explode+distinct: persist across them so the eval corpus
+          // scans once, then release before the main plan runs
+          val derive = spec.long("expectedItems").isEmpty
+          if (derive) evalShingleSet.persist()
+          val bloom = try {
+            val expected = spec.long("expectedItems")
+              .getOrElse(math.max(1L, evalShingleSet.count()))
+            val fpp = spec.str("fpp").map(_.toDouble).getOrElse(0.01)
+            evalShingleSet.stat.bloomFilter("__es", expected, fpp)
+          } finally { if (derive) { evalShingleSet.unpersist(); () } }
           // probe through Spark's native BloomFilterMightContain (the
           // expression behind runtime row-level filtering): the sketch
           // rides the plan as a binary literal and the probe stays inside

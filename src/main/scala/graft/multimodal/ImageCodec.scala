@@ -37,7 +37,12 @@ object ImageCodec {
       reader.setInput(iis, false, false)
       try {
         val nFrames = reader.getNumImages(true) // forces a full scan: exact
-        val cm = reader.read(0).getColorModel
+        // channel count from the reader's image-type METADATA — a full
+        // reader.read(0) pixel decode just for getNumComponents would
+        // dominate a metadata pass over a 100 TB corpus
+        val types = reader.getImageTypes(0)
+        val cm = if (types.hasNext) types.next().getColorModel
+                 else reader.read(0).getColorModel // defensive fallback
         MultimodalStages.MediaMeta(
           media_id = id,
           byte_len = payload.length.toLong,

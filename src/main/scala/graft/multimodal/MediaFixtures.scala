@@ -69,11 +69,19 @@ object MediaFixtures {
       .toDF("media_id", "media_type", "payload")
   }
 
-  /** Write the fixture parquet once per (sfDir, outPath); idempotent. */
+  /** Bump when the format plan / dimension arithmetic above changes —
+    * the on-disk cache marker is keyed on it, so an edit here can never
+    * leave a stale /tmp fixture disagreeing with the oracle. */
+  val Version = 1
+
+  /** Write the fixture parquet once per (sfDir, outPath, Version);
+    * idempotent. */
   def ensure(spark: SparkSession, sfDir: String, outPath: String): String = {
-    val done = new java.io.File(outPath, "_SUCCESS")
-    if (!done.exists())
+    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    if (!marker.exists()) {
       frame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
     outPath
   }
 }

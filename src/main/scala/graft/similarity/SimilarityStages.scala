@@ -75,11 +75,19 @@ object SimilarityStages {
   private def exchangeFree(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    plan.find {
-      case _: LeafNode | _: Project | _: Filter | _: SubqueryAlias |
-           _: Generate | _: Union | _: SerializeFromObject |
-           _: DeserializeToObject | _: MapPartitions | _: TypedFilter => false
-      case _ => true
+    plan.find { node =>
+      val nodeOk = node match {
+        case _: LeafNode | _: Project | _: Filter | _: SubqueryAlias |
+             _: Generate | _: Union | _: SerializeFromObject |
+             _: DeserializeToObject | _: MapPartitions | _: TypedFilter => true
+        case _ => false
+      }
+      // a scalar/IN subquery inside a whitelisted Filter/Project is its
+      // own plan: AQE wraps the query and toRdd would EXECUTE the
+      // subquery stage — treat it as exchange-bearing
+      val hasSubquery = node.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      !nodeOk || hasSubquery
     }.isEmpty
   }
 

@@ -404,22 +404,46 @@ object Stages {
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
     val stmts = jsStatements(code)
     var locals = List.empty[(String, String)] // insertion order; later wins applied last
-    def rewrite(s: String): String = {
+    // quote-aware text transform: applies `f` only to the regions of `s`
+    // OUTSIDE single/double-quoted string literals — '&&' in a literal is
+    // DATA, and a local name inside a literal must not inline
+    def outsideLiterals(s: String)(f: String => String): String = {
+      val out = new StringBuilder
+      var i = 0
+      var start = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'' || c == '"') {
+          out.append(f(s.substring(start, i)))
+          val close = s.indexOf(c, i + 1)
+          val end = if (close < 0) s.length else close + 1
+          out.append(s.substring(i, end))
+          i = end; start = end
+        } else i += 1
+      }
+      out.append(f(s.substring(start)))
+      out.toString
+    }
+    def rewrite(s: String): String = outsideLiterals(s) { seg0 =>
       // JS boolean operators → dialect keywords
-      var e = s.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
+      var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
       // inline locals (latest definition first so redefinition chains
-      // resolve through their predecessors already being inlined)
+      // resolve through their predecessors already being inlined);
+      // quoteReplacement: a '$var' or backslash in a local's expression
+      // is literal text, not a regex group reference
       locals.foreach { case (n, rhs) =>
         e = e.replaceAll(raw"\b" + java.util.regex.Pattern.quote(n) + raw"\b",
-          "(" + rhs + ")")
+          java.util.regex.Matcher.quoteReplacement("(" + rhs + ")"))
       }
       e
     }
     stmts.foldLeft(df) { (d, s) =>
       s match {
         case JsIfAssign(c, name, rhs) =>
-          val keep = if (d.columns.contains(name)) col(name)
-                     else lit(null).cast("string")
+          // untyped null for a new column: NullType adopts the rhs type
+          // in when/otherwise coercion (a string-cast null would widen a
+          // numeric guarded assignment to string)
+          val keep = if (d.columns.contains(name)) col(name) else lit(null)
           d.withColumn(name,
             when(OrientExpr.compile(rewrite(c), ctx.varMap),
               OrientExpr.compile(rewrite(rhs), ctx.varMap)).otherwise(keep))

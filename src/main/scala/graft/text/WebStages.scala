@@ -88,7 +88,10 @@ object WebStages {
     // is a codegen'd IN over string literals. Hosts with no dot (or a
     // bare public suffix with no registrable label) yield ''.
     case "domain" =>
-      val labels = split(urlPart(url, "host"), "\\.")
+      // DNS names are case-insensitive: canonicalize to lowercase so
+      // suffix matching works and quota grouping doesn't split
+      // 'Example.CO.UK' from 'example.co.uk'
+      val labels = split(lower(urlPart(url, "host")), "\\.")
       val n = size(labels)
       val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
       when(n < lit(2), lit(""))

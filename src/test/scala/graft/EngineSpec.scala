@@ -374,6 +374,21 @@ class EngineSpec extends SparkSpec {
         else null
       assert(r.getAs[String]("tier") == expected, s"tier wrong for key $k")
     }
+    // && inside a string LITERAL is data (must not become ' AND '), a
+    // local carrying a '$var' inlines without a regex group-ref crash,
+    // and && outside literals still translates
+    val lits = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "begin": [ { "let": { "name": "lim", "value": 20 } } ],
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var p = 'a && b'; var t = $$lim; record.note = p; record.under = record.n_nationkey < t && record.n_regionkey >= 0;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val lr = lits.filter(col("n_nationkey") === 3).head()
+    assert(lr.getAs[String]("note") == "a && b")
+    assert(lr.getAs[Boolean]("under"))
+    assert(!lits.filter(col("n_nationkey") === 24).head().getAs[Boolean]("under"))
     // unlabeled configs with the extended shapes still route to the shim
     val out2 = Engine.runJson(newCtx(), s"""{
       "source": { "file": { "path": "$path" } },
