@@ -27,11 +27,13 @@ object Bench {
     "neardup_dedup_lsh" -> 5.6, "cosine_dup" -> 5.5, "stream_dedup" -> 5.1,
     "neardup_dedup" -> 3.6, "minhash_pairs" -> 3.3, "cross_dedup" -> 3.0,
     "link_list" -> 3.0, "ngram_count" -> 2.9, "similarity_lsh" -> 2.4,
-    "etl_params" -> 2.0, "pagerank" -> 1.9, "similarity_ivf" -> 1.5,
-    "simhash_pairs" -> 1.4, "graph_motif" -> 1.5, "mm_decode" -> 1.5,
+    "etl_params" -> 2.0, "pagerank" -> 1.9, "similarity_ivf" -> 2.5,
+    "simhash_pairs" -> 1.4, "graph_motif" -> 2.0, "mm_decode" -> 1.5,
     "mm_resize" -> 2.0, "mm_frames" -> 1.5, "pack_chunks" -> 1.2,
-    "partitioned_write" -> 1.1, "stream_sessions" -> 1.0,
-    "stream_window" -> 1.0, "jdbc_roundtrip" -> 1.0)
+    "partitioned_write" -> 1.1, "stream_sessions" -> 2.5,
+    "stream_window" -> 2.0, "jdbc_roundtrip" -> 2.0,
+    "decontaminate_bloom" -> 1.5, "decontaminate" -> 1.5,
+    "chunk_windows" -> 1.5, "tfidf_terms" -> 1.5, "block_code" -> 1.5)
   private val DefaultAnchor = 1.0
   private val RerunFactor = 5.0
 

@@ -72,6 +72,8 @@ object SparkEntry {
       // real encoded images (PNG/JPEG/BMP/animated GIF), one per doc_id,
       // generated executor-side — the mm_* decode queries' input
       graft.multimodal.MediaFixtures.ensure(spark, sfDir, s"$dir/media_parquet")
+      // real WAV payloads for the audio metadata decode
+      graft.multimodal.MediaFixtures.ensureAudio(spark, sfDir, s"$dir/audio_parquet")
       // multilingual text: one held-out sentence per doc_id, language
       // keyed by doc_id % 14 — the langid query must recover the key
       // from the TEXT; the oracle recomputes the arithmetic. The cache
@@ -1316,6 +1318,19 @@ object SparkEntry {
         .select("media_id", "width", "height", "channels")
         .orderBy("media_id")
     },
+    "mm_audio" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // real WAV header decode: sample rate / channels / sample count
+      // recovered from the BYTES; the oracle recomputes the fixture's
+      // doc_id arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/audio_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_audio": {"idField": "media_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "sample_rate", "channels", "n_samples")
+        .orderBy("media_id")
+    },
     "stream_dedup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // streaming exact dedup with watermark-BOUNDED state
@@ -1838,6 +1853,12 @@ object SparkEntry {
        "CAST(floor((16 + (doc_id * 11) % 83) * least(CAST(24 AS DOUBLE) / (16 + (doc_id * 7) % 97), CAST(24 AS DOUBLE) / (16 + (doc_id * 11) % 83), CAST(1 AS DOUBLE))) AS INTEGER) AS height, " +
        "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels " +
        "FROM documents WHERE doc_id % 5 <> 4 ORDER BY media_id"),
+    "mm_audio" ->
+      ("SELECT doc_id AS media_id, " +
+       "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END AS INTEGER) AS sample_rate, " +
+       "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
+       "CAST(500 + (doc_id * 13) % 1000 AS BIGINT) AS n_samples " +
+       "FROM documents ORDER BY media_id"),
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),

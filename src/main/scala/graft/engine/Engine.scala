@@ -81,6 +81,7 @@ object Engine {
     "mm_decode"     -> graft.multimodal.MultimodalStages.decode _,
     "mm_resize"     -> graft.multimodal.MultimodalStages.resize _,
     "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
+    "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
   )
 
   // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------

@@ -69,6 +69,49 @@ object MediaFixtures {
       .toDF("media_id", "media_type", "payload")
   }
 
+  // ---- audio fixture: real WAV payloads, metadata = doc_id arithmetic
+
+  def audioRate(id: Long): Int = (id % 3) match {
+    case 0 => 8000; case 1 => 16000; case _ => 32000
+  }
+  def audioChannels(id: Long): Int = (1 + id % 2).toInt
+  def audioSamples(id: Long): Long = 500 + (id * 13) % 1000
+
+  /** Real PCM-16 WAV bytes for one doc_id (deterministic sine-ish fill;
+    * content is irrelevant to the metadata oracle). */
+  def audioPayload(id: Long): Array[Byte] = {
+    val n = audioSamples(id).toInt
+    val ch = audioChannels(id)
+    val pcm = new Array[Byte](n * ch * 2)
+    var i = 0
+    while (i < n * ch) {
+      val v = ((id * 31 + i * 7) % 8192).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    AudioCodec.encodeWav(pcm, audioRate(id), ch)
+  }
+
+  /** The audio fixture frame: (media_id, payload), one WAV per doc. */
+  def audioFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, audioPayload(id))))(enc)
+      .toDF("media_id", "payload")
+  }
+
+  def ensureAudio(spark: SparkSession, sfDir: String, outPath: String): String = {
+    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    if (!marker.exists()) {
+      audioFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
+    outPath
+  }
+
   /** Bump when the format plan / dimension arithmetic above changes —
     * the on-disk cache marker is keyed on it, so an edit here can never
     * leave a stale /tmp fixture disagreeing with the oracle. */

@@ -97,6 +97,31 @@ object MultimodalStages {
       } else meta
     }
 
+  /** `mm_audio`: partition-parallel WAV/PCM header decode of a binary
+    * payload into [[AudioCodec.AudioMeta]] columns (real sample rate /
+    * channels / sample count from the bytes — `javax.sound.sampled`, no
+    * external codecs). Options: `idField` (default doc_id),
+    * `payloadField` (default payload), `onUndecodable` error|skip. */
+  def audio(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_audio: unknown onUndecodable '$other' (error|skip)")
+      }
+      val metaEnc = Encoders.product[AudioCodec.AudioMeta]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          if (skip) iter.flatMap { case (i, bytes) =>
+            try Some(AudioCodec.decode(i, bytes))
+            catch { case scala.util.control.NonFatal(_) => None } }
+          else iter.map { case (i, bytes) => AudioCodec.decode(i, bytes) }
+        }(metaEnc).toDF()
+    }
+
   /** `mm_resize`: resize to fit a `maxWidth`×`maxHeight` bounding box,
     * preserving aspect ratio (integer floor, never upscaled).
     * Two modes, `resample` option:

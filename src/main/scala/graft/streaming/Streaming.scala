@@ -104,9 +104,25 @@ object Streaming {
       .select(col(keyF).cast("string"), col("__ts"))
       .as[(String, java.sql.Timestamp)](tupleEnc)
 
+    // one key's events within ONE micro-batch buffer in memory to sort
+    // (gap semantics needs event-time order; state across batches stays
+    // constant-size). A pathological key in a single trigger is an
+    // executor-memory risk — cap it LOUDLY instead of OOMing the task.
+    val maxBuf = spec.long("maxEventsPerKeyBatch").getOrElse(1000000L)
+
     def fn(key: String, events: Iterator[(String, java.sql.Timestamp)],
            state: GroupState[SessState]): Iterator[Session] = {
-      val sorted = events.map(_._2.getTime).toSeq.sorted
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      events.foreach { e =>
+        buf += e._2.getTime
+        if (buf.length > maxBuf) sys.error(
+          s"sessionize: key '$key' exceeded maxEventsPerKeyBatch=$maxBuf " +
+          "in one micro-batch — lower the trigger interval, pre-filter " +
+          "the key, or raise the cap explicitly")
+      }
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val sorted = arr
       var out = List.empty[Session]
       var st = state.getOption.orNull
       if (state.hasTimedOut) {

@@ -81,6 +81,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == (0 until MediaFixtures.gifFrames(4L)))
   }
 
+  test("mm_audio: real WAV header decode recovers rate/channels/samples") {
+    val ids = Seq(0L, 1L, 2L, 7L, 10L)
+    val df = ids.map(i => (i, MediaFixtures.audioPayload(i)))
+      .toDF("media_id", "payload")
+    val out = stage("mm_audio", "idField" -> "media_id")(df)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Int]("sample_rate") == MediaFixtures.audioRate(id), s"rate id=$id")
+      assert(r.getAs[Int]("channels") == MediaFixtures.audioChannels(id), s"ch id=$id")
+      assert(r.getAs[Long]("n_samples") == MediaFixtures.audioSamples(id), s"n id=$id")
+    }
+    // corrupt payload: typed error naming the row; skip mode drops it
+    val bad = (Seq((5L, MediaFixtures.audioPayload(5L)),
+      (99L, "not audio".getBytes("UTF-8")))).toDF("media_id", "payload")
+    val e = intercept[Exception](stage("mm_audio", "idField" -> "media_id")(bad).collect())
+    assert(e.getMessage != null)
+    assert(stage("mm_audio", "idField" -> "media_id",
+      "onUndecodable" -> "skip")(bad).count() == 1)
+  }
+
   test("MediaFixtures.frame: distributed generation, schema contract") {
     val mf = MediaFixtures.frame(spark, "/root/testdata/sf0.001")
     assert(mf.columns.toSeq == Seq("media_id", "media_type", "payload"))
