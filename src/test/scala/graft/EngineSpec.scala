@@ -468,10 +468,12 @@ class EngineSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_simhash64('a b c') AS sh,
         |       graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
-        |       size(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16)) AS nsig
+        |       size(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16)) AS nsig,
+        |       graft_langid('Er ging gestern nach Hause und kaufte Brot.') AS lang
         |""".stripMargin).head()
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 16)
+    assert(r.getString(3) == "de")
   }
 
   test("csv ingest hardening: single-bound skips, quoted headers, skipFirst, no _row_num leak") {
