@@ -35,7 +35,13 @@ object Bench {
     "decontaminate_bloom" -> 1.5, "decontaminate" -> 1.5,
     "chunk_windows" -> 1.5, "tfidf_terms" -> 1.5, "block_code" -> 1.5)
   private val DefaultAnchor = 1.0
-  private val RerunFactor = 5.0
+  // 3× catches the AMBIENT steal pattern (uniform 1.5–3× inflation with
+  // no single catastrophic stall — observed on this box, 98 s vs 145 s
+  // same-day full runs with zero 5× outliers); the 1 s floor keeps
+  // sub-second queries from re-running on noise, bounding the worst-case
+  // extra wall to roughly the heavy-query subtotal
+  private val RerunFactor = 3.0
+  private val MinRerunSeconds = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +92,7 @@ object Bench {
     // defense pass: re-run outliers once, keep the min
     val defended = raw.map { case (name, fn, t1) =>
       val anchor = Anchors.getOrElse(name, DefaultAnchor)
-      if (t1 > RerunFactor * anchor) {
+      if (t1 > RerunFactor * anchor && t1 > MinRerunSeconds) {
         val t2 = timeOnce(name, fn)
         System.err.println(
           f"[bench] $name: $t1%.1fs > ${RerunFactor * anchor}%.1fs " +
