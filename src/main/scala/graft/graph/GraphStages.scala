@@ -105,7 +105,11 @@ object GraphStages {
     *    an optional `:label` constrains the edge label —
     *    `(a)-[:placed]->(c); (b)-[:placed]->(c)` finds V-shapes.
     *    Repeating a vertex name expresses the join; `(a)-[]->(a)` is a
-    *    self-loop constraint.
+    *    self-loop constraint. `(a)-[e]-(b)` (no arrow head) matches the
+    *    edge in EITHER direction. `!(a)-[]->(b)` is a NEGATED term —
+    *    keeps only rows where no such edge exists (anti-join); a negated
+    *    term must be directed, unnamed, and reference vertices bound by
+    *    a positive term.
     *  - `where` (optional): SQL boolean over the result columns, e.g.
     *    `"a < b"` to de-mirror symmetric patterns.
     *
@@ -125,38 +129,63 @@ object GraphStages {
         sys.error("motif: no edges — apply an `edge` stage first"))
       val patternStr = spec.str("pattern")
         .getOrElse(sys.error("motif: pattern required, e.g. \"(a)-[e]->(b); (b)-[]->(c)\""))
-      val Term = """\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w*)\s*(?::\s*(\w+)\s*)?\]\s*->\s*\(\s*(\w+)\s*\)""".r
+      val Term =
+        """(!?)\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w*)\s*(?::\s*(\w+)\s*)?\]\s*(->|-)\s*\(\s*(\w+)\s*\)""".r
+      // (negated, src, edgeName, edgeLabel, directed, dst)
       val terms = patternStr.split(";").map(_.trim).filter(_.nonEmpty).map {
-        case Term(src, ename, elabel, dst) =>
-          (src, Option(ename).filter(_.nonEmpty),
-            Option(elabel).filter(_.nonEmpty), dst)
+        case Term(neg, src, ename, elabel, arrow, dst) =>
+          (neg == "!", src, Option(ename).filter(_.nonEmpty),
+            Option(elabel).filter(_.nonEmpty), arrow == "->", dst)
         case bad => sys.error(s"motif: cannot parse term '$bad' " +
-          "(expected (a)-[e:label]->(b) with named vertices)")
+          "(expected (a)-[e:label]->(b) / (a)-[e]-(b) / !(a)-[]->(b) " +
+          "with named vertices)")
       }.toSeq
       require(terms.nonEmpty, "motif: empty pattern")
-      val enames = terms.flatMap(_._2)
+      val (negTerms, posTerms) = terms.partition(_._1)
+      require(posTerms.nonEmpty, "motif: pattern needs at least one positive term")
+      negTerms.foreach { case (_, src, ename, _, directed, dst) =>
+        require(ename.isEmpty && directed,
+          s"motif: a negated term must be directed and unnamed (!($src)-[]->($dst))")
+      }
+      val enames = posTerms.flatMap(_._3)
       require(enames.distinct.size == enames.size,
         s"motif: duplicate edge names in '$patternStr'")
-      val frames = terms.map { case (src, ename, elabel, dst) =>
+      def termFrame(src: String, ename: Option[String], elabel: Option[String],
+                    directed: Boolean, dst: String): DataFrame = {
         val filtered = elabel.fold(edges)(l => edges.where(col("label") === l))
-        val base =
+        def oriented(from: String, to: String) =
           if (src == dst) // self-loop term: one vertex column
             filtered.where(col("src") === col("dst"))
-              .select(col("src").as(src) +:
+              .select(col(from).as(src) +:
                 ename.map(e => col("label").as(s"${e}_label")).toSeq: _*)
-          else filtered.select(Seq(col("src").as(src), col("dst").as(dst)) ++
+          else filtered.select(Seq(col(from).as(src), col(to).as(dst)) ++
             ename.map(e => col("label").as(s"${e}_label")): _*)
-        base
+        if (directed || src == dst) oriented("src", "dst")
+        else oriented("src", "dst").union(oriented("dst", "src"))
       }
-      val joined = frames.reduceLeft { (acc, next) =>
+      val joined = posTerms.map { case (_, src, ename, elabel, directed, dst) =>
+        termFrame(src, ename, elabel, directed, dst)
+      }.reduceLeft { (acc, next) =>
         val common = acc.columns.intersect(next.columns).toSeq
         if (common.isEmpty) acc.crossJoin(next) // disconnected pattern
         else acc.join(next, common)
       }
-      // stable column order: vertices by first appearance, then edges
-      val vcols = terms.flatMap(t => Seq(t._1, t._4)).distinct
+      // negated terms: anti-join away rows for which the edge EXISTS —
+      // both endpoints must already be bound by the positive pattern
+      val filtered = negTerms.foldLeft(joined) {
+        case (acc, (_, src, _, elabel, _, dst)) =>
+          require(acc.columns.contains(src) && acc.columns.contains(dst),
+            s"motif: negated term !($src)-[]->($dst) references a vertex " +
+            "not bound by any positive term")
+          acc.join(termFrame(src, None, elabel, directed = true, dst),
+            if (src == dst) Seq(src) else Seq(src, dst), "left_anti")
+      }
+      // stable column order: vertices by first appearance (positive
+      // terms first — negated terms add no columns), then edges
+      val vcols = (posTerms.flatMap(t => Seq(t._2, t._6)) ++
+        negTerms.flatMap(t => Seq(t._2, t._6))).distinct
       val ecols = enames.map(e => s"${e}_label")
-      val result = joined.select((vcols ++ ecols).map(col): _*)
+      val result = filtered.select((vcols ++ ecols).map(col): _*)
       spec.str("where").fold(result)(w => result.where(expr(w)))
     }
 

@@ -21,9 +21,11 @@ object Loaders {
     * with collate; :435-513 indexes). `columns: ["name:type", …]` on a
     * parquet/jdbc loader validates presence and casts to the declared
     * type, failing fast at PLAN time (missing column / unresolvable cast
-    * → clear error before any job runs). `indexes` is a documented no-op:
-    * columnar scan + join strategies replace point indexes in Spark
-    * (SURVEY.md §2.4). */
+    * → clear error before any job runs). `indexes` on a NON-orientdb
+    * loader is a documented no-op (columnar scan + join strategies
+    * replace point indexes in Spark, SURVEY.md §2.4); the orientdb
+    * loader validates and records them in its `_schema.json` sidecar
+    * instead (see [[orientSchema]]). */
   private def applyDeclaredSchema(df: DataFrame, spec: ComponentSpec): DataFrame = {
     if (spec.list("indexes").nonEmpty)
       System.err.println("[graft] loader `indexes` declared — no-op on Spark (see SURVEY.md §2.4)")
@@ -147,7 +149,7 @@ object Loaders {
     val classes = spec.list("classes").collect {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
     }
-    if (!auto && classes.isEmpty) return (df, None)
+    if (!auto && classes.isEmpty && idxList(spec).isEmpty) return (df, None)
     val renamed =
       if (auto) df.columns.foldLeft(df) { (d, c) =>
         transformFieldName(c).map(d.withColumnRenamed(c, _)).getOrElse(d)
@@ -227,9 +229,41 @@ object Loaders {
         Seq(s"{${q("name")}: ${q(cls)}, ${q("abstract")}: false, " +
           s"${q("properties")}: [${props.mkString(", ")}]}")
       } else Nil
-    val json = s"{${q("classes")}: [${(declared ++ inferred).mkString(", ")}]}"
+    // declared indexes (OOrientDBLoader.java:435-513): point indexes have
+    // no execution analogue on Spark (columnar scans + join strategies
+    // replace them), so they are VALIDATED and recorded in the sidecar —
+    // a downstream catalog (or an OrientDB re-import) can apply them;
+    // a typo'd class or empty field list still fails fast here
+    val idxJson = idxList(spec).map { m =>
+      val icls = m.getOrElse("class", cls).toString
+      require(known.contains(icls),
+        s"orientdb loader: index on unknown class '$icls'")
+      val fields = m.get("fields") match {
+        case Some(fs: Seq[_]) => fs.map(_.toString)
+        case _ => Nil
+      }
+      require(fields.nonEmpty, s"orientdb loader: index on '$icls' requires fields")
+      val typ = m.getOrElse("type", "NOTUNIQUE").toString.toUpperCase
+      val allowed = Set("UNIQUE", "NOTUNIQUE", "FULLTEXT", "DICTIONARY",
+        "UNIQUE_HASH_INDEX", "NOTUNIQUE_HASH_INDEX")
+      require(allowed.contains(typ),
+        s"orientdb loader: unknown index type '$typ' (${allowed.mkString("|")})")
+      val iname = m.get("name").map(_.toString).getOrElse(
+        icls + "." + fields.map(_.takeWhile(_ != ':')).mkString("_"))
+      s"{${q("name")}: ${q(iname)}, ${q("class")}: ${q(icls)}, " +
+        s"${q("type")}: ${q(typ)}, " +
+        s"${q("fields")}: [${fields.map(f => q(f)).mkString(", ")}]}"
+    }
+    val idxPart =
+      if (idxJson.isEmpty) "" else s", ${q("indexes")}: [${idxJson.mkString(", ")}]"
+    val json = s"{${q("classes")}: [${(declared ++ inferred).mkString(", ")}]$idxPart}"
     (renamed, Some(json))
   }
+
+  private def idxList(spec: ComponentSpec): Seq[Map[String, Any]] =
+    spec.list("indexes").collect {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    }
 
   /** Run the sink. Returns true when a terminal ACTION executed (so the
     * engine can collect deferred observe checks — EtlContext.drainChecks);
@@ -360,16 +394,16 @@ object Loaders {
           try out.write(json.getBytes("UTF-8")) finally out.close()
         }
         if (dbUrl.startsWith("jdbc:")) {
-          load(ctx, ComponentSpec("jdbc", spec.options ++ Map(
+          load(ctx, ComponentSpec("jdbc", (spec.options - "indexes") ++ Map(
             "url" -> dbUrl, "table" -> cls)), df2)
         } else if (spec.strOr("dbType", "document").equalsIgnoreCase("graph")) {
           val dir = dbUrl.replaceFirst("^[a-z]+:", "")
           writeSidecar(dir)
-          load(ctx, ComponentSpec("graph", spec.options ++ Map("path" -> dir)), df2)
+          load(ctx, ComponentSpec("graph", (spec.options - "indexes") ++ Map("path" -> dir)), df2)
         } else {
           val dir = dbUrl.replaceFirst("^[a-z]+:", "")
           writeSidecar(dir)
-          load(ctx, ComponentSpec("parquet", spec.options ++ Map(
+          load(ctx, ComponentSpec("parquet", (spec.options - "indexes") ++ Map(
             "path" -> s"$dir/$cls")), df2)
         }
 

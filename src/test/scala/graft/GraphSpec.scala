@@ -69,6 +69,31 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage.contains("cannot parse"))
   }
 
+  test("motif: undirected terms and negated terms") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "b", "knows"), ("b", "c", "knows"),
+      ("c", "b", "knows"), ("a", "d", "likes"))
+      .toDF("src", "dst", "label"))
+    // undirected: (x)-[]-(y) matches either orientation
+    val und = motifRun(ctx, "pattern" -> "(x)-[:knows]-(y)")
+      .as[(String, String)].collect().toSet
+    assert(und == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
+    // negation over a chain: keep two-hop paths with no closing edge
+    // z→x. All three chains here lack one (c→a, b→b, c→c absent).
+    val noTri = motifRun(ctx,
+      "pattern" -> "(x)-[:knows]->(y); (y)-[:knows]->(z); !(z)-[]->(x)")
+      .select("x", "y", "z").as[(String, String, String)].collect().toSet
+    assert(noTri == Set(("a", "b", "c"), ("b", "c", "b"), ("c", "b", "c")))
+    // negation that removes: ! (y)->(x) kills mutual pairs
+    val oneWay = motifRun(ctx, "pattern" -> "(x)-[:knows]->(y); !(y)-[]->(x)")
+      .as[(String, String)].collect().toSet
+    assert(oneWay == Set(("a", "b"))) // b↔c are mutual, dropped
+    // a negated term must bind to the positive pattern
+    val e = intercept[Exception](motifRun(ctx,
+      "pattern" -> "(x)-[:knows]->(y); !(q)-[]->(x)"))
+    assert(e.getMessage.contains("not bound"))
+  }
+
   test("motif: self-loop term and shared-vertex join across terms") {
     val ctx = newCtx()
     ctx.addEdges(Seq(("s", "s", "self"), ("s", "t", "out"))

@@ -104,6 +104,36 @@ class ParitySpec extends SparkSpec {
     assert(cycle.getMessage.contains("cycle"))
   }
 
+  test("orientdb loader: declared indexes validate and land in the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/nation.parquet"}},
+      "extractor": {"parquet": {}},
+      "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+        "indexes": [
+          {"class": "Nation", "fields": ["n_nationkey:integer"], "type": "UNIQUE"},
+          {"fields": ["n_name", "n_regionkey"]}]}} }""")
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_schema.json")), "UTF-8")
+    assert(json.contains(""""name": "Nation.n_nationkey", "class": "Nation", "type": "UNIQUE""""))
+    // default class = loader class, default type NOTUNIQUE, composite name
+    assert(json.contains(""""name": "Nation.n_name_n_regionkey""""))
+    assert(json.contains(""""type": "NOTUNIQUE""""))
+    // unknown class / empty fields / bad type fail fast
+    def bad(idx: String) = intercept[IllegalArgumentException] {
+      Engine.runJson(newCtx(), s"""{
+        "source": {"file": {"path": "$sfDir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"orientdb": {"dbURL": "plocal:$dir", "class": "Nation",
+          "indexes": [$idx]}} }""")
+    }
+    assert(bad("""{"class": "NoSuch", "fields": ["x"]}""")
+      .getMessage.contains("unknown class"))
+    assert(bad("""{"class": "Nation"}""").getMessage.contains("requires fields"))
+    assert(bad("""{"class": "Nation", "fields": ["x"], "type": "WEIRD"}""")
+      .getMessage.contains("unknown index type"))
+  }
+
   test("orientdb loader: declared columns validate and cast (DDL checks)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toString
     val err = intercept[IllegalArgumentException] {
