@@ -369,7 +369,8 @@ object Stages {
           JsIfAssign.pattern.matcher(s).matches()) &&
         stmts.forall(s => JsAssign.pattern.matcher(s).matches() ||
           JsVarDecl.pattern.matcher(s).matches() ||
-          JsIfAssign.pattern.matcher(s).matches())
+          JsIfAssign.pattern.matcher(s).matches() ||
+          JsElseAssign.pattern.matcher(s).matches())
     }
   }
 
@@ -377,16 +378,34 @@ object Stages {
   private val JsVarDecl = raw"(?:var|let|const)\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
   private val JsIfAssign =
     raw"if\s*\((.+)\)\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+  private val JsElseAssign =
+    raw"else\s+record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
 
   /** Split a JS body into shim statements: single-assignment braces
     * (`if (c) { record.x = e; }`) normalize to the brace-free form
-    * first; bare `record` / `return record` terminators are dropped. */
-  private def jsStatements(code: String): Seq[String] =
-    code.replaceAll(
+    * first; the split is QUOTE-AWARE (a ';' inside a string literal is
+    * data, not a terminator); bare `record` / `return record`
+    * terminators are dropped. */
+  private def jsStatements(code: String): Seq[String] = {
+    val normalized = code.replaceAll(
         raw"if\s*\(([^)]*)\)\s*\{\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^;{}]+);\s*\}",
         "if ($1) record.$2 = $3;")
-      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      .replaceAll(
+        raw"else\s*\{\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^;{}]+);\s*\}",
+        "else record.$1 = $2;")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    normalized.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
       .filterNot(s => s == "record" || s == "return record")
+  }
 
   /** Legacy-JS translation (the reference's default `code` engine was
     * JavaScript — OCodeTransformer.java:67-80): the three statement
@@ -396,7 +415,9 @@ object Stages {
     *    into every later reference, so locals cost nothing in the plan,
     *  - `if (cond) record.x = expr;` (braces allowed around a single
     *    assignment) → `when(cond, expr)` keeping the existing value
-    *    (null for a new column) otherwise.
+    *    (null for a new column) otherwise; an immediately following
+    *    `else record.x = expr;` fills the other branch (the condition
+    *    must not read the column it assigns — it is re-evaluated).
     * `record.` prefixes resolve to fields. Anything richer (loops,
     * function calls, multi-statement blocks) fails with a named
     * migration path — full JS is out of parity scope (SURVEY.md §7.4,
@@ -437,9 +458,12 @@ object Stages {
       }
       e
     }
+    // the cond of the immediately-preceding if-assign, for `else`
+    var lastIf: Option[(String, String)] = None // (cond, column)
     stmts.foldLeft(df) { (d, s) =>
       s match {
         case JsIfAssign(c, name, rhs) =>
+          lastIf = Some((c, name))
           // untyped null for a new column: NullType adopts the rhs type
           // in when/otherwise coercion (a string-cast null would widen a
           // numeric guarded assignment to string)
@@ -447,15 +471,36 @@ object Stages {
           d.withColumn(name,
             when(OrientExpr.compile(rewrite(c), ctx.varMap),
               OrientExpr.compile(rewrite(rhs), ctx.varMap)).otherwise(keep))
+        case JsElseAssign(name, rhs) =>
+          val (cond, ifName) = lastIf.getOrElse(sys.error(
+            s"code: `else` without a preceding `if (cond) record.$name = …;`"))
+          require(ifName == name, s"code: `else record.$name = …` must " +
+            s"assign the SAME column as its if branch (record.$ifName)")
+          // the else re-evaluates cond AFTER the if branch wrote the
+          // column — a cond reading the assigned column would see the
+          // new value; reject rather than silently diverge from JS
+          require(!rewrite(cond).matches(raw"(?s).*\b$name\b.*"),
+            s"code: `if/else` on record.$name cannot also READ record.$name " +
+            "in its condition (the shim re-evaluates the condition); use " +
+            "a `var` local for the old value")
+          lastIf = None
+          // the if branch already wrote its value when cond held — keep
+          // it there, take the else value otherwise
+          d.withColumn(name,
+            when(OrientExpr.compile(rewrite(cond), ctx.varMap), col(name))
+              .otherwise(OrientExpr.compile(rewrite(rhs), ctx.varMap)))
         case JsVarDecl(name, rhs) =>
+          lastIf = None
           locals = (name, rewrite(rhs)) :: locals
           d
         case JsAssign(name, rhs) =>
+          lastIf = None
           d.withColumn(name, OrientExpr.compile(rewrite(rhs), ctx.varMap))
         case other => sys.error(
           s"code: JavaScript config not translatable (statement: `$other`). " +
           "The migration shim covers `record.x = expr;` assignments, " +
-          "`var x = expr;` locals, and `if (cond) record.x = expr;` guards. " +
+          "`var x = expr;` locals, `if (cond) record.x = expr;` guards " +
+          "and their `else record.x = expr;` branches. " +
           "Use language: \"sql\" with `code: \"SELECT ... FROM __input\"`, " +
           "a dialect `expression` + `fieldName`, or a Scala hook via " +
           "`ref` (Engine.registerCode) — full JS is out of parity scope " +

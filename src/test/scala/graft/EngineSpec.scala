@@ -389,6 +389,28 @@ class EngineSpec extends SparkSpec {
     assert(lr.getAs[String]("note") == "a && b")
     assert(lr.getAs[Boolean]("under"))
     assert(!lits.filter(col("n_nationkey") === 24).head().getAs[Boolean]("under"))
+    // else branches (braced form too) and a ';' inside a string literal
+    val els = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.tag = 'x;y'; if (record.n_nationkey < 10) { record.side = 'low'; } else { record.side = 'high'; }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(els.filter(col("n_nationkey") === 3).head().getAs[String]("tag") == "x;y")
+    assert(els.filter(col("n_nationkey") === 3).head().getAs[String]("side") == "low")
+    assert(els.filter(col("n_nationkey") === 15).head().getAs[String]("side") == "high")
+    // an else whose condition reads the assigned column is rejected
+    val condRead = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "code": { "language": "javascript", "code":
+          "if (record.n_nationkey > 5) record.n_nationkey = 0; else record.n_nationkey = 9;" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(condRead.getMessage.contains("cannot also READ"))
     // unlabeled configs with the extended shapes still route to the shim
     val out2 = Engine.runJson(newCtx(), s"""{
       "source": { "file": { "path": "$path" } },
