@@ -24,23 +24,23 @@ object Bench {
     * a re-run TRIGGER, not a clamp — reported numbers are always real
     * measurements from this run. */
   private val Anchors: Map[String, Double] = Map(
-    "neardup_dedup_lsh" -> 5.6, "cosine_dup" -> 5.5, "stream_dedup" -> 5.1,
-    "neardup_dedup" -> 3.6, "minhash_pairs" -> 3.3, "cross_dedup" -> 3.0,
-    "link_list" -> 3.0, "ngram_count" -> 2.9, "similarity_lsh" -> 2.4,
-    "etl_params" -> 2.0, "pagerank" -> 1.9, "similarity_ivf" -> 2.5,
-    "simhash_pairs" -> 1.4, "graph_motif" -> 2.0, "mm_decode" -> 1.5,
-    "mm_resize" -> 2.0, "mm_frames" -> 1.5, "pack_chunks" -> 1.2,
-    "partitioned_write" -> 1.1, "stream_sessions" -> 2.5,
-    "stream_window" -> 2.0, "jdbc_roundtrip" -> 2.0,
-    "decontaminate_bloom" -> 1.5, "decontaminate" -> 1.5,
-    "chunk_windows" -> 1.5, "tfidf_terms" -> 1.5, "block_code" -> 1.5)
+    "cosine_dup" -> 4.0, "neardup_dedup_lsh" -> 3.9, "minhash_pairs" -> 3.6,
+    "neardup_dedup" -> 3.4, "link_list" -> 3.2, "similarity_ivf" -> 3.1,
+    "stream_dedup" -> 2.9, "cross_dedup" -> 2.9, "ngram_count" -> 2.7,
+    "stream_sessions" -> 2.6, "similarity_lsh" -> 2.1, "stream_window" -> 2.1,
+    "jdbc_roundtrip" -> 2.0, "etl_params" -> 1.8, "block_code" -> 1.7,
+    "chunk_windows" -> 1.6, "pagerank" -> 1.5, "tfidf_terms" -> 1.5,
+    "decontaminate_bloom" -> 1.5, "graph_motif" -> 1.4,
+    "decontaminate" -> 1.4, "simhash_pairs" -> 1.1, "mm_resize" -> 1.1,
+    "pack_chunks" -> 1.1, "graph_neighbors" -> 1.1, "upsert_write" -> 1.0,
+    "partitioned_write" -> 1.0, "mm_audio" -> 0.8)
   private val DefaultAnchor = 1.0
-  // 3× catches the AMBIENT steal pattern (uniform 1.5–3× inflation with
+  // 2× catches the AMBIENT steal pattern (uniform 1.5–3× inflation with
   // no single catastrophic stall — observed on this box, 98 s vs 145 s
   // same-day full runs with zero 5× outliers); the 1 s floor keeps
-  // sub-second queries from re-running on noise, bounding the worst-case
-  // extra wall to roughly the heavy-query subtotal
-  private val RerunFactor = 3.0
+  // sub-second queries from re-running on noise, so the worst-case extra
+  // wall is one re-run of each >1 s query (~the heavy subtotal)
+  private val RerunFactor = 2.0
   private val MinRerunSeconds = 1.0
 
   def main(args: Array[String]): Unit = {

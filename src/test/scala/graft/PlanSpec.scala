@@ -260,6 +260,20 @@ class PlanSpec extends SparkSpec {
     assert(spreadScan.collect().length == scan.count().toInt)
   }
 
+  test("motif: connected pattern plans an equi-join, not a cartesian") {
+    val ctx = newCtx()
+    import spark.implicits._
+    ctx.addEdges((1L to 2000L).map(i => (s"o$i", s"c${i % 97}", "placed"))
+      .toDF("src", "dst", "label"))
+    val out = graft.graph.GraphStages.motif(
+      graft.spec.ComponentSpec("motif", Map(
+        "pattern" -> "(a)-[:placed]->(c); (b)-[:placed]->(c)",
+        "where" -> "a < b")), ctx)(spark.emptyDataFrame)
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"V-motif must join on the shared vertex:\n$plan")
+  }
+
   test("corpusstats: ONE aggregation pass (single exchange)") {
     val ctx = newCtx()
     val out = graft.text.TextStages.corpusstats(
