@@ -161,7 +161,15 @@ object GraphStages {
           else filtered.select(Seq(col(from).as(src), col(to).as(dst)) ++
             ename.map(e => col("label").as(s"${e}_label")): _*)
         if (directed || src == dst) oriented("src", "dst")
-        else oriented("src", "dst").union(oriented("dst", "src"))
+        else {
+          // undirected = both orientations; a self-loop edge (src==dst in
+          // the DATA) yields the same row either way — emit it once, from
+          // the forward orientation only
+          val back = filtered.where(col("src") =!= col("dst"))
+            .select(Seq(col("dst").as(src), col("src").as(dst)) ++
+              ename.map(e => col("label").as(s"${e}_label")): _*)
+          oriented("src", "dst").union(back)
+        }
       }
       val joined = posTerms.map { case (_, src, ename, elabel, directed, dst) =>
         termFrame(src, ename, elabel, directed, dst)

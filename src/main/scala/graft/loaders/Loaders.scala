@@ -24,8 +24,9 @@ object Loaders {
     * → clear error before any job runs). `indexes` on a NON-orientdb
     * loader is a documented no-op (columnar scan + join strategies
     * replace point indexes in Spark, SURVEY.md §2.4); the orientdb
-    * loader validates and records them in its `_schema.json` sidecar
-    * instead (see [[orientSchema]]). */
+    * loader validates them and, in its plocal/graph modes, records them
+    * in the `_schema.json` sidecar (see [[orientSchema]]) — a jdbc
+    * dbURL has no database directory, so it warns instead. */
   private def applyDeclaredSchema(df: DataFrame, spec: ComponentSpec): DataFrame = {
     if (spec.list("indexes").nonEmpty)
       System.err.println("[graft] loader `indexes` declared — no-op on Spark (see SURVEY.md §2.4)")
@@ -394,6 +395,14 @@ object Loaders {
           try out.write(json.getBytes("UTF-8")) finally out.close()
         }
         if (dbUrl.startsWith("jdbc:")) {
+          // a jdbc target has no database DIRECTORY to carry the sidecar
+          // — declared indexes were validated above but have nowhere to
+          // land; say so instead of dropping them silently
+          if (sidecar.exists(_.contains("\"indexes\"")))
+            System.err.println("[graft] orientdb loader: declared indexes " +
+              "validated but NOT recorded for a jdbc dbURL (no database " +
+              "directory for the _schema.json sidecar); create them on " +
+              "the target database directly")
           load(ctx, ComponentSpec("jdbc", (spec.options - "indexes") ++ Map(
             "url" -> dbUrl, "table" -> cls)), df2)
         } else if (spec.strOr("dbType", "document").equalsIgnoreCase("graph")) {

@@ -381,11 +381,48 @@ object Stages {
   private val JsElseAssign =
     raw"else\s+record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
 
+  /** ONE literal scanner for every JS-shim text pass: segments of `s`
+    * tagged `isLiteral` (single/double-quoted; a backslash inside a
+    * literal escapes the next char — the JS escape, so `'it\'s'` is one
+    * literal). An unterminated literal runs to the end of the string. */
+  private[graft] def jsLiteralSpans(s: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var escaped = false
+    def flush(lit: Boolean): Unit =
+      if (cur.nonEmpty) { out += ((cur.toString, lit)); cur.clear() }
+    s.foreach { c =>
+      if (quote != 0) {
+        cur.append(c)
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) { quote = 0; flush(lit = true) }
+      } else if (c == '\'' || c == '"') {
+        flush(lit = false); quote = c; cur.append(c)
+      } else cur.append(c)
+    }
+    flush(lit = quote != 0)
+    out.toSeq
+  }
+
+  /** Apply `f` to the regions of `s` OUTSIDE string literals — '&&' in
+    * a literal is DATA, and a local name inside a literal must not
+    * inline. */
+  private def outsideJsLiterals(s: String)(f: String => String): String =
+    jsLiteralSpans(s).map { case (seg, lit) => if (lit) seg else f(seg) }.mkString
+
+  /** `s` with its string literals removed — for guards that must not
+    * trip on words inside literal data. */
+  private def withoutJsLiterals(s: String): String =
+    jsLiteralSpans(s).collect { case (seg, false) => seg }.mkString
+
   /** Split a JS body into shim statements: single-assignment braces
-    * (`if (c) { record.x = e; }`) normalize to the brace-free form
-    * first; the split is QUOTE-AWARE (a ';' inside a string literal is
-    * data, not a terminator); bare `record` / `return record`
-    * terminators are dropped. */
+    * (`if (c) { record.x = e; }` and its else) normalize to the
+    * brace-free form first; the split is QUOTE-AWARE via
+    * [[jsLiteralSpans]] (a ';' inside a string literal is data, not a
+    * terminator); bare `record` / `return record` terminators are
+    * dropped. */
   private def jsStatements(code: String): Seq[String] = {
     val normalized = code.replaceAll(
         raw"if\s*\(([^)]*)\)\s*\{\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^;{}]+);\s*\}",
@@ -395,12 +432,19 @@ object Stages {
         "else record.$1 = $2;")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var quote: Char = 0
-    normalized.foreach { c =>
-      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
-      else if (c == ';') { out += cur.toString; cur.clear() }
-      else cur.append(c)
+    jsLiteralSpans(normalized).foreach {
+      case (seg, true) => cur.append(seg)
+      case (seg, false) =>
+        var rest = seg
+        var idx = rest.indexOf(';')
+        while (idx >= 0) {
+          cur.append(rest.substring(0, idx))
+          out += cur.toString
+          cur.clear()
+          rest = rest.substring(idx + 1)
+          idx = rest.indexOf(';')
+        }
+        cur.append(rest)
     }
     out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
@@ -425,27 +469,7 @@ object Stages {
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
     val stmts = jsStatements(code)
     var locals = List.empty[(String, String)] // insertion order; later wins applied last
-    // quote-aware text transform: applies `f` only to the regions of `s`
-    // OUTSIDE single/double-quoted string literals — '&&' in a literal is
-    // DATA, and a local name inside a literal must not inline
-    def outsideLiterals(s: String)(f: String => String): String = {
-      val out = new StringBuilder
-      var i = 0
-      var start = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\'' || c == '"') {
-          out.append(f(s.substring(start, i)))
-          val close = s.indexOf(c, i + 1)
-          val end = if (close < 0) s.length else close + 1
-          out.append(s.substring(i, end))
-          i = end; start = end
-        } else i += 1
-      }
-      out.append(f(s.substring(start)))
-      out.toString
-    }
-    def rewrite(s: String): String = outsideLiterals(s) { seg0 =>
+    def rewrite(s: String): String = outsideJsLiterals(s) { seg0 =>
       // JS boolean operators → dialect keywords
       var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
       // inline locals (latest definition first so redefinition chains
@@ -478,11 +502,15 @@ object Stages {
             s"assign the SAME column as its if branch (record.$ifName)")
           // the else re-evaluates cond AFTER the if branch wrote the
           // column — a cond reading the assigned column would see the
-          // new value; reject rather than silently diverge from JS
-          require(!rewrite(cond).matches(raw"(?s).*\b$name\b.*"),
+          // new value; reject rather than silently diverge from JS.
+          // Case-INSENSITIVE (Spark resolves columns that way) and
+          // literal-blind (the column NAME inside a string literal is
+          // data, not a read).
+          require(!withoutJsLiterals(rewrite(cond))
+              .matches(raw"(?is).*\b${java.util.regex.Pattern.quote(name)}\b.*"),
             s"code: `if/else` on record.$name cannot also READ record.$name " +
-            "in its condition (the shim re-evaluates the condition); use " +
-            "a `var` local for the old value")
+            "in its condition (the shim re-evaluates the condition); " +
+            "assign through a differently-named column instead")
           lastIf = None
           // the if branch already wrote its value when cond held — keep
           // it there, take the else value otherwise

@@ -107,8 +107,13 @@ object Streaming {
     // one key's events within ONE micro-batch buffer in memory to sort
     // (gap semantics needs event-time order; state across batches stays
     // constant-size). A pathological key in a single trigger is an
-    // executor-memory risk — cap it LOUDLY instead of OOMing the task.
-    val maxBuf = spec.long("maxEventsPerKeyBatch").getOrElse(1000000L)
+    // executor-memory risk — cap it LOUDLY instead of OOMing the task;
+    // maxEventsPerKeyBatch <= 0 opts out for catch-up runs that accept
+    // the memory exposure.
+    val maxBuf = spec.long("maxEventsPerKeyBatch").getOrElse(1000000L) match {
+      case n if n <= 0 => Long.MaxValue
+      case n => n
+    }
 
     def fn(key: String, events: Iterator[(String, java.sql.Timestamp)],
            state: GroupState[SessState]): Iterator[Session] = {

@@ -400,17 +400,35 @@ class EngineSpec extends SparkSpec {
     assert(els.filter(col("n_nationkey") === 3).head().getAs[String]("tag") == "x;y")
     assert(els.filter(col("n_nationkey") === 3).head().getAs[String]("side") == "low")
     assert(els.filter(col("n_nationkey") === 15).head().getAs[String]("side") == "high")
-    // an else whose condition reads the assigned column is rejected
-    val condRead = intercept[Exception] {
-      Engine.runJson(newCtx(), s"""{
-        "source": { "file": { "path": "$path" } },
-        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
-        "transformers": [ { "code": { "language": "javascript", "code":
-          "if (record.n_nationkey > 5) record.n_nationkey = 0; else record.n_nationkey = 9;" } } ],
-        "loader": { "memory": {} }
-      }""")
+    // an else whose condition reads the assigned column is rejected —
+    // including via a DIFFERENTLY-CASED reference (Spark resolves
+    // columns case-insensitively, so it would see the new value)
+    def rejectCondRead(cond: String) = {
+      val e = intercept[Exception] {
+        Engine.runJson(newCtx(), s"""{
+          "source": { "file": { "path": "$path" } },
+          "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+          "transformers": [ { "code": { "language": "javascript", "code":
+            "if ($cond) record.n_nationkey = 0; else record.n_nationkey = 9;" } } ],
+          "loader": { "memory": {} }
+        }""")
+      }
+      assert(e.getMessage.contains("cannot also READ"), s"for cond $cond")
     }
-    assert(condRead.getMessage.contains("cannot also READ"))
+    rejectCondRead("record.n_nationkey > 5")
+    rejectCondRead("record.N_NATIONKEY > 5")
+    // …but the column NAME inside a string literal is data, not a read,
+    // and an escaped quote keeps a ';' inside a literal intact
+    val litName = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.quoted = 'it\\\\'s; n_nationkey'; if (record.n_regionkey > 2) record.side = 'hi'; else record.side = 'lo';" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val lrow = litName.filter(col("n_nationkey") === 3).head()
+    assert(lrow.getAs[String]("quoted") == "it's; n_nationkey")
+    assert(Set("hi", "lo").contains(lrow.getAs[String]("side")))
     // unlabeled configs with the extended shapes still route to the shim
     val out2 = Engine.runJson(newCtx(), s"""{
       "source": { "file": { "path": "$path" } },

@@ -78,6 +78,14 @@ class GraphSpec extends SparkSpec {
     val und = motifRun(ctx, "pattern" -> "(x)-[:knows]-(y)")
       .as[(String, String)].collect().toSet
     assert(und == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
+    // a self-loop EDGE appears once in an undirected match, not twice
+    val ctx2 = newCtx()
+    ctx2.addEdges(Seq(("s", "s", "knows"), ("s", "t", "knows"))
+      .toDF("src", "dst", "label"))
+    val loops = graft.graph.GraphStages.motif(
+      ComponentSpec("motif", Map("pattern" -> "(x)-[:knows]-(y)")),
+      ctx2)(spark.emptyDataFrame).collect()
+    assert(loops.length == 3) // (s,s) once + (s,t) + (t,s)
     // negation over a chain: keep two-hop paths with no closing edge
     // z→x. All three chains here lack one (c→a, b→b, c→c absent).
     val noTri = motifRun(ctx,
