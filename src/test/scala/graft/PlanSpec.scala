@@ -260,6 +260,25 @@ class PlanSpec extends SparkSpec {
     assert(spreadScan.collect().length == scan.count().toInt)
   }
 
+  test("mm decode paths: partition-parallel map, ZERO exchanges") {
+    import spark.implicits._
+    val ctx = newCtx()
+    val media = Seq((1L, graft.multimodal.MediaFixtures.payload(1L)))
+      .toDF("media_id", "payload")
+    val imgPlan = planOf(graft.multimodal.MultimodalStages.decode(
+      graft.spec.ComponentSpec("mm_decode", Map("idField" -> "media_id")),
+      ctx)(media))
+    assert(exchanges(imgPlan) == 0,
+      s"image decode must not shuffle:\n$imgPlan")
+    val audio = Seq((1L, graft.multimodal.MediaFixtures.audioPayload(1L)))
+      .toDF("media_id", "payload")
+    val audPlan = planOf(graft.multimodal.MultimodalStages.audio(
+      graft.spec.ComponentSpec("mm_audio", Map("idField" -> "media_id")),
+      ctx)(audio))
+    assert(exchanges(audPlan) == 0,
+      s"audio decode must not shuffle:\n$audPlan")
+  }
+
   test("motif: connected pattern plans an equi-join, not a cartesian") {
     val ctx = newCtx()
     import spark.implicits._
