@@ -249,11 +249,25 @@ object Loaders {
         "UNIQUE_HASH_INDEX", "NOTUNIQUE_HASH_INDEX")
       require(allowed.contains(typ),
         s"orientdb loader: unknown index type '$typ' (${allowed.mkString("|")})")
+      // the reference (OOrientDBLoader.java:469-489) splits a 'field:type'
+      // entry — the name keys the index, the suffix declares the property
+      // type. Record the split form: bare names in `fields` (a catalog
+      // applying the sidecar must not see a field named 'x:integer'),
+      // declared types alongside in `fieldTypes`.
+      val split = fields.map { f =>
+        val cut = f.indexOf(':')
+        if (cut < 0) (f, None) else (f.substring(0, cut), Some(f.substring(cut + 1)))
+      }
       val iname = m.get("name").map(_.toString).getOrElse(
-        icls + "." + fields.map(_.takeWhile(_ != ':')).mkString("_"))
+        icls + "." + split.map(_._1).mkString("_"))
+      val typesPart = {
+        val ts = split.collect { case (n, Some(t)) =>
+          s"{${q("field")}: ${q(n)}, ${q("type")}: ${q(t)}}" }
+        if (ts.isEmpty) "" else s", ${q("fieldTypes")}: [${ts.mkString(", ")}]"
+      }
       s"{${q("name")}: ${q(iname)}, ${q("class")}: ${q(icls)}, " +
         s"${q("type")}: ${q(typ)}, " +
-        s"${q("fields")}: [${fields.map(f => q(f)).mkString(", ")}]}"
+        s"${q("fields")}: [${split.map(p => q(p._1)).mkString(", ")}]$typesPart}"
     }
     val idxPart =
       if (idxJson.isEmpty) "" else s", ${q("indexes")}: [${idxJson.mkString(", ")}]"

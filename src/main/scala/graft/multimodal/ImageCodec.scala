@@ -56,13 +56,24 @@ object ImageCodec {
     } finally iis.close()
   }
 
+  /** Resampled payload plus its output dimensions — computed during the
+    * resample itself, so callers never pay a second pixel decode of the
+    * just-encoded bytes only to learn dimensions they already imply. */
+  final case class Resampled(payload: Array[Byte], width: Int, height: Int)
+
+  /** Test seam: counts full pixel decodes (`ImageIO.read`) performed by
+    * [[resample]]. Local-mode specs assert exactly one decode per row,
+    * guarding against reintroducing the output re-decode this replaced. */
+  private[graft] val pixelDecodes = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Resample the (first frame of the) payload to fit a `maxW`×`maxH`
     * bounding box preserving aspect ratio (scale capped at 1 — never
-    * upscale), re-encoded as PNG. Returns the new payload; its decoded
-    * dimensions are `floor(w*s)`×`floor(h*s)`, `s = min(maxW/w, maxH/h,
+    * upscale), re-encoded as PNG. Returns the new payload with its
+    * dimensions `floor(w*s)`×`floor(h*s)`, `s = min(maxW/w, maxH/h,
     * 1)` — the arithmetic an oracle can recompute without decoding. */
-  def resample(id: Long, payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+  def resample(id: Long, payload: Array[Byte], maxW: Int, maxH: Int): Resampled = {
     if (payload == null || payload.isEmpty) fail(id, "empty payload")
+    pixelDecodes.incrementAndGet()
     val src =
       try ImageIO.read(new ByteArrayInputStream(payload))
       catch { case e: javax.imageio.IIOException => fail(id, e.getMessage) }
@@ -85,7 +96,7 @@ object ImageCodec {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(src, 0, 0, ow, oh, null)
     } finally g.dispose()
-    encode(dst, "png")
+    Resampled(encode(dst, "png"), ow, oh)
   }
 
   /** Encode one frame as `fmt` (png/jpeg/bmp/gif). */

@@ -130,9 +130,15 @@ object MultimodalStages {
     *    pass over already-decoded metadata; pure projection).
     *  - `true`: REAL pixel resample — decodes `payloadField`, scales via
     *    bilinear `Graphics2D`, re-encodes PNG into `out_payload`, and
-    *    reports `out_width`/`out_height` measured FROM the resampled
-    *    image. Partition-parallel `mapPartitions`, same batch seam as
-    *    decode. */
+    *    reports the resampled `out_width`/`out_height` (computed by the
+    *    resample itself — exactly ONE pixel decode per row). Partition-
+    *    parallel `mapPartitions`, same batch seam as decode.
+    *
+    *    NOTE the projection asymmetry: resample mode outputs ONLY
+    *    `idField`/`out_payload`/`out_width`/`out_height` (the decode seam
+    *    runs on a typed (id, bytes) Dataset), while metadata mode
+    *    preserves the whole input frame. Set `keepInput: true` to join
+    *    the input columns back on `idField`, like `mm_decode`. */
   def resize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val mw = spec.int("maxWidth", 224)
@@ -143,14 +149,14 @@ object MultimodalStages {
         val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
         val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
           Encoders.scalaInt, Encoders.scalaInt)
-        df.select(col(id).cast("long"), col(payload).cast("binary"))
+        val out = df.select(col(id).cast("long"), col(payload).cast("binary"))
           .as[(Long, Array[Byte])](enc)
           .mapPartitions(_.map { case (i, bytes) =>
-            val out = ImageCodec.resample(i, bytes, mw, mh)
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
-            (i, out, img.getWidth, img.getHeight)
+            val r = ImageCodec.resample(i, bytes, mw, mh)
+            (i, r.payload, r.width, r.height)
           })(outEnc)
           .toDF(id, "out_payload", "out_width", "out_height")
+        if (spec.bool("keepInput", dflt = false)) df.join(out, Seq(id)) else out
       } else {
         val scale = least(lit(mw.toDouble) / col("width"),
           lit(mh.toDouble) / col("height"), lit(1.0))

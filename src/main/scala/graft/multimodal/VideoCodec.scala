@@ -1,0 +1,208 @@
+package graft.multimodal
+
+/** Real MP4 (ISO base media file format) container metadata decode —
+  * pure byte arithmetic on the public box grammar, zero codec
+  * libraries. A box is `[u32 size]["4cc" type][payload]`; `size == 1`
+  * means a u64 largesize follows the type; `size == 0` means the box
+  * runs to end-of-file. Containers (`moov`/`trak`/`mdia`/`minf`/
+  * `stbl`) nest child boxes directly in their payload.
+  *
+  * What the decode recovers, and from where:
+  *  - `width`/`height`: the first video track's `tkhd` (track header)
+  *    — stored as 16.16 fixed-point, version 0 and 1 layouts both
+  *    handled;
+  *  - `timescale`/`duration`: `mvhd` (movie header) — units of the
+  *    movie timescale, v0 (u32) and v1 (u64 duration) layouts;
+  *  - `n_frames`: the video track's `stsz` sample-count (the real
+  *    per-sample table size, not an fps estimate).
+  *
+  * `moov` after `mdat` (the common "non-faststart" layout) parses the
+  * same way — the walker scans top-level boxes without reading `mdat`
+  * payloads. Undecodable bytes raise a typed error naming the row;
+  * `mm_video` offers the same `onUndecodable: skip` crawl posture as
+  * the image path.
+  *
+  * Reference intent: builder brief multimodal columns (the reference
+  * engine has no media code); this replaces the deterministic-fake
+  * [[MultimodalStages.StubDecoder]] for MP4 video, which previously
+  * was the last place the engine reported fake numbers.
+  */
+object VideoCodec {
+
+  /** Typed metadata contract for a decoded MP4 container. `duration`
+    * is in `timescale` units (exact integers off the wire — callers
+    * derive seconds as `duration.toDouble / timescale`). */
+  final case class VideoMeta(media_id: Long, width: Int, height: Int,
+                             n_frames: Int, timescale: Long, duration: Long)
+
+  // ---- big-endian readers -------------------------------------------------
+  private def u16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** One parsed box: type + payload span `[start, end)`. */
+  private final case class Box(typ: String, start: Int, end: Int)
+
+  /** Walk the child boxes of `[from, until)`; malformed sizes raise. */
+  private def boxes(b: Array[Byte], from: Int, until: Int): List[Box] = {
+    var o = from
+    val out = List.newBuilder[Box]
+    while (o < until) {
+      if (o + 8 > until) sys.error(s"truncated box header at offset $o")
+      val size32 = u32(b, o)
+      val typ = fourcc(b, o + 4)
+      val (payloadStart, size) =
+        if (size32 == 1L) {
+          if (o + 16 > until) sys.error(s"truncated largesize box at offset $o")
+          (o + 16, u64(b, o + 8))
+        } else if (size32 == 0L) (o + 8, (until - o).toLong) // to end of file
+        else (o + 8, size32)
+      if (size < (payloadStart - o) || o + size > until)
+        sys.error(s"box '$typ' at offset $o: bad size $size")
+      out += Box(typ, payloadStart, o + size.toInt)
+      o += size.toInt
+    }
+    out.result()
+  }
+
+  private def child(b: Array[Byte], parent: Box, typ: String): Option[Box] =
+    boxes(b, parent.start, parent.end).find(_.typ == typ)
+
+  /** Decode MP4 container metadata. Throws a typed error naming the row
+    * for anything that is not a parseable ISO BMFF file. */
+  def decode(id: Long, payload: Array[Byte]): VideoMeta = {
+    if (payload == null || payload.length < 8) fail(id, "empty/short payload")
+    val top =
+      try boxes(payload, 0, payload.length)
+      catch { case e: RuntimeException => fail(id, e.getMessage) }
+    if (!top.exists(b => b.typ == "ftyp" || b.typ == "moov"))
+      fail(id, "no ftyp/moov box — not an ISO BMFF container")
+    val moov = top.find(_.typ == "moov").getOrElse(fail(id, "no moov box"))
+
+    // movie header: timescale + duration (v0: u32s; v1: u64 times)
+    val mvhd = child(payload, moov, "mvhd").getOrElse(fail(id, "no mvhd box"))
+    val mv = payload(mvhd.start) & 0xFF // version
+    val (timescale, duration) =
+      if (mv == 1) (u32(payload, mvhd.start + 20), u64(payload, mvhd.start + 24))
+      else (u32(payload, mvhd.start + 12), u32(payload, mvhd.start + 16))
+
+    // first track with a nonzero tkhd width = the video track (audio
+    // tracks carry 0×0); fall back to the first track at all
+    val traks = boxes(payload, moov.start, moov.end).filter(_.typ == "trak")
+    if (traks.isEmpty) fail(id, "no trak box")
+    def dims(trak: Box): Option[(Int, Int)] =
+      child(payload, trak, "tkhd").map { tk =>
+        val v = payload(tk.start) & 0xFF
+        val wOff = if (v == 1) tk.start + 88 else tk.start + 76
+        // 16.16 fixed-point: integer part is the high u16
+        (u16(payload, wOff), u16(payload, wOff + 4))
+      }
+    val video = traks.find(t => dims(t).exists(_._1 > 0)).getOrElse(traks.head)
+    val (w, h) = dims(video).getOrElse(fail(id, "no tkhd box in trak"))
+
+    // sample count straight from the video track's stsz table header
+    // (present in every well-formed track; 0 frames only if declared so)
+    val nFrames = (for {
+      mdia <- child(payload, video, "mdia")
+      minf <- child(payload, mdia, "minf")
+      stbl <- child(payload, minf, "stbl")
+      stsz <- child(payload, stbl, "stsz")
+    } yield u32(payload, stsz.start + 8).toInt)
+      .getOrElse(fail(id, "no stsz box in video trak"))
+
+    VideoMeta(id, w, h, nFrames, timescale, duration)
+  }
+
+  private def fail(id: Long, why: String): Nothing =
+    sys.error(s"mm_video: media_id=$id: $why")
+
+  // ------------------------------------------------------------------------
+  // Writer — used by the fixture generator (and usable by pipelines that
+  // need to emit container stubs). Produces a minimal VALID box tree:
+  //   ftyp | mdat (nFrames 1-byte samples) | moov{mvhd, trak{tkhd,
+  //   mdia{mdhd, hdlr, minf{vmhd, dinf{dref{url }}, stbl{stsd, stts,
+  //   stsc, stsz, stco}}}}}
+  // mdat PRECEDES moov so the chunk offset in stco is a constant
+  // (ftyp.size + 8) and — deliberately — so every fixture exercises the
+  // parser's moov-after-mdat path.
+  // ------------------------------------------------------------------------
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var o = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+    out
+  }
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    concat(be32(payload.length + 8L), typ.getBytes("ISO-8859-1"), payload)
+  private def full(typ: String, version: Int, payload: Array[Byte]): Array[Byte] =
+    box(typ, concat(Array(version.toByte, 0, 0, 0), payload))
+
+  private val UnityMatrix: Array[Byte] = concat(
+    be32(0x00010000L), be32(0), be32(0),
+    be32(0), be32(0x00010000L), be32(0),
+    be32(0), be32(0), be32(0x40000000L))
+
+  /** Encode a minimal valid MP4 whose metadata is exactly
+    * (`width`,`height`,`nFrames`,`timescale`,`duration`); the mdat
+    * carries one deterministic byte per sample. `v1Headers` writes
+    * version-1 mvhd/tkhd (64-bit times) — the parser handles both. */
+  def encodeMp4(width: Int, height: Int, nFrames: Int, timescale: Long,
+                duration: Long, seed: Long = 0L,
+                v1Headers: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp", concat("isom".getBytes("ISO-8859-1"), be32(0x200),
+      "isom".getBytes("ISO-8859-1"), "mp41".getBytes("ISO-8859-1")))
+    val mdat = box("mdat",
+      Array.tabulate(nFrames)(i => ((seed * 31 + i * 7) % 251).toByte))
+
+    def times(n: Int) = // creation/modification zeros: v1 = u64, v0 = u32
+      new Array[Byte]((if (v1Headers) 8 else 4) * n)
+    def dur(d: Long) = if (v1Headers) concat(be32(d >> 32), be32(d)) else be32(d)
+    val ver = if (v1Headers) 1 else 0
+
+    val mvhd = full("mvhd", ver, concat(times(2), be32(timescale), dur(duration),
+      be32(0x00010000L), be16(0x0100), new Array[Byte](2 + 8), UnityMatrix,
+      new Array[Byte](24), be32(2))) // pre_defined ×6, next_track_ID
+    val tkhd = full("tkhd", ver, concat(times(2).take(if (v1Headers) 16 else 8),
+      be32(1), be32(0), dur(duration), // track_ID, reserved, duration
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0), UnityMatrix,
+      be32(width.toLong << 16), be32(height.toLong << 16)))
+    val mdhd = full("mdhd", 0, concat(new Array[Byte](8), be32(timescale),
+      be32(duration), be16(0x55C4), be16(0))) // language 'und'
+    val hdlr = full("hdlr", 0, concat(be32(0), "vide".getBytes("ISO-8859-1"),
+      new Array[Byte](12), Array(0.toByte))) // empty name
+    val vmhd = box("vmhd", concat(Array[Byte](0, 0, 0, 1), new Array[Byte](8)))
+    val dref = full("dref", 0, concat(be32(1),
+      box("url ", Array[Byte](0, 0, 0, 1)))) // flag 1: self-contained
+    val dinf = box("dinf", dref)
+    // minimal 'mp4v' visual sample entry (86 bytes): the decoder config
+    // a real codec would read; dimensions duplicated per the spec
+    val sampleEntry = box("mp4v", concat(new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(width), be16(height),
+      be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+      new Array[Byte](32), be16(24), be16(0xFFFF)))
+    val stsd = full("stsd", 0, concat(be32(1), sampleEntry))
+    val stts = full("stts", 0, concat(be32(1), be32(nFrames.toLong),
+      be32(if (nFrames == 0) 0L else duration / math.max(nFrames, 1))))
+    val stsc = full("stsc", 0, concat(be32(1), be32(1), be32(nFrames.toLong), be32(1)))
+    val stsz = full("stsz", 0, concat(be32(1), be32(nFrames.toLong))) // constant 1-byte samples
+    val stco = full("stco", 0, concat(be32(1), be32(ftyp.length + 8L))) // mdat payload
+    val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
+    val minf = box("minf", concat(vmhd, dinf, stbl))
+    val mdia = box("mdia", concat(mdhd, hdlr, minf))
+    val trak = box("trak", concat(tkhd, mdia))
+    val moov = box("moov", concat(mvhd, trak))
+    concat(ftyp, mdat, moov)
+  }
+}

@@ -101,14 +101,30 @@ object SimilarityStages {
     * the window form's O(N·Q) shuffle-and-sort. Output ordering and id
     * tie-breaks identical to `row_number() OVER (ORDER BY cosine DESC,
     * n_id ASC)` (asserted in specs + the driver oracle). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("q_id")
-      .agg(graft.functions.VectorExpressions.topK(
-        col("cosine"), col("n_id"), k).as("__top"))
-      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("q_id"), col("__e.id").as("n_id"),
-        (col("__pos") + 1).cast("int").as("rank"),
-        col("__e.score").as("cosine"))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    scored.schema("n_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        // scale path: bounded-heap partial aggregate (codegen'd TopKByScore)
+        // — only O(Q·k) structs cross the exchange
+        scored.groupBy("q_id")
+          .agg(graft.functions.VectorExpressions.topK(
+            col("cosine"), col("n_id"), k).as("__top"))
+          .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+          .select(col("q_id"), col("__e.id").as("n_id"),
+            (col("__pos") + 1).cast("int").as("rank"),
+            col("__e.score").as("cosine"))
+      case _ =>
+        // non-integral ids (e.g. string doc keys): same ordering contract
+        // (score desc, id asc) via a per-query window — shuffles the full
+        // candidate set, so integral ids remain the 100 TB-preferred form
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("int"))
+          .where(col("rank") <= k)
+          .select("q_id", "n_id", "rank", "cosine")
+    }
+  }
 
   /** Brute-force cosine top-k: for each query row, the `k` nearest base
     * rows (excluding itself). Ties break on ascending neighbour id.
@@ -268,17 +284,10 @@ object SimilarityStages {
       val nCells = spec.int("nCells", 16)
       val nProbe = spec.int("nProbe", 2)
 
-      // the centroid collect below reads ids as longs — fail with a typed
-      // message for non-integral id columns instead of a bare
-      // ClassCastException at plan-build time (ints/shorts widen lossless)
-      locally {
-        import org.apache.spark.sql.types._
-        df.schema(id).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => ()
-          case other => sys.error(s"similarityivf: idField `$id` must be " +
-            s"an integral type (got ${other.simpleString})")
-        }
-      }
+      // no id-type restriction: since the trained-codebook rewrite the
+      // training sample reads only the vector column and cell ids are
+      // synthetic indices — `__id` flows through joins/groupBy untouched,
+      // so string-id corpora work as-is (spec-covered)
       val lloydIters = spec.int("lloydIters", 3)
       val trainRows = spec.int("trainRows", nCells * 40)
 

@@ -442,6 +442,16 @@ class LlmStagesSpec extends SparkSpec {
     assert(recall > 0.4, s"IVF recall too low: $recall") // probing half the cells
   }
 
+  test("similarity IVF: string-id corpus works (no integral-id restriction)") {
+    val ctx = newCtx()
+    val emb = ctx.table("embeddings").where("vec_id < 50")
+      .selectExpr("concat('doc-', vec_id) AS vec_id", "embedding")
+    val out = stage("similarityivf", "k" -> 3, "nCells" -> 4, "nProbe" -> 2)(emb)
+    assert(out.schema("q_id").dataType == org.apache.spark.sql.types.StringType)
+    val rows = out.where("q_id = 'doc-0'").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("n_id").startsWith("doc-")))
+  }
+
   test("trainCodebook: deterministic spherical k-means separates clusters") {
     // two obvious directions plus noise dimensions
     def v(dir: Int, j: Int): Array[Double] =

@@ -54,24 +54,37 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
-  test("mm_resize(resample): re-decoded output has the floor-arithmetic dims; gray stays 1-channel") {
+  test("mm_resize(resample): floor-arithmetic dims, ONE pixel decode per row; gray stays 1-channel") {
     val ids = Seq(5L, 13L, 21L, 30L) // png/gray-png/jpeg/png mix
     val df = ids.map(i => (i, MediaFixtures.payload(i))).toDF("media_id", "payload")
+    val before = ImageCodec.pixelDecodes.get()
     val out = stage("mm_resize", "resample" -> true,
       "maxWidth" -> 24, "maxHeight" -> 24)(df)
     val byId = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // exactly one ImageIO.read per input row (local mode = one JVM): the
+    // reported dims come from the resample itself, not an output re-decode
+    assert(ImageCodec.pixelDecodes.get() - before == ids.length.toLong)
     ids.foreach { id =>
       val w = MediaFixtures.width(id); val h = MediaFixtures.height(id)
       val s = math.min(math.min(24.0 / w, 24.0 / h), 1.0)
       val r = byId(id)
       assert(r.getAs[Int]("out_width") == math.max(1, math.floor(w * s).toInt))
       assert(r.getAs[Int]("out_height") == math.max(1, math.floor(h * s).toInt))
-      // the reported dims come from RE-DECODING the resampled bytes
+      // decoding the output bytes independently confirms the reported dims
       val m = ImageCodec.decode(id, r.getAs[Array[Byte]]("out_payload"))
       assert(m.width == r.getAs[Int]("out_width"))
       assert(m.height == r.getAs[Int]("out_height"))
       if (id % 5 == 3) assert(m.channels == 1, s"gray input id=$id stayed gray")
     }
+  }
+
+  test("mm_resize(resample, keepInput): input columns joined back on idField") {
+    val df = Seq((5L, MediaFixtures.payload(5L), "tag-a"))
+      .toDF("media_id", "payload", "tag")
+    val out = stage("mm_resize", "resample" -> true, "keepInput" -> true,
+      "maxWidth" -> 24, "maxHeight" -> 24)(df)
+    assert(out.columns.contains("tag") && out.columns.contains("out_payload"))
+    assert(out.select("tag").as[String].head() == "tag-a")
   }
 
   test("mm_frames: explodes the REAL gif frame count") {

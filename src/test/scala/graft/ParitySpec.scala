@@ -116,6 +116,10 @@ class ParitySpec extends SparkSpec {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/_schema.json")), "UTF-8")
     assert(json.contains(""""name": "Nation.n_nationkey", "class": "Nation", "type": "UNIQUE""""))
+    // ':type' suffix split off: bare name in fields, declared type alongside
+    assert(json.contains(""""fields": ["n_nationkey"]"""))
+    assert(json.contains(""""fieldTypes": [{"field": "n_nationkey", "type": "integer"}]"""))
+    assert(!json.contains("n_nationkey:integer"))
     // default class = loader class, default type NOTUNIQUE, composite name
     assert(json.contains(""""name": "Nation.n_name_n_regionkey""""))
     assert(json.contains(""""type": "NOTUNIQUE""""))
