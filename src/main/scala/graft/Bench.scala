@@ -18,23 +18,59 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Best-observed per-query seconds at sf0.1 (clean-run anchors,
-    * round 5/6 closing measurements) for queries that legitimately run
-    * ≥1 s; anything unlisted anchors at [[DefaultAnchor]]. An anchor is
-    * a re-run TRIGGER, not a clamp — reported numbers are always real
-    * measurements from this run. */
-  private val Anchors: Map[String, Double] = Map(
-    "cosine_dup" -> 4.0, "neardup_dedup_lsh" -> 3.9, "minhash_pairs" -> 3.6,
-    "neardup_dedup" -> 3.4, "link_list" -> 3.2, "similarity_ivf" -> 3.1,
-    "stream_dedup" -> 2.9, "cross_dedup" -> 2.9, "ngram_count" -> 2.7,
-    "stream_sessions" -> 2.6, "similarity_lsh" -> 2.1, "stream_window" -> 2.1,
-    "jdbc_roundtrip" -> 2.0, "etl_params" -> 1.8, "block_code" -> 1.7,
-    "chunk_windows" -> 1.6, "pagerank" -> 1.5, "tfidf_terms" -> 1.5,
-    "decontaminate_bloom" -> 1.5, "graph_motif" -> 1.4,
-    "decontaminate" -> 1.4, "simhash_pairs" -> 1.1, "mm_resize" -> 1.1,
-    "pack_chunks" -> 1.1, "graph_neighbors" -> 1.1, "upsert_write" -> 1.0,
-    "partitioned_write" -> 1.0, "mm_audio" -> 0.8)
+  /** Anchors live in a REPO SIDECAR (`BENCH_ANCHORS.json`, override
+    * with SPARK_GRAFT_ANCHORS), keyed by scale dir — no longer
+    * hand-edited source. An anchor is the best-observed clean seconds
+    * for the query; it is a re-run TRIGGER, not a clamp — reported
+    * numbers are always real measurements from this run.
+    *
+    * Self-maintenance per query after the defense pass:
+    *  - known query at-or-under 2× its anchor → anchor := min(anchor,
+    *    observed) (monotone best-observed; per-query, so one stolen
+    *    query can't freeze updates for the other 95);
+    *  - known query still ABOVE the trigger after its re-run → anchor
+    *    kept, and the run's JSON carries it in `anchor_warnings`
+    *    (reproduced cost = plan regression or persistent steal — never
+    *    silently baked into the anchor);
+    *  - new query (no anchor yet) → adopts its defended measurement. */
+  private def anchorsFile = new java.io.File(
+    sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "BENCH_ANCHORS.json"))
+  private def sfKey(sfDir: String): String = new java.io.File(sfDir).getName
+
+  private def loadAnchors(key: String): Map[String, Double] = {
+    if (!anchorsFile.exists()) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(anchorsFile)
+    val n = root.get(key)
+    if (n == null || !n.isObject) Map.empty
+    else {
+      val b = Map.newBuilder[String, Double]
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+  }
+
+  private def saveAnchors(key: String, anchors: Map[String, Double]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = (if (anchorsFile.exists()) m.readTree(anchorsFile) else null) match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => m.createObjectNode()
+    }
+    val sfNode = m.createObjectNode()
+    anchors.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sfNode.put(k, math.rint(v * 1000) / 1000) }
+    root.set(key, sfNode)
+    m.writerWithDefaultPrettyPrinter().writeValue(anchorsFile, root)
+  }
+
   private val DefaultAnchor = 1.0
+  /** A defended value above this × anchor (but under the re-run
+    * trigger) is reported in `anchor_warnings` — sub-2× regressions
+    * must be visible, not silently inside the acceptance band. */
+  private val WarnFactor = 1.5
   // 2× catches the AMBIENT steal pattern (uniform 1.5–3× inflation with
   // no single catastrophic stall — observed on this box, 98 s vs 145 s
   // same-day full runs with zero 5× outliers); the 1 s floor keeps
@@ -89,9 +125,10 @@ object Bench {
     val raw = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOnce(name, fn))
     }
+    val stored = loadAnchors(sfKey(sfDir))
     // defense pass: re-run outliers once, keep the min
     val defended = raw.map { case (name, fn, t1) =>
-      val anchor = Anchors.getOrElse(name, DefaultAnchor)
+      val anchor = stored.getOrElse(name, DefaultAnchor)
       if (t1 > RerunFactor * anchor && t1 > MinRerunSeconds) {
         val t2 = timeOnce(name, fn)
         System.err.println(
@@ -100,6 +137,30 @@ object Bench {
         (name, math.min(t1, t2), Some(t1))
       } else (name, t1, None)
     }
+    // sub-trigger regressions stay visible: defended values still above
+    // WarnFactor× a KNOWN anchor land in the artifact, not just stderr
+    val warnings = defended.flatMap { case (name, t, _) =>
+      stored.get(name) match {
+        case Some(a) if t > WarnFactor * a && t > MinRerunSeconds =>
+          System.err.println(f"[bench] WARNING $name: defended $t%.1fs still " +
+            f"> ${WarnFactor}x anchor $a%.1fs — plan regression or persistent steal")
+          Some(name -> t)
+        case _ => None
+      }
+    }
+    // per-query anchor maintenance (see scaladoc above)
+    val updated = defended.map { case (name, t, _) =>
+      name -> (stored.get(name) match {
+        case Some(a) if t > RerunFactor * a && t > MinRerunSeconds => a
+        case Some(a) => math.min(a, t)
+        case None =>
+          System.err.println(f"[bench] $name: new query, adopting anchor $t%.3fs")
+          t
+      })
+    }.toMap
+    try saveAnchors(sfKey(sfDir), stored ++ updated)
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not persist anchors: ${e.getMessage}") }
     def fmtMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -108,7 +169,8 @@ object Bench {
     val total = defended.map(_._2).sum
     val rawTotal = raw.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""raw_total":$rawTotal,"reruns":$reruns,"sf":"$sfDir"}""")
+      s""""raw_total":$rawTotal,"reruns":$reruns,""" +
+      s""""anchor_warnings":${fmtMap(warnings)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

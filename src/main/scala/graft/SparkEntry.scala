@@ -74,6 +74,8 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.ensure(spark, sfDir, s"$dir/media_parquet")
       // real WAV payloads for the audio metadata decode
       graft.multimodal.MediaFixtures.ensureAudio(spark, sfDir, s"$dir/audio_parquet")
+      // real MP4 container bytes for the pure-byte box-parse decode
+      graft.multimodal.MediaFixtures.ensureVideo(spark, sfDir, s"$dir/video_parquet")
       // multilingual text: one held-out sentence per doc_id, language
       // keyed by doc_id % 14 — the langid query must recover the key
       // from the TEXT; the oracle recomputes the arithmetic. The cache
@@ -456,6 +458,45 @@ object SparkEntry {
                      "where": "a < b"}}],
         "loader": {"memory": {}} }""")
         .select("a", "b", "c").orderBy("a", "b")
+    },
+    "command_gremlin" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // LITERAL Gremlin script through `command` — the translator
+      // compiles the chain to the same edge-table joins the motif
+      // transformer uses: orders → their customer → ALL orders of that
+      // customer (bag semantics, one row per traversal path), labels
+      // re-attached from the registered vertices
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command": "g.V().hasLabel('order').out('placed').in('placed')"}}],
+        "loader": {"memory": {}} }""")
+        .select("id", "label").orderBy("id")
+    },
+    "graph_triangle" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // three-term directed-triangle motif — stresses multi-term join
+      // planning (two shuffle self-joins + the closing equi-join). The
+      // graph is a successor permutation over customers with planted
+      // 3-cycles {3k+1 → 3k+2 → 3k+3 → 3k+1}; `where` keeps one
+      // canonical rotation per cycle (x strictly smallest)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"motif": {"pattern": "(x)-[]->(y); (y)-[]->(z); (z)-[]->(x)",
+                     "where": "x < y AND x < z"}}],
+        "loader": {"memory": {}} }""")
+        .select("x", "y", "z").orderBy("x", "y", "z")
     },
     "orc_roundtrip" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -1318,6 +1359,20 @@ object SparkEntry {
         .select("media_id", "width", "height", "channels")
         .orderBy("media_id")
     },
+    "mm_video" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // real MP4 container metadata: width/height (tkhd 16.16 fixed),
+      // timescale/duration (mvhd), n_frames (stsz sample count) — all
+      // recovered by pure-byte box parsing of REAL container bytes; the
+      // oracle recomputes the fixture's doc_id arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/video_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_video": {"idField": "media_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "width", "height", "n_frames", "timescale", "duration")
+        .orderBy("media_id")
+    },
     "mm_audio" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // real WAV header decode: sample rate / channels / sample count
@@ -1571,6 +1626,17 @@ object SparkEntry {
        "FROM orders JOIN customer ON o_custkey = c_custkey) " +
        "SELECT e1.src AS a, e2.src AS b, e1.dst AS c FROM e e1 " +
        "JOIN e e2 ON e1.dst = e2.dst WHERE e1.src < e2.src ORDER BY a, b"),
+    "command_gremlin" ->
+      ("SELECT CAST(o2.o_orderkey AS VARCHAR) AS id, 'order' AS label " +
+       "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
+       "ORDER BY id"),
+    "graph_triangle" ->
+      ("WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
+       "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst " +
+       "FROM customer) " +
+       "SELECT e1.src AS x, e2.src AS y, e3.src AS z FROM e e1 " +
+       "JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src " +
+       "WHERE e1.src < e2.src AND e1.src < e3.src ORDER BY x, y, z"),
     "pagerank" -> {
       // 5 unrolled iterations (recursive CTEs can't aggregate over the
       // recursive term). rank_ppm quantizes with a GUARD BAND:
@@ -1853,6 +1919,16 @@ object SparkEntry {
        "CAST(floor((16 + (doc_id * 11) % 83) * least(CAST(24 AS DOUBLE) / (16 + (doc_id * 7) % 97), CAST(24 AS DOUBLE) / (16 + (doc_id * 11) % 83), CAST(1 AS DOUBLE))) AS INTEGER) AS height, " +
        "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels " +
        "FROM documents WHERE doc_id % 5 <> 4 ORDER BY media_id"),
+    "mm_video" ->
+      ("SELECT doc_id AS media_id, " +
+       "CAST(32 + (doc_id * 7) % 289 AS INTEGER) AS width, " +
+       "CAST(32 + (doc_id * 11) % 241 AS INTEGER) AS height, " +
+       "CAST(10 + (doc_id * 13) % 90 AS INTEGER) AS n_frames, " +
+       "CAST(600 AS BIGINT) AS timescale, " +
+       "CAST((10 + (doc_id * 13) % 90) * (600 // (CASE CAST(doc_id % 7 AS INT) " +
+       "WHEN 0 THEN 10 WHEN 1 THEN 12 WHEN 2 THEN 15 WHEN 3 THEN 20 " +
+       "WHEN 4 THEN 24 WHEN 5 THEN 25 ELSE 30 END)) AS BIGINT) AS duration " +
+       "FROM documents ORDER BY media_id"),
     "mm_audio" ->
       ("SELECT doc_id AS media_id, " +
        "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END AS INTEGER) AS sample_rate, " +

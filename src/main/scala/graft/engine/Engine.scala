@@ -82,6 +82,7 @@ object Engine {
     "mm_resize"     -> graft.multimodal.MultimodalStages.resize _,
     "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
+    "mm_video"      -> graft.multimodal.MultimodalStages.video _,
   )
 
   // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------

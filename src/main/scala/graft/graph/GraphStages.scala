@@ -112,6 +112,10 @@ object GraphStages {
     *    a positive term.
     *  - `where` (optional): SQL boolean over the result columns, e.g.
     *    `"a < b"` to de-mirror symmetric patterns.
+    *  - `allowDisconnected` (default false): a pattern whose vertex
+    *    groups share no vertex is rejected (its result is a cartesian
+    *    product — at crawl scale a config typo becomes a scale-killer);
+    *    set true when the cross product is really intended.
     *
     * Output: one string column per named vertex (first-appearance
     * order) + `<e>_label` per named edge. Replaces the stream (a query
@@ -171,12 +175,41 @@ object GraphStages {
           oriented("src", "dst").union(back)
         }
       }
-      val joined = posTerms.map { case (_, src, ename, elabel, directed, dst) =>
-        termFrame(src, ename, elabel, directed, dst)
-      }.reduceLeft { (acc, next) =>
-        val common = acc.columns.intersect(next.columns).toSeq
-        if (common.isEmpty) acc.crossJoin(next) // disconnected pattern
-        else acc.join(next, common)
+      // connectivity guard: a pattern whose terms share no vertex is a
+      // cartesian product — almost always a config typo, and a
+      // scale-killer at crawl size. Union-find over vertex names; >1
+      // group requires an explicit allowDisconnected: true.
+      locally {
+        val parent = scala.collection.mutable.Map.empty[String, String]
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        posTerms.foreach { t => parent(find(t._2)) = find(t._6) }
+        val groups = posTerms.flatMap(t => Seq(t._2, t._6)).distinct
+          .groupBy(find).values.map(_.sorted.mkString("{", ",", "}")).toSeq.sorted
+        if (groups.size > 1 && !spec.bool("allowDisconnected", dflt = false))
+          sys.error(s"motif: pattern '$patternStr' is DISCONNECTED — vertex " +
+            s"groups ${groups.mkString(" ")} share no vertex, so the result " +
+            "is their cartesian product. Set allowDisconnected: true if the " +
+            "cross product is really intended.")
+      }
+      // greedy join order: always join a term that shares a vertex with
+      // the frame built so far, so a connected pattern never pays an
+      // intermediate cartesian regardless of term order; genuinely
+      // disconnected groups (opted in above) cross-join at the end
+      val joined = locally {
+        val frames = posTerms.map { case (_, src, ename, elabel, directed, dst) =>
+          termFrame(src, ename, elabel, directed, dst)
+        }.toBuffer
+        var acc = frames.remove(0)
+        while (frames.nonEmpty) {
+          val i = frames.indexWhere(_.columns.intersect(acc.columns).nonEmpty)
+          val next = frames.remove(math.max(i, 0))
+          val common = acc.columns.intersect(next.columns).toSeq
+          acc = if (common.isEmpty) acc.crossJoin(next) else acc.join(next, common)
+        }
+        acc
       }
       // negated terms: anti-join away rows for which the edge EXISTS —
       // both endpoints must already be bound by the positive pattern
@@ -202,20 +235,36 @@ object GraphStages {
     * neighbor ids along `direction`. The batch form of a Gremlin
     * `g.v(x).out()` step: ONE join against the edges table instead of
     * per-record traversal. Output: input columns + `neighbors`
-    * (array<string>). */
+    * (array<string>).
+    *
+    * By default the arrays are UNBOUNDED — a celebrity vertex in a
+    * crawl-scale graph yields a single row holding millions of entries
+    * (row-size risk, hot-key task). `maxNeighbors` (optional, > 0) caps
+    * each array to its `maxNeighbors` SMALLEST neighbor ids —
+    * deterministic sorted truncation, enforced BEFORE the array is
+    * built (per-key `row_number` window), so the aggregation buffer is
+    * bounded too, not just the output row. */
   def graphNeighbors(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val edges0 = ctx.edges.getOrElse(
         sys.error("graphneighbors: no edges — apply an `edge` stage first"))
       val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
       val idField = spec.strOr("idField", "id")
+      val maxN = spec.int("maxNeighbors", 0)
       val (from, to) = spec.strOr("direction", "out") match {
         case "out" => ("src", "dst")
         case "in" => ("dst", "src")
         case other => sys.error(s"graphneighbors: unknown direction $other")
       }
-      val nbrs = edges.select(col(from).as("__gk"), col(to).as("__gn"))
-        .groupBy("__gk")
+      val pairs = edges.select(col(from).as("__gk"), col(to).as("__gn"))
+      val capped =
+        if (maxN <= 0) pairs
+        else pairs.distinct()
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__gk").orderBy("__gn")))
+          .where(col("__rn") <= maxN).drop("__rn")
+      val nbrs = capped.groupBy("__gk")
         .agg(array_distinct(sort_array(collect_list(col("__gn")))).as("neighbors"))
       df.join(nbrs, col(idField).cast("string") === col("__gk"), "left")
         .drop("__gk")

@@ -112,10 +112,51 @@ object MediaFixtures {
     outPath
   }
 
+  // ---- video fixture: real MP4 container bytes, metadata = doc_id
+  // arithmetic (the FIXTURES.md protocol: the oracle recomputes the
+  // arithmetic, the engine must recover it by parsing the boxes)
+
+  /** fps values that divide the 600-unit timescale exactly, so sample
+    * deltas and durations stay integral end-to-end. */
+  val VideoFps: Array[Int] = Array(10, 12, 15, 20, 24, 25, 30)
+  val VideoTimescale = 600L
+  def videoWidth(id: Long): Int = (32 + (id * 7) % 289).toInt
+  def videoHeight(id: Long): Int = (32 + (id * 11) % 241).toInt
+  def videoFrames(id: Long): Int = (10 + (id * 13) % 90).toInt
+  def videoFps(id: Long): Int = VideoFps((id % 7).toInt)
+  def videoDuration(id: Long): Long =
+    videoFrames(id).toLong * (VideoTimescale / videoFps(id))
+
+  /** Real MP4 bytes for one doc_id; every 4th file uses version-1
+    * (64-bit time) headers so the fixture corpus exercises both box
+    * layouts the parser handles. */
+  def videoPayload(id: Long): Array[Byte] =
+    VideoCodec.encodeMp4(videoWidth(id), videoHeight(id), videoFrames(id),
+      VideoTimescale, videoDuration(id), seed = id, v1Headers = id % 4 == 3)
+
+  /** The video fixture frame: (media_id, payload), one MP4 per doc. */
+  def videoFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, videoPayload(id))))(enc)
+      .toDF("media_id", "payload")
+  }
+
+  def ensureVideo(spark: SparkSession, sfDir: String, outPath: String): String = {
+    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    if (!marker.exists()) {
+      videoFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
+    outPath
+  }
+
   /** Bump when the format plan / dimension arithmetic above changes —
     * the on-disk cache marker is keyed on it, so an edit here can never
     * leave a stale /tmp fixture disagreeing with the oracle. */
-  val Version = 1
+  val Version = 2
 
   /** Write the fixture parquet once per (sfDir, outPath, Version);
     * idempotent. */

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * Image decode and resample are REAL (JDK `javax.imageio`, see
   * [[ImageCodec]]): PNG/JPEG/BMP/GIF payloads yield their actual
   * width/height/channel count and — for GIF — the actual frame count,
-  * and `mm_resize` re-encodes real resampled pixels. Only media ImageIO
-  * cannot read (video/audio containers — no codec libraries in this
-  * environment) goes through the clearly-marked [[StubDecoder]], kept as
+  * and `mm_resize` re-encodes real resampled pixels. WAV audio decode
+  * is REAL ([[AudioCodec]], `javax.sound.sampled`) and MP4 container
+  * metadata decode is REAL ([[VideoCodec]], pure-byte ISO BMFF box
+  * parsing). Only compressed audio the JDK cannot parse goes through
+  * the clearly-marked [[StubDecoder]], kept as
   * the seam where a JNI/ffmpeg-style decoder plugs in. The Spark shape
   * is what matters at 100 TB either way: binary column schema, typed
   * metadata struct contract, partition-parallel `mapPartitions` batch
@@ -27,15 +29,17 @@ object MultimodalStages {
   final case class MediaMeta(media_id: Long, byte_len: Long, width: Int,
                              height: Int, channels: Int, n_frames: Int)
 
-  /** STUB decoder for media ImageIO cannot read (video/audio): derives
-    * deterministic fake dimensions from the payload bytes. A production
-    * build replaces this body with the real container decode (e.g.
-    * javacv / a JNI codec) without touching the Spark plumbing around
-    * it; images take the REAL [[ImageCodec.decode]] path. */
+  /** STUB decoder — now reduced to the LAST opt-in seam: compressed
+    * audio formats (mp3/ogg/aac) whose frame headers the JDK cannot
+    * parse. Images take the REAL [[ImageCodec.decode]] path, WAV takes
+    * [[AudioCodec]], and MP4 containers take the REAL pure-byte
+    * [[VideoCodec]] box parse (`mm_video`). A production build replaces
+    * this body with a JNI/ffmpeg-style decoder without touching the
+    * Spark plumbing around it. */
   object StubDecoder {
     def decode(id: Long, payload: Array[Byte]): MediaMeta = {
       val len = if (payload == null) 0L else payload.length.toLong
-      // ??? real container decode goes here — deterministic fake from length
+      // ??? real compressed-audio decode goes here — deterministic fake
       MediaMeta(
         media_id = id,
         byte_len = len,
@@ -119,6 +123,33 @@ object MultimodalStages {
             try Some(AudioCodec.decode(i, bytes))
             catch { case scala.util.control.NonFatal(_) => None } }
           else iter.map { case (i, bytes) => AudioCodec.decode(i, bytes) }
+        }(metaEnc).toDF()
+    }
+
+  /** `mm_video`: partition-parallel MP4 container metadata decode —
+    * REAL pure-byte ISO BMFF box parsing (see [[VideoCodec]]): the
+    * video track's `tkhd` width/height, `mvhd` timescale/duration, and
+    * the `stsz` sample count, recovered from the bytes with no codec
+    * library. Options: `idField` (default doc_id), `payloadField`
+    * (default payload), `onUndecodable` error|skip (skip = the 100 TB
+    * crawl posture, a corrupt container must not kill the job). */
+  def video(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_video: unknown onUndecodable '$other' (error|skip)")
+      }
+      val metaEnc = Encoders.product[VideoCodec.VideoMeta]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          if (skip) iter.flatMap { case (i, bytes) =>
+            try Some(VideoCodec.decode(i, bytes))
+            catch { case scala.util.control.NonFatal(_) => None } }
+          else iter.map { case (i, bytes) => VideoCodec.decode(i, bytes) }
         }(metaEnc).toDF()
     }
 

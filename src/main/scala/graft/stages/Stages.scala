@@ -607,11 +607,17 @@ object Stages {
   /** `command` (OCommandTransformer.java:58-78): SQL over the registered
     * tables; result replaces the stream. Batch-level, not per record —
     * per-record SQL is the RBAR anti-pattern the Spark design removes
-    * (SURVEY.md §2.3). */
+    * (SURVEY.md §2.3). A literal Gremlin chain (`g.V()...`, or
+    * `language: "gremlin"`) routes through the [[graft.graph.Gremlin]]
+    * subset translator — set-oriented joins over the vertices/edges
+    * contract, with a named migration error for richer scripts. */
   def command(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
       val sql = spec.str("command").getOrElse(sys.error("command: command required"))
-      sqlViewLock.synchronized {
+      val lang = spec.strOr("language", "auto").toLowerCase
+      if (lang == "gremlin" || (lang == "auto" && graft.graph.Gremlin.applies(sql)))
+        graft.graph.Gremlin.run(ctx, sql)
+      else sqlViewLock.synchronized {
         df.createOrReplaceTempView("input")
         ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))
       }

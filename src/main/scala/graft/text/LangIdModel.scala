@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Character-trigram naive-Bayes language identification over 14
+/** Character-trigram naive-Bayes language identification over 20
   * languages — the real replacement for the round-5 marker-word
   * heuristic (which knew 5 languages and failed on any sentence missing
   * its markers).
@@ -36,10 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LangIdModel {
 
-  /** Declared order = tie-break order. */
+  /** Declared order = tie-break order (new languages append at the end
+    * so the original 14's tie-break order never shifts). */
   val Languages: IndexedSeq[String] = IndexedSeq(
     "en", "es", "de", "fr", "it", "pt", "nl", "sv", "pl", "tr",
-    "ru", "ar", "zh", "ja")
+    "ru", "ar", "zh", "ja", "vi", "th", "hi", "ko", "el", "he")
 
   // Embedded profile samples: UDHR article 1 (public domain) + one
   // composed everyday sentence-cluster per language.
@@ -128,7 +129,43 @@ object LangIdModel {
       "今日は天気がとても良くて、子供たちは庭で遊んでいて、母は台所で家族みんなのために夕食を作っています。",
       "私は彼らが何を欲しいのか分かりませんが、明日家に帰ってきたときに会えるでしょう。",
       "これは良い考えではないと思う人がたくさんいますが、なぜそう言うのか私には理解できます。",
-      "電車は朝に出発して、夜に大きな町に着きます。そこで長いあいだ止まっています。"))
+      "電車は朝に出発して、夜に大きな町に着きます。そこで長いあいだ止まっています。"),
+    "vi" -> Seq(
+      "Tất cả mọi người sinh ra đều được tự do và bình đẳng về nhân phẩm và quyền lợi. Mọi con người đều được tạo hóa ban cho lý trí và lương tâm và cần phải đối xử với nhau trong tình anh em.",
+      "Hôm nay thời tiết rất đẹp, trẻ em chơi trong vườn trong khi mẹ nấu bữa tối trong bếp cho cả gia đình.",
+      "Tôi không biết họ muốn gì, nhưng chúng ta sẽ gặp họ khi họ về nhà vào ngày mai.",
+      "Có nhiều người nghĩ rằng đây không phải là một ý kiến hay, và tôi có thể hiểu tại sao họ nói như vậy.",
+      "Chuyến tàu khởi hành vào buổi sáng và đến thành phố lớn vào buổi tối, nơi nó dừng lại rất lâu."),
+    "th" -> Seq(
+      "มนุษย์ทั้งปวงเกิดมามีอิสระและเสมอภาคกันในศักดิ์ศรีและสิทธิ ต่างในตนมีเหตุผลและมโนธรรม และควรปฏิบัติต่อกันด้วยจิตวิญญาณแห่งภราดรภาพ",
+      "วันนี้อากาศดีมาก เด็กๆ กำลังเล่นอยู่ในสวน ขณะที่แม่กำลังทำอาหารเย็นในครัวให้ทั้งครอบครัว",
+      "ฉันไม่รู้ว่าพวกเขาต้องการอะไร แต่เราจะได้พบพวกเขาเมื่อพวกเขากลับบ้านพรุ่งนี้",
+      "มีคนจำนวนมากที่คิดว่านี่ไม่ใช่ความคิดที่ดี และฉันเข้าใจว่าทำไมพวกเขาจึงพูดอย่างนั้น",
+      "รถไฟออกเดินทางตอนเช้าและถึงเมืองใหญ่ในตอนเย็น และจอดอยู่ที่นั่นเป็นเวลานาน"),
+    "hi" -> Seq(
+      "सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात स्वतन्त्रता और समानता प्राप्त है। उन्हें बुद्धि और अन्तरात्मा की देन प्राप्त है और परस्पर उन्हें भाईचारे के भाव से बर्ताव करना चाहिए।",
+      "आज मौसम बहुत अच्छा है और बच्चे बगीचे में खेल रहे हैं जबकि माँ रसोई में पूरे परिवार के लिए रात का खाना बना रही है।",
+      "मुझे नहीं पता कि वे क्या चाहते हैं, लेकिन जब वे कल घर लौटेंगे तो हम उनसे मिलेंगे।",
+      "बहुत से लोग सोचते हैं कि यह अच्छा विचार नहीं है, और मैं समझ सकता हूँ कि वे ऐसा क्यों कहते हैं।",
+      "रेलगाड़ी सुबह निकलती है और शाम को बड़े शहर पहुँचती है, जहाँ वह बहुत देर तक रुकती है।"),
+    "ko" -> Seq(
+      "모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. 인간은 천부적으로 이성과 양심을 부여받았으며 서로 형제애의 정신으로 행동하여야 한다.",
+      "오늘은 날씨가 정말 좋고 아이들은 정원에서 놀고 있으며 어머니는 부엌에서 온 가족을 위해 저녁을 준비하고 있다.",
+      "나는 그들이 무엇을 원하는지 모르지만 내일 집에 돌아오면 우리는 그들을 만날 것이다.",
+      "이것이 좋은 생각이 아니라고 생각하는 사람이 많이 있고, 왜 그렇게 말하는지 이해할 수 있다.",
+      "기차는 아침에 출발해서 저녁에 큰 도시에 도착하고 그곳에서 오랫동안 머무른다."),
+    "el" -> Seq(
+      "Όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην αξιοπρέπεια και τα δικαιώματα. Είναι προικισμένοι με λογική και συνείδηση, και οφείλουν να συμπεριφέρονται μεταξύ τους με πνεύμα αδελφοσύνης.",
+      "Ο καιρός είναι πολύ ωραίος σήμερα και τα παιδιά παίζουν στον κήπο ενώ η μητέρα ετοιμάζει το βραδινό στην κουζίνα για όλη την οικογένεια.",
+      "Δεν ξέρω τι θέλουν, αλλά θα τους δούμε όταν γυρίσουν σπίτι αύριο.",
+      "Υπάρχουν πολλοί άνθρωποι που πιστεύουν ότι αυτή δεν είναι καλή ιδέα, και μπορώ να καταλάβω γιατί το λένε.",
+      "Το τρένο φεύγει το πρωί και φτάνει το βράδυ στη μεγάλη πόλη, όπου μένει πολλή ώρα."),
+    "he" -> Seq(
+      "כל בני האדם נולדו בני חורין ושווים בערכם ובזכויותיהם. כולם חוננו בתבונה ובמצפון, לפיכך חובה עליהם לנהוג איש ברעהו ברוח של אחווה.",
+      "מזג האוויר יפה מאוד היום והילדים משחקים בגינה בזמן שאמא מכינה ארוחת ערב במטבח לכל המשפחה.",
+      "אני לא יודע מה הם רוצים, אבל נראה אותם כשהם יחזרו הביתה מחר.",
+      "יש הרבה אנשים שחושבים שזה לא רעיון טוב, ואני יכול להבין למה הם אומרים את זה.",
+      "הרכבת יוצאת בבוקר ומגיעה לעיר הגדולה בערב, ושם היא עוצרת לזמן רב."))
 
   /** Held-out evaluation sentences per language — share NO sentence with
     * the profiles (many share no content word at all); the fixture the
@@ -189,7 +226,31 @@ object LangIdModel {
     "ja" -> IndexedSeq(
       "彼女は朝早く駅まで歩いて、町へ行く最初の電車に乗りました。",
       "何時間も待ちましたが、手紙はまだ届いていません。",
-      "兄は家の近くの小さな本屋で働いています。"))
+      "兄は家の近くの小さな本屋で働いています。"),
+    "vi" -> IndexedSeq(
+      "Cô ấy đi bộ đến nhà ga từ sáng sớm để kịp chuyến tàu đầu tiên vào thành phố.",
+      "Chúng tôi đã chờ nhiều giờ, nhưng lá thư vẫn chưa đến.",
+      "Anh trai tôi làm việc trong một hiệu sách nhỏ gần nhà chúng tôi."),
+    "th" -> IndexedSeq(
+      "เธอเดินไปที่สถานีแต่เช้าตรู่เพื่อให้ทันรถไฟขบวนแรกเข้าเมือง",
+      "เรารอกันหลายชั่วโมงแล้ว แต่จดหมายก็ยังมาไม่ถึง",
+      "พี่ชายของฉันทำงานในร้านหนังสือเล็กๆ ใกล้บ้านของเรา"),
+    "hi" -> IndexedSeq(
+      "वह सुबह जल्दी स्टेशन तक पैदल गई ताकि शहर जाने वाली पहली रेलगाड़ी पकड़ सके।",
+      "हमने घंटों इंतज़ार किया, लेकिन चिट्ठी अभी तक नहीं पहुँची।",
+      "मेरा भाई हमारे घर के पास एक छोटी किताबों की दुकान में काम करता है।"),
+    "ko" -> IndexedSeq(
+      "그녀는 도시로 가는 첫 기차를 타기 위해 아침 일찍 역까지 걸어갔다.",
+      "우리는 몇 시간 동안 기다렸지만 편지는 아직 도착하지 않았다.",
+      "내 형은 우리 집 근처의 작은 책방에서 일한다."),
+    "el" -> IndexedSeq(
+      "Περπάτησε στον σταθμό νωρίς το πρωί για να προλάβει το πρώτο τρένο για την πόλη.",
+      "Περιμέναμε ώρες, αλλά το γράμμα δεν έχει φτάσει ακόμα.",
+      "Ο αδερφός μου δουλεύει σε ένα μικρό βιβλιοπωλείο στη γωνία του σπιτιού μας."),
+    "he" -> IndexedSeq(
+      "היא הלכה לתחנה מוקדם בבוקר כדי להספיק לרכבת הראשונה אל העיר.",
+      "חיכינו שעות, אבל המכתב עדיין לא הגיע.",
+      "אחי עובד בחנות ספרים קטנה ליד הבית שלנו."))
 
   /** Sentences per language in [[Holdout]] (fixture arithmetic). */
   val HoldoutK: Int = 3

@@ -22,15 +22,22 @@ object RecallProbe {
     val lsh = run(s"""$emb "transformers": [{"similaritylsh": {"idField": "vec_id",
       "field": "embedding", "k": 5, "nBits": 16, "bands": 4}}]}""")
       .select("q_id", "n_id")
-    val ivf = run(s"""$emb "transformers": [{"similarityivf": {"idField": "vec_id",
-      "field": "embedding", "k": 5, "nCells": 16, "nProbe": 3}}]}""")
-      .select("q_id", "n_id")
-
     val total = exact.count().toDouble
     val lshHits = lsh.join(exact, Seq("q_id", "n_id"), "left_semi").count()
-    val ivfHits = ivf.join(exact, Seq("q_id", "n_id"), "left_semi").count()
     println(f"similarity_lsh recall@5 = ${lshHits / total}%.4f ($lshHits/${total.toLong})")
-    println(f"similarity_ivf recall@5 = ${ivfHits / total}%.4f ($ivfHits/${total.toLong})")
+    // IVF parameter sweep: recall@5 per (nCells, nProbe, lloydIters,
+    // trainRows) — used to pick the verdict-floor configuration
+    for ((nc, np, li, tr) <- Seq((16, 3, 3, 640), (16, 4, 3, 640),
+      (16, 5, 3, 640), (16, 6, 3, 640), (16, 5, 5, 1280),
+      (8, 3, 3, 640), (8, 4, 5, 1280), (12, 4, 4, 960))) {
+      val ivf = run(s"""$emb "transformers": [{"similarityivf": {"idField": "vec_id",
+        "field": "embedding", "k": 5, "nCells": $nc, "nProbe": $np,
+        "lloydIters": $li, "trainRows": $tr}}]}""")
+        .select("q_id", "n_id")
+      val hits = ivf.join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      println(f"similarity_ivf nCells=$nc nProbe=$np lloyd=$li train=$tr " +
+        f"recall@5 = ${hits / total}%.4f ($hits/${total.toLong})")
+    }
 
     val exactPairs = run(s"""$emb "transformers": [{"cosinedup": {"idField": "vec_id",
       "field": "embedding", "threshold": 0.4, "exact": true}}]}""").select("a", "b")

@@ -111,6 +111,94 @@ class GraphSpec extends SparkSpec {
     assert(loops == Set(("s", "t")))
   }
 
+  test("motif: disconnected pattern rejected with group names; allowDisconnected opts in; connected-out-of-order never errors") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "b", "e"), ("c", "d", "e"), ("b", "c", "e"))
+      .toDF("src", "dst", "label"))
+    // genuinely disconnected: typed error naming the vertex groups
+    val err = intercept[RuntimeException](motifRun(ctx,
+      "pattern" -> "(p)-[]->(q); (r)-[]->(s)"))
+    assert(err.getMessage.contains("DISCONNECTED"))
+    assert(err.getMessage.contains("{p,q}") && err.getMessage.contains("{r,s}"))
+    // explicit opt-in: the cartesian IS the result (3 edges × 3 edges)
+    val cross = motifRun(ctx, "pattern" -> "(p)-[]->(q); (r)-[]->(s)",
+      "allowDisconnected" -> true)
+    assert(cross.count() == 9)
+    // connected pattern in awkward term order (terms 1 and 2 share
+    // nothing, term 3 bridges): accepted, and the greedy join order
+    // means no intermediate cartesian
+    val bridged = motifRun(ctx,
+      "pattern" -> "(p)-[]->(q); (r)-[]->(s); (q)-[]->(r)")
+      .select("p", "q", "r", "s").as[(String, String, String, String)]
+      .collect().toSet
+    assert(bridged == Set(("a", "b", "c", "d")))
+  }
+
+  test("motif: directed triangle with de-mirror where") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "b", "e"), ("b", "c", "e"), ("c", "a", "e"),
+      ("a", "d", "e"))
+      .toDF("src", "dst", "label"))
+    val tri = motifRun(ctx,
+      "pattern" -> "(x)-[]->(y); (y)-[]->(z); (z)-[]->(x)",
+      "where" -> "x < y AND x < z")
+      .select("x", "y", "z").as[(String, String, String)].collect().toSet
+    assert(tri == Set(("a", "b", "c"))) // one canonical rotation per cycle
+  }
+
+  test("graphneighbors: maxNeighbors caps arrays deterministically (planted hot vertex)") {
+    val ctx = newCtx()
+    // hot vertex: 50 out-edges; cold vertex: 2
+    val hot = (0 until 50).map(i => ("hub", f"n$i%03d", "e"))
+    val cold = Seq(("cold", "n001", "e"), ("cold", "n000", "e"))
+    ctx.addEdges((hot ++ cold).toDF("src", "dst", "label"))
+    val in = Seq("hub", "cold").toDF("id")
+    val out = graft.graph.GraphStages.graphNeighbors(
+      ComponentSpec("graphneighbors",
+        Map("idField" -> "id", "maxNeighbors" -> 5)), ctx)(in)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // sorted truncation: the 5 SMALLEST neighbor ids, deterministic
+    assert(out("hub") == (0 until 5).map(i => f"n$i%03d").toList)
+    assert(out("cold") == List("n000", "n001")) // under the cap: unchanged
+    // unbounded default unchanged
+    val unb = graft.graph.GraphStages.graphNeighbors(
+      ComponentSpec("graphneighbors", Map("idField" -> "id")), ctx)(in)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).length).toMap
+    assert(unb("hub") == 50)
+  }
+
+  test("gremlin: translated subset matches the motif equivalent; richer scripts are named errors") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "person"), ("b", "person"), ("c", "city"))
+      .toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "knows"), ("b", "c", "lives"), ("a", "c", "lives"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    assert(g("g.V().hasLabel('person').out('knows')")
+      .select("id").as[String].collect().toSeq == Seq("b"))
+    // literal Gremlin == the equivalent motif frame
+    val viaMotif = motifRun(ctx, "pattern" -> "(x)-[:lives]->(y)")
+      .select("y").as[String].collect().toSeq.sorted
+    val viaGremlin = g("g.V().out('lives')")
+      .select("id").as[String].collect().toSeq.sorted
+    assert(viaGremlin == viaMotif)
+    // in / both / has-on-property / terminal count
+    assert(g("g.V().in('knows')").select("id").as[String].collect().toSeq == Seq("a"))
+    assert(g("g.V().both('knows')").select("id").as[String].collect().toSeq.sorted ==
+      Seq("a", "b"))
+    assert(g("g.V().has('id', 'a').count()").select("count").as[Long].head() == 1L)
+    // labels re-attached after a hop (left join: c has label city)
+    assert(g("g.V().out('lives')").select("label").as[String].collect().toSeq ==
+      Seq("city", "city"))
+    // richer scripts: NAMED migration errors, never silent misparses
+    val e = intercept[RuntimeException](g("g.V().repeat(out()).times(3)"))
+    assert(e.getMessage.contains("gremlin"))
+    val e2 = intercept[RuntimeException](g("g.V().out().values('name')"))
+    assert(e2.getMessage.contains("unsupported step"))
+    assert(e2.getMessage.contains("motif"))
+  }
+
   test("graphneighbors: one-hop expansion, sorted distinct, left join") {
     val ctx = withEdges()
     val in = Seq("a", "b", "z").toDF("id")

@@ -202,11 +202,12 @@ class LlmStagesSpec extends SparkSpec {
     assert(r2.getAs[Int]("ts_distinct_tokens") == 2)
   }
 
-  test("langid: trigram model classifies held-out sentences in 14 languages") {
+  test("langid: trigram model classifies held-out sentences in all 20 languages") {
     // the model's own held-out set: no sentence appears in the profiles
     val rows = graft.text.LangIdModel.Holdout.toSeq.flatMap {
       case (lang, ss) => ss.map(s => (lang, s))
     }
+    assert(rows.map(_._1).distinct.size == graft.text.LangIdModel.Languages.size)
     val df = rows.zipWithIndex.map { case ((lang, s), i) => (i.toLong, lang, s) }
       .toDF("doc_id", "lang", "text")
     val out = stage("langid")(df)
@@ -219,6 +220,30 @@ class LlmStagesSpec extends SparkSpec {
     // empty text: deterministic first-declared-language fallback
     assert(stage("langid")(Seq((1L, "")).toDF("doc_id", "text"))
       .head().getAs[String]("lang_pred") == "en")
+  }
+
+  test("langid: SHORT marker-free sentences clear a 0.9 accuracy floor") {
+    // 3-6 word everyday sentences sharing no content word with the
+    // profiles' recurring clusters; the documented floor is 90% — short
+    // Latin-script text is the genuinely hard case for char trigrams
+    val short = Seq(
+      "en" -> "He came back very late.",
+      "fr" -> "Il est rentré chez lui.",
+      "ru" -> "Он пошёл домой поздно.",
+      "vi" -> "Anh ấy đã về nhà muộn.",
+      "th" -> "เขากลับบ้านดึกมาก",
+      "hi" -> "वह देर से घर लौटा।",
+      "ko" -> "그는 밤 늦게 집에 갔다.",
+      "el" -> "Πήγε σπίτι πολύ αργά.",
+      "he" -> "הוא חזר הביתה מאוחר.",
+      "zh" -> "他很晚才回家。")
+    val hits = short.count { case (lang, s) =>
+      graft.text.LangIdModel.predict(s) == lang
+    }
+    val acc = hits.toDouble / short.size
+    assert(acc >= 0.9, s"short-sentence accuracy $acc below the 0.9 floor: " +
+      short.map { case (l, s) => s"$l→${graft.text.LangIdModel.predict(s)}" }
+        .mkString(", "))
   }
 
   test("tokenize: BPE-ish units count words and punctuation separately") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{ImageCodec, MediaFixtures, MultimodalStages}
+import graft.multimodal.{ImageCodec, MediaFixtures, MultimodalStages, VideoCodec}
 import graft.spec.ComponentSpec
 import org.apache.spark.sql.functions._
 
@@ -125,5 +125,64 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.count() == n)
     val bad = meta.where(col("width") =!= lit(16) + (col("media_id") * 7) % 97)
     assert(bad.count() == 0)
+  }
+
+  test("VideoCodec: v0 and v1 MP4 box layouts round-trip the real metadata") {
+    (0L to 27L).foreach { id => // id%4==3 rows use version-1 headers
+      val m = VideoCodec.decode(id, MediaFixtures.videoPayload(id))
+      assert(m.width == MediaFixtures.videoWidth(id), s"width id=$id")
+      assert(m.height == MediaFixtures.videoHeight(id), s"height id=$id")
+      assert(m.n_frames == MediaFixtures.videoFrames(id), s"frames id=$id")
+      assert(m.timescale == MediaFixtures.VideoTimescale)
+      assert(m.duration == MediaFixtures.videoDuration(id), s"duration id=$id")
+    }
+  }
+
+  test("VideoCodec: faststart (moov before mdat) and largesize mdat both parse") {
+    val id = 6L
+    val orig = MediaFixtures.videoPayload(id)
+    // split the writer's ftyp|mdat|moov layout back into its three boxes
+    def u32(o: Int): Int = ((orig(o) & 0xFF) << 24) | ((orig(o + 1) & 0xFF) << 16) |
+      ((orig(o + 2) & 0xFF) << 8) | (orig(o + 3) & 0xFF)
+    val ftypLen = u32(0); val mdatLen = u32(ftypLen)
+    val ftyp = orig.slice(0, ftypLen)
+    val mdat = orig.slice(ftypLen, ftypLen + mdatLen)
+    val moov = orig.slice(ftypLen + mdatLen, orig.length)
+    val expect = VideoCodec.decode(id, orig)
+    // moov-first (faststart) ordering
+    assert(VideoCodec.decode(id, ftyp ++ moov ++ mdat) == expect)
+    // 64-bit largesize header on mdat (size field = 1, u64 follows type)
+    val large = Array[Byte](0, 0, 0, 1) ++ mdat.slice(4, 8) ++
+      Array[Byte](0, 0, 0, 0) ++ Array(
+        (((mdat.length + 8) >> 24) & 0xFF).toByte, (((mdat.length + 8) >> 16) & 0xFF).toByte,
+        (((mdat.length + 8) >> 8) & 0xFF).toByte, ((mdat.length + 8) & 0xFF).toByte) ++
+      mdat.slice(8, mdat.length)
+    assert(VideoCodec.decode(id, ftyp ++ large ++ moov) == expect)
+  }
+
+  test("VideoCodec: non-MP4 / truncated payloads are typed errors naming the row") {
+    val e = intercept[RuntimeException](
+      VideoCodec.decode(42L, "definitely not an mp4 container".getBytes("UTF-8")))
+    assert(e.getMessage.contains("media_id=42"))
+    val truncated = MediaFixtures.videoPayload(3L).take(40)
+    val e2 = intercept[RuntimeException](VideoCodec.decode(7L, truncated))
+    assert(e2.getMessage.contains("media_id=7"))
+    intercept[RuntimeException](VideoCodec.decode(1L, Array.emptyByteArray))
+  }
+
+  test("mm_video: engine stage decodes real containers; skip mode drops corrupt rows") {
+    val df = Seq(
+      (4L, MediaFixtures.videoPayload(4L)),
+      (11L, MediaFixtures.videoPayload(11L)), // v1 headers
+      (99L, "corrupt".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val ok = stage("mm_video", "idField" -> "media_id",
+      "onUndecodable" -> "skip")(df).orderBy("media_id").collect()
+    assert(ok.length == 2)
+    assert(ok(0).getAs[Int]("width") == MediaFixtures.videoWidth(4L))
+    assert(ok(1).getAs[Int]("n_frames") == MediaFixtures.videoFrames(11L))
+    assert(ok(1).getAs[Long]("duration") == MediaFixtures.videoDuration(11L))
+    val e = intercept[Exception](stage("mm_video", "idField" -> "media_id")(df).collect())
+    assert(e.getMessage != null)
   }
 }
