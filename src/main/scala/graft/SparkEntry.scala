@@ -1254,15 +1254,16 @@ object SparkEntry {
       recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.3", 0.3)
     },
     "similarity_ivf" -> { (s, dir) =>
-      // same verdict contract as similarity_lsh (measured 0.497 at
-      // sf0.01 with the trained spherical-k-means codebook, up from
-      // 0.402 sampled-rows; deterministic: hash-ordered training
-      // sample, fixed Lloyd's rounds, fixed probes)
+      // same verdict contract as similarity_lsh. nProbe=6 over 16
+      // trained cells: measured recall@5 0.724 at sf0.01 / 0.679 at
+      // sf0.1 (RecallProbe sweep) — the 0.6 floor holds with margin at
+      // both scales; deterministic: hash-ordered training sample, fixed
+      // Lloyd's rounds, fixed probes
       val approx = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"similarityivf": {"idField": "vec_id",
-          "field": "embedding", "k": 5, "nCells": 16, "nProbe": 3}}],
+          "field": "embedding", "k": 5, "nCells": 16, "nProbe": 6}}],
         "loader": {"memory": {}} }""").select("q_id", "n_id")
       val exact = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
@@ -1270,7 +1271,7 @@ object SparkEntry {
         "transformers": [{"similarity": {"idField": "vec_id",
           "field": "embedding", "k": 5}}],
         "loader": {"memory": {}} }""").select("q_id", "n_id")
-      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.4", 0.4)
+      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.6", 0.6)
     },
     "cosine_dup" -> { (s, dir) =>
       // VERDICT table: the SRP-bucketed pair set must be a SUBSET of the
@@ -1862,7 +1863,7 @@ object SparkEntry {
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "similarity_ivf" ->
-      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.4', true), " +
+      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.6', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "cosine_dup" ->
       ("SELECT * FROM (VALUES ('false_positives_zero', true), " +
