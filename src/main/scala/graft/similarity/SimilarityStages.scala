@@ -206,6 +206,31 @@ object SimilarityStages {
       .reduce(_ + _)
   }
 
+  /** Uniform-density guard for the SRP band joins: with `2^bits`
+    * buckets per band, N rows give ~`N/2^bits` rows per bucket EVEN
+    * WITHOUT skew, and the band self-join generates ~`bands·N²/2^bits`
+    * candidate pairs — at fixed nBits that grows QUADRATICALLY in N
+    * (found by the 100× ScaleStress run: 200k vectors at 4 bits/band =
+    * ~10¹⁰ candidates, GC death). [[graft.stages.BucketGuard]] does not
+    * catch this case — no single bucket is an outlier when all of them
+    * are overfull. Fail fast with the parameter rule instead; the
+    * input-size probe is a bounded `limit(cap+1).count()`, not a full
+    * count. `maxAvgBucket <= 0` opts out. */
+  private def densityGuard(df: DataFrame, bits: Int, spec: ComponentSpec,
+                           stage: String): Unit = {
+    val maxAvgBucket = spec.int("maxAvgBucket", 2000)
+    if (maxAvgBucket > 0) {
+      val cap = maxAvgBucket.toLong * (1L << bits)
+      val got = df.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count()
+      require(got <= cap,
+        s"$stage: input exceeds ${cap} rows = maxAvgBucket=$maxAvgBucket × " +
+        s"2^$bits band buckets — every bucket would hold >$maxAvgBucket rows " +
+        "and the band self-join goes quadratic in N. Raise nBits so " +
+        s"nBits/bands >= log2(N/$maxAvgBucket), or raise maxAvgBucket " +
+        "(<=0 disables) if the candidate volume is really intended.")
+    }
+  }
+
   /** `similaritylsh` transformer — bucketed approximate top-k: SRP
     * signature split into `bands` bit-blocks; candidates share a block
     * value; exact cosine re-ranks within candidates. Recall < 1 by
@@ -222,6 +247,7 @@ object SimilarityStages {
       val bands = spec.int("bands", 4)
       val bits = nBits / bands
       require(bands * bits == nBits, "similaritylsh: bands must divide nBits")
+      densityGuard(df, bits, spec, "similaritylsh")
 
       val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
         .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
@@ -438,6 +464,7 @@ object SimilarityStages {
         val bands = spec.int("bands", 8)
         val bits = nBits / bands
         require(bands * bits == nBits, "cosinedup: bands must divide nBits")
+        densityGuard(df, bits, spec, "cosinedup")
         val sigs = df.select(col(id).as("__id"), col(vec).as("__v"))
           .withColumn("__sig", srpSignature(col("__v"), nBits, spec.int("dim", 64)))
           .withColumn("__n", norm(col("__v")))

@@ -1,0 +1,160 @@
+package graft.tools
+
+import graft.engine.{Engine, EtlContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale stress of the quadratic-adjacent operator family
+  * (minhash banded pairs, cosine near-dup, LSH transitive dedup,
+  * per-group cap under planted skew): synthesizes sf0.1-equivalent and
+  * 10× (sf1-equivalent) documents/embeddings fixtures with CONTROLLED
+  * near-dup structure (planted pair clusters at a fixed 1% rate, so
+  * true-pair counts scale LINEARLY with N — the honest setting for
+  * measuring whether the banded paths stay near-linear rather than
+  * drowning in within-bucket quadratics), plants a 20% hot group for
+  * the skew path, times each operator at both scales, and prints the
+  * scaling exponent `log(t10/t1)/log(10)` (1.0 = perfectly linear).
+  *
+  * Fixture caches are content-keyed (`_graft_v<N>` marker per the
+  * CLAUDE.md rule). Each op is timed twice per scale and the MIN kept —
+  * this box shows ambient CPU steal (BASELINE.md), and best-observed ≈
+  * plan cost is the established measurement protocol.
+  */
+object ScaleStress {
+
+  private val Version = 1
+  private val Dim = 64
+
+  /** Deterministic synthetic corpus: Zipf-ish token stream (log-uniform
+    * rank over a 10k vocab), 1% planted near-dup partners (id%100==1
+    * copies id-1's text with a short suffix), 20% hot domain. */
+  private def ensureDocs(spark: SparkSession, n: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
+    if (!marker.exists()) {
+      import org.apache.spark.sql.Encoders
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+      spark.range(n).select(col("id")).as(Encoders.scalaLong)
+        .mapPartitions(_.map { id =>
+          val base = if (id % 100 == 1) id - 1 else id // planted partner
+          val r = new scala.util.Random(base * 2654435761L)
+          val len = 40 + (math.abs(base * 31) % 160).toInt
+          val sb = new StringBuilder
+          var i = 0
+          while (i < len) {
+            // log-uniform rank ≈ zipf(1): realistic bucket-size skew
+            val rank = math.min(9999, math.exp(r.nextDouble() * math.log(10000.0)).toInt)
+            sb.append('w').append(rank).append(' ')
+            i += 1
+          }
+          if (id % 100 == 1) sb.append("tail").append(id) // near- not exact-dup
+          val domain =
+            if (id % 5 == 0) "hot.example.com"
+            else s"site${math.abs(id * 131) % 1000}.example.com"
+          (id, sb.toString, domain)
+        })(enc)
+        .toDF("doc_id", "text", "domain")
+        .write.mode("overwrite").parquet(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  /** Deterministic embeddings: hash-derived components in [-1,1], 1%
+    * planted near-identical partners (tiny perturbation). */
+  private def ensureVecs(spark: SparkSession, m: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$m")
+    if (!marker.exists()) {
+      import spark.implicits._
+      spark.range(m).select(col("id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = if (id % 100 == 1) id - 1 else id
+          val r = new scala.util.Random(base * 40503L + 17)
+          val v = Array.fill(Dim)((r.nextDouble() * 2 - 1).toFloat)
+          if (id % 100 == 1) v(0) = v(0) + 0.001f
+          (id, v)
+        })
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("graft-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    def ctx() = new EtlContext(spark)
+
+    def time2(json: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Engine.runJson(ctx(), json).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once(); val b = once()
+      spark.catalog.clearCache()
+      math.min(a, b)
+    }
+
+    val results = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (factor <- Seq(1, 10, 100)) {
+      val n = 5000L * factor // sf0.1-equivalent docs × factor
+      val m = 2000L * factor
+      val docs = ensureDocs(spark, n, s"/tmp/graft_stress_docs_f$factor")
+      val vecs = ensureVecs(spark, m, s"/tmp/graft_stress_vecs_f$factor")
+      val ops = Seq(
+        "minhash_pairs" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [{"minhash": {"idField": "doc_id", "field": "text",
+            "shingleSize": 3, "numHashes": 64, "bands": 16, "threshold": 0.2}}],
+          "loader": {"memory": {}} }""",
+        "neardup_dedup_lsh" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [{"neardupdedup": {"idField": "doc_id", "field": "text",
+            "shingleSize": 3, "numHashes": 64, "bands": 16, "threshold": 0.5}}],
+          "loader": {"memory": {}} }""",
+        // bits/band scales with log2(N): fixed nBits makes the band join
+        // quadratic in N (the density guard fails fast on that — asserted
+        // below); 4 bits/band to 20k vectors, 10 bits/band at 200k
+        "cosine_dup" -> s"""{
+          "source": {"file": {"path": "$vecs"}}, "extractor": {"parquet": {}},
+          "transformers": [{"cosinedup": {"idField": "vec_id",
+            "field": "embedding", "threshold": 0.4,
+            "nBits": ${if (factor >= 100) 40 else 16}, "bands": 4}}],
+          "loader": {"memory": {}} }""",
+        "group_cap" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [{"groupcap": {"groupField": "domain",
+            "orderField": "doc_id", "maxPerGroup": 10}}],
+          "loader": {"memory": {}} }""")
+      ops.foreach { case (name, json) =>
+        val t = time2(json)
+        results((name, factor)) = t
+        println(f"[stress] $name%-18s factor=$factor%-2d n=${if (name == "cosine_dup") m else n}%-6d min-of-2 = $t%7.2fs")
+      }
+      if (factor >= 100) {
+        // the under-bucketed config must FAIL FAST (density guard), not
+        // GC-thrash: 200k vectors at 4 bits/band ≈ 10^10 candidates
+        val e = try {
+          Engine.runJson(ctx(), s"""{
+            "source": {"file": {"path": "$vecs"}}, "extractor": {"parquet": {}},
+            "transformers": [{"cosinedup": {"idField": "vec_id",
+              "field": "embedding", "threshold": 0.4, "nBits": 16, "bands": 4}}],
+            "loader": {"memory": {}} }""").count()
+          "NO ERROR — guard failed to fire"
+        } catch { case ex: Exception if ex.getMessage.contains("quadratic") =>
+          "guard fired as designed" }
+        println(s"[stress] density guard at factor=$factor: $e")
+      }
+    }
+    println("[stress] scaling exponents (1.0 = linear in N; the 10->100 column")
+    println("[stress] is the honest one — fixed job-launch cost dominates factor 1):")
+    results.keys.map(_._1).toSeq.distinct.sorted.foreach { name =>
+      val (t1, t10, t100) = (results((name, 1)), results((name, 10)), results((name, 100)))
+      val e10 = math.log(t10 / t1) / math.log(10.0)
+      val e100 = math.log(t100 / t10) / math.log(10.0)
+      println(f"[stress]   $name%-18s t1=$t1%6.2fs t10=$t10%6.2fs t100=$t100%7.2fs exp(1->10)=$e10%5.2f exp(10->100)=$e100%5.2f")
+    }
+    spark.stop()
+  }
+}

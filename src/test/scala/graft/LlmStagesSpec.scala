@@ -467,6 +467,22 @@ class LlmStagesSpec extends SparkSpec {
     assert(recall > 0.4, s"IVF recall too low: $recall") // probing half the cells
   }
 
+  test("cosinedup/similaritylsh: uniform-density guard fails fast, opt-out works") {
+    val ctx = newCtx()
+    val emb = ctx.table("embeddings")
+    // 2 bits/band and maxAvgBucket=1 → cap of 4 rows: must fail fast
+    // naming the quadratic blowup, BEFORE building the band join
+    val e = intercept[IllegalArgumentException](
+      stage("cosinedup", "nBits" -> 8, "bands" -> 4, "maxAvgBucket" -> 1)(emb))
+    assert(e.getMessage.contains("quadratic"))
+    val e2 = intercept[IllegalArgumentException](
+      stage("similaritylsh", "nBits" -> 8, "bands" -> 4, "maxAvgBucket" -> 1)(emb))
+    assert(e2.getMessage.contains("quadratic"))
+    // explicit opt-out restores the dense-bucket behavior
+    assert(stage("cosinedup", "nBits" -> 8, "bands" -> 4, "maxAvgBucket" -> 0,
+      "threshold" -> 0.99)(emb).count() >= 0)
+  }
+
   test("similarity IVF: string-id corpus works (no integral-id restriction)") {
     val ctx = newCtx()
     val emb = ctx.table("embeddings").where("vec_id < 50")
