@@ -37,25 +37,38 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "BENCH_ANCHORS.json"))
   private def sfKey(sfDir: String): String = new java.io.File(sfDir).getName
 
+  /** A corrupt sidecar (e.g. a run killed mid-write before atomic
+    * rename existed, or a hand-edit typo) must degrade to "no anchors"
+    * — every unlisted query then defends at [[DefaultAnchor]] — never
+    * brick the bench. */
   private def loadAnchors(key: String): Map[String, Double] = {
     if (!anchorsFile.exists()) return Map.empty
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(anchorsFile)
-    val n = root.get(key)
-    if (n == null || !n.isObject) Map.empty
-    else {
-      val b = Map.newBuilder[String, Double]
-      val it = n.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(anchorsFile)
+      val n = root.get(key)
+      if (n == null || !n.isObject) Map.empty
+      else {
+        val b = Map.newBuilder[String, Double]
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
       }
-      b.result()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] unreadable anchors sidecar " +
+        s"(${e.getMessage}) — defending against defaults this run")
+      Map.empty
     }
   }
 
+  /** Write-temp-then-rename so a killed run can never leave a
+    * truncated sidecar behind. */
   private def saveAnchors(key: String, anchors: Map[String, Double]): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = (if (anchorsFile.exists()) m.readTree(anchorsFile) else null) match {
+    val root = (try { if (anchorsFile.exists()) m.readTree(anchorsFile) else null }
+                catch { case _: java.io.IOException => null }) match {
       case o: com.fasterxml.jackson.databind.node.ObjectNode => o
       case _ => m.createObjectNode()
     }
@@ -63,7 +76,11 @@ object Bench {
     anchors.toSeq.sortBy(_._1).foreach { case (k, v) =>
       sfNode.put(k, math.rint(v * 1000) / 1000) }
     root.set(key, sfNode)
-    m.writerWithDefaultPrettyPrinter().writeValue(anchorsFile, root)
+    val tmp = new java.io.File(anchorsFile.getPath + ".tmp")
+    m.writerWithDefaultPrettyPrinter().writeValue(tmp, root)
+    java.nio.file.Files.move(tmp.toPath, anchorsFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private val DefaultAnchor = 1.0

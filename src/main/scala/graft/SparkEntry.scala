@@ -77,7 +77,7 @@ object SparkEntry {
       // real MP4 container bytes for the pure-byte box-parse decode
       graft.multimodal.MediaFixtures.ensureVideo(spark, sfDir, s"$dir/video_parquet")
       // multilingual text: one held-out sentence per doc_id, language
-      // keyed by doc_id % 14 — the langid query must recover the key
+      // keyed by doc_id % Languages.length — the langid query must recover the key
       // from the TEXT; the oracle recomputes the arithmetic. The cache
       // marker is CONTENT-KEYED on the holdout data so an edit to
       // LangIdModel can never leave a stale /tmp fixture silently

@@ -52,7 +52,11 @@ object Gremlin {
 
     val vertices = ctx.vertices.getOrElse(
       fail("no vertices — apply a `vertex` stage first"))
-    val idLabel = vertices.select(col("id"), col("label")).distinct()
+    // ONE row per id for re-attachment: vertex classes union in
+    // ctx.vertices, so an id registered under two classes would
+    // otherwise multiply every hop's rows through the join (min(label)
+    // keeps the pick deterministic for the ambiguous-id case)
+    val idLabel = vertices.groupBy("id").agg(min("label").as("label"))
     var frame = vertices
     steps.tail.zipWithIndex.foreach { case (step, i) =>
       val terminal = i == steps.tail.length - 1

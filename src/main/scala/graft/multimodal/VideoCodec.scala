@@ -74,23 +74,45 @@ object VideoCodec {
   private def child(b: Array[Byte], parent: Box, typ: String): Option[Box] =
     boxes(b, parent.start, parent.end).find(_.typ == typ)
 
-  /** Decode MP4 container metadata. Throws a typed error naming the row
-    * for anything that is not a parseable ISO BMFF file. */
+  /** A box payload must be large enough for the reads about to happen —
+    * a short box must be a typed error, never an out-of-bounds read (or
+    * worse, a silent read of the NEXT box's bytes). */
+  private def need(b: Box, bytes: Int, what: String): Unit =
+    if (b.end - b.start < bytes)
+      sys.error(s"'${b.typ}' box too short for $what (${b.end - b.start} < $bytes bytes)")
+
+  /** Decode MP4 container metadata. Throws a typed error NAMING THE ROW
+    * for anything that is not a parseable ISO BMFF file — the whole
+    * parse (including nested box walks and fixed-offset reads) is
+    * inside the wrapper, so `onUndecodable: error` always reports the
+    * media_id and `skip` mode can drop any malformed container. */
   def decode(id: Long, payload: Array[Byte]): VideoMeta = {
     if (payload == null || payload.length < 8) fail(id, "empty/short payload")
-    val top =
-      try boxes(payload, 0, payload.length)
-      catch { case e: RuntimeException => fail(id, e.getMessage) }
+    try decodeUnsafe(id, payload)
+    catch {
+      case e: RuntimeException if e.getMessage != null &&
+        e.getMessage.contains("media_id=") => throw e
+      case e: RuntimeException => fail(id, e.getMessage)
+      case e: ArrayIndexOutOfBoundsException =>
+        fail(id, s"truncated box content (${e.getMessage})")
+    }
+  }
+
+  private def decodeUnsafe(id: Long, payload: Array[Byte]): VideoMeta = {
+    val top = boxes(payload, 0, payload.length)
     if (!top.exists(b => b.typ == "ftyp" || b.typ == "moov"))
       fail(id, "no ftyp/moov box — not an ISO BMFF container")
     val moov = top.find(_.typ == "moov").getOrElse(fail(id, "no moov box"))
 
     // movie header: timescale + duration (v0: u32s; v1: u64 times)
     val mvhd = child(payload, moov, "mvhd").getOrElse(fail(id, "no mvhd box"))
+    need(mvhd, 4, "version/flags")
     val mv = payload(mvhd.start) & 0xFF // version
     val (timescale, duration) =
-      if (mv == 1) (u32(payload, mvhd.start + 20), u64(payload, mvhd.start + 24))
-      else (u32(payload, mvhd.start + 12), u32(payload, mvhd.start + 16))
+      if (mv == 1) { need(mvhd, 32, "v1 timescale/duration")
+        (u32(payload, mvhd.start + 20), u64(payload, mvhd.start + 24)) }
+      else { need(mvhd, 20, "v0 timescale/duration")
+        (u32(payload, mvhd.start + 12), u32(payload, mvhd.start + 16)) }
 
     // first track with a nonzero tkhd width = the video track (audio
     // tracks carry 0×0); fall back to the first track at all
@@ -98,8 +120,10 @@ object VideoCodec {
     if (traks.isEmpty) fail(id, "no trak box")
     def dims(trak: Box): Option[(Int, Int)] =
       child(payload, trak, "tkhd").map { tk =>
+        need(tk, 4, "version/flags")
         val v = payload(tk.start) & 0xFF
-        val wOff = if (v == 1) tk.start + 88 else tk.start + 76
+        val wOff = if (v == 1) { need(tk, 96, "v1 width/height"); tk.start + 88 }
+                   else { need(tk, 84, "v0 width/height"); tk.start + 76 }
         // 16.16 fixed-point: integer part is the high u16
         (u16(payload, wOff), u16(payload, wOff + 4))
       }
@@ -113,7 +137,7 @@ object VideoCodec {
       minf <- child(payload, mdia, "minf")
       stbl <- child(payload, minf, "stbl")
       stsz <- child(payload, stbl, "stsz")
-    } yield u32(payload, stsz.start + 8).toInt)
+    } yield { need(stsz, 12, "sample count"); u32(payload, stsz.start + 8).toInt })
       .getOrElse(fail(id, "no stsz box in video trak"))
 
     VideoMeta(id, w, h, nFrames, timescale, duration)

@@ -106,10 +106,11 @@ object SimilarityStages {
     scored.schema("n_id").dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         // scale path: bounded-heap partial aggregate (codegen'd TopKByScore)
-        // — only O(Q·k) structs cross the exchange
+        // — only O(Q·k) structs cross the exchange. The aggregate's update
+        // path reads LONG ids, so narrower integrals widen losslessly here
         scored.groupBy("q_id")
           .agg(graft.functions.VectorExpressions.topK(
-            col("cosine"), col("n_id"), k).as("__top"))
+            col("cosine"), col("n_id").cast("long"), k).as("__top"))
           .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
           .select(col("q_id"), col("__e.id").as("n_id"),
             (col("__pos") + 1).cast("int").as("rank"),
@@ -219,7 +220,9 @@ object SimilarityStages {
   private def densityGuard(df: DataFrame, bits: Int, spec: ComponentSpec,
                            stage: String): Unit = {
     val maxAvgBucket = spec.int("maxAvgBucket", 2000)
-    if (maxAvgBucket > 0) {
+    // bits >= 40 → over a trillion buckets: collisions are negligible at
+    // any realistic N, and 1L << bits would overflow at 63+ — skip
+    if (maxAvgBucket > 0 && bits < 40) {
       val cap = maxAvgBucket.toLong * (1L << bits)
       val got = df.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count()
       require(got <= cap,

@@ -616,7 +616,9 @@ object Stages {
       val sql = spec.str("command").getOrElse(sys.error("command: command required"))
       val lang = spec.strOr("language", "auto").toLowerCase
       if (lang == "gremlin" || (lang == "auto" && graft.graph.Gremlin.applies(sql)))
-        graft.graph.Gremlin.run(ctx, sql)
+        // same ${var} substitution as the SQL branch — a config variable
+        // in a has()/hasLabel() argument must resolve, not compare raw
+        graft.graph.Gremlin.run(ctx, OrientExpr.resolveString(sql, ctx.varMap))
       else sqlViewLock.synchronized {
         df.createOrReplaceTempView("input")
         ctx.spark.sql(OrientExpr.resolveString(sql, ctx.varMap))

@@ -4,16 +4,19 @@ import graft.engine.{Engine, EtlContext}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off 10× scale stress of the quadratic-adjacent operator family
+/** 1×/10×/100× scale stress of the quadratic-adjacent operator family
   * (minhash banded pairs, cosine near-dup, LSH transitive dedup,
-  * per-group cap under planted skew): synthesizes sf0.1-equivalent and
-  * 10× (sf1-equivalent) documents/embeddings fixtures with CONTROLLED
+  * per-group cap under planted skew): synthesizes sf0.1-equivalent,
+  * 10× and 100× documents/embeddings fixtures with CONTROLLED
   * near-dup structure (planted pair clusters at a fixed 1% rate, so
   * true-pair counts scale LINEARLY with N — the honest setting for
   * measuring whether the banded paths stay near-linear rather than
   * drowning in within-bucket quadratics), plants a 20% hot group for
-  * the skew path, times each operator at both scales, and prints the
-  * scaling exponent `log(t10/t1)/log(10)` (1.0 = perfectly linear).
+  * the skew path, times each operator at every scale, and prints
+  * pairwise scaling exponents `log10(t_next/t_prev)` (1.0 = linear;
+  * the 10→100 pair is the honest one — fixed job-launch cost dominates
+  * factor 1). The factor-100 leg also asserts the similarity density
+  * guard fails fast on an under-bucketed config — do not trim it.
   *
   * Fixture caches are content-keyed (`_graft_v<N>` marker per the
   * CLAUDE.md rule). Each op is timed twice per scale and the MIN kept —

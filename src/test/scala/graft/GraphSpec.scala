@@ -199,6 +199,24 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("motif"))
   }
 
+  test("gremlin: id in two vertex classes does not multiply hop rows; ${var} resolves") {
+    val ctx = newCtx()
+    // 'b' registered under TWO classes (the union shape addVertices builds)
+    ctx.addVertices(Seq(("a", "person"), ("b", "person")).toDF("id", "label"))
+    ctx.addVertices(Seq(("b", "robot")).toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "knows")).toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // exactly ONE row per traversal path, label picked deterministically
+    val hop = g("g.V().out('knows')").collect()
+    assert(hop.length == 1, s"hop rows multiplied: ${hop.length}")
+    assert(hop.head.getAs[String]("label") == "person") // min(label)
+    // config variables substitute in gremlin scripts like in SQL ones
+    ctx.vars.put("wanted", "a")
+    assert(g("g.V().has('id', '$" + "{wanted}').count()")
+      .select("count").as[Long].head() == 1L)
+  }
+
   test("graphneighbors: one-hop expansion, sorted distinct, left join") {
     val ctx = withEdges()
     val in = Seq("a", "b", "z").toDF("id")

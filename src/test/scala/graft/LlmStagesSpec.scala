@@ -483,6 +483,16 @@ class LlmStagesSpec extends SparkSpec {
       "threshold" -> 0.99)(emb).count() >= 0)
   }
 
+  test("similarity: INT-typed id column takes the heap top-k path (lossless widen)") {
+    val ctx = newCtx()
+    val emb = ctx.table("embeddings").where("vec_id < 30")
+      .selectExpr("CAST(vec_id AS INT) AS vec_id", "embedding")
+    val out = stage("similarity", "k" -> 3)(emb)
+    assert(out.where("q_id = 0").count() == 3)
+    // heap path, not the window fallback: no Window node in the plan
+    assert(!out.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"))
+  }
+
   test("similarity IVF: string-id corpus works (no integral-id restriction)") {
     val ctx = newCtx()
     val emb = ctx.table("embeddings").where("vec_id < 50")

@@ -168,6 +168,14 @@ class MultimodalSpec extends SparkSpec {
     val e2 = intercept[RuntimeException](VideoCodec.decode(7L, truncated))
     assert(e2.getMessage.contains("media_id=7"))
     intercept[RuntimeException](VideoCodec.decode(1L, Array.emptyByteArray))
+    // truncation INSIDE moov (valid top-level sizes, short children):
+    // still a typed error naming the row, never a raw bounds exception
+    val full = MediaFixtures.videoPayload(8L)
+    (Seq(10, 30, 60, 100)).foreach { cut =>
+      val innerCut = full.take(full.length - cut)
+      val e3 = intercept[RuntimeException](VideoCodec.decode(9L, innerCut))
+      assert(e3.getMessage.contains("media_id=9"), s"cut=$cut: ${e3.getMessage}")
+    }
   }
 
   test("mm_video: engine stage decodes real containers; skip mode drops corrupt rows") {
