@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *    after a hop the frame is the reached ids re-attached to
   *    `(id, label)` of any registered vertices (left join — ids without
   *    a registered vertex survive with a null label);
+  *  - `.dedup()` — distinct over the current frame;
+  *  - `.limit(n)` — first n rows (like Gremlin, no defined order —
+  *    pair with a downstream sort for determinism);
+  *  - `.values('col')` — project one column as `value` (later steps
+  *    that need `id` will fail analysis, as in Gremlin's value space);
   *  - `.count()` — terminal 1-row count.
   *
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
@@ -70,12 +75,19 @@ object Gremlin {
         case ("both", args) if args.length <= 1 =>
           frame = hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
             .unionByName(hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src"))
+        case ("dedup", Nil) => frame = frame.distinct()
+        case ("limit", Seq(n: Long)) =>
+          if (n < 0 || n > Int.MaxValue) fail(s"limit($n) out of range")
+          frame = frame.limit(n.toInt)
+        case ("values", Seq(c: String)) =>
+          frame = frame.select(col(c).as("value"))
         case ("count", Nil) =>
           if (!terminal) fail("count() must be the last step")
           frame = frame.agg(count(lit(1)).as("count"))
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
-            "translated subset is V/hasLabel/has/out/in/both/count; richer " +
+            "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
+            "values/count; richer " +
             "traversals migrate to the `motif` transformer (pattern " +
             "\"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")

@@ -194,7 +194,7 @@ class GraphSpec extends SparkSpec {
     // richer scripts: NAMED migration errors, never silent misparses
     val e = intercept[RuntimeException](g("g.V().repeat(out()).times(3)"))
     assert(e.getMessage.contains("gremlin"))
-    val e2 = intercept[RuntimeException](g("g.V().out().values('name')"))
+    val e2 = intercept[RuntimeException](g("g.V().out().path()"))
     assert(e2.getMessage.contains("unsupported step"))
     assert(e2.getMessage.contains("motif"))
   }
@@ -215,6 +215,11 @@ class GraphSpec extends SparkSpec {
     ctx.vars.put("wanted", "a")
     assert(g("g.V().has('id', '$" + "{wanted}').count()")
       .select("count").as[Long].head() == 1L)
+    // dedup / limit / values
+    assert(g("g.V().dedup().count()").select("count").as[Long].head() == 3L)
+    assert(g("g.V().limit(2).count()").select("count").as[Long].head() == 2L)
+    assert(g("g.V().hasLabel('robot').values('id')")
+      .select("value").as[String].collect().toSeq == Seq("b"))
   }
 
   test("graphneighbors: one-hop expansion, sorted distinct, left join") {

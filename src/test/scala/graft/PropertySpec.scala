@@ -188,4 +188,23 @@ class PropertySpec extends SparkSpec {
       out.foreach(r => assert(r.getLong(3) == termDocs(r.getString(1)).toLong))
     }
   }
+
+  test("VideoCodec: encode/decode roundtrip exact over arbitrary valid params (40 cases)") {
+    import graft.multimodal.VideoCodec
+    val gen = for {
+      w <- Gen.choose(1, 4096); h <- Gen.choose(1, 4096)
+      nf <- Gen.choose(1, 100000)
+      ts <- Gen.choose(1L, 1000000L)
+      v1 <- Gen.oneOf(true, false)
+      // v0 headers carry u32 durations; v1 exercises the 64-bit layout
+      dur <- if (v1) Gen.choose(0L, Long.MaxValue / 4)
+             else Gen.choose(0L, 0xFFFFFFFFL)
+    } yield (w, h, nf, ts, dur, v1)
+    samples(gen, 40).foreach { case (w, h, nf, ts, dur, v1) =>
+      val bytes = VideoCodec.encodeMp4(w, h, nf, ts, dur, seed = 7L, v1Headers = v1)
+      val m = VideoCodec.decode(99L, bytes)
+      assert((m.width, m.height, m.n_frames, m.timescale, m.duration) ==
+        ((w, h, nf, ts, dur)), s"params w=$w h=$h nf=$nf ts=$ts dur=$dur v1=$v1")
+    }
+  }
 }
