@@ -178,6 +178,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_video -> mm_frames: frame sampling composes over the real stsz count") {
+    val id = 17L // 17*13%90+10 = 41 frames
+    val df = Seq((id, MediaFixtures.videoPayload(id))).toDF("media_id", "payload")
+    val frames = stage("mm_frames", "step" -> 10)(
+      stage("mm_video", "idField" -> "media_id")(df))
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(frames == (0 until MediaFixtures.videoFrames(id) by 10).toSeq)
+  }
+
   test("mm_video: engine stage decodes real containers; skip mode drops corrupt rows") {
     val df = Seq(
       (4L, MediaFixtures.videoPayload(4L)),
