@@ -127,10 +127,12 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
 
+    val failed = scala.collection.mutable.Set.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop any cache a query left behind — cross-query leak pileup
       // shows up as multi-second GC stalls on unrelated later queries
@@ -165,8 +167,11 @@ object Bench {
         case _ => None
       }
     }
-    // per-query anchor maintenance (see scaladoc above)
-    val updated = defended.map { case (name, t, _) =>
+    // per-query anchor maintenance (see scaladoc above). A FAILED
+    // query's wall time is a fail-fast artifact, not a measurement —
+    // adopting it would poison the sidecar's monotone-min permanently
+    // (every later healthy run would look like a >2x regression)
+    val updated = defended.filterNot(d => failed(d._1)).map { case (name, t, _) =>
       name -> (stored.get(name) match {
         case Some(a) if t > RerunFactor * a && t > MinRerunSeconds => a
         case Some(a) => math.min(a, t)

@@ -57,11 +57,14 @@ object Gremlin {
 
     val vertices = ctx.vertices.getOrElse(
       fail("no vertices — apply a `vertex` stage first"))
-    // ONE row per id for re-attachment: vertex classes union in
-    // ctx.vertices, so an id registered under two classes would
-    // otherwise multiply every hop's rows through the join (min(label)
-    // keeps the pick deterministic for the ambiguous-id case)
-    val idLabel = vertices.groupBy("id").agg(min("label").as("label"))
+    // re-attachment key: one row per DISTINCT (id, label). An id
+    // registered under two classes denotes two class-vertices in the
+    // reference's model (each OrientDB class row is its own vertex), so
+    // a hop reaching that id legitimately yields one row per class —
+    // and `hasLabel` after a hop must match EITHER class, never
+    // silently lose one. Duplicate registrations of the SAME (id,
+    // label) do collapse (that's re-registration, not a second vertex).
+    val idLabel = vertices.select(col("id"), col("label")).distinct()
     var frame = vertices
     steps.tail.zipWithIndex.foreach { case (step, i) =>
       val terminal = i == steps.tail.length - 1

@@ -92,9 +92,9 @@ object VideoCodec {
     catch {
       case e: RuntimeException if e.getMessage != null &&
         e.getMessage.contains("media_id=") => throw e
+      case e: ArrayIndexOutOfBoundsException => // before its parent class
+        fail(id, s"truncated box content (index ${e.getMessage})")
       case e: RuntimeException => fail(id, e.getMessage)
-      case e: ArrayIndexOutOfBoundsException =>
-        fail(id, s"truncated box content (${e.getMessage})")
     }
   }
 

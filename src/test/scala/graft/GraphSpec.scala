@@ -199,18 +199,23 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("motif"))
   }
 
-  test("gremlin: id in two vertex classes does not multiply hop rows; ${var} resolves") {
+  test("gremlin: id in two vertex classes = two class-vertices (reference model); ${var} resolves") {
     val ctx = newCtx()
-    // 'b' registered under TWO classes (the union shape addVertices builds)
+    // 'b' registered under TWO classes (the union shape addVertices
+    // builds) — in the reference's model that is two distinct vertices
     ctx.addVertices(Seq(("a", "person"), ("b", "person")).toDF("id", "label"))
+    ctx.addVertices(Seq(("b", "robot")).toDF("id", "label"))
+    // re-registering the SAME (id, label) must NOT add a third vertex
     ctx.addVertices(Seq(("b", "robot")).toDF("id", "label"))
     ctx.addEdges(Seq(("a", "b", "knows")).toDF("src", "dst", "label"))
     def g(script: String) = graft.stages.Stages.command(
       ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
-    // exactly ONE row per traversal path, label picked deterministically
+    // one row per reached class-vertex: b-as-person AND b-as-robot
     val hop = g("g.V().out('knows')").collect()
-    assert(hop.length == 1, s"hop rows multiplied: ${hop.length}")
-    assert(hop.head.getAs[String]("label") == "person") // min(label)
+    assert(hop.map(_.getAs[String]("label")).sorted.toSeq == Seq("person", "robot"))
+    // hasLabel after a hop matches EITHER class — no silently lost vertex
+    assert(g("g.V().out('knows').hasLabel('robot')").count() == 1L)
+    assert(g("g.V().out('knows').hasLabel('person')").count() == 1L)
     // config variables substitute in gremlin scripts like in SQL ones
     ctx.vars.put("wanted", "a")
     assert(g("g.V().has('id', '$" + "{wanted}').count()")
@@ -218,7 +223,7 @@ class GraphSpec extends SparkSpec {
     // dedup / limit / values
     assert(g("g.V().dedup().count()").select("count").as[Long].head() == 3L)
     assert(g("g.V().limit(2).count()").select("count").as[Long].head() == 2L)
-    assert(g("g.V().hasLabel('robot').values('id')")
+    assert(g("g.V().hasLabel('robot').dedup().values('id')")
       .select("value").as[String].collect().toSeq == Seq("b"))
   }
 

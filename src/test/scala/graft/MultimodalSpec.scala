@@ -168,18 +168,28 @@ class MultimodalSpec extends SparkSpec {
     val e2 = intercept[RuntimeException](VideoCodec.decode(7L, truncated))
     assert(e2.getMessage.contains("media_id=7"))
     intercept[RuntimeException](VideoCodec.decode(1L, Array.emptyByteArray))
-    // truncation INSIDE moov (valid top-level sizes, short children):
-    // still a typed error naming the row, never a raw bounds exception
+    // tail truncation (top-level moov size now overruns the buffer):
+    // typed error naming the row from the box walk itself
     val full = MediaFixtures.videoPayload(8L)
-    (Seq(10, 30, 60, 100)).foreach { cut =>
-      val innerCut = full.take(full.length - cut)
-      val e3 = intercept[RuntimeException](VideoCodec.decode(9L, innerCut))
-      assert(e3.getMessage.contains("media_id=9"), s"cut=$cut: ${e3.getMessage}")
-    }
+    val e3 = intercept[RuntimeException](
+      VideoCodec.decode(9L, full.take(full.length - 30)))
+    assert(e3.getMessage.contains("media_id=9"))
+    // VALID top-level sizes but a SHORT inner box: a moov whose mvhd
+    // carries only version/flags — the inner need() guard must produce
+    // a typed row-named error, not a bounds exception or garbage reads
+    def be32(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def bx(typ: String, payload: Array[Byte]) =
+      be32(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val shortMvhd = bx("ftyp", "isomisom".getBytes("ISO-8859-1")) ++
+      bx("moov", bx("mvhd", Array[Byte](0, 0, 0, 0)))
+    val e4 = intercept[RuntimeException](VideoCodec.decode(11L, shortMvhd))
+    assert(e4.getMessage.contains("media_id=11") &&
+      e4.getMessage.contains("too short"), e4.getMessage)
   }
 
   test("mm_video -> mm_frames: frame sampling composes over the real stsz count") {
-    val id = 17L // 17*13%90+10 = 41 frames
+    val id = 17L // 10 + (17*13 % 90) = 51 frames → indexes 0,10,...,50
     val df = Seq((id, MediaFixtures.videoPayload(id))).toDF("media_id", "payload")
     val frames = stage("mm_frames", "step" -> 10)(
       stage("mm_video", "idField" -> "media_id")(df))
