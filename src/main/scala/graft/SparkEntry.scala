@@ -498,6 +498,73 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("x", "y", "z").orderBy("x", "y", "z")
     },
+    "graph_cc" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // connected components over a two-level star forest: customers →
+      // their nation, nations → their region (ids prefixed c/n/r so the
+      // three key spaces can't collide) — 5 components (one per
+      // region), component id = lexicographic min vertex id. Two
+      // pipelines accumulate edges into the same context (the
+      // vertex/edge contract is cross-run), then the CC stage labels
+      // every vertex by pointer jumping
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW nation_p AS SELECT 'n' || CAST(n_nationkey AS STRING) AS nk FROM nation",
+          "CREATE OR REPLACE TEMPORARY VIEW region_p AS SELECT 'r' || CAST(r_regionkey AS STRING) AS rk FROM region"]}}],
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'n' || CAST(n_nationkey AS STRING) AS nid, 'r' || CAST(n_regionkey AS STRING) AS rid FROM __input"}},
+          {"vertex": {"class": "nation", "idField": "nid"}},
+          {"edge": {"joinFieldName": "rid", "lookup": "region_p.rk",
+                    "class": "in_region", "direction": "out"}}],
+        "loader": {"memory": {}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'c' || CAST(c_custkey AS STRING) AS cid, 'n' || CAST(c_nationkey AS STRING) AS nid FROM __input"}},
+          {"vertex": {"class": "cust", "idField": "cid"}},
+          {"edge": {"joinFieldName": "nid", "lookup": "nation_p.nk",
+                    "class": "in_nation", "direction": "out"}},
+          {"connectedcomponents": {}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
+    "graph_bfs" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // bounded-hop BFS distances from customer c1 over the same
+      // customer–nation–region graph, undirected: hop 1 = c1's nation,
+      // hop 2 = that nation's customers + its region, hop 3 = the
+      // region's other nations
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW nation_p AS SELECT 'n' || CAST(n_nationkey AS STRING) AS nk FROM nation",
+          "CREATE OR REPLACE TEMPORARY VIEW region_p AS SELECT 'r' || CAST(r_regionkey AS STRING) AS rk FROM region"]}}],
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'n' || CAST(n_nationkey AS STRING) AS nid, 'r' || CAST(n_regionkey AS STRING) AS rid FROM __input"}},
+          {"vertex": {"class": "nation", "idField": "nid"}},
+          {"edge": {"joinFieldName": "rid", "lookup": "region_p.rk",
+                    "class": "in_region", "direction": "out"}}],
+        "loader": {"memory": {}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'c' || CAST(c_custkey AS STRING) AS cid, 'n' || CAST(c_nationkey AS STRING) AS nid FROM __input"}},
+          {"vertex": {"class": "cust", "idField": "cid"}},
+          {"edge": {"joinFieldName": "nid", "lookup": "nation_p.nk",
+                    "class": "in_nation", "direction": "out"}},
+          {"bfs": {"source": "c1", "maxHops": 3, "direction": "both"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
     "orc_roundtrip" -> { (s, dir) =>
       val c = ctx(s, dir)
       // columnar-format breadth: part → ORC via the orc loader, read
@@ -893,6 +960,50 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"))
         .orderBy("window_start", "event_type")
+    },
+    "asof_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // point-in-time lookup: each purchase joined to the user's LATEST
+      // click at-or-before it (distributed merge-asof: one shuffle on
+      // user_id + per-partition sort — no candidate pairs). 143 of 1981
+      // purchases at sf0.01 have no prior click → null attachments
+      // (left-outer contract)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'"}},
+          {"asofjoin": {"right":
+            "SELECT user_id, ts, event_id AS click_id, value AS click_value FROM events WHERE event_type = 'click'",
+            "on": "user_id", "leftTime": "ts",
+            "matchedTimeField": "click_ts"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), col("click_value"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("event_id")
+    },
+    "range_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // interval-containment join WITHOUT an equi-key: purchases inside
+      // 2-hour windows opened by busy hours (>= 20 events). binWidth
+      // turns the inequality join into a bin equi-join (each point
+      // probes its single hour bin; each window is replicated to the
+      // <= 3 bins it touches) — never |points| x |intervals|
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'"}},
+          {"rangejoin": {"right":
+            "SELECT hs AS wstart, hs + INTERVAL 2 HOUR AS wend, n_in_hour FROM (SELECT date_trunc('hour', ts) AS hs, count(*) AS n_in_hour FROM events GROUP BY 1) WHERE n_in_hour >= 20",
+            "leftTime": "ts", "start": "wstart", "end": "wend",
+            "binWidth": 3600}}],
+        "loader": {"memory": {}} }""")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("wstart")).as("w_us"), col("n_in_hour"))
+        .orderBy("event_id", "w_us")
     },
     "stream_window" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -1638,6 +1749,22 @@ object SparkEntry {
        "SELECT e1.src AS x, e2.src AS y, e3.src AS z FROM e e1 " +
        "JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src " +
        "WHERE e1.src < e2.src AND e1.src < e3.src ORDER BY x, y, z"),
+    "graph_cc" ->
+      ("WITH ids AS (" +
+       "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id, n_regionkey AS rg " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), n_regionkey FROM nation " +
+       "UNION ALL SELECT 'r' || CAST(r_regionkey AS VARCHAR), r_regionkey FROM region), " +
+       "m AS (SELECT rg, min(id) AS component FROM ids GROUP BY rg) " +
+       "SELECT ids.id, m.component FROM ids JOIN m USING (rg) ORDER BY id"),
+    "graph_bfs" ->
+      ("WITH RECURSIVE e AS (" +
+       "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +
+       "UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation), " +
+       "u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), " +
+       "walk(id, dist) AS (SELECT 'c1', 0 UNION ALL " +
+       "SELECT u.dst, w.dist + 1 FROM walk w JOIN u ON u.src = w.id WHERE w.dist < 3) " +
+       "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id"),
     "pagerank" -> {
       // 5 unrolled iterations (recursive CTEs can't aggregate over the
       // recursive term). rank_ppm quantizes with a GUARD BAND:
@@ -1724,6 +1851,20 @@ object SparkEntry {
     "events_window" ->
       ("SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "asof_join" ->
+      ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id, " +
+       "c.click_value, epoch_us(c.ts) AS click_ts_us " +
+       "FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p " +
+       "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value " +
+       "FROM events WHERE event_type = 'click') c " +
+       "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY event_id"),
+    "range_join" ->
+      ("WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n_in_hour " +
+       "FROM events GROUP BY 1 HAVING count(*) >= 20) " +
+       "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+       "epoch_us(w.wstart) AS w_us, w.n_in_hour FROM events e " +
+       "JOIN w ON e.ts >= w.wstart AND e.ts < w.wstart + INTERVAL 2 HOUR " +
+       "WHERE e.event_type = 'purchase' ORDER BY event_id, w_us"),
     "stream_window" ->
       ("SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
        "event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),

@@ -43,6 +43,8 @@ object Engine {
     "graphneighbors" -> graft.graph.GraphStages.graphNeighbors _,
     "pagerank"       -> graft.graph.GraphStages.pageRank _,
     "motif"          -> graft.graph.GraphStages.motif _,
+    "connectedcomponents" -> graft.graph.GraphStages.connectedComponentsStage _,
+    "bfs"            -> graft.graph.GraphStages.bfs _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers
     "dedup"         -> graft.dedup.DedupStages.dedup _,
@@ -83,6 +85,8 @@ object Engine {
     "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
+    "asofjoin"      -> graft.temporal.TemporalStages.asofJoin _,
+    "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,
   )
 
   // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------

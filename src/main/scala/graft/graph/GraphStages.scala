@@ -230,6 +230,102 @@ object GraphStages {
       spec.str("where").fold(result)(w => result.where(expr(w)))
     }
 
+  /** `connectedcomponents`: label every vertex with its connected
+    * component — the transitive closure a per-record traversal engine
+    * cannot express in bounded passes. Undirected semantics (edge
+    * direction ignored, as in every CC definition). Component id = the
+    * MINIMUM vertex id in the component (string order — ids are the
+    * vertex contract's strings), so output is fully deterministic and
+    * SQL-oracle-checkable. Vertices registered by `vertex` stages but
+    * touching no edge form singleton components. Options: `label`
+    * (optional edge-label filter), `maxIter` (default 20). Output:
+    * (id, component) — a query stage (replaces the stream).
+    *
+    * Scale shape: delegates to the dedup family's pointer-jumping CC
+    * (DedupStages.connectedComponents — alternating 1-hop min-
+    * propagation and comp := comp(comp) jumps): O(log diameter) rounds,
+    * each ONE equi-join + aggregation, per-round `localCheckpoint`
+    * truncating the self-referencing lineage. The same loop the
+    * near-dup keeper already runs at crawl scale. */
+  def connectedComponentsStage(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("connectedcomponents: no edges — apply an `edge` stage first"))
+      val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val pairs = edges.select(col("src").as("a"), col("dst").as("b"))
+      val comps = graft.dedup.DedupStages
+        .connectedComponents(pairs, spec.int("maxIter", 20))
+        .select(col("id"), col("comp").as("component"))
+      ctx.vertices match {
+        case None => comps
+        case Some(vs) => // singleton components for edge-less vertices —
+          // UNION with the edge-endpoint components (a lookup-created
+          // endpoint need not be a registered vertex)
+          val ids = vs.select(col("id").cast("string").as("id"))
+            .union(comps.select(col("id"))).distinct()
+          ids.join(comps, Seq("id"), "left")
+            .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      }
+    }
+
+  /** `bfs`: minimum-hop distances from a source vertex set — bounded
+    * breadth-first expansion over the edges table (the set-oriented form
+    * of a Gremlin `repeat(out()).times(k)` traversal). Options:
+    * `source` (required: comma-separated vertex id(s)), `maxHops`
+    * (default 10), `direction` ∈ out|in|both (default both), `label`
+    * (optional edge-label filter). Output: (id, dist) for every vertex
+    * within `maxHops` of a source (sources at dist 0; unreached
+    * vertices absent). A query stage (replaces the stream).
+    *
+    * Scale shape: classic frontier BFS — each round joins the CURRENT
+    * frontier (shrinking set) against the edge table on the shuffle
+    * key, anti-joins the visited set, and checkpoints both (frontier
+    * lineage would otherwise nest per round). Rounds are bounded by
+    * `maxHops`; state is (visited ids × 1 long), never paths. A
+    * celebrity vertex fans the frontier wide in one round — that is the
+    * true result size, and AQE re-plans the join for it; no driver-side
+    * queue exists to overflow. */
+  def bfs(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("bfs: no edges — apply an `edge` stage first"))
+      val edges1 = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val sources = spec.str("source")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+        .getOrElse(sys.error("bfs: `source` (comma-separated vertex ids) required"))
+      val maxHops = spec.int("maxHops", 10)
+      val spark = ctx.spark
+      import spark.implicits._
+      val step = spec.strOr("direction", "both") match {
+        case "out" => edges1.select(col("src").as("__from"), col("dst").as("__to"))
+        case "in" => edges1.select(col("dst").as("__from"), col("src").as("__to"))
+        case "both" => edges1.select(col("src").as("__from"), col("dst").as("__to"))
+          .union(edges1.select(col("dst").as("__from"), col("src").as("__to")))
+        case other => sys.error(s"bfs: unknown direction $other")
+      }
+      var frontier = sources.toDF("id").distinct().localCheckpoint(true)
+      var visited = frontier.select(col("id"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var hop = 1
+      var frontierSize = frontier.count()
+      while (hop <= maxHops && frontierSize > 0) {
+        val next = step
+          .join(frontier.select(col("id").as("__from")), Seq("__from"))
+          .select(col("__to").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        frontierSize = next.count()
+        if (frontierSize > 0) {
+          visited = visited
+            .union(next.select(col("id"), lit(hop.toLong).as("dist")))
+            .localCheckpoint(true)
+          frontier = next
+        }
+        hop += 1
+      }
+      visited.select(col("id"), col("dist"))
+    }
+
   /** `graphneighbors`: one-hop neighbor expansion — for each vertex id
     * in the input stream (column `idField`), the sorted distinct
     * neighbor ids along `direction`. The batch form of a Gremlin

@@ -52,7 +52,12 @@ object Tables {
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
         nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
           if (d.schema(c).dataType == LongType)
-            d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+            // integral `div`, NOT `/`: the fractional divide promotes the
+            // nano-long to double first, and doubles space 256 ns apart at
+            // 2024-epoch magnitude — micros came out off-by-one vs any
+            // engine that truncates exactly (caught by the asof_join
+            // raw-micros oracle; hour-bucketed queries never noticed)
+            d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
           else d
         }
       })

@@ -1,0 +1,259 @@
+package graft.temporal
+
+import graft.engine.EtlContext
+import graft.spec.ComponentSpec
+import graft.stages.Stages
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, TimestampType}
+
+/** Temporal join operators — the event-time companions to the lookup
+  * family (SURVEY.md §2.3's `link`/`merge` joins resolve by KEY; these
+  * resolve by TIME). The reference has no as-of/range machinery (its
+  * only temporal types are DATE/DATETIME passthrough fields,
+  * OJDBCExtractor.java:153-155), but any events-table workload the
+  * engine ingests needs them, and naive formulations are scale-killers
+  * (per-row subqueries / cartesian time joins) — so both operators are
+  * built shuffle-shaped from the start:
+  *
+  *  - `asofjoin` is ONE shuffle on the join key + a per-partition sort
+  *    (the distributed merge-asof); no N×M candidate blow-up, no
+  *    per-row window over the full table.
+  *  - `rangejoin` buckets time into fixed bins so interval containment
+  *    becomes an equi-join on the bin id; candidate volume is bounded
+  *    by interval span / binWidth, never |points|×|intervals|.
+  */
+object TemporalStages {
+
+  /** Epoch micros as a LONG column for either a native timestamp or a
+    * numeric (epoch-seconds) time column — all internal comparisons run
+    * in integral micros, so tolerance/bin arithmetic is exact. */
+  private def epochMicros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _: NumericType => (col(c).cast("double") * 1e6).cast("long")
+      case other => sys.error(s"time column '$c' has non-temporal type $other")
+    }
+
+  /** `asofjoin`: for every input row, attach the columns of the LATEST
+    * right-side row with the same key whose time is at-or-before (or
+    * strictly before, with `strict: true`) the row's time — the
+    * point-in-time lookup every event pipeline needs (feature values
+    * "as of" an event, last click before a purchase, …).
+    *
+    * Options:
+    *  - `right` (required): table name or SELECT (the `against`
+    *    convention, EtlContext.tableOrSql).
+    *  - `on` (required): comma-separated equi-key column(s), same names
+    *    on both sides.
+    *  - `leftTime` (default `ts`) / `rightTime` (default = leftTime).
+    *  - `select` (optional): right columns to attach; default = all
+    *    right columns except keys and rightTime. Names must not collide
+    *    with left columns — alias them in the `right` SELECT.
+    *  - `strict` (default false): exclude right rows at exactly the
+    *    left time.
+    *  - `tolerance` (optional, seconds): a match older than this is
+    *    discarded (attached columns stay null).
+    *  - `matchedTimeField` (optional): also emit the matched right
+    *    row's time under this name.
+    *
+    * Semantics are LEFT-OUTER: unmatched rows keep null attachments.
+    * Rows whose right-side time is null never match; left rows with a
+    * null time get null attachments.
+    *
+    * Scale shape: both sides union into one frame, shuffle ONCE on the
+    * key, sort within the partition by (time, side-tag), and a
+    * running `last(non-null)` window fills each left row from the most
+    * recent right row — the distributed merge-asof (the same plan
+    * pandas' merge_asof/kdb's aj compile to on one machine). State per
+    * task is one row; no candidate pairs ever materialize. A single
+    * pathological key concentrates its rows in one task (as in ANY
+    * key-partitioned sort); per-key volume, not total volume, bounds
+    * the task. Right rows sharing (key, time) tie-break by the LAST in
+    * `rightOrder` (optional column, default: unspecified order —
+    * pre-aggregate the right side when that matters, as DuckDB's ASOF
+    * leaves the same tie unspecified). */
+  def asofJoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val right = ctx.tableOrSql(spec.str("right")
+        .getOrElse(sys.error("asofjoin: `right` (table or SELECT) required")))
+      val keys = spec.str("on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(sys.error("asofjoin: `on` (comma-separated key columns) required"))
+      val lt = spec.strOr("leftTime", "ts")
+      val rt = spec.strOr("rightTime", lt)
+      keys.foreach { k =>
+        require(df.columns.contains(k), s"asofjoin: left side lacks key column '$k'")
+        require(right.columns.contains(k), s"asofjoin: right side lacks key column '$k'")
+      }
+      require(df.columns.contains(lt), s"asofjoin: left side lacks time column '$lt'")
+      require(right.columns.contains(rt), s"asofjoin: right side lacks time column '$rt'")
+      val valCols: Seq[String] = {
+        val sel = spec.strList("select")
+        val v = if (sel.nonEmpty) sel
+                else right.columns.toSeq.filterNot(keys.contains).filterNot(_ == rt)
+        v.foreach(c => require(right.columns.contains(c),
+          s"asofjoin: right side lacks selected column '$c'"))
+        val clash = v.filter(df.columns.contains)
+        require(clash.isEmpty, "asofjoin: attached column(s) " +
+          clash.mkString("[", ",", "]") + " collide with left columns — " +
+          "alias them in the `right` SELECT")
+        v
+      }
+      val strict = spec.bool("strict", dflt = false)
+      val tolMicros = spec.str("tolerance").map(t => (t.toDouble * 1e6).toLong)
+      val matchedTime = spec.str("matchedTimeField")
+      val rightOrder = spec.str("rightOrder")
+      rightOrder.foreach(c => require(right.columns.contains(c),
+        s"asofjoin: right side lacks rightOrder column '$c'"))
+
+      // side tags order equal-time rows: inclusive (default) sorts right
+      // BEFORE left so a left row sees the same-instant right row;
+      // strict sorts it AFTER so it doesn't
+      val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
+      // right values travel as ONE struct: `last(ignoreNulls)` then
+      // fills from the newest right ROW atomically — a right row whose
+      // individual value is null must not fall through to an older row
+      val rStruct = struct(
+        (valCols.map(c => right(c).as(c)) :+
+          epochMicros(right, rt).as("__rts")): _*)
+      val lPart = df
+        .withColumn("__ats", epochMicros(df, lt))
+        .withColumn("__tag", lit(leftTag))
+      val rPart = right
+        .where(col(rt).isNotNull)
+        .select(keys.map(col) ++ Seq(
+          epochMicros(right, rt).as("__ats"),
+          lit(rightTag).as("__tag"),
+          rStruct.as("__rv")) ++
+          rightOrder.map(c => col(c).as("__rord")): _*)
+      val unioned = lPart.unionByName(rPart, allowMissingColumns = true)
+      val ord = Seq(col("__ats").asc_nulls_first, col("__tag").asc) ++
+        rightOrder.map(_ => col("__rord").asc_nulls_first)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled0 = unioned.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      // a left row with null time sorts into the nulls-first prefix,
+      // where only other null-time rows precede it → no right match can
+      // have been seen; enforce anyway for clarity
+      val withinTol = tolMicros match {
+        case None => col("__match").isNotNull && col("__ats").isNotNull
+        case Some(tol) => col("__match").isNotNull && col("__ats").isNotNull &&
+          (col("__ats") - col("__match.__rts") <= tol)
+      }
+      val filled = filled0
+        .withColumn("__ok", withinTol)
+        .where(col("__tag") === leftTag)
+      val attached = valCols.map(c =>
+        when(col("__ok"), col(s"__match.$c")).as(c)) ++
+        matchedTime.map { mt =>
+          val micros = when(col("__ok"), col("__match.__rts"))
+          (right.schema(rt).dataType match {
+            case TimestampType => timestamp_micros(micros)
+            case _ => (micros.cast("double") / 1e6)
+          }).as(mt)
+        }
+      filled.select(df.columns.map(col).toSeq ++ attached: _*)
+    }
+
+  /** `rangejoin`: inner-join input rows (points in time) to the
+    * right-side INTERVALS that contain them — point `t` matches
+    * interval `[start, end)` (or `[start, end]` with
+    * `endInclusive: true`), optionally also requiring equi-key
+    * equality.
+    *
+    * Options:
+    *  - `right` (required): interval table name or SELECT.
+    *  - `leftTime` (default `ts`), `start` (default `start`), `end`
+    *    (default `end`).
+    *  - `on` (optional): comma-separated equi-key column(s) present on
+    *    both sides.
+    *  - `binWidth` (seconds; REQUIRED when `on` is absent): time-bucket
+    *    width for the bin equi-join. With keys present it is optional —
+    *    omitted, the join runs as a key equi-join with the range as a
+    *    join-time filter.
+    *  - `endInclusive` (default false).
+    *  - `maxBins` (default 100000): an interval spanning more bins than
+    *    this fails the job with the config rule to fix (a month-long
+    *    interval at 1-second bins is a row bomb, not a plan).
+    *  - `rightPrefix` (optional): prefix attached interval columns.
+    *
+    * Scale shape: a pure inequality join has no equi-key, which Spark
+    * can only execute as a broadcast-nested-loop — |points|×|intervals|
+    * comparisons. Binning restores an equi-join: each interval is
+    * replicated once per bin it covers (bounded by `maxBins`), each
+    * point probes exactly ONE bin, and exact containment filters the
+    * bin's candidates — so work is |points| + Σ interval-spans/binWidth
+    * through an AQE-planned shuffle or broadcast hash join, and each
+    * matching (point, interval) pair surfaces exactly once (the point's
+    * single bin), no post-dedup. Pick binWidth near the typical
+    * interval length: much smaller multiplies interval copies, much
+    * larger multiplies false candidates per bin. */
+  def rangeJoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val right = ctx.tableOrSql(spec.str("right")
+        .getOrElse(sys.error("rangejoin: `right` (table or SELECT) required")))
+      val lt = spec.strOr("leftTime", "ts")
+      val startC = spec.strOr("start", "start")
+      val endC = spec.strOr("end", "end")
+      val keys = spec.str("on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val endInclusive = spec.bool("endInclusive", dflt = false)
+      val binWidth = spec.str("binWidth").map(_.toDouble)
+      val maxBins = spec.int("maxBins", 100000)
+      val prefix = spec.strOr("rightPrefix", "")
+      require(df.columns.contains(lt), s"rangejoin: left side lacks time column '$lt'")
+      Seq(startC, endC).foreach(c => require(right.columns.contains(c),
+        s"rangejoin: right side lacks interval column '$c'"))
+      keys.foreach { k =>
+        require(df.columns.contains(k), s"rangejoin: left side lacks key column '$k'")
+        require(right.columns.contains(k), s"rangejoin: right side lacks key column '$k'")
+      }
+      require(keys.nonEmpty || binWidth.isDefined,
+        "rangejoin: without `on` keys the join has no equi-condition and " +
+        "would execute as a nested-loop cartesian — set `binWidth` " +
+        "(seconds) to bucket time into an equi-join")
+
+      val rCols = right.columns.toSeq.filterNot(keys.contains)
+      val renamed = rCols.map(c => c -> s"$prefix$c")
+      renamed.foreach { case (_, out) =>
+        require(!df.columns.contains(out), s"rangejoin: right column '$out' " +
+          "collides with a left column — set `rightPrefix` or alias it " +
+          "in the `right` SELECT")
+      }
+      val rr = renamed.foldLeft(right) { case (d, (c, out)) =>
+        if (c == out) d else d.withColumnRenamed(c, out)
+      }
+      val pStart = s"$prefix$startC"; val pEnd = s"$prefix$endC"
+      val contains = epochMicros(df, lt).between(
+        epochMicros(rr, pStart),
+        if (endInclusive) epochMicros(rr, pEnd) else epochMicros(rr, pEnd) - 1)
+
+      binWidth match {
+        case None =>
+          df.join(rr, keys.map(k => df(k) === rr(k)).reduce(_ && _) && contains)
+            .select(df.columns.map(df(_)).toSeq ++ renamed.map(p => rr(p._2)): _*)
+        case Some(w) =>
+          val wMicros = (w * 1e6).toLong
+          require(wMicros > 0, "rangejoin: binWidth must be positive")
+          def binOf(c: Column): Column = floor(c.cast("double") / wMicros.toDouble).cast("long")
+          val sBin = binOf(epochMicros(rr, pStart))
+          val eBin = binOf(epochMicros(rr, pEnd))
+          val span = eBin - sBin + 1
+          val intervals = rr
+            .where(col(pStart).isNotNull && col(pEnd).isNotNull)
+            .withColumn("__bin", explode(when(span <= maxBins,
+              sequence(sBin, eBin)).otherwise(raise_error(concat(
+                lit(s"rangejoin: interval spans more than maxBins=$maxBins " +
+                  s"bins at binWidth=$w s (span="), span.cast("string"),
+                lit(" bins) — widen binWidth or raise maxBins"))))))
+          val points = df.withColumn("__bin", binOf(epochMicros(df, lt)))
+          val joinCond = (keys.map(k => points(k) === intervals(k)) :+
+            (points("__bin") === intervals("__bin"))).reduce(_ && _) && contains
+          points.join(intervals, joinCond)
+            .select(df.columns.map(points(_)).toSeq ++
+              renamed.map(p => intervals(p._2)): _*)
+      }
+    }
+}
