@@ -239,4 +239,51 @@ class GraphSpec extends SparkSpec {
       "b" -> Some(List("x")),
       "z" -> None)) // no edges → null neighbors, row passes through
   }
+
+  test("connectedcomponents: min-id labels, direction ignored, singletons kept") {
+    val ctx = newCtx()
+    // two components: {a,b,x,y} (direction mixed) and {p,q}
+    ctx.addEdges(Seq(("b", "a"), ("b", "x"), ("y", "x"), ("q", "p"))
+      .toDF("src", "dst").withColumn("label", lit("e")))
+    // a registered vertex with no edges → its own singleton component
+    ctx.addVertices(Seq(("lone", "v")).toDF("id", "label"))
+    val out = graft.graph.GraphStages.connectedComponentsStage(
+      ComponentSpec("connectedcomponents", Map.empty), ctx)(spark.emptyDataFrame)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "x" -> "a", "y" -> "a",
+      "p" -> "p", "q" -> "p", "lone" -> "lone"))
+  }
+
+  test("connectedcomponents: edge-label filter splits the graph") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "b", "knows"), ("b", "c", "likes"))
+      .toDF("src", "dst", "label"))
+    val out = graft.graph.GraphStages.connectedComponentsStage(
+      ComponentSpec("connectedcomponents", Map("label" -> "knows")), ctx)(
+      spark.emptyDataFrame)
+      .as[(String, String)].collect().toMap
+    // only the knows edge participates; c is absent (not a vertex, not
+    // an endpoint of a kept edge)
+    assert(out == Map("a" -> "a", "b" -> "a"))
+  }
+
+  test("bfs: min-hop distances, maxHops bound, direction out vs both") {
+    val ctx = newCtx()
+    // chain a→b→c→d plus shortcut a→c
+    ctx.addEdges(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst").withColumn("label", lit("e")))
+    def run(opts: (String, Any)*) = graft.graph.GraphStages.bfs(
+      ComponentSpec("bfs", opts.toMap), ctx)(spark.emptyDataFrame)
+      .as[(String, Long)].collect().toMap
+    assert(run("source" -> "a", "direction" -> "out") ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    assert(run("source" -> "a", "direction" -> "out", "maxHops" -> 1) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+    // undirected from d: d-c 1, then b (via c) and a (via c) at 2
+    assert(run("source" -> "d", "direction" -> "both") ==
+      Map("d" -> 0L, "c" -> 1L, "a" -> 2L, "b" -> 2L))
+    // multi-source takes the min over sources
+    assert(run("source" -> "a,d", "direction" -> "out") ==
+      Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
 }

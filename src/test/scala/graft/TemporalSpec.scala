@@ -1,0 +1,132 @@
+package graft
+
+import graft.spec.ComponentSpec
+import graft.temporal.TemporalStages
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** As-of and range (interval) joins — semantics on hand-built frames
+  * where every expected row is enumerable: inclusive vs strict time
+  * matching, tolerance cut-off, row-atomic attachment (a null value in
+  * the matched row must NOT fall through to an older row), left-outer
+  * nulls, interval bounds, the keyless bin path, and the maxBins
+  * contract. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // numeric (epoch-seconds) time columns: the stages accept numeric or
+  // timestamp; numerics keep expected values exactly enumerable
+  private def left(): DataFrame =
+    Seq((1L, "k1", 10.0), (2L, "k1", 20.0), (3L, "k1", 25.0), (4L, "k2", 15.0))
+      .toDF("eid", "k", "t")
+
+  private def asof(df: DataFrame, right: DataFrame, opts: (String, Any)*): DataFrame = {
+    val ctx = newCtx()
+    right.createOrReplaceTempView("asof_right")
+    TemporalStages.asofJoin(ComponentSpec("asofjoin",
+      Map("right" -> "asof_right", "on" -> "k", "leftTime" -> "t") ++ opts.toMap),
+      ctx)(df)
+  }
+
+  test("asofjoin: inclusive picks at-or-before; strict excludes the instant") {
+    val right = Seq(("k1", 10.0, "r10"), ("k1", 20.0, "r20"), ("k2", 99.0, "r99"))
+      .toDF("k", "t", "v")
+    val inc = asof(left(), right).orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    assert(inc == Seq((1L, Some("r10")), (2L, Some("r20")), (3L, Some("r20")),
+      (4L, None)))
+    val strict = asof(left(), right, "strict" -> true).orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    assert(strict == Seq((1L, None), (2L, Some("r10")), (3L, Some("r20")),
+      (4L, None)))
+  }
+
+  test("asofjoin: tolerance discards stale matches; matchedTimeField emitted") {
+    val right = Seq(("k1", 10.0, "r10")).toDF("k", "t", "v")
+    val out = asof(left(), right, "tolerance" -> 5, "matchedTimeField" -> "mt")
+      .orderBy("eid")
+      .select("eid", "v", "mt").as[(Long, Option[String], Option[Double])]
+      .collect().toSeq
+    // eid1 at t=10 (lag 0) and eid2 at t=20 would match r10 (lag 10) —
+    // only lag <= 5 survives
+    assert(out == Seq((1L, Some("r10"), Some(10.0)), (2L, None, None),
+      (3L, None, None), (4L, None, None)))
+  }
+
+  test("asofjoin: a null VALUE in the newest right row does not fall through") {
+    val right = Seq(("k1", 5.0, Some("old")), ("k1", 15.0, None))
+      .toDF("k", "t", "v")
+    val out = asof(left(), right).orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    // eid2/eid3 (t=20/25): newest right row is t=15 whose v IS null —
+    // row-atomic semantics must yield null, not "old"
+    assert(out == Seq((1L, Some("old")), (2L, None), (3L, None), (4L, None)))
+  }
+
+  test("asofjoin: collision and missing-column errors name the problem") {
+    val right = Seq(("k1", 5.0, 1.0)).toDF("k", "t", "eid")
+    val e = intercept[Exception] { asof(left(), right).collect() }
+    assert(e.getMessage.contains("collide"))
+    val e2 = intercept[Exception] {
+      asof(left(), Seq(("k1", 1.0)).toDF("k", "t"), "select" -> Seq("nope")).collect()
+    }
+    assert(e2.getMessage.contains("nope"))
+  }
+
+  private def range(points: DataFrame, intervals: DataFrame,
+                    opts: (String, Any)*): DataFrame = {
+    val ctx = newCtx()
+    intervals.createOrReplaceTempView("range_right")
+    TemporalStages.rangeJoin(ComponentSpec("rangejoin",
+      Map("right" -> "range_right", "leftTime" -> "t") ++ opts.toMap),
+      ctx)(points)
+  }
+
+  test("rangejoin: keyless bin path — exact [start,end) containment, once per pair") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 19.999999), (4L, 20.0))
+      .toDF("pid", "t")
+    val intervals = Seq(("w1", 10.0, 20.0), ("w2", 0.0, 6.0)).toDF("w", "start", "end")
+    val out = range(points, intervals, "binWidth" -> 2)
+      .select("pid", "w").as[(Long, String)].collect().toSeq.sorted
+    // end-exclusive: t=20.0 matches nothing; t=10.0 matches w1's start
+    assert(out == Seq((1L, "w2"), (2L, "w1"), (3L, "w1")))
+    val incl = range(points, intervals, "binWidth" -> 2, "endInclusive" -> true)
+      .select("pid", "w").as[(Long, String)].collect().toSeq.sorted
+    assert(incl == Seq((1L, "w2"), (2L, "w1"), (3L, "w1"), (4L, "w1")))
+  }
+
+  test("rangejoin: keyed path joins on key + range without binWidth") {
+    val points = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("pid", "k", "t")
+    val intervals = Seq(("a", 0.0, 10.0, "wa"), ("b", 6.0, 10.0, "wb"))
+      .toDF("k", "start", "end", "w")
+    val out = range(points, intervals, "on" -> "k")
+      .select("pid", "w").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "wa"))) // pid2's key-b interval starts after t
+  }
+
+  test("rangejoin: keyless without binWidth is rejected; maxBins fails loud") {
+    val points = Seq((1L, 5.0)).toDF("pid", "t")
+    val intervals = Seq(("w", 0.0, 10.0)).toDF("w", "start", "end")
+    val e = intercept[Exception] { range(points, intervals).collect() }
+    assert(e.getMessage.contains("binWidth"))
+    val e2 = intercept[Exception] {
+      range(points, intervals, "binWidth" -> 1, "maxBins" -> 5).collect()
+    }
+    // raise_error surfaces wrapped in task-failure exceptions — scan the chain
+    val msgs = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxBins"))
+  }
+
+  test("rangejoin: rightPrefix avoids collisions; unprefixed collision errors") {
+    val points = Seq((1L, 5.0)).toDF("w", "t")
+    val intervals = Seq(("x", 0.0, 10.0)).toDF("w", "start", "end")
+    val e = intercept[Exception] {
+      range(points, intervals, "binWidth" -> 10).collect()
+    }
+    assert(e.getMessage.contains("collides"))
+    val ok = range(points, intervals, "binWidth" -> 10, "rightPrefix" -> "iv_")
+    assert(ok.columns.toSeq == Seq("w", "t", "iv_w", "iv_start", "iv_end"))
+    assert(ok.count() == 1)
+  }
+}
