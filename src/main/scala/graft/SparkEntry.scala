@@ -1563,6 +1563,19 @@ object SparkEntry {
         .select("doc_id", "term", "tf", "df", "score", "term_rank")
         .orderBy("doc_id", "term_rank")
     },
+    "bm25_search" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // BM25 top-20 for a 3-term query; linear idf keeps every score one
+      // fixed dag of IEEE ops (hash-exact vs the oracle — see the stage
+      // scaladoc), per-term contributions summed in sorted term order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"bm25": {"idField": "doc_id", "field": "text",
+          "query": "hash join scan", "k": 20, "idfMode": "linear"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("rank")
+    },
     "corpus_stats" -> { (s, dir) =>
       val c = ctx(s, dir)
       // one-row corpus summary over token counts; discrete quantiles
@@ -2104,6 +2117,26 @@ object SparkEntry {
       "SELECT doc_id, term, tf, df, score, CAST(row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS term_rank " +
       "FROM scored QUALIFY term_rank <= 3 ORDER BY doc_id, term_rank"
+    },
+    "bm25_search" -> {
+      // mirrors the bm25 stage's exact IEEE dag (linear idf, per-term
+      // contributions summed in sorted term order, left-assoc)
+      val ltoks = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+      s"WITH base AS (SELECT doc_id, $ltoks AS tk FROM documents), " +
+      "lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base), " +
+      "corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl FROM lens), " +
+      "tft AS (SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf FROM " +
+      "(SELECT doc_id, unnest(tk) AS t FROM base) WHERE t IN ('hash', 'join', 'scan') GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfd FROM tft GROUP BY 1), " +
+      "sc AS (SELECT f.doc_id, f.term, (((c.n - d.dfd) + 0.5) / (d.dfd + 0.5)) * " +
+      "((f.tf * (1.2 + 1.0)) / (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl / c.avgdl)))) AS cv " +
+      "FROM tft f JOIN dfq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN corpus c), " +
+      "piv AS (SELECT doc_id, max(CASE WHEN term = 'hash' THEN cv END) AS c0, " +
+      "max(CASE WHEN term = 'join' THEN cv END) AS c1, " +
+      "max(CASE WHEN term = 'scan' THEN cv END) AS c2 FROM sc GROUP BY 1), " +
+      "ranked AS (SELECT doc_id, (coalesce(c0, 0.0) + coalesce(c1, 0.0)) + coalesce(c2, 0.0) AS score FROM piv) " +
+      "SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank " +
+      "FROM ranked ORDER BY score DESC, doc_id LIMIT 20"
     },
     "corpus_stats" ->
       (s"SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS total, " +

@@ -72,6 +72,7 @@ object Engine {
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
+    "bm25"          -> graft.text.TextStages.bm25 _,
     "corpusstats"   -> graft.text.TextStages.corpusstats _,
     "distinctcount" -> graft.text.TextStages.distinctCount _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,

@@ -306,6 +306,88 @@ object TextStages {
           col("score"), col("term_rank").cast("long").as("term_rank"))
     }
 
+  /** `bm25`: Okapi BM25 relevance search — score every document against
+    * a literal query string and keep the top `k` (score desc, id asc —
+    * fully deterministic). The retrieval-side companion to [[tfidf]]'s
+    * per-document characteristic terms.
+    *
+    * Options: `query` (required), `idField`/`field`/`k` (default 10),
+    * `k1` (default 1.2), `b` (default 0.75), `lowercase` (default true),
+    * `idfMode` ∈ `ln` (default — the standard
+    * `ln(1 + (N-df+0.5)/(df+0.5))`) or `linear` (the same ratio without
+    * the log: rank-equivalent for single-term queries and exactly
+    * reproducible by any engine — `ln` differs in final ulps across
+    * libms, the same reason tfidf uses a linear idf). Output: (id,
+    * score, rank), docs matching no query term absent.
+    *
+    * Determinism contract: per-term contributions are summed in SORTED
+    * TERM ORDER via a fixed left-associative fold (float addition is not
+    * associative; an agg-order sum would be run-dependent in the last
+    * ulp). All other arithmetic is one fixed dag of IEEE ops, so
+    * `linear` scores hash-match an oracle that writes the same formula.
+    *
+    * Scale shape: the explode is filtered to the query's literal terms
+    * before the aggregation (a handful of rows per doc, map-side
+    * combined); per-term df is a tiny broadcast; doc length rides the
+    * explode (no second join against the corpus); the final top-k is
+    * `orderBy.limit` = TakeOrdered (per-partition heaps + driver merge
+    * of k), never a single-partition global sort. */
+  def bm25(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.expressions.Window
+      val id = spec.strOr("idField", "doc_id")
+      val f0 = col(spec.strOr("field", "text"))
+      val lowercase = spec.bool("lowercase", dflt = true)
+      val f = if (lowercase) lower(f0) else f0
+      val queryStr = spec.str("query").getOrElse(sys.error("bm25: query required"))
+      val qTerms = {
+        val raw = queryStr.trim.split("\\s+").filter(_.nonEmpty)
+        (if (lowercase) raw.map(_.toLowerCase) else raw).distinct.sorted.toSeq
+      }
+      require(qTerms.nonEmpty, "bm25: query produced no terms")
+      val k = spec.int("k", 10)
+      val k1 = lit(spec.strOr("k1", "1.2").toDouble)
+      val b = lit(spec.strOr("b", "0.75").toDouble)
+      val idfMode = spec.strOr("idfMode", "ln")
+
+      val base = df.select(col(id).as("__id"), tokens(f).as("__toks"))
+        .withColumn("__dl", size(col("__toks")).cast("double"))
+      // corpus stats: doc-length sums are integer-valued doubles < 2^53,
+      // so the sum is exact and order-independent
+      val corpus = base.agg(count(lit(1)).cast("double").as("__n"),
+        (sum("__dl") / count(lit(1))).as("__avgdl"))
+      val tf = base
+        .select(col("__id"), col("__dl"), explode(col("__toks")).as("term"))
+        .where(col("term").isin(qTerms: _*))
+        .groupBy("__id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"), first("__dl").as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+      val ratio = ((col("__n") - col("__df")) + lit(0.5)) / (col("__df") + lit(0.5))
+      val idf = idfMode match {
+        case "linear" => ratio
+        case "ln" => log(lit(1.0) + ratio)
+        case other => sys.error(s"bm25: unknown idfMode '$other' (ln|linear)")
+      }
+      val contrib = idf * ((col("tf") * (k1 + lit(1.0))) /
+        (col("tf") + k1 * ((lit(1.0) - b) + b * (col("dl") / col("__avgdl")))))
+      val scored = tf.join(broadcast(dfreq), "term").crossJoin(corpus)
+        .select(col("__id"), col("term"), contrib.as("__c"))
+      // fixed-order fold over the sorted query terms — NOT an agg sum
+      val pivoted = scored.groupBy("__id")
+        .agg(max(when(col("term") === qTerms.head, col("__c"))).as(s"__c_0"),
+          qTerms.tail.zipWithIndex.map { case (t, i) =>
+            max(when(col("term") === t, col("__c"))).as(s"__c_${i + 1}")
+          }: _*)
+      val score = qTerms.indices
+        .map(i => coalesce(col(s"__c_$i"), lit(0.0)))
+        .reduceLeft(_ + _)
+      val topk = pivoted.select(col("__id"), score.as("score"))
+        .orderBy(col("score").desc, col("__id").asc).limit(k)
+      topk.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("__id").asc)).cast("long"))
+        .select(col("__id").as(id), col("score"), col("rank"))
+    }
+
   /** `corpusstats`: one-row corpus summary of a NUMERIC column —
     * count / sum / min / max / mean plus discrete quantiles
     * (`percentile_disc`: picks actual elements, so results are

@@ -254,6 +254,38 @@ class LlmStagesSpec extends SparkSpec {
     assert(out.getAs[Int]("n_ws_tokens") == 3)
   }
 
+  test("bm25: hand-computed score on a 2-doc corpus; ln and linear agree on rank") {
+    // corpus: d1 = "x x y" (dl 3), d2 = "y z" (dl 2); query "x z"
+    // N=2, avgdl=2.5; df(x)=1, df(z)=1 → linear idf = (2-1+0.5)/(1+0.5) = 1.0
+    // d1: tf(x)=2 → 1.0 * (2*2.2)/(2 + 1.2*(0.25 + 0.75*3/2.5)) = 4.4/(2+1.38)
+    // d2: tf(z)=1 → 1.0 * (1*2.2)/(1 + 1.2*(0.25 + 0.75*2/2.5)) = 2.2/(1+1.02)
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    def run(mode: String) = stage("bm25", "query" -> "x z", "idfMode" -> mode,
+      "k" -> 10)(docs).orderBy("rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    val lin = run("linear")
+    assert(lin.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(lin(0)._2 - 4.4 / (2 + 1.2 * (0.25 + 0.75 * (3 / 2.5)))) < 1e-12)
+    assert(math.abs(lin(1)._2 - 2.2 / (1 + 1.2 * (0.25 + 0.75 * (2 / 2.5)))) < 1e-12)
+    assert(lin.map(_._3) == Seq(1L, 2L))
+    // ln mode: same df for both terms → same idf scaling → same ranking
+    assert(run("ln").map(_._1) == Seq(1L, 2L))
+    // docs matching no query term are absent (d3 below), k caps output
+    val more = docs.union(Seq((3L, "w w")).toDF("doc_id", "text"))
+    assert(stage("bm25", "query" -> "x z", "k" -> 1)(more).count() == 1L)
+  }
+
+  test("bm25: multi-term sum is the fixed-order fold; score ties break by id") {
+    // two docs with IDENTICAL text score identically; rank ties break id asc
+    val docs = Seq((10L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = stage("bm25", "query" -> "a b")(docs).orderBy("rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 10L))
+    assert(out(0)._2 == out(1)._2) // bit-identical, not approximately
+    val e = intercept[Exception] { stage("bm25", "query" -> "   ")(docs) }
+    assert(e.getMessage.contains("query"))
+  }
+
   test("fingerprint: normalization collapses case + whitespace") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
     val out = stage("fingerprint")(df).select("fp_md5").as[String].collect()
