@@ -1408,6 +1408,60 @@ object SparkEntry {
       recallVerdict(approx, exact, Seq("a", "b"), "recall_ge_0.4", 0.4)
         .unionByName(falsePos).orderBy("metric")
     },
+    "kmeans_cluster" -> { (s, dir) =>
+      // VERDICT table for the spherical k-means stage: every vector
+      // assigned, cell count in (2, k], and the Lloyd's-trained codebook
+      // must fit the data at least as well as the untrained
+      // first-k-of-sample init (measured mean cosine-to-centroid gain
+      // +0.06 sf0.01 / +0.02 sf0.1 — the epsilon only absorbs float
+      // noise). Oracle = the constant expected-verdict table.
+      def assign(iters: Int) = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"kmeans": {"idField": "vec_id",
+          "field": "embedding", "k": 8, "lloydIters": $iters}}],
+        "loader": {"memory": {}} }""")
+      val trained = assign(5)
+      val assignedAll = trained
+        .agg((count(when(col("cluster").isNull, 1)) === 0L).as("pass"))
+        .select(lit("all_assigned").as("metric"), col("pass"))
+      val cells = trained.agg(countDistinct("cluster").as("__k"))
+        .select(lit("cells_bounded").as("metric"),
+          (col("__k") > 1L && col("__k") <= 8L).as("pass"))
+      val gain = trained.agg(avg("centroid_sim").as("__t"))
+        .crossJoin(assign(0).agg(avg("centroid_sim").as("__i")))
+        .select(lit("trained_improves").as("metric"),
+          (col("__t") >= col("__i") - lit(1e-9)).as("pass"))
+      val nonEmpty = trained.agg((count(lit(1)) > 0L).as("pass"))
+        .select(lit("results_nonempty").as("metric"), col("pass"))
+      assignedAll.unionByName(cells).unionByName(gain).unionByName(nonEmpty)
+        .orderBy("metric")
+    },
+    "semantic_dedup" -> { (s, dir) =>
+      // VERDICT table for cluster-bucketed near-dup (SemDeDup recipe +
+      // IVF-style multi-probe): within-cell pairs are exact-verified so
+      // false positives are structurally impossible (asserted), and
+      // multi-probe recall vs the all-pairs baseline must clear 0.8
+      // (measured 1.000 sf0.01 / 0.958 sf0.1 at k=8, nProbe=3)
+      val approx = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"semanticdedup": {"idField": "vec_id",
+          "field": "embedding", "threshold": 0.4, "k": 8, "nProbe": 3,
+          "emit": "pairs"}}],
+        "loader": {"memory": {}} }""").select("a", "b")
+      val exact = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"cosinedup": {"idField": "vec_id",
+          "field": "embedding", "threshold": 0.4, "exact": true}}],
+        "loader": {"memory": {}} }""").select("a", "b")
+      val falsePos = approx.join(exact, Seq("a", "b"), "left_anti")
+        .agg((count(lit(1)) === 0L).as("pass"))
+        .select(lit("false_positives_zero").as("metric"), col("pass"))
+      recallVerdict(approx, exact, Seq("a", "b"), "recall_ge_0.8", 0.8)
+        .unionByName(falsePos).orderBy("metric")
+    },
     "cosine_dup_exact" -> { (s, dir) =>
       val c = ctx(s, dir)
       // brute-force all-pairs baseline (`exact: true`) — the oracle-
@@ -2022,6 +2076,14 @@ object SparkEntry {
     "cosine_dup" ->
       ("SELECT * FROM (VALUES ('false_positives_zero', true), " +
        "('recall_ge_0.4', true), ('results_nonempty', true)) " +
+       "AS t(metric, pass) ORDER BY metric"),
+    "kmeans_cluster" ->
+      ("SELECT * FROM (VALUES ('all_assigned', true), ('cells_bounded', true), " +
+       "('results_nonempty', true), ('trained_improves', true)) " +
+       "AS t(metric, pass) ORDER BY metric"),
+    "semantic_dedup" ->
+      ("SELECT * FROM (VALUES ('false_positives_zero', true), " +
+       "('recall_ge_0.8', true), ('results_nonempty', true)) " +
        "AS t(metric, pass) ORDER BY metric"),
     "neardup_dedup_lsh" -> {
       val sh = shingles("documents")

@@ -80,6 +80,8 @@ object Engine {
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,
     "cosinedup"     -> graft.similarity.SimilarityStages.cosineDup _,
+    "kmeans"        -> graft.similarity.SimilarityStages.kmeans _,
+    "semanticdedup" -> graft.similarity.SimilarityStages.semanticDedup _,
     "mm_attach"     -> graft.multimodal.MultimodalStages.attach _,
     "mm_decode"     -> graft.multimodal.MultimodalStages.decode _,
     "mm_resize"     -> graft.multimodal.MultimodalStages.resize _,

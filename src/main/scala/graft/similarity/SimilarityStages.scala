@@ -497,4 +497,173 @@ object SimilarityStages {
           .where(col("cosine") >= threshold)
       }
     }
+
+  /** Literal-centroid argmax assignment shared by [[kmeans]] and
+    * [[semanticDedup]]: train a spherical codebook over a bounded
+    * deterministic sample ([[trainCodebook]] on the driver — the IVF
+    * quantizer's training path), ship the centroids as literals, and
+    * assign every row per-row: `cluster` = argmax-cosine cell (lower
+    * cell on ties), `centroid_sim` = that cosine. The base table never
+    * shuffles, joins, or aggregates to get its cluster. Null vectors →
+    * null cluster/sim. */
+  private def trainFromSample(df: DataFrame, vec: String, idOrd: Column,
+                              k: Int, lloydIters: Int,
+                              trainRows: Int): Option[Array[Array[Double]]] = {
+    val sampleRows = df.select(col(vec).as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col(vec).cast("string")), idOrd).limit(trainRows)
+      .collect()
+    if (sampleRows.isEmpty) None
+    else {
+      val sample: Array[Array[Double]] = sampleRows.map { r =>
+        r.getSeq[Any](0).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case n: java.lang.Number => n.doubleValue
+          case null => 0.0
+        }.toArray
+      }
+      Some(trainCodebook(sample, math.min(k, sample.length), lloydIters))
+    }
+  }
+
+  /** (sim desc, cell asc)-sorted array of `struct(sim, cell)` scoring
+    * `vec` against every literal centroid — the shared per-row
+    * projection under [[kmeans]] / [[semanticDedup]] assignment. */
+  private def sortedCellScores(vec: String, codebook: Array[Array[Double]]): Column = {
+    val centArr = array(codebook.zipWithIndex.map { case (cv, ci) =>
+      var s = 0.0; cv.foreach(x => s += x * x)
+      struct(lit(ci.toLong).as("cell"),
+        array(cv.map(lit(_)).toIndexedSeq: _*).as("cv"),
+        lit(math.sqrt(s)).as("cn"))
+    }.toIndexedSeq: _*)
+    val scored = transform(centArr, c => struct(
+      (dot(col(vec), c.getField("cv")) /
+        (norm(col(vec)) * c.getField("cn"))).as("sim"),
+      c.getField("cell").as("cell")))
+    array_sort(scored, (a, b) =>
+      when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1)
+        .when(a.getField("cell") < b.getField("cell"), -1)
+        .when(a.getField("cell") > b.getField("cell"), 1)
+        .otherwise(0))
+  }
+
+  private def assignClusters(df: DataFrame, vec: String, idOrd: Column,
+                             k: Int, lloydIters: Int, trainRows: Int): DataFrame =
+    trainFromSample(df, vec, idOrd, k, lloydIters, trainRows) match {
+      case None =>
+        df.withColumn("cluster", lit(null).cast("long"))
+          .withColumn("centroid_sim", lit(null).cast("double"))
+      case Some(codebook) =>
+        val best = element_at(sortedCellScores(vec, codebook), 1)
+        df.withColumn("cluster",
+            when(col(vec).isNotNull, best.getField("cell")))
+          .withColumn("centroid_sim",
+            when(col(vec).isNotNull, best.getField("sim")))
+    }
+
+  /** `kmeans` transformer — spherical k-means clustering of an embedding
+    * column: appends `cluster` (long) and `centroid_sim` (cosine to the
+    * assigned centroid) to every row. The semantic-grouping primitive
+    * under mixture balancing, per-topic stats, and [[semanticDedup]].
+    * Options: `idField` (default vec_id — sample-order tie-break only),
+    * `field` (default embedding), `k` (default 8), `lloydIters`
+    * (default 5; 0 = untrained first-k-of-sample codebook), `trainRows`
+    * (default k·40).
+    *
+    * Scale shape: training is ONE bounded TakeOrdered + driver
+    * arithmetic (k·dim doubles of codebook, `trainRows`·dim sample —
+    * fixed-size regardless of N); assignment is a per-row projection
+    * against literal centroids. Deterministic end to end: hash-ordered
+    * sample, tie-broken argmax. */
+  def kmeans(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val id = spec.strOr("idField", "vec_id")
+      val vec = spec.strOr("field", "embedding")
+      val k = spec.int("k", 8)
+      require(k > 0, "kmeans: k must be positive")
+      assignClusters(df, vec, col(id), k,
+        spec.int("lloydIters", 5), spec.int("trainRows", k * 40))
+    }
+
+  /** `semanticdedup` transformer — embedding-cluster-bucketed near-dup
+    * (the SemDeDup recipe): k-means-assign every vector to a centroid,
+    * then exact-cosine compare only WITHIN shared cells. A pair whose
+    * members land in disjoint cell sets is missed — the recall trade
+    * the bucketing buys; `nProbe` (default 2) assigns each vector to
+    * its top-p nearest cells so boundary-straddling pairs meet in a
+    * shared cell (the IVF multi-probe idea applied to dedup), and the
+    * driver query measures recall against the all-pairs baseline.
+    * Options: [[kmeans]]'s plus `threshold` (default 0.95), `nProbe`,
+    * `emit` ∈ `dedup` (default — drop all but the min-id member of each
+    * connected near-dup group, pass-through otherwise) or `pairs` (emit
+    * (a, b, cosine)), `maxClusterRows` (default 100000; <= 0 disables).
+    *
+    * Scale shape: candidates are Σ per-cell n² ≈ (nProbe·N)²/k — the
+    * point of clustering first; `k` must grow with N, so the
+    * `maxClusterRows` guard (one bounded probe aggregation over cell
+    * populations) fails fast naming the rule instead of dying in the
+    * within-cell join. The pair join carries ids only (a pair sharing
+    * several cells dedups BEFORE scoring); vectors re-attach from the
+    * linear table. Dedup mode runs the same pointer-jumping components
+    * as `neardupdedup`. */
+  def semanticDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val id = spec.strOr("idField", "vec_id")
+      val vec = spec.strOr("field", "embedding")
+      val k = spec.int("k", 8)
+      val nProbe = spec.int("nProbe", 2)
+      val threshold = spec.str("threshold").map(_.toDouble).getOrElse(0.95)
+      val maxClusterRows = spec.int("maxClusterRows", 100000)
+      val slim = df.select(col(id).as("__id"), col(vec).as("__v"))
+        .where(col("__v").isNotNull)
+      val probed = trainFromSample(slim, "__v", col("__id"), k,
+          spec.int("lloydIters", 5), spec.int("trainRows", k * 40)) match {
+        case None => slim.select(col("__id"), lit(0L).as("cell")).where(lit(false))
+        case Some(codebook) =>
+          slim.select(col("__id"),
+              explode(slice(sortedCellScores("__v", codebook), 1, nProbe))
+                .as("__ce"))
+            .select(col("__id"), col("__ce.cell").as("cell"))
+      }
+      if (maxClusterRows > 0) {
+        val worst = probed.groupBy("cell").agg(count(lit(1)).as("__n"))
+          .agg(max("__n")).head() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        require(worst <= maxClusterRows,
+          s"semanticdedup: largest cell holds $worst rows > " +
+          s"maxClusterRows=$maxClusterRows — the within-cell compare is " +
+          "quadratic per cell; raise `k` (more, smaller cells) or " +
+          "maxClusterRows if the cost is intended")
+      }
+      val vecs = slim.withColumn("__n", norm(col("__v")))
+      val l = probed.select(col("cell"), col("__id").as("a"))
+      val r = probed.select(col("cell"), col("__id").as("b"))
+      // a pair can meet in up to nProbe shared cells → dedup ids-only
+      // BEFORE the vectors attach and the cosine evaluates
+      val pairs = l.join(r, Seq("cell")).where(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .join(vecs.select(col("__id").as("a"), col("__v").as("__av"),
+          col("__n").as("__an")), Seq("a"))
+        .join(vecs.select(col("__id").as("b"), col("__v").as("__bv"),
+          col("__n").as("__bn")), Seq("b"))
+        .select(col("a"), col("b"),
+          cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
+        .where(col("cosine") >= threshold)
+      spec.strOr("emit", "dedup") match {
+        case "pairs" => pairs
+        case "dedup" =>
+          val comps = graft.dedup.DedupStages
+            .connectedComponents(pairs.select("a", "b"), spec.int("maxIter", 12))
+          val losers = comps.where(col("id") =!= col("comp"))
+            .select(col("id").as("__drop"))
+          df.join(losers, col(id) === col("__drop"), "left_anti")
+        case other => sys.error(s"semanticdedup: unknown emit '$other' (dedup|pairs)")
+      }
+    }
 }

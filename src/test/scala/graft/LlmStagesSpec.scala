@@ -410,6 +410,53 @@ class LlmStagesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------- similarity
+  test("kmeans: separates constructed orthogonal groups; nulls unassigned") {
+    // two orthogonal directions with small jitter → k=2 must split them
+    val rows = (0 until 10).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0f, 0.01f * i, 0f, 0f)
+              else Seq(0f, 0.01f * i, 1.0f, 0f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .union(Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val out = stage("kmeans", "k" -> 2, "field" -> "embedding")(df)
+      .select("vec_id", "cluster").as[(Long, Option[Long])].collect().toMap
+    assert(out(99L).isEmpty) // null vector → null cluster
+    val evens = (0 until 10 by 2).map(i => out(i.toLong).get).toSet
+    val odds = (1 until 10 by 2).map(i => out(i.toLong).get).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds)
+    // deterministic across evaluations (driver-trained literal codebook)
+    val again = stage("kmeans", "k" -> 2, "field" -> "embedding")(df)
+      .select("vec_id", "cluster").as[(Long, Option[Long])].collect().toMap
+    assert(again == out)
+  }
+
+  test("semanticdedup: keeps min id per near-dup group; pairs mode; guard fires") {
+    // group A: ids 1,2,3 nearly parallel; group B: ids 10,11 parallel on
+    // an orthogonal axis; id 20 isolated
+    def v(base: Seq[Float], eps: Float) =
+      base.zipWithIndex.map { case (x, i) => if (i == 3) x + eps else x }
+    val a = Seq(1f, 0f, 0f, 0f)
+    val b = Seq(0f, 1f, 0f, 0f)
+    val df = Seq(
+      (1L, v(a, 0.01f)), (2L, v(a, 0.02f)), (3L, v(a, 0.03f)),
+      (10L, v(b, 0.01f)), (11L, v(b, 0.02f)),
+      (20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val kept = stage("semanticdedup", "k" -> 3, "threshold" -> 0.99,
+      "nProbe" -> 2)(df)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 20L))
+    val pairs = stage("semanticdedup", "k" -> 3, "threshold" -> 0.99,
+      "nProbe" -> 2, "emit" -> "pairs")(df)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val e = intercept[Exception] {
+      stage("semanticdedup", "k" -> 1, "nProbe" -> 1,
+        "maxClusterRows" -> 3)(df)
+    }
+    assert(e.getMessage.contains("maxClusterRows"))
+  }
+
   test("similarity brute top-k: exact ranking on constructed vectors") {
     val df = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
