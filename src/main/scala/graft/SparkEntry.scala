@@ -1015,7 +1015,7 @@ object SparkEntry {
       // TIMESTAMP(NANOS) read as long (Tables shim) — converted by a
       // registered code hook before the watermark.
       Engine.registerCode("nanos_to_ts")(df =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
@@ -1039,7 +1039,7 @@ object SparkEntry {
       // the bounded input; which sessions flush (vs stay in state at
       // stop) is pinned by the oracle below
       Engine.registerCode("nanos_to_ts")(df =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
@@ -1561,7 +1561,7 @@ object SparkEntry {
       // is arrival-order-dependent; the key set is deterministic and
       // equals the batch DISTINCT oracle under availableNow.
       Engine.registerCode("nanos_to_ts")(df =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
@@ -1577,6 +1577,27 @@ object SparkEntry {
       s.table("stream_dd")
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
+    },
+    "stream_enrich" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // stream-STATIC dimension join: the BATCH `code` stage runs
+      // unchanged on the streaming frame (the registry reuse the
+      // streaming design claims), joining each event to the customer
+      // dim — a stateless streaming join, so no watermark and no state
+      // store; at scale the dim side broadcasts per micro-batch
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT e.event_id, e.user_id, c.c_mktsegment AS segment FROM __input e JOIN customer c ON e.user_id = c.c_custkey"}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_enr",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_enr")
+        .select("event_id", "user_id", "segment")
+        .orderBy("event_id")
     },
     "chunk_windows" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -2155,6 +2176,10 @@ object SparkEntry {
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),
+    "stream_enrich" ->
+      ("SELECT e.event_id, e.user_id, c.c_mktsegment AS segment " +
+       "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+       "ORDER BY event_id"),
     "chunk_windows" ->
       (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
        "u AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 48)) AS s FROM t) " +
