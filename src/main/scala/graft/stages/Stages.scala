@@ -380,6 +380,7 @@ object Stages {
     raw"if\s*\((.+)\)\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
   private val JsElseAssign =
     raw"else\s+record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+  private val JsLocalAssign = raw"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
 
   /** ONE literal scanner for every JS-shim text pass: segments of `s`
     * tagged `isLiteral` (single/double-quoted; a backslash inside a
@@ -451,6 +452,208 @@ object Stages {
       .filterNot(s => s == "record" || s == "return record")
   }
 
+  /** Literal-region check: is offset `pos` of `s` inside a string
+    * literal? (offsets derived from [[jsLiteralSpans]] segment widths). */
+  private def inJsLiteral(s: String, pos: Int): Boolean = {
+    var off = 0
+    jsLiteralSpans(s).foreach { case (seg, lit) =>
+      val end = off + seg.length
+      if (pos >= off && pos < end) return lit
+      off = end
+    }
+    false
+  }
+
+  /** Index of the '}' closing the '{' at `open` (quote- and
+    * escape-aware), or -1 when unbalanced. */
+  private def closingBrace(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var quote: Char = 0; var escaped = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Substitute identifier `name` with `repl` outside literals; the
+    * lookbehind keeps dotted access (`record.i`) untouched. */
+  private def substIdent(s: String, name: String, repl: String): String =
+    outsideJsLiterals(s)(_.replaceAll(
+      raw"(?<!\.)\b" + java.util.regex.Pattern.quote(name) + raw"\b",
+      java.util.regex.Matcher.quoteReplacement(repl)))
+
+  /** Fold `record["a" + i]`-style CONSTANT bracket access (every `+`
+    * part a string literal or integer after loop-var substitution) to
+    * `record.ai` — the dynamic-field idiom legacy loop bodies use. A
+    * bracket whose parts don't fold stays as-is (and later fails with
+    * the named migration error). */
+  private[graft] def jsFoldBrackets(code: String): String = {
+    val Bracket = raw"record\s*\[([^\]]*)\]".r
+    Bracket.replaceAllIn(code, m => {
+      if (inJsLiteral(code, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val parts = m.group(1).split("\\+").map(_.trim)
+        val folded = parts.foldLeft(Option(new StringBuilder)) {
+          case (None, _) => None
+          case (Some(b), p) =>
+            if (p.length >= 2 && ((p.head == '\'' && p.last == '\'') ||
+                (p.head == '"' && p.last == '"')))
+              Some(b.append(p.substring(1, p.length - 1)))
+            else if (p.matches(raw"-?\d+")) Some(b.append(p))
+            else None
+        }
+        folded.map(_.toString) match {
+          case Some(name) if name.matches(raw"[A-Za-z_][A-Za-z0-9_]*") =>
+            java.util.regex.Matcher.quoteReplacement(s"record.$name")
+          case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
+        }
+      }
+    })
+  }
+
+  /** Unroll literal-bounded `for` loops:
+    * `for (var i = A; i (<|<=) B; i(++|+= S)) { body }` expands to the
+    * body repeated per iteration with `i` substituted as a literal
+    * (dotted access like `record.i` untouched), then constant bracket
+    * access folds (`record["q" + i]` → `record.q2`). Nested loops
+    * expand on the re-scan. Bounds are config LITERALS by contract —
+    * data-dependent trip counts have no place in a compiled plan — and
+    * a loop past `maxUnroll` iterations fails with the migration error
+    * (an unrolled plan column per iteration is the cost model). */
+  private[graft] def jsUnrollLoops(code: String, maxUnroll: Int = 64): String = {
+    val ForHead = (raw"for\s*\(\s*(?:var|let)\s+([A-Za-z_]\w*)\s*=\s*(-?\d+)\s*;" +
+      raw"\s*\1\s*(<=|<)\s*(-?\d+)\s*;\s*\1\s*(?:(\+\+)|\+=\s*(\d+))\s*\)").r
+    var cur = code
+    var rounds = 0
+    var continue = true
+    while (continue) {
+      rounds += 1
+      require(rounds <= 32, "code: JS loop nesting too deep to unroll")
+      ForHead.findFirstMatchIn(cur).filterNot(m => inJsLiteral(cur, m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          val (v, a, cmp, b) = (m.group(1), m.group(2).toLong, m.group(3), m.group(4).toLong)
+          val step = Option(m.group(6)).map(_.toLong).getOrElse(1L)
+          require(step > 0, s"code: JS for-loop step must be positive ($v += $step)")
+          val hi = if (cmp == "<=") b else b - 1
+          val values = (a to hi by step).toSeq
+          require(values.size <= maxUnroll,
+            s"code: JS for-loop over $v unrolls to ${values.size} iterations " +
+            s"(cap $maxUnroll) — each iteration becomes plan columns; " +
+            "restructure as SQL (language: \"sql\") or a Scala hook (`ref`)")
+          val open = cur.indexOf('{', m.end)
+          require(open >= 0 && cur.substring(m.end, open).trim.isEmpty,
+            s"code: JS for-loop body must be a braced block: `${m.group(0)}`")
+          val close = closingBrace(cur, open)
+          require(close > open, s"code: unbalanced braces in JS for-loop body")
+          val body = cur.substring(open + 1, close)
+          val expanded = values.map(i =>
+            jsFoldBrackets(substIdent(body, v, i.toString))).mkString(" ")
+          cur = cur.substring(0, m.start) + expanded + cur.substring(close + 1)
+      }
+    }
+    cur
+  }
+
+  /** Extract single-return `function name(args) { return expr; }`
+    * definitions as inline macros; returns (code without the defs,
+    * name → (params, body)). Anything richer inside a function fails
+    * later as an untranslatable statement. */
+  private[graft] def jsExtractFunctions(code: String): (String, Map[String, (Seq[String], String)]) = {
+    val FnDef = raw"function\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*\{\s*return\s+([^;{}]+?)\s*;?\s*\}".r
+    var fns = Map.empty[String, (Seq[String], String)]
+    val stripped = FnDef.replaceAllIn(code, m => {
+      if (inJsLiteral(code, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        fns += m.group(1) -> ((params, m.group(3)))
+        " "
+      }
+    })
+    (stripped, fns)
+  }
+
+  /** Inline macro CALLS of the extracted functions into `s`: arguments
+    * split on top-level commas (paren- and quote-aware), parameters
+    * substituted into the body, result parenthesized. Bounded passes —
+    * recursion cannot terminate in a macro expansion and is rejected. */
+  private def jsInlineCalls(s0: String, fns: Map[String, (Seq[String], String)]): String = {
+    if (fns.isEmpty) return s0
+    def splitArgs(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0; var quote: Char = 0; var escaped = false
+      s.foreach { c =>
+        if (quote != 0) {
+          cur.append(c)
+          if (escaped) escaped = false
+          else if (c == '\\') escaped = true
+          else if (c == quote) quote = 0
+        } else c match {
+          case '\'' | '"' => quote = c; cur.append(c)
+          case '(' | '[' => depth += 1; cur.append(c)
+          case ')' | ']' => depth -= 1; cur.append(c)
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case c2 => cur.append(c2)
+        }
+      }
+      out += cur.toString
+      out.toSeq.map(_.trim)
+    }
+    var cur = s0
+    var pass = 0
+    var changed = true
+    while (changed) {
+      pass += 1
+      require(pass <= 16, "code: JS function calls nest too deep to inline " +
+        "(recursive functions cannot inline — use a Scala hook via `ref`)")
+      changed = false
+      fns.foreach { case (name, (params, body)) =>
+        val Call = (raw"(?<![\w.])" + java.util.regex.Pattern.quote(name) + raw"\s*\(").r
+        Call.findFirstMatchIn(cur).filterNot(m => inJsLiteral(cur, m.start)).foreach { m =>
+          val open = m.end - 1
+          // find the matching ')' (quote/paren aware)
+          var depth = 0; var i = open; var close = -1
+          var quote: Char = 0; var escaped = false
+          while (i < cur.length && close < 0) {
+            val c = cur.charAt(i)
+            if (quote != 0) {
+              if (escaped) escaped = false
+              else if (c == '\\') escaped = true
+              else if (c == quote) quote = 0
+            } else c match {
+              case '\'' | '"' => quote = c
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ => ()
+            }
+            i += 1
+          }
+          require(close > open, s"code: unbalanced parens in call to $name(…)")
+          val args = splitArgs(cur.substring(open + 1, close))
+          require(args.size == params.size,
+            s"code: $name(…) takes ${params.size} argument(s), got ${args.size}")
+          val inlined = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
+            substIdent(b, p, s"($a)")
+          }
+          cur = cur.substring(0, m.start) + "(" + inlined + ")" + cur.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    cur
+  }
+
   /** Legacy-JS translation (the reference's default `code` engine was
     * JavaScript — OCodeTransformer.java:67-80): the three statement
     * shapes real configs are made of compile to Columns —
@@ -462,25 +665,38 @@ object Stages {
     *    (null for a new column) otherwise; an immediately following
     *    `else record.x = expr;` fills the other branch (the condition
     *    must not read the column it assigns — it is re-evaluated).
-    * `record.` prefixes resolve to fields. Anything richer (loops,
-    * function calls, multi-statement blocks) fails with a named
-    * migration path — full JS is out of parity scope (SURVEY.md §7.4,
-    * no script engine offline). */
+    * `record.` prefixes resolve to fields. Three macro-level forms
+    * expand BEFORE statement translation:
+    *  - `function f(a,b) { return expr; }` defs become inline macros
+    *    (calls substitute arguments textually, parenthesized);
+    *  - `for (var i = A; i < B; i++) { … }` with literal bounds unrolls
+    *    (≤ 64 iterations — an unrolled plan column per round is the
+    *    honest cost), with `record["q" + i]` folding to `record.qN`;
+    *  - `x = expr;` reassigning a known `var` local redefines it (the
+    *    loop-accumulator idiom).
+    * Anything richer (while loops, data-dependent bounds, recursion,
+    * multi-statement functions) fails with a named migration path —
+    * full JS is out of parity scope (SURVEY.md §7.4, no script engine
+    * offline). */
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
-    val stmts = jsStatements(code)
+    val (defree, fns) = jsExtractFunctions(code)
+    val stmts = jsStatements(jsFoldBrackets(jsUnrollLoops(defree)))
     var locals = List.empty[(String, String)] // insertion order; later wins applied last
-    def rewrite(s: String): String = outsideJsLiterals(s) { seg0 =>
-      // JS boolean operators → dialect keywords
-      var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
-      // inline locals (latest definition first so redefinition chains
-      // resolve through their predecessors already being inlined);
-      // quoteReplacement: a '$var' or backslash in a local's expression
-      // is literal text, not a regex group reference
-      locals.foreach { case (n, rhs) =>
-        e = e.replaceAll(raw"\b" + java.util.regex.Pattern.quote(n) + raw"\b",
-          java.util.regex.Matcher.quoteReplacement("(" + rhs + ")"))
+    def rewrite(s0: String): String = {
+      val s = jsInlineCalls(s0, fns)
+      outsideJsLiterals(s) { seg0 =>
+        // JS boolean operators → dialect keywords
+        var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
+        // inline locals (latest definition first so redefinition chains
+        // resolve through their predecessors already being inlined);
+        // quoteReplacement: a '$var' or backslash in a local's expression
+        // is literal text, not a regex group reference
+        locals.foreach { case (n, rhs) =>
+          e = e.replaceAll(raw"\b" + java.util.regex.Pattern.quote(n) + raw"\b",
+            java.util.regex.Matcher.quoteReplacement("(" + rhs + ")"))
+        }
+        e
       }
-      e
     }
     // the cond of the immediately-preceding if-assign, for `else`
     var lastIf: Option[(String, String)] = None // (cond, column)
@@ -524,11 +740,21 @@ object Stages {
         case JsAssign(name, rhs) =>
           lastIf = None
           d.withColumn(name, OrientExpr.compile(rewrite(rhs), ctx.varMap))
+        case JsLocalAssign(name, rhs) if locals.exists(_._1 == name) =>
+          // reassignment of a KNOWN local (the loop-accumulator idiom):
+          // rewrite() inlines the previous definition into the rhs, so
+          // `total = total + record.q1` chains correctly
+          lastIf = None
+          locals = (name, rewrite(rhs)) :: locals
+          d
         case other => sys.error(
           s"code: JavaScript config not translatable (statement: `$other`). " +
           "The migration shim covers `record.x = expr;` assignments, " +
-          "`var x = expr;` locals, `if (cond) record.x = expr;` guards " +
-          "and their `else record.x = expr;` branches. " +
+          "`var x = expr;` locals (+ reassignment of a declared local), " +
+          "`if (cond) record.x = expr;` guards and their " +
+          "`else record.x = expr;` branches, literal-bounded " +
+          "`for (var i = A; i < B; i++) { … }` loops, and single-return " +
+          "`function f(a) { return expr; }` macros. " +
           "Use language: \"sql\" with `code: \"SELECT ... FROM __input\"`, " +
           "a dialect `expression` + `fieldName`, or a Scala hook via " +
           "`ref` (Engine.registerCode) — full JS is out of parity scope " +

@@ -443,6 +443,58 @@ class EngineSpec extends SparkSpec {
       (r24.getAs[Number]("n_regionkey").longValue + 1) * 100)
   }
 
+  test("code JS shim: for-loop unrolling, function macros, local accumulators") {
+    val path = writeNationCsv()
+    // loop + accumulator + dynamic bracket field: sums n_nationkey 3×
+    // via record['n_' + part-name] folding and local reassignment
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var total = 0; for (var i = 0; i < 3; i++) { total = total + record.n_nationkey + i; } record.looped = total;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val r = out.filter(col("n_nationkey") === 4).head()
+    assert(r.getAs[Number]("looped").longValue == 4 * 3 + 0 + 1 + 2)
+    // function macro: single-return def inlines into later statements;
+    // loop var substitutes into bracket access (record['col' + i])
+    val fn = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["col0:integer", "n_name:string", "col1:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "function scale(x, f) { return x * f + 1; } for (var i = 0; i <= 1; i++) { record['s' + i] = scale(record['col' + i], 10); }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val fr = fn.filter(col("col0") === 7).head()
+    assert(fr.getAs[Number]("s0").longValue == 71L)
+    assert(fr.getAs[Number]("s1").longValue ==
+      fr.getAs[Number]("col1").longValue * 10 + 1)
+    // a loop past the unroll cap and an unknown-local assignment both
+    // fail with named errors
+    def reject(code: String, needle: String) = {
+      val e = intercept[Exception] {
+        Engine.runJson(newCtx(), s"""{
+          "source": { "file": { "path": "$path" } },
+          "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+          "transformers": [ { "code": { "language": "javascript", "code": "$code" } } ],
+          "loader": { "memory": {} }
+        }""")
+      }
+      assert(e.getMessage.contains(needle), s"`$code` → ${e.getMessage}")
+    }
+    reject("for (var i = 0; i < 100000; i++) { record.x = i; }", "unrolls to")
+    reject("ghost = 1; record.x = ghost;", "not translatable")
+    // loop var does NOT capture dotted access: record.i stays a field
+    val dotted = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["i:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "for (var i = 0; i < 2; i++) { record.keep = record.i; }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(dotted.filter(col("i") === 5).head().getAs[Number]("keep").longValue == 5L)
+  }
+
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
     val path = writeNationCsv()
     val ctx = newCtx()
