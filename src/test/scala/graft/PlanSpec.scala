@@ -316,4 +316,60 @@ class PlanSpec extends SparkSpec {
       s"centroid scoring must be a projection, not a join:\n$plan")
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
+
+  test("asofjoin: ONE shuffle on the key — no join node, no candidate pairs") {
+    val ctx = newCtx()
+    ctx.table("events").createOrReplaceTempView("events")
+    val out = graft.temporal.TemporalStages.asofJoin(
+      graft.spec.ComponentSpec("asofjoin", Map(
+        "right" -> ("SELECT user_id, ts, event_id AS rid FROM events " +
+          "WHERE event_type = 'click'"),
+        "on" -> "user_id", "leftTime" -> "ts")),
+      ctx)(ctx.table("events").where(col("event_type") === "purchase"))
+    val plan = planOf(out)
+    // the merge-asof is union -> ONE hash exchange on user_id -> sorted
+    // window; a join-based formulation would blow up candidates
+    assert(exchanges(plan) == 1, s"expected one keyed exchange:\n$plan")
+    assert(!plan.contains("Join"), s"no join node expected:\n$plan")
+  }
+
+  test("rangejoin keyless bin path: equi-join, never a nested-loop cartesian") {
+    val ctx = newCtx()
+    ctx.table("events").createOrReplaceTempView("events")
+    val out = graft.temporal.TemporalStages.rangeJoin(
+      graft.spec.ComponentSpec("rangejoin", Map(
+        "right" -> ("SELECT date_trunc('hour', ts) AS start, " +
+          "date_trunc('hour', ts) + INTERVAL 1 HOUR AS end " +
+          "FROM events GROUP BY 1"),
+        "leftTime" -> "ts", "binWidth" -> 3600)),
+      ctx)(ctx.table("events").where(col("event_type") === "purchase"))
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"binned range join must be an equi-join:\n$plan")
+    assert(plan.contains("Join"), s"expected a hash equi-join:\n$plan")
+  }
+
+  test("bm25: df side broadcasts; top-k is TakeOrdered, not a global sort") {
+    val ctx = newCtx()
+    val out = graft.text.TextStages.bm25(
+      graft.spec.ComponentSpec("bm25", Map(
+        "query" -> "hash join", "idfMode" -> "linear", "k" -> 5)),
+      ctx)(ctx.table("documents"))
+    val plan = planOf(out)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered (per-partition heaps), not a sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-term df is tiny and must broadcast:\n$plan")
+  }
+
+  test("kmeans: assignment is a per-row projection — no join, no shuffle") {
+    val ctx = newCtx()
+    val out = graft.similarity.SimilarityStages.kmeans(
+      graft.spec.ComponentSpec("kmeans", Map("k" -> 4)),
+      ctx)(ctx.table("embeddings"))
+    val plan = planOf(out)
+    assert(exchanges(plan) == 0, s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+  }
 }
