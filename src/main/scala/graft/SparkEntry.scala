@@ -967,7 +967,9 @@ object SparkEntry {
       // click at-or-before it (distributed merge-asof: one shuffle on
       // user_id + per-partition sort — no candidate pairs). 143 of 1981
       // purchases at sf0.01 have no prior click → null attachments
-      // (left-outer contract)
+      // (left-outer contract). The right side pre-aggregates per
+      // (user, ts): both ASOF engines leave same-instant ties
+      // unspecified, so the compare must not depend on one
       Engine.runJson(c, s"""{
         "source": {"file": {"path": "$dir/events.parquet"}},
         "extractor": {"parquet": {}},
@@ -975,7 +977,7 @@ object SparkEntry {
           {"command": {"command":
             "SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'"}},
           {"asofjoin": {"right":
-            "SELECT user_id, ts, event_id AS click_id, value AS click_value FROM events WHERE event_type = 'click'",
+            "SELECT user_id, ts, max(event_id) AS click_id, max_by(value, event_id) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts",
             "on": "user_id", "leftTime": "ts",
             "matchedTimeField": "click_ts"}}],
         "loader": {"memory": {}} }""")
@@ -1943,8 +1945,9 @@ object SparkEntry {
       ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id, " +
        "c.click_value, epoch_us(c.ts) AS click_ts_us " +
        "FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p " +
-       "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value " +
-       "FROM events WHERE event_type = 'click') c " +
+       "ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id, " +
+       "arg_max(value, event_id) AS click_value " +
+       "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c " +
        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY event_id"),
     "range_join" ->
       ("WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n_in_hour " +

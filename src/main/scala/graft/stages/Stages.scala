@@ -539,7 +539,9 @@ object Stages {
     while (continue) {
       rounds += 1
       require(rounds <= 32, "code: JS loop nesting too deep to unroll")
-      ForHead.findFirstMatchIn(cur).filterNot(m => inJsLiteral(cur, m.start)) match {
+      // first match OUTSIDE a literal — a for-head inside a string is
+      // data and must not stop the scan from reaching a real loop later
+      ForHead.findAllMatchIn(cur).find(m => !inJsLiteral(cur, m.start)) match {
         case None => continue = false
         case Some(m) =>
           val (v, a, cmp, b) = (m.group(1), m.group(2).toLong, m.group(3), m.group(4).toLong)
@@ -620,7 +622,9 @@ object Stages {
       changed = false
       fns.foreach { case (name, (params, body)) =>
         val Call = (raw"(?<![\w.])" + java.util.regex.Pattern.quote(name) + raw"\s*\(").r
-        Call.findFirstMatchIn(cur).filterNot(m => inJsLiteral(cur, m.start)).foreach { m =>
+        // first call OUTSIDE a literal (the macro's name inside a string
+        // is data, and must not mask a real call further on)
+        Call.findAllMatchIn(cur).find(m => !inJsLiteral(cur, m.start)).foreach { m =>
           val open = m.end - 1
           // find the matching ')' (quote/paren aware)
           var depth = 0; var i = open; var close = -1
@@ -643,8 +647,16 @@ object Stages {
           val args = splitArgs(cur.substring(open + 1, close))
           require(args.size == params.size,
             s"code: $name(…) takes ${params.size} argument(s), got ${args.size}")
-          val inlined = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
-            substIdent(b, p, s"($a)")
+          // two-phase substitution: params -> opaque placeholders first,
+          // THEN placeholders -> argument text. Direct sequential
+          // substitution would re-rewrite an argument that happens to
+          // contain a LATER parameter's name (scale(f, 10) with params
+          // (x, f): x -> "(f)" and then f -> "(10)" corrupts both)
+          val withPlaceholders = params.zipWithIndex.foldLeft(body) {
+            case (b, (p, i)) => substIdent(b, p, s"\u0001$i\u0001")
+          }
+          val inlined = args.zipWithIndex.foldLeft(withPlaceholders) {
+            case (b, (a, i)) => b.replace(s"\u0001$i\u0001", s"($a)")
           }
           cur = cur.substring(0, m.start) + "(" + inlined + ")" + cur.substring(close + 1)
           changed = true

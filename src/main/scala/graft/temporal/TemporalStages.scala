@@ -32,7 +32,11 @@ object TemporalStages {
   private def epochMicros(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))
-      case _: NumericType => (col(c).cast("double") * 1e6).cast("long")
+      // round, don't truncating-cast: seconds·1e6 lands just below the
+      // integer for many exact-micro decimals (19.999999·1e6 =
+      // 19999998.999…) and the cast would shave a microsecond off —
+      // the CLAUDE.md double→bigint rule
+      case _: NumericType => round(col(c).cast("double") * 1e6).cast("long")
       case other => sys.error(s"time column '$c' has non-temporal type $other")
     }
 
@@ -122,7 +126,10 @@ object TemporalStages {
         .withColumn("__ats", epochMicros(df, lt))
         .withColumn("__tag", lit(leftTag))
       val rPart = right
-        .where(col(rt).isNotNull)
+        // null-key right rows can never match: the window PARTITIONS null
+        // keys together, which would fill null-key left rows in violation
+        // of equi-join semantics (null = null is no match)
+        .where((col(rt).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
         .select(keys.map(col) ++ Seq(
           epochMicros(right, rt).as("__ats"),
           lit(rightTag).as("__tag"),
@@ -243,8 +250,17 @@ object TemporalStages {
           val span = eBin - sBin + 1
           val intervals = rr
             .where(col(pStart).isNotNull && col(pEnd).isNotNull)
-            .withColumn("__bin", explode(when(span <= maxBins,
-              sequence(sBin, eBin)).otherwise(raise_error(concat(
+            // reversed intervals fail LOUD too: span <= 0 would slip past
+            // the cap check and sequence() would silently auto-step -1
+            .withColumn("__bin", explode(
+              when(epochMicros(rr, pEnd) < epochMicros(rr, pStart),
+                raise_error(concat(
+                  lit(s"rangejoin: interval end '$endC' precedes start " +
+                    s"'$startC' ("), col(pEnd).cast("string"), lit(" < "),
+                  col(pStart).cast("string"),
+                  lit(") — swapped columns in the `right` SELECT?"))))
+              .when(span <= maxBins, sequence(sBin, eBin))
+              .otherwise(raise_error(concat(
                 lit(s"rangejoin: interval spans more than maxBins=$maxBins " +
                   s"bins at binWidth=$w s (span="), span.cast("string"),
                 lit(" bins) — widen binWidth or raise maxBins"))))))

@@ -342,7 +342,10 @@ object TextStages {
       val queryStr = spec.str("query").getOrElse(sys.error("bm25: query required"))
       val qTerms = {
         val raw = queryStr.trim.split("\\s+").filter(_.nonEmpty)
-        (if (lowercase) raw.map(_.toLowerCase) else raw).distinct.sorted.toSeq
+        // Locale.ROOT: Spark's lower() is locale-independent — a default
+        // Turkish locale would dot-map 'I' and the terms would never match
+        (if (lowercase) raw.map(_.toLowerCase(java.util.Locale.ROOT)) else raw)
+          .distinct.sorted.toSeq
       }
       require(qTerms.nonEmpty, "bm25: query produced no terms")
       val k = spec.int("k", 10)

@@ -493,6 +493,29 @@ class EngineSpec extends SparkSpec {
       "loader": { "memory": {} }
     }""")
     assert(dotted.filter(col("i") === 5).head().getAs[Number]("keep").longValue == 5L)
+    // an ARGUMENT naming a LATER parameter must not be re-substituted
+    // (scale(f, 10) with params (x, f): sequential substitution would
+    // corrupt it to ((10)) * (10) + 1 = 101)
+    val capture = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "function scale(x, f) { return x * f + 1; } var f = 3; record.y = scale(f, 10);" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(capture.head().getAs[Number]("y").longValue == 31L)
+    // a for-head / macro name INSIDE a string literal is data and must
+    // not stop the scan from reaching the real loop and the real call
+    val litskip = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "function inc(a) { return a + 1; } record.note = 'for (var i = 0; i < 9; i++) inc(1)'; for (var j = 0; j < 2; j++) { record.real = inc(record.n_nationkey); }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val lrow2 = litskip.filter(col("n_nationkey") === 6).head()
+    assert(lrow2.getAs[String]("note") == "for (var i = 0; i < 9; i++) inc(1)")
+    assert(lrow2.getAs[Number]("real").longValue == 7L)
   }
 
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {

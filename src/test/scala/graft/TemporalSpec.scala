@@ -63,6 +63,18 @@ class TemporalSpec extends SparkSpec {
     assert(out == Seq((1L, Some("old")), (2L, None), (3L, None), (4L, None)))
   }
 
+  test("asofjoin: null keys never match (equi-join semantics)") {
+    val points = Seq((1L, Option("k1"), 10.0), (2L, Option.empty[String], 10.0))
+      .toDF("eid", "k", "t")
+    val right = Seq((Option("k1"), 5.0, "r5"), (Option.empty[String], 5.0, "rnull"))
+      .toDF("k", "t", "v")
+    val out = asof(points, right).orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    // the null-key left row must NOT be filled from the null-key right
+    // row (the window would otherwise group them together)
+    assert(out == Seq((1L, Some("r5")), (2L, None)))
+  }
+
   test("asofjoin: collision and missing-column errors name the problem") {
     val right = Seq(("k1", 5.0, 1.0)).toDF("k", "t", "eid")
     val e = intercept[Exception] { asof(left(), right).collect() }
@@ -116,6 +128,17 @@ class TemporalSpec extends SparkSpec {
     val msgs = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("maxBins"))
+  }
+
+  test("rangejoin: reversed interval (end < start) fails loud, not silent-empty") {
+    val points = Seq((1L, 5.0)).toDF("pid", "t")
+    val intervals = Seq(("w", 100.0, 10.0)).toDF("w", "start", "end")
+    val e = intercept[Exception] {
+      range(points, intervals, "binWidth" -> 10).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("precedes start"), msgs)
   }
 
   test("rangejoin: rightPrefix avoids collisions; unprefixed collision errors") {
