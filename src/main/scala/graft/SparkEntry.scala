@@ -985,6 +985,40 @@ object SparkEntry {
           col("click_id"), col("click_value"), unix_micros(col("click_ts")).as("click_ts_us"))
         .orderBy("event_id")
     },
+    "batch_sessions" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // batch gap-sessionization (12 h gap, same contract as the
+      // streaming sessionize but EVERY session emits — bounded input);
+      // two windows over one keyed sort + one aggregation
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT user_id, ts FROM events"}},
+          {"sessionize": {"keyField": "user_id", "tsField": "ts",
+            "gapMs": 43200000}}],
+        "loader": {"memory": {}} }""")
+        .select(col("key"), unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"), col("n_events"))
+        .orderBy("key", "start_us")
+    },
+    "rolling_window" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-user 24 h trailing activity: event count + cents spend over
+      // the inclusive [t-24h, t] RANGE frame (cents = integer-valued sum,
+      // so the float-accumulation order can't bite the oracle compare)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"rolling": {"keyField": "user_id", "tsField": "ts",
+            "window": 86400, "aggs": ["count", "sum:cents"]}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "rolling_n", "rolling_sum_cents")
+        .orderBy("event_id")
+    },
     "range_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // interval-containment join WITHOUT an equi-key: purchases inside
@@ -1949,6 +1983,21 @@ object SparkEntry {
        "arg_max(value, event_id) AS click_value " +
        "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c " +
        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY event_id"),
+    "batch_sessions" ->
+      ("WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
+       "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1 ELSE 0 END AS ns " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+       "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+       "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+       "SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(min(ts)) AS start_us, " +
+       "epoch_us(max(ts)) AS end_us, count(*) AS n_events FROM s " +
+       "GROUP BY user_id, sid ORDER BY key, start_us"),
+    "rolling_window" ->
+      ("SELECT event_id, count(*) OVER w AS rolling_n, " +
+       "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS rolling_sum_cents " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+       "RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id"),
     "range_join" ->
       ("WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n_in_hour " +
        "FROM events GROUP BY 1 HAVING count(*) >= 20) " +

@@ -90,6 +90,8 @@ object Engine {
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
     "asofjoin"      -> graft.temporal.TemporalStages.asofJoin _,
     "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,
+    "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
+    "rolling"       -> graft.temporal.TemporalStages.rolling _,
   )
 
   // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------

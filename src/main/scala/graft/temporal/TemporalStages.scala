@@ -164,6 +164,78 @@ object TemporalStages {
       filled.select(df.columns.map(col).toSeq ++ attached: _*)
     }
 
+  /** `sessionize` (batch): gap-based sessions per key — the batch twin
+    * of the streaming `sessionize` (graft.streaming.Streaming), over
+    * the same contract: a new session starts when the gap to the
+    * previous event exceeds `gapMs`. Unlike the streaming form there is
+    * no watermark cut-off — EVERY session emits (bounded input).
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `gapMs` (default 30 min). Output: (key, session_start,
+    * session_end, n_events), key cast to string like the streaming
+    * stage. A query stage (replaces the stream with the session table).
+    *
+    * Scale shape: two window passes over ONE key-partitioned sort
+    * (lag → running sum — Spark reuses the exchange and sort between
+    * same-spec windows) + one hash aggregation; state per task is a
+    * row, never a session buffer. Per-key volume bounds the sort task
+    * (as in any keyed sessionization). */
+  def sessionizeBatch(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val gapMs = spec.long("gapMs").getOrElse(30L * 60 * 1000)
+      val micros = epochMicros(df, ts)
+      val w = Window.partitionBy(col(key)).orderBy(micros.asc)
+      val newSess = when(lag(micros, 1).over(w).isNull ||
+        micros - lag(micros, 1).over(w) > gapMs * 1000L, 1L).otherwise(0L)
+      val sid = sum(newSess).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow))
+      df.where(col(ts).isNotNull)
+        .select(col(key).cast("string").as("key"), col(ts).as("__ts"),
+          sid.as("__sid"))
+        .groupBy("key", "__sid")
+        .agg(min("__ts").as("session_start"), max("__ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .drop("__sid")
+    }
+
+  /** `rolling`: per-key event-time rolling aggregates — for every input
+    * row, aggregates over that key's rows in the inclusive time range
+    * `[t - window, t]` (the classic trailing-window feature: activity
+    * counts, trailing spend). Options: `keyField` (default user_id),
+    * `tsField` (default ts), `window` (seconds, required), `aggs`
+    * (["count", "sum:col", "min:col", "max:col"], default count) —
+    * emitted as `rolling_n` / `rolling_sum_col` / …. Floating sums in a
+    * RANGE frame are frame-order accumulations; for oracle-exact
+    * results sum an integer-valued column (the driver query sums
+    * cents).
+    *
+    * Scale shape: ONE shuffle on the key + per-partition sort; the
+    * RANGE frame is a sliding two-pointer over the sorted run (Spark's
+    * bounded-frame window), state = the in-frame rows of one key. */
+  def rolling(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val winSec = spec.str("window").map(_.toDouble)
+        .getOrElse(sys.error("rolling: `window` (seconds) required"))
+      val wMicros = (winSec * 1e6).toLong
+      require(wMicros > 0, "rolling: window must be positive")
+      val w = Window.partitionBy(col(key)).orderBy(epochMicros(df, ts).asc)
+        .rangeBetween(-wMicros, 0)
+      val aggs = spec.strList("aggs") match {
+        case Nil => Seq(count(lit(1)).over(w).as("rolling_n"))
+        case specs => specs.map(_.split(":") match {
+          case Array("count") => count(lit(1)).over(w).as("rolling_n")
+          case Array("sum", f) => sum(col(f)).over(w).as(s"rolling_sum_$f")
+          case Array("min", f) => min(col(f)).over(w).as(s"rolling_min_$f")
+          case Array("max", f) => max(col(f)).over(w).as(s"rolling_max_$f")
+          case other => sys.error(s"rolling: unknown agg ${other.mkString(":")}")
+        })
+      }
+      df.select(df.columns.map(col).toSeq ++ aggs: _*)
+    }
+
   /** `rangejoin`: inner-join input rows (points in time) to the
     * right-side INTERVALS that contain them — point `t` matches
     * interval `[start, end)` (or `[start, end]` with

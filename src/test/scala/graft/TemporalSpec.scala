@@ -85,6 +85,39 @@ class TemporalSpec extends SparkSpec {
     assert(e2.getMessage.contains("nope"))
   }
 
+  test("sessionize batch: gap splits sessions; every session emits") {
+    // key a: events at 0, 10, 100, 105 s with gap 50 s → two sessions;
+    // key b: single event → one singleton session
+    val df = Seq(("a", 0.0), ("a", 10.0), ("a", 100.0), ("a", 105.0),
+      ("b", 7.0)).toDF("user_id", "t")
+    val ctx = newCtx()
+    val out = TemporalStages.sessionizeBatch(ComponentSpec("sessionize",
+      Map("keyField" -> "user_id", "tsField" -> "t", "gapMs" -> 50000)),
+      ctx)(df)
+      .orderBy("key", "session_start")
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("a", 0.0, 10.0, 2L), ("a", 100.0, 105.0, 2L),
+      ("b", 7.0, 7.0, 1L)))
+  }
+
+  test("rolling: inclusive [t-w, t] per-key frame; count and sum") {
+    val df = Seq(("a", 0.0, 1L), ("a", 5.0, 10L), ("a", 10.0, 100L),
+      ("a", 30.0, 1000L), ("b", 10.0, 7L)).toDF("user_id", "t", "v")
+    val ctx = newCtx()
+    val out = TemporalStages.rolling(ComponentSpec("rolling",
+      Map("keyField" -> "user_id", "tsField" -> "t", "window" -> 10,
+        "aggs" -> Seq("count", "sum:v"))), ctx)(df)
+      .orderBy("user_id", "t")
+      .select("user_id", "t", "rolling_n", "rolling_sum_v")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0.0, 1L, 1L),       // only itself
+      ("a", 5.0, 2L, 11L),      // 0 and 5
+      ("a", 10.0, 3L, 111L),    // 0 (inclusive lower bound), 5, 10
+      ("a", 30.0, 1L, 1000L),   // window passed
+      ("b", 10.0, 1L, 7L)))     // keys isolated
+  }
+
   private def range(points: DataFrame, intervals: DataFrame,
                     opts: (String, Any)*): DataFrame = {
     val ctx = newCtx()
