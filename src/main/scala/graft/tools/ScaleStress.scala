@@ -83,6 +83,28 @@ object ScaleStress {
     dir
   }
 
+  /** Deterministic event stream for the temporal-join stress: n events
+    * over 30 days, `n/66`-ish users, alternating purchase/click kinds —
+    * the merge-asof cost driver is the keyed sort, so users scale with
+    * N to keep per-key runs realistic. */
+  private def ensureEvents(spark: SparkSession, n: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
+    if (!marker.exists()) {
+      import spark.implicits._
+      val users = math.max(150L, n / 66)
+      spark.range(n).select(col("id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val r = new scala.util.Random(id * 6364136223846793005L + 11)
+          (id, math.abs(r.nextLong()) % users,
+            r.nextDouble() * 30 * 86400, (id % 2).toInt)
+        })
+        .toDF("eid", "user_id", "t", "kind")
+        .write.mode("overwrite").parquet(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("graft-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,7 +127,29 @@ object ScaleStress {
       val m = 2000L * factor
       val docs = ensureDocs(spark, n, s"/tmp/graft_stress_docs_f$factor")
       val vecs = ensureVecs(spark, m, s"/tmp/graft_stress_vecs_f$factor")
+      val events = ensureEvents(spark, 10000L * factor, s"/tmp/graft_stress_events_f$factor")
+      spark.read.parquet(events).createOrReplaceTempView("stress_events")
+      // semanticdedup: cells must GROW with N (candidates ≈ (nProbe·N)²/k);
+      // k ∝ N keeps per-cell work flat, but the bounded driver trainer is
+      // the documented trade — sample capped, so training stays O(k·cap·dim)
+      val semK = math.max(8L, m / 400).toInt
+      val semTrain = math.min(semK * 40, 20000)
       val ops = Seq(
+        "asof_join" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, t FROM __input WHERE kind = 0"}},
+            {"asofjoin": {"right":
+              "SELECT user_id, t, eid AS click_id FROM stress_events WHERE kind = 1",
+              "on": "user_id", "leftTime": "t"}}],
+          "loader": {"memory": {}} }""",
+        "semantic_dedup" -> s"""{
+          "source": {"file": {"path": "$vecs"}}, "extractor": {"parquet": {}},
+          "transformers": [{"semanticdedup": {"idField": "vec_id",
+            "field": "embedding", "threshold": 0.9, "k": $semK, "nProbe": 2,
+            "lloydIters": 2, "trainRows": $semTrain, "emit": "pairs"}}],
+          "loader": {"memory": {}} }""",
         "minhash_pairs" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [{"minhash": {"idField": "doc_id", "field": "text",
@@ -133,7 +177,12 @@ object ScaleStress {
       ops.foreach { case (name, json) =>
         val t = time2(json)
         results((name, factor)) = t
-        println(f"[stress] $name%-18s factor=$factor%-2d n=${if (name == "cosine_dup") m else n}%-6d min-of-2 = $t%7.2fs")
+        val nDisp = name match {
+          case "cosine_dup" | "semantic_dedup" => m
+          case "asof_join" => 10000L * factor
+          case _ => n
+        }
+        println(f"[stress] $name%-18s factor=$factor%-2d n=$nDisp%-6d min-of-2 = $t%7.2fs")
       }
       if (factor >= 100) {
         // the under-bucketed config must FAIL FAST (density guard), not
