@@ -1047,17 +1047,20 @@ object SparkEntry {
       // windowed aggregation (watermarked) → memory sink, with
       // Trigger.AvailableNow so the run is bounded and deterministic —
       // the streaming plan must produce byte-identical results to the
-      // batch `events_window` oracle. ts is the fixture's
-      // TIMESTAMP(NANOS) read as long (Tables shim) — converted by a
-      // registered code hook before the watermark.
-      Engine.registerCode("nanos_to_ts")(df =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      // batch `events_window` oracle. The stream schema comes from the
+      // fixture's parquet footer (streaming sources don't infer) and the
+      // normalize hook absorbs whatever ts encoding the fixture carries
+      // this generation — sources.Tables is the single authority, after
+      // a hardcoded `ts BIGINT` schema silently compressed the timeline
+      // 1000× when the fixture drifted nanos-long → micros-NTZ (r8).
+      Engine.registerCode("normalize_events_ts")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
-          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
         "transformers": [
-          {"code": {"ref": "nanos_to_ts"}},
+          {"code": {"ref": "normalize_events_ts"}},
           {"window_agg": {"tsField": "ts", "watermark": "1 hour",
             "window": "1 hour", "groupBy": ["event_type"], "aggs": ["count"]}}],
         "loader": {"streamsink": {"format": "memory", "name": "stream_win",
@@ -1073,15 +1076,16 @@ object SparkEntry {
       // gap-based sessionization via flatMapGroupsWithState (custom
       // event-time state) under Trigger.AvailableNow — deterministic on
       // the bounded input; which sessions flush (vs stay in state at
-      // stop) is pinned by the oracle below
-      Engine.registerCode("nanos_to_ts")(df =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      // stop) is pinned by the oracle below. Schema from the fixture
+      // footer + Tables.normalizeTs — see stream_window's note.
+      Engine.registerCode("normalize_events_ts")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
-          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
         "transformers": [
-          {"code": {"ref": "nanos_to_ts"}},
+          {"code": {"ref": "normalize_events_ts"}},
           {"sessionize": {"keyField": "user_id", "tsField": "ts",
                           "gapMs": 43200000, "watermark": "1 second"}}],
         "loader": {"streamsink": {"format": "memory", "name": "stream_sess",
@@ -1596,14 +1600,14 @@ object SparkEntry {
       // Only the KEY columns are emitted: which duplicate row survives
       // is arrival-order-dependent; the key set is deterministic and
       // equals the batch DISTINCT oracle under availableNow.
-      Engine.registerCode("nanos_to_ts")(df =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      Engine.registerCode("normalize_events_ts")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
-          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
         "transformers": [
-          {"code": {"ref": "nanos_to_ts"}},
+          {"code": {"ref": "normalize_events_ts"}},
           {"stream_dedup": {"tsField": "ts", "watermark": "1 hour",
             "keyFields": ["user_id", "event_type"],
             "keepColumns": ["user_id", "event_type"]}}],
@@ -1624,7 +1628,7 @@ object SparkEntry {
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
           "pathGlobFilter": "events.parquet",
-          "schema": "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"}},
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
         "transformers": [
           {"code": {"language": "sql", "code":
             "SELECT e.event_id, e.user_id, c.c_mktsegment AS segment FROM __input e JOIN customer c ON e.user_id = c.c_custkey"}}],

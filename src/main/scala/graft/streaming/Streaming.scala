@@ -24,9 +24,38 @@ object Streaming {
 
   /** Build a streaming scan: `{"stream": {"path", "format", "schema"}}`.
     * `schema` is required (streaming sources don't infer). */
+  /** File-backed stream formats whose `pathGlobFilter` we can pre-check. */
+  private val fileFormats = Set("parquet", "json", "csv", "text", "orc", "avro")
+
+  /** A `pathGlobFilter` that matches NOTHING yields a perfectly healthy
+    * 0-row stream — under Trigger.AvailableNow that is a "successful"
+    * empty result, which is how a red query once shipped without an
+    * error (round 8: `stream_sessions` 0 rows, err: null). An empty
+    * WATCHED directory is a legitimate wait-for-files pattern, but a
+    * glob over existing files that selects none of them is a config
+    * typo — fail it at build time. */
+  private def requireGlobMatches(ctx: EtlContext, path: String, glob: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      sys.error(s"stream source: path '$path' does not exist")
+    val filter = new org.apache.hadoop.fs.GlobFilter(glob)
+    // leaf-file names at any depth, matching the source's semantics;
+    // stop at the first hit so the pre-check never pays a full listing
+    val it = fs.listFiles(root, true)
+    var matched = false
+    while (!matched && it.hasNext) matched = filter.accept(it.next().getPath)
+    if (!matched)
+      sys.error(s"stream source: pathGlobFilter '$glob' matches no file " +
+        s"under '$path' — a 0-row stream would look like a successful " +
+        "query; fix the glob (or drop it to watch the directory)")
+  }
+
   def readStream(ctx: EtlContext, spec: ComponentSpec): DataFrame = {
     val path = spec.str("path").getOrElse(sys.error("stream source: path required"))
     val format = spec.strOr("format", "parquet")
+    if (fileFormats(format))
+      spec.str("pathGlobFilter").foreach(requireGlobMatches(ctx, path, _))
     val r = ctx.spark.readStream.format(format)
     val withSchema = spec.str("schema") match {
       case Some(ddl) => r.schema(StructType.fromDDL(ddl))

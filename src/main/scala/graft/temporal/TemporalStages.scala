@@ -6,7 +6,7 @@ import graft.stages.Stages
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, TimestampType}
+import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
 
 /** Temporal join operators — the event-time companions to the lookup
   * family (SURVEY.md §2.3's `link`/`merge` joins resolve by KEY; these
@@ -26,12 +26,15 @@ import org.apache.spark.sql.types.{NumericType, TimestampType}
   */
 object TemporalStages {
 
-  /** Epoch micros as a LONG column for either a native timestamp or a
-    * numeric (epoch-seconds) time column — all internal comparisons run
-    * in integral micros, so tolerance/bin arithmetic is exact. */
+  /** Epoch micros as a LONG column for a native timestamp (LTZ or NTZ —
+    * the fixture's encoding drifts, graft.sources.Tables is the
+    * authority) or a numeric (epoch-seconds) time column — all internal
+    * comparisons run in integral micros, so tolerance/bin arithmetic is
+    * exact. */
   private def epochMicros(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c))
+      case TimestampType | TimestampNTZType =>
+        graft.sources.Tables.epochMicrosOf(df, c)
       // round, don't truncating-cast: seconds·1e6 lands just below the
       // integer for many exact-micro decimals (19.999999·1e6 =
       // 19999998.999…) and the cast would shave a microsecond off —
@@ -156,8 +159,12 @@ object TemporalStages {
         when(col("__ok"), col(s"__match.$c")).as(c)) ++
         matchedTime.map { mt =>
           val micros = when(col("__ok"), col("__match.__rts"))
+          // re-materialize in the INPUT's type (NTZ in → NTZ out), so a
+          // downstream oracle's schema compare sees what it fed in
           (right.schema(rt).dataType match {
             case TimestampType => timestamp_micros(micros)
+            case TimestampNTZType => graft.sources.Tables.instantToNtz(
+              timestamp_micros(micros), df.sparkSession)
             case _ => (micros.cast("double") / 1e6)
           }).as(mt)
         }

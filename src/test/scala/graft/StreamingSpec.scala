@@ -137,4 +137,29 @@ class StreamingSpec extends SparkSpec {
       assert(out.count() == 3)
     } finally q2.stop()
   }
+
+  test("stream source: a pathGlobFilter matching zero files fails loud at build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyglob").toString
+    spark.range(3).write.mode("overwrite").parquet(s"$dir/data.parquet")
+    // positive control: a matching glob builds fine
+    Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+      "path" -> dir, "format" -> "parquet",
+      "pathGlobFilter" -> "*.parquet",
+      "schema" -> "id BIGINT")))
+    // a glob selecting none of the existing files is a config typo, not
+    // an empty stream — round 8 shipped a 0-row "success" this way
+    val e = intercept[RuntimeException] {
+      Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+        "path" -> dir, "format" -> "parquet",
+        "pathGlobFilter" -> "events.parquet",
+        "schema" -> "id BIGINT")))
+    }
+    assert(e.getMessage.contains("matches no file"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+        "path" -> s"$dir/nope", "format" -> "parquet",
+        "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+  }
 }

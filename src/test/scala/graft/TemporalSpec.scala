@@ -185,4 +185,72 @@ class TemporalSpec extends SparkSpec {
     assert(ok.columns.toSeq == Seq("w", "t", "iv_w", "iv_start", "iv_end"))
     assert(ok.count() == 1)
   }
+
+  // The fixture's on-disk ts encoding has drifted once (TIMESTAMP(NANOS)
+  // int64 → timestamp[us] NTZ, round 8) and will drift again. All three
+  // encodings the contract covers must flow through the temporal stages
+  // and land on the SAME timeline — sources.Tables is the one authority.
+  test("events-ts contract: nanos-long / micros-NTZ / micros-LTZ all land on one timeline") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val base = Seq((1L, "k1", 10000000L), (2L, "k1", 3600000123L),
+      (3L, "k2", 7200500000L))
+    val ltz = base.toDF("eid", "k", "us")
+      .select(col("eid"), col("k"), timestamp_micros(col("us")).as("t"))
+    val ntz = ltz.withColumn("t", col("t").cast(TimestampNTZType))
+    val nanos = base.toDF("eid", "k", "us")
+      .select(col("eid"), col("k"), expr("us * 1000").as("t"))
+    for ((df, enc) <- Seq((ltz, "ltz"), (ntz, "ntz"), (nanos, "nanos"))) {
+      val norm = Tables.normalizeTs(df, "t")
+      assert(norm.schema("t").dataType == TimestampType, enc)
+      val got = norm.select(col("eid"), unix_micros(col("t")))
+        .as[(Long, Long)].collect().toMap
+      base.foreach { case (eid, _, us) => assert(got(eid) == us, s"$enc eid=$eid") }
+    }
+  }
+
+  test("asofjoin accepts NTZ natively and matchedTimeField round-trips the NTZ type") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    def enc(df: DataFrame, to: Option[org.apache.spark.sql.types.DataType]): DataFrame =
+      to match {
+        case Some(t) => df.withColumn("t", timestamp_micros((col("t") * 1000000).cast("long")).cast(t))
+        case None => df
+      }
+    val right = Seq(("k1", 10.0, "r10"), ("k1", 20.0, "r20"), ("k2", 99.0, "r99"))
+      .toDF("k", "t", "v")
+    // reference run on numeric-seconds time
+    val ref = asof(left(), right, "matchedTimeField" -> "mt").orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    for (t <- Seq(org.apache.spark.sql.types.TimestampType, TimestampNTZType)) {
+      val out = asof(enc(left(), Some(t)), enc(right, Some(t)),
+        "matchedTimeField" -> "mt")
+      assert(out.schema("mt").dataType == t, s"matchedTimeField must be $t")
+      val got = out.orderBy("eid")
+        .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+      assert(got == ref, s"encoding $t disagrees with numeric reference")
+    }
+  }
+
+  test("sessionize + rolling accept NTZ natively, same sessions as LTZ") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ctx = newCtx()
+    val evs = Seq(("u1", 0L), ("u1", 600L), ("u1", 4000L), ("u2", 100L))
+      .toDF("user_id", "s")
+    def run(t: org.apache.spark.sql.types.DataType): Seq[(String, Long, Long, Long)] = {
+      val df = evs.select(col("user_id"),
+        timestamp_micros((col("s") * 1000000).cast("long")).cast(t).as("ts"))
+      TemporalStages.sessionizeBatch(ComponentSpec("sessionize",
+        Map("gapMs" -> 1800000)), ctx)(df)
+        .select(col("key"), unix_micros(col("session_start").cast(TimestampType)),
+          unix_micros(col("session_end").cast(TimestampType)), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    }
+    assert(run(TimestampNTZType) == run(TimestampType))
+    val rolled = TemporalStages.rolling(ComponentSpec("rolling",
+      Map("keyField" -> "user_id", "tsField" -> "ts", "window" -> 1000)), ctx)(
+      evs.select(col("user_id"),
+        timestamp_micros((col("s") * 1000000).cast("long"))
+          .cast(TimestampNTZType).as("ts")))
+    assert(rolled.where(col("rolling_n") === 2).count() == 1) // u1@600 sees u1@0
+  }
 }
