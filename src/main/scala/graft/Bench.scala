@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * anchor is re-run ONCE, in-process, and the MIN of the two runs is
   * reported — a steal episode cannot silently corrupt the graded
   * artifact, while a genuine plan regression reproduces on the re-run
-  * and stays visible. The JSON line carries both the defended per-query
-  * numbers (`queries`, `value`) and the raw first-pass data
-  * (`raw_total`, `reruns`) so the two are always distinguishable.
+  * and stays visible. The JSON line carries the defended total, the
+  * slowest per-query numbers (byte-budgeted — the artifact is a tail
+  * capture), raw first-pass total and rerun/warning COUNTS; the full
+  * per-query map and detail land in the `BENCH_DETAIL.json` sidecar.
   */
 object Bench {
 
@@ -186,13 +187,53 @@ object Bench {
     def fmtMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val qs = fmtMap(defended.map(d => (d._1, d._2)))
-    val reruns = fmtMap(defended.collect { case (n, _, Some(r)) => (n, r) })
+    val allQs = defended.map(d => (d._1, d._2))
+    val reruns = defended.collect { case (n, _, Some(r)) => (n, r) }
     val total = defended.map(_._2).sum
     val rawTotal = raw.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""raw_total":$rawTotal,"reruns":$reruns,""" +
-      s""""anchor_warnings":${fmtMap(warnings)},"sf":"$sfDir"}""")
+    // The graded artifact is a TAIL capture of stdout (~2000 chars, and
+    // sbt appends a "[success]" line after ours): a JSON line carrying
+    // all ~106 per-query entries exceeds it, truncating the line's HEAD
+    // and leaving the driver nothing parseable (rounds 7–8 shipped
+    // "parsed": null). Inline only the SLOWEST queries up to a byte
+    // budget — they carry the plan-cost signal — plus counts; the full
+    // per-query map, rerun and warning detail go to a repo sidecar.
+    val InlineBudget = 1400
+    val inline = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var used = 2
+      for (e <- allQs.sortBy(-_._2)) {
+        val len = e._1.length + 11 // "name":12.345,
+        if (used + len <= InlineBudget) { buf += e; used += len }
+      }
+      buf.sortBy(_._1).toSeq
+    }
+    locally {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      root.put("sf", sfKey(sfDir))
+      root.put("total", math.rint(total * 1000) / 1000)
+      root.put("raw_total", math.rint(rawTotal * 1000) / 1000)
+      def putMap(name: String, entries: Seq[(String, Double)]): Unit = {
+        val n = m.createObjectNode()
+        entries.sortBy(_._1).foreach { case (k, v) =>
+          n.put(k, math.rint(v * 1000) / 1000) }
+        root.set(name, n)
+      }
+      putMap("queries", allQs)
+      putMap("reruns_first_pass", reruns)
+      putMap("anchor_warnings", warnings)
+      try m.writerWithDefaultPrettyPrinter()
+        .writeValue(new java.io.File("BENCH_DETAIL.json"), root)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write detail sidecar: ${e.getMessage}") }
+    }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":${fmtMap(inline)},""" +
+      s""""n_queries":${allQs.size},"n_inline":${inline.size},""" +
+      s""""raw_total":${f"$rawTotal%.3f"},"reruns":${reruns.size},""" +
+      s""""anchor_warnings":${warnings.size},""" +
+      s""""detail":"BENCH_DETAIL.json","sf":"${sfKey(sfDir)}"}""")
     spark.stop()
   }
 }
