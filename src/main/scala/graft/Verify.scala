@@ -21,7 +21,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      // fixture `events.ts` is parquet TIMESTAMP(NANOS) — see sources.Tables
+      // events.ts encoding drifts between fixture generations — see
+      // sources.Tables (this flag covers the legacy nanos-int64 one)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,6 +34,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // still dump a one-row error marker: a query that crashes at
+        // plan time must surface as a RED row in the driver's compare,
+        // not vanish from it (round 8's four temporal crashes were
+        // ABSENT from CORRECTNESS, which read better than they were)
+        try {
+          import spark.implicits._
+          Seq(("__VERIFY_FAILED__", name, String.valueOf(e.getMessage)))
+            .toDF("error", "query", "message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

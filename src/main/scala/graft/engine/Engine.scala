@@ -272,7 +272,8 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      // fixture `events.ts` is parquet TIMESTAMP(NANOS) — see sources.Tables
+      // events.ts encoding drifts between fixture generations — see
+      // sources.Tables (this flag covers the legacy nanos-int64 one)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER"))
       .orElse(Some(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))

@@ -335,6 +335,15 @@ object LookupStages {
           .limit(cap + 1).collect()
         require(tuples.length <= cap,
           s"etl: more than $cap distinct parameter tuples — bound the parent or raise maxParameterTuples")
+        // raising the cap is allowed but not free: every tuple becomes a
+        // full child PLAN in one union — plan build and optimization are
+        // O(tuples), driver-side. Past ~500 that's minutes of Catalyst
+        // time; the scalable shape is a join on the parameter key.
+        if (tuples.length > 500)
+          System.err.println(s"[etl] ${tuples.length} parameter tuples → " +
+            s"${tuples.length} unioned child plans; plan build is " +
+            "O(tuples) on the driver — consider remodeling the parameter " +
+            "as a join key instead of raising maxParameterTuples further")
         val children = tuples.toSeq.map { row =>
           val childCtx = new EtlContext(ctx.spark)
           ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
