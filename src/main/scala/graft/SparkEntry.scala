@@ -985,6 +985,80 @@ object SparkEntry {
           col("click_id"), col("click_value"), unix_micros(col("click_ts")).as("click_ts_us"))
         .orderBy("event_id")
     },
+    "asof_join_forward" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // forward as-of: each purchase joined to the user's EARLIEST click
+      // at-or-after it — the same one-shuffle merge scanned in reverse
+      // time order (pandas merge_asof direction='forward')
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'"}},
+          {"asofjoin": {"right":
+            "SELECT user_id, ts, max(event_id) AS click_id, max_by(value, event_id) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts",
+            "on": "user_id", "leftTime": "ts", "direction": "forward",
+            "matchedTimeField": "click_ts"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), col("click_value"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("event_id")
+    },
+    "asof_join_nearest" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // nearest as-of with a 10-minute tolerance: closer of the
+      // latest-before / earliest-after click (tie → backward); both
+      // scans share ONE keyed exchange (two in-partition sorts)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'"}},
+          {"asofjoin": {"right":
+            "SELECT user_id, ts, max(event_id) AS click_id, max_by(value, event_id) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts",
+            "on": "user_id", "leftTime": "ts", "direction": "nearest",
+            "tolerance": 600, "matchedTimeField": "click_ts"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), col("click_value"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("event_id")
+    },
+    "stream_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // stream-STREAM join: the purchases stream joined to the clicks
+      // stream on user_id within a 15-minute look-back band. Watermarks
+      // on BOTH sides + the band condition in the join bound the state
+      // store (Spark evicts rows past watermark+band), so the shape
+      // runs indefinitely at scale; under availableNow on the bounded
+      // fixture the result equals the batch band-join oracle.
+      Engine.registerCode("normalize_events_ts")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
+        "transformers": [
+          {"code": {"ref": "normalize_events_ts"}},
+          {"code": {"language": "sql", "code":
+            "SELECT event_id, ts, user_id FROM __input WHERE event_type = 'purchase'"}},
+          {"stream_join": {
+            "right": {"path": "$dir", "format": "parquet",
+              "pathGlobFilter": "events.parquet",
+              "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"},
+            "rightWhere": "event_type = 'click'",
+            "on": "user_id", "leftTime": "ts",
+            "before": 7200, "after": 0, "watermark": "3 hours",
+            "select": ["event_id:click_id"]}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_jn",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_jn")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"))
+        .orderBy("event_id", "click_id")
+    },
     "batch_sessions" -> { (s, dir) =>
       val c = ctx(s, dir)
       // batch gap-sessionization (12 h gap, same contract as the
@@ -1987,6 +2061,33 @@ object SparkEntry {
        "arg_max(value, event_id) AS click_value " +
        "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c " +
        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY event_id"),
+    // DuckDB's ASOF is backward-only; forward/nearest oracles use a
+    // correlated LATERAL top-1 over the same tie-pre-aggregated right
+    "asof_join_forward" ->
+      ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, " +
+       "c.click_id, c.click_value, c.click_ts_us " +
+       "FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p " +
+       "LEFT JOIN LATERAL (SELECT r.click_id, r.click_value, epoch_us(r.ts) AS click_ts_us " +
+       "FROM (SELECT user_id, ts, max(event_id) AS click_id, arg_max(value, event_id) AS click_value " +
+       "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) r " +
+       "WHERE r.user_id = p.user_id AND r.ts >= p.ts " +
+       "ORDER BY r.ts LIMIT 1) c ON true ORDER BY event_id"),
+    // nearest: tie at equal distance prefers the earlier (backward) row
+    // — ORDER BY (abs distance, ts) pins the same choice
+    "asof_join_nearest" ->
+      ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, " +
+       "c.click_id, c.click_value, c.click_ts_us " +
+       "FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p " +
+       "LEFT JOIN LATERAL (SELECT r.click_id, r.click_value, epoch_us(r.ts) AS click_ts_us " +
+       "FROM (SELECT user_id, ts, max(event_id) AS click_id, arg_max(value, event_id) AS click_value " +
+       "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) r " +
+       "WHERE r.user_id = p.user_id AND abs(epoch_us(r.ts) - epoch_us(p.ts)) <= 600000000 " +
+       "ORDER BY abs(epoch_us(r.ts) - epoch_us(p.ts)), r.ts LIMIT 1) c ON true ORDER BY event_id"),
+    "stream_join" ->
+      ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.event_id AS click_id " +
+       "FROM events p JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' " +
+       "AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts " +
+       "WHERE p.event_type = 'purchase' ORDER BY p.event_id, click_id"),
     "batch_sessions" ->
       ("WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1 ELSE 0 END AS ns " +

@@ -14,11 +14,14 @@ import org.apache.spark.sql.types.StructType
   * Design: the batch transformers are `DataFrame => DataFrame`, and most
   * are stream-safe as-is (field/rename/json/flow-skip/csv/textstats/
   * langid/fingerprint/mm_*…), so a streaming pipeline reuses the SAME
-  * registry — `readStream` in, `writeStream` out, with two
+  * registry — `readStream` in, `writeStream` out, with the
   * streaming-specific stages:
   *  - `window_agg`: event-time windowed aggregation with a watermark;
   *  - `sessionize`: gap-based sessions via `flatMapGroupsWithState`
-  *    (custom state — the operator Spark's built-ins can't express).
+  *    (custom state — the operator Spark's built-ins can't express);
+  *  - `stream_dedup`: exact dedup with watermark-bounded state;
+  *  - `stream_join`: stream-stream equi-join over an event-time band
+  *    (watermarks + the band condition bound the join state store).
   */
 object Streaming {
 
@@ -212,6 +215,89 @@ object Streaming {
     kept.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
   }
 
+  /** `stream_join`: stream-STREAM equi-join with an event-time band —
+    * the two-stream operator (the `code` sql stage already covers
+    * stream-STATIC joins). The right side is its own stream source
+    * spec; both sides carry watermarks and the join condition includes
+    * the time band, which is exactly what Spark needs to BOUND the
+    * join state store — rows older than watermark+band are evicted, so
+    * the query runs indefinitely.
+    *
+    * Options:
+    *  - `right` (required): nested stream source map (same options as
+    *    the `stream` source: path/format/schema/pathGlobFilter/…).
+    *  - `rightWhere` (optional): SQL predicate pre-filtering the right
+    *    stream (pushed before the watermark/state).
+    *  - `on` (required): comma-separated equi-key column(s).
+    *  - `leftTime` (default `ts`) / `rightTime` (default = leftTime);
+    *    the right time column is normalized via the sources.Tables
+    *    encoding contract (idempotent for proper timestamps).
+    *  - `before` / `after` (seconds, default 0/0): right time must lie
+    *    in `[leftTime - before, leftTime + after]` (inclusive).
+    *  - `watermark` (left, default "10 minutes") / `rightWatermark`
+    *    (default = watermark).
+    *  - `select` (required): right columns to attach, each `col` or
+    *    `col:alias` — an explicit projection so only the state the
+    *    query needs crosses the exchange into the store.
+    *  - `joinType` (default `inner`; `left_outer` allowed — Spark emits
+    *    the null-padded rows once the watermark passes the band).
+    *
+    * Scale shape: ONE keyed exchange per side into a streaming
+    * symmetric hash join; state per key is bounded by the band ×
+    * arrival rate (watermark eviction), and the pre-state projection
+    * keeps stored rows narrow. */
+  def streamJoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val rightMap = spec.options.get("right") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => sys.error("stream_join: `right` (nested stream source map) required")
+    }
+    val keys = spec.str("on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(sys.error("stream_join: `on` (comma-separated key columns) required"))
+    val lt = spec.strOr("leftTime", "ts")
+    val rt = spec.strOr("rightTime", lt)
+    val beforeMicros = (spec.str("before").map(_.toDouble).getOrElse(0.0) * 1e6).toLong
+    val afterMicros = (spec.str("after").map(_.toDouble).getOrElse(0.0) * 1e6).toLong
+    require(beforeMicros >= 0 && afterMicros >= 0,
+      "stream_join: before/after must be non-negative seconds")
+    val lwm = spec.strOr("watermark", "10 minutes")
+    val rwm = spec.strOr("rightWatermark", lwm)
+    val selPairs = spec.strList("select").map(_.split(":") match {
+      case Array(c) => (c, c)
+      case Array(c, a) => (c, a)
+      case other => sys.error(s"stream_join: bad select entry '${other.mkString(":")}'")
+    })
+    require(selPairs.nonEmpty, "stream_join: `select` (right columns to attach) required")
+
+    var right = readStream(ctx, ComponentSpec("stream", rightMap))
+    spec.str("rightWhere").foreach(w => right = right.where(expr(w)))
+    right = graft.sources.Tables.normalizeTs(right, rt)
+    keys.foreach { k =>
+      require(df.columns.contains(k), s"stream_join: left side lacks key column '$k'")
+      require(right.columns.contains(k), s"stream_join: right side lacks key column '$k'")
+    }
+    require(df.columns.contains(lt), s"stream_join: left side lacks time column '$lt'")
+    require(right.columns.contains(rt), s"stream_join: right side lacks time column '$rt'")
+    selPairs.foreach { case (c, a) =>
+      require(right.columns.contains(c), s"stream_join: right side lacks selected column '$c'")
+      require(!df.columns.contains(a), s"stream_join: attached column '$a' " +
+        "collides with a left column — alias it (`col:alias`)")
+    }
+    // project BEFORE the watermark/state, prefix right columns so the
+    // join condition is unambiguous
+    val rr = right.select(
+      (keys.map(k => col(k).as(s"__r_$k")) :+ col(rt).as("__r_ts")) ++
+        selPairs.map { case (c, a) => col(c).as(a) }: _*)
+      .withWatermark("__r_ts", rwm)
+    val ll = df.withWatermark(lt, lwm)
+    val cond = (keys.map(k => ll(k) === rr(s"__r_$k")) ++ Seq(
+      rr("__r_ts") >= ll(lt) - expr(s"INTERVAL $beforeMicros MICROSECOND"),
+      rr("__r_ts") <= ll(lt) + expr(s"INTERVAL $afterMicros MICROSECOND")))
+      .reduce(_ && _)
+    ll.join(rr, cond, spec.strOr("joinType", "inner"))
+      .drop((keys.map(k => s"__r_$k") :+ "__r_ts"): _*)
+  }
+
   /** Run a streaming pipeline spec: `stream` source → registered
     * transformers (+ the streaming stages) → `streamsink` loader.
     * Returns the started query; callers manage its lifecycle. */
@@ -224,6 +310,7 @@ object Streaming {
         case "window_agg" => windowAgg(t, ctx)
         case "sessionize" => sessionize(t, ctx)
         case "stream_dedup" => streamDedup(t, ctx)
+        case "stream_join" => streamJoin(t, ctx)
         case other => Engine.transformers.getOrElse(other,
           sys.error(s"unknown transformer $other"))(t, ctx)
       }

@@ -60,8 +60,12 @@ object TemporalStages {
     *    with left columns — alias them in the `right` SELECT.
     *  - `strict` (default false): exclude right rows at exactly the
     *    left time.
-    *  - `tolerance` (optional, seconds): a match older than this is
-    *    discarded (attached columns stay null).
+    *  - `direction` (default `backward`): `backward` = latest right
+    *    at-or-before (the classic as-of); `forward` = earliest right
+    *    at-or-after; `nearest` = whichever of the two is closer in
+    *    time (tie → backward) — the pandas `merge_asof` direction set.
+    *  - `tolerance` (optional, seconds): a match farther than this in
+    *    the join direction is discarded (attached columns stay null).
     *  - `matchedTimeField` (optional): also emit the matched right
     *    row's time under this name.
     *
@@ -114,10 +118,19 @@ object TemporalStages {
       val rightOrder = spec.str("rightOrder")
       rightOrder.foreach(c => require(right.columns.contains(c),
         s"asofjoin: right side lacks rightOrder column '$c'"))
+      // `direction` (default backward, the classic as-of): backward =
+      // latest right at-or-before; forward = earliest right at-or-after;
+      // nearest = the closer of the two (tie → backward). Forward is the
+      // same merge scanned in reverse time order; nearest evaluates both
+      // scans over ONE keyed exchange (two sorts, no extra shuffle).
+      val direction = spec.strOr("direction", "backward")
+      require(Set("backward", "forward", "nearest")(direction),
+        s"asofjoin: direction must be backward|forward|nearest, got '$direction'")
 
       // side tags order equal-time rows: inclusive (default) sorts right
       // BEFORE left so a left row sees the same-instant right row;
-      // strict sorts it AFTER so it doesn't
+      // strict sorts it AFTER so it doesn't (same tag order in both scan
+      // directions — the tag is a secondary asc key)
       val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
       // right values travel as ONE struct: `last(ignoreNulls)` then
       // fills from the newest right ROW atomically — a right row whose
@@ -139,22 +152,50 @@ object TemporalStages {
           rStruct.as("__rv")) ++
           rightOrder.map(c => col(c).as("__rord")): _*)
       val unioned = lPart.unionByName(rPart, allowMissingColumns = true)
-      val ord = Seq(col("__ats").asc_nulls_first, col("__tag").asc) ++
-        rightOrder.map(_ => col("__rord").asc_nulls_first)
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val filled0 = unioned.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      // a left row with null time sorts into the nulls-first prefix,
-      // where only other null-time rows precede it → no right match can
-      // have been seen; enforce anyway for clarity
-      val withinTol = tolMicros match {
-        case None => col("__match").isNotNull && col("__ats").isNotNull
-        case Some(tol) => col("__match").isNotNull && col("__ats").isNotNull &&
-          (col("__ats") - col("__match.__rts") <= tol)
+      // one running-fill scan; `descTime` reverses the time order, which
+      // turns "latest at-or-before" into "earliest at-or-after". A left
+      // row with null time sorts into the nulls-first prefix either way,
+      // where only other null-time rows precede it → no match possible.
+      def fill(descTime: Boolean): Column = {
+        val timeOrd =
+          if (descTime) col("__ats").desc_nulls_first else col("__ats").asc_nulls_first
+        val ord = Seq(timeOrd, col("__tag").asc) ++
+          rightOrder.map(_ => col("__rord").asc_nulls_first)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last(col("__rv"), ignoreNulls = true).over(w)
       }
-      val filled = filled0
-        .withColumn("__ok", withinTol)
-        .where(col("__tag") === leftTag)
+      // signed gap is non-negative by construction in each direction
+      def okOf(m: Column, gap: Column => Column): Column = tolMicros match {
+        case None => m.isNotNull && col("__ats").isNotNull
+        case Some(tol) => m.isNotNull && col("__ats").isNotNull && (gap(m) <= tol)
+      }
+      def lagOf(m: Column): Column = col("__ats") - m.getField("__rts")
+      def leadOf(m: Column): Column = m.getField("__rts") - col("__ats")
+      val filled0 = direction match {
+        case "backward" =>
+          val m = fill(descTime = false)
+          unioned.withColumn("__match", m)
+            .withColumn("__ok", okOf(col("__match"), lagOf))
+        case "forward" =>
+          val m = fill(descTime = true)
+          unioned.withColumn("__match", m)
+            .withColumn("__ok", okOf(col("__match"), leadOf))
+        case "nearest" =>
+          val both = unioned
+            .withColumn("__mb", fill(descTime = false))
+            .withColumn("__mf", fill(descTime = true))
+            .withColumn("__okb", okOf(col("__mb"), lagOf))
+            .withColumn("__okf", okOf(col("__mf"), leadOf))
+          both.withColumn("__match",
+              when(col("__okb") && col("__okf"),
+                when(lagOf(col("__mb")) <= leadOf(col("__mf")), col("__mb"))
+                  .otherwise(col("__mf")))
+                .when(col("__okb"), col("__mb"))
+                .when(col("__okf"), col("__mf")))
+            .withColumn("__ok", col("__okb") || col("__okf"))
+      }
+      val filled = filled0.where(col("__tag") === leftTag)
       val attached = valCols.map(c =>
         when(col("__ok"), col(s"__match.$c")).as(c)) ++
         matchedTime.map { mt =>

@@ -333,6 +333,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"no join node expected:\n$plan")
   }
 
+  test("asofjoin nearest: both scan directions share ONE keyed exchange") {
+    val ctx = newCtx()
+    ctx.table("events").createOrReplaceTempView("events")
+    val out = graft.temporal.TemporalStages.asofJoin(
+      graft.spec.ComponentSpec("asofjoin", Map(
+        "right" -> ("SELECT user_id, ts, event_id AS rid FROM events " +
+          "WHERE event_type = 'click'"),
+        "on" -> "user_id", "leftTime" -> "ts", "direction" -> "nearest")),
+      ctx)(ctx.table("events").where(col("event_type") === "purchase"))
+    val plan = planOf(out)
+    // backward + forward fills are two same-partitioning windows: Spark
+    // reuses the exchange and only re-sorts within partitions
+    assert(exchanges(plan) == 1,
+      s"nearest must not add a second shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"no join node expected:\n$plan")
+  }
+
   test("rangejoin keyless bin path: equi-join, never a nested-loop cartesian") {
     val ctx = newCtx()
     ctx.table("events").createOrReplaceTempView("events")

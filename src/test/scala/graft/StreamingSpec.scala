@@ -138,6 +138,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_join: stream-stream band join equals the batch join; state bounded by watermark+band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjoin").toString
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // left: orders (key, ts); right: clicks (key, ts, cid)
+    // two separate watched DIRECTORIES (a glob naming the parquet dir
+    // would match nothing — pathGlobFilter applies to leaf file names,
+    // which is exactly what the empty-glob guard protects against)
+    Seq((1L, t(10), "o1"), (1L, t(30), "o2"), (2L, t(10), "o3"))
+      .toDF("user_id", "ts", "oid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    Seq((1L, t(5), 100L), (1L, t(9), 101L), (1L, t(25), 102L), (2L, t(50), 103L))
+      .toDF("user_id", "ts", "cid")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val ctx = newCtx()
+    val leftStream = Streaming.readStream(ctx, ComponentSpec("stream", Map(
+      "path" -> s"$dir/left", "format" -> "parquet",
+      "schema" -> "user_id BIGINT, ts TIMESTAMP, oid STRING")))
+    val joined = Streaming.streamJoin(ComponentSpec("stream_join", Map(
+      "right" -> Map("path" -> s"$dir/right", "format" -> "parquet",
+        "schema" -> "user_id BIGINT, ts TIMESTAMP, cid BIGINT"),
+      "on" -> "user_id", "leftTime" -> "ts",
+      "before" -> 600, "after" -> 0, "watermark" -> "10 minutes",
+      "select" -> Seq("cid"))), ctx)(leftStream)
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val rows = spark.table("sjoin").select("oid", "cid")
+        .as[(String, Long)].collect().toSet
+      // o1@10: clicks in [10:00,10:10] for u1 → 100(10:05), 101(10:09);
+      // o2@30: [10:20,10:30] → 102(10:25); o3(u2)@10: none (u2 click@50)
+      assert(rows == Set(("o1", 100L), ("o1", 101L), ("o2", 102L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("stream source: a pathGlobFilter matching zero files fails loud at build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyglob").toString
     spark.range(3).write.mode("overwrite").parquet(s"$dir/data.parquet")

@@ -186,6 +186,33 @@ class TemporalSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("asofjoin directions: forward picks at-or-after; nearest picks the closer, tie → backward") {
+    val right = Seq(("k1", 8.0, "r8"), ("k1", 21.0, "r21"), ("k1", 30.0, "r30"))
+      .toDF("k", "t", "v")
+    // left (k1): t=10, 20, 25; k2: t=15 (no right rows)
+    val fwd = asof(left(), right, "direction" -> "forward").orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    // 10 → r21 (earliest ≥ 10), 20 → r21, 25 → r30, k2 → none
+    assert(fwd == Seq((1L, Some("r21")), (2L, Some("r21")), (3L, Some("r30")),
+      (4L, None)))
+    val near = asof(left(), right, "direction" -> "nearest").orderBy("eid")
+      .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    // 10: |10-8|=2 < |21-10|=11 → r8; 20: |20-21|=1 < |20-8| → r21;
+    // 25: |25-21|=4 < |30-25|=5 → r21
+    assert(near == Seq((1L, Some("r8")), (2L, Some("r21")), (3L, Some("r21")),
+      (4L, None)))
+    // tie: left at 14.5 is 6.5 from both r8 and r21 → backward (r8)
+    val tied = asof(Seq((9L, "k1", 14.5)).toDF("eid", "k", "t"), right,
+      "direction" -> "nearest")
+      .select("v").as[Option[String]].collect().toSeq
+    assert(tied == Seq(Some("r8")))
+    // forward tolerance measures the LEAD: 10 → r21 lead 11 > 5 → null;
+    // 25 → r30 lead 5 ≤ 5 → kept (inclusive bound)
+    val fwdTol = asof(left(), right, "direction" -> "forward", "tolerance" -> 5)
+      .orderBy("eid").select("eid", "v").as[(Long, Option[String])].collect().toSeq
+    assert(fwdTol == Seq((1L, None), (2L, Some("r21")), (3L, Some("r30")), (4L, None)))
+  }
+
   // The fixture's on-disk ts encoding has drifted once (TIMESTAMP(NANOS)
   // int64 → timestamp[us] NTZ, round 8) and will drift again. All three
   // encodings the contract covers must flow through the temporal stages
