@@ -1037,7 +1037,7 @@ object SparkEntry {
         graft.sources.Tables.normalizeTs(df, "ts"))
       val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
         "source": {"stream": {"path": "$dir", "format": "parquet",
-          "pathGlobFilter": "events.parquet",
+          "pathGlobFilter": "events.parquet", "shufflePartitions": 8,
           "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
         "transformers": [
           {"code": {"ref": "normalize_events_ts"}},

@@ -67,7 +67,7 @@ object Streaming {
     // remaining string options pass through to the source (e.g.
     // maxFilesPerTrigger, pathGlobFilter — file sources take a
     // DIRECTORY; a single-file input is selected with a glob filter)
-    val handled = Set("path", "format", "schema")
+    val handled = Set("path", "format", "schema", "shufflePartitions")
     spec.options.foldLeft(withSchema) {
       case (w, (k, v: String)) if !handled(k) => w.option(k, v)
       case (w, (k, v: Int)) if !handled(k) => w.option(k, v.toString)
@@ -304,6 +304,26 @@ object Streaming {
   def run(ctx: EtlContext, spec: PipelineSpec): StreamingQuery = {
     val src = spec.source.getOrElse(sys.error("streaming: source required"))
     require(src.name == "stream", "streaming: source must be {stream: {...}}")
+    // `shufflePartitions` (stream source option): stateful operators
+    // create one state store per shuffle partition, each paying its own
+    // checkpoint commit per micro-batch — the partition count should
+    // track STATE VOLUME, not the session's batch default (32 stores
+    // for a few-hundred-k-row join state is mostly commit overhead; a
+    // 100 TB deployment raises it instead). The conf is read at query
+    // START and baked into the checkpoint, so set it just for the
+    // build+start window and restore the session default after.
+    val restoreConf = src.str("shufflePartitions").map { n =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = ctx.spark.conf.get(key)
+      ctx.spark.conf.set(key, n)
+      () => ctx.spark.conf.set(key, prev)
+    }
+    try runInner(ctx, spec, src)
+    finally restoreConf.foreach(_.apply())
+  }
+
+  private def runInner(ctx: EtlContext, spec: PipelineSpec,
+                       src: ComponentSpec): StreamingQuery = {
     var df = readStream(ctx, src)
     for (t <- spec.transformers) {
       val fn = t.name match {
