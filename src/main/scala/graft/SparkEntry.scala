@@ -76,6 +76,9 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.ensureAudio(spark, sfDir, s"$dir/audio_parquet")
       // real MP4 container bytes for the pure-byte box-parse decode
       graft.multimodal.MediaFixtures.ensureVideo(spark, sfDir, s"$dir/video_parquet")
+      // block-pattern PNGs whose average-hash is planted doc_id
+      // arithmetic (the image near-dup query's input)
+      graft.multimodal.MediaFixtures.ensurePhash(spark, sfDir, s"$dir/phash_parquet")
       // multilingual text: one held-out sentence per doc_id, language
       // keyed by doc_id % Languages.length — the langid query must recover the key
       // from the TEXT; the oracle recomputes the arithmetic. The cache
@@ -1666,6 +1669,26 @@ object SparkEntry {
         .select("media_id", "sample_rate", "channels", "n_samples")
         .orderBy("media_id")
     },
+    "mm_phash_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // image near-dup end-to-end: REAL pixel decode → 64-bit
+      // average-hash → banded Hamming pigeonhole join (ids + 8-byte
+      // hashes only past the decode, never all-pairs). The fixture
+      // plants 1% partner images two bit-flips from their neighbor;
+      // the oracle recomputes the plant arithmetic — the engine must
+      // recover every pair from real PNG bytes, with no false pairs
+      // (row-count match kills any).
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/phash_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"mm_phash": {"idField": "media_id"}},
+          {"hammingpairs": {"idField": "media_id", "hashField": "phash",
+            "maxDistance": 3}}],
+        "loader": {"memory": {}} }""")
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    },
     "stream_dedup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // streaming exact dedup with watermark-BOUNDED state
@@ -2330,6 +2353,13 @@ object SparkEntry {
        "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
        "CAST(500 + (doc_id * 13) % 1000 AS BIGINT) AS n_samples " +
        "FROM documents ORDER BY media_id"),
+    // the planted-partner arithmetic (MediaFixtures.phashPattern): the
+    // engine must recover each (id-1, id) pair from real PNG pixels;
+    // rows_match kills false pairs, so no hash values need expressing
+    "mm_phash_dedup" ->
+      ("SELECT d.doc_id - 1 AS a, d.doc_id AS b FROM documents d " +
+       "JOIN documents e ON e.doc_id = d.doc_id - 1 " +
+       "WHERE d.doc_id % 100 = 1 ORDER BY a, b"),
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),

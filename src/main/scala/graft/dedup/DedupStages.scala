@@ -222,8 +222,6 @@ object DedupStages {
       val id = spec.strOr("idField", "doc_id")
       val field = spec.strOr("field", "text")
       val maxDist = spec.int("maxDistance", 3)
-      val blocks = maxDist + 1
-      val bits = 64 / blocks
 
       // native per-row signature (graft.functions.SimHash64) — a pure
       // projection, no explode + 64-SUM-agg shuffle (values identical to
@@ -231,26 +229,61 @@ object DedupStages {
       graft.functions.VectorExpressions.ensure(ctx.spark)
       val sigs = df.select(col(id).as("__id"),
         graft.functions.VectorExpressions.simHash64(col(field)).as("__sig"))
-      val blockKeys = array((0 until blocks).map(bi =>
-        shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
-      val banded0 = sigs.select(col("__id"), col("__sig"),
-        posexplode(blockKeys).as(Seq("__blk", "__bkey")))
-      // skew guard: a degenerate block bucket goes O(bucket²) — cap +
-      // counter; spread for the quadratic join (SimilarityStages.spread)
-      val banded = graft.similarity.SimilarityStages.spread(
-        Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
-          spec, ctx, "simhash"), Seq(col("__blk"), col("__bkey")))
-      val l = banded.select(col("__blk"), col("__bkey"),
-        col("__id").as("a"), col("__sig").as("__siga"))
-      val r = banded.select(col("__blk"), col("__bkey"),
-        col("__id").as("b"), col("__sig").as("__sigb"))
-      l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
-        // filter BEFORE the dedup shuffle: most candidates fail the
-        // distance test and must not pay the distinct's exchange
-        .where(col("hamming") <= maxDist)
-        .distinct()
+      bandedHammingJoin(sigs, maxDist, spec, ctx, "simhash")
+    }
+
+  /** Banded pigeonhole Hamming join over a (__id, __sig) frame: split
+    * the 64-bit signature into `maxDist + 1` blocks — a pair within
+    * `maxDist` differs in ≤ maxDist blocks, so ≥ 1 block is intact and
+    * every true pair surfaces from the per-block equi-join. Shared by
+    * `simhash` (text) and `hammingpairs` (any precomputed fingerprint,
+    * e.g. mm_phash). Ids + signatures only; bucket-density guard +
+    * spread shield the quadratic bucket join. */
+  private def bandedHammingJoin(sigs: DataFrame, maxDist: Int,
+                                spec: ComponentSpec, ctx: EtlContext,
+                                guardName: String): DataFrame = {
+    val blocks = maxDist + 1
+    val bits = 64 / blocks
+    val blockKeys = array((0 until blocks).map(bi =>
+      shiftright(col("__sig"), bi * bits).bitwiseAND(lit((1L << bits) - 1))): _*)
+    val banded0 = sigs.select(col("__id"), col("__sig"),
+      posexplode(blockKeys).as(Seq("__blk", "__bkey")))
+    // skew guard: a degenerate block bucket goes O(bucket²) — cap +
+    // counter; spread for the quadratic join (SimilarityStages.spread)
+    val banded = graft.similarity.SimilarityStages.spread(
+      Stages.guardBuckets(banded0, Seq("__blk", "__bkey"),
+        spec, ctx, guardName), Seq(col("__blk"), col("__bkey")))
+    val l = banded.select(col("__blk"), col("__bkey"),
+      col("__id").as("a"), col("__sig").as("__siga"))
+    val r = banded.select(col("__blk"), col("__bkey"),
+      col("__id").as("b"), col("__sig").as("__sigb"))
+    l.join(r, Seq("__blk", "__bkey")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
+      // filter BEFORE the dedup shuffle: most candidates fail the
+      // distance test and must not pay the distinct's exchange
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** `hammingpairs`: near-duplicate id pairs among PRECOMPUTED 64-bit
+    * fingerprints (mm_phash perceptual hashes, simhashes from another
+    * system, …) by Hamming distance — [[bandedHammingJoin]] decoupled
+    * from signature computation, so any upstream stage that produces a
+    * LONG fingerprint gets the scale-safe pigeonhole join for free.
+    * Options: `idField` (default doc_id), `hashField` (required),
+    * `maxDistance` (default 3). Output: (a, b, hamming), a < b. */
+  def hammingPairs(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val hf = spec.str("hashField")
+        .getOrElse(sys.error("hammingpairs: `hashField` required"))
+      require(df.columns.contains(hf),
+        s"hammingpairs: input lacks hash column '$hf'")
+      val maxDist = spec.int("maxDistance", 3)
+      bandedHammingJoin(
+        df.select(col(id).as("__id"), col(hf).cast("long").as("__sig")),
+        maxDist, spec, ctx, "hammingpairs")
     }
 
   // -------------------------------------------------- exact n-gram jaccard

@@ -88,6 +88,8 @@ object Engine {
     "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
+    "mm_phash"      -> graft.multimodal.MultimodalStages.phash _,
+    "hammingpairs"  -> graft.dedup.DedupStages.hammingPairs _,
     "asofjoin"      -> graft.temporal.TemporalStages.asofJoin _,
     "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,

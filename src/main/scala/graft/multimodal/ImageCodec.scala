@@ -126,6 +126,54 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** 64-bit average-hash (aHash — the entry member of the public
+    * pHash family of perceptual fingerprints) of the payload's first
+    * frame: full pixel decode → 8×8 area-average luminance grid → bit
+    * `c` set iff cell `c` is brighter than the whole-image mean.
+    * Integer arithmetic end-to-end — Rec.601 luminance ×1000 and
+    * cross-multiplied mean comparisons, no float thresholds — so the
+    * hash is bit-identical across JVMs for lossless inputs. Long
+    * arithmetic holds to ~4k×4k images (lum ≤ 255e3 · px; the cross
+    * product stays under 2^63); a larger corpus should `mm_resize`
+    * first, which a real pipeline does anyway. */
+  def averageHash(id: Long, payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) fail(id, "empty payload")
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case e: javax.imageio.IIOException => fail(id, e.getMessage) }
+    if (img == null) fail(id, "no ImageIO reader for payload")
+    val w = img.getWidth; val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        val c = cy * 8 + cx
+        cellSum(c) += lum
+        cellCnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = cellSum.sum
+    val totalCnt = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      // cellAvg > globalAvg without division: sum_c/cnt_c > total/totalCnt
+      if (cellCnt(c) > 0 && cellSum(c) * totalCnt > total * cellCnt(c))
+        hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
   private def fail(id: Long, why: String): Nothing =
     sys.error(s"mm_decode: media_id=$id: $why")
 }

@@ -153,6 +153,72 @@ object MediaFixtures {
     outPath
   }
 
+  // ---- perceptual-hash fixture: 64×64 grayscale PNGs whose 8×8 block
+  // pattern IS a planted 64-bit hash — each cell pure black/white, so
+  // the engine's average-hash (cell vs global mean) recovers exactly
+  // the planted bits from REAL pixels. 1% planted near-dup partners
+  // (doc_id % 100 == 1) copy the previous id's pattern with two bit
+  // flips (Hamming 2); everything else is splitmix64-random (expected
+  // pairwise distance ~32, so no false pairs at any fixture scale).
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** All-black / all-white grids have no mean threshold — keep at least
+    * one bit of each polarity. */
+  private def clampPattern(p: Long): Long =
+    if (p == 0L) 1L else if (p == -1L) p & ~1L else p
+
+  def phashPattern(id: Long): Long =
+    if (id % 100 == 1 && id > 0) {
+      val base = clampPattern(splitmix64(id - 1))
+      val f1 = ((id * 7) % 64).toInt
+      val f2t = ((id * 13) % 64).toInt
+      val f2 = if (f2t == f1) (f1 + 1) % 64 else f2t
+      clampPattern(base ^ (1L << f1) ^ (1L << f2))
+    } else clampPattern(splitmix64(id))
+
+  /** Real 64×64 grayscale PNG whose 8×8 blocks render [[phashPattern]]:
+    * block (cx, cy) = bit `cy*8 + cx` (white = 1). */
+  def phashPayload(id: Long): Array[Byte] = {
+    val bits = phashPattern(id)
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.createGraphics()
+    try {
+      var c = 0
+      while (c < 64) {
+        g.setColor(if (((bits >>> c) & 1L) == 1L) java.awt.Color.WHITE
+                   else java.awt.Color.BLACK)
+        g.fillRect((c % 8) * 8, (c / 8) * 8, 8, 8)
+        c += 1
+      }
+    } finally g.dispose()
+    ImageCodec.encode(img, "png")
+  }
+
+  /** The phash fixture frame: (media_id, payload), one PNG per doc. */
+  def phashFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, phashPayload(id))))(enc)
+      .toDF("media_id", "payload")
+  }
+
+  def ensurePhash(spark: SparkSession, sfDir: String, outPath: String): String = {
+    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    if (!marker.exists()) {
+      phashFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
+    outPath
+  }
+
   /** Bump when the format plan / dimension arithmetic above changes —
     * the on-disk cache marker is keyed on it, so an edit here can never
     * leave a stale /tmp fixture disagreeing with the oracle. */

@@ -153,6 +153,35 @@ object MultimodalStages {
         }(metaEnc).toDF()
     }
 
+  /** `mm_phash`: partition-parallel perceptual fingerprint of an image
+    * payload — [[ImageCodec.averageHash]] (64-bit aHash: real pixel
+    * decode → 8×8 luminance grid → mean threshold). Output is
+    * (idField, out) ONLY — ids + 8 bytes per image is what travels to
+    * the downstream near-dup join, never pixels. Pair with the
+    * `hammingpairs` stage for image near-dup detection. Options:
+    * `idField` (default doc_id), `payloadField` (default payload),
+    * `out` (default phash), `onUndecodable` error|skip. */
+  def phash(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val out = spec.strOr("out", "phash")
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_phash: unknown onUndecodable '$other' (error|skip)")
+      }
+      val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          if (skip) iter.flatMap { case (i, bytes) =>
+            try Some((i, ImageCodec.averageHash(i, bytes)))
+            catch { case scala.util.control.NonFatal(_) => None } }
+          else iter.map { case (i, bytes) => (i, ImageCodec.averageHash(i, bytes)) }
+        }(pairEnc).toDF(id, out)
+    }
+
   /** `mm_resize`: resize to fit a `maxWidth`×`maxHeight` bounding box,
     * preserving aspect ratio (integer floor, never upscaled).
     * Two modes, `resample` option:

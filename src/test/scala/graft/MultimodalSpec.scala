@@ -212,4 +212,43 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[Exception](stage("mm_video", "idField" -> "media_id")(df).collect())
     assert(e.getMessage != null)
   }
+
+  test("mm_phash: average-hash recovers the planted block pattern from real PNG bytes") {
+    val ids = Seq(0L, 1L, 7L, 100L, 101L, 250L)
+    val df = ids.map(id => (id, MediaFixtures.phashPayload(id)))
+      .toDF("media_id", "payload")
+    val got = stage("mm_phash", "idField" -> "media_id")(df)
+      .orderBy("media_id").select("media_id", "phash")
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      assert(got(id) == MediaFixtures.phashPattern(id),
+        s"id=$id: decoded hash ${got(id).toHexString} != planted " +
+        s"${MediaFixtures.phashPattern(id).toHexString}")
+    }
+    // planted partners differ by exactly two bits
+    assert(java.lang.Long.bitCount(got(101L) ^ got(100L)) == 2)
+    // averageHash is robust to scale: a resized copy keeps the hash
+    // (8×8 block structure survives area-average downsampling)
+    val resized = ImageCodec.resample(7L, MediaFixtures.phashPayload(7L), 32, 32)
+    assert(ImageCodec.averageHash(7L, resized.payload) ==
+      MediaFixtures.phashPattern(7L))
+    // skip mode drops corrupt rows instead of failing the job
+    val dirty = (Seq((5L, MediaFixtures.phashPayload(5L))) :+
+      (99L, "corrupt".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(stage("mm_phash", "idField" -> "media_id",
+      "onUndecodable" -> "skip")(dirty).count() == 1)
+  }
+
+  test("hammingpairs: pigeonhole banding finds exactly the close fingerprints") {
+    val rows = Seq(
+      (1L, 0x0123456789ABCDEFL),
+      (2L, 0x0123456789ABCDEFL ^ 5L),          // distance 2 from 1
+      (3L, 0x0123456789ABCDEFL ^ (1L << 63) ^ (1L << 31) ^ (1L << 1)), // distance 3
+      (4L, 0xFEDCBA9876543210L))               // far from everything
+      .toDF("doc_id", "h")
+    val pairs = stage("hammingpairs", "hashField" -> "h", "maxDistance" -> 3)(rows)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2), (1L, 3L, 3), (2L, 3L, 5)).filter(_._3 <= 3),
+      pairs.toString)
+  }
 }
