@@ -344,29 +344,11 @@ object SimilarityStages {
         }.toArray
       }
       val codebook = trainCodebook(sample, math.min(nCells, sample.length), lloydIters)
-      val cents = codebook.zipWithIndex.map { case (cv, ci) =>
-        var s = 0.0
-        cv.foreach(x => s += x * x)
-        (ci.toLong, cv.toSeq, math.sqrt(s))
-      }
-      val centArr = array(cents.map { case (cid, cv, cn) =>
-        struct(lit(cid).as("cell"),
-          array(cv.map(lit(_)): _*).as("cv"), lit(cn).as("cn"))
-      }.toIndexedSeq: _*)
-      // per-row: score all centroids, sort (sim desc, cell asc), keep
-      // nProbe — same ordering contract as the heap aggregate it replaces
-      val scored = transform(centArr, c => struct(
-        (dot(col("__v"), c.getField("cv")) /
-          (col("__n") * c.getField("cn"))).as("sim"),
-        c.getField("cell").as("cell")))
-      val sortedCells = array_sort(scored, (a, b) =>
-        when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1)
-          .when(a.getField("cell") < b.getField("cell"), -1)
-          .when(a.getField("cell") > b.getField("cell"), 1)
-          .otherwise(0))
+      // per-row: top-nProbe cells via the shared literal-centroid
+      // scorer (natural-order sort, two-level pruning past FlatScanMax)
       val ranked = base
-        .withColumn("__probed", slice(sortedCells, 1, nProbe))
+        .withColumn("__probed", cellScores("__v", col("__n"), codebook,
+          nProbe, spec.int("coarseProbe", math.max(2, nProbe))))
         .select(col("__id"), col("__v"), col("__n"),
           posexplode(col("__probed")).as(Seq("__crank", "__ce")))
         .select(col("__id"), col("__v"), col("__n"),
@@ -527,40 +509,113 @@ object SimilarityStages {
     }
   }
 
-  /** (sim desc, cell asc)-sorted array of `struct(sim, cell)` scoring
-    * `vec` against every literal centroid — the shared per-row
-    * projection under [[kmeans]] / [[semanticDedup]] assignment. */
-  private def sortedCellScores(vec: String, codebook: Array[Array[Double]]): Column = {
-    val centArr = array(codebook.zipWithIndex.map { case (cv, ci) =>
+  /** Codebooks at or under this size score FLAT (every centroid per
+    * row — exact argmax). Above it, assignment prunes through a
+    * two-level coarse scan (see [[cellScores]]): the round-9 100×
+    * stress caught flat assignment going super-linear (exp 1.46,
+    * 207 s at 200k vectors, k=500) because per-row work is O(k) and
+    * the scale-correct k grows with N. */
+  private val FlatScanMax = 128
+
+  /** Top-`need` cell scores of `vec` against the codebook, as an array
+    * of `struct(sim, cell)` ordered (sim desc, cell asc) — the shared
+    * per-row assignment projection under [[kmeans]], [[semanticDedup]]
+    * and [[similarityIvf]]. Pure projection over LITERAL centroid
+    * structures (constant-folded once per plan): no join, no shuffle.
+    *
+    * Execution: sims negate into `struct(negsim, cell)` so the sort is
+    * the struct's NATURAL ascending order — native field-by-field
+    * comparisons instead of an interpreted lambda comparator — and the
+    * row's norm arrives precomputed (`normC`), once per row rather
+    * than once per centroid; together roughly an order of magnitude
+    * off the round-7 per-row constant at the same exact results.
+    *
+    * k > [[FlatScanMax]] additionally prunes TWO-LEVEL: the k
+    * centroids are themselves clustered driver-side into ≈√k coarse
+    * groups; a row scores the ≈√k coarse centroids, keeps its
+    * `coarseProbe` nearest groups and scores only their member
+    * centroids — O(√k) per-row work. The true argmax can live in an
+    * unprobed group (the standard IVF coarse-quantizer trade; raise
+    * `coarseProbe` to trade work for recall) — the driver recall
+    * verdicts / SemProbe measure exactly this. */
+  private def cellScores(vec: String, normC: Column,
+                         codebook: Array[Array[Double]],
+                         need: Int, coarseProbe: Int): Column = {
+    def centStruct(cell: Int, cv: Array[Double]): Column = {
       var s = 0.0; cv.foreach(x => s += x * x)
-      struct(lit(ci.toLong).as("cell"),
+      struct(lit(cell.toLong).as("cell"),
         array(cv.map(lit(_)).toIndexedSeq: _*).as("cv"),
         lit(math.sqrt(s)).as("cn"))
-    }.toIndexedSeq: _*)
-    val scored = transform(centArr, c => struct(
-      (dot(col(vec), c.getField("cv")) /
-        (norm(col(vec)) * c.getField("cn"))).as("sim"),
-      c.getField("cell").as("cell")))
-    array_sort(scored, (a, b) =>
-      when(a.getField("sim") > b.getField("sim"), -1)
-        .when(a.getField("sim") < b.getField("sim"), 1)
-        .when(a.getField("cell") < b.getField("cell"), -1)
-        .when(a.getField("cell") > b.getField("cell"), 1)
-        .otherwise(0))
+    }
+    def scoreSorted(cands: Column, take: Int): Column = {
+      val scored = transform(cands, c => struct(
+        (-(dot(col(vec), c.getField("cv")) /
+          (normC * c.getField("cn")))).as("negsim"),
+        c.getField("cell").as("cell")))
+      slice(array_sort(scored), 1, take) // natural: (negsim asc, cell asc)
+    }
+    def unNeg(arr: Column): Column = transform(arr, c => struct(
+      (-c.getField("negsim")).as("sim"), c.getField("cell").as("cell")))
+    val k = codebook.length
+    if (k <= FlatScanMax || coarseProbe <= 0) {
+      val centArr = array(codebook.zipWithIndex.map {
+        case (cv, ci) => centStruct(ci, cv) }.toIndexedSeq: _*)
+      unNeg(scoreSorted(centArr, need))
+    } else {
+      val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val coarseBook = trainCodebook(codebook.map(_.clone()), g, 3)
+      def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // each centroid to its argmax coarse group (driver arithmetic —
+      // k×g dots, trivially bounded); empty groups are dropped and the
+      // remaining ones re-indexed so every probed group has members
+      val membership: Array[Int] = codebook.map { cv =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var gi = 0
+        while (gi < coarseBook.length) {
+          val s = cosineOf(cv, coarseBook(gi))
+          if (s > bestSim) { bestSim = s; best = gi }
+          gi += 1
+        }
+        best
+      }
+      val nonEmpty = (0 until coarseBook.length)
+        .filter(gi => membership.contains(gi))
+      val coarseArr = array(nonEmpty.zipWithIndex.map {
+        case (gi, idx) => centStruct(idx, coarseBook(gi)) }.toIndexedSeq: _*)
+      val groupsArr = array(nonEmpty.map { gi =>
+        array(codebook.indices.filter(membership(_) == gi).map(ci =>
+          centStruct(ci, codebook(ci))).toIndexedSeq: _*)
+      }.toIndexedSeq: _*)
+      val topCoarse = scoreSorted(coarseArr, math.min(coarseProbe, nonEmpty.length))
+      val fineCands = flatten(transform(topCoarse, gc =>
+        element_at(groupsArr, (gc.getField("cell") + 1).cast("int"))))
+      unNeg(scoreSorted(fineCands, need))
+    }
   }
 
   private def assignClusters(df: DataFrame, vec: String, idOrd: Column,
-                             k: Int, lloydIters: Int, trainRows: Int): DataFrame =
+                             k: Int, lloydIters: Int, trainRows: Int,
+                             coarseProbe: Int = 2): DataFrame =
     trainFromSample(df, vec, idOrd, k, lloydIters, trainRows) match {
       case None =>
         df.withColumn("cluster", lit(null).cast("long"))
           .withColumn("centroid_sim", lit(null).cast("double"))
       case Some(codebook) =>
-        val best = element_at(sortedCellScores(vec, codebook), 1)
-        df.withColumn("cluster",
+        val tmpN = "__graft_assign_norm"
+        val best = element_at(
+          cellScores(vec, col(tmpN), codebook, 1, coarseProbe), 1)
+        df.withColumn(tmpN, norm(col(vec)))
+          .withColumn("cluster",
             when(col(vec).isNotNull, best.getField("cell")))
           .withColumn("centroid_sim",
             when(col(vec).isNotNull, best.getField("sim")))
+          .drop(tmpN)
     }
 
   /** `kmeans` transformer — spherical k-means clustering of an embedding
@@ -605,10 +660,17 @@ object SimilarityStages {
     * point of clustering first; `k` must grow with N, so the
     * `maxClusterRows` guard (one bounded probe aggregation over cell
     * populations) fails fast naming the rule instead of dying in the
-    * within-cell join. The pair join carries ids only (a pair sharing
-    * several cells dedups BEFORE scoring); vectors re-attach from the
-    * linear table. Dedup mode runs the same pointer-jumping components
-    * as `neardupdedup`. */
+    * within-cell join. Vectors ride INTO the cell join and the cosine
+    * + threshold evaluate in place, so candidate volume exists only
+    * inside the join — nothing re-attaches vectors to candidate pairs
+    * downstream, and only post-threshold survivors pay the dedup
+    * exchange (a pair sharing several probed cells re-scores, ≤
+    * nProbe² codegen'd dots — cheaper at every scale than shuffling
+    * candidate ids through two vector-attach joins, which the round-9
+    * 100× stress measured in the tens of GB). Assignment past
+    * [[FlatScanMax]] centroids prunes two-level (see [[cellScores]]).
+    * Dedup mode runs the same pointer-jumping components as
+    * `neardupdedup`. */
   def semanticDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       graft.functions.VectorExpressions.ensure(ctx.spark)
@@ -620,18 +682,32 @@ object SimilarityStages {
       val maxClusterRows = spec.int("maxClusterRows", 100000)
       val slim = df.select(col(id).as("__id"), col(vec).as("__v"))
         .where(col("__v").isNotNull)
-      val probed = trainFromSample(slim, "__v", col("__id"), k,
+      // vectors travel WITH the probe rows into the cell join and the
+      // cosine evaluates IN PLACE, so the threshold filters candidates
+      // before any exchange sees them. The round-7 form joined ids-only
+      // pairs first and re-attached vectors afterwards ("dedup before
+      // scoring") — at the 100× stress that moved |candidates| ≈
+      // nProbe²·N²/2k rows through a distinct plus TWO vector-attach
+      // shuffle joins (tens of GB at 200k vectors), where this shape
+      // moves nProbe·N vector rows through ONE cell exchange and pays
+      // only re-SCORING (≤ nProbe² codegen'd dots) for multi-cell
+      // pairs, deduping the tiny post-threshold survivor set instead.
+      val probedV = trainFromSample(slim, "__v", col("__id"), k,
           spec.int("lloydIters", 5), spec.int("trainRows", k * 40)) match {
-        case None => slim.select(col("__id"), lit(0L).as("cell")).where(lit(false))
+        case None => slim.withColumn("__n", lit(0.0))
+          .select(col("__id"), col("__v"), col("__n"), lit(0L).as("cell"))
+          .where(lit(false))
         case Some(codebook) =>
-          slim.select(col("__id"),
-              explode(slice(sortedCellScores("__v", codebook), 1, nProbe))
-                .as("__ce"))
-            .select(col("__id"), col("__ce.cell").as("cell"))
+          slim.withColumn("__n", norm(col("__v")))
+            .select(col("__id"), col("__v"), col("__n"),
+              explode(cellScores("__v", col("__n"), codebook, nProbe,
+                spec.int("coarseProbe", math.max(2, nProbe)))).as("__ce"))
+            .select(col("__id"), col("__v"), col("__n"),
+              col("__ce.cell").as("cell"))
       }
       if (maxClusterRows > 0) {
-        val worst = probed.groupBy("cell").agg(count(lit(1)).as("__n"))
-          .agg(max("__n")).head() match {
+        val worst = probedV.groupBy("cell").agg(count(lit(1)).as("__cnt"))
+          .agg(max("__cnt")).head() match {
             case r if r.isNullAt(0) => 0L
             case r => r.getLong(0)
           }
@@ -641,20 +717,15 @@ object SimilarityStages {
           "quadratic per cell; raise `k` (more, smaller cells) or " +
           "maxClusterRows if the cost is intended")
       }
-      val vecs = slim.withColumn("__n", norm(col("__v")))
-      val l = probed.select(col("cell"), col("__id").as("a"))
-      val r = probed.select(col("cell"), col("__id").as("b"))
-      // a pair can meet in up to nProbe shared cells → dedup ids-only
-      // BEFORE the vectors attach and the cosine evaluates
+      val l = probedV.select(col("cell"), col("__id").as("a"),
+        col("__v").as("__av"), col("__n").as("__an"))
+      val r = probedV.select(col("cell"), col("__id").as("b"),
+        col("__v").as("__bv"), col("__n").as("__bn"))
       val pairs = l.join(r, Seq("cell")).where(col("a") < col("b"))
-        .select("a", "b").distinct()
-        .join(vecs.select(col("__id").as("a"), col("__v").as("__av"),
-          col("__n").as("__an")), Seq("a"))
-        .join(vecs.select(col("__id").as("b"), col("__v").as("__bv"),
-          col("__n").as("__bn")), Seq("b"))
         .select(col("a"), col("b"),
           cosine(col("__av"), col("__bv"), col("__an"), col("__bn")).as("cosine"))
         .where(col("cosine") >= threshold)
+        .groupBy("a", "b").agg(first("cosine").as("cosine"))
       spec.strOr("emit", "dedup") match {
         case "pairs" => pairs
         case "dedup" =>

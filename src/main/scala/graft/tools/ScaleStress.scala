@@ -105,6 +105,34 @@ object ScaleStress {
     dir
   }
 
+  /** Deterministic 64-bit fingerprints (splitmix64), 1% planted
+    * partners two bit-flips away — the hammingpairs banded-join input
+    * at scale (ids + longs only; the decode that produces them in the
+    * real pipeline is embarrassingly parallel and linear). */
+  private def ensureHashes(spark: SparkSession, n: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
+    if (!marker.exists()) {
+      import spark.implicits._
+      spark.range(n).select(col("id")).as[Long]
+        .mapPartitions(_.map { id =>
+          def mix(x0: Long): Long = {
+            var x = x0 + 0x9E3779B97F4A7C15L
+            x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+            x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+            x ^ (x >>> 31)
+          }
+          val h = if (id % 100 == 1)
+            mix(id - 1) ^ (1L << ((id * 7) % 64).toInt) ^ (1L << ((id * 13) % 64).toInt)
+          else mix(id)
+          (id, h)
+        })
+        .toDF("doc_id", "h")
+        .write.mode("overwrite").parquet(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("graft-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -128,6 +156,7 @@ object ScaleStress {
       val docs = ensureDocs(spark, n, s"/tmp/graft_stress_docs_f$factor")
       val vecs = ensureVecs(spark, m, s"/tmp/graft_stress_vecs_f$factor")
       val events = ensureEvents(spark, 10000L * factor, s"/tmp/graft_stress_events_f$factor")
+      val hashes = ensureHashes(spark, 20000L * factor, s"/tmp/graft_stress_hash_f$factor")
       spark.read.parquet(events).createOrReplaceTempView("stress_events")
       // semanticdedup: cells must GROW with N (candidates ≈ (nProbe·N)²/k);
       // k ∝ N keeps per-cell work flat, but the bounded driver trainer is
@@ -143,6 +172,36 @@ object ScaleStress {
             {"asofjoin": {"right":
               "SELECT user_id, t, eid AS click_id FROM stress_events WHERE kind = 1",
               "on": "user_id", "leftTime": "t"}}],
+          "loader": {"memory": {}} }""",
+        // nearest = backward + forward fills over the SAME exchange: the
+        // exponent must track asof_join's (two sorts, no extra shuffle)
+        "asof_nearest" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, t FROM __input WHERE kind = 0"}},
+            {"asofjoin": {"right":
+              "SELECT user_id, t, eid AS click_id FROM stress_events WHERE kind = 1",
+              "on": "user_id", "leftTime": "t", "direction": "nearest"}}],
+          "loader": {"memory": {}} }""",
+        // keyless interval containment: candidates ≈ points + span/bin —
+        // linear as long as binWidth tracks interval length
+        "range_join" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, t FROM __input WHERE kind = 0"}},
+            {"rangejoin": {"right":
+              "SELECT hb * 3600.0 AS wstart, hb * 3600.0 + 7200.0 AS wend, n FROM (SELECT CAST(floor(t / 3600) AS BIGINT) AS hb, count(*) AS n FROM stress_events GROUP BY 1 HAVING count(*) >= 10)",
+              "leftTime": "t", "start": "wstart", "end": "wend",
+              "binWidth": 3600}}],
+          "loader": {"memory": {}} }""",
+        // banded pigeonhole over PRECOMPUTED fingerprints (the mm_phash
+        // downstream): near-linear as random 16-bit blocks stay sparse
+        "hamming_pairs" -> s"""{
+          "source": {"file": {"path": "$hashes"}}, "extractor": {"parquet": {}},
+          "transformers": [{"hammingpairs": {"hashField": "h",
+            "maxDistance": 3}}],
           "loader": {"memory": {}} }""",
         "semantic_dedup" -> s"""{
           "source": {"file": {"path": "$vecs"}}, "extractor": {"parquet": {}},
@@ -179,7 +238,8 @@ object ScaleStress {
         results((name, factor)) = t
         val nDisp = name match {
           case "cosine_dup" | "semantic_dedup" => m
-          case "asof_join" => 10000L * factor
+          case "asof_join" | "asof_nearest" | "range_join" => 10000L * factor
+          case "hamming_pairs" => 20000L * factor
           case _ => n
         }
         println(f"[stress] $name%-18s factor=$factor%-2d n=$nDisp%-6d min-of-2 = $t%7.2fs")
