@@ -260,6 +260,25 @@ class PlanSpec extends SparkSpec {
     assert(spreadScan.collect().length == scan.count().toInt)
   }
 
+  test("mm_phash is a partition-parallel map; hammingpairs bands, never all-pairs") {
+    import spark.implicits._
+    val ctx = newCtx()
+    val media = Seq((1L, graft.multimodal.MediaFixtures.phashPayload(1L)))
+      .toDF("media_id", "payload")
+    val hashPlan = planOf(graft.multimodal.MultimodalStages.phash(
+      graft.spec.ComponentSpec("mm_phash", Map("idField" -> "media_id")),
+      ctx)(media))
+    assert(exchanges(hashPlan) == 0,
+      s"perceptual hashing must not shuffle:\n$hashPlan")
+    val hashes = Seq((1L, 7L), (2L, 5L)).toDF("doc_id", "h")
+    val pairPlan = planOf(graft.dedup.DedupStages.hammingPairs(
+      graft.spec.ComponentSpec("hammingpairs", Map("hashField" -> "h")),
+      ctx)(hashes))
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoopJoin"),
+      s"banded join must stay an equi-join:\n$pairPlan")
+  }
+
   test("mm decode paths: partition-parallel map, ZERO exchanges") {
     import spark.implicits._
     val ctx = newCtx()

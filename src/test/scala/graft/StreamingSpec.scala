@@ -174,6 +174,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_join left_outer: unmatched left rows null-pad once the watermark passes the band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjoin_lo").toString
+    def t(hm: String) = Timestamp.valueOf(s"2026-01-01 $hm:00")
+    Seq((1L, t("10:10"), "o1"), (2L, t("10:10"), "o3"))
+      .toDF("user_id", "ts", "oid")
+      .write.mode("overwrite").parquet(s"$dir/left")
+    Seq((1L, t("10:05"), 100L))
+      .toDF("user_id", "ts", "cid")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val ctx = newCtx()
+    val leftStream = Streaming.readStream(ctx, ComponentSpec("stream", Map(
+      "path" -> s"$dir/left", "format" -> "parquet",
+      "schema" -> "user_id BIGINT, ts TIMESTAMP, oid STRING")))
+    val joined = Streaming.streamJoin(ComponentSpec("stream_join", Map(
+      "right" -> Map("path" -> s"$dir/right", "format" -> "parquet",
+        "schema" -> "user_id BIGINT, ts TIMESTAMP, cid BIGINT"),
+      "on" -> "user_id", "leftTime" -> "ts",
+      "before" -> 600, "after" -> 0, "watermark" -> "10 minutes",
+      "joinType" -> "left_outer",
+      "select" -> Seq("cid"))), ctx)(leftStream)
+    val q = joined.writeStream.format("memory").queryName("sjoin_lo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // u2's order has no click: its null row may only emit once the
+      // GLOBAL watermark (min across both streams) passes its band —
+      // late files on BOTH sides advance it
+      Seq((9L, t("11:30"), "o9")).toDF("user_id", "ts", "oid")
+        .write.mode("append").parquet(s"$dir/left")
+      Seq((9L, t("11:30"), 900L)).toDF("user_id", "ts", "cid")
+        .write.mode("append").parquet(s"$dir/right")
+      q.processAllAvailable()
+      // one more cycle so the advanced watermark's eviction pass runs
+      Seq((9L, t("11:40"), "o9b")).toDF("user_id", "ts", "oid")
+        .write.mode("append").parquet(s"$dir/left")
+      Seq((9L, t("11:40"), 901L)).toDF("user_id", "ts", "cid")
+        .write.mode("append").parquet(s"$dir/right")
+      q.processAllAvailable()
+      val rows = spark.table("sjoin_lo").select("oid", "cid")
+        .as[(String, Option[Long])].collect().toSet
+      assert(rows.contains(("o1", Some(100L))), rows.toString)
+      assert(rows.contains(("o3", None)),
+        s"unmatched left row must null-pad after watermark passage: $rows")
+    } finally q.stop()
+  }
+
   test("stream source: a pathGlobFilter matching zero files fails loud at build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyglob").toString
     spark.range(3).write.mode("overwrite").parquet(s"$dir/data.parquet")
