@@ -1669,6 +1669,21 @@ object SparkEntry {
         .select("media_id", "sample_rate", "channels", "n_samples")
         .orderBy("media_id")
     },
+    "mm_frame_sample" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // real frame sampling from real MP4 bytes: every 4th sample's
+      // byte slice located via stsz/stco walking; the fixture's frame
+      // payloads are doc_id arithmetic, so the oracle checks that the
+      // engine sliced the RIGHT bytes (first_byte per sampled frame)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/video_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_frame_sample": {"idField": "media_id",
+          "step": 4}}],
+        "loader": {"memory": {}} }""")
+        .select(col("media_id"), col("frame_idx"), col("n_bytes"), col("first_byte"))
+        .orderBy("media_id", "frame_idx")
+    },
     "mm_phash_dedup" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // image near-dup end-to-end: REAL pixel decode → 64-bit
@@ -2353,6 +2368,14 @@ object SparkEntry {
        "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
        "CAST(500 + (doc_id * 13) % 1000 AS BIGINT) AS n_samples " +
        "FROM documents ORDER BY media_id"),
+    // every 4th frame of each fixture MP4; frame payload bytes are
+    // doc_id arithmetic, so first_byte proves the REAL byte slicing
+    "mm_frame_sample" ->
+      ("SELECT d.doc_id AS media_id, CAST(g.i AS INT) AS frame_idx, " +
+       "1 AS n_bytes, CAST((d.doc_id * 31 + g.i * 7) % 251 AS INT) AS first_byte " +
+       "FROM documents d CROSS JOIN generate_series(0, 98, 4) AS g(i) " +
+       "WHERE g.i < 10 + (d.doc_id * 13) % 90 " +
+       "ORDER BY media_id, frame_idx"),
     // the planted-partner arithmetic (MediaFixtures.phashPattern): the
     // engine must recover each (id-1, id) pair from real PNG pixels;
     // rows_match kills false pairs, so no hash values need expressing

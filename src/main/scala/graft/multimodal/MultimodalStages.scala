@@ -153,6 +153,42 @@ object MultimodalStages {
         }(metaEnc).toDF()
     }
 
+  /** `mm_frame_sample`: REAL video frame sampling at the CONTAINER
+    * level — every `step`-th sample's bytes sliced out of the MP4
+    * `mdat` by walking the sample tables ([[VideoCodec.sampleFrames]]:
+    * stsz sizes + stco/co64 chunk base, pure byte arithmetic, no
+    * codec). Emits one row per sampled frame: (idField, frame_idx,
+    * n_bytes, first_byte, frame bytes) — decoding the frame PAYLOAD
+    * (h264 etc.) stays out of scope, but the sampling plumbing a
+    * training pipeline needs (which bytes belong to which frame) is
+    * real and oracle-checked. Options: `idField` (default doc_id),
+    * `payloadField` (default payload), `step` (default 4),
+    * `maxFramesPerVideo` (default 64 — a pathological container must
+    * not explode the row count), `onUndecodable` error|skip. */
+  def frameSample(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val step = spec.int("step", 4)
+      val maxFrames = spec.int("maxFramesPerVideo", 64)
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_frame_sample: unknown onUndecodable '$other' (error|skip)")
+      }
+      val enc = Encoders.product[VideoCodec.FrameSample]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          if (skip) iter.flatMap { case (i, bytes) =>
+            try VideoCodec.sampleFrames(i, bytes, step, maxFrames)
+            catch { case scala.util.control.NonFatal(_) => Nil } }
+          else iter.flatMap { case (i, bytes) =>
+            VideoCodec.sampleFrames(i, bytes, step, maxFrames) }
+        }(enc).toDF()
+        .withColumnRenamed("media_id", id)
+    }
+
   /** `mm_phash`: partition-parallel perceptual fingerprint of an image
     * payload — [[ImageCodec.averageHash]] (64-bit aHash: real pixel
     * decode → 8×8 luminance grid → mean threshold). Output is

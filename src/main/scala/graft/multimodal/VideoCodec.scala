@@ -143,6 +143,100 @@ object VideoCodec {
     VideoMeta(id, w, h, nFrames, timescale, duration)
   }
 
+  /** One sampled frame: index in the track, its byte length, the first
+    * byte (unsigned; -1 for an empty sample) and the raw bytes. */
+  final case class FrameSample(media_id: Long, frame_idx: Int,
+                               n_bytes: Int, first_byte: Int,
+                               frame: Array[Byte])
+
+  /** REAL container-level frame sampling: every `step`-th sample's
+    * BYTES sliced out of `mdat` by walking the sample tables — `stsz`
+    * (constant or per-sample sizes) for lengths, `stco`/`co64` for the
+    * chunk base — no codec, pure byte arithmetic. Single-chunk tracks
+    * (`stco` entry count 1 — the writer's layout and the common
+    * single-chunk case) are supported; multi-chunk tracks raise a
+    * typed error naming the box (extend with `stsc` chunk mapping when
+    * a corpus needs it). Same error wrapper contract as [[decode]]. */
+  def sampleFrames(id: Long, payload: Array[Byte], step: Int,
+                   maxFrames: Int): Seq[FrameSample] = {
+    if (payload == null || payload.length < 8) fail(id, "empty/short payload")
+    try sampleFramesUnsafe(id, payload, math.max(1, step), maxFrames)
+    catch {
+      case e: RuntimeException if e.getMessage != null &&
+        e.getMessage.contains("media_id=") => throw e
+      case e: ArrayIndexOutOfBoundsException =>
+        fail(id, s"truncated box content (index ${e.getMessage})")
+      case e: RuntimeException => fail(id, e.getMessage)
+    }
+  }
+
+  private def sampleFramesUnsafe(id: Long, payload: Array[Byte], step: Int,
+                                 maxFrames: Int): Seq[FrameSample] = {
+    val top = boxes(payload, 0, payload.length)
+    val moov = top.find(_.typ == "moov").getOrElse(fail(id, "no moov box"))
+    val traks = boxes(payload, moov.start, moov.end).filter(_.typ == "trak")
+    if (traks.isEmpty) fail(id, "no trak box")
+    def isVideo(trak: Box): Boolean =
+      child(payload, trak, "tkhd").exists { tk =>
+        need(tk, 4, "version/flags")
+        val v = payload(tk.start) & 0xFF
+        val wOff = if (v == 1) { need(tk, 96, "v1 width/height"); tk.start + 88 }
+                   else { need(tk, 84, "v0 width/height"); tk.start + 76 }
+        u16(payload, wOff) > 0
+      }
+    val video = traks.find(isVideo).getOrElse(traks.head)
+    val stbl = (for {
+      mdia <- child(payload, video, "mdia")
+      minf <- child(payload, mdia, "minf")
+      stbl <- child(payload, minf, "stbl")
+    } yield stbl).getOrElse(fail(id, "no stbl box in video trak"))
+    val stsz = child(payload, stbl, "stsz").getOrElse(fail(id, "no stsz box"))
+    need(stsz, 12, "sample size/count")
+    val constSize = u32(payload, stsz.start + 4)
+    val count = u32(payload, stsz.start + 8).toInt
+    def sizeOf(i: Int): Long =
+      if (constSize != 0L) constSize
+      else { need(stsz, 12 + 4 * (i + 1), "per-sample size table")
+             u32(payload, stsz.start + 12 + 4 * i) }
+    val base = child(payload, stbl, "stco") match {
+      case Some(stco) =>
+        need(stco, 8, "chunk offsets")
+        if (u32(payload, stco.start + 4) != 1L)
+          fail(id, "multi-chunk stco — frame sampling supports single-chunk " +
+            "tracks (stsc chunk mapping not implemented)")
+        u32(payload, stco.start + 8)
+      case None => child(payload, stbl, "co64") match {
+        case Some(co64) =>
+          need(co64, 16, "chunk offsets")
+          if (u32(payload, co64.start + 4) != 1L)
+            fail(id, "multi-chunk co64 — frame sampling supports single-chunk tracks")
+          u64(payload, co64.start + 8)
+        case None => fail(id, "no stco/co64 box")
+      }
+    }
+    // prefix offsets: constant-size tracks are pure arithmetic; a size
+    // table walks once. Slices bounds-check against the payload so a
+    // lying offset is a typed error, not an out-of-bounds read.
+    val out = Seq.newBuilder[FrameSample]
+    var taken = 0
+    var i = 0
+    var off = base
+    while (i < count && taken < maxFrames) {
+      val sz = sizeOf(i).toInt
+      if (i % step == 0) {
+        if (off < 0 || off + sz > payload.length)
+          fail(id, s"sample $i spans [$off, ${off + sz}) beyond payload ${payload.length}")
+        val bytes = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + sz)
+        out += FrameSample(id, i, sz,
+          if (sz > 0) bytes(0) & 0xFF else -1, bytes)
+        taken += 1
+      }
+      off += sz
+      i += 1
+    }
+    out.result()
+  }
+
   private def fail(id: Long, why: String): Nothing =
     sys.error(s"mm_video: media_id=$id: $why")
 

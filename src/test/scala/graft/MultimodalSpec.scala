@@ -213,6 +213,35 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("mm_frame_sample: slices the RIGHT bytes out of mdat via stsz/stco walking") {
+    val df = Seq(
+      (4L, MediaFixtures.videoPayload(4L)),   // v0 headers
+      (11L, MediaFixtures.videoPayload(11L))) // v1 headers
+      .toDF("media_id", "payload")
+    val out = stage("mm_frame_sample", "idField" -> "media_id", "step" -> 4)(df)
+      .orderBy("media_id", "frame_idx")
+      .select("media_id", "frame_idx", "n_bytes", "first_byte")
+      .as[(Long, Int, Int, Int)].collect()
+    for ((id, idx, n, fb) <- out) {
+      assert(idx % 4 == 0 && idx < MediaFixtures.videoFrames(id))
+      assert(n == 1, "fixture samples are 1 byte")
+      assert(fb == ((id * 31 + idx * 7) % 251).toInt,
+        s"id=$id frame=$idx sliced the wrong byte")
+    }
+    assert(out.count(_._1 == 4L) ==
+      (MediaFixtures.videoFrames(4L) + 3) / 4)
+    // maxFramesPerVideo caps the per-row explosion
+    assert(stage("mm_frame_sample", "idField" -> "media_id", "step" -> 1,
+      "maxFramesPerVideo" -> 5)(df).count() == 10)
+    // corrupt payloads: skip drops, error names the row
+    val dirty = Seq((99L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(stage("mm_frame_sample", "idField" -> "media_id",
+      "onUndecodable" -> "skip")(dirty).count() == 0)
+    val e = intercept[Exception](
+      stage("mm_frame_sample", "idField" -> "media_id")(dirty).collect())
+    assert(e.getMessage != null)
+  }
+
   test("mm_phash: average-hash recovers the planted block pattern from real PNG bytes") {
     val ids = Seq(0L, 1L, 7L, 100L, 101L, 250L)
     val df = ids.map(id => (id, MediaFixtures.phashPayload(id)))
