@@ -640,7 +640,8 @@ object SimilarityStages {
       val k = spec.int("k", 8)
       require(k > 0, "kmeans: k must be positive")
       assignClusters(df, vec, col(id), k,
-        spec.int("lloydIters", 5), spec.int("trainRows", k * 40))
+        spec.int("lloydIters", 5), spec.int("trainRows", k * 40),
+        spec.int("coarseProbe", 2))
     }
 
   /** `semanticdedup` transformer — embedding-cluster-bucketed near-dup
