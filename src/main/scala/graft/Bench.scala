@@ -203,7 +203,10 @@ object Bench {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 2
       for (e <- allQs.sortBy(-_._2)) {
-        val len = e._1.length + 11 // "name":12.345,
+        // charge the ACTUAL formatted length — a 100 s+ value is one
+        // byte wider than the common case and must not erode the
+        // tail-capture safety margin silently
+        val len = e._1.length + f"${e._2}%.3f".length + 4 // "name":v,
         if (used + len <= InlineBudget) { buf += e; used += len }
       }
       buf.sortBy(_._1).toSeq

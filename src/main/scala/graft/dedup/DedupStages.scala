@@ -280,6 +280,17 @@ object DedupStages {
         .getOrElse(sys.error("hammingpairs: `hashField` required"))
       require(df.columns.contains(hf),
         s"hammingpairs: input lacks hash column '$hf'")
+      // a non-integral hash (hex string, binary) would cast to all-null
+      // signatures and return zero pairs SILENTLY — reject it loud
+      df.schema(hf).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => sys.error(s"hammingpairs: hash column '$hf' has " +
+          s"non-integral type $other — provide the fingerprint as a " +
+          "64-bit integer (e.g. conv(hex, 16, 10) cast to BIGINT first)")
+      }
       val maxDist = spec.int("maxDistance", 3)
       bandedHammingJoin(
         df.select(col(id).as("__id"), col(hf).cast("long").as("__sig")),

@@ -44,11 +44,18 @@ object Streaming {
       sys.error(s"stream source: path '$path' does not exist")
     val filter = new org.apache.hadoop.fs.GlobFilter(glob)
     // leaf-file names at any depth, matching the source's semantics;
-    // stop at the first hit so the pre-check never pays a full listing
+    // stop at the first hit so the pre-check never pays a full listing.
+    // A directory with NO files at all stays valid — that is the
+    // wait-for-files landing-dir pattern; the config typo this guards
+    // against is a glob that selects none of the files that DO exist.
     val it = fs.listFiles(root, true)
     var matched = false
-    while (!matched && it.hasNext) matched = filter.accept(it.next().getPath)
-    if (!matched)
+    var sawFile = false
+    while (!matched && it.hasNext) {
+      sawFile = true
+      matched = filter.accept(it.next().getPath)
+    }
+    if (!matched && sawFile)
       sys.error(s"stream source: pathGlobFilter '$glob' matches no file " +
         s"under '$path' — a 0-row stream would look like a successful " +
         "query; fix the glob (or drop it to watch the directory)")
@@ -269,6 +276,10 @@ object Streaming {
     })
     require(selPairs.nonEmpty, "stream_join: `select` (right columns to attach) required")
 
+    require(!rightMap.contains("shufflePartitions"),
+      "stream_join: set `shufflePartitions` on the pipeline's top-level " +
+      "stream source — the state-store partition count is per QUERY, " +
+      "not per side, so it would be a silent no-op here")
     var right = readStream(ctx, ComponentSpec("stream", rightMap))
     spec.str("rightWhere").foreach(w => right = right.where(expr(w)))
     right = graft.sources.Tables.normalizeTs(right, rt)
@@ -289,7 +300,10 @@ object Streaming {
       (keys.map(k => col(k).as(s"__r_$k")) :+ col(rt).as("__r_ts")) ++
         selPairs.map { case (c, a) => col(c).as(a) }: _*)
       .withWatermark("__r_ts", rwm)
-    val ll = df.withWatermark(lt, lwm)
+    // normalize the LEFT time symmetrically (idempotent for proper
+    // timestamps) — mixed encodings across the sides would otherwise
+    // shift the band by the session zone offset or fail analysis
+    val ll = graft.sources.Tables.normalizeTs(df, lt).withWatermark(lt, lwm)
     val cond = (keys.map(k => ll(k) === rr(s"__r_$k")) ++ Seq(
       rr("__r_ts") >= ll(lt) - expr(s"INTERVAL $beforeMicros MICROSECOND"),
       rr("__r_ts") <= ll(lt) + expr(s"INTERVAL $afterMicros MICROSECOND")))

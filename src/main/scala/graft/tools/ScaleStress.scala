@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  private val Version = 1
+  // bumped when any synthetic-fixture arithmetic changes (v2: hashes
+  // now share MediaFixtures.phashPattern) — the content-keyed-marker rule
+  private val Version = 2
   private val Dim = 64
 
   /** Deterministic synthetic corpus: Zipf-ish token stream (log-uniform
@@ -113,19 +115,12 @@ object ScaleStress {
     val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
     if (!marker.exists()) {
       import spark.implicits._
+      // the EXACT plant arithmetic of the phash fixture (one authority:
+      // MediaFixtures.phashPattern — partner flips, clamps and all), so
+      // the stress measures the same pair structure the oracle checks
       spark.range(n).select(col("id")).as[Long]
-        .mapPartitions(_.map { id =>
-          def mix(x0: Long): Long = {
-            var x = x0 + 0x9E3779B97F4A7C15L
-            x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-            x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-            x ^ (x >>> 31)
-          }
-          val h = if (id % 100 == 1)
-            mix(id - 1) ^ (1L << ((id * 7) % 64).toInt) ^ (1L << ((id * 13) % 64).toInt)
-          else mix(id)
-          (id, h)
-        })
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.MediaFixtures.phashPattern(id))))
         .toDF("doc_id", "h")
         .write.mode("overwrite").parquet(dir)
       marker.createNewFile()

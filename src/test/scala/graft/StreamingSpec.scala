@@ -243,5 +243,11 @@ class StreamingSpec extends SparkSpec {
         "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
     }
     assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    // an existing but EMPTY watched directory is the wait-for-files
+    // landing-dir pattern — it must build, glob or not
+    val empty = java.nio.file.Files.createTempDirectory("graft_emptydir").toString
+    Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+      "path" -> empty, "format" -> "parquet",
+      "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
   }
 }
