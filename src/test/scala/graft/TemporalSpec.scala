@@ -213,6 +213,31 @@ class TemporalSpec extends SparkSpec {
     assert(fwdTol == Seq((1L, None), (2L, Some("r21")), (3L, Some("r30")), (4L, None)))
   }
 
+  test("asofjoin: strict + forward excludes the same-instant right row; multi-key join") {
+    val ctx = newCtx()
+    val right = Seq(("k1", 20.0, "r20"), ("k1", 21.0, "r21"))
+      .toDF("k", "t", "v")
+    right.createOrReplaceTempView("asof_right2")
+    def run(strict: Boolean) = TemporalStages.asofJoin(ComponentSpec("asofjoin",
+      Map("right" -> "asof_right2", "on" -> "k", "leftTime" -> "t",
+        "direction" -> "forward", "strict" -> strict)),
+      ctx)(Seq((1L, "k1", 20.0)).toDF("eid", "k", "t"))
+      .select("v").as[Option[String]].collect().toSeq
+    assert(run(strict = false) == Seq(Some("r20"))) // inclusive: at-or-after
+    assert(run(strict = true) == Seq(Some("r21")))  // strict: after only
+    // multiple equi-keys: both must match
+    val right2 = Seq(("k1", "x", 5.0, "rx"), ("k1", "y", 5.0, "ry"))
+      .toDF("k", "k2", "t", "v")
+    right2.createOrReplaceTempView("asof_right3")
+    val out = TemporalStages.asofJoin(ComponentSpec("asofjoin",
+      Map("right" -> "asof_right3", "on" -> "k,k2", "leftTime" -> "t")),
+      ctx)(Seq((1L, "k1", "x", 9.0), (2L, "k1", "z", 9.0))
+        .toDF("eid", "k", "k2", "t"))
+      .orderBy("eid").select("eid", "v")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, Some("rx")), (2L, None)))
+  }
+
   // The fixture's on-disk ts encoding has drifted once (TIMESTAMP(NANOS)
   // int64 → timestamp[us] NTZ, round 8) and will drift again. All three
   // encodings the contract covers must flow through the temporal stages
