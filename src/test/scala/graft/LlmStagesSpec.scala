@@ -457,6 +457,36 @@ class LlmStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("maxClusterRows"))
   }
 
+  test("semanticdedup two-level assignment (k > 128): planted pairs still found") {
+    // k = 150 crosses FlatScanMax, so assignment prunes through the
+    // √k coarse scan — the path the 100× stress exercises but no
+    // driver query does (their k is small). 600 deterministic vectors,
+    // 1-in-3 planted near-identical partners; recall of the planted
+    // pairs through coarse pruning + multi-probe must stay high.
+    val dim = 16
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed * 40503L + 17)
+      Seq.fill(dim)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val rows = (0L until 600L).map { id =>
+      val base = if (id % 3 == 1) id - 1 else id
+      val v = vec(base)
+      (id, if (id % 3 == 1) v.updated(0, v(0) + 0.001f) else v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val planted = (0L until 600L).filter(_ % 3 == 1).map(id => (id - 1, id)).toSet
+    val found = stage("semanticdedup", "k" -> 150, "nProbe" -> 2,
+      "threshold" -> 0.999, "emit" -> "pairs")(df)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every found pair must be a planted one (threshold 0.999 on
+    // random vectors leaves no accidental near-dups)
+    assert(found.subsetOf(planted), (found -- planted).toString)
+    val recall = found.size.toDouble / planted.size
+    assert(recall >= 0.8,
+      f"two-level coarse pruning recall $recall%.3f < 0.8 " +
+      s"(${found.size}/${planted.size} planted pairs)")
+  }
+
   test("similarity brute top-k: exact ranking on constructed vectors") {
     val df = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
