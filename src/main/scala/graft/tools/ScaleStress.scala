@@ -107,6 +107,29 @@ object ScaleStress {
     dir
   }
 
+  /** The temporal-stress events with a REAL timestamp column — the
+    * streaming leg's input (the stateful stages normalize/watermark a
+    * timestamp; the batch ops above use the double-seconds variant). */
+  private def ensureEventsTs(spark: SparkSession, n: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
+    if (!marker.exists()) {
+      import spark.implicits._
+      val users = math.max(150L, n / 66)
+      spark.range(n).select(col("id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val r = new scala.util.Random(id * 6364136223846793005L + 11)
+          (id, math.abs(r.nextLong()) % users,
+            (r.nextDouble() * 30 * 86400 * 1e6).toLong, (id % 2).toInt)
+        })
+        .toDF("eid", "user_id", "us", "kind")
+        .select(col("eid"), col("user_id"),
+          timestamp_micros(col("us")).as("ts"), col("kind"))
+        .write.mode("overwrite").parquet(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
   /** Deterministic 64-bit fingerprints (splitmix64), 1% planted
     * partners two bit-flips away — the hammingpairs banded-join input
     * at scale (ids + longs only; the decode that produces them in the
@@ -253,6 +276,37 @@ object ScaleStress {
           "guard fired as designed" }
         println(s"[stress] density guard at factor=$factor: $e")
       }
+    }
+    // streaming leg: the stream-STREAM band join — the stateful-operator
+    // class the batch legs can't represent. State per side ≈ the rows
+    // inside watermark+band; with availableNow over one bounded fixture
+    // the wall time is scan + state-build + join, measured end-to-end.
+    for (factor <- Seq(1, 10, 100)) {
+      val n = 10000L * factor
+      val ev = ensureEventsTs(spark, n, s"/tmp/graft_stress_evts_f$factor")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streaming.run(ctx(), graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$ev", "format": "parquet",
+          "shufflePartitions": 8,
+          "schema": "eid BIGINT, user_id BIGINT, ts TIMESTAMP, kind INT"}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT eid, user_id, ts FROM __input WHERE kind = 0"}},
+          {"stream_join": {
+            "right": {"path": "$ev", "format": "parquet",
+              "schema": "eid BIGINT, user_id BIGINT, ts TIMESTAMP, kind INT"},
+            "rightWhere": "kind = 1",
+            "on": "user_id", "leftTime": "ts",
+            "before": 900, "after": 0, "watermark": "1 hour",
+            "select": ["eid:rid"]}}],
+        "loader": {"streamsink": {"format": "memory",
+          "name": "stress_sj_f$factor", "outputMode": "append",
+          "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      val t = (System.nanoTime() - t0) / 1e9
+      val rows = spark.table(s"stress_sj_f$factor").count()
+      results(("stream_join", factor)) = t
+      println(f"[stress] stream_join        factor=$factor%-2d n=$n%-6d wall = $t%7.2fs (pairs=$rows)")
     }
     println("[stress] scaling exponents (1.0 = linear in N; the 10->100 column")
     println("[stress] is the honest one — fixed job-launch cost dominates factor 1):")
