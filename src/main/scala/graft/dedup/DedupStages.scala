@@ -281,19 +281,24 @@ object DedupStages {
       require(df.columns.contains(hf),
         s"hammingpairs: input lacks hash column '$hf'")
       // a non-integral hash (hex string, binary) would cast to all-null
-      // signatures and return zero pairs SILENTLY — reject it loud
-      df.schema(hf).dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => ()
+      // signatures and return zero pairs SILENTLY — reject it loud.
+      // Narrow integral types sign-EXTEND under cast('long'), which
+      // would turn a 1-bit difference at the sign bit into Hamming
+      // 33/49/57 — zero-extend by masking to the column's natural width.
+      import org.apache.spark.sql.types._
+      val widthMask: Option[Long] = df.schema(hf).dataType match {
+        case ByteType    => Some(0xFFL)
+        case ShortType   => Some(0xFFFFL)
+        case IntegerType => Some(0xFFFFFFFFL)
+        case LongType    => None
         case other => sys.error(s"hammingpairs: hash column '$hf' has " +
           s"non-integral type $other — provide the fingerprint as a " +
           "64-bit integer (e.g. conv(hex, 16, 10) cast to BIGINT first)")
       }
       val maxDist = spec.int("maxDistance", 3)
+      val sig = widthMask.foldLeft(col(hf).cast("long"))((c, m) => c.bitwiseAND(lit(m)))
       bandedHammingJoin(
-        df.select(col(id).as("__id"), col(hf).cast("long").as("__sig")),
+        df.select(col(id).as("__id"), sig.as("__sig")),
         maxDist, spec, ctx, "hammingpairs")
     }
 

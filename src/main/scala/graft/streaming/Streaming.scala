@@ -37,35 +37,65 @@ object Streaming {
     * WATCHED directory is a legitimate wait-for-files pattern, but a
     * glob over existing files that selects none of them is a config
     * typo — fail it at build time. */
-  private def requireGlobMatches(ctx: EtlContext, path: String, glob: String): Unit = {
+  private def requireGlobMatches(ctx: EtlContext, path: String, glob: String,
+                                 recursive: Boolean): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       sys.error(s"stream source: path '$path' does not exist")
     val filter = new org.apache.hadoop.fs.GlobFilter(glob)
-    // leaf-file names at any depth, matching the source's semantics;
-    // stop at the first hit so the pre-check never pays a full listing.
-    // A directory with NO files at all stays valid — that is the
+    // List the SAME set of files the source will read (verified
+    // empirically on this Spark): top-level files plus files under
+    // `key=value` PARTITION directories; other nested directories are
+    // invisible unless recursiveFileLookup=true. A recursive pre-check
+    // in non-recursive mode would bless a glob that only matches nested
+    // files — exactly the silent-0-row case this guards against.
+    // Stop at the first hit so the pre-check never pays a full listing.
+    // A directory with NO visible files stays valid — that is the
     // wait-for-files landing-dir pattern; the config typo this guards
-    // against is a glob that selects none of the files that DO exist.
-    val it = fs.listFiles(root, true)
+    // against is a glob that selects none of the files the source DOES see.
     var matched = false
     var sawFile = false
-    while (!matched && it.hasNext) {
-      sawFile = true
-      matched = filter.accept(it.next().getPath)
+    def scan(dir: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(dir)
+      var i = 0
+      while (!matched && i < entries.length) {
+        val e = entries(i)
+        if (e.isFile) {
+          sawFile = true
+          matched = filter.accept(e.getPath)
+        } else if (recursive || e.getPath.getName.contains("="))
+          scan(e.getPath)
+        i += 1
+      }
     }
+    scan(root)
     if (!matched && sawFile)
       sys.error(s"stream source: pathGlobFilter '$glob' matches no file " +
         s"under '$path' — a 0-row stream would look like a successful " +
         "query; fix the glob (or drop it to watch the directory)")
+    if (!matched && !sawFile && !recursive) {
+      // no file the source can see — but if the glob WOULD match a file
+      // in a non-partition subdirectory, the user almost certainly meant
+      // to read those: fail with the option that makes them visible
+      val it = fs.listFiles(root, true)
+      var nestedHit = false
+      while (!nestedHit && it.hasNext) nestedHit = filter.accept(it.next().getPath)
+      if (nestedHit)
+        sys.error(s"stream source: pathGlobFilter '$glob' matches only " +
+          s"files in nested directories under '$path', which the file " +
+          "stream source does not read — set recursiveFileLookup=true " +
+          "(or point `path` at the subdirectory)")
+    }
   }
 
   def readStream(ctx: EtlContext, spec: ComponentSpec): DataFrame = {
     val path = spec.str("path").getOrElse(sys.error("stream source: path required"))
     val format = spec.strOr("format", "parquet")
-    if (fileFormats(format))
-      spec.str("pathGlobFilter").foreach(requireGlobMatches(ctx, path, _))
+    if (fileFormats(format)) {
+      val recursive = spec.str("recursiveFileLookup").exists(_.equalsIgnoreCase("true"))
+      spec.str("pathGlobFilter").foreach(requireGlobMatches(ctx, path, _, recursive))
+    }
     val r = ctx.spark.readStream.format(format)
     val withSchema = spec.str("schema") match {
       case Some(ddl) => r.schema(StructType.fromDDL(ddl))
@@ -326,15 +356,35 @@ object Streaming {
     // 100 TB deployment raises it instead). The conf is read at query
     // START and baked into the checkpoint, so set it just for the
     // build+start window and restore the session default after.
-    val restoreConf = src.str("shufflePartitions").map { n =>
-      val key = "spark.sql.shuffle.partitions"
-      val prev = ctx.spark.conf.get(key)
-      ctx.spark.conf.set(key, n)
-      () => ctx.spark.conf.set(key, prev)
+    // The set/start/restore window mutates the SHARED session conf:
+    // two pipelines built concurrently on one session could bake each
+    // other's partition count into their checkpoints. Serialize the
+    // whole window on a per-session lock (start() clones the session
+    // synchronously, so holding the lock through start is enough; the
+    // running query is unaffected by the restore).
+    confLockFor(ctx.spark).synchronized {
+      val restoreConf = src.str("shufflePartitions").map { n =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = ctx.spark.conf.get(key)
+        ctx.spark.conf.set(key, n)
+        () => ctx.spark.conf.set(key, prev)
+      }
+      try runInner(ctx, spec, src)
+      finally restoreConf.foreach(_.apply())
     }
-    try runInner(ctx, spec, src)
-    finally restoreConf.foreach(_.apply())
   }
+
+  /** One lock object per SparkSession for the conf set/start/restore
+    * window above; weak keys so dropped sessions don't pin entries. */
+  private val confLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+  private def confLockFor(s: org.apache.spark.sql.SparkSession): Object =
+    confLocks.synchronized {
+      val cur = confLocks.get(s)
+      if (cur != null) cur
+      else { val o = new Object; confLocks.put(s, o); o }
+    }
 
   private def runInner(ctx: EtlContext, spec: PipelineSpec,
                        src: ComponentSpec): StreamingQuery = {

@@ -144,8 +144,13 @@ object TemporalStages {
       val rPart = right
         // null-key right rows can never match: the window PARTITIONS null
         // keys together, which would fill null-key left rows in violation
-        // of equi-join semantics (null = null is no match)
-        .where((col(rt).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+        // of equi-join semantics (null = null is no match). Filter on the
+        // COMPUTED epoch, not the raw column: an unparseable (non-null)
+        // time value converts to a null __ats, sorts into the nulls-first
+        // prefix, and without a tolerance would be adopted as the fill
+        // match for the extreme left row with a null matched time.
+        .where((epochMicros(right, rt).isNotNull +:
+          keys.map(col(_).isNotNull)).reduce(_ && _))
         .select(keys.map(col) ++ Seq(
           epochMicros(right, rt).as("__ats"),
           lit(rightTag).as("__tag"),

@@ -280,4 +280,21 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2), (1L, 3L, 3), (2L, 3L, 5)).filter(_._3 <= 3),
       pairs.toString)
   }
+
+  test("hammingpairs: narrow int fingerprints are zero-extended, not sign-extended") {
+    // 32-bit fingerprints differing only at the sign bit: Hamming 1 in
+    // the natural width, but a sign-extending cast('long') would make
+    // the distance 33 and silently miss the pair
+    val ints = Seq((1L, 0x80000001: Int), (2L, 0x00000001: Int))
+      .toDF("doc_id", "h")
+    val got = stage("hammingpairs", "hashField" -> "h", "maxDistance" -> 1)(ints)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)), got.toString)
+    // same at 16-bit width
+    val shorts = Seq((1L, 0x8003.toShort), (2L, 0x0003.toShort))
+      .toDF("doc_id", "h")
+    val got16 = stage("hammingpairs", "hashField" -> "h", "maxDistance" -> 1)(shorts)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got16 == Set((1L, 2L, 1)), got16.toString)
+  }
 }

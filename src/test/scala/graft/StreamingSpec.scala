@@ -221,8 +221,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream source: a pathGlobFilter matching zero files fails loud at build") {
+    // FLAT layout: part files at the top level, where the source reads
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyglob").toString
-    spark.range(3).write.mode("overwrite").parquet(s"$dir/data.parquet")
+    spark.range(3).write.mode("overwrite").parquet(dir)
     // positive control: a matching glob builds fine
     Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
       "path" -> dir, "format" -> "parquet",
@@ -249,5 +250,39 @@ class StreamingSpec extends SparkSpec {
     Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
       "path" -> empty, "format" -> "parquet",
       "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
+  }
+
+  test("stream source glob guard matches the source's nested-file visibility") {
+    // NESTED non-partition layout (dir/data.parquet/part-*): the file
+    // stream source reads ZERO of these files without
+    // recursiveFileLookup (verified empirically) — a glob that matches
+    // them must fail with the recursiveFileLookup hint, not bless a
+    // silent 0-row stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_nestedglob").toString
+    spark.range(3).write.mode("overwrite").parquet(s"$dir/data.parquet")
+    val e = intercept[RuntimeException] {
+      Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+        "path" -> dir, "format" -> "parquet",
+        "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
+    }
+    assert(e.getMessage.contains("recursiveFileLookup"), e.getMessage)
+    // with recursiveFileLookup=true the nested files ARE visible → ok
+    Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+      "path" -> dir, "format" -> "parquet", "recursiveFileLookup" -> "true",
+      "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
+    // key=value PARTITION subdirs are visible WITHOUT the option
+    // (partition discovery) — a matching glob over them must build fine
+    val pdir = java.nio.file.Files.createTempDirectory("graft_partglob").toString
+    spark.range(3).write.mode("overwrite").parquet(s"$pdir/p=1")
+    Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+      "path" -> pdir, "format" -> "parquet",
+      "pathGlobFilter" -> "*.parquet", "schema" -> "id BIGINT")))
+    // ...and a glob matching none of the partition files fails loud
+    val e2 = intercept[RuntimeException] {
+      Streaming.readStream(newCtx(), ComponentSpec("stream", Map(
+        "path" -> pdir, "format" -> "parquet",
+        "pathGlobFilter" -> "events.parquet", "schema" -> "id BIGINT")))
+    }
+    assert(e2.getMessage.contains("matches no file"), e2.getMessage)
   }
 }

@@ -63,6 +63,20 @@ class TemporalSpec extends SparkSpec {
     assert(out == Seq((1L, Some("old")), (2L, None), (3L, None), (4L, None)))
   }
 
+  test("asofjoin: null-TIME right rows are never adopted as a match") {
+    // a right row with a null time sorts into the nulls-first prefix of
+    // BOTH scan directions — without the rPart filter it would be
+    // adopted as the fill match for the extreme left row (null matched
+    // time, real value). All three directions must ignore it.
+    val right = Seq(("k1", Option(5.0), "real"), ("k1", Option.empty[Double], "ghost"))
+      .toDF("k", "t", "v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = asof(left(), right, "direction" -> dir).orderBy("eid")
+        .select("eid", "v").as[(Long, Option[String])].collect().toSeq
+      assert(out.forall(_._2 forall (_ != "ghost")), s"$dir: $out")
+    }
+  }
+
   test("asofjoin: null keys never match (equi-join semantics)") {
     val points = Seq((1L, Option("k1"), 10.0), (2L, Option.empty[String], 10.0))
       .toDF("eid", "k", "t")
