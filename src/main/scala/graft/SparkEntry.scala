@@ -610,6 +610,32 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "upsert_bucketed" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // partition-pruned MERGE: the hash-bucketed layout rewrites only
+      // the buckets the delta touches (delta = custkey%10==0 rows with
+      // +100 acctbal); read-back must equal the whole-table upsert
+      val out = s"/tmp/graft_upsert_bkt_${math.abs(dir.hashCode)}"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(out))
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"parquet": {"path": "$out", "mode": "upsert",
+                               "key": "c_custkey", "buckets": 16}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment FROM input WHERE c_custkey % 10 = 0"}}],
+        "loader": {"parquet": {"path": "$out", "mode": "upsert",
+                               "key": "c_custkey", "buckets": 16}} }""")
+      s.read.parquet(out)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
     "pagerank" -> { (s, dir) =>
       val c = ctx(s, dir)
       // iterative distributed PageRank (5 rounds, d=0.85) over the
@@ -2034,6 +2060,8 @@ object SparkEntry {
     "partitioned_write" ->
       "SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey, s_acctbal FROM supplier WHERE s_nationkey = 3 ORDER BY s_suppkey",
     "upsert_write" ->
+      "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "upsert_bucketed" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_size, p_retailprice FROM part ORDER BY p_partkey",

@@ -4,6 +4,7 @@ import graft.engine.EtlContext
 import graft.expr.OrientExpr
 import graft.spec.ComponentSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Loaders (sinks) — SURVEY.md §2.4.
   *
@@ -98,6 +99,144 @@ object Loaders {
         s"left at $staging; original table restored)")
     }
     if (existed) fs.delete(old, true)
+    true
+  }
+
+  /** Partition-pruned MERGE for large targets — the 100 TB shape of
+    * [[upsertParquet]]. The table lives hash-bucketed on the merge key
+    * (`__bucket=<i>` partition directories, `i = pmod(hash(key), n)`,
+    * layout recorded in a `_graft_buckets.json` sidecar); an upsert
+    * 1. computes the DISTINCT bucket ids the delta touches (≤ n values),
+    * 2. reads ONLY those partitions (genuine Catalyst partition pruning
+    *    — the scan never lists untouched buckets),
+    * 3. merges last-wins per key within them, and
+    * 4. swaps in ONLY the rewritten bucket directories.
+    * Untouched buckets' files are never read, rewritten, or moved, so
+    * upsert cost scales with DELTA size, not table size (asserted by
+    * PlanSpec + the ScaleStress upsert leg). Same crash contract as the
+    * whole-table path, per bucket: target bucket → `.old`, staging
+    * bucket → target, delete `.old`; a crash leaves every bucket in
+    * either its old or new state, never neither, and the next run
+    * restores stranded `.old` buckets before reading.
+    * Reference semantics: save-or-update per record +
+    * batchCommit (OOrientDBLoader.java:164-177, 181-194) — the
+    * transactional store's row-level upsert re-expressed as bounded
+    * partition rewrites on a plain filesystem. */
+  private def upsertParquetBucketed(ctx: EtlContext, spec: ComponentSpec,
+                                    df: DataFrame, path: String,
+                                    nBuckets: Int): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val key = spec.str("key").getOrElse(sys.error("parquet loader: upsert requires key"))
+    require(nBuckets > 0, s"parquet upsert: buckets must be positive, got $nBuckets")
+    val incoming = applyDeclaredSchema(df, spec)
+    require(incoming.columns.contains(key),
+      s"parquet upsert: incoming batch lacks key column '$key'")
+    val spark = ctx.spark
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new HPath(path)
+    val old = new HPath(path + ".old")
+    val staging = new HPath(path + ".staging")
+    def bucketDirs(root: HPath): Seq[(Int, HPath)] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("__bucket=") =>
+          (s.getPath.getName.stripPrefix("__bucket=").toInt, s.getPath)
+      }
+    // crash recovery. Whole-table case first: a migration crash between
+    // move-aside and swap leaves `.old` as the ONLY copy of the table —
+    // restore it, never delete it. Then per-bucket: restore any bucket
+    // whose only surviving copy is in `.old` (died between move-aside
+    // and staging swap); drop `.old` copies that coexist with a live
+    // target bucket (died after swap).
+    if (!fs.exists(target) && fs.exists(old)) {
+      require(fs.rename(old, target),
+        s"parquet upsert: crash recovery failed restoring $old -> $target")
+    } else {
+      for ((b, oldDir) <- bucketDirs(old)) {
+        val tgt = new HPath(target, s"__bucket=$b")
+        if (!fs.exists(tgt))
+          require(fs.rename(oldDir, tgt),
+            s"parquet upsert: crash recovery failed restoring bucket $b")
+        else fs.delete(oldDir, true)
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+
+    val sidecar = new HPath(target, "_graft_buckets.json")
+    val bucketCol = pmod(hash(col(key)), lit(nBuckets))
+    def writeSidecar(): Unit = {
+      val out = fs.create(sidecar, true)
+      out.write(s"""{"key":"$key","buckets":$nBuckets}""".getBytes("UTF-8"))
+      out.close()
+    }
+    val existed = fs.exists(target)
+    if (!existed) {
+      incoming.withColumn("__bucket", bucketCol)
+        .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+      writeSidecar()
+      return true
+    }
+    if (!fs.exists(sidecar)) {
+      // existing NON-bucketed table: one-time migration — full merge +
+      // rewrite into the bucketed layout; every later upsert is pruned
+      val merged = graft.stages.LookupStages.upsertResult(
+        spark.read.parquet(path), incoming, key)
+      merged.withColumn("__bucket", bucketCol)
+        .write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
+      require(fs.rename(target, old), s"parquet upsert: could not move " +
+        s"current table aside ($target -> $old)")
+      if (!fs.rename(staging, target)) {
+        fs.rename(old, target)
+        sys.error(s"parquet upsert: staging rename failed for $path")
+      }
+      fs.delete(old, true)
+      writeSidecar()
+      return true
+    }
+    // layout contract: the sidecar's (key, n) define the on-disk hash —
+    // a different spec would read/write the WRONG buckets silently
+    val meta = {
+      val in = fs.open(sidecar)
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close(); txt
+    }
+    require(meta.contains(s""""key":"$key"""") &&
+            meta.contains(s""""buckets":$nBuckets"""),
+      s"parquet upsert: bucket layout mismatch for $path — table sidecar " +
+      s"$meta vs spec (key=$key, buckets=$nBuckets); re-create the table " +
+      "or match the recorded layout")
+
+    val affected: Seq[Int] = incoming
+      .select(bucketCol.cast("int").as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return true // empty delta — nothing to touch
+    // partition-PRUNED read: only the affected bucket directories are
+    // listed and scanned (isin on the partition column)
+    val existing = spark.read.parquet(path)
+      .where(col("__bucket").isin(affected.map(Integer.valueOf): _*))
+      .drop("__bucket")
+    val merged = graft.stages.LookupStages.upsertResult(existing, incoming, key)
+    merged.withColumn("__bucket", bucketCol)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
+    // per-bucket swap: every merged row hashes into an affected bucket,
+    // so staging holds exactly the affected partition dirs
+    fs.mkdirs(old)
+    for (b <- affected) {
+      val tgtB = new HPath(target, s"__bucket=$b")
+      val stgB = new HPath(staging, s"__bucket=$b")
+      val oldB = new HPath(old, s"__bucket=$b")
+      if (fs.exists(tgtB))
+        require(fs.rename(tgtB, oldB),
+          s"parquet upsert: could not move bucket $b aside")
+      if (fs.exists(stgB) && !fs.rename(stgB, tgtB)) {
+        if (fs.exists(oldB)) fs.rename(oldB, tgtB)
+        sys.error(s"parquet upsert: staging swap failed for bucket $b of " +
+          s"$path (prior buckets already swapped — per-bucket recovery " +
+          "applies on the next run)")
+      }
+    }
+    fs.delete(old, true)
+    fs.delete(staging, true)
     true
   }
 
@@ -303,7 +442,12 @@ object Loaders {
         val path = OrientExpr.resolveString(
           spec.str("path").getOrElse(sys.error("parquet loader: path required")), vars)
         if (spec.strOr("mode", "overwrite") == "upsert")
-          upsertParquet(ctx, spec, df, path)
+          // `buckets: n` opts into the hash-bucketed layout whose
+          // upserts rewrite only key-containing buckets — the shape
+          // for targets too big to rewrite per batch
+          if (spec.options.contains("buckets"))
+            upsertParquetBucketed(ctx, spec, df, path, spec.int("buckets", 16))
+          else upsertParquet(ctx, spec, df, path)
         else {
           var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
           val parts = spec.strList("partitionBy")

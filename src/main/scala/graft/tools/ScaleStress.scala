@@ -155,6 +155,10 @@ object ScaleStress {
     val spark = Engine.session("graft-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     def ctx() = new EtlContext(spark)
+    // optional comma-list of leg names: run only those (dev loop —
+    // `runMain graft.tools.ScaleStress upsert_delta`); default all
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
 
     def time2(json: String): Double = {
       def once(): Double = {
@@ -168,7 +172,10 @@ object ScaleStress {
     }
 
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
-    for (factor <- Seq(1, 10, 100)) {
+    val batchLegs = Seq("asof_join", "asof_nearest", "range_join",
+      "hamming_pairs", "semantic_dedup", "minhash_pairs",
+      "neardup_dedup_lsh", "cosine_dup", "group_cap")
+    for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
       val docs = ensureDocs(spark, n, s"/tmp/graft_stress_docs_f$factor")
@@ -251,7 +258,7 @@ object ScaleStress {
           "transformers": [{"groupcap": {"groupField": "domain",
             "orderField": "doc_id", "maxPerGroup": 10}}],
           "loader": {"memory": {}} }""")
-      ops.foreach { case (name, json) =>
+      ops.filter(o => enabled(o._1)).foreach { case (name, json) =>
         val t = time2(json)
         results((name, factor)) = t
         val nDisp = name match {
@@ -262,7 +269,7 @@ object ScaleStress {
         }
         println(f"[stress] $name%-18s factor=$factor%-2d n=$nDisp%-6d min-of-2 = $t%7.2fs")
       }
-      if (factor >= 100) {
+      if (factor >= 100 && enabled("cosine_dup")) {
         // the under-bucketed config must FAIL FAST (density guard), not
         // GC-thrash: 200k vectors at 4 bits/band ≈ 10^10 candidates
         val e = try {
@@ -281,7 +288,7 @@ object ScaleStress {
     // class the batch legs can't represent. State per side ≈ the rows
     // inside watermark+band; with availableNow over one bounded fixture
     // the wall time is scan + state-build + join, measured end-to-end.
-    for (factor <- Seq(1, 10, 100)) {
+    for (factor <- Seq(1, 10, 100) if enabled("stream_join")) {
       val n = 10000L * factor
       val ev = ensureEventsTs(spark, n, s"/tmp/graft_stress_evts_f$factor")
       val t0 = System.nanoTime()
@@ -307,6 +314,46 @@ object ScaleStress {
       val rows = spark.table(s"stress_sj_f$factor").count()
       results(("stream_join", factor)) = t
       println(f"[stress] stream_join        factor=$factor%-2d n=$n%-6d wall = $t%7.2fs (pairs=$rows)")
+    }
+    // bucketed-upsert leg: table grows 100×, bucket count grows with it
+    // (fixed rows/bucket — the deployment shape), the delta stays FIXED
+    // and confined to one bucket. Pruned correctly, upsert wall time is
+    // flat (exp ≈ 0): scan + rewrite of one constant-size bucket. The
+    // whole-table rewrite it replaces would be exp ≈ 1.
+    for (factor <- Seq(1, 10, 100) if enabled("upsert_delta")) {
+      import spark.implicits._
+      val n = 20000L * factor
+      val buckets = (8 * factor).toInt
+      val dir = s"/tmp/graft_stress_upsert_f$factor"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(dir)); rmrf(new java.io.File(dir + "_tbl"))
+      spark.range(1, n + 1).select(col("id"),
+          concat(lit("payload_"), col("id")).as("v"))
+        .write.mode("overwrite").parquet(s"${dir}_base")
+      Engine.runJson(ctx(), s"""{
+        "source": {"file": {"path": "${dir}_base"}},
+        "extractor": {"parquet": {}},
+        "loader": {"parquet": {"path": "${dir}_tbl", "mode": "upsert",
+                               "key": "id", "buckets": $buckets}} }""")
+      // delta: 200 existing keys that ALL hash into bucket 0
+      spark.range(1, n + 1)
+        .where(pmod(hash(col("id")), lit(buckets)) === 0).limit(200)
+        .select(col("id"), lit("UPDATED").as("v"))
+        .write.mode("overwrite").parquet(s"${dir}_delta")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Engine.runJson(ctx(), s"""{
+          "source": {"file": {"path": "${dir}_delta"}},
+          "extractor": {"parquet": {}},
+          "loader": {"parquet": {"path": "${dir}_tbl", "mode": "upsert",
+                                 "key": "id", "buckets": $buckets}} }""")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = { val a = once(); val b = once(); math.min(a, b) }
+      results(("upsert_delta", factor)) = t
+      println(f"[stress] upsert_delta       factor=$factor%-2d n=$n%-6d min-of-2 = $t%7.2fs (table=${n} rows, delta=200)")
     }
     println("[stress] scaling exponents (1.0 = linear in N; the 10->100 column")
     println("[stress] is the honest one — fixed job-launch cost dominates factor 1):")

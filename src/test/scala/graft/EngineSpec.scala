@@ -265,6 +265,117 @@ class EngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
   }
 
+  test("bucketed upsert: delta rewrites ONLY key-containing buckets") {
+    import spark.implicits._
+    val path = s"$tmp/upsert_bucketed_tbl"
+    def run(src: String): Unit = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$src"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert",
+                             "key": "id", "buckets": 8}} }""")
+    val basePq = s"$tmp/upb_base_pq"
+    (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(basePq)
+    run(basePq)
+    // bucketed layout on disk + sidecar
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+    assert(bucketDirs.nonEmpty, "expected __bucket=<i> partition dirs")
+    assert(new java.io.File(s"$path/_graft_buckets.json").exists)
+    // snapshot every data file (path -> mtime) before the delta
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles()
+    // one-key delta: touches exactly one bucket
+    val deltaPq = s"$tmp/upb_delta_pq"
+    Seq((7L, "UPDATED")).toDF("id", "v").write.mode("overwrite").parquet(deltaPq)
+    run(deltaPq)
+    val after = dataFiles()
+    val touchedBucket = {
+      val b = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"id"),
+        org.apache.spark.sql.functions.lit(8))
+      Seq(Tuple1(7L)).toDF("id").select(b).head.getInt(0)
+    }
+    // untouched buckets: identical file sets, byte-identical mtimes
+    val untouchedBefore = before.filter(!_._1.contains(s"__bucket=$touchedBucket"))
+    val untouchedAfter = after.filter(!_._1.contains(s"__bucket=$touchedBucket"))
+    assert(untouchedBefore == untouchedAfter,
+      "files outside the delta's bucket must not be rewritten")
+    // the touched bucket WAS rewritten
+    assert(before.keySet.filter(_.contains(s"__bucket=$touchedBucket")) !=
+           after.keySet.filter(_.contains(s"__bucket=$touchedBucket")))
+    // merged content is exact: row 7 updated, everything else intact
+    val out = spark.read.parquet(path).drop("__bucket")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 200 && out(7L) == "UPDATED" && out(8L) == "v8")
+    assert(!new java.io.File(s"$path.staging").exists, "staging cleaned")
+    assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
+  }
+
+  test("bucketed upsert: per-bucket crash recovery and layout guards") {
+    import spark.implicits._
+    val path = s"$tmp/upsert_bucketed_crash"
+    def run(src: String, buckets: Int = 4, key: String = "id"): Unit =
+      Engine.runJson(newCtx(), s"""{
+        "source": {"file": {"path": "$src"}},
+        "extractor": {"parquet": {}},
+        "loader": {"parquet": {"path": "$path", "mode": "upsert",
+                               "key": "$key", "buckets": $buckets}} }""")
+    val basePq = s"$tmp/upbc_base_pq"
+    (1L to 40L).map(i => (i, i * 10)).toDF("id", "x")
+      .write.mode("overwrite").parquet(basePq)
+    run(basePq)
+    // simulate a crash between moving a bucket aside and swapping the
+    // staged one in: bucket dir lives ONLY under .old
+    val aBucket = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).head.getName
+    val oldDir = new java.io.File(s"$path.old")
+    assert(oldDir.mkdirs())
+    assert(new java.io.File(s"$path/$aBucket")
+      .renameTo(new java.io.File(s"$path.old/$aBucket")))
+    val deltaPq = s"$tmp/upbc_delta_pq"
+    Seq((41L, 410L)).toDF("id", "x").write.mode("overwrite").parquet(deltaPq)
+    run(deltaPq)
+    val got = spark.read.parquet(path).drop("__bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 41, s"stranded bucket must be restored, got ${got.size}")
+    assert(got(41L) == 410L)
+    // layout mismatch fails loud instead of writing the wrong buckets
+    val e = intercept[Exception] { run(deltaPq, buckets = 16) }
+    assert(e.getMessage.contains("layout mismatch"), e.getMessage)
+  }
+
+  test("bucketed upsert: migrates an existing flat table once, then prunes") {
+    import spark.implicits._
+    val path = s"$tmp/upsert_migrate_tbl"
+    // seed a NON-bucketed table via the plain upsert path
+    val basePq = s"$tmp/upm_base_pq"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(basePq)
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$basePq"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert", "key": "id"}} }""")
+    assert(!new java.io.File(s"$path/_graft_buckets.json").exists)
+    // first bucketed upsert migrates the layout and merges the delta
+    val deltaPq = s"$tmp/upm_delta_pq"
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").write.mode("overwrite").parquet(deltaPq)
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$deltaPq"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert",
+                             "key": "id", "buckets": 4}} }""")
+    assert(new java.io.File(s"$path/_graft_buckets.json").exists)
+    val out = spark.read.parquet(path).drop("__bucket")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("EtlListener: begin/loaded/end + halt callbacks fire at phase granularity") {
     val path = writeNationCsv()
     val events = scala.collection.mutable.ArrayBuffer.empty[String]
