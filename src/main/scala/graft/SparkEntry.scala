@@ -76,6 +76,10 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.ensureAudio(spark, sfDir, s"$dir/audio_parquet")
       // real MP4 container bytes for the pure-byte box-parse decode
       graft.multimodal.MediaFixtures.ensureVideo(spark, sfDir, s"$dir/video_parquet")
+      // structurally-real MP3/ADTS frame sequences for the compressed-
+      // audio frame-header walk (metadata = doc_id arithmetic)
+      graft.multimodal.MediaFixtures.ensureCompressedAudio(
+        spark, sfDir, s"$dir/ca_parquet")
       // block-pattern PNGs whose average-hash is planted doc_id
       // arithmetic (the image near-dup query's input)
       graft.multimodal.MediaFixtures.ensurePhash(spark, sfDir, s"$dir/phash_parquet")
@@ -1695,6 +1699,21 @@ object SparkEntry {
         .select("media_id", "sample_rate", "channels", "n_samples")
         .orderBy("media_id")
     },
+    "mm_audio_compressed" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // REAL MP3 / ADTS-AAC frame-header walks: sample rate, channels,
+      // and frame-accurate sample count recovered from the compressed
+      // framing itself (ID3v2/v1 tags skipped, per-frame padding and
+      // variable 13-bit ADTS lengths honored); the oracle recomputes
+      // the fixture's doc_id arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/ca_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_audio": {"idField": "media_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "sample_rate", "channels", "n_samples")
+        .orderBy("media_id")
+    },
     "mm_frame_sample" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // real frame sampling from real MP4 bytes: every 4th sample's
@@ -2395,6 +2414,13 @@ object SparkEntry {
        "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END AS INTEGER) AS sample_rate, " +
        "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
        "CAST(500 + (doc_id * 13) % 1000 AS BIGINT) AS n_samples " +
+       "FROM documents ORDER BY media_id"),
+    // MP3: frames × 1152 (MPEG-1 Layer III); ADTS (doc_id%4=3): × 1024
+    "mm_audio_compressed" ->
+      ("SELECT doc_id AS media_id, " +
+       "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INTEGER) AS sample_rate, " +
+       "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
+       "CAST((6 + (doc_id * 11) % 24) * (CASE WHEN doc_id % 4 = 3 THEN 1024 ELSE 1152 END) AS BIGINT) AS n_samples " +
        "FROM documents ORDER BY media_id"),
     // every 4th frame of each fixture MP4; frame payload bytes are
     // doc_id arithmetic, so first_byte proves the REAL byte slicing

@@ -40,6 +40,144 @@ object AudioCodec {
     } finally in.close()
   }
 
+  // ------------------------------------------------ compressed formats
+  // Pure-byte frame-header walks, the same pattern as [[VideoCodec]]'s
+  // MP4 box parse: the payload's own framing carries sample rate,
+  // channel count, and frame count — no codec library needed for
+  // metadata extraction. Reference intent: per-record field extraction
+  // from opaque payloads (orientdb-etl OCSVTransformer.java:96-140's
+  // typed-cell contract, applied to media bytes).
+
+  /** MPEG-1/2/2.5 audio (MP3) bitrate table, Layer III, kbps.
+    * Index 0 = free, 15 = reserved — both rejected. */
+  private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56,
+    64, 80, 96, 112, 128, 144, 160, -1)
+  private val Mp3RateV1 = Array(44100, 48000, 32000, -1)
+  private val Mp3RateV2 = Array(22050, 24000, 16000, -1)
+  private val Mp3RateV25 = Array(11025, 12000, 8000, -1)
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350, -1, -1, -1)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  /** Decode an MP3 stream's metadata by walking its frame headers:
+    * skips a leading ID3v2 tag (syncsafe size) and a trailing ID3v1
+    * block, then counts frames via each header's computed length.
+    * `n_samples` = frames × samples-per-frame (1152 for MPEG-1
+    * Layer III, 576 for MPEG-2/2.5); rate/channels from the first
+    * frame. Truncated or desynced bytes are a typed error naming the
+    * row and offset — at crawl scale a corrupt payload must say WHERE. */
+  def decodeMp3(id: Long, payload: Array[Byte]): AudioMeta = {
+    var pos = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4), then body
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
+        (u8(payload, 8) << 7) | u8(payload, 9)
+      pos = 10 + size
+    }
+    val end = // ID3v1: fixed 128-byte "TAG" block at the very end
+      if (payload.length >= 128 &&
+          payload(payload.length - 128) == 'T' &&
+          payload(payload.length - 127) == 'A' &&
+          payload(payload.length - 126) == 'G') payload.length - 128
+      else payload.length
+    var frames = 0L; var samples = 0L; var rate = 0; var channels = 0
+    while (pos < end) {
+      if (pos + 4 > end || u8(payload, pos) != 0xFF ||
+          (u8(payload, pos + 1) & 0xE0) != 0xE0)
+        sys.error(s"mm_audio: media_id=$id: lost MP3 frame sync at byte " +
+          s"$pos of ${payload.length}")
+      val b1 = u8(payload, pos + 1); val b2 = u8(payload, pos + 2)
+      val version = (b1 >> 3) & 3   // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layer = (b1 >> 1) & 3     // 1=III, 2=II, 3=I
+      if (version == 1 || layer != 1)
+        sys.error(s"mm_audio: media_id=$id: unsupported MPEG " +
+          s"version/layer bits ($version/$layer) at byte $pos — only " +
+          "Layer III (MP3) framing is parsed")
+      val brIdx = (b2 >> 4) & 0xF
+      val srIdx = (b2 >> 2) & 3
+      val padding = (b2 >> 1) & 1
+      val v1 = version == 3
+      val bitrate = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)(brIdx) * 1000
+      val sr = (version match {
+        case 3 => Mp3RateV1
+        case 2 => Mp3RateV2
+        case _ => Mp3RateV25
+      })(srIdx)
+      if (bitrate <= 0 || sr <= 0)
+        sys.error(s"mm_audio: media_id=$id: reserved bitrate/samplerate " +
+          s"index at byte $pos")
+      val spf = if (v1) 1152 else 576
+      val frameLen = spf / 8 * bitrate / sr + padding
+      if (pos + frameLen > end)
+        sys.error(s"mm_audio: media_id=$id: truncated MP3 frame at byte " +
+          s"$pos (needs $frameLen bytes, ${end - pos} remain) — lost sync " +
+          "or cut-off payload")
+      if (rate == 0) {
+        rate = sr
+        channels = if (((u8(payload, pos + 3) >> 6) & 3) == 3) 1 else 2
+      }
+      frames += 1; samples += spf; pos += frameLen
+    }
+    if (frames == 0)
+      sys.error(s"mm_audio: media_id=$id: no MP3 frames in payload")
+    AudioMeta(id, payload.length.toLong, rate, channels, samples)
+  }
+
+  /** Decode an ADTS (AAC transport) stream's metadata by walking its
+    * 7/9-byte frame headers: 13-bit frame length, sampling-frequency
+    * index, channel configuration; 1024 samples per raw data block. */
+  def decodeAdts(id: Long, payload: Array[Byte]): AudioMeta = {
+    var pos = 0; var frames = 0L; var samples = 0L
+    var rate = 0; var channels = 0
+    while (pos < payload.length) {
+      if (pos + 7 > payload.length || u8(payload, pos) != 0xFF ||
+          (u8(payload, pos + 1) & 0xF6) != 0xF0)
+        sys.error(s"mm_audio: media_id=$id: lost ADTS frame sync at byte " +
+          s"$pos of ${payload.length}")
+      val b2 = u8(payload, pos + 2); val b3 = u8(payload, pos + 3)
+      val srIdx = (b2 >> 2) & 0xF
+      val sr = AdtsRates(srIdx)
+      if (sr <= 0)
+        sys.error(s"mm_audio: media_id=$id: reserved ADTS sampling index " +
+          s"$srIdx at byte $pos")
+      val ch = ((b2 & 1) << 2) | ((b3 >> 6) & 3)
+      val frameLen = ((b3 & 3) << 11) | (u8(payload, pos + 4) << 3) |
+        ((u8(payload, pos + 5) >> 5) & 7)
+      if (frameLen < 7)
+        sys.error(s"mm_audio: media_id=$id: ADTS frame length $frameLen " +
+          s"< header size at byte $pos")
+      val blocks = (u8(payload, pos + 6) & 3) + 1
+      if (pos + frameLen > payload.length)
+        sys.error(s"mm_audio: media_id=$id: truncated ADTS frame at byte " +
+          s"$pos (needs $frameLen bytes, ${payload.length - pos} remain)")
+      if (rate == 0) { rate = sr; channels = ch }
+      frames += 1; samples += 1024L * blocks; pos += frameLen
+    }
+    if (frames == 0)
+      sys.error(s"mm_audio: media_id=$id: no ADTS frames in payload")
+    AudioMeta(id, payload.length.toLong, rate, channels, samples)
+  }
+
+  /** Sniff-and-decode: WAV/AIFF/AU via the JDK, MP3 (ID3 tag or MPEG
+    * sync with a real layer) and ADTS AAC (sync with layer bits 00) via
+    * the frame-header walks. One entry point for the `mm_audio` stage —
+    * the container tells us which parser applies. */
+  def decodeAny(id: Long, payload: Array[Byte]): AudioMeta = {
+    if (payload == null || payload.length < 4)
+      sys.error(s"mm_audio: media_id=$id: empty or truncated payload")
+    val b0 = u8(payload, 0); val b1 = u8(payload, 1)
+    if (payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3')
+      decodeMp3(id, payload)
+    else if (b0 == 0xFF && (b1 & 0xE0) == 0xE0) {
+      if (((b1 >> 1) & 3) == 0) decodeAdts(id, payload) // layer 00 = ADTS
+      else decodeMp3(id, payload)
+    } else decode(id, payload) // RIFF/FORM/.snd → javax.sound
+  }
+
   /** Encode raw 16-bit little-endian PCM as a WAV container. */
   def encodeWav(pcm: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)

@@ -112,6 +112,104 @@ object MediaFixtures {
     outPath
   }
 
+  // ---- compressed-audio fixture: structurally-REAL MP3 / ADTS-AAC
+  // frame sequences, metadata = doc_id arithmetic. Headers are real
+  // (sync, version/layer, bitrate/rate indices, 13-bit ADTS lengths);
+  // the audio payload bytes are deterministic filler — the parser
+  // reads ONLY the framing, exactly like VideoCodec's box walk.
+
+  def caIsAdts(id: Long): Boolean = id % 4 == 3
+  def caRate(id: Long): Int = (id % 3) match {
+    case 0 => 44100; case 1 => 48000; case _ => 32000
+  }
+  def caChannels(id: Long): Int = (1 + id % 2).toInt
+  def caFrames(id: Long): Int = (6 + (id * 11) % 24).toInt
+  def caSamples(id: Long): Long =
+    caFrames(id).toLong * (if (caIsAdts(id)) 1024 else 1152)
+
+  /** MPEG-1 Layer III frames at 128 kbps; even ids get a leading ID3v2
+    * tag, ids % 6 == 0 a trailing ID3v1 block — both must be skipped.
+    * Filler bytes have the high bit set so they can never fake a 'TAG'
+    * marker. */
+  def mp3Payload(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) {
+      val body = (id % 40).toInt
+      bos.write(Array[Byte]('I', 'D', '3', 3, 0, 0), 0, 6)
+      bos.write(((body >> 21) & 0x7F)); bos.write(((body >> 14) & 0x7F))
+      bos.write(((body >> 7) & 0x7F)); bos.write((body & 0x7F))
+      var i = 0; while (i < body) { bos.write(((id + i) % 120).toInt | 0x80); i += 1 }
+    }
+    val srIdx = (id % 3).toInt // 0=44100, 1=48000, 2=32000 (MPEG-1 table)
+    val rate = caRate(id)
+    val mono = caChannels(id) == 1
+    var f = 0
+    while (f < caFrames(id)) {
+      val pad = ((id + f) % 2).toInt
+      val frameLen = 144 * 128000 / rate + pad
+      bos.write(0xFF); bos.write(0xFB) // sync + MPEG-1 + Layer III
+      bos.write((9 << 4) | (srIdx << 2) | (pad << 1)) // 128 kbps
+      bos.write(if (mono) 0xC0 else 0x00)
+      var i = 4
+      while (i < frameLen) {
+        bos.write((((id * 31 + f * 7 + i) % 120) | 0x80).toInt); i += 1
+      }
+      f += 1
+    }
+    if (id % 6 == 0) {
+      bos.write('T'); bos.write('A'); bos.write('G')
+      var i = 3; while (i < 128) { bos.write(0); i += 1 }
+    }
+    bos.toByteArray
+  }
+
+  /** ADTS AAC-LC frames (7-byte headers, protection absent, one raw
+    * data block = 1024 samples each); frame body length varies per
+    * frame to exercise the 13-bit length field. */
+  def adtsPayload(id: Long): Array[Byte] = {
+    val srIdx = (id % 3) match { case 0 => 4; case 1 => 3; case _ => 5 }
+    val ch = caChannels(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < caFrames(id)) {
+      val bodyLen = 40 + ((id + f) % 17).toInt
+      val frameLen = 7 + bodyLen
+      bos.write(0xFF); bos.write(0xF1) // sync + MPEG-4 + layer 00 + no CRC
+      bos.write((1 << 6) | (srIdx << 2) | ((ch >> 2) & 1)) // AAC-LC
+      bos.write(((ch & 3) << 6) | ((frameLen >> 11) & 3))
+      bos.write((frameLen >> 3) & 0xFF)
+      bos.write(((frameLen & 7) << 5) | 0x1F)
+      bos.write(0xFC) // buffer fullness low | 0 extra raw blocks
+      var i = 0; while (i < bodyLen) { bos.write(((id * 17 + f * 3 + i) % 239).toInt); i += 1 }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  def compressedAudioPayload(id: Long): Array[Byte] =
+    if (caIsAdts(id)) adtsPayload(id) else mp3Payload(id)
+
+  /** The compressed-audio fixture frame: (media_id, payload) — 3 of 4
+    * ids MP3, 1 of 4 ADTS. */
+  def compressedAudioFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, compressedAudioPayload(id))))(enc)
+      .toDF("media_id", "payload")
+  }
+
+  def ensureCompressedAudio(spark: SparkSession, sfDir: String,
+                            outPath: String): String = {
+    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    if (!marker.exists()) {
+      compressedAudioFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
+    outPath
+  }
+
   // ---- video fixture: real MP4 container bytes, metadata = doc_id
   // arithmetic (the FIXTURES.md protocol: the oracle recomputes the
   // arithmetic, the engine must recover it by parsing the boxes)

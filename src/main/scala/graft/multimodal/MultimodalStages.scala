@@ -10,18 +10,17 @@ import org.apache.spark.sql.functions._
   * `binary` payload columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * Image decode and resample are REAL (JDK `javax.imageio`, see
-  * [[ImageCodec]]): PNG/JPEG/BMP/GIF payloads yield their actual
-  * width/height/channel count and — for GIF — the actual frame count,
-  * and `mm_resize` re-encodes real resampled pixels. WAV audio decode
-  * is REAL ([[AudioCodec]], `javax.sound.sampled`) and MP4 container
-  * metadata decode is REAL ([[VideoCodec]], pure-byte ISO BMFF box
-  * parsing). Only compressed audio the JDK cannot parse goes through
-  * the clearly-marked [[StubDecoder]], kept as
-  * the seam where a JNI/ffmpeg-style decoder plugs in. The Spark shape
-  * is what matters at 100 TB either way: binary column schema, typed
-  * metadata struct contract, partition-parallel `mapPartitions` batch
-  * decode, plan-level frame expansion.
+  * Every decode path is REAL, no stubs: images via JDK `javax.imageio`
+  * ([[ImageCodec]] — PNG/JPEG/BMP/GIF actual width/height/channels and
+  * GIF frame count, `mm_resize` re-encodes real resampled pixels),
+  * WAV/AIFF/AU via `javax.sound.sampled` and MP3/ADTS-AAC via
+  * pure-byte frame-header walks ([[AudioCodec]]), MP4 container
+  * metadata via pure-byte ISO BMFF box parsing ([[VideoCodec]]).
+  * A production build swaps individual codecs (e.g. a JNI full-frame
+  * pixel decoder) without touching the Spark shape that matters at
+  * 100 TB: binary column schema, typed metadata struct contract,
+  * partition-parallel `mapPartitions` batch decode, plan-level frame
+  * expansion.
   */
 object MultimodalStages {
 
@@ -29,26 +28,13 @@ object MultimodalStages {
   final case class MediaMeta(media_id: Long, byte_len: Long, width: Int,
                              height: Int, channels: Int, n_frames: Int)
 
-  /** STUB decoder — now reduced to the LAST opt-in seam: compressed
-    * audio formats (mp3/ogg/aac) whose frame headers the JDK cannot
-    * parse. Images take the REAL [[ImageCodec.decode]] path, WAV takes
-    * [[AudioCodec]], and MP4 containers take the REAL pure-byte
-    * [[VideoCodec]] box parse (`mm_video`). A production build replaces
-    * this body with a JNI/ffmpeg-style decoder without touching the
-    * Spark plumbing around it. */
-  object StubDecoder {
-    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
-      val len = if (payload == null) 0L else payload.length.toLong
-      // ??? real compressed-audio decode goes here — deterministic fake
-      MediaMeta(
-        media_id = id,
-        byte_len = len,
-        width = (64 + len % 640).toInt,
-        height = (64 + len % 480).toInt,
-        channels = 3,
-        n_frames = (1 + len % 16).toInt)
-    }
-  }
+  // Every media type now has a REAL pure-byte decode path: images via
+  // [[ImageCodec]] (javax.imageio), WAV/AIFF/AU via [[AudioCodec]]
+  // (javax.sound), MP3/ADTS-AAC via [[AudioCodec.decodeMp3]]/
+  // [[AudioCodec.decodeAdts]] frame-header walks, MP4 containers via
+  // [[VideoCodec]]'s box parse. The former StubDecoder seam is retired;
+  // a production build swaps individual codecs (e.g. a JNI full-frame
+  // decoder) without touching the Spark plumbing around them.
 
   /** `mm_attach`: turn a column into an opaque binary payload column
     * (`payload`) + `media_type` tag — the ingest contract for media.
@@ -71,8 +57,9 @@ object MultimodalStages {
     *    payload is a typed error naming the row (`onUndecodable:
     *    "skip"` drops it instead — the 100 TB crawl posture, where a
     *    corrupt image must not kill the job).
-    *  - `"stub"`: the deterministic fake, for video/audio payloads
-    *    ImageIO cannot read. */
+    *  - `"image"` is the only decoder: audio payloads go to
+    *    `mm_audio` (WAV + MP3/ADTS frame walks), containers to
+    *    `mm_video` (MP4 box parse). */
   def decode(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
@@ -85,8 +72,10 @@ object MultimodalStages {
       }
       val one: (Long, Array[Byte]) => MediaMeta = decoder match {
         case "image" => ImageCodec.decode
-        case "stub" => StubDecoder.decode
-        case other => sys.error(s"mm_decode: unknown decoder '$other' (image|stub)")
+        case "stub" => sys.error("mm_decode: the stub decoder is retired " +
+          "— every media type has a real parser now (images here; " +
+          "audio → mm_audio, video → mm_video)")
+        case other => sys.error(s"mm_decode: unknown decoder '$other' (image)")
       }
       val metaEnc = Encoders.product[MediaMeta]
       val pairs = df.select(col(id).cast("long"), col(payload).cast("binary"))
@@ -101,11 +90,14 @@ object MultimodalStages {
       } else meta
     }
 
-  /** `mm_audio`: partition-parallel WAV/PCM header decode of a binary
-    * payload into [[AudioCodec.AudioMeta]] columns (real sample rate /
-    * channels / sample count from the bytes — `javax.sound.sampled`, no
-    * external codecs). Options: `idField` (default doc_id),
-    * `payloadField` (default payload), `onUndecodable` error|skip. */
+  /** `mm_audio`: partition-parallel audio metadata decode of a binary
+    * payload into [[AudioCodec.AudioMeta]] columns — real sample rate /
+    * channels / sample count from the bytes. Container-sniffing:
+    * WAV/AIFF/AU via `javax.sound.sampled`, MP3 and ADTS-AAC via
+    * pure-byte frame-header walks ([[AudioCodec.decodeMp3]] /
+    * [[AudioCodec.decodeAdts]]); no external codecs. Options: `idField`
+    * (default doc_id), `payloadField` (default payload),
+    * `onUndecodable` error|skip. */
   def audio(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
@@ -120,9 +112,9 @@ object MultimodalStages {
         .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         .mapPartitions { iter =>
           if (skip) iter.flatMap { case (i, bytes) =>
-            try Some(AudioCodec.decode(i, bytes))
+            try Some(AudioCodec.decodeAny(i, bytes))
             catch { case scala.util.control.NonFatal(_) => None } }
-          else iter.map { case (i, bytes) => AudioCodec.decode(i, bytes) }
+          else iter.map { case (i, bytes) => AudioCodec.decodeAny(i, bytes) }
         }(metaEnc).toDF()
     }
 

@@ -636,19 +636,24 @@ class LlmStagesSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------- multimodal
-  // (real-image decode is covered in MultimodalSpec; this exercises the
-  // STUB path — the documented seam for video/audio containers)
-  test("mm pipeline: attach → decode(stub) → resize → frames") {
-    val df = Seq((7L, "abcdefgh")).toDF("doc_id", "text") // 8 bytes
-    val decoded = stage("mm_decode", "decoder" -> "stub")(stage("mm_attach")(df))
+  // (deep real-image decode is covered in MultimodalSpec; this exercises
+  // the attach → decode → resize → frames PIPELINE shape on a real GIF)
+  test("mm pipeline: attach → decode → resize → frames over real GIF bytes") {
+    import graft.multimodal.MediaFixtures
+    val id = 4L // id % 5 == 4 → animated GIF with 1 + id % 6 = 5 frames
+    val df = Seq((id, MediaFixtures.payload(id))).toDF("doc_id", "payload")
+    val decoded = stage("mm_decode")(df)
     val m = decoded.head()
-    assert(m.getAs[Long]("byte_len") == 8)
-    assert(m.getAs[Int]("width") == 72 && m.getAs[Int]("height") == 72)
-    assert(m.getAs[Int]("n_frames") == 9)
-    val resized = stage("mm_resize", "maxWidth" -> 36, "maxHeight" -> 72)(decoded).head()
-    assert(resized.getAs[Int]("out_width") == 36 && resized.getAs[Int]("out_height") == 36)
-    val frames = stage("mm_frames", "step" -> 4)(decoded)
-    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 4, 8))
+    assert(m.getAs[Int]("width") == MediaFixtures.width(id) &&
+           m.getAs[Int]("height") == MediaFixtures.height(id))
+    assert(m.getAs[Int]("n_frames") == 5)
+    val resized = stage("mm_resize", "maxWidth" -> 22, "maxHeight" -> 999)(decoded).head()
+    assert(resized.getAs[Int]("out_width") == 22) // aspect preserved
+    val frames = stage("mm_frames", "step" -> 2)(decoded)
+    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 2, 4))
+    // the stub decoder is retired — asking for it names the real paths
+    val e = intercept[Exception] { stage("mm_decode", "decoder" -> "stub")(df).collect() }
+    assert(e.getMessage.contains("retired"), e.getMessage)
   }
 
   test("LINKLIST + CREATE: stub rows from array ELEMENTS, all resolve") {

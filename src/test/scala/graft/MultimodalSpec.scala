@@ -281,6 +281,37 @@ class MultimodalSpec extends SparkSpec {
       pairs.toString)
   }
 
+  test("compressed audio: MP3/ADTS frame walks recover the planted arithmetic") {
+    import graft.multimodal.{AudioCodec, MediaFixtures => MF}
+    // a spread of ids covering: ID3v2 present/absent, ID3v1 trailer,
+    // mono/stereo, all three rates, MP3 vs ADTS
+    for (id <- 0L to 30L) {
+      val m = AudioCodec.decodeAny(id, MF.compressedAudioPayload(id))
+      assert(m.sample_rate == MF.caRate(id), s"id=$id rate")
+      assert(m.channels == MF.caChannels(id), s"id=$id channels")
+      assert(m.n_samples == MF.caSamples(id), s"id=$id samples")
+    }
+    // the sniffer still routes WAV to the javax.sound path
+    val wav = AudioCodec.decodeAny(5L, MF.audioPayload(5L))
+    assert(wav.sample_rate == MF.audioRate(5L) && wav.n_samples == MF.audioSamples(5L))
+    // corrupt framing is a typed error naming row and offset
+    val mp3 = MF.mp3Payload(1L)
+    val truncated = mp3.take(mp3.length - 50)
+    val e = intercept[RuntimeException] { AudioCodec.decodeMp3(1L, truncated) }
+    assert(e.getMessage.contains("media_id=1") && e.getMessage.contains("sync"),
+      e.getMessage)
+    // mm_audio stage end-to-end over a mixed WAV + MP3 + ADTS frame
+    val rows = Seq(
+      (3L, MF.compressedAudioPayload(3L)),  // ADTS (3 % 4 == 3)
+      (4L, MF.compressedAudioPayload(4L)),  // MP3 + ID3v2
+      (5L, MF.audioPayload(5L)))            // WAV
+      .toDF("media_id", "payload")
+    val got = stage("mm_audio", "idField" -> "media_id")(rows)
+      .select("media_id", "n_samples").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> MF.caSamples(3L), 4L -> MF.caSamples(4L),
+      5L -> MF.audioSamples(5L)), got.toString)
+  }
+
   test("hammingpairs: narrow int fingerprints are zero-extended, not sign-extended") {
     // 32-bit fingerprints differing only at the sign bit: Hamming 1 in
     // the natural width, but a sign-extending cast('long') would make
