@@ -484,6 +484,30 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("id", "label").orderBy("id")
     },
+    "command_gremlin_repeat" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // bounded-loop traversal with bound-vertex state: successor graph
+      // of planted 3-cycles where every custkey % 7 == 0 vertex
+      // self-loops instead (breaking its cycle). After repeat(out)
+      // times(3), full cycles return to the origin (filtered by
+      // where(neq)) — the survivors are exactly the OTHER members of a
+      // broken cycle, projected back to the origin via select('a'). The
+      // unrolled plan is 3 equi-joins; the oracle is a depth-bounded
+      // recursive CTE.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command":
+            "g.V().as('a').repeat(out('next')).times(3).where(neq('a')).select('a').dedup()"}}],
+        "loader": {"memory": {}} }""")
+        .select("id", "label").orderBy("id")
+    },
     "graph_triangle" -> { (s, dir) =>
       val c = ctx(s, dir)
       // three-term directed-triangle motif — stresses multi-term join
@@ -2027,6 +2051,16 @@ object SparkEntry {
       ("SELECT CAST(o2.o_orderkey AS VARCHAR) AS id, 'order' AS label " +
        "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
        "ORDER BY id"),
+    // depth-3 walk over the broken-3-cycle successor graph; survivors
+    // land off-origin (the gremlin where(neq('a')) filter)
+    "command_gremlin_repeat" ->
+      ("WITH RECURSIVE e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
+       "CAST(CASE WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst FROM customer), " +
+       "walk(a, cur, d) AS (" +
+       "SELECT src, src, 0 FROM e " +
+       "UNION ALL SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.cur WHERE w.d < 3) " +
+       "SELECT DISTINCT a AS id, 'customer' AS label FROM walk " +
+       "WHERE d = 3 AND cur <> a ORDER BY id"),
     "graph_triangle" ->
       ("WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst " +

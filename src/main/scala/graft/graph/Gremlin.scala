@@ -27,24 +27,59 @@ import org.apache.spark.sql.functions._
   *    pair with a downstream sort for determinism);
   *  - `.values('col')` — project one column as `value` (later steps
   *    that need `id` will fail analysis, as in Gremlin's value space);
-  *  - `.count()` — terminal 1-row count.
+  *  - `.count()` — terminal 1-row count;
+  *  - `.as('x')` — bind the CURRENT vertex under tag `x`; bindings ride
+  *    along through later hops (a stashed column per tag — the same
+  *    bound-vertex mechanism the motif translator uses);
+  *  - `.where(eq('x'))` / `.where(neq('x'))` — compare the current
+  *    vertex id against the bound tag;
+  *  - `.select('x')` / `.select('x', 'y')` — project bound vertices:
+  *    one tag re-enters vertex space (id + re-attached label), several
+  *    become one column per tag;
+  *  - `.repeat(<chain>).times(k)` — bounded loop, unrolled to k copies
+  *    of the inner chain BEFORE planning (k ≤ 12: each iteration is a
+  *    join — an explicit bound beats an accidental 50-join plan). The
+  *    inner chain may use any of the hop/filter steps above.
   *
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
   * exactly the plan the equivalent motif pattern produces; AQE handles
-  * broadcast/skew. Loops (`repeat`), path state, and lambdas are out of
-  * scope by design — those migrate to `motif` patterns or the graph
-  * stages, which is where the batch engine expresses them well.
+  * broadcast/skew. Unbounded loops (`repeat..until`), path state, and
+  * lambdas are out of scope by design — those migrate to `motif`
+  * patterns or the graph stages (BFS/CC/PageRank), which is where the
+  * batch engine expresses them well.
   */
 object Gremlin {
 
   /** A literal Gremlin script is recognized by its `g.` head. */
   def applies(script: String): Boolean = script.trim.startsWith("g.")
 
-  private val Step = """\.\s*(\w+)\s*\(([^)]*)\)""".r
+  // one nesting level in args: `.where(neq('a'))` — enough for the
+  // translated subset; deeper nesting is caught by the tiling check
+  private val Step = """\.\s*(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+  private val RepeatTimes =
+    """\.\s*repeat\(\s*((?:[^()]|\([^()]*\))*?)\s*\)\s*\.\s*times\(\s*(\d+)\s*\)""".r
+  private val WherePred = """^(eq|neq)\(\s*['"](\w+)['"]\s*\)$""".r
+
+  /** Unroll every `repeat(<chain>).times(k)` into k textual copies of
+    * the chain — the loop becomes ordinary steps before planning, so
+    * the executed plan is exactly k joins (bounded, like the reference
+    * JS transformer's loop unrolling). `times(0)` erases the chain. */
+  private def expandRepeats(body: String): String =
+    RepeatTimes.replaceAllIn(body, m => {
+      val inner0 = m.group(1).trim
+      if (inner0.isEmpty) fail("repeat(): empty traversal")
+      val inner = if (inner0.startsWith(".")) inner0 else "." + inner0
+      val k = m.group(2).toInt
+      if (k > 12)
+        fail(s"repeat(...).times($k): bounded at 12 — every iteration " +
+          "unrolls to a shuffle join; deeper traversals migrate to the " +
+          "graph stages (graphbfs)")
+      java.util.regex.Matcher.quoteReplacement(inner * k)
+    })
 
   def run(ctx: EtlContext, script: String): DataFrame = {
     val s = script.trim.stripSuffix(";").trim
-    val body = s.drop(1) // past 'g'
+    val body = expandRepeats(s.drop(1)) // past 'g'
     val steps = Step.findAllMatchIn(body)
       .map(m => (m.group(1), parseArgs(m.group(2)))).toList
     // the steps must tile the whole script — a lambda, nested call or
@@ -87,40 +122,69 @@ object Gremlin {
         case ("count", Nil) =>
           if (!terminal) fail("count() must be the last step")
           frame = frame.agg(count(lit(1)).as("count"))
+        case ("as", Seq(tag: String)) =>
+          frame = frame.withColumn(s"__as_$tag", col("id"))
+        case ("where", Seq(Pred(op, tag))) =>
+          val bound = s"__as_$tag"
+          if (!frame.columns.contains(bound))
+            fail(s"where($op('$tag')): no as('$tag') binding upstream")
+          frame = frame.where(
+            if (op == "eq") col("id") === col(bound) else col("id") =!= col(bound))
+        case ("select", tags) if tags.nonEmpty && tags.forall(_.isInstanceOf[String]) =>
+          val names = tags.map(_.asInstanceOf[String])
+          names.foreach { t =>
+            if (!frame.columns.contains(s"__as_$t"))
+              fail(s"select('$t'): no as('$t') binding upstream")
+          }
+          frame = names match {
+            // one tag re-enters vertex space: id + re-attached label
+            case Seq(t) => frame.select(col(s"__as_$t").as("id"))
+              .join(idLabel, Seq("id"), "left")
+            case many => frame.select(many.map(t => col(s"__as_$t").as(t)): _*)
+          }
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
-            "values/count; richer " +
-            "traversals migrate to the `motif` transformer (pattern " +
-            "\"(a)-[e:label]->(b); …\") or the graph stages " +
+            "values/count/as/where(eq|neq)/select/repeat(..).times(k); " +
+            "richer traversals migrate to the `motif` transformer " +
+            "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
       }
     }
-    frame
+    // as(..) bindings are traversal state, not output columns
+    frame.drop(frame.columns.filter(_.startsWith("__as_")).toIndexedSeq: _*)
   }
 
   /** One traversal hop: join the current frame's ids against the edges
     * table, land on the far endpoint, re-attach registered vertex
-    * labels. Bag semantics (no distinct) — Gremlin's traverser count. */
+    * labels. Bag semantics (no distinct) — Gremlin's traverser count.
+    * `as(..)` bindings (the `__as_*` stash columns) ride along. */
   private def hop(ctx: EtlContext, frame: DataFrame, idLabel: DataFrame,
                   elabel: Option[String], from: String, to: String): DataFrame = {
     val edges0 = ctx.edges.getOrElse(
       fail("traversal step needs edges — apply an `edge` stage first"))
     val edges = elabel.fold(edges0)(l => edges0.where(col("label") === l))
-    frame.select(col("id").as("__from"))
+    val stash = frame.columns.filter(_.startsWith("__as_")).toSeq
+    frame.select(col("id").as("__from") +: stash.map(col): _*)
       .join(edges, col("__from") === col(from))
-      .select(col(to).as("id"))
+      .select(col(to).as("id") +: stash.map(col): _*)
       .join(idLabel, Seq("id"), "left")
   }
+
+  /** A bound-vertex predicate argument: `eq('x')` / `neq('x')`. */
+  private final case class Pred(op: String, tag: String)
 
   private def parseArgs(raw: String): List[Any] =
     raw.split(",").map(_.trim).filter(_.nonEmpty).toList.map { a =>
       if ((a.startsWith("'") && a.endsWith("'") && a.length >= 2) ||
           (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2))
         a.substring(1, a.length - 1)
-      else scala.util.Try(a.toLong).getOrElse(
-        scala.util.Try(a.toDouble).getOrElse(
-          fail(s"cannot parse argument '$a' (quoted string or number)")))
+      else a match {
+        case WherePred(op, tag) => Pred(op, tag)
+        case _ => scala.util.Try(a.toLong).getOrElse(
+          scala.util.Try(a.toDouble).getOrElse(
+            fail(s"cannot parse argument '$a' (quoted string or number)")))
+      }
     }
 
   private def fail(why: String): Nothing = sys.error(s"gremlin: $why")

@@ -192,11 +192,45 @@ class GraphSpec extends SparkSpec {
     assert(g("g.V().out('lives')").select("label").as[String].collect().toSeq ==
       Seq("city", "city"))
     // richer scripts: NAMED migration errors, never silent misparses
-    val e = intercept[RuntimeException](g("g.V().repeat(out()).times(3)"))
+    val e = intercept[RuntimeException](
+      g("g.V().repeat(out()).until(hasLabel('city'))"))
     assert(e.getMessage.contains("gremlin"))
     val e2 = intercept[RuntimeException](g("g.V().out().path()"))
     assert(e2.getMessage.contains("unsupported step"))
     assert(e2.getMessage.contains("motif"))
+  }
+
+  test("gremlin: as/where/select bindings and repeat(..).times(k) unrolling") {
+    val ctx = newCtx()
+    // 3-cycle a→b→c→a plus a self-loop s→s
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "p"), ("s", "p"))
+      .toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "next"), ("b", "c", "next"), ("c", "a", "next"),
+      ("s", "s", "next")).toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // repeat unrolls: 3 hops around the cycle return to the origin
+    assert(g("g.V().as('o').repeat(out('next')).times(3).where(eq('o')).count()")
+      .select("count").as[Long].head() == 4L) // a,b,c close the cycle; s loops
+    // where(neq): after 2 hops only cycle members land off-origin
+    assert(g("g.V().as('o').repeat(out('next')).times(2).where(neq('o')).select('o')")
+      .select("id").as[String].collect().toSeq.sorted == Seq("a", "b", "c"))
+    // select re-enters vertex space: labels re-attached
+    assert(g("g.V().as('o').out('next').select('o')")
+      .select("label").as[String].collect().toSeq.distinct == Seq("p"))
+    // multi-select: one column per bound tag
+    val pairs = g("g.V().as('x').out('next').as('y').where(neq('x')).select('x', 'y')")
+      .select("x", "y").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"), ("b", "c"), ("c", "a")))
+    // times(0) erases the chain; binding column never leaks to output...
+    assert(g("g.V().repeat(out('next')).times(0).count()")
+      .select("count").as[Long].head() == 4L)
+    // guards: unbound tags and unbounded unrolls are NAMED errors
+    val e = intercept[RuntimeException](g("g.V().where(eq('nope')).count()"))
+    assert(e.getMessage.contains("no as('nope')"), e.getMessage)
+    val e2 = intercept[RuntimeException](
+      g("g.V().repeat(out('next')).times(50).count()"))
+    assert(e2.getMessage.contains("bounded at 12"), e2.getMessage)
   }
 
   test("gremlin: id in two vertex classes = two class-vertices (reference model); ${var} resolves") {
