@@ -481,7 +481,8 @@ object DedupStages {
     * returned `(id, comp)` frame is lineage-free. Throws if `maxIter`
     * rounds were insufficient — wrong dedup keeps are worse than a loud
     * stop. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      ckpt: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -490,8 +491,8 @@ object DedupStages {
     // plan tree twice per round (4^rounds nodes: planner/explain OOM
     // long before the data is big). Checkpoint blocks are freed by the
     // ContextCleaner once unreferenced, so rounds don't accumulate.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var labels = ckpt(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -500,17 +501,15 @@ object DedupStages {
         .join(labels.select(col("id").as("__nid"), col("comp").as("__ncomp")),
           col("dst") === col("__nid"))
         .groupBy(col("src").as("id")).agg(min("__ncomp").as("__nbr"))
-      val hop = labels.join(nbrMin, Seq("id"), "left")
+      val hop = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__hop"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__hop")))
       // pointer jump: comp := comp(comp) — labels are node ids, so the
       // hop frame doubles as the id→comp mapping
       val mapping = hop.select(col("id").as("__mid"), col("__hop").as("__mcomp"))
-      val next = hop.join(mapping, col("__hop") === col("__mid"), "left")
+      val next = ckpt(hop.join(mapping, col("__hop") === col("__mid"), "left")
         .select(col("id"), col("__old"),
-          least(col("__hop"), coalesce(col("__mcomp"), col("__hop"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("__hop"), coalesce(col("__mcomp"), col("__hop"))).as("comp")))
       changed = next.where(col("comp") < col("__old")).count()
       labels = next.select("id", "comp")
       iter += 1
@@ -542,7 +541,8 @@ object DedupStages {
         case "exact" => ngramJaccard(inner, ctx)(df)
         case _ => minhash(inner, ctx)(df)
       }).select("a", "b")
-      val comps = connectedComponents(pairs, spec.int("maxIter", 12))
+      val comps = connectedComponents(pairs, spec.int("maxIter", 12),
+        graft.stages.Stages.checkpointerOf(spec, ctx))
       val losers = comps.where(col("id") =!= col("comp"))
         .select(col("id").as("__drop"))
       df.join(losers, col(id) === col("__drop"), "left_anti")

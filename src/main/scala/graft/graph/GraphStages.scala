@@ -53,12 +53,16 @@ object GraphStages {
     * rounds (default 5) to bound analysis cost on long runs, and the
     * edge list + degree table are checkpointed ONCE so the merged
     * multi-round job reads them from the block manager instead of
-    * rescanning the source per round. */
+    * rescanning the source per round. `checkpointDir` switches every
+    * truncation to a reliable `checkpoint` into that directory (see
+    * [[graft.stages.Stages.checkpointerOf]]) — same rounds, same plan
+    * shape, executor-loss-safe. */
   def pageRank(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { _ =>
-      val edges = ctx.edges.getOrElse(
+      val ckpt = Stages.checkpointerOf(spec, ctx)
+      val edges = ckpt(ctx.edges.getOrElse(
         sys.error("pagerank: no edges — apply an `edge` stage first"))
-        .select(col("src"), col("dst")).localCheckpoint(true)
+        .select(col("src"), col("dst")))
       val iters = spec.int("iterations", 5)
       val ckptEvery = spec.int("checkpointEvery", 5)
       val dampStr = spec.strOr("damping", "0.85")
@@ -68,12 +72,11 @@ object GraphStages {
       // a SQL oracle writes — the 2e-17 offset systematically breaks
       // round-to-ppm on ranks that land exactly on .5 boundaries
       val teleport = (BigDecimal(1) - BigDecimal(dampStr)).toDouble
-      val nodes = edges.select(col("src").as("id"))
+      val nodes = ckpt(edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id")))
-        .distinct().localCheckpoint(true)
+        .distinct())
       val n = nodes.count()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
-        .localCheckpoint(true)
+      val deg = ckpt(edges.groupBy("src").agg(count(lit(1)).as("__deg")))
       var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       for (i <- 0 until iters) {
         val contribs = edges
@@ -88,7 +91,7 @@ object GraphStages {
         // checkpointEvery <= 0 means "never checkpoint" (and must not
         // divide by zero)
         if (ckptEvery > 0 && i % ckptEvery == ckptEvery - 1 && i != iters - 1)
-          ranks = ranks.localCheckpoint(true)
+          ranks = ckpt(ranks)
       }
       ranks
     }
@@ -254,7 +257,8 @@ object GraphStages {
       val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
       val pairs = edges.select(col("src").as("a"), col("dst").as("b"))
       val comps = graft.dedup.DedupStages
-        .connectedComponents(pairs, spec.int("maxIter", 20))
+        .connectedComponents(pairs, spec.int("maxIter", 20),
+          Stages.checkpointerOf(spec, ctx))
         .select(col("id"), col("comp").as("component"))
       ctx.vertices match {
         case None => comps
@@ -303,22 +307,20 @@ object GraphStages {
           .union(edges1.select(col("dst").as("__from"), col("src").as("__to")))
         case other => sys.error(s"bfs: unknown direction $other")
       }
-      var frontier = sources.toDF("id").distinct().localCheckpoint(true)
-      var visited = frontier.select(col("id"), lit(0L).as("dist"))
-        .localCheckpoint(true)
+      val ckpt = Stages.checkpointerOf(spec, ctx)
+      var frontier = ckpt(sources.toDF("id").distinct())
+      var visited = ckpt(frontier.select(col("id"), lit(0L).as("dist")))
       var hop = 1
       var frontierSize = frontier.count()
       while (hop <= maxHops && frontierSize > 0) {
-        val next = step
+        val next = ckpt(step
           .join(frontier.select(col("id").as("__from")), Seq("__from"))
           .select(col("__to").as("id")).distinct()
-          .join(visited, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .join(visited, Seq("id"), "left_anti"))
         frontierSize = next.count()
         if (frontierSize > 0) {
-          visited = visited
-            .union(next.select(col("id"), lit(hop.toLong).as("dist")))
-            .localCheckpoint(true)
+          visited = ckpt(visited
+            .union(next.select(col("id"), lit(hop.toLong).as("dist"))))
           frontier = next
         }
         hop += 1

@@ -731,7 +731,8 @@ object SimilarityStages {
         case "pairs" => pairs
         case "dedup" =>
           val comps = graft.dedup.DedupStages
-            .connectedComponents(pairs.select("a", "b"), spec.int("maxIter", 12))
+            .connectedComponents(pairs.select("a", "b"), spec.int("maxIter", 12),
+              graft.stages.Stages.checkpointerOf(spec, ctx))
           val losers = comps.where(col("id") =!= col("comp"))
             .select(col("id").as("__drop"))
           df.join(losers, col(id) === col("__drop"), "left_anti")

@@ -44,6 +44,25 @@ object Stages {
   def ifCond(spec: ComponentSpec, ctx: EtlContext): Option[Column] =
     spec.ifExpr.map(OrientExpr.compile(_, ctx.varMap))
 
+  /** Lineage truncation for iterative DataFrame algorithms (pagerank,
+    * BFS, connected components): by default eager `localCheckpoint` —
+    * block-manager storage, fastest, but the blocks die with their
+    * executor (fine locally; a lost block fails the job and a retry
+    * restarts the loop). With the stage option `checkpointDir` set, a
+    * RELIABLE eager `checkpoint` into that directory (HDFS/object store
+    * at cluster scale): hundred-round jobs on preemptible fleets
+    * survive executor loss, at the cost of one distributed write per
+    * truncation. Round structure and plan flatness are identical in
+    * both modes. The caller owns the directory's lifecycle (Spark
+    * writes per-app subdirectories; clean them with the app). */
+  def checkpointerOf(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    spec.str("checkpointDir") match {
+      case Some(dir) =>
+        ctx.spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
+
   /** LSH band-bucket skew guard (see [[BucketGuard]]): reads the stage's
     * `maxBucket` option (default [[BucketGuard.DefaultMaxBucket]];
     * `0`/negative disables). */

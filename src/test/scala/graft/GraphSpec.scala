@@ -38,6 +38,42 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr("b") - 0.13875) < 1e-12)
   }
 
+  test("checkpointDir: reliable checkpoints keep results and round structure") {
+    // same graph through pagerank / bfs / cc twice: default
+    // localCheckpoint vs reliable checkpoint(dir). Results must be
+    // IDENTICAL (the checkpointer only truncates lineage, never changes
+    // rounds), and the reliable run must have materialized RDD
+    // checkpoint files under the directory.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def ctx2() = {
+      val c = newCtx()
+      c.addEdges(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))
+        .toDF("src", "dst").withColumn("label", lit("e")))
+      c
+    }
+    def runAll(opts: Map[String, Any]): (Map[String, Double], Map[String, Long], Map[String, String]) = {
+      val pr = graft.graph.GraphStages.pageRank(
+        ComponentSpec("pagerank", opts ++ Map("iterations" -> 7, "checkpointEvery" -> 2)),
+        ctx2())(spark.emptyDataFrame)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val bfs = graft.graph.GraphStages.bfs(
+        ComponentSpec("bfs", opts ++ Map("source" -> "a", "direction" -> "out")),
+        ctx2())(spark.emptyDataFrame)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cc = graft.graph.GraphStages.connectedComponentsStage(
+        ComponentSpec("connectedcomponents", opts), ctx2())(spark.emptyDataFrame)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (pr, bfs, cc)
+    }
+    val plain = runAll(Map.empty)
+    val reliable = runAll(Map("checkpointDir" -> dir))
+    assert(plain == reliable)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).nonEmpty,
+      "reliable mode must write checkpoint files under checkpointDir")
+  }
+
   private def motifRun(ctx: graft.engine.EtlContext, opts: (String, Any)*) =
     graft.graph.GraphStages.motif(
       ComponentSpec("motif", opts.toMap), ctx)(spark.emptyDataFrame)
