@@ -1536,16 +1536,20 @@ object SparkEntry {
       recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.3", 0.3)
     },
     "similarity_ivf" -> { (s, dir) =>
-      // same verdict contract as similarity_lsh. nProbe=6 over 16
-      // trained cells: measured recall@5 0.724 at sf0.01 / 0.679 at
-      // sf0.1 (RecallProbe sweep) — the 0.6 floor holds with margin at
-      // both scales; deterministic: hash-ordered training sample, fixed
-      // Lloyd's rounds, fixed probes
+      // same verdict contract as similarity_lsh. nProbe=18 over 32
+      // well-trained cells (5 Lloyd's rounds, 2048-row sample):
+      // measured recall@5 0.904 at sf0.01 / 0.897 at sf0.1
+      // (RecallProbe sweep) — the 0.8 floor holds with ~0.1 margin at
+      // both scales at LOWER cost than the old 6/16 config (1.7 s vs
+      // 2.66 s anchor: better centroids shrink per-cell populations,
+      // so more probes scan fewer total candidates); deterministic:
+      // hash-ordered training sample, fixed Lloyd's rounds, fixed probes
       val approx = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [{"similarityivf": {"idField": "vec_id",
-          "field": "embedding", "k": 5, "nCells": 16, "nProbe": 6}}],
+          "field": "embedding", "k": 5, "nCells": 32, "nProbe": 18,
+          "lloydIters": 5, "trainRows": 2048}}],
         "loader": {"memory": {}} }""").select("q_id", "n_id")
       val exact = Engine.runJson(ctx(s, dir), s"""{
         "source": {"file": {"path": "$dir/embeddings.parquet"}},
@@ -1553,7 +1557,7 @@ object SparkEntry {
         "transformers": [{"similarity": {"idField": "vec_id",
           "field": "embedding", "k": 5}}],
         "loader": {"memory": {}} }""").select("q_id", "n_id")
-      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.6", 0.6)
+      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.8", 0.8)
     },
     "cosine_dup" -> { (s, dir) =>
       // VERDICT table: the SRP-bucketed pair set must be a SUBSET of the
@@ -2368,7 +2372,7 @@ object SparkEntry {
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "similarity_ivf" ->
-      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.6', true), " +
+      ("SELECT * FROM (VALUES ('recall_at_5_ge_0.8', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "cosine_dup" ->
       ("SELECT * FROM (VALUES ('false_positives_zero', true), " +

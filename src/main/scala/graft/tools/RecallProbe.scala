@@ -27,16 +27,19 @@ object RecallProbe {
     println(f"similarity_lsh recall@5 = ${lshHits / total}%.4f ($lshHits/${total.toLong})")
     // IVF parameter sweep: recall@5 per (nCells, nProbe, lloydIters,
     // trainRows) — used to pick the verdict-floor configuration
-    for ((nc, np, li, tr) <- Seq((16, 3, 3, 640), (16, 4, 3, 640),
-      (16, 5, 3, 640), (16, 6, 3, 640), (16, 5, 5, 1280),
-      (8, 3, 3, 640), (8, 4, 5, 1280), (12, 4, 4, 960))) {
+    for ((nc, np, li, tr) <- Seq((16, 6, 3, 640), (16, 8, 5, 1280),
+      (16, 9, 5, 1280), (16, 10, 5, 1280), (32, 14, 5, 2048),
+      (32, 18, 5, 2048), (24, 12, 5, 1536), (12, 7, 5, 1280),
+      (8, 5, 5, 1280), (8, 6, 5, 1280))) {
+      val t0 = System.nanoTime()
       val ivf = run(s"""$emb "transformers": [{"similarityivf": {"idField": "vec_id",
         "field": "embedding", "k": 5, "nCells": $nc, "nProbe": $np,
         "lloydIters": $li, "trainRows": $tr}}]}""")
         .select("q_id", "n_id")
       val hits = ivf.join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      val t = (System.nanoTime() - t0) / 1e9
       println(f"similarity_ivf nCells=$nc nProbe=$np lloyd=$li train=$tr " +
-        f"recall@5 = ${hits / total}%.4f ($hits/${total.toLong})")
+        f"recall@5 = ${hits / total}%.4f ($hits/${total.toLong}) wall=$t%.2fs")
     }
 
     val exactPairs = run(s"""$emb "transformers": [{"cosinedup": {"idField": "vec_id",
