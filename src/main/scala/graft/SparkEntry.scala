@@ -182,6 +182,32 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
     },
+    "csv_quarantine" -> { (s, dir) =>
+      // badRecordsPath-style reject channel: the csv transformer's
+      // `errorField` names each row's failed cells; the loader's
+      // `quarantinePath` diverts flagged rows (WITH the error detail)
+      // to a parquet side-channel and writes only clean rows to the
+      // main table. Result = the quarantine read back (the planted
+      // every-5th bad n_regionkey rows, error naming the field) plus a
+      // clean-row count sentinel proving the main write excluded them.
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      val main = s"/tmp/graft_q_main_${math.abs(dir.hashCode)}"
+      val q = s"/tmp/graft_q_bad_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation_dirty.csv"}},
+        "extractor": {"row": {}},
+        "transformers": [{"csv": {"errorField": "__errors", "columns":
+          ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"]}}],
+        "loader": {"parquet": {"path": "$main", "quarantinePath": "$q"}} }""")
+      val quarantined = s.read.parquet(q)
+        .select(col("n_nationkey"),
+          concat_ws(",", col("__errors")).as("errors"))
+      val kept = s.read.parquet(main)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1).cast("int").as("n_nationkey"),
+          concat(lit("clean_rows="), col("n")).as("errors"))
+      quarantined.unionByName(kept).orderBy("n_nationkey")
+    },
     "file_gzip" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       Engine.runJson(c, s"""{
@@ -1991,6 +2017,10 @@ object SparkEntry {
        "FROM nation ORDER BY n_nationkey"),
     "csv_skiprange" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5 ORDER BY n_nationkey",
+    "csv_quarantine" ->
+      ("SELECT n_nationkey, 'n_regionkey' AS errors FROM nation WHERE n_nationkey % 5 = 2 " +
+       "UNION ALL SELECT -1 AS n_nationkey, 'clean_rows=' || CAST((SELECT count(*) FROM nation WHERE n_nationkey % 5 <> 2) AS VARCHAR) AS errors " +
+       "ORDER BY n_nationkey"),
     "json_lines" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
     "json_array" ->

@@ -124,8 +124,10 @@ object Engine {
            head.long("skipFrom").isEmpty && head.long("skipTo").isEmpty &&
            src.long("skipFirst").isEmpty && src.long("skipLast").isEmpty &&
            head.outputVar.isEmpty && head.ifExpr.isEmpty &&
-           // per-field error counters need the raw cells → from_csv path
-           !head.bool("errorStats", dflt = false) =>
+           // per-field error counters / per-row error detail need the
+           // raw cells → from_csv path
+           !head.bool("errorStats", dflt = false) &&
+           head.str("errorField").isEmpty =>
         val path = OrientExpr.resolveString(
           src.str("path").getOrElse(sys.error("file source: path required")), ctx.varMap)
         (tail, Some(Sources.csv(ctx.spark, path, head)))

@@ -240,6 +240,23 @@ object Loaders {
     true
   }
 
+  /** See the `quarantinePath` note in [[load]]. Identity when the
+    * option is absent; errors loud when the named error column is
+    * missing (a typo'd field would silently quarantine nothing). */
+  private def applyQuarantine(ctx: EtlContext, spec: ComponentSpec,
+                              df: DataFrame): DataFrame =
+    spec.str("quarantinePath") match {
+      case None => df
+      case Some(qp) =>
+        val ef = spec.strOr("quarantineField", "__errors")
+        require(df.columns.contains(ef),
+          s"loader quarantinePath: input has no error column '$ef' — add " +
+          "`errorField` to the csv transformer (or set `quarantineField`)")
+        val path = OrientExpr.resolveString(qp, ctx.varMap)
+        df.where(col(ef).isNotNull).write.mode("overwrite").parquet(path)
+        df.where(col(ef).isNull).drop(ef)
+    }
+
   // ------------------------------------------------- orientdb DDL surface
 
   /** Spark type → OrientDB property-type name (OType) for the schema
@@ -422,8 +439,15 @@ object Loaders {
   /** Run the sink. Returns true when a terminal ACTION executed (so the
     * engine can collect deferred observe checks — EtlContext.drainChecks);
     * `memory` only registers the plan and returns false. */
-  def load(ctx: EtlContext, spec: ComponentSpec, df: DataFrame): Boolean = {
+  def load(ctx: EtlContext, spec: ComponentSpec, df0: DataFrame): Boolean = {
     val vars = ctx.varMap
+    // `quarantinePath` (any loader): the badRecordsPath pattern — rows a
+    // transformer flagged in `quarantineField` (default `__errors`, see
+    // the csv transformer's `errorField`) are diverted to a parquet
+    // side-channel WITH their error detail; the main write gets only
+    // clean rows, error column dropped. Split = two filtered passes
+    // over the input plan — persist upstream if the scan is expensive.
+    val df = applyQuarantine(ctx, spec, df0)
     spec.name match {
       // `output` loader (OOutputLoader.java:27-52): console. Bounded —
       // never collect the full dataset to the driver.

@@ -246,22 +246,43 @@ object Stages {
       // nulled it.
       val typedFields = schema.fields
         .filter(_.dataType != org.apache.spark.sql.types.StringType)
-      if (spec.bool("errorStats", dflt = false) && typedFields.nonEmpty) {
+      val errorField = spec.str("errorField")
+      val needRaw = typedFields.nonEmpty &&
+        (spec.bool("errorStats", dflt = false) || errorField.isDefined)
+      if (needRaw) {
         val rawSchema = StructType(schema.fields.map(f =>
           f.copy(dataType = org.apache.spark.sql.types.StringType)))
-        val withRaw = parsed.withColumn("__raw",
+        parsed = parsed.withColumn("__raw",
           from_csv(col("value"), rawSchema, opts))
-        val badCells = typedFields.map { f =>
-          when(col("__raw").getField(f.name).isNotNull &&
-               trim(col("__raw").getField(f.name)) =!= "" &&
-               col("__parsed").getField(f.name).isNull, 1L).otherwise(0L)
-        }.reduce(_ + _)
+      }
+      def cellBad(f: org.apache.spark.sql.types.StructField): Column =
+        col("__raw").getField(f.name).isNotNull &&
+          trim(col("__raw").getField(f.name)) =!= "" &&
+          col("__parsed").getField(f.name).isNull
+      if (spec.bool("errorStats", dflt = false) && typedFields.nonEmpty) {
+        val badCells = typedFields.map(f => when(cellBad(f), 1L).otherwise(0L))
+          .reduce(_ + _)
         val obs = ctx.newObservation("csv_badcells")
         ctx.registerCheck(ctx.PendingCheck(obs, "badcells", "error",
           "[graft csv] cells dropped on conversion error"))
-        parsed = withRaw.observe(obs, sum(badCells).as("badcells"))
+        parsed = parsed.observe(obs, sum(badCells).as("badcells"))
       }
-      val cols = schema.fieldNames.map(f => col("__parsed").getField(f).as(f))
+      // `errorField: "__errors"` — per-ROW error detail for quarantine
+      // routing: array of the field names whose cells failed conversion
+      // (null when the row is clean). A pure projection over the same
+      // raw/typed double parse the counter uses; a loader's
+      // `quarantinePath` splits on it (the badRecordsPath pattern).
+      val errCol: Option[Column] = errorField.map { _ =>
+        if (typedFields.isEmpty) lit(null).cast("array<string>")
+        else {
+          val named = array(typedFields.toIndexedSeq.map(f =>
+            when(cellBad(f), lit(f.name))): _*)
+          val compact = filter(named, _.isNotNull)
+          when(size(compact) > 0, compact)
+        }
+      }
+      val cols = schema.fieldNames.map(f => col("__parsed").getField(f).as(f)) ++
+        errCol.map(_.as(errorField.get))
       val keep = if (hasNum) Seq(col("_row_num")) else Nil
       parsed.select(keep ++ cols: _*)
     }

@@ -687,6 +687,38 @@ class EngineSpec extends SparkSpec {
     assert(ctx.errors.value == 2L) // 'oops' and 'nope'; empty name is NOT an error
   }
 
+  test("quarantinePath: flagged rows divert with error detail; main write is clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar").toFile
+    val path = s"$dir/dirty.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "id,name,score\n1,a,10\n2,b,oops\n3,,30\n4,d,nope\n")
+    val main = s"$dir/main_pq"; val q = s"$dir/bad_pq"
+    Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "row": {} },
+      "transformers": [{ "csv": { "errorField": "__errors",
+        "columns": ["id:integer", "name:string", "score:integer"] } }],
+      "loader": { "parquet": { "path": "$main", "quarantinePath": "$q" } } }""")
+    // main: only clean rows, no error column
+    val kept = spark.read.parquet(main)
+    assert(kept.columns.toSet == Set("id", "name", "score"))
+    assert(kept.select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    // quarantine: the flagged rows WITH the failing field names
+    val bad = spark.read.parquet(q)
+      .select(col("id"), concat_ws(",", col("__errors")).as("e"))
+      .as[(Int, String)].collect().toMap
+    assert(bad == Map(2 -> "score", 4 -> "score"))
+    // a typo'd quarantineField fails loud, not silently-empty
+    val e = intercept[Exception] { Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "row": {} },
+      "transformers": [{ "csv": {
+        "columns": ["id:integer", "name:string", "score:integer"] } }],
+      "loader": { "parquet": { "path": "$main", "quarantinePath": "$q" } } }""") }
+    assert(e.getMessage.contains("no error column"), e.getMessage)
+  }
+
   test("GraftExtensions: native functions callable from pure SQL (no ensure())") {
     // the session was built with spark.sql.extensions=graft.GraftExtensions;
     // the injected functions must resolve in SQL text without any
