@@ -1142,6 +1142,48 @@ object SparkEntry {
           col("click_id"))
         .orderBy("event_id", "click_id")
     },
+    "stream_join_outer" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // LEFT_OUTER stream-stream band join: purchases with no click in
+      // the look-back band must STILL emit, null-padded — but only once
+      // the global watermark passes their band (state-store eviction
+      // is what proves the match can never arrive). Tail rows within
+      // watermark+band of the stream's end never reach that point under
+      // availableNow, so BOTH sides of the compare cut at
+      // max(ts) - 6 h (watermark 3 h + band 2 h + 1 h margin); the
+      // null-emission edge is fully exercised by the cut region.
+      Engine.registerCode("normalize_events_ts")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet", "shufflePartitions": 8,
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
+        "transformers": [
+          {"code": {"ref": "normalize_events_ts"}},
+          {"code": {"language": "sql", "code":
+            "SELECT event_id, ts, user_id FROM __input WHERE event_type = 'purchase'"}},
+          {"stream_join": {
+            "right": {"path": "$dir", "format": "parquet",
+              "pathGlobFilter": "events.parquet",
+              "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"},
+            "rightWhere": "event_type = 'click'",
+            "on": "user_id", "leftTime": "ts",
+            "before": 7200, "after": 0, "watermark": "3 hours",
+            "joinType": "left_outer",
+            "select": ["event_id:click_id"]}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_jn_o",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      val ev = graft.sources.Tables.normalizeTs(
+        s.read.parquet(s"$dir/events.parquet"), "ts")
+      val cutoff = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        21600000000L // 6 h in micros
+      s.table("stream_jn_o")
+        .where(unix_micros(col("ts")) <= cutoff)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"))
+        .orderBy("event_id", "click_id")
+    },
     "batch_sessions" -> { (s, dir) =>
       val c = ctx(s, dir)
       // batch gap-sessionization (12 h gap, same contract as the
@@ -2241,6 +2283,15 @@ object SparkEntry {
        "FROM events p JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' " +
        "AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts " +
        "WHERE p.event_type = 'purchase' ORDER BY p.event_id, click_id"),
+    // left_outer band join cut at max(ts) - 6h (see the query comment:
+    // null-padded rows only emit once the watermark passes their band)
+    "stream_join_outer" ->
+      ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.event_id AS click_id " +
+       "FROM events p LEFT JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' " +
+       "AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts " +
+       "WHERE p.event_type = 'purchase' " +
+       "AND epoch_us(p.ts) <= (SELECT max(epoch_us(ts)) FROM events) - 21600000000 " +
+       "ORDER BY p.event_id, click_id NULLS FIRST"),
     "batch_sessions" ->
       ("WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1 ELSE 0 END AS ns " +
