@@ -229,7 +229,11 @@ object Engine {
   def executeBlock(ctx: EtlContext, b: ComponentSpec): Unit = b.name match {
     // `let` (OLetBlock.java:26-63): literal or dialect expression
     case "let" =>
+      // config names may carry the dialect's `$` prefix (the shipped
+      // config-dbpedia.json writes name: "$filePath"); variables are
+      // stored and resolved WITHOUT it, as the reference's context does
       val name = b.str("name").getOrElse(sys.error("let: name required"))
+        .stripPrefix("$")
       val value: Any = b.str("expression") match {
         case Some(e) =>
           // evaluate over a 1-row frame for dialect parity

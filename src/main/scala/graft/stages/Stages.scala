@@ -907,7 +907,9 @@ object Stages {
     * vertices in the two-DataFrame graph contract. */
   def vertex(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
-      val label = spec.strOr("class", "V")
+      // `$var` resolves like in SQL/paths — the shipped config-dbpedia
+      // derives the class from a let ({vertex: {class: "$className"}})
+      val label = OrientExpr.resolveString(spec.strOr("class", "V"), ctx.varMap)
       val idField = spec.str("idField").getOrElse(df.columns.head)
       val tagged = df
         .withColumn("id", col(idField).cast("string"))

