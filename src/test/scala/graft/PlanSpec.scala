@@ -141,6 +141,53 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n$plan")
   }
 
+  test("bucketed upsert read: bucket isin is a PartitionFilter (pruned listing)") {
+    // the same read expression upsertParquetBucketed builds for an
+    // affected-bucket scan: the __bucket predicate must prune partition
+    // DIRECTORIES at planning (PartitionFilters), never surface as a
+    // row filter over a full scan — this is what makes upsert cost
+    // track delta size at 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktplan").toString
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/customer.parquet"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$dir/tbl", "mode": "upsert",
+                             "key": "c_custkey", "buckets": 8}} }""")
+    val plan = analyzedPlan(spark.read.parquet(s"$dir/tbl")
+      .where(col("__bucket").isin(2, 5)))
+    val part = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(part.contains("__bucket"),
+      s"bucket predicate must be a PartitionFilter:\n$plan")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("__bucket"),
+      s"bucket column must prune directories, not row-filter:\n$plan")
+  }
+
+  test("gremlin repeat(out).times(k) plans exactly k edge joins") {
+    val ctx = newCtx()
+    import spark.implicits._
+    ctx.addVertices(Seq(("a", "p"), ("b", "p")).toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "next"), ("b", "a", "next"))
+      .toDF("src", "dst", "label"))
+    def joins(script: String): Int = {
+      val out = graft.stages.Stages.command(
+        graft.spec.ComponentSpec("command", Map("command" -> script)),
+        ctx)(spark.emptyDataFrame)
+      // count logical joins BEFORE execution — the unroll bound is a
+      // plan property, independent of AQE's physical choices. Each hop
+      // is an edge join + a label re-attach join (2 per hop).
+      out.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.length
+    }
+    val k1 = joins("g.V().repeat(out('next')).times(1).count()")
+    val k3 = joins("g.V().repeat(out('next')).times(3).count()")
+    assert(k3 - k1 == 4, s"expected 2 extra joins per extra hop, " +
+      s"got k1=$k1 k3=$k3") // 2 hops more = 4 joins more
+  }
+
   test("partitioned write: partition filter prunes, not a data filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Engine.runJson(newCtx(), s"""{
