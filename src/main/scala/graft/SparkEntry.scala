@@ -94,7 +94,12 @@ object SparkEntry {
         val flat = Languages.flatMap(l => Holdout(l)) // idx = lang*K + sentence
         val contentKey = math.abs(
           scala.util.hashing.MurmurHash3.orderedHash(flat ++ Languages))
-        val marker = new java.io.File(s"$dir/langid_parquet", s"_graft_$contentKey")
+        // keyed on BOTH the holdout content and the doc population —
+        // regenerated testdata invalidates this cache like every other
+        // fixture (MediaFixtures.docKey)
+        val docK = graft.multimodal.MediaFixtures.docKey(spark, sfDir)
+        val marker = new java.io.File(s"$dir/langid_parquet",
+          s"_graft_${contentKey}_$docK")
         if (!marker.exists()) {
           spark.read.parquet(s"$sfDir/documents.parquet")
             .select(col("doc_id"))

@@ -104,7 +104,7 @@ object MediaFixtures {
   }
 
   def ensureAudio(spark: SparkSession, sfDir: String, outPath: String): String = {
-    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    val marker = new java.io.File(outPath, markerName(spark, sfDir))
     if (!marker.exists()) {
       audioFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
       marker.createNewFile()
@@ -202,7 +202,7 @@ object MediaFixtures {
 
   def ensureCompressedAudio(spark: SparkSession, sfDir: String,
                             outPath: String): String = {
-    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    val marker = new java.io.File(outPath, markerName(spark, sfDir))
     if (!marker.exists()) {
       compressedAudioFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
       marker.createNewFile()
@@ -243,7 +243,7 @@ object MediaFixtures {
   }
 
   def ensureVideo(spark: SparkSession, sfDir: String, outPath: String): String = {
-    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    val marker = new java.io.File(outPath, markerName(spark, sfDir))
     if (!marker.exists()) {
       videoFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
       marker.createNewFile()
@@ -309,7 +309,7 @@ object MediaFixtures {
   }
 
   def ensurePhash(spark: SparkSession, sfDir: String, outPath: String): String = {
-    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    val marker = new java.io.File(outPath, markerName(spark, sfDir))
     if (!marker.exists()) {
       phashFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
       marker.createNewFile()
@@ -322,10 +322,28 @@ object MediaFixtures {
     * leave a stale /tmp fixture disagreeing with the oracle. */
   val Version = 2
 
+  /** Content key of the doc_id population every fixture derives from:
+    * the driver REGENERATES testdata between rounds without notice
+    * (CLAUDE.md, round-8 lesson) — a count or id-range drift must
+    * invalidate the /tmp caches exactly like an arithmetic edit does,
+    * or the fixtures silently disagree with oracles recomputed over
+    * the NEW documents table. One tiny aggregate per (sfDir, JVM). */
+  private val docKeys = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def docKey(spark: SparkSession, sfDir: String): Long =
+    docKeys.getOrElseUpdate(sfDir, {
+      val r = spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id").cast("long")).as("lo"),
+          max(col("doc_id").cast("long")).as("hi")).head()
+      r.getLong(0) * 1000003L + r.getLong(1) * 31L + r.getLong(2)
+    })
+  private def markerName(spark: SparkSession, sfDir: String): String =
+    s"_graft_v${Version}_${docKey(spark, sfDir)}"
+
   /** Write the fixture parquet once per (sfDir, outPath, Version);
     * idempotent. */
   def ensure(spark: SparkSession, sfDir: String, outPath: String): String = {
-    val marker = new java.io.File(outPath, s"_graft_v$Version")
+    val marker = new java.io.File(outPath, markerName(spark, sfDir))
     if (!marker.exists()) {
       frame(spark, sfDir).write.mode("overwrite").parquet(outPath)
       marker.createNewFile()
