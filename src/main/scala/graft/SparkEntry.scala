@@ -1534,6 +1534,33 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
+    "substring_spans" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact duplicated-substring spans (Lee et al. 2022 family),
+      // gram-granular distributed form — per-doc span stats
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"substringspans": {"idField": "doc_id",
+          "field": "text", "gram": 4, "mode": "stats"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("ss_spans").cast("long").as("ss_spans"),
+          col("ss_dup_words").cast("long").as("ss_dup_words"),
+          col("ss_max_span").cast("long").as("ss_max_span"))
+        .orderBy("doc_id")
+    },
+    "substring_strip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // strip mode: every word covered by a cross-document duplicated
+      // span is removed (C4-style aggressive removal, both copies)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"substringspans": {"idField": "doc_id",
+          "field": "text", "gram": 4, "mode": "strip"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text").orderBy("doc_id")
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -2061,6 +2088,20 @@ object SparkEntry {
     s"ELSE list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
     s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) END"
 
+  /** Shared CTE prefix for the substring-span oracles: word `k`-grams
+    * with 1-based positions, cross-document duplicated grams, and
+    * maximal merged spans (gaps-and-islands) — the DuckDB mirror of
+    * DedupStages.substringSpans. */
+  private def substringSpanCte(k: Int): String =
+    s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+    s"g0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - $k + 2, 1)), " +
+    s"i -> struct_pack(p := i, g := array_to_string(list_slice(ws, i, i + $k - 1), ' ')))) AS e FROM w), " +
+    s"grams AS (SELECT doc_id, e.p AS pos, e.g AS gram FROM g0), " +
+    s"dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+    s"hits AS (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)), " +
+    s"isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits), " +
+    s"spans AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + $k AS len FROM isl GROUP BY doc_id, grp) "
+
   def oracleSql: Map[String, String] = Map(
     "file_row_count" -> "SELECT count(*) AS n_lines FROM nation",
     "csv_typed" ->
@@ -2446,6 +2487,22 @@ object SparkEntry {
       "AND NOT EXISTS (SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id) " +
       "ORDER BY doc_id"
     },
+    "substring_spans" -> (substringSpanCte(4) +
+      "SELECT d.doc_id, CAST(coalesce(st.n, 0) AS BIGINT) AS ss_spans, " +
+      "CAST(coalesce(st.dw, 0) AS BIGINT) AS ss_dup_words, " +
+      "CAST(coalesce(st.mx, 0) AS BIGINT) AS ss_max_span " +
+      "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n, " +
+      "sum(len) AS dw, max(len) AS mx FROM spans GROUP BY doc_id) st " +
+      "USING (doc_id) ORDER BY d.doc_id"),
+    "substring_strip" -> (substringSpanCte(4) +
+      ", cov AS (SELECT doc_id, list(DISTINCT cp) AS cps FROM " +
+      "(SELECT doc_id, unnest(range(s, s + len)) AS cp FROM spans) " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, CASE WHEN cov.cps IS NULL THEN d.text ELSE " +
+      // DuckDB array_to_string([]) is NULL; a fully-stripped doc is ''
+      "coalesce(array_to_string(list_filter(string_split(d.text, ' '), " +
+      "(x, i) -> NOT list_contains(cov.cps, i)), ' '), '') END AS text " +
+      "FROM documents d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id"),
     "minhash_pairs" -> {
       val sh = shingles("documents")
       s"WITH s AS (SELECT doc_id, $sh AS sh FROM documents) " +

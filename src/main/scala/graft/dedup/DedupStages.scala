@@ -547,4 +547,105 @@ object DedupStages {
         .select(col("id").as("__drop"))
       df.join(losers, col(id) === col("__drop"), "left_anti")
     }
+
+  // --------------------------------------- duplicated substring spans
+
+  /** `substringspans` transformer: find (and optionally strip) maximal
+    * spans of text duplicated VERBATIM across documents — the
+    * exact-substring dedup family of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), which catches the
+    * boilerplate/quotation overlap that whole-document and
+    * near-document dedup both miss. Their single-machine suffix array
+    * is replaced by a distributed gram-granular equivalent: a span is
+    * reported iff it is a maximal run of word `gram`-grams each of
+    * which also occurs in some OTHER document, which finds every
+    * cross-document repeat of length ≥ `gram` words (suffix-array
+    * semantics, banded to gram granularity — span ENDPOINTS are
+    * rounded to the gram size).
+    *
+    * Options: `idField` (default `doc_id`), `field` (`text`), `gram`
+    * (span granularity in words, default 8), `minSpan` (report/strip
+    * only merged spans of at least this many words, default = gram),
+    * `mode` ∈ `stats` (default — attach `ss_spans`, `ss_dup_words`,
+    * `ss_max_span` per document) | `strip` (remove every word covered
+    * by a reported span from `field`; C4-style aggressive removal —
+    * both copies go, unlike Lee et al.'s keep-one, because keep-one
+    * needs a global occurrence order that costs an extra shuffle and
+    * changes nothing downstream of a dedup'd corpus).
+    *
+    * Scale shape (100 TB): tokenize + gram-hash are per-row HOF
+    * projections (zero shuffle, one output row per token position —
+    * linear); duplicated-gram detection is ONE hash-partitioned
+    * aggregation with map-side partial min/max (never countDistinct);
+    * the hits semi-join ships only (gram-hash, id, pos) triples; span
+    * merging is a per-document window whose partitions are bounded by
+    * document length. No pairwise comparison anywhere. */
+  def substringSpans(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val field = spec.strOr("field", "text")
+      val k = spec.int("gram", 8)
+      require(k >= 2, s"substringspans: gram=$k (need >= 2)")
+      val minSpan = spec.int("minSpan", k)
+      val mode = spec.strOr("mode", "stats")
+
+      val words = split(col(field), " ")
+      // per-position gram hash: pos is 1-based, gram = words[pos..pos+k-1]
+      val grams = df
+        .select(col(id).as("__sid"), words.as("__w"))
+        .where(size(col("__w")) >= k)
+        .select(col("__sid"), posexplode(
+          transform(sequence(lit(1), size(col("__w")) - k + 1),
+            i => xxhash64(array_join(slice(col("__w"), i, lit(k)), " ")))))
+        .select(col("__sid"), (col("pos") + 1).as("__pos"), col("col").as("__gh"))
+
+      // a gram is duplicated iff it occurs in MORE THAN ONE document:
+      // min!=max over doc ids — partial-aggregable, unlike countDistinct
+      val dup = grams.groupBy("__gh")
+        .agg(min("__sid").as("__mn"), max("__sid").as("__mx"))
+        .where(col("__mn") =!= col("__mx"))
+        .select("__gh")
+      val hits = grams.join(dup, "__gh").select("__sid", "__pos")
+
+      // merge consecutive duplicated-gram positions into maximal spans
+      // (gaps-and-islands); a span of positions [s..e] covers words
+      // [s .. e+k-1]
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__sid").orderBy("__pos")
+      val spans = hits
+        .withColumn("__grp", col("__pos") - row_number().over(w))
+        .groupBy("__sid", "__grp")
+        .agg(min("__pos").as("__s"),
+          (max("__pos") - min("__pos") + k).as("__len"))
+        .where(col("__len") >= minSpan)
+
+      mode match {
+        case "stats" =>
+          val stats = spans.groupBy("__sid").agg(
+            count(lit(1)).as("ss_spans"),
+            sum("__len").as("ss_dup_words"),
+            max("__len").as("ss_max_span"))
+          df.join(stats, col(id) === col("__sid"), "left")
+            .drop("__sid")
+            .withColumn("ss_spans", coalesce(col("ss_spans"), lit(0L)))
+            .withColumn("ss_dup_words", coalesce(col("ss_dup_words"), lit(0L)))
+            .withColumn("ss_max_span", coalesce(col("ss_max_span"), lit(0L)))
+        case "strip" =>
+          // covered word positions per doc (bounded by doc length), then
+          // rebuild the field dropping covered words in one HOF pass
+          val covered = spans
+            .select(col("__sid"),
+              explode(sequence(col("__s"), col("__s") + col("__len") - 1))
+                .as("__cp"))
+            .groupBy("__sid").agg(collect_set("__cp").as("__cov"))
+          df.join(covered, col(id) === col("__sid"), "left")
+            .withColumn(field,
+              when(col("__cov").isNull, col(field)).otherwise(
+                array_join(filter(split(col(field), " "),
+                  (word, i) => !array_contains(col("__cov"), i + 1)), " ")))
+            .drop("__sid", "__cov")
+        case other =>
+          sys.error(s"substringspans: mode '$other' (stats | strip)")
+      }
+    }
 }

@@ -54,6 +54,7 @@ object Engine {
     "neardupdedup"  -> graft.dedup.DedupStages.neardupDedup _,
     "decontaminate" -> graft.dedup.DedupStages.decontaminate _,
     "crossdedup"    -> graft.dedup.DedupStages.crossDedup _,
+    "substringspans" -> graft.dedup.DedupStages.substringSpans _,
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "regexreplace"  -> graft.text.TextStages.regexReplace _,

@@ -1078,4 +1078,58 @@ class LlmStagesSpec extends SparkSpec {
     assert(plan.contains("might_contain"),
       s"bloom probe should be BloomFilterMightContain:\n$plan")
   }
+
+  // ------------------------------------------------- substring span dedup
+  test("substringspans stats: maximal cross-doc spans, within-doc repeats excluded") {
+    val df = Seq(
+      (1L, "a b c d e f g h x1 y1 z1"),          // shares words 1-8 with doc 2
+      (2L, "p2 q2 a b c d e f g h r2"),          // shares words 3-10 with doc 1
+      (3L, "u v w"),                              // shorter than gram -> no grams
+      (4L, "m m m m m m m m"),                    // repeats only WITHIN itself
+      (5L, "dup1 dup2 dup3 dup4"),                // identical to doc 6
+      (6L, "dup1 dup2 dup3 dup4")).toDF("doc_id", "text")
+    val out = stage("substringspans", "gram" -> 4)(df)
+      .select("doc_id", "ss_spans", "ss_dup_words", "ss_max_span")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 8L, 8L)), s"doc1: ${out(0)}")
+    assert(out(1) == ((2L, 1L, 8L, 8L)), s"doc2: ${out(1)}")
+    assert(out(2) == ((3L, 0L, 0L, 0L)), "short doc must have no spans")
+    assert(out(3) == ((4L, 0L, 0L, 0L)),
+      "a gram repeated only within one doc is not a cross-doc duplicate")
+    assert(out(4) == ((5L, 1L, 4L, 4L)) && out(5) == ((6L, 1L, 4L, 4L)))
+  }
+
+  test("substringspans strip: removes exactly the covered words, both copies") {
+    val df = Seq(
+      (1L, "a b c d e f g h x1 y1 z1"),
+      (2L, "p2 q2 a b c d e f g h r2"),
+      (3L, "untouched words stay whole"),
+      (5L, "dup1 dup2 dup3 dup4"),
+      (6L, "dup1 dup2 dup3 dup4")).toDF("doc_id", "text")
+    val out = stage("substringspans", "gram" -> 4, "mode" -> "strip")(df)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "x1 y1 z1")
+    assert(out(2L) == "p2 q2 r2")
+    assert(out(3L) == "untouched words stay whole")
+    assert(out(5L) == "" && out(6L) == "",
+      "a fully-duplicated doc strips to empty (both copies removed)")
+  }
+
+  test("substringspans minSpan filters short merged spans; plan is join-bounded") {
+    val df = Seq(
+      (1L, "a b c d e f g h x1 y1 z1"),
+      (2L, "p2 q2 a b c d e f g h r2"),
+      (5L, "dup1 dup2 dup3 dup4"),
+      (6L, "dup1 dup2 dup3 dup4")).toDF("doc_id", "text")
+    val out = stage("substringspans", "gram" -> 4, "minSpan" -> 6)(df)
+      .select("doc_id", "ss_spans").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L, "8-word spans survive minSpan=6")
+    assert(out(5L) == 0L && out(6L) == 0L, "4-word spans fall under minSpan=6")
+    // scale shape: equi-joins only — no cartesian / nested-loop pairing
+    val plan = stage("substringspans", "gram" -> 4)(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"substringspans must never pair documents:\n$plan")
+  }
 }
