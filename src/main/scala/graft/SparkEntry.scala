@@ -1668,6 +1668,49 @@ object SparkEntry {
         "loader": {"memory": {}} }""").select("q_id", "n_id")
       recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.8", 0.8)
     },
+    "quantize_embed" -> { (s, dir) =>
+      // VERDICT table for int8 scalar quantization: (a) every
+      // dequantized element is within scale/2 of the original (the
+      // round() bound, asserted not assumed); (b) q stays in the
+      // symmetric [-127, 127] range; (c) brute-force top-5 over the
+      // quantize->dequantize round-trip keeps recall >= 0.9 vs the
+      // float-exact top-5 (cosine is scale-invariant, so only rounding
+      // noise can flip a neighbour). Oracle = constant expected table.
+      val c = ctx(s, dir)
+      val quant = Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"quantize": {"field": "embedding",
+          "keepOriginal": true}}],
+        "loader": {"memory": {}} }""")
+      val checks = quant.select(
+          when(array_max(zip_with(col("embedding"), col("embedding_q8"),
+              (a, b) => abs(a.cast("double") - b.cast("double") * col("embedding_scale"))))
+              <= col("embedding_scale") * 0.5 + 1e-12, 0).otherwise(1).as("errbad"),
+          when(array_max(transform(col("embedding_q8"),
+              q => abs(q.cast("int")))) <= 127, 0).otherwise(1).as("rngbad"))
+        .agg(sum("errbad").as("eb"), sum("rngbad").as("rb"))
+        .select(explode(array(
+          struct(lit("max_err_le_half_scale").as("metric"), (col("eb") === 0L).as("pass")),
+          struct(lit("q_range_symmetric").as("metric"), (col("rb") === 0L).as("pass")))))
+        .select("col.*")
+      val approx = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"quantize": {"field": "embedding"}},
+          {"quantize": {"field": "embedding", "mode": "dequantize"}},
+          {"similarity": {"idField": "vec_id", "field": "embedding", "k": 5}}],
+        "loader": {"memory": {}} }""").select("q_id", "n_id")
+      val exact = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"similarity": {"idField": "vec_id",
+          "field": "embedding", "k": 5}}],
+        "loader": {"memory": {}} }""").select("q_id", "n_id")
+      recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.9", 0.9)
+        .unionByName(checks).orderBy("metric")
+    },
     "cosine_dup" -> { (s, dir) =>
       // VERDICT table: the SRP-bucketed pair set must be a SUBSET of the
       // exact pair set (the LSH path exact-verifies candidates, so false
@@ -2522,6 +2565,10 @@ object SparkEntry {
        "AS t(metric, pass) ORDER BY metric"),
     "similarity_lsh" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
+       "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "quantize_embed" ->
+      ("SELECT * FROM (VALUES ('max_err_le_half_scale', true), " +
+       "('q_range_symmetric', true), ('recall_at_5_ge_0.9', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
     "similarity_ivf" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.8', true), " +

@@ -82,6 +82,7 @@ object Engine {
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,
     "cosinedup"     -> graft.similarity.SimilarityStages.cosineDup _,
     "kmeans"        -> graft.similarity.SimilarityStages.kmeans _,
+    "quantize"      -> graft.similarity.SimilarityStages.quantize _,
     "semanticdedup" -> graft.similarity.SimilarityStages.semanticDedup _,
     "mm_attach"     -> graft.multimodal.MultimodalStages.attach _,
     "mm_decode"     -> graft.multimodal.MultimodalStages.decode _,

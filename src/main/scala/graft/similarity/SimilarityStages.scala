@@ -739,4 +739,50 @@ object SimilarityStages {
         case other => sys.error(s"semanticdedup: unknown emit '$other' (dedup|pairs)")
       }
     }
+
+  // --------------------------------------------------- int8 quantization
+
+  /** `quantize` transformer: per-vector symmetric int8 scalar
+    * quantization of an embedding column — 4× smaller storage/shuffle
+    * footprint for 100-TB embedding corpora, with cosine similarity
+    * preserved up to quantization noise (the per-vector scale cancels
+    * out of cosine entirely; only the ±scale/2 rounding noise remains).
+    *
+    * `mode: "quantize"` (default) replaces `field` (array<float>) with
+    * `<field>_q8` (array<tinyint>) + `<field>_scale` (double), where
+    * `scale = max(|x|)/127` and `q = round(x/scale)` ∈ [-127, 127]
+    * (symmetric — -128 unreachable, so dequantization never clips).
+    * `keepOriginal: true` retains the float column alongside.
+    * `mode: "dequantize"` restores an approximate `field` =
+    * `q · scale` (array<float>) and drops the quantized columns; every
+    * element is within scale/2 of the original by construction.
+    *
+    * Scale shape: both directions are pure per-row higher-order-function
+    * projections — zero shuffle, codegen-friendly, streaming-safe. */
+  def quantize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val vec = spec.strOr("field", "embedding")
+      val qf = spec.strOr("qField", vec + "_q8")
+      val sf = spec.strOr("scaleField", vec + "_scale")
+      spec.strOr("mode", "quantize") match {
+        case "quantize" =>
+          // zero vectors get a degenerate positive scale -> q all zero
+          val amax = greatest(
+            array_max(transform(col(vec), x => abs(x.cast("double")))),
+            lit(java.lang.Double.MIN_NORMAL))
+          val out = df
+            .withColumn(sf, amax / 127.0d)
+            .withColumn(qf, transform(col(vec),
+              x => round(x.cast("double") / col(sf)).cast("tinyint")))
+          if (spec.bool("keepOriginal", false)) out else out.drop(vec)
+        case "dequantize" =>
+          require(df.columns.contains(qf) && df.columns.contains(sf),
+            s"quantize: dequantize needs '$qf' and '$sf' (quantize first)")
+          df.withColumn(vec, transform(col(qf),
+              x => (x.cast("double") * col(sf)).cast("float")))
+            .drop(qf, sf)
+        case other =>
+          sys.error(s"quantize: unknown mode '$other' (quantize|dequantize)")
+      }
+    }
 }

@@ -1079,6 +1079,60 @@ class LlmStagesSpec extends SparkSpec {
       s"bloom probe should be BloomFilterMightContain:\n$plan")
   }
 
+  // --------------------------------------------------- int8 quantization
+  test("quantize: int8 roundtrip error bounded by scale/2, symmetric range") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(100.0f, -100.0f, 3.14159f, 0.001f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (4L, Array(1e-8f, -1e-8f, 5e-9f, 0.0f))).toDF("vec_id", "embedding")
+    val q = stage("quantize", "keepOriginal" -> true)(df)
+    assert(q.schema("embedding_q8").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    val rows = q.select(col("vec_id"), col("embedding"), col("embedding_q8"),
+      col("embedding_scale")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1); val qs = r.getSeq[Byte](2); val s = r.getDouble(3)
+      assert(s > 0.0, "scale must be positive even for the zero vector")
+      v.zip(qs).foreach { case (x, qb) =>
+        assert(math.abs(qb.toInt) <= 127, s"q out of range: $qb")
+        assert(math.abs(x.toDouble - qb.toDouble * s) <= s / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: |$x - $qb*$s| exceeds scale/2")
+      }
+    }
+    // zero vector quantizes to all zeros
+    val z = rows.find(_.getLong(0) == 3L).get.getSeq[Byte](2)
+    assert(z.forall(_ == 0))
+  }
+
+  test("quantize/dequantize: pure projections (no shuffle), cosine preserved") {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val quantized = stage("quantize")(base)
+    assert(!quantized.columns.contains("embedding"),
+      "default mode drops the float column (that is the point)")
+    val plan = quantized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantize must not shuffle:\n$plan")
+    val restored = stage("quantize", "mode" -> "dequantize")(quantized)
+    assert(restored.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))
+    // cosine(orig, restored) stays ~1 for every vector (scale cancels;
+    // only rounding noise remains)
+    val joined = base.select(col("vec_id"), col("embedding").as("o"))
+      .join(restored.select(col("vec_id"), col("embedding").as("r")), "vec_id")
+      .select(
+        (aggregate(zip_with(col("o"), col("r"),
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0d), (acc, x) => acc + x) /
+         (sqrt(aggregate(transform(col("o"), a => a.cast("double") * a.cast("double")),
+           lit(0.0d), (acc, x) => acc + x)) *
+          sqrt(aggregate(transform(col("r"), a => a.cast("double") * a.cast("double")),
+            lit(0.0d), (acc, x) => acc + x)))).as("cos"))
+    val minCos = joined.agg(min("cos")).head().getDouble(0)
+    assert(minCos > 0.999, s"quantization distorted cosine: min=$minCos")
+  }
+
   // ------------------------------------------------- substring span dedup
   test("substringspans stats: maximal cross-doc spans, within-doc repeats excluded") {
     val df = Seq(
