@@ -548,6 +548,37 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("id", "label").orderBy("id")
     },
+    "command_gremlin_path" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // path() tracking: each traverser's visited vertex ids ride along
+      // as a per-row array append (no extra shuffle) — here order →
+      // placing customer, one 2-element path per order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command": "g.V().hasLabel('order').out('placed').path()"}}],
+        "loader": {"memory": {}} }""")
+        .select(array_join(col("path"), "->").as("path")).orderBy("path")
+    },
+    "command_gremlin_order" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // order().by(desc).range(a,b): the lazy sort + adjacent slice plan
+      // as one TakeOrdered (partial top-k) — vertex ids are strings, so
+      // both sides slice the string-descending order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').order().by('id', decr).range(10, 20).values('id')"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
     "graph_triangle" -> { (s, dir) =>
       val c = ctx(s, dir)
       // three-term directed-triangle motif — stresses multi-term join
@@ -2235,6 +2266,12 @@ object SparkEntry {
        "UNION ALL SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.cur WHERE w.d < 3) " +
        "SELECT DISTINCT a AS id, 'customer' AS label FROM walk " +
        "WHERE d = 3 AND cur <> a ORDER BY id"),
+    "command_gremlin_path" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) || '->' || CAST(o_custkey AS VARCHAR) " +
+       "AS path FROM orders ORDER BY path"),
+    "command_gremlin_order" ->
+      ("SELECT id AS value FROM (SELECT CAST(c_custkey AS VARCHAR) AS id " +
+       "FROM customer ORDER BY id DESC OFFSET 10 LIMIT 10) ORDER BY value"),
     "graph_triangle" ->
       ("WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst " +

@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.engine.EtlContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gremlin-subset translator for the `command` transformer — closes the
@@ -40,6 +40,16 @@ import org.apache.spark.sql.functions._
   *    of the inner chain BEFORE planning (k ≤ 12: each iteration is a
   *    join — an explicit bound beats an accidental 50-join plan). The
   *    inner chain may use any of the hop/filter steps above.
+  *  - `.order().by('col')` / `.order().by('col', decr)` — sort the
+  *    frame; consecutive `by`s compose a multi-column sort; `order()`
+  *    with no `by` sorts by `value` (value space) or `id`. The sort is
+  *    applied lazily so `order().by(..).range(a,b)`/`limit(n)` plans as
+  *    a single TakeOrdered (partial per-partition top-k, no full sort);
+  *  - `.range(low, high)` — rows [low, high) of the current frame
+  *    (Gremlin's traverser slice; pair with `order` for determinism);
+  *  - `.path()` — TERMINAL: emit each traverser's visited vertex ids as
+  *    `path` (array<id>). Tracked only when the script asks for it — a
+  *    per-row array append at V() and each hop, no extra shuffle.
   *
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
   * exactly the plan the equivalent motif pattern produces; AQE handles
@@ -100,10 +110,48 @@ object Gremlin {
     // silently lose one. Duplicate registrations of the SAME (id,
     // label) do collapse (that's re-registration, not a second vertex).
     val idLabel = vertices.select(col("id"), col("label")).distinct()
-    var frame = vertices
+    val trackPath = steps.exists(_._1 == "path")
+    var frame =
+      if (trackPath) vertices.withColumn("__path", array(col("id")))
+      else vertices
+    // `order().by(..)` accumulates sort keys here and is applied at the
+    // next non-`by` step (or chain end) — adjacent `limit`/`range` then
+    // plan as TakeOrdered instead of a full sort
+    var pendingSort: Option[List[Column]] = None
+    def flushSort(): Unit = pendingSort.foreach { keys =>
+      val eff =
+        if (keys.nonEmpty) keys
+        else if (frame.columns.contains("value")) List(col("value").asc)
+        else List(col("id").asc)
+      frame = frame.orderBy(eff: _*)
+      pendingSort = None
+    }
     steps.tail.zipWithIndex.foreach { case (step, i) =>
       val terminal = i == steps.tail.length - 1
+      if (step._1 != "by") flushSort()
       step match {
+        case ("order", Nil) => pendingSort = Some(Nil)
+        case ("by", args) =>
+          val key = args match {
+            case Seq(f: String) => col(f).asc
+            case Seq(f: String, d: String)
+              if Set("asc", "incr").contains(d.toLowerCase) => col(f).asc
+            case Seq(f: String, d: String)
+              if Set("desc", "decr").contains(d.toLowerCase) => col(f).desc
+            case _ => fail(s"by(${args.mkString(", ")}): expected " +
+              "by('col') or by('col', asc|desc|incr|decr)")
+          }
+          pendingSort = pendingSort match {
+            case Some(keys) => Some(keys :+ key)
+            case None => fail("by(..) without a preceding order()")
+          }
+        case ("range", Seq(lo: Long, hi: Long)) =>
+          if (lo < 0 || hi < lo || hi > Int.MaxValue)
+            fail(s"range($lo, $hi): need 0 <= low <= high")
+          frame = frame.offset(lo.toInt).limit((hi - lo).toInt)
+        case ("path", Nil) =>
+          if (!terminal) fail("path() must be the last step")
+          frame = frame.select(col("__path").as("path"))
         case ("hasLabel", Seq(l: String)) => frame = frame.where(col("label") === l)
         case ("has", Seq(k: String, v)) => frame = frame.where(col(k) === lit(v))
         case ("out", args) if args.length <= 1 =>
@@ -113,7 +161,15 @@ object Gremlin {
         case ("both", args) if args.length <= 1 =>
           frame = hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
             .unionByName(hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src"))
-        case ("dedup", Nil) => frame = frame.distinct()
+        case ("dedup", Nil) =>
+          // Gremlin dedup() keys on the CURRENT element, not the path:
+          // with path tracking on, an arbitrary traverser's path survives
+          // per element (dropDuplicates), matching Gremlin's semantics
+          frame =
+            if (trackPath)
+              frame.dropDuplicates(
+                frame.columns.filterNot(_ == "__path").toIndexedSeq)
+            else frame.distinct()
         case ("limit", Seq(n: Long)) =>
           if (n < 0 || n > Int.MaxValue) fail(s"limit($n) out of range")
           frame = frame.limit(n.toInt)
@@ -145,12 +201,14 @@ object Gremlin {
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
-            "values/count/as/where(eq|neq)/select/repeat(..).times(k); " +
+            "values/count/as/where(eq|neq)/select/repeat(..).times(k)/" +
+            "order().by(..)/range(lo,hi)/path(); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
       }
     }
+    flushSort()
     // as(..) bindings are traversal state, not output columns
     frame.drop(frame.columns.filter(_.startsWith("__as_")).toIndexedSeq: _*)
   }
@@ -164,11 +222,16 @@ object Gremlin {
     val edges0 = ctx.edges.getOrElse(
       fail("traversal step needs edges — apply an `edge` stage first"))
     val edges = elabel.fold(edges0)(l => edges0.where(col("label") === l))
-    val stash = frame.columns.filter(_.startsWith("__as_")).toSeq
-    frame.select(col("id").as("__from") +: stash.map(col): _*)
+    val stash = frame.columns
+      .filter(c => c.startsWith("__as_") || c == "__path").toSeq
+    val landed = frame.select(col("id").as("__from") +: stash.map(col): _*)
       .join(edges, col("__from") === col(from))
       .select(col(to).as("id") +: stash.map(col): _*)
       .join(idLabel, Seq("id"), "left")
+    // path tracking: append the landed vertex id (per-row array concat)
+    if (stash.contains("__path"))
+      landed.withColumn("__path", concat(col("__path"), array(col("id"))))
+    else landed
   }
 
   /** A bound-vertex predicate argument: `eq('x')` / `neq('x')`. */
@@ -181,6 +244,8 @@ object Gremlin {
         a.substring(1, a.length - 1)
       else a match {
         case WherePred(op, tag) => Pred(op, tag)
+        // Gremlin Order tokens arrive bare (`Order.decr` shortened form)
+        case "asc" | "desc" | "incr" | "decr" => a
         case _ => scala.util.Try(a.toLong).getOrElse(
           scala.util.Try(a.toDouble).getOrElse(
             fail(s"cannot parse argument '$a' (quoted string or number)")))

@@ -231,9 +231,51 @@ class GraphSpec extends SparkSpec {
     val e = intercept[RuntimeException](
       g("g.V().repeat(out()).until(hasLabel('city'))"))
     assert(e.getMessage.contains("gremlin"))
-    val e2 = intercept[RuntimeException](g("g.V().out().path()"))
+    val e2 = intercept[RuntimeException](g("g.V().out().group()"))
     assert(e2.getMessage.contains("unsupported step"))
     assert(e2.getMessage.contains("motif"))
+  }
+
+  test("gremlin: path() tracks visited ids; order().by + range slice deterministically") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "p"), ("d", "q"))
+      .toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "next"), ("b", "c", "next"), ("c", "d", "next"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // two-hop paths record start + both landed vertices, in order
+    val paths = g("g.V().out('next').out('next').path()")
+      .select(array_join(col("path"), ",")).as[String].collect().toSeq.sorted
+    assert(paths == Seq("a,b,c", "b,c,d"), paths.toString)
+    // path survives filters and repeat-unrolled hops
+    assert(g("g.V().hasLabel('p').repeat(out('next')).times(2).path()")
+      .select(array_join(col("path"), ",")).as[String].collect().toSeq.sorted ==
+      Seq("a,b,c", "b,c,d"))
+    // path() only mid-chain is a named error
+    val e = intercept[RuntimeException](g("g.V().path().out('next')"))
+    assert(e.getMessage.contains("last step"), e.getMessage)
+    // order + range: deterministic slice of the sorted frame
+    assert(g("g.V().order().by('id', decr).range(1, 3).values('id')")
+      .select("value").as[String].collect().toSeq == Seq("c", "b"))
+    // order() with no by in value space sorts by value
+    assert(g("g.V().values('id').order()")
+      .select("value").as[String].collect().toSeq == Seq("a", "b", "c", "d"))
+    // lazy sort + adjacent slice plans as TakeOrdered, not a global sort
+    val plan = graft.graph.Gremlin.run(ctx,
+      "g.V().order().by('id').range(0, 2)").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"order+range should be top-k:\n$plan")
+    // by() without order() is a named error
+    val e2 = intercept[RuntimeException](g("g.V().by('id')"))
+    assert(e2.getMessage.contains("preceding order"), e2.getMessage)
+    // dedup() with path tracking keys on the current element, not path
+    ctx.addEdges(Seq(("a", "c", "skip")).toDF("src", "dst", "label"))
+    val dd = g("g.V().out().out().dedup().path()")
+    // two traversers reach d (a→b→c→? no; with skip edge: a→c→d and b→c→d
+    // land on d) — dedup keeps ONE d row, path is one of the survivors
+    val landed = dd.select(col("path")(size(col("path")) - 1)).as[String]
+      .collect().toSeq.sorted
+    assert(landed == landed.distinct, s"dedup must collapse per element: $landed")
   }
 
   test("gremlin: as/where/select bindings and repeat(..).times(k) unrolling") {
