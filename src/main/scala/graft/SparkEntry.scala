@@ -2007,6 +2007,44 @@ object SparkEntry {
         .select("event_id", "user_id", "segment")
         .orderBy("event_id")
     },
+    "stream_upsert" -> { (s, dir) =>
+      // streaming CDC-merge: micro-batches apply through the bucketed
+      // partition-pruned upsert writer (per-batch cost scales with the
+      // delta, not the table). Phase 1 streams the full events table in
+      // (pure inserts); phase 2 streams an update delta (every
+      // event_id % 10 == 0 re-asserted with value doubled) into the SAME
+      // target; the final table must equal the batch merge. Replay-safe:
+      // upserts are idempotent per key. ts/props are projected out — the
+      // merged table carries only the stable columns.
+      val c = ctx(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+        .toAbsolutePath.toString
+      val target = s"$base/table"
+      def pipe(srcPath: String, glob: String, schema: String, cp: String) = s"""{
+        "source": {"stream": {"path": "$srcPath", "format": "parquet",
+          "pathGlobFilter": "$glob", "schema": "$schema"}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT event_id, user_id, event_type, value FROM __input"}}],
+        "loader": {"streamsink": {"format": "upsert", "path": "$target",
+          "key": "event_id", "buckets": 8, "checkpoint": "$base/$cp",
+          "trigger": "availableNow", "outputMode": "append"}} }"""
+      graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(
+        pipe(dir, "events.parquet",
+          graft.sources.Tables.rawSchemaDDL(s, dir, "events"), "cp1")))
+        .awaitTermination()
+      val delta = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"),
+          lit("updated").as("event_type"), (col("value") * 2).as("value"))
+      delta.write.mode("overwrite").parquet(s"$base/delta")
+      graft.streaming.Streaming.run(ctx(s, dir), graft.spec.PipelineSpec.parse(
+        pipe(s"$base/delta", "part-*", delta.schema.toDDL, "cp2")))
+        .awaitTermination()
+      s.read.parquet(target)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
     "chunk_windows" -> { (s, dir) =>
       val c = ctx(s, dir)
       // sliding 64-token windows with 16-token overlap — the context-
@@ -2718,6 +2756,11 @@ object SparkEntry {
       ("SELECT e.event_id, e.user_id, c.c_mktsegment AS segment " +
        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
        "ORDER BY event_id"),
+    "stream_upsert" ->
+      ("SELECT event_id, user_id, " +
+       "CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END AS event_type, " +
+       "CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value " +
+       "FROM events ORDER BY event_id"),
     "chunk_windows" ->
       (s"WITH t AS (SELECT doc_id, $toks AS tk FROM documents), " +
        "u AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 48)) AS s FROM t) " +

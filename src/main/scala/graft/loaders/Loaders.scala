@@ -64,6 +64,16 @@ object Loaders {
     * At real scale the same merge plan targets a
     * transactional table format; this is the plain-filesystem
     * equivalent. */
+  /** One upsert application (a batch load, or ONE micro-batch of the
+    * streaming `upsert` sink): `buckets: n` opts into the hash-bucketed
+    * layout whose upserts rewrite only key-containing buckets — the
+    * shape for targets too big to rewrite per delta. */
+  def upsertDelta(ctx: EtlContext, spec: ComponentSpec,
+                  df: DataFrame, path: String): Boolean =
+    if (spec.options.contains("buckets"))
+      upsertParquetBucketed(ctx, spec, df, path, spec.int("buckets", 16))
+    else upsertParquet(ctx, spec, df, path)
+
   private def upsertParquet(ctx: EtlContext, spec: ComponentSpec,
                             df: DataFrame, path: String): Boolean = {
     val key = spec.str("key").getOrElse(sys.error("parquet loader: upsert requires key"))
@@ -466,12 +476,7 @@ object Loaders {
         val path = OrientExpr.resolveString(
           spec.str("path").getOrElse(sys.error("parquet loader: path required")), vars)
         if (spec.strOr("mode", "overwrite") == "upsert")
-          // `buckets: n` opts into the hash-bucketed layout whose
-          // upserts rewrite only key-containing buckets — the shape
-          // for targets too big to rewrite per batch
-          if (spec.options.contains("buckets"))
-            upsertParquetBucketed(ctx, spec, df, path, spec.int("buckets", 16))
-          else upsertParquet(ctx, spec, df, path)
+          upsertDelta(ctx, spec, df, path)
         else {
           var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
           val parts = spec.strList("partitionBy")

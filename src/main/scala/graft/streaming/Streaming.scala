@@ -402,16 +402,20 @@ object Streaming {
     }
     val sink = spec.loader.getOrElse(sys.error("streaming: loader required"))
     require(sink.name == "streamsink", "streaming: loader must be {streamsink: {...}}")
-    startSink(df, sink)
+    startSink(ctx, df, sink)
   }
 
-  /** Start the `streamsink` writer: memory (named table), parquet dir, or
-    * console. A watermark-respecting checkpoint dir is required for
-    * durable sinks. `trigger`: `"availableNow"` (process everything
-    * currently available, then stop — the batch-over-stream mode),
-    * `"once"`, or a processing-time interval like `"5 seconds"`
-    * (default: micro-batches as fast as they arrive). */
-  def startSink(df: DataFrame, spec: ComponentSpec): StreamingQuery = {
+  /** Start the `streamsink` writer: memory (named table), parquet dir,
+    * console, or `upsert` (continuous MERGE: each micro-batch is applied
+    * through the batch upsert writer — with `buckets: n`, the
+    * partition-pruned bucketed layout, so per-batch cost scales with the
+    * DELTA, not the table; the streaming CDC-merge shape). A
+    * watermark-respecting checkpoint dir is required for durable sinks.
+    * `trigger`: `"availableNow"` (process everything currently
+    * available, then stop — the batch-over-stream mode), `"once"`, or a
+    * processing-time interval like `"5 seconds"` (default: micro-batches
+    * as fast as they arrive). */
+  def startSink(ctx: EtlContext, df: DataFrame, spec: ComponentSpec): StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val mode = spec.strOr("outputMode", "append")
     def triggered[W](w: org.apache.spark.sql.streaming.DataStreamWriter[W]) =
@@ -434,6 +438,21 @@ object Streaming {
           .outputMode(mode)).start()
       case "console" =>
         triggered(df.writeStream.format("console").outputMode(mode)).start()
+      case "upsert" =>
+        val path = spec.str("path").getOrElse(
+          sys.error("streamsink: upsert requires path"))
+        spec.str("key").getOrElse(sys.error("streamsink: upsert requires key"))
+        // exactly-once against replays: the upsert is idempotent per key
+        // (a replayed micro-batch re-asserts the same rows), so a
+        // checkpoint restart cannot duplicate data
+        triggered(df.writeStream
+          .option("checkpointLocation", spec.str("checkpoint")
+            .getOrElse(sys.error("streamsink: checkpoint required for upsert")))
+          .outputMode(mode)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              graft.loaders.Loaders.upsertDelta(ctx, spec, batch, path): Unit
+          }).start()
       case other => sys.error(s"streamsink: unknown format $other")
     }
   }

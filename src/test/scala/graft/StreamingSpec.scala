@@ -285,4 +285,55 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("matches no file"), e2.getMessage)
   }
+
+  test("streaming upsert sink: micro-batch CDC merge rewrites only touched buckets; replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_supsert").toString
+    val target = s"$base/table"
+    def run(srcDir: String, cp: String): Unit = {
+      val q = Streaming.run(newCtx(), PipelineSpec(
+        config = Map.empty, begin = Nil,
+        source = Some(ComponentSpec("stream", Map(
+          "path" -> srcDir, "format" -> "parquet",
+          "schema" -> "id BIGINT, v STRING"))),
+        extractor = None, transformers = Nil,
+        loader = Some(ComponentSpec("streamsink", Map(
+          "format" -> "upsert", "path" -> target, "key" -> "id",
+          "buckets" -> 8, "checkpoint" -> s"$base/$cp",
+          "trigger" -> "availableNow"))),
+        end = Nil))
+      q.awaitTermination()
+    }
+    val baseDir = s"$base/ins"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(baseDir)
+    run(baseDir, "cp1")
+    assert(new java.io.File(s"$target/_graft_buckets.json").exists,
+      "streaming upsert must land in the bucketed layout")
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(target)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles()
+    // one-key update delta through a SECOND stream
+    val deltaDir = s"$base/delta"
+    Seq((7L, "UPDATED")).toDF("id", "v").write.mode("overwrite").parquet(deltaDir)
+    run(deltaDir, "cp2")
+    val after = dataFiles()
+    val touched = Seq(Tuple1(7L)).toDF("id")
+      .select(pmod(hash(col("id")), lit(8))).head.getInt(0)
+    assert(before.filter(!_._1.contains(s"__bucket=$touched")) ==
+           after.filter(!_._1.contains(s"__bucket=$touched")),
+      "a streamed delta must not rewrite buckets it does not touch")
+    val out = spark.read.parquet(target).drop("__bucket")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 100 && out(7L) == "UPDATED" && out(8L) == "v8")
+    // replay: re-processing the same delta from a FRESH checkpoint (as a
+    // recovered job would) re-asserts the same rows — table unchanged
+    run(deltaDir, "cp3")
+    val replayed = spark.read.parquet(target).drop("__bucket")
+      .as[(Long, String)].collect().toMap
+    assert(replayed == out, "upsert replay must be idempotent")
+  }
 }
