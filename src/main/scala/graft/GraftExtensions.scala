@@ -87,6 +87,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_langid", 1, exprs)
         graft.functions.LangId(exprs.head)
       }))
+    def cbLit(e: Expression, fn: String): Array[Double] = e match {
+      case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+                   org.apache.spark.sql.types.ArrayType(
+                     org.apache.spark.sql.types.DoubleType, _)) =>
+        ad.toDoubleArray()
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fn: codebook must be an array<double> literal, got $other"))
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode",
+        "graft_pq_encode(vec, codebook, m, kc) - product-quantization code bytes of a vector"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_pq_encode", 4, exprs)
+        graft.functions.PQEncode(exprs.head, cbLit(exprs(1), "graft_pq_encode"),
+          intLit(exprs(2), "m"), intLit(exprs(3), "kc"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_lut"),
+      info("graft_pq_lut",
+        "graft_pq_lut(vec, codebook, m, kc) - per-query ADC lookup table"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_pq_lut", 4, exprs)
+        graft.functions.PQLut(exprs.head, cbLit(exprs(1), "graft_pq_lut"),
+          intLit(exprs(2), "m"), intLit(exprs(3), "kc"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc",
+        "graft_pq_adc(lut, codes) - ADC score (approximate cosine) of a PQ-coded vector"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_pq_adc", 2, exprs)
+        graft.functions.PQAdc(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       info("graft_topk",

@@ -446,6 +446,33 @@ object VectorExpressions {
         "graft_langid",
         (exprs: Seq[Expression]) => LangId(exprs.head),
         "built-in")
+      def cbLit(e: Expression, fn: String): Array[Double] = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
+          ad.toDoubleArray()
+        case other => sys.error(s"$fn: codebook must be an array<double> literal, got $other")
+      }
+      def intL(e: Expression, fn: String, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => sys.error(s"$fn: $what must be an int literal, got $other")
+      }
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_pq_encode",
+        (exprs: Seq[Expression]) => PQEncode(exprs.head,
+          cbLit(exprs(1), "graft_pq_encode"),
+          intL(exprs(2), "graft_pq_encode", "m"),
+          intL(exprs(3), "graft_pq_encode", "kc")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_pq_lut",
+        (exprs: Seq[Expression]) => PQLut(exprs.head,
+          cbLit(exprs(1), "graft_pq_lut"),
+          intL(exprs(2), "graft_pq_lut", "m"),
+          intL(exprs(3), "graft_pq_lut", "kc")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_pq_adc",
+        (exprs: Seq[Expression]) => PQAdc(exprs.head, exprs(1)),
+        "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_topk",
         (exprs: Seq[Expression]) => {
@@ -491,6 +518,25 @@ object VectorExpressions {
     call_function("graft_srp_sig", vec,
       org.apache.spark.sql.functions.lit(nBits),
       org.apache.spark.sql.functions.lit(dim))
+
+  /** Native PQ code bytes of a vector column against a trained flat
+    * codebook (see [[PQ.train]]). */
+  def pqEncode(vec: Column, codebook: Array[Double], m: Int, kc: Int): Column =
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.lit(codebook),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(kc))
+
+  /** Native per-query ADC lookup table (m·kc doubles). */
+  def pqLut(vec: Column, codebook: Array[Double], m: Int, kc: Int): Column =
+    call_function("graft_pq_lut", vec,
+      org.apache.spark.sql.functions.lit(codebook),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(kc))
+
+  /** Native ADC score (approximate cosine) of (lut, codes). */
+  def pqAdc(lut: Column, codes: Column): Column =
+    call_function("graft_pq_adc", lut, codes)
 
   /** Bounded-heap top-k aggregate over (score, id) pairs — map-side
     * partial top-k; see [[TopKByScore]]. */

@@ -346,26 +346,79 @@ object SimilarityStages {
       val codebook = trainCodebook(sample, math.min(nCells, sample.length), lloydIters)
       // per-row: top-nProbe cells via the shared literal-centroid
       // scorer (natural-order sort, two-level pruning past FlatScanMax)
-      val ranked = base
-        .withColumn("__probed", cellScores("__v", col("__n"), codebook,
-          nProbe, spec.int("coarseProbe", math.max(2, nProbe))))
-        .select(col("__id"), col("__v"), col("__n"),
-          posexplode(col("__probed")).as(Seq("__crank", "__ce")))
-        .select(col("__id"), col("__v"), col("__n"),
-          col("__ce.cell").as("__cell"), col("__crank"))
-      val assigned = ranked.where(col("__crank") === 0) // base: 1 cell each
-      val probes = ranked // queries: all nProbe probed cells
+      val probedCol = cellScores("__v", col("__n"), codebook,
+        nProbe, spec.int("coarseProbe", math.max(2, nProbe)))
+      val pqM = spec.int("pqM", 0)
+      if (pqM <= 0) {
+        val ranked = base
+          .withColumn("__probed", probedCol)
+          .select(col("__id"), col("__v"), col("__n"),
+            posexplode(col("__probed")).as(Seq("__crank", "__ce")))
+          .select(col("__id"), col("__v"), col("__n"),
+            col("__ce.cell").as("__cell"), col("__crank"))
+        val assigned = ranked.where(col("__crank") === 0) // base: 1 cell each
+        val probes = ranked // queries: all nProbe probed cells
 
-      val l = probes.select(col("__cell"), col("__id").as("q_id"),
-        col("__v").as("__qv"), col("__n").as("__qn"))
-      val r = assigned.select(col("__cell"), col("__id").as("n_id"),
-        col("__v").as("__bv"), col("__n").as("__bn"))
-      val cand = l.join(r, Seq("__cell"))
-        .where(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
-        .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
-      rankTopK(cand, k)
+        val l = probes.select(col("__cell"), col("__id").as("q_id"),
+          col("__v").as("__qv"), col("__n").as("__qn"))
+        val r = assigned.select(col("__cell"), col("__id").as("n_id"),
+          col("__v").as("__bv"), col("__n").as("__bn"))
+        val cand = l.join(r, Seq("__cell"))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
+          .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
+        rankTopK(cand, k)
+      } else {
+        // ===== IVF-PQ: the 100-TB ANN path =====
+        // Base rows enter the cell join as (cell, id, m code BYTES) —
+        // never their vectors — so the big side of the candidate
+        // exchange shrinks from dim floats to pqM bytes per row (64-dim
+        // float: 256 B → 8 B at the defaults). Queries precompute an
+        // ADC lookup table once per row (pqM·pqK doubles — the standard
+        // query/base asymmetry: bases outnumber queries at scale), and
+        // each candidate scores with pqM array reads instead of dim
+        // multiply-adds. The ADC shortlist (k·refine per query, ranked
+        // by the bounded-heap top-k aggregate) re-attaches exact
+        // vectors by id — two joins over O(Q·k·refine) rows — and exact
+        // cosine picks the final k, so ADC error only costs RECALL
+        // (shortlist misses), never returned-score accuracy. Training
+        // is per-subspace Euclidean Lloyd's on the same bounded driver
+        // sample as the coarse codebook ([[PQ.train]]); encoding and
+        // LUTs are codegen'd per-row projections against the
+        // plan-shipped codebook — zero extra shuffles over plain IVF.
+        val dim = sample.map(_.length).max
+        val pqK = spec.int("pqK", 16)
+        val refine = math.max(1, spec.int("refine", 4))
+        val pqIters = spec.int("pqIters", lloydIters)
+        val pqCb = graft.functions.PQ.train(sample, dim, pqM, pqK, pqIters)
+        import graft.functions.VectorExpressions.{pqEncode, pqLut, pqAdc}
+        val ranked = base
+          .withColumn("__lut", pqLut(col("__v"), pqCb, pqM, pqK))
+          .withColumn("__codes", pqEncode(col("__v"), pqCb, pqM, pqK))
+          .withColumn("__probed", probedCol)
+          .select(col("__id"), col("__lut"), col("__codes"),
+            posexplode(col("__probed")).as(Seq("__crank", "__ce")))
+          .select(col("__id"), col("__lut"), col("__codes"),
+            col("__ce.cell").as("__cell"), col("__crank"))
+        val l = ranked.select(col("__cell"), col("__id").as("q_id"), col("__lut"))
+        val r = ranked.where(col("__crank") === 0)
+          .select(col("__cell"), col("__id").as("n_id"), col("__codes"))
+        val approx = l.join(r, Seq("__cell"))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            pqAdc(col("__lut"), col("__codes")).as("cosine"))
+          .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
+        val shortlist = rankTopK(approx, k * refine).select("q_id", "n_id")
+        val vq = base.select(col("__id").as("q_id"), col("__v").as("__qv"),
+          col("__n").as("__qn"))
+        val vn = base.select(col("__id").as("n_id"), col("__v").as("__bv"),
+          col("__n").as("__bn"))
+        val exactShort = shortlist.join(vn, Seq("n_id")).join(vq, Seq("q_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
+        rankTopK(exactShort, k)
+      }
       }
     }
 
