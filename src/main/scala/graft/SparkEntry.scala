@@ -1263,6 +1263,46 @@ object SparkEntry {
         .select("event_id", "rolling_n", "rolling_sum_cents")
         .orderBy("event_id")
     },
+    "resample_agg" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // fixed-grid downsampling: per-event-type 6-hour buckets with
+      // count + integer-cents sum/max — ONE hash aggregation with
+      // map-side combine; bucketing is a pure projection
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"resample": {"keyField": "event_type", "tsField": "ts",
+            "every": 21600, "aggs": ["count", "sum:cents", "max:cents"]}}],
+        "loader": {"memory": {}} }""")
+        .select(col("event_type"), unix_micros(col("bucket_ts")).as("bucket_us"),
+          col("n"), col("sum_cents"), col("max_cents"))
+        .orderBy("event_type", "bucket_us")
+    },
+    "resample_ffill" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // grid densify + forward fill: per-user DAILY purchase grid from
+      // each user's first to last purchase day; gap days carry the
+      // previous day's aggregates atomically and flag is_gap — the
+      // time-series alignment primitive (feature grids, training
+      // snapshots). All steps keyed: agg → per-key bounds → sequence
+      // explode → equi-join → one fill window
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT ts, user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'"}},
+          {"resample": {"keyField": "user_id", "tsField": "ts",
+            "every": 86400, "aggs": ["count", "sum:cents", "last:cents"],
+            "fill": "ffill"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("user_id"), unix_micros(col("bucket_ts")).as("bucket_us"),
+          col("n"), col("sum_cents"), col("last_cents"), col("is_gap"))
+        .orderBy("user_id", "bucket_us")
+    },
     "range_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // interval-containment join WITHOUT an equi-key: purchases inside
@@ -2508,6 +2548,34 @@ object SparkEntry {
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
        "RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) " +
        "ORDER BY event_id"),
+    "resample_agg" ->
+      ("SELECT event_type, " +
+       "CAST(CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) * 21600000000 AS BIGINT) AS bucket_us, " +
+       "count(*) AS n, " +
+       "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+       "CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents " +
+       "FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_us"),
+    "resample_ffill" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bucket, " +
+       "  epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents " +
+       "  FROM events WHERE event_type = 'purchase'), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket " +
+       "  ORDER BY us DESC, cents DESC) AS rn FROM e), " +
+       "b AS (SELECT user_id, bucket, count(*) AS n, " +
+       "  CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+       "  max(CASE WHEN rn = 1 THEN cents END) AS last_cents FROM r GROUP BY 1, 2), " +
+       "bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1), " +
+       "grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM bounds), " +
+       "j AS (SELECT g.user_id, g.bucket, b.n, b.sum_cents, b.last_cents, " +
+       "  b.user_id IS NOT NULL AS present FROM grid g " +
+       "  LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket) " +
+       "SELECT user_id, CAST(bucket * 86400000000 AS BIGINT) AS bucket_us, " +
+       "CAST(last_value(n IGNORE NULLS) OVER w AS BIGINT) AS n, " +
+       "CAST(last_value(sum_cents IGNORE NULLS) OVER w AS BIGINT) AS sum_cents, " +
+       "CAST(last_value(last_cents IGNORE NULLS) OVER w AS BIGINT) AS last_cents, " +
+       "NOT present AS is_gap FROM j " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING) " +
+       "ORDER BY user_id, bucket_us"),
     "range_join" ->
       ("WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n_in_hour " +
        "FROM events GROUP BY 1 HAVING count(*) >= 20) " +

@@ -97,6 +97,7 @@ object Engine {
     "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
+    "resample"      -> graft.temporal.TemporalStages.resample _,
   )
 
   // -- `code` hooks: named Scala DataFrame=>DataFrame functions ---------

@@ -289,6 +289,131 @@ object TemporalStages {
       df.select(df.columns.map(col).toSeq ++ aggs: _*)
     }
 
+  /** `resample`: align events to a fixed time grid — the pandas
+    * `resample` / time-series `GROUP BY time()` primitive. Buckets every
+    * row into `every`-second windows (bucket = floor(epochMicros /
+    * every)), aggregates per (keys, bucket), and optionally DENSIFIES
+    * the grid: emit one row per key per bucket from that key's first to
+    * last observation, forward-filling gap buckets from the latest
+    * observed bucket.
+    *
+    * Options:
+    *  - `every` (seconds, required): grid step.
+    *  - `keyField` (optional, comma-separated): per-key grids; absent =
+    *    one global grid.
+    *  - `tsField` (default `ts`).
+    *  - `aggs` (default ["count"]): "count" → `n`, "sum:c" → `sum_c`,
+    *    "min:c"/"max:c"/"avg:c" likewise, "first:c"/"last:c" → value of
+    *    the time-earliest/-latest row in the bucket (ties broken by
+    *    value — deterministic).
+    *  - `fill` (default `none`): `none` = observed buckets only;
+    *    `ffill` = full per-key grid, gap buckets carry the previous
+    *    bucket's aggregates ATOMICALLY (all columns from the same
+    *    source bucket) plus `is_gap = true`.
+    *  - `maxBuckets` (default 1000000): a key spanning more grid steps
+    *    fails with the config rule to fix (a years-long key at 1-second
+    *    steps is a row bomb, not a plan).
+    *
+    * Output: keys…, `bucket_ts` (bucket start, in the input time
+    * column's type), agg columns, and `is_gap` when filling.
+    *
+    * Scale shape: the aggregation is ONE hash shuffle with map-side
+    * combine (bucketing is a pure projection). Densify adds a per-key
+    * bounds aggregate (one row per key), a distributed
+    * `sequence`-explode of bucket ids (bounded by `maxBuckets`, rows
+    * carry only keys + a long), an equi-join back to the aggregates,
+    * and one keyed window for the fill — every step keyed, nothing
+    * driver-side, no per-row subqueries. */
+  def resample(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val ts = spec.strOr("tsField", "ts")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val every = spec.str("every").map(_.toDouble)
+        .getOrElse(sys.error("resample: `every` (seconds) required"))
+      val everyMicros = (every * 1e6).toLong
+      require(everyMicros > 0, "resample: every must be positive")
+      require(df.columns.contains(ts), s"resample: no time column '$ts'")
+      keys.foreach(k => require(df.columns.contains(k),
+        s"resample: no key column '$k'"))
+      val maxBuckets = spec.int("maxBuckets", 1000000)
+      val fillMode = spec.strOr("fill", "none")
+      require(Set("none", "ffill")(fillMode),
+        s"resample: fill must be none|ffill, got '$fillMode'")
+
+      val pre = df
+        .withColumn("__ats", epochMicros(df, ts))
+        .where(col("__ats").isNotNull &&
+          keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+        .withColumn("__bucket",
+          floor(col("__ats").cast("double") / everyMicros.toDouble).cast("long"))
+      val aggSpecs = spec.strList("aggs") match {
+        case Nil => Seq("count")
+        case s => s
+      }
+      val aggNames = aggSpecs.map(_.split(":") match {
+        case Array("count") => "n"
+        case Array(op, f) => s"${op}_$f"
+        case other => sys.error(s"resample: unknown agg ${other.mkString(":")}")
+      })
+      val aggExprs: Seq[Column] = aggSpecs.zip(aggNames).map { case (a, nm) =>
+        (a.split(":") match {
+          case Array("count") => count(lit(1))
+          case Array("sum", f) => sum(col(f))
+          case Array("min", f) => min(col(f))
+          case Array("max", f) => max(col(f))
+          case Array("avg", f) => avg(col(f))
+          case Array("first", f) => min_by(col(f), struct(col("__ats"), col(f)))
+          case Array("last", f) => max_by(col(f), struct(col("__ats"), col(f)))
+          case other => sys.error(s"resample: unknown agg ${other.mkString(":")}")
+        }).as(nm)
+      }
+      val agged = pre.groupBy((keys.map(col) :+ col("__bucket")): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+
+      // bucket start, re-materialized in the INPUT time column's type so
+      // downstream stages (and the oracle's schema compare) see what was
+      // fed in — the asofjoin matchedTimeField convention
+      def bucketTs(frame: DataFrame): Column = {
+        val micros = col("__bucket") * everyMicros
+        df.schema(ts).dataType match {
+          case TimestampType => timestamp_micros(micros)
+          case TimestampNTZType => graft.sources.Tables.instantToNtz(
+            timestamp_micros(micros), frame.sparkSession)
+          case _ => micros.cast("double") / 1e6
+        }
+      }
+
+      fillMode match {
+        case "none" =>
+          agged.select((keys.map(col) :+ bucketTs(agged).as("bucket_ts")) ++
+            aggNames.map(col): _*)
+        case "ffill" =>
+          val bounds = agged.groupBy(keys.map(col): _*)
+            .agg(min("__bucket").as("__mn"), max("__bucket").as("__mx"))
+          val span = col("__mx") - col("__mn") + 1
+          val grid = bounds.withColumn("__bucket", explode(
+              when(span <= maxBuckets, sequence(col("__mn"), col("__mx")))
+                .otherwise(raise_error(concat(
+                  lit(s"resample: a key spans more than maxBuckets=$maxBuckets " +
+                    s"grid steps at every=$every s (span="), span.cast("string"),
+                  lit(" buckets) — widen `every` or raise maxBuckets"))))))
+            .drop("__mn", "__mx")
+          val marked = agged.withColumn("__present", lit(true))
+          val joined = grid.join(marked, keys :+ "__bucket", "left")
+          // fill all agg columns ATOMICALLY (one struct) so a gap bucket
+          // can't mix values from different source buckets
+          val vStruct = struct(aggNames.map(col): _*)
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val filled = joined.withColumn("__fv",
+              last(when(col("__present"), vStruct), ignoreNulls = true).over(w))
+          filled.select((keys.map(col) :+ bucketTs(filled).as("bucket_ts")) ++
+            aggNames.map(nm => col(s"__fv.$nm").as(nm)) :+
+            col("__present").isNull.as("is_gap"): _*)
+      }
+    }
+
   /** `rangejoin`: inner-join input rows (points in time) to the
     * right-side INTERVALS that contain them — point `t` matches
     * interval `[start, end)` (or `[start, end]` with

@@ -319,4 +319,53 @@ class TemporalSpec extends SparkSpec {
           .cast(TimestampNTZType).as("ts")))
     assert(rolled.where(col("rolling_n") === 2).count() == 1) // u1@600 sees u1@0
   }
+
+  test("resample: agg mode buckets on the grid; first/last tie-break deterministically") {
+    val ctx = newCtx()
+    // numeric (epoch-seconds) time path; bucket width 10 s
+    val df = Seq(("a", 1.0, 5L), ("a", 9.0, 7L), ("a", 9.0, 3L), ("a", 12.0, 9L),
+      ("b", 21.0, 1L)).toDF("k", "t", "v")
+    val out = TemporalStages.resample(ComponentSpec("resample",
+      Map("keyField" -> "k", "tsField" -> "t", "every" -> 10,
+        "aggs" -> Seq("count", "sum:v", "first:v", "last:v"))), ctx)(df)
+      .orderBy("k", "bucket_ts")
+      .select("k", "bucket_ts", "n", "sum_v", "first_v", "last_v")
+      .as[(String, Double, Long, Long, Long, Long)].collect().toSeq
+    // t=9.0 appears twice (v=7, v=3): first = min (ats, v) → 3? NO —
+    // first picks the time-EARLIEST row; both share t, tie broken by
+    // value → v=3; last picks time-latest, tie → larger value → v=7
+    assert(out == Seq(
+      ("a", 0.0, 3L, 15L, 5L, 7L),
+      ("a", 10.0, 1L, 9L, 9L, 9L),
+      ("b", 20.0, 1L, 1L, 1L, 1L)))
+  }
+
+  test("resample ffill: gap buckets carry the previous bucket ATOMICALLY with is_gap") {
+    val ctx = newCtx()
+    val df = Seq(("a", 5.0, 10L), ("a", 35.0, 20L)).toDF("k", "t", "v")
+    val out = TemporalStages.resample(ComponentSpec("resample",
+      Map("keyField" -> "k", "tsField" -> "t", "every" -> 10,
+        "aggs" -> Seq("count", "sum:v"), "fill" -> "ffill")), ctx)(df)
+      .orderBy("bucket_ts")
+      .select("k", "bucket_ts", "n", "sum_v", "is_gap")
+      .as[(String, Double, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0.0, 1L, 10L, false),
+      ("a", 10.0, 1L, 10L, true), // filled from bucket 0, flagged
+      ("a", 20.0, 1L, 10L, true),
+      ("a", 30.0, 1L, 20L, false)))
+  }
+
+  test("resample: maxBuckets fails loud; missing `every` rejected") {
+    val ctx = newCtx()
+    val df = Seq(("a", 0.0, 1L), ("a", 1e6, 2L)).toDF("k", "t", "v")
+    val wide = TemporalStages.resample(ComponentSpec("resample",
+      Map("keyField" -> "k", "tsField" -> "t", "every" -> 1,
+        "fill" -> "ffill", "maxBuckets" -> 100)), ctx)(df)
+    val err = intercept[Exception](wide.collect())
+    assert(err.getMessage.contains("maxBuckets"))
+    val noEvery = intercept[Exception](TemporalStages.resample(
+      ComponentSpec("resample", Map("keyField" -> "k")), ctx)(df))
+    assert(noEvery.getMessage.contains("every"))
+  }
 }
