@@ -564,6 +564,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select(array_join(col("path"), "->").as("path")).orderBy("path")
     },
+    "command_gremlin_groupcount" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // groupCount() terminal: traverser counts per landed vertex —
+      // Gremlin's result map as rows, one hash aggregation after the
+      // hop join (orders per customer here)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').out('placed').groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
     "command_gremlin_order" -> { (s, dir) =>
       val c = ctx(s, dir)
       // order().by(desc).range(a,b): the lazy sort + adjacent slice plan
@@ -2378,6 +2395,10 @@ object SparkEntry {
     "command_gremlin_order" ->
       ("SELECT id AS value FROM (SELECT CAST(c_custkey AS VARCHAR) AS id " +
        "FROM customer ORDER BY id DESC OFFSET 10 LIMIT 10) ORDER BY value"),
+    "command_gremlin_groupcount" ->
+      ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY 1 ORDER BY id"),
     "graph_triangle" ->
       ("WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst " +

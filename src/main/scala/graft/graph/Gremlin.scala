@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   *  - `.values('col')` — project one column as `value` (later steps
   *    that need `id` will fail analysis, as in Gremlin's value space);
   *  - `.count()` — terminal 1-row count;
+  *  - `.groupCount()` / `.groupCount().by('col')` — terminal traverser
+  *    counts per current element (id in vertex space, `value` in value
+  *    space) or per `col`: Gremlin's result map, emitted as
+  *    `(key, count)` rows from one hash aggregation;
   *  - `.as('x')` — bind the CURRENT vertex under tag `x`; bindings ride
   *    along through later hops (a stashed column per tag — the same
   *    bound-vertex mechanism the motif translator uses);
@@ -126,8 +130,11 @@ object Gremlin {
       frame = frame.orderBy(eff: _*)
       pendingSort = None
     }
+    var skipNext = false
     steps.tail.zipWithIndex.foreach { case (step, i) =>
       val terminal = i == steps.tail.length - 1
+      if (skipNext) { skipNext = false }
+      else {
       if (step._1 != "by") flushSort()
       step match {
         case ("order", Nil) => pendingSort = Some(Nil)
@@ -178,6 +185,24 @@ object Gremlin {
         case ("count", Nil) =>
           if (!terminal) fail("count() must be the last step")
           frame = frame.agg(count(lit(1)).as("count"))
+        case ("groupCount", Nil) =>
+          // terminal: traverser counts per current element (Gremlin's
+          // result map, emitted as rows). `.by('col')` groups by that
+          // column instead of the element itself.
+          val keyC: Column = steps.tail.lift(i + 1) match {
+            case Some(("by", List(c: String))) =>
+              if (i + 1 != steps.tail.length - 1)
+                fail("groupCount().by(..) must end the traversal")
+              skipNext = true
+              col(c)
+            case None =>
+              if (!terminal) fail("groupCount() must be the last step " +
+                "(optionally followed by .by('col'))")
+              if (frame.columns.contains("value")) col("value") else col("id")
+            case Some(_) => fail("groupCount() must be the last step " +
+              "(optionally followed by .by('col'))")
+          }
+          frame = frame.groupBy(keyC).agg(count(lit(1)).as("count"))
         case ("as", Seq(tag: String)) =>
           frame = frame.withColumn(s"__as_$tag", col("id"))
         case ("where", Seq(Pred(op, tag))) =>
@@ -201,11 +226,12 @@ object Gremlin {
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
-            "values/count/as/where(eq|neq)/select/repeat(..).times(k)/" +
-            "order().by(..)/range(lo,hi)/path(); " +
+            "values/count/groupCount[.by('col')]/as/where(eq|neq)/select/" +
+            "repeat(..).times(k)/order().by(..)/range(lo,hi)/path(); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
+      }
       }
     }
     flushSort()

@@ -278,6 +278,30 @@ class GraphSpec extends SparkSpec {
     assert(landed == landed.distinct, s"dedup must collapse per element: $landed")
   }
 
+  test("gremlin: groupCount() per element, per column, and in value space") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "q")).toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "c", "next"), ("b", "c", "next"), ("c", "a", "next"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // per landed vertex: c reached twice, a once
+    assert(g("g.V().out('next').groupCount()")
+      .select("id", "count").as[(String, Long)].collect().toSeq.sorted ==
+      Seq(("a", 1L), ("c", 2L)))
+    // by('col'): group by the label of the landed vertices
+    assert(g("g.V().out('next').groupCount().by('label')")
+      .select("label", "count").as[(String, Long)].collect().toSeq.sorted ==
+      Seq(("p", 1L), ("q", 2L)))
+    // value space groups on `value`
+    assert(g("g.V().values('label').groupCount()")
+      .select("value", "count").as[(String, Long)].collect().toSeq.sorted ==
+      Seq(("p", 2L), ("q", 1L)))
+    // mid-chain groupCount is a named error
+    val e = intercept[RuntimeException](g("g.V().groupCount().out('next')"))
+    assert(e.getMessage.contains("last step"), e.getMessage)
+  }
+
   test("gremlin: as/where/select bindings and repeat(..).times(k) unrolling") {
     val ctx = newCtx()
     // 3-cycle a→b→c→a plus a self-loop s→s
