@@ -652,6 +652,40 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("id")
     },
+    "graph_labelprop" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // deterministic synchronous label propagation (min-tie-break LPA)
+      // over the same customer–nation–region graph as graph_cc: 3
+      // iterations, every vertex relabeled by its neighbors' most
+      // frequent label (ties → lexicographic min). Plain LPA is
+      // run-order dependent; the min-tie-break variant is exactly
+      // reproducible by an unrolled SQL oracle
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW nation_p AS SELECT 'n' || CAST(n_nationkey AS STRING) AS nk FROM nation",
+          "CREATE OR REPLACE TEMPORARY VIEW region_p AS SELECT 'r' || CAST(r_regionkey AS STRING) AS rk FROM region"]}}],
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'n' || CAST(n_nationkey AS STRING) AS nid, 'r' || CAST(n_regionkey AS STRING) AS rid FROM __input"}},
+          {"vertex": {"class": "nation", "idField": "nid"}},
+          {"edge": {"joinFieldName": "rid", "lookup": "region_p.rk",
+                    "class": "in_region", "direction": "out"}}],
+        "loader": {"memory": {}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'c' || CAST(c_custkey AS STRING) AS cid, 'n' || CAST(c_nationkey AS STRING) AS nid FROM __input"}},
+          {"vertex": {"class": "cust", "idField": "cid"}},
+          {"edge": {"joinFieldName": "nid", "lookup": "nation_p.nk",
+                    "class": "in_nation", "direction": "out"}},
+          {"labelprop": {"iterations": 3}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
     "graph_bfs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-hop BFS distances from customer c1 over the same
@@ -2414,6 +2448,27 @@ object SparkEntry {
        "UNION ALL SELECT 'r' || CAST(r_regionkey AS VARCHAR), r_regionkey FROM region), " +
        "m AS (SELECT rg, min(id) AS component FROM ids GROUP BY rg) " +
        "SELECT ids.id, m.component FROM ids JOIN m USING (rg) ORDER BY id"),
+    "graph_labelprop" -> {
+      // 3 unrolled synchronous LPA iterations, min-tie-break argmax via
+      // QUALIFY-free row_number (windows evaluate after GROUP BY)
+      val steps = (1 to 3).map(i =>
+        s"l$i AS (SELECT n.id, coalesce(w.l, n.id) AS community " +
+        s"FROM nodes n LEFT JOIN (" +
+        s"SELECT id, community AS l FROM (" +
+        s"SELECT u.a AS id, p.community, " +
+        s"row_number() OVER (PARTITION BY u.a ORDER BY count(*) DESC, p.community ASC) AS rn " +
+        s"FROM u JOIN l${i - 1} p ON p.id = u.b GROUP BY u.a, p.community) " +
+        s"WHERE rn = 1) w ON w.id = n.id)").mkString(", ")
+      "WITH e AS (" +
+      "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +
+      "UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation), " +
+      "u AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e " +
+      "UNION ALL SELECT dst, src FROM e)), " +
+      "nodes AS (SELECT DISTINCT a AS id FROM u), " +
+      "l0 AS (SELECT id, id AS community FROM nodes), " +
+      steps +
+      " SELECT id, community FROM l3 ORDER BY id"
+    },
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +
        "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +

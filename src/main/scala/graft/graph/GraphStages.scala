@@ -328,6 +328,60 @@ object GraphStages {
       visited.select(col("id"), col("dist"))
     }
 
+  /** `labelprop`: community detection by synchronous label propagation
+    * (LPA) — every vertex starts labeled with its own id; each
+    * iteration relabels every vertex with the label most frequent among
+    * its (undirected, deduplicated) neighbors, ties broken to the
+    * LEXICOGRAPHICALLY SMALLEST label; isolated vertices keep their
+    * own id. The min-tie-break + fixed iteration count make the result
+    * fully deterministic (plain LPA is run-order dependent — that
+    * variant cannot be oracle-locked or reproduced across runs).
+    * Options: `iterations` (default 5), `label` (optional edge-label
+    * filter), `checkpointEvery` (default 5), `checkpointDir` (reliable
+    * checkpoints, like pagerank). Output: (id, community).
+    *
+    * Scale shape: each iteration is one equi-join of the undirected
+    * edge list with the label vector + two hash aggregations (vote
+    * counts, then per-vertex argmax via a `min(struct(-count, label))`
+    * — an aggregate, NOT a window: nothing sorts the full vote set).
+    * Label lineage grows linearly per round; `checkpointEvery` bounds
+    * analysis cost like pagerank's. */
+  def labelPropagation(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("labelprop: no edges — apply an `edge` stage first"))
+      val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val iters = spec.int("iterations", 5)
+      val ckptEvery = spec.int("checkpointEvery", 5)
+      val ckpt = Stages.checkpointerOf(spec, ctx)
+      // undirected neighbor SET: parallel edges vote once
+      val u = ckpt(edges.select(col("src").as("__a"), col("dst").as("__b"))
+        .union(edges.select(col("dst").as("__a"), col("src").as("__b")))
+        .distinct())
+      val endpointIds = u.select(col("__a").as("id"))
+      val nodes = ckpt(ctx.vertices match {
+        case None => endpointIds.distinct()
+        case Some(vs) => // registered edge-less vertices become singletons
+          vs.select(col("id").cast("string").as("id"))
+            .union(endpointIds).distinct()
+      })
+      var labels = nodes.select(col("id"), col("id").as("community"))
+      for (i <- 0 until iters) {
+        val votes = u
+          .join(labels.select(col("id").as("__b"), col("community")), Seq("__b"))
+          .groupBy(col("__a"), col("community")).agg(count(lit(1)).as("__c"))
+        // argmax by (count desc, label asc) as ONE struct-min aggregate
+        val winners = votes.groupBy("__a")
+          .agg(min(struct((-col("__c")).as("nc"), col("community").as("l"))).as("__w"))
+          .select(col("__a").as("id"), col("__w.l").as("__next"))
+        labels = nodes.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__next"), col("id")).as("community"))
+        if (ckptEvery > 0 && i % ckptEvery == ckptEvery - 1 && i != iters - 1)
+          labels = ckpt(labels)
+      }
+      labels
+    }
+
   /** `graphneighbors`: one-hop neighbor expansion — for each vertex id
     * in the input stream (column `idField`), the sorted distinct
     * neighbor ids along `direction`. The batch form of a Gremlin

@@ -278,6 +278,30 @@ class GraphSpec extends SparkSpec {
     assert(landed == landed.distinct, s"dedup must collapse per element: $landed")
   }
 
+  test("labelprop: min-tie-break LPA semantics, isolated vertices, determinism") {
+    val ctx = newCtx()
+    // triangle a-b-c, pendant pair e-f, registered isolated vertex d
+    ctx.addVertices(Seq(("a", "v"), ("b", "v"), ("c", "v"), ("d", "v"),
+      ("e", "v"), ("f", "v")).toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "x"), ("b", "c", "x"), ("c", "a", "x"),
+      ("e", "f", "x")).toDF("src", "dst", "label"))
+    def run(iters: Int) = graft.graph.GraphStages.labelPropagation(
+      ComponentSpec("labelprop", Map("iterations" -> iters)), ctx)(
+      spark.emptyDataFrame)
+      .orderBy("id").as[(String, String)].collect().toSeq
+    // iter1: a←min(b,c)=b, b←min(a,c)=a, c←min(a,b)=a, e↔f swap, d stays
+    assert(run(1) == Seq("a" -> "b", "b" -> "a", "c" -> "a", "d" -> "d",
+      "e" -> "f", "f" -> "e"))
+    // iter2: a sees (a,a)→a; b sees (b,a) tie→a; c sees (b,a) tie→a;
+    // the pendant pair swaps back (synchronous LPA's bipartite cycle)
+    assert(run(2) == Seq("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d",
+      "e" -> "e", "f" -> "f"))
+    assert(run(2) == run(2)) // deterministic rerun
+    // parallel/reverse duplicate edges vote once (neighbor SET)
+    ctx.addEdges(Seq(("b", "a", "x"), ("a", "b", "x")).toDF("src", "dst", "label"))
+    assert(run(1).head == ("a" -> "b"), "duplicate edges must not outvote c")
+  }
+
   test("gremlin: groupCount() per element, per column, and in value space") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "q")).toDF("id", "label"))
