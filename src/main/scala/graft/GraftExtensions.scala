@@ -116,6 +116,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(2), "m"), intLit(exprs(3), "kc"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(text, merges) - trained-BPE subword tokens of a string"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_bpe_encode", 2, exprs)
+        val merges = exprs(1) match {
+          case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+                       org.apache.spark.sql.types.ArrayType(
+                         org.apache.spark.sql.types.StringType, _)) =>
+            ad.toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"graft_bpe_encode: merges must be an array<string> literal, got $other"))
+        }
+        graft.functions.BpeEncode(exprs.head, merges)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_adc"),
       info("graft_pq_adc",
         "graft_pq_adc(lut, codes) - ADC score (approximate cosine) of a PQ-coded vector"),

@@ -1610,6 +1610,47 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "fp_md5").orderBy("doc_id")
     },
+    "bpe_tokenize" -> { (s, dir) =>
+      // VERDICT table for the trained-BPE tokenizer: (a) detokenization
+      // is EXACT on every row — tokens concatenate back to the
+      // whitespace-normalized text (EOW marker → space); (b) the learned
+      // merges actually compress: total subword tokens < total base
+      // symbols (chars + one EOW per word); (c) the token vocabulary is
+      // bounded by |distinct chars| + numMerges + 1 (each merge adds at
+      // most one symbol); (d) two independent runs (fresh training
+      // included) produce identical totals — training determinism.
+      def run() = Engine.runJson(ctx(s, dir), s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"bpe": {"field": "text", "numMerges": 120,
+          "trainRows": 256}}],
+        "loader": {"memory": {}} }""")
+      val a = run()
+      val eow = graft.functions.Bpe.EOW
+      val normText = trim(regexp_replace(col("text"), "\\s+", " "))
+      val detok = trim(translate(array_join(col("bpe_tokens"), ""), eow, " "))
+      val baseSymbols = length(regexp_replace(col("text"), "\\s+", "")) +
+        size(split(trim(col("text")), "\\s+"))
+      val perRow = a.where(col("text").isNotNull).select(
+        when(detok === normText, 0).otherwise(1).as("rtbad"),
+        col("n_bpe_tokens").cast("long").as("nt"),
+        baseSymbols.cast("long").as("nb"))
+        .agg(sum("rtbad").as("bad"), sum("nt").as("toks"), sum("nb").as("base"))
+      val vocab = a.select(explode(col("bpe_tokens")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      val chars = a.select(explode(split(regexp_replace(col("text"), "\\s+", ""), ""))
+        .as("ch")).where(col("ch") =!= "").agg(countDistinct("ch").as("c"))
+      val totals2 = run().agg(sum(col("n_bpe_tokens").cast("long")).as("toks2"))
+      val verdict = perRow.crossJoin(vocab).crossJoin(chars).crossJoin(totals2)
+        .select(explode(array(
+          struct(lit("roundtrip_exact").as("metric"), (col("bad") === 0L).as("pass")),
+          struct(lit("compresses").as("metric"), (col("toks") < col("base")).as("pass")),
+          struct(lit("vocab_bounded").as("metric"),
+            (col("v") <= col("c") + lit(121L)).as("pass")),
+          struct(lit("deterministic").as("metric"), (col("toks") === col("toks2")).as("pass")))))
+        .select("col.*").orderBy("metric")
+      verdict
+    },
     "decontaminate" -> { (s, dir) =>
       val c = ctx(s, dir)
       // eval-overlap removal: docs < 20 act as the benchmark set; any
@@ -2823,6 +2864,10 @@ object SparkEntry {
     "similarity_ivfpq" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.8', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "bpe_tokenize" ->
+      ("SELECT * FROM (VALUES ('compresses', true), ('deterministic', true), " +
+       "('roundtrip_exact', true), ('vocab_bounded', true)) " +
+       "AS t(metric, pass) ORDER BY metric"),
     "cosine_dup" ->
       ("SELECT * FROM (VALUES ('false_positives_zero', true), " +
        "('recall_ge_0.4', true), ('results_nonempty', true)) " +

@@ -72,6 +72,7 @@ object Engine {
     "chunk"         -> graft.split.SplitStages.chunk _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
+    "bpe"           -> graft.text.TextStages.bpe _,
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
     "bm25"          -> graft.text.TextStages.bm25 _,

@@ -470,6 +470,18 @@ object VectorExpressions {
           intL(exprs(3), "graft_pq_lut", "kc")),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bpe_encode",
+        (exprs: Seq[Expression]) => {
+          val merges = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(ad: ArrayData, ArrayType(StringType, _)) =>
+              ad.toObjectArray(StringType).map(_.toString)
+            case other => sys.error(
+              s"graft_bpe_encode: merges must be an array<string> literal, got $other")
+          }
+          BpeEncode(exprs.head, merges)
+        },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_pq_adc",
         (exprs: Seq[Expression]) => PQAdc(exprs.head, exprs(1)),
         "built-in")
@@ -537,6 +549,12 @@ object VectorExpressions {
   /** Native ADC score (approximate cosine) of (lut, codes). */
   def pqAdc(lut: Column, codes: Column): Column =
     call_function("graft_pq_adc", lut, codes)
+
+  /** Native BPE tokenization against a trained rank-ordered merge
+    * table (see [[Bpe.train]]). */
+  def bpeEncode(text: Column, merges: Array[String]): Column =
+    call_function("graft_bpe_encode", text,
+      org.apache.spark.sql.functions.lit(merges))
 
   /** Bounded-heap top-k aggregate over (score, id) pairs — map-side
     * partial top-k; see [[TopKByScore]]. */

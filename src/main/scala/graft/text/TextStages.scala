@@ -111,6 +111,43 @@ object TextStages {
           size(regexp_extract_all(f, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
     }
 
+  /** `bpe`: REAL trained byte-pair-encoding subword tokenization — the
+    * full Sennrich BPE loop, not `tokenize`'s regex approximation.
+    * Training follows the kmeans/IVF pattern: ONE bounded deterministic
+    * TakeOrdered sample (hash-ordered by text), driver-side word
+    * frequencies + `numMerges` merge rounds
+    * ([[graft.functions.Bpe.train]] — most-frequent adjacent pair,
+    * lexicographic-min ties, fully deterministic); application is the
+    * codegen'd [[graft.functions.BpeEncode]] per-row projection with
+    * the merge table shipped in the plan — zero shuffles, fuses into
+    * the scan. Detokenization is exact: tokens concatenate back to the
+    * whitespace-normalized input (EOW marker → space), the invariant
+    * the driver verdict checks over every row.
+    *
+    * Options: `field` (default text), `outputField` (default
+    * bpe_tokens; also emits `n_<outputField>`), `numMerges` (default
+    * 200), `trainRows` (default 512). */
+  def bpe(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val fieldName = spec.strOr("field", "text")
+      val outField = spec.strOr("outputField", "bpe_tokens")
+      val numMerges = spec.int("numMerges", 200)
+      val trainRows = spec.int("trainRows", 512)
+      val sample = df.select(col(fieldName).cast("string").as("__t"))
+        .where(col("__t").isNotNull)
+        .orderBy(xxhash64(col("__t")), col("__t")).limit(trainRows)
+        .collect().map(_.getString(0))
+      val freqs = scala.collection.mutable.HashMap.empty[String, Long]
+      sample.foreach(_.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => freqs(w) = freqs.getOrElse(w, 0L) + 1L))
+      val merges = graft.functions.Bpe.train(freqs.toSeq.sortBy(_._1), numMerges)
+      val toks = graft.functions.VectorExpressions.bpeEncode(
+        col(fieldName).cast("string"), merges)
+      df.withColumn(outField, toks)
+        .withColumn(s"n_$outField", size(col(outField)))
+    }
+
   /** `regexreplace`: sequential regex substitutions over a text column —
     * the PII-masking / markup-stripping pass of a training-data pipeline
     * (mask emails, URLs, digit runs, strip tags…). Options: `field`
