@@ -234,6 +234,19 @@ object ScaleStress {
             "field": "embedding", "threshold": 0.9, "k": $semK, "nProbe": 2,
             "lloydIters": 2, "trainRows": $semTrain, "emit": "pairs"}}],
           "loader": {"memory": {}} }""",
+        // IVF-PQ top-k: cells grow with N so per-cell populations stay
+        // flat (candidates ≈ N·nProbe·(N/nCells) → linear when
+        // nCells ∝ N); the base side of the cell join carries 16 code
+        // BYTES per row — the exchange that distinguishes PQ from plain
+        // IVF at scale
+        "ivfpq_topk" -> s"""{
+          "source": {"file": {"path": "$vecs"}}, "extractor": {"parquet": {}},
+          "transformers": [{"similarityivf": {"idField": "vec_id",
+            "field": "embedding", "k": 5, "nCells": ${math.max(16L, m / 250)},
+            "nProbe": 4, "lloydIters": 2,
+            "trainRows": ${math.min(math.max(16L, m / 250) * 40, 20000)},
+            "pqM": 16, "pqK": 16, "refine": 4}}],
+          "loader": {"memory": {}} }""",
         "minhash_pairs" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [{"minhash": {"idField": "doc_id", "field": "text",
