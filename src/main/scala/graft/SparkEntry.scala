@@ -1610,6 +1610,21 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "fp_md5").orderBy("doc_id")
     },
+    "tokeninfo" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // corpus self-information score: integer bits per token
+      // occurrence (length(bin(N div cnt)) — floor(log2)+1 without
+      // libm), per-doc sums hash-exact vs the same integer arithmetic
+      // in DuckDB
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"tokeninfo": {"idField": "doc_id",
+          "field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_info_tokens", "info_bits", "bits_per_token")
+        .orderBy("doc_id")
+    },
     "bpe_tokenize" -> { (s, dir) =>
       // VERDICT table for the trained-BPE tokenizer: (a) detokenization
       // is EXACT on every row — tokens concatenate back to the
@@ -2864,6 +2879,18 @@ object SparkEntry {
     "similarity_ivfpq" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.8', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "tokeninfo" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
+       "FROM documents), tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''), " +
+       "c AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY 1), " +
+       "n AS (SELECT count(*) AS total FROM tt), " +
+       "d AS (SELECT tt.doc_id, count(*) AS nt, " +
+       "CAST(sum(length(bin(n.total // c.cnt))) AS BIGINT) AS bits " +
+       "FROM tt JOIN c USING (tok) CROSS JOIN n GROUP BY 1) " +
+       "SELECT doc.doc_id, CAST(coalesce(d.nt, 0) AS BIGINT) AS n_info_tokens, " +
+       "CAST(coalesce(d.bits, 0) AS BIGINT) AS info_bits, " +
+       "CASE WHEN coalesce(d.nt, 0) > 0 THEN CAST(d.bits AS DOUBLE) / d.nt END AS bits_per_token " +
+       "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id ORDER BY doc.doc_id"),
     "bpe_tokenize" ->
       ("SELECT * FROM (VALUES ('compresses', true), ('deterministic', true), " +
        "('roundtrip_exact', true), ('vocab_bounded', true)) " +

@@ -73,6 +73,7 @@ object Engine {
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "bpe"           -> graft.text.TextStages.bpe _,
+    "tokeninfo"     -> graft.text.TextStages.tokenInfo _,
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
     "bm25"          -> graft.text.TextStages.bm25 _,

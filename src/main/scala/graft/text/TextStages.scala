@@ -343,6 +343,47 @@ object TextStages {
           col("score"), col("term_rank").cast("long").as("term_rank"))
     }
 
+  /** `tokeninfo`: corpus self-information quality score — per document,
+    * the summed information content of its tokens measured against the
+    * corpus's own unigram distribution (the CCNet/Gopher-style "how
+    * surprising is this document" signal: boilerplate scores low,
+    * rare-token-dense text scores high). To stay hash-exact across
+    * engines the per-occurrence contribution is INTEGER bits:
+    * `bits(tok) = length(bin(N div count(tok)))` = floor(log2 N/cnt)+1
+    * — pure integer arithmetic, no libm log whose final ulps differ
+    * (the tfidf linear-idf rule, taken one step further). Output:
+    * input + `n_info_tokens` + `info_bits` + `bits_per_token` (one
+    * IEEE division, bit-identical everywhere; null for token-less
+    * rows).
+    *
+    * Options: `idField` (default doc_id), `field` (default text),
+    * `lowercase` (default true).
+    *
+    * Scale shape: tokenize+explode → corpus term counts (ONE hash agg,
+    * map-side combine) → join counts on term (vocabulary-keyed: AQE
+    * broadcasts small vocabularies, shuffle-hash otherwise — vocab
+    * rows, never corpus rows) + 1-row total attach → per-doc sum
+    * (second map-side-combined agg) → id-join back to the input. */
+  def tokenInfo(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val f0 = col(spec.strOr("field", "text"))
+      val f = if (spec.bool("lowercase", dflt = true)) lower(f0) else f0
+      val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
+        .where(col("__tok") =!= "")
+      val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      val total = toks.agg(count(lit(1)).as("__n"))
+      val perDoc = toks.join(counts, "__tok").crossJoin(total)
+        .withColumn("__bits", length(bin(expr("__n div __cnt"))).cast("long"))
+        .groupBy("__id")
+        .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+      df.join(perDoc, col(id) === col("__id"), "left").drop("__id")
+        .withColumn("n_info_tokens", coalesce(col("n_info_tokens"), lit(0L)))
+        .withColumn("info_bits", coalesce(col("info_bits"), lit(0L)))
+        .withColumn("bits_per_token", when(col("n_info_tokens") > 0,
+          col("info_bits").cast("double") / col("n_info_tokens").cast("double")))
+    }
+
   /** `bm25`: Okapi BM25 relevance search — score every document against
     * a literal query string and keep the top `k` (score desc, id asc —
     * fully deterministic). The retrieval-side companion to [[tfidf]]'s

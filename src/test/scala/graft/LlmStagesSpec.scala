@@ -971,6 +971,21 @@ class LlmStagesSpec extends SparkSpec {
     assert(out.filter(_.getLong(0) == 3L).map(_.getString(2)).toSeq == Seq("One"))
   }
 
+  // ---------------------------------------------------------- tokeninfo
+  test("tokeninfo: integer self-information bits match hand computation") {
+    // corpus tokens: a a b | b c → N=5, cnt(a)=2, cnt(b)=2, cnt(c)=1
+    // bits = length(bin(N div cnt)): a→len(bin(2))=2, b→2, c→len(bin(5))=3
+    val df = Seq((1L, "a A  b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = stage("tokeninfo")(df)
+      .select("doc_id", "n_info_tokens", "info_bits", "bits_per_token")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 6L, Some(2.0)),   // lowercase folds A→a; 2+2+2
+      (2L, 2L, 5L, Some(2.5)),   // 2+3
+      (3L, 0L, 0L, None)))       // whitespace-only doc: no tokens, null bpt
+  }
+
   // -------------------------------------------------------------- tfidf
   test("tfidf: linear-idf scores and ranks match hand computation") {
     // 3 docs; "rare" only in doc 1, "common" in all
