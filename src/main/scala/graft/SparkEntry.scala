@@ -1610,6 +1610,55 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "fp_md5").orderBy("doc_id")
     },
+    "rollup_levels" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // hierarchical subtotals in ONE grouping-sets aggregation:
+      // (status, priority) detail + per-status + grand total; rolled-up
+      // positions emit the '(all)' sentinel (no cross-engine
+      // null-ordering trap), gid = grouping bitmask
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderstatus, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"}},
+          {"rollup": {"keys": ["o_orderstatus", "o_orderpriority"],
+            "aggs": ["count", "sum:cents"]}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    },
+    "pivot_wide" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // declared-values pivot: per-user event-type counts as columns in
+      // ONE conditional aggregation (no plan-time value discovery)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"pivot": {"groupBy": ["user_id"],
+          "pivotColumn": "event_type",
+          "values": ["click", "error", "purchase", "signup", "view"]}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("user_id")
+    },
+    "expect_rules" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // declarative data-quality pass: named thresholded rules over one
+      // scan (conditional sums) + a keyed agg for uniqueness; metrics
+      // (rows, violations, ratio, passed) hash-match per-rule SQL
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"expect": {"rules": [
+          {"name": "custkey_not_null", "check": "not_null", "column": "o_custkey"},
+          {"name": "orderkey_unique", "check": "unique", "column": "o_orderkey"},
+          {"name": "status_accepted", "check": "accepted",
+            "column": "o_orderstatus", "values": ["F", "O", "P"]},
+          {"name": "price_positive", "check": "expr",
+            "expr": "o_totalprice > 0", "minRatio": 0.99}]}}],
+        "loader": {"memory": {}} }""")
+        .select("rule", "rows", "violations", "ratio", "passed")
+        .orderBy("rule")
+    },
     "tokeninfo" -> { (s, dir) =>
       val c = ctx(s, dir)
       // corpus self-information score: integer bits per token
@@ -2879,6 +2928,39 @@ object SparkEntry {
     "similarity_ivfpq" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.8', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "rollup_levels" ->
+      ("SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' " +
+       "ELSE CAST(o_orderstatus AS VARCHAR) END AS o_orderstatus, " +
+       "CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' " +
+       "ELSE CAST(o_orderpriority AS VARCHAR) END AS o_orderpriority, " +
+       "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid, " +
+       "count(*) AS n, " +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+       "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+       "ORDER BY gid, o_orderstatus, o_orderpriority"),
+    "pivot_wide" ->
+      ("SELECT user_id, " +
+       "count(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +
+       "count(CASE WHEN event_type = 'error' THEN 1 END) AS error, " +
+       "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, " +
+       "count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, " +
+       "count(CASE WHEN event_type = 'view' THEN 1 END) AS view " +
+       "FROM events GROUP BY user_id ORDER BY user_id"),
+    "expect_rules" ->
+      ("WITH n AS (SELECT count(*) AS rows_ FROM orders), " +
+       "m AS (" +
+       "SELECT 'custkey_not_null' AS rule, n.rows_ AS rows, " +
+       "(SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations, 1.0 AS min_ratio FROM n " +
+       "UNION ALL SELECT 'orderkey_unique', n.rows_, " +
+       "(SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)), 1.0 FROM n " +
+       "UNION ALL SELECT 'price_positive', n.rows_, " +
+       "(SELECT count(*) FROM orders WHERE NOT coalesce(o_totalprice > 0, false)) AS v, 0.99 FROM n " +
+       "UNION ALL SELECT 'status_accepted', n.rows_, " +
+       "(SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')), 1.0 FROM n) " +
+       "SELECT rule, CAST(rows AS BIGINT) AS rows, CAST(violations AS BIGINT) AS violations, " +
+       "CASE WHEN rows = 0 THEN 1.0 ELSE CAST(rows - violations AS DOUBLE) / rows END AS ratio, " +
+       "(CASE WHEN rows = 0 THEN 1.0 ELSE CAST(rows - violations AS DOUBLE) / rows END) >= min_ratio AS passed " +
+       "FROM m ORDER BY rule"),
     "tokeninfo" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
        "FROM documents), tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''), " +

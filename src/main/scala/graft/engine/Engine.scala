@@ -30,6 +30,9 @@ object Engine {
     "log"     -> Stages.log _,
     "code"    -> Stages.code _,
     "command" -> Stages.command _,
+    "rollup"        -> graft.stages.CubeStages.rollup _,
+    "pivot"         -> graft.stages.CubeStages.pivot _,
+    "expect"        -> graft.stages.ExpectStage.expect _,
     "topkpergroup" -> Stages.topkPerGroup _,
     "histogram"    -> Stages.histogram _,
     "flow"    -> Stages.flow _,

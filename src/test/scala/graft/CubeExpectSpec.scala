@@ -1,0 +1,94 @@
+package graft
+
+import graft.spec.ComponentSpec
+import graft.stages.{CubeStages, ExpectStage}
+import org.apache.spark.sql.functions._
+
+/** rollup/cube grouping-sets, declared-values pivot, expect rules. */
+class CubeExpectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sales = Seq(
+    ("us", "a", 10L), ("us", "a", 20L), ("us", "b", 5L), ("eu", "a", 7L))
+    .toDF("region", "prod", "amt")
+
+  test("rollup: detail + subtotal + grand total rows with sentinel labels") {
+    val ctx = newCtx()
+    val out = CubeStages.rollup(ComponentSpec("rollup", Map(
+        "keys" -> Seq("region", "prod"), "aggs" -> Seq("count", "sum:amt"))), ctx)(sales)
+      .orderBy("gid", "region", "prod")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("eu", "a", 0L, 1L, 7L),
+      ("us", "a", 0L, 2L, 30L),
+      ("us", "b", 0L, 1L, 5L),
+      ("eu", "(all)", 1L, 1L, 7L),
+      ("us", "(all)", 1L, 3L, 35L),
+      ("(all)", "(all)", 3L, 4L, 42L)))
+    // ONE aggregate with Expand — not a union of per-level jobs
+    val plan = CubeStages.rollup(ComponentSpec("rollup", Map(
+      "keys" -> Seq("region", "prod"))), ctx)(sales)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets should plan via Expand:\n$plan")
+    assert(!plan.contains("Union"), s"rollup must not union per-level jobs:\n$plan")
+  }
+
+  test("cube mode emits every key subset") {
+    val ctx = newCtx()
+    val out = CubeStages.rollup(ComponentSpec("rollup", Map(
+        "keys" -> Seq("region", "prod"), "mode" -> "cube")), ctx)(sales)
+    // rollup gives 3 detail + 2 region + 1 total = 6; cube adds per-prod (2)
+    assert(out.count() == 8)
+    assert(out.where(col("region") === "(all)" && col("prod") === "a")
+      .select("n").as[Long].head() == 3L)
+  }
+
+  test("pivot: declared values become columns; count fills zero") {
+    val ctx = newCtx()
+    val out = CubeStages.pivot(ComponentSpec("pivot", Map(
+        "groupBy" -> Seq("region"), "pivotColumn" -> "prod",
+        "values" -> Seq("a", "b", "zzz"))), ctx)(sales)
+      .orderBy("region")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("eu", 1L, 0L, 0L), ("us", 2L, 1L, 0L)))
+    val sums = CubeStages.pivot(ComponentSpec("pivot", Map(
+        "groupBy" -> Seq("region"), "pivotColumn" -> "prod",
+        "values" -> Seq("a", "b"), "agg" -> "sum:amt")), ctx)(sales)
+      .orderBy("region")
+      .as[(String, Option[Long], Option[Long])].collect().toSeq
+    assert(sums == Seq(("eu", Some(7L), None), ("us", Some(30L), Some(5L))))
+  }
+
+  test("expect: per-rule metrics, ratios, thresholds; halt poisons the action") {
+    val ctx = newCtx()
+    val df = Seq((1L, Some("x"), 10.0), (2L, None, -1.0), (2L, Some("y"), 5.0))
+      .toDF("id", "tag", "price")
+    def rules(minRatio: Double) = Seq(
+      Map("name" -> "tag_not_null", "check" -> "not_null", "column" -> "tag",
+        "minRatio" -> minRatio),
+      Map("name" -> "id_unique", "check" -> "unique", "column" -> "id",
+        "minRatio" -> minRatio),
+      Map("name" -> "price_pos", "check" -> "expr", "expr" -> "price > 0",
+        "minRatio" -> minRatio),
+      Map("name" -> "tag_accepted", "check" -> "accepted", "column" -> "tag",
+        "values" -> Seq("x", "y"), "minRatio" -> minRatio))
+    val out = ExpectStage.expect(ComponentSpec("expect", Map(
+        "rules" -> rules(0.5))), ctx)(df)
+      .select("rule", "rows", "violations", "passed")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("id_unique", 3L, 1L, true),      // id 2 duplicated once
+      ("price_pos", 3L, 1L, true),      // -1.0 violates
+      ("tag_accepted", 3L, 1L, true),   // null tag not accepted
+      ("tag_not_null", 3L, 1L, true)))  // 2/3 >= 0.5
+    val strict = ExpectStage.expect(ComponentSpec("expect", Map(
+        "rules" -> rules(1.0), "onFail" -> "halt")), ctx)(df)
+    val e = intercept[Exception](strict.collect())
+    assert(e.getMessage.contains("expect: rule"), e.getMessage)
+    // empty input passes every rule (ratio defined as 1)
+    val empty = ExpectStage.expect(ComponentSpec("expect", Map(
+        "rules" -> rules(1.0))), ctx)(df.where(lit(false)))
+      .select("passed").as[Boolean].collect().toSeq
+    assert(empty == Seq(true, true, true, true))
+  }
+}
