@@ -1497,6 +1497,36 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
+    "weighted_sample" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // deterministic WEIGHTED sampling: per-row keep probability from
+      // the row itself (length-proportional here — the quality-weighted
+      // corpus-downsampling primitive), same md5 bucket as the uniform
+      // path, floor-cut so both engines agree at every boundary
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"hashsample": {"keyField": "doc_id",
+          "probExpr": "least(n_chars / 2000.0, 1.0)"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+    "zorder_layout" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // Morton z-value over (user, seconds-offset): the write-side
+      // layout pass that keeps BOTH columns' file min/max stats tight
+      // at 100 TB so predicates on either prune files — here the
+      // z-value arithmetic itself is oracle-locked bit-for-bit
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id AS u, CAST(floor(unix_micros(ts) / 1000000) AS BIGINT) - 1704067200 AS t FROM events"}},
+          {"zorder": {"columns": ["u", "t"], "bits": 22}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "zvalue").orderBy("event_id")
+    },
     "stratified_sample" -> { (s, dir) =>
       val c = ctx(s, dir)
       // language-balanced corpus sampling: keep all German, half the
@@ -2811,6 +2841,23 @@ object SparkEntry {
       ("SELECT doc_id, n_chars FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 2500 " +
        "ORDER BY doc_id"),
+    "weighted_sample" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 " +
+       "< CAST(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 10000) AS BIGINT) " +
+       "ORDER BY doc_id"),
+    "zorder_layout" -> {
+      val mask = (1L << 22) - 1
+      val terms = (for {
+        (cn, i) <- Seq("u", "t").zipWithIndex
+        b <- 0 until 22
+      } yield s"((($cn >> $b) & 1) << ${b * 2 + i})").mkString(" + ")
+      s"WITH e AS (SELECT event_id, " +
+      s"least(greatest(CAST(user_id AS BIGINT), 0), $mask) AS u, " +
+      s"least(greatest(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) - 1704067200, 0), $mask) AS t " +
+      s"FROM events) SELECT event_id, CAST($terms AS BIGINT) AS zvalue " +
+      s"FROM e ORDER BY event_id"
+    },
     "stratified_sample" ->
       ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 6))::BIGINT % 10000 AS b, " +

@@ -66,6 +66,7 @@ object Engine {
     "repetition"    -> graft.text.TextStages.repetition _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
+    "zorder"        -> graft.split.SplitStages.zorder _,
     "stratifiedsample" -> graft.split.SplitStages.stratifiedSample _,
     "shuffle"       -> graft.split.SplitStages.shuffle _,
     "mixture"       -> graft.split.SplitStages.mixture _,

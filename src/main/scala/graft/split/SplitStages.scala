@@ -162,17 +162,85 @@ object SplitStages {
 
   /** `hashsample`: keep a deterministic `fraction` of rows by the same
     * md5 bucket — the reproducible alternative to `TABLESAMPLE`/rand().
-    * Options: `keyField`/`keyExpr`, `fraction` (required), `salt`. */
+    * Options: `keyField`/`keyExpr`, `fraction` (required unless
+    * `probExpr`/`probField` set, then default 1.0), `salt`.
+    *
+    * `probExpr` / `probField` (optional): PER-ROW keep probability
+    * (clamped to [0, 1], multiplied by `fraction`) — deterministic
+    * WEIGHTED sampling, the quality-weighted corpus-downsampling
+    * primitive ("keep high-quality docs with p≈1, boilerplate with
+    * p≈0.1"). The row's fate depends only on (key, salt, its own
+    * probability) — key-stable like the uniform path. The cut uses
+    * `floor(p·buckets)` (floor, not round: round's half-up boundary
+    * would hang on engine rounding modes; floor of the same IEEE
+    * product is identical everywhere). */
   def hashsample(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val key = spec.str("keyExpr") match {
         case Some(e) => expr(e)
         case None => col(spec.strOr("keyField", "doc_id"))
       }
-      val frac = spec.str("fraction")
-        .getOrElse(sys.error("hashsample: fraction required")).toDouble
+      val prob: Option[org.apache.spark.sql.Column] =
+        spec.str("probExpr").map(expr)
+          .orElse(spec.str("probField").map(col(_)))
+      val frac = spec.str("fraction") match {
+        case Some(f) => f.toDouble
+        case None if prob.isDefined => 1.0
+        case None => sys.error("hashsample: fraction required")
+      }
       require(frac > 0 && frac <= 1, s"hashsample: fraction in (0,1], got $frac")
-      df.where(bucket(key, spec.strOr("salt", "")) < math.round(frac * Buckets))
+      val b = bucket(key, spec.strOr("salt", ""))
+      prob match {
+        case None => df.where(b < math.round(frac * Buckets))
+        case Some(p) =>
+          val eff = least(greatest(p.cast("double"), lit(0.0)), lit(1.0)) * frac
+          df.where(b < floor(eff * Buckets).cast("bigint"))
+      }
+    }
+
+  /** `zorder`: Morton (Z-order) space-filling-curve value over 2–4
+    * integer columns — the multi-dimensional DATA-SKIPPING layout tool:
+    * range-sorting a 100-TB table by `zvalue` before writing clusters
+    * rows so that EVERY interleaved column's min/max footer stats are
+    * tight per file/row-group, and a predicate on ANY of the columns
+    * prunes most of the table (a linear sort gives that to its leading
+    * column only). Options: `columns` (2–4, required — values are cast
+    * to long and CLAMPED to [0, 2^bits); pre-scale in a `field`/SQL
+    * stage so the interesting range fits), `bits` (per column, default
+    * floor(63/n)), `outputField` (default zvalue), `sort` (default
+    * false: append the column only; true: `repartitionByRange` +
+    * in-partition sort by zvalue — the write-side layout pass),
+    * `partitions` (with sort; default spark.sql.shuffle.partitions).
+    *
+    * The z-value is a pure per-row projection (bit interleave: column
+    * i's bit b lands at position b·n+i); sorting is ONE range exchange
+    * with in-partition sort — exactly a `SORT BY` plan, no extra
+    * passes. */
+  def zorder(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val cols = spec.strList("columns")
+      require(cols.length >= 2 && cols.length <= 4,
+        s"zorder: `columns` needs 2-4 column names, got ${cols.length}")
+      cols.foreach(c => require(df.columns.contains(c), s"zorder: no column '$c'"))
+      val n = cols.length
+      val bits = spec.int("bits", 63 / n)
+      require(bits > 0 && bits * n <= 63,
+        s"zorder: bits=$bits × $n columns exceeds the 63-bit budget")
+      val mask = (1L << bits) - 1
+      val clamped = cols.map(c =>
+        least(greatest(col(c).cast("long"), lit(0L)), lit(mask)))
+      val terms = for {
+        (c, i) <- clamped.zipWithIndex
+        b <- 0 until bits
+      } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+      val out = spec.strOr("outputField", "zvalue")
+      val withZ = df.withColumn(out, terms.reduce(_ + _)) // disjoint bits: + ≡ |
+      if (!spec.bool("sort", dflt = false)) withZ
+      else {
+        val parts = spec.int("partitions",
+          ctx.spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        withZ.repartitionByRange(parts, col(out)).sortWithinPartitions(col(out))
+      }
     }
 
   /** `stratifiedsample`: per-stratum deterministic sampling — the

@@ -378,6 +378,49 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept.subsetOf(more))
   }
 
+  test("hashsample probExpr: weighted, deterministic, monotone in probability") {
+    val df = (0L until 2000L).map(i => (i, (i % 100).toDouble / 100.0))
+      .toDF("doc_id", "q")
+    val kept = stage("hashsample", "keyField" -> "doc_id",
+      "probField" -> "q")(df).select("doc_id").as[Long].collect().toSet
+    // expected ≈ Σ p ≈ 2000 · 0.495
+    assert(math.abs(kept.size - 990) < 120, s"kept ${kept.size}")
+    // p=0 rows can never survive; p close to 1 nearly always do
+    assert(!kept.exists(_ % 100 == 0), "p=0 rows must be dropped")
+    // deterministic rerun
+    val again = stage("hashsample", "keyField" -> "doc_id",
+      "probField" -> "q")(df).select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    // probabilities outside [0,1] clamp instead of corrupting the cut
+    val all = stage("hashsample", "keyField" -> "doc_id",
+      "probExpr" -> "9.9")(df).count()
+    assert(all == 2000L)
+  }
+
+  test("zorder: bit interleave matches hand values; sort is one range exchange") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (-5L, 2L))
+      .toDF("x", "y")
+    val z = stage("zorder", "columns" -> Seq("x", "y"), "bits" -> 4)(df)
+      .select("x", "y", "zvalue").as[(Long, Long, Long)].collect()
+      .map { case (x, y, zv) => (x, y) -> zv }.toMap
+    // column 0 occupies even bit positions, column 1 odd
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L)
+    assert(z((0L, 1L)) == 2L)
+    assert(z((1L, 1L)) == 3L)
+    assert(z((2L, 3L)) == 14L) // x=10b → bits 0,4: 100b; y=11b → bits 1,3: 1010b
+    assert(z((-5L, 2L)) == 8L, "negatives clamp to 0 (x→0, y=10b → bit at pos 3)")
+    // sort mode: exactly one range exchange + in-partition sort (no global sort)
+    val plan = stage("zorder", "columns" -> Seq("x", "y"), "bits" -> 4,
+      "sort" -> true, "partitions" -> 3)(df).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+    assert(!plan.contains("global=true"), s"must not plan a global sort:\n$plan")
+    // bit-budget guard
+    val e = intercept[Exception](stage("zorder",
+      "columns" -> Seq("x", "y"), "bits" -> 40)(df).collect())
+    assert(e.getMessage.contains("63-bit"), e.getMessage)
+  }
+
   test("pack: two-phase distributed prefix sum equals the sequential pack") {
     // tokens chosen so chunks straddle partition boundaries
     val rows = (0L until 100L).map(i => (i, 7L + (i % 13)))
