@@ -1497,6 +1497,31 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
+    "rowid_assign" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // distributed row_number() OVER (ORDER BY …): range partition +
+      // per-partition offsets (pack's two-phase prefix) — never a
+      // single-task global window
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"rowid": {"orderField": "doc_id",
+          "start": 1000}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "row_id").orderBy("doc_id")
+    },
+    "profile_columns" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-column profiling sweep (the discovery pass before `expect`
+      // rules): one aggregation over one scan, long-format output
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"profile": {"columns":
+          ["o_orderkey", "o_orderstatus", "o_orderpriority"]}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("column", "metric")
+    },
     "weighted_sample" -> { (s, dir) =>
       val c = ctx(s, dir)
       // deterministic WEIGHTED sampling: per-row keep probability from
@@ -2841,6 +2866,20 @@ object SparkEntry {
       ("SELECT doc_id, n_chars FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 2500 " +
        "ORDER BY doc_id"),
+    "rowid_assign" ->
+      ("SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 + 1000 AS row_id " +
+       "FROM documents ORDER BY doc_id"),
+    "profile_columns" -> {
+      // "column" is reserved in DuckDB — quote it everywhere
+      def block(c: String) =
+        s"""SELECT '$c' AS "column", 'non_nulls' AS metric, CAST(count($c) AS VARCHAR) AS value FROM orders """ +
+        s"UNION ALL SELECT '$c', 'nulls', CAST(count(*) - count($c) AS VARCHAR) FROM orders " +
+        s"UNION ALL SELECT '$c', 'distinct', CAST(count(DISTINCT $c) AS VARCHAR) FROM orders " +
+        s"UNION ALL SELECT '$c', 'min', CAST(min($c) AS VARCHAR) FROM orders " +
+        s"UNION ALL SELECT '$c', 'max', CAST(max($c) AS VARCHAR) FROM orders"
+      Seq("o_orderkey", "o_orderstatus", "o_orderpriority").map(block)
+        .mkString("", " UNION ALL ", """ ORDER BY "column", metric""")
+    },
     "weighted_sample" ->
       ("SELECT doc_id, n_chars FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 " +

@@ -33,6 +33,8 @@ object Engine {
     "rollup"        -> graft.stages.CubeStages.rollup _,
     "pivot"         -> graft.stages.CubeStages.pivot _,
     "expect"        -> graft.stages.ExpectStage.expect _,
+    "profile"       -> graft.stages.ExpectStage.profile _,
+    "rowid"         -> graft.split.SplitStages.rowid _,
     "topkpergroup" -> Stages.topkPerGroup _,
     "histogram"    -> Stages.histogram _,
     "flow"    -> Stages.flow _,

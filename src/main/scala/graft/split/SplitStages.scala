@@ -119,6 +119,46 @@ object SplitStages {
         .drop("__pid", "__cum")
     }
 
+  /** `rowid`: dense sequential row numbers in global `orderField` order
+    * WITHOUT a single-task global window — the distributed
+    * `row_number() OVER (ORDER BY …)`: range-partition on the order
+    * key(s), count rows per partition (driver sees numPartitions longs,
+    * never data), and add each partition's base offset to its local
+    * row_number — the same two-phase prefix pattern as [[pack]].
+    * Options: `orderField` (comma-separated, required — should be
+    * unique for a deterministic numbering; ties order arbitrarily
+    * within equal keys), `outputField` (default row_id), `start`
+    * (default 0), `partitions`. The range partitioning is
+    * `localCheckpoint`ed once so the offsets and the numbering job see
+    * the SAME sampled boundaries (the pack rule). */
+  def rowid(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.expressions.Window
+      val orderCols = spec.strOr("orderField", "doc_id")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      orderCols.foreach(c => require(df.columns.contains(c), s"rowid: no column '$c'"))
+      val out = spec.strOr("outputField", "row_id")
+      val start = spec.long("start").getOrElse(0L)
+      val nPart = spec.int("partitions",
+        math.max(df.sparkSession.sparkContext.defaultParallelism, 1))
+      val parts = df.repartitionByRange(nPart, orderCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+      val counts = parts.groupBy("__pid").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+      val offsets = (0 to maxPid).scanLeft(start)((acc, pid) =>
+        acc + counts.getOrElse(pid, 0L))
+      val offsetExpr = offsets.zipWithIndex.dropRight(1)
+        .foldLeft(lit(start)) { case (els, (off, pid)) =>
+          when(col("__pid") === pid, lit(off)).otherwise(els)
+        }
+      val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
+      parts.withColumn(out,
+          (row_number().over(w).cast("long") - 1L) + offsetExpr)
+        .drop("__pid")
+    }
+
   /** `chunk`: sliding token-window chunking — explode each document into
     * fixed-size token windows (`chunkTokens`, default 512) with optional
     * `overlap` (default 0), the context-window preparation step of a

@@ -37,6 +37,62 @@ import org.apache.spark.sql.functions._
   * `distinctcount` exact path). The metrics frame is rule-count rows. */
 object ExpectStage {
 
+  /** `profile`: per-column data profiling — the discovery pass before
+    * writing `expect` rules: for every listed column, non-null/null
+    * counts, distinct cardinality, and min/max, emitted LONG-format as
+    * `(column, metric, value)` string rows (schema-stable no matter
+    * which columns are profiled). Options: `columns` (default: every
+    * column), `distinct` ∈ exact (default) | approx
+    * (`approx_count_distinct`, the 100-TB path — constant-size HLL
+    * sketches through the exchange instead of distinct-value streams).
+    *
+    * Caveat: `value` is the column value CAST to string — profile
+    * integral/string columns for engine-portable min/max (fractional
+    * formatting differs across engines; counts are always portable).
+    *
+    * Scale shape: ONE aggregation over one scan for every metric;
+    * multiple exact count-distincts expand map-side (Catalyst's Expand
+    * rewrite — still a single shuffle), approx mode keeps the exchange
+    * constant-size per column. The result is |columns|·5 rows. */
+  def profile(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val cols0 = spec.strList("columns") match {
+        case Nil => df.columns.toSeq
+        case l => l
+      }
+      cols0.foreach(c => require(df.columns.contains(c), s"profile: no column '$c'"))
+      val approx = spec.strOr("distinct", "exact") match {
+        case "exact" => false
+        case "approx" => true
+        case other => sys.error(s"profile: distinct must be exact|approx, got '$other'")
+      }
+      val aggs = cols0.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__nn_$c"),
+          (count(lit(1)) - count(col(c))).as(s"__nu_$c"),
+          (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
+            .as(s"__d_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(cols0.flatMap { c =>
+          Seq(
+            struct(lit(c).as("column"), lit("non_nulls").as("metric"),
+              col(s"__nn_$c").cast("string").as("value")),
+            struct(lit(c).as("column"), lit("nulls").as("metric"),
+              col(s"__nu_$c").cast("string").as("value")),
+            struct(lit(c).as("column"), lit("distinct").as("metric"),
+              col(s"__d_$c").cast("string").as("value")),
+            struct(lit(c).as("column"), lit("min").as("metric"),
+              col(s"__mn_$c").as("value")),
+            struct(lit(c).as("column"), lit("max").as("metric"),
+              col(s"__mx_$c").as("value")))
+        }: _*)).as("r"))
+        .select("r.*")
+        .orderBy("column", "metric")
+    }
+
   def expect(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val rules = spec.list("rules").map {

@@ -173,7 +173,7 @@ object ScaleStress {
 
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     val batchLegs = Seq("asof_join", "asof_nearest", "range_join",
-      "hamming_pairs", "semantic_dedup", "minhash_pairs",
+      "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "group_cap")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor

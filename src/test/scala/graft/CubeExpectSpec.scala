@@ -59,6 +59,43 @@ class CubeExpectSpec extends SparkSpec {
     assert(sums == Seq(("eu", Some(7L), None), ("us", Some(30L), Some(5L))))
   }
 
+  test("profile: long-format per-column metrics in one aggregation") {
+    val ctx = newCtx()
+    val df = Seq((1L, Some("x")), (2L, None), (2L, Some("y"))).toDF("id", "tag")
+    val out = ExpectStage.profile(ComponentSpec("profile", Map.empty), ctx)(df)
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("id", "distinct", "2"), ("id", "max", "2"), ("id", "min", "1"),
+      ("id", "non_nulls", "3"), ("id", "nulls", "0"),
+      ("tag", "distinct", "2"), ("tag", "max", "y"), ("tag", "min", "x"),
+      ("tag", "non_nulls", "2"), ("tag", "nulls", "1")))
+    // ONE aggregation job even with several exact distincts (Expand)
+    val plan = ExpectStage.profile(ComponentSpec("profile", Map.empty), ctx)(df)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"multi-distinct should plan via Expand:\n$plan")
+    // approx mode swaps in HLL sketches
+    val approx = ExpectStage.profile(ComponentSpec("profile", Map(
+        "columns" -> Seq("id"), "distinct" -> "approx")), ctx)(df)
+      .where(col("metric") === "distinct").select("value").as[String].head()
+    assert(approx == "2")
+  }
+
+  test("rowid: distributed numbering equals the global window, across partitions") {
+    val ctx = newCtx()
+    val df = (0L until 500L).map(i => (i * 7 % 500, s"v$i")).toDF("k", "v")
+    val out = graft.split.SplitStages.rowid(ComponentSpec("rowid", Map(
+        "orderField" -> "k", "partitions" -> 7, "start" -> 10)), ctx)(df)
+      .select("k", "row_id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // dense, gapless, starts at `start`, follows global k order
+    assert(out.map(_._2) == (10L until 510L))
+    assert(out.map(_._1) == out.map(_._1).sorted)
+    // no single-task global sort in the plan
+    val plan = graft.split.SplitStages.rowid(ComponentSpec("rowid", Map(
+        "orderField" -> "k", "partitions" -> 7)), ctx)(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("global=true"), s"must not plan a global sort:\n$plan")
+  }
+
   test("expect: per-rule metrics, ratios, thresholds; halt poisons the action") {
     val ctx = newCtx()
     val df = Seq((1L, Some("x"), 10.0), (2L, None, -1.0), (2L, Some("y"), 5.0))
