@@ -455,4 +455,49 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(plan) == 0, s"assignment must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
   }
+
+  test("resample agg mode is ONE hash aggregation with map-side combine") {
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/events.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"resample": {"keyField": "event_type",
+        "tsField": "ts", "every": 3600, "aggs": ["count"]}}],
+      "loader": {"memory": {}} }""")
+    val plan = planOf(out)
+    assert(exchanges(plan) == 1, s"resample agg = one exchange:\n$plan")
+    assert("HashAggregate".r.findAllMatchIn(plan).size >= 2,
+      s"expected partial+final aggregation (map-side combine):\n$plan")
+    assert(!plan.contains("Join"), s"agg mode must not join:\n$plan")
+  }
+
+  test("bpe + tokeninfo plans: bpe is a shuffle-free codegen'd projection") {
+    val bpe = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"bpe": {"field": "text", "numMerges": 20,
+        "trainRows": 32}}],
+      "loader": {"memory": {}} }""")
+    val plan = planOf(bpe)
+    assert(exchanges(plan) == 0, s"bpe apply must not shuffle:\n$plan")
+    assert(plan.contains("graft_bpe_encode"), s"native expression missing:\n$plan")
+    // `*(n)` prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan.contains("*(1) Project"), s"should stay in codegen:\n$plan")
+  }
+
+  test("ivfpq: the cell-join stream carries codes, not vectors, on the base side") {
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/embeddings.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"similarityivf": {"idField": "vec_id",
+        "field": "embedding", "k": 3, "nCells": 8, "nProbe": 4,
+        "lloydIters": 2, "trainRows": 128, "pqM": 8, "pqK": 16,
+        "refine": 2}}],
+      "loader": {"memory": {}} }""")
+    val plan = planOf(out)
+    // the ADC-scored candidate join must exist, and the approximate
+    // (pre-refine) scoring must read the LUT + codes, not raw vectors
+    assert(plan.contains("graft_pq_adc"), s"ADC scoring missing:\n$plan")
+    assert(plan.contains("graft_pq_encode"), s"PQ encode missing:\n$plan")
+    assert(plan.contains("graft_pq_lut"), s"PQ LUT missing:\n$plan")
+  }
 }
