@@ -564,6 +564,20 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select(array_join(col("path"), "->").as("path")).orderBy("path")
     },
+    "command_gremlin_pred" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // value predicates (Gremlin P): range + membership filters compile
+      // to plain Catalyst filters over the vertex frame
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').has('id', gt('500')).has('id', without('501', '502')).order().by('id').range(0, 15).values('id')"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
     "command_gremlin_groupcount" -> { (s, dir) =>
       val c = ctx(s, dir)
       // groupCount() terminal: traverser counts per landed vertex —
@@ -2589,6 +2603,11 @@ object SparkEntry {
     "command_gremlin_order" ->
       ("SELECT id AS value FROM (SELECT CAST(c_custkey AS VARCHAR) AS id " +
        "FROM customer ORDER BY id DESC OFFSET 10 LIMIT 10) ORDER BY value"),
+    "command_gremlin_pred" ->
+      ("SELECT id AS value FROM (SELECT CAST(c_custkey AS VARCHAR) AS id " +
+       "FROM customer WHERE CAST(c_custkey AS VARCHAR) > '500' " +
+       "AND CAST(c_custkey AS VARCHAR) NOT IN ('501', '502') " +
+       "ORDER BY id LIMIT 15) ORDER BY value"),
     "command_gremlin_groupcount" ->
       ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +

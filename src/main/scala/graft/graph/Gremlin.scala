@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *  - `g.V()` — the vertex frame;
   *  - `.hasLabel('x')` / `.has('col', value)` — filters over the
   *    current frame's columns (property filters bind to the columns
-  *    present at that point in the chain);
+  *    present at that point in the chain); `has` also accepts the
+  *    value-predicate forms `.has('col', gt(v)|gte(v)|lt(v)|lte(v)|
+  *    eq(v)|neq(v)|within(v, …)|without(v, …))`, plus `.has('col')`
+  *    (exists / non-null) and `.hasNot('col')` (null);
   *  - `.out('label'?)` / `.in('label'?)` / `.both('label'?)` — one-hop
   *    traversal along the edges table, optionally label-constrained;
   *    bag semantics like Gremlin (one row per path, duplicates kept);
@@ -160,7 +163,28 @@ object Gremlin {
           if (!terminal) fail("path() must be the last step")
           frame = frame.select(col("__path").as("path"))
         case ("hasLabel", Seq(l: String)) => frame = frame.where(col("label") === l)
+        case ("has", Seq(k: String, Cmp(op, vs))) =>
+          val c = col(k)
+          frame = frame.where(op match {
+            case "gt" => c > lit(vs.head)
+            case "gte" => c >= lit(vs.head)
+            case "lt" => c < lit(vs.head)
+            case "lte" => c <= lit(vs.head)
+            case "neq" => c =!= lit(vs.head)
+            case "within" => c.isin(vs: _*)
+            case "without" => !c.isin(vs: _*) || c.isNull
+          })
+        // eq/neq parse as bound-tag Preds (where()'s grammar wins);
+        // inside has() they compare the VALUE, not a tag
+        case ("has", Seq(k: String, Pred("eq", v))) =>
+          frame = frame.where(col(k) === lit(v))
+        case ("has", Seq(k: String, Pred("neq", v))) =>
+          frame = frame.where(col(k) =!= lit(v))
         case ("has", Seq(k: String, v)) => frame = frame.where(col(k) === lit(v))
+        case ("has", Seq(k: String)) => // has('col'): property exists (non-null)
+          frame = frame.where(col(k).isNotNull)
+        case ("hasNot", Seq(k: String)) =>
+          frame = frame.where(col(k).isNull)
         case ("out", args) if args.length <= 1 =>
           frame = hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
         case ("in", args) if args.length <= 1 =>
@@ -263,20 +287,64 @@ object Gremlin {
   /** A bound-vertex predicate argument: `eq('x')` / `neq('x')`. */
   private final case class Pred(op: String, tag: String)
 
+  /** A value-comparison predicate argument (Gremlin `P`):
+    * `gt(5)` / `gte(5)` / `lt(5)` / `lte(5)` / `neq('x')` /
+    * `within('a', 'b')` / `without('a')`. */
+  private final case class Cmp(op: String, values: List[Any])
+  private val CmpPred =
+    """^(gt|gte|lt|lte|neq|within|without)\(\s*(.+?)\s*\)$""".r
+
+  private def parseScalar(a: String): Any =
+    if ((a.startsWith("'") && a.endsWith("'") && a.length >= 2) ||
+        (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2))
+      a.substring(1, a.length - 1)
+    else scala.util.Try(a.toLong).getOrElse(
+      scala.util.Try(a.toDouble).getOrElse(
+        fail(s"cannot parse argument '$a' (quoted string or number)")))
+
   private def parseArgs(raw: String): List[Any] =
-    raw.split(",").map(_.trim).filter(_.nonEmpty).toList.map { a =>
+    splitTopLevel(raw).map { a =>
       if ((a.startsWith("'") && a.endsWith("'") && a.length >= 2) ||
           (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2))
         a.substring(1, a.length - 1)
       else a match {
         case WherePred(op, tag) => Pred(op, tag)
+        case CmpPred(op, inner) =>
+          val vs = inner.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(parseScalar).toList
+          // `eq`/`neq` on a TAG belong to where(); a P-predicate in
+          // has() compares VALUES. neq('x') is ambiguous in the
+          // grammar — WherePred wins above (has() never sees tags in
+          // the translated subset, so a string neq in has() means the
+          // value; accept it here when WherePred didn't match)
+          if (vs.isEmpty) fail(s"$op(): no values")
+          else Cmp(op, vs)
         // Gremlin Order tokens arrive bare (`Order.decr` shortened form)
         case "asc" | "desc" | "incr" | "decr" => a
-        case _ => scala.util.Try(a.toLong).getOrElse(
-          scala.util.Try(a.toDouble).getOrElse(
-            fail(s"cannot parse argument '$a' (quoted string or number)")))
+        case _ => parseScalar(a)
       }
     }
+
+  /** Split on top-level commas only — `within('a', 'b')` is ONE
+    * argument of `has`, not three. */
+  private def splitTopLevel(raw: String): List[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    raw.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case other => cur.append(other)
+      }
+    }
+    out += cur.toString
+    out.toList.map(_.trim).filter(_.nonEmpty)
+  }
 
   private def fail(why: String): Nothing = sys.error(s"gremlin: $why")
 }

@@ -302,6 +302,29 @@ class GraphSpec extends SparkSpec {
     assert(run(1).head == ("a" -> "b"), "duplicate edges must not outvote c")
   }
 
+  test("gremlin: has() value predicates (P), has-exists, hasNot") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "q"), ("d", "q"))
+      .toDF("id", "label"))
+    def ids(script: String): Seq[String] = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+      .select("id").as[String].collect().toSeq.sorted
+    assert(ids("g.V().has('id', gt('b'))") == Seq("c", "d"))
+    assert(ids("g.V().has('id', gte('b'))") == Seq("b", "c", "d"))
+    assert(ids("g.V().has('id', lt('b'))") == Seq("a"))
+    assert(ids("g.V().has('id', lte('b'))") == Seq("a", "b"))
+    assert(ids("g.V().has('id', neq('b'))") == Seq("a", "c", "d"))
+    assert(ids("g.V().has('id', eq('b'))") == Seq("b"))
+    assert(ids("g.V().has('id', within('a', 'd'))") == Seq("a", "d"))
+    assert(ids("g.V().has('label', without('q'))") == Seq("a", "b"))
+    assert(ids("g.V().has('label')") == Seq("a", "b", "c", "d"))
+    assert(ids("g.V().hasNot('label')") == Nil)
+    // neq inside where() still means the bound TAG, not a value
+    ctx.addEdges(Seq(("a", "a", "self"), ("a", "b", "next"))
+      .toDF("src", "dst", "label"))
+    assert(ids("g.V().as('s').out().where(neq('s'))") == Seq("b"))
+  }
+
   test("gremlin: groupCount() per element, per column, and in value space") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "q")).toDF("id", "label"))
