@@ -1679,6 +1679,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "fp_md5").orderBy("doc_id")
     },
+    "flatten_nested" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // JSON-normalization: parse props, build a nested struct + array,
+      // explode the array (with element index), flatten the struct —
+      // all pure projections over one scan
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, named_struct('who', named_struct('uid', user_id), 'what', event_type) AS meta, array(event_id, user_id) AS pair FROM events"}},
+          {"flatten": {"explodeField": "pair", "indexField": "pair_idx"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("event_id"), col("meta_who_uid"), col("meta_what"),
+          col("pair_idx").cast("long").as("pair_idx"), col("pair"))
+        .orderBy("event_id", "pair_idx")
+    },
     "rollup_levels" -> { (s, dir) =>
       val c = ctx(s, dir)
       // hierarchical subtotals in ONE grouping-sets aggregation:
@@ -3033,6 +3050,11 @@ object SparkEntry {
     "similarity_ivfpq" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.8', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    "flatten_nested" ->
+      ("SELECT event_id, user_id AS meta_who_uid, event_type AS meta_what, " +
+       "CAST(0 AS BIGINT) AS pair_idx, event_id AS pair FROM events " +
+       "UNION ALL SELECT event_id, user_id, event_type, 1, user_id FROM events " +
+       "ORDER BY event_id, pair_idx"),
     "rollup_levels" ->
       ("SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' " +
        "ELSE CAST(o_orderstatus AS VARCHAR) END AS o_orderstatus, " +

@@ -30,6 +30,7 @@ object Engine {
     "log"     -> Stages.log _,
     "code"    -> Stages.code _,
     "command" -> Stages.command _,
+    "flatten"       -> Stages.flatten _,
     "rollup"        -> graft.stages.CubeStages.rollup _,
     "pivot"         -> graft.stages.CubeStages.pivot _,
     "expect"        -> graft.stages.ExpectStage.expect _,

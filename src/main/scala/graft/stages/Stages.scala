@@ -314,6 +314,60 @@ object Stages {
       parsed.select(others ++ docCols: _*)
     }
 
+  /** `flatten`: recursively promote nested STRUCT fields to top-level
+    * columns (`parent<sep>child` names — the JSON-normalization pass
+    * after a `json` parse with a nested schema), optionally exploding
+    * ONE array column first (`explodeField`, with `indexField` for the
+    * element position; exploding several arrays at once would be a
+    * cross product and is refused by design — chain stages). Options:
+    * `separator` (default `_`), `maxDepth` (default 10). A flattened
+    * name colliding with an existing column fails loud. Pure
+    * projection (+ one `posexplode` when exploding) — no shuffle,
+    * fuses into the scan. */
+  def flatten(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val sep = spec.strOr("separator", "_")
+      val maxDepth = spec.int("maxDepth", 10)
+      var cur = df
+      spec.str("explodeField").foreach { f =>
+        require(cur.columns.contains(f), s"flatten: no column '$f'")
+        require(cur.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"flatten: explodeField '$f' is not an array column")
+        val idx = spec.str("indexField")
+        val others = cur.columns.filterNot(_ == f).map(c => col(s"`$c`")).toSeq
+        cur = idx match {
+          case Some(ix) => cur.select(others :+
+            posexplode(col(s"`$f`")).as(Seq(ix, f)): _*)
+          case None => cur.select(others :+ explode(col(s"`$f`")).as(f): _*)
+        }
+      }
+      var depth = 0
+      while (cur.schema.fields.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])) {
+        depth += 1
+        require(depth <= maxDepth,
+          s"flatten: nesting deeper than maxDepth=$maxDepth")
+        val existing = cur.schema.fields.collect {
+          case fd if !fd.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            fd.name
+        }.toSet
+        cur = cur.select(cur.schema.fields.toSeq.flatMap { fd =>
+          fd.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              st.fieldNames.toSeq.map { n =>
+                val out = fd.name + sep + n
+                require(!existing.contains(out),
+                  s"flatten: flattened name '$out' collides with an existing " +
+                  "column — set `separator` or rename upstream")
+                col(s"`${fd.name}`").getField(n).as(out)
+              }
+            case _ => Seq(col(s"`${fd.name}`"))
+          }
+        }: _*)
+      }
+      cur
+    }
+
   /** `log` (OLogTransformer.java:57-60): identity on data; counts rows
     * via `observe` so telemetry costs no extra job — the count is
     * collected with the pipeline's terminal action and printed by

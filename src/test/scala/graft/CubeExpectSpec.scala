@@ -59,6 +59,33 @@ class CubeExpectSpec extends SparkSpec {
     assert(sums == Seq(("eu", Some(7L), None), ("us", Some(30L), Some(5L))))
   }
 
+  test("flatten: recursive struct promotion, single-array explode, collisions loud") {
+    val ctx = newCtx()
+    val df = Seq((1L, ("x", (2L, "y")), Seq(10L, 20L)))
+      .toDF("id", "s", "arr")
+    // two nesting levels flatten to s_*, s__2_* names
+    val out = graft.stages.Stages.flatten(ComponentSpec("flatten",
+        Map("explodeField" -> "arr", "indexField" -> "i")), ctx)(df)
+    assert(out.columns.toSet ==
+      Set("id", "i", "arr", "s__1", "s__2__1", "s__2__2"))
+    assert(out.count() == 2) // array exploded
+    assert(out.where(col("i") === 1).select("arr").as[Long].head() == 20L)
+    // non-struct frame passes through untouched
+    val plain = Seq((1L, "a")).toDF("id", "v")
+    assert(graft.stages.Stages.flatten(ComponentSpec("flatten", Map.empty), ctx)(plain)
+      .columns.toSeq == Seq("id", "v"))
+    // name collision is a named error
+    val clash = Seq((1L, 2L, Tuple1(3L))).toDF("id", "s_x", "s")
+      .select(col("id"), col("s_x"), col("s").cast("struct<x: bigint>"))
+    val e = intercept[Exception](graft.stages.Stages.flatten(
+      ComponentSpec("flatten", Map.empty), ctx)(clash))
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    // exploding a non-array is refused
+    val e2 = intercept[Exception](graft.stages.Stages.flatten(
+      ComponentSpec("flatten", Map("explodeField" -> "id")), ctx)(plain))
+    assert(e2.getMessage.contains("not an array"), e2.getMessage)
+  }
+
   test("profile: long-format per-column metrics in one aggregation") {
     val ctx = newCtx()
     val df = Seq((1L, Some("x")), (2L, None), (2L, Some("y"))).toDF("id", "tag")
