@@ -174,7 +174,7 @@ object ScaleStress {
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     val batchLegs = Seq("asof_join", "asof_nearest", "range_join",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
-      "neardup_dedup_lsh", "cosine_dup", "group_cap")
+      "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -265,6 +265,15 @@ object ScaleStress {
           "transformers": [{"cosinedup": {"idField": "vec_id",
             "field": "embedding", "threshold": 0.4,
             "nBits": ${if (factor >= 100) 40 else 16}, "bands": 4}}],
+          "loader": {"memory": {}} }""",
+        // grid densify + ffill: per-key bounds agg → bounded sequence
+        // explode → equi-join → one fill window; output rows ≈ keys ×
+        // span/every, everything keyed — should track linear
+        "resample_ffill" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [{"resample": {"keyField": "user_id",
+            "tsField": "t", "every": 3600, "aggs": ["count"],
+            "fill": "ffill"}}],
           "loader": {"memory": {}} }""",
         "group_cap" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
