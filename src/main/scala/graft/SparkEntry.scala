@@ -1368,6 +1368,27 @@ object SparkEntry {
           col("n"), col("sum_cents"), col("last_cents"), col("is_gap"))
         .orderBy("user_id", "bucket_us")
     },
+    "resample_linear" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // gap buckets linearly interpolated between the nearest observed
+      // day on each side — the numeric time-series imputation primitive
+      // (feature grids that can't carry stale values). Same keyed plan
+      // as ffill plus one extra Window over the SAME sort (the second
+      // window node reuses the first's distribution — no extra shuffle)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT ts, user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'"}},
+          {"resample": {"keyField": "user_id", "tsField": "ts",
+            "every": 86400, "aggs": ["count", "sum:cents"],
+            "fill": "linear"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("user_id"), unix_micros(col("bucket_ts")).as("bucket_us"),
+          col("n"), col("sum_cents"), col("is_gap"))
+        .orderBy("user_id", "bucket_us")
+    },
     "range_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // interval-containment join WITHOUT an equi-key: purchases inside
@@ -2848,6 +2869,35 @@ object SparkEntry {
        "NOT present AS is_gap FROM j " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING) " +
        "ORDER BY user_id, bucket_us"),
+    // linear fill: both sides compute pv + (nv-pv)·(b-pb)/(nb-pb) with
+    // the SAME double operation order (left-assoc * then /), so the
+    // IEEE results are bit-identical — no rounding guard needed
+    "resample_linear" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bucket, " +
+       "  CAST(round(value * 100) AS BIGINT) AS cents " +
+       "  FROM events WHERE event_type = 'purchase'), " +
+       "b AS (SELECT user_id, bucket, count(*) AS n, " +
+       "  CAST(sum(cents) AS BIGINT) AS sum_cents FROM e GROUP BY 1, 2), " +
+       "bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1), " +
+       "grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM bounds), " +
+       "j AS (SELECT g.user_id, g.bucket, b.n, b.sum_cents, " +
+       "  b.user_id IS NOT NULL AS present FROM grid g " +
+       "  LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket), " +
+       "f AS (SELECT *, " +
+       "  last_value(CASE WHEN present THEN n END IGNORE NULLS) OVER wp AS pn, " +
+       "  last_value(CASE WHEN present THEN sum_cents END IGNORE NULLS) OVER wp AS ps, " +
+       "  last_value(CASE WHEN present THEN bucket END IGNORE NULLS) OVER wp AS pb, " +
+       "  first_value(CASE WHEN present THEN n END IGNORE NULLS) OVER wn AS fn, " +
+       "  first_value(CASE WHEN present THEN sum_cents END IGNORE NULLS) OVER wn AS fs, " +
+       "  first_value(CASE WHEN present THEN bucket END IGNORE NULLS) OVER wn AS fb " +
+       "  FROM j WINDOW wp AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING), " +
+       "  wn AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+       "SELECT user_id, CAST(bucket * 86400000000 AS BIGINT) AS bucket_us, " +
+       "CASE WHEN present THEN CAST(n AS DOUBLE) ELSE CAST(pn AS DOUBLE) + " +
+       "  (CAST(fn AS DOUBLE) - CAST(pn AS DOUBLE)) * CAST(bucket - pb AS DOUBLE) / CAST(fb - pb AS DOUBLE) END AS n, " +
+       "CASE WHEN present THEN CAST(sum_cents AS DOUBLE) ELSE CAST(ps AS DOUBLE) + " +
+       "  (CAST(fs AS DOUBLE) - CAST(ps AS DOUBLE)) * CAST(bucket - pb AS DOUBLE) / CAST(fb - pb AS DOUBLE) END AS sum_cents, " +
+       "NOT present AS is_gap FROM f ORDER BY user_id, bucket_us"),
     "range_join" ->
       ("WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, count(*) AS n_in_hour " +
        "FROM events GROUP BY 1 HAVING count(*) >= 20) " +

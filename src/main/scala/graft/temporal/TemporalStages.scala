@@ -309,7 +309,13 @@ object TemporalStages {
     *  - `fill` (default `none`): `none` = observed buckets only;
     *    `ffill` = full per-key grid, gap buckets carry the previous
     *    bucket's aggregates ATOMICALLY (all columns from the same
-    *    source bucket) plus `is_gap = true`.
+    *    source bucket) plus `is_gap = true`; `linear` = full per-key
+    *    grid with gap buckets LINEARLY INTERPOLATED between the
+    *    nearest observed bucket on each side (numeric aggregates only;
+    *    every output aggregate becomes double). The grid spans each
+    *    key's first..last observation, so a gap always has both an
+    *    earlier and a later observation — interpolation is total, no
+    *    extrapolation edge exists.
     *  - `maxBuckets` (default 1000000): a key spanning more grid steps
     *    fails with the config rule to fix (a years-long key at 1-second
     *    steps is a row bomb, not a plan).
@@ -338,8 +344,8 @@ object TemporalStages {
         s"resample: no key column '$k'"))
       val maxBuckets = spec.int("maxBuckets", 1000000)
       val fillMode = spec.strOr("fill", "none")
-      require(Set("none", "ffill")(fillMode),
-        s"resample: fill must be none|ffill, got '$fillMode'")
+      require(Set("none", "ffill", "linear")(fillMode),
+        s"resample: fill must be none|ffill|linear, got '$fillMode'")
 
       val pre = df
         .withColumn("__ats", epochMicros(df, ts))
@@ -388,7 +394,7 @@ object TemporalStages {
         case "none" =>
           agged.select((keys.map(col) :+ bucketTs(agged).as("bucket_ts")) ++
             aggNames.map(col): _*)
-        case "ffill" =>
+        case "ffill" | "linear" =>
           val bounds = agged.groupBy(keys.map(col): _*)
             .agg(min("__bucket").as("__mn"), max("__bucket").as("__mx"))
           val span = col("__mx") - col("__mn") + 1
@@ -406,11 +412,49 @@ object TemporalStages {
           val vStruct = struct(aggNames.map(col): _*)
           val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__bucket").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val filled = joined.withColumn("__fv",
-              last(when(col("__present"), vStruct), ignoreNulls = true).over(w))
-          filled.select((keys.map(col) :+ bucketTs(filled).as("bucket_ts")) ++
-            aggNames.map(nm => col(s"__fv.$nm").as(nm)) :+
-            col("__present").isNull.as("is_gap"): _*)
+          if (fillMode == "ffill") {
+            val filled = joined.withColumn("__fv",
+                last(when(col("__present"), vStruct), ignoreNulls = true).over(w))
+            filled.select((keys.map(col) :+ bucketTs(filled).as("bucket_ts")) ++
+              aggNames.map(nm => col(s"__fv.$nm").as(nm)) :+
+              col("__present").isNull.as("is_gap"): _*)
+          } else {
+            // linear: gap value = pv + (nv - pv) · (b - pb) / (nb - pb)
+            // between the nearest observed buckets on each side. Both
+            // windows share the fill window's partitioning AND ordering,
+            // so the plan pays ONE shuffle + ONE sort for the whole fill
+            // (the second Window node reuses the child's distribution).
+            aggNames.foreach { nm =>
+              require(agged.schema(nm).dataType
+                  .isInstanceOf[org.apache.spark.sql.types.NumericType],
+                s"resample: fill=linear interpolates NUMERIC aggregates " +
+                s"only; '$nm' is ${agged.schema(nm).dataType.simpleString} " +
+                "— use fill=ffill for categorical carries")
+            }
+            val wNext = Window.partitionBy(keys.map(col): _*)
+              .orderBy(col("__bucket").asc)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            val nb = joined
+              .withColumn("__pv",
+                last(when(col("__present"), vStruct), ignoreNulls = true).over(w))
+              .withColumn("__pb",
+                last(when(col("__present"), col("__bucket")), ignoreNulls = true).over(w))
+              .withColumn("__nv",
+                first(when(col("__present"), vStruct), ignoreNulls = true).over(wNext))
+              .withColumn("__nb",
+                first(when(col("__present"), col("__bucket")), ignoreNulls = true).over(wNext))
+            def interp(nm: String): Column = {
+              val pv = col(s"__pv.$nm").cast("double")
+              val nv = col(s"__nv.$nm").cast("double")
+              when(col("__present"), col(nm).cast("double"))
+                .otherwise(pv + (nv - pv) *
+                  (col("__bucket") - col("__pb")).cast("double") /
+                  (col("__nb") - col("__pb")).cast("double"))
+            }
+            nb.select((keys.map(col) :+ bucketTs(nb).as("bucket_ts")) ++
+              aggNames.map(nm => interp(nm).as(nm)) :+
+              col("__present").isNull.as("is_gap"): _*)
+          }
       }
     }
 

@@ -470,6 +470,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"agg mode must not join:\n$plan")
   }
 
+  test("resample linear fill pays no more exchanges or sorts than ffill") {
+    // the prev/next windows share the fill window's partitioning AND
+    // ordering — the second/third Window nodes must reuse the first's
+    // sort, not add their own
+    def run(fill: String) = planOf(Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/events.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [
+        {"command": {"command": "SELECT ts, user_id, event_id FROM events WHERE event_type = 'purchase'"}},
+        {"resample": {"keyField": "user_id", "tsField": "ts",
+          "every": 86400, "aggs": ["count"], "fill": "$fill"}}],
+      "loader": {"memory": {}} }"""))
+    val (ff, lin) = (run("ffill"), run("linear"))
+    def sorts(p: String) = "Sort ".r.findAllMatchIn(p).size
+    assert(exchanges(lin) == exchanges(ff),
+      s"linear added an exchange over ffill:\nffill:\n$ff\nlinear:\n$lin")
+    assert(sorts(lin) == sorts(ff),
+      s"linear added a sort over ffill (windows must share one sort):\nffill:\n$ff\nlinear:\n$lin")
+  }
+
   test("bpe + tokeninfo plans: bpe is a shuffle-free codegen'd projection") {
     val bpe = Engine.runJson(newCtx(), s"""{
       "source": {"file": {"path": "$sfDir/documents.parquet"}},

@@ -356,6 +356,33 @@ class TemporalSpec extends SparkSpec {
       ("a", 30.0, 1L, 20L, false)))
   }
 
+  test("resample linear: gaps interpolate between nearest observed buckets; observed rows exact") {
+    val ctx = newCtx()
+    // a: buckets 0 (v=10) and 3 (v=40) observed → gaps 1,2 interpolate
+    // 10 + (40-10)·k/3; count interpolates too (both observed n=1 → 1.0)
+    val df = Seq(("a", 5.0, 10L), ("a", 35.0, 40L)).toDF("k", "t", "v")
+    val out = TemporalStages.resample(ComponentSpec("resample",
+      Map("keyField" -> "k", "tsField" -> "t", "every" -> 10,
+        "aggs" -> Seq("count", "sum:v"), "fill" -> "linear")), ctx)(df)
+      .orderBy("bucket_ts")
+      .select("k", "bucket_ts", "n", "sum_v", "is_gap")
+      .as[(String, Double, Double, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0.0, 1.0, 10.0, false),
+      ("a", 10.0, 1.0, 20.0, true),
+      ("a", 20.0, 1.0, 30.0, true),
+      ("a", 30.0, 1.0, 40.0, false)))
+  }
+
+  test("resample linear: non-numeric aggregate rejected with the ffill pointer") {
+    val ctx = newCtx()
+    val df = Seq(("a", 5.0, "x")).toDF("k", "t", "s")
+    val err = intercept[Exception](TemporalStages.resample(ComponentSpec("resample",
+      Map("keyField" -> "k", "tsField" -> "t", "every" -> 10,
+        "aggs" -> Seq("last:s"), "fill" -> "linear")), ctx)(df))
+    assert(err.getMessage.contains("NUMERIC") && err.getMessage.contains("ffill"))
+  }
+
   test("resample: maxBuckets fails loud; missing `every` rejected") {
     val ctx = newCtx()
     val df = Seq(("a", 0.0, 1L), ("a", 1e6, 2L)).toDF("k", "t", "v")
