@@ -800,6 +800,37 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "scd2_history" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // SCD Type-2 versioned history through the BUCKETED upsert loader
+      // (all versions of a key colocate in its hash bucket, so history
+      // writes stay delta-pruned): v1 full load, v2 delta (custkey%10==0
+      // changes acctbal, %10==1 re-sends unchanged values → no-op), v3
+      // delta (%20==0 changes segment). Final table carries every value
+      // each key ever held with (valid_from, valid_to, is_current)
+      val out = s"/tmp/graft_scd2_${math.abs(dir.hashCode)}"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(out))
+      def batch(selectSql: String, version: Int): Unit = {
+        Engine.runJson(c, s"""{
+          "source": {"file": {"path": "$dir/customer.parquet"}},
+          "extractor": {"parquet": {}},
+          "transformers": [{"command": {"command": "$selectSql"}}],
+          "loader": {"parquet": {"path": "$out", "mode": "upsert",
+            "key": "c_custkey", "buckets": 8,
+            "scd2": {"version": $version}}} }""")
+        ()
+      }
+      batch("SELECT c_custkey, c_mktsegment, c_acctbal FROM input", 1)
+      batch("SELECT c_custkey, c_mktsegment, c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END AS c_acctbal FROM input WHERE c_custkey % 10 <= 1", 2)
+      batch("SELECT c_custkey, 'MOVED' AS c_mktsegment, c_acctbal + 100 AS c_acctbal FROM input WHERE c_custkey % 20 = 0", 3)
+      s.read.parquet(out)
+        .select("c_custkey", "c_mktsegment", "c_acctbal",
+          "valid_from", "valid_to", "is_current")
+        .orderBy("c_custkey", "valid_from")
+    },
     "pagerank" -> { (s, dir) =>
       val c = ctx(s, dir)
       // iterative distributed PageRank (5 rounds, d=0.85) over the
@@ -2726,6 +2757,23 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "upsert_bucketed" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    // SCD2 expected history from first principles: %10∉{0,1} keys keep
+    // their v1 open row (and %10==1 re-sent UNCHANGED values — no-op);
+    // %10==0 closes v1 at 2 and opens v2 (+100); %20==0 additionally
+    // closes v2 at 3 and opens v3 (segment MOVED, price unchanged)
+    "scd2_history" ->
+      ("SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to, is_current FROM ( " +
+       "SELECT c_custkey, c_mktsegment, c_acctbal, CAST(1 AS BIGINT) AS valid_from, " +
+       "  CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 END AS BIGINT) AS valid_to, " +
+       "  c_custkey % 10 <> 0 AS is_current FROM customer " +
+       "UNION ALL " +
+       "SELECT c_custkey, c_mktsegment, c_acctbal + 100, 2, " +
+       "  CAST(CASE WHEN c_custkey % 20 = 0 THEN 3 END AS BIGINT), " +
+       "  c_custkey % 20 <> 0 FROM customer WHERE c_custkey % 10 = 0 " +
+       "UNION ALL " +
+       "SELECT c_custkey, 'MOVED', c_acctbal + 100, 3, NULL, true " +
+       "  FROM customer WHERE c_custkey % 20 = 0 " +
+       ") ORDER BY c_custkey, valid_from"),
     "orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "etl_list" ->

@@ -4,7 +4,7 @@ import graft.engine.EtlContext
 import graft.expr.OrientExpr
 import graft.spec.ComponentSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{array, col, concat_ws, explode, filter, hash, lit, pmod, raise_error, struct, when}
 
 /** Loaders (sinks) — SURVEY.md §2.4.
   *
@@ -64,10 +64,146 @@ object Loaders {
     * At real scale the same merge plan targets a
     * transactional table format; this is the plain-filesystem
     * equivalent. */
+  /** SCD Type-2 history config — the nested `scd2` object on an upsert
+    * loader turns the last-wins merge into a VERSIONED history merge:
+    * the table keeps every value a key ever held, as
+    * `(business columns…, valid_from, valid_to, is_current)` rows.
+    *
+    * One batch at `version: V` (a DETERMINISTIC batch number — never a
+    * wall-clock stamp, so crash re-runs are idempotent):
+    *  - key absent from the table → new open row
+    *    `(valid_from=V, valid_to=null, is_current=true)`;
+    *  - key present, compared columns EQUAL → no-op (re-running the
+    *    same batch changes nothing);
+    *  - key present, compared columns differ → the open row closes
+    *    (`valid_to=V, is_current=false`) and a new open row appears;
+    *  - keys not in the batch are untouched; closed history rows are
+    *    NEVER touched.
+    * `compare` (default: every non-key business column) selects the
+    * change-detection columns (null-safe). A batch whose `version` is
+    * not strictly greater than the open row it would close fails loud
+    * inside the plan (out-of-order load), so history stays monotone.
+    *
+    * Reference semantics: the merge transformer's save-or-update
+    * (OMergeTransformer.java:44-77) extended with load-date history —
+    * the standard warehouse SCD2 the reference delegates to OrientDB
+    * UPDATE semantics. Composes with `buckets: n`: all versions of a
+    * key hash to the same bucket, so the partition-pruned path rewrites
+    * only the buckets the delta's keys live in — history growth costs
+    * delta-sized rewrites, not table-sized ones. */
+  private final case class Scd2Cfg(version: Long, compare: Seq[String],
+                                   fromField: String, toField: String,
+                                   currentField: String) {
+    def metaFields: Seq[String] = Seq(fromField, toField, currentField)
+  }
+
+  private def scd2Cfg(spec: ComponentSpec): Option[Scd2Cfg] =
+    if (!spec.options.contains("scd2")) None
+    else {
+      val s = ComponentSpec("scd2", spec.map("scd2"))
+      val v = s.long("version").getOrElse(sys.error("scd2: `version` " +
+        "(a deterministic batch number) is required — a wall-clock stamp " +
+        "would make crash re-runs non-idempotent"))
+      Some(Scd2Cfg(v, s.strList("compare"),
+        s.strOr("fromField", "valid_from"), s.strOr("toField", "valid_to"),
+        s.strOr("currentField", "is_current")))
+    }
+
+  /** First SCD2 write: every incoming row opens at `version`. */
+  private def scd2Stamp(incoming: DataFrame, cfg: Scd2Cfg): DataFrame = {
+    cfg.metaFields.foreach(m => require(!incoming.columns.contains(m),
+      s"scd2: incoming batch already has meta column '$m' — deltas carry " +
+      "business columns only"))
+    incoming
+      .withColumn(cfg.fromField, lit(cfg.version))
+      .withColumn(cfg.toField, lit(null).cast("long"))
+      .withColumn(cfg.currentField, lit(true))
+  }
+
+  /** SCD2 merge of one delta into an existing history table. ONE pass:
+    * closed history never joins (union back untouched); open rows
+    * full-outer-join the key-deduped delta, and each joined row emits
+    * its 1–2 output rows (kept / closed+reopened / fresh) through a
+    * conditional-array explode — no second job over the join. */
+  private def scd2Result(existing: DataFrame, incoming0: DataFrame,
+                         key: String, cfg: Scd2Cfg): DataFrame = {
+    import cfg._
+    metaFields.foreach(m => require(existing.columns.contains(m),
+      s"scd2: target table has no '$m' column — it was not created as an " +
+      "SCD2 table (first-write stamps the meta columns; re-create the " +
+      "target or drop the scd2 option)"))
+    val businessCols = existing.columns.filterNot(metaFields.contains).toSeq
+    require(businessCols.contains(key), s"scd2: key '$key' not in target")
+    val missing = businessCols.filterNot(incoming0.columns.contains)
+    require(missing.isEmpty, s"scd2: delta lacks business columns " +
+      s"[${missing.mkString(", ")}] of the target")
+    cfg.metaFields.foreach(m => require(!incoming0.columns.contains(m),
+      s"scd2: incoming batch already has meta column '$m' — deltas carry " +
+      "business columns only"))
+    val incoming = incoming0.select(businessCols.map(c =>
+      col(c).as(s"__i_$c")): _*).dropDuplicates(s"__i_$key")
+    val cmpCols = (if (compare.nonEmpty) compare
+                   else businessCols.filterNot(_ == key))
+    cmpCols.foreach(c => require(businessCols.contains(c),
+      s"scd2: compare column '$c' not a business column of the target"))
+    val current = existing.where(col(currentField))
+    val closedHistory = existing.where(!col(currentField))
+    val j = current.join(incoming, col(key) === col(s"__i_$key"), "full_outer")
+    val hasT = col(key).isNotNull
+    val hasI = col(s"__i_$key").isNotNull
+    val changed = cmpCols.map(c => !(col(c) <=> col(s"__i_$c"))).reduce(_ || _)
+    val outCols = existing.columns.toSeq
+    def outStruct(bus: String => org.apache.spark.sql.Column,
+                  from: org.apache.spark.sql.Column,
+                  to: org.apache.spark.sql.Column,
+                  cur: org.apache.spark.sql.Column) =
+      struct(outCols.map {
+        case `fromField` => from.as(fromField)
+        case `toField` => to.cast("long").as(toField)
+        case `currentField` => cur.as(currentField)
+        case c => bus(c).as(c)
+      }: _*)
+    // out-of-order guard: closing a row requires version > its valid_from
+    val closeAt = when(lit(version) > col(fromField), lit(version))
+      .otherwise(raise_error(concat_ws("", lit("scd2: batch version "),
+        lit(version.toString), lit(s" is not after the open row's $fromField="),
+        col(fromField).cast("string"),
+        lit(s" for $key="), col(key).cast("string"),
+        lit(" — out-of-order load"))).cast("long"))
+    val kept = outStruct(col, col(fromField), col(toField), col(currentField))
+    val closed = outStruct(col, col(fromField), closeAt, lit(false))
+    val fresh = outStruct(c => col(s"__i_$c"), lit(version),
+      lit(null).cast("long"), lit(true))
+    val emitted = j.select(explode(filter(array(
+        when(hasT && (!hasI || !changed), kept),
+        when(hasT && hasI && changed, closed),
+        when(hasI && (!hasT || changed), fresh)),
+      x => x.isNotNull)).as("__r")).select("__r.*")
+    closedHistory.unionByName(emitted)
+  }
+
+  /** The merge applied by one upsert write: last-wins per key, or the
+    * SCD2 history merge when the `scd2` option is present. */
+  private def mergeResult(existing: DataFrame, incoming: DataFrame,
+                          key: String, spec: ComponentSpec): DataFrame =
+    scd2Cfg(spec) match {
+      case Some(cfg) => scd2Result(existing, incoming, key, cfg)
+      case None =>
+        graft.stages.LookupStages.upsertResult(existing, incoming, key)
+    }
+
+  /** The frame written when no target exists yet. */
+  private def firstWrite(incoming: DataFrame, spec: ComponentSpec): DataFrame =
+    scd2Cfg(spec).map(scd2Stamp(incoming, _)).getOrElse(incoming)
+
   /** One upsert application (a batch load, or ONE micro-batch of the
     * streaming `upsert` sink): `buckets: n` opts into the hash-bucketed
     * layout whose upserts rewrite only key-containing buckets — the
-    * shape for targets too big to rewrite per delta. */
+    * shape for targets too big to rewrite per delta. `scd2: {…}` turns
+    * the merge into the Type-2 history merge (see [[Scd2Cfg]]); batch
+    * loads only — a streaming sink re-applies one config-level version
+    * per micro-batch, which is a no-op for unchanged values and an
+    * out-of-order error for changed ones. */
   def upsertDelta(ctx: EtlContext, spec: ComponentSpec,
                   df: DataFrame, path: String): Boolean =
     if (spec.options.contains("buckets"))
@@ -90,10 +226,8 @@ object Loaders {
         s"parquet upsert: crash recovery failed restoring $old -> $target")
     val existed = fs.exists(target)
     val merged =
-      if (existed)
-        graft.stages.LookupStages.upsertResult(
-          ctx.spark.read.parquet(path), incoming, key)
-      else incoming
+      if (existed) mergeResult(ctx.spark.read.parquet(path), incoming, key, spec)
+      else firstWrite(incoming, spec)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     // a leftover .old at this point coexists with a live target (crash
@@ -181,7 +315,7 @@ object Loaders {
     }
     val existed = fs.exists(target)
     if (!existed) {
-      incoming.withColumn("__bucket", bucketCol)
+      firstWrite(incoming, spec).withColumn("__bucket", bucketCol)
         .write.mode("overwrite").partitionBy("__bucket").parquet(path)
       writeSidecar()
       return true
@@ -189,8 +323,7 @@ object Loaders {
     if (!fs.exists(sidecar)) {
       // existing NON-bucketed table: one-time migration — full merge +
       // rewrite into the bucketed layout; every later upsert is pruned
-      val merged = graft.stages.LookupStages.upsertResult(
-        spark.read.parquet(path), incoming, key)
+      val merged = mergeResult(spark.read.parquet(path), incoming, key, spec)
       merged.withColumn("__bucket", bucketCol)
         .write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
       require(fs.rename(target, old), s"parquet upsert: could not move " +
@@ -225,7 +358,7 @@ object Loaders {
     val existing = spark.read.parquet(path)
       .where(col("__bucket").isin(affected.map(Integer.valueOf): _*))
       .drop("__bucket")
-    val merged = graft.stages.LookupStages.upsertResult(existing, incoming, key)
+    val merged = mergeResult(existing, incoming, key, spec)
     merged.withColumn("__bucket", bucketCol)
       .write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
     // per-bucket swap: every merged row hashes into an affected bucket,
