@@ -800,6 +800,26 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "fuzzy_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // edit-distance record linkage WITHOUT a cross join: for each
+      // probe customer (every 97th key), the best fuzzy name match
+      // within 2 edits. Candidates come from the provably-complete
+      // rare-q-gram prefix filter (see FuzzyJoinStage) — the shared
+      // "Customer#…" prefix contributes nothing because its grams are
+      // never among a probe's rarest — then exact Levenshtein verify.
+      // The oracle brute-forces probes x all names, so a single missed
+      // candidate (an incomplete filter) would hash-mismatch
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"fuzzyjoin": {"field": "c_name",
+          "idField": "c_custkey", "maxDistance": 2,
+          "probeIf": "c_custkey % 97 = 0"}}],
+        "loader": {"memory": {}} }""")
+        .select("probe_id", "probe_val", "match_id", "match_val", "dist")
+        .orderBy("probe_id")
+    },
     "scd2_history" -> { (s, dir) =>
       val c = ctx(s, dir)
       // SCD Type-2 versioned history through the BUCKETED upsert loader
@@ -2757,6 +2777,17 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "upsert_bucketed" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    // ground truth by brute force over the bounded probe panel: any
+    // candidate the engine's prefix filter missed would change top-1
+    "fuzzy_join" ->
+      ("WITH p AS (SELECT c_custkey AS probe_id, c_name AS probe_val FROM customer WHERE c_custkey % 97 = 0), " +
+       "cand AS (SELECT p.probe_id, p.probe_val, c.c_custkey AS match_id, c.c_name AS match_val, " +
+       "  CAST(levenshtein(p.probe_val, c.c_name) AS BIGINT) AS dist " +
+       "  FROM p CROSS JOIN customer c WHERE c.c_custkey <> p.probe_id) " +
+       "SELECT probe_id, probe_val, match_id, match_val, dist FROM ( " +
+       "  SELECT *, row_number() OVER (PARTITION BY probe_id " +
+       "    ORDER BY dist, match_val, match_id) AS rn FROM cand WHERE dist <= 2) " +
+       "WHERE rn = 1 ORDER BY probe_id"),
     // SCD2 expected history from first principles: %10∉{0,1} keys keep
     // their v1 open row (and %10==1 re-sent UNCHANGED values — no-op);
     // %10==0 closes v1 at 2 and opens v2 (+100); %20==0 additionally

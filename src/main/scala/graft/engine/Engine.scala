@@ -87,6 +87,7 @@ object Engine {
     "corpusstats"   -> graft.text.TextStages.corpusstats _,
     "distinctcount" -> graft.text.TextStages.distinctCount _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,
+    "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,

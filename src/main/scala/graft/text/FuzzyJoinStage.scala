@@ -1,0 +1,138 @@
+package graft.text
+
+import graft.engine.EtlContext
+import graft.expr.OrientExpr
+import graft.spec.ComponentSpec
+import graft.stages.Stages
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `fuzzyjoin`: edit-distance record linkage over a string column —
+  * find, for each probe row, the rows whose value is within
+  * `maxDistance` Levenshtein edits (dirty-key joins, entity matching,
+  * near-duplicate identifiers). The reference's lookup joins
+  * (OLinkTransformer.java:77-174) resolve EXACT keys only; this is the
+  * standard warehouse extension for keys that almost match.
+  *
+  * Never a cross join. Candidates come from a provably COMPLETE q-gram
+  * prefix filter: one Levenshtein edit destroys at most `q` of a
+  * string's positional q-grams, so a true match within `d` edits
+  * shares at least one of ANY `d·q+1` chosen q-grams of the probe
+  * (pigeonhole over positions). We choose the `d·q+1` GLOBALLY RAREST
+  * grams per probe (document frequencies from one linear aggregation),
+  * which minimizes candidate volume — common prefixes ("Customer#…")
+  * contribute nothing because their grams are never among the rarest.
+  * Strings too short for the guarantee (`len ≤ d·q+q-1`) fall back to
+  * a length-band token join (their candidate class is bounded by
+  * construction: everything within `d` of a ≤(d·q+q-1)-char string).
+  * Candidates then pass a length filter (`|len(a)-len(b)| ≤ d`, implied
+  * by the distance bound) and exact Levenshtein verification.
+  *
+  * Options:
+  *  - `field` (required): the string column.
+  *  - `idField` (default `doc_id`).
+  *  - `maxDistance` (default 2), `q` (default 2).
+  *  - `probeIf` (optional expression): rows to search FOR; absent =
+  *    every row probes (full fuzzy self-join).
+  *  - `mode` (default `best`): `best` = one row per probe with a match
+  *    (minimum distance, ties by match value then id); `pairs` = every
+  *    match; with no `probeIf`, pairs are canonicalized to
+  *    `probe_id < match_id`.
+  *
+  * Output: `probe_id, probe_val, match_id, match_val, dist` (self
+  * matches excluded).
+  *
+  * Scale shape: gram document frequencies = one hash aggregation;
+  * prefix selection = one per-probe window (the probe side is the
+  * filtered/smaller side); candidate generation = one equi-join on the
+  * gram token; verification is a per-row expression. All shuffles are
+  * keyed; candidate volume = Σ over probes of the chosen grams'
+  * document frequencies — minimized by picking the rarest. */
+object FuzzyJoinStage {
+
+  def fuzzyjoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("fuzzyjoin: `field` required"))
+      val id = spec.strOr("idField", "doc_id")
+      val d = spec.int("maxDistance", 2)
+      val qn = spec.int("q", 2)
+      require(d >= 1, s"fuzzyjoin: maxDistance must be >= 1, got $d")
+      require(qn >= 2, s"fuzzyjoin: q must be >= 2, got $qn")
+      require(df.columns.contains(fld), s"fuzzyjoin: no column '$fld'")
+      require(df.columns.contains(id), s"fuzzyjoin: no column '$id'")
+      val mode = spec.strOr("mode", "best")
+      require(Set("best", "pairs")(mode),
+        s"fuzzyjoin: mode must be best|pairs, got '$mode'")
+      val probeIf = spec.str("probeIf")
+
+      val k = d * qn + 1            // prefix size with the pigeonhole guarantee
+      val shortMax = d * qn + qn - 1 // below this the guarantee vanishes
+      // length-band token namespace: NUL-prefixed, so no real q-gram of
+      // ordinary text can ever equal a token
+      val lenTok = "\u0000len:"
+
+      def grams(c: Column): Column =
+        when(length(c) < qn, array(c)).otherwise(array_distinct(
+          transform(sequence(lit(1), length(c) - (qn - 1)),
+            i => c.substr(i, lit(qn)))))
+
+      val base = df.select(col(id).as("__fid"), col(fld).as("__fval"))
+        .where(col("__fid").isNotNull && col("__fval").isNotNull)
+      val indexGrams = base.select(col("__fid"), col("__fval"),
+        explode(grams(col("__fval"))).as("__g"))
+      // short strings additionally index under their length token, so a
+      // short PROBE reaches them without any shared gram; +d covers the
+      // longest string a short probe may still match
+      val indexShort = base.where(length(col("__fval")) <= shortMax + d)
+        .select(col("__fid"), col("__fval"),
+          concat(lit(lenTok), length(col("__fval")).cast("string")).as("__g"))
+      val index = indexGrams.unionByName(indexShort)
+
+      val freq = indexGrams.groupBy("__g").agg(count(lit(1)).as("__df"))
+
+      val probes0 = probeIf.map(e => df.where(OrientExpr.compile(e, ctx.varMap)))
+        .getOrElse(df)
+        .select(col(id).as("__pid"), col(fld).as("__pval"))
+        .where(col("__pid").isNotNull && col("__pval").isNotNull)
+      // long probes: the d·q+1 globally rarest grams (ties by gram —
+      // deterministic); grams absent from the index keep df=0 (they cost
+      // nothing and the pigeonhole holds for ANY fixed choice)
+      val pg = probes0.where(length(col("__pval")) > shortMax)
+        .select(col("__pid"), col("__pval"), explode(grams(col("__pval"))).as("__g"))
+        .join(freq, Seq("__g"), "left").na.fill(0L, Seq("__df"))
+      val wPrefix = Window.partitionBy("__pid")
+        .orderBy(col("__df").asc, col("__g").asc)
+      val prefix = pg.withColumn("__rn", row_number().over(wPrefix))
+        .where(col("__rn") <= k).select("__pid", "__pval", "__g")
+      // short probes: length-band tokens [len-d, len+d]
+      val shortTokens = probes0.where(length(col("__pval")) <= shortMax)
+        .select(col("__pid"), col("__pval"), explode(
+          transform(sequence(greatest(length(col("__pval")) - d, lit(1)),
+              length(col("__pval")) + d),
+            l => concat(lit(lenTok), l.cast("string")))).as("__g"))
+
+      val cand = prefix.unionByName(shortTokens)
+        .join(index, Seq("__g"))
+        .where(col("__pid") =!= col("__fid") &&
+          abs(length(col("__pval")) - length(col("__fval"))) <= d)
+        .select("__pid", "__pval", "__fid", "__fval").distinct()
+
+      val verified = cand
+        .withColumn("dist", levenshtein(col("__pval"), col("__fval")).cast("bigint"))
+        .where(col("dist") <= d)
+        .select(col("__pid").as("probe_id"), col("__pval").as("probe_val"),
+          col("__fid").as("match_id"), col("__fval").as("match_val"), col("dist"))
+
+      mode match {
+        case "pairs" =>
+          if (probeIf.isEmpty) verified.where(col("probe_id") < col("match_id"))
+          else verified
+        case _ =>
+          val wBest = Window.partitionBy("probe_id")
+            .orderBy(col("dist").asc, col("match_val").asc, col("match_id").asc)
+          verified.withColumn("__rn", row_number().over(wBest))
+            .where(col("__rn") === 1).drop("__rn")
+      }
+    }
+}
