@@ -800,6 +800,24 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "zscore_outliers" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-group standardization from ONE hash aggregation joined back
+      // on the group key (never a window over all rows). Sums accumulate
+      // as decimal(38,0) on the integer cents, so z is bit-identical to
+      // the oracle's HUGEINT-sum arithmetic (same final double ops)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"}},
+          {"zscore": {"field": "cents", "keyField": "o_orderpriority",
+            "threshold": "2.5"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "cents", "cents_z", "cents_z_outlier")
+        .orderBy("o_orderkey")
+    },
     "fuzzy_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // edit-distance record linkage WITHOUT a cross join: for each
@@ -2781,6 +2799,19 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "upsert_bucketed" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    // both engines sum cents and cents^2 EXACTLY (decimal(38,0) /
+    // HUGEINT), convert once to double, then apply the identical
+    // (x - s/n) / sqrt((ss - s*s/n)/n) operation order — hash-exact
+    "zscore_outliers" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+       "s AS (SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS DOUBLE) AS sm, " +
+       "  CAST(sum(cents * cents) AS DOUBLE) AS ss FROM o GROUP BY 1) " +
+       "SELECT o_orderkey, o.o_orderpriority, cents, " +
+       "CASE WHEN sqrt((ss - sm * sm / n) / n) > 0 " +
+       "  THEN (cents - sm / n) / sqrt((ss - sm * sm / n) / n) END AS cents_z, " +
+       "CASE WHEN sqrt((ss - sm * sm / n) / n) > 0 " +
+       "  THEN abs((cents - sm / n) / sqrt((ss - sm * sm / n) / n)) > 2.5 END AS cents_z_outlier " +
+       "FROM o JOIN s USING (o_orderpriority) ORDER BY o_orderkey"),
     // ground truth by brute force over the bounded probe panel: any
     // candidate the engine's prefix filter missed would change top-1
     "fuzzy_join" ->

@@ -88,6 +88,7 @@ object Engine {
     "distinctcount" -> graft.text.TextStages.distinctCount _,
     "fingerprint"   -> graft.text.TextStages.fingerprint _,
     "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
+    "zscore"        -> graft.stages.StatStages.zscore _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,

@@ -1,0 +1,73 @@
+package graft.stages
+
+import graft.engine.EtlContext
+import graft.spec.ComponentSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Numeric feature-engineering stages — standardization the reference's
+  * per-record `field` transformer (OFieldTransformer.java:79-107) can't
+  * express because it needs corpus statistics.
+  *
+  * Scale shape: statistics come from ONE hash aggregation with map-side
+  * combine (one row per group), joined back on the group key — never a
+  * window over every row (a global window would sort the whole table
+  * into one partition). AQE broadcasts the stats side when small. */
+object StatStages {
+
+  /** `zscore`: per-group standardization `z = (x − mean) / stddev_pop`
+    * plus an optional outlier flag.
+    *
+    * Options: `field` (required, numeric), `keyField` (optional,
+    * comma-separated; absent = one global group), `outField` (default
+    * `<field>_z`), `threshold` (optional: adds `<outField>_outlier` =
+    * |z| > threshold). A zero-variance group yields null z (no
+    * standardization exists there), never a division blow-up.
+    *
+    * Determinism: for INTEGRAL inputs the sums accumulate as
+    * decimal(38,0) — exact regardless of partitioning/add order — and
+    * convert to double once, so `z` is bit-identical run-to-run and
+    * engine-to-engine (the driver's hash-exact oracle relies on this).
+    * Floating inputs use plain double sums (documented: last-ulp
+    * variation under re-partitioning, like every parallel float sum). */
+  def zscore(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("zscore: `field` required"))
+      require(df.columns.contains(fld), s"zscore: no column '$fld'")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(k => require(df.columns.contains(k), s"zscore: no key column '$k'"))
+      val outField = spec.strOr("outField", s"${fld}_z")
+      require(!df.columns.contains(outField),
+        s"zscore: output column '$outField' already exists — set `outField`")
+      val threshold = spec.str("threshold").map(_.toDouble)
+
+      val integral = df.schema(fld).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _: NumericType => false
+        case other => sys.error(s"zscore: '$fld' must be numeric, is ${other.simpleString}")
+      }
+      // exact-sum path: cast BEFORE multiplying so x·x can't overflow long
+      val (sumE, sumSqE) =
+        if (integral) (
+          sum(col(fld).cast("decimal(38,0)")).cast("double"),
+          sum((col(fld).cast("decimal(19,0)") * col(fld).cast("decimal(19,0)"))
+            .cast("decimal(38,0)")).cast("double"))
+        else (sum(col(fld).cast("double")),
+          sum(col(fld).cast("double") * col(fld).cast("double")))
+      val stats = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*) else df.groupBy())
+        .agg(count(col(fld)).as("__n"), sumE.as("__s"), sumSqE.as("__ss"))
+      val joined =
+        if (keys.nonEmpty) df.join(stats, keys)
+        else df.crossJoin(broadcast(stats)) // one-row stats attach
+      val nD = col("__n").cast("double")
+      val mean = col("__s") / nD
+      val std = sqrt((col("__ss") - col("__s") * col("__s") / nD) / nD)
+      val z = when(std > 0, (col(fld) - mean) / std)
+      val withZ = joined.withColumn(outField, z)
+      val withFlag = threshold.fold(withZ)(t =>
+        withZ.withColumn(s"${outField}_outlier", abs(col(outField)) > t))
+      withFlag.drop("__n", "__s", "__ss")
+    }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.spec.ComponentSpec
+import graft.stages.StatStages
+import org.apache.spark.sql.functions._
+
+/** zscore — per-group standardization. Locked: exact semantics on a
+  * hand-computable group, zero-variance null (not a blow-up), global
+  * mode via the one-row broadcast attach, and the plan shape (hash
+  * aggregation + join back — never a Window over every row). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore: hand-computed group values; zero-variance group yields null z") {
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 5L)).toDF("k", "x")
+    val out = StatStages.zscore(ComponentSpec("zscore",
+      Map("field" -> "x", "keyField" -> "k", "threshold" -> "0.5")), newCtx())(df)
+      .orderBy("k", "x")
+      .select("k", "x", "x_z", "x_z_outlier")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toSeq
+    // group a: mean 2, var ((1+9) - 4*4/2)/2 = 1, std 1 → z = ±1
+    assert(out == Seq(
+      ("a", 1L, Some(-1.0), Some(true)),
+      ("a", 3L, Some(1.0), Some(true)),
+      ("b", 5L, None, None),
+      ("b", 5L, None, None)))
+  }
+
+  test("zscore global mode: one-row stats attach; outlier flag optional") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("x")
+    val out = StatStages.zscore(ComponentSpec("zscore",
+      Map("field" -> "x")), newCtx())(df)
+    assert(out.columns.toSeq == Seq("x", "x_z"))
+    val zs = out.orderBy("x").select("x_z").as[Double].collect().toSeq
+    // mean 2.5, var 1.25
+    val std = math.sqrt(1.25)
+    assert(zs == Seq(-1.5 / std, -0.5 / std, 0.5 / std, 1.5 / std))
+  }
+
+  test("zscore plan: hash aggregation joined back, no Window node") {
+    val df = (1L to 100L).map(i => (s"g${i % 5}", i)).toDF("k", "x")
+    val out = StatStages.zscore(ComponentSpec("zscore",
+      Map("field" -> "x", "keyField" -> "k")), newCtx())(df)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"zscore must not window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash agg:\n$plan")
+  }
+
+  test("zscore guards: missing field, non-numeric field, colliding outField") {
+    val df = Seq(("a", 1L)).toDF("k", "x")
+    def mk(o: Map[String, Any]) =
+      StatStages.zscore(ComponentSpec("zscore", o), newCtx())(df)
+    assert(intercept[Exception](mk(Map())).getMessage.contains("field"))
+    assert(intercept[Exception](mk(Map("field" -> "k")))
+      .getMessage.contains("numeric"))
+    assert(intercept[Exception](mk(Map("field" -> "x", "outField" -> "k")))
+      .getMessage.contains("outField"))
+  }
+}
