@@ -174,7 +174,8 @@ object ScaleStress {
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     val batchLegs = Seq("asof_join", "asof_nearest", "range_join",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
-      "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap")
+      "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
+      "fuzzy_join")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -279,6 +280,19 @@ object ScaleStress {
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [{"groupcap": {"groupField": "domain",
             "orderField": "doc_id", "maxPerGroup": 10}}],
+          "loader": {"memory": {}} }""",
+        // fuzzy search cost = O(corpus) per probe BATCH: a fixed probe
+        // panel over a growing index must scale with the linear pieces
+        // (gram freq agg + index explode + candidates ≈ panel × rare-gram
+        // df). A fixed probe FRACTION would be quadratic by construction
+        // — that's a usage rule, not an implementation gap.
+        "fuzzy_join" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id, format_string('entity-%07d', doc_id) AS name FROM __input"}},
+            {"fuzzyjoin": {"field": "name", "idField": "doc_id",
+              "maxDistance": 2, "probeIf": "doc_id < 500"}}],
           "loader": {"memory": {}} }""")
       ops.filter(o => enabled(o._1)).foreach { case (name, json) =>
         val t = time2(json)
