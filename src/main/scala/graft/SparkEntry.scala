@@ -524,6 +524,27 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("id", "label").orderBy("id")
     },
+    "command_gremlin_union" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // union: every traverser flows through BOTH branches — one hops to
+      // the placing customer, one keeps the order vertex — and the
+      // concatenated bag feeds groupCount, so an id's count is its
+      // orders-placed (customer side) plus 1 if it is also an order key
+      // (the id spaces overlap on purpose: bag concatenation across
+      // heterogeneous branches is exactly what's being graded)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command":
+            "g.V().union(out('placed'), hasLabel('order')).groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("count"))
+        .orderBy("id")
+    },
     "command_gremlin_repeat" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-loop traversal with bound-vertex state: successor graph
@@ -2698,6 +2719,12 @@ object SparkEntry {
       ("SELECT CAST(o2.o_orderkey AS VARCHAR) AS id, 'order' AS label " +
        "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
        "ORDER BY id"),
+    // bag concatenation across both union branches, then one count per
+    // id: orders-placed (customer branch) + 1 where the id is an order
+    "command_gremlin_union" ->
+      ("WITH u AS (SELECT CAST(o_custkey AS VARCHAR) AS id FROM orders " +
+       "UNION ALL SELECT CAST(o_orderkey AS VARCHAR) FROM orders) " +
+       "SELECT id, count(*) AS count FROM u GROUP BY id ORDER BY id"),
     // depth-3 walk over the broken-3-cycle successor graph; survivors
     // land off-origin (the gremlin where(neq('a')) filter)
     "command_gremlin_repeat" ->

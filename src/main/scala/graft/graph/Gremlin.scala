@@ -57,6 +57,12 @@ import org.apache.spark.sql.functions._
   *  - `.path()` — TERMINAL: emit each traverser's visited vertex ids as
   *    `path` (array<id>). Tracked only when the script asks for it — a
   *    per-row array append at V() and each hop, no extra shuffle.
+  *  - `.union(<chain>, <chain>, …)` — every traverser flows through
+  *    EVERY branch; results concatenate (bag semantics), projected to
+  *    the branches' common columns. Branch steps are the stateless
+  *    subset (hasLabel/has/hasNot/out/in/both/dedup/values) with
+  *    literal arguments; `repeat(..).times(k)` inside a branch unrolls
+  *    first (it is a textual pass). Not combinable with `path()`.
   *
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
   * exactly the plan the equivalent motif pattern produces; AQE handles
@@ -163,26 +169,7 @@ object Gremlin {
           if (!terminal) fail("path() must be the last step")
           frame = frame.select(col("__path").as("path"))
         case ("hasLabel", Seq(l: String)) => frame = frame.where(col("label") === l)
-        case ("has", Seq(k: String, Cmp(op, vs))) =>
-          val c = col(k)
-          frame = frame.where(op match {
-            case "gt" => c > lit(vs.head)
-            case "gte" => c >= lit(vs.head)
-            case "lt" => c < lit(vs.head)
-            case "lte" => c <= lit(vs.head)
-            case "neq" => c =!= lit(vs.head)
-            case "within" => c.isin(vs: _*)
-            case "without" => !c.isin(vs: _*) || c.isNull
-          })
-        // eq/neq parse as bound-tag Preds (where()'s grammar wins);
-        // inside has() they compare the VALUE, not a tag
-        case ("has", Seq(k: String, Pred("eq", v))) =>
-          frame = frame.where(col(k) === lit(v))
-        case ("has", Seq(k: String, Pred("neq", v))) =>
-          frame = frame.where(col(k) =!= lit(v))
-        case ("has", Seq(k: String, v)) => frame = frame.where(col(k) === lit(v))
-        case ("has", Seq(k: String)) => // has('col'): property exists (non-null)
-          frame = frame.where(col(k).isNotNull)
+        case ("has", args) => frame = frame.where(hasCond(args))
         case ("hasNot", Seq(k: String)) =>
           frame = frame.where(col(k).isNull)
         case ("out", args) if args.length <= 1 =>
@@ -227,6 +214,23 @@ object Gremlin {
               "(optionally followed by .by('col'))")
           }
           frame = frame.groupBy(keyC).agg(count(lit(1)).as("count"))
+        case ("union", chains) if chains.nonEmpty &&
+            chains.forall(_.isInstanceOf[RawChain]) =>
+          // each traverser flows through EVERY branch; results
+          // concatenate (bag semantics). Branches are projected to
+          // their common columns — Gremlin's element space — so a
+          // hop branch and a filter branch land compatibly.
+          if (trackPath)
+            fail("union() together with path() is not in the translated subset")
+          val branches = chains.map(c =>
+            applyBranch(ctx, frame, idLabel, c.asInstanceOf[RawChain].src))
+          val common = branches.map(_.columns.toSeq)
+            .reduce((a, b) => a.filter(b.contains))
+          if (!common.exists(Set("id", "value")))
+            fail("union(): branches share no id/value column — every " +
+              "branch must land in the same element space")
+          frame = branches.map(b => b.select(common.map(col): _*))
+            .reduce(_ unionByName _)
         case ("as", Seq(tag: String)) =>
           frame = frame.withColumn(s"__as_$tag", col("id"))
         case ("where", Seq(Pred(op, tag))) =>
@@ -251,7 +255,8 @@ object Gremlin {
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
             "values/count/groupCount[.by('col')]/as/where(eq|neq)/select/" +
-            "repeat(..).times(k)/order().by(..)/range(lo,hi)/path(); " +
+            "repeat(..).times(k)/order().by(..)/range(lo,hi)/path()/" +
+            "union(chain, …); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
@@ -261,6 +266,63 @@ object Gremlin {
     flushSort()
     // as(..) bindings are traversal state, not output columns
     frame.drop(frame.columns.filter(_.startsWith("__as_")).toIndexedSeq: _*)
+  }
+
+  /** `has(...)` filter condition — shared by the main chain and union
+    * branches. eq/neq on a quoted name parse as bound-tag Preds
+    * (where()'s grammar wins); inside has() they compare the VALUE. */
+  private def hasCond(args: List[Any]): Column = args match {
+    case Seq(k: String, Cmp(op, vs)) =>
+      val c = col(k)
+      op match {
+        case "gt" => c > lit(vs.head)
+        case "gte" => c >= lit(vs.head)
+        case "lt" => c < lit(vs.head)
+        case "lte" => c <= lit(vs.head)
+        case "neq" => c =!= lit(vs.head)
+        case "within" => c.isin(vs: _*)
+        case "without" => !c.isin(vs: _*) || c.isNull
+      }
+    case Seq(k: String, Pred("eq", v)) => col(k) === lit(v)
+    case Seq(k: String, Pred("neq", v)) => col(k) =!= lit(v)
+    case Seq(k: String, v) => col(k) === lit(v)
+    case Seq(k: String) => col(k).isNotNull // has('col'): property exists
+    case other => fail(s"has(${other.mkString(", ")}): unsupported argument shape")
+  }
+
+  /** Translate one `union(...)` branch — a sub-chain of the stateless
+    * hop/filter steps — against the given frame. Richer steps inside a
+    * branch (as/select/order/path/terminal aggregations/nested union)
+    * fail loudly with the migration pointer, like the main chain. */
+  private def applyBranch(ctx: EtlContext, frame0: DataFrame,
+                          idLabel: DataFrame, src: String): DataFrame = {
+    val body = "." + src.trim
+    val steps = Step.findAllMatchIn(body)
+      .map(m => (m.group(1), parseArgs(m.group(2)))).toList
+    val consumed = Step.findAllMatchIn(body).map(_.matched).mkString
+    if (consumed != body || steps.isEmpty)
+      fail(s"union branch '$src': cannot parse as a step chain")
+    steps.foldLeft(frame0) { case (frame, step) =>
+      step match {
+        case ("hasLabel", Seq(l: String)) => frame.where(col("label") === l)
+        case ("has", args) => frame.where(hasCond(args))
+        case ("hasNot", Seq(k: String)) => frame.where(col(k).isNull)
+        case ("out", args) if args.length <= 1 =>
+          hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
+        case ("in", args) if args.length <= 1 =>
+          hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src")
+        case ("both", args) if args.length <= 1 =>
+          hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
+            .unionByName(hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src"))
+        case ("dedup", Nil) => frame.distinct()
+        case ("values", Seq(c: String)) => frame.select(col(c).as("value"))
+        case (other, args) =>
+          fail(s"union branch step '$other(${args.mkString(", ")})' is not " +
+            "in the branch subset (hasLabel/has/hasNot/out/in/both/dedup/" +
+            "values) — lift richer steps out of the union or migrate to " +
+            "two `command` stages over the same graph")
+      }
+    }
   }
 
   /** One traversal hop: join the current frame's ids against the edges
@@ -294,6 +356,13 @@ object Gremlin {
   private val CmpPred =
     """^(gt|gte|lt|lte|neq|within|without)\(\s*(.+?)\s*\)$""".r
 
+  /** An anonymous sub-traversal argument (a `union` branch) — any
+    * `step(...)...` chain that is not a recognized predicate. One
+    * nesting level of parentheses (the Step regex's arg grammar), so
+    * branch steps take literal arguments only. */
+  private final case class RawChain(src: String)
+  private val ChainArg = """^[a-zA-Z_]\w*\s*\(.*\)\s*$""".r
+
   private def parseScalar(a: String): Any =
     if ((a.startsWith("'") && a.endsWith("'") && a.length >= 2) ||
         (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2))
@@ -321,6 +390,9 @@ object Gremlin {
           else Cmp(op, vs)
         // Gremlin Order tokens arrive bare (`Order.decr` shortened form)
         case "asc" | "desc" | "incr" | "decr" => a
+        // an anonymous sub-traversal (union branch) — kept raw and
+        // translated by the step that consumes it
+        case chain if ChainArg.pattern.matcher(chain).matches() => RawChain(chain)
         case _ => parseScalar(a)
       }
     }

@@ -236,6 +236,35 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("motif"))
   }
 
+  test("gremlin union: bag concatenation over branches; guards name their rules") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "person"), ("b", "person"), ("c", "city"))
+      .toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "knows"), ("b", "c", "lives"), ("a", "c", "lives"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // every traverser flows through BOTH branches; duplicates kept
+    assert(g("g.V().union(out('lives'), out('lives'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("c", "c", "c", "c"))
+    // heterogeneous branches (hop + filter) land in the common columns
+    assert(g("g.V().union(out('knows'), hasLabel('city'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // branches compose with downstream steps
+    assert(g("g.V().union(out('lives'), hasLabel('person')).groupCount()")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 1L, "c" -> 2L))
+    // value space union
+    assert(g("g.V().hasLabel('person').union(values('id'), values('label'))")
+      .select("value").as[String].collect().toSeq.sorted ==
+      Seq("a", "b", "person", "person"))
+    // guards: rich steps inside a branch, union with path()
+    val e = intercept[RuntimeException](g("g.V().union(out().order(), in())"))
+    assert(e.getMessage.contains("branch"))
+    val e2 = intercept[RuntimeException](g("g.V().union(out(), in()).path()"))
+    assert(e2.getMessage.contains("path"))
+  }
+
   test("gremlin: path() tracks visited ids; order().by + range slice deterministically") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "p"), ("d", "q"))
