@@ -821,6 +821,25 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "group_quantiles" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact type-7 per-group quantiles on integer cents — the same
+      // interpolation definition DuckDB's quantile_cont uses, so values
+      // hash-match bit-exactly. exact mode buffers each group's values
+      // (5 bounded groups here); the unbounded-cardinality path is
+      // mode=approx (GK sketch, bounded map-side memory)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"}},
+          {"quantiles": {"field": "cents", "keyField": "o_orderpriority",
+            "probs": [0.25, 0.5, 0.9], "mode": "exact"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderpriority", "p25", "p50", "p90")
+        .orderBy("o_orderpriority")
+    },
     "zscore_outliers" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-group standardization from ONE hash aggregation joined back
@@ -2826,6 +2845,13 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "upsert_bucketed" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    // both sides compute type-7 quantiles (pos = p·(n−1), linear
+    // interpolation) over exact integers — bit-identical
+    "group_quantiles" ->
+      ("WITH o AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+       "SELECT o_orderpriority, quantile_cont(cents, 0.25) AS p25, " +
+       "quantile_cont(cents, 0.5) AS p50, quantile_cont(cents, 0.9) AS p90 " +
+       "FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // both engines sum cents and cents^2 EXACTLY (decimal(38,0) /
     // HUGEINT), convert once to double, then apply the identical
     // (x - s/n) / sqrt((ss - s*s/n)/n) operation order — hash-exact

@@ -89,6 +89,7 @@ object Engine {
     "fingerprint"   -> graft.text.TextStages.fingerprint _,
     "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
     "zscore"        -> graft.stages.StatStages.zscore _,
+    "quantiles"     -> graft.stages.StatStages.quantiles _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,

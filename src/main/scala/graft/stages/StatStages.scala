@@ -31,6 +31,57 @@ object StatStages {
     * engine-to-engine (the driver's hash-exact oracle relies on this).
     * Floating inputs use plain double sums (documented: last-ulp
     * variation under re-partitioning, like every parallel float sum). */
+  /** `quantiles`: per-group quantiles of a numeric column.
+    *
+    * Options: `field` (required), `keyField` (optional, comma-
+    * separated; absent = one global row), `probs` (default [0.5]),
+    * `mode` (default `approx`), `accuracy` (approx mode, default
+    * 10000). Output: keys…, one `p<percent>` double column per prob
+    * (`0.5 → p50`, `0.999 → p99_9`).
+    *
+    * `approx` is THE scale mode: Spark's GK-sketch
+    * `approx_percentile` partial-aggregates map-side in bounded
+    * memory regardless of group size (error ≤ 1/accuracy of rank).
+    * `exact` computes true type-7 interpolated quantiles
+    * (`pos = p·(n−1)`, linear between the two ranks — the same
+    * definition DuckDB's quantile_cont and pandas use, which is what
+    * makes the driver's hash-exact oracle possible) but BUFFERS EVERY
+    * GROUP VALUE in executor memory — bounded-cardinality groups
+    * only; a 100 TB unbounded-group profile belongs to `approx`. */
+  def quantiles(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("quantiles: `field` required"))
+      require(df.columns.contains(fld), s"quantiles: no column '$fld'")
+      require(df.schema(fld).dataType.isInstanceOf[NumericType],
+        s"quantiles: '$fld' must be numeric, is ${df.schema(fld).dataType.simpleString}")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(k => require(df.columns.contains(k), s"quantiles: no key column '$k'"))
+      val probs = spec.list("probs") match {
+        case Nil => Seq(0.5)
+        case l => l.map(_.toString.toDouble)
+      }
+      probs.foreach(p => require(p >= 0 && p <= 1,
+        s"quantiles: prob $p outside [0, 1]"))
+      val mode = spec.strOr("mode", "approx")
+      require(Set("approx", "exact")(mode),
+        s"quantiles: mode must be approx|exact, got '$mode'")
+      val accuracy = spec.int("accuracy", 10000)
+      def nameOf(p: Double): String =
+        "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+          .replace(".", "_").replace("-", "m")
+      val probsArr = array(probs.map(lit): _*)
+      val aggCol = mode match {
+        case "exact" => percentile(col(fld), probsArr)
+        case _ => percentile_approx(col(fld), probsArr, lit(accuracy))
+      }
+      val agged = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*) else df.groupBy())
+        .agg(aggCol.as("__qs"))
+      agged.select(keys.map(col) ++ probs.zipWithIndex.map { case (p, i) =>
+        element_at(col("__qs"), i + 1).cast("double").as(nameOf(p))
+      }: _*)
+    }
+
   def zscore(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val fld = spec.str("field").getOrElse(sys.error("zscore: `field` required"))

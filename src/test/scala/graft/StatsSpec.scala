@@ -49,6 +49,48 @@ class StatsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected hash agg:\n$plan")
   }
 
+  test("quantiles exact: type-7 interpolation per group; global mode; prob naming") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 10L),
+      ("b", 5L)).toDF("k", "x")
+    val out = StatStages.quantiles(ComponentSpec("quantiles",
+      Map("field" -> "x", "keyField" -> "k",
+        "probs" -> Seq(0.5, 0.999), "mode" -> "exact")), newCtx())(df)
+    assert(out.columns.toSeq == Seq("k", "p50", "p99_9"))
+    val m = out.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // a: pos(0.5) = 1.5 → 2 + 0.5·(3−2) = 2.5; pos(0.999) = 2.997 →
+    // 3 + 0.997·7
+    assert(m("a")._1 == 2.5 && math.abs(m("a")._2 - (3 + 0.997 * 7)) < 1e-9)
+    assert(m("b") == ((5.0, 5.0)))
+    val g = StatStages.quantiles(ComponentSpec("quantiles",
+      Map("field" -> "x", "mode" -> "exact")), newCtx())(df)
+    assert(g.columns.toSeq == Seq("p50") && g.head().getDouble(0) == 3.0)
+  }
+
+  test("quantiles approx: GK sketch lands within rank-error of exact") {
+    val df = (1L to 10000L).map(i => ("g", i)).toDF("k", "x")
+    def run(mode: String) = StatStages.quantiles(ComponentSpec("quantiles",
+      Map("field" -> "x", "keyField" -> "k", "probs" -> Seq(0.5, 0.9),
+        "mode" -> mode, "accuracy" -> 1000)), newCtx())(df)
+      .select("p50", "p90").head()
+    val ap = run("approx"); val ex = run("exact")
+    // rank error ≤ n/accuracy = 10 ranks ≈ 10 in value space here
+    assert(math.abs(ap.getDouble(0) - ex.getDouble(0)) <= 11,
+      s"p50 approx ${ap.getDouble(0)} vs exact ${ex.getDouble(0)}")
+    assert(math.abs(ap.getDouble(1) - ex.getDouble(1)) <= 11)
+  }
+
+  test("quantiles guards: bad prob, bad mode, non-numeric field") {
+    val df = Seq(("a", 1L)).toDF("k", "x")
+    def mk(o: Map[String, Any]) =
+      StatStages.quantiles(ComponentSpec("quantiles", o), newCtx())(df)
+    assert(intercept[Exception](mk(Map("field" -> "x", "probs" -> Seq(1.5))))
+      .getMessage.contains("[0, 1]"))
+    assert(intercept[Exception](mk(Map("field" -> "x", "mode" -> "turbo")))
+      .getMessage.contains("mode"))
+    assert(intercept[Exception](mk(Map("field" -> "k")))
+      .getMessage.contains("numeric"))
+  }
+
   test("zscore guards: missing field, non-numeric field, colliding outField") {
     val df = Seq(("a", 1L)).toDF("k", "x")
     def mk(o: Map[String, Any]) =
