@@ -821,6 +821,33 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy("c_custkey")
     },
+    "compact_files" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // small-file maintenance: a fragmented partitioned write (24-way
+      // repartition scatters every nation's rows across tasks), then
+      // compact rewrites each partition dir to ONE file behind the
+      // upsert-style atomic swap — rows must survive byte-identically
+      val out = s"/tmp/graft_compact_${math.abs(dir.hashCode)}"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(out))
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/supplier.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT /*+ REPARTITION(24) */ * FROM input"}}],
+        "loader": {"parquet": {"path": "$out", "mode": "overwrite",
+                               "partitionBy": ["s_nationkey"]}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "loader": {"parquet": {"path": "$out", "mode": "compact"}} }""")
+      s.read.parquet(out)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    },
     "group_quantiles" -> { (s, dir) =>
       val c = ctx(s, dir)
       // exact type-7 per-group quantiles on integer cents — the same
@@ -2845,6 +2872,9 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "upsert_bucketed" ->
       "SELECT c_custkey, c_name, c_nationkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    // compaction must preserve every row exactly
+    "compact_files" ->
+      "SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     // both sides compute type-7 quantiles (pos = p·(n−1), linear
     // interpolation) over exact integers — bit-identical
     "group_quantiles" ->

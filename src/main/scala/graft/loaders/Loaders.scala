@@ -383,6 +383,84 @@ object Loaders {
     true
   }
 
+  /** `mode: "compact"` — small-file maintenance for an existing parquet
+    * target. Micro-batch appends and task-parallel writes leave
+    * partition directories holding many small files; at 100 TB the
+    * file-listing and per-file open cost dominates scans long before
+    * the bytes do. Compact rewrites the SAME rows into one file per
+    * partition directory: hive-style partition columns (including the
+    * bucketed-upsert layout's `__bucket=`) are discovered from the
+    * directory tree and the data is re-clustered by them (one shuffle —
+    * each partition value lands wholly in one task). `maxRecordsPerFile`
+    * (optional) re-splits oversized partitions into right-sized files
+    * within the task — the well-defined knob for "compact but keep
+    * files under N rows" (a salted file-count target would only be an
+    * upper bound: files-per-directory = tasks holding that directory's
+    * rows). `_`-prefixed sidecars (e.g.
+    * `_graft_buckets.json`) are carried over, and the result swaps in
+    * through the same staging + `.old` crash contract as upsert: a
+    * crash leaves either the old or the new table, never neither.
+    *
+    * The pipeline's incoming rows are IGNORED — compact is a
+    * maintenance action on `path`, not a write of new data (documented
+    * at the config surface; pair it with any 1-row source). */
+  private def compactParquet(ctx: EtlContext, spec: ComponentSpec,
+                             path: String): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = ctx.spark
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new HPath(path + ".old")
+    val staging = new HPath(path + ".staging")
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target),
+        s"parquet compact: crash recovery failed restoring $old -> $target")
+    require(fs.exists(target), s"parquet compact: no table at $path")
+    val maxRecords = spec.long("maxRecordsPerFile")
+    maxRecords.foreach(m => require(m >= 1,
+      "parquet compact: maxRecordsPerFile must be >= 1"))
+    // hive-layout partition columns, walked level by level
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = target
+    var descending = true
+    while (descending) {
+      val dirs = fs.listStatus(cur).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      dirs.map(_.getPath.getName.split("=", 2)(0)).distinct match {
+        case Seq(one) => parts += one; cur = dirs.head.getPath
+        case Seq() => descending = false
+        case many => sys.error(s"parquet compact: mixed partition columns " +
+          s"[${many.mkString(", ")}] at one level of $path — not a hive layout")
+      }
+    }
+    val data = spark.read.parquet(path)
+    val clustered =
+      if (parts.isEmpty) data.coalesce(1) // no layout: no shuffle needed
+      else data.repartition(parts.toSeq.map(col): _*)
+    var writer = clustered.write.mode("overwrite")
+    maxRecords.foreach(m => writer = writer.option("maxRecordsPerFile", m))
+    if (parts.nonEmpty) writer = writer.partitionBy(parts.toSeq: _*)
+    writer.parquet(staging.toString)
+    // carry metadata sidecars (leading `_`, skipped by readers) over
+    fs.listStatus(target).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new HPath(staging, s.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(target, old),
+      s"parquet compact: could not move current table aside ($target -> $old)")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target)
+      sys.error(s"parquet compact: staging rename failed for $path " +
+        "(original table restored)")
+    }
+    fs.delete(old, true)
+    true
+  }
+
   /** See the `quarantinePath` note in [[load]]. Identity when the
     * option is absent; errors loud when the named error column is
     * missing (a typo'd field would silently quarantine nothing). */
@@ -610,6 +688,8 @@ object Loaders {
           spec.str("path").getOrElse(sys.error("parquet loader: path required")), vars)
         if (spec.strOr("mode", "overwrite") == "upsert")
           upsertDelta(ctx, spec, df, path)
+        else if (spec.strOr("mode", "overwrite") == "compact")
+          compactParquet(ctx, spec, path)
         else {
           var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
           val parts = spec.strList("partitionBy")
