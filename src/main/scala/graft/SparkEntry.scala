@@ -279,6 +279,35 @@ object SparkEntry {
           col("C_MKTSEGMENT").as("c_mktsegment"))
         .orderBy("c_custkey")
     },
+    "jdbc_partitioned" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val url = derbyUrl(dir)
+      // the 100 TB ingest shape the reference's single forward-only
+      // cursor (OJDBCExtractor.java:63) cannot express: the scan splits
+      // into numPartitions range-bounded cursors, one per task. The
+      // parallel-read contract is asserted in-query (6 partitions),
+      // the values against the DuckDB oracle.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"command": {"command":
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"}}],
+        "loader": {"jdbc": {"url": "$url", "table": "orders_part",
+                            "mode": "overwrite", "batchCommit": 1000}} }""")
+      val back = Engine.runJson(c, s"""{
+        "extractor": {"jdbc": {"url": "$url",
+          "query": "SELECT * FROM orders_part",
+          "partitionColumn": "o_orderkey", "lowerBound": "0",
+          "upperBound": "1000000", "numPartitions": 6}},
+        "loader": {"memory": {"name": "ord_back"}} }""")
+      require(back.rdd.getNumPartitions == 6,
+        s"partitioned jdbc read: expected 6 range cursors, " +
+        s"got ${back.rdd.getNumPartitions}")
+      back.select(col("O_ORDERKEY").as("o_orderkey"),
+          col("O_CUSTKEY").as("o_custkey"),
+          col("O_TOTALPRICE").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
     "input_stdin" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // `input` source (OInputSource.java:30-51): stdin as the reader.
@@ -2707,6 +2736,8 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "jdbc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "jdbc_partitioned" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey",
     "input_stdin" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "output_loader" ->

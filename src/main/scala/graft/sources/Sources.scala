@@ -159,7 +159,9 @@ object Sources {
       .option("fetchsize", spec.int("fetchSize", 10000).toString)
     // Spark rejects `query` + `partitionColumn` together — partitioned
     // reads must wrap the query as a dbtable subquery instead
-    r = if (partitioned) r.option("dbtable", s"($query) __graft_q")
+    // alias must start with a letter — Derby (and the SQL standard)
+    // reject leading-underscore identifiers
+    r = if (partitioned) r.option("dbtable", s"($query) graft_q")
         else r.option("query", query)
     spec.str("driver").foreach(d => r = r.option("driver", d))
     spec.str("userName").foreach(u => r = r.option("user", u))

@@ -43,12 +43,18 @@ import org.apache.spark.sql.functions._
   * Output: `probe_id, probe_val, match_id, match_val, dist` (self
   * matches excluded).
   *
-  * Scale shape: gram document frequencies = one hash aggregation;
-  * prefix selection = one per-probe window (the probe side is the
-  * filtered/smaller side); candidate generation = one equi-join on the
-  * gram token; verification is a per-row expression. All shuffles are
-  * keyed; candidate volume = Σ over probes of the chosen grams'
-  * document frequencies — minimized by picking the rarest. */
+  * Scale shape: with a BOUNDED probe panel (`probeIf` +
+  * `broadcastProbeCap`, default 10000 — checked by a `limit(cap+1)`
+  * count, never a full count) every probe-side relation broadcasts:
+  * document frequencies are computed only for the panel's grams
+  * (broadcast semi-join), the rarest-gram window runs over the tiny
+  * panel, and the index gram table is scanned ONCE and never shuffled
+  * (candidate generation is a BroadcastHashJoin — PlanSpec-locked).
+  * Unbounded probes (pairs/self-join mode) use the symmetric plan: one
+  * gram-frequency hash aggregation, keyed equi-joins. Either way
+  * verification is a per-row expression and candidate volume = Σ over
+  * probes of the chosen grams' document frequencies — minimized by
+  * picking the rarest. */
 object FuzzyJoinStage {
 
   def fuzzyjoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
@@ -89,18 +95,34 @@ object FuzzyJoinStage {
           concat(lit(lenTok), length(col("__fval")).cast("string")).as("__g"))
       val index = indexGrams.unionByName(indexShort)
 
-      val freq = indexGrams.groupBy("__g").agg(count(lit(1)).as("__df"))
-
       val probes0 = probeIf.map(e => df.where(OrientExpr.compile(e, ctx.varMap)))
         .getOrElse(df)
         .select(col(id).as("__pid"), col(fld).as("__pval"))
         .where(col("__pid").isNotNull && col("__pval").isNotNull)
+      // a BOUNDED probe panel (the search-mode contract) flips the plan:
+      // every probe-side relation broadcasts, document frequencies are
+      // computed only for the panel's grams, and the index gram table is
+      // scanned ONCE without ever being shuffled. Unbounded probes
+      // (pairs/self-join mode) keep the symmetric shuffle plan.
+      val probeCap = spec.int("broadcastProbeCap", 10000)
+      val smallProbes = probeIf.isDefined &&
+        probes0.limit(probeCap + 1).count() <= probeCap
+      def maybeBroadcast(d0: DataFrame): DataFrame =
+        if (smallProbes) broadcast(d0) else d0
+      val probeGrams = probes0.where(length(col("__pval")) > shortMax)
+        .select(col("__pid"), col("__pval"), explode(grams(col("__pval"))).as("__g"))
+      val freq =
+        if (smallProbes)
+          indexGrams.join(broadcast(probeGrams.select("__g").distinct()), Seq("__g"))
+            .groupBy("__g").agg(count(lit(1)).as("__df"))
+        else indexGrams.groupBy("__g").agg(count(lit(1)).as("__df"))
       // long probes: the d·q+1 globally rarest grams (ties by gram —
       // deterministic); grams absent from the index keep df=0 (they cost
       // nothing and the pigeonhole holds for ANY fixed choice)
-      val pg = probes0.where(length(col("__pval")) > shortMax)
-        .select(col("__pid"), col("__pval"), explode(grams(col("__pval"))).as("__g"))
-        .join(freq, Seq("__g"), "left").na.fill(0L, Seq("__df"))
+      val pg =
+        if (smallProbes) probeGrams.join(broadcast(freq), Seq("__g"), "left")
+          .na.fill(0L, Seq("__df"))
+        else probeGrams.join(freq, Seq("__g"), "left").na.fill(0L, Seq("__df"))
       val wPrefix = Window.partitionBy("__pid")
         .orderBy(col("__df").asc, col("__g").asc)
       val prefix = pg.withColumn("__rn", row_number().over(wPrefix))
@@ -112,8 +134,8 @@ object FuzzyJoinStage {
               length(col("__pval")) + d),
             l => concat(lit(lenTok), l.cast("string")))).as("__g"))
 
-      val cand = prefix.unionByName(shortTokens)
-        .join(index, Seq("__g"))
+      val cand = index
+        .join(maybeBroadcast(prefix.unionByName(shortTokens)), Seq("__g"))
         .where(col("__pid") =!= col("__fid") &&
           abs(length(col("__pval")) - length(col("__fval"))) <= d)
         .select("__pid", "__pval", "__fid", "__fval").distinct()
