@@ -1150,6 +1150,21 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name_len").cast("long").as("n_name_len"))
         .orderBy("n_nationkey")
     },
+    "code_js" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the round-11 JS surface in one script: bounded while, chained
+      // ternary, Math.*, and a JS string-method chain (padStart keeps
+      // JS no-truncate semantics — AUTOMOBILE is already 10 wide)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"language": "javascript", "code":
+          "var total = 0; var i = 1; while (i <= 3) { total = total + record.c_custkey * i; i++; } record.wsum = total; record.band = record.c_acctbal < 0 ? 'neg' : record.c_acctbal < 5000 ? 'mid' : 'high'; record.root = Math.floor(Math.sqrt(record.c_custkey)); record.tag = record.c_mktsegment.toLowerCase().padStart(10, '.');"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("c_custkey"), col("wsum").cast("long").as("wsum"),
+          col("band"), col("root").cast("long").as("root"), col("tag"))
+        .orderBy("c_custkey")
+    },
     "http_csv" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // `http` source against an embedded localhost server — the payload
@@ -2986,6 +3001,13 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "code_expr" ->
       "SELECT n_nationkey, length(n_name) AS n_name_len FROM nation ORDER BY n_nationkey",
+    "code_js" ->
+      ("SELECT c_custkey, CAST(c_custkey * 1 + c_custkey * 2 + c_custkey * 3 AS BIGINT) AS wsum, " +
+       "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band, " +
+       "CAST(floor(sqrt(c_custkey)) AS BIGINT) AS root, " +
+       "CASE WHEN length(lower(c_mktsegment)) >= 10 THEN lower(c_mktsegment) " +
+       "ELSE lpad(lower(c_mktsegment), 10, '.') END AS tag " +
+       "FROM customer ORDER BY c_custkey"),
     "http_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "etl_params" ->

@@ -17,6 +17,13 @@ import scala.collection.concurrent.TrieMap
   * pipelining, pushdown, join planning and AQE — so the same config that
   * processes 60k rows on local[32] scales to a 1000-executor cluster
   * without a code change.
+  *
+  * Laziness contract: plan construction runs NO Spark jobs, with one
+  * documented exception — `fuzzyjoin` in `broadcastProbes: auto` mode
+  * runs a bounded `limit(cap+1).count()` probe to pick its plan shape
+  * (see [[graft.text.FuzzyJoinStage]]; opt out with an explicit
+  * `broadcastProbes`). Training-style stages (kmeans, BPE, IVF) execute
+  * bounded sample jobs by their stated contract.
   */
 object Engine {
 

@@ -223,6 +223,17 @@ object OrientExpr {
         case ("ifnull", Seq(a, b))      => coalesce(a.col, b.col)
         case ("if", Seq(c, t, f))       => when(c.col, t.col).otherwise(f.col)
         case ("abs", Seq(a))            => abs(a.col)
+        case ("floor", Seq(a))          => floor(a.col)
+        case ("ceil", Seq(a))           => ceil(a.col)
+        case ("round", Seq(a))          => round(a.col)
+        case ("round", Seq(a, n))       => round(a.col, n.litStr("round scale").toInt)
+        case ("sqrt", Seq(a))           => sqrt(a.col)
+        case ("pow", Seq(a, b))         => pow(a.col, b.col)
+        case ("power", Seq(a, b))       => pow(a.col, b.col)
+        case ("exp", Seq(a))            => exp(a.col)
+        case ("ln", Seq(a))             => log(a.col)      // natural log
+        case ("log10", Seq(a))          => log10(a.col)
+        case ("sign", Seq(a))           => signum(a.col)
         case ("min", as) if as.size > 1 => least(as.map(_.col): _*)
         case ("max", as) if as.size > 1 => greatest(as.map(_.col): _*)
         case ("format", f :: a)         => format_string(f.litStr("format"), a.map(_.col): _*)
@@ -267,6 +278,34 @@ object OrientExpr {
           case "sha-256" | "sha256" => sha2(target.cast("string"), 256)
           case a => fail(s"unsupported hash $a")
         }
+        // JS-string surface (the code-shim's method chains; also valid
+        // dialect): semantics follow JavaScript where they differ from
+        // SQL — padStart/padEnd never truncate a longer string
+        case ("startswith", Seq(a))    => target.startsWith(a.col)
+        case ("endswith", Seq(a))      => target.endsWith(a.col)
+        case ("includes", Seq(a))      => target.contains(a.col)
+        case ("contains", Seq(a))      => target.contains(a.col)
+        case ("padstart", Seq(n)) =>
+          val len = n.litStr("padStart length").toInt
+          when(length(target) >= len, target).otherwise(lpad(target, len, " "))
+        case ("padstart", Seq(n, p)) =>
+          val len = n.litStr("padStart length").toInt
+          when(length(target) >= len, target)
+            .otherwise(lpad(target, len, p.litStr("pad string")))
+        case ("padend", Seq(n)) =>
+          val len = n.litStr("padEnd length").toInt
+          when(length(target) >= len, target).otherwise(rpad(target, len, " "))
+        case ("padend", Seq(n, p)) =>
+          val len = n.litStr("padEnd length").toInt
+          when(length(target) >= len, target)
+            .otherwise(rpad(target, len, p.litStr("pad string")))
+        case ("repeat", Seq(n))        => repeat(target, n.litStr("repeat count").toInt)
+        case ("tostring", Nil)         => target.cast("string")
+        // non-negative-index slice = Java substring semantics; negative
+        // JS indices have no bounded-plan translation here
+        case ("slice", Seq(a))         => target.substr(a.col + lit(1), length(target))
+        case ("slice", Seq(a, b))      => target.substr(a.col + lit(1), b.col - a.col)
+        case ("concat", as) if as.nonEmpty => concat(target +: as.map(_.col): _*)
         case ("asstring", Nil)         => target.cast("string")
         case ("asinteger", Nil)        => target.cast("int")
         case ("aslong", Nil)           => target.cast("long")

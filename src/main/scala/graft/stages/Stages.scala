@@ -661,6 +661,73 @@ object Stages {
     cur
   }
 
+  /** Unroll the bounded-counter `while` idiom:
+    * `var i = A; while (i (<|<=) B) { body…; i++ }` — literal init A,
+    * literal bound B, and a trailing literal step (`i++`, `i += S`, or
+    * `i = i + S`) as the LAST statement of the body. Exactly the `for`
+    * unroller's contract in while-clothing: the trip count is known at
+    * compile time, the body repeats with `i` substituted per iteration,
+    * and a trailing `var i = <final>;` keeps post-loop reads of the
+    * counter correct. Any OTHER `while` (data-dependent condition,
+    * non-adjacent init, missing step) fails with the migration error —
+    * a loop whose trip count depends on data cannot compile to a plan. */
+  private[graft] def jsUnrollWhile(code: String, maxUnroll: Int = 64): String = {
+    val WhileHead = (raw"(?:var|let)\s+([A-Za-z_]\w*)\s*=\s*(-?\d+)\s*;\s*" +
+      raw"while\s*\(\s*\1\s*(<=|<)\s*(-?\d+)\s*\)").r
+    var cur = code
+    var rounds = 0
+    var continue = true
+    while (continue) {
+      rounds += 1
+      require(rounds <= 32, "code: JS while nesting too deep to unroll")
+      WhileHead.findAllMatchIn(cur).find(m => !inJsLiteral(cur, m.start)) match {
+        case None =>
+          raw"\bwhile\s*\(".r.findAllMatchIn(cur)
+            .find(m => !inJsLiteral(cur, m.start)).foreach { _ =>
+              sys.error("code: JS `while` must be the bounded counter idiom " +
+                "`var i = A; while (i < B) { …; i++; }` — literal init " +
+                "IMMEDIATELY before the loop, literal bound, and a trailing " +
+                "literal step (i++ / i += S / i = i + S) as the body's last " +
+                "statement. A data-dependent trip count cannot compile to a " +
+                "plan — use a Scala hook via `ref` (Engine.registerCode)")
+            }
+          continue = false
+        case Some(m) =>
+          val (v, a, cmp, b) =
+            (m.group(1), m.group(2).toLong, m.group(3), m.group(4).toLong)
+          val open = cur.indexOf('{', m.end)
+          require(open >= 0 && cur.substring(m.end, open).trim.isEmpty,
+            s"code: JS while body must be a braced block: `${m.group(0)}`")
+          val close = closingBrace(cur, open)
+          require(close > open, "code: unbalanced braces in JS while body")
+          val body0 = cur.substring(open + 1, close)
+          val vq = java.util.regex.Pattern.quote(v)
+          val Inc = (raw"(?s)(.*?)\s*(?:$vq\s*\+\+|$vq\s*\+=\s*(\d+)|" +
+            raw"$vq\s*=\s*$vq\s*\+\s*(\d+))\s*;?\s*$$").r
+          val (body, step) = body0 match {
+            case Inc(rest, s1, s2) =>
+              (rest, Option(s1).orElse(Option(s2)).map(_.toLong).getOrElse(1L))
+            case _ => sys.error(s"code: JS while over $v needs a trailing " +
+              s"literal step ($v++ / $v += S / $v = $v + S) as the LAST " +
+              "statement of the body")
+          }
+          require(step > 0, s"code: JS while step must be positive ($v += $step)")
+          val hi = if (cmp == "<=") b else b - 1
+          val values = (a to hi by step).toSeq
+          require(values.size <= maxUnroll,
+            s"code: JS while over $v unrolls to ${values.size} iterations " +
+            s"(cap $maxUnroll) — each iteration becomes plan columns; " +
+            "restructure as SQL (language: \"sql\") or a Scala hook (`ref`)")
+          val expanded = values.map(i =>
+            jsFoldBrackets(substIdent(body, v, i.toString))).mkString(" ")
+          val fin = if (values.isEmpty) a else values.last + step
+          cur = cur.substring(0, m.start) + expanded +
+            s" var $v = $fin; " + cur.substring(close + 1)
+      }
+    }
+    cur
+  }
+
   /** Extract single-return `function name(args) { return expr; }`
     * definitions as inline macros; returns (code without the defs,
     * name → (params, body)). Anything richer inside a function fails
@@ -760,6 +827,66 @@ object Stages {
     cur
   }
 
+  /** JS `Math.*` calls → dialect free functions (`Math.log` is the
+    * NATURAL log in JS → dialect `ln`; `Math.PI` inlines as a literal).
+    * An unsupported Math member (`Math.random` above all — it has no
+    * deterministic plan translation) fails with the supported list. */
+  private[graft] def jsRewriteMath(s: String): String = {
+    val fns = Map("abs" -> "abs", "floor" -> "floor", "ceil" -> "ceil",
+      "round" -> "round", "sqrt" -> "sqrt", "pow" -> "pow", "min" -> "min",
+      "max" -> "max", "exp" -> "exp", "log" -> "ln", "log10" -> "log10",
+      "sign" -> "sign")
+    outsideJsLiterals(s) { seg =>
+      raw"\bMath\s*\.\s*(\w+)".r.replaceAllIn(seg, m => m.group(1) match {
+        case "PI" => "3.141592653589793"
+        case "E"  => "2.718281828459045"
+        case f if fns.contains(f) => fns(f)
+        case f => sys.error(s"code: Math.$f has no plan translation — " +
+          s"supported: ${fns.keys.toSeq.sorted.mkString(", ")}, PI, E " +
+          "(Math.random is nondeterministic by definition; use the " +
+          "dialect's uuid()/hash methods or a Scala hook)")
+      })
+    }
+  }
+
+  /** `cond ? a : b` → dialect `if(cond, a, b)`, right-associative,
+    * paren/bracket/literal-aware, applied recursively to all three
+    * parts (so chained `a ? b : c ? d : e` and nested parenthesized
+    * ternaries both translate). */
+  private[graft] def jsRewriteTernary(s: String): String = {
+    def scan(): (Int, Int) = {
+      // (index of first top-level `?`, index of its matching `:`); -1s absent
+      var depth = 0; var i = 0; var quote: Char = 0; var escaped = false
+      var q = -1; var nest = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) {
+          if (escaped) escaped = false
+          else if (c == '\\') escaped = true
+          else if (c == quote) quote = 0
+        } else c match {
+          case '\'' | '"' => quote = c
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case '?' if depth == 0 =>
+            if (q < 0) q = i else nest += 1
+          case ':' if depth == 0 && q >= 0 =>
+            if (nest == 0) return (q, i) else nest -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      (q, -1)
+    }
+    val (q, colon) = scan()
+    if (q < 0) return s
+    require(colon > q, s"code: ternary `?` without a matching `:` in `$s`")
+    val cond = jsRewriteTernary(s.substring(0, q)).trim
+    val thenP = jsRewriteTernary(s.substring(q + 1, colon)).trim
+    val elseP = jsRewriteTernary(s.substring(colon + 1)).trim
+    s"if(($cond), ($thenP), ($elseP))"
+  }
+
   /** Legacy-JS translation (the reference's default `code` engine was
     * JavaScript — OCodeTransformer.java:67-80): the three statement
     * shapes real configs are made of compile to Columns —
@@ -780,19 +907,42 @@ object Stages {
     *    honest cost), with `record["q" + i]` folding to `record.qN`;
     *  - `x = expr;` reassigning a known `var` local redefines it (the
     *    loop-accumulator idiom).
-    * Anything richer (while loops, data-dependent bounds, recursion,
-    * multi-statement functions) fails with a named migration path —
-    * full JS is out of parity scope (SURVEY.md §7.4, no script engine
-    * offline). */
+    * Expression surface beyond the dialect: ternaries (`c ? a : b` →
+    * `if(c, a, b)`, right-associative, nestable), `Math.*` calls
+    * ([[jsRewriteMath]] — `Math.log` = natural log, `Math.PI`/`Math.E`
+    * inline, `Math.random` rejected as nondeterministic), the JS
+    * `.length` property, and JS string-method chains (toUpperCase,
+    * substring, indexOf, startsWith/endsWith/includes, padStart/padEnd,
+    * repeat, slice, charAt, replace, split — resolved by the dialect's
+    * method table). Bounded-counter `while` loops unroll
+    * ([[jsUnrollWhile]]). Anything richer (data-dependent trip counts,
+    * recursion, multi-statement functions) fails with a named migration
+    * path — full JS is out of parity scope (SURVEY.md §7.4, no script
+    * engine offline). */
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
     val (defree, fns) = jsExtractFunctions(code)
-    val stmts = jsStatements(jsFoldBrackets(jsUnrollLoops(defree)))
+    // alternate the two unrollers to a fixpoint: a while nested in a for
+    // body only becomes literal-bounded after the for substitutes its
+    // counter (and vice versa)
+    var unrolled = defree
+    var pass = 0
+    var changed = true
+    while (changed) {
+      pass += 1
+      require(pass <= 16, "code: JS loop nesting too deep to unroll")
+      val nxt = jsUnrollWhile(jsUnrollLoops(unrolled))
+      changed = nxt != unrolled
+      unrolled = nxt
+    }
+    val stmts = jsStatements(jsFoldBrackets(unrolled))
     var locals = List.empty[(String, String)] // insertion order; later wins applied last
     def rewrite(s0: String): String = {
-      val s = jsInlineCalls(s0, fns)
-      outsideJsLiterals(s) { seg0 =>
-        // JS boolean operators → dialect keywords
+      val s = jsRewriteMath(jsInlineCalls(s0, fns))
+      val inlined = outsideJsLiterals(s) { seg0 =>
+        // JS boolean operators → dialect keywords; `.length` PROPERTY
+        // (no parens — the JS spelling) → the dialect's .length() method
         var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
+          .replaceAll(raw"\.length\b(?!\s*\()", ".length()")
         // inline locals (latest definition first so redefinition chains
         // resolve through their predecessors already being inlined);
         // quoteReplacement: a '$var' or backslash in a local's expression
@@ -803,6 +953,10 @@ object Stages {
         }
         e
       }
+      // ternaries LAST: locals' stored text is already ternary-free
+      // (rewrite ran at their declaration), so only the outer
+      // statement's own `?:` chains remain
+      jsRewriteTernary(inlined)
     }
     // the cond of the immediately-preceding if-assign, for `else`
     var lastIf: Option[(String, String)] = None // (cond, column)
@@ -859,8 +1013,10 @@ object Stages {
           "`var x = expr;` locals (+ reassignment of a declared local), " +
           "`if (cond) record.x = expr;` guards and their " +
           "`else record.x = expr;` branches, literal-bounded " +
-          "`for (var i = A; i < B; i++) { … }` loops, and single-return " +
-          "`function f(a) { return expr; }` macros. " +
+          "`for (var i = A; i < B; i++) { … }` and " +
+          "`var i = A; while (i < B) { …; i++ }` loops, single-return " +
+          "`function f(a) { return expr; }` macros, ternaries, Math.*, " +
+          "and JS string-method chains. " +
           "Use language: \"sql\" with `code: \"SELECT ... FROM __input\"`, " +
           "a dialect `expression` + `fieldName`, or a Scala hook via " +
           "`ref` (Engine.registerCode) — full JS is out of parity scope " +

@@ -16,21 +16,6 @@ import org.apache.spark.sql.types._
   * into one partition). AQE broadcasts the stats side when small. */
 object StatStages {
 
-  /** `zscore`: per-group standardization `z = (x − mean) / stddev_pop`
-    * plus an optional outlier flag.
-    *
-    * Options: `field` (required, numeric), `keyField` (optional,
-    * comma-separated; absent = one global group), `outField` (default
-    * `<field>_z`), `threshold` (optional: adds `<outField>_outlier` =
-    * |z| > threshold). A zero-variance group yields null z (no
-    * standardization exists there), never a division blow-up.
-    *
-    * Determinism: for INTEGRAL inputs the sums accumulate as
-    * decimal(38,0) — exact regardless of partitioning/add order — and
-    * convert to double once, so `z` is bit-identical run-to-run and
-    * engine-to-engine (the driver's hash-exact oracle relies on this).
-    * Floating inputs use plain double sums (documented: last-ulp
-    * variation under re-partitioning, like every parallel float sum). */
   /** `quantiles`: per-group quantiles of a numeric column.
     *
     * Options: `field` (required), `keyField` (optional, comma-
@@ -82,6 +67,26 @@ object StatStages {
       }: _*)
     }
 
+  /** `zscore`: per-group standardization `z = (x − mean) / stddev_pop`
+    * plus an optional outlier flag.
+    *
+    * Options: `field` (required, numeric), `keyField` (optional,
+    * comma-separated; absent = one global group), `outField` (default
+    * `<field>_z`), `threshold` (optional: adds `<outField>_outlier` =
+    * |z| > threshold). A zero-variance group yields null z (no
+    * standardization exists there), never a division blow-up.
+    *
+    * Row-count preserving: the stats join back is NULL-SAFE on the
+    * group keys (`<=>`), so rows whose key is null standardize within
+    * the null-key group instead of silently vanishing from an
+    * equi-join that can never match null.
+    *
+    * Determinism: for INTEGRAL inputs the sums accumulate as
+    * decimal(38,0) — exact regardless of partitioning/add order — and
+    * convert to double once, so `z` is bit-identical run-to-run and
+    * engine-to-engine (the driver's hash-exact oracle relies on this).
+    * Floating inputs use plain double sums (documented: last-ulp
+    * variation under re-partitioning, like every parallel float sum). */
   def zscore(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val fld = spec.str("field").getOrElse(sys.error("zscore: `field` required"))
@@ -110,8 +115,15 @@ object StatStages {
       val stats = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*) else df.groupBy())
         .agg(count(col(fld)).as("__n"), sumE.as("__s"), sumSqE.as("__ss"))
       val joined =
-        if (keys.nonEmpty) df.join(stats, keys)
-        else df.crossJoin(broadcast(stats)) // one-row stats attach
+        if (keys.nonEmpty) {
+          // null-safe key match: a null group key forms its own stats
+          // group and must join back to its rows (plain equi-join
+          // never matches null = null and would drop those rows)
+          val statsR = stats.toDF(stats.columns.map(c =>
+            if (keys.contains(c)) s"__k_$c" else c): _*)
+          val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+          df.join(statsR, cond, "left").drop(keys.map(k => s"__k_$k"): _*)
+        } else df.crossJoin(broadcast(stats)) // one-row stats attach
       val nD = col("__n").cast("double")
       val mean = col("__s") / nD
       val std = sqrt((col("__ss") - col("__s") * col("__s") / nD) / nD)

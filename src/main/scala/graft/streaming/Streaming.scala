@@ -442,6 +442,14 @@ object Streaming {
         val path = spec.str("path").getOrElse(
           sys.error("streamsink: upsert requires path"))
         spec.str("key").getOrElse(sys.error("streamsink: upsert requires key"))
+        // scd2 is a batch-load contract: it applies ONE config-level
+        // version per load, so a value changing across micro-batches
+        // would raise the out-of-order error mid-stream inside a task.
+        // Reject at config time instead of failing late.
+        require(!spec.options.contains("scd2"),
+          "streamsink: scd2 history merge is batch-load only — a stream " +
+            "re-applies one config-level `version` per micro-batch; run " +
+            "scd2 from a batch `parquet` loader per versioned delta")
         // exactly-once against replays: the upsert is idempotent per key
         // (a replayed micro-batch re-asserts the same rows), so a
         // checkpoint restart cannot duplicate data

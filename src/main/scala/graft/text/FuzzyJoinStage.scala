@@ -54,7 +54,16 @@ import org.apache.spark.sql.functions._
   * gram-frequency hash aggregation, keyed equi-joins. Either way
   * verification is a per-row expression and candidate volume = Σ over
   * probes of the chosen grams' document frequencies — minimized by
-  * picking the rarest. */
+  * picking the rarest. Verification uses the THRESHOLDED Levenshtein
+  * (banded DP, O(d·n) per pair with early exit at d+1) — same exact
+  * distances for survivors as the unbounded form.
+  *
+  * LAZINESS EXCEPTION (documented Engine-contract deviation): with
+  * `broadcastProbes: auto` (the default) and a `probeIf`, plan
+  * construction runs ONE bounded probe job — `limit(cap+1).count()` on
+  * the filtered probe side — to decide between the broadcast and
+  * symmetric plans. Set `broadcastProbes: true` (assert the panel is
+  * small) or `false` (always symmetric) to keep planning fully lazy. */
 object FuzzyJoinStage {
 
   def fuzzyjoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
@@ -105,8 +114,17 @@ object FuzzyJoinStage {
       // scanned ONCE without ever being shuffled. Unbounded probes
       // (pairs/self-join mode) keep the symmetric shuffle plan.
       val probeCap = spec.int("broadcastProbeCap", 10000)
-      val smallProbes = probeIf.isDefined &&
-        probes0.limit(probeCap + 1).count() <= probeCap
+      val smallProbes = spec.strOr("broadcastProbes", "auto") match {
+        case "true"  => probeIf.isDefined
+        case "false" => false
+        // auto: a bounded `limit(cap+1).count()` — the ONE documented
+        // exception to the config→one-lazy-plan contract (see scaladoc);
+        // set broadcastProbes explicitly to keep planning fully lazy
+        case "auto"  => probeIf.isDefined &&
+          probes0.limit(probeCap + 1).count() <= probeCap
+        case other => sys.error(
+          s"fuzzyjoin: broadcastProbes must be auto|true|false, got '$other'")
+      }
       def maybeBroadcast(d0: DataFrame): DataFrame =
         if (smallProbes) broadcast(d0) else d0
       val probeGrams = probes0.where(length(col("__pval")) > shortMax)
@@ -140,9 +158,13 @@ object FuzzyJoinStage {
           abs(length(col("__pval")) - length(col("__fval"))) <= d)
         .select("__pid", "__pval", "__fid", "__fval").distinct()
 
+      // thresholded form: banded DP that early-exits once the distance
+      // provably exceeds d (O(d·n) per pair, not O(n²)); returns -1 for
+      // over-threshold pairs, and the surviving values are the same
+      // exact distances the 2-arg form yields (hash-identical output)
       val verified = cand
-        .withColumn("dist", levenshtein(col("__pval"), col("__fval")).cast("bigint"))
-        .where(col("dist") <= d)
+        .withColumn("dist", levenshtein(col("__pval"), col("__fval"), d).cast("bigint"))
+        .where(col("dist") >= 0)
         .select(col("__pid").as("probe_id"), col("__pval").as("probe_val"),
           col("__fid").as("match_id"), col("__fval").as("match_val"), col("dist"))
 

@@ -629,6 +629,68 @@ class EngineSpec extends SparkSpec {
     assert(lrow2.getAs[Number]("real").longValue == 7L)
   }
 
+  test("code JS shim: ternaries, Math.*, bounded while, .length, string methods") {
+    val path = writeNationCsv()
+    // ternary chain (right-associative) + Math + .length property +
+    // string-method surface in one script
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.band = record.n_nationkey < 5 ? 'low' : record.n_nationkey < 15 ? 'mid' : 'high'; record.root = Math.floor(Math.sqrt(record.n_nationkey * 100)); record.nlen = record.n_name.length; record.padded = record.n_name.padStart(12, '.'); record.isn = record.n_name.startsWith('NATION') ? 1 : 0;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val r3 = out.filter(col("n_nationkey") === 3).head()
+    assert(r3.getAs[String]("band") == "low")
+    val r9 = out.filter(col("n_nationkey") === 9).head()
+    assert(r9.getAs[String]("band") == "mid")
+    assert(out.filter(col("n_nationkey") === 20).head().getAs[String]("band") == "high")
+    assert(r9.getAs[Number]("root").longValue == 30L) // floor(sqrt(900))
+    assert(r9.getAs[Number]("nlen").intValue == "NATION_9".length)
+    assert(r9.getAs[String]("padded") == "....NATION_9")
+    assert(r9.getAs[Number]("isn").intValue == 1)
+    // padStart must NOT truncate a string already past the target width
+    // (lpad would — the JS-semantics branch)
+    assert(out.filter(col("n_nationkey") === 12).head()
+      .getAs[String]("padded") == "...NATION_12")
+    // bounded while = the for unroller in while clothing; post-loop
+    // reads of the counter see its final value
+    val w = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var total = 0; var i = 0; while (i < 3) { total = total + record.n_nationkey + i; i++; } record.looped = total; record.fin = i;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val wr = w.filter(col("n_nationkey") === 4).head()
+    assert(wr.getAs[Number]("looped").longValue == 4 * 3 + 0 + 1 + 2)
+    assert(wr.getAs[Number]("fin").longValue == 3L)
+    def reject(code: String, needle: String) = {
+      val e = intercept[Exception] {
+        Engine.runJson(newCtx(), s"""{
+          "source": { "file": { "path": "$path" } },
+          "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+          "transformers": [ { "code": { "language": "javascript", "code": "$code" } } ],
+          "loader": { "memory": {} }
+        }""")
+      }
+      assert(e.getMessage.contains(needle), s"`$code` → ${e.getMessage}")
+    }
+    // a data-dependent while and Math.random both fail with named errors
+    reject("var i = 0; while (i < record.n_nationkey) { record.x = i; i++; }",
+      "bounded counter idiom")
+    reject("record.r = Math.random();", "nondeterministic")
+    // a `while(` inside a string literal is data, not a loop
+    val lit = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.note = 'while (x < 3) { }';" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(lit.head().getAs[String]("note") == "while (x < 3) { }")
+  }
+
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
     val path = writeNationCsv()
     val ctx = newCtx()

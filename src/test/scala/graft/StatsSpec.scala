@@ -28,6 +28,18 @@ class StatsSpec extends SparkSpec {
       ("b", 5L, None, None)))
   }
 
+  test("zscore: null group key standardizes in its own group, rows preserved") {
+    val df = Seq((Option("a"), 1L), (Option("a"), 3L),
+      (None: Option[String], 10L), (None: Option[String], 30L)).toDF("k", "x")
+    val out = StatStages.zscore(ComponentSpec("zscore",
+      Map("field" -> "x", "keyField" -> "k")), newCtx())(df)
+    assert(out.count() == 4, "null-key rows must not vanish from the join back")
+    val nullZ = out.filter(col("k").isNull).orderBy("x")
+      .select("x_z").as[Double].collect().toSeq
+    // null group: mean 20, var ((100+900) - 40*40/2)/2 = 100, std 10 → z = ±1
+    assert(nullZ == Seq(-1.0, 1.0))
+  }
+
   test("zscore global mode: one-row stats attach; outlier flag optional") {
     val df = Seq(1L, 2L, 3L, 4L).toDF("x")
     val out = StatStages.zscore(ComponentSpec("zscore",

@@ -336,4 +336,24 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(replayed == out, "upsert replay must be idempotent")
   }
+
+  test("streaming upsert sink rejects scd2 at config time (batch-load-only contract)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
+    (1L to 3L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$base/src")
+    val e = intercept[Exception] {
+      Streaming.run(newCtx(), PipelineSpec(
+        config = Map.empty, begin = Nil,
+        source = Some(ComponentSpec("stream", Map(
+          "path" -> s"$base/src", "format" -> "parquet",
+          "schema" -> "id BIGINT, v STRING"))),
+        extractor = None, transformers = Nil,
+        loader = Some(ComponentSpec("streamsink", Map(
+          "format" -> "upsert", "path" -> s"$base/t", "key" -> "id",
+          "scd2" -> Map("version" -> 1), "checkpoint" -> s"$base/cp",
+          "trigger" -> "availableNow"))),
+        end = Nil))
+    }
+    assert(e.getMessage.contains("batch-load only"), e.getMessage)
+  }
 }
