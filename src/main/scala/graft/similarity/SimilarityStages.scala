@@ -363,11 +363,16 @@ object SimilarityStages {
           col("__v").as("__qv"), col("__n").as("__qn"))
         val r = assigned.select(col("__cell"), col("__id").as("n_id"),
           col("__v").as("__bv"), col("__n").as("__bn"))
+        // (q, n) pairs are UNIQUE by construction — each base row sits in
+        // exactly one cell (crank 0) and a query's probed cells are
+        // distinct — so candidates flow straight into the bounded-heap
+        // top-k partial aggregate; a (q_id, n_id) dedup here would be a
+        // second full-candidate shuffle for nothing. Contract: ids are
+        // unique (the ANN id-column convention everywhere in this file).
         val cand = l.join(r, Seq("__cell"))
           .where(col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
             cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
-          .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
         rankTopK(cand, k)
       } else {
         // ===== IVF-PQ: the 100-TB ANN path =====
@@ -404,11 +409,12 @@ object SimilarityStages {
         val l = ranked.select(col("__cell"), col("__id").as("q_id"), col("__lut"))
         val r = ranked.where(col("__crank") === 0)
           .select(col("__cell"), col("__id").as("n_id"), col("__codes"))
+        // unique pairs by the same crank-0 × distinct-probes argument as
+        // the flat path — ADC scores feed the heap aggregate directly
         val approx = l.join(r, Seq("__cell"))
           .where(col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
             pqAdc(col("__lut"), col("__codes")).as("cosine"))
-          .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
         val shortlist = rankTopK(approx, k * refine).select("q_id", "n_id")
         val vq = base.select(col("__id").as("q_id"), col("__v").as("__qv"),
           col("__n").as("__qn"))
