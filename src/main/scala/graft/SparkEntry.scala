@@ -660,6 +660,49 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("value")
     },
+    "command_gremlin_emit" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // emit().repeat(..).until(..): every frontier of a bounded walk
+      // over the broken-3-cycle successor graph is emitted (emit BEFORE
+      // repeat includes the start), and traversers exit when the
+      // until-filter holds AFTER a hop (do-while) — start 21 self-loops
+      // once before its own id stops it. Oracle: depth-bounded
+      // recursive CTE whose recursion gate mirrors the do-while rule
+      // (seeds always hop once).
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command":
+            "g.V().has('id', within('5', '10', '21')).emit().repeat(out('next')).until(has('id', within('4', '12', '21')))"}}],
+        "loader": {"memory": {}} }""")
+        .select("id").orderBy("id")
+    },
+    "command_gremlin_coalesce" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // coalesce branch precedence: even customers have a successor
+      // edge (odd ones carry a NULL succ — the unresolved lookup drops
+      // the edge) and take the hop branch; odd customers fall through
+      // to the identity filter branch
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command":
+            "g.V().coalesce(out('next'), has('id'))"}}],
+        "loader": {"memory": {}} }""")
+        .select("id", "label").orderBy("id")
+    },
     "graph_triangle" -> { (s, dir) =>
       val c = ctx(s, dir)
       // three-term directed-triangle motif — stresses multi-term join
@@ -2842,6 +2885,23 @@ object SparkEntry {
       ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +
        "GROUP BY 1 ORDER BY id"),
+    // every frontier of the bounded walk; the recursion gate `d = 0 OR
+    // cur NOT IN stops` is the do-while until (seeds always hop once)
+    "command_gremlin_emit" ->
+      ("WITH RECURSIVE e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
+       "CAST(CASE WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst FROM customer), " +
+       "walk(cur, d) AS (" +
+       "SELECT src, 0 FROM e WHERE src IN ('5', '10', '21') " +
+       "UNION ALL SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.cur " +
+       "WHERE w.d < 12 AND (w.d = 0 OR w.cur NOT IN ('4', '12', '21'))) " +
+       "SELECT cur AS id FROM walk ORDER BY id"),
+    // even customers take the successor-hop branch, odd ones fall
+    // through to the identity filter (coalesce precedence)
+    "command_gremlin_coalesce" ->
+      ("SELECT CASE WHEN c_custkey % 2 = 0 THEN " +
+       "CAST(CASE WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) " +
+       "ELSE CAST(c_custkey AS VARCHAR) END AS id, 'customer' AS label " +
+       "FROM customer ORDER BY id"),
     "graph_triangle" ->
       ("WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst " +

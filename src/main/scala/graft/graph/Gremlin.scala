@@ -47,6 +47,20 @@ import org.apache.spark.sql.functions._
   *    of the inner chain BEFORE planning (k ≤ 12: each iteration is a
   *    join — an explicit bound beats an accidental 50-join plan). The
   *    inner chain may use any of the hop/filter steps above.
+  *  - `.repeat(<chain>).until(<filter>)` / `.until(<filter>).repeat(…)`
+  *    — traversers exit when the condition (a hasLabel/has/hasNot
+  *    chain) holds, checked after each iteration (do-while) or before
+  *    (while-do) per the modulator's position. The k ≤ 12 unroll bound
+  *    doubles as an implicit `or(loops() == 12)`: traversers still
+  *    active at the cap exit with times(k) semantics, never loop on.
+  *  - `.emit()` before or after `repeat(…)` — every frontier is
+  *    emitted (before includes the starting elements); combines with
+  *    until()/times(k). Frontier sub-plans share their hop shuffles
+  *    via ReuseExchange, so k frontiers cost k joins, not k²/2.
+  *  - `.coalesce(<chain>, <chain>, …)` — per-traverser first-non-empty
+  *    branch (branch b's results count exactly for the traversers no
+  *    earlier branch matched; left-anti precedence joins on a
+  *    correlation id). Branch steps are the union-branch subset.
   *  - `.order().by('col')` / `.order().by('col', decr)` — sort the
   *    frame; consecutive `by`s compose a multi-column sort; `order()`
   *    with no `by` sorts by `value` (value space) or `id`. The sort is
@@ -66,21 +80,24 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
   * exactly the plan the equivalent motif pattern produces; AQE handles
-  * broadcast/skew. Unbounded loops (`repeat..until`), path state, and
-  * lambdas are out of scope by design — those migrate to `motif`
-  * patterns or the graph stages (BFS/CC/PageRank), which is where the
-  * batch engine expresses them well.
+  * broadcast/skew. TRULY unbounded loops (an `until` that needs more
+  * than 12 hops), `choose`/`branch`, and lambdas are out of scope by
+  * design — those migrate to `motif` patterns or the graph stages
+  * (BFS/CC/PageRank), which is where the batch engine expresses them
+  * well.
   */
 object Gremlin {
 
   /** A literal Gremlin script is recognized by its `g.` head. */
   def applies(script: String): Boolean = script.trim.startsWith("g.")
 
-  // one nesting level in args: `.where(neq('a'))` — enough for the
-  // translated subset; deeper nesting is caught by the tiling check
-  private val Step = """\.\s*(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+  // two nesting levels in args: `.until(has('col', gt(5)))` — enough
+  // for the translated subset; deeper nesting is caught by the tiling
+  // check
+  private val Step =
+    """\.\s*(\w+)\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
   private val RepeatTimes =
-    """\.\s*repeat\(\s*((?:[^()]|\([^()]*\))*?)\s*\)\s*\.\s*times\(\s*(\d+)\s*\)""".r
+    """\.\s*repeat\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)\s*\)\s*\.\s*times\(\s*(\d+)\s*\)""".r
   private val WherePred = """^(eq|neq)\(\s*['"](\w+)['"]\s*\)$""".r
 
   /** Unroll every `repeat(<chain>).times(k)` into k textual copies of
@@ -89,15 +106,24 @@ object Gremlin {
     * JS transformer's loop unrolling). `times(0)` erases the chain. */
   private def expandRepeats(body: String): String =
     RepeatTimes.replaceAllIn(body, m => {
-      val inner0 = m.group(1).trim
-      if (inner0.isEmpty) fail("repeat(): empty traversal")
-      val inner = if (inner0.startsWith(".")) inner0 else "." + inner0
-      val k = m.group(2).toInt
-      if (k > 12)
-        fail(s"repeat(...).times($k): bounded at 12 — every iteration " +
-          "unrolls to a shuffle join; deeper traversals migrate to the " +
-          "graph stages (graphbfs)")
-      java.util.regex.Matcher.quoteReplacement(inner * k)
+      // an adjacent emit() modulator (before or after) switches the loop
+      // to the frontier-emitting frame-level form — leave it for the
+      // step translator
+      val emitAdjacent =
+        body.substring(0, m.start).matches("(?s).*\\bemit\\(\\s*\\)\\s*$") ||
+        body.substring(m.end).matches("(?s)\\s*\\.\\s*emit\\s*\\(.*")
+      if (emitAdjacent) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val inner0 = m.group(1).trim
+        if (inner0.isEmpty) fail("repeat(): empty traversal")
+        val inner = if (inner0.startsWith(".")) inner0 else "." + inner0
+        val k = m.group(2).toInt
+        if (k > 12)
+          fail(s"repeat(...).times($k): bounded at 12 — every iteration " +
+            "unrolls to a shuffle join; deeper traversals migrate to the " +
+            "graph stages (graphbfs)")
+        java.util.regex.Matcher.quoteReplacement(inner * k)
+      }
     })
 
   def run(ctx: EtlContext, script: String): DataFrame = {
@@ -139,10 +165,14 @@ object Gremlin {
       frame = frame.orderBy(eff: _*)
       pendingSort = None
     }
-    var skipNext = false
+    var skipN = 0
+    // emit()/until(cond) written BEFORE their repeat() — stashed here
+    // and consumed (with while-do semantics for until) by the repeat
+    var emitBeforeNext = false
+    var untilBeforeNext: Option[String] = None
     steps.tail.zipWithIndex.foreach { case (step, i) =>
       val terminal = i == steps.tail.length - 1
-      if (skipNext) { skipNext = false }
+      if (skipN > 0) { skipN -= 1 }
       else {
       if (step._1 != "by") flushSort()
       step match {
@@ -204,7 +234,7 @@ object Gremlin {
             case Some(("by", List(c: String))) =>
               if (i + 1 != steps.tail.length - 1)
                 fail("groupCount().by(..) must end the traversal")
-              skipNext = true
+              skipN = 1
               col(c)
             case None =>
               if (!terminal) fail("groupCount() must be the last step " +
@@ -231,6 +261,110 @@ object Gremlin {
               "branch must land in the same element space")
           frame = branches.map(b => b.select(common.map(col): _*))
             .reduce(_ unionByName _)
+        case ("emit", Nil) =>
+          if (steps.tail.lift(i + 1).exists(s => Set("repeat", "until")(s._1)))
+            emitBeforeNext = true
+          else fail("emit() only modulates repeat() — place it directly " +
+            "before or after a repeat step")
+        case ("until", Seq(c: RawChain)) =>
+          if (steps.tail.lift(i + 1).exists(s => Set("repeat", "emit")(s._1)))
+            untilBeforeNext = Some(c.src)
+          else fail("until(cond) only modulates repeat() — place it " +
+            "directly before or after a repeat step")
+        case ("repeat", Seq(chain: RawChain)) =>
+          // frame-level loop (until/emit forms — plain times(k) unrolls
+          // textually in expandRepeats). Gather trailing modulators:
+          var untilAfter: Option[String] = None
+          var emitAfter = false
+          var timesK: Option[Int] = None
+          var more = true
+          while (more) steps.tail.lift(i + 1 + skipN) match {
+            case Some(("until", Seq(c: RawChain))) if untilAfter.isEmpty =>
+              untilAfter = Some(c.src); skipN += 1
+            case Some(("emit", Nil)) if !emitAfter =>
+              emitAfter = true; skipN += 1
+            case Some(("times", Seq(n: Long))) if timesK.isEmpty =>
+              if (n < 0 || n > 12)
+                fail(s"repeat(...).times($n): bounded at 12 — every " +
+                  "iteration is a shuffle join; deeper traversals migrate " +
+                  "to the graph stages (graphbfs)")
+              timesK = Some(n.toInt); skipN += 1
+            case _ => more = false
+          }
+          if (untilBeforeNext.isDefined && untilAfter.isDefined)
+            fail("until(cond) given both before and after repeat()")
+          val preCheck = untilBeforeNext.isDefined // while-do vs do-while
+          val condSrc = untilBeforeNext.orElse(untilAfter)
+          val emitAll = emitAfter || emitBeforeNext
+          val emitStart = emitBeforeNext // emit BEFORE repeat includes F0
+          untilBeforeNext = None; emitBeforeNext = false
+          if (condSrc.isEmpty && !emitAll && timesK.isEmpty)
+            fail("repeat(chain) needs a terminator: times(k), until(cond) " +
+              "or emit() — an unmodulated repeat never stops")
+          // hard stop: the k <= 12 unroll bound doubles as an implicit
+          // or(loops() == 12) — traversers still active at the cap exit
+          // (times(k) semantics), never loop further
+          val cap = timesK.getOrElse(12)
+          val cond = condSrc.map(filterCond)
+          def not(c: Column): Column = !coalesce(c, lit(false))
+          var active = frame
+          val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (emitStart) emitted += active
+          cond.filter(_ => preCheck).foreach { c =>
+            // while-do: traversers satisfying at ENTRY exit immediately
+            if (!emitStart) emitted += active.where(c)
+            active = active.where(not(c))
+          }
+          for (_ <- 1 to cap) {
+            val stepped = applyBranch(ctx, active, idLabel, chain.src)
+            cond match {
+              case Some(c) =>
+                emitted += (if (emitAll) stepped else stepped.where(c))
+                active = stepped.where(not(c))
+              case None =>
+                if (emitAll) emitted += stepped
+                active = stepped
+            }
+          }
+          // until without emit: cap survivors exit like times(k); with
+          // emit they were already in the last frontier
+          if (cond.isDefined && !emitAll) emitted += active
+          if (cond.isEmpty && !emitAll) emitted += active // bare times(k)
+          // frontiers land in the common element space (the start frame
+          // carries raw vertex properties that a hopped frontier does
+          // not); identical hop sub-plans across frontiers share their
+          // shuffle via Spark's ReuseExchange — frontier i's joins are
+          // not re-executed for every deeper frontier
+          val fcommon = emitted.map(_.columns.toSeq)
+            .reduce((a, b) => a.filter(b.contains))
+          if (!fcommon.contains("id"))
+            fail("repeat(): frontiers share no id column — the repeat " +
+              "chain must stay in vertex space")
+          frame = emitted.map(e => e.select(fcommon.map(col): _*))
+            .reduce(_ unionByName _)
+        case ("coalesce", chains) if chains.nonEmpty &&
+            chains.forall(_.isInstanceOf[RawChain]) =>
+          // per-traverser first-non-empty branch: branch b's results are
+          // taken for exactly the traversers no earlier branch matched
+          // (left-anti precedence on a synthetic traverser id — the id
+          // is correlation-only state, never output, so the
+          // partition-dependent numbering is safe)
+          if (trackPath)
+            fail("coalesce() together with path() is not in the translated subset")
+          val keyed = frame.withColumn("__tid", monotonically_increasing_id())
+          var rest = keyed
+          val picked = chains.map { c =>
+            val b = applyBranch(ctx, rest, idLabel, c.asInstanceOf[RawChain].src)
+            rest = rest.join(b.select("__tid").distinct(), Seq("__tid"), "left_anti")
+            b
+          }
+          val common = picked.map(_.columns.toSeq)
+            .reduce((a, b) => a.filter(b.contains)).filterNot(_ == "__tid")
+          if (!common.exists(Set("id", "value")))
+            fail("coalesce(): branches share no id/value column — every " +
+              "branch must land in the same element space")
+          frame = picked.map(b => b.select(common.map(col): _*))
+            .reduce(_ unionByName _)
         case ("as", Seq(tag: String)) =>
           frame = frame.withColumn(s"__as_$tag", col("id"))
         case ("where", Seq(Pred(op, tag))) =>
@@ -255,8 +389,9 @@ object Gremlin {
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
             "values/count/groupCount[.by('col')]/as/where(eq|neq)/select/" +
-            "repeat(..).times(k)/order().by(..)/range(lo,hi)/path()/" +
-            "union(chain, …); " +
+            "repeat(..) with times(k)/until(filter)/emit()/" +
+            "order().by(..)/range(lo,hi)/path()/" +
+            "union(chain, …)/coalesce(chain, …); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
@@ -264,6 +399,8 @@ object Gremlin {
       }
     }
     flushSort()
+    if (emitBeforeNext || untilBeforeNext.isDefined)
+      fail("emit()/until(cond) modulate a repeat() step — none followed")
     // as(..) bindings are traversal state, not output columns
     frame.drop(frame.columns.filter(_.startsWith("__as_")).toIndexedSeq: _*)
   }
@@ -288,6 +425,27 @@ object Gremlin {
     case Seq(k: String, v) => col(k) === lit(v)
     case Seq(k: String) => col(k).isNotNull // has('col'): property exists
     case other => fail(s"has(${other.mkString(", ")}): unsupported argument shape")
+  }
+
+  /** An anonymous FILTER chain (`until(...)`'s condition): hasLabel /
+    * has / hasNot steps, conjoined. Hops or terminals inside a
+    * condition have no set-oriented translation here — fail loudly. */
+  private def filterCond(src: String): Column = {
+    val body = "." + src.trim
+    val steps = Step.findAllMatchIn(body)
+      .map(m => (m.group(1), parseArgs(m.group(2)))).toList
+    val consumed = Step.findAllMatchIn(body).map(_.matched).mkString
+    if (consumed != body || steps.isEmpty)
+      fail(s"until($src): cannot parse as a filter chain")
+    steps.map {
+      case ("hasLabel", Seq(l: String)) => col("label") === l
+      case ("has", args) => hasCond(args)
+      case ("hasNot", Seq(k: String)) => col(k).isNull
+      case (other, _) =>
+        fail(s"until($src): condition steps are hasLabel/has/hasNot only " +
+          s"(got '$other') — a hop-dependent exit condition migrates to " +
+          "the graph stages (graphbfs)")
+    }.reduce(_ && _)
   }
 
   /** Translate one `union(...)` branch — a sub-chain of the stateless
@@ -315,7 +473,10 @@ object Gremlin {
           hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
             .unionByName(hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src"))
         case ("dedup", Nil) => frame.distinct()
-        case ("values", Seq(c: String)) => frame.select(col(c).as("value"))
+        case ("values", Seq(c: String)) =>
+          // the coalesce correlation id must survive a value projection
+          val keep = if (frame.columns.contains("__tid")) Seq(col("__tid")) else Nil
+          frame.select(col(c).as("value") +: keep: _*)
         case (other, args) =>
           fail(s"union branch step '$other(${args.mkString(", ")})' is not " +
             "in the branch subset (hasLabel/has/hasNot/out/in/both/dedup/" +
@@ -335,7 +496,7 @@ object Gremlin {
       fail("traversal step needs edges — apply an `edge` stage first"))
     val edges = elabel.fold(edges0)(l => edges0.where(col("label") === l))
     val stash = frame.columns
-      .filter(c => c.startsWith("__as_") || c == "__path").toSeq
+      .filter(c => c.startsWith("__as_") || c == "__path" || c == "__tid").toSeq
     val landed = frame.select(col("id").as("__from") +: stash.map(col): _*)
       .join(edges, col("__from") === col(from))
       .select(col(to).as("id") +: stash.map(col): _*)

@@ -229,11 +229,56 @@ class GraphSpec extends SparkSpec {
       Seq("city", "city"))
     // richer scripts: NAMED migration errors, never silent misparses
     val e = intercept[RuntimeException](
-      g("g.V().repeat(out()).until(hasLabel('city'))"))
+      g("g.V().choose(hasLabel('city'), out(), in())"))
     assert(e.getMessage.contains("gremlin"))
     val e2 = intercept[RuntimeException](g("g.V().out().group()"))
     assert(e2.getMessage.contains("unsupported step"))
     assert(e2.getMessage.contains("motif"))
+  }
+
+  test("gremlin: repeat until/emit semantics and coalesce branch precedence") {
+    val ctx = newCtx()
+    // chain a→b→c(city); d self-loops forever (never reaches a city)
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "city"), ("d", "p"))
+      .toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "next"), ("b", "c", "next"), ("d", "d", "next"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // do-while until: a exits at c (2 hops), b at c (1 hop); d never
+    // satisfies and exits at the 12-iteration cap (times semantics)
+    assert(g("g.V().hasLabel('p').repeat(out('next')).until(hasLabel('city'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("c", "c", "d"))
+    // while-do until: c exits at ENTRY without hopping
+    assert(g("g.V().until(hasLabel('city')).repeat(out('next'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("c", "c", "c", "d"))
+    // emit BEFORE repeat includes the start; with until, frontiers stop
+    // at the exit: a, b, c
+    assert(g("g.V().has('id', 'a').emit().repeat(out('next')).until(hasLabel('city'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("a", "b", "c"))
+    // emit AFTER repeat excludes the start; times(k) bounds the loop
+    assert(g("g.V().has('id', 'a').repeat(out('next')).emit().times(2)")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // a frontier that empties contributes nothing (c has no out-edge)
+    assert(g("g.V().has('id', 'b').repeat(out('next')).emit()")
+      .select("id").as[String].collect().toSeq.sorted == Seq("c"))
+    // coalesce: first non-empty branch per traverser — a and b hop via
+    // 'next'; c has no next and falls through to the id-keeping branch
+    assert(g("g.V().hasLabel('p').coalesce(out('next'), has('id'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "d"))
+    assert(g("g.V().coalesce(out('next'), has('id'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
+    // guards: double until, orphan emit, hop inside until all name rules
+    val e1 = intercept[RuntimeException](
+      g("g.V().until(has('id')).repeat(out('next')).until(has('id'))"))
+    assert(e1.getMessage.contains("before and after"), e1.getMessage)
+    val e2 = intercept[RuntimeException](g("g.V().emit().count()"))
+    assert(e2.getMessage.contains("modulate"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g("g.V().repeat(out('next')).until(out('next'))"))
+    assert(e3.getMessage.contains("hasLabel/has/hasNot"), e3.getMessage)
+    val e4 = intercept[RuntimeException](g("g.V().repeat(out('next')).count()"))
+    assert(e4.getMessage.contains("terminator"), e4.getMessage)
   }
 
   test("gremlin union: bag concatenation over branches; guards name their rules") {
