@@ -76,6 +76,9 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.ensureAudio(spark, sfDir, s"$dir/audio_parquet")
       // real MP4 container bytes for the pure-byte box-parse decode
       graft.multimodal.MediaFixtures.ensureVideo(spark, sfDir, s"$dir/video_parquet")
+      // MP4 containers carrying REAL JPEG frames (MJPEG layout) for the
+      // per-frame pixel decode
+      graft.multimodal.MediaFixtures.ensureMjpeg(spark, sfDir, s"$dir/mjpeg_parquet")
       // structurally-real MP3/ADTS frame sequences for the compressed-
       // audio frame-header walk (metadata = doc_id arithmetic)
       graft.multimodal.MediaFixtures.ensureCompressedAudio(
@@ -2498,6 +2501,25 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("n_bytes"), col("first_byte"))
         .orderBy("media_id", "frame_idx")
     },
+    "mm_frame_decode" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // real video PIXEL decode for MJPEG tracks: every 2nd sample's
+      // byte slice is a complete JPEG; the engine must locate it via
+      // the sample tables AND pixel-decode it — width/height and the
+      // brightness bit are (doc_id, frame_idx) arithmetic the oracle
+      // recomputes (solid gray 220 vs 40 never crosses the 127
+      // threshold under JPEG loss)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/mjpeg_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_frame_decode": {"idField": "media_id",
+          "step": 2}}],
+        "loader": {"memory": {}} }""")
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("bright"))
+        .orderBy("media_id", "frame_idx")
+    },
     "mm_phash_dedup" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // image near-dup end-to-end: REAL pixel decode → 64-bit
@@ -3557,6 +3579,16 @@ object SparkEntry {
        "1 AS n_bytes, CAST((d.doc_id * 31 + g.i * 7) % 251 AS INT) AS first_byte " +
        "FROM documents d CROSS JOIN generate_series(0, 98, 4) AS g(i) " +
        "WHERE g.i < 10 + (d.doc_id * 13) % 90 " +
+       "ORDER BY media_id, frame_idx"),
+    // per-sampled-frame pixel facts (MediaFixtures.mjpeg* arithmetic):
+    // the engine must slice the right JPEG bytes and pixel-decode them
+    "mm_frame_decode" ->
+      ("SELECT d.doc_id AS media_id, CAST(g.i AS BIGINT) AS frame_idx, " +
+       "CAST(16 + (d.doc_id * 3 + g.i * 5) % 48 AS BIGINT) AS width, " +
+       "CAST(16 + (d.doc_id * 7 + g.i * 11) % 40 AS BIGINT) AS height, " +
+       "(d.doc_id + g.i) % 2 = 0 AS bright " +
+       "FROM documents d CROSS JOIN generate_series(0, 7, 2) AS g(i) " +
+       "WHERE g.i < 3 + d.doc_id % 6 " +
        "ORDER BY media_id, frame_idx"),
     // the planted-partner arithmetic (MediaFixtures.phashPattern): the
     // engine must recover each (id-1, id) pair from real PNG pixels;

@@ -112,6 +112,7 @@ object Engine {
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
     "mm_phash"      -> graft.multimodal.MultimodalStages.phash _,
     "mm_frame_sample" -> graft.multimodal.MultimodalStages.frameSample _,
+    "mm_frame_decode" -> graft.multimodal.MultimodalStages.frameDecode _,
     "hammingpairs"  -> graft.dedup.DedupStages.hammingPairs _,
     "asofjoin"      -> graft.temporal.TemporalStages.asofJoin _,
     "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,

@@ -99,6 +99,32 @@ object ImageCodec {
     Resampled(encode(dst, "png"), ow, oh)
   }
 
+  /** Full pixel decode of a self-contained image payload →
+    * (width, height, mean Rec.601 luminance in [0, 255]). The body
+    * behind `mm_frame_decode`'s per-frame decode: a wrong byte slice
+    * upstream either fails to decode or yields the wrong stats. */
+  def pixelStats(id: Long, payload: Array[Byte]): (Int, Int, Double) = {
+    if (payload == null || payload.isEmpty) fail(id, "empty payload")
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case e: javax.imageio.IIOException => fail(id, e.getMessage) }
+    if (img == null) fail(id, "no ImageIO reader for payload")
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum.toDouble / (1000.0 * w * h))
+  }
+
   /** Encode one frame as `fmt` (png/jpeg/bmp/gif). */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

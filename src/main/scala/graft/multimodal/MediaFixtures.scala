@@ -251,6 +251,54 @@ object MediaFixtures {
     outPath
   }
 
+  // ---- MJPEG fixture: MP4 containers whose mdat carries REAL JPEG
+  // frames; per-frame dimensions and brightness are (doc_id, frame_idx)
+  // arithmetic, so the oracle recomputes the arithmetic while the
+  // engine must slice the right frame bytes AND pixel-decode them
+  // (bright = solid gray 220 vs 40 — JPEG loss on a solid fill never
+  // crosses the 127 threshold)
+
+  def mjpegFrames(id: Long): Int = (3 + id % 6).toInt
+  def mjpegWidth(id: Long, idx: Int): Int = (16 + (id * 3 + idx * 5) % 48).toInt
+  def mjpegHeight(id: Long, idx: Int): Int = (16 + (id * 7 + idx * 11) % 40).toInt
+  def mjpegBright(id: Long, idx: Int): Boolean = (id + idx) % 2 == 0
+
+  def mjpegPayload(id: Long): Array[Byte] = {
+    val frames = (0 until mjpegFrames(id)).map { idx =>
+      val g = if (mjpegBright(id, idx)) 220 else 40
+      val img = new BufferedImage(mjpegWidth(id, idx), mjpegHeight(id, idx),
+        BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      try {
+        gr.setColor(new java.awt.Color(g, g, g))
+        gr.fillRect(0, 0, img.getWidth, img.getHeight)
+      } finally gr.dispose()
+      ImageCodec.encode(img, "jpg")
+    }
+    VideoCodec.encodeMjpeg(mjpegWidth(id, 0), mjpegHeight(id, 0), frames,
+      VideoTimescale, mjpegFrames(id) * 60L, v1Headers = id % 4 == 3)
+  }
+
+  def mjpegFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, mjpegPayload(id))))(enc)
+      .toDF("media_id", "payload")
+  }
+
+  def ensureMjpeg(spark: SparkSession, sfDir: String, outPath: String): String = {
+    // _v1 content key: bump when the generation arithmetic changes
+    // (the CLAUDE.md stale-fixture rule)
+    val marker = new java.io.File(outPath, markerName(spark, sfDir) + "_v1")
+    if (!marker.exists()) {
+      mjpegFrame(spark, sfDir).write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
+    outPath
+  }
+
   // ---- perceptual-hash fixture: 64×64 grayscale PNGs whose 8×8 block
   // pattern IS a planted 64-bit hash — each cell pure black/white, so
   // the engine's average-hash (cell vs global mean) recovers exactly

@@ -181,6 +181,56 @@ object MultimodalStages {
         .withColumnRenamed("media_id", id)
     }
 
+  /** One pixel-decoded sampled frame (`mm_frame_decode`'s row). */
+  final case class FrameDecode(media_id: Long, frame_idx: Int, width: Int,
+                               height: Int, mean_luma: Double, bright: Boolean)
+
+  /** `mm_frame_decode`: sampled frames decoded TO PIXELS — real for
+    * image-codec tracks ('jpeg'/'mp4v' MJPEG-style sample entries,
+    * whose samples are complete ImageIO-readable images). Container
+    * walk per [[VideoCodec.sampleFrames]], then each sampled frame's
+    * byte slice pixel-decodes to (width, height, mean Rec.601
+    * luminance, bright = mean > 127). Inter-frame-predicted codecs
+    * (avc1/hvc1 …) have no in-JVM pixel path — named error (or `skip`),
+    * with the container codec in the message. Options: `idField`
+    * (default doc_id), `payloadField` (default payload), `step`
+    * (default 4), `maxFramesPerVideo` (default 64), `onUndecodable`
+    * error|skip. Scale shape: partition-parallel mapPartitions — the
+    * byte-decode seam — emitting only stats, never pixels. */
+  def frameDecode(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val step = spec.int("step", 4)
+      val maxFrames = spec.int("maxFramesPerVideo", 64)
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_frame_decode: unknown onUndecodable '$other' (error|skip)")
+      }
+      val imageCodecs = Set("jpeg", "mjpa", "mjpb", "mp4v", "png ")
+      def decodeOne(s: VideoCodec.FrameSample): FrameDecode = {
+        if (!imageCodecs(s.codec))
+          sys.error(s"mm_frame_decode: media_id=${s.media_id}: codec " +
+            s"'${s.codec}' frames are not self-contained images — " +
+            "pixel decode covers MJPEG-style tracks (jpeg/mp4v); " +
+            "inter-predicted codecs need an external decoder")
+        val (w, h, luma) = ImageCodec.pixelStats(s.media_id, s.frame)
+        FrameDecode(s.media_id, s.frame_idx, w, h, luma, luma > 127.0)
+      }
+      val enc = Encoders.product[FrameDecode]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          if (skip) iter.flatMap { case (i, bytes) =>
+            try VideoCodec.sampleFrames(i, bytes, step, maxFrames).map(decodeOne)
+            catch { case scala.util.control.NonFatal(_) => Nil } }
+          else iter.flatMap { case (i, bytes) =>
+            VideoCodec.sampleFrames(i, bytes, step, maxFrames).map(decodeOne) }
+        }(enc).toDF()
+        .withColumnRenamed("media_id", id)
+    }
+
   /** `mm_phash`: partition-parallel perceptual fingerprint of an image
     * payload — [[ImageCodec.averageHash]] (64-bit aHash: real pixel
     * decode → 8×8 luminance grid → mean threshold). Output is

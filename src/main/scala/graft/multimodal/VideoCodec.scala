@@ -144,10 +144,13 @@ object VideoCodec {
   }
 
   /** One sampled frame: index in the track, its byte length, the first
-    * byte (unsigned; -1 for an empty sample) and the raw bytes. */
+    * byte (unsigned; -1 for an empty sample), the raw bytes, and the
+    * track's sample-entry fourcc (`stsd` — 'jpeg'/'mp4v'/'avc1'/…),
+    * which is what tells a downstream decode step whether each frame
+    * is a self-contained image. */
   final case class FrameSample(media_id: Long, frame_idx: Int,
                                n_bytes: Int, first_byte: Int,
-                               frame: Array[Byte])
+                               frame: Array[Byte], codec: String)
 
   /** REAL container-level frame sampling: every `step`-th sample's
     * BYTES sliced out of `mdat` by walking the sample tables — `stsz`
@@ -190,6 +193,11 @@ object VideoCodec {
       minf <- child(payload, mdia, "minf")
       stbl <- child(payload, minf, "stbl")
     } yield stbl).getOrElse(fail(id, "no stbl box in video trak"))
+    // sample-entry fourcc: stsd payload = version/flags(4) + count(4) +
+    // entry boxes; the first entry's type names the codec
+    val codec = child(payload, stbl, "stsd")
+      .flatMap(sd => boxes(payload, sd.start + 8, sd.end).headOption.map(_.typ))
+      .getOrElse("unkn")
     val stsz = child(payload, stbl, "stsz").getOrElse(fail(id, "no stsz box"))
     need(stsz, 12, "sample size/count")
     val constSize = u32(payload, stsz.start + 4)
@@ -228,7 +236,7 @@ object VideoCodec {
           fail(id, s"sample $i spans [$off, ${off + sz}) beyond payload ${payload.length}")
         val bytes = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + sz)
         out += FrameSample(id, i, sz,
-          if (sz > 0) bytes(0) & 0xFF else -1, bytes)
+          if (sz > 0) bytes(0) & 0xFF else -1, bytes, codec)
         taken += 1
       }
       off += sz
@@ -278,11 +286,33 @@ object VideoCodec {
     * version-1 mvhd/tkhd (64-bit times) — the parser handles both. */
   def encodeMp4(width: Int, height: Int, nFrames: Int, timescale: Long,
                 duration: Long, seed: Long = 0L,
-                v1Headers: Boolean = false): Array[Byte] = {
+                v1Headers: Boolean = false): Array[Byte] =
+    buildMp4(width, height, nFrames, timescale, duration, v1Headers,
+      mdatPayload = Array.tabulate(nFrames)(i => ((seed * 31 + i * 7) % 251).toByte),
+      stszPayload = concat(be32(1), be32(nFrames.toLong)), // constant 1-byte samples
+      fourcc = "mp4v")
+
+  /** Encode a minimal valid MP4 whose single video track carries REAL
+    * self-contained image frames (the MJPEG layout: each sample is one
+    * complete encoded image, e.g. a JPEG) — per-sample `stsz` size
+    * table, `jpeg` sample entry, same single-chunk mdat-before-moov
+    * box tree as [[encodeMp4]]. */
+  def encodeMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
+                  timescale: Long, duration: Long,
+                  v1Headers: Boolean = false): Array[Byte] =
+    buildMp4(width, height, frames.length, timescale, duration, v1Headers,
+      mdatPayload = concat(frames: _*),
+      stszPayload = concat(be32(0) +: be32(frames.length.toLong) +:
+        frames.map(f => be32(f.length.toLong)): _*),
+      fourcc = "jpeg")
+
+  private def buildMp4(width: Int, height: Int, nFrames: Int, timescale: Long,
+                       duration: Long, v1Headers: Boolean,
+                       mdatPayload: Array[Byte], stszPayload: Array[Byte],
+                       fourcc: String): Array[Byte] = {
     val ftyp = box("ftyp", concat("isom".getBytes("ISO-8859-1"), be32(0x200),
       "isom".getBytes("ISO-8859-1"), "mp41".getBytes("ISO-8859-1")))
-    val mdat = box("mdat",
-      Array.tabulate(nFrames)(i => ((seed * 31 + i * 7) % 251).toByte))
+    val mdat = box("mdat", mdatPayload)
 
     def times(n: Int) = // creation/modification zeros: v1 = u64, v0 = u32
       new Array[Byte]((if (v1Headers) 8 else 4) * n)
@@ -304,9 +334,9 @@ object VideoCodec {
     val dref = full("dref", 0, concat(be32(1),
       box("url ", Array[Byte](0, 0, 0, 1)))) // flag 1: self-contained
     val dinf = box("dinf", dref)
-    // minimal 'mp4v' visual sample entry (86 bytes): the decoder config
-    // a real codec would read; dimensions duplicated per the spec
-    val sampleEntry = box("mp4v", concat(new Array[Byte](6), be16(1),
+    // minimal visual sample entry (86 bytes): the decoder config a real
+    // codec would read; dimensions duplicated per the spec
+    val sampleEntry = box(fourcc, concat(new Array[Byte](6), be16(1),
       new Array[Byte](16), be16(width), be16(height),
       be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
       new Array[Byte](32), be16(24), be16(0xFFFF)))
@@ -314,7 +344,7 @@ object VideoCodec {
     val stts = full("stts", 0, concat(be32(1), be32(nFrames.toLong),
       be32(if (nFrames == 0) 0L else duration / math.max(nFrames, 1))))
     val stsc = full("stsc", 0, concat(be32(1), be32(1), be32(nFrames.toLong), be32(1)))
-    val stsz = full("stsz", 0, concat(be32(1), be32(nFrames.toLong))) // constant 1-byte samples
+    val stsz = full("stsz", 0, stszPayload)
     val stco = full("stco", 0, concat(be32(1), be32(ftyp.length + 8L))) // mdat payload
     val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
     val minf = box("minf", concat(vmhd, dinf, stbl))

@@ -242,6 +242,43 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("mm_frame_decode: MJPEG frames pixel-decode to per-frame dims + brightness") {
+    val id = 9L // 3 + 9 % 6 = 6 frames; step 2 → idx 0, 2, 4
+    val df = Seq((id, MediaFixtures.mjpegPayload(id))).toDF("media_id", "payload")
+    val out = stage("mm_frame_decode", "idField" -> "media_id", "step" -> 2)(df)
+      .orderBy("frame_idx")
+      .select("frame_idx", "width", "height", "mean_luma", "bright")
+      .as[(Int, Int, Int, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 2, 4))
+    for ((idx, w, h, luma, bright) <- out) {
+      assert(w == MediaFixtures.mjpegWidth(id, idx), s"frame $idx width")
+      assert(h == MediaFixtures.mjpegHeight(id, idx), s"frame $idx height")
+      assert(bright == MediaFixtures.mjpegBright(id, idx), s"frame $idx bright")
+      // JPEG loss on a solid fill stays close to the planted gray
+      val g = if (MediaFixtures.mjpegBright(id, idx)) 220.0 else 40.0
+      assert(math.abs(luma - g) < 8.0, s"frame $idx luma $luma vs $g")
+    }
+    // the sampled frame bytes really are standalone JPEGs (SOI marker)
+    val sampled = graft.multimodal.VideoCodec.sampleFrames(
+      id, MediaFixtures.mjpegPayload(id), 2, 64)
+    assert(sampled.forall(_.codec == "jpeg"))
+    assert(sampled.forall(s => s.first_byte == 0xFF))
+    // a non-image codec ('mp4v' carries the 1-byte stub samples here —
+    // but codec mp4v IS allowed; fake an avc1 track via a renamed
+    // sample entry is out of scope, so check the error path with junk)
+    val dirty = Seq((99L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(stage("mm_frame_decode", "idField" -> "media_id",
+      "onUndecodable" -> "skip")(dirty).count() == 0)
+    val e = intercept[Exception](
+      stage("mm_frame_decode", "idField" -> "media_id")(dirty).collect())
+    assert(e.getMessage != null)
+    // an mp4v track whose samples are NOT decodable images: named error
+    val stub = Seq((4L, MediaFixtures.videoPayload(4L))).toDF("media_id", "payload")
+    val e2 = intercept[Exception](
+      stage("mm_frame_decode", "idField" -> "media_id")(stub).collect())
+    assert(e2.getMessage != null)
+  }
+
   test("mm_phash: average-hash recovers the planted block pattern from real PNG bytes") {
     val ids = Seq(0L, 1L, 7L, 100L, 101L, 250L)
     val df = ids.map(id => (id, MediaFixtures.phashPayload(id)))
