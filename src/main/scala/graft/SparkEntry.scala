@@ -1520,6 +1520,46 @@ object SparkEntry {
           col("click_id"))
         .orderBy("event_id", "click_id")
     },
+    "stream_join_full" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // FULL_OUTER stream-stream band join: BOTH dangling sides emit
+      // null-padded once the watermark proves no match can arrive —
+      // purchases with no click in the look-back band AND clicks no
+      // purchase looked back to. The compare cut (max(ts) - 6 h =
+      // watermark 3 h + band 2 h + margin) applies to whichever side's
+      // time a row carries (coalesce), the same rule on the oracle.
+      Engine.registerCode("normalize_events_ts")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet", "shufflePartitions": 8,
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
+        "transformers": [
+          {"code": {"ref": "normalize_events_ts"}},
+          {"code": {"language": "sql", "code":
+            "SELECT event_id, ts, user_id FROM __input WHERE event_type = 'purchase'"}},
+          {"stream_join": {
+            "right": {"path": "$dir", "format": "parquet",
+              "pathGlobFilter": "events.parquet",
+              "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"},
+            "rightWhere": "event_type = 'click'",
+            "on": "user_id", "leftTime": "ts",
+            "before": 7200, "after": 0, "watermark": "3 hours",
+            "joinType": "full_outer",
+            "select": ["event_id:click_id", "ts:click_ts"]}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_jn_f",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      val ev = graft.sources.Tables.normalizeTs(
+        s.read.parquet(s"$dir/events.parquet"), "ts")
+      val cutoff = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        21600000000L // 6 h in micros
+      s.table("stream_jn_f")
+        .where(coalesce(unix_micros(col("ts")), unix_micros(col("click_ts"))) <= cutoff)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("event_id", "click_id", "click_ts_us")
+    },
     "batch_sessions" -> { (s, dir) =>
       val c = ctx(s, dir)
       // batch gap-sessionization (12 h gap, same contract as the
@@ -3158,6 +3198,19 @@ object SparkEntry {
        "WHERE p.event_type = 'purchase' " +
        "AND epoch_us(p.ts) <= (SELECT max(epoch_us(ts)) FROM events) - 21600000000 " +
        "ORDER BY p.event_id, click_id NULLS FIRST"),
+    // full_outer band join, both dangling sides cut at max(ts) - 6h on
+    // whichever time the row carries (the same coalesce as the query)
+    "stream_join_full" ->
+      ("SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, " +
+       "c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us " +
+       "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+       "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+       "ON c.user_id = p.user_id " +
+       "AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts " +
+       "WHERE coalesce(epoch_us(p.ts), epoch_us(c.ts)) <= " +
+       "(SELECT max(epoch_us(ts)) FROM events) - 21600000000 " +
+       "ORDER BY p.event_id NULLS FIRST, click_id NULLS FIRST, " +
+       "click_ts_us NULLS FIRST"),
     "batch_sessions" ->
       ("WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1 ELSE 0 END AS ns " +

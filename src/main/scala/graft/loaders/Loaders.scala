@@ -206,9 +206,65 @@ object Loaders {
     * out-of-order error for changed ones. */
   def upsertDelta(ctx: EtlContext, spec: ComponentSpec,
                   df: DataFrame, path: String): Boolean =
-    if (spec.options.contains("buckets"))
-      upsertParquetBucketed(ctx, spec, df, path, spec.int("buckets", 16))
-    else upsertParquet(ctx, spec, df, path)
+    withWriteLease(ctx, spec, path) {
+      if (spec.options.contains("buckets"))
+        upsertParquetBucketed(ctx, spec, df, path, spec.int("buckets", 16))
+      else upsertParquet(ctx, spec, df, path)
+    }
+
+  /** Single-writer lease on a parquet merge target: two simultaneous
+    * merges to one table would interleave their bucket/table swaps into
+    * a mix of both deltas' states — the Spark-side analogue of the
+    * reference's retry-on-conflict transaction contract
+    * (OETLPipeline.java:121-136) is to FAIL the second writer loudly at
+    * acquisition, not to corrupt silently.
+    *
+    * Mechanics: `<path>.lock` acquired via atomic create-no-overwrite
+    * (atomic on HDFS and local filesystems), holder + timestamp inside,
+    * deleted in `finally`. A lease older than `lockStaleMinutes`
+    * (default 60) is broken and re-acquired so a writer that died
+    * mid-merge cannot block the table forever — the crash-recovery
+    * rename protocol makes the table state safe to take over.
+    * (Stale-breaking is best-effort: two waiters racing the break can
+    * in principle both proceed on a filesystem without atomic
+    * compare-and-swap; the stale window is the accepted trade, same as
+    * every marker-file lease.) */
+  private def withWriteLease[T](ctx: EtlContext, spec: ComponentSpec,
+                                path: String)(body: => T): T = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    val lock = new HPath(path + ".lock")
+    val staleMins = spec.long("lockStaleMinutes").getOrElse(60L)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // no-overwrite: the atomic claim
+        out.write((s"""{"holder":"${java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName}",""" +
+          s""""acquired_ms":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val st = try Some(fs.getFileStatus(lock))
+               catch { case _: java.io.FileNotFoundException => None }
+      val stale = st.exists(s =>
+        System.currentTimeMillis() - s.getModificationTime > staleMins * 60000L)
+      if (stale || st.isEmpty) { fs.delete(lock, false); acquired = tryAcquire() }
+    }
+    if (!acquired) {
+      val info =
+        try { val in = fs.open(lock)
+              val t = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              in.close(); t }
+        catch { case scala.util.control.NonFatal(_) => "?" }
+      sys.error(s"parquet upsert: another writer holds the lease on $path " +
+        s"($info at $lock) — concurrent merges to one table would " +
+        "interleave their swaps; retry after it finishes (a dead " +
+        s"holder's lease breaks automatically after lockStaleMinutes=$staleMins)")
+    }
+    try body finally fs.delete(lock, false)
+  }
 
   private def upsertParquet(ctx: EtlContext, spec: ComponentSpec,
                             df: DataFrame, path: String): Boolean = {

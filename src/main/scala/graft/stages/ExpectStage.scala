@@ -37,14 +37,24 @@ import org.apache.spark.sql.functions._
   * `distinctcount` exact path). The metrics frame is rule-count rows. */
 object ExpectStage {
 
+  /** `distinct: auto` threshold: past this many profiled columns the
+    * exact count-distinct Expand (one row copy per column) costs more
+    * than HLL's bounded error is worth. */
+  val ProfileExactMax = 8
+
   /** `profile`: per-column data profiling — the discovery pass before
     * writing `expect` rules: for every listed column, non-null/null
     * counts, distinct cardinality, and min/max, emitted LONG-format as
     * `(column, metric, value)` string rows (schema-stable no matter
     * which columns are profiled). Options: `columns` (default: every
-    * column), `distinct` ∈ exact (default) | approx
+    * column), `distinct` ∈ auto (default) | exact | approx
     * (`approx_count_distinct`, the 100-TB path — constant-size HLL
     * sketches through the exchange instead of distinct-value streams).
+    * `auto` = exact up to [[ProfileExactMax]] profiled columns, approx
+    * past it: each exact count-distinct adds one map-side row copy
+    * (Catalyst's Expand rewrite), so a wide-schema exact profile
+    * multiplies the scan through the aggregation — at 100 TB that is
+    * an HLL job, not an Expand job. Explicit exact/approx always wins.
     *
     * Caveat: `value` is the column value CAST to string — profile
     * integral/string columns for engine-portable min/max (fractional
@@ -61,10 +71,11 @@ object ExpectStage {
         case l => l
       }
       cols0.foreach(c => require(df.columns.contains(c), s"profile: no column '$c'"))
-      val approx = spec.strOr("distinct", "exact") match {
+      val approx = spec.strOr("distinct", "auto") match {
         case "exact" => false
         case "approx" => true
-        case other => sys.error(s"profile: distinct must be exact|approx, got '$other'")
+        case "auto" => cols0.length > ProfileExactMax
+        case other => sys.error(s"profile: distinct must be auto|exact|approx, got '$other'")
       }
       val aggs = cols0.flatMap { c =>
         Seq(

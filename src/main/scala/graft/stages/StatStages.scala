@@ -50,7 +50,9 @@ object StatStages {
         s"quantiles: prob $p outside [0, 1]"))
       val mode = spec.strOr("mode", "approx")
       require(Set("approx", "exact")(mode),
-        s"quantiles: mode must be approx|exact, got '$mode'")
+        s"quantiles: mode must be approx|exact, got '$mode' — approx is " +
+        "the scale mode (bounded-memory GK sketch); exact buffers EVERY " +
+        "group's values in executor memory, bounded-cardinality groups only")
       val accuracy = spec.int("accuracy", 10000)
       def nameOf(p: Double): String =
         "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString

@@ -276,8 +276,11 @@ object Streaming {
     *  - `select` (required): right columns to attach, each `col` or
     *    `col:alias` — an explicit projection so only the state the
     *    query needs crosses the exchange into the store.
-    *  - `joinType` (default `inner`; `left_outer` allowed — Spark emits
-    *    the null-padded rows once the watermark passes the band).
+    *  - `joinType` (default `inner`; `left_outer`/`right_outer`/
+    *    `full_outer` allowed — Spark emits the null-padded rows once
+    *    the watermark proves no match can arrive; for the outer side's
+    *    compare/debug cut, attach the right time via `select`
+    *    (`ts:alias`) since the internal `__r_ts` state column drops).
     *
     * Scale shape: ONE keyed exchange per side into a streaming
     * symmetric hash join; state per key is bounded by the band ×

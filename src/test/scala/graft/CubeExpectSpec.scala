@@ -107,6 +107,27 @@ class CubeExpectSpec extends SparkSpec {
     assert(approx == "2")
   }
 
+  test("profile auto: wide schemas switch to HLL — no Expand in the plan") {
+    val ctx = newCtx()
+    val wide = spark.range(100).select(
+      (0 to ExpectStage.ProfileExactMax).map(i => (col("id") % (i + 2)).as(s"c$i")): _*)
+    // 9 columns > ProfileExactMax → auto lands on approx: the plan must
+    // carry HLL sketches, never one Expand row-copy per column
+    val auto = ExpectStage.profile(ComponentSpec("profile", Map.empty), ctx)(wide)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"wide auto profile must not Expand:\n$plan")
+    assert(auto.count() == (ExpectStage.ProfileExactMax + 1) * 5L)
+    // at/below the threshold auto stays exact (the Expand plan)
+    val narrow = spark.range(100).select(
+      (1 to ExpectStage.ProfileExactMax).map(i => (col("id") % (i + 1)).as(s"c$i")): _*)
+    val exact = ExpectStage.profile(ComponentSpec("profile", Map.empty), ctx)(narrow)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    // explicit exact always wins, even wide
+    val forced = ExpectStage.profile(ComponentSpec("profile",
+      Map("distinct" -> "exact")), ctx)(wide)
+    assert(forced.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("rowid: distributed numbering equals the global window, across partitions") {
     val ctx = newCtx()
     val df = (0L until 500L).map(i => (i * 7 % 500, s"v$i")).toDF("k", "v")

@@ -265,6 +265,44 @@ class EngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path.old").exists, "recovery copy cleaned")
   }
 
+  test("upsert write lease: concurrent second writer fails loud; stale lease breaks") {
+    import spark.implicits._
+    val path = s"$tmp/lease_tbl"
+    val basePq = s"$tmp/lease_base_pq"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(basePq)
+    def merge(src: String) = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$src"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "upsert", "key": "id",
+        "buckets": 4}} }""")
+    merge(basePq)
+    assert(!new java.io.File(s"$path.lock").exists, "lease released after merge")
+    // two true concurrent merges: exactly one wins, the loser names the
+    // lease rule, and the table ends in ONE delta's state (the winner's
+    // rows merged; never an interleaving)
+    val d1 = s"$tmp/lease_d1"; val d2 = s"$tmp/lease_d2"
+    Seq((1L, "D1")).toDF("id", "v").write.mode("overwrite").parquet(d1)
+    Seq((2L, "D2")).toDF("id", "v").write.mode("overwrite").parquet(d2)
+    // hold the lease as writer A, run writer B: B must fail loud
+    val lockFile = new java.io.File(s"$path.lock")
+    java.nio.file.Files.write(lockFile.toPath,
+      """{"holder":"writer-A","acquired_ms":0}""".getBytes("UTF-8"))
+    lockFile.setLastModified(System.currentTimeMillis()) // fresh lease
+    val e = intercept[Exception](merge(d2))
+    assert(e.getMessage.contains("another writer holds the lease"), e.getMessage)
+    assert(e.getMessage.contains("writer-A"), "error names the holder")
+    val unchanged = spark.read.parquet(path).drop("__bucket")
+      .as[(Long, String)].collect().toMap
+    assert(unchanged == Map(1L -> "a", 2L -> "b"), "loser must not touch the table")
+    // a STALE lease (holder died) breaks automatically and the merge lands
+    lockFile.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
+    merge(d1)
+    val after = spark.read.parquet(path).drop("__bucket")
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "D1", 2L -> "b"))
+    assert(!lockFile.exists, "lease released after the stale-break merge")
+  }
+
   test("bucketed upsert: delta rewrites ONLY key-containing buckets") {
     import spark.implicits._
     val path = s"$tmp/upsert_bucketed_tbl"
