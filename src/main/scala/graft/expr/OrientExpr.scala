@@ -55,13 +55,26 @@ object OrientExpr {
 
   /** A compiled sub-expression; `lit` carries the raw literal value when
     * the sub-expression was a single literal token (some dialect methods —
-    * format strings, split separators — need the value at plan time). */
-  private case class Arg(col: Column, lit: Option[Any] = None) {
+    * format strings, split separators — need the value at plan time).
+    * `stringy` marks a KNOWN-string sub-expression (a string literal, a
+    * string variable, or a concat chain) — it is what routes `+` to
+    * concatenation (OrientDB and JS semantics) instead of the numeric
+    * add that would cast a string operand to null. */
+  private case class Arg(col: Column, lit: Option[Any] = None,
+                         stringy: Boolean = false) {
     def litStr(what: String): String = lit match {
       case Some(v) => v.toString
       case None => throw new IllegalArgumentException(s"OrientExpr: $what must be a literal")
     }
   }
+
+  /** Dialect methods with a STRING result — their chains participate in
+    * `+`-as-concatenation like string literals do. */
+  private val StringMethods: Set[String] = Set(
+    "trim", "ltrim", "rtrim", "touppercase", "tolowercase", "append",
+    "prefix", "substring", "left", "right", "charat", "replace",
+    "normalize", "hash", "asstring", "tostring", "format", "tojson",
+    "padstart", "padend", "repeat", "slice", "concat")
 
   private final class Parser(src: String, vars: Map[String, Any]) {
     private val toks = lex(src)
@@ -139,7 +152,15 @@ object OrientExpr {
       var l = parseMul()
       var cont = true
       while (cont) peek match {
-        case TOp("+") => next(); l = Arg(l.col + parseMul().col)
+        case TOp("+") =>
+          next(); val r = parseMul()
+          // `+` with a known-string side concatenates (OrientDB / JS
+          // semantics); numeric-vs-string typing of bare COLUMNS is
+          // unknowable at parse time — those keep numeric add, use
+          // .append()/format() for column-column string concat
+          l = if (l.stringy || r.stringy)
+            Arg(concat(l.col.cast("string"), r.col.cast("string")), stringy = true)
+          else Arg(l.col + r.col)
         case TOp("-") => next(); l = Arg(l.col - parseMul().col)
         case _ => cont = false
       }
@@ -174,7 +195,8 @@ object OrientExpr {
           }
           if (peek == TOp("(")) {
             next(); val args = parseArgs(); expect(")")
-            c = Arg(method(c.col, name, args))
+            c = Arg(method(c.col, name, args),
+              stringy = StringMethods(name.toLowerCase))
           } else c = Arg(c.col.getField(name))
         case _ => cont = false
       }
@@ -195,11 +217,11 @@ object OrientExpr {
         val c = if (s.contains('.') || s.toLowerCase.contains('e')) lit(s.toDouble)
                 else { val v = s.toLong; if (v >= Int.MinValue && v <= Int.MaxValue) lit(v.toInt) else lit(v) }
         Arg(c, Some(s))
-      case TStr(s) => Arg(lit(s), Some(s))
+      case TStr(s) => Arg(lit(s), Some(s), stringy = true)
       case TVar(name) =>
         vars.get(name) match {
           case Some(c: Column) => Arg(c)
-          case Some(v) => Arg(lit(v), Some(v))
+          case Some(v) => Arg(lit(v), Some(v), stringy = v.isInstanceOf[String])
           case None => fail(s"unbound variable $$$name")
         }
       case TIdent(s) if s.equalsIgnoreCase("null")  => Arg(lit(null))

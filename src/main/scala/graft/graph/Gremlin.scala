@@ -61,6 +61,10 @@ import org.apache.spark.sql.functions._
   *    branch (branch b's results count exactly for the traversers no
   *    earlier branch matched; left-anti precedence joins on a
   *    correlation id). Branch steps are the union-branch subset.
+  *  - `.choose(<filter>, <chain>[, <chain>])` — per-traverser if/else:
+  *    the predicate (a hasLabel/has/hasNot chain) routes each
+  *    traverser through exactly one branch; the 2-arg form keeps
+  *    non-matching traversers unchanged.
   *  - `.order().by('col')` / `.order().by('col', decr)` — sort the
   *    frame; consecutive `by`s compose a multi-column sort; `order()`
   *    with no `by` sorts by `value` (value space) or `id`. The sort is
@@ -81,7 +85,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
   * exactly the plan the equivalent motif pattern produces; AQE handles
   * broadcast/skew. TRULY unbounded loops (an `until` that needs more
-  * than 12 hops), `choose`/`branch`, and lambdas are out of scope by
+  * than 12 hops), `branch`/`sack`, and lambdas are out of scope by
   * design — those migrate to `motif` patterns or the graph stages
   * (BFS/CC/PageRank), which is where the batch engine expresses them
   * well.
@@ -305,7 +309,7 @@ object Gremlin {
           // or(loops() == 12) — traversers still active at the cap exit
           // (times(k) semantics), never loop further
           val cap = timesK.getOrElse(12)
-          val cond = condSrc.map(filterCond)
+          val cond = condSrc.map(filterCond("until", _))
           def not(c: Column): Column = !coalesce(c, lit(false))
           var active = frame
           val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -365,6 +369,28 @@ object Gremlin {
               "branch must land in the same element space")
           frame = picked.map(b => b.select(common.map(col): _*))
             .reduce(_ unionByName _)
+        case ("choose", args) if args.length >= 2 && args.length <= 3 &&
+            args.forall(_.isInstanceOf[RawChain]) =>
+          // per-traverser if/else: the predicate (a filter chain) routes
+          // each traverser through exactly one branch; 2-arg form keeps
+          // non-matching traversers as-is (identity false branch)
+          if (trackPath)
+            fail("choose() together with path() is not in the translated subset")
+          val cond = filterCond("choose", args.head.asInstanceOf[RawChain].src)
+          val tSide = applyBranch(ctx, frame.where(cond), idLabel,
+            args(1).asInstanceOf[RawChain].src)
+          val fFrame = frame.where(!coalesce(cond, lit(false)))
+          val fSide =
+            if (args.length == 3)
+              applyBranch(ctx, fFrame, idLabel, args(2).asInstanceOf[RawChain].src)
+            else fFrame
+          val ccommon = Seq(tSide, fSide).map(_.columns.toSeq)
+            .reduce((a, b) => a.filter(b.contains))
+          if (!ccommon.exists(Set("id", "value")))
+            fail("choose(): branches share no id/value column — both " +
+              "branches must land in the same element space")
+          frame = Seq(tSide, fSide).map(b => b.select(ccommon.map(col): _*))
+            .reduce(_ unionByName _)
         case ("as", Seq(tag: String)) =>
           frame = frame.withColumn(s"__as_$tag", col("id"))
         case ("where", Seq(Pred(op, tag))) =>
@@ -391,7 +417,7 @@ object Gremlin {
             "values/count/groupCount[.by('col')]/as/where(eq|neq)/select/" +
             "repeat(..) with times(k)/until(filter)/emit()/" +
             "order().by(..)/range(lo,hi)/path()/" +
-            "union(chain, …)/coalesce(chain, …); " +
+            "union(chain, …)/coalesce(chain, …)/choose(filter, chain[, chain]); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
@@ -430,20 +456,20 @@ object Gremlin {
   /** An anonymous FILTER chain (`until(...)`'s condition): hasLabel /
     * has / hasNot steps, conjoined. Hops or terminals inside a
     * condition have no set-oriented translation here — fail loudly. */
-  private def filterCond(src: String): Column = {
+  private def filterCond(step: String, src: String): Column = {
     val body = "." + src.trim
     val steps = Step.findAllMatchIn(body)
       .map(m => (m.group(1), parseArgs(m.group(2)))).toList
     val consumed = Step.findAllMatchIn(body).map(_.matched).mkString
     if (consumed != body || steps.isEmpty)
-      fail(s"until($src): cannot parse as a filter chain")
+      fail(s"$step($src): cannot parse as a filter chain")
     steps.map {
       case ("hasLabel", Seq(l: String)) => col("label") === l
       case ("has", args) => hasCond(args)
       case ("hasNot", Seq(k: String)) => col(k).isNull
       case (other, _) =>
-        fail(s"until($src): condition steps are hasLabel/has/hasNot only " +
-          s"(got '$other') — a hop-dependent exit condition migrates to " +
+        fail(s"$step($src): condition steps are hasLabel/has/hasNot only " +
+          s"(got '$other') — a hop-dependent condition migrates to " +
           "the graph stages (graphbfs)")
     }.reduce(_ && _)
   }

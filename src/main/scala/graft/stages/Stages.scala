@@ -472,9 +472,25 @@ object Stages {
   private val JsVarDecl = raw"(?:var|let|const)\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
   private val JsIfAssign =
     raw"if\s*\((.+)\)\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+  private val JsElseIfAssign =
+    raw"else\s+if\s*\((.+)\)\s*record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
   private val JsElseAssign =
     raw"else\s+record\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
   private val JsLocalAssign = raw"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)".r
+
+  /** `x += e` / `x -= e` / `x *= e` / `x /= e` / `x++` / `x--` (record
+    * fields and locals) expand to their plain-assignment form before
+    * statement matching. Statement-anchored, so `==`/`<=` comparisons
+    * and operators inside string literals never match. */
+  private def jsExpandCompound(s: String): String = {
+    val Comp = raw"(record\.[A-Za-z_]\w*|[A-Za-z_]\w*)\s*([+\-*/])=\s*(.+)".r
+    val Incr = raw"(record\.[A-Za-z_]\w*|[A-Za-z_]\w*)\s*(\+\+|--)\s*".r
+    s match {
+      case Comp(t, op, rhs) => s"$t = $t $op ($rhs)"
+      case Incr(t, op) => s"$t = $t ${if (op == "++") "+" else "-"} 1"
+      case _ => s
+    }
+  }
 
   /** ONE literal scanner for every JS-shim text pass: segments of `s`
     * tagged `isLiteral` (single/double-quoted; a backslash inside a
@@ -934,7 +950,7 @@ object Stages {
       changed = nxt != unrolled
       unrolled = nxt
     }
-    val stmts = jsStatements(jsFoldBrackets(unrolled))
+    val stmts = jsStatements(jsFoldBrackets(unrolled)).map(jsExpandCompound)
     var locals = List.empty[(String, String)] // insertion order; later wins applied last
     def rewrite(s0: String): String = {
       val s = jsRewriteMath(jsInlineCalls(s0, fns))
@@ -958,12 +974,28 @@ object Stages {
       // statement's own `?:` chains remain
       jsRewriteTernary(inlined)
     }
-    // the cond of the immediately-preceding if-assign, for `else`
-    var lastIf: Option[(String, String)] = None // (cond, column)
+    // the open if/else-if chain: its conditions so far + assigned column
+    var chainConds: List[String] = Nil
+    var chainCol: Option[String] = None
+    def resetChain(): Unit = { chainConds = Nil; chainCol = None }
+    // chain conditions are RE-EVALUATED by later branches AFTER earlier
+    // branches wrote the column — a condition reading the assigned
+    // column would see the new value; reject rather than silently
+    // diverge from JS. Case-INSENSITIVE (Spark resolves columns that
+    // way) and literal-blind (the NAME inside a string literal is data).
+    def noReadGuard(conds: List[String], name: String): Unit = conds.foreach { c =>
+      require(!withoutJsLiterals(rewrite(c))
+          .matches(raw"(?is).*\b${java.util.regex.Pattern.quote(name)}\b.*"),
+        s"code: an `if/else if/else` chain on record.$name cannot also READ " +
+        s"record.$name in an earlier condition (the shim re-evaluates " +
+        "conditions); assign through a differently-named column instead")
+    }
+    def orConds(conds: List[String]): Column =
+      conds.map(c => OrientExpr.compile(rewrite(c), ctx.varMap)).reduce(_ || _)
     stmts.foldLeft(df) { (d, s) =>
       s match {
         case JsIfAssign(c, name, rhs) =>
-          lastIf = Some((c, name))
+          chainConds = List(c); chainCol = Some(name)
           // untyped null for a new column: NullType adopts the rhs type
           // in when/otherwise coercion (a string-cast null would widen a
           // numeric guarded assignment to string)
@@ -971,48 +1003,52 @@ object Stages {
           d.withColumn(name,
             when(OrientExpr.compile(rewrite(c), ctx.varMap),
               OrientExpr.compile(rewrite(rhs), ctx.varMap)).otherwise(keep))
+        case JsElseIfAssign(c, name, rhs) =>
+          val ifName = chainCol.getOrElse(sys.error(
+            s"code: `else if` without a preceding `if (cond) record.$name = …;`"))
+          require(ifName == name, s"code: `else if (…) record.$name = …` must " +
+            s"assign the SAME column as its chain (record.$ifName)")
+          val prior = chainConds
+          noReadGuard(prior, name)
+          chainConds = prior :+ c
+          // guard: no earlier condition TRUTHY (null-cond rows fall
+          // through like JS falsy) and this branch's condition holds
+          d.withColumn(name,
+            when(!coalesce(orConds(prior), lit(false)) &&
+                 OrientExpr.compile(rewrite(c), ctx.varMap),
+              OrientExpr.compile(rewrite(rhs), ctx.varMap)).otherwise(col(name)))
         case JsElseAssign(name, rhs) =>
-          val (cond, ifName) = lastIf.getOrElse(sys.error(
+          val ifName = chainCol.getOrElse(sys.error(
             s"code: `else` without a preceding `if (cond) record.$name = …;`"))
           require(ifName == name, s"code: `else record.$name = …` must " +
             s"assign the SAME column as its if branch (record.$ifName)")
-          // the else re-evaluates cond AFTER the if branch wrote the
-          // column — a cond reading the assigned column would see the
-          // new value; reject rather than silently diverge from JS.
-          // Case-INSENSITIVE (Spark resolves columns that way) and
-          // literal-blind (the column NAME inside a string literal is
-          // data, not a read).
-          require(!withoutJsLiterals(rewrite(cond))
-              .matches(raw"(?is).*\b${java.util.regex.Pattern.quote(name)}\b.*"),
-            s"code: `if/else` on record.$name cannot also READ record.$name " +
-            "in its condition (the shim re-evaluates the condition); " +
-            "assign through a differently-named column instead")
-          lastIf = None
-          // the if branch already wrote its value when cond held — keep
-          // it there, take the else value otherwise
+          val prior = chainConds
+          noReadGuard(prior, name)
+          resetChain()
+          // some earlier branch held → keep its value; all falsy → else
           d.withColumn(name,
-            when(OrientExpr.compile(rewrite(cond), ctx.varMap), col(name))
+            when(orConds(prior), col(name))
               .otherwise(OrientExpr.compile(rewrite(rhs), ctx.varMap)))
         case JsVarDecl(name, rhs) =>
-          lastIf = None
+          resetChain()
           locals = (name, rewrite(rhs)) :: locals
           d
         case JsAssign(name, rhs) =>
-          lastIf = None
+          resetChain()
           d.withColumn(name, OrientExpr.compile(rewrite(rhs), ctx.varMap))
         case JsLocalAssign(name, rhs) if locals.exists(_._1 == name) =>
           // reassignment of a KNOWN local (the loop-accumulator idiom):
           // rewrite() inlines the previous definition into the rhs, so
           // `total = total + record.q1` chains correctly
-          lastIf = None
+          resetChain()
           locals = (name, rewrite(rhs)) :: locals
           d
         case other => sys.error(
           s"code: JavaScript config not translatable (statement: `$other`). " +
           "The migration shim covers `record.x = expr;` assignments, " +
           "`var x = expr;` locals (+ reassignment of a declared local), " +
-          "`if (cond) record.x = expr;` guards and their " +
-          "`else record.x = expr;` branches, literal-bounded " +
+          "`if (cond) record.x = expr;` guards with `else if`/`else` " +
+          "branches, compound ops (x += e, x++), literal-bounded " +
           "`for (var i = A; i < B; i++) { … }` and " +
           "`var i = A; while (i < B) { …; i++ }` loops, single-return " +
           "`function f(a) { return expr; }` macros, ternaries, Math.*, " +

@@ -729,6 +729,46 @@ class EngineSpec extends SparkSpec {
     assert(lit.head().getAs[String]("note") == "while (x < 3) { }")
   }
 
+  test("code JS shim: else-if chains, compound assignment, string + concatenation") {
+    val path = writeNationCsv()
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "if (record.n_nationkey < 5) record.band = 'low'; else if (record.n_nationkey < 15) record.band = 'mid'; else record.band = 'high'; var acc = 1; acc += record.n_nationkey; acc *= 2; record.doubled = acc; record.tag = 'n=' + record.n_nationkey + '/' + record.n_name.toLowerCase();" } } ],
+      "loader": { "memory": {} }
+    }""")
+    def band(k: Int) =
+      out.filter(col("n_nationkey") === k).head().getAs[String]("band")
+    assert(band(3) == "low" && band(9) == "mid" && band(20) == "high")
+    val r = out.filter(col("n_nationkey") === 7).head()
+    assert(r.getAs[Number]("doubled").longValue == (1 + 7) * 2)
+    // JS `+` with a string operand concatenates (dialect stringy-`+`)
+    assert(r.getAs[String]("tag") == "n=7/nation_7")
+    // record-field compound ops and ++ expand too
+    val inc = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.k = record.n_nationkey; record.k += 10; record.k++;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(inc.filter(col("n_nationkey") === 5).head()
+      .getAs[Number]("k").longValue == 16L)
+    // chain guard: an earlier condition reading the assigned column is
+    // rejected, not silently re-evaluated
+    val e = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "code": { "language": "javascript", "code":
+          "if (record.n_regionkey > 2) record.n_regionkey = 0; else if (record.n_nationkey > 5) record.n_regionkey = 9; else record.n_regionkey = 1;" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(e.getMessage.contains("cannot also READ"), e.getMessage)
+  }
+
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
     val path = writeNationCsv()
     val ctx = newCtx()

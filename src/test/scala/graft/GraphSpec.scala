@@ -229,7 +229,7 @@ class GraphSpec extends SparkSpec {
       Seq("city", "city"))
     // richer scripts: NAMED migration errors, never silent misparses
     val e = intercept[RuntimeException](
-      g("g.V().choose(hasLabel('city'), out(), in())"))
+      g("g.V().branch(values('id'))"))
     assert(e.getMessage.contains("gremlin"))
     val e2 = intercept[RuntimeException](g("g.V().out().group()"))
     assert(e2.getMessage.contains("unsupported step"))
@@ -268,6 +268,14 @@ class GraphSpec extends SparkSpec {
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "d"))
     assert(g("g.V().coalesce(out('next'), has('id'))")
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
+    // choose: per-traverser if/else — p-labeled vertices hop, the city
+    // stays (3-arg); 2-arg form keeps non-matching traversers as-is
+    assert(g("g.V().choose(hasLabel('p'), out('next'), has('id'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
+    assert(g("g.V().has('id', 'a').choose(hasLabel('p'), out('next'))")
+      .select("id").as[String].collect().toSeq == Seq("b"))
+    assert(g("g.V().has('id', 'c').choose(hasLabel('p'), out('next'))")
+      .select("id").as[String].collect().toSeq == Seq("c"))
     // guards: double until, orphan emit, hop inside until all name rules
     val e1 = intercept[RuntimeException](
       g("g.V().until(has('id')).repeat(out('next')).until(has('id'))"))

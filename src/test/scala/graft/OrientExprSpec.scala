@@ -111,4 +111,25 @@ class OrientExprSpec extends SparkSpec {
     val d = eval1("'0.1'.asDecimal() + '0.2'.asDecimal()")
     assert(d.toString.toDouble == 0.3)
   }
+
+  test("stringy +: a string operand concatenates; pure numerics still add") {
+    assert(eval1("'a' + 'b'") == "ab")
+    assert(eval1("'n=' + 5") == "n=5")
+    assert(eval1("5 + '!'") == "5!")
+    assert(eval1("'x' + 1 + 2") == "x12") // left-assoc: concat stays concat
+    assert(eval1("1 + 2") == 3)
+    assert(eval1("1 + 2 + 'm'") == "3m") // numeric prefix folds FIRST
+    // string-returning method chains participate
+    assert(eval1("'ab'.toUpperCase() + 'c'") == "ABc")
+    assert(eval1("5.asString() + 'x'") == "5x")
+    // a numeric-returning method keeps numeric +
+    assert(eval1("'7'.asLong() + 1") == 8L)
+    // math functions (round-11 dialect additions)
+    assert(eval1("floor(3.9)") == 3L)
+    assert(eval1("ceil(3.1)") == 4L)
+    assert(eval1("sqrt(16)") == 4.0)
+    assert(eval1("pow(2, 10)") == 1024.0)
+    assert(eval1("sign(-9)") == -1.0)
+    assert(eval1("round(2.567, 2)") == 2.57)
+  }
 }
