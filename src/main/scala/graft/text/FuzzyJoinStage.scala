@@ -87,21 +87,36 @@ object FuzzyJoinStage {
       // ordinary text can ever equal a token
       val lenTok = "\u0000len:"
 
+      // POSITIONAL q-grams (ED-Join's location filter, Xiao et al.,
+      // public): an edit shifts surviving grams by at most d positions,
+      // so a candidate must share a chosen gram at |Δpos| <= d — same
+      // pigeonhole completeness (d edits destroy at most d·q positional
+      // grams), far fewer candidates when a rare gram recurs across the
+      // corpus at scattered positions
       def grams(c: Column): Column =
-        when(length(c) < qn, array(c)).otherwise(array_distinct(
-          transform(sequence(lit(1), length(c) - (qn - 1)),
-            i => c.substr(i, lit(qn)))))
+        when(length(c) < qn, array(struct(c.as("g"), lit(1).as("p"))))
+          .otherwise(transform(sequence(lit(1), length(c) - (qn - 1)),
+            i => struct(c.substr(i, lit(qn)).as("g"), i.as("p"))))
 
-      val base = df.select(col(id).as("__fid"), col(fld).as("__fval"))
-        .where(col("__fid").isNotNull && col("__fval").isNotNull)
+      // spread the index side across the executors BEFORE gram explode:
+      // a compact source (one small parquet file = one partition) would
+      // otherwise funnel candidate generation AND Levenshtein
+      // verification — the dominant compute — through a single task;
+      // one narrow exchange of the raw rows buys full parallelism
+      val base = graft.similarity.SimilarityStages.spread(
+        df.select(col(id).as("__fid"), col(fld).as("__fval"))
+          .where(col("__fid").isNotNull && col("__fval").isNotNull))
       val indexGrams = base.select(col("__fid"), col("__fval"),
-        explode(grams(col("__fval"))).as("__g"))
+        explode(grams(col("__fval"))).as("__gp"))
+        .select(col("__fid"), col("__fval"),
+          col("__gp.g").as("__g"), col("__gp.p").as("__fp"))
       // short strings additionally index under their length token, so a
       // short PROBE reaches them without any shared gram; +d covers the
       // longest string a short probe may still match
       val indexShort = base.where(length(col("__fval")) <= shortMax + d)
         .select(col("__fid"), col("__fval"),
-          concat(lit(lenTok), length(col("__fval")).cast("string")).as("__g"))
+          concat(lit(lenTok), length(col("__fval")).cast("string")).as("__g"),
+          lit(0).as("__fp"))
       val index = indexGrams.unionByName(indexShort)
 
       val probes0 = probeIf.map(e => df.where(OrientExpr.compile(e, ctx.varMap)))
@@ -128,35 +143,51 @@ object FuzzyJoinStage {
       def maybeBroadcast(d0: DataFrame): DataFrame =
         if (smallProbes) broadcast(d0) else d0
       val probeGrams = probes0.where(length(col("__pval")) > shortMax)
-        .select(col("__pid"), col("__pval"), explode(grams(col("__pval"))).as("__g"))
+        .select(col("__pid"), col("__pval"), explode(grams(col("__pval"))).as("__gp"))
+        .select(col("__pid"), col("__pval"),
+          col("__gp.g").as("__g"), col("__gp.p").as("__pp"))
+      // document frequency per gram CONTENT (positional duplicates of a
+      // gram within one string inflate its count slightly — harmless:
+      // the pigeonhole holds for ANY fixed d·q+1 choice, df only ranks)
       val freq =
         if (smallProbes)
           indexGrams.join(broadcast(probeGrams.select("__g").distinct()), Seq("__g"))
             .groupBy("__g").agg(count(lit(1)).as("__df"))
         else indexGrams.groupBy("__g").agg(count(lit(1)).as("__df"))
-      // long probes: the d·q+1 globally rarest grams (ties by gram —
-      // deterministic); grams absent from the index keep df=0 (they cost
-      // nothing and the pigeonhole holds for ANY fixed choice)
+      // long probes: the d·q+1 globally rarest positional grams (ties by
+      // gram then position — deterministic); grams absent from the index
+      // keep df=0 (they cost nothing and the pigeonhole holds for ANY
+      // fixed choice)
       val pg =
         if (smallProbes) probeGrams.join(broadcast(freq), Seq("__g"), "left")
           .na.fill(0L, Seq("__df"))
         else probeGrams.join(freq, Seq("__g"), "left").na.fill(0L, Seq("__df"))
       val wPrefix = Window.partitionBy("__pid")
-        .orderBy(col("__df").asc, col("__g").asc)
+        .orderBy(col("__df").asc, col("__g").asc, col("__pp").asc)
       val prefix = pg.withColumn("__rn", row_number().over(wPrefix))
-        .where(col("__rn") <= k).select("__pid", "__pval", "__g")
-      // short probes: length-band tokens [len-d, len+d]
+        .where(col("__rn") <= k).select("__pid", "__pval", "__g", "__pp")
+      // short probes: length-band tokens [len-d, len+d] (position 0 on
+      // both sides — the band filter is a no-op for tokens)
       val shortTokens = probes0.where(length(col("__pval")) <= shortMax)
         .select(col("__pid"), col("__pval"), explode(
           transform(sequence(greatest(length(col("__pval")) - d, lit(1)),
               length(col("__pval")) + d),
-            l => concat(lit(lenTok), l.cast("string")))).as("__g"))
+            l => concat(lit(lenTok), l.cast("string")))).as("__g"),
+          lit(0).as("__pp"))
 
+      // NO candidate dedup here: a pair reached through several shared
+      // grams verifies 2-3× redundantly — micro-seconds of banded DP —
+      // which is far cheaper than a full-candidate-set distinct (a wide
+      // string-row exchange that measured 3× the verification cost);
+      // duplicates are collapsed AFTER the distance filter on the
+      // thousand-fold-smaller survivor set (pairs) or fall out of the
+      // rank-1 window for free (best)
       val cand = index
         .join(maybeBroadcast(prefix.unionByName(shortTokens)), Seq("__g"))
         .where(col("__pid") =!= col("__fid") &&
+          abs(col("__pp") - col("__fp")) <= d &&
           abs(length(col("__pval")) - length(col("__fval"))) <= d)
-        .select("__pid", "__pval", "__fid", "__fval").distinct()
+        .select("__pid", "__pval", "__fid", "__fval")
 
       // thresholded form: banded DP that early-exits once the distance
       // provably exceeds d (O(d·n) per pair, not O(n²)); returns -1 for
@@ -170,9 +201,12 @@ object FuzzyJoinStage {
 
       mode match {
         case "pairs" =>
-          if (probeIf.isEmpty) verified.where(col("probe_id") < col("match_id"))
-          else verified
+          val v = verified.distinct() // post-verify: survivor-set-sized
+          if (probeIf.isEmpty) v.where(col("probe_id") < col("match_id"))
+          else v
         case _ =>
+          // duplicate (probe, match) rows tie exactly in the ordering —
+          // rn = 1 picks one copy deterministically, no dedup needed
           val wBest = Window.partitionBy("probe_id")
             .orderBy(col("dist").asc, col("match_val").asc, col("match_id").asc)
           verified.withColumn("__rn", row_number().over(wBest))
