@@ -2296,6 +2296,38 @@ object SparkEntry {
         "loader": {"memory": {}} }""").select("q_id", "n_id")
       recallVerdict(approx, exact, Seq("q_id", "n_id"), "recall_at_5_ge_0.8", 0.8)
     },
+    "rand_project" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // JL sign-projection dim reduction: deterministic integer
+      // arithmetic end-to-end (signs from a quadratic-residue parity,
+      // inputs quantized to longs), so the projection is hash-exact —
+      // no parallel float-sum nondeterminism. Long-format output.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"randproject": {"field": "embedding", "outDim": 8}}],
+        "loader": {"memory": {}} }""")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
+        .orderBy("vec_id", "j")
+    },
+    "table_diff" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // snapshot diff vs the customer baseline: %13 keys removed, %7
+      // acctbal bumped, %11 segment moved (both => two changed_cols),
+      // five synthetic keys added — one full outer join, per-column
+      // null-safe compares, no whole-row hashing
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment FROM __input WHERE c_custkey % 13 != 0 UNION ALL SELECT 900000 + r_regionkey, 'NEW', 0.0, 'NEW' FROM region"}},
+          {"tablediff": {"baseline": "$dir/customer.parquet",
+            "key": "c_custkey"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("c_custkey")
+    },
     "quantize_embed" -> { (s, dir) =>
       // VERDICT table for int8 scalar quantization: (a) every
       // dequantized element is within scale/2 of the original (the
@@ -3475,6 +3507,38 @@ object SparkEntry {
     "similarity_lsh" ->
       ("SELECT * FROM (VALUES ('recall_at_5_ge_0.3', true), " +
        "('results_nonempty', true)) AS t(metric, pass) ORDER BY metric"),
+    // the sign s(j,i) = parity of (j*100003 + i*17)^2 mod 1000003 and
+    // the long quantization q(x) = round(x*1e6) are pure integer/IEEE
+    // arithmetic — DuckDB recomputes the projection exactly
+    "rand_project" ->
+      ("WITH e AS (SELECT vec_id, unnest(embedding) AS x, " +
+       "generate_subscripts(embedding, 1) AS i FROM embeddings) " +
+       "SELECT e.vec_id, t.j, " +
+       "CAST(SUM(CASE WHEN ((t.j*100003 + (e.i-1)*17) * (t.j*100003 + (e.i-1)*17)) " +
+       "% 1000003 % 2 = 0 THEN 1 ELSE -1 END * " +
+       "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS y " +
+       "FROM e CROSS JOIN range(8) t(j) " +
+       "GROUP BY e.vec_id, t.j ORDER BY vec_id, j"),
+    "table_diff" ->
+      ("WITH after AS (SELECT c_custkey, c_name, " +
+       "CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal, " +
+       "CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment " +
+       "FROM customer WHERE c_custkey % 13 <> 0 " +
+       "UNION ALL SELECT 900000 + r_regionkey, 'NEW', 0.0, 'NEW' FROM region), " +
+       "j AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey, " +
+       "a.c_custkey IS NOT NULL AS in_a, b.c_custkey IS NOT NULL AS in_b, " +
+       "NOT (a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal) AS d1, " +
+       "NOT (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment) AS d2, " +
+       "NOT (a.c_name IS NOT DISTINCT FROM b.c_name) AS d3 " +
+       "FROM after a FULL JOIN customer b ON a.c_custkey = b.c_custkey) " +
+       "SELECT c_custkey, " +
+       "CASE WHEN NOT in_b THEN 'added' WHEN NOT in_a THEN 'removed' " +
+       "WHEN d1 OR d2 OR d3 THEN 'changed' ELSE 'unchanged' END AS change, " +
+       "CASE WHEN in_a AND in_b AND (d1 OR d2 OR d3) THEN concat_ws(',', " +
+       "CASE WHEN d1 THEN 'c_acctbal' END, CASE WHEN d2 THEN 'c_mktsegment' END, " +
+       "CASE WHEN d3 THEN 'c_name' END) ELSE '' END AS changed_cols " +
+       "FROM j WHERE NOT (in_a AND in_b AND NOT d1 AND NOT d2 AND NOT d3) " +
+       "ORDER BY c_custkey"),
     "quantize_embed" ->
       ("SELECT * FROM (VALUES ('max_err_le_half_scale', true), " +
        "('q_range_symmetric', true), ('recall_at_5_ge_0.9', true), " +

@@ -103,6 +103,8 @@ object Engine {
     "cosinedup"     -> graft.similarity.SimilarityStages.cosineDup _,
     "kmeans"        -> graft.similarity.SimilarityStages.kmeans _,
     "quantize"      -> graft.similarity.SimilarityStages.quantize _,
+    "randproject"   -> graft.similarity.SimilarityStages.randproject _,
+    "tablediff"     -> graft.stages.DiffStage.tablediff _,
     "semanticdedup" -> graft.similarity.SimilarityStages.semanticDedup _,
     "mm_attach"     -> graft.multimodal.MultimodalStages.attach _,
     "mm_decode"     -> graft.multimodal.MultimodalStages.decode _,

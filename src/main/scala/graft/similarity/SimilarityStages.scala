@@ -818,6 +818,46 @@ object SimilarityStages {
     *
     * Scale shape: both directions are pure per-row higher-order-function
     * projections — zero shuffle, codegen-friendly, streaming-safe. */
+  /** `randproject`: Johnson–Lindenstrauss dimensionality reduction by a
+    * SIGN (±1) random projection — the public sparse-JL construction
+    * (Achlioptas 2001): `y_j = Σ_i s(j,i)·q(x_i)` with a deterministic
+    * pseudo-random sign `s(j,i)` derived from pure integer arithmetic
+    * (`((seed + j·100003 + i·17)² mod 1000003) mod 2`) and inputs
+    * quantized to integers (`q(x) = round(x·scale)` as long), so the
+    * projection is bit-exact across engines and partitionings — no
+    * parallel float-sum nondeterminism. Distances are preserved up to
+    * the JL distortion for outDim = O(log n / ε²); downstream ANN
+    * stages run on the narrower vectors.
+    *
+    * Options: `field` (default embedding), `out` (default proj),
+    * `outDim` (default 16), `scale` (quantization, default 1e6),
+    * `seed` (default 0), `keepOriginal` (default false).
+    *
+    * Scale shape: a pure per-row codegen'd HOF projection — zero
+    * shuffles, k·dim integer multiply-adds per row (spec-locked). */
+  def randproject(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val vec = spec.strOr("field", "embedding")
+      val out = spec.strOr("out", "proj")
+      val k = spec.int("outDim", 16)
+      val scale = spec.strOr("scale", "1000000").toDouble
+      val seed = spec.long("seed").getOrElse(0L)
+      require(df.columns.contains(vec), s"randproject: no column '$vec'")
+      require(k > 0, s"randproject: outDim must be positive, got $k")
+      // sign(j, i): quadratic residue parity — a LINEAR form mod 2 would
+      // degenerate to parity(j + i); squaring mod a prime mixes
+      def sign(j: Column, i: Column): Column = {
+        val h = lit(seed) + j * lit(100003L) + i * lit(17L)
+        when((h * h) % 1000003L % 2L === 0L, lit(1L)).otherwise(lit(-1L))
+      }
+      val proj = transform(sequence(lit(0), lit(k - 1)), j =>
+        aggregate(sequence(lit(0), size(col(vec)) - 1), lit(0L),
+          (acc, i) => acc + sign(j, i) *
+            round(element_at(col(vec), i + 1).cast("double") * scale).cast("long")))
+      val res = df.withColumn(out, proj)
+      if (spec.bool("keepOriginal", dflt = false)) res else res.drop(vec)
+    }
+
   def quantize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val vec = spec.strOr("field", "embedding")

@@ -1137,6 +1137,49 @@ class LlmStagesSpec extends SparkSpec {
       s"bloom probe should be BloomFilterMightContain:\n$plan")
   }
 
+  // --------------------------------------------------- JL sign projection
+  test("randproject: integer-exact JL projection — hand value, JL distances, no shuffle") {
+    // hand-check one cell: y_0 of a 2-dim vector
+    def sgn(j: Long, i: Long): Long = {
+      val h = j * 100003L + i * 17L
+      if ((h * h) % 1000003L % 2L == 0L) 1L else -1L
+    }
+    val df = Seq((1L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val out = stage("randproject", "outDim" -> 2, "keepOriginal" -> true)(df)
+    val y = out.select("proj").head().getSeq[Long](0)
+    assert(y(0) == sgn(0, 0) * 500000L + sgn(0, 1) * -250000L)
+    assert(y(1) == sgn(1, 0) * 500000L + sgn(1, 1) * -250000L)
+    // JL sanity on real embeddings: projected distances correlate with
+    // the originals (relative distortion bounded for most pairs)
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
+    val proj = stage("randproject", "outDim" -> 32, "keepOriginal" -> true)(base)
+      .select("vec_id", "embedding", "proj").collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+                 r.getSeq[Long](2).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y0) => (x - y0) * (x - y0) }.sum
+    val ratios = for (i <- proj.indices; j <- 0 until i) yield {
+      val orig = d2(proj(i)._1, proj(j)._1)
+      // projected space scale: scale^2 * outDim (E[y²] = k·q(x)²)
+      val p = d2(proj(i)._2, proj(j)._2) / (1e12 * 32)
+      if (orig > 1e-9) p / orig else 1.0
+    }
+    // median distortion near 1, most pairs within a 3x band
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.5 && median < 2.0, s"median JL distortion $median")
+    assert(ratios.count(r => r > 0.33 && r < 3.0) >= ratios.size * 0.9,
+      "JL distortion band violated for >10% of pairs")
+    // pure projection: no shuffle
+    val plan = stage("randproject")(base).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"randproject must not shuffle:\n$plan")
+    // determinism incl. seed sensitivity
+    val a = stage("randproject", "seed" -> 7)(df).select("proj").head().getSeq[Long](0)
+    val b = stage("randproject", "seed" -> 7)(df).select("proj").head().getSeq[Long](0)
+    val c2 = stage("randproject", "seed" -> 8)(df).select("proj").head().getSeq[Long](0)
+    assert(a == b && a != c2)
+  }
+
   // --------------------------------------------------- int8 quantization
   test("quantize: int8 roundtrip error bounded by scale/2, symmetric range") {
     val df = Seq(
