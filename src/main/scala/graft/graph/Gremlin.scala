@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
   * same frames the `motif` transformer queries. No per-record traversal.
   *
   * Supported subset (anything richer is a NAMED migration error):
-  *  - `g.V()` — the vertex frame;
+  *  - `g.V()` / `g.V(id, …)` — the vertex frame, optionally restricted
+  *    to the named start vertices;
   *  - `.hasLabel('x')` / `.has('col', value)` — filters over the
   *    current frame's columns (property filters bind to the columns
   *    present at that point in the chain); `has` also accepts the
   *    value-predicate forms `.has('col', gt(v)|gte(v)|lt(v)|lte(v)|
   *    eq(v)|neq(v)|within(v, …)|without(v, …))`, plus `.has('col')`
   *    (exists / non-null) and `.hasNot('col')` (null);
-  *  - `.out('label'?)` / `.in('label'?)` / `.both('label'?)` — one-hop
-  *    traversal along the edges table, optionally label-constrained;
+  *  - `.out('l1', 'l2', …?)` / `.in(…)` / `.both(…)` — one-hop
+  *    traversal along the edges table, optionally constrained to any
+  *    of the given labels (no labels = every edge);
   *    bag semantics like Gremlin (one row per path, duplicates kept);
   *    after a hop the frame is the reached ids re-attached to
   *    `(id, label)` of any registered vertices (left join — ids without
@@ -140,8 +142,19 @@ object Gremlin {
     val consumed = Step.findAllMatchIn(body).map(_.matched).mkString
     if (!s.startsWith("g") || consumed != body || steps.isEmpty)
       fail(s"cannot parse '$script' as a simple step chain")
-    if (steps.head != (("V", Nil)))
-      fail(s"traversal must start with g.V() (got g.${steps.head._1}(...))")
+    val startIds: Seq[String] = steps.head match {
+      case ("V", Nil) => Nil
+      case ("V", ids) if ids.nonEmpty &&
+          ids.forall(a => a.isInstanceOf[String] || a.isInstanceOf[Long] ||
+            a.isInstanceOf[Double]) =>
+        ids.map {
+          case d: Double if d.isWhole => d.toLong.toString
+          case other => other.toString
+        }
+      case _ =>
+        fail(s"traversal must start with g.V() or g.V(id, …) " +
+          s"(got g.${steps.head._1}(${steps.head._2.mkString(", ")}))")
+    }
 
     val vertices = ctx.vertices.getOrElse(
       fail("no vertices — apply a `vertex` stage first"))
@@ -154,9 +167,14 @@ object Gremlin {
     // label) do collapse (that's re-registration, not a second vertex).
     val idLabel = vertices.select(col("id"), col("label")).distinct()
     val trackPath = steps.exists(_._1 == "path")
+    // g.V(id, …): start from the named vertices (filter BEFORE path
+    // tracking so the path roots at the start set)
+    val start =
+      if (startIds.isEmpty) vertices
+      else vertices.where(col("id").isin(startIds: _*))
     var frame =
-      if (trackPath) vertices.withColumn("__path", array(col("id")))
-      else vertices
+      if (trackPath) start.withColumn("__path", array(col("id")))
+      else start
     // `order().by(..)` accumulates sort keys here and is applied at the
     // next non-`by` step (or chain end) — adjacent `limit`/`range` then
     // plan as TakeOrdered instead of a full sort
@@ -206,13 +224,13 @@ object Gremlin {
         case ("has", args) => frame = frame.where(hasCond(args))
         case ("hasNot", Seq(k: String)) =>
           frame = frame.where(col(k).isNull)
-        case ("out", args) if args.length <= 1 =>
-          frame = hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
-        case ("in", args) if args.length <= 1 =>
-          frame = hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src")
-        case ("both", args) if args.length <= 1 =>
-          frame = hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
-            .unionByName(hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src"))
+        case ("out", args) if args.forall(_.isInstanceOf[String]) =>
+          frame = hop(ctx, frame, idLabel, args.map(_.toString), "src", "dst")
+        case ("in", args) if args.forall(_.isInstanceOf[String]) =>
+          frame = hop(ctx, frame, idLabel, args.map(_.toString), "dst", "src")
+        case ("both", args) if args.forall(_.isInstanceOf[String]) =>
+          frame = hop(ctx, frame, idLabel, args.map(_.toString), "src", "dst")
+            .unionByName(hop(ctx, frame, idLabel, args.map(_.toString), "dst", "src"))
         case ("dedup", Nil) =>
           // Gremlin dedup() keys on the CURRENT element, not the path:
           // with path tracking on, an arbitrary traverser's path survives
@@ -491,13 +509,13 @@ object Gremlin {
         case ("hasLabel", Seq(l: String)) => frame.where(col("label") === l)
         case ("has", args) => frame.where(hasCond(args))
         case ("hasNot", Seq(k: String)) => frame.where(col(k).isNull)
-        case ("out", args) if args.length <= 1 =>
-          hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
-        case ("in", args) if args.length <= 1 =>
-          hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src")
-        case ("both", args) if args.length <= 1 =>
-          hop(ctx, frame, idLabel, args.headOption.map(_.toString), "src", "dst")
-            .unionByName(hop(ctx, frame, idLabel, args.headOption.map(_.toString), "dst", "src"))
+        case ("out", args) if args.forall(_.isInstanceOf[String]) =>
+          hop(ctx, frame, idLabel, args.map(_.toString), "src", "dst")
+        case ("in", args) if args.forall(_.isInstanceOf[String]) =>
+          hop(ctx, frame, idLabel, args.map(_.toString), "dst", "src")
+        case ("both", args) if args.forall(_.isInstanceOf[String]) =>
+          hop(ctx, frame, idLabel, args.map(_.toString), "src", "dst")
+            .unionByName(hop(ctx, frame, idLabel, args.map(_.toString), "dst", "src"))
         case ("dedup", Nil) => frame.distinct()
         case ("values", Seq(c: String)) =>
           // the coalesce correlation id must survive a value projection
@@ -517,10 +535,12 @@ object Gremlin {
     * labels. Bag semantics (no distinct) — Gremlin's traverser count.
     * `as(..)` bindings (the `__as_*` stash columns) ride along. */
   private def hop(ctx: EtlContext, frame: DataFrame, idLabel: DataFrame,
-                  elabel: Option[String], from: String, to: String): DataFrame = {
+                  elabels: Seq[String], from: String, to: String): DataFrame = {
     val edges0 = ctx.edges.getOrElse(
       fail("traversal step needs edges — apply an `edge` stage first"))
-    val edges = elabel.fold(edges0)(l => edges0.where(col("label") === l))
+    val edges =
+      if (elabels.isEmpty) edges0
+      else edges0.where(col("label").isin(elabels: _*))
     val stash = frame.columns
       .filter(c => c.startsWith("__as_") || c == "__path" || c == "__tid").toSeq
     val landed = frame.select(col("id").as("__from") +: stash.map(col): _*)

@@ -955,9 +955,12 @@ object Stages {
     def rewrite(s0: String): String = {
       val s = jsRewriteMath(jsInlineCalls(s0, fns))
       val inlined = outsideJsLiterals(s) { seg0 =>
-        // JS boolean operators → dialect keywords; `.length` PROPERTY
-        // (no parens — the JS spelling) → the dialect's .length() method
+        // JS boolean operators → dialect keywords (strict ===/!== first,
+        // then logical NOT — `!` not followed by `=`); `.length`
+        // PROPERTY (no parens — the JS spelling) → the .length() method
         var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
+          .replace("===", " == ").replace("!==", " != ")
+          .replaceAll(raw"!(?!=)", " NOT ")
           .replaceAll(raw"\.length\b(?!\s*\()", ".length()")
         // inline locals (latest definition first so redefinition chains
         // resolve through their predecessors already being inlined);

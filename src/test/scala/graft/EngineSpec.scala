@@ -755,6 +755,20 @@ class EngineSpec extends SparkSpec {
     }""")
     assert(inc.filter(col("n_nationkey") === 5).head()
       .getAs[Number]("k").longValue == 16L)
+    // JS strict equality and logical NOT translate (`!` outside `!=`)
+    val neg = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.small = !(record.n_nationkey > 5); record.isone = record.n_nationkey === 1 ? 'y' : 'n'; record.notone = record.n_nationkey !== 1;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val nr = neg.filter(col("n_nationkey") === 1).head()
+    assert(nr.getAs[Boolean]("small") && nr.getAs[String]("isone") == "y" &&
+      !nr.getAs[Boolean]("notone"))
+    val nr7 = neg.filter(col("n_nationkey") === 7).head()
+    assert(!nr7.getAs[Boolean]("small") && nr7.getAs[String]("isone") == "n" &&
+      nr7.getAs[Boolean]("notone"))
     // chain guard: an earlier condition reading the assigned column is
     // rejected, not silently re-evaluated
     val e = intercept[Exception] {

@@ -219,6 +219,9 @@ class GraphSpec extends SparkSpec {
     val viaGremlin = g("g.V().out('lives')")
       .select("id").as[String].collect().toSeq.sorted
     assert(viaGremlin == viaMotif)
+    // multi-label hop: out('knows', 'lives') unions the label filters
+    assert(g("g.V().has('id', 'a').out('knows', 'lives')")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
     // in / both / has-on-property / terminal count
     assert(g("g.V().in('knows')").select("id").as[String].collect().toSeq == Seq("a"))
     assert(g("g.V().both('knows')").select("id").as[String].collect().toSeq.sorted ==
@@ -268,6 +271,12 @@ class GraphSpec extends SparkSpec {
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "d"))
     assert(g("g.V().coalesce(out('next'), has('id'))")
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
+    // g.V(id, …): named start vertices; out with SEVERAL labels hops
+    // along any of them
+    assert(g("g.V('a', 'd').out('next')")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "d"))
+    assert(g("g.V('a').repeat(out('next')).times(2)")
+      .select("id").as[String].collect().toSeq == Seq("c"))
     // choose: per-traverser if/else — p-labeled vertices hop, the city
     // stays (3-arg); 2-arg form keeps non-matching traversers as-is
     assert(g("g.V().choose(hasLabel('p'), out('next'), has('id'))")
