@@ -1897,6 +1897,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "url_host", "url_domain", "url_path").orderBy("doc_id")
     },
+    "url_normalize" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // canonicalization sweep: uppercase scheme/host, :443 default
+      // port, tracking params interleaved with real ones (unsorted),
+      // fragment — every %5 doc is a malformed URL that must pass
+      // through untouched. Oracle constructs the expected canonical
+      // form analytically from the same synthesis recipe.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'not a url' ELSE concat('HTTPS://WWW.', upper(source), '.COM:443/Path/', CAST(doc_id AS STRING), '?utm_source=x&b=', CAST(doc_id % 7 AS STRING), '&a=1&gclid=123#frag') END AS url FROM __input"}},
+          {"urlnormalize": {"field": "url"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "url_norm").orderBy("doc_id")
+    },
     "mixture_sample" -> { (s, dir) =>
       val c = ctx(s, dir)
       // weighted training mixture: three deterministic hash-sampled
@@ -3418,6 +3435,15 @@ object SparkEntry {
        "coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS url_path " +
        "FROM (SELECT doc_id, 'https://www.' || source || '-m.com/p/' || CAST(doc_id AS VARCHAR) AS url " +
        "FROM documents))) WHERE rn <= 10 ORDER BY doc_id"),
+    // expected canonical form constructed analytically from the same
+    // synthesis recipe: lowercased host, :443 gone, tracking params
+    // gone, survivors sorted (a=1 < b=N), fragment gone; malformed
+    // rows pass through untouched
+    "url_normalize" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'not a url' ELSE " +
+       "'https://www.' || lower(source) || '.com/Path/' || CAST(doc_id AS VARCHAR) " +
+       "|| '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) END AS url_norm " +
+       "FROM documents ORDER BY doc_id"),
     "mixture_sample" ->
       ("SELECT doc_id, lang, mix_source FROM (" +
        "SELECT doc_id, lang, 'base' AS mix_source FROM documents " +

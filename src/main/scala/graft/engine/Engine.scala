@@ -81,6 +81,7 @@ object Engine {
     "shuffle"       -> graft.split.SplitStages.shuffle _,
     "mixture"       -> graft.split.SplitStages.mixture _,
     "urlparse"      -> graft.text.WebStages.urlparse _,
+    "urlnormalize"  -> graft.text.WebStages.urlnormalize _,
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
     "chunk"         -> graft.split.SplitStages.chunk _,

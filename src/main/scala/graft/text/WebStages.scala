@@ -105,6 +105,56 @@ object WebStages {
       "(scheme|host|domain|path|query)")
   }
 
+  /** Query parameters that identify CLICKS, not CONTENT — the public
+    * tracking-parameter families (Google/Facebook/Microsoft click ids,
+    * Mailchimp, Instagram, Yandex); `utm_*` matches by prefix. */
+  private[graft] val TrackingParams: Seq[String] = Seq(
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+    "ref_src", "yclid", "dclid", "wbraid", "gbraid")
+
+  /** `urlnormalize`: canonicalize a URL for dedup / quota grouping —
+    * the same page fetched as `HTTP://Example.com:80/a?utm_source=x&b=1`
+    * and `http://example.com/a?b=1` must group together. Normalizations
+    * (each a pure codegen'd projection, no shuffle):
+    *  - fragment stripped (`#…` — never sent to the server);
+    *  - scheme and authority lowercased (DNS is case-insensitive;
+    *    userinfo-bearing URLs are lowercased with the authority —
+    *    documented simplification);
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *  - tracking query parameters dropped ([[TrackingParams]] + the
+    *    `utm_*` prefix family), remaining parameters SORTED and
+    *    re-joined (parameter order is almost never semantic; sorting
+    *    makes equal parameter sets compare equal);
+    *  - a row with no `scheme://` passes through UNCHANGED (a web
+    *    corpus is full of malformed URLs; don't half-normalize them).
+    * Options: `field` (default url), `out` (default url_norm). */
+  def urlnormalize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.strOr("field", "url")
+      val out = spec.strOr("out", "url_norm")
+      require(df.columns.contains(f), s"urlnormalize: no column '$f'")
+      val u = col(f)
+      val noFrag = regexp_replace(u, "#.*$", "")
+      val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
+      val auth = lower(regexp_extract(noFrag,
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+      val tail = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+      val authP = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+      val path = regexp_extract(tail, "^([^?#]*)", 1)
+      val q = regexp_extract(tail, "\\?([^#]*)", 1)
+      val kept = filter(split(q, "&"), p => {
+        val name = lower(element_at(split(p, "="), 1))
+        !(name.startsWith("utm_") || name.isInCollection(TrackingParams) ||
+          p === lit(""))
+      })
+      val newq = array_join(array_sort(kept), "&")
+      val norm = concat(scheme, lit("://"), authP, path,
+        when(newq === "", lit("")).otherwise(concat(lit("?"), newq)))
+      df.withColumn(out, when(scheme === "", u).otherwise(norm))
+    }
+
   /** `urlparse`: decompose a URL column into `<prefix><part>` columns.
     * Options: `field` (default url), `parts` (default [host, domain,
     * path]), `prefix` (default `url_`). Pure per-row regex projection —

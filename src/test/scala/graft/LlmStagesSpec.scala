@@ -868,6 +868,33 @@ class LlmStagesSpec extends SparkSpec {
     assert(hetero.where(col("mix_source") === "wide").count() > 0)
   }
 
+  test("urlnormalize: case/port/tracking/fragment/param-order canonicalization") {
+    val urls = Seq(
+      ("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#top",
+       "http://example.com/a?a=1&b=2"),
+      ("https://site.org:443/p?gclid=9", "https://site.org/p"),
+      // non-default port kept; params already canonical stay
+      ("https://site.org:8443/p?a=1", "https://site.org:8443/p?a=1"),
+      // ftp: unknown scheme — port untouched, still lowercased/sorted
+      ("FTP://Host.Net:21/f?z=1&y=2", "ftp://host.net:21/f?y=2&z=1"),
+      // no query, no path
+      ("https://X.Y", "https://x.y"),
+      // all params tracking → '?' disappears entirely
+      ("https://a.b/p?utm_medium=m&fbclid=1", "https://a.b/p"),
+      // malformed: no scheme → untouched
+      ("not a url", "not a url"),
+      ("/relative/path?a=1", "/relative/path?a=1"))
+    val df = urls.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val out = stage("urlnormalize")(df).orderBy("doc_id")
+      .select("url_norm").as[String].collect().toSeq
+    assert(out == urls.map(_._2), out.zip(urls.map(_._2))
+      .filter(p => p._1 != p._2).mkString("; "))
+    // pure projection: no shuffle
+    val plan = stage("urlnormalize")(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"urlnormalize must not shuffle:\n$plan")
+  }
+
   // --------------------------------------------------- curation: urlparse
   test("urlparse: host/domain/path/query extraction; malformed → empty") {
     val df = Seq(
