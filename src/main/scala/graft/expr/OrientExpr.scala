@@ -157,7 +157,10 @@ object OrientExpr {
           // `+` with a known-string side concatenates (OrientDB / JS
           // semantics); numeric-vs-string typing of bare COLUMNS is
           // unknowable at parse time — those keep numeric add, use
-          // .append()/format() for column-column string concat
+          // .append()/format() for column-column string concat.
+          // Known deviation: numeric rendering follows Spark's string
+          // cast (whole doubles concat as '5.0'), not JS's '5' — use
+          // .asLong()/.format() for JS-exact rendering
           l = if (l.stringy || r.stringy)
             Arg(concat(l.col.cast("string"), r.col.cast("string")), stringy = true)
           else Arg(l.col + r.col)
@@ -178,7 +181,12 @@ object OrientExpr {
       l
     }
     private def parseUnary(): Arg = peek match {
-      case TOp("-") => next(); Arg(lit(0) - parsePostfix().col)
+      case TOp("-") =>
+        next()
+        val a = parsePostfix()
+        // a negated literal stays a literal (`round(x, -2)`,
+        // `slice(-3)`'s loud guard)
+        Arg(lit(0) - a.col, a.lit.map(v => s"-$v"))
       case _ => parsePostfix()
     }
 
@@ -323,10 +331,20 @@ object OrientExpr {
             .otherwise(rpad(target, len, p.litStr("pad string")))
         case ("repeat", Seq(n))        => repeat(target, n.litStr("repeat count").toInt)
         case ("tostring", Nil)         => target.cast("string")
-        // non-negative-index slice = Java substring semantics; negative
-        // JS indices have no bounded-plan translation here
-        case ("slice", Seq(a))         => target.substr(a.col + lit(1), length(target))
-        case ("slice", Seq(a, b))      => target.substr(a.col + lit(1), b.col - a.col)
+        // non-negative-index slice = Java substring semantics; a
+        // LITERAL negative index fails loud (substr's from-end counting
+        // is off by one vs JS slice — silently wrong data otherwise);
+        // non-literal indices are the caller's contract
+        case ("slice", as) if as.size == 1 || as.size == 2 =>
+          as.foreach(_.lit match {
+            case Some(v) if v.toString.matches("-\\d+.*") =>
+              fail(s"slice($v): negative JS indices are not translated — " +
+                "compute from .length() explicitly (e.g. " +
+                "x.substring(x.length() - 3))")
+            case _ => ()
+          })
+          if (as.size == 1) target.substr(as.head.col + lit(1), length(target))
+          else target.substr(as.head.col + lit(1), as(1).col - as.head.col)
         case ("concat", as) if as.nonEmpty => concat(target +: as.map(_.col): _*)
         case ("asstring", Nil)         => target.cast("string")
         case ("asinteger", Nil)        => target.cast("int")

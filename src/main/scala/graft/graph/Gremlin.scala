@@ -112,13 +112,14 @@ object Gremlin {
     * JS transformer's loop unrolling). `times(0)` erases the chain. */
   private def expandRepeats(body: String): String =
     RepeatTimes.replaceAllIn(body, m => {
-      // an adjacent emit() modulator (before or after) switches the loop
-      // to the frontier-emitting frame-level form — leave it for the
-      // step translator
-      val emitAdjacent =
-        body.substring(0, m.start).matches("(?s).*\\bemit\\(\\s*\\)\\s*$") ||
-        body.substring(m.end).matches("(?s)\\s*\\.\\s*emit\\s*\\(.*")
-      if (emitAdjacent) java.util.regex.Matcher.quoteReplacement(m.matched)
+      // an adjacent emit()/until() modulator (before or after) switches
+      // the loop to the frame-level form — leave it for the step
+      // translator (textually unrolling would strand the modulator)
+      val modAdjacent =
+        body.substring(0, m.start)
+          .matches("(?s).*\\b(?:emit\\(\\s*\\)|until\\((?:[^()]|\\([^()]*\\))*\\))\\s*$") ||
+        body.substring(m.end).matches("(?s)\\s*\\.\\s*(?:emit|until)\\s*\\(.*")
+      if (modAdjacent) java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val inner0 = m.group(1).trim
         if (inner0.isEmpty) fail("repeat(): empty traversal")
@@ -368,12 +369,20 @@ object Gremlin {
             chains.forall(_.isInstanceOf[RawChain]) =>
           // per-traverser first-non-empty branch: branch b's results are
           // taken for exactly the traversers no earlier branch matched
-          // (left-anti precedence on a synthetic traverser id — the id
-          // is correlation-only state, never output, so the
-          // partition-dependent numbering is safe)
+          // (left-anti precedence on a synthetic traverser id). The id
+          // must bind to the SAME row in every subtree that re-evaluates
+          // `keyed` (branches AND the anti-joins) — a bare
+          // monotonically_increasing_id over a shuffle output is not
+          // re-evaluation-stable (fetch order varies), so the frame is
+          // hash-partitioned and sorted on ALL its columns first: the
+          // row→id binding is then deterministic up to swaps between
+          // IDENTICAL rows, which are interchangeable by definition
           if (trackPath)
             fail("coalesce() together with path() is not in the translated subset")
-          val keyed = frame.withColumn("__tid", monotonically_increasing_id())
+          val allCols = frame.columns.map(col).toSeq
+          val keyed = frame.repartition(allCols: _*)
+            .sortWithinPartitions(allCols: _*)
+            .withColumn("__tid", monotonically_increasing_id())
           var rest = keyed
           val picked = chains.map { c =>
             val b = applyBranch(ctx, rest, idLabel, c.asInstanceOf[RawChain].src)

@@ -219,31 +219,45 @@ object Loaders {
     * (OETLPipeline.java:121-136) is to FAIL the second writer loudly at
     * acquisition, not to corrupt silently.
     *
-    * Mechanics: `<path>.lock` acquired via atomic create-no-overwrite
-    * (atomic on HDFS and local filesystems), holder + timestamp inside,
-    * deleted in `finally`. A lease older than `lockStaleMinutes`
-    * (default 60) is broken and re-acquired so a writer that died
-    * mid-merge cannot block the table forever — the crash-recovery
-    * rename protocol makes the table state safe to take over.
-    * (Stale-breaking is best-effort: two waiters racing the break can
-    * in principle both proceed on a filesystem without atomic
-    * compare-and-swap; the stale window is the accepted trade, same as
-    * every marker-file lease.) */
+    * Mechanics: `<path>.lock` acquired via create-no-overwrite — atomic
+    * on HDFS/object stores; for `file://` the claim goes through
+    * `File.createNewFile` (O_EXCL) because Hadoop's local create is
+    * check-then-create. While the merge runs, a daemon HEARTBEAT
+    * refreshes the lock's mtime every staleMins/4, so a LIVE merge of
+    * any duration never looks stale; a lease whose mtime is older than
+    * `lockStaleMinutes` (default 60) can only come from a dead writer
+    * and is broken and re-acquired — the crash-recovery rename protocol
+    * makes the table state safe to take over. (Stale-breaking is
+    * best-effort: two waiters racing the break can in principle both
+    * proceed on a store without compare-and-swap; the stale window is
+    * the accepted trade, same as every marker-file lease.) */
   private def withWriteLease[T](ctx: EtlContext, spec: ComponentSpec,
                                 path: String)(body: => T): T = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = new HPath(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     val lock = new HPath(path + ".lock")
     val staleMins = spec.long("lockStaleMinutes").getOrElse(60L)
-    def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lock, false) // no-overwrite: the atomic claim
-        out.write((s"""{"holder":"${java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getName}",""" +
-          s""""acquired_ms":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    val holder = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    def writeInfo(): Unit = {
+      val out = fs.create(lock, true)
+      out.write((s"""{"holder":"$holder",""" +
+        s""""acquired_ms":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+      out.close()
+    }
+    def tryAcquire(): Boolean = {
+      val claimed =
+        if ("file".equals(lock.toUri.getScheme) ||
+            fs.getUri.getScheme == "file")
+          // O_EXCL — Hadoop's RawLocalFileSystem create(false) is
+          // check-then-create, not atomic
+          try new java.io.File(lock.toUri.getPath).createNewFile()
+          catch { case _: java.io.IOException => false }
+        else
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+      if (claimed) writeInfo()
+      claimed
+    }
     var acquired = tryAcquire()
     if (!acquired) {
       val st = try Some(fs.getFileStatus(lock))
@@ -263,7 +277,19 @@ object Loaders {
         "interleave their swaps; retry after it finishes (a dead " +
         s"holder's lease breaks automatically after lockStaleMinutes=$staleMins)")
     }
-    try body finally fs.delete(lock, false)
+    // heartbeat: a LIVE merge must never cross the stale threshold
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(1L, staleMins * 60000L / 4))
+        fs.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$path")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      fs.delete(lock, false)
+    }
   }
 
   private def upsertParquet(ctx: EtlContext, spec: ComponentSpec,

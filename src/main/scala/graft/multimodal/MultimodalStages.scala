@@ -208,12 +208,16 @@ object MultimodalStages {
         case "error" => false
         case other => sys.error(s"mm_frame_decode: unknown onUndecodable '$other' (error|skip)")
       }
-      val imageCodecs = Set("jpeg", "mjpa", "mjpb", "mp4v", "png ")
+      // MJPEG-family sample entries only: every sample is one complete
+      // encoded image. 'mp4v' (MPEG-4 Part 2) is inter-predicted and
+      // deliberately NOT here — it must hit the typed error, not die
+      // inside ImageIO with a confusing no-reader message
+      val imageCodecs = Set("jpeg", "mjpa", "mjpb", "png ")
       def decodeOne(s: VideoCodec.FrameSample): FrameDecode = {
         if (!imageCodecs(s.codec))
           sys.error(s"mm_frame_decode: media_id=${s.media_id}: codec " +
             s"'${s.codec}' frames are not self-contained images — " +
-            "pixel decode covers MJPEG-style tracks (jpeg/mp4v); " +
+            "pixel decode covers MJPEG-style tracks (jpeg/mjpa/mjpb); " +
             "inter-predicted codecs need an external decoder")
         val (w, h, luma) = ImageCodec.pixelStats(s.media_id, s.frame)
         FrameDecode(s.media_id, s.frame_idx, w, h, luma, luma > 127.0)

@@ -285,6 +285,13 @@ class GraphSpec extends SparkSpec {
       .select("id").as[String].collect().toSeq == Seq("b"))
     assert(g("g.V().has('id', 'c').choose(hasLabel('p'), out('next'))")
       .select("id").as[String].collect().toSeq == Seq("c"))
+    // until COMBINED with times: the loop stays frame-level (the textual
+    // unroller must not strand the modulator); the tighter bound wins —
+    // from a, times(1) stops before the city exit
+    assert(g("g.V().has('id', 'a').repeat(out('next')).until(hasLabel('city')).times(1)")
+      .select("id").as[String].collect().toSeq == Seq("b"))
+    assert(g("g.V().has('id', 'a').until(hasLabel('city')).repeat(out('next')).times(5)")
+      .select("id").as[String].collect().toSeq == Seq("c"))
     // guards: double until, orphan emit, hop inside until all name rules
     val e1 = intercept[RuntimeException](
       g("g.V().until(has('id')).repeat(out('next')).until(has('id'))"))

@@ -263,20 +263,21 @@ class MultimodalSpec extends SparkSpec {
       id, MediaFixtures.mjpegPayload(id), 2, 64)
     assert(sampled.forall(_.codec == "jpeg"))
     assert(sampled.forall(s => s.first_byte == 0xFF))
-    // a non-image codec ('mp4v' carries the 1-byte stub samples here —
-    // but codec mp4v IS allowed; fake an avc1 track via a renamed
-    // sample entry is out of scope, so check the error path with junk)
+    // corrupt payload: skip drops, error names the row
     val dirty = Seq((99L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
     assert(stage("mm_frame_decode", "idField" -> "media_id",
       "onUndecodable" -> "skip")(dirty).count() == 0)
     val e = intercept[Exception](
       stage("mm_frame_decode", "idField" -> "media_id")(dirty).collect())
     assert(e.getMessage != null)
-    // an mp4v track whose samples are NOT decodable images: named error
+    // an inter-predicted codec ('mp4v' here) hits the TYPED error naming
+    // the codec — never ImageIO's confusing no-reader failure
     val stub = Seq((4L, MediaFixtures.videoPayload(4L))).toDF("media_id", "payload")
     val e2 = intercept[Exception](
       stage("mm_frame_decode", "idField" -> "media_id")(stub).collect())
-    assert(e2.getMessage != null)
+    assert(e2.getMessage.contains("mp4v") &&
+      e2.getMessage.contains("not self-contained"),
+      s"expected the typed codec error: ${e2.getMessage}")
   }
 
   test("mm_phash: average-hash recovers the planted block pattern from real PNG bytes") {

@@ -131,5 +131,11 @@ class OrientExprSpec extends SparkSpec {
     assert(eval1("pow(2, 10)") == 1024.0)
     assert(eval1("sign(-9)") == -1.0)
     assert(eval1("round(2.567, 2)") == 2.57)
+    // negated literals keep their literal payload: negative round
+    // scales work; a negative slice index fails LOUD (silent off-by-one
+    // from Spark's from-end substr otherwise)
+    assert(eval1("round(1234.5, -2)") == 1200.0)
+    val e = intercept[Exception](eval1("'ABCDEF'.slice(-3)"))
+    assert(e.getMessage.contains("negative"), e.getMessage)
   }
 }
