@@ -2049,6 +2049,20 @@ object SparkEntry {
         .select("rule", "rows", "violations", "ratio", "passed")
         .orderBy("rule")
     },
+    "tokeninfo_bigram" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // bigram conditional surprise — the integer-exact n-gram-LM
+      // perplexity stand-in: bits = floor(log2 cnt(w1.)/cnt(w1 w2)) + 1
+      // per bigram occurrence against the corpus's own bigram model
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"tokeninfo": {"idField": "doc_id",
+          "field": "text", "n": 2}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_info_tokens", "info_bits", "bits_per_token")
+        .orderBy("doc_id")
+    },
     "tokeninfo" -> { (s, dir) =>
       val c = ctx(s, dir)
       // corpus self-information score: integer bits per token
@@ -3613,6 +3627,20 @@ object SparkEntry {
        "CASE WHEN rows = 0 THEN 1.0 ELSE CAST(rows - violations AS DOUBLE) / rows END AS ratio, " +
        "(CASE WHEN rows = 0 THEN 1.0 ELSE CAST(rows - violations AS DOUBLE) / rows END) >= min_ratio AS passed " +
        "FROM m ORDER BY rule"),
+    // bigram model mirrored in SQL: lockstep unnest of l[1:n-1]/l[2:n]
+    // builds the bigram stream; integer bits like the unigram form
+    "tokeninfo_bigram" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l FROM documents), " +
+       "bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM t WHERE len(l) >= 2), " +
+       "cb AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2), " +
+       "cp AS (SELECT w1, count(*) AS cpre FROM bg GROUP BY 1), " +
+       "d AS (SELECT bg.doc_id, count(*) AS nt, " +
+       "CAST(sum(length(bin(cp.cpre // cb.cbg))) AS BIGINT) AS bits " +
+       "FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) GROUP BY 1) " +
+       "SELECT doc.doc_id, CAST(coalesce(d.nt, 0) AS BIGINT) AS n_info_tokens, " +
+       "CAST(coalesce(d.bits, 0) AS BIGINT) AS info_bits, " +
+       "CASE WHEN coalesce(d.nt, 0) > 0 THEN CAST(d.bits AS DOUBLE) / d.nt END AS bits_per_token " +
+       "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id ORDER BY doc.doc_id"),
     "tokeninfo" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
        "FROM documents), tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''), " +

@@ -362,26 +362,52 @@ object TextStages {
     * rows).
     *
     * Options: `idField` (default doc_id), `field` (default text),
-    * `lowercase` (default true).
+    * `lowercase` (default true), `n` (1 = unigram self-information,
+    * the default; 2 = BIGRAM conditional surprise — per bigram
+    * occurrence `bits = floor(log2 cnt(w1·) / cnt(w1 w2)) + 1` against
+    * the corpus's own bigram model, the integer-exact stand-in for
+    * n-gram-LM perplexity filtering: fluent text full of common
+    * continuations scores low bits/token, garbled or rare-transition
+    * text scores high).
     *
     * Scale shape: tokenize+explode → corpus term counts (ONE hash agg,
     * map-side combine) → join counts on term (vocabulary-keyed: AQE
     * broadcasts small vocabularies, shuffle-hash otherwise — vocab
     * rows, never corpus rows) + 1-row total attach → per-doc sum
-    * (second map-side-combined agg) → id-join back to the input. */
+    * (second map-side-combined agg) → id-join back to the input. The
+    * bigram mode swaps the 1-row total for the prefix-count join —
+    * same shape, one extra vocabulary-keyed join. */
   def tokenInfo(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
       val f0 = col(spec.strOr("field", "text"))
       val f = if (spec.bool("lowercase", dflt = true)) lower(f0) else f0
-      val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
-        .where(col("__tok") =!= "")
-      val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
-      val total = toks.agg(count(lit(1)).as("__n"))
-      val perDoc = toks.join(counts, "__tok").crossJoin(total)
-        .withColumn("__bits", length(bin(expr("__n div __cnt"))).cast("long"))
-        .groupBy("__id")
-        .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+      val order = spec.int("n", 1)
+      require(order == 1 || order == 2,
+        s"tokeninfo: n must be 1 (unigram) or 2 (bigram), got $order")
+      val perDoc = if (order == 1) {
+        val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
+          .where(col("__tok") =!= "")
+        val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+        val total = toks.agg(count(lit(1)).as("__n"))
+        toks.join(counts, "__tok").crossJoin(total)
+          .withColumn("__bits", length(bin(expr("__n div __cnt"))).cast("long"))
+          .groupBy("__id")
+          .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+      } else {
+        val tarr = filter(tokens(f), t => t =!= "")
+        val win = greatest(size(tarr) - 1, lit(0))
+        val bgs = zip_with(slice(tarr, lit(1), win), slice(tarr, lit(2), win),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+        val stream = df.select(col(id).as("__id"), explode(bgs).as("__bg"))
+          .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+        val cntBg = stream.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cbg"))
+        val cntPre = stream.groupBy("__w1").agg(count(lit(1)).as("__cpre"))
+        stream.join(cntBg, Seq("__w1", "__w2")).join(cntPre, Seq("__w1"))
+          .withColumn("__bits", length(bin(expr("__cpre div __cbg"))).cast("long"))
+          .groupBy("__id")
+          .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+      }
       df.join(perDoc, col(id) === col("__id"), "left").drop("__id")
         .withColumn("n_info_tokens", coalesce(col("n_info_tokens"), lit(0L)))
         .withColumn("info_bits", coalesce(col("info_bits"), lit(0L)))

@@ -1056,6 +1056,24 @@ class LlmStagesSpec extends SparkSpec {
       (3L, 0L, 0L, None)))       // whitespace-only doc: no tokens, null bpt
   }
 
+  test("tokeninfo n=2: bigram conditional-surprise bits match hand computation") {
+    // bigram stream: (a b) (b a) (a b) | (a c) →
+    // cnt(a b)=2, cnt(b a)=1, cnt(a c)=1; prefixes: a.=3, b.=1
+    // bits = len(bin(cpre div cbg)): (a b)→len(bin(1))=1,
+    // (b a)→len(bin(1))=1, (a c)→len(bin(3))=2
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = stage("tokeninfo", "n" -> 2)(df)
+      .select("doc_id", "n_info_tokens", "info_bits", "bits_per_token")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, Some(1.0)),   // (a b) + (b a) + (a b) = 1+1+1
+      (2L, 1L, 2L, Some(2.0)),   // (a c) = 2
+      (3L, 0L, 0L, None)))       // one token: no bigram, null bpt
+    val e = intercept[Exception](stage("tokeninfo", "n" -> 3)(df).collect())
+    assert(e.getMessage.contains("n must be 1"), e.getMessage)
+  }
+
   // -------------------------------------------------------------- tfidf
   test("tfidf: linear-idf scores and ranks match hand computation") {
     // 3 docs; "rare" only in doc 1, "common" in all
