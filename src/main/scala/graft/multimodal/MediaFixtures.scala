@@ -65,6 +65,8 @@ object MediaFixtures {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as(Encoders.scalaLong)
+      .repartition(FixtureFiles) // parallel generation AND a multi-file
+                                 // layout, so decode stages scan in parallel
       .mapPartitions(it => it.map(id => (id, mediaType(id), payload(id))))(enc)
       .toDF("media_id", "media_type", "payload")
   }
@@ -99,6 +101,8 @@ object MediaFixtures {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as(Encoders.scalaLong)
+      .repartition(FixtureFiles) // parallel generation AND a multi-file
+                                 // layout, so decode stages scan in parallel
       .mapPartitions(it => it.map(id => (id, audioPayload(id))))(enc)
       .toDF("media_id", "payload")
   }
@@ -196,6 +200,8 @@ object MediaFixtures {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as(Encoders.scalaLong)
+      .repartition(FixtureFiles) // parallel generation AND a multi-file
+                                 // layout, so decode stages scan in parallel
       .mapPartitions(it => it.map(id => (id, compressedAudioPayload(id))))(enc)
       .toDF("media_id", "payload")
   }
@@ -238,6 +244,8 @@ object MediaFixtures {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as(Encoders.scalaLong)
+      .repartition(FixtureFiles) // parallel generation AND a multi-file
+                                 // layout, so decode stages scan in parallel
       .mapPartitions(it => it.map(id => (id, videoPayload(id))))(enc)
       .toDF("media_id", "payload")
   }
@@ -284,6 +292,8 @@ object MediaFixtures {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as(Encoders.scalaLong)
+      .repartition(FixtureFiles) // parallel generation AND a multi-file
+                                 // layout, so decode stages scan in parallel
       .mapPartitions(it => it.map(id => (id, mjpegPayload(id))))(enc)
       .toDF("media_id", "payload")
   }
@@ -352,6 +362,8 @@ object MediaFixtures {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"))
       .as(Encoders.scalaLong)
+      .repartition(FixtureFiles) // parallel generation AND a multi-file
+                                 // layout, so decode stages scan in parallel
       .mapPartitions(it => it.map(id => (id, phashPayload(id))))(enc)
       .toDF("media_id", "payload")
   }
@@ -368,7 +380,16 @@ object MediaFixtures {
   /** Bump when the format plan / dimension arithmetic above changes —
     * the on-disk cache marker is keyed on it, so an edit here can never
     * leave a stale /tmp fixture disagreeing with the oracle. */
-  val Version = 2
+  /** Fixture parquet file count: small single-row-group files scan one
+    * task per FILE (Spark packs them ~one per openCost bin), so a
+    * multi-file layout is what lets the decode stages' mapPartitions
+    * run in parallel locally — exactly the shape a real media corpus
+    * has. Also parallelizes fixture GENERATION. */
+  val FixtureFiles = 16
+
+  // v3: multi-file fixture layout (FixtureFiles) — bump regenerates
+  // every cached /tmp fixture
+  val Version = 3
 
   /** Content key of the doc_id population every fixture derives from:
     * the driver REGENERATES testdata between rounds without notice
