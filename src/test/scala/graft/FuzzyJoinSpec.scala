@@ -95,6 +95,35 @@ class FuzzyJoinSpec extends SparkSpec {
       s"bounded probe panel must broadcast, not shuffle the index:\n$plan")
   }
 
+  test("randomized differential: 250 seeded strings over a 3-letter alphabet") {
+    // a tiny alphabet makes near-matches DENSE and adversarial for the
+    // positional filter (the same gram recurs at many positions, edits
+    // shift positions at the band boundary) — any positional-pigeonhole
+    // mistake shows up as a missed pair vs brute force
+    val rnd = new scala.util.Random(42)
+    val strs = (0 until 250).map { i =>
+      val len = 2 + rnd.nextInt(10)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    for (d <- Seq(1, 2); q <- Seq(2, 3)) {
+      val df = strs.toDF("id", "name")
+      val got = FuzzyJoinStage.fuzzyjoin(ComponentSpec("fuzzyjoin",
+          Map("field" -> "name", "idField" -> "id", "maxDistance" -> d,
+            "q" -> q, "mode" -> "pairs")), newCtx())(df)
+        .select("probe_id", "match_id", "dist")
+        .as[(Long, Long, Long)].collect().toSet
+      val b = df.select(col("id").as("bid"), col("name").as("bname"))
+      val expected = df.crossJoin(b).where(col("id") < col("bid"))
+        .select(col("id"), col("bid"),
+          levenshtein(col("name"), col("bname")).cast("bigint").as("dist"))
+        .where(col("dist") <= d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(expected.size > 100, s"d=$d q=$q corpus must be dense")
+      assert(got == expected, s"d=$d q=$q missed=${(expected -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("plan contains no cartesian or nested-loop join") {
     val out = run("pairs")
     out.collect()
