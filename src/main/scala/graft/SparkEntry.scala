@@ -1788,6 +1788,24 @@ object SparkEntry {
           col("chunk_offset").cast("long").as("chunk_offset"))
         .orderBy("doc_id")
     },
+    "pipeline_curate" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // COMPOSITION check: quality filter → exact dedup → hash sample
+      // in ONE config. The dedup keep-one groups are computed over the
+      // FILTERED survivors (not the raw corpus) and the sample over the
+      // deduped set — order of stages is what the oracle CTE chain
+      // verifies, not the stages individually
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"qualityfilter": {"field": "text", "minChars": 120,
+            "maxChars": 450, "maxStopwordRatio": 0.15}},
+          {"dedup": {"keyFields": ["n_chars"], "tiebreakField": "doc_id"}},
+          {"hashsample": {"keyField": "doc_id", "fraction": "0.5"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
     "hash_sample" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -3399,6 +3417,17 @@ object SparkEntry {
     "hash_sample" ->
       ("SELECT doc_id, n_chars FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 2500 " +
+       "ORDER BY doc_id"),
+    // stage ORDER is what's verified: dedup groups over the FILTERED
+    // set, sample over the DEDUPED set
+    "pipeline_curate" ->
+      (s"WITH q AS (SELECT * FROM documents WHERE length(text) >= 120 AND length(text) <= 450 " +
+       s"AND CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +
+       s" / greatest(CAST(len($toks) AS DOUBLE), 1.0) <= 0.15), " +
+       "d AS (SELECT q.* FROM q JOIN (SELECT n_chars, min(doc_id) AS kid FROM q GROUP BY 1) g " +
+       "ON q.doc_id = g.kid) " +
+       "SELECT doc_id, n_chars FROM d " +
+       "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000 < 5000 " +
        "ORDER BY doc_id"),
     "rowid_assign" ->
       ("SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 + 1000 AS row_id " +
