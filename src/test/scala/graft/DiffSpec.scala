@@ -58,6 +58,29 @@ class DiffSpec extends SparkSpec {
     assert(e.getMessage.contains("null key"), e.getMessage)
   }
 
+  test("tablediff: self-diff is empty; diff after an upsert classifies exactly the delta") {
+    val base = s"$tmp/updiff_base"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(base)
+    def diffVs(df: org.apache.spark.sql.DataFrame) =
+      DiffStage.tablediff(ComponentSpec("tablediff",
+        Map("baseline" -> base, "key" -> "id")), newCtx())(df)
+    assert(diffVs(spark.read.parquet(base)).count() == 0, "self-diff must be empty")
+    // upsert a delta into a COPY of the table, then diff vs the original
+    val table = s"$tmp/updiff_tbl"
+    spark.read.parquet(base).write.mode("overwrite").parquet(table)
+    val deltaPq = s"$tmp/updiff_delta"
+    Seq((2L, "B"), (9L, "i")).toDF("id", "v").write.mode("overwrite").parquet(deltaPq)
+    graft.engine.Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$deltaPq"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$table", "mode": "upsert", "key": "id"}} }""")
+    val out = diffVs(spark.read.parquet(table)).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((2L, "changed", "v"), (9L, "added", "")),
+      s"diff must be exactly the upsert delta's effect: $out")
+  }
+
   test("tablediff: composite keys and a full-outer single-join plan") {
     val basePath = s"$tmp/base3"
     Seq(("x", 1L, 10), ("x", 2L, 20), ("y", 1L, 30))
