@@ -198,10 +198,26 @@ object Engine {
           org.apache.spark.sql.functions.lit(1)).as("rows"))
         loadObs = Some(o)
       }
-      // loader action → collect deferred observe checks (halt / counters)
-      val a = spec.loader.exists(Loaders.load(ctx, _, df))
-      if (a) ctx.drainChecks()
-      a
+      // `config: {"dryRun": true}` — validate + plan WITHOUT acting:
+      // the whole config compiles and Catalyst analyzes/optimizes it
+      // (unknown components, bad columns, type errors all still fail),
+      // the optimized plan prints to stderr, and the loader never runs.
+      // The operator's pre-flight for configs aimed at big targets.
+      val dryRun = spec.config.get("dryRun").exists {
+        case b: Boolean => b
+        case s: String => s.equalsIgnoreCase("true")
+        case _ => false
+      }
+      if (dryRun) {
+        System.err.println("[graft] dryRun plan:\n" +
+          df.queryExecution.optimizedPlan.treeString)
+        false
+      } else {
+        // loader action → collect deferred observe checks (halt / counters)
+        val a = spec.loader.exists(Loaders.load(ctx, _, df))
+        if (a) ctx.drainChecks()
+        a
+      }
     } catch { case e: EtlHaltException =>
       ctx.fireListeners(_.onHalt(ctx, e.getMessage)); throw e
     }

@@ -783,6 +783,31 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot also READ"), e.getMessage)
   }
 
+  test("dryRun: config compiles and analyzes, loader never acts") {
+    val path = writeNationCsv()
+    val out = s"$tmp/dryrun_out"
+    Engine.runJson(newCtx(), s"""{
+      "config": { "dryRun": true },
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "field": { "fieldName": "k2", "expression": "n_nationkey * 2" } } ],
+      "loader": { "parquet": { "path": "$out" } }
+    }""")
+    assert(!new java.io.File(out).exists, "dryRun must not write the target")
+    // analysis errors still surface (a bad column fails the dry run)
+    val e = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "config": { "dryRun": true },
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "field": { "fieldName": "x", "expression": "no_such_col + 1" } } ],
+        "loader": { "parquet": { "path": "$out" } }
+      }""")
+    }
+    assert(e.getMessage != null)
+    assert(!new java.io.File(out).exists)
+  }
+
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
     val path = writeNationCsv()
     val ctx = newCtx()
