@@ -2062,7 +2062,13 @@ object SparkEntry {
           {"name": "status_accepted", "check": "accepted",
             "column": "o_orderstatus", "values": ["F", "O", "P"]},
           {"name": "price_positive", "check": "expr",
-            "expr": "o_totalprice > 0", "minRatio": 0.99}]}}],
+            "expr": "o_totalprice > 0", "minRatio": 0.99},
+          {"name": "custkey_known", "check": "relationship",
+            "column": "o_custkey", "refPath": "$dir/customer.parquet",
+            "refColumn": "c_custkey"},
+          {"name": "custkey_vs_regiondim", "check": "relationship",
+            "column": "o_custkey", "refTable": "region",
+            "refColumn": "r_regionkey", "minRatio": 0.0}]}}],
         "loader": {"memory": {}} }""")
         .select("rule", "rows", "violations", "ratio", "passed")
         .orderBy("rule")
@@ -3651,7 +3657,11 @@ object SparkEntry {
        "UNION ALL SELECT 'price_positive', n.rows_, " +
        "(SELECT count(*) FROM orders WHERE NOT coalesce(o_totalprice > 0, false)) AS v, 0.99 FROM n " +
        "UNION ALL SELECT 'status_accepted', n.rows_, " +
-       "(SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')), 1.0 FROM n) " +
+       "(SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')), 1.0 FROM n " +
+       "UNION ALL SELECT 'custkey_known', n.rows_, " +
+       "(SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), 1.0 FROM n " +
+       "UNION ALL SELECT 'custkey_vs_regiondim', n.rows_, " +
+       "(SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = o.o_custkey)), 0.0 FROM n) " +
        "SELECT rule, CAST(rows AS BIGINT) AS rows, CAST(violations AS BIGINT) AS violations, " +
        "CASE WHEN rows = 0 THEN 1.0 ELSE CAST(rows - violations AS DOUBLE) / rows END AS ratio, " +
        "(CASE WHEN rows = 0 THEN 1.0 ELSE CAST(rows - violations AS DOUBLE) / rows END) >= min_ratio AS passed " +

@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   * aggregation over a single scan (no per-rule jobs); each `unique`
   * rule adds one map-side-combined count-per-value aggregation
   * (shuffles the distinct values once — the same cost as the
-  * `distinctcount` exact path). The metrics frame is rule-count rows. */
+  * `distinctcount` exact path); each `relationship` rule (dbt-style
+  * referential integrity: `column`'s non-null values must exist in
+  * `refPath`/`refTable`.`refColumn`) adds one left-anti join against
+  * the DISTINCT ref keys — dimension-sized, AQE broadcasts small
+  * ones. The metrics frame is rule-count rows. */
 object ExpectStage {
 
   /** `distinct: auto` threshold: past this many profiled columns the
@@ -151,8 +155,31 @@ object ExpectStage {
               .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"),
                 coalesce(sum(col("__c")), lit(0L)).as("rows"))
               .select(lit(name).as("rule"), col("rows"), col("violations"))
+          case "relationship" =>
+            // dbt-style referential integrity: every non-null value of
+            // `column` must exist in refTable/refPath.refColumn.
+            // Violations via a LEFT ANTI join against the DISTINCT ref
+            // keys (a dimension-sized relation — AQE broadcasts small
+            // ones); null FKs are not violations (pair with not_null)
+            val c = col(need(r, "column"))
+            val refCol = need(r, "refColumn")
+            val ref = (str(r, "refPath"), str(r, "refTable")) match {
+              case (Some(p), _) => spark.read.parquet(
+                graft.expr.OrientExpr.resolveString(p, ctx.varMap))
+              case (None, Some(t)) => spark.table(t)
+              case _ => sys.error(s"expect: rule $name needs `refPath` or `refTable`")
+            }
+            require(ref.columns.contains(refCol),
+              s"expect: rule $name — ref has no column '$refCol'")
+            val refKeys = ref.select(col(refCol).as("__rk")).distinct()
+            uniqueFrames += df.agg(count(lit(1)).as("rows"))
+              .crossJoin(broadcast(
+                df.where(c.isNotNull)
+                  .join(refKeys, c === col("__rk"), "left_anti")
+                  .agg(count(lit(1)).as("violations"))))
+              .select(lit(name).as("rule"), col("rows"), col("violations"))
           case other => sys.error(
-            s"expect: unknown check '$other' (not_null|unique|accepted|expr)")
+            s"expect: unknown check '$other' (not_null|unique|accepted|expr|relationship)")
         }
       }
 

@@ -176,4 +176,31 @@ class CubeExpectSpec extends SparkSpec {
       .select("passed").as[Boolean].collect().toSeq
     assert(empty == Seq(true, true, true, true))
   }
+
+  test("expect relationship: referential integrity vs a parquet ref; null FKs pass") {
+    val ctx = newCtx()
+    val refPath = java.nio.file.Files
+      .createTempDirectory("graft-expect-ref").toString + "/dim"
+    Seq(10L, 20L).toDF("k").write.mode("overwrite").parquet(refPath)
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, None: Option[Long])).toDF("id", "fk")
+    val out = ExpectStage.expect(ComponentSpec("expect", Map(
+        "rules" -> Seq(Map("name" -> "fk_known", "check" -> "relationship",
+          "column" -> "fk", "refPath" -> refPath, "refColumn" -> "k",
+          "minRatio" -> 0.7)))), ctx)(df)
+      .select("rule", "rows", "violations", "passed")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    // 99 is unknown (1 violation); the null FK is NOT a violation
+    assert(out == Seq(("fk_known", 4L, 1L, true)))
+    // missing ref column names the rule; missing ref spec names the keys
+    val e = intercept[Exception](ExpectStage.expect(ComponentSpec("expect", Map(
+      "rules" -> Seq(Map("name" -> "r", "check" -> "relationship",
+        "column" -> "fk", "refPath" -> refPath, "refColumn" -> "nope")))),
+      ctx)(df))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    val e2 = intercept[Exception](ExpectStage.expect(ComponentSpec("expect", Map(
+      "rules" -> Seq(Map("name" -> "r", "check" -> "relationship",
+        "column" -> "fk", "refColumn" -> "k")))), ctx)(df))
+    assert(e2.getMessage.contains("refPath"), e2.getMessage)
+  }
 }
