@@ -136,8 +136,14 @@ object Engine {
   def run(ctx: EtlContext, spec: PipelineSpec): DataFrame = {
     // config section → context vars (OETLProcessor.java:245-250)
     spec.config.foreach { case (k, v) => ctx.vars.put(k, v) }
+    // `config: {"dryRun": true}` — validate + plan WITHOUT acting (see
+    // the action branch below). Under dryRun only `let` begin blocks
+    // run (their variable bindings shape the plan); console/code blocks
+    // are side effects and are exactly what a pre-flight must not fire.
+    val dryRun = configFlag(spec, "dryRun")
     // begin blocks execute before extraction (OETLProcessor.java:119-126)
-    spec.begin.foreach(executeBlock(ctx, _))
+    spec.begin.filter(b => !dryRun || b.name == "let")
+      .foreach(executeBlock(ctx, _))
     ctx.fireListeners(_.onBegin(ctx))
 
     // FUSION: `file` + `row` feeding a leading plain `csv` transformer
@@ -170,11 +176,7 @@ object Engine {
     // Observe-only: the counts ride the loader's terminal action, no
     // extra job. Opt-in because each observe node is a codegen-fusion
     // barrier in the plan — free pipelines stay byte-identical.
-    val telemetry = spec.config.get("telemetry").exists {
-      case b: Boolean => b
-      case s: String => s.equalsIgnoreCase("true")
-      case _ => false
-    }
+    val telemetry = configFlag(spec, "telemetry")
     val t0 = System.nanoTime
     val extractObs = if (telemetry) {
       val o = ctx.newObservation("rows_extracted")
@@ -198,19 +200,18 @@ object Engine {
           org.apache.spark.sql.functions.lit(1)).as("rows"))
         loadObs = Some(o)
       }
-      // `config: {"dryRun": true}` — validate + plan WITHOUT acting:
-      // the whole config compiles and Catalyst analyzes/optimizes it
-      // (unknown components, bad columns, type errors all still fail),
-      // the optimized plan prints to stderr, and the loader never runs.
-      // The operator's pre-flight for configs aimed at big targets.
-      val dryRun = spec.config.get("dryRun").exists {
-        case b: Boolean => b
-        case s: String => s.equalsIgnoreCase("true")
-        case _ => false
-      }
+      // dryRun action branch: the whole config compiled and Catalyst
+      // analyzes/optimizes it here (unknown components, bad columns,
+      // type errors all still fail), the LOADER spec validates without
+      // acting (unknown name / missing required options fail the
+      // pre-flight like the real run would), the optimized plan prints
+      // to stderr, and pending observe checks are DISCARDED (no action
+      // ran — leaving them would poison the next real run).
       if (dryRun) {
+        spec.loader.foreach(Loaders.validate(ctx, _))
         System.err.println("[graft] dryRun plan:\n" +
           df.queryExecution.optimizedPlan.treeString)
+        ctx.discardChecks()
         false
       } else {
         // loader action → collect deferred observe checks (halt / counters)
@@ -237,10 +238,19 @@ object Engine {
       }
       ctx.fireListeners(_.onLoaded(ctx, ctx.lastStats))
     }
-    spec.end.foreach(executeBlock(ctx, _))
+    if (!dryRun) spec.end.foreach(executeBlock(ctx, _))
     ctx.fireListeners(_.onEnd(ctx))
     df
   }
+
+  /** Boolean config-section flag (`telemetry`, `dryRun`): accepts a
+    * JSON boolean or the string "true"; anything else is false. */
+  private def configFlag(spec: PipelineSpec, key: String): Boolean =
+    spec.config.get(key).exists {
+      case b: Boolean => b
+      case s: String => s.equalsIgnoreCase("true")
+      case _ => false
+    }
 
   def runJson(ctx: EtlContext, json: String): DataFrame =
     run(ctx, PipelineSpec.parse(json))

@@ -83,6 +83,12 @@ final class EtlContext(val spark: SparkSession) {
     }
   }
 
+  /** Drop registered checks WITHOUT evaluating them — the dryRun path:
+    * no action ran, so their observations would only block and read 0,
+    * and leaving them registered would poison the next real run on
+    * this context. */
+  def discardChecks(): Unit = synchronized { checks.clear() }
+
   /** Collect all observed metrics after an action ran on the final plan.
     * Throws [[EtlHaltException]] for any tripped halt check. */
   def drainChecks(): Unit = {

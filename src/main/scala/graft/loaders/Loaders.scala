@@ -742,6 +742,26 @@ object Loaders {
   /** Run the sink. Returns true when a terminal ACTION executed (so the
     * engine can collect deferred observe checks — EtlContext.drainChecks);
     * `memory` only registers the plan and returns false. */
+  /** The names [[load]] dispatches on — dryRun validates against this
+    * set (and the per-format required options below) without acting. */
+  val KnownLoaders: Set[String] = Set("output", "memory", "parquet", "orc",
+    "csv", "jsonl", "jdbc", "graph", "orientdb")
+
+  /** dryRun-time loader validation: unknown names and missing required
+    * options fail the pre-flight exactly like the real run would, with
+    * zero side effects. */
+  def validate(ctx: EtlContext, spec: ComponentSpec): Unit = {
+    if (!KnownLoaders(spec.name)) sys.error(s"unknown loader ${spec.name}")
+    spec.name match {
+      case "parquet" | "orc" | "csv" | "jsonl" =>
+        spec.str("path").getOrElse(sys.error(s"${spec.name} loader: path required"))
+        if (spec.name == "parquet" && spec.strOr("mode", "overwrite") == "upsert")
+          spec.str("key").getOrElse(sys.error("parquet loader: upsert requires key"))
+      case _ => ()
+    }
+    ()
+  }
+
   def load(ctx: EtlContext, spec: ComponentSpec, df0: DataFrame): Boolean = {
     val vars = ctx.varMap
     // `quarantinePath` (any loader): the badRecordsPath pattern — rows a

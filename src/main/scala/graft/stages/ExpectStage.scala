@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   *                       = rows beyond the first of each value; nulls
   *                       count as a value),
   *      - `accepted`   — `column` ∈ `values` (list),
-  *      - `expr`       — rows satisfying the boolean dialect `expr`.
+  *      - `expr`       — rows satisfying the boolean dialect `expr`,
+  *      - `relationship` — referential integrity: every non-null value
+  *                       of `column` exists in the ref relation named
+  *                       by `refPath` (parquet) or `refTable`
+  *                       (registered table; `${var}`s resolve), column
+  *                       `refColumn`; null FKs pass (pair with
+  *                       not_null).
   *    `minRatio` (default 1.0): minimum passing fraction; an empty
   *    input passes every rule (ratio defined as 1).
   *  - `onFail` (default `report`): `report` emits the metrics table;
@@ -157,26 +163,30 @@ object ExpectStage {
               .select(lit(name).as("rule"), col("rows"), col("violations"))
           case "relationship" =>
             // dbt-style referential integrity: every non-null value of
-            // `column` must exist in refTable/refPath.refColumn.
-            // Violations via a LEFT ANTI join against the DISTINCT ref
-            // keys (a dimension-sized relation — AQE broadcasts small
-            // ones); null FKs are not violations (pair with not_null)
+            // `column` must exist in refPath/refTable.refColumn.
+            // ONE scan + ONE left join against the DISTINCT ref keys
+            // (a dimension-sized relation — AQE broadcasts small ones):
+            // rows and violations come out of the same aggregation.
+            // Null FKs are not violations (pair with not_null).
             val c = col(need(r, "column"))
             val refCol = need(r, "refColumn")
             val ref = (str(r, "refPath"), str(r, "refTable")) match {
-              case (Some(p), _) => spark.read.parquet(
+              case (Some(_), Some(_)) => sys.error(
+                s"expect: rule $name — give `refPath` OR `refTable`, not both")
+              case (Some(p), None) => spark.read.parquet(
                 graft.expr.OrientExpr.resolveString(p, ctx.varMap))
-              case (None, Some(t)) => spark.table(t)
+              case (None, Some(t)) => spark.table(
+                graft.expr.OrientExpr.resolveString(t, ctx.varMap))
               case _ => sys.error(s"expect: rule $name needs `refPath` or `refTable`")
             }
             require(ref.columns.contains(refCol),
               s"expect: rule $name — ref has no column '$refCol'")
             val refKeys = ref.select(col(refCol).as("__rk")).distinct()
-            uniqueFrames += df.agg(count(lit(1)).as("rows"))
-              .crossJoin(broadcast(
-                df.where(c.isNotNull)
-                  .join(refKeys, c === col("__rk"), "left_anti")
-                  .agg(count(lit(1)).as("violations"))))
+            uniqueFrames += df
+              .join(refKeys, c === col("__rk"), "left")
+              .agg(count(lit(1)).as("rows"),
+                coalesce(sum(when(c.isNotNull && col("__rk").isNull, 1L)
+                  .otherwise(0L)), lit(0L)).as("violations"))
               .select(lit(name).as("rule"), col("rows"), col("violations"))
           case other => sys.error(
             s"expect: unknown check '$other' (not_null|unique|accepted|expr|relationship)")

@@ -806,6 +806,52 @@ class EngineSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
     assert(!new java.io.File(out).exists)
+    // loader errors fail the PRE-FLIGHT (unknown name / missing option)
+    val e2 = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "config": { "dryRun": true },
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "loader": { "parqet": { "path": "$out" } }
+      }""")
+    }
+    assert(e2.getMessage.contains("unknown loader"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "config": { "dryRun": true },
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "loader": { "parquet": { "mode": "upsert" } }
+      }""")
+    }
+    assert(e3.getMessage.contains("path required"), e3.getMessage)
+    // side-effecting begin/end blocks do NOT run (let blocks DO — their
+    // bindings shape the plan); a dry run followed by a REAL run on the
+    // same context works (no stale observe checks poison it)
+    val ctx = newCtx()
+    var fired = 0
+    Engine.registerCode("dry_block")(df => { fired += 1; df })
+    Engine.runJson(ctx, s"""{
+      "config": { "dryRun": true },
+      "begin": [ { "code": { "ref": "dry_block" } },
+                 { "let": { "name": "bump", "value": 5 } } ],
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [
+        { "field": { "fieldName": "k2", "expression": "n_nationkey + $$bump" } },
+        { "log": { "prefix": "dryrun" } } ],
+      "loader": { "parquet": { "path": "$out" } },
+      "end": [ { "code": { "ref": "dry_block" } } ]
+    }""")
+    assert(fired == 0, "side-effecting blocks must not run under dryRun")
+    assert(!new java.io.File(out).exists)
+    val real = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "log": { "prefix": "realrun" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(real.count() > 0)
   }
 
   test("telemetry: extract/load rows-per-sec stats ride the loader action") {
