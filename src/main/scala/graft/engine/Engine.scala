@@ -141,6 +141,7 @@ object Engine {
     // run (their variable bindings shape the plan); console/code blocks
     // are side effects and are exactly what a pre-flight must not fire.
     val dryRun = configFlag(spec, "dryRun")
+    ctx.dryRun = dryRun // mid-pipeline `block` transformers consult it
     // begin blocks execute before extraction (OETLProcessor.java:119-126)
     spec.begin.filter(b => !dryRun || b.name == "let")
       .foreach(executeBlock(ctx, _))
@@ -317,7 +318,8 @@ object Engine {
     spec.options.collectFirst {
       case (name, opts: Map[_, _]) if Set("let", "console", "code").contains(name) =>
         ComponentSpec(name, opts.asInstanceOf[Map[String, Any]])
-    }.foreach(executeBlock(ctx, _))
+    }.filter(b => !ctx.dryRun || b.name == "let") // pre-flight: no side effects
+      .foreach(executeBlock(ctx, _))
     df
   }
 

@@ -63,6 +63,11 @@ final class EtlContext(val spark: SparkSession) {
     * telemetry — OETLProcessor.java:545-585 parity). */
   var lastStats: Option[EtlContext.RunStats] = None
 
+  /** True while Engine.run executes a `config: {dryRun: true}` pipeline:
+    * side-effecting blocks (console/code — including the mid-pipeline
+    * `block` transformer's) must not fire during the pre-flight. */
+  var dryRun: Boolean = false
+
   /** Registered pipeline-lifecycle listeners (see [[EtlListener]]). */
   val listeners = ArrayBuffer.empty[EtlListener]
   def addListener(l: EtlListener): Unit = synchronized { listeners += l }

@@ -839,11 +839,13 @@ class EngineSpec extends SparkSpec {
       "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
       "transformers": [
         { "field": { "fieldName": "k2", "expression": "n_nationkey + $$bump" } },
+        { "block": { "code": { "ref": "dry_block" } } },
         { "log": { "prefix": "dryrun" } } ],
       "loader": { "parquet": { "path": "$out" } },
       "end": [ { "code": { "ref": "dry_block" } } ]
     }""")
-    assert(fired == 0, "side-effecting blocks must not run under dryRun")
+    assert(fired == 0,
+      "side-effecting blocks (begin/mid-pipeline/end) must not run under dryRun")
     assert(!new java.io.File(out).exists)
     val real = Engine.runJson(ctx, s"""{
       "source": { "file": { "path": "$path" } },
