@@ -791,7 +791,9 @@ object Loaders {
         if (spec.strOr("mode", "overwrite") == "upsert")
           upsertDelta(ctx, spec, df, path)
         else if (spec.strOr("mode", "overwrite") == "compact")
-          compactParquet(ctx, spec, path)
+          // compact swaps the same table state merges do — one lease
+          // covers both, so maintenance can't interleave with a merge
+          withWriteLease(ctx, spec, path)(compactParquet(ctx, spec, path))
         else {
           var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
           val parts = spec.strList("partitionBy")

@@ -294,6 +294,13 @@ class EngineSpec extends SparkSpec {
     val unchanged = spark.read.parquet(path).drop("__bucket")
       .as[(Long, String)].collect().toMap
     assert(unchanged == Map(1L -> "a", 2L -> "b"), "loser must not touch the table")
+    // compact shares the same lease: while writer-A holds it, a compact
+    // of the same table fails with the same named error
+    val eC = intercept[Exception](Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$d1"}},
+      "extractor": {"parquet": {}},
+      "loader": {"parquet": {"path": "$path", "mode": "compact"}} }"""))
+    assert(eC.getMessage.contains("another writer holds the lease"), eC.getMessage)
     // a STALE lease (holder died) breaks automatically and the merge lands
     lockFile.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)
     merge(d1)
