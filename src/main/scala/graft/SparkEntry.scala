@@ -1031,6 +1031,28 @@ object SparkEntry {
           floor(col("rank") * lit(1e6) + lit(0.499999)).cast("bigint").as("rank_ppm"))
         .orderBy("id")
     },
+    "pagerank_weighted" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // WEIGHTED PageRank: customer→order edges weighted by the
+      // rounded order price — a customer's rank splits proportionally
+      // to order value. Integer weights keep the per-source weight sums
+      // exact; every order has exactly one in-edge, so no float-sum
+      // order sensitivity anywhere (the ppm guard band still applies)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CAST(round(o_totalprice) AS DOUBLE) AS w FROM __input"}},
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "in", "weightField": "w"}},
+          {"pagerank": {"iterations": 5, "damping": "0.85", "weighted": true}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"),
+          floor(col("rank") * lit(1e6) + lit(0.499999)).cast("bigint").as("rank_ppm"))
+        .orderBy("id")
+    },
     "partitioned_write" -> { (s, dir) =>
       val c = ctx(s, dir)
       // hive-style partitioned layout (the cluster-by analogue of the
@@ -3095,6 +3117,26 @@ object SparkEntry {
        "walk(id, dist) AS (SELECT 'c1', 0 UNION ALL " +
        "SELECT u.dst, w.dist + 1 FROM walk w JOIN u ON u.src = w.id WHERE w.dist < 3) " +
        "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id"),
+    "pagerank_weighted" -> {
+      // weighted mirror of the pagerank oracle: deg = Σw per src
+      // (integer-valued — exact), contrib = rank·w/deg; the customer→
+      // order direction gives every dst ONE in-edge (no float-sum
+      // ordering anywhere)
+      val steps = (1 to 5).map(i =>
+        s"p$i AS (SELECT n.id, 0.15 / nc.n + 0.85 * coalesce(s.csum, 0) AS rank " +
+        s"FROM nodes n CROSS JOIN nc LEFT JOIN " +
+        s"(SELECT e.dst, sum(p.rank * e.w / dg.d) AS csum FROM p${i - 1} p " +
+        s"JOIN e ON e.src = p.id JOIN deg dg ON dg.src = p.id GROUP BY e.dst) s " +
+        s"ON s.dst = n.id)").mkString(", ")
+      "WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, CAST(o_orderkey AS VARCHAR) AS dst, " +
+      "CAST(round(o_totalprice) AS DOUBLE) AS w " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+      "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)), " +
+      "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+      "deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src), " +
+      "p0 AS (SELECT id, 1.0 / nc.n AS rank FROM nodes, nc), " + steps + " " +
+      "SELECT id, CAST(floor(rank * 1e6 + 0.499999) AS BIGINT) AS rank_ppm FROM p5 ORDER BY id"
+    },
     "pagerank" -> {
       // 5 unrolled iterations (recursive CTEs can't aggregate over the
       // recursive term). rank_ppm quantizes with a GUARD BAND:

@@ -41,7 +41,9 @@ object GraphStages {
     * at sinks decays, which keeps the per-iteration computation a plain
     * join+aggregate and the result exactly reproducible by an unrolled
     * SQL oracle). Options: `iterations` (default 5), `damping`
-    * (default 0.85). Output: (id, rank).
+    * (default 0.85), `weighted` (default false — out-rank splits
+    * proportionally to the `edge` stage's `weightField` instead of
+    * uniformly). Output: (id, rank).
     *
     * Scale shape: each iteration is one equi-join of the edge list with
     * the rank vector plus a hash aggregation on dst — the canonical
@@ -60,9 +62,19 @@ object GraphStages {
   def pageRank(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { _ =>
       val ckpt = Stages.checkpointerOf(spec, ctx)
-      val edges = ckpt(ctx.edges.getOrElse(
+      val edges0 = ctx.edges.getOrElse(
         sys.error("pagerank: no edges — apply an `edge` stage first"))
-        .select(col("src"), col("dst")))
+      // `weighted: true`: out-rank splits proportionally to edge weight
+      // (the `edge` stage's `weightField`; edges from unweighted stages
+      // coalesce to 1.0). Same plan shape — the degree aggregation sums
+      // weights instead of counting, contributions scale by the weight.
+      val weighted = spec.bool("weighted", dflt = false)
+      if (weighted) require(edges0.columns.contains("weight"),
+        "pagerank: weighted requires edges built with `weightField`")
+      val edges = ckpt(
+        if (weighted) edges0.select(col("src"), col("dst"),
+          coalesce(col("weight"), lit(1.0)).as("__w"))
+        else edges0.select(col("src"), col("dst")))
       val iters = spec.int("iterations", 5)
       val ckptEvery = spec.int("checkpointEvery", 5)
       val dampStr = spec.strOr("damping", "0.85")
@@ -76,14 +88,19 @@ object GraphStages {
         .union(edges.select(col("dst").as("id")))
         .distinct())
       val n = nodes.count()
-      val deg = ckpt(edges.groupBy("src").agg(count(lit(1)).as("__deg")))
+      val deg = ckpt(edges.groupBy("src").agg(
+        (if (weighted) sum("__w") else count(lit(1)).cast("double"))
+          .as("__deg")))
       var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       for (i <- 0 until iters) {
+        val contrib =
+          if (weighted) col("rank") * col("__w") / col("__deg")
+          else col("rank") / col("__deg")
         val contribs = edges
           .join(ranks.select(col("id").as("__rid"), col("rank")),
             col("src") === col("__rid"))
           .join(deg, Seq("src"))
-          .select(col("dst").as("__cid"), (col("rank") / col("__deg")).as("__c"))
+          .select(col("dst").as("__cid"), contrib.as("__c"))
           .groupBy("__cid").agg(sum("__c").as("__csum"))
         ranks = nodes.join(contribs, col("id") === col("__cid"), "left")
           .select(col("id"),

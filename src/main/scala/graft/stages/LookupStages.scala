@@ -270,7 +270,17 @@ object LookupStages {
       val (src, dst) =
         if (direction == "in") (resolvedDst, col(fromField).cast("string"))
         else (col(fromField).cast("string"), resolvedDst)
-      val edges = joined.select(src.as("src"), dst.as("dst"), lit(label).as("label"))
+      // `weightField` (optional): carry an edge weight column for the
+      // weighted graph algorithms (pagerank weighted: true). Unweighted
+      // edge sets union with weighted ones null-filled (consumers
+      // coalesce to 1.0).
+      val weightCol = spec.str("weightField").map { wf =>
+        require(df.columns.contains(wf), s"edge: no weight column '$wf'")
+        col(wf).cast("double").as("weight")
+      }
+      val edges = joined.select(
+          Seq(src.as("src"), dst.as("dst"), lit(label).as("label")) ++
+            weightCol: _*)
         .filter(col("dst").isNotNull && col("src").isNotNull)
       ctx.addEdges(edges)
       df

@@ -38,6 +38,37 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr("b") - 0.13875) < 1e-12)
   }
 
+  test("pagerank weighted: out-rank splits by edge weight; unweighted edges coalesce to 1") {
+    val ctx = newCtx()
+    // a → b (w=3), a → c (w=1): a's rank splits 3:1
+    ctx.addEdges(Seq(("a", "b", 3.0), ("a", "c", 1.0))
+      .toDF("src", "dst", "weight").withColumn("label", lit("e")))
+    val pr = graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("iterations" -> 5, "weighted" -> true)),
+      ctx)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a stabilizes at (1-d)/3 = 0.05; b = 0.05 + 0.85·0.05·(3/4),
+    // c = 0.05 + 0.85·0.05·(1/4)
+    assert(math.abs(pr("a") - 0.05) < 1e-12)
+    assert(math.abs(pr("b") - (0.05 + 0.85 * 0.05 * 0.75)) < 1e-12)
+    assert(math.abs(pr("c") - (0.05 + 0.85 * 0.05 * 0.25)) < 1e-12)
+    // null weights (edges from an unweighted stage) act as 1.0
+    val ctx2 = newCtx()
+    ctx2.addEdges(Seq(("a", "b", Some(3.0)), ("a", "c", None: Option[Double]))
+      .toDF("src", "dst", "weight").withColumn("label", lit("e")))
+    val pr2 = graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("iterations" -> 5, "weighted" -> true)),
+      ctx2)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr2("b") - (0.05 + 0.85 * 0.05 * 0.75)) < 1e-12)
+    // weighted without a weight column names the fix
+    val ctx3 = newCtx()
+    ctx3.addEdges(Seq(("a", "b")).toDF("src", "dst").withColumn("label", lit("e")))
+    val e = intercept[Exception](graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("weighted" -> true)), ctx3)(spark.emptyDataFrame))
+    assert(e.getMessage.contains("weightField"), e.getMessage)
+  }
+
   test("checkpointDir: reliable checkpoints keep results and round structure") {
     // same graph through pagerank / bfs / cc twice: default
     // localCheckpoint vs reliable checkpoint(dir). Results must be
