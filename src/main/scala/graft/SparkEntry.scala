@@ -1031,6 +1031,29 @@ object SparkEntry {
           floor(col("rank") * lit(1e6) + lit(0.499999)).cast("bigint").as("rank_ppm"))
         .orderBy("id")
     },
+    "shortest_paths" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // weighted shortest paths over a 2-out-degree lattice: +1 steps
+      // cost 2, +3 steps cost 5 — reaching delta 3 is cheaper via one
+      // +3 edge (5) than three +1 edges (6), so the min genuinely
+      // chooses between path shapes. Integer weights keep distances an
+      // exact IEEE dag; oracle = depth-bounded recursive CTE min
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, c_custkey + 1 AS nxt1, CAST(2.0 AS DOUBLE) AS w1, c_custkey + 3 AS nxt3, CAST(5.0 AS DOUBLE) AS w3 FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "nxt1", "lookup": "customer.c_custkey",
+                    "class": "step1", "direction": "out", "weightField": "w1"}},
+          {"edge": {"joinFieldName": "nxt3", "lookup": "customer.c_custkey",
+                    "class": "step3", "direction": "out", "weightField": "w3"}},
+          {"shortestpaths": {"source": "7,500", "maxHops": 6}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("dist").cast("long").as("dist"))
+        .orderBy("id")
+    },
     "pagerank_weighted" -> { (s, dir) =>
       val c = ctx(s, dir)
       // WEIGHTED PageRank: customer→order edges weighted by the
@@ -3117,6 +3140,19 @@ object SparkEntry {
        "walk(id, dist) AS (SELECT 'c1', 0 UNION ALL " +
        "SELECT u.dst, w.dist + 1 FROM walk w JOIN u ON u.src = w.id WHERE w.dist < 3) " +
        "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id"),
+    // bounded Bellman–Ford mirror: every ≤6-edge path enumerates in the
+    // recursive CTE (branch factor 2), min per node
+    "shortest_paths" ->
+      ("WITH RECURSIVE e AS (" +
+       "SELECT CAST(c.c_custkey AS VARCHAR) AS src, CAST(c.c_custkey + 1 AS VARCHAR) AS dst, 2.0 AS w " +
+       "FROM customer c WHERE EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = c.c_custkey + 1) " +
+       "UNION ALL SELECT CAST(c.c_custkey AS VARCHAR), CAST(c.c_custkey + 3 AS VARCHAR), 5.0 " +
+       "FROM customer c WHERE EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = c.c_custkey + 3)), " +
+       "walk(id, d, h) AS (" +
+       "SELECT id, CAST(0 AS DOUBLE), 0 FROM (VALUES ('7'), ('500')) t(id) " +
+       "UNION ALL SELECT e.dst, wk.d + e.w, wk.h + 1 FROM walk wk " +
+       "JOIN e ON e.src = wk.id WHERE wk.h < 6) " +
+       "SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id"),
     "pagerank_weighted" -> {
       // weighted mirror of the pagerank oracle: deg = Σw per src
       // (integer-valued — exact), contrib = rank·w/deg; the customer→

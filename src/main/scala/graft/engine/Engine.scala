@@ -58,6 +58,7 @@ object Engine {
     "motif"          -> graft.graph.GraphStages.motif _,
     "connectedcomponents" -> graft.graph.GraphStages.connectedComponentsStage _,
     "bfs"            -> graft.graph.GraphStages.bfs _,
+    "shortestpaths"  -> graft.graph.GraphStages.shortestPaths _,
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers

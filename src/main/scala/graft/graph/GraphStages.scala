@@ -113,6 +113,78 @@ object GraphStages {
       ranks
     }
 
+  /** `shortestpaths`: single-source-set WEIGHTED shortest paths —
+    * bounded Bellman–Ford over the edges contract (weights from the
+    * `edge` stage's `weightField`, missing weights count 1.0), the
+    * weighted companion of [[bfs]]'s hop distances. dist(v) = min over
+    * ≤ `maxHops`-edge paths of Σ weights. Options: `source` (required,
+    * comma-separated vertex ids), `maxHops` (default 10), `direction`
+    * ∈ out|in|both (default out), `label` (optional edge filter).
+    * Output: (id, dist) for every vertex reached (sources at 0.0;
+    * unreached absent). A query stage (replaces the stream).
+    *
+    * Scale shape: Pregel-style FRONTIER relaxation — each round joins
+    * only the vertices whose distance IMPROVED last round against the
+    * edge table (never all-edges × all-rounds), min-aggregates
+    * candidates, and left-joins the running distances to keep true
+    * improvements; early exit when a round improves nothing. Per-round
+    * eager checkpoints keep lineage flat (the CLAUDE iterative rule);
+    * state is (id, double), never paths. Negative weights are rejected
+    * (with a hop bound they would make "shortest within k hops"
+    * ill-behaved under the early exit). */
+  def shortestPaths(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("shortestpaths: no edges — apply an `edge` stage first"))
+      val edges1 = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val sources = spec.str("source")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+        .getOrElse(sys.error("shortestpaths: `source` (comma-separated vertex ids) required"))
+      val maxHops = spec.int("maxHops", 10)
+      val spark = ctx.spark
+      import spark.implicits._
+      val w = if (edges1.columns.contains("weight"))
+        coalesce(col("weight"), lit(1.0)) else lit(1.0)
+      def oriented(from: String, to: String) =
+        edges1.select(col(from).as("__from"), col(to).as("__to"), w.as("__w"))
+      val step = spec.strOr("direction", "out") match {
+        case "out" => oriented("src", "dst")
+        case "in" => oriented("dst", "src")
+        case "both" => oriented("src", "dst").union(oriented("dst", "src"))
+        case other => sys.error(s"shortestpaths: unknown direction $other")
+      }
+      val ckpt = Stages.checkpointerOf(spec, ctx)
+      // negative weights break the bounded-relaxation early exit (one
+      // bounded job — this stage family is eager by nature, like bfs)
+      val minW = step.agg(min(col("__w"))).head()
+      require(minW.isNullAt(0) || minW.getDouble(0) >= 0.0,
+        "shortestpaths: negative edge weights are not supported")
+      var dists = ckpt(sources.toDF("id").distinct()
+        .select(col("id"), lit(0.0).as("dist")))
+      var frontier = dists
+      var hop = 1
+      var frontierSize = frontier.count()
+      while (hop <= maxHops && frontierSize > 0) {
+        val best = step
+          .join(frontier.select(col("id").as("__from"), col("dist")), Seq("__from"))
+          .select(col("__to").as("id"), (col("dist") + col("__w")).as("__cand"))
+          .groupBy("id").agg(min(col("__cand")).as("__cand"))
+        val improved = ckpt(best
+          .join(dists.select(col("id"), col("dist").as("__old")), Seq("id"), "left")
+          .where(col("__old").isNull || col("__cand") < col("__old"))
+          .select(col("id"), col("__cand").as("dist")))
+        frontierSize = improved.count()
+        if (frontierSize > 0) {
+          dists = ckpt(dists.join(improved.select(col("id").as("__iid")),
+              col("id") === col("__iid"), "left_anti")
+            .unionByName(improved))
+          frontier = improved
+        }
+        hop += 1
+      }
+      dists.select(col("id"), col("dist"))
+    }
+
   /** `motif`: declarative graph-pattern matching compiled to joins over
     * the edges table — the batch answer to the reference's Gremlin
     * `command` traversals (OCommandTransformer.java:58-78): a

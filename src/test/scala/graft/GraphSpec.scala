@@ -69,6 +69,41 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("weightField"), e.getMessage)
   }
 
+  test("shortestpaths: relaxation beats first-reach; unweighted=1; guards") {
+    val ctx = newCtx()
+    // a→b costs 10 direct, but 2 via c — round 2 must IMPROVE b after
+    // round 1 already reached it (the case bfs's visited anti-join
+    // cannot express)
+    ctx.addEdges(Seq(("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 1.0))
+      .toDF("src", "dst", "weight").withColumn("label", lit("e")))
+    def run(opts: (String, Any)*) = graft.graph.GraphStages.shortestPaths(
+      ComponentSpec("shortestpaths",
+        Map[String, Any]("source" -> "a") ++ opts.toMap), ctx)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run() == Map("a" -> 0.0, "b" -> 2.0, "c" -> 1.0))
+    // maxHops 1 keeps the expensive first reach
+    assert(run("maxHops" -> 1) == Map("a" -> 0.0, "b" -> 10.0, "c" -> 1.0))
+    // direction in: nothing points AT a
+    assert(run("direction" -> "in") == Map("a" -> 0.0))
+    // edges without weights cost 1 (hop distances)
+    val ctx2 = newCtx()
+    ctx2.addEdges(Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      .withColumn("label", lit("e")))
+    val hop = graft.graph.GraphStages.shortestPaths(
+      ComponentSpec("shortestpaths", Map("source" -> "a")),
+      ctx2)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hop == Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0))
+    // negative weights fail loud
+    val ctx3 = newCtx()
+    ctx3.addEdges(Seq(("a", "b", -1.0)).toDF("src", "dst", "weight")
+      .withColumn("label", lit("e")))
+    val e = intercept[Exception](graft.graph.GraphStages.shortestPaths(
+      ComponentSpec("shortestpaths", Map("source" -> "a")),
+      ctx3)(spark.emptyDataFrame))
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
   test("checkpointDir: reliable checkpoints keep results and round structure") {
     // same graph through pagerank / bfs / cc twice: default
     // localCheckpoint vs reliable checkpoint(dir). Results must be
