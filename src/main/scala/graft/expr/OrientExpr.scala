@@ -237,7 +237,8 @@ object OrientExpr {
       case TIdent(s) if s.equalsIgnoreCase("false") => Arg(lit(false))
       case TIdent(name) if peek == TOp("(") =>
         next(); val args = parseArgs(); expect(")")
-        Arg(freeFunction(name, args))
+        Arg(freeFunction(name, args),
+          stringy = Set("string", "format", "uuid")(name.toLowerCase))
       case TIdent(name) => Arg(col(name))
       case TOp("(") => val c = parseOr(); expect(")"); Arg(c.col)
       case t => fail(s"unexpected token $t")
@@ -267,6 +268,15 @@ object OrientExpr {
         case ("min", as) if as.size > 1 => least(as.map(_.col): _*)
         case ("max", as) if as.size > 1 => greatest(as.map(_.col): _*)
         case ("format", f :: a)         => format_string(f.litStr("format"), a.map(_.col): _*)
+        // the ES5 global conversion functions (the JS shim's `String(x)`
+        // etc.; also valid dialect): String → cast, Number/parseFloat →
+        // double, parseInt → truncate-toward-zero long (JS semantics for
+        // numeric input; digit-prefix parsing of arbitrary strings is
+        // out of scope — a non-numeric string casts to null)
+        case ("string", Seq(a))         => a.col.cast("string")
+        case ("number", Seq(a))         => a.col.cast("double")
+        case ("parsefloat", Seq(a))     => a.col.cast("double")
+        case ("parseint", Seq(a))       => a.col.cast("double").cast("long")
         case ("uuid", Nil)              => expr("uuid()")
         case _ => fail(s"unknown function $name/${args.size}")
       }

@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
   *    along through later hops (a stashed column per tag — the same
   *    bound-vertex mechanism the motif translator uses);
   *  - `.where(eq('x'))` / `.where(neq('x'))` — compare the current
-  *    vertex id against the bound tag;
+  *    vertex id against the bound tag; `.where(<chain>)` — existence
+  *    filter: keep traversers whose anonymous sub-traversal (the
+  *    union-branch subset) yields at least one result (a left-semi
+  *    join on a correlation id);
   *  - `.select('x')` / `.select('x', 'y')` — project bound vertices:
   *    one tag re-enters vertex space (id + re-attached label), several
   *    become one column per tag;
@@ -426,6 +429,19 @@ object Gremlin {
             fail(s"where($op('$tag')): no as('$tag') binding upstream")
           frame = frame.where(
             if (op == "eq") col("id") === col(bound) else col("id") =!= col(bound))
+        case ("where", Seq(chain: RawChain)) =>
+          // existence filter: keep traversers whose anonymous
+          // sub-traversal yields at least one result — a LEFT SEMI on
+          // the same re-evaluation-stable correlation id coalesce uses
+          if (trackPath)
+            fail("where(<traversal>) together with path() is not in the translated subset")
+          val allCols = frame.columns.map(col).toSeq
+          val keyed = frame.repartition(allCols: _*)
+            .sortWithinPartitions(allCols: _*)
+            .withColumn("__tid", monotonically_increasing_id())
+          val matched = applyBranch(ctx, keyed, idLabel, chain.src)
+            .select("__tid").distinct()
+          frame = keyed.join(matched, Seq("__tid"), "left_semi").drop("__tid")
         case ("select", tags) if tags.nonEmpty && tags.forall(_.isInstanceOf[String]) =>
           val names = tags.map(_.asInstanceOf[String])
           names.foreach { t =>

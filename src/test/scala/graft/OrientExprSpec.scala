@@ -137,5 +137,12 @@ class OrientExprSpec extends SparkSpec {
     assert(eval1("round(1234.5, -2)") == 1200.0)
     val e = intercept[Exception](eval1("'ABCDEF'.slice(-3)"))
     assert(e.getMessage.contains("negative"), e.getMessage)
+    // ES5 global conversions (the JS shim surface)
+    assert(eval1("String(42)") == "42")
+    assert(eval1("Number('2.5')") == 2.5)
+    assert(eval1("parseFloat('1.25')") == 1.25)
+    assert(eval1("parseInt('7.9')") == 7L)  // truncates toward zero
+    assert(eval1("parseInt(-3.7)") == -3L)
+    assert(eval1("String(5) + 'x'") == "5x") // String(...) is stringy
   }
 }
