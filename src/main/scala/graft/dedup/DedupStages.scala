@@ -27,17 +27,22 @@ object DedupStages {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group on the key expression(s), keep the row with the
-    * minimal tie-break value (the reference row). Single shuffle. */
-  def exactDedup(df: DataFrame, keys: Seq[Column], tiebreak: Column): DataFrame = {
+    * minimal (or maximal) tie-break value (the reference row). Single
+    * shuffle. */
+  def exactDedup(df: DataFrame, keys: Seq[Column], tiebreak: Column,
+                 keepMax: Boolean = false): DataFrame = {
     val all = struct(df.columns.map(col).toIndexedSeq: _*)
     df.groupBy(keys: _*)
-      .agg(min_by(all, tiebreak).as("__keep"))
+      .agg((if (keepMax) max_by(all, tiebreak) else min_by(all, tiebreak))
+        .as("__keep"))
       .select(col("__keep.*"))
   }
 
   /** `dedup` transformer. Options: `keyFields` (columns) or `keyExpr`
     * (SQL expression, e.g. `md5(text)`), `tiebreakField` (default first
-    * key) — keeps the row with the smallest tie-break per key. */
+    * key), `keep` ∈ first (default — smallest tie-break per key) |
+    * last (largest: "newest wins", the CDC-snapshot posture when the
+    * tie-break is a version/timestamp). */
   def dedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val keys: Seq[Column] = spec.str("keyExpr") match {
@@ -50,7 +55,12 @@ object DedupStages {
       val tb = col(spec.str("tiebreakField")
         .orElse(spec.strList("keyFields").headOption)
         .getOrElse(sys.error("dedup: tiebreakField required with keyExpr")))
-      exactDedup(df, keys, tb)
+      val keepMax = spec.strOr("keep", "first") match {
+        case "first" => false
+        case "last" => true
+        case other => sys.error(s"dedup: keep must be first|last, got '$other'")
+      }
+      exactDedup(df, keys, tb, keepMax)
     }
 
   // -------------------------------------------------------------- shingles

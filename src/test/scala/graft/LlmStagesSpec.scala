@@ -27,6 +27,20 @@ class LlmStagesSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(10, 30, 50)) // whole row kept
   }
 
+  test("dedup keep: last = newest-wins per key (the CDC snapshot posture)") {
+    val df = Seq(
+      (1L, "aaa", 10), (2L, "aaa", 20), (3L, "bbb", 30), (4L, "aaa", 40),
+      (5L, "ccc", 50)).toDF("id", "content", "v")
+    val out = stage("dedup", "keyFields" -> Seq("content"),
+      "tiebreakField" -> "id", "keep" -> "last")(df)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(30, 40, 50))
+    val e = intercept[Exception](stage("dedup", "keyFields" -> Seq("content"),
+      "keep" -> "newest")(df).collect())
+    assert(e.getMessage.contains("first|last"), e.getMessage)
+  }
+
   test("dedup by keyExpr (content hash)") {
     val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
     val out = stage("dedup", "keyExpr" -> "md5(text)", "tiebreakField" -> "doc_id")(df)
