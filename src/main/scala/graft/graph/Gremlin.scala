@@ -41,10 +41,10 @@ import org.apache.spark.sql.functions._
   *    along through later hops (a stashed column per tag — the same
   *    bound-vertex mechanism the motif translator uses);
   *  - `.where(eq('x'))` / `.where(neq('x'))` — compare the current
-  *    vertex id against the bound tag; `.where(<chain>)` — existence
-  *    filter: keep traversers whose anonymous sub-traversal (the
-  *    union-branch subset) yields at least one result (a left-semi
-  *    join on a correlation id);
+  *    vertex id against the bound tag; `.where(<chain>)` /
+  *    `.not(<chain>)` — existence filters: keep traversers whose
+  *    anonymous sub-traversal (the union-branch subset) yields at
+  *    least one result / none (semi/anti join on a correlation id);
   *  - `.select('x')` / `.select('x', 'y')` — project bound vertices:
   *    one tag re-enters vertex space (id + re-attached label), several
   *    become one column per tag;
@@ -433,15 +433,12 @@ object Gremlin {
           // existence filter: keep traversers whose anonymous
           // sub-traversal yields at least one result — a LEFT SEMI on
           // the same re-evaluation-stable correlation id coalesce uses
-          if (trackPath)
-            fail("where(<traversal>) together with path() is not in the translated subset")
-          val allCols = frame.columns.map(col).toSeq
-          val keyed = frame.repartition(allCols: _*)
-            .sortWithinPartitions(allCols: _*)
-            .withColumn("__tid", monotonically_increasing_id())
-          val matched = applyBranch(ctx, keyed, idLabel, chain.src)
-            .select("__tid").distinct()
-          frame = keyed.join(matched, Seq("__tid"), "left_semi").drop("__tid")
+          frame = existenceFilter(ctx, frame, idLabel, chain.src,
+            trackPath, semi = true)
+        case ("not", Seq(chain: RawChain)) =>
+          // the anti form: keep traversers whose sub-traversal is EMPTY
+          frame = existenceFilter(ctx, frame, idLabel, chain.src,
+            trackPath, semi = false)
         case ("select", tags) if tags.nonEmpty && tags.forall(_.isInstanceOf[String]) =>
           val names = tags.map(_.asInstanceOf[String])
           names.foreach { t =>
@@ -494,6 +491,26 @@ object Gremlin {
     case Seq(k: String, v) => col(k) === lit(v)
     case Seq(k: String) => col(k).isNotNull // has('col'): property exists
     case other => fail(s"has(${other.mkString(", ")}): unsupported argument shape")
+  }
+
+  /** `where(<chain>)` / `not(<chain>)`: keep traversers whose anonymous
+    * sub-traversal yields ≥ 1 result (semi) or none (anti) — joined on
+    * a re-evaluation-stable correlation id (hash-partition + sort on
+    * all columns before numbering; identical rows are interchangeable). */
+  private def existenceFilter(ctx: EtlContext, frame: DataFrame,
+                              idLabel: DataFrame, src: String,
+                              trackPath: Boolean, semi: Boolean): DataFrame = {
+    if (trackPath)
+      fail(s"${if (semi) "where" else "not"}(<traversal>) together with " +
+        "path() is not in the translated subset")
+    val allCols = frame.columns.map(col).toSeq
+    val keyed = frame.repartition(allCols: _*)
+      .sortWithinPartitions(allCols: _*)
+      .withColumn("__tid", monotonically_increasing_id())
+    val matched = applyBranch(ctx, keyed, idLabel, src)
+      .select("__tid").distinct()
+    keyed.join(matched, Seq("__tid"), if (semi) "left_semi" else "left_anti")
+      .drop("__tid")
   }
 
   /** An anonymous FILTER chain (`until(...)`'s condition): hasLabel /

@@ -337,10 +337,12 @@ class GraphSpec extends SparkSpec {
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "d"))
     assert(g("g.V().coalesce(out('next'), has('id'))")
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
-    // where(<traversal>): existence filter — vertices WITH an outgoing
-    // 'next' edge survive; composable after a hop
+    // where(<traversal>) / not(<traversal>): existence filters —
+    // vertices WITH / WITHOUT an outgoing 'next' edge; composable
     assert(g("g.V().where(out('next'))")
       .select("id").as[String].collect().toSeq.sorted == Seq("a", "b", "d"))
+    assert(g("g.V().not(out('next'))")
+      .select("id").as[String].collect().toSeq == Seq("c"))
     assert(g("g.V().has('id', 'a').out('next').where(out('next'))")
       .select("id").as[String].collect().toSeq == Seq("b"))
     // g.V(id, …): named start vertices; out with SEVERAL labels hops
