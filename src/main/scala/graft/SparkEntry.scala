@@ -686,6 +686,25 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("id").orderBy("id")
     },
+    "command_gremlin_not" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // not(<traversal>): vertices with NO outgoing successor edge —
+      // odd customers carry a NULL succ (edge dropped) and even ones
+      // whose successor is out of range never resolve; the oracle
+      // mirrors the edge-creation rule with NOT EXISTS
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command": "g.V().not(out('next'))"}}],
+        "loader": {"memory": {}} }""")
+        .select("id", "label").orderBy("id")
+    },
     "command_gremlin_coalesce" -> { (s, dir) =>
       val c = ctx(s, dir)
       // coalesce branch precedence: even customers have a successor
@@ -1051,7 +1070,7 @@ object SparkEntry {
                     "class": "step3", "direction": "out", "weightField": "w3"}},
           {"shortestpaths": {"source": "7,500", "maxHops": 6}}],
         "loader": {"memory": {}} }""")
-        .select(col("id"), col("dist").cast("long").as("dist"))
+        .select(col("id"), round(col("dist")).cast("long").as("dist"))
         .orderBy("id")
     },
     "pagerank_weighted" -> { (s, dir) =>
@@ -1384,6 +1403,18 @@ object SparkEntry {
         "extractor": {"parquet": {}},
         "transformers": [{"dedup": {"keyFields": ["n_chars"],
                                     "tiebreakField": "doc_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+    },
+    "dedup_keep_last" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // newest-wins exact dedup (keep: last) — max tie-break per key
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"dedup": {"keyFields": ["n_chars"],
+                                    "tiebreakField": "doc_id",
+                                    "keep": "last"}}],
         "loader": {"memory": {}} }""")
         .select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
     },
@@ -3089,6 +3120,15 @@ object SparkEntry {
        "UNION ALL SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.cur " +
        "WHERE w.d < 12 AND (w.d = 0 OR w.cur NOT IN ('4', '12', '21'))) " +
        "SELECT cur AS id FROM walk ORDER BY id"),
+    // the edge-creation rule mirrored with NOT EXISTS: no resolvable
+    // successor -> no out-edge -> not(out()) keeps the vertex
+    "command_gremlin_not" ->
+      ("WITH s AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 1 THEN NULL " +
+       "WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 " +
+       "ELSE c_custkey + 1 END AS succ FROM customer) " +
+       "SELECT CAST(c_custkey AS VARCHAR) AS id, 'customer' AS label FROM s " +
+       "WHERE succ IS NULL OR NOT EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = s.succ) " +
+       "ORDER BY id"),
     // even customers take the successor-hop branch, odd ones fall
     // through to the identity filter (coalesce precedence)
     "command_gremlin_coalesce" ->
@@ -3152,7 +3192,7 @@ object SparkEntry {
        "SELECT id, CAST(0 AS DOUBLE), 0 FROM (VALUES ('7'), ('500')) t(id) " +
        "UNION ALL SELECT e.dst, wk.d + e.w, wk.h + 1 FROM walk wk " +
        "JOIN e ON e.src = wk.id WHERE wk.h < 6) " +
-       "SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id"),
+       "SELECT id, CAST(round(min(d)) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id"),
     "pagerank_weighted" -> {
       // weighted mirror of the pagerank oracle: deg = Σw per src
       // (integer-valued — exact), contrib = rank·w/deg; the customer→
@@ -3301,6 +3341,8 @@ object SparkEntry {
       "SELECT r.r_regionkey, array_to_string(list_sort(list(n.n_nationkey)), ',') AS nation_keys FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_regionkey ORDER BY r.r_regionkey",
     "dedup_exact" ->
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT n_chars, min(doc_id) AS kid FROM documents GROUP BY n_chars) g ON d.doc_id = g.kid ORDER BY d.doc_id",
+    "dedup_keep_last" ->
+      "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT n_chars, max(doc_id) AS kid FROM documents GROUP BY n_chars) g ON d.doc_id = g.kid ORDER BY d.doc_id",
     "dedup_content" ->
       "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d JOIN (SELECT md5(text) AS h, min(doc_id) AS kid FROM documents GROUP BY md5(text)) g ON d.doc_id = g.kid ORDER BY d.doc_id",
     "textstats" ->

@@ -142,7 +142,17 @@ object Engine {
     // run (their variable bindings shape the plan); console/code blocks
     // are side effects and are exactly what a pre-flight must not fire.
     val dryRun = configFlag(spec, "dryRun")
-    ctx.dryRun = dryRun // mid-pipeline `block` transformers consult it
+    // SAVE/RESTORE around this run: nested `etl` child pipelines reuse
+    // the parent ctx — a child (never dryRun itself) must not clobber a
+    // dry-running parent's flag mid-pipeline
+    val outerDryRun = ctx.dryRun
+    ctx.dryRun = outerDryRun || dryRun // blocks/transformers consult it
+    try runInner(ctx, spec, dryRun || outerDryRun)
+    finally ctx.dryRun = outerDryRun
+  }
+
+  private def runInner(ctx: EtlContext, spec: PipelineSpec,
+                       dryRun: Boolean): DataFrame = {
     // begin blocks execute before extraction (OETLProcessor.java:119-126)
     spec.begin.filter(b => !dryRun || b.name == "let")
       .foreach(executeBlock(ctx, _))

@@ -75,6 +75,14 @@ object GraphStages {
         if (weighted) edges0.select(col("src"), col("dst"),
           coalesce(col("weight"), lit(1.0)).as("__w"))
         else edges0.select(col("src"), col("dst")))
+      if (weighted) {
+        // non-positive weights make Σw degrees zero/negative — silent
+        // null contributions or negative ranks; fail loud instead (one
+        // bounded job on the already-checkpointed edges)
+        val minW = edges.agg(min(col("__w"))).head()
+        require(minW.isNullAt(0) || minW.getDouble(0) > 0.0,
+          "pagerank: weighted requires strictly positive edge weights")
+      }
       val iters = spec.int("iterations", 5)
       val ckptEvery = spec.int("checkpointEvery", 5)
       val dampStr = spec.strOr("damping", "0.85")

@@ -382,10 +382,7 @@ object Gremlin {
           // IDENTICAL rows, which are interchangeable by definition
           if (trackPath)
             fail("coalesce() together with path() is not in the translated subset")
-          val allCols = frame.columns.map(col).toSeq
-          val keyed = frame.repartition(allCols: _*)
-            .sortWithinPartitions(allCols: _*)
-            .withColumn("__tid", monotonically_increasing_id())
+          val keyed = keyedByTid(frame)
           var rest = keyed
           val picked = chains.map { c =>
             val b = applyBranch(ctx, rest, idLabel, c.asInstanceOf[RawChain].src)
@@ -493,6 +490,20 @@ object Gremlin {
     case other => fail(s"has(${other.mkString(", ")}): unsupported argument shape")
   }
 
+  /** The re-evaluation-stable traverser correlation id used by
+    * coalesce/where/not: hash-partition and sort the frame on ALL its
+    * columns BEFORE numbering, so every subtree that re-evaluates the
+    * plan binds the same id to the same row (up to swaps between
+    * identical rows, which are interchangeable by definition) — a bare
+    * monotonically_increasing_id over a shuffle output is not stable
+    * (fetch order varies between evaluations and on task retry). */
+  private def keyedByTid(frame: DataFrame): DataFrame = {
+    val allCols = frame.columns.map(col).toSeq
+    frame.repartition(allCols: _*)
+      .sortWithinPartitions(allCols: _*)
+      .withColumn("__tid", monotonically_increasing_id())
+  }
+
   /** `where(<chain>)` / `not(<chain>)`: keep traversers whose anonymous
     * sub-traversal yields ≥ 1 result (semi) or none (anti) — joined on
     * a re-evaluation-stable correlation id (hash-partition + sort on
@@ -503,10 +514,7 @@ object Gremlin {
     if (trackPath)
       fail(s"${if (semi) "where" else "not"}(<traversal>) together with " +
         "path() is not in the translated subset")
-    val allCols = frame.columns.map(col).toSeq
-    val keyed = frame.repartition(allCols: _*)
-      .sortWithinPartitions(allCols: _*)
-      .withColumn("__tid", monotonically_increasing_id())
+    val keyed = keyedByTid(frame)
     val matched = applyBranch(ctx, keyed, idLabel, src)
       .select("__tid").distinct()
     keyed.join(matched, Seq("__tid"), if (semi) "left_semi" else "left_anti")

@@ -232,7 +232,8 @@ object Loaders {
     * proceed on a store without compare-and-swap; the stale window is
     * the accepted trade, same as every marker-file lease.) */
   private def withWriteLease[T](ctx: EtlContext, spec: ComponentSpec,
-                                path: String)(body: => T): T = {
+                                path: String, mode: String = "upsert")
+                               (body: => T): T = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = new HPath(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     val lock = new HPath(path + ".lock")
@@ -272,7 +273,7 @@ object Loaders {
               val t = scala.io.Source.fromInputStream(in, "UTF-8").mkString
               in.close(); t }
         catch { case scala.util.control.NonFatal(_) => "?" }
-      sys.error(s"parquet upsert: another writer holds the lease on $path " +
+      sys.error(s"parquet $mode: another writer holds the lease on $path " +
         s"($info at $lock) — concurrent merges to one table would " +
         "interleave their swaps; retry after it finishes (a dead " +
         s"holder's lease breaks automatically after lockStaleMinutes=$staleMins)")
@@ -793,7 +794,8 @@ object Loaders {
         else if (spec.strOr("mode", "overwrite") == "compact")
           // compact swaps the same table state merges do — one lease
           // covers both, so maintenance can't interleave with a merge
-          withWriteLease(ctx, spec, path)(compactParquet(ctx, spec, path))
+          withWriteLease(ctx, spec, path, mode = "compact")(
+            compactParquet(ctx, spec, path))
         else {
           var w = applyDeclaredSchema(df, spec).write.mode(spec.strOr("mode", "overwrite"))
           val parts = spec.strList("partitionBy")

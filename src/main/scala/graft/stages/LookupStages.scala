@@ -356,6 +356,7 @@ object LookupStages {
             "as a join key instead of raising maxParameterTuples further")
         val children = tuples.toSeq.map { row =>
           val childCtx = new EtlContext(ctx.spark)
+          childCtx.dryRun = ctx.dryRun // a dry parent's pre-flight holds
           ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
           ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
           names.zipWithIndex.foreach { case (n, i) => childCtx.vars.put(n, row.get(i)) }
