@@ -725,6 +725,27 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("id", "label").orderBy("id")
     },
+    "command_gremlin_optional" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // optional(<chain>): traversers whose sub-traversal yields results
+      // take them, the rest keep themselves — even customers hop to
+      // their successor, odd ones (NULL succ → no edge) stay put; the
+      // landed bag feeds groupCount. Oracle = one LEFT JOIN + COALESCE.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command":
+            "g.V().optional(out('next')).groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("count"))
+        .orderBy("id")
+    },
     "graph_triangle" -> { (s, dir) =>
       val c = ctx(s, dir)
       // three-term directed-triangle motif — stresses multi-term join
@@ -3136,6 +3157,16 @@ object SparkEntry {
        "CAST(CASE WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) " +
        "ELSE CAST(c_custkey AS VARCHAR) END AS id, 'customer' AS label " +
        "FROM customer ORDER BY id"),
+    // even customers land on their (resolvable) successor, odd ones on
+    // themselves — the optional() identity fallback as LEFT JOIN+COALESCE
+    "command_gremlin_optional" ->
+      ("WITH s AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 1 THEN NULL " +
+       "WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 " +
+       "ELSE c_custkey + 1 END AS succ FROM customer), " +
+       "land AS (SELECT COALESCE(CAST(c2.c_custkey AS VARCHAR), " +
+       "CAST(s.c_custkey AS VARCHAR)) AS id " +
+       "FROM s LEFT JOIN customer c2 ON c2.c_custkey = s.succ) " +
+       "SELECT id, count(*) AS count FROM land GROUP BY id ORDER BY id"),
     "graph_triangle" ->
       ("WITH e AS (SELECT CAST(c_custkey AS VARCHAR) AS src, " +
        "CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS VARCHAR) AS dst " +

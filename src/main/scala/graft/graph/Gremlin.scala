@@ -61,7 +61,13 @@ import org.apache.spark.sql.functions._
   *  - `.emit()` before or after `repeat(…)` — every frontier is
   *    emitted (before includes the starting elements); combines with
   *    until()/times(k). Frontier sub-plans share their hop shuffles
-  *    via ReuseExchange, so k frontiers cost k joins, not k²/2.
+  *    via ReuseExchange, so k frontiers cost k joins, not k²/2. At the
+  *    implicit 12 cap (no times(k)) the loop runs EAGERLY — per-round
+  *    checkpointed frontiers with a drain check (the shortestPaths
+  *    pattern), so a walk that converges in 3 hops plans 3 joins.
+  *  - `.optional(<chain>)` — per-traverser: the sub-traversal's results
+  *    when it yields any, else the traverser itself (the 2-branch
+  *    identity case of coalesce's anti-join precedence machinery).
   *  - `.coalesce(<chain>, <chain>, …)` — per-traverser first-non-empty
   *    branch (branch b's results count exactly for the traversers no
   *    earlier branch matched; left-anti precedence joins on a
@@ -341,8 +347,19 @@ object Gremlin {
             if (!emitStart) emitted += active.where(c)
             active = active.where(not(c))
           }
-          for (_ <- 1 to cap) {
-            val stepped = applyBranch(ctx, active, idLabel, chain.src)
+          // Running at the IMPLICIT 12 cap (no times(k)): loop eagerly —
+          // per-round localCheckpoint of the stepped frontier (flat
+          // lineage, the iterative-stage pattern shortestPaths uses) and
+          // a drain check, so an until() that converges in 3 hops plans
+          // 3 joins, not 12 fixed stages. Dropped rounds were empty
+          // frames — the unioned result is unchanged. With an explicit
+          // times(k) the user bounded the plan; keep it lazy.
+          val eager = timesK.isEmpty
+          var round = 0
+          var live = true
+          while (round < cap && live) {
+            val stepped0 = applyBranch(ctx, active, idLabel, chain.src)
+            val stepped = if (eager) stepped0.localCheckpoint(true) else stepped0
             cond match {
               case Some(c) =>
                 emitted += (if (emitAll) stepped else stepped.where(c))
@@ -351,11 +368,17 @@ object Gremlin {
                 if (emitAll) emitted += stepped
                 active = stepped
             }
+            if (eager) live = !active.isEmpty
+            round += 1
           }
           // until without emit: cap survivors exit like times(k); with
           // emit they were already in the last frontier
           if (cond.isDefined && !emitAll) emitted += active
           if (cond.isEmpty && !emitAll) emitted += active // bare times(k)
+          // times(0) with emit(): zero iterations — the traverser exits
+          // immediately and emit() emits it (TinkerPop's short-circuit);
+          // without this the frames list would be empty and un-unionable
+          if (emitted.isEmpty) emitted += active
           // frontiers land in the common element space (the start frame
           // carries raw vertex properties that a hopped frontier does
           // not); identical hop sub-plans across frontiers share their
@@ -395,6 +418,22 @@ object Gremlin {
             fail("coalesce(): branches share no id/value column — every " +
               "branch must land in the same element space")
           frame = picked.map(b => b.select(common.map(col): _*))
+            .reduce(_ unionByName _)
+        case ("optional", Seq(chain: RawChain)) =>
+          // per-traverser: the sub-traversal's results where it yields
+          // any, else the traverser itself — coalesce(chain, identity),
+          // via the same left-anti precedence on the correlation id
+          if (trackPath)
+            fail("optional() together with path() is not in the translated subset")
+          val keyed = keyedByTid(frame)
+          val took = applyBranch(ctx, keyed, idLabel, chain.src)
+          val kept = keyed.join(took.select("__tid").distinct(), Seq("__tid"), "left_anti")
+          val ocommon = Seq(took, kept).map(_.columns.toSeq)
+            .reduce((a, b) => a.filter(b.contains)).filterNot(_ == "__tid")
+          if (!ocommon.exists(Set("id", "value")))
+            fail("optional(): the branch must land in the same id/value " +
+              "element space as its start")
+          frame = Seq(took, kept).map(b => b.select(ocommon.map(col): _*))
             .reduce(_ unionByName _)
         case ("choose", args) if args.length >= 2 && args.length <= 3 &&
             args.forall(_.isInstanceOf[RawChain]) =>
@@ -454,7 +493,8 @@ object Gremlin {
             "values/count/groupCount[.by('col')]/as/where(eq|neq)/select/" +
             "repeat(..) with times(k)/until(filter)/emit()/" +
             "order().by(..)/range(lo,hi)/path()/" +
-            "union(chain, …)/coalesce(chain, …)/choose(filter, chain[, chain]); " +
+            "union(chain, …)/coalesce(chain, …)/optional(chain)/" +
+            "choose(filter, chain[, chain]); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
@@ -499,7 +539,14 @@ object Gremlin {
     * (fetch order varies between evaluations and on task retry). */
   private def keyedByTid(frame: DataFrame): DataFrame = {
     val allCols = frame.columns.map(col).toSeq
-    frame.repartition(allCols: _*)
+    // EXPLICIT partition count: monotonically_increasing_id embeds the
+    // partition index, and a bare repartition(cols) is AQE-coalescible —
+    // if ReuseExchange didn't dedup the branch subtrees, two
+    // re-evaluations could land on different counts and silently
+    // mis-correlate the semi/anti joins. Pinning n makes every
+    // re-evaluation produce the same (partition, row) → id binding.
+    val n = frame.sparkSession.sessionState.conf.numShufflePartitions
+    frame.repartition(n, allCols: _*)
       .sortWithinPartitions(allCols: _*)
       .withColumn("__tid", monotonically_increasing_id())
   }

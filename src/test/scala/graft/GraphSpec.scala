@@ -379,6 +379,28 @@ class GraphSpec extends SparkSpec {
     assert(e4.getMessage.contains("terminator"), e4.getMessage)
   }
 
+  test("gremlin: optional() identity fallback; repeat times(0) emit edge case") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "city"), ("d", "p"))
+      .toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "next"), ("b", "c", "next"), ("d", "d", "next"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // traversers with a result take it; c (no out-edge) keeps itself
+    assert(g("g.V().optional(out('next'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
+    assert(g("g.V().has('id', 'c').optional(out('next'))")
+      .select("id").as[String].collect().toSeq == Seq("c"))
+    // two-hop branch: a reaches c; b's two-hop empties (keeps b); d loops
+    assert(g("g.V().optional(out('next').out('next'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c", "c", "d"))
+    // times(0) with emit(): zero iterations — the start frame is emitted
+    // (TinkerPop's short-circuit), not an empty-union crash
+    assert(g("g.V().has('id', 'a').repeat(out('next')).times(0).emit()")
+      .select("id").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("gremlin union: bag concatenation over branches; guards name their rules") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "person"), ("b", "person"), ("c", "city"))
