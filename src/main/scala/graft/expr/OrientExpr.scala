@@ -74,11 +74,15 @@ object OrientExpr {
     "trim", "ltrim", "rtrim", "touppercase", "tolowercase", "append",
     "prefix", "substring", "left", "right", "charat", "replace",
     "normalize", "hash", "asstring", "tostring", "format", "tojson",
-    "padstart", "padend", "repeat", "slice", "concat")
+    "padstart", "padend", "repeat", "slice", "concat", "join")
 
   private final class Parser(src: String, vars: Map[String, Any]) {
     private val toks = lex(src)
     private var pos = 0
+    /** In-scope lambda parameters of `.map(x -> …)`/`.filter(x -> …)`
+      * bodies — bare identifiers resolve here BEFORE falling back to
+      * record columns. */
+    private var lambdaVars: Map[String, Column] = Map.empty
     private def peek: Tok = if (pos < toks.length) toks(pos) else TEOF
     private def next(): Tok = { val t = peek; pos += 1; t }
     private def expect(op: String): Unit = next() match {
@@ -190,7 +194,8 @@ object OrientExpr {
       case _ => parsePostfix()
     }
 
-    /** primary followed by zero or more `.method(args)` / `.field` hops. */
+    /** primary followed by zero or more `.method(args)` / `.field` /
+      * `[index]` hops. */
     private def parsePostfix(): Arg = {
       var c = parsePrimary()
       var cont = true
@@ -202,13 +207,56 @@ object OrientExpr {
             case t => fail(s"expected method/field after '.', got $t")
           }
           if (peek == TOp("(")) {
-            next(); val args = parseArgs(); expect(")")
-            c = Arg(method(c.col, name, args),
-              stringy = StringMethods(name.toLowerCase))
+            next()
+            val lname = name.toLowerCase
+            if ((lname == "map" || lname == "filter") && peekIsLambda) {
+              // `.map(x -> expr)` / `.filter(x -> cond)` → the Catalyst
+              // array HOFs (transform/filter) — codegen'd per-row, no UDF.
+              // Spark invokes the body builder exactly once at plan
+              // construction, so the parser advances over the body once.
+              val param = next() match {
+                case TIdent(s) => s
+                case t => fail(s"expected lambda parameter, got $t")
+              }
+              expect("->")
+              def body(x: Column): Column = {
+                val saved = lambdaVars
+                lambdaVars = lambdaVars + (param -> x)
+                try parseOr().col finally lambdaVars = saved
+              }
+              val res =
+                if (lname == "map") transform(c.col, body _)
+                else filter(c.col, body _)
+              expect(")")
+              c = Arg(res)
+            } else {
+              val args = parseArgs(); expect(")")
+              c = Arg(method(c.col, name, args),
+                stringy = StringMethods(name.toLowerCase))
+            }
           } else c = Arg(c.col.getField(name))
+        case TOp("[") =>
+          // JS array indexing: 0-based → element_at's 1-based. A
+          // negative literal index fails loud (JS yields undefined,
+          // Spark counts from the end — silently different data).
+          next(); val idx = parseOr(); expect("]")
+          val oneBased = idx.lit match {
+            case Some(v) if v.toString.matches("-\\d+") =>
+              fail(s"[${v}]: negative JS indices are not translated — " +
+                "JS yields undefined there; index from the front")
+            case Some(v) if v.toString.matches("\\d+") => lit(v.toString.toInt + 1)
+            case _ if !idx.stringy => (idx.col + lit(1)).cast("int")
+            case _ => fail("[...] indexing is 0-based numeric (JS array semantics)")
+          }
+          c = Arg(element_at(c.col, oneBased))
         case _ => cont = false
       }
       c
+    }
+
+    private def peekIsLambda: Boolean = peek match {
+      case TIdent(_) => pos + 1 < toks.length && toks(pos + 1) == TOp("->")
+      case _ => false
     }
 
     private def parseArgs(): List[Arg] = {
@@ -235,12 +283,23 @@ object OrientExpr {
       case TIdent(s) if s.equalsIgnoreCase("null")  => Arg(lit(null))
       case TIdent(s) if s.equalsIgnoreCase("true")  => Arg(lit(true))
       case TIdent(s) if s.equalsIgnoreCase("false") => Arg(lit(false))
+      case TIdent(name) if lambdaVars.contains(name) => Arg(lambdaVars(name))
       case TIdent(name) if peek == TOp("(") =>
         next(); val args = parseArgs(); expect(")")
         Arg(freeFunction(name, args),
           stringy = Set("string", "format", "uuid")(name.toLowerCase))
       case TIdent(name) => Arg(col(name))
       case TOp("(") => val c = parseOr(); expect(")"); Arg(c.col)
+      case TOp("[") =>
+        // collection literal `[a, b, c]` (the OrientDB/JS array form) —
+        // elements are full expressions; empty `[]` is an empty array
+        if (peek == TOp("]")) { next(); Arg(array()) }
+        else {
+          val buf = scala.collection.mutable.ListBuffer(parseOr())
+          while (peek == TOp(",")) { next(); buf += parseOr() }
+          expect("]")
+          Arg(array(buf.map(_.col).toSeq: _*))
+        }
       case t => fail(s"unexpected token $t")
     }
 
@@ -376,6 +435,11 @@ object OrientExpr {
           if (fmt.contains('%')) format_string(fmt, target)
           else date_format(target, fmt)
         case ("tojson", Nil)           => to_json(target)
+        // JS Array.prototype.join — element-wise string render + concat;
+        // no-arg join uses JS's ',' default
+        case ("join", Nil)             => array_join(target.cast("array<string>"), ",")
+        case ("join", Seq(sep))        =>
+          array_join(target.cast("array<string>"), sep.litStr("join separator"))
         case _ => fail(s"unknown method .$name/${args.size}")
       }
   }
@@ -431,7 +495,7 @@ object OrientExpr {
         out += TIdent(src.substring(start, i))
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
-        if (Set("<>", "!=", "<=", ">=", "==").contains(two)) { out += TOp(two); i += 2 }
+        if (Set("<>", "!=", "<=", ">=", "==", "->").contains(two)) { out += TOp(two); i += 2 }
         else { out += TOp(c.toString); i += 1 }
       }
     }
