@@ -1339,6 +1339,22 @@ object SparkEntry {
           col("band"), col("root").cast("long").as("root"), col("tag"))
         .orderBy("c_custkey")
     },
+    "code_js_arrays" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the round-13 JS array + function surface in one script: an
+      // array-literal local, `=>` arrow .map/.filter lambdas, .join
+      // with JS null-keeping semantics, [idx] indexing, and a
+      // guard-clause function (local + early returns → one expression)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"language": "javascript", "code":
+          "function tier(k) { var d = k * 3; if (d < 15) return 'small'; if (d < 45) { return 'medium'; } return 'large'; } var parts = [record.n_nationkey, record.n_regionkey, 7]; record.csv3 = parts.map(v => v * 2).join('-'); record.pick0 = [record.n_regionkey, 99][0]; record.tier = tier(record.n_nationkey); record.evens = [1, 2, 3, 4, 5, 6].filter(x => x % 2 === 0).join(',');"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("n_nationkey"), col("csv3"),
+          col("pick0").cast("int").as("pick0"), col("tier"), col("evens"))
+        .orderBy("n_nationkey")
+    },
     "http_csv" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // `http` source against an embedded localhost server — the payload
@@ -3393,6 +3409,14 @@ object SparkEntry {
        "CASE WHEN length(lower(c_mktsegment)) >= 10 THEN lower(c_mktsegment) " +
        "ELSE lpad(lower(c_mktsegment), 10, '.') END AS tag " +
        "FROM customer ORDER BY c_custkey"),
+    "code_js_arrays" ->
+      ("SELECT n_nationkey, " +
+       "CAST(n_nationkey * 2 AS VARCHAR) || '-' || CAST(n_regionkey * 2 AS VARCHAR) || '-14' AS csv3, " +
+       "n_regionkey AS pick0, " +
+       "CASE WHEN n_nationkey * 3 < 15 THEN 'small' " +
+       "WHEN n_nationkey * 3 < 45 THEN 'medium' ELSE 'large' END AS tier, " +
+       "'2,4,6' AS evens " +
+       "FROM nation ORDER BY n_nationkey"),
     "http_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "etl_params" ->

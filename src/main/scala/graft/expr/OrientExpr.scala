@@ -236,19 +236,15 @@ object OrientExpr {
             }
           } else c = Arg(c.col.getField(name))
         case TOp("[") =>
-          // JS array indexing: 0-based → element_at's 1-based. A
-          // negative literal index fails loud (JS yields undefined,
-          // Spark counts from the end — silently different data).
+          // JS array indexing: 0-based; out-of-range AND negative
+          // indices yield null — exactly JS `undefined`. functions.get
+          // gives that directly (element_at is 1-based, throws
+          // INVALID_ARRAY_INDEX under Spark 4's default ANSI mode, and
+          // counts negatives from the end — all silently different).
           next(); val idx = parseOr(); expect("]")
-          val oneBased = idx.lit match {
-            case Some(v) if v.toString.matches("-\\d+") =>
-              fail(s"[${v}]: negative JS indices are not translated — " +
-                "JS yields undefined there; index from the front")
-            case Some(v) if v.toString.matches("\\d+") => lit(v.toString.toInt + 1)
-            case _ if !idx.stringy => (idx.col + lit(1)).cast("int")
-            case _ => fail("[...] indexing is 0-based numeric (JS array semantics)")
-          }
-          c = Arg(element_at(c.col, oneBased))
+          if (idx.stringy)
+            fail("[...] indexing is 0-based numeric (JS array semantics)")
+          c = Arg(get(c.col, idx.col.cast("int")))
         case _ => cont = false
       }
       c
@@ -436,10 +432,13 @@ object OrientExpr {
           else date_format(target, fmt)
         case ("tojson", Nil)           => to_json(target)
         // JS Array.prototype.join — element-wise string render + concat;
-        // no-arg join uses JS's ',' default
-        case ("join", Nil)             => array_join(target.cast("array<string>"), ",")
+        // no-arg join uses JS's ',' default. nullReplacement "" keeps
+        // separators for null elements ([1,null,2] → "1,,2" like JS;
+        // Spark's 2-arg form would drop them → "1,2").
+        case ("join", Nil)             =>
+          array_join(target.cast("array<string>"), ",", "")
         case ("join", Seq(sep))        =>
-          array_join(target.cast("array<string>"), sep.litStr("join separator"))
+          array_join(target.cast("array<string>"), sep.litStr("join separator"), "")
         case _ => fail(s"unknown method .$name/${args.size}")
       }
   }

@@ -282,7 +282,12 @@ object Loaders {
     val beat = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(math.max(1L, staleMins * 60000L / 4))
-        fs.setTimes(lock, System.currentTimeMillis(), -1)
+        // A transient setTimes failure (object-store hiccup) must not
+        // kill the heartbeat — a live merge longer than the stale
+        // threshold would then have its lease stolen. Keep looping;
+        // only interruption (merge done) ends the thread.
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$path")
     beat.setDaemon(true)

@@ -186,8 +186,9 @@ object MultimodalStages {
                                height: Int, mean_luma: Double, bright: Boolean)
 
   /** `mm_frame_decode`: sampled frames decoded TO PIXELS — real for
-    * image-codec tracks ('jpeg'/'mp4v' MJPEG-style sample entries,
-    * whose samples are complete ImageIO-readable images). Container
+    * image-codec tracks ('jpeg'/'mjpa'/'mjpb'/'png ' sample entries,
+    * whose samples are complete ImageIO-readable images; 'mp4v' is
+    * inter-predicted and deliberately rejected). Container
     * walk per [[VideoCodec.sampleFrames]], then each sampled frame's
     * byte slice pixel-decodes to (width, height, mean Rec.601
     * luminance, bright = mean > 127). Inter-frame-predicted codecs
@@ -217,7 +218,8 @@ object MultimodalStages {
         if (!imageCodecs(s.codec))
           sys.error(s"mm_frame_decode: media_id=${s.media_id}: codec " +
             s"'${s.codec}' frames are not self-contained images — " +
-            "pixel decode covers MJPEG-style tracks (jpeg/mjpa/mjpb); " +
+            "pixel decode covers MJPEG-style tracks " +
+            "(jpeg/mjpa/mjpb/'png '); " +
             "inter-predicted codecs need an external decoder")
         val (w, h, luma) = ImageCodec.pixelStats(s.media_id, s.frame)
         FrameDecode(s.media_id, s.frame_idx, w, h, luma, luma > 127.0)

@@ -744,22 +744,106 @@ object Stages {
     cur
   }
 
-  /** Extract single-return `function name(args) { return expr; }`
-    * definitions as inline macros; returns (code without the defs,
-    * name → (params, body)). Anything richer inside a function fails
-    * later as an untranslatable statement. */
+  /** Extract `function name(args) { … }` definitions as inline macros;
+    * returns (code without the defs, name → (params, body-expression)).
+    * Bodies richer than a single `return expr;` compile through
+    * [[jsFnBodyToExpr]]: `var` locals inline, `if (cond) return expr;`
+    * early returns become ternary arms, the trailing `return` is the
+    * default — so guard-clause-style functions translate to one
+    * expression. Anything else fails with the migration message. */
   private[graft] def jsExtractFunctions(code: String): (String, Map[String, (Seq[String], String)]) = {
-    val FnDef = raw"function\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*\{\s*return\s+([^;{}]+?)\s*;?\s*\}".r
+    val FnHead = raw"function\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*\{".r
     var fns = Map.empty[String, (Seq[String], String)]
-    val stripped = FnDef.replaceAllIn(code, m => {
-      if (inJsLiteral(code, m.start)) java.util.regex.Matcher.quoteReplacement(m.group(0))
-      else {
-        val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        fns += m.group(1) -> ((params, m.group(3)))
-        " "
+    var cur = code
+    var continue = true
+    while (continue) {
+      FnHead.findAllMatchIn(cur).find(m => !inJsLiteral(cur, m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          val close = closingBrace(cur, m.end - 1)
+          require(close > 0, s"code: unbalanced braces in function ${m.group(1)}")
+          val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val body = cur.substring(m.end, close)
+          fns += m.group(1) -> ((params, jsFnBodyToExpr(m.group(1), body)))
+          cur = cur.substring(0, m.start) + " " + cur.substring(close + 1)
       }
-    })
-    (stripped, fns)
+    }
+    (cur, fns)
+  }
+
+  /** Index of the ')' closing the '(' at `open` (quote/escape-aware),
+    * or -1 when unbalanced. */
+  private def closingParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var quote: Char = 0; var escaped = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Compile a JS function BODY to ONE expression. Supported statement
+    * shapes, in any order: `var x = expr;` locals (inlined textually,
+    * redefinition chains resolve through their predecessors),
+    * `if (cond) return expr;` guard clauses (braces allowed around the
+    * single return) → ternary arms over the compiled remainder, and a
+    * final `return expr;` default. The result is plain ternary text —
+    * [[jsRewriteTernary]] translates it (recursing into the parens)
+    * after macro inlining. */
+  private[graft] def jsFnBodyToExpr(name: String, body: String): String = {
+    // `if (cond) { return e; }` → unbraced, so jsStatements's `;` split
+    // doesn't cut inside the braces (condition may nest one paren
+    // level). Whole-body regex with a literal guard — a segment-wise
+    // rewrite would never match across a quoted return value.
+    val IfBrace =
+      raw"if\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s*\{\s*return\s+([^;{}]+);\s*\}".r
+    val normalized = IfBrace.replaceAllIn(body, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (inJsLiteral(body, m.start)) m.group(0)
+        else s"if (${m.group(1)}) return ${m.group(2)};"))
+    val VarDecl = raw"(?s)var\s+([A-Za-z_]\w*)\s*=\s*(.+)".r
+    val Return = raw"(?s)return\s+(.+)".r
+    def inline(e: String, locals: List[(String, String)]): String =
+      locals.foldLeft(e) { case (acc, (n, rhs)) =>
+        substIdent(acc, n, "(" + rhs + ")") }
+    def go(rest: List[String], locals: List[(String, String)]): String = rest match {
+      case VarDecl(v, rhs) :: tail => go(tail, (v, inline(rhs, locals)) :: locals)
+      case s :: tail if s.matches(raw"(?s)if\s*\(.*") =>
+        val open = s.indexOf('(')
+        val close = closingParen(s, open)
+        require(close > open, s"code: unbalanced parens in `$s` (function $name)")
+        s.substring(close + 1).trim match {
+          case Return(e) =>
+            s"((${inline(s.substring(open + 1, close), locals)}) ? " +
+              s"(${inline(e, locals)}) : (${go(tail, locals)}))"
+          case other => sys.error(s"code: function $name: `if (…) $other` — " +
+            "inside a function, `if` must be a guard clause " +
+            "`if (cond) return expr;`; assignments belong in the " +
+            "top-level script")
+        }
+      case Return(e) :: tail =>
+        require(tail.isEmpty,
+          s"code: function $name has unreachable statements after `return`")
+        inline(e, locals)
+      case Nil => sys.error(s"code: function $name must end with " +
+        "`return expr;` on every path (a fall-through path has no value " +
+        "to inline)")
+      case other :: _ => sys.error(s"code: function $name body statement " +
+        s"`$other` is not translatable — supported: `var x = expr;` " +
+        "locals, `if (cond) return expr;` guard clauses, and a final " +
+        "`return expr;` (use a Scala hook via `ref` for anything richer)")
+    }
+    go(jsStatements(normalized).toList, Nil)
   }
 
   /** Inline macro CALLS of the extracted functions into `s`: arguments
@@ -895,7 +979,45 @@ object Stages {
       (q, -1)
     }
     val (q, colon) = scan()
-    if (q < 0) return s
+    if (q < 0) {
+      // No top-level `?` — but a ternary may hide one paren level down
+      // (`(b ? c : d)` arriving here as a recursive part). Rewrite the
+      // interior of every top-level balanced (...)/[...] group,
+      // string-literal-aware, so it still translates.
+      if (!s.contains('?')) return s
+      val sb = new StringBuilder
+      var i = 0; var quote: Char = 0; var escaped = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) {
+          sb.append(c)
+          if (escaped) escaped = false
+          else if (c == '\\') escaped = true
+          else if (c == quote) quote = 0
+          i += 1
+        } else if (c == '\'' || c == '"') {
+          quote = c; sb.append(c); i += 1
+        } else if (c == '(' || c == '[') {
+          var depth = 1; var j = i + 1; var q2: Char = 0; var esc2 = false
+          while (j < s.length && depth > 0) {
+            val cj = s.charAt(j)
+            if (q2 != 0) {
+              if (esc2) esc2 = false
+              else if (cj == '\\') esc2 = true
+              else if (cj == q2) q2 = 0
+            } else if (cj == '\'' || cj == '"') q2 = cj
+            else if (cj == '(' || cj == '[') depth += 1
+            else if (cj == ')' || cj == ']') depth -= 1
+            j += 1
+          }
+          require(depth == 0, s"code: unbalanced '$c' in `$s`")
+          sb.append(c).append(jsRewriteTernary(s.substring(i + 1, j - 1)))
+            .append(s.charAt(j - 1))
+          i = j
+        } else { sb.append(c); i += 1 }
+      }
+      return sb.toString
+    }
     require(colon > q, s"code: ternary `?` without a matching `:` in `$s`")
     val cond = jsRewriteTernary(s.substring(0, q)).trim
     val thenP = jsRewriteTernary(s.substring(q + 1, colon)).trim
@@ -916,8 +1038,10 @@ object Stages {
     *    must not read the column it assigns — it is re-evaluated).
     * `record.` prefixes resolve to fields. Three macro-level forms
     * expand BEFORE statement translation:
-    *  - `function f(a,b) { return expr; }` defs become inline macros
-    *    (calls substitute arguments textually, parenthesized);
+    *  - `function f(a,b) { … }` defs become inline macros — calls
+    *    substitute arguments textually, parenthesized; bodies may hold
+    *    `var` locals and `if (cond) return expr;` guard clauses before
+    *    the final return ([[jsFnBodyToExpr]]);
     *  - `for (var i = A; i < B; i++) { … }` with literal bounds unrolls
     *    (≤ 64 iterations — an unrolled plan column per round is the
     *    honest cost), with `record["q" + i]` folding to `record.qN`;
@@ -931,8 +1055,10 @@ object Stages {
     * substring, indexOf, startsWith/endsWith/includes, padStart/padEnd,
     * repeat, slice, charAt, replace, split — resolved by the dialect's
     * method table). Bounded-counter `while` loops unroll
-    * ([[jsUnrollWhile]]). Anything richer (data-dependent trip counts,
-    * recursion, multi-statement functions) fails with a named migration
+    * ([[jsUnrollWhile]]). Array literals, `[idx]` indexing,
+    * `.map/.filter` lambdas and `.join` resolve in the dialect
+    * (OrientExpr). Anything richer (data-dependent trip counts,
+    * recursion, closures, object literals) fails with a named migration
     * path — full JS is out of parity scope (SURVEY.md §7.4, no script
     * engine offline). */
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
@@ -958,7 +1084,10 @@ object Stages {
         // JS boolean operators → dialect keywords (strict ===/!== first,
         // then logical NOT — `!` not followed by `=`); `.length`
         // PROPERTY (no parens — the JS spelling) → the .length() method
-        var e = seg0.replace("record.", "").replace("&&", " AND ").replace("||", " OR ")
+        // JS arrow lambdas (`x => expr` in .map/.filter) → the
+        // dialect's `->` (no conflict: ===/>=/<= share no `=>` slice)
+        var e = seg0.replace("record.", "").replace("=>", "->")
+          .replace("&&", " AND ").replace("||", " OR ")
           .replace("===", " == ").replace("!==", " != ")
           .replaceAll(raw"!(?!=)", " NOT ")
           .replaceAll(raw"\.length\b(?!\s*\()", ".length()")
@@ -1053,9 +1182,10 @@ object Stages {
           "`if (cond) record.x = expr;` guards with `else if`/`else` " +
           "branches, compound ops (x += e, x++), literal-bounded " +
           "`for (var i = A; i < B; i++) { … }` and " +
-          "`var i = A; while (i < B) { …; i++ }` loops, single-return " +
-          "`function f(a) { return expr; }` macros, ternaries, Math.*, " +
-          "and JS string-method chains. " +
+          "`var i = A; while (i < B) { …; i++ }` loops, `function` " +
+          "macros (locals + `if (cond) return expr;` guard clauses + " +
+          "final return), array literals/[idx]/.map/.filter/.join, " +
+          "ternaries, Math.*, and JS string-method chains. " +
           "Use language: \"sql\" with `code: \"SELECT ... FROM __input\"`, " +
           "a dialect `expression` + `fieldName`, or a Scala hook via " +
           "`ref` (Engine.registerCode) — full JS is out of parity scope " +

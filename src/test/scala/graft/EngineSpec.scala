@@ -790,6 +790,63 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot also READ"), e.getMessage)
   }
 
+  test("code JS shim: guard-clause functions, parenthesized ternaries, array forms") {
+    val path = writeNationCsv()
+    // multi-statement function: a local + early returns compile to one
+    // expression (guard clauses → nested ternaries), braces allowed
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "function band(k) { var scaled = k * 2; if (scaled < 10) return 'low'; if (scaled < 30) { return 'mid'; } return 'high'; } record.band = band(record.n_nationkey);" } } ],
+      "loader": { "memory": {} }
+    }""")
+    def band(k: Int) =
+      out.filter(col("n_nationkey") === k).head().getAs[String]("band")
+    assert(band(3) == "low" && band(9) == "mid" && band(20) == "high")
+    // parenthesized ternary (r11 ADVICE): the inner `?:` sits one paren
+    // level down and must still rewrite
+    val t = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.t = record.n_nationkey < 10 ? (record.n_nationkey < 5 ? 'a' : 'b') : 'c';" } } ],
+      "loader": { "memory": {} }
+    }""")
+    def tt(k: Int) = t.filter(col("n_nationkey") === k).head().getAs[String]("t")
+    assert(tt(2) == "a" && tt(7) == "b" && tt(15) == "c")
+    // array literal local + JS `=>` arrow .map + .join + [idx] (incl.
+    // out-of-range → null, the JS-undefined contract)
+    val arr = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var xs = [record.n_nationkey, record.n_regionkey]; record.both = xs.map(v => v * 10).join('-'); record.first = [5, 6, 7][0]; record.missing = [1][4];" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val ar = arr.filter(col("n_nationkey") === 7).head()
+    assert(ar.getAs[String]("both") == "70-20")
+    assert(ar.getAs[Number]("first").intValue == 5)
+    assert(ar.isNullAt(ar.fieldIndex("missing")))
+    // function rejections stay loud: fall-through path without a
+    // return, and unreachable trailing statements
+    def rejectFn(code: String, needle: String) = {
+      val e2 = intercept[Exception] {
+        Engine.runJson(newCtx(), s"""{
+          "source": { "file": { "path": "$path" } },
+          "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+          "transformers": [ { "code": { "language": "javascript", "code": "$code" } } ],
+          "loader": { "memory": {} }
+        }""")
+      }
+      assert(e2.getMessage.contains(needle), s"`$code` → ${e2.getMessage}")
+    }
+    rejectFn("function f(x) { if (x > 0) return 1; } record.y = f(record.n_nationkey);",
+      "every path")
+    rejectFn("function f(x) { return 1; var z = 2; } record.y = f(record.n_nationkey);",
+      "unreachable")
+  }
+
   test("dryRun: config compiles and analyzes, loader never acts") {
     val path = writeNationCsv()
     val out = s"$tmp/dryrun_out"

@@ -145,4 +145,37 @@ class OrientExprSpec extends SparkSpec {
     assert(eval1("parseInt(-3.7)") == -3L)
     assert(eval1("String(5) + 'x'") == "5x") // String(...) is stringy
   }
+
+  test("JS array surface: literals, 0-based indexing, map/filter, join") {
+    // literals — empty, expression elements, nesting
+    assert(eval1("[]") == Seq())
+    assert(eval1("[1 + 1, 2 * 2]") == Seq(2, 4))
+    assert(eval1("[10, 20, 30][0]") == 10)
+    assert(eval1("[10, 20, 30][2]") == 30)
+    // out-of-range and negative indices → null (JS undefined), even
+    // under Spark 4's default ANSI mode — functions.get, not element_at
+    assert(eval1("[10, 20, 30][5]") == null)
+    assert(eval1("[10, 20, 30][-1]") == null)
+    // dynamic index, including a dynamic value that lands out of range
+    assert(eval1("[10, 20, 30][$i]", Map("i" -> 1)) == 20)
+    assert(eval1("[10, 20, 30][$i]", Map("i" -> 9)) == null)
+    // a string index is a named error, not silent weirdness
+    val ie = intercept[Exception](eval1("[1, 2]['a']"))
+    assert(ie.getMessage.contains("0-based numeric"), ie.getMessage)
+    // map/filter lambdas → Catalyst transform/filter (codegen'd)
+    assert(eval1("[1, 2, 3].map(x -> x * 2)") == Seq(2, 4, 6))
+    assert(eval1("[1, 2, 3, 4].filter(x -> x % 2 = 0)") == Seq(2, 4))
+    // chains, column references inside the body, nested lambdas
+    assert(eval1("[1, 2, 3].map(x -> x + 10).filter(y -> y > 11)") == Seq(12, 13))
+    assert(eval1("[1, 2, 3].map(x -> x + id)") == Seq(1, 2, 3)) // id = 0
+    assert(eval1("[[1, 2], [3]].map(a -> a.filter(y -> y > 1))") ==
+      Seq(Seq(2), Seq(3)))
+    // the lambda parameter shadows an outer column name, then unwinds
+    assert(eval1("[5].map(id -> id * 2)[0]") == 10)
+    // join: JS semantics — default ',', null elements keep separators
+    assert(eval1("['a', 'b'].join('-')") == "a-b")
+    assert(eval1("['a', 'b'].join()") == "a,b")
+    assert(eval1("['a', null, 'b'].join('-')") == "a--b")
+    assert(eval1("[1, 2, 3].map(x -> x * x).join('+')") == "1+4+9")
+  }
 }
