@@ -691,6 +691,40 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("id")
     },
+    "command_gremlin_group" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // group().by(key).by(aggregate): Gremlin's result map as rows —
+      // one hash aggregation (groupBy key, agg over the group's
+      // property). max is order-independent, so the double column
+      // stays hash-exact against the oracle
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').group().by('c_mktsegment').by(values('c_acctbal').max())"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("key")
+    },
+    "command_gremlin_project" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // project(): one column per key — properties directly, and two
+      // per-traverser sub-traversals (order → customer → that
+      // customer's orders) aggregated on the keyedByTid correlation id:
+      // a count and a string-min (both order-independent)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').project('oid', 'price', 'siblings', 'firstsib').by('id').by('o_totalprice').by(out('placed').in('placed').count()).by(out('placed').in('placed').values('id').min())"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("oid")
+    },
     "command_gremlin_order" -> { (s, dir) =>
       val c = ctx(s, dir)
       // order().by(desc).range(a,b): the lazy sort + adjacent slice plan
@@ -3174,6 +3208,18 @@ object SparkEntry {
       ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +
        "GROUP BY 1 ORDER BY id"),
+    "command_gremlin_group" ->
+      ("SELECT c_mktsegment AS key, max(c_acctbal) AS value " +
+       "FROM customer GROUP BY 1 ORDER BY key"),
+    // per order: its price, sibling-order count and the string-min
+    // sibling id of the same customer (the project sub-traversals)
+    "command_gremlin_project" ->
+      ("WITH sib AS (SELECT o_custkey, count(*) AS siblings, " +
+       "min(CAST(o_orderkey AS VARCHAR)) AS firstsib FROM orders " +
+       "JOIN customer ON o_custkey = c_custkey GROUP BY 1) " +
+       "SELECT CAST(o_orderkey AS VARCHAR) AS oid, o_totalprice AS price, " +
+       "sib.siblings, sib.firstsib FROM orders JOIN sib USING (o_custkey) " +
+       "ORDER BY oid"),
     // every frontier of the bounded walk; the recursion gate `d = 0 OR
     // cur NOT IN stops` is the do-while until (seeds always hop once)
     "command_gremlin_emit" ->

@@ -37,6 +37,16 @@ import org.apache.spark.sql.functions._
   *    counts per current element (id in vertex space, `value` in value
   *    space) or per `col`: Gremlin's result map, emitted as
   *    `(key, count)` rows from one hash aggregation;
+  *  - `.group().by('k')` / `.group().by('k').by(<agg>)` — terminal
+  *    result map as `(key, value)` rows: the value by is `count()` or
+  *    `values('p').sum()|mean()|min()|max()` (one hash aggregation);
+  *    absent, the group's element list sorted + comma-joined (the
+  *    driver-compare list serialization);
+  *  - `.project('a', 'b', …).by(…)…` — terminal, one output column per
+  *    key: `by('col')`/`by(values('col'))` takes a property,
+  *    `by(<hops>.count())` / `by(<hops>.values('p').sum()|…)` runs the
+  *    sub-traversal per traverser on the keyedByTid correlation id
+  *    (empty sub-traversals count 0 / aggregate null);
   *  - `.as('x')` — bind the CURRENT vertex under tag `x`; bindings ride
   *    along through later hops (a stashed column per tag — the same
   *    bound-vertex mechanism the motif translator uses);
@@ -276,6 +286,96 @@ object Gremlin {
               "(optionally followed by .by('col'))")
           }
           frame = frame.groupBy(keyC).agg(count(lit(1)).as("count"))
+        case ("group", Nil) =>
+          // terminal: Gremlin's result map as (key, value) rows. First
+          // by(..) picks the key (a property), second the value — an
+          // aggregate over each group's elements (count() or
+          // values('p').sum()/mean()/min()/max()); absent, the default
+          // is the group's element list, emitted sorted + comma-joined
+          // (the driver-compare list serialization contract)
+          val mods = scala.collection.mutable.ArrayBuffer.empty[List[Any]]
+          while (mods.size < 2 &&
+              steps.tail.lift(i + 1 + skipN).exists(_._1 == "by")) {
+            mods += steps.tail(i + 1 + skipN)._2; skipN += 1
+          }
+          if (i + skipN != steps.tail.length - 1)
+            fail("group() and its by(..) modulators must end the traversal")
+          val keyC2 = mods.headOption.map(parseByMod("group", _)) match {
+            case Some(ByProp(k)) => col(k)
+            case None => fail("group() needs a key: .by('col')")
+            case Some(_: ByAgg) =>
+              fail("group(): the KEY by(..) must be a property — " +
+                "by('col') or by(values('col'))")
+          }
+          frame = mods.lift(1).map(parseByMod("group", _)) match {
+            case None =>
+              val elem =
+                if (frame.columns.contains("value")) col("value") else col("id")
+              frame.groupBy(keyC2.as("key")).agg(
+                array_join(array_sort(collect_list(elem)).cast("array<string>"),
+                  ",").as("value"))
+            case Some(ByAgg("", agg, prop)) =>
+              val v = agg match {
+                case "count" => count(lit(1))
+                case "sum" => sum(col(prop.get))
+                case "mean" | "avg" => avg(col(prop.get))
+                case "min" => min(col(prop.get))
+                case "max" => max(col(prop.get))
+              }
+              frame.groupBy(keyC2.as("key")).agg(v.as("value"))
+            case Some(ByAgg(hops, _, _)) =>
+              fail(s"group(): a hop ($hops) inside the VALUE by(..) is " +
+                "not in the subset — aggregate properties of the grouped " +
+                "elements, or use project() for per-element sub-traversals")
+            case Some(ByProp(p)) =>
+              // by('p') as the value by: the group's p-values, sorted +
+              // comma-joined (Gremlin's value list)
+              frame.groupBy(keyC2.as("key")).agg(
+                array_join(array_sort(collect_list(col(p)))
+                  .cast("array<string>"), ",").as("value"))
+          }
+        case ("project", keys) if keys.nonEmpty &&
+            keys.forall(_.isInstanceOf[String]) =>
+          // terminal: one output column per key, each filled by its
+          // by(..) modulator — a property directly, or a sub-traversal
+          // ending in an aggregate, evaluated per traverser on the
+          // keyedByTid correlation id (missing sub-results count 0 /
+          // aggregate null, like an empty Gremlin sub-traversal)
+          val names = keys.map(_.asInstanceOf[String])
+          val mods = scala.collection.mutable.ArrayBuffer.empty[List[Any]]
+          while (mods.size < names.size &&
+              steps.tail.lift(i + 1 + skipN).exists(_._1 == "by")) {
+            mods += steps.tail(i + 1 + skipN)._2; skipN += 1
+          }
+          if (mods.size != names.size)
+            fail(s"project(${names.mkString(", ")}): needs exactly " +
+              s"${names.size} by(..) modulators, got ${mods.size}")
+          if (i + skipN != steps.tail.length - 1)
+            fail("project() and its by(..) modulators must end the traversal")
+          val bys = mods.map(parseByMod("project", _)).toList
+          val needTid = bys.exists(_.isInstanceOf[ByAgg])
+          var out = if (needTid) keyedByTid(frame) else frame
+          bys.zip(names).foreach {
+            case (ByProp(c), n) => out = out.withColumn(s"__pr_$n", col(c))
+            case (ByAgg(hops, agg, prop), n) =>
+              val chainSrc = (Seq(hops).filter(_.nonEmpty) ++
+                prop.map(p => s"values('$p')")).mkString(".")
+              val sub =
+                if (chainSrc.isEmpty) out else applyBranch(ctx, out, idLabel, chainSrc)
+              val v = agg match {
+                case "count" => count(lit(1))
+                case "sum" => sum(col("value"))
+                case "mean" | "avg" => avg(col("value"))
+                case "min" => min(col("value"))
+                case "max" => max(col("value"))
+              }
+              val per = sub.groupBy(col("__tid")).agg(v.as(s"__pr_$n"))
+              out = out.join(per, Seq("__tid"), "left")
+              if (agg == "count")
+                out = out.withColumn(s"__pr_$n",
+                  coalesce(col(s"__pr_$n"), lit(0L)))
+          }
+          frame = out.select(names.map(n => col(s"__pr_$n").as(n)): _*)
         case ("union", chains) if chains.nonEmpty &&
             chains.forall(_.isInstanceOf[RawChain]) =>
           // each traverser flows through EVERY branch; results
@@ -490,7 +590,10 @@ object Gremlin {
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
-            "values/count/groupCount[.by('col')]/as/where(eq|neq)/select/" +
+            "values/count/groupCount[.by('col')]/" +
+            "group().by('k')[.by(<aggregate>)]/" +
+            "project('a', …).by(<prop|chain.aggregate>)…/" +
+            "as/where(eq|neq)/select/" +
             "repeat(..) with times(k)/until(filter)/emit()/" +
             "order().by(..)/range(lo,hi)/path()/" +
             "union(chain, …)/coalesce(chain, …)/optional(chain)/" +
@@ -648,6 +751,56 @@ object Gremlin {
     if (stash.contains("__path"))
       landed.withColumn("__path", concat(col("__path"), array(col("id"))))
     else landed
+  }
+
+  /** A `by(..)` modulator of group()/project(): a plain property, or a
+    * sub-chain ending in a terminal aggregate (optional hops, optional
+    * `values('p')`, then count/sum/mean/min/max). */
+  private sealed trait ByMod
+  private final case class ByProp(colName: String) extends ByMod
+  private final case class ByAgg(hops: String, agg: String,
+                                 prop: Option[String]) extends ByMod
+
+  private val ByAggs = Set("count", "sum", "mean", "avg", "min", "max")
+
+  private def parseByMod(owner: String, args: List[Any]): ByMod = args match {
+    case List(s: String) => ByProp(s)
+    case List(RawChain(src)) =>
+      val body = "." + src.trim
+      val st = Step.findAllMatchIn(body)
+        .map(m => (m.group(1), m.group(2).trim, m.matched)).toList
+      val consumed = st.map(_._3).mkString
+      if (consumed != body || st.isEmpty)
+        fail(s"$owner().by($src): cannot parse the modulator chain")
+      st.last match {
+        case (a, "", _) if ByAggs(a) =>
+          val prefix = st.dropRight(1)
+          val (hopSteps, prop) = prefix.lastOption match {
+            case Some(("values", pArg, _)) =>
+              val p = parseArgs(pArg) match {
+                case List(x: String) => x
+                case _ => fail(s"$owner().by($src): values(..) takes one " +
+                  "property name")
+              }
+              (prefix.dropRight(1), Some(p))
+            case _ => (prefix, None)
+          }
+          if (prop.isEmpty && a != "count")
+            fail(s"$owner().by($src): $a() needs values('prop') before it " +
+              "(count() is the only element-space aggregate)")
+          ByAgg(hopSteps.map(_._3).mkString.stripPrefix("."), a, prop)
+        case ("values", pArg, _) if st.size == 1 =>
+          parseArgs(pArg) match {
+            case List(x: String) => ByProp(x)
+            case _ => fail(s"$owner().by($src): values(..) takes one " +
+              "property name")
+          }
+        case _ => fail(s"$owner().by($src): the modulator must be " +
+          "by('col'), by(values('col')), or a chain ending in " +
+          "count()/sum()/mean()/min()/max()")
+      }
+    case other => fail(s"$owner().by(${other.mkString(", ")}): expected " +
+      "by('col') or by(<chain>.<aggregate>())")
   }
 
   /** A bound-vertex predicate argument: `eq('x')` / `neq('x')`. */

@@ -300,9 +300,56 @@ class GraphSpec extends SparkSpec {
     val e = intercept[RuntimeException](
       g("g.V().branch(values('id'))"))
     assert(e.getMessage.contains("gremlin"))
-    val e2 = intercept[RuntimeException](g("g.V().out().group()"))
+    val e2 = intercept[RuntimeException](g("g.V().out().sack()"))
     assert(e2.getMessage.contains("unsupported step"))
     assert(e2.getMessage.contains("motif"))
+  }
+
+  test("gremlin: group().by().by() result map and project() per-traverser columns") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p", 3L), ("b", "p", 5L), ("c", "q", 7L), ("d", "q", 2L))
+      .toDF("id", "label", "w"))
+    ctx.addEdges(Seq(("a", "b", "knows"), ("a", "c", "knows"), ("b", "c", "knows"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // default value: the group's element list, sorted + comma-joined
+    assert(g("g.V().group().by('label')")
+      .as[(String, String)].collect().toMap == Map("p" -> "a,b", "q" -> "c,d"))
+    // aggregate values: count() and values('w').sum()/max()
+    assert(g("g.V().group().by('label').by(count())")
+      .as[(String, Long)].collect().toMap == Map("p" -> 2L, "q" -> 2L))
+    assert(g("g.V().group().by('label').by(values('w').sum())")
+      .as[(String, Long)].collect().toMap == Map("p" -> 8L, "q" -> 9L))
+    // a property as the VALUE by: per-group value list
+    assert(g("g.V().group().by('label').by('w')")
+      .as[(String, String)].collect().toMap == Map("p" -> "3,5", "q" -> "2,7"))
+    // project: property by + sub-traversal count by (empty → 0) + min
+    val pr = g("g.V().hasLabel('p').project('pid', 'pw', 'outs', 'firstout')" +
+        ".by('id').by('w').by(out('knows').count()).by(out('knows').values('id').min())")
+      .orderBy("pid").collect()
+    assert(pr.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq ==
+      Seq(("a", 3L, 2L, "b"), ("b", 5L, 1L, "c")))
+    // empty sub-traversal: count 0, aggregate null (hop frames carry
+    // (id, label) — the re-attachment contract — so aggregate over id)
+    val prq = g("g.V().has('id', 'c').project('cid', 'outs', 'm')" +
+        ".by('id').by(out('knows').count()).by(out('knows').values('id').max())")
+      .head()
+    assert(prq.getString(0) == "c" && prq.getLong(1) == 0L && prq.isNullAt(2))
+    // guards: missing key by, hop inside group's value by, modulator
+    // count mismatch, non-terminal placement
+    val ge = intercept[RuntimeException](g("g.V().group()"))
+    assert(ge.getMessage.contains("needs a key"), ge.getMessage)
+    val ge2 = intercept[RuntimeException](
+      g("g.V().group().by('label').by(out('knows').count())"))
+    assert(ge2.getMessage.contains("project()"), ge2.getMessage)
+    val pe = intercept[RuntimeException](
+      g("g.V().project('a', 'b').by('id')"))
+    assert(pe.getMessage.contains("modulators"), pe.getMessage)
+    val pe2 = intercept[RuntimeException](
+      g("g.V().project('a').by('id').count()"))
+    assert(pe2.getMessage.contains("end the traversal"), pe2.getMessage)
   }
 
   test("gremlin: repeat until/emit semantics and coalesce branch precedence") {
