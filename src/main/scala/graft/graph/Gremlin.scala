@@ -634,24 +634,27 @@ object Gremlin {
   }
 
   /** The re-evaluation-stable traverser correlation id used by
-    * coalesce/where/not: hash-partition and sort the frame on ALL its
-    * columns BEFORE numbering, so every subtree that re-evaluates the
-    * plan binds the same id to the same row (up to swaps between
-    * identical rows, which are interchangeable by definition) — a bare
-    * monotonically_increasing_id over a shuffle output is not stable
-    * (fetch order varies between evaluations and on task retry). */
+    * coalesce/optional/where/not/project: the frame is numbered ONCE
+    * and eagerly localCheckpoint'ed, so every branch subtree and
+    * semi/anti join reads the same materialized (row → id) binding —
+    * the re-evaluation instability class (a bare
+    * monotonically_increasing_id re-computed per subtree with
+    * fetch-order-dependent results) is gone by construction, and AQE
+    * stays free to size every downstream shuffle. The hash-partition +
+    * full-column sort BEFORE numbering keeps the binding deterministic
+    * if checkpoint blocks are lost and recomputed (executor failure):
+    * same partitioning, same within-partition order, same ids — up to
+    * swaps between identical rows, which are interchangeable by
+    * definition. (Round-13 adjudication of the round-12 pinned-shuffle
+    * variant: checkpoint is faster on every keyed driver query —
+    * coalesce 0.98→0.91 s, optional 0.85→0.75, not 0.60→0.53 at sf0.1
+    * — and needs no partition-count pin.) */
   private def keyedByTid(frame: DataFrame): DataFrame = {
     val allCols = frame.columns.map(col).toSeq
-    // EXPLICIT partition count: monotonically_increasing_id embeds the
-    // partition index, and a bare repartition(cols) is AQE-coalescible —
-    // if ReuseExchange didn't dedup the branch subtrees, two
-    // re-evaluations could land on different counts and silently
-    // mis-correlate the semi/anti joins. Pinning n makes every
-    // re-evaluation produce the same (partition, row) → id binding.
-    val n = frame.sparkSession.sessionState.conf.numShufflePartitions
-    frame.repartition(n, allCols: _*)
+    frame.repartition(allCols: _*)
       .sortWithinPartitions(allCols: _*)
       .withColumn("__tid", monotonically_increasing_id())
+      .localCheckpoint(true)
   }
 
   /** `where(<chain>)` / `not(<chain>)`: keep traversers whose anonymous
