@@ -341,31 +341,36 @@ object LookupStages {
           d.withColumn(s"__p_$k", OrientExpr.compile(e.toString, ctx.varMap))
         }
         val tupleCols = names.map(n => col(s"__p_$n"))
-        val tuples = parentTagged.select(tupleCols: _*).distinct()
-          .limit(cap + 1).collect()
-        require(tuples.length <= cap,
-          s"etl: more than $cap distinct parameter tuples — bound the parent or raise maxParameterTuples")
-        // raising the cap is allowed but not free: every tuple becomes a
-        // full child PLAN in one union — plan build and optimization are
-        // O(tuples), driver-side. Past ~500 that's minutes of Catalyst
-        // time; the scalable shape is a join on the parameter key.
-        if (tuples.length > 500)
-          System.err.println(s"[etl] ${tuples.length} parameter tuples → " +
-            s"${tuples.length} unioned child plans; plan build is " +
-            "O(tuples) on the driver — consider remodeling the parameter " +
-            "as a join key instead of raising maxParameterTuples further")
-        val children = tuples.toSeq.map { row =>
-          val childCtx = new EtlContext(ctx.spark)
-          childCtx.dryRun = ctx.dryRun // a dry parent's pre-flight holds
-          ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
-          ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
-          names.zipWithIndex.foreach { case (n, i) => childCtx.vars.put(n, row.get(i)) }
-          val child = graft.engine.Engine.runMap(childCtx, inline)
-          names.zipWithIndex.foldLeft(child) { case (d, (n, i)) =>
-            d.withColumn(s"__p_$n", lit(row.get(i)))
+        val unioned = lateralParamTuples(ctx, inline, names, parentTagged,
+            tupleCols).getOrElse {
+          // per-tuple fallback: one child plan per distinct tuple
+          val tuples = parentTagged.select(tupleCols: _*).distinct()
+            .limit(cap + 1).collect()
+          require(tuples.length <= cap,
+            s"etl: more than $cap distinct parameter tuples — bound the parent or raise maxParameterTuples")
+          // raising the cap is allowed but not free: every tuple becomes a
+          // full child PLAN in one union — plan build and optimization are
+          // O(tuples), driver-side. Past ~500 that's minutes of Catalyst
+          // time; the scalable shape is the lateral rewrite above (a
+          // SELECT-only child) or remodeling the parameter as a join key.
+          if (tuples.length > 500)
+            System.err.println(s"[etl] ${tuples.length} parameter tuples → " +
+              s"${tuples.length} unioned child plans; plan build is " +
+              "O(tuples) on the driver — consider remodeling the parameter " +
+              "as a join key instead of raising maxParameterTuples further")
+          val children = tuples.toSeq.map { row =>
+            val childCtx = new EtlContext(ctx.spark)
+            childCtx.dryRun = ctx.dryRun // a dry parent's pre-flight holds
+            ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
+            ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
+            names.zipWithIndex.foreach { case (n, i) => childCtx.vars.put(n, row.get(i)) }
+            val child = graft.engine.Engine.runMap(childCtx, inline)
+            names.zipWithIndex.foldLeft(child) { case (d, (n, i)) =>
+              d.withColumn(s"__p_$n", lit(row.get(i)))
+            }
           }
+          children.reduce(_.unionByName(_, allowMissingColumns = true))
         }
-        val unioned = children.reduce(_.unionByName(_, allowMissingColumns = true))
         val agged = groupToField(unioned, tupleCols, fieldName, fieldType, keyF, valueF)
           .withColumnsRenamed(names.map(n => s"__p_$n" -> s"__pt_$n").toMap)
         val cond = names.map(n => col(s"__p_$n") <=> col(s"__pt_$n"))
@@ -386,6 +391,79 @@ object LookupStages {
           fieldName, fieldType, keyF, valueF)
       }
     }
+
+  /** The parameter-tuple JOIN rewrite: when the inline child pipeline's
+    * LAST transformer is a plain `command` SQL SELECT and every
+    * `$param` occurrence in the pipeline sits (unquoted) in that SQL,
+    * the per-tuple plan-union collapses to ONE plan — the pre-command
+    * child builds once, the distinct parameter tuples stay a DataFrame
+    * (no driver collect, no maxParameterTuples cap), and the child SQL
+    * runs as a LATERAL subquery correlated on the tuple columns.
+    * Catalyst decorrelates the lateral into an ordinary join — the
+    * scalable shape: O(1) plan build for any number of tuples, and the
+    * small tuple side broadcasts under AQE. Returns the child rows
+    * tagged with their `__p_*` tuple columns (the same frame the
+    * per-tuple union produces), or None when the shape doesn't apply
+    * (quoted/early params, non-SELECT command, extra command options) —
+    * the caller then falls back to the bounded per-tuple build. */
+  private def lateralParamTuples(ctx: EtlContext, inline: Map[String, Any],
+      names: Seq[String], parentTagged: DataFrame,
+      tupleCols: Seq[Column]): Option[DataFrame] = {
+    val tList: Seq[Any] = inline.get("transformers") match {
+      case Some(s: Seq[_]) => s
+      case Some(one) => Seq(one)
+      case None => Nil
+    }
+    val lastCmd: Option[Map[String, Any]] = tList.lastOption.flatMap {
+      case m: Map[_, _] if m.size == 1 && m.head._1 == "command" =>
+        Some(m.head._2.asInstanceOf[Map[String, Any]])
+      case _ => None
+    }
+    def occurs(name: String, text: String): Boolean =
+      (raw"\$$\{" + java.util.regex.Pattern.quote(name) + raw"\}|" +
+        raw"\$$" + java.util.regex.Pattern.quote(name) + raw"\b").r
+        .findFirstIn(text).isDefined
+    lastCmd match {
+      case Some(cmd) if cmd.keySet.subsetOf(Set("command", "language")) &&
+          cmd.get("language").forall(l =>
+            Set("sql", "auto").contains(l.toString.toLowerCase)) =>
+        val sql = cmd.get("command").map(_.toString).getOrElse(return None)
+        val head = sql.trim.toUpperCase
+        if (!(head.startsWith("SELECT") || head.startsWith("WITH"))) return None
+        // every param must live in the SQL only, and never inside a
+        // string literal (a quoted '$p' interpolates a VALUE per tuple —
+        // a column reference there would silently become literal text)
+        val preText = (inline - "transformers").toString + tList.dropRight(1).toString
+        if (names.exists(n => occurs(n, preText))) return None
+        val quoted = "'[^']*'".r.findAllIn(sql).mkString(" ")
+        if (names.exists(n => occurs(n, quoted))) return None
+        try {
+          val childCtx = new EtlContext(ctx.spark)
+          childCtx.dryRun = ctx.dryRun
+          ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
+          ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
+          val base = graft.engine.Engine.runMap(childCtx,
+            inline.updated("transformers", tList.dropRight(1)))
+          val resolved = OrientExpr.resolveString(sql,
+            ctx.varMap ++ names.map(n => n -> s"__t.__p_$n"))
+          val tupleSel = names.map(n => s"__t.`__p_$n`").mkString(", ")
+          Some(Stages.sqlViewLock.synchronized {
+            base.createOrReplaceTempView("input")
+            parentTagged.select(tupleCols: _*).distinct()
+              .createOrReplaceTempView("__graft_etl_tuples")
+            ctx.spark.sql(
+              s"SELECT __c.*, $tupleSel FROM __graft_etl_tuples __t, " +
+              s"LATERAL ($resolved) __c")
+          })
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[etl] lateral parameter rewrite failed " +
+              s"(${e.getMessage}); falling back to per-tuple plans")
+            None
+        }
+      case _ => None
+    }
+  }
 
   /** Shared collection builder: group `df` by `keys` into the
     * EMBEDDEDLIST/SET/MAP/LINK* collection shapes (OETLTransformer.java:

@@ -29,7 +29,7 @@ object Stages {
     * session-global, so concurrent pipeline builds on one session could
     * cross-wire. Once `spark.sql` returns the plan is bound, so the view
     * can be safely replaced by the next pipeline. */
-  private val sqlViewLock = new Object
+  private[graft] val sqlViewLock = new Object
 
   /** Wrap a stage body with the `if` / `output` common semantics. */
   def common(spec: ComponentSpec, ctx: EtlContext)

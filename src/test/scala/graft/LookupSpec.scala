@@ -217,6 +217,62 @@ class LookupSpec extends SparkSpec {
     assert(m.nonEmpty)
   }
 
+  test("etl parameters: lateral rewrite — thousands of tuples, one plan, no cap") {
+    val ctx = newCtx()
+    val childPath = java.nio.file.Files
+      .createTempDirectory("graft_etl_lateral").toString + "/child"
+    spark.range(20000).select((col("id") % 5000).as("k"), col("id").as("v"))
+      .write.mode("overwrite").parquet(childPath)
+    val parent = spark.range(5000).select(col("id").as("pk"))
+    // 5000 distinct tuples: the per-tuple path would refuse at the
+    // 1000-tuple cap — reaching rows proves the lateral path planned,
+    // and the wall-clock bound proves it planned as ONE plan
+    val t0 = System.nanoTime()
+    val out = LookupStages.etl(ComponentSpec("etl", Map(
+      "parameters" -> Map("p" -> "pk"),
+      "pipeline" -> Map(
+        "source" -> Map("file" -> Map("path" -> childPath)),
+        "extractor" -> Map("parquet" -> Map.empty[String, Any]),
+        "transformers" -> List(Map("command" -> Map("command" ->
+          "SELECT v FROM input WHERE k = $p")))),
+      "fieldName" -> "vals", "fieldType" -> "EMBEDDEDLIST",
+      "valueFieldName" -> "v")), ctx)(parent)
+    val rows = out.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 5000)
+    val r7 = rows.find(_.getAs[Long]("pk") == 7L).get
+    assert(r7.getSeq[Long](r7.fieldIndex("vals")).toList ==
+      List(7L, 5007L, 10007L, 15007L))
+    assert(secs < 60, s"5000-tuple lateral etl took $secs s — " +
+      "the one-plan rewrite should be seconds, not O(tuples) plan builds")
+  }
+
+  test("etl parameters: quoted param falls back per-tuple; results match the lateral") {
+    val ctx = newCtx()
+    // region (5 tuples) → nations per region; the lateral-eligible form
+    def run(sql: String) = LookupStages.etl(ComponentSpec("etl", Map(
+      "parameters" -> Map("rk" -> "r_regionkey"),
+      "pipeline" -> Map(
+        "source" -> Map("file" -> Map("path" -> s"$sfDir/nation.parquet")),
+        "extractor" -> Map("parquet" -> Map.empty[String, Any]),
+        "transformers" -> List(Map("command" -> Map("command" -> sql)))),
+      "fieldName" -> "nk", "fieldType" -> "EMBEDDEDLIST",
+      "valueFieldName" -> "n_nationkey")), ctx)(ctx.table("region"))
+      .select(col("r_regionkey"), col("nk"))
+      .orderBy("r_regionkey").collect().toSeq
+      .map(r => (r.getAs[Number]("r_regionkey").longValue,
+        r.getSeq[Any](r.fieldIndex("nk")).map(_.toString).toList))
+    val lateral = run("SELECT n_nationkey FROM input WHERE n_regionkey = $rk")
+    // the quoted '$rk' is a VALUE substitution — lateral must refuse
+    // (a column ref inside quotes would be literal text) and the
+    // per-tuple path must produce the identical embedding
+    val perTuple = run(
+      "SELECT n_nationkey FROM input WHERE CAST(n_regionkey AS STRING) = '$rk'")
+    assert(lateral == perTuple)
+    assert(lateral.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(lateral.head._2.nonEmpty)
+  }
+
   test("lookup via SELECT form") {
     val ctx = newCtx()
     val out = LookupStages.link(ComponentSpec("link", Map(
