@@ -484,7 +484,11 @@ object Loaders {
     * within the task — the well-defined knob for "compact but keep
     * files under N rows" (a salted file-count target would only be an
     * upper bound: files-per-directory = tasks holding that directory's
-    * rows). `_`-prefixed sidecars (e.g.
+    * rows). On an UNPARTITIONED table the default is one file
+    * (`coalesce(1)` — one task); `targetFileSizeMB` switches that to a
+    * size-driven `repartition(ceil(bytes / target))`, keeping "fewer,
+    * bigger files" without funneling a large table through one task.
+    * `_`-prefixed sidecars (e.g.
     * `_graft_buckets.json`) are carried over, and the result swaps in
     * through the same staging + `.old` crash contract as upsert: a
     * crash leaves either the old or the new table, never neither.
@@ -521,10 +525,28 @@ object Loaders {
           s"[${many.mkString(", ")}] at one level of $path — not a hive layout")
       }
     }
+    val targetMB = spec.long("targetFileSizeMB")
+    targetMB.foreach(m => require(m >= 1,
+      "parquet compact: targetFileSizeMB must be >= 1"))
+    require(targetMB.isEmpty || parts.isEmpty,
+      "parquet compact: targetFileSizeMB applies to the UNPARTITIONED " +
+      "path (a partitioned layout already compacts to one file per " +
+      "partition directory; use maxRecordsPerFile to bound those)")
     val data = spark.read.parquet(path)
     val clustered =
-      if (parts.isEmpty) data.coalesce(1) // no layout: no shuffle needed
-      else data.repartition(parts.toSeq.map(col): _*)
+      if (parts.nonEmpty) data.repartition(parts.toSeq.map(col): _*)
+      else targetMB match {
+        case Some(mb) =>
+          // size-driven width: ceil(tableBytes / target) write tasks —
+          // "fewer, bigger files" WITHOUT the coalesce(1) one-task
+          // funnel on a large unpartitioned table. On-disk bytes are a
+          // metadata-only ContentSummary walk; output files inherit
+          // roughly the same compression, so the estimate holds.
+          val bytes = fs.getContentSummary(target).getLength
+          val n = math.max(1L, (bytes + mb * 1048576L - 1) / (mb * 1048576L))
+          data.repartition(n.toInt)
+        case None => data.coalesce(1) // no layout: no shuffle needed
+      }
     var writer = clustered.write.mode("overwrite")
     maxRecords.foreach(m => writer = writer.option("maxRecordsPerFile", m))
     if (parts.nonEmpty) writer = writer.partitionBy(parts.toSeq: _*)

@@ -58,6 +58,45 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 300)
   }
 
+  test("compact unpartitioned: targetFileSizeMB sizes N files, no one-task funnel") {
+    val path = s"$tmp/size_tbl"
+    val src = s"$tmp/size_src"
+    // ~incompressible payload so on-disk bytes are a real size signal
+    (1L to 20000L).map(i => (i, s"v$i-" + scala.util.Random.nextString(64)))
+      .toDF("id", "v").write.mode("overwrite").parquet(src)
+    Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$src"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"command": {"command":
+        "SELECT /*+ REPARTITION(16) */ * FROM input"}}],
+      "loader": {"parquet": {"path": "$path", "mode": "overwrite"}} }""")
+    val before = spark.read.parquet(path).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(parquetFiles(path).size > 4, "fixture must be fragmented")
+    val bytes = parquetFiles(path).map(_.length).sum
+    // target ≈ a third of the table → expect ceil(bytes/target) files,
+    // strictly between 1 (the coalesce funnel) and the 16 we started at
+    val mb = math.max(1L, bytes / (3L * 1048576L) + 1)
+    compact(path, s""", "targetFileSizeMB": $mb""")
+    val n = parquetFiles(path).size
+    // the loader's ContentSummary also counts _SUCCESS-style sidecars,
+    // so allow one file of slack around the parquet-bytes estimate
+    val want = ((bytes + mb * 1048576 - 1) / (mb * 1048576)).toInt
+    assert(n == want || n == want + 1,
+      s"expected ~$want size-driven files, got $n")
+    assert(n > 1 && n < 16, s"got $n files — neither funneled nor fragmented")
+    assert(spark.read.parquet(path).orderBy("id")
+      .collect().map(_.toSeq).toSeq == before)
+    // guards: the option is unpartitioned-only and must be positive
+    val part = s"$tmp/size_tbl_part"
+    (1L to 100L).map(i => (i, i % 3)).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(part)
+    val e = intercept[Exception](compact(part, s""", "targetFileSizeMB": 1"""))
+    assert(e.getMessage.contains("UNPARTITIONED"), e.getMessage)
+    val e2 = intercept[Exception](compact(path, s""", "targetFileSizeMB": 0"""))
+    assert(e2.getMessage.contains(">= 1"), e2.getMessage)
+  }
+
   test("compact on a bucketed-upsert table: sidecar survives, later upserts stay pruned") {
     val path = s"$tmp/bkt_tbl"
     def upsert(src: String): Unit = {
