@@ -63,6 +63,17 @@ final class EtlContext(val spark: SparkSession) {
     * telemetry — OETLProcessor.java:545-585 parity). */
   var lastStats: Option[EtlContext.RunStats] = None
 
+  /** Per-micro-batch throughput rows of telemetry-enabled streaming
+    * pipelines (the same rows/sec contract at batch granularity —
+    * OETLProcessor.java:545-585's periodic dump maps to one row per
+    * micro-batch, appended by the StreamingQueryListener
+    * Streaming.run attaches when `config: {telemetry: true}`). */
+  private val streamBatches = ArrayBuffer.empty[EtlContext.BatchStats]
+  def addStreamStats(b: EtlContext.BatchStats): Unit =
+    synchronized { streamBatches += b }
+  def streamStats: Vector[EtlContext.BatchStats] =
+    synchronized { streamBatches.toVector }
+
   /** True while Engine.run executes a `config: {dryRun: true}` pipeline:
     * side-effecting blocks (console/code — including the mid-pipeline
     * `block` transformer's) must not fire during the pre-flight. */
@@ -151,6 +162,10 @@ final class EtlContext(val spark: SparkSession) {
 object EtlContext {
   /** Extract/load row counts + wall time of one acted-on pipeline run. */
   final case class RunStats(extracted: Long, loaded: Long, elapsedMs: Long)
+
+  /** One micro-batch of a telemetry-enabled streaming pipeline. */
+  final case class BatchStats(batchId: Long, inputRows: Long,
+                              rowsPerSec: Double, batchDurationMs: Long)
 }
 
 /** Pipeline-lifecycle listener — the Spark mapping of the reference's

@@ -372,8 +372,61 @@ object Streaming {
         ctx.spark.conf.set(key, n)
         () => ctx.spark.conf.set(key, prev)
       }
-      try runInner(ctx, spec, src)
+      try {
+        val telemetry = spec.config.get("telemetry").exists(v =>
+          v == true || v.toString.equalsIgnoreCase("true"))
+        if (!telemetry) runInner(ctx, spec, src)
+        else withBatchTelemetry(ctx)(runInner(ctx, spec, src))
+      }
       finally restoreConf.foreach(_.apply())
+    }
+  }
+
+  /** `config: {telemetry: true}` for streams: a query-scoped
+    * StreamingQueryListener records one [[EtlContext.BatchStats]] row
+    * per micro-batch (rows, rows/sec, batch ms — the reference's
+    * periodic rows/sec dump, OETLProcessor.java:545-585, at batch
+    * granularity) and prints the same line to stderr. The listener is
+    * registered BEFORE the query starts so batch 0 can't race past it;
+    * progress events block on a short latch until the started query's
+    * id is known, then filter on it (other queries on the shared
+    * session are untouched). Self-removes on query termination. */
+  private def withBatchTelemetry(ctx: EtlContext)
+                                (start: => StreamingQuery): StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val idLatch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var qid: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        idLatch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        val p = e.progress
+        if (qid != null && p.id == qid) {
+          ctx.addStreamStats(graft.engine.EtlContext.BatchStats(
+            p.batchId, p.numInputRows, p.processedRowsPerSecond,
+            p.batchDuration))
+          System.err.println(
+            f"[graft] stream batch ${p.batchId}: ${p.numInputRows} rows @ " +
+            f"${p.processedRowsPerSecond}%.0f rows/s (${p.batchDuration} ms)")
+        }
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        idLatch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        if (qid != null && e.id == qid) ctx.spark.streams.removeListener(this)
+      }
+    }
+    ctx.spark.streams.addListener(listener)
+    try {
+      val q = start
+      qid = q.id; idLatch.countDown()
+      q
+    } catch { case t: Throwable =>
+      idLatch.countDown()
+      ctx.spark.streams.removeListener(listener)
+      throw t
     }
   }
 

@@ -937,6 +937,41 @@ class EngineSpec extends SparkSpec {
     assert(stats.elapsedMs >= 0L)
   }
 
+  test("streaming telemetry: per-batch rows/sec rows for a 2-batch availableNow run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_telemetry").toString
+    // two separate single-file writes + maxFilesPerTrigger=1 → exactly
+    // two non-empty micro-batches under availableNow
+    (1L to 30L).map(i => (i, i * 2.0)).toDF("event_id", "value")
+      .coalesce(1).write.parquet(s"$dir/a")
+    (31L to 50L).map(i => (i, i * 2.0)).toDF("event_id", "value")
+      .coalesce(1).write.parquet(s"$dir/b")
+    val ctx = newCtx()
+    val q = graft.streaming.Streaming.run(ctx, graft.spec.PipelineSpec(
+      config = Map("telemetry" -> true), begin = Nil,
+      source = Some(graft.spec.ComponentSpec("stream", Map(
+        "path" -> dir, "format" -> "parquet", "recursiveFileLookup" -> "true",
+        "schema" -> "event_id BIGINT, value DOUBLE",
+        "maxFilesPerTrigger" -> "1"))),
+      extractor = None, transformers = Nil,
+      loader = Some(graft.spec.ComponentSpec("streamsink", Map(
+        "format" -> "memory", "name" -> "telemetry_probe",
+        "trigger" -> "availableNow"))),
+      end = Nil))
+    q.awaitTermination()
+    // listener events are bus-async; give the final batch a beat
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (ctx.streamStats.count(_.inputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    val batches = ctx.streamStats.filter(_.inputRows > 0)
+    assert(batches.size == 2, s"expected 2 data batches, got $batches")
+    assert(batches.map(_.inputRows).sum == 50L)
+    assert(batches.map(_.batchId).distinct.size == 2)
+    assert(batches.forall(b => b.rowsPerSec >= 0 && b.batchDurationMs >= 0))
+    assert(spark.table("telemetry_probe").count() == 50L)
+  }
+
   test("histogram excludes nulls; topkpergroup rejects non-numeric fields") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"), (null, "c"))
