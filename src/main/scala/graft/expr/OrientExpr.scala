@@ -61,7 +61,8 @@ object OrientExpr {
     * concatenation (OrientDB and JS semantics) instead of the numeric
     * add that would cast a string operand to null. */
   private case class Arg(col: Column, lit: Option[Any] = None,
-                         stringy: Boolean = false) {
+                         stringy: Boolean = false,
+                         arrayish: Boolean = false) {
     def litStr(what: String): String = lit match {
       case Some(v) => v.toString
       case None => throw new IllegalArgumentException(s"OrientExpr: $what must be a literal")
@@ -228,11 +229,54 @@ object OrientExpr {
                 if (lname == "map") transform(c.col, body _)
                 else filter(c.col, body _)
               expect(")")
-              c = Arg(res)
+              c = Arg(res, arrayish = true)
+            } else if (lname == "reduce" && peekIsParenLambda) {
+              // `.reduce((acc, x) -> expr, init)` → Catalyst aggregate()
+              // (codegen'd fold, no UDF). The body tokens are consumed
+              // once with throwaway bindings to find their extent, then
+              // re-parsed when aggregate() invokes the merge builder —
+              // Spark calls it exactly once at plan construction.
+              expect("(")
+              val accP = next() match {
+                case TIdent(s) => s
+                case t => fail(s"expected reduce accumulator parameter, got $t")
+              }
+              expect(",")
+              val elemP = next() match {
+                case TIdent(s) => s
+                case t => fail(s"expected reduce element parameter, got $t")
+              }
+              expect(")"); expect("->")
+              val bodyStart = pos
+              def bodyAt(start: Int)(acc: Column, x: Column): Column = {
+                val savedPos = pos; val savedVars = lambdaVars
+                pos = start
+                lambdaVars = lambdaVars + (accP -> acc) + (elemP -> x)
+                try parseOr().col
+                finally { pos = savedPos; lambdaVars = savedVars }
+              }
+              // advance past the body (throwaway bindings)
+              {
+                val savedVars = lambdaVars
+                lambdaVars = lambdaVars + (accP -> lit(0)) + (elemP -> lit(0))
+                try { parseOr(); () } finally lambdaVars = savedVars
+              }
+              expect(",")
+              val init = parseOr()
+              expect(")")
+              c = Arg(aggregate(c.col, init.col, bodyAt(bodyStart) _))
             } else {
               val args = parseArgs(); expect(")")
-              c = Arg(method(c.col, name, args),
-                stringy = StringMethods(name.toLowerCase))
+              val lname2 = name.toLowerCase
+              (if (c.arrayish) arrayMethod(c.col, lname2, args) else None) match {
+                case Some(r) =>
+                  c = Arg(r, stringy = lname2 == "join",
+                    arrayish = ArrayPreserving(lname2))
+                case None =>
+                  c = Arg(method(c.col, name, args),
+                    stringy = StringMethods(lname2),
+                    arrayish = lname2 == "split")
+              }
             }
           } else c = Arg(c.col.getField(name))
         case TOp("[") =>
@@ -253,6 +297,54 @@ object OrientExpr {
     private def peekIsLambda: Boolean = peek match {
       case TIdent(_) => pos + 1 < toks.length && toks(pos + 1) == TOp("->")
       case _ => false
+    }
+
+    /** `(acc, x) ->` — the two-param lambda head of `.reduce`. */
+    private def peekIsParenLambda: Boolean =
+      peek == TOp("(") &&
+        toks.lift(pos + 1).exists(_.isInstanceOf[TIdent]) &&
+        toks.lift(pos + 2).contains(TOp(",")) &&
+        toks.lift(pos + 3).exists(_.isInstanceOf[TIdent]) &&
+        toks.lift(pos + 4).contains(TOp(")")) &&
+        toks.lift(pos + 5).contains(TOp("->"))
+
+    /** Array methods whose result is still an array (chains keep the
+      * array-typed dispatch). */
+    private val ArrayPreserving: Set[String] =
+      Set("slice", "concat", "sort", "reverse", "flat", "distinct")
+
+    /** Array-typed method dispatch — used when the TARGET is statically
+      * known to be an array (a literal, a `.map`/`.filter` chain, or
+      * `.split`'s result). Names shared with the string table
+      * (includes/indexOf/slice/concat/length) get their JS Array
+      * semantics here; unknown names fall through to the generic table
+      * (`.join` keeps its null-preserving rendering there). A column
+      * reference's type is unknown at parse time, so bare array COLUMNS
+      * still take the string table — chain through `.filter(x -> true)`
+      * or a literal to assert arrayness. */
+    private def arrayMethod(target: Column, name: String,
+                            args: List[Arg]): Option[Column] = (name, args) match {
+      case ("includes", Seq(a)) => Some(array_contains(target, a.col))
+      // 0-based like JS, -1 absent (array_position is 1-based, 0 absent)
+      case ("indexof", Seq(a)) => Some(array_position(target, a.col) - 1)
+      case ("length", Nil) | ("size", Nil) => Some(size(target))
+      case ("slice", as) if as.exists(_.lit.exists(_.toString.startsWith("-"))) =>
+        fail("array slice: negative JS indices are not translated — " +
+          "index from the front")
+      case ("slice", Seq(a)) =>
+        Some(slice(target, a.col.cast("int") + lit(1), size(target)))
+      case ("slice", Seq(a, b)) =>
+        Some(slice(target, a.col.cast("int") + lit(1), (b.col - a.col).cast("int")))
+      case ("concat", as) if as.nonEmpty =>
+        Some(concat(target +: as.map(_.col): _*))
+      // array_sort is TYPED (numeric arrays sort numerically) — the one
+      // deliberate divergence from JS's string-coercing default sort,
+      // which no config intends
+      case ("sort", Nil) => Some(array_sort(target))
+      case ("reverse", Nil) => Some(reverse(target))
+      case ("flat", Nil) => Some(flatten(target))
+      case ("distinct", Nil) => Some(array_distinct(target))
+      case _ => None
     }
 
     private def parseArgs(): List[Arg] = {
@@ -289,12 +381,12 @@ object OrientExpr {
       case TOp("[") =>
         // collection literal `[a, b, c]` (the OrientDB/JS array form) —
         // elements are full expressions; empty `[]` is an empty array
-        if (peek == TOp("]")) { next(); Arg(array()) }
+        if (peek == TOp("]")) { next(); Arg(array(), arrayish = true) }
         else {
           val buf = scala.collection.mutable.ListBuffer(parseOr())
           while (peek == TOp(",")) { next(); buf += parseOr() }
           expect("]")
-          Arg(array(buf.map(_.col).toSeq: _*))
+          Arg(array(buf.map(_.col).toSeq: _*), arrayish = true)
         }
       case t => fail(s"unexpected token $t")
     }

@@ -178,4 +178,37 @@ class OrientExprSpec extends SparkSpec {
     assert(eval1("['a', null, 'b'].join('-')") == "a--b")
     assert(eval1("[1, 2, 3].map(x -> x * x).join('+')") == "1+4+9")
   }
+
+  test("JS array surface: typed method dispatch, reduce, chains") {
+    // array-typed dispatch on statically-known arrays: includes/indexOf/
+    // length take JS Array semantics, not the string table's
+    assert(eval1("[1, 2, 3].includes(2)") == true)
+    assert(eval1("[1, 2, 3].includes(9)") == false)
+    assert(eval1("['a', 'b'].indexOf('b')") == 1L)
+    assert(eval1("['a', 'b'].indexOf('z')") == -1L)
+    assert(eval1("[4, 5, 6].length()") == 3)
+    // slice/concat/sort/reverse/flat/distinct — array results chain
+    assert(eval1("[10, 20, 30, 40].slice(1)") == Seq(20, 30, 40))
+    assert(eval1("[10, 20, 30, 40].slice(1, 3)") == Seq(20, 30))
+    val ne = intercept[Exception](eval1("[1, 2].slice(-1)"))
+    assert(ne.getMessage.contains("negative"), ne.getMessage)
+    assert(eval1("[1, 2].concat([3, 4])") == Seq(1, 2, 3, 4))
+    assert(eval1("[3, 1, 2].sort()") == Seq(1, 2, 3))
+    assert(eval1("[1, 2, 3].reverse()") == Seq(3, 2, 1))
+    assert(eval1("[[1], [2, 3]].flat()") == Seq(1, 2, 3))
+    assert(eval1("[1, 1, 2].distinct()") == Seq(1, 2))
+    assert(eval1("[3, 1, 2].sort().reverse().join('-')") == "3-2-1")
+    // split's result is an array — array dispatch kicks in
+    assert(eval1("'a,b,c'.split(',').length()") == 3)
+    assert(eval1("'a,b,c'.split(',').includes('b')") == true)
+    assert(eval1("'a,b,c'.split(',').slice(1).join('')") == "bc")
+    // reduce: two-param lambda folds via Catalyst aggregate()
+    assert(eval1("[1, 2, 3, 4].reduce((a, x) -> a + x, 0)") == 10)
+    assert(eval1("[2, 3, 4].reduce((a, x) -> a * x, 1)") == 24)
+    assert(eval1("[1, 2, 3].map(x -> x * 2).reduce((a, x) -> a + x, 100)") == 112)
+    assert(eval1("['x', 'y'].reduce((a, s) -> a.append(s), '')") == "xy")
+    // string methods still dispatch stringwise on strings
+    assert(eval1("'hello'.includes('ell')") == true)
+    assert(eval1("'hello'.slice(1, 3)") == "el")
+  }
 }
