@@ -725,6 +725,42 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("oid")
     },
+    "command_gremlin_local" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // local(<hops>.limit(n)): each order keeps only the 2 first
+      // sibling orders of its customer (per-traverser top-n over the
+      // deterministic id order — ONE row_number window on the
+      // correlation id), then groupCount over the kept bag
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').local(out('placed').in('placed').limit(2)).groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
+    "command_gremlin_selectby" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // select('a','b').by(prop).by(prop): properties of the BOUND
+      // vertices — the source customer's balance and the successor's id
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').as('a').out('next').as('b').select('a', 'b').by('c_acctbal').by('id')"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("b", "a")
+    },
     "command_gremlin_order" -> { (s, dir) =>
       val c = ctx(s, dir)
       // order().by(desc).range(a,b): the lazy sort + adjacent slice plan
@@ -3211,6 +3247,24 @@ object SparkEntry {
     "command_gremlin_group" ->
       ("SELECT c_mktsegment AS key, max(c_acctbal) AS value " +
        "FROM customer GROUP BY 1 ORDER BY key"),
+    // per order: the 2 string-first sibling orders of its customer,
+    // then counts over the kept bag (local().limit top-n semantics)
+    "command_gremlin_local" ->
+      ("WITH sib AS (SELECT o1.o_orderkey AS src, " +
+       "CAST(o2.o_orderkey AS VARCHAR) AS id " +
+       "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey), " +
+       "ranked AS (SELECT src, id, " +
+       "row_number() OVER (PARTITION BY src ORDER BY id) AS rn FROM sib) " +
+       "SELECT id, count(*) AS count FROM ranked WHERE rn <= 2 " +
+       "GROUP BY id ORDER BY id"),
+    // bound-vertex property projection: source balance + successor id
+    "command_gremlin_selectby" ->
+      ("WITH s AS (SELECT c_custkey, c_acctbal, " +
+       "CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey " +
+       "WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ " +
+       "FROM customer) " +
+       "SELECT s.c_acctbal AS a, CAST(c2.c_custkey AS VARCHAR) AS b " +
+       "FROM s JOIN customer c2 ON c2.c_custkey = s.succ ORDER BY b, a"),
     // per order: its price, sibling-order count and the string-min
     // sibling id of the same customer (the project sub-traversals)
     "command_gremlin_project" ->

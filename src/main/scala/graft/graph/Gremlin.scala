@@ -57,7 +57,17 @@ import org.apache.spark.sql.functions._
   *    least one result / none (semi/anti join on a correlation id);
   *  - `.select('x')` / `.select('x', 'y')` — project bound vertices:
   *    one tag re-enters vertex space (id + re-attached label), several
-  *    become one column per tag;
+  *    become one column per tag; `.select('x', 'y').by('p1').by('p2')`
+  *    projects a PROPERTY of each bound vertex instead (looked up from
+  *    the registered vertices; one tag + by lands in value space);
+  *  - `.local(<chain>)` — per-traverser sub-traversal scope: stateless
+  *    chains inline (they are traverser-scoped already), a trailing
+  *    aggregate (`local(out().count())`) yields one value per traverser
+  *    (count of an empty sub-traversal is 0, other aggregates emit
+  *    nothing — Gremlin's reducing-barrier semantics), and
+  *    `local(<hops>.limit(n))` is a per-traverser top-n over the
+  *    deterministic all-column order (one row_number window, one
+  *    shuffle on the correlation id);
   *  - `.repeat(<chain>).times(k)` — bounded loop, unrolled to k copies
   *    of the inner chain BEFORE planning (k ≤ 12: each iteration is a
   *    join — an explicit bound beats an accidental 50-join plan). The
@@ -581,11 +591,103 @@ object Gremlin {
             if (!frame.columns.contains(s"__as_$t"))
               fail(s"select('$t'): no as('$t') binding upstream")
           }
-          frame = names match {
-            // one tag re-enters vertex space: id + re-attached label
-            case Seq(t) => frame.select(col(s"__as_$t").as("id"))
-              .join(idLabel, Seq("id"), "left")
-            case many => frame.select(many.map(t => col(s"__as_$t").as(t)): _*)
+          // optional by(..) modulators — one per tag, in order: each
+          // projects a PROPERTY of that bound vertex (looked up from
+          // the registered vertices; a two-class id yields one row per
+          // distinct property value, the reference's class-vertex model)
+          val selMods = scala.collection.mutable.ArrayBuffer.empty[List[Any]]
+          while (selMods.size < names.size &&
+              steps.tail.lift(i + 1 + skipN).exists(_._1 == "by")) {
+            selMods += steps.tail(i + 1 + skipN)._2; skipN += 1
+          }
+          if (selMods.isEmpty) {
+            frame = names match {
+              // one tag re-enters vertex space: id + re-attached label
+              case Seq(t) => frame.select(col(s"__as_$t").as("id"))
+                .join(idLabel, Seq("id"), "left")
+              case many => frame.select(many.map(t => col(s"__as_$t").as(t)): _*)
+            }
+          } else {
+            if (selMods.size != names.size)
+              fail(s"select(${names.mkString(", ")}): needs 0 or " +
+                s"${names.size} by(..) modulators, got ${selMods.size}")
+            val withBys = names.zip(selMods.map(parseByMod("select", _)))
+              .foldLeft(frame) {
+                case (f, (t, ByProp(p))) =>
+                  val look = vertices
+                    .select(col("id").as(s"__sel_$t"), col(p).as(s"__selv_$t"))
+                    .distinct()
+                  f.join(look, col(s"__as_$t") === col(s"__sel_$t"), "left")
+                    .drop(s"__sel_$t")
+                case (_, (t, _: ByAgg)) =>
+                  fail(s"select('$t').by(..): only a property modulator " +
+                    "— per-traverser sub-traversal aggregates belong to " +
+                    "project()")
+              }
+            frame = names match {
+              // one tag with a by: its property, in value space
+              case Seq(t) => withBys.select(col(s"__selv_$t").as("value"))
+              case many => withBys.select(
+                many.map(t => col(s"__selv_$t").as(t)): _*)
+            }
+          }
+        case ("local", Seq(chain: RawChain)) =>
+          // per-traverser sub-traversal scope. A stateless chain is
+          // traverser-scoped already (hops/filters apply per row) and
+          // inlines; a trailing aggregate yields one value per
+          // traverser; a trailing limit(n) becomes a per-traverser
+          // top-n over the deterministic all-column order.
+          val lbody = "." + chain.src.trim
+          val lst = Step.findAllMatchIn(lbody)
+            .map(m => (m.group(1), m.group(2).trim, m.matched)).toList
+          val lcons = lst.map(_._3).mkString
+          if (lcons != lbody || lst.isEmpty)
+            fail(s"local(${chain.src}): cannot parse as a step chain")
+          lst.last match {
+            case (a, "", _) if ByAggs(a) =>
+              if (trackPath)
+                fail("local(<aggregate>) together with path() is not in " +
+                  "the translated subset")
+              parseByMod("local", List(chain)) match {
+                case ByAgg(hops, agg, prop) =>
+                  val keyed = keyedByTid(frame)
+                  val chainSrc = (Seq(hops).filter(_.nonEmpty) ++
+                    prop.map(p => s"values('$p')")).mkString(".")
+                  val sub = if (chainSrc.isEmpty) keyed
+                            else applyBranch(ctx, keyed, idLabel, chainSrc)
+                  val v = agg match {
+                    case "count" => count(lit(1))
+                    case "sum" => sum(col("value"))
+                    case "mean" | "avg" => avg(col("value"))
+                    case "min" => min(col("value"))
+                    case "max" => max(col("value"))
+                  }
+                  val per = sub.groupBy(col("__tid")).agg(v.as("value"))
+                  // count() of an empty sub-traversal emits 0 (Gremlin's
+                  // reducing barrier); other aggregates emit nothing
+                  frame =
+                    if (agg == "count")
+                      keyed.select(col("__tid")).join(per, Seq("__tid"), "left")
+                        .select(coalesce(col("value"), lit(0L)).as("value"))
+                    else per.select(col("value"))
+                case _ => fail(s"local(${chain.src}): unreachable modulator")
+              }
+            case ("limit", nTxt, _) if nTxt.matches("\\d+") && lst.size > 1 =>
+              if (trackPath)
+                fail("local(<chain>.limit(n)) together with path() is not " +
+                  "in the translated subset")
+              val n = nTxt.toInt
+              val keyed = keyedByTid(frame)
+              val prefixSrc = lst.dropRight(1).map(_._3).mkString.stripPrefix(".")
+              val sub = applyBranch(ctx, keyed, idLabel, prefixSrc)
+              val ordCols = sub.columns.filterNot(_ == "__tid").toSeq.sorted
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("__tid")).orderBy(ordCols.map(col): _*)
+              frame = sub.withColumn("__rn", row_number().over(w))
+                .where(col("__rn") <= n).drop("__rn", "__tid")
+            case _ =>
+              // stateless: identical to inlining the chain
+              frame = applyBranch(ctx, frame, idLabel, chain.src)
           }
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
@@ -593,7 +695,8 @@ object Gremlin {
             "values/count/groupCount[.by('col')]/" +
             "group().by('k')[.by(<aggregate>)]/" +
             "project('a', …).by(<prop|chain.aggregate>)…/" +
-            "as/where(eq|neq)/select/" +
+            "local(<chain[.aggregate|.limit(n)]>)/" +
+            "as/where(eq|neq)/select[.by('prop')…]/" +
             "repeat(..) with times(k)/until(filter)/emit()/" +
             "order().by(..)/range(lo,hi)/path()/" +
             "union(chain, …)/coalesce(chain, …)/optional(chain)/" +

@@ -352,6 +352,50 @@ class GraphSpec extends SparkSpec {
     assert(pe2.getMessage.contains("end the traversal"), pe2.getMessage)
   }
 
+  test("gremlin: local() per-traverser scope and select().by() property projection") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p", 3L), ("b", "p", 5L), ("c", "q", 7L), ("d", "q", 2L))
+      .toDF("id", "label", "w"))
+    ctx.addEdges(Seq(("a", "b", "knows"), ("a", "c", "knows"), ("a", "d", "knows"),
+      ("b", "c", "knows")).toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // local(out().count()): one count PER traverser (vs terminal count);
+    // empty sub-traversals count 0
+    assert(g("g.V().local(out('knows').count())")
+      .as[Long].collect().toSeq.sorted == Seq(0L, 0L, 1L, 3L))
+    // local(<agg over values>): sum of reached weights per traverser —
+    // empty sub-traversals emit nothing (reducing-barrier semantics)
+    assert(g("g.V().local(out('knows').values('id').min())")
+      .as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // local(<hops>.limit(n)): per-traverser top-n over the
+    // deterministic (id, label) order — a hops to b,c,d, keeps b,c
+    assert(g("g.V().has('id', 'a').local(out('knows').limit(2))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // every traverser keeps its own top-1
+    assert(g("g.V().local(out('knows').limit(1))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // stateless local inlines
+    assert(g("g.V().local(out('knows').hasLabel('q'))")
+      .select("id").as[String].collect().toSeq.sorted == Seq("c", "c", "d"))
+    // select().by(): properties of the bound vertices, one column per tag
+    val sel = g("g.V().has('id', 'a').as('x').out('knows').as('y')" +
+        ".select('x', 'y').by('w').by('id')")
+      .orderBy("y").collect()
+    assert(sel.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "b"), (3L, "c"), (3L, "d")))
+    // one tag + by lands in value space
+    assert(g("g.V().has('id', 'b').as('x').out('knows').select('x').by('w')")
+      .as[Long].collect().toSeq == Seq(3L).map(_ => 5L))
+    // guards: by-count mismatch and sub-traversal by
+    val se = intercept[RuntimeException](
+      g("g.V().as('x').out('knows').as('y').select('x', 'y').by('w')"))
+    assert(se.getMessage.contains("modulators"), se.getMessage)
+    val se2 = intercept[RuntimeException](
+      g("g.V().as('x').select('x').by(out('knows').count())"))
+    assert(se2.getMessage.contains("project()"), se2.getMessage)
+  }
+
   test("gremlin: repeat until/emit semantics and coalesce branch precedence") {
     val ctx = newCtx()
     // chain a→b→c(city); d self-loops forever (never reaches a city)
