@@ -725,6 +725,20 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("oid")
     },
+    "command_gremlin_agg" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // terminal reducing barrier over value space: an integer-exact
+      // sum (long addition commutes — hash-safe, unlike double sums)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').has('c_mktsegment', 'BUILDING').values('c_custkey').sum()"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("sum").cast("long").as("sum"))
+    },
     "command_gremlin_local" -> { (s, dir) =>
       val c = ctx(s, dir)
       // local(<hops>.limit(n)): each order keeps only the 2 first
@@ -3247,6 +3261,9 @@ object SparkEntry {
     "command_gremlin_group" ->
       ("SELECT c_mktsegment AS key, max(c_acctbal) AS value " +
        "FROM customer GROUP BY 1 ORDER BY key"),
+    "command_gremlin_agg" ->
+      ("SELECT CAST(sum(c_custkey) AS BIGINT) AS sum FROM customer " +
+       "WHERE c_mktsegment = 'BUILDING'"),
     // per order: the 2 string-first sibling orders of its customer,
     // then counts over the kept bag (local().limit top-n semantics)
     "command_gremlin_local" ->

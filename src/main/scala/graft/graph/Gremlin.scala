@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *    pair with a downstream sort for determinism);
   *  - `.values('col')` — project one column as `value` (later steps
   *    that need `id` will fail analysis, as in Gremlin's value space);
-  *  - `.count()` — terminal 1-row count;
+  *  - `.count()` — terminal 1-row count; `.sum()`/`.mean()`/`.min()`/
+  *    `.max()` — terminal reducing barriers over value space (project
+  *    with `values('col')` first); `.fold()` — the traverser bag as one
+  *    sorted comma-joined list;
   *  - `.groupCount()` / `.groupCount().by('col')` — terminal traverser
   *    counts per current element (id in vertex space, `value` in value
   *    space) or per `col`: Gremlin's result map, emitted as
@@ -278,6 +281,27 @@ object Gremlin {
         case ("count", Nil) =>
           if (!terminal) fail("count() must be the last step")
           frame = frame.agg(count(lit(1)).as("count"))
+        case (a, Nil) if ByAggs(a) && a != "count" =>
+          // terminal reducing barriers over value space: sum/mean/min/max
+          if (!terminal) fail(s"$a() must be the last step")
+          if (!frame.columns.contains("value"))
+            fail(s"$a(): needs value space — project with values('col') first")
+          val v = a match {
+            case "sum" => sum(col("value"))
+            case "mean" | "avg" => avg(col("value"))
+            case "min" => min(col("value"))
+            case "max" => max(col("value"))
+          }
+          frame = frame.agg(v.as(a))
+        case ("fold", Nil) =>
+          // terminal: the traverser bag as ONE list — emitted sorted +
+          // comma-joined (the driver-compare list serialization)
+          if (!terminal) fail("fold() must be the last step")
+          val felem =
+            if (frame.columns.contains("value")) col("value") else col("id")
+          frame = frame.agg(array_join(
+            array_sort(collect_list(felem)).cast("array<string>"), ",")
+            .as("folded"))
         case ("groupCount", Nil) =>
           // terminal: traverser counts per current element (Gremlin's
           // result map, emitted as rows). `.by('col')` groups by that
@@ -692,7 +716,7 @@ object Gremlin {
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
-            "values/count/groupCount[.by('col')]/" +
+            "values/count/sum/mean/min/max/fold/groupCount[.by('col')]/" +
             "group().by('k')[.by(<aggregate>)]/" +
             "project('a', …).by(<prop|chain.aggregate>)…/" +
             "local(<chain[.aggregate|.limit(n)]>)/" +

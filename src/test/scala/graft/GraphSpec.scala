@@ -394,6 +394,16 @@ class GraphSpec extends SparkSpec {
     val se2 = intercept[RuntimeException](
       g("g.V().as('x').select('x').by(out('knows').count())"))
     assert(se2.getMessage.contains("project()"), se2.getMessage)
+    // terminal reducing barriers over value space + fold()
+    assert(g("g.V().values('w').sum()").as[Long].head() == 17L)
+    assert(g("g.V().hasLabel('p').values('w').max()").as[Long].head() == 5L)
+    assert(g("g.V().values('w').mean()").as[Double].head() == 4.25)
+    assert(g("g.V().hasLabel('q').fold()").as[String].head() == "c,d")
+    assert(g("g.V().out('knows').values('id').fold()").as[String].head() == "b,c,c,d")
+    val ae = intercept[RuntimeException](g("g.V().sum()"))
+    assert(ae.getMessage.contains("value space"), ae.getMessage)
+    val ae2 = intercept[RuntimeException](g("g.V().values('w').sum().dedup()"))
+    assert(ae2.getMessage.contains("last step"), ae2.getMessage)
   }
 
   test("gremlin: repeat until/emit semantics and coalesce branch precedence") {
