@@ -674,7 +674,15 @@ object Gremlin {
                   "the translated subset")
               parseByMod("local", List(chain)) match {
                 case ByAgg(hops, agg, prop) =>
-                  val keyed = keyedByTid(frame)
+                  // count re-attaches empties to the INPUT frame (two
+                  // subtrees read the keyed frame → needs the stable
+                  // checkpointed id); other aggregates consume the
+                  // branch alone, so a plain monotonic id within the
+                  // single plan is already a consistent traverser key —
+                  // no extra shuffle, no checkpoint
+                  val keyed =
+                    if (agg == "count") keyedByTid(frame)
+                    else frame.withColumn("__tid", monotonically_increasing_id())
                   val chainSrc = (Seq(hops).filter(_.nonEmpty) ++
                     prop.map(p => s"values('$p')")).mkString(".")
                   val sub = if (chainSrc.isEmpty) keyed
@@ -701,7 +709,10 @@ object Gremlin {
                 fail("local(<chain>.limit(n)) together with path() is not " +
                   "in the translated subset")
               val n = nTxt.toInt
-              val keyed = keyedByTid(frame)
+              // single-subtree use of the id (the window partitions and
+              // filters inside one plan) — a plain monotonic id is a
+              // consistent traverser key, no checkpoint needed
+              val keyed = frame.withColumn("__tid", monotonically_increasing_id())
               val prefixSrc = lst.dropRight(1).map(_._3).mkString.stripPrefix(".")
               val sub = applyBranch(ctx, keyed, idLabel, prefixSrc)
               val ordCols = sub.columns.filterNot(_ == "__tid").toSeq.sorted
