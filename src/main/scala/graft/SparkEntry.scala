@@ -725,6 +725,26 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("oid")
     },
+    "command_gremlin_branch" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // branch(<selector>).option(v, <chain>): BUILDING customers route
+      // through the successor hop (unresolved successors drop — the hop
+      // is empty for them), everyone else through the identity filter;
+      // the landed bag feeds groupCount
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                    "class": "next", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').branch(values('c_mktsegment')).option('BUILDING', out('next')).option('none', has('id')).groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
     "command_gremlin_agg" -> { (s, dir) =>
       val c = ctx(s, dir)
       // terminal reducing barrier over value space: an integer-exact
@@ -3264,6 +3284,18 @@ object SparkEntry {
     "command_gremlin_agg" ->
       ("SELECT CAST(sum(c_custkey) AS BIGINT) AS sum FROM customer " +
        "WHERE c_mktsegment = 'BUILDING'"),
+    // BUILDING customers land on their resolvable successor, the rest
+    // on themselves (branch option routing), counted per landed id
+    "command_gremlin_branch" ->
+      ("WITH s AS (SELECT c_custkey, c_mktsegment, " +
+       "CASE WHEN c_custkey % 2 = 1 THEN NULL WHEN c_custkey % 7 = 0 THEN c_custkey " +
+       "WHEN c_custkey % 3 = 0 THEN c_custkey - 2 ELSE c_custkey + 1 END AS succ " +
+       "FROM customer), " +
+       "land AS (SELECT CAST(c2.c_custkey AS VARCHAR) AS id FROM s " +
+       "JOIN customer c2 ON c2.c_custkey = s.succ WHERE s.c_mktsegment = 'BUILDING' " +
+       "UNION ALL SELECT CAST(c_custkey AS VARCHAR) FROM s " +
+       "WHERE c_mktsegment <> 'BUILDING') " +
+       "SELECT id, count(*) AS count FROM land GROUP BY id ORDER BY id"),
     // per order: the 2 string-first sibling orders of its customer,
     // then counts over the kept bag (local().limit top-n semantics)
     "command_gremlin_local" ->

@@ -95,6 +95,11 @@ import org.apache.spark.sql.functions._
   *    branch (branch b's results count exactly for the traversers no
   *    earlier branch matched; left-anti precedence joins on a
   *    correlation id). Branch steps are the union-branch subset.
+  *  - `.branch(<selector>).option(v, <chain>)…` — value routing: the
+  *    selector (`values('col')` or `label()`) sends each traverser
+  *    through the option whose token equals its value;
+  *    `option('none', <chain>)` catches unmatched traversers (nulls
+  *    included). One filtered sub-frame per option, unioned.
   *  - `.choose(<filter>, <chain>[, <chain>])` — per-traverser if/else:
   *    the predicate (a hasLabel/has/hasNot chain) routes each
   *    traverser through exactly one branch; the 2-arg form keeps
@@ -119,7 +124,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: a K-hop chain is K shuffle equi-joins on vertex ids —
   * exactly the plan the equivalent motif pattern produces; AQE handles
   * broadcast/skew. TRULY unbounded loops (an `until` that needs more
-  * than 12 hops), `branch`/`sack`, and lambdas are out of scope by
+  * than 12 hops), `sack`, and lambdas are out of scope by
   * design — those migrate to `motif` patterns or the graph stages
   * (BFS/CC/PageRank), which is where the batch engine expresses them
   * well.
@@ -591,6 +596,55 @@ object Gremlin {
               "branches must land in the same element space")
           frame = Seq(tSide, fSide).map(b => b.select(ccommon.map(col): _*))
             .reduce(_ unionByName _)
+        case ("branch", Seq(sel: RawChain)) =>
+          // branch(<selector>).option(v, <chain>)… — the selector
+          // (values('col'), or label()) routes each traverser to the
+          // option whose token equals its value; option('none', <chain>)
+          // catches the rest. Set-oriented: one filtered sub-frame per
+          // option, results unioned over the common element space.
+          if (trackPath)
+            fail("branch() together with path() is not in the translated subset")
+          val selCol = {
+            val sbody = "." + sel.src.trim
+            Step.findAllMatchIn(sbody)
+              .map(m => (m.group(1), parseArgs(m.group(2)))).toList match {
+              case List(("values", List(p: String))) => col(p)
+              case List(("label", Nil)) => col("label")
+              case _ => fail(s"branch(${sel.src}): the selector is " +
+                "values('col') or label() in the translated subset")
+            }
+          }
+          val opts = scala.collection.mutable.ArrayBuffer
+            .empty[(Option[Any], RawChain)]
+          var moreOpts = true
+          while (moreOpts) steps.tail.lift(i + 1 + skipN) match {
+            case Some(("option", List(tok, c: RawChain)))
+                if !tok.isInstanceOf[RawChain] =>
+              val key = if (tok == "none") None else Some(tok)
+              opts += ((key, c)); skipN += 1
+            case _ => moreOpts = false
+          }
+          if (opts.isEmpty)
+            fail("branch(<selector>): needs at least one " +
+              ".option(value, <chain>) modulator")
+          val tokens: Seq[Any] = opts.collect { case (Some(t), _) => t }.toSeq
+          val routed = opts.map {
+            case (Some(t), c) =>
+              applyBranch(ctx, frame.where(selCol === lit(t)), idLabel, c.src)
+            case (None, c) =>
+              // Pick.none: traversers no token matched (null included)
+              val noMatch =
+                if (tokens.isEmpty) lit(true)
+                else !coalesce(selCol.isin(tokens: _*), lit(false))
+              applyBranch(ctx, frame.where(noMatch), idLabel, c.src)
+          }
+          val bcommon = routed.map(_.columns.toSeq)
+            .reduce((a, b) => a.filter(b.contains))
+          if (!bcommon.exists(Set("id", "value")))
+            fail("branch(): options share no id/value column — every " +
+              "option must land in the same element space")
+          frame = routed.map(b => b.select(bcommon.map(col): _*))
+            .reduce(_ unionByName _)
         case ("as", Seq(tag: String)) =>
           frame = frame.withColumn(s"__as_$tag", col("id"))
         case ("where", Seq(Pred(op, tag))) =>
@@ -735,7 +789,8 @@ object Gremlin {
             "repeat(..) with times(k)/until(filter)/emit()/" +
             "order().by(..)/range(lo,hi)/path()/" +
             "union(chain, …)/coalesce(chain, …)/optional(chain)/" +
-            "choose(filter, chain[, chain]); " +
+            "choose(filter, chain[, chain])/" +
+            "branch(selector).option(v, chain)…; " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")

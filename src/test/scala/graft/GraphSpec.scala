@@ -404,6 +404,19 @@ class GraphSpec extends SparkSpec {
     assert(ae.getMessage.contains("value space"), ae.getMessage)
     val ae2 = intercept[RuntimeException](g("g.V().values('w').sum().dedup()"))
     assert(ae2.getMessage.contains("last step"), ae2.getMessage)
+    // branch().option(): label routing — p-vertices hop, the rest stay
+    assert(g("g.V().branch(label()).option('p', out('knows'))" +
+        ".option('none', has('id'))")
+      .select("id").as[String].collect().toSeq.sorted ==
+      Seq("b", "c", "c", "c", "d", "d")) // a→{b,c,d}, b→{c}; q-vertices c,d stay
+    // values-selector + no none-option: unmatched traversers drop
+    assert(g("g.V().branch(values('label')).option('q', values('id'))")
+      .select("value").as[String].collect().toSeq.sorted == Seq("c", "d"))
+    val be = intercept[RuntimeException](g("g.V().branch(values('id'))"))
+    assert(be.getMessage.contains("option"), be.getMessage)
+    val be2 = intercept[RuntimeException](
+      g("g.V().branch(out('knows')).option('a', has('id'))"))
+    assert(be2.getMessage.contains("selector"), be2.getMessage)
   }
 
   test("gremlin: repeat until/emit semantics and coalesce branch precedence") {
