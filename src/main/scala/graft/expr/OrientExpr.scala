@@ -377,7 +377,9 @@ object OrientExpr {
         Arg(freeFunction(name, args),
           stringy = Set("string", "format", "uuid")(name.toLowerCase))
       case TIdent(name) => Arg(col(name))
-      case TOp("(") => val c = parseOr(); expect(")"); Arg(c.col)
+      // parens keep literal/stringy/arrayish payloads — `('x') + col`
+      // must still concatenate (object-member inlining parenthesizes)
+      case TOp("(") => val c = parseOr(); expect(")"); c
       case TOp("[") =>
         // collection literal `[a, b, c]` (the OrientDB/JS array form) —
         // elements are full expressions; empty `[]` is an empty array

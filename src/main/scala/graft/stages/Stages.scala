@@ -1061,8 +1061,91 @@ object Stages {
     * recursion, closures, object literals) fails with a named migration
     * path — full JS is out of parity scope (SURVEY.md §7.4, no script
     * engine offline). */
+  /** Expand `var o = { k1: expr, k2: expr };` OBJECT literals: each
+    * later `o.k1` member read inlines as the (parenthesized) member
+    * expression — objects are compile-time namespaces, like locals.
+    * Guards: a member write (`o.k = …`), an unknown member, or passing
+    * the bare object name onward all fail with named errors (an object
+    * VALUE has no column translation). Literal-blind like the other
+    * passes. */
+  private[graft] def jsExpandObjects(code: String): String = {
+    val ObjHead = raw"var\s+([A-Za-z_]\w*)\s*=\s*\{".r
+    var cur = code
+    var continue = true
+    while (continue) {
+      ObjHead.findAllMatchIn(cur).find(m => !inJsLiteral(cur, m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = m.end - 1
+          val close = closingBrace(cur, open)
+          require(close > open,
+            s"code: unbalanced braces in object literal var ${m.group(1)}")
+          val name = m.group(1)
+          val bodyTxt = cur.substring(open + 1, close)
+          // split members on top-level commas (quote/paren/bracket-aware)
+          val members = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var depth = 0; var quote: Char = 0; var escaped = false
+          val b = new StringBuilder
+          def flush(): Unit = if (b.toString.trim.nonEmpty) {
+            val kv = b.toString
+            val colonAt = kv.indexOf(':')
+            require(colonAt > 0, s"code: object $name: member `${kv.trim}` " +
+              "is not a `key: expr` pair")
+            val k = kv.substring(0, colonAt).trim
+              .stripPrefix("'").stripSuffix("'")
+              .stripPrefix("\"").stripSuffix("\"")
+            require(k.matches(raw"[A-Za-z_]\w*"),
+              s"code: object $name: member name `$k` is not an identifier")
+            members += k -> kv.substring(colonAt + 1).trim
+            b.clear()
+          }
+          bodyTxt.foreach { ch =>
+            if (quote != 0) {
+              b.append(ch)
+              if (escaped) escaped = false
+              else if (ch == '\\') escaped = true
+              else if (ch == quote) quote = 0
+            } else ch match {
+              case '\'' | '"' => quote = ch; b.append(ch)
+              case '(' | '[' | '{' => depth += 1; b.append(ch)
+              case ')' | ']' | '}' => depth -= 1; b.append(ch)
+              case ',' if depth == 0 => flush()
+              case other => b.append(other)
+            }
+          }
+          flush()
+          var rest = cur.substring(close + 1).replaceFirst(raw"^\s*;", "")
+          // member writes fail loud BEFORE the read-inline would orphan them
+          val q = java.util.regex.Pattern.quote(name)
+          (raw"(?<![\w.])$q\s*\.\s*(\w+)\s*(\+\+|--|[+\-*/]?=(?!=))").r
+            .findAllMatchIn(rest).find(mm => !inJsLiteral(rest, mm.start))
+            .foreach { mm => sys.error(s"code: object $name is a compile-time " +
+              s"namespace — `$name.${mm.group(1)} ${mm.group(2)}` mutation has " +
+              "no plan translation; assign through record fields or locals") }
+          members.foreach { case (k, v) =>
+            rest = outsideJsLiterals(rest)(_.replaceAll(
+              raw"(?<![\w.])$q\s*\.\s*" + java.util.regex.Pattern.quote(k) + raw"\b",
+              java.util.regex.Matcher.quoteReplacement(s"($v)")))
+          }
+          (raw"(?<![\w.])$q\s*\.\s*(\w+)").r.findAllMatchIn(rest)
+            .find(mm => !inJsLiteral(rest, mm.start)).foreach { mm =>
+              sys.error(s"code: object $name has no member " +
+                s"`${mm.group(1)}` (members: ${members.keys.mkString(", ")})")
+            }
+          (raw"(?<![\w.])$q\b(?!\s*\.)").r.findAllMatchIn(rest)
+            .find(mm => !inJsLiteral(rest, mm.start)).foreach { _ =>
+              sys.error(s"code: object $name is a compile-time namespace — " +
+                "its VALUE cannot flow into the plan; read members " +
+                s"($name.${members.keys.head}) instead")
+            }
+          cur = cur.substring(0, m.start) + " " + rest
+      }
+    }
+    cur
+  }
+
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
-    val (defree, fns) = jsExtractFunctions(code)
+    val (defree, fns) = jsExtractFunctions(jsExpandObjects(code))
     // alternate the two unrollers to a fixpoint: a while nested in a for
     // body only becomes literal-bounded after the for substitutes its
     // counter (and vice versa)

@@ -847,6 +847,35 @@ class EngineSpec extends SparkSpec {
       "unreachable")
   }
 
+  test("code JS shim: object literals are compile-time namespaces") {
+    val path = writeNationCsv()
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var cfg = { scale: 3, tag: 'x', base: record.n_regionkey * 10 }; record.scaled = record.n_nationkey * cfg.scale; record.lab = cfg.tag + record.n_name; record.based = cfg.base + 1;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val r = out.filter(col("n_nationkey") === 7).head()
+    assert(r.getAs[Number]("scaled").longValue == 21L)
+    assert(r.getAs[String]("lab") == "xNATION_7")
+    assert(r.getAs[Number]("based").longValue == 2 * 10 + 1)
+    def reject(code: String, needle: String) = {
+      val e = intercept[Exception] {
+        Engine.runJson(newCtx(), s"""{
+          "source": { "file": { "path": "$path" } },
+          "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+          "transformers": [ { "code": { "language": "javascript", "code": "$code" } } ],
+          "loader": { "memory": {} }
+        }""")
+      }
+      assert(e.getMessage.contains(needle), s"`$code` → ${e.getMessage}")
+    }
+    reject("var o = { a: 1 }; o.a = 2; record.x = o.a;", "mutation")
+    reject("var o = { a: 1 }; record.x = o.b;", "no member")
+    reject("var o = { a: 1 }; record.x = o;", "VALUE")
+  }
+
   test("dryRun: config compiles and analyzes, loader never acts") {
     val path = writeNationCsv()
     val out = s"$tmp/dryrun_out"
