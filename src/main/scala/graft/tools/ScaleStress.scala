@@ -175,7 +175,7 @@ object ScaleStress {
     val batchLegs = Seq("asof_join", "asof_nearest", "range_join",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
-      "fuzzy_join")
+      "fuzzy_join", "etl_lateral")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -293,6 +293,25 @@ object ScaleStress {
               "SELECT doc_id, format_string('entity-%07d', doc_id) AS name FROM __input"}},
             {"fuzzyjoin": {"field": "name", "idField": "doc_id",
               "maxDistance": 2, "probeIf": "doc_id < 500"}}],
+          "loader": {"memory": {}} }""",
+        // the parameter-tuple LATERAL rewrite: tuples ∝ N (n/10 distinct
+        // parent keys, ~10 child members each). The per-tuple path would
+        // refuse at the 1000-tuple cap from factor 10 on — reaching rows
+        // at factor 100 (50k tuples) IS the O(1)-plan-build evidence;
+        // runtime must track the underlying equi-join + collect_list agg
+        "etl_lateral" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT DISTINCT doc_id % ${n / 10} AS pk FROM __input"}},
+            {"etl": {"parameters": {"p": "pk"},
+              "pipeline": {
+                "source": {"file": {"path": "$docs"}},
+                "extractor": {"parquet": {}},
+                "transformers": [{"command": {"command":
+                  "SELECT doc_id FROM input WHERE doc_id % ${n / 10} = $$p"}}]},
+              "fieldName": "members", "fieldType": "EMBEDDEDLIST",
+              "valueFieldName": "doc_id"}}],
           "loader": {"memory": {}} }""")
       ops.filter(o => enabled(o._1)).foreach { case (name, json) =>
         val t = time2(json)
