@@ -520,4 +520,52 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_pq_encode"), s"PQ encode missing:\n$plan")
     assert(plan.contains("graft_pq_lut"), s"PQ LUT missing:\n$plan")
   }
+
+  test("etl parameters: the lateral rewrite plans a bounded join count, not O(tuples) unions") {
+    // 60 distinct tuples: the per-tuple path would union 60 child plans
+    // (≥ 60 joins after the group re-attach); the lateral path is ONE
+    // decorrelated join + the parent re-attach join, regardless of
+    // tuple count
+    val ctx = newCtx()
+    val out = graft.stages.LookupStages.etl(graft.spec.ComponentSpec("etl", Map(
+      "parameters" -> Map("p" -> "pk"),
+      "pipeline" -> Map(
+        "source" -> Map("file" -> Map("path" -> s"$sfDir/customer.parquet")),
+        "extractor" -> Map("parquet" -> Map.empty[String, Any]),
+        "transformers" -> List(Map("command" -> Map("command" ->
+          "SELECT c_custkey FROM input WHERE c_custkey % 60 = $p")))),
+      "fieldName" -> "members", "fieldType" -> "EMBEDDEDLIST",
+      "valueFieldName" -> "c_custkey")), ctx)(
+      ctx.table("customer").select((col("c_custkey") % 60).as("pk")).distinct())
+    val logicalJoins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+    val unions = out.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.length
+    assert(logicalJoins <= 4,
+      s"lateral etl should plan O(1) joins, got $logicalJoins")
+    assert(unions == 0, s"lateral etl must not union per-tuple children, " +
+      s"got $unions unions")
+    assert(out.count() == 60)
+  }
+
+  test("gremlin local(limit): one window over the hop join, no checkpoint materialization") {
+    val ctx = newCtx()
+    import spark.implicits._
+    ctx.addVertices(Seq(("a", "p"), ("b", "p"), ("c", "p")).toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "n"), ("a", "c", "n"), ("b", "c", "n"))
+      .toDF("src", "dst", "label"))
+    val out = graft.stages.Stages.command(
+      graft.spec.ComponentSpec("command", Map("command" ->
+        "g.V().local(out('n').limit(1))")), ctx)(spark.emptyDataFrame)
+    val optimized = out.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.length
+    assert(windows == 1, s"expected exactly one per-traverser window:\n$optimized")
+    // the single-subtree id needs no LogicalRDD checkpoint scan
+    assert(!optimized.toString.contains("LogicalRDD"),
+      s"local(limit) must not checkpoint-materialize:\n$optimized")
+  }
 }
