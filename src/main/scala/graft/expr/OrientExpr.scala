@@ -210,11 +210,14 @@ object OrientExpr {
           if (peek == TOp("(")) {
             next()
             val lname = name.toLowerCase
-            if ((lname == "map" || lname == "filter") && peekIsLambda) {
-              // `.map(x -> expr)` / `.filter(x -> cond)` → the Catalyst
-              // array HOFs (transform/filter) — codegen'd per-row, no UDF.
-              // Spark invokes the body builder exactly once at plan
-              // construction, so the parser advances over the body once.
+            if (LambdaMethods(lname) && peekIsLambda) {
+              // `.map(x -> expr)` / `.filter(x -> cond)` /
+              // `.flatMap(x -> arr)` / `.some(x -> cond)` /
+              // `.every(x -> cond)` / `.find(x -> cond)` → the Catalyst
+              // array HOFs (transform/filter/flatten/exists/forall) —
+              // codegen'd per-row, no UDF. Spark invokes the body
+              // builder exactly once at plan construction, so the
+              // parser advances over the body once.
               val param = next() match {
                 case TIdent(s) => s
                 case t => fail(s"expected lambda parameter, got $t")
@@ -225,11 +228,18 @@ object OrientExpr {
                 lambdaVars = lambdaVars + (param -> x)
                 try parseOr().col finally lambdaVars = saved
               }
-              val res =
-                if (lname == "map") transform(c.col, body _)
-                else filter(c.col, body _)
+              val res = lname match {
+                case "map" => transform(c.col, body _)
+                case "filter" => filter(c.col, body _)
+                case "flatmap" => flatten(transform(c.col, body _))
+                case "some" => exists(c.col, body _)
+                case "every" => forall(c.col, body _)
+                // JS find: first match or undefined → element 0 of the
+                // filtered array, null when nothing matched
+                case "find" => get(filter(c.col, body _), lit(0))
+              }
               expect(")")
-              c = Arg(res, arrayish = true)
+              c = Arg(res, arrayish = Set("map", "filter", "flatmap")(lname))
             } else if (lname == "reduce" && peekIsParenLambda) {
               // `.reduce((acc, x) -> expr, init)` → Catalyst aggregate()
               // (codegen'd fold, no UDF). The body tokens are consumed
@@ -298,6 +308,10 @@ object OrientExpr {
       case TIdent(_) => pos + 1 < toks.length && toks(pos + 1) == TOp("->")
       case _ => false
     }
+
+    /** Single-param lambda methods → Catalyst array HOFs. */
+    private val LambdaMethods: Set[String] =
+      Set("map", "filter", "flatmap", "some", "every", "find")
 
     /** `(acc, x) ->` — the two-param lambda head of `.reduce`. */
     private def peekIsParenLambda: Boolean =

@@ -210,5 +210,15 @@ class OrientExprSpec extends SparkSpec {
     // string methods still dispatch stringwise on strings
     assert(eval1("'hello'.includes('ell')") == true)
     assert(eval1("'hello'.slice(1, 3)") == "el")
+    // some/every/find/flatMap lambdas → exists/forall/get∘filter/flatten
+    assert(eval1("[1, 2, 3].some(x -> x > 2)") == true)
+    assert(eval1("[1, 2, 3].some(x -> x > 9)") == false)
+    assert(eval1("[2, 4, 6].every(x -> x % 2 = 0)") == true)
+    assert(eval1("[2, 3, 6].every(x -> x % 2 = 0)") == false)
+    assert(eval1("[1, 7, 3, 9].find(x -> x > 2)") == 7)
+    assert(eval1("[1, 2].find(x -> x > 9)") == null) // JS undefined
+    assert(eval1("[1, 2, 3].flatMap(x -> [x, x * 10])") ==
+      Seq(1, 10, 2, 20, 3, 30))
+    assert(eval1("[1, 2].flatMap(x -> [x, x + 1]).distinct().join('-')") == "1-2-3")
   }
 }
