@@ -769,7 +769,15 @@ object Gremlin {
               val keyed = frame.withColumn("__tid", monotonically_increasing_id())
               val prefixSrc = lst.dropRight(1).map(_._3).mkString.stripPrefix(".")
               val sub = applyBranch(ctx, keyed, idLabel, prefixSrc)
-              val ordCols = sub.columns.filterNot(_ == "__tid").toSeq.sorted
+              // deterministic per-traverser order: on an id-bearing frame
+              // the `id` column alone suffices (label and any stashed
+              // columns are functionally dependent on it — equal-id rows
+              // are whole-row duplicates), and "id" also sorts
+              // alphabetically first, so this is order-identical to the
+              // all-column sort with fewer comparators
+              val ordCols =
+                if (sub.columns.contains("id")) Seq("id")
+                else sub.columns.filterNot(_ == "__tid").toSeq.sorted
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(col("__tid")).orderBy(ordCols.map(col): _*)
               frame = sub.withColumn("__rn", row_number().over(w))
