@@ -342,13 +342,20 @@ object OrientExpr {
       // 0-based like JS, -1 absent (array_position is 1-based, 0 absent)
       case ("indexof", Seq(a)) => Some(array_position(target, a.col) - 1)
       case ("length", Nil) | ("size", Nil) => Some(size(target))
-      case ("slice", as) if as.exists(_.lit.exists(_.toString.startsWith("-"))) =>
-        fail("array slice: negative JS indices are not translated — " +
-          "index from the front")
-      case ("slice", Seq(a)) =>
-        Some(slice(target, a.col.cast("int") + lit(1), size(target)))
-      case ("slice", Seq(a, b)) =>
-        Some(slice(target, a.col.cast("int") + lit(1), (b.col - a.col).cast("int")))
+      // full JS slice semantics: negative indices count from the end
+      // (clamped at 0), end is clamped at length, and a crossed range
+      // (end <= start) yields [] — Spark's slice() would instead throw
+      // on a non-positive length, and its own negative-start rule is
+      // off-by-one vs JS
+      case ("slice", as) if as.size == 1 || as.size == 2 =>
+        val n = size(target)
+        def jsIdx(c: Column, outOfRange: Column): Column = {
+          val i = c.cast("int")
+          when(i >= 0, least(i, outOfRange)).otherwise(greatest(n + i, lit(0)))
+        }
+        val s0 = jsIdx(as.head.col, n)
+        val e0 = as.lift(1).map(b => jsIdx(b.col, n)).getOrElse(n)
+        Some(slice(target, s0 + lit(1), greatest(e0 - s0, lit(0))))
       case ("concat", as) if as.nonEmpty =>
         Some(concat(target +: as.map(_.col): _*))
       // array_sort is TYPED (numeric arrays sort numerically) — the one

@@ -728,15 +728,15 @@ object Gremlin {
                   "the translated subset")
               parseByMod("local", List(chain)) match {
                 case ByAgg(hops, agg, prop) =>
-                  // count re-attaches empties to the INPUT frame (two
-                  // subtrees read the keyed frame → needs the stable
-                  // checkpointed id); other aggregates consume the
-                  // branch alone, so a plain monotonic id within the
-                  // single plan is already a consistent traverser key —
-                  // no extra shuffle, no checkpoint
-                  val keyed =
-                    if (agg == "count") keyedByTid(frame)
-                    else frame.withColumn("__tid", monotonically_increasing_id())
+                  // the keyed id must be retry-stable even when ONE
+                  // subtree consumes it: the groupBy below shuffles on
+                  // __tid, and a shuffle-map retry that re-enumerates a
+                  // fetched partition in a different order would rebind
+                  // rows to new ids while other reducers already
+                  // aggregated the old binding — so every local() keying
+                  // goes through keyedByTid (deterministic sort before
+                  // numbering, lazily checkpointed)
+                  val keyed = keyedByTid(frame)
                   val chainSrc = (Seq(hops).filter(_.nonEmpty) ++
                     prop.map(p => s"values('$p')")).mkString(".")
                   val sub = if (chainSrc.isEmpty) keyed
@@ -763,21 +763,19 @@ object Gremlin {
                 fail("local(<chain>.limit(n)) together with path() is not " +
                   "in the translated subset")
               val n = nTxt.toInt
-              // single-subtree use of the id (the window partitions and
-              // filters inside one plan) — a plain monotonic id is a
-              // consistent traverser key, no checkpoint needed
-              val keyed = frame.withColumn("__tid", monotonically_increasing_id())
+              // retry-stable traverser key (see the ByAgg case above —
+              // the window below shuffles on __tid, so a bare monotonic
+              // id could rebind rows mid-retry)
+              val keyed = keyedByTid(frame)
               val prefixSrc = lst.dropRight(1).map(_._3).mkString.stripPrefix(".")
               val sub = applyBranch(ctx, keyed, idLabel, prefixSrc)
-              // deterministic per-traverser order: on an id-bearing frame
-              // the `id` column alone suffices (label and any stashed
-              // columns are functionally dependent on it — equal-id rows
-              // are whole-row duplicates), and "id" also sorts
-              // alphabetically first, so this is order-identical to the
-              // all-column sort with fewer comparators
-              val ordCols =
-                if (sub.columns.contains("id")) Seq("id")
-                else sub.columns.filterNot(_ == "__tid").toSeq.sorted
+              // deterministic per-traverser order: ALL columns, sorted.
+              // `id` alone is NOT a total order — one id registered
+              // under two labels yields one row per label (the
+              // class-vertex model above), and which of the tied rows
+              // row_number would keep under limit(1) must not depend on
+              // shuffle fetch order
+              val ordCols = sub.columns.filterNot(_ == "__tid").toSeq.sorted
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(col("__tid")).orderBy(ordCols.map(col): _*)
               frame = sub.withColumn("__rn", row_number().over(w))
@@ -835,27 +833,32 @@ object Gremlin {
   }
 
   /** The re-evaluation-stable traverser correlation id used by
-    * coalesce/optional/where/not/project: the frame is numbered ONCE
-    * and eagerly localCheckpoint'ed, so every branch subtree and
-    * semi/anti join reads the same materialized (row → id) binding —
-    * the re-evaluation instability class (a bare
-    * monotonically_increasing_id re-computed per subtree with
-    * fetch-order-dependent results) is gone by construction, and AQE
-    * stays free to size every downstream shuffle. The hash-partition +
-    * full-column sort BEFORE numbering keeps the binding deterministic
-    * if checkpoint blocks are lost and recomputed (executor failure):
-    * same partitioning, same within-partition order, same ids — up to
-    * swaps between identical rows, which are interchangeable by
-    * definition. (Round-13 adjudication of the round-12 pinned-shuffle
-    * variant: checkpoint is faster on every keyed driver query —
-    * coalesce 0.98→0.91 s, optional 0.85→0.75, not 0.60→0.53 at sf0.1
-    * — and needs no partition-count pin.) */
+    * coalesce/optional/where/not/project/local. Stability is BY
+    * CONSTRUCTION, not by materialization: the hash-partition +
+    * full-column sort happens in the same stage as the numbering, so
+    * any compute of this frame — a second subtree, a cache miss, a
+    * shuffle-map retry whose fetch order varies — sorts that variance
+    * away before ids are assigned and reproduces the identical
+    * (row → id) binding, up to swaps between identical rows, which are
+    * interchangeable by definition. The persist() is purely a
+    * shared-read optimization (branch subtrees and the semi/anti joins
+    * read the computed frame instead of re-running the exchange); it
+    * schedules NOTHING at plan-build time, so a dryRun pre-flight
+    * stays compile-and-analyze only — unlike checkpoint variants:
+    * eager localCheckpoint runs the whole upstream at build, and even
+    * a lazy one forces AQE to materialize every intermediate query
+    * stage when it resolves the final RDD. AQE stays free to size
+    * every downstream shuffle. (Round-13 adjudication of the round-12
+    * pinned-shuffle variant: the sorted-persist shape is faster on
+    * every keyed driver query — coalesce 0.98→0.91 s, optional
+    * 0.85→0.75, not 0.60→0.53 at sf0.1 — and needs no partition-count
+    * pin.) */
   private def keyedByTid(frame: DataFrame): DataFrame = {
     val allCols = frame.columns.map(col).toSeq
     frame.repartition(allCols: _*)
       .sortWithinPartitions(allCols: _*)
       .withColumn("__tid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .persist()
   }
 
   /** `where(<chain>)` / `not(<chain>)`: keep traversers whose anonymous

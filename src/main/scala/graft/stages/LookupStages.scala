@@ -358,18 +358,30 @@ object LookupStages {
               s"${tuples.length} unioned child plans; plan build is " +
               "O(tuples) on the driver — consider remodeling the parameter " +
               "as a join key instead of raising maxParameterTuples further")
-          val children = tuples.toSeq.map { row =>
-            val childCtx = new EtlContext(ctx.spark)
-            childCtx.dryRun = ctx.dryRun // a dry parent's pre-flight holds
-            ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
-            ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
-            names.zipWithIndex.foreach { case (n, i) => childCtx.vars.put(n, row.get(i)) }
-            val child = graft.engine.Engine.runMap(childCtx, inline)
-            names.zipWithIndex.foldLeft(child) { case (d, (n, i)) =>
-              d.withColumn(s"__p_$n", lit(row.get(i)))
+          if (tuples.isEmpty) {
+            // zero distinct tuples (empty parent): there is no child to
+            // run — an empty frame carrying the tuple columns plus null
+            // key/value columns keeps groupToField and the final left
+            // join analyzable, and the join against the empty parent
+            // yields zero rows regardless of the placeholder types
+            Seq(keyF, valueF).filter(_.nonEmpty).distinct
+              .foldLeft(parentTagged.select(tupleCols: _*).limit(0)) {
+                (d, c) => d.withColumn(c, lit(null).cast("string"))
+              }
+          } else {
+            val children = tuples.toSeq.map { row =>
+              val childCtx = new EtlContext(ctx.spark)
+              childCtx.dryRun = ctx.dryRun // a dry parent's pre-flight holds
+              ctx.vars.foreach { case (k, v) => childCtx.vars.put(k, v) }
+              ctx.tables.foreach { case (k, v) => childCtx.tables.put(k, v) }
+              names.zipWithIndex.foreach { case (n, i) => childCtx.vars.put(n, row.get(i)) }
+              val child = graft.engine.Engine.runMap(childCtx, inline)
+              names.zipWithIndex.foldLeft(child) { case (d, (n, i)) =>
+                d.withColumn(s"__p_$n", lit(row.get(i)))
+              }
             }
+            children.reduce(_.unionByName(_, allowMissingColumns = true))
           }
-          children.reduce(_.unionByName(_, allowMissingColumns = true))
         }
         val agged = groupToField(unioned, tupleCols, fieldName, fieldType, keyF, valueF)
           .withColumnsRenamed(names.map(n => s"__p_$n" -> s"__pt_$n").toMap)
@@ -432,10 +444,12 @@ object LookupStages {
         if (!(head.startsWith("SELECT") || head.startsWith("WITH"))) return None
         // every param must live in the SQL only, and never inside a
         // string literal (a quoted '$p' interpolates a VALUE per tuple —
-        // a column reference there would silently become literal text)
+        // a column reference there would silently become literal text).
+        // Both quote styles count: Spark SQL's default parser reads
+        // "double-quoted" spans as string literals too
         val preText = (inline - "transformers").toString + tList.dropRight(1).toString
         if (names.exists(n => occurs(n, preText))) return None
-        val quoted = "'[^']*'".r.findAllIn(sql).mkString(" ")
+        val quoted = "'[^']*'|\"[^\"]*\"".r.findAllIn(sql).mkString(" ")
         if (names.exists(n => occurs(n, quoted))) return None
         try {
           val childCtx = new EtlContext(ctx.spark)

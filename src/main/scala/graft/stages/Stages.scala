@@ -1122,10 +1122,23 @@ object Stages {
             .foreach { mm => sys.error(s"code: object $name is a compile-time " +
               s"namespace — `$name.${mm.group(1)} ${mm.group(2)}` mutation has " +
               "no plan translation; assign through record fields or locals") }
-          members.foreach { case (k, v) =>
-            rest = outsideJsLiterals(rest)(_.replaceAll(
-              raw"(?<![\w.])$q\s*\.\s*" + java.util.regex.Pattern.quote(k) + raw"\b",
-              java.util.regex.Matcher.quoteReplacement(s"($v)")))
+          // inline member reads to a FIXPOINT: a member whose value
+          // reads another member ({a: 1, b: o.a}) re-introduces `o.a`
+          // when `o.b` is inlined, so one pass per member is not enough
+          var inlinePass = 0
+          var inlineChanged = true
+          while (inlineChanged) {
+            inlinePass += 1
+            require(inlinePass <= 16,
+              s"code: object $name: member references are cyclic or " +
+                "nested too deeply to inline")
+            val before = rest
+            members.foreach { case (k, v) =>
+              rest = outsideJsLiterals(rest)(_.replaceAll(
+                raw"(?<![\w.])$q\s*\.\s*" + java.util.regex.Pattern.quote(k) + raw"\b",
+                java.util.regex.Matcher.quoteReplacement(s"($v)")))
+            }
+            inlineChanged = rest != before
           }
           (raw"(?<![\w.])$q\s*\.\s*(\w+)").r.findAllMatchIn(rest)
             .find(mm => !inJsLiteral(rest, mm.start)).foreach { mm =>
@@ -1136,7 +1149,8 @@ object Stages {
             .find(mm => !inJsLiteral(rest, mm.start)).foreach { _ =>
               sys.error(s"code: object $name is a compile-time namespace — " +
                 "its VALUE cannot flow into the plan; read members " +
-                s"($name.${members.keys.head}) instead")
+                members.keys.headOption.fold("")(h => s"($name.$h) ") +
+                "instead")
             }
           cur = cur.substring(0, m.start) + " " + rest
       }

@@ -874,6 +874,19 @@ class EngineSpec extends SparkSpec {
     reject("var o = { a: 1 }; o.a = 2; record.x = o.a;", "mutation")
     reject("var o = { a: 1 }; record.x = o.b;", "no member")
     reject("var o = { a: 1 }; record.x = o;", "VALUE")
+    // a member reading another member resolves through fixpoint inlining
+    val chained = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var o = { a: 2, b: o.a * 10, c: o.b + o.a }; record.x = o.c;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(chained.filter(col("n_nationkey") === 7).head()
+      .getAs[Number]("x").longValue == 22L)
+    // bare use of an EMPTY object still gets the namespace error, not a
+    // NoSuchElementException from building the message
+    reject("var o = {}; record.x = o;", "namespace")
   }
 
   test("dryRun: config compiles and analyzes, loader never acts") {

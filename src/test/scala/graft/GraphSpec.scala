@@ -375,6 +375,50 @@ class GraphSpec extends SparkSpec {
     // every traverser keeps its own top-1
     assert(g("g.V().local(out('knows').limit(1))")
       .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // a vertex registered under TWO labels is one row per label (the
+    // class-vertex model) — the per-traverser limit tie-break must be
+    // whole-row deterministic: id alone does not order the label rows
+    locally {
+      val ctx2 = newCtx()
+      ctx2.addVertices(Seq(("a", "p", 1L), ("b", "p", 2L), ("b", "z", 2L))
+        .toDF("id", "label", "w"))
+      ctx2.addEdges(Seq(("a", "b", "knows")).toDF("src", "dst", "label"))
+      val top = graft.stages.Stages.command(
+        ComponentSpec("command", Map("command" ->
+          "g.V().has('id', 'a').local(out('knows').limit(1))")), ctx2)(
+        spark.emptyDataFrame)
+        .select("id", "label").collect().toSeq
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(top == Seq(("b", "p")), s"two-label tie-break picked $top")
+    }
+    // keyed frames (coalesce/local/…) must stay LAZY at plan-build time
+    // — a dryRun pre-flight is compile-and-analyze only. A poisoned
+    // column proves it: building the traversal must not evaluate,
+    // collecting it must
+    locally {
+      val boom = udf { (x: Long) =>
+        if (x >= 0) throw new RuntimeException("materialized at plan build")
+        x
+      }
+      // the poisoned column sits over a parquet SCAN, not an inline
+      // relation — ConvertToLocalRelation would constant-fold the UDF
+      // over a LocalRelation during driver-side optimization, but over
+      // a file source any evaluation requires running a job
+      val vPath = java.nio.file.Files
+        .createTempDirectory("graft_lazy_keyed").toString + "/v"
+      Seq(("a", "p", 1L), ("b", "p", 2L)).toDF("id", "label", "w0")
+        .write.mode("overwrite").parquet(vPath)
+      val ctx3 = newCtx()
+      ctx3.addVertices(spark.read.parquet(vPath)
+        .withColumn("w", boom(col("w0"))).drop("w0"))
+      ctx3.addEdges(Seq(("a", "b", "knows")).toDF("src", "dst", "label"))
+      val planned = graft.stages.Stages.command(
+        ComponentSpec("command", Map("command" ->
+          "g.V().coalesce(out('knows'), in('knows'))")), ctx3)(
+        spark.emptyDataFrame) // no job yet — lazy checkpoint
+      val e = intercept[Exception](planned.collect())
+      assert(e.getMessage != null)
+    }
     // stateless local inlines
     assert(g("g.V().local(out('knows').hasLabel('q'))")
       .select("id").as[String].collect().toSeq.sorted == Seq("c", "c", "d"))

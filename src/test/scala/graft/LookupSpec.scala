@@ -271,6 +271,31 @@ class LookupSpec extends SparkSpec {
     assert(lateral == perTuple)
     assert(lateral.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
     assert(lateral.head._2.nonEmpty)
+    // Spark SQL's default parser reads "double-quoted" spans as string
+    // literals too — the lateral guard must refuse them the same way
+    // (a column ref rewritten inside one would be silent literal text)
+    val perTupleDq = run(
+      "SELECT n_nationkey FROM input WHERE CAST(n_regionkey AS STRING) = \"$rk\"")
+    assert(lateral == perTupleDq)
+  }
+
+  test("etl parameters: empty parent (zero tuples) yields empty output, not a crash") {
+    val ctx = newCtx()
+    // quoted param forces the per-tuple path, whose tuple collect sees
+    // zero distinct tuples — the output is empty with the parent schema
+    // plus the field column
+    val out = LookupStages.etl(ComponentSpec("etl", Map(
+      "parameters" -> Map("rk" -> "r_regionkey"),
+      "pipeline" -> Map(
+        "source" -> Map("file" -> Map("path" -> s"$sfDir/nation.parquet")),
+        "extractor" -> Map("parquet" -> Map.empty[String, Any]),
+        "transformers" -> List(Map("command" -> Map("command" ->
+          "SELECT n_nationkey FROM input WHERE CAST(n_regionkey AS STRING) = '$rk'")))),
+      "fieldName" -> "nk", "fieldType" -> "EMBEDDEDLIST",
+      "valueFieldName" -> "n_nationkey")), ctx)(
+      ctx.table("region").where(lit(false)))
+    assert(out.columns.contains("nk"))
+    assert(out.count() == 0L)
   }
 
   test("lookup via SELECT form") {

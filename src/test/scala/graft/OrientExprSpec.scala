@@ -190,8 +190,15 @@ class OrientExprSpec extends SparkSpec {
     // slice/concat/sort/reverse/flat/distinct — array results chain
     assert(eval1("[10, 20, 30, 40].slice(1)") == Seq(20, 30, 40))
     assert(eval1("[10, 20, 30, 40].slice(1, 3)") == Seq(20, 30))
-    val ne = intercept[Exception](eval1("[1, 2].slice(-1)"))
-    assert(ne.getMessage.contains("negative"), ne.getMessage)
+    // full JS slice semantics: negatives count from the end, end clamps
+    // to length, crossed/out-of-range indices yield [] (not an error)
+    assert(eval1("[1, 2, 3].slice(-2)") == Seq(2, 3))
+    assert(eval1("[1, 2, 3].slice(0, -1)") == Seq(1, 2))
+    assert(eval1("[1, 2, 3].slice(-2, -1)") == Seq(2))
+    assert(eval1("[1, 2, 3].slice(2, 1)") == Seq())
+    assert(eval1("[1, 2, 3].slice(5)") == Seq())
+    assert(eval1("[1, 2, 3].slice(-9, 2)") == Seq(1, 2))
+    assert(eval1("[1, 2, 3].slice(1, 99)") == Seq(2, 3))
     assert(eval1("[1, 2].concat([3, 4])") == Seq(1, 2, 3, 4))
     assert(eval1("[3, 1, 2].sort()") == Seq(1, 2, 3))
     assert(eval1("[1, 2, 3].reverse()") == Seq(3, 2, 1))
