@@ -660,6 +660,53 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select(array_join(col("path"), "->").as("path")).orderBy("path")
     },
+    "command_gremlin_simplepath" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // simplePath(): cull traversers that revisit a vertex — the
+      // out().in() round trip lands back on the origin order once per
+      // customer, and exactly those rows drop. Pure per-row array
+      // arithmetic over the tracked path (no extra shuffle beyond the
+      // hop joins)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').out('placed').in('placed').simplePath().path()"}}],
+        "loader": {"memory": {}} }""")
+        .select(array_join(col("path"), "->").as("path")).orderBy("path")
+    },
+    "command_gremlin_valuemap" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // hasId membership start + valueMap property projection: the
+      // TinkerPop list-valued map rendered as a deterministic JSON
+      // string (map columns crash the driver compare's pandas sort)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').hasId('1', '2', '3', '4', '5', '6', '7', '32', '33').valueMap('o_orderstatus', 'o_orderpriority')"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
+    "command_gremlin_elementmap" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // elementMap: flat property map including id and label
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('customer').hasId('1', '2', '3', '4', '5').elementMap('c_mktsegment')"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
     "command_gremlin_pred" -> { (s, dir) =>
       val c = ctx(s, dir)
       // value predicates (Gremlin P): range + membership filters compile
@@ -3266,6 +3313,28 @@ object SparkEntry {
     "command_gremlin_path" ->
       ("SELECT CAST(o_orderkey AS VARCHAR) || '->' || CAST(o_custkey AS VARCHAR) " +
        "AS path FROM orders ORDER BY path"),
+    "command_gremlin_simplepath" ->
+      // class-vertex model: a landed id re-attaches to every class
+      // registered for it, so an intermediate customer id that equals
+      // an order id on the path IS a revisit (id 1177 placed by
+      // customer 1177) — the oracle encodes the same rule
+      ("SELECT CAST(o1.o_orderkey AS VARCHAR) || '->' || " +
+       "CAST(o1.o_custkey AS VARCHAR) || '->' || " +
+       "CAST(o2.o_orderkey AS VARCHAR) AS path " +
+       "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
+       "WHERE o1.o_orderkey <> o2.o_orderkey " +
+       "AND o1.o_custkey <> o1.o_orderkey " +
+       "AND o1.o_custkey <> o2.o_orderkey ORDER BY path"),
+    "command_gremlin_valuemap" ->
+      ("SELECT '{\"o_orderstatus\":[\"' || o_orderstatus || " +
+       "'\"],\"o_orderpriority\":[\"' || o_orderpriority || " +
+       "'\"]}' AS value FROM orders WHERE CAST(o_orderkey AS VARCHAR) IN " +
+       "('1', '2', '3', '4', '5', '6', '7', '32', '33') ORDER BY value"),
+    "command_gremlin_elementmap" ->
+      ("SELECT '{\"id\":\"' || CAST(c_custkey AS VARCHAR) || " +
+       "'\",\"label\":\"customer\",\"c_mktsegment\":\"' || c_mktsegment || " +
+       "'\"}' AS value FROM customer WHERE CAST(c_custkey AS VARCHAR) IN " +
+       "('1', '2', '3', '4', '5') ORDER BY value"),
     "command_gremlin_order" ->
       ("SELECT id AS value FROM (SELECT CAST(c_custkey AS VARCHAR) AS id " +
        "FROM customer ORDER BY id DESC OFFSET 10 LIMIT 10) ORDER BY value"),

@@ -204,15 +204,19 @@ object Gremlin {
     // silently lose one. Duplicate registrations of the SAME (id,
     // label) do collapse (that's re-registration, not a second vertex).
     val idLabel = vertices.select(col("id"), col("label")).distinct()
-    val trackPath = steps.exists(_._1 == "path")
+    val trackPath = steps.exists(s => s._1 == "path" || s._1 == "simplePath")
     // g.V(id, …): start from the named vertices (filter BEFORE path
     // tracking so the path roots at the start set)
     val start =
       if (startIds.isEmpty) vertices
       else vertices.where(col("id").isin(startIds: _*))
+    val trackSimple = steps.exists(_._1 == "simplePath")
     var frame =
       if (trackPath) start.withColumn("__path", array(col("id")))
       else start
+    if (trackSimple)
+      frame = frame.withColumn("__spath",
+        array(concat_ws("|", coalesce(col("label"), lit("")), col("id"))))
     // `order().by(..)` accumulates sort keys here and is applied at the
     // next non-`by` step (or chain end) — adjacent `limit`/`range` then
     // plan as TakeOrdered instead of a full sort
@@ -275,14 +279,66 @@ object Gremlin {
           // per element (dropDuplicates), matching Gremlin's semantics
           frame =
             if (trackPath)
-              frame.dropDuplicates(
-                frame.columns.filterNot(_ == "__path").toIndexedSeq)
+              frame.dropDuplicates(frame.columns
+                .filterNot(c => c == "__path" || c == "__spath").toIndexedSeq)
             else frame.distinct()
         case ("limit", Seq(n: Long)) =>
           if (n < 0 || n > Int.MaxValue) fail(s"limit($n) out of range")
           frame = frame.limit(n.toInt)
         case ("values", Seq(c: String)) =>
           frame = frame.select(col(c).as("value"))
+        case ("hasId", ids) if ids.nonEmpty && ids.forall(a =>
+            a.isInstanceOf[String] || a.isInstanceOf[Long] ||
+            a.isInstanceOf[Double]) =>
+          val vs = ids.map {
+            case d: Double if d.isWhole => d.toLong.toString
+            case other => other.toString
+          }
+          frame = frame.where(col("id").isin(vs: _*))
+        case ("simplePath", Nil) =>
+          // keep traversers whose path revisits no vertex — the
+          // canonical cull is the origin-return two-hop
+          // (order → customer → same order). Pure per-row array
+          // arithmetic over the tracked path: no shuffle
+          frame = frame.where(
+            size(array_distinct(col("__spath"))) === size(col("__spath")))
+        case (vm @ ("valueMap" | "elementMap"), keys)
+            if keys.forall(_.isInstanceOf[String]) =>
+          // property-map projection, rendered as a DETERMINISTIC JSON
+          // string (map columns crash the driver compare's pandas sort;
+          // to_json over map_from_arrays keeps the given key order).
+          // valueMap: {"k":["v"],…} list-valued, no id/label;
+          // elementMap: {"id":…,"label":…,"k":"v",…} flat. Values are
+          // string-rendered — the property graph carries one value per
+          // key, and the textual form is what the driver compares
+          if (!frame.columns.contains("id"))
+            fail(s"$vm(): needs element space (a vertex frame), not values")
+          val ks =
+            if (keys.nonEmpty) keys.map(_.toString)
+            else vertices.columns.filterNot(c => c == "id" || c == "label" ||
+              c.startsWith("__")).toSeq.sorted
+          ks.find(k => !frame.columns.contains(k) &&
+              !vertices.columns.contains(k)).foreach(k =>
+            fail(s"$vm('$k'): no such property on the traversed elements"))
+          // a hop lands on (id, label) only — re-attach the landed
+          // vertices' requested properties (the select().by() pattern)
+          val missing = ks.filterNot(frame.columns.contains)
+          if (missing.nonEmpty)
+            frame = frame.join(
+              vertices.select(("id" +: "label" +: missing).map(col): _*)
+                .dropDuplicates("id", "label"),
+              Seq("id", "label"), "left")
+          frame =
+            if (vm == "valueMap")
+              frame.select(to_json(map_from_arrays(
+                array(ks.map(lit): _*),
+                array(ks.map(k => array(col(k).cast("string"))): _*)))
+                .as("value"))
+            else
+              frame.select(to_json(map_from_arrays(
+                array(("id" :: "label" :: ks.toList).map(lit): _*),
+                array(("id" :: "label" :: ks.toList)
+                  .map(k => col(k).cast("string")): _*))).as("value"))
         case ("count", Nil) =>
           if (!terminal) fail("count() must be the last step")
           frame = frame.agg(count(lit(1)).as("count"))
@@ -786,8 +842,9 @@ object Gremlin {
           }
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
-            "translated subset is V/hasLabel/has/out/in/both/dedup/limit/" +
-            "values/count/sum/mean/min/max/fold/groupCount[.by('col')]/" +
+            "translated subset is V/hasLabel/has/hasId/out/in/both/dedup/" +
+            "limit/values/valueMap/elementMap/simplePath/" +
+            "count/sum/mean/min/max/fold/groupCount[.by('col')]/" +
             "group().by('k')[.by(<aggregate>)]/" +
             "project('a', …).by(<prop|chain.aggregate>)…/" +
             "local(<chain[.aggregate|.limit(n)]>)/" +
@@ -806,8 +863,12 @@ object Gremlin {
     flushSort()
     if (emitBeforeNext || untilBeforeNext.isDefined)
       fail("emit()/until(cond) modulate a repeat() step — none followed")
-    // as(..) bindings are traversal state, not output columns
-    frame.drop(frame.columns.filter(_.startsWith("__as_")).toIndexedSeq: _*)
+    // as(..) bindings are traversal state, not output columns; __path
+    // survives only a terminal path() (as `path`) — a simplePath()-only
+    // traversal drops the tracking column here
+    frame.drop(frame.columns
+      .filter(c => c.startsWith("__as_") || c == "__path" || c == "__spath")
+      .toIndexedSeq: _*)
   }
 
   /** `has(...)` filter condition — shared by the main chain and union
@@ -949,14 +1010,23 @@ object Gremlin {
       if (elabels.isEmpty) edges0
       else edges0.where(col("label").isin(elabels: _*))
     val stash = frame.columns
-      .filter(c => c.startsWith("__as_") || c == "__path" || c == "__tid").toSeq
-    val landed = frame.select(col("id").as("__from") +: stash.map(col): _*)
+      .filter(c => c.startsWith("__as_") || c == "__path" || c == "__spath" ||
+        c == "__tid").toSeq
+    val landed0 = frame.select(col("id").as("__from") +: stash.map(col): _*)
       .join(edges, col("__from") === col(from))
       .select(col(to).as("id") +: stash.map(col): _*)
       .join(idLabel, Seq("id"), "left")
-    // path tracking: append the landed vertex id (per-row array concat)
-    if (stash.contains("__path"))
-      landed.withColumn("__path", concat(col("__path"), array(col("id"))))
+    // path tracking: append the landed vertex id (per-row array concat);
+    // __spath carries the CLASS-QUALIFIED form simplePath compares —
+    // in the class-vertex model an order id and a customer id with the
+    // same string are different vertices
+    val landed =
+      if (stash.contains("__path"))
+        landed0.withColumn("__path", concat(col("__path"), array(col("id"))))
+      else landed0
+    if (stash.contains("__spath"))
+      landed.withColumn("__spath", concat(col("__spath"),
+        array(concat_ws("|", coalesce(col("label"), lit("")), col("id")))))
     else landed
   }
 

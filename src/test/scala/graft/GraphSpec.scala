@@ -352,6 +352,51 @@ class GraphSpec extends SparkSpec {
     assert(pe2.getMessage.contains("end the traversal"), pe2.getMessage)
   }
 
+  test("gremlin: hasId/simplePath filters and valueMap/elementMap projections") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p", 3L), ("b", "p", 5L), ("c", "q", 7L))
+      .toDF("id", "label", "w"))
+    ctx.addEdges(Seq(("a", "b", "knows"), ("b", "a", "knows"), ("b", "c", "knows"))
+      .toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // hasId: id membership filter, composable mid-chain
+    assert(g("g.V().hasId('a', 'c')").select("id")
+      .as[String].collect().toSeq.sorted == Seq("a", "c"))
+    assert(g("g.V().hasId('a').out('knows')").select("id")
+      .as[String].collect().toSeq == Seq("b"))
+    // simplePath: a→b→a revisits the origin and is culled; a→b→c stays.
+    // Without a terminal path() the tracking column must not leak out
+    val sp = g("g.V().hasId('a').out('knows').out('knows').simplePath()")
+    assert(sp.columns.toSeq == Seq("id", "label")) // hop space, no leak
+    assert(sp.select("id").as[String].collect().toSeq == Seq("c"))
+    // valueMap after a hop re-attaches the landed vertex's properties
+    assert(g("g.V().hasId('a').out('knows').valueMap('w')")
+      .as[String].collect().toSeq == Seq("""{"w":["5"]}"""))
+    // with path(): the surviving simple path is rendered
+    assert(g("g.V().hasId('a').out('knows').out('knows').simplePath().path()")
+      .select(array_join(col("path"), "->")).as[String].collect().toSeq ==
+      Seq("a->b->c"))
+    // valueMap: list-valued JSON in the given key order; no-arg = all
+    // non-id/label properties
+    assert(g("g.V().hasId('b').valueMap('w')").as[String].collect().toSeq ==
+      Seq("""{"w":["5"]}"""))
+    assert(g("g.V().hasId('b').valueMap()").as[String].collect().toSeq ==
+      Seq("""{"w":["5"]}"""))
+    // elementMap: flat values, id and label included
+    assert(g("g.V().hasId('c').elementMap('w')").as[String].collect().toSeq ==
+      Seq("""{"id":"c","label":"q","w":"7"}"""))
+    // valueMap composes with value-space steps (dedup/count)
+    assert(g("g.V().valueMap('label').dedup().count()")
+      .as[Long].collect().toSeq == Seq(2L))
+    // guards: unknown property and value-space misuse are named errors
+    val ve = intercept[RuntimeException](g("g.V().valueMap('nope')").collect())
+    assert(ve.getMessage.contains("no such property"), ve.getMessage)
+    val ve2 = intercept[RuntimeException](
+      g("g.V().values('w').valueMap('w')").collect())
+    assert(ve2.getMessage.contains("element space"), ve2.getMessage)
+  }
+
   test("gremlin: local() per-traverser scope and select().by() property projection") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "p", 3L), ("b", "p", 5L), ("c", "q", 7L), ("d", "q", 2L))
