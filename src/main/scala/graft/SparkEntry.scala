@@ -2051,6 +2051,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
+    "boilerplate_strip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // corpus-level boilerplate line removal: the command step first
+      // manufactures multi-line docs deterministically (the synthetic
+      // corpus is single-line), then lines occurring in >= 3 distinct
+      // documents are stripped and each doc reassembles in order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM input"}},
+          {"boilerplate": {"field": "text", "idField": "doc_id",
+            "minDocs": 3}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text").orderBy("doc_id")
+    },
     "langid" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // real multilingual sentences (held out from the model's profile
@@ -3817,6 +3834,16 @@ object SparkEntry {
        "strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end, n AS n_events " +
        "FROM gm, wm WHERE sid < m OR epoch_ms(t1) + 43200000 < w " +
        "ORDER BY key, session_start"),
+    "boilerplate_strip" ->
+      ("WITH base AS (SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents), " +
+       "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+       "generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM base), " +
+       "hot AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 3), " +
+       "kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)), " +
+       "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text " +
+       "FROM kept GROUP BY doc_id) " +
+       "SELECT b.doc_id, coalesce(r.text, '') AS text " +
+       "FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id"),
     "quality_filter" ->
       (s"SELECT doc_id, n_chars FROM documents WHERE length(text) >= 160 AND length(text) <= 380 " +
        s"AND CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','in','to','is'))) AS DOUBLE)" +

@@ -75,6 +75,7 @@ object Engine {
     "regexreplace"  -> graft.text.TextStages.regexReplace _,
     "ngramcount"    -> graft.text.TextStages.ngramCount _,
     "repetition"    -> graft.text.TextStages.repetition _,
+    "boilerplate"   -> graft.text.TextStages.boilerplate _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

@@ -202,6 +202,54 @@ object TextStages {
           size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0)))
     }
 
+  /** `boilerplate`: corpus-level boilerplate line removal (the
+    * RefinedWeb/Dolma-class curation step the reference's transformer
+    * registry has no equivalent for, OETLComponentFactory.java:195-226):
+    * split each document into lines, count how many DISTINCT documents
+    * each line occurs in, and strip lines at or above `minDocs` — nav
+    * menus, cookie banners and footer chrome repeat across a crawl
+    * while real prose does not. Options: `field` (default `text`),
+    * `idField` (default `doc_id`), `minDocs` (default 10), `delimiter`
+    * (LITERAL, default newline), `trimKey` (default false — compare
+    * lines byte-exactly; true trims the match key but reassembles the
+    * ORIGINAL line text).
+    *
+    * Scale shape: one posexplode, one hash aggregate keyed by the line
+    * (partial count-distinct combines map-side), one anti join whose
+    * build side is the boilerplate set itself — tiny by construction
+    * (lines in ≥ minDocs documents), so AQE broadcasts it — and one
+    * per-document rebuild aggregate keyed on (id, position), which
+    * preserves line order byte-exactly. A document whose every line
+    * was boilerplate keeps an empty string. No driver collect, no
+    * window over the corpus. */
+  def boilerplate(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val field = spec.strOr("field", "text")
+      val idF = spec.strOr("idField", "doc_id")
+      val minDocs = spec.int("minDocs", 10)
+      val delim = spec.strOr("delimiter", "\n")
+      require(minDocs >= 2, s"boilerplate: minDocs must be >= 2, got $minDocs")
+      require(delim.nonEmpty, "boilerplate: delimiter must be non-empty")
+      val keyOf: Column => Column =
+        if (spec.bool("trimKey", false)) trim(_) else identity
+      val lines = df.select(col(idF).as("__id"),
+        posexplode(split(col(field), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__line")))
+      val hot = lines
+        .groupBy(keyOf(col("__line")).as("__k"))
+        .agg(countDistinct(col("__id")).as("__docs"))
+        .where(col("__docs") >= minDocs)
+        .select("__k")
+      val kept = lines.join(hot, keyOf(col("__line")) === col("__k"), "left_anti")
+      val rebuilt = kept.groupBy(col("__id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
+          x => x.getField("l")), delim).as("__newtext"))
+      df.join(rebuilt, col(idF) === rebuilt("__id"), "left")
+        .withColumn(field, coalesce(col("__newtext"), lit("")))
+        .drop("__id", "__newtext")
+    }
+
   /** `ngramcount`: top-k most frequent word n-grams across the corpus —
     * the standard vocabulary / boilerplate inspection query. Options:
     * `field`, `n` (default 3), `k` (default 50), `distinctPerDoc`

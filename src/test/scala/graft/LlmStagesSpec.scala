@@ -260,6 +260,45 @@ class LlmStagesSpec extends SparkSpec {
         .mkString(", "))
   }
 
+  test("boilerplate: strips lines in >= minDocs docs, preserves order, empties survive") {
+    val df = Seq(
+      (1L, "real prose one\ncookie banner\nmore prose"),
+      (2L, "cookie banner\nother words"),
+      (3L, "cookie banner\nthird doc text\ncookie banner"),
+      (4L, "cookie banner"),              // all-boilerplate doc → ""
+      (5L, "unique only\n cookie banner") // leading space: different line
+    ).toDF("doc_id", "text")
+    val out = stage("boilerplate", "minDocs" -> 3)(df)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(out == Seq(
+      "real prose one\nmore prose",
+      "other words",
+      "third doc text",
+      "",
+      "unique only\n cookie banner"))
+    // trimKey: the padded variant now matches the hot line, but the
+    // surviving text keeps its ORIGINAL bytes
+    val trimmed = stage("boilerplate", "minDocs" -> 3, "trimKey" -> true)(df)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(trimmed(4) == "unique only")
+    // repeats within ONE doc don't count as multiple docs
+    val one = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    assert(stage("boilerplate", "minDocs" -> 2)(one)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq ==
+      Seq("x\nx\nx", "y"))
+    // custom literal delimiter (regex metachar must not be interpreted)
+    val pipe = Seq((1L, "a|b"), (2L, "b|c"), (3L, "b")).toDF("doc_id", "text")
+    assert(stage("boilerplate", "minDocs" -> 3, "delimiter" -> "|")(pipe)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq ==
+      Seq("a", "c", ""))
+    // other columns ride along untouched
+    val wide = Seq((1L, "k\np", "en"), (2L, "k\nq", "fr"), (3L, "k", "de"))
+      .toDF("doc_id", "text", "lang")
+    val w = stage("boilerplate", "minDocs" -> 3)(wide).orderBy("doc_id").collect()
+    assert(w.map(_.getString(1)).toSeq == Seq("p", "q", ""))
+    assert(w.map(_.getString(2)).toSeq == Seq("en", "fr", "de"))
+  }
+
   test("tokenize: BPE-ish units count words and punctuation separately") {
     val df = Seq((1L, "don't stop, world!")).toDF("doc_id", "text")
     val out = stage("tokenize")(df).head()
