@@ -707,6 +707,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("value")
     },
+    "command_gremlin_edges" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // EDGE space: outE exposes the edge rows with their properties,
+      // has() filters on the edge weight (order value here), inV lands
+      // back on vertices and groupCount tallies per landed customer —
+      // high-value orders per customer in one traversal
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out", "weightField": "o_totalprice"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').outE('placed').has('weight', gt(150000.0)).inV().groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("id")
+    },
     "command_gremlin_pred" -> { (s, dir) =>
       val c = ctx(s, dir)
       // value predicates (Gremlin P): range + membership filters compile
@@ -3330,6 +3348,9 @@ object SparkEntry {
     "command_gremlin_path" ->
       ("SELECT CAST(o_orderkey AS VARCHAR) || '->' || CAST(o_custkey AS VARCHAR) " +
        "AS path FROM orders ORDER BY path"),
+    "command_gremlin_edges" ->
+      ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
+       "FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1 ORDER BY id"),
     "command_gremlin_simplepath" ->
       // class-vertex model: a landed id re-attaches to every class
       // registered for it, so an intermediate customer id that equals

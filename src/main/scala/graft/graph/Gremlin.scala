@@ -267,12 +267,57 @@ object Gremlin {
         case ("hasNot", Seq(k: String)) =>
           frame = frame.where(col(k).isNull)
         case ("out", args) if args.forall(_.isInstanceOf[String]) =>
+          requireVertexSpace(frame, "out")
           frame = hop(ctx, frame, idLabel, args.map(_.toString), "src", "dst")
         case ("in", args) if args.forall(_.isInstanceOf[String]) =>
+          requireVertexSpace(frame, "in")
           frame = hop(ctx, frame, idLabel, args.map(_.toString), "dst", "src")
         case ("both", args) if args.forall(_.isInstanceOf[String]) =>
+          requireVertexSpace(frame, "both")
           frame = hop(ctx, frame, idLabel, args.map(_.toString), "src", "dst")
             .unionByName(hop(ctx, frame, idLabel, args.map(_.toString), "dst", "src"))
+        case (e @ ("outE" | "inE" | "bothE"), args)
+            if args.forall(_.isInstanceOf[String]) =>
+          // EDGE space: the frame becomes edge rows (src, dst, label and
+          // any edge properties such as `weight`) plus __evfrom, the
+          // vertex each traverser arrived from — has()/hasLabel()/
+          // values()/order() then apply to edge columns, and
+          // inV/outV/otherV/bothV land back in vertex space
+          if (trackPath)
+            fail(s"$e() together with path()/simplePath() is not in the " +
+              "translated subset")
+          if (!frame.columns.contains("id"))
+            fail(s"$e(): needs vertex space")
+          val edges0 = ctx.edges.getOrElse(
+            fail("traversal step needs edges — apply an `edge` stage first"))
+          val labels = args.map(_.toString)
+          val ef = if (labels.isEmpty) edges0
+                   else edges0.where(col("label").isin(labels: _*))
+          val stash = frame.columns
+            .filter(c => c.startsWith("__as_") || c == "__tid").toSeq
+          def attach(endCol: String) =
+            frame.select(col("id").as("__evfrom") +: stash.map(col): _*)
+              .join(ef, col("__evfrom") === col(endCol))
+          frame = e match {
+            case "outE" => attach("src")
+            case "inE" => attach("dst")
+            case _ => attach("src").unionByName(attach("dst"))
+          }
+        case (v @ ("inV" | "outV" | "otherV" | "bothV"), Nil) =>
+          if (!frame.columns.contains("__evfrom"))
+            fail(s"$v(): needs edge space — an outE/inE/bothE step first")
+          val stash = frame.columns
+            .filter(c => c.startsWith("__as_") || c == "__tid").toSeq
+          def land(idc: Column) =
+            frame.select(idc.as("id") +: stash.map(col): _*)
+              .join(idLabel, Seq("id"), "left")
+          frame = v match {
+            case "inV" => land(col("dst"))
+            case "outV" => land(col("src"))
+            case "otherV" => land(when(col("__evfrom") === col("src"),
+              col("dst")).otherwise(col("src")))
+            case _ => land(col("src")).unionByName(land(col("dst")))
+          }
         case ("dedup", Nil) =>
           // Gremlin dedup() keys on the CURRENT element, not the path:
           // with path tracking on, an arbitrary traverser's path survives
@@ -842,7 +887,8 @@ object Gremlin {
           }
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
-            "translated subset is V/hasLabel/has/hasId/out/in/both/dedup/" +
+            "translated subset is V/hasLabel/has/hasId/out/in/both/" +
+            "outE/inE/bothE (+ inV/outV/otherV/bothV)/dedup/" +
             "limit/values/valueMap/elementMap/simplePath/" +
             "count/sum/mean/min/max/fold/groupCount[.by('col')]/" +
             "group().by('k')[.by(<aggregate>)]/" +
@@ -867,9 +913,17 @@ object Gremlin {
     // survives only a terminal path() (as `path`) — a simplePath()-only
     // traversal drops the tracking column here
     frame.drop(frame.columns
-      .filter(c => c.startsWith("__as_") || c == "__path" || c == "__spath")
+      .filter(c => c.startsWith("__as_") || c == "__path" || c == "__spath" ||
+        c == "__evfrom")
       .toIndexedSeq: _*)
   }
+
+  /** An edge-space frame (outE/inE/bothE) must return to vertex space
+    * through inV/outV/otherV/bothV before vertex steps apply. */
+  private def requireVertexSpace(frame: DataFrame, step: String): Unit =
+    if (frame.columns.contains("__evfrom"))
+      fail(s"$step(): the traversal is in EDGE space — land back on " +
+        "vertices with inV()/outV()/otherV()/bothV() first")
 
   /** `has(...)` filter condition — shared by the main chain and union
     * branches. eq/neq on a quoted name parse as bound-tag Preds

@@ -352,6 +352,44 @@ class GraphSpec extends SparkSpec {
     assert(pe2.getMessage.contains("end the traversal"), pe2.getMessage)
   }
 
+  test("gremlin: edge space — outE/inE/bothE with edge filters, *V landings") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p", 0L), ("b", "p", 0L), ("c", "q", 0L))
+      .toDF("id", "label", "w"))
+    ctx.addEdges(Seq(("a", "b", "knows", 1.0), ("a", "c", "knows", 5.0),
+      ("b", "c", "likes", 9.0)).toDF("src", "dst", "label", "weight"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // outE: one row per out-edge; edge columns + no traversal leak
+    val oe = g("g.V().hasId('a').outE('knows')")
+    assert(oe.columns.toSeq.sorted == Seq("dst", "label", "src", "weight"))
+    assert(oe.select("dst").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // has() on an edge property, then inV lands on the far vertex
+    assert(g("g.V().hasId('a').outE('knows').has('weight', gt(2)).inV()")
+      .select("id").as[String].collect().toSeq == Seq("c"))
+    // values over edge space; hasLabel filters the EDGE label
+    assert(g("g.V().outE('likes').values('weight')")
+      .as[Double].collect().toSeq == Seq(9.0))
+    assert(g("g.V().hasId('c').inE().hasLabel('likes').outV()")
+      .select("id").as[String].collect().toSeq == Seq("b"))
+    // bothE + otherV: the endpoint the traverser did NOT come from
+    assert(g("g.V().hasId('c').bothE('knows', 'likes').otherV()")
+      .select("id").as[String].collect().toSeq.sorted == Seq("a", "b"))
+    // bothV: both endpoints per edge
+    assert(g("g.V().hasId('b').outE('likes').bothV()")
+      .select("id").as[String].collect().toSeq.sorted == Seq("b", "c"))
+    // landings re-enter vertex space: hasLabel applies to vertices again
+    assert(g("g.V().hasId('a').outE('knows').inV().hasLabel('q')")
+      .select("id").as[String].collect().toSeq == Seq("c"))
+    // guards: vertex steps in edge space / *V without edge space
+    val ee = intercept[RuntimeException](g("g.V().outE('knows').out('knows')"))
+    assert(ee.getMessage.contains("EDGE space"), ee.getMessage)
+    val ev = intercept[RuntimeException](g("g.V().inV()"))
+    assert(ev.getMessage.contains("edge space"), ev.getMessage)
+    val ep = intercept[RuntimeException](g("g.V().outE('knows').inV().path()"))
+    assert(ep.getMessage.contains("path"), ep.getMessage)
+  }
+
   test("gremlin: hasId/simplePath filters and valueMap/elementMap projections") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "p", 3L), ("b", "p", 5L), ("c", "q", 7L))
