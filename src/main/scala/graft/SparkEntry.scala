@@ -2059,6 +2059,23 @@ object SparkEntry {
           col("n_events"))
         .orderBy("key", "session_start")
     },
+    "paragraph_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // within-document line dedup (scope: document — the Dolma
+      // dedupe-paragraphs step): word-per-line granularity here, each
+      // doc keeps every line's first occurrence in order. Pure per-row
+      // indexed-filter HOF, zero shuffle
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM input"}},
+          {"boilerplate": {"field": "text", "idField": "doc_id",
+            "scope": "document"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text").orderBy("doc_id")
+    },
     "quality_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       Engine.runJson(c, s"""{
@@ -3855,6 +3872,13 @@ object SparkEntry {
        "strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end, n AS n_events " +
        "FROM gm, wm WHERE sid < m OR epoch_ms(t1) + 43200000 < w " +
        "ORDER BY key, session_start"),
+    "paragraph_dedup" ->
+      ("WITH base AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents), " +
+       "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+       "generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM base), " +
+       "firsts AS (SELECT doc_id, line, min(pos) AS pos FROM lines GROUP BY doc_id, line) " +
+       "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text " +
+       "FROM firsts GROUP BY doc_id ORDER BY doc_id"),
     "boilerplate_strip" ->
       ("WITH base AS (SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents), " +
        "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +

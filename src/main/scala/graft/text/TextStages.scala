@@ -214,13 +214,20 @@ object TextStages {
     * lines byte-exactly; true trims the match key but reassembles the
     * ORIGINAL line text).
     *
-    * Scale shape: one posexplode, one hash aggregate keyed by the line
-    * (partial count-distinct combines map-side), one anti join whose
-    * build side is the boilerplate set itself — tiny by construction
-    * (lines in ≥ minDocs documents), so AQE broadcasts it — and one
-    * per-document rebuild aggregate keyed on (id, position), which
-    * preserves line order byte-exactly. A document whose every line
-    * was boilerplate keeps an empty string. No driver collect, no
+    * `scope: document` is the within-document variant (the Dolma
+    * dedupe-paragraphs step): keep each line's FIRST occurrence inside
+    * its own document, drop later repeats — no corpus statistics, no
+    * `minDocs`. That spelling is a pure per-row indexed-filter HOF
+    * (quadratic in a document's line count, zero shuffle — it fuses
+    * into the scan).
+    *
+    * Corpus-scope scale shape: one posexplode, one hash aggregate keyed
+    * by the line (partial count-distinct combines map-side), one anti
+    * join whose build side is the boilerplate set itself — tiny by
+    * construction (lines in ≥ minDocs documents), so AQE broadcasts it
+    * — and one per-document rebuild aggregate keyed on (id, position),
+    * which preserves line order byte-exactly. A document whose every
+    * line was boilerplate keeps an empty string. No driver collect, no
     * window over the corpus. */
   def boilerplate(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
@@ -228,26 +235,36 @@ object TextStages {
       val idF = spec.strOr("idField", "doc_id")
       val minDocs = spec.int("minDocs", 10)
       val delim = spec.strOr("delimiter", "\n")
-      require(minDocs >= 2, s"boilerplate: minDocs must be >= 2, got $minDocs")
       require(delim.nonEmpty, "boilerplate: delimiter must be non-empty")
-      val keyOf: Column => Column =
-        if (spec.bool("trimKey", false)) trim(_) else identity
-      val lines = df.select(col(idF).as("__id"),
-        posexplode(split(col(field), java.util.regex.Pattern.quote(delim)))
-          .as(Seq("__pos", "__line")))
-      val hot = lines
-        .groupBy(keyOf(col("__line")).as("__k"))
-        .agg(countDistinct(col("__id")).as("__docs"))
-        .where(col("__docs") >= minDocs)
-        .select("__k")
-      val kept = lines.join(hot, keyOf(col("__line")) === col("__k"), "left_anti")
-      val rebuilt = kept.groupBy(col("__id")).agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
-          x => x.getField("l")), delim).as("__newtext"))
-      df.join(rebuilt, col(idF) === rebuilt("__id"), "left")
-        .withColumn(field, coalesce(col("__newtext"), lit("")))
-        .drop("__id", "__newtext")
+      val scope = spec.strOr("scope", "corpus").toLowerCase
+      if (scope == "document") {
+        val arr = split(col(field), java.util.regex.Pattern.quote(delim))
+        df.withColumn(field, array_join(
+          filter(arr, (x, i) =>
+            i === lit(0) || !array_contains(slice(arr, lit(1), i), x)), delim))
+      } else {
+        require(scope == "corpus",
+          s"boilerplate: scope must be corpus|document, got $scope")
+        require(minDocs >= 2, s"boilerplate: minDocs must be >= 2, got $minDocs")
+        val keyOf: Column => Column =
+          if (spec.bool("trimKey", false)) trim(_) else identity
+        val lines = df.select(col(idF).as("__id"),
+          posexplode(split(col(field), java.util.regex.Pattern.quote(delim)))
+            .as(Seq("__pos", "__line")))
+        val hot = lines
+          .groupBy(keyOf(col("__line")).as("__k"))
+          .agg(countDistinct(col("__id")).as("__docs"))
+          .where(col("__docs") >= minDocs)
+          .select("__k")
+        val kept = lines.join(hot, keyOf(col("__line")) === col("__k"), "left_anti")
+        val rebuilt = kept.groupBy(col("__id")).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
+            x => x.getField("l")), delim).as("__newtext"))
+        df.join(rebuilt, col(idF) === rebuilt("__id"), "left")
+          .withColumn(field, coalesce(col("__newtext"), lit("")))
+          .drop("__id", "__newtext")
+      }
     }
 
   /** `ngramcount`: top-k most frequent word n-grams across the corpus —

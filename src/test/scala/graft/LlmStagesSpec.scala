@@ -297,6 +297,13 @@ class LlmStagesSpec extends SparkSpec {
     val w = stage("boilerplate", "minDocs" -> 3)(wide).orderBy("doc_id").collect()
     assert(w.map(_.getString(1)).toSeq == Seq("p", "q", ""))
     assert(w.map(_.getString(2)).toSeq == Seq("en", "fr", "de"))
+    // scope: document — within-doc first-occurrence dedup, no corpus
+    // stats (the repeated line survives in BOTH docs)
+    val perDoc = Seq((1L, "a\nb\na\nc\nb"), (2L, "a\na"))
+      .toDF("doc_id", "text")
+    assert(stage("boilerplate", "scope" -> "document")(perDoc)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq ==
+      Seq("a\nb\nc", "a"))
   }
 
   test("tokenize: BPE-ish units count words and punctuation separately") {
