@@ -1980,6 +1980,27 @@ object SparkEntry {
           col("n"), col("sum_cents"), col("is_gap"))
         .orderBy("user_id", "bucket_us")
     },
+    "interval_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // interval × interval OVERLAP join (the rangejoin sibling):
+      // 10-minute view windows vs 30-minute error windows per user,
+      // keyed equi-join + 10-min bins; the canonical-bin rule emits
+      // each overlapping pair exactly once without a distinct
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/events.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id, ts AS vs, ts + INTERVAL 10 MINUTE AS ve FROM events WHERE event_type = 'view'"}},
+          {"intervaljoin": {"right":
+            "SELECT event_id AS err_id, user_id, ts AS es, ts + INTERVAL 30 MINUTE AS ee FROM events WHERE event_type = 'error'",
+            "leftStart": "vs", "leftEnd": "ve",
+            "rightStart": "es", "rightEnd": "ee",
+            "on": "user_id", "binWidth": 600}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "user_id", "err_id")
+        .orderBy("event_id", "err_id")
+    },
     "range_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // interval-containment join WITHOUT an equi-key: purchases inside
@@ -3872,6 +3893,14 @@ object SparkEntry {
        "strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end, n AS n_events " +
        "FROM gm, wm WHERE sid < m OR epoch_ms(t1) + 43200000 < w " +
        "ORDER BY key, session_start"),
+    "interval_join" ->
+      ("SELECT l.event_id AS event_id, l.user_id AS user_id, " +
+       "r.event_id AS err_id " +
+       "FROM events l JOIN events r ON l.user_id = r.user_id " +
+       "AND l.event_type = 'view' AND r.event_type = 'error' " +
+       "AND l.ts < r.ts + INTERVAL 30 MINUTE " +
+       "AND r.ts < l.ts + INTERVAL 10 MINUTE " +
+       "ORDER BY event_id, err_id"),
     "paragraph_dedup" ->
       ("WITH base AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents), " +
        "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +

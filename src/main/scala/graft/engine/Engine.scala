@@ -121,6 +121,7 @@ object Engine {
     "hammingpairs"  -> graft.dedup.DedupStages.hammingPairs _,
     "asofjoin"      -> graft.temporal.TemporalStages.asofJoin _,
     "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,
+    "intervaljoin"  -> graft.temporal.TemporalStages.intervalJoin _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

@@ -566,4 +566,120 @@ object TemporalStages {
               renamed.map(p => intervals(p._2)): _*)
       }
     }
+
+  /** `intervaljoin`: inner-join the input's INTERVALS to the right
+    * side's INTERVALS that OVERLAP them — `[ls, le)` meets `[rs, re)`
+    * iff `ls < re AND rs < le` (closed ends with `endInclusive: true`),
+    * optionally under equi keys. The missing sibling of `rangejoin`
+    * (point-in-interval) and `asofjoin` (latest-at-or-before):
+    * session-vs-incident attribution, downtime × deploy windows,
+    * concurrent-booking detection.
+    *
+    * Options:
+    *  - `right` (required): interval table name or SELECT.
+    *  - `leftStart`/`leftEnd` (defaults `start`/`end`): input columns.
+    *  - `rightStart`/`rightEnd` (default to the same names): right
+    *    columns (pre-prefix).
+    *  - `on` (optional), `binWidth` (seconds; REQUIRED without `on`),
+    *    `endInclusive` (default false), `maxBins` (default 100000),
+    *    `rightPrefix` — all as in `rangejoin`.
+    *
+    * Scale shape: both sides replicate once per covered bin (bounded
+    * by `maxBins`) and the join runs as an AQE-planned hash join on
+    * (keys, bin). An overlapping pair shares every bin their spans
+    * both touch, so the overlap filter alone would duplicate pairs —
+    * each pair is kept ONLY in the bin containing
+    * `max(lStart, rStart)` (the overlap's first instant), which
+    * both sides cover by definition, so every pair surfaces exactly
+    * once with no post-dedup distinct. */
+  def intervalJoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val right = ctx.tableOrSql(spec.str("right")
+        .getOrElse(sys.error("intervaljoin: `right` (table or SELECT) required")))
+      val lsC = spec.strOr("leftStart", "start")
+      val leC = spec.strOr("leftEnd", "end")
+      val rsC = spec.strOr("rightStart", lsC)
+      val reC = spec.strOr("rightEnd", leC)
+      val keys = spec.str("on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val endInclusive = spec.bool("endInclusive", dflt = false)
+      val binWidth = spec.str("binWidth").map(_.toDouble)
+      val maxBins = spec.int("maxBins", 100000)
+      val prefix = spec.strOr("rightPrefix", "")
+      Seq(lsC, leC).foreach(c => require(df.columns.contains(c),
+        s"intervaljoin: left side lacks interval column '$c'"))
+      Seq(rsC, reC).foreach(c => require(right.columns.contains(c),
+        s"intervaljoin: right side lacks interval column '$c'"))
+      keys.foreach { k =>
+        require(df.columns.contains(k), s"intervaljoin: left side lacks key column '$k'")
+        require(right.columns.contains(k), s"intervaljoin: right side lacks key column '$k'")
+      }
+      require(keys.nonEmpty || binWidth.isDefined,
+        "intervaljoin: without `on` keys the join has no equi-condition " +
+        "and would execute as a nested-loop cartesian — set `binWidth` " +
+        "(seconds) to bucket time into an equi-join")
+
+      val rCols = right.columns.toSeq.filterNot(keys.contains)
+      val renamed = rCols.map(c => c -> s"$prefix$c")
+      renamed.foreach { case (_, out) =>
+        require(!df.columns.contains(out), s"intervaljoin: right column '$out' " +
+          "collides with a left column — set `rightPrefix` or alias it " +
+          "in the `right` SELECT")
+      }
+      val rr = renamed.foldLeft(right) { case (d, (c, out)) =>
+        if (c == out) d else d.withColumnRenamed(c, out)
+      }
+      val pS = s"$prefix$rsC"; val pE = s"$prefix$reC"
+      def lsM = epochMicros(df, lsC); def leM = epochMicros(df, leC)
+      def rsM = epochMicros(rr, pS); def reM = epochMicros(rr, pE)
+      val overlaps =
+        if (endInclusive) lsM <= reM && rsM <= leM
+        else lsM < reM && rsM < leM
+
+      def reversedGuard(side: String, s: Column, e: Column, sN: String,
+                        eN: String, sC: Column, eC: Column): Column =
+        when(e < s, raise_error(concat(
+          lit(s"intervaljoin: $side interval end '$eN' precedes start " +
+            s"'$sN' ("), eC.cast("string"), lit(" < "), sC.cast("string"),
+          lit(") — swapped columns?"))))
+
+      binWidth match {
+        case None =>
+          df.join(rr, keys.map(k => df(k) === rr(k)).reduce(_ && _) && overlaps)
+            .select(df.columns.map(df(_)).toSeq ++ renamed.map(p => rr(p._2)): _*)
+        case Some(w) =>
+          val wMicros = (w * 1e6).toLong
+          require(wMicros > 0, "intervaljoin: binWidth must be positive")
+          def binOf(c: Column): Column =
+            floor(c.cast("double") / wMicros.toDouble).cast("long")
+          def binned(side: DataFrame, s: Column, e: Column, sN: String,
+                     eN: String, sC: Column, eC: Column, tag: String) = {
+            val span = binOf(e) - binOf(s) + 1
+            side.where(sC.isNotNull && eC.isNotNull)
+              .withColumn("__bin", explode(
+                reversedGuard(tag, s, e, sN, eN, sC, eC)
+                .when(span <= maxBins, sequence(binOf(s), binOf(e)))
+                .otherwise(raise_error(concat(
+                  lit(s"intervaljoin: $tag interval spans more than " +
+                    s"maxBins=$maxBins bins at binWidth=$w s (span="),
+                  span.cast("string"),
+                  lit(" bins) — widen binWidth or raise maxBins"))))))
+          }
+          val lb = binned(df, lsM, leM, lsC, leC, col(lsC), col(leC), "left")
+          val rb = binned(rr, rsM, reM, rsC, reC, col(pS), col(pE), "right")
+          // the canonical bin: max(lStart, rStart) is inside BOTH
+          // intervals of an overlapping pair, so exactly one shared bin
+          // carries the pair
+          val canonical = lb("__bin") ===
+            binOf(greatest(epochMicros(lb, lsC), epochMicros(rb, pS)))
+          // the interval column NAMES are disjoint across the two sides
+          // (the collision check above enforces it), so the unqualified
+          // `overlaps` predicate resolves uniquely in the join
+          val joinCond = (keys.map(k => lb(k) === rb(k)) :+
+            (lb("__bin") === rb("__bin"))).reduce(_ && _) &&
+            overlaps && canonical
+          lb.join(rb, joinCond)
+            .select(df.columns.map(lb(_)).toSeq ++ renamed.map(p => rb(p._2)): _*)
+      }
+    }
 }

@@ -177,6 +177,57 @@ class TemporalSpec extends SparkSpec {
     assert(msgs.contains("maxBins"))
   }
 
+  private def ivj(left: DataFrame, right: DataFrame,
+                  opts: (String, Any)*): DataFrame = {
+    val ctx = newCtx()
+    right.createOrReplaceTempView("ivj_right")
+    TemporalStages.intervalJoin(ComponentSpec("intervaljoin",
+      Map("right" -> "ivj_right", "leftStart" -> "ls", "leftEnd" -> "le",
+        "rightStart" -> "rs", "rightEnd" -> "re") ++ opts.toMap),
+      ctx)(left)
+  }
+
+  test("intervaljoin: binned overlap — once per pair, half-open vs closed ends") {
+    val left = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0), (3L, 45.0, 50.0))
+      .toDF("lid", "ls", "le")
+    val right = Seq(("a", 5.0, 25.0), ("b", 30.0, 40.0), ("c", 9.999999, 20.0))
+      .toDF("rid", "rs", "re")
+    // binWidth much smaller than spans: pairs share MANY bins — each
+    // must still surface exactly once (the canonical-bin rule)
+    val out = ivj(left, right, "binWidth" -> 2)
+      .select("lid", "rid").as[(Long, String)].collect().toSeq.sorted
+    // 1×a (5<10), 2×a (20<25), 1×c (9.999999<10); [20,30)×[30,40) NOT
+    // overlapping half-open; 2×c touches only at 20 (rs<le but ls<re:
+    // 20<20 false)
+    assert(out == Seq((1L, "a"), (1L, "c"), (2L, "a")))
+    val incl = ivj(left, right, "binWidth" -> 2, "endInclusive" -> true)
+      .select("lid", "rid").as[(Long, String)].collect().toSeq.sorted
+    assert(incl == Seq((1L, "a"), (1L, "c"), (2L, "a"), (2L, "b"), (2L, "c")))
+  }
+
+  test("intervaljoin: keyed path without binWidth; keyless without binWidth rejected") {
+    val left = Seq((1L, "u", 0.0, 10.0), (2L, "v", 0.0, 10.0))
+      .toDF("lid", "k", "ls", "le")
+    val right = Seq(("u", 5.0, 15.0, "wu"), ("v", 11.0, 15.0, "wv"))
+      .toDF("k", "rs", "re", "rid")
+    val out = ivj(left, right, "on" -> "k")
+      .select("lid", "rid").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "wu"))) // v's interval starts after le
+    val e = intercept[Exception] {
+      ivj(left.drop("k"), right.drop("k")).collect()
+    }
+    assert(e.getMessage.contains("binWidth"))
+  }
+
+  test("intervaljoin: reversed interval fails loud on either side") {
+    val left = Seq((1L, 10.0, 0.0)).toDF("lid", "ls", "le")
+    val right = Seq(("a", 0.0, 5.0)).toDF("rid", "rs", "re")
+    val e = intercept[Exception] { ivj(left, right, "binWidth" -> 5).collect() }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("precedes start"), msgs)
+  }
+
   test("rangejoin: reversed interval (end < start) fails loud, not silent-empty") {
     val points = Seq((1L, 5.0)).toDF("pid", "t")
     val intervals = Seq(("w", 100.0, 10.0)).toDF("w", "start", "end")
