@@ -1980,6 +1980,49 @@ object SparkEntry {
           col("n"), col("sum_cents"), col("is_gap"))
         .orderBy("user_id", "bucket_us")
     },
+    "union_tables" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // union as a PLAN step (the reference's linear pipeline needs two
+      // ETL runs into one target for this): overlapping region slices,
+      // distinct: true dedups the overlap — UNION ALL itself is a
+      // zero-shuffle plan concatenation
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT n_nationkey AS k, n_name AS name FROM input WHERE n_regionkey <= 2"}},
+          {"union": {"right":
+            "SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey >= 2",
+            "distinct": true}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("k")
+    },
+    "except_rows" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_orderstatus FROM input"}},
+          {"except": {"right":
+            "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("o_orderkey")
+    },
+    "intersect_rows" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT c_custkey FROM input WHERE c_mktsegment = 'BUILDING'"}},
+          {"intersect": {"right": "SELECT o_custkey AS c_custkey FROM orders"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("c_custkey")
+    },
     "interval_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // interval × interval OVERLAP join (the rangejoin sibling):
@@ -3893,6 +3936,21 @@ object SparkEntry {
        "strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end, n AS n_events " +
        "FROM gm, wm WHERE sid < m OR epoch_ms(t1) + 43200000 < w " +
        "ORDER BY key, session_start"),
+    "union_tables" ->
+      ("SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey <= 2 " +
+       "UNION " +
+       "SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey >= 2 " +
+       "ORDER BY k"),
+    "except_rows" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders " +
+       "EXCEPT " +
+       "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' " +
+       "ORDER BY o_orderkey"),
+    "intersect_rows" ->
+      ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+       "INTERSECT " +
+       "SELECT o_custkey AS c_custkey FROM orders " +
+       "ORDER BY c_custkey"),
     "interval_join" ->
       ("SELECT l.event_id AS event_id, l.user_id AS user_id, " +
        "r.event_id AS err_id " +

@@ -122,6 +122,9 @@ object Engine {
     "asofjoin"      -> graft.temporal.TemporalStages.asofJoin _,
     "rangejoin"     -> graft.temporal.TemporalStages.rangeJoin _,
     "intervaljoin"  -> graft.temporal.TemporalStages.intervalJoin _,
+    "union"         -> graft.stages.SetOps.union _,
+    "except"        -> graft.stages.SetOps.except _,
+    "intersect"     -> graft.stages.SetOps.intersect _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

@@ -173,6 +173,7 @@ object ScaleStress {
 
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     val batchLegs = Seq("asof_join", "asof_nearest", "range_join",
+      "interval_join", "boilerplate",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral")
@@ -221,6 +222,37 @@ object ScaleStress {
               "SELECT hb * 3600.0 AS wstart, hb * 3600.0 + 7200.0 AS wend, n FROM (SELECT CAST(floor(t / 3600) AS BIGINT) AS hb, count(*) AS n FROM stress_events GROUP BY 1 HAVING count(*) >= 10)",
               "leftTime": "t", "start": "wstart", "end": "wend",
               "binWidth": 3600}}],
+          "loader": {"memory": {}} }""",
+        // interval × interval overlap keyed by user: users ∝ N with
+        // ~66 events each, so per-user window pairs stay flat and the
+        // canonical-bin join must track linear
+        "interval_join" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, t AS ls, t + 600.0 AS le FROM __input WHERE kind = 0"}},
+            {"intervaljoin": {"right":
+              "SELECT eid AS rid, user_id, t AS rs, t + 1800.0 AS re FROM stress_events WHERE kind = 1",
+              "leftStart": "ls", "leftEnd": "le",
+              "rightStart": "rs", "rightEnd": "re",
+              "on": "user_id", "binWidth": 600}}],
+          "loader": {"memory": {}} }""",
+        // corpus boilerplate at token-line granularity: the hot set is
+        // bounded by the 10k vocab (broadcast stays flat at every N);
+        // explode + hash agg + anti join + (id,pos) rebuild — linear in
+        // total tokens
+        // the trailing length() filter REFERENCES the rebuilt text —
+        // without it, count() lets Catalyst eliminate the final left
+        // join against the unique-keyed rebuild and the leg would time
+        // only the scan
+        "boilerplate" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM __input"}},
+            {"boilerplate": {"minDocs": 50}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE length(text) % 2 >= 0"}}],
           "loader": {"memory": {}} }""",
         // banded pigeonhole over PRECOMPUTED fingerprints (the mm_phash
         // downstream): near-linear as random 16-bit blocks stay sparse
@@ -318,7 +350,8 @@ object ScaleStress {
         results((name, factor)) = t
         val nDisp = name match {
           case "cosine_dup" | "semantic_dedup" => m
-          case "asof_join" | "asof_nearest" | "range_join" => 10000L * factor
+          case "asof_join" | "asof_nearest" | "range_join" |
+               "interval_join" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }

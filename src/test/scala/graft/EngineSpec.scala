@@ -889,6 +889,38 @@ class EngineSpec extends SparkSpec {
     reject("var o = {}; record.x = o;", "namespace")
   }
 
+  test("set ops: union byName/distinct/null-fill, except(+all), intersect") {
+    import spark.implicits._
+    import graft.spec.ComponentSpec
+    val ctx = newCtx()
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    Seq((3, "c"), (4, "d")).toDF("k", "v").createOrReplaceTempView("setops_r")
+    def op(name: String, opts: (String, Any)*) =
+      Engine.transformers(name)(ComponentSpec(name,
+        Map[String, Any]("right" -> "setops_r") ++ opts.toMap), ctx)(df)
+    assert(op("union").count() == 5) // UNION ALL default
+    assert(op("union", "distinct" -> true).count() == 4)
+    assert(op("except").orderBy("k").select("k").as[Int].collect().toSeq ==
+      Seq(1, 2))
+    assert(op("intersect").select("k").as[Int].collect().toSeq == Seq(3))
+    // byName matches columns in a DIFFERENT physical order
+    Seq(("e", 5)).toDF("v", "k").createOrReplaceTempView("setops_shuffled")
+    val byName = Engine.transformers("union")(ComponentSpec("union",
+      Map[String, Any]("right" -> "setops_shuffled")), ctx)(df)
+    assert(byName.where(col("k") === 5).select("v").as[String].head() == "e")
+    // exceptAll keeps multiplicity: (3,c)×2 minus one right (3,c) = one
+    val dup = Seq((3, "c"), (3, "c"), (1, "a")).toDF("k", "v")
+    val ea = Engine.transformers("except")(ComponentSpec("except",
+      Map[String, Any]("right" -> "setops_r", "all" -> true)), ctx)(dup)
+    assert(ea.orderBy("k").select("k").as[Int].collect().toSeq == Seq(1, 3))
+    // allowMissingColumns null-fills the absent column
+    Seq(Tuple1(7)).toDF("k").createOrReplaceTempView("setops_narrow")
+    val amc = Engine.transformers("union")(ComponentSpec("union",
+      Map[String, Any]("right" -> "setops_narrow",
+        "allowMissingColumns" -> true)), ctx)(df)
+    assert(amc.where(col("k") === 7).select("v").head().isNullAt(0))
+  }
+
   test("dryRun: config compiles and analyzes, loader never acts") {
     val path = writeNationCsv()
     val out = s"$tmp/dryrun_out"
