@@ -568,4 +568,43 @@ class PlanSpec extends SparkSpec {
     assert(!optimized.toString.contains("LogicalRDD"),
       s"local(limit) must not checkpoint-materialize:\n$optimized")
   }
+
+  test("boilerplate: hot set broadcasts into the anti join; no cartesian") {
+    val ctx = newCtx()
+    // a corpus where the kept side is NON-empty: with every line hot,
+    // AQE's empty-relation propagation legitimately collapses the whole
+    // join away (observed at sf0.001 word granularity)
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws("\n", lit("hot line"),
+        concat(lit("unique-"), col("id"))).as("text"))
+    val out = graft.text.TextStages.boilerplate(
+      graft.spec.ComponentSpec("boilerplate", Map("minDocs" -> 3)),
+      ctx)(docs)
+    val plan = planOf(out)
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r
+        .findFirstIn(plan).isDefined,
+      s"the vocab-bounded hot set must broadcast into a LeftAnti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
+  }
+
+  test("intervaljoin binned path: equi-join on (key, bin), never a nested loop") {
+    val ctx = newCtx()
+    ctx.table("events").createOrReplaceTempView("events")
+    val out = graft.temporal.TemporalStages.intervalJoin(
+      graft.spec.ComponentSpec("intervaljoin", Map(
+        "right" -> ("SELECT event_id AS rid, user_id, ts AS rs, " +
+          "ts + INTERVAL 30 MINUTE AS re FROM events WHERE event_type = 'error'"),
+        "leftStart" -> "ls", "leftEnd" -> "le",
+        "rightStart" -> "rs", "rightEnd" -> "re",
+        "on" -> "user_id", "binWidth" -> 600)),
+      ctx)(ctx.table("events").where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts").as("ls"),
+          (col("ts") + expr("INTERVAL 10 MINUTE")).as("le")))
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"binned interval join must be an equi-join:\n$plan")
+    assert(plan.contains("Join"), s"expected a hash equi-join:\n$plan")
+  }
 }
