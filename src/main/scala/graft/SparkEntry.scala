@@ -725,6 +725,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("id")
     },
+    "command_gremlin_estart" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // g.E(): the traversal starts at the EDGE set (one traverser per
+      // edge row), filters on edge properties, and outV lands on the
+      // source vertices
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out", "weightField": "o_totalprice"}},
+          {"command": {"command":
+            "g.E().hasLabel('placed').has('weight', gt(300000.0)).outV()"}}],
+        "loader": {"memory": {}} }""")
+        .select("id").orderBy("id")
+    },
     "command_gremlin_pred" -> { (s, dir) =>
       val c = ctx(s, dir)
       // value predicates (Gremlin P): range + membership filters compile
@@ -3432,6 +3449,9 @@ object SparkEntry {
     "command_gremlin_edges" ->
       ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
        "FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1 ORDER BY id"),
+    "command_gremlin_estart" ->
+      ("SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders " +
+       "WHERE o_totalprice > 300000.0 ORDER BY id"),
     "command_gremlin_simplepath" ->
       // class-vertex model: a landed id re-attaches to every class
       // registered for it, so an intermediate customer id that equals

@@ -180,8 +180,9 @@ object Gremlin {
     val consumed = Step.findAllMatchIn(body).map(_.matched).mkString
     if (!s.startsWith("g") || consumed != body || steps.isEmpty)
       fail(s"cannot parse '$script' as a simple step chain")
+    val startFromEdges = steps.head == ("E", Nil)
     val startIds: Seq[String] = steps.head match {
-      case ("V", Nil) => Nil
+      case ("V", Nil) | ("E", Nil) => Nil
       case ("V", ids) if ids.nonEmpty &&
           ids.forall(a => a.isInstanceOf[String] || a.isInstanceOf[Long] ||
             a.isInstanceOf[Double]) =>
@@ -190,7 +191,7 @@ object Gremlin {
           case other => other.toString
         }
       case _ =>
-        fail(s"traversal must start with g.V() or g.V(id, …) " +
+        fail(s"traversal must start with g.V(), g.V(id, …) or g.E() " +
           s"(got g.${steps.head._1}(${steps.head._2.mkString(", ")}))")
     }
 
@@ -206,9 +207,20 @@ object Gremlin {
     val idLabel = vertices.select(col("id"), col("label")).distinct()
     val trackPath = steps.exists(s => s._1 == "path" || s._1 == "simplePath")
     // g.V(id, …): start from the named vertices (filter BEFORE path
-    // tracking so the path roots at the start set)
+    // tracking so the path roots at the start set). g.E(): start in
+    // EDGE space — one traverser per edge row, __evfrom = src (the
+    // out-endpoint convention: otherV then reads dst), so the *V
+    // landings and edge-column filters compose exactly as after outE
     val start =
-      if (startIds.isEmpty) vertices
+      if (startFromEdges) {
+        if (trackPath)
+          fail("g.E() together with path()/simplePath() is not in the " +
+            "translated subset")
+        ctx.edges.getOrElse(
+            fail("g.E() needs edges — apply an `edge` stage first"))
+          .withColumn("__evfrom", col("src"))
+      }
+      else if (startIds.isEmpty) vertices
       else vertices.where(col("id").isin(startIds: _*))
     val trackSimple = steps.exists(_._1 == "simplePath")
     var frame =
@@ -887,7 +899,7 @@ object Gremlin {
           }
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
-            "translated subset is V/hasLabel/has/hasId/out/in/both/" +
+            "translated subset is V/E/hasLabel/has/hasId/out/in/both/" +
             "outE/inE/bothE (+ inV/outV/otherV/bothV)/dedup/" +
             "limit/values/valueMap/elementMap/simplePath/" +
             "count/sum/mean/min/max/fold/groupCount[.by('col')]/" +

@@ -381,6 +381,15 @@ class GraphSpec extends SparkSpec {
     // landings re-enter vertex space: hasLabel applies to vertices again
     assert(g("g.V().hasId('a').outE('knows').inV().hasLabel('q')")
       .select("id").as[String].collect().toSeq == Seq("c"))
+    // g.E(): start in edge space — one traverser per edge; hasLabel/
+    // has filter edge columns, *V landings work (otherV reads dst by
+    // the __evfrom = src convention)
+    assert(g("g.E().count()").as[Long].head() == 3L)
+    assert(g("g.E().hasLabel('knows').has('weight', gt(2)).inV()")
+      .select("id").as[String].collect().toSeq == Seq("c"))
+    assert(g("g.E().hasLabel('likes').otherV()")
+      .select("id").as[String].collect().toSeq == Seq("c"))
+    assert(g("g.E().values('weight').sum()").as[Double].head() == 15.0)
     // guards: vertex steps in edge space / *V without edge space
     val ee = intercept[RuntimeException](g("g.V().outE('knows').out('knows')"))
     assert(ee.getMessage.contains("EDGE space"), ee.getMessage)
