@@ -45,6 +45,10 @@ object Verify {
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
+      // keyed Gremlin frames persist() for shared-subtree reads; the
+      // CacheManager holds them until released — one query's cache must
+      // not accumulate across the 170+-query dump
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -186,10 +186,7 @@ object Gremlin {
       case ("V", ids) if ids.nonEmpty &&
           ids.forall(a => a.isInstanceOf[String] || a.isInstanceOf[Long] ||
             a.isInstanceOf[Double]) =>
-        ids.map {
-          case d: Double if d.isWhole => d.toLong.toString
-          case other => other.toString
-        }
+        idLiterals(ids)
       case _ =>
         fail(s"traversal must start with g.V(), g.V(id, …) or g.E() " +
           s"(got g.${steps.head._1}(${steps.head._2.mkString(", ")}))")
@@ -233,13 +230,20 @@ object Gremlin {
     // next non-`by` step (or chain end) — adjacent `limit`/`range` then
     // plan as TakeOrdered instead of a full sort
     var pendingSort: Option[List[Column]] = None
+    // true only within the step iteration right after a flushSort fired
+    // — lets an adjacent limit/range keep the user's order as its
+    // deterministic row-set pin (TakeOrdered) instead of re-sorting
+    var justSorted = false
     def flushSort(): Unit = pendingSort.foreach { keys =>
       val eff =
         if (keys.nonEmpty) keys
         else if (frame.columns.contains("value")) List(col("value").asc)
-        else List(col("id").asc)
+        else if (frame.columns.contains("id")) List(col("id").asc)
+        // edge space: no element id — whole-row order, deterministic
+        else frame.columns.sorted.toList.map(col(_).asc)
       frame = frame.orderBy(eff: _*)
       pendingSort = None
+      justSorted = true
     }
     var skipN = 0
     // emit()/until(cond) written BEFORE their repeat() — stashed here
@@ -250,7 +254,7 @@ object Gremlin {
       val terminal = i == steps.tail.length - 1
       if (skipN > 0) { skipN -= 1 }
       else {
-      if (step._1 != "by") flushSort()
+      if (step._1 != "by") { justSorted = false; flushSort() }
       step match {
         case ("order", Nil) => pendingSort = Some(Nil)
         case ("by", args) =>
@@ -270,6 +274,10 @@ object Gremlin {
         case ("range", Seq(lo: Long, hi: Long)) =>
           if (lo < 0 || hi < lo || hi > Int.MaxValue)
             fail(s"range($lo, $hi): need 0 <= low <= high")
+          // same deterministic-row-set rule as bare limit
+          if (!justSorted)
+            frame = frame.orderBy(
+              frame.columns.sorted.map(col(_).asc).toIndexedSeq: _*)
           frame = frame.offset(lo.toInt).limit((hi - lo).toInt)
         case ("path", Nil) =>
           if (!terminal) fail("path() must be the last step")
@@ -335,23 +343,38 @@ object Gremlin {
           // with path tracking on, an arbitrary traverser's path survives
           // per element (dropDuplicates), matching Gremlin's semantics
           frame =
-            if (trackPath)
+            if (frame.columns.contains("__evfrom")) {
+              // the current ELEMENT is the edge row; __evfrom is
+              // traversal state (bothE reaches one edge from both
+              // endpoints — dedup must collapse them). Keep the min
+              // __evfrom deterministically: dropDuplicates would pick
+              // an arbitrary survivor for a later otherV landing
+              val keys = frame.columns.filterNot(_ == "__evfrom").toIndexedSeq
+              frame.groupBy(keys.map(col): _*)
+                .agg(min(col("__evfrom")).as("__evfrom"))
+            }
+            else if (trackPath)
               frame.dropDuplicates(frame.columns
                 .filterNot(c => c == "__path" || c == "__spath").toIndexedSeq)
             else frame.distinct()
         case ("limit", Seq(n: Long)) =>
           if (n < 0 || n > Int.MaxValue) fail(s"limit($n) out of range")
+          // a bare limit over an unordered frame is a fetch-order-
+          // dependent ROW SET — two consumers of the same frame (branch
+          // subtrees via keyedByTid, a retried stage) could otherwise
+          // see different rows. A whole-row TakeOrdered pins the set
+          // deterministically; an explicit order().by(..) directly
+          // before the limit wins instead (justSorted)
+          if (!justSorted)
+            frame = frame.orderBy(
+              frame.columns.sorted.map(col(_).asc).toIndexedSeq: _*)
           frame = frame.limit(n.toInt)
         case ("values", Seq(c: String)) =>
           frame = frame.select(col(c).as("value"))
         case ("hasId", ids) if ids.nonEmpty && ids.forall(a =>
             a.isInstanceOf[String] || a.isInstanceOf[Long] ||
             a.isInstanceOf[Double]) =>
-          val vs = ids.map {
-            case d: Double if d.isWhole => d.toLong.toString
-            case other => other.toString
-          }
-          frame = frame.where(col("id").isin(vs: _*))
+          frame = frame.where(col("id").isin(idLiterals(ids): _*))
         case ("simplePath", Nil) =>
           // keep traversers whose path revisits no vertex — the
           // canonical cull is the origin-return two-hop
@@ -433,7 +456,10 @@ object Gremlin {
             case None =>
               if (!terminal) fail("groupCount() must be the last step " +
                 "(optionally followed by .by('col'))")
-              if (frame.columns.contains("value")) col("value") else col("id")
+              if (frame.columns.contains("value")) col("value")
+              else if (frame.columns.contains("id")) col("id")
+              else fail("groupCount() in EDGE space needs an explicit " +
+                ".by('col') — edge rows have no element id")
             case Some(_) => fail("groupCount() must be the last step " +
               "(optionally followed by .by('col'))")
           }
@@ -930,6 +956,14 @@ object Gremlin {
       .toIndexedSeq: _*)
   }
 
+  /** Vertex-id literals as the string id space — shared by g.V(id, …)
+    * and hasId(id, …) so both render the same literal identically
+    * (whole doubles collapse to their integral spelling). */
+  private def idLiterals(ids: Seq[Any]): Seq[String] = ids.map {
+    case d: Double if d.isWhole => d.toLong.toString
+    case other => other.toString
+  }
+
   /** An edge-space frame (outE/inE/bothE) must return to vertex space
     * through inV/outV/otherV/bothV before vertex steps apply. */
   private def requireVertexSpace(frame: DataFrame, step: String): Unit =
@@ -974,7 +1008,12 @@ object Gremlin {
     * stays compile-and-analyze only — unlike checkpoint variants:
     * eager localCheckpoint runs the whole upstream at build, and even
     * a lazy one forces AQE to materialize every intermediate query
-    * stage when it resolves the final RDD. AQE stays free to size
+    * stage when it resolves the final RDD. The construction assumes a
+    * deterministic upstream ROW SET, which the translator guarantees:
+    * every step is a deterministic relational op, and the one
+    * historically nondeterministic case — a bare limit()/range() over
+    * an unordered frame — is pinned by the whole-row TakeOrdered in
+    * its step arm. AQE stays free to size
     * every downstream shuffle. (Round-13 adjudication of the round-12
     * pinned-shuffle variant: the sorted-persist shape is faster on
     * every keyed driver query — coalesce 0.98→0.91 s, optional

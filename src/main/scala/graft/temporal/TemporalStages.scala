@@ -498,8 +498,6 @@ object TemporalStages {
       val lt = spec.strOr("leftTime", "ts")
       val startC = spec.strOr("start", "start")
       val endC = spec.strOr("end", "end")
-      val keys = spec.str("on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
       val endInclusive = spec.bool("endInclusive", dflt = false)
       val binWidth = spec.str("binWidth").map(_.toDouble)
       val maxBins = spec.int("maxBins", 100000)
@@ -507,25 +505,9 @@ object TemporalStages {
       require(df.columns.contains(lt), s"rangejoin: left side lacks time column '$lt'")
       Seq(startC, endC).foreach(c => require(right.columns.contains(c),
         s"rangejoin: right side lacks interval column '$c'"))
-      keys.foreach { k =>
-        require(df.columns.contains(k), s"rangejoin: left side lacks key column '$k'")
-        require(right.columns.contains(k), s"rangejoin: right side lacks key column '$k'")
-      }
-      require(keys.nonEmpty || binWidth.isDefined,
-        "rangejoin: without `on` keys the join has no equi-condition and " +
-        "would execute as a nested-loop cartesian — set `binWidth` " +
-        "(seconds) to bucket time into an equi-join")
+      val keys = equiKeys("rangejoin", spec, df, right, binWidth)
 
-      val rCols = right.columns.toSeq.filterNot(keys.contains)
-      val renamed = rCols.map(c => c -> s"$prefix$c")
-      renamed.foreach { case (_, out) =>
-        require(!df.columns.contains(out), s"rangejoin: right column '$out' " +
-          "collides with a left column — set `rightPrefix` or alias it " +
-          "in the `right` SELECT")
-      }
-      val rr = renamed.foldLeft(right) { case (d, (c, out)) =>
-        if (c == out) d else d.withColumnRenamed(c, out)
-      }
+      val (rr, renamed) = renamedRight("rangejoin", df, right, keys, prefix)
       val pStart = s"$prefix$startC"; val pEnd = s"$prefix$endC"
       val contains = epochMicros(df, lt).between(
         epochMicros(rr, pStart),
@@ -567,6 +549,41 @@ object TemporalStages {
       }
     }
 
+  /** `on` equi-key parse + presence checks + the keyless-cartesian
+    * guard — shared by rangejoin and intervaljoin. */
+  private def equiKeys(stage: String, spec: ComponentSpec, df: DataFrame,
+      right: DataFrame, binWidth: Option[Double]): Seq[String] = {
+    val keys = spec.str("on")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    keys.foreach { k =>
+      require(df.columns.contains(k), s"$stage: left side lacks key column '$k'")
+      require(right.columns.contains(k), s"$stage: right side lacks key column '$k'")
+    }
+    require(keys.nonEmpty || binWidth.isDefined,
+      s"$stage: without `on` keys the join has no equi-condition and " +
+      "would execute as a nested-loop cartesian — set `binWidth` " +
+      "(seconds) to bucket time into an equi-join")
+    keys
+  }
+
+  /** Prefix-rename the right side's non-key columns, failing loud on a
+    * collision with a left column — shared by rangejoin and
+    * intervaljoin. Returns the renamed frame plus the (old, new)
+    * pairs for the output projection. */
+  private def renamedRight(stage: String, df: DataFrame, right: DataFrame,
+      keys: Seq[String], prefix: String): (DataFrame, Seq[(String, String)]) = {
+    val renamed = right.columns.toSeq.filterNot(keys.contains)
+      .map(c => c -> s"$prefix$c")
+    renamed.foreach { case (_, out) =>
+      require(!df.columns.contains(out), s"$stage: right column '$out' " +
+        "collides with a left column — set `rightPrefix` or alias it " +
+        "in the `right` SELECT")
+    }
+    (renamed.foldLeft(right) { case (d, (c, out)) =>
+      if (c == out) d else d.withColumnRenamed(c, out)
+    }, renamed)
+  }
+
   /** `intervaljoin`: inner-join the input's INTERVALS to the right
     * side's INTERVALS that OVERLAP them — `[ls, le)` meets `[rs, re)`
     * iff `ls < re AND rs < le` (closed ends with `endInclusive: true`),
@@ -600,8 +617,6 @@ object TemporalStages {
       val leC = spec.strOr("leftEnd", "end")
       val rsC = spec.strOr("rightStart", lsC)
       val reC = spec.strOr("rightEnd", leC)
-      val keys = spec.str("on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
       val endInclusive = spec.bool("endInclusive", dflt = false)
       val binWidth = spec.str("binWidth").map(_.toDouble)
       val maxBins = spec.int("maxBins", 100000)
@@ -610,25 +625,8 @@ object TemporalStages {
         s"intervaljoin: left side lacks interval column '$c'"))
       Seq(rsC, reC).foreach(c => require(right.columns.contains(c),
         s"intervaljoin: right side lacks interval column '$c'"))
-      keys.foreach { k =>
-        require(df.columns.contains(k), s"intervaljoin: left side lacks key column '$k'")
-        require(right.columns.contains(k), s"intervaljoin: right side lacks key column '$k'")
-      }
-      require(keys.nonEmpty || binWidth.isDefined,
-        "intervaljoin: without `on` keys the join has no equi-condition " +
-        "and would execute as a nested-loop cartesian — set `binWidth` " +
-        "(seconds) to bucket time into an equi-join")
-
-      val rCols = right.columns.toSeq.filterNot(keys.contains)
-      val renamed = rCols.map(c => c -> s"$prefix$c")
-      renamed.foreach { case (_, out) =>
-        require(!df.columns.contains(out), s"intervaljoin: right column '$out' " +
-          "collides with a left column — set `rightPrefix` or alias it " +
-          "in the `right` SELECT")
-      }
-      val rr = renamed.foldLeft(right) { case (d, (c, out)) =>
-        if (c == out) d else d.withColumnRenamed(c, out)
-      }
+      val keys = equiKeys("intervaljoin", spec, df, right, binWidth)
+      val (rr, renamed) = renamedRight("intervaljoin", df, right, keys, prefix)
       val pS = s"$prefix$rsC"; val pE = s"$prefix$reC"
       def lsM = epochMicros(df, lsC); def leM = epochMicros(df, leC)
       def rsM = epochMicros(rr, pS); def reM = epochMicros(rr, pE)

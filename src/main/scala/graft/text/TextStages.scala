@@ -257,13 +257,26 @@ object TextStages {
           .where(col("__docs") >= minDocs)
           .select("__k")
         val kept = lines.join(hot, keyOf(col("__line")) === col("__k"), "left_anti")
+        // duplicate ids would silently interleave two documents' lines
+        // in the rebuild — their position sequences collide (both start
+        // at 0), which the count-vs-distinct-positions check catches
         val rebuilt = kept.groupBy(col("__id")).agg(
           array_join(transform(
             array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
-            x => x.getField("l")), delim).as("__newtext"))
+            x => x.getField("l")), delim).as("__newtext"),
+          (count(lit(1)) =!= countDistinct(col("__pos"))).as("__iddup"))
         df.join(rebuilt, col(idF) === rebuilt("__id"), "left")
-          .withColumn(field, coalesce(col("__newtext"), lit("")))
-          .drop("__id", "__newtext")
+          .withColumn(field, when(col("__iddup"),
+              raise_error(concat(lit(s"boilerplate: duplicate $idF "),
+                col(idF).cast("string"),
+                lit(" — the rebuild would interleave two documents; " +
+                  "dedupe ids first"))))
+            // a NULL text stays NULL (a missing doc is not an
+            // all-boilerplate doc); a non-null doc whose every line was
+            // boilerplate keeps ''
+            .when(col(field).isNull, lit(null).cast("string"))
+            .otherwise(coalesce(col("__newtext"), lit(""))))
+          .drop("__id", "__newtext", "__iddup")
       }
     }
 

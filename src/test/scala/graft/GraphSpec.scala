@@ -390,6 +390,22 @@ class GraphSpec extends SparkSpec {
     assert(g("g.E().hasLabel('likes').otherV()")
       .select("id").as[String].collect().toSeq == Seq("c"))
     assert(g("g.E().values('weight').sum()").as[Double].head() == 15.0)
+    // dedup in edge space keys on the EDGE row, not the traversal
+    // state: an edge reached from both endpoints collapses to one
+    assert(g("g.V().bothE('knows').dedup().count()").as[Long].head() == 2L)
+    // ...and the surviving __evfrom is the deterministic min, so a
+    // following otherV is stable: a→b kept with __evfrom=a → lands b
+    assert(g("g.V().hasId('a', 'b').bothE('knows').has('weight', lt(2)).dedup().otherV()")
+      .select("id").as[String].collect().toSeq == Seq("b"))
+    // bare limit pins a deterministic whole-row-ordered set
+    assert(g("g.V().limit(2)").select("id").as[String].collect().toSeq ==
+      Seq("a", "b"))
+    // groupCount over edge rows needs an explicit by
+    val eg = intercept[RuntimeException](g("g.E().groupCount()"))
+    assert(eg.getMessage.contains("EDGE space"), eg.getMessage)
+    assert(g("g.E().groupCount().by('label')").orderBy("label")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("knows", 2L), ("likes", 1L)))
     // guards: vertex steps in edge space / *V without edge space
     val ee = intercept[RuntimeException](g("g.V().outE('knows').out('knows')"))
     assert(ee.getMessage.contains("EDGE space"), ee.getMessage)

@@ -304,6 +304,21 @@ class LlmStagesSpec extends SparkSpec {
     assert(stage("boilerplate", "scope" -> "document")(perDoc)
       .orderBy("doc_id").select("text").as[String].collect().toSeq ==
       Seq("a\nb\nc", "a"))
+    // a NULL text stays NULL (a missing doc is not an all-boilerplate
+    // doc); non-null docs behave as before
+    val withNull = Seq((1L, "k\nx"), (2L, "k\ny"), (3L, "k"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nOut = stage("boilerplate", "minDocs" -> 3)(withNull)
+      .orderBy("doc_id").select("text").collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(nOut == Seq("x", "y", "", null))
+    // duplicate ids fail LOUD — the rebuild would interleave two docs
+    val dup = Seq((1L, "p\nq"), (1L, "r\ns")).toDF("doc_id", "text")
+    val de = intercept[Exception](
+      stage("boilerplate", "minDocs" -> 3)(dup).collect())
+    val msgs = Iterator.iterate[Throwable](de)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate"), msgs)
   }
 
   test("tokenize: BPE-ish units count words and punctuation separately") {
