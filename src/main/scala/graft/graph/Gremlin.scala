@@ -977,6 +977,8 @@ object Gremlin {
   private def hasCond(args: List[Any]): Column = args match {
     case Seq(k: String, Cmp(op, vs)) =>
       val c = col(k)
+      def two(): Unit = if (vs.length != 2)
+        fail(s"$op(a, b): needs exactly two values, got ${vs.length}")
       op match {
         case "gt" => c > lit(vs.head)
         case "gte" => c >= lit(vs.head)
@@ -985,6 +987,18 @@ object Gremlin {
         case "neq" => c =!= lit(vs.head)
         case "within" => c.isin(vs: _*)
         case "without" => !c.isin(vs: _*) || c.isNull
+        // P range predicates (TinkerPop bounds: inside exclusive both,
+        // between lower-inclusive upper-exclusive)
+        case "inside" => two(); c > lit(vs(0)) && c < lit(vs(1))
+        case "outside" => two(); c < lit(vs(0)) || c > lit(vs(1))
+        case "between" => two(); c >= lit(vs(0)) && c < lit(vs(1))
+        // TextP string predicates
+        case "containing" => c.contains(lit(vs.head))
+        case "notContaining" => !c.contains(lit(vs.head)) || c.isNull
+        case "startingWith" => c.startsWith(vs.head.toString)
+        case "endingWith" => c.endsWith(vs.head.toString)
+        case "notStartingWith" => !c.startsWith(vs.head.toString) || c.isNull
+        case "notEndingWith" => !c.endsWith(vs.head.toString) || c.isNull
       }
     case Seq(k: String, Pred("eq", v)) => col(k) === lit(v)
     case Seq(k: String, Pred("neq", v)) => col(k) =!= lit(v)
@@ -1188,12 +1202,17 @@ object Gremlin {
   /** A bound-vertex predicate argument: `eq('x')` / `neq('x')`. */
   private final case class Pred(op: String, tag: String)
 
-  /** A value-comparison predicate argument (Gremlin `P`):
+  /** A value-comparison predicate argument (Gremlin `P` / `TextP`):
     * `gt(5)` / `gte(5)` / `lt(5)` / `lte(5)` / `neq('x')` /
-    * `within('a', 'b')` / `without('a')`. */
+    * `within('a', 'b')` / `without('a')` / `inside(a, b)` /
+    * `outside(a, b)` / `between(a, b)` / `containing('s')` /
+    * `notContaining('s')` / `startingWith('s')` / `endingWith('s')` /
+    * `notStartingWith('s')` / `notEndingWith('s')`. */
   private final case class Cmp(op: String, values: List[Any])
   private val CmpPred =
-    """^(gt|gte|lt|lte|neq|within|without)\(\s*(.+?)\s*\)$""".r
+    ("""^(gt|gte|lt|lte|neq|within|without|inside|outside|between|""" +
+     """containing|notContaining|startingWith|endingWith|""" +
+     """notStartingWith|notEndingWith)\(\s*(.+?)\s*\)$""").r
 
   /** An anonymous sub-traversal argument (a `union` branch) — any
     * `step(...)...` chain that is not a recognized predicate. One

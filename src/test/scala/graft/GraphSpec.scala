@@ -779,6 +779,19 @@ class GraphSpec extends SparkSpec {
     assert(ids("g.V().has('label', without('q'))") == Seq("a", "b"))
     assert(ids("g.V().has('label')") == Seq("a", "b", "c", "d"))
     assert(ids("g.V().hasNot('label')") == Nil)
+    // P range predicates: inside exclusive-both, between [lo, hi)
+    assert(ids("g.V().has('id', inside('a', 'd'))") == Seq("b", "c"))
+    assert(ids("g.V().has('id', outside('b', 'c'))") == Seq("a", "d"))
+    assert(ids("g.V().has('id', between('b', 'd'))") == Seq("b", "c"))
+    // TextP string predicates
+    assert(ids("g.V().has('label', containing('q'))") == Seq("c", "d"))
+    assert(ids("g.V().has('label', notContaining('q'))") == Seq("a", "b"))
+    assert(ids("g.V().has('id', startingWith('a'))") == Seq("a"))
+    assert(ids("g.V().has('id', endingWith('d'))") == Seq("d"))
+    assert(ids("g.V().has('id', notStartingWith('a'))") == Seq("b", "c", "d"))
+    assert(ids("g.V().has('id', notEndingWith('d'))") == Seq("a", "b", "c"))
+    val be = intercept[RuntimeException](ids("g.V().has('id', between('b'))"))
+    assert(be.getMessage.contains("two values"), be.getMessage)
     // neq inside where() still means the bound TAG, not a value
     ctx.addEdges(Seq(("a", "a", "self"), ("a", "b", "next"))
       .toDF("src", "dst", "label"))
