@@ -342,6 +342,21 @@ object Gremlin {
           // Gremlin dedup() keys on the CURRENT element, not the path:
           // with path tracking on, an arbitrary traverser's path survives
           // per element (dropDuplicates), matching Gremlin's semantics
+          // dedup().by('col'): one traverser per distinct key value,
+          // the survivor chosen DETERMINISTICALLY (whole-row order —
+          // dropDuplicates would keep an arbitrary row)
+          steps.tail.lift(i + 1) match {
+            case Some(("by", List(c: String))) =>
+              skipN = 1
+              if (!frame.columns.contains(c))
+                fail(s"dedup().by('$c'): no such column on the traversal")
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(c))
+                .orderBy(frame.columns.filterNot(_ == c).sorted
+                  .map(col(_).asc).toIndexedSeq: _*)
+              frame = frame.withColumn("__ddrn", row_number().over(w))
+                .where(col("__ddrn") === 1).drop("__ddrn")
+            case _ =>
           frame =
             if (frame.columns.contains("__evfrom")) {
               // the current ELEMENT is the edge row; __evfrom is
@@ -357,6 +372,7 @@ object Gremlin {
               frame.dropDuplicates(frame.columns
                 .filterNot(c => c == "__path" || c == "__spath").toIndexedSeq)
             else frame.distinct()
+          }
         case ("limit", Seq(n: Long)) =>
           if (n < 0 || n > Int.MaxValue) fail(s"limit($n) out of range")
           // a bare limit over an unordered frame is a fetch-order-
@@ -1002,6 +1018,9 @@ object Gremlin {
       }
     case Seq(k: String, Pred("eq", v)) => col(k) === lit(v)
     case Seq(k: String, Pred("neq", v)) => col(k) =!= lit(v)
+    // TinkerPop 3-arg form: has(label, key, valueOrP) = hasLabel + has
+    case Seq(l: String, k: String, v) =>
+      col("label") === lit(l) && hasCond(List(k, v))
     case Seq(k: String, v) => col(k) === lit(v)
     case Seq(k: String) => col(k).isNotNull // has('col'): property exists
     case other => fail(s"has(${other.mkString(", ")}): unsupported argument shape")

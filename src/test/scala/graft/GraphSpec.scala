@@ -792,6 +792,15 @@ class GraphSpec extends SparkSpec {
     assert(ids("g.V().has('id', notEndingWith('d'))") == Seq("a", "b", "c"))
     val be = intercept[RuntimeException](ids("g.V().has('id', between('b'))"))
     assert(be.getMessage.contains("two values"), be.getMessage)
+    // TinkerPop 3-arg has(label, key, valueOrP) = hasLabel + has
+    assert(ids("g.V().has('q', 'id', 'c')") == Seq("c"))
+    assert(ids("g.V().has('p', 'id', gte('a'))") == Seq("a", "b"))
+    // dedup().by('col'): one traverser per key value, deterministic
+    // whole-row-min survivor
+    assert(graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> "g.V().dedup().by('label')")),
+      ctx)(spark.emptyDataFrame)
+      .select("id").as[String].collect().toSeq.sorted == Seq("a", "c"))
     // neq inside where() still means the bound TAG, not a value
     ctx.addEdges(Seq(("a", "a", "self"), ("a", "b", "next"))
       .toDF("src", "dst", "label"))
