@@ -3691,8 +3691,17 @@ object SparkEntry {
     // (x - s/n) / sqrt((ss - s*s/n)/n) operation order — hash-exact
     "zscore_outliers" ->
       ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
-       "s AS (SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS DOUBLE) AS sm, " +
-       "  CAST(sum(cents * cents) AS DOUBLE) AS ss FROM o GROUP BY 1) " +
+       // DuckDB's HUGEINT→DOUBLE cast DOUBLE-ROUNDS (upper+lower parts
+       // each rounded, then summed) and can land 1 ulp off the
+       // correctly-rounded value Spark's decimal→double produces —
+       // observed on the sf0.1 5-LOW sum of squares. Splitting at 2^32
+       // makes both cast operands exact, so the single IEEE add rounds
+       // once, correctly
+       "s AS (SELECT o_orderpriority, count(*) AS n, " +
+       "  CAST(sum(cents) // 4294967296 AS DOUBLE) * 4294967296.0 + " +
+       "    CAST(sum(cents) % 4294967296 AS DOUBLE) AS sm, " +
+       "  CAST(sum(cents * cents) // 4294967296 AS DOUBLE) * 4294967296.0 + " +
+       "    CAST(sum(cents * cents) % 4294967296 AS DOUBLE) AS ss FROM o GROUP BY 1) " +
        "SELECT o_orderkey, o.o_orderpriority, cents, " +
        "CASE WHEN sqrt((ss - sm * sm / n) / n) > 0 " +
        "  THEN (cents - sm / n) / sqrt((ss - sm * sm / n) / n) END AS cents_z, " +
