@@ -350,12 +350,19 @@ object Gremlin {
               skipN = 1
               if (!frame.columns.contains(c))
                 fail(s"dedup().by('$c'): no such column on the traversal")
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col(c))
-                .orderBy(frame.columns.filterNot(_ == c).sorted
-                  .map(col(_).asc).toIndexedSeq: _*)
-              frame = frame.withColumn("__ddrn", row_number().over(w))
-                .where(col("__ddrn") === 1).drop("__ddrn")
+              val others = frame.columns.filterNot(_ == c).sorted
+              frame =
+                if (others.isEmpty) frame.distinct() // key IS the row
+                else {
+                  val w = org.apache.spark.sql.expressions.Window
+                    .partitionBy(col(c))
+                    .orderBy(others.map(col(_).asc).toIndexedSeq: _*)
+                  frame.withColumn("__ddrn", row_number().over(w))
+                    .where(col("__ddrn") === 1).drop("__ddrn")
+                }
+            case Some(("by", other)) =>
+              fail(s"dedup().by(${other.mkString(", ")}): only a single " +
+                "property-name modulator is in the translated subset")
             case _ =>
           frame =
             if (frame.columns.contains("__evfrom")) {
@@ -1256,8 +1263,8 @@ object Gremlin {
       else a match {
         case WherePred(op, tag) => Pred(op, tag)
         case CmpPred(op, inner) =>
-          val vs = inner.split(",").map(_.trim).filter(_.nonEmpty)
-            .map(parseScalar).toList
+          // quote-aware: containing('Smith, J') is ONE value
+          val vs = splitTopLevel(inner).map(parseScalar)
           // `eq`/`neq` on a TAG belong to where(); a P-predicate in
           // has() compares VALUES. neq('x') is ambiguous in the
           // grammar — WherePred wins above (has() never sees tags in

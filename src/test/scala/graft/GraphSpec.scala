@@ -797,10 +797,21 @@ class GraphSpec extends SparkSpec {
     assert(ids("g.V().has('p', 'id', gte('a'))") == Seq("a", "b"))
     // dedup().by('col'): one traverser per key value, deterministic
     // whole-row-min survivor
+    assert(ids("g.V().dedup().by('label')") == Seq("a", "c"))
+    // ...on a single-column frame the key IS the row (plain distinct,
+    // no degenerate unordered window)
     assert(graft.stages.Stages.command(
-      ComponentSpec("command", Map("command" -> "g.V().dedup().by('label')")),
-      ctx)(spark.emptyDataFrame)
-      .select("id").as[String].collect().toSeq.sorted == Seq("a", "c"))
+      ComponentSpec("command", Map("command" ->
+        "g.V().values('label').dedup().by('value')")), ctx)(
+      spark.emptyDataFrame).as[String].collect().toSeq.sorted ==
+      Seq("p", "q"))
+    // unsupported by-shapes get the dedup-specific error, not the
+    // order()-modulator one
+    val dbe = intercept[RuntimeException](
+      ids("g.V().dedup().by('label', 'desc')"))
+    assert(dbe.getMessage.contains("dedup().by"), dbe.getMessage)
+    // quoted commas inside TextP values survive argument splitting
+    assert(ids("g.V().has('id', containing('a, b'))") == Nil)
     // neq inside where() still means the bound TAG, not a value
     ctx.addEdges(Seq(("a", "a", "self"), ("a", "b", "next"))
       .toDF("src", "dst", "label"))
