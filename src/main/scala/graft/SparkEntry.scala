@@ -2140,6 +2140,23 @@ object SparkEntry {
           col("n_events"))
         .orderBy("key", "session_start")
     },
+    "gopher_rules" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the Gopher quality-rule set (Rae et al. 2021 A1.1), per-rule
+      // flags + the keep conjunction — thresholds tuned so the rules
+      // discriminate on the synthetic corpus (30–65-word docs, 'the'
+      // is the only Gopher stop word in its vocabulary)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"gopherfilter": {"field": "text",
+          "minWords": 40, "minStopwords": 1}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "gopher_word_count", "gopher_mean_word_len",
+          "gopher_symbol_ratio", "gopher_alpha_ratio", "gopher_stopwords",
+          "gopher_keep")
+        .orderBy("doc_id")
+    },
     "paragraph_dedup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // within-document line dedup (scope: document — the Dolma
@@ -3988,6 +4005,26 @@ object SparkEntry {
        "AND l.ts < r.ts + INTERVAL 30 MINUTE " +
        "AND r.ts < l.ts + INTERVAL 10 MINUTE " +
        "ORDER BY event_id, err_id"),
+    "gopher_rules" ->
+      (raw"WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents) " +
+       "SELECT doc_id, " +
+       "len(w) >= 40 AND len(w) <= 100000 AS gopher_word_count, " +
+       "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) >= 3.0 " +
+       " AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) <= 10.0 AS gopher_mean_word_len, " +
+       "CAST((length(text) - length(replace(text, '#', ''))) + " +
+       " (length(text) - length(replace(text, '...', ''))) / 3 + " +
+       " (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) <= 0.1 AS gopher_symbol_ratio, " +
+       "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) >= 0.8 AS gopher_alpha_ratio, " +
+       "len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], s -> list_contains(w, s))) >= 1 AS gopher_stopwords, " +
+       "len(w) >= 40 AND len(w) <= 100000 " +
+       " AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) >= 3.0 " +
+       " AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) <= 10.0 " +
+       " AND CAST((length(text) - length(replace(text, '#', ''))) + " +
+       "  (length(text) - length(replace(text, '...', ''))) / 3 + " +
+       "  (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) <= 0.1 " +
+       " AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) >= 0.8 " +
+       " AND len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], s -> list_contains(w, s))) >= 1 " +
+       "AS gopher_keep FROM t ORDER BY doc_id"),
     "paragraph_dedup" ->
       ("WITH base AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents), " +
        "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +

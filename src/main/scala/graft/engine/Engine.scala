@@ -76,6 +76,7 @@ object Engine {
     "ngramcount"    -> graft.text.TextStages.ngramCount _,
     "repetition"    -> graft.text.TextStages.repetition _,
     "boilerplate"   -> graft.text.TextStages.boilerplate _,
+    "gopherfilter"  -> graft.text.TextStages.gopherFilter _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

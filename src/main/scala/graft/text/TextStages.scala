@@ -87,6 +87,71 @@ object TextStages {
       df.filter(conds.reduce(_ && _))
     }
 
+  /** `gopherfilter`: the Gopher document-quality rule set (Rae et al.
+    * 2021, "Scaling Language Models", appendix A1.1 — the de-facto
+    * standard LLM pre-training curation filter, reused by Dolma and
+    * RefinedWeb) as ONE composite stage. Each rule emits a boolean
+    * `gopher_*` column (true = passes) plus their conjunction
+    * `gopher_keep`; `action: "filter"` drops failing rows instead
+    * (default `"flag"` — curation wants the per-rule diagnosis before
+    * committing to a cut). Thresholds (paper defaults, overridable):
+    *  - `minWords` 50 / `maxWords` 100000
+    *  - `minMeanWordLen` 3.0 / `maxMeanWordLen` 10.0
+    *  - `maxSymbolWordRatio` 0.1 — '#' and ellipsis ('...', '…')
+    *    occurrences per word
+    *  - `maxBulletRatio` 0.9 — lines starting with '-', '*' or '•'
+    *  - `maxEllipsisLineRatio` 0.3 — lines ending with an ellipsis
+    *  - `minAlphaWordRatio` 0.8 — words containing a letter
+    *  - `minStopwords` 2 — distinct members of the Gopher stop list
+    *    (the, be, to, of, and, that, have, with) present
+    * All pure per-row HOF arithmetic over the shared whitespace
+    * tokenizer — fuses into the scan, zero shuffle at any corpus
+    * size. */
+  def gopherFilter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      def dbl(k: String, dflt: Double) = spec.str(k).map(_.toDouble).getOrElse(dflt)
+      val words = tokens(f)
+      val nW = size(words).cast("double")
+      val nW1 = greatest(nW, lit(1.0))
+      val lines = split(f, "\n")
+      val nL1 = greatest(size(lines).cast("double"), lit(1.0))
+      val meanLen = aggregate(words, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nW1
+      val hashCnt = length(f) - length(replace(f, lit("#"), lit("")))
+      val ellCnt = (length(f) - length(replace(f, lit("..."), lit("")))) / 3 +
+        (length(f) - length(replace(f, lit("…"), lit(""))))
+      val symbolRatio = (hashCnt + ellCnt).cast("double") / nW1
+      val bulletRatio = size(filter(lines, l => ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+        .cast("double") / nL1
+      val ellLineRatio = size(filter(lines, l => rtrim(l).endsWith("...") ||
+        rtrim(l).endsWith("…"))).cast("double") / nL1
+      val alphaRatio = size(filter(words, _.rlike("[A-Za-z]")))
+        .cast("double") / nW1
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopCnt = size(filter(
+        array(gopherStops.map(lit): _*), s => array_contains(words, s)))
+      val rules: Seq[(String, Column)] = Seq(
+        "gopher_word_count" -> (size(words) >= spec.int("minWords", 50) &&
+          size(words) <= spec.int("maxWords", 100000)),
+        "gopher_mean_word_len" -> (meanLen >= dbl("minMeanWordLen", 3.0) &&
+          meanLen <= dbl("maxMeanWordLen", 10.0)),
+        "gopher_symbol_ratio" -> (symbolRatio <= dbl("maxSymbolWordRatio", 0.1)),
+        "gopher_bullet_ratio" -> (bulletRatio <= dbl("maxBulletRatio", 0.9)),
+        "gopher_ellipsis_ratio" -> (ellLineRatio <= dbl("maxEllipsisLineRatio", 0.3)),
+        "gopher_alpha_ratio" -> (alphaRatio >= dbl("minAlphaWordRatio", 0.8)),
+        "gopher_stopwords" -> (stopCnt >= spec.int("minStopwords", 2)))
+      val keep = rules.map(_._2).reduce(_ && _)
+      spec.strOr("action", "flag").toLowerCase match {
+        case "filter" => df.filter(keep)
+        case "flag" =>
+          rules.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+            .withColumn("gopher_keep", keep)
+        case other => sys.error(s"gopherfilter: action must be flag|filter, got $other")
+      }
+    }
+
   /** `langid`: character-trigram naive-Bayes language identification
     * over 14 languages (see [[LangIdModel]]) — a real model replacing
     * the round-5 five-language marker-word heuristic. Runs as the

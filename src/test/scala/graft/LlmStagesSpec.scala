@@ -321,6 +321,40 @@ class LlmStagesSpec extends SparkSpec {
     assert(msgs.contains("duplicate"), msgs)
   }
 
+  test("gopherfilter: per-rule flags on constructed pass/fail docs; filter action") {
+    val good = ("the quick brown fox jumps over a lazy dog and then runs " +
+      "to the hills with great speed because that is what foxes have " +
+      "always done when chased by hounds across open fields every day " +
+      "more words arrive here to clear the fifty word minimum easily " +
+      "now the count is safely past fifty words total in this doc")
+    val df = Seq(
+      (1L, good),                       // passes everything
+      (2L, "too short"),                // word count
+      (3L, ("## # ## " * 20) + good),   // symbol ratio (hash-heavy)
+      (4L, Seq.fill(10)("- bullet item line").mkString("\n")), // bullets
+      (5L, good.split(" ").map(_ => "12345").mkString(" ")),   // no alpha
+      (6L, good.replaceAll("\\b(the|be|to|of|and|that|have|with)\\b", "xx"))
+    ).toDF("doc_id", "text")
+    val out = stage("gopherfilter", "minWords" -> 5)(df).orderBy("doc_id")
+    val rows = out.collect()
+    def flag(i: Int, c: String) = rows(i).getAs[Boolean](c)
+    assert(flag(0, "gopher_keep"))
+    assert(!flag(1, "gopher_word_count") && !flag(1, "gopher_keep"))
+    assert(!flag(2, "gopher_symbol_ratio"))
+    assert(!flag(3, "gopher_bullet_ratio"))
+    assert(!flag(4, "gopher_alpha_ratio"))
+    assert(!flag(5, "gopher_stopwords"))
+    // ellipsis-ended lines
+    val ell = Seq((1L, Seq.fill(10)("a line that trails off...").mkString("\n")))
+      .toDF("doc_id", "text")
+    assert(!stage("gopherfilter", "minWords" -> 5)(ell)
+      .head().getAs[Boolean]("gopher_ellipsis_ratio"))
+    // action: filter drops failing rows and adds no columns
+    val kept = stage("gopherfilter", "minWords" -> 5, "action" -> "filter")(df)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("tokenize: BPE-ish units count words and punctuation separately") {
     val df = Seq((1L, "don't stop, world!")).toDF("doc_id", "text")
     val out = stage("tokenize")(df).head()
