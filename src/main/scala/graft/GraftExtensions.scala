@@ -71,6 +71,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SimHash64(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_text"),
+      info("graft_html_text",
+        "graft_html_text(html) - visible text of an HTML document (single-pass parse, whitespace-collapsed)"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_html_text", 1, exprs)
+        graft.functions.HtmlToText(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_title"),
+      info("graft_html_title",
+        "graft_html_title(html) - first <title> content; null when absent"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_html_title", 1, exprs)
+        graft.functions.HtmlTitle(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_links"),
+      info("graft_html_links",
+        "graft_html_links(html) - <a href> values in document order"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_html_links", 1, exprs)
+        graft.functions.HtmlLinks(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp_sig"),
       info("graft_srp_sig",
         "graft_srp_sig(vec, nBits, maxDim) - signed-random-projection LSH signature packed into a long"),

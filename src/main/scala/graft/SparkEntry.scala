@@ -2406,6 +2406,26 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "html_extract" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // HTML-to-text extraction: wrap each document's text in a real
+      // HTML page (script/style decoys, quoted '>' in attributes, named
+      // + numeric entities, comments), then recover text/title/links
+      // with the single-pass parser. The oracle recomputes the expected
+      // round trip directly from the raw text.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('<html><head><title>Doc ', cast(doc_id as string), '</title><style>p { color: red }</style><script>if (1 < 2) { var s = \\"</b>\\"; }</script></head><body data-x=\\"1\\"><h1 class=\\"hd\\">Doc &#', cast(65 + doc_id % 26 as string), ';</h1><a href=\\"https://ex.com/', cast(doc_id as string), '?a=1&amp;b=2\\" title=\\"x>y\\">link</a><p>', replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '</p><!-- hidden --></body></html>') AS html FROM __input"}},
+          {"htmlextract": {"field": "html", "outputField": "extracted",
+            "titleField": "title", "linksField": "links"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("title"), col("extracted"),
+          array_join(col("links"), ",").as("links_str"))
+        .orderBy("doc_id")
+    },
     "regex_mask" -> { (s, dir) =>
       val c = ctx(s, dir)
       // PII-style masking pass — regexes restricted to the Java∩RE2
@@ -4147,6 +4167,11 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "html_extract" ->
+      (raw"SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, " +
+       raw"trim('Doc ' || chr(CAST(65 + doc_id % 26 AS INTEGER)) || ' link ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted, " +
+       raw"'https://ex.com/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS links_str " +
+       "FROM documents ORDER BY doc_id"),
     "regex_mask" ->
       (raw"SELECT doc_id, regexp_replace(regexp_replace(text, '\btable\b', '<TBL>', 'g'), " +
        "'(key|row)', '<K>', 'g') AS masked FROM documents ORDER BY doc_id"),

@@ -85,6 +85,7 @@ object Engine {
     "mixture"       -> graft.split.SplitStages.mixture _,
     "urlparse"      -> graft.text.WebStages.urlparse _,
     "urlnormalize"  -> graft.text.WebStages.urlnormalize _,
+    "htmlextract"   -> graft.text.WebStages.htmlextract _,
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
     "chunk"         -> graft.split.SplitStages.chunk _,

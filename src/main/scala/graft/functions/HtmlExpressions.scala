@@ -1,0 +1,268 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML-to-text extraction — the markup-removal front of a web-crawl
+  * training-data pipeline (the step between a WARC payload and every
+  * downstream text stage: quality filters, dedup, tokenization).
+  *
+  * This is a SINGLE-PASS state-machine parser, not a regex chain: one
+  * scan handles tag structure (with quoted attribute values, so a `>`
+  * inside `title="a>b"` does not end the tag), `<script>`/`<style>`
+  * raw-text elements (scanned to their case-insensitive close tag —
+  * an embedded `"</b>"` string literal does not escape the script),
+  * comments/doctype, character-entity decoding (named subset + decimal
+  * and hex numeric, one pass — decoding `&amp;#65;` yields the literal
+  * text `&#65;`, never `A`), and whitespace collapse. A regexp_replace
+  * chain would re-scan the document once per rule and still mis-handle
+  * quoted `>`; this fuses into whole-stage codegen as one static call.
+  *
+  * Contract (mirrors mainstream extractors): when a `<body` tag exists
+  * only body content is extracted, otherwise the whole document; the
+  * `<title>` is head metadata, surfaced separately by [[HtmlTitle]];
+  * `<a href>` values are surfaced by [[HtmlLinks] ] in document order
+  * (entity-decoded, as a browser would resolve them). All whitespace
+  * runs collapse to a single space and the result is trimmed, so the
+  * output is oracle-portable (`regexp_replace(s, '\s+', ' ', 'g')`).
+  */
+object Html {
+
+  /** Tags whose content is raw text up to the matching close tag. */
+  private val RawText = Set("script", "style")
+
+  private final class Out {
+    val sb = new java.lang.StringBuilder
+    private var pendingWs = false
+    def ws(): Unit = if (sb.length > 0) pendingWs = true
+    def ch(c: Char): Unit = {
+      if (c == ' ' || Character.isWhitespace(c)) { ws(); return }
+      if (pendingWs) { sb.append(' '); pendingWs = false }
+      sb.append(c)
+    }
+    def cp(code: Int): Unit =
+      if (Character.isValidCodePoint(code) && code != 0) {
+        if (code == 0xa0 || (code <= 0xffff && Character.isWhitespace(code.toChar))) ws()
+        else {
+          if (pendingWs) { sb.append(' '); pendingWs = false }
+          sb.appendCodePoint(code)
+        }
+      }
+    override def toString: String = sb.toString
+  }
+
+  /** Decode the entity starting at `i` (which points at '&').
+    * Appends to `out`; returns the index AFTER the consumed entity, or
+    * i+1 with a literal '&' appended when it isn't a valid entity. */
+  private def entity(s: String, i: Int, out: Out): Int = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 12) { out.ch('&'); return i + 1 }
+    val name = s.substring(i + 1, semi)
+    name match {
+      case "amp"  => out.ch('&')
+      case "lt"   => out.ch('<')
+      case "gt"   => out.ch('>')
+      case "quot" => out.ch('"')
+      case "apos" => out.ch('\'')
+      case "nbsp" => out.ch(' ')
+      case _ if name.length > 1 && name.charAt(0) == '#' =>
+        val num = name.substring(1)
+        try {
+          val code =
+            if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+              Integer.parseInt(num.substring(1), 16)
+            else Integer.parseInt(num, 10)
+          out.cp(code)
+        } catch { case _: NumberFormatException => out.ch('&'); return i + 1 }
+      case _ => out.ch('&'); return i + 1
+    }
+    semi + 1
+  }
+
+  /** Lower-case tag name starting at `i`; empty when not a name char. */
+  private def tagName(s: String, i: Int): String = {
+    var j = i
+    while (j < s.length && (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '-')) j += 1
+    s.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Scan attributes from `i` to the tag-closing '>' honoring quoted
+    * values; when `hrefOut` is non-null and an `href` attribute is
+    * seen, its (entity-decoded) value is appended. Returns the index
+    * after '>'; s.length when unterminated. */
+  private def attrs(s: String, start: Int,
+                    hrefOut: java.util.ArrayList[UTF8String]): Int = {
+    var i = start
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '>') return i + 1
+      if (c == '"' || c == '\'') {
+        val end = s.indexOf(c, i + 1)
+        i = if (end < 0) s.length else end + 1
+      } else if (hrefOut != null && (c == 'h' || c == 'H') &&
+                 s.regionMatches(true, i, "href", 0, 4) &&
+                 (i == start || Character.isWhitespace(s.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j < s.length && s.charAt(j) == '=') {
+          j += 1
+          while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j < s.length && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+            val q = s.charAt(j)
+            val end = s.indexOf(q, j + 1)
+            val raw = if (end < 0) s.substring(j + 1) else s.substring(j + 1, end)
+            val o = new Out
+            var k = 0
+            while (k < raw.length) {
+              if (raw.charAt(k) == '&') k = entity(raw, k, o)
+              else { o.ch(raw.charAt(k)); k += 1 }
+            }
+            hrefOut.add(UTF8String.fromString(o.toString))
+            i = if (end < 0) s.length else end + 1
+          } else i += 4
+        } else i += 4
+      } else i += 1
+    }
+    s.length
+  }
+
+  /** Full single-pass parse. Returns (text, titleOrNull, hrefs). */
+  def parse(html: String): (String, String, java.util.ArrayList[UTF8String]) = {
+    val all = new Out            // whole-document text
+    val body = new Out           // text after a <body> open tag
+    val title = new Out
+    val hrefs = new java.util.ArrayList[UTF8String]()
+    var sawBody = false
+    var inBody = false
+    var inTitle = false
+    var i = 0
+    val n = html.length
+    def emit(c: Char): Unit = {
+      if (inTitle) title.ch(c)
+      else { all.ch(c); if (inBody) body.ch(c) }
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          all.ws(); if (inBody) body.ws()
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)          // doctype / processing instr
+          i = if (end < 0) n else end + 1
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameAt = if (closing) i + 2 else i + 1
+          val name = tagName(html, nameAt)
+          if (name.isEmpty) { emit('<'); i += 1 }    // bare '<' in text
+          else {
+            val afterName = nameAt + name.length
+            i = attrs(html, afterName,
+              if (!closing && name == "a") hrefs else null)
+            // every tag is at least a whitespace boundary in the text
+            all.ws(); if (inBody) body.ws()
+            if (!closing && RawText(name)) {
+              // raw-text element: scan to the case-insensitive close tag
+              val close = "</" + name
+              var j = i
+              var found = -1
+              while (found < 0 && j <= n - close.length) {
+                if (html.regionMatches(true, j, close, 0, close.length)) found = j
+                j += 1
+              }
+              if (found < 0) i = n
+              else {
+                val gt = html.indexOf('>', found)
+                i = if (gt < 0) n else gt + 1
+              }
+            } else name match {
+              case "body"  => if (!closing) { sawBody = true; inBody = true }
+                              else inBody = false
+              case "title" => inTitle = !closing && title.sb.length == 0
+              case _       => ()
+            }
+            if (closing && name == "title") inTitle = false
+          }
+        }
+      } else if (c == '&') {
+        val o = if (inTitle) title else all
+        val next = entity(html, i, o)
+        if (!inTitle && inBody) entity(html, i, body)
+        i = next
+      } else { emit(c); i += 1 }
+    }
+    val text = (if (sawBody) body else all).toString
+    val t = title.toString
+    (text, if (t.isEmpty) null else t, hrefs)
+  }
+
+  // ---- static entry points used by codegen ----
+
+  def textU(html: UTF8String): UTF8String =
+    UTF8String.fromString(parse(html.toString)._1)
+
+  def titleU(html: UTF8String): UTF8String = {
+    val t = parse(html.toString)._2
+    if (t == null) null else UTF8String.fromString(t)
+  }
+
+  def linksU(html: UTF8String): GenericArrayData =
+    new GenericArrayData(parse(html.toString)._3.toArray)
+}
+
+private[functions] trait HtmlStringInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires a string input, got ${t.simpleString}")
+  }
+}
+
+/** Visible text of an HTML document (body-only when a body tag exists),
+  * whitespace-collapsed — see [[Html]]. */
+case class HtmlToText(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_text"
+  override def nullSafeEval(input: Any): Any =
+    Html.textU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Html.textU($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+    copy(child = newChild)
+}
+
+/** First `<title>` content of an HTML document; null when absent. */
+case class HtmlTitle(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_html_title"
+  override def nullSafeEval(input: Any): Any =
+    Html.titleU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Html.titleU($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): HtmlTitle =
+    copy(child = newChild)
+}
+
+/** `<a href>` values in document order, entity-decoded. */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_html_links"
+  override def nullSafeEval(input: Any): Any =
+    Html.linksU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Html.linksU($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}

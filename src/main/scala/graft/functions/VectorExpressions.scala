@@ -427,6 +427,18 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => SimHash64(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_text",
+        (exprs: Seq[Expression]) => HtmlToText(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_title",
+        (exprs: Seq[Expression]) => HtmlTitle(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_links",
+        (exprs: Seq[Expression]) => HtmlLinks(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_srp_sig",
         (exprs: Seq[Expression]) => {
           def intLit(e: Expression, what: String): Int = e match {
@@ -500,6 +512,15 @@ object VectorExpressions {
   /** Native dot product of two float/double array columns. */
   def arrayDot(a: Column, b: Column): Column =
     call_function("graft_array_dot", a, b)
+
+  /** Visible text of an HTML string (single-pass parse, ws-collapsed). */
+  def htmlText(html: Column): Column = call_function("graft_html_text", html)
+
+  /** First `<title>` content of an HTML string; null when absent. */
+  def htmlTitle(html: Column): Column = call_function("graft_html_title", html)
+
+  /** `<a href>` values of an HTML string in document order. */
+  def htmlLinks(html: Column): Column = call_function("graft_html_links", html)
 
   /** Native distinct word-n-gram shingle hashes of a string column. */
   def shingleHashes(text: Column, n: Int): Column =

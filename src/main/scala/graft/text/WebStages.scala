@@ -155,6 +155,47 @@ object WebStages {
       df.withColumn(out, when(scheme === "", u).otherwise(norm))
     }
 
+  /** `htmlextract`: HTML-to-text extraction — the markup-removal front
+    * of a web-crawl pipeline (the step between a fetched/WARC payload
+    * and every downstream text stage). One single-pass state-machine
+    * parse per row ([[graft.functions.Html]]): script/style/comment
+    * removal, quoted-attribute-aware tag stripping, one-pass character
+    * entity decoding (named + numeric), whitespace collapse; body-only
+    * when a `<body>` tag exists. The reference has no HTML surface —
+    * its `http` source hands raw payloads to downstream transformers
+    * (OETLProcessor.java:486-514 pipeline, source/OETLHttpSource.java);
+    * this is the Spark-first extension that makes those payloads
+    * usable as training text.
+    *
+    * Options: `field` (default "html"), `outputField` (default
+    * "html_text"), `titleField` (optional — first `<title>` content,
+    * null when absent), `linksField` (optional — `<a href>` values in
+    * document order, entity-decoded, as array<string>; serialize before
+    * handing to drivers that can't sort list cells).
+    *
+    * Scale posture: pure per-row projection through one codegen'd
+    * native expression per requested output — fuses into the scan's
+    * whole-stage-codegen pass, zero shuffle, no UDF boxing. */
+  def htmlextract(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "html")
+      require(df.columns.contains(f), s"htmlextract: no column '$f'")
+      val h = col(f).cast("string")
+      val base = df.withColumn(spec.strOr("outputField", "html_text"),
+        graft.functions.VectorExpressions.htmlText(h))
+      val withTitle = spec.str("titleField") match {
+        case Some(t) => base.withColumn(t,
+          graft.functions.VectorExpressions.htmlTitle(h))
+        case None => base
+      }
+      spec.str("linksField") match {
+        case Some(l) => withTitle.withColumn(l,
+          graft.functions.VectorExpressions.htmlLinks(h))
+        case None => withTitle
+      }
+    }
+
   /** `urlparse`: decompose a URL column into `<prefix><part>` columns.
     * Options: `field` (default url), `parts` (default [host, domain,
     * path]), `prefix` (default `url_`). Pure per-row regex projection —

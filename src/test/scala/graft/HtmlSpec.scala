@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.Html
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the single-pass HTML parser ([[graft.functions.Html]])
+  * plus the `htmlextract` stage wiring (codegen path, null handling). */
+class HtmlParserSpec extends AnyFunSuite {
+
+  private def text(h: String): String = Html.parse(h)._1
+  private def title(h: String): String = Html.parse(h)._2
+  private def links(h: String): Seq[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(Html.parse(h)._3)
+      .asScala.map(_.toString).toSeq
+
+  test("tags strip to whitespace boundaries, collapsed and trimmed") {
+    assert(text("<p>a</p> <p> b   c </p>") == "a b c")
+    assert(text("  <div>x</div>  ") == "x")
+    assert(text("a<b>b</b>c") == "a b c")
+  }
+
+  test("script and style content is removed, even with embedded tags/quotes") {
+    assert(text("""<p>a</p><script>if (1 < 2) { s = "</b>"; }</script><p>b</p>""") == "a b")
+    assert(text("<style>p { color: red }</style>hi") == "hi")
+    assert(text("<SCRIPT>x</ScRiPt>ok") == "ok")
+    // unterminated raw-text element swallows the rest — never emits code
+    assert(text("<p>a</p><script>var x = 1;") == "a")
+  }
+
+  test("comments and doctype are removed; quoted '>' does not end a tag") {
+    assert(text("<!DOCTYPE html><p>a<!-- <b>hidden</b> -->b</p>") == "a b")
+    assert(text("""<a title="x>y">link</a>""") == "link")
+    assert(text("""<a title='x>y'>link</a>""") == "link")
+  }
+
+  test("entities decode in one pass; invalid forms stay literal") {
+    assert(text("a &amp; b") == "a & b")
+    assert(text("&lt;tag&gt; &quot;q&quot; &apos;a&apos;") == "<tag> \"q\" 'a'")
+    assert(text("x&nbsp;y") == "x y")
+    assert(text("&#65;&#x42;&#X43;") == "ABC")
+    // single pass: &amp;#65; is the literal text &#65;, never 'A'
+    assert(text("&amp;#65;") == "&#65;")
+    assert(text("5 &lt 6") == "5 &lt 6")       // unterminated → literal
+    assert(text("&bogus;") == "&bogus;")        // unknown name → literal
+    assert(text("&#zz;") == "&#zz;")            // bad number → literal
+    assert(text("a & b") == "a & b")            // bare ampersand
+  }
+
+  test("bare '<' in text is literal") {
+    assert(text("5 < 6 and 7 > 2") == "5 < 6 and 7 > 2")
+  }
+
+  test("body-only extraction when a body tag exists; title captured separately") {
+    val h = "<html><head><title>T1</title><meta x=1></head>" +
+      "<body><p>content</p></body></html>"
+    assert(text(h) == "content")
+    assert(title(h) == "T1")
+    // no body tag: whole document (minus head-ish tags' markup)
+    assert(text("<p>a</p><p>b</p>") == "a b")
+    assert(title("<p>a</p>") == null)
+    // first title wins
+    assert(title("<title>one</title><title>two</title>") == "one")
+    // entities decode inside the title
+    assert(title("<title>a &amp; b</title>") == "a & b")
+  }
+
+  test("links collect in document order, entity-decoded, both quote styles") {
+    val h = """<a href="http://x/1?a=1&amp;b=2">one</a><a href='http://x/2'>two</a>""" +
+      """<a rel=nofollow href="http://x/3">three</a><a name="anchor">none</a>"""
+    assert(links(h) == Seq("http://x/1?a=1&b=2", "http://x/2", "http://x/3"))
+  }
+
+  test("empty and degenerate inputs") {
+    assert(text("") == "")
+    assert(text("<p></p>") == "")
+    assert(text("plain text, no markup") == "plain text, no markup")
+    assert(text("<") == "<")
+    assert(text("<p") == "")                    // unterminated tag
+  }
+}
+
+class HtmlStageSpec extends SparkSpec {
+  import graft.engine.Engine
+
+  test("htmlextract stage: text/title/links columns via codegen'd expressions") {
+    val ctx = newCtx()
+    val out = Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [
+        {"code": {"language": "sql", "code":
+          "SELECT doc_id, concat('<html><head><title>D', cast(doc_id as string), '</title></head><body><p>', replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '</p><a href=\\"/d/', cast(doc_id as string), '\\">next</a></body></html>') AS html, text FROM __input"}},
+        {"htmlextract": {"field": "html", "outputField": "extracted",
+          "titleField": "t", "linksField": "l"}}],
+      "loader": {"memory": {}} }""")
+    val rows = out.select(col("doc_id"), col("t"), col("extracted"),
+        array_join(col("l"), ",").as("ls"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("want"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"D$id")
+      assert(r.getString(2) == (s"${r.getString(4)} next").trim)
+      assert(r.getString(3) == s"/d/$id")
+    }
+  }
+
+  test("htmlextract: null html row yields null outputs") {
+    val df = spark.sql("SELECT cast(null as string) AS html " +
+      "UNION ALL SELECT '<body>x</body>'")
+    val ctx = newCtx()
+    val staged = graft.text.WebStages.htmlextract(
+      graft.spec.ComponentSpec("htmlextract", Map(
+        "outputField" -> "o", "titleField" -> "t", "linksField" -> "l")),
+      ctx)(df)
+    val got = staged.orderBy(col("o").asc_nulls_first).collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(got(0).fieldIndex("o")))
+    assert(got(1).getAs[String]("o") == "x")
+    assert(got(1).isNullAt(got(1).fieldIndex("t")))
+    assert(got(1).getAs[scala.collection.Seq[String]]("l").isEmpty)
+  }
+}
