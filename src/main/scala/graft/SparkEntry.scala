@@ -156,6 +156,100 @@ object SparkEntry {
       out
     })
 
+  // ---------------------------------------------------------------------
+  // WARC fixture: a 16-file web-crawl archive (mixed .warc.gz / .warc)
+  // derived from documents — warcinfo + request + response records whose
+  // every field is doc_id arithmetic and whose response bodies wrap the
+  // document text in escaped HTML. The warc extractor must recover the
+  // facts from real ISO 28500 framing (Content-Length walks, multi-record
+  // gzip, HTTP payload splits); the oracle recomposes the arithmetic
+  // from the parquet. Content key covers the doc population AND a text
+  // checksum (regenerated testdata invalidates the cache, CLAUDE.md).
+  // ---------------------------------------------------------------------
+  private val WarcFixtureVersion = 1
+  private val warcDirs = TrieMap.empty[String, String]
+  private def warcFixture(s: SparkSession, sfDir: String): String =
+    warcDirs.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_warc_${math.abs(sfDir.hashCode)}"
+      val docK = graft.multimodal.MediaFixtures.docKey(s, sfDir)
+      val textCk = s.read.parquet(s"$sfDir/documents.parquet")
+        .agg(sum(crc32(col("text"))).as("ck")).head().getLong(0)
+      val marker = new java.io.File(out,
+        s"_graft_warcv${WarcFixtureVersion}_${docK}_$textCk")
+      if (!marker.exists()) {
+        new java.io.File(out).mkdirs()
+        // stale shards/markers from a previous doc population must not
+        // survive a regeneration (a shard that became empty would linger)
+        Option(new java.io.File(out).listFiles()).foreach(_.foreach(_.delete()))
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text")).orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val crlf = "\r\n"
+        def rec(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+          val head = ("WARC/1.0" + crlf +
+            headers.map { case (k, v) => s"$k: $v$crlf" }.mkString +
+            s"Content-Length: ${payload.length}$crlf$crlf").getBytes("UTF-8")
+          head ++ payload ++ (crlf + crlf).getBytes("UTF-8")
+        }
+        def esc(t: String): String =
+          t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        for (f <- 0 until 16) {
+          val mine = docs.filter(_._1 % 16 == f)
+          if (mine.nonEmpty) {
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write(rec(Seq(
+              "WARC-Type" -> "warcinfo",
+              "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0001-${f}%012d>",
+              "WARC-Date" -> epoch.toString,
+              "Content-Type" -> "application/warc-fields"),
+              s"software: graft/13$crlf".getBytes("UTF-8")))
+            for ((id, text) <- mine) {
+              val uri = s"https://ex.com/doc/$id"
+              val date = epoch.plusSeconds(id).toString
+              if (id % 5 == 0)
+                bos.write(rec(Seq(
+                  "WARC-Type" -> "request",
+                  "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0002-${id}%012d>",
+                  "WARC-Date" -> date,
+                  "WARC-Target-URI" -> uri,
+                  "Content-Type" -> "application/http; msgtype=request"),
+                  (s"GET /doc/$id HTTP/1.1$crlf" + s"Host: ex.com$crlf$crlf")
+                    .getBytes("UTF-8")))
+              val http =
+                if (id % 7 == 3)
+                  s"HTTP/1.1 404 Not Found$crlf" +
+                    s"Content-Type: text/plain$crlf$crlf" + s"not found $id"
+                else
+                  s"HTTP/1.1 200 OK$crlf" +
+                    s"Content-Type: text/html; charset=utf-8$crlf$crlf" +
+                    s"<html><body><h2>D$id</h2><p>${esc(text)}</p></body></html>"
+              bos.write(rec(Seq(
+                "WARC-Type" -> "response",
+                "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0003-${id}%012d>",
+                "WARC-Date" -> date,
+                "WARC-Target-URI" -> uri,
+                "Content-Type" -> "application/http; msgtype=response"),
+                http.getBytes("UTF-8")))
+            }
+            // mixed layout: even shards gzipped (the production form),
+            // odd shards plain — both parser branches stay exercised
+            if (f % 2 == 0) {
+              val gz = new java.util.zip.GZIPOutputStream(
+                new java.io.FileOutputStream(f"$out/part-$f%02d.warc.gz"))
+              gz.write(bos.toByteArray); gz.close()
+            } else {
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, f"part-$f%02d.warc"),
+                bos.toByteArray)
+            }
+          }
+        }
+        marker.createNewFile()
+      }
+      out
+    })
+
   // in-memory Derby: the same real JDBC write/read path (DriverManager,
   // batched inserts, typed readback) without Derby's per-commit disk
   // sync — the roundtrip measures the engine's JDBC surface, not /tmp
@@ -2406,6 +2500,39 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "warc_extract" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val wd = warcFixture(s, dir)
+      // crawl ingestion end-to-end: WARC framing walk → response filter
+      // → HTTP payload split → HTML-to-text — the full Common-Crawl-style
+      // landing path, every output fact recomputed by the oracle from
+      // doc_id arithmetic + the raw text
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$wd"}},
+        "extractor": {"warc": {"types": ["response"]}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT cast(regexp_extract(target_uri, '([0-9]+)$$', 1) as bigint) AS doc_id, target_uri, warc_date, http_status, http_content_type, cast(body as string) AS html FROM __input"}},
+          {"htmlextract": {"field": "html", "outputField": "extracted"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "target_uri", "warc_date", "http_status",
+          "http_content_type", "extracted")
+        .orderBy("doc_id")
+    },
+    "warc_stats" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val wd = warcFixture(s, dir)
+      // record-level census over ALL record types (no filter): framing
+      // arithmetic (Content-Length) per type must match the oracle's
+      // recomposition of the exact payload strings
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$wd"}},
+        "extractor": {"warc": {}},
+        "loader": {"memory": {}} }""")
+        .groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n"), sum(col("content_length")).as("total_len"))
+        .orderBy("warc_type")
+    },
     "html_extract" -> { (s, dir) =>
       val c = ctx(s, dir)
       // HTML-to-text extraction: wrap each document's text in a real
@@ -4167,6 +4294,27 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "warc_extract" ->
+      (raw"SELECT doc_id, 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri, " +
+       raw"strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +
+       raw"CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INTEGER) AS http_status, " +
+       raw"CASE WHEN doc_id % 7 = 3 THEN 'text/plain' ELSE 'text/html; charset=utf-8' END AS http_content_type, " +
+       raw"CASE WHEN doc_id % 7 = 3 THEN 'not found ' || CAST(doc_id AS VARCHAR) " +
+       raw"ELSE trim('D' || CAST(doc_id AS VARCHAR) || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) END AS extracted " +
+       "FROM documents ORDER BY doc_id"),
+    "warc_stats" ->
+      ("SELECT warc_type, n, total_len FROM (" +
+       "SELECT 'request' AS warc_type, count(*) AS n, " +
+       "CAST(sum(strlen('GET /doc/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: ex.com' || chr(13) || chr(10) || chr(13) || chr(10))) AS BIGINT) AS total_len " +
+       "FROM documents WHERE doc_id % 5 = 0 " +
+       "UNION ALL SELECT 'response', count(*), " +
+       "CAST(sum(CASE WHEN doc_id % 7 = 3 " +
+       "THEN strlen('HTTP/1.1 404 Not Found' || chr(13) || chr(10) || 'Content-Type: text/plain' || chr(13) || chr(10) || chr(13) || chr(10) || 'not found ' || CAST(doc_id AS VARCHAR)) " +
+       "ELSE strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) || chr(13) || chr(10) || '<html><body><h2>D' || CAST(doc_id AS VARCHAR) || '</h2><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>') END) AS BIGINT) " +
+       "FROM documents " +
+       "UNION ALL SELECT 'warcinfo', count(DISTINCT doc_id % 16), " +
+       "CAST(count(DISTINCT doc_id % 16) * strlen('software: graft/13' || chr(13) || chr(10)) AS BIGINT) " +
+       "FROM documents) ORDER BY warc_type"),
     "html_extract" ->
       (raw"SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, " +
        raw"trim('Doc ' || chr(CAST(65 + doc_id % 26 AS INTEGER)) || ' link ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted, " +

@@ -238,6 +238,7 @@ object Sources {
       case Some(("jdbc", e)) => jdbc(spark, e)
       case Some(("parquet", _)) => spark.read.parquet(sourcePath)
       case Some(("orc", _)) => spark.read.orc(sourcePath)
+      case Some(("warc", e)) => Warc.read(spark, sourcePath, e)
       case Some((other, _)) => sys.error(s"unknown extractor $other")
     }
   }
