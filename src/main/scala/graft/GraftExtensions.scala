@@ -71,6 +71,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SimHash64(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_unicode_norm"),
+      info("graft_unicode_norm",
+        "graft_unicode_norm(text, form, stripAccents, toLower, cleanWs) - Unicode normalization (form NFC|NFD|NFKC|NFKD; flags are boolean literals)"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_unicode_norm", 5, exprs)
+        def strL(e: Expression, what: String): String = e match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+                       org.apache.spark.sql.types.StringType) => v.toString
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"graft_unicode_norm: $what must be a string literal, got $other"))
+        }
+        def boolL(e: Expression, what: String): Boolean = e match {
+          case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"graft_unicode_norm: $what must be a boolean literal, got $other"))
+        }
+        graft.functions.UnicodeNormExpr(exprs.head,
+          graft.functions.UnicodeNorm.checkForm(strL(exprs(1), "form")),
+          boolL(exprs(2), "stripAccents"), boolL(exprs(3), "toLower"),
+          boolL(exprs(4), "cleanWs"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_html_text"),
       info("graft_html_text",
         "graft_html_text(html) - visible text of an HTML document (single-pass parse, whitespace-collapsed)"),

@@ -2500,6 +2500,27 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "normalize_text" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // Unicode cleanup: six planted mess variants (combining marks vs
+      // precomposed, NBSP, a control char, tab/space runs) prefixed to
+      // each doc's text, keyed by doc_id % 6. The \\uXXXX escapes are
+      // decoded by the config parser (JSON string escapes), so the SQL
+      // literal carries the real code points. The oracle states the
+      // expected normalization per variant as a literal — no DuckDB
+      // unicode library involved, pure arithmetic ground truth.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat(element_at(array('Cafe\\u0301  MENU', '\\u00c0 la\\u00a0carte', 'nai\\u0308ve\\u0007 bell', 'S\\u00e3o   Paulo', 'Zu\\u0308rich', ' Hello \\t WORLD '), cast(doc_id % 6 as int) + 1), '  ', text) AS raw FROM __input"}},
+          {"normalizetext": {"field": "raw", "outputField": "norm",
+            "stripAccents": true, "lower": true}},
+          {"normalizetext": {"field": "raw", "outputField": "norm_nfc"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "norm", "norm_nfc").orderBy("doc_id")
+    },
     "warc_extract" -> { (s, dir) =>
       val c = ctx(s, dir)
       val wd = warcFixture(s, dir)
@@ -4294,6 +4315,13 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "normalize_text" ->
+      (raw"SELECT doc_id, " +
+       "trim(list_extract(['cafe menu', 'a la carte', 'naive bell', 'sao paulo', 'zurich', 'hello world'], CAST(doc_id % 6 AS INTEGER) + 1) " +
+       raw"|| ' ' || lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm, " +
+       "trim(list_extract(['Café MENU', 'À la carte', 'naïve bell', 'São Paulo', 'Zürich', 'Hello WORLD'], CAST(doc_id % 6 AS INTEGER) + 1) " +
+       raw"|| ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_nfc " +
+       "FROM documents ORDER BY doc_id"),
     "warc_extract" ->
       (raw"SELECT doc_id, 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri, " +
        raw"strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%SZ') AS warc_date, " +

@@ -86,6 +86,7 @@ object Engine {
     "urlparse"      -> graft.text.WebStages.urlparse _,
     "urlnormalize"  -> graft.text.WebStages.urlnormalize _,
     "htmlextract"   -> graft.text.WebStages.htmlextract _,
+    "normalizetext" -> graft.text.TextStages.normalizetext _,
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
     "chunk"         -> graft.split.SplitStages.chunk _,

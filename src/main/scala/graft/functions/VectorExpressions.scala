@@ -427,6 +427,24 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => SimHash64(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_unicode_norm",
+        (exprs: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          def s(e: Expression, what: String): String = e match {
+            case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+            case other => sys.error(s"graft_unicode_norm: $what must be a string literal, got $other")
+          }
+          def b(e: Expression, what: String): Boolean = e match {
+            case Literal(v: Boolean, BooleanType) => v
+            case other => sys.error(s"graft_unicode_norm: $what must be a boolean literal, got $other")
+          }
+          UnicodeNormExpr(exprs.head,
+            UnicodeNorm.checkForm(s(exprs(1), "form")),
+            b(exprs(2), "stripAccents"), b(exprs(3), "toLower"),
+            b(exprs(4), "cleanWs"))
+        },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_html_text",
         (exprs: Seq[Expression]) => HtmlToText(exprs.head),
         "built-in")
@@ -512,6 +530,14 @@ object VectorExpressions {
   /** Native dot product of two float/double array columns. */
   def arrayDot(a: Column, b: Column): Column =
     call_function("graft_array_dot", a, b)
+
+  /** Codegen'd Unicode normalization — see [[UnicodeNorm.norm]]. */
+  def unicodeNorm(text: Column, form: String, stripAccents: Boolean,
+                  toLower: Boolean, cleanWs: Boolean): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_unicode_norm", text, lit(form), lit(stripAccents),
+      lit(toLower), lit(cleanWs))
+  }
 
   /** Visible text of an HTML string (single-pass parse, ws-collapsed). */
   def htmlText(html: Column): Column = call_function("graft_html_text", html)

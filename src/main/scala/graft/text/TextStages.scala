@@ -213,6 +213,30 @@ object TextStages {
         .withColumn(s"n_$outField", size(col(outField)))
     }
 
+  /** `normalizetext`: Unicode canonicalization of a text column — the
+    * cleanup pass a multilingual crawl gets before dedup/tokenization
+    * (mixed NFC/NFD sources hash apart; NBSP defeats whitespace
+    * tokenizers; control bytes poison quality filters). Options:
+    * `field` (default "text"), `outputField` (default: overwrite),
+    * `form` (NFC|NFD|NFKC|NFKD, default NFC), `stripAccents` (default
+    * false), `lower` (default false), `cleanWhitespace` (default true —
+    * control-char removal + whitespace-run collapse incl. NBSP, trim).
+    * One codegen'd native expression ([[graft.functions.UnicodeNorm]]):
+    * pure per-row projection, fuses into the scan. */
+  def normalizetext(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "text")
+      require(df.columns.contains(f), s"normalizetext: no column '$f'")
+      val form = graft.functions.UnicodeNorm.checkForm(spec.strOr("form", "NFC"))
+      df.withColumn(spec.strOr("outputField", f),
+        graft.functions.VectorExpressions.unicodeNorm(
+          col(f).cast("string"), form,
+          spec.bool("stripAccents", dflt = false),
+          spec.bool("lower", dflt = false),
+          spec.bool("cleanWhitespace", dflt = true)))
+    }
+
   /** `regexreplace`: sequential regex substitutions over a text column —
     * the PII-masking / markup-stripping pass of a training-data pipeline
     * (mask emails, URLs, digit runs, strip tags…). Options: `field`
