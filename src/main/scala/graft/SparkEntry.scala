@@ -850,6 +850,50 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("value")
     },
+    "command_gremlin_paging" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // order().by(desc).by(tiebreak) + skip + limit + id(): the offset
+      // carries the explicit sort (no canonical re-pin between pages),
+      // so skip(5).limit(10) is rows 6-15 of the user's order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').order().by('o_totalprice', 'desc').by('id').skip(5).limit(10).id()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
+    "command_gremlin_tail" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // tail(n) = last n of the current order, planned as ONE inverted
+      // TakeOrdered (never a count+offset pass)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').order().by('o_totalprice', 'desc').by('id').tail(10).id()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
+    "command_gremlin_label" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // label() projects the traverser to its element label (the
+      // values() shape, so groupCount composes); constant-per-class
+      // counts come out as one aggregate row per label
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').label().groupCount()"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("value")
+    },
     "command_gremlin_groupcount" -> { (s, dir) =>
       val c = ctx(s, dir)
       // groupCount() terminal: traverser counts per landed vertex —
@@ -3667,6 +3711,16 @@ object SparkEntry {
        "FROM customer WHERE CAST(c_custkey AS VARCHAR) > '500' " +
        "AND CAST(c_custkey AS VARCHAR) NOT IN ('501', '502') " +
        "ORDER BY id LIMIT 15) ORDER BY value"),
+    "command_gremlin_paging" ->
+      ("SELECT value FROM (SELECT CAST(o_orderkey AS VARCHAR) AS value, o_totalprice " +
+       "FROM orders ORDER BY o_totalprice DESC, value ASC LIMIT 10 OFFSET 5) " +
+       "ORDER BY value"),
+    "command_gremlin_tail" ->
+      ("SELECT value FROM (SELECT CAST(o_orderkey AS VARCHAR) AS value, o_totalprice " +
+       "FROM orders ORDER BY o_totalprice ASC, value DESC LIMIT 10) " +
+       "ORDER BY value"),
+    "command_gremlin_label" ->
+      "SELECT 'order' AS value, count(*) AS count FROM orders",
     "command_gremlin_groupcount" ->
       ("SELECT CAST(o_custkey AS VARCHAR) AS id, count(*) AS count " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -229,21 +229,29 @@ object Gremlin {
     // `order().by(..)` accumulates sort keys here and is applied at the
     // next non-`by` step (or chain end) — adjacent `limit`/`range` then
     // plan as TakeOrdered instead of a full sort
-    var pendingSort: Option[List[Column]] = None
+    var pendingSort: Option[List[(String, Boolean)]] = None
     // true only within the step iteration right after a flushSort fired
     // — lets an adjacent limit/range keep the user's order as its
     // deterministic row-set pin (TakeOrdered) instead of re-sorting
     var justSorted = false
+    // the (column, ascending) keys most recently applied by flushSort —
+    // tail(n) inverts them to plan "last n" as a TakeOrdered
+    var lastSort: List[(String, Boolean)] = Nil
+    // set by skip: its offset preserved the current order, so the NEXT
+    // step starts with justSorted still true
+    var carryOrder = false
     def flushSort(): Unit = pendingSort.foreach { keys =>
       val eff =
         if (keys.nonEmpty) keys
-        else if (frame.columns.contains("value")) List(col("value").asc)
-        else if (frame.columns.contains("id")) List(col("id").asc)
+        else if (frame.columns.contains("value")) List("value" -> true)
+        else if (frame.columns.contains("id")) List("id" -> true)
         // edge space: no element id — whole-row order, deterministic
-        else frame.columns.sorted.toList.map(col(_).asc)
-      frame = frame.orderBy(eff: _*)
+        else frame.columns.sorted.toList.map(_ -> true)
+      frame = frame.orderBy(eff.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
       pendingSort = None
       justSorted = true
+      lastSort = eff
     }
     var skipN = 0
     // emit()/until(cond) written BEFORE their repeat() — stashed here
@@ -254,16 +262,20 @@ object Gremlin {
       val terminal = i == steps.tail.length - 1
       if (skipN > 0) { skipN -= 1 }
       else {
-      if (step._1 != "by") { justSorted = false; flushSort() }
+      if (step._1 != "by") {
+        // an order survives an offset (skip) — carry the pin one step
+        justSorted = carryOrder; carryOrder = false
+        flushSort()
+      }
       step match {
         case ("order", Nil) => pendingSort = Some(Nil)
         case ("by", args) =>
           val key = args match {
-            case Seq(f: String) => col(f).asc
+            case Seq(f: String) => f -> true
             case Seq(f: String, d: String)
-              if Set("asc", "incr").contains(d.toLowerCase) => col(f).asc
+              if Set("asc", "incr").contains(d.toLowerCase) => f -> true
             case Seq(f: String, d: String)
-              if Set("desc", "decr").contains(d.toLowerCase) => col(f).desc
+              if Set("desc", "decr").contains(d.toLowerCase) => f -> false
             case _ => fail(s"by(${args.mkString(", ")}): expected " +
               "by('col') or by('col', asc|desc|incr|decr)")
           }
@@ -279,6 +291,39 @@ object Gremlin {
             frame = frame.orderBy(
               frame.columns.sorted.map(col(_).asc).toIndexedSeq: _*)
           frame = frame.offset(lo.toInt).limit((hi - lo).toInt)
+        case ("skip", Seq(n: Long)) =>
+          if (n < 0 || n > Int.MaxValue) fail(s"skip($n) out of range")
+          if (!justSorted) {
+            frame = frame.orderBy(
+              frame.columns.sorted.map(col(_).asc).toIndexedSeq: _*)
+            lastSort = frame.columns.sorted.map(_ -> true).toList
+          }
+          frame = frame.offset(n.toInt)
+          // offset preserves the sort, so a following limit/tail keeps
+          // paging the SAME order instead of re-pinning canonically
+          carryOrder = true
+        case ("tail", args) =>
+          val n = args match {
+            case Nil => 1L
+            case Seq(v: Long) => v
+            case _ => fail(s"tail(${args.mkString(", ")}): expected tail() or tail(n)")
+          }
+          if (n <= 0 || n > Int.MaxValue) fail(s"tail($n) out of range")
+          // "last n under the current order" planned as a TakeOrdered:
+          // invert the effective keys (explicit order().by(..) if one
+          // just fired, whole-row canonical otherwise), take n, restore
+          // forward order. Whole-row tiebreak keeps the set and the
+          // restored order deterministic under key ties.
+          val keys =
+            if (justSorted && lastSort.nonEmpty) lastSort
+            else frame.columns.sorted.map(_ -> true).toList
+          val tiebreak = frame.columns.sorted
+            .filterNot(c => keys.exists(_._1 == c)).toList.map(_ -> true)
+          val eff = keys ++ tiebreak
+          frame = frame
+            .orderBy(eff.map { case (c, a) => if (a) col(c).desc else col(c).asc }: _*)
+            .limit(n.toInt)
+            .orderBy(eff.map { case (c, a) => if (a) col(c).asc else col(c).desc }: _*)
         case ("path", Nil) =>
           if (!terminal) fail("path() must be the last step")
           frame = frame.select(col("__path").as("path"))
@@ -394,6 +439,20 @@ object Gremlin {
           frame = frame.limit(n.toInt)
         case ("values", Seq(c: String)) =>
           frame = frame.select(col(c).as("value"))
+        // id()/label(): the traverser becomes the element id / label —
+        // the values() shape, so terminal aggregates and groupCount
+        // compose identically
+        case ("id", Nil) =>
+          if (!frame.columns.contains("id"))
+            fail("id(): no element id in scope (value/aggregate space)")
+          frame = frame.select(col("id").as("value"))
+        case ("label", Nil) =>
+          if (!frame.columns.contains("label"))
+            fail("label(): no element label in scope")
+          frame = frame.select(col("label").as("value"))
+        // constant(v): every traverser maps to the literal
+        case ("constant", Seq(v)) =>
+          frame = frame.select(lit(v).as("value"))
         case ("hasId", ids) if ids.nonEmpty && ids.forall(a =>
             a.isInstanceOf[String] || a.isInstanceOf[Long] ||
             a.isInstanceOf[Double]) =>
@@ -950,7 +1009,8 @@ object Gremlin {
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/E/hasLabel/has/hasId/out/in/both/" +
             "outE/inE/bothE (+ inV/outV/otherV/bothV)/dedup/" +
-            "limit/values/valueMap/elementMap/simplePath/" +
+            "limit/range/skip/tail/id/label/constant/" +
+            "values/valueMap/elementMap/simplePath/" +
             "count/sum/mean/min/max/fold/groupCount[.by('col')]/" +
             "group().by('k')[.by(<aggregate>)]/" +
             "project('a', …).by(<prop|chain.aggregate>)…/" +

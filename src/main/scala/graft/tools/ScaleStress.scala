@@ -151,6 +151,55 @@ object ScaleStress {
     dir
   }
 
+  /** WARC archive fixture, generated EXECUTOR-side (one task per shard
+    * file — the generation itself parallelizes like the read): 64
+    * `.warc.gz` shards of response records whose HTML bodies carry the
+    * same deterministic word stream as [[ensureDocs]]. */
+  private def ensureWarc(spark: SparkSession, n: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
+      val shards = 64
+      import org.apache.spark.sql.Encoders
+      spark.range(shards).repartition(shards).as(Encoders.scalaLong)
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { f =>
+            val crlf = "\r\n"
+            val gz = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(f"$dir/part-$f%02d.warc.gz"))
+            var id = f
+            while (id < n) {
+              val r = new scala.util.Random(id * 2654435761L)
+              val len = 40 + (math.abs(id * 31) % 160).toInt
+              val sb = new StringBuilder
+              var i = 0
+              while (i < len) {
+                val rank = math.min(9999,
+                  math.exp(r.nextDouble() * math.log(10000.0)).toInt)
+                sb.append('w').append(rank).append(' ')
+                i += 1
+              }
+              val http = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf" +
+                s"<html><body><h1>D$id</h1><p>$sb</p></body></html>"
+              val payload = http.getBytes("UTF-8")
+              gz.write((s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+                s"WARC-Record-ID: <urn:uuid:$id>$crlf" +
+                s"WARC-Target-URI: https://ex.com/doc/$id$crlf" +
+                s"Content-Type: application/http; msgtype=response$crlf" +
+                s"Content-Length: ${payload.length}$crlf$crlf").getBytes("UTF-8"))
+              gz.write(payload)
+              gz.write((crlf + crlf).getBytes("UTF-8"))
+              id += 64
+            }
+            gz.close()
+          }
+        }
+      marker.createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("graft-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,7 +225,7 @@ object ScaleStress {
       "interval_join", "boilerplate",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
-      "fuzzy_join", "etl_lateral")
+      "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -331,6 +380,31 @@ object ScaleStress {
         // refuse at the 1000-tuple cap from factor 10 on — reaching rows
         // at factor 100 (50k tuples) IS the O(1)-plan-build evidence;
         // runtime must track the underlying equi-join + collect_list agg
+        // crawl landing chain: HTML wrap (sql) → htmlextract →
+        // normalizetext — two per-row codegen'd projections; the final
+        // filter REFERENCES the normalized column (the count-elimination
+        // trap: an unreferenced projection would time only the scan)
+        "html_normalize" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id, concat('<html><head><title>D', cast(doc_id as string), '</title><style>p{x:1}</style></head><body><h1>T</h1><p>', text, '</p><!-- c --></body></html>') AS html FROM __input"}},
+            {"htmlextract": {"field": "html", "outputField": "t1"}},
+            {"normalizetext": {"field": "t1", "outputField": "t2",
+              "stripAccents": true, "lower": true}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE length(t2) > 10"}}],
+          "loader": {"memory": {}} }""",
+        // WARC framing walk + HTTP split: 64 gz shards regardless of N
+        // (records per shard ∝ N) — the filter references body, forcing
+        // the full parse, not just the file listing
+        "warc_parse" -> s"""{
+          "source": {"file": {"path": "${if (enabled("warc_parse")) ensureWarc(spark, n, s"/tmp/graft_stress_warc_f$factor") else ""}"}},
+          "extractor": {"warc": {"types": ["response"]}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT target_uri FROM __input WHERE http_status = 200 AND length(cast(body as string)) > 10"}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [

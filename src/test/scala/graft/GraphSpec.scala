@@ -305,6 +305,37 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("motif"))
   }
 
+  test("gremlin: paging steps skip/tail carry the order; id/label/constant projections") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "p", 1L), ("b", "p", 4L), ("c", "p", 2L),
+      ("d", "p", 3L), ("e", "q", 5L)).toDF("id", "label", "w"))
+    ctx.addEdges(Seq(("a", "b", "knows")).toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // skip pages the EXPLICIT order (w desc: e,b,d,c,a → skip 2 = d,c,a)
+    assert(g("g.V().order().by('w', 'desc').skip(2).values('id')")
+      .select("value").as[String].collect().toSeq == Seq("d", "c", "a"))
+    // skip then limit keeps paging the same order (rows 3-4)
+    assert(g("g.V().order().by('w', 'desc').skip(2).limit(2).values('id')")
+      .select("value").as[String].collect().toSeq == Seq("d", "c"))
+    // tail = last n of the order, forward order restored
+    assert(g("g.V().order().by('w', 'desc').tail(2).values('id')")
+      .select("value").as[String].collect().toSeq == Seq("c", "a"))
+    // bare tail: canonical whole-row order (id asc) → last element
+    assert(g("g.V().hasLabel('p').tail(1).values('id')")
+      .select("value").as[String].collect().toSeq == Seq("d"))
+    // id()/label()/constant(): traverser becomes the value — aggregates compose
+    assert(g("g.V().hasLabel('q').id()")
+      .select("value").as[String].collect().toSeq == Seq("e"))
+    assert(g("g.V().label().groupCount()")
+      .orderBy("value").select("value", "count").as[(String, Long)]
+      .collect().toSeq == Seq(("p", 4L), ("q", 1L)))
+    assert(g("g.V().constant(7).sum()")
+      .select("sum").as[Long].head() == 35L)
+    // skip past the end is empty, not an error
+    assert(g("g.V().order().by('w', 'desc').skip(9).values('id')").count() == 0L)
+  }
+
   test("gremlin: group().by().by() result map and project() per-traverser columns") {
     val ctx = newCtx()
     ctx.addVertices(Seq(("a", "p", 3L), ("b", "p", 5L), ("c", "q", 7L), ("d", "q", 2L))
