@@ -2544,6 +2544,26 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "c4_clean" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // C4 line-level cleaning: six constructed lines per page — a good
+      // line, a too-short line, a javascript line, a no-terminal line
+      // (with a planted '{' on some pages), the doc text as a line
+      // (period withheld on some pages → sentence-count failures), and
+      // a lorem-ipsum variant. The oracle rebuilds the page and applies
+      // the same rules computationally — no hardcoded row sets.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat_ws('\\n', 'A good first line with enough words to pass.', 'too short.', 'This line mentions JavaScript frameworks and is dropped today.', concat('No terminal punctuation on this line at all', CASE WHEN doc_id % 13 = 7 THEN ' {' ELSE '' END), concat(text, CASE WHEN doc_id % 17 = 11 THEN ' ends here' ELSE ' ends here.' END), CASE WHEN doc_id % 11 = 5 THEN 'Lorem ipsum dolor sit amet today.' ELSE 'A final good sentence with many words indeed!' END) AS text FROM __input"}},
+          {"c4filter": {}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "c4_text", "c4_no_lorem", "c4_no_brace",
+          "c4_min_sentences", "c4_keep")
+        .orderBy("doc_id")
+    },
     "normalize_text" -> { (s, dir) =>
       val c = ctx(s, dir)
       // Unicode cleanup: six planted mess variants (combining marks vs
@@ -4369,6 +4389,22 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "c4_clean" ->
+      (raw"WITH pages AS (SELECT doc_id, " +
+       "'A good first line with enough words to pass.' AS l1, " +
+       "'No terminal punctuation on this line at all' || CASE WHEN doc_id % 13 = 7 THEN ' {' ELSE '' END AS l4, " +
+       "text || CASE WHEN doc_id % 17 = 11 THEN ' ends here' ELSE ' ends here.' END AS l5, " +
+       "CASE WHEN doc_id % 11 = 5 THEN 'Lorem ipsum dolor sit amet today.' ELSE 'A final good sentence with many words indeed!' END AS l6 " +
+       "FROM documents), " +
+       "built AS (SELECT doc_id, l1 || chr(10) || 'too short.' || chr(10) || 'This line mentions JavaScript frameworks and is dropped today.' || chr(10) || l4 || chr(10) || l5 || chr(10) || l6 AS page, " +
+       raw"l1, l5, l6, (len(regexp_extract_all(l5, '\S+')) >= 5 AND NOT contains(lower(l5), 'javascript') AND (rtrim(l5) LIKE '%.' OR rtrim(l5) LIKE '%!' OR rtrim(l5) LIKE '%?')) AS keep5 FROM pages), " +
+       "cleaned AS (SELECT doc_id, page, l1 || CASE WHEN keep5 THEN chr(10) || l5 ELSE '' END || chr(10) || l6 AS c4_text FROM built) " +
+       "SELECT doc_id, c4_text, " +
+       "NOT contains(lower(page), 'lorem ipsum') AS c4_no_lorem, " +
+       "NOT contains(page, '{') AS c4_no_brace, " +
+       "((length(c4_text) - length(replace(c4_text, '.', ''))) + (length(c4_text) - length(replace(c4_text, '!', ''))) + (length(c4_text) - length(replace(c4_text, '?', '')))) >= 3 AS c4_min_sentences, " +
+       "(NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{') AND ((length(c4_text) - length(replace(c4_text, '.', ''))) + (length(c4_text) - length(replace(c4_text, '!', ''))) + (length(c4_text) - length(replace(c4_text, '?', '')))) >= 3) AS c4_keep " +
+       "FROM cleaned ORDER BY doc_id"),
     "normalize_text" ->
       (raw"SELECT doc_id, " +
        "trim(list_extract(['cafe menu', 'a la carte', 'naive bell', 'sao paulo', 'zurich', 'hello world'], CAST(doc_id % 6 AS INTEGER) + 1) " +

@@ -77,6 +77,7 @@ object Engine {
     "repetition"    -> graft.text.TextStages.repetition _,
     "boilerplate"   -> graft.text.TextStages.boilerplate _,
     "gopherfilter"  -> graft.text.TextStages.gopherFilter _,
+    "c4filter"      -> graft.text.TextStages.c4Filter _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

@@ -152,6 +152,60 @@ object TextStages {
       }
     }
 
+  /** `c4filter`: the C4 line-level cleaning rule set (Raffel et al.
+    * 2020, "Exploring the Limits of Transfer Learning", §2.2 — the
+    * other canonical curation recipe next to Gopher's document-level
+    * rules). Line rules (applied to `\n`-split lines):
+    *  - keep only lines ending in terminal punctuation (`.` `!` `?` or
+    *    a closing quote), after right-trim;
+    *  - keep only lines with at least `minLineWords` (default 5) words;
+    *  - drop any line containing the word "javascript" (case-folded).
+    * Page rules (on the ORIGINAL text):
+    *  - drop pages containing "lorem ipsum" (case-folded) or `{`;
+    *  - drop pages whose CLEANED text has fewer than `minSentences`
+    *    (default 3) terminal punctuation marks (the paper's ≥3-sentence
+    *    rule, counted after line cleaning).
+    * Emits `c4_text` (retained lines re-joined with `\n`), per-rule
+    * booleans and `c4_keep`; `action: "filter"` keeps passing rows and
+    * swaps `text` for the cleaned lines. Pure per-row HOF arithmetic —
+    * fuses into the scan, zero shuffle at any corpus size. */
+  def c4Filter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      require(df.columns.contains(fieldName), s"c4filter: no column '$fieldName'")
+      val f = col(fieldName)
+      val minLineWords = spec.int("minLineWords", 5)
+      val minSentences = spec.int("minSentences", 3)
+      val lines = split(f, "\n")
+      def lineWords(l: Column): Column =
+        size(filter(split(l, "\\s+"), w => w =!= ""))
+      def terminal(l: Column): Column = {
+        val t = rtrim(l)
+        t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+          t.endsWith("\"") || t.endsWith("”")
+      }
+      val kept = filter(lines, l =>
+        terminal(l) && lineWords(l) >= minLineWords &&
+          !lower(l).contains("javascript"))
+      val cleaned = array_join(kept, "\n")
+      def cnt(c: Column, s: String): Column =
+        length(c) - length(replace(c, lit(s), lit("")))
+      val sentences = cnt(cleaned, ".") + cnt(cleaned, "!") + cnt(cleaned, "?")
+      val rules: Seq[(String, Column)] = Seq(
+        "c4_no_lorem" -> !lower(f).contains("lorem ipsum"),
+        "c4_no_brace" -> !f.contains("{"),
+        "c4_min_sentences" -> (sentences >= minSentences))
+      val keep = rules.map(_._2).reduce(_ && _)
+      spec.strOr("action", "flag").toLowerCase match {
+        case "filter" => df.filter(keep).withColumn(fieldName, cleaned)
+        case "flag" =>
+          rules.foldLeft(df.withColumn("c4_text", cleaned)) {
+            case (d, (n, c)) => d.withColumn(n, c)
+          }.withColumn("c4_keep", keep)
+        case other => sys.error(s"c4filter: action must be flag|filter, got $other")
+      }
+    }
+
   /** `langid`: character-trigram naive-Bayes language identification
     * over 14 languages (see [[LangIdModel]]) — a real model replacing
     * the round-5 five-language marker-word heuristic. Runs as the

@@ -355,6 +355,41 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("c4filter: line rules, page rules, and the filter action swap") {
+    val page =
+      "A good first line with plenty of words here.\n" +   // retained
+      "too short.\n" +                                     // < 5 words
+      "A javascript mention drops this entire line fast.\n" + // javascript
+      "No terminal punctuation on this long line at all\n" +  // no terminal
+      "A second proper sentence with enough words too!\n" +   // retained
+      "And a third closing sentence with several words here?" // retained
+    val df = Seq(
+      (1L, page),                                   // keeps: 3 sentences
+      (2L, page + "\nlorem ipsum dolor."),          // lorem page rule
+      (3L, page.replaceFirst("\\.", " {.")),        // brace page rule
+      (4L, "One lonely good sentence with five words here.") // < 3 sentences
+    ).toDF("doc_id", "text")
+    val out = stage("c4filter")(df).orderBy("doc_id").collect()
+    def flag(i: Int, c: String) = out(i).getAs[Boolean](c)
+    assert(flag(0, "c4_keep"))
+    assert(out(0).getAs[String]("c4_text") ==
+      "A good first line with plenty of words here.\n" +
+      "A second proper sentence with enough words too!\n" +
+      "And a third closing sentence with several words here?")
+    assert(!flag(1, "c4_no_lorem") && !flag(1, "c4_keep"))
+    assert(!flag(2, "c4_no_brace") && !flag(2, "c4_keep"))
+    assert(!flag(3, "c4_min_sentences") && !flag(3, "c4_keep"))
+    // filter action: keeps passing rows with text REPLACED by the clean lines
+    val kept = stage("c4filter", "action" -> "filter")(df)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(kept.select("text").as[String].head().startsWith("A good first line"))
+    // null text flows through as null flags, not a crash
+    val n = stage("c4filter")(Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")).head()
+    assert(n.isNullAt(n.fieldIndex("c4_text")))
+  }
+
   test("tokenize: BPE-ish units count words and punctuation separately") {
     val df = Seq((1L, "don't stop, world!")).toDF("doc_id", "text")
     val out = stage("tokenize")(df).head()
