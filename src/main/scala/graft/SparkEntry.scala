@@ -2544,6 +2544,38 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "hll_rollup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // mergeable distinct-count sketches: per-priority HLL of customer
+      // keys; the verdict joins the engine's own exact distinct and
+      // asserts the estimate lands within the 5% bound (lgK 12 ≈ 1.6%
+      // relative error, so the bound is ~3 sigma) — the recall-floor
+      // harness pattern. Oracle: exact distinct + literal true.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"hllsketch": {"field": "o_custkey", "groupBy": "o_orderpriority"}},
+          {"code": {"language": "sql", "code":
+            "SELECT i.o_orderpriority, x.n_exact, abs(hll_sketch_estimate(i.hll_sketch) - x.n_exact) <= 0.05 * x.n_exact AS est_ok FROM __input i JOIN (SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1) x ON i.o_orderpriority = x.o_orderpriority"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("o_orderpriority")
+    },
+    "hll_merge" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the rollup HLL exists for: UNION the per-group sketches to a
+      // coarser grain (here: global) WITHOUT rescanning the raw table,
+      // then estimate — count(DISTINCT) cannot re-aggregate this way
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"hllsketch": {"field": "o_custkey", "groupBy": "o_orderpriority"}},
+          {"hllmerge": {}},
+          {"code": {"language": "sql", "code":
+            "SELECT x.n_exact, abs(i.distinct_est - x.n_exact) <= 0.05 * x.n_exact AS est_ok FROM __input i CROSS JOIN (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders) x"}}],
+        "loader": {"memory": {}} }""")
+    },
     "c4_clean" -> { (s, dir) =>
       val c = ctx(s, dir)
       // C4 line-level cleaning: six constructed lines per page — a good
@@ -4389,6 +4421,11 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "hll_rollup" ->
+      ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, " +
+       "true AS est_ok FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
+    "hll_merge" ->
+      "SELECT count(DISTINCT o_custkey) AS n_exact, true AS est_ok FROM orders",
     "c4_clean" ->
       (raw"WITH pages AS (SELECT doc_id, " +
        "'A good first line with enough words to pass.' AS l1, " +

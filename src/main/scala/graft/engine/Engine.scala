@@ -104,6 +104,8 @@ object Engine {
     "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
     "zscore"        -> graft.stages.StatStages.zscore _,
     "quantiles"     -> graft.stages.StatStages.quantiles _,
+    "hllsketch"     -> graft.stages.StatStages.hllSketch _,
+    "hllmerge"      -> graft.stages.StatStages.hllMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,

@@ -16,6 +16,51 @@ import org.apache.spark.sql.types._
   * into one partition). AQE broadcasts the stats side when small. */
 object StatStages {
 
+  /** `hllsketch`: mergeable distinct-count sketches (Apache DataSketches
+    * HLL via Spark's `hll_sketch_agg`) — the 100-TB spelling of
+    * count-distinct rollups. A sketch is a small binary that MERGES:
+    * compute per fine-grained group (per day, per shard) once, then
+    * [[hllmerge]] re-aggregates to any coarser grain without rescanning
+    * the raw table — exactly what `count(DISTINCT …)` can't do.
+    * Deterministic: the sketch state is order-independent (per-bucket
+    * max of hashed values), so estimates are reproducible.
+    *
+    * Options: `field` (required — the values sketched), `groupBy`
+    * (comma-separated keys; absent = one global sketch), `lgConfigK`
+    * (default 12 ≈ 1.6 % relative error), `out` (default "hll_sketch").
+    * One hash aggregation with map-side combine. */
+  def hllSketch(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("hllsketch: field required"))
+      val lgK = spec.int("lgConfigK", 12)
+      require(lgK >= 4 && lgK <= 21, s"hllsketch: lgConfigK out of range: $lgK")
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      val agg = hll_sketch_agg(col(f), lit(lgK)).as(spec.strOr("out", "hll_sketch"))
+      if (keys.isEmpty) df.agg(agg)
+      else df.groupBy(keys.map(col).toIndexedSeq: _*).agg(agg)
+    }
+
+  /** `hllmerge`: union previously-built HLL sketches to a coarser grain
+    * and surface the distinct estimate. Options: `field` (sketch column,
+    * default "hll_sketch"), `groupBy` (coarser keys; absent = one global
+    * row), `out` (default "distinct_est" — a LONG estimate), and
+    * `keepSketch` (default false — true also keeps the merged binary
+    * for further rollups). */
+  def hllMerge(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.strOr("field", "hll_sketch")
+      require(df.columns.contains(f), s"hllmerge: no column '$f'")
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      val merged = hll_union_agg(col(f))
+      val est = hll_sketch_estimate(merged).as(spec.strOr("out", "distinct_est"))
+      val aggs =
+        if (spec.bool("keepSketch", dflt = false))
+          Seq(est, merged.as(f + "_merged"))
+        else Seq(est)
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
   /** `quantiles`: per-group quantiles of a numeric column.
     *
     * Options: `field` (required), `keyField` (optional, comma-

@@ -11,6 +11,34 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hllsketch/hllmerge: merge of shard sketches == one whole-table sketch") {
+    val ctx = newCtx()
+    // 10k values split across 7 shards: the merged estimate must be
+    // IDENTICAL to sketching the whole column at once (HLL state is a
+    // per-bucket max — shard boundaries can't change it)
+    val df = spark.range(10000).select((col("id") % 7).as("shard"),
+      (col("id") % 4096).as("v")) // 4096 true distinct
+    val perShard = StatStages.hllSketch(ComponentSpec("hllsketch",
+      Map("field" -> "v", "groupBy" -> "shard")), ctx)(df)
+    assert(perShard.count() == 7)
+    val merged = StatStages.hllMerge(ComponentSpec("hllmerge", Map()), ctx)(perShard)
+      .select("distinct_est").as[Long].head()
+    val whole = StatStages.hllSketch(ComponentSpec("hllsketch",
+      Map("field" -> "v")), ctx)(df)
+    val wholeEst = whole.select(expr("hll_sketch_estimate(hll_sketch)"))
+      .as[Long].head()
+    assert(merged == wholeEst)
+    assert(math.abs(merged - 4096L) <= 0.05 * 4096) // within the lgK-12 bound
+    // keepSketch surfaces the merged binary for further rollups
+    val kept = StatStages.hllMerge(ComponentSpec("hllmerge",
+      Map("keepSketch" -> true)), ctx)(perShard)
+    assert(kept.columns.toSeq == Seq("distinct_est", "hll_sketch_merged"))
+    // bad lgK fails at plan time with the range named
+    val e = intercept[IllegalArgumentException](StatStages.hllSketch(
+      ComponentSpec("hllsketch", Map("field" -> "v", "lgConfigK" -> 99)), ctx)(df))
+    assert(e.getMessage.contains("lgConfigK"))
+  }
+
   test("zscore: hand-computed group values; zero-variance group yields null z") {
     val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 5L)).toDF("k", "x")
     val out = StatStages.zscore(ComponentSpec("zscore",
