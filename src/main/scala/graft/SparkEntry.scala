@@ -2544,6 +2544,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "compress_quality" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // information-density cut: every 4th doc's text is replaced by a
+      // 60x-repeated token pair (deflate ratio ~0.04 vs >=0.38 measured
+      // across the real corpus — a >9x margin around the 0.2 cut), the
+      // stage must classify exactly the planted rows. The oracle is the
+      // plant arithmetic; the engine must recover it from the BYTES.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN repeat('spam ham ', 60) ELSE text END AS text FROM __input"}},
+          {"compressratio": {"minRatio": 0.2}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("compress_keep"))
+        .orderBy("doc_id")
+    },
     "hll_rollup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // mergeable distinct-count sketches: per-priority HLL of customer
@@ -4421,6 +4439,9 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "compress_quality" ->
+      ("SELECT doc_id, doc_id % 4 <> 0 AS compress_keep " +
+       "FROM documents ORDER BY doc_id"),
     "hll_rollup" ->
       ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, " +
        "true AS est_ok FROM orders GROUP BY 1 ORDER BY o_orderpriority"),

@@ -78,6 +78,7 @@ object Engine {
     "boilerplate"   -> graft.text.TextStages.boilerplate _,
     "gopherfilter"  -> graft.text.TextStages.gopherFilter _,
     "c4filter"      -> graft.text.TextStages.c4Filter _,
+    "compressratio" -> graft.text.TextStages.compressRatio _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

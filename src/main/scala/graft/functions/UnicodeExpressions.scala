@@ -82,6 +82,51 @@ object UnicodeNorm {
     UTF8String.fromString(norm(s.toString, formName, stripAccents, toLower, cleanWs))
 }
 
+/** Deflate compression ratio of a string — the information-density
+  * quality signal (repetitive spam/boilerplate compresses an order of
+  * magnitude better than natural text; pipelines cut on a low-ratio
+  * threshold). zlib deflate at a fixed level is deterministic for a
+  * given input, so the signal is reproducible across runs and hosts. */
+object DeflateRatio {
+  def ratio(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+}
+
+/** Codegen'd deflate ratio of a string column — see [[DeflateRatio]]. */
+case class DeflateRatioExpr(child: Expression, level: Int)
+    extends UnaryExpression {
+  require(level >= 1 && level <= 9, s"compressratio: level must be 1..9, got $level")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatio.ratio(input.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateRatio.ratio($c, $level)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd Unicode normalization of a string column — see
   * [[UnicodeNorm.norm]]. The mode flags are plan-time literals, so the
   * generated code is a single static call inside whole-stage codegen. */

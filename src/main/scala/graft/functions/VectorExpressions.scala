@@ -445,6 +445,18 @@ object VectorExpressions {
         },
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_deflate_ratio",
+        (exprs: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val level = exprs(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => sys.error(
+              s"graft_deflate_ratio: level must be an int literal, got $other")
+          }
+          DeflateRatioExpr(exprs.head, level)
+        },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_html_text",
         (exprs: Seq[Expression]) => HtmlToText(exprs.head),
         "built-in")
@@ -530,6 +542,11 @@ object VectorExpressions {
   /** Native dot product of two float/double array columns. */
   def arrayDot(a: Column, b: Column): Column =
     call_function("graft_array_dot", a, b)
+
+  /** Codegen'd deflate compression ratio — see [[DeflateRatio]]. */
+  def deflateRatio(text: Column, level: Int): Column =
+    call_function("graft_deflate_ratio", text,
+      org.apache.spark.sql.functions.lit(level))
 
   /** Codegen'd Unicode normalization — see [[UnicodeNorm.norm]]. */
   def unicodeNorm(text: Column, form: String, stripAccents: Boolean,

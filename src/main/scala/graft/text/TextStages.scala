@@ -152,6 +152,28 @@ object TextStages {
       }
     }
 
+  /** `compressratio`: deflate compression ratio of a text column — the
+    * information-density quality signal (repetitive spam compresses an
+    * order of magnitude better than natural text; curation cuts on a
+    * low-ratio threshold). Deterministic: zlib at a fixed level.
+    * Options: `field` (default "text"), `outputField` (default
+    * "compress_ratio"), `level` (1-9, default 6), optional `minRatio` —
+    * when set, also emits boolean `compress_keep` (ratio >= minRatio).
+    * One codegen'd expression, pure per-row projection. */
+  def compressRatio(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "text")
+      require(df.columns.contains(f), s"compressratio: no column '$f'")
+      val out = spec.strOr("outputField", "compress_ratio")
+      val d = df.withColumn(out, graft.functions.VectorExpressions.deflateRatio(
+        col(f).cast("string"), spec.int("level", 6)))
+      spec.str("minRatio").map(_.toDouble) match {
+        case Some(t) => d.withColumn("compress_keep", col(out) >= t)
+        case None => d
+      }
+    }
+
   /** `c4filter`: the C4 line-level cleaning rule set (Raffel et al.
     * 2020, "Exploring the Limits of Transfer Learning", §2.2 — the
     * other canonical curation recipe next to Gopher's document-level

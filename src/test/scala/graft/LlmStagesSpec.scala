@@ -355,6 +355,31 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("compressratio: repetitive text scores low, natural text high; nulls flow") {
+    val natural = "the quick brown fox jumps over a lazy dog while seven " +
+      "wizards brew quartz elixirs beyond misty valleys tonight"
+    val df = Seq(
+      (1L, natural),
+      (2L, "spam ham " * 60),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = stage("compressratio", "minRatio" -> 0.2)(df).orderBy("doc_id").collect()
+    val natR = out(0).getAs[Double]("compress_ratio")
+    val spamR = out(1).getAs[Double]("compress_ratio")
+    assert(natR > 0.2 && natR < 1.5, s"natural ratio $natR")
+    assert(spamR < 0.1, s"spam ratio $spamR")
+    assert(out(0).getAs[Boolean]("compress_keep"))
+    assert(!out(1).getAs[Boolean]("compress_keep"))
+    assert(out(2).getAs[Double]("compress_ratio") == 1.0) // empty → neutral
+    assert(out(3).isNullAt(out(3).fieldIndex("compress_ratio")))
+    // determinism: same input, same ratio, run-to-run
+    val again = stage("compressratio")(df).orderBy("doc_id").collect()
+    assert(again(0).getAs[Double]("compress_ratio") == natR)
+    // bad level fails at plan time
+    val e = intercept[Exception](stage("compressratio", "level" -> 0)(df).collect())
+    assert(e.getMessage.contains("level"))
+  }
+
   test("c4filter: line rules, page rules, and the filter action swap") {
     val page =
       "A good first line with plenty of words here.\n" +   // retained
