@@ -2544,6 +2544,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "hint_broadcast" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // explicit join-strategy control: the filtered customer dim gets a
+      // broadcast hint, the downstream SQL join must plan it broadcast
+      // (PlanSpec locks the physical shape; result is plan-invariant)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT c_custkey, c_name FROM __input WHERE c_mktsegment = 'BUILDING'"}},
+          {"hint": {"name": "broadcast"}},
+          {"code": {"language": "sql", "code":
+            "SELECT o.o_orderkey, c.c_name FROM orders o JOIN __input c ON o.o_custkey = c.c_custkey"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("o_orderkey")
+    },
     "compress_quality" -> { (s, dir) =>
       val c = ctx(s, dir)
       // information-density cut: every 4th doc's text is replaced by a
@@ -3436,6 +3453,28 @@ object SparkEntry {
       s.table("stream_enr")
         .select("event_id", "user_id", "segment")
         .orderBy("event_id")
+    },
+    "stream_ingest" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the crawl landing chain RUNNING AS A STREAM: html wrap (stand-in
+      // for fetched payloads) → htmlextract → normalizetext, all
+      // stateless per-row projections, so the same registry stages run
+      // unchanged under readStream with no watermark or state store —
+      // continuous ingestion of new crawl shards at scale
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "documents.parquet",
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "documents")}"}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('<html><body><h1>D', cast(doc_id as string), '</h1><p>', replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '</p></body></html>') AS html FROM __input"}},
+          {"htmlextract": {"field": "html", "outputField": "extracted"}},
+          {"normalizetext": {"field": "extracted", "outputField": "norm",
+            "stripAccents": true, "lower": true}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_ing",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_ing").select("doc_id", "norm").orderBy("doc_id")
     },
     "stream_upsert" -> { (s, dir) =>
       // streaming CDC-merge: micro-batches apply through the bucketed
@@ -4439,6 +4478,10 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "hint_broadcast" ->
+      ("SELECT o.o_orderkey, c.c_name FROM orders o " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "WHERE c.c_mktsegment = 'BUILDING' ORDER BY o_orderkey"),
     "compress_quality" ->
       ("SELECT doc_id, doc_id % 4 <> 0 AS compress_keep " +
        "FROM documents ORDER BY doc_id"),
@@ -4804,6 +4847,10 @@ object SparkEntry {
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),
+    "stream_ingest" ->
+      (raw"SELECT doc_id, trim('d' || CAST(doc_id AS VARCHAR) || ' ' || " +
+       raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm " +
+       "FROM documents ORDER BY doc_id"),
     "stream_enrich" ->
       ("SELECT e.event_id, e.user_id, c.c_mktsegment AS segment " +
        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +

@@ -38,6 +38,8 @@ object Engine {
     "code"    -> Stages.code _,
     "command" -> Stages.command _,
     "flatten"       -> Stages.flatten _,
+    "hint"          -> Stages.hintStage _,
+    "repartition"   -> Stages.repartitionStage _,
     "rollup"        -> graft.stages.CubeStages.rollup _,
     "pivot"         -> graft.stages.CubeStages.pivot _,
     "expect"        -> graft.stages.ExpectStage.expect _,

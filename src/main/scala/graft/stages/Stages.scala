@@ -324,6 +324,52 @@ object Stages {
     * name colliding with an existing column fails loud. Pure
     * projection (+ one `posexplode` when exploding) — no shuffle,
     * fuses into the scan. */
+  /** `hint`: attach a Catalyst join-strategy hint to the CURRENT frame
+    * so a downstream stage's join (merge/link/command SQL over
+    * `__input`) plans it — the explicit cluster knob when the optimizer
+    * can't see that a side is small (post-filter dims, fresh temp views
+    * with no stats). Names: `broadcast`, `merge`, `shuffle_hash`,
+    * `shuffle_replicate_nl`. Result-identical by construction; only the
+    * physical plan changes. */
+  def hintStage(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val name = spec.strOr("name", "broadcast").toLowerCase
+      val allowed = Set("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl")
+      require(allowed.contains(name),
+        s"hint: name must be one of ${allowed.mkString("|")}, got '$name'")
+      df.hint(name)
+    }
+
+  /** `repartition`: explicit layout control — pre-shuffle onto join/agg
+    * keys (co-located downstream exchanges), size output files, or
+    * `coalesce` without a shuffle. Options: `num` (target partitions),
+    * `by` (comma-separated key columns — hash partitioning), `range`
+    * (bool — range partitioning instead, for ordered layouts/zipping),
+    * `coalesce` (bool — narrow coalesce to `num`, no shuffle). At 100 TB
+    * this is the knob that turns two shuffles (groupBy after join on
+    * the same key) into one. */
+  def repartitionStage(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    common(spec, ctx) { df =>
+      val num = spec.long("num").map(_.toInt)
+      val by = spec.strOr("by", "").split(",").map(_.trim).filter(_.nonEmpty)
+      val useRange = spec.bool("range", dflt = false)
+      if (spec.bool("coalesce", dflt = false)) {
+        require(by.isEmpty && !useRange, "repartition: coalesce takes only num")
+        df.coalesce(num.getOrElse(sys.error("repartition: coalesce needs num")))
+      } else (num, by.toSeq) match {
+        case (Some(n), Nil) =>
+          require(!useRange, "repartition: range needs key columns")
+          df.repartition(n)
+        case (Some(n), cols) =>
+          if (useRange) df.repartitionByRange(n, cols.map(col): _*)
+          else df.repartition(n, cols.map(col): _*)
+        case (None, cols) if cols.nonEmpty =>
+          if (useRange) df.repartitionByRange(cols.map(col): _*)
+          else df.repartition(cols.map(col): _*)
+        case _ => sys.error("repartition: need num and/or by")
+      }
+    }
+
   def flatten(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     common(spec, ctx) { df =>
       val sep = spec.strOr("separator", "_")

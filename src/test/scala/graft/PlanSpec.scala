@@ -53,6 +53,56 @@ class PlanSpec extends SparkSpec {
       "small dim should broadcast, not shuffle")
   }
 
+  test("hint stage forces a broadcast join; repartition controls layout") {
+    val ctx = newCtx()
+    // the hint survives the __input temp-view registration into the
+    // downstream SQL join's physical plan
+    val out = Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/customer.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [
+        {"hint": {"name": "broadcast"}},
+        {"code": {"language": "sql", "code":
+          "SELECT o.o_orderkey, c.c_name FROM orders o JOIN __input c ON o.o_custkey = c.c_custkey"}}],
+      "loader": {"memory": {}} }""")
+    assert(planOf(out).contains("BroadcastHashJoin"),
+      s"hinted join should broadcast:\n${planOf(out)}")
+    // merge hint: the same join plans as a sort-merge instead
+    val smj = Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/customer.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [
+        {"hint": {"name": "merge"}},
+        {"code": {"language": "sql", "code":
+          "SELECT o.o_orderkey, c.c_name FROM orders o JOIN __input c ON o.o_custkey = c.c_custkey"}}],
+      "loader": {"memory": {}} }""")
+    assert(planOf(smj).contains("SortMergeJoin"),
+      s"merge hint should plan SMJ:\n${planOf(smj)}")
+    // repartition: exact partition count on the requested keys
+    val rep = Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/orders.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"repartition": {"num": 7, "by": "o_custkey"}}],
+      "loader": {"memory": {}} }""")
+    assert(rep.rdd.getNumPartitions == 7)
+    // coalesce: narrow, no exchange in the plan
+    val co = Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/orders.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"repartition": {"num": 1, "coalesce": true}}],
+      "loader": {"memory": {}} }""")
+    assert(co.rdd.getNumPartitions == 1)
+    assert(!co.queryExecution.executedPlan.toString.contains("Exchange"),
+      "coalesce must not shuffle")
+    // bad hint name is refused with the allowed set
+    val e = intercept[Exception](Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/customer.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"hint": {"name": "bogus"}}],
+      "loader": {"memory": {}} }"""))
+    assert(e.getMessage.contains("broadcast|merge"))
+  }
+
   test("fused file+row+csv compiles to one native csv scan (no zipWithIndex)") {
     val path = {
       val f = java.nio.file.Files.createTempFile("plan_csv", ".csv")
