@@ -250,6 +250,71 @@ object SparkEntry {
       out
     })
 
+  // ---------------------------------------------------------------------
+  // Wikipedia-dump fixture: 8 shards (mixed .xml / .xml.gz) of
+  // <mediawiki><page>… records whose <text> carries the document text
+  // wrapped in real wikitext markup (templates, tables, refs, links,
+  // headings, bullets — each a plant the wikitext stage must strip).
+  // Same content-key discipline as the WARC fixture.
+  // ---------------------------------------------------------------------
+  private val WikiFixtureVersion = 1
+  private val wikiDirs = TrieMap.empty[String, String]
+  private def wikiFixture(s: SparkSession, sfDir: String): String =
+    wikiDirs.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_wiki_${math.abs(sfDir.hashCode)}"
+      val docK = graft.multimodal.MediaFixtures.docKey(s, sfDir)
+      val textCk = s.read.parquet(s"$sfDir/documents.parquet")
+        .agg(sum(crc32(col("text"))).as("ck")).head().getLong(0)
+      val marker = new java.io.File(out,
+        s"_graft_wikiv${WikiFixtureVersion}_${docK}_$textCk")
+      if (!marker.exists()) {
+        new java.io.File(out).mkdirs()
+        Option(new java.io.File(out).listFiles()).foreach(_.foreach(_.delete()))
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text")).orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        def esc(t: String): String =
+          t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        for (f <- 0 until 8) {
+          val mine = docs.filter(_._1 % 8 == f)
+          if (mine.nonEmpty) {
+            val sb = new StringBuilder
+            sb.append("<mediawiki xml:lang=\"en\">\n")
+            for ((id, text) <- mine) {
+              val wiki =
+                s"== Heading $id ==\n" +
+                s"'''Bold''' intro with a [[Main Link|label $id]] and [[Plain]].\n" +
+                s"{{Infobox|key=value|n=$id}}\n" +
+                "{| class=\"wikitable\"\n| cell\n|}\n" +
+                s"<ref name=\"r$id\">citation</ref>\n" +
+                s"[[File:Pic$id.png|thumb|A [[nested]] caption]]\n" +
+                s"[https://ex.com/$id ext label] and text follows.\n" +
+                "* bullet one\n" + text
+              sb.append("<page><title>Page ").append(id)
+                .append("</title><ns>0</ns><id>").append(id)
+                .append("</id><revision><id>").append(id * 7)
+                .append("</id><timestamp>").append(epoch.plusSeconds(id))
+                .append("</timestamp><text bytes=\"")
+                .append(wiki.getBytes("UTF-8").length).append("\">")
+                .append(esc(wiki)).append("</text></revision></page>\n")
+            }
+            sb.append("</mediawiki>\n")
+            val bytes = sb.toString.getBytes("UTF-8")
+            if (f % 2 == 0) {
+              val gz = new java.util.zip.GZIPOutputStream(
+                new java.io.FileOutputStream(f"$out/shard-$f%02d.xml.gz"))
+              gz.write(bytes); gz.close()
+            } else
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, f"shard-$f%02d.xml"), bytes)
+          }
+        }
+        marker.createNewFile()
+      }
+      out
+    })
+
   // in-memory Derby: the same real JDBC write/read path (DriverManager,
   // batched inserts, typed readback) without Derby's per-commit disk
   // sync — the roundtrip measures the engine's JDBC surface, not /tmp
@@ -2544,6 +2609,26 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "wiki_extract" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val wd = wikiFixture(s, dir)
+      // the Wikipedia landing path end-to-end: xml extractor (rowTag
+      // record slicing, leaf decode, raw nested children) → SQL pull of
+      // the revision <text> → wikitext markup strip. Every plant
+      // (template, table, ref, file link, piped link, external link,
+      // heading, bullet, bold) must vanish or resolve; the oracle
+      // recomposes the expected plain text from doc_id arithmetic.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$wd"}},
+        "extractor": {"xml": {"rowTag": "page"}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT cast(id as bigint) AS doc_id, title, regexp_extract(revision, '(?s)<text[^>]*>(.*?)</text>', 1) AS text FROM __input"}},
+          {"wikitext": {}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "title", "text")
+        .orderBy("doc_id")
+    },
     "hint_broadcast" -> { (s, dir) =>
       val c = ctx(s, dir)
       // explicit join-strategy control: the filtered customer dim gets a
@@ -4478,6 +4563,11 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "wiki_extract" ->
+      (raw"SELECT doc_id, 'Page ' || CAST(doc_id AS VARCHAR) AS title, " +
+       raw"trim('Heading ' || CAST(doc_id AS VARCHAR) || ' Bold intro with a label ' || CAST(doc_id AS VARCHAR) || " +
+       raw"' and Plain. ext label and text follows. bullet one ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text " +
+       "FROM documents ORDER BY doc_id"),
     "hint_broadcast" ->
       ("SELECT o.o_orderkey, c.c_name FROM orders o " +
        "JOIN customer c ON o.o_custkey = c.c_custkey " +

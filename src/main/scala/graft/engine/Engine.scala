@@ -81,6 +81,7 @@ object Engine {
     "gopherfilter"  -> graft.text.TextStages.gopherFilter _,
     "c4filter"      -> graft.text.TextStages.c4Filter _,
     "compressratio" -> graft.text.TextStages.compressRatio _,
+    "wikitext"      -> graft.text.TextStages.wikitext _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

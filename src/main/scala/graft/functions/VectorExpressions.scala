@@ -445,6 +445,10 @@ object VectorExpressions {
         },
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_wikitext_clean",
+        (exprs: Seq[Expression]) => graft.text.WikitextClean(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_deflate_ratio",
         (exprs: Seq[Expression]) => {
           import org.apache.spark.sql.catalyst.expressions.Literal
@@ -542,6 +546,10 @@ object VectorExpressions {
   /** Native dot product of two float/double array columns. */
   def arrayDot(a: Column, b: Column): Column =
     call_function("graft_array_dot", a, b)
+
+  /** Codegen'd wikitext → plain-text cleanup — see [[graft.text.Wikitext]]. */
+  def wikitextClean(text: Column): Column =
+    call_function("graft_wikitext_clean", text)
 
   /** Codegen'd deflate compression ratio — see [[DeflateRatio]]. */
   def deflateRatio(text: Column, level: Int): Column =

@@ -239,6 +239,7 @@ object Sources {
       case Some(("parquet", _)) => spark.read.parquet(sourcePath)
       case Some(("orc", _)) => spark.read.orc(sourcePath)
       case Some(("warc", e)) => Warc.read(spark, sourcePath, e)
+      case Some(("xml", e)) => Xml.read(spark, sourcePath, e)
       case Some((other, _)) => sys.error(s"unknown extractor $other")
     }
   }

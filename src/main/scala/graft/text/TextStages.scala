@@ -152,6 +152,21 @@ object TextStages {
       }
     }
 
+  /** `wikitext`: MediaWiki markup → plain text (templates, tables,
+    * refs, links, quotes, headings, bullets — see [[graft.text.Wikitext]]
+    * for the pass order). With the `xml` extractor this is the
+    * Wikipedia-dump landing path. Options: `field` (default "text"),
+    * `outputField` (default: overwrite). One codegen'd expression,
+    * pure per-row projection. */
+  def wikitext(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "text")
+      require(df.columns.contains(f), s"wikitext: no column '$f'")
+      df.withColumn(spec.strOr("outputField", f),
+        graft.functions.VectorExpressions.wikitextClean(col(f).cast("string")))
+    }
+
   /** `compressratio`: deflate compression ratio of a text column — the
     * information-density quality signal (repetitive spam compresses an
     * order of magnitude better than natural text; curation cuts on a
