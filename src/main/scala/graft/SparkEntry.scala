@@ -2609,6 +2609,38 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "pii_mask" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // typed PII scrub: planted email/IP/SSN per doc; the oracle applies
+      // the IDENTICAL Java∩RE2 patterns (CLAUDE regex-subset rule) to the
+      // same constructed string — masked text AND per-entity counts
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('Contact u', cast(doc_id as string), '@ex', cast(doc_id % 7 as string), '.com or 192.168.', cast(doc_id % 256 as string), '.', cast((doc_id * 3) % 256 as string), ' ssn 123-45-6789 . ', text) AS text FROM __input"}},
+          {"piimask": {"entities": ["email", "ipv4", "ssn"]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text", "pii_email_n", "pii_ipv4_n", "pii_ssn_n")
+        .orderBy("doc_id")
+    },
+    "url_filter" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // blocklist hygiene: domain list (with subdomain semantics) +
+      // URL-pattern rules; keep/block is pure doc_id arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('https://', element_at(array('bad.com', 'x.bad.com', 'ok.org', 'spam.net', 'good.io'), cast(doc_id % 5 as int) + 1), '/p/', cast(doc_id as string), CASE WHEN doc_id % 7 = 0 THEN '?track=1' ELSE '' END) AS url FROM __input"}},
+          {"urlfilter": {"blockDomains": ["bad.com"],
+            "blockPatterns": ["track=1", "spam\\\\."]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "url_keep")
+        .orderBy("doc_id")
+    },
     "wiki_extract" -> { (s, dir) =>
       val c = ctx(s, dir)
       val wd = wikiFixture(s, dir)
@@ -4563,6 +4595,17 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "pii_mask" ->
+      (raw"WITH built AS (SELECT doc_id, 'Contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com or 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) || ' ssn 123-45-6789 . ' || text AS t FROM documents) " +
+       raw"SELECT doc_id, " +
+       raw"regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS text, " +
+       raw"CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS pii_email_n, " +
+       raw"CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS pii_ipv4_n, " +
+       raw"CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INTEGER) AS pii_ssn_n " +
+       "FROM built ORDER BY doc_id"),
+    "url_filter" ->
+      ("SELECT doc_id, (doc_id % 5 NOT IN (0, 1) AND doc_id % 5 <> 3 AND doc_id % 7 <> 0) AS url_keep " +
+       "FROM documents ORDER BY doc_id"),
     "wiki_extract" ->
       (raw"SELECT doc_id, 'Page ' || CAST(doc_id AS VARCHAR) AS title, " +
        raw"trim('Heading ' || CAST(doc_id AS VARCHAR) || ' Bold intro with a label ' || CAST(doc_id AS VARCHAR) || " +

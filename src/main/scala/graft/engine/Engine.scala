@@ -82,6 +82,8 @@ object Engine {
     "c4filter"      -> graft.text.TextStages.c4Filter _,
     "compressratio" -> graft.text.TextStages.compressRatio _,
     "wikitext"      -> graft.text.TextStages.wikitext _,
+    "piimask"       -> graft.text.TextStages.piiMask _,
+    "urlfilter"     -> graft.text.WebStages.urlfilter _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

@@ -152,6 +152,52 @@ object TextStages {
       }
     }
 
+  /** Built-in PII patterns — the Java∩RE2 regex subset (no lookbehind,
+    * no backrefs) so a DuckDB/RE2 oracle applies the IDENTICAL
+    * substitutions. Word-ish boundaries are spelled explicitly. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (entity, pattern, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ccn", "\\b(?:[0-9]{4}[- ]){3}[0-9]{4}\\b", "<CCN>"))
+
+  /** `piimask`: typed PII scrubbing — the curated preset over the raw
+    * `regexreplace` machinery (emails, IPv4, phone numbers, SSNs,
+    * card numbers), each replaced by its `<ENTITY>` token, plus a
+    * `pii_<entity>_n` count column per requested entity (curation wants
+    * the census before the cut). Options: `field` (default "text"),
+    * `outputField` (default: overwrite), `entities` (default all of
+    * [[PiiPatterns]]), `counts` (default true). Order is fixed
+    * (email → ipv4 → phone → ssn → ccn) so overlapping matches resolve
+    * deterministically. Pure per-row regex projection — fuses into the
+    * scan. */
+  def piiMask(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.strOr("field", "text")
+      require(df.columns.contains(f), s"piimask: no column '$f'")
+      val wanted = spec.strList("entities") match {
+        case Nil => PiiPatterns
+        case names =>
+          val known = PiiPatterns.map(_._1).toSet
+          val bad = names.filterNot(known)
+          require(bad.isEmpty,
+            s"piimask: unknown entities ${bad.mkString(",")} — known: ${known.mkString(",")}")
+          PiiPatterns.filter(p => names.contains(p._1))
+      }
+      val withCounts =
+        if (!spec.bool("counts", dflt = true)) df
+        else wanted.foldLeft(df) { case (d, (name, pat, _)) =>
+          d.withColumn(s"pii_${name}_n",
+            size(regexp_extract_all(col(f).cast("string"), lit(pat), lit(0))))
+        }
+      val masked = wanted.foldLeft(col(f).cast("string")) {
+        case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+      }
+      withCounts.withColumn(spec.strOr("outputField", f), masked)
+    }
+
   /** `wikitext`: MediaWiki markup → plain text (templates, tables,
     * refs, links, quotes, headings, bullets — see [[graft.text.Wikitext]]
     * for the pass order). With the `xml` extractor this is the

@@ -213,6 +213,45 @@ object WebStages {
       }
     }
 
+  /** `urlfilter`: blocklist curation over a URL column — the crawl
+    * hygiene cut (spam/adult/malware domain lists, path patterns).
+    * Options: `field` (default "url"), `blockDomains` (exact host or
+    * any-subdomain match: `bad.com` blocks `bad.com` AND `x.bad.com`),
+    * `blockPatterns` (Java∩RE2 regexes tested against the FULL url),
+    * `action` (default "flag" → boolean `url_keep`; "filter" drops
+    * blocked rows). Scale: the domain list ships in the plan as a
+    * literal array (curation lists are 10^4-10^6 — at the upper end
+    * migrate to `decontaminate`'s broadcast-join/Bloom path; this stage
+    * refuses >100k entries and names that migration). Per-row
+    * projection, no shuffle. */
+  def urlfilter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.strOr("field", "url")
+      require(df.columns.contains(f), s"urlfilter: no column '$f'")
+      val domains = spec.strList("blockDomains").map(_.toLowerCase)
+      val patterns = spec.strList("blockPatterns")
+      require(domains.nonEmpty || patterns.nonEmpty,
+        "urlfilter: need blockDomains and/or blockPatterns")
+      require(domains.size <= 100000,
+        "urlfilter: blockDomains over 100k entries — use the decontaminate " +
+        "stage's broadcast-join/Bloom path for list-scale blocking")
+      val u = col(f).cast("string")
+      val host = lower(urlPart(u, "host"))
+      val domainHit =
+        if (domains.isEmpty) lit(false)
+        else host.isInCollection(domains) ||
+          domains.map(d => host.endsWith("." + d)).reduce(_ || _)
+      val patternHit =
+        if (patterns.isEmpty) lit(false)
+        else patterns.map(p => u.rlike(p)).reduce(_ || _)
+      val keep = !(domainHit || patternHit) || u.isNull
+      spec.strOr("action", "flag").toLowerCase match {
+        case "filter" => df.filter(keep)
+        case "flag" => df.withColumn("url_keep", keep)
+        case other => sys.error(s"urlfilter: action must be flag|filter, got $other")
+      }
+    }
+
   /** `groupcap`: cap the number of rows kept per group — the per-domain
     * quota of web curation (a boilerplate-heavy domain must not dominate
     * the corpus). Keeps the FIRST `maxPerGroup` rows per `groupField`

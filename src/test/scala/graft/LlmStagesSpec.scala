@@ -355,6 +355,51 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("piimask: typed entities mask with counts; entity subset; unknown refused") {
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+x@e.co.uk, ip 10.0.0.1, ssn 123-45-6789, " +
+        "card 4111 1111 1111 1111, call +1-555-123-4567 now"),
+      (2L, "clean text"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = stage("piimask")(df).orderBy("doc_id").collect()
+    val m = out(0).getAs[String]("text")
+    assert(m.contains("<EMAIL>") && m.contains("<IP>") && m.contains("<SSN>") &&
+      m.contains("<CCN>") && m.contains("<PHONE>"), m)
+    assert(!m.contains("@") && !m.contains("10.0.0.1"), m)
+    assert(out(0).getAs[Int]("pii_email_n") == 2)
+    assert(out(0).getAs[Int]("pii_ipv4_n") == 1)
+    assert(out(1).getAs[String]("text") == "clean text")
+    assert(out(1).getAs[Int]("pii_email_n") == 0)
+    assert(out(2).isNullAt(out(2).fieldIndex("text")))
+    // subset: only requested entities mask (ip survives)
+    val sub = stage("piimask", "entities" -> Seq("email"), "counts" -> false)(df)
+      .orderBy("doc_id").collect()
+    assert(sub(0).getAs[String]("text").contains("10.0.0.1"))
+    assert(!sub.head.schema.fieldNames.exists(_.startsWith("pii_")))
+    val e = intercept[Exception](stage("piimask", "entities" -> Seq("dna"))(df))
+    assert(e.getMessage.contains("unknown entities"))
+  }
+
+  test("urlfilter: domain (incl. subdomain) and pattern blocks; filter action") {
+    val df = Seq(
+      (1L, "https://ok.org/a"),
+      (2L, "https://bad.com/x"),
+      (3L, "https://deep.sub.bad.com/y"),
+      (4L, "https://notbad.com/z"),          // NOT blocked: different domain
+      (5L, "https://fine.io/p?track=1"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val out = stage("urlfilter", "blockDomains" -> Seq("bad.com"),
+      "blockPatterns" -> Seq("track=1"))(df).orderBy("doc_id")
+      .select("doc_id", "url_keep").collect()
+    assert(out.map(r => r.getBoolean(1)).toSeq ==
+      Seq(true, false, false, true, false, true))
+    val kept = stage("urlfilter", "blockDomains" -> Seq("bad.com"),
+      "blockPatterns" -> Seq("track=1"), "action" -> "filter")(df)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L))
+    val e = intercept[Exception](stage("urlfilter")(df))
+    assert(e.getMessage.contains("blockDomains"))
+  }
+
   test("compressratio: repetitive text scores low, natural text high; nulls flow") {
     val natural = "the quick brown fox jumps over a lazy dog while seven " +
       "wizards brew quartz elixirs beyond misty valleys tonight"
