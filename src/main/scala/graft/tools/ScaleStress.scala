@@ -200,6 +200,48 @@ object ScaleStress {
     dir
   }
 
+  /** XML-dump fixture, executor-side like [[ensureWarc]]: 64 gz shards
+    * of `<page>` records with wikitext-wrapped word streams. */
+  private def ensureWikiXml(spark: SparkSession, n: Long, dir: String): String = {
+    val marker = new java.io.File(dir, s"_graft_v${Version}_$n")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
+      val shards = 64
+      import org.apache.spark.sql.Encoders
+      spark.range(shards).repartition(shards).as(Encoders.scalaLong)
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { f =>
+            val gz = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(f"$dir/shard-$f%02d.xml.gz"))
+            gz.write("<mediawiki>\n".getBytes("UTF-8"))
+            var id = f
+            while (id < n) {
+              val r = new scala.util.Random(id * 2654435761L)
+              val len = 40 + (math.abs(id * 31) % 160).toInt
+              val sb = new StringBuilder
+              var i = 0
+              while (i < len) {
+                val rank = math.min(9999,
+                  math.exp(r.nextDouble() * math.log(10000.0)).toInt)
+                sb.append('w').append(rank).append(' ')
+                i += 1
+              }
+              val wiki = s"== H$id ==\n'''B''' [[T|l$id]] {{tpl|$id}} " +
+                s"&lt;ref&gt;c&lt;/ref&gt; $sb"
+              gz.write((s"<page><title>P$id</title><id>$id</id>" +
+                s"<revision><text>$wiki</text></revision></page>\n").getBytes("UTF-8"))
+              id += 64
+            }
+            gz.write("</mediawiki>\n".getBytes("UTF-8"))
+            gz.close()
+          }
+        }
+      marker.createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("graft-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -225,7 +267,7 @@ object ScaleStress {
       "interval_join", "boilerplate",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
-      "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse")
+      "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -404,6 +446,19 @@ object ScaleStress {
           "transformers": [
             {"code": {"language": "sql", "code":
               "SELECT target_uri FROM __input WHERE http_status = 200 AND length(cast(body as string)) > 10"}}],
+          "loader": {"memory": {}} }""",
+        // XML record slicing + field parse + wikitext strip over 64 gz
+        // shards — the dump-ingest class; the filter references the
+        // cleaned text (count-elimination trap)
+        "wiki_parse" -> s"""{
+          "source": {"file": {"path": "${if (enabled("wiki_parse")) ensureWikiXml(spark, n, s"/tmp/graft_stress_wiki_f$factor") else ""}"}},
+          "extractor": {"xml": {"rowTag": "page", "fields": ["title", "id", "revision"]}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT cast(id as bigint) AS doc_id, regexp_extract(revision, '(?s)<text[^>]*>(.*?)</text>', 1) AS text FROM __input"}},
+            {"wikitext": {}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE length(text) > 10"}}],
           "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
