@@ -69,6 +69,42 @@ object SparkEntry {
         .orderBy("r_regionkey").toJSON.collect()
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "region_array.json"),
         region.mkString("[", ",", "]").getBytes("UTF-8"))
+      // nation as an Avro Object Container File (deflate codec): long/
+      // string primitives plus an array and a nested record (the
+      // complex→JSON-column mapping) — the `avro` extractor's input
+      locally {
+        import org.apache.avro.{Schema, SchemaBuilder}
+        import org.apache.avro.generic.{GenericData, GenericRecordBuilder}
+        val metaS = SchemaBuilder.record("meta").fields()
+          .requiredString("k").requiredLong("v").endRecord()
+        val schema = SchemaBuilder.record("nation").fields()
+          .requiredLong("n_nationkey")
+          .requiredString("n_name")
+          .requiredLong("n_regionkey")
+          .name("tags").`type`().array().items().stringType().noDefault()
+          .name("meta").`type`(metaS).noDefault()
+          .optionalString("note")
+          .endRecord()
+        val w = new org.apache.avro.file.DataFileWriter[GenericData.Record](
+          new org.apache.avro.generic.GenericDatumWriter[GenericData.Record](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(schema, new java.io.File(dir, "nation.avro"))
+        nation.foreach { r =>
+          val nk = r.get(0).toString.toLong
+          val rk = r.get(2).toString.toLong
+          val tags = new GenericData.Array[AnyRef](
+            schema.getField("tags").schema(),
+            java.util.Arrays.asList[AnyRef](s"r$rk", s"n$nk"))
+          val meta = new GenericRecordBuilder(metaS)
+            .set("k", s"key$nk").set("v", nk * 10).build()
+          w.append(new GenericRecordBuilder(schema)
+            .set("n_nationkey", nk).set("n_name", r.get(1).toString)
+            .set("n_regionkey", rk).set("tags", tags).set("meta", meta)
+            .set("note", if (nk % 2 == 0) s"even$nk" else null)
+            .build().asInstanceOf[GenericData.Record])
+        }
+        w.close()
+      }
       // real encoded images (PNG/JPEG/BMP/animated GIF), one per doc_id,
       // generated executor-side — the mm_* decode queries' input
       graft.multimodal.MediaFixtures.ensure(spark, sfDir, s"$dir/media_parquet")
@@ -2609,6 +2645,18 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "avro_roundtrip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val fx = fixtures(s, dir)
+      // Avro Object Container File (deflate blocks) → typed columns:
+      // primitives widened (int→long, float→double), nullable union
+      // unwrapped, array/record fields as their canonical JSON rendering
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation.avro"}},
+        "extractor": {"avro": {}},
+        "loader": {"memory": {}} }""")
+        .orderBy("n_nationkey")
+    },
     "pii_mask" -> { (s, dir) =>
       val c = ctx(s, dir)
       // typed PII scrub: planted email/IP/SSN per doc; the oracle applies
@@ -4595,6 +4643,13 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "avro_roundtrip" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+       "CAST(n_regionkey AS BIGINT) AS n_regionkey, " +
+       "'[\"r' || CAST(n_regionkey AS VARCHAR) || '\", \"n' || CAST(n_nationkey AS VARCHAR) || '\"]' AS tags, " +
+       "'{\"k\": \"key' || CAST(n_nationkey AS VARCHAR) || '\", \"v\": ' || CAST(n_nationkey * 10 AS VARCHAR) || '}' AS meta, " +
+       "CASE WHEN n_nationkey % 2 = 0 THEN 'even' || CAST(n_nationkey AS VARCHAR) END AS note " +
+       "FROM nation ORDER BY n_nationkey"),
     "pii_mask" ->
       (raw"WITH built AS (SELECT doc_id, 'Contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com or 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) || ' ssn 123-45-6789 . ' || text AS t FROM documents) " +
        raw"SELECT doc_id, " +

@@ -240,6 +240,7 @@ object Sources {
       case Some(("orc", _)) => spark.read.orc(sourcePath)
       case Some(("warc", e)) => Warc.read(spark, sourcePath, e)
       case Some(("xml", e)) => Xml.read(spark, sourcePath, e)
+      case Some(("avro", e)) => Avro.read(spark, sourcePath, e)
       case Some((other, _)) => sys.error(s"unknown extractor $other")
     }
   }

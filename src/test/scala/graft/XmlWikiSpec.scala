@@ -77,6 +77,67 @@ class WikitextSpec extends AnyFunSuite {
   }
 }
 
+class AvroSpec extends SparkSpec {
+  import graft.engine.Engine
+  import org.apache.avro.SchemaBuilder
+  import org.apache.avro.generic.{GenericData, GenericRecordBuilder}
+
+  private def writeAvro(f: java.io.File,
+                        schema: org.apache.avro.Schema,
+                        recs: Seq[GenericData.Record]): Unit = {
+    val w = new org.apache.avro.file.DataFileWriter[GenericData.Record](
+      new org.apache.avro.generic.GenericDatumWriter[GenericData.Record](schema))
+    w.create(schema, f)
+    recs.foreach(w.append)
+    w.close()
+  }
+
+  test("avro extractor: widening, nullable unions, enum, bytes; drift fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_spec").toFile
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredInt("i")                      // int → long
+      .requiredFloat("f")                    // float → double
+      .optionalString("s")                   // ["null", string] → nullable
+      .name("e").`type`().enumeration("col").symbols("red", "blue").noDefault()
+      .requiredBytes("b")
+      .endRecord()
+    def rec(i: Int, s: String) = {
+      val b = new GenericRecordBuilder(schema)
+        .set("i", i).set("f", i * 0.5f).set("s", s)
+        .set("e", new GenericData.EnumSymbol(schema.getField("e").schema(),
+          if (i % 2 == 0) "red" else "blue"))
+        .set("b", java.nio.ByteBuffer.wrap(Array[Byte](i.toByte, 7)))
+      b.build().asInstanceOf[GenericData.Record]
+    }
+    writeAvro(new java.io.File(dir, "a.avro"), schema,
+      Seq(rec(1, "x"), rec(2, null)))
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$dir"}},
+      "extractor": {"avro": {}},
+      "loader": {"memory": {}} }""").orderBy("i")
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq("i" -> "bigint", "f" -> "double", "s" -> "string",
+          "e" -> "string", "b" -> "binary"))
+    val rows = out.collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 0.5)
+    assert(rows(0).getString(3) == "blue")
+    assert(rows(1).isNullAt(2))
+    assert(rows(0).getAs[Array[Byte]]("b").toSeq == Seq(1.toByte, 7.toByte))
+    // a second file with a DIFFERENT field layout fails loud, never reshapes
+    val other = SchemaBuilder.record("r").fields().requiredInt("zzz").endRecord()
+    writeAvro(new java.io.File(dir, "z.avro"), other,
+      Seq(new GenericRecordBuilder(other).set("zzz", 1)
+        .build().asInstanceOf[GenericData.Record]))
+    val e = intercept[Exception](Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$dir"}},
+      "extractor": {"avro": {}},
+      "loader": {"memory": {}} }""").collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("plan schema"), msgs)
+  }
+}
+
 class XmlStageSpec extends SparkSpec {
   import graft.engine.Engine
 
