@@ -334,16 +334,38 @@ object TextStages {
       graft.functions.VectorExpressions.ensure(ctx.spark)
       val fieldName = spec.strOr("field", "text")
       val outField = spec.strOr("outputField", "bpe_tokens")
-      val numMerges = spec.int("numMerges", 200)
-      val trainRows = spec.int("trainRows", 512)
-      val sample = df.select(col(fieldName).cast("string").as("__t"))
-        .where(col("__t").isNotNull)
-        .orderBy(xxhash64(col("__t")), col("__t")).limit(trainRows)
-        .collect().map(_.getString(0))
-      val freqs = scala.collection.mutable.HashMap.empty[String, Long]
-      sample.foreach(_.split("\\s+").filter(_.nonEmpty)
-        .foreach(w => freqs(w) = freqs.getOrElse(w, 0L) + 1L))
-      val merges = graft.functions.Bpe.train(freqs.toSeq.sortBy(_._1), numMerges)
+      // model persistence: `loadMerges` applies a previously-trained
+      // table verbatim (train ONCE on a reference corpus snapshot, apply
+      // to every later batch — retraining per run would re-tokenize the
+      // whole history differently); `saveMerges` exports this run's
+      // table (one line per merge, rank order) for exactly that reuse
+      val merges: Array[String] = spec.str("loadMerges") match {
+        case Some(path) =>
+          val p = java.nio.file.Paths.get(path)
+          require(java.nio.file.Files.exists(p), s"bpe: loadMerges file not found: $path")
+          val m = scala.jdk.CollectionConverters
+            .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+            .filter(_.nonEmpty).toArray
+          require(m.nonEmpty, s"bpe: loadMerges file is empty: $path")
+          m
+        case None =>
+          val numMerges = spec.int("numMerges", 200)
+          val trainRows = spec.int("trainRows", 512)
+          val sample = df.select(col(fieldName).cast("string").as("__t"))
+            .where(col("__t").isNotNull)
+            .orderBy(xxhash64(col("__t")), col("__t")).limit(trainRows)
+            .collect().map(_.getString(0))
+          val freqs = scala.collection.mutable.HashMap.empty[String, Long]
+          sample.foreach(_.split("\\s+").filter(_.nonEmpty)
+            .foreach(w => freqs(w) = freqs.getOrElse(w, 0L) + 1L))
+          graft.functions.Bpe.train(freqs.toSeq.sortBy(_._1), numMerges)
+      }
+      spec.str("saveMerges").foreach { path =>
+        val p = java.nio.file.Paths.get(path)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p,
+          merges.mkString("\n").getBytes("UTF-8"))
+      }
       val toks = graft.functions.VectorExpressions.bpeEncode(
         col(fieldName).cast("string"), merges)
       df.withColumn(outField, toks)

@@ -72,4 +72,36 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(sums._1 < sums._2, s"no compression: ${sums._1} vs ${sums._2}")
   }
+
+  test("bpe model persistence: saveMerges exports, loadMerges applies verbatim") {
+    val ctx = newCtx()
+    val model = java.nio.file.Files.createTempDirectory("graft_bpe_model")
+      .resolve("merges.txt").toString
+    val trained = Engine.runJson(ctx, s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"bpe": {"field": "text", "numMerges": 40,
+        "trainRows": 64, "saveMerges": "$model"}}],
+      "loader": {"memory": {}} }""")
+      .select("doc_id", "bpe_tokens").orderBy("doc_id").collect()
+    assert(new java.io.File(model).length() > 0)
+    // a fresh run LOADING the model (no training sample at all) must
+    // tokenize identically — the train-once apply-everywhere contract
+    val loaded = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"bpe": {"field": "text", "loadMerges": "$model"}}],
+      "loader": {"memory": {}} }""")
+      .select("doc_id", "bpe_tokens").orderBy("doc_id").collect()
+    assert(trained.length == loaded.length)
+    trained.zip(loaded).foreach { case (a, b) =>
+      assert(a.getSeq[String](1) == b.getSeq[String](1), s"doc ${a.get(0)}")
+    }
+    val e = intercept[Exception](Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$sfDir/documents.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [{"bpe": {"loadMerges": "/nonexistent/m.txt"}}],
+      "loader": {"memory": {}} }"""))
+    assert(e.getMessage.contains("loadMerges"))
+  }
 }
