@@ -2645,6 +2645,18 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "cdc_chunks" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // content-defined chunking: boundaries derive from word-content
+      // hashes (the shift-tolerant substring-dedup primitive); the
+      // oracle recomputes the same md5-bucket rule with a window scan
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"cdcchunk": {"divisor": 8}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("doc_id", "chunk_index")
+    },
     "avro_roundtrip" -> { (s, dir) =>
       val c = ctx(s, dir)
       val fx = fixtures(s, dir)
@@ -4643,6 +4655,17 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "cdc_chunks" ->
+      (s"WITH words AS (SELECT doc_id, i, ($toks)[i] AS tok " +
+       s"FROM documents, UNNEST(generate_series(1, len($toks))) AS t(i) " +
+       s"WHERE ($toks)[i] <> ''), " +
+       "marked AS (SELECT doc_id, i, tok, CASE WHEN ('0x' || substr(md5(tok), 1, 6))::BIGINT % 8 = 0 THEN 1 ELSE 0 END AS b FROM words), " +
+       "grouped AS (SELECT doc_id, i, tok, coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp FROM marked) " +
+       "SELECT doc_id, CAST(grp AS BIGINT) AS chunk_index, " +
+       "string_agg(tok, ' ' ORDER BY i) AS chunk_text, " +
+       "md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash, " +
+       "count(*) AS chunk_tokens " +
+       "FROM grouped GROUP BY doc_id, grp ORDER BY doc_id, chunk_index"),
     "avro_roundtrip" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
        "CAST(n_regionkey AS BIGINT) AS n_regionkey, " +

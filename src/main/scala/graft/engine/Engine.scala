@@ -97,6 +97,7 @@ object Engine {
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
     "chunk"         -> graft.split.SplitStages.chunk _,
+    "cdcchunk"      -> graft.split.SplitStages.cdcChunk _,
     "langid"        -> graft.text.TextStages.langid _,
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "bpe"           -> graft.text.TextStages.bpe _,

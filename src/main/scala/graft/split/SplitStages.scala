@@ -3,7 +3,7 @@ package graft.split
 import graft.engine.EtlContext
 import graft.spec.ComponentSpec
 import graft.stages.Stages
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset-management stages for training pipelines: deterministic,
@@ -198,6 +198,55 @@ object SplitStages {
           col("__w.text").as("chunk_text"),
           greatest(col("__w.n"), lit(1)).cast("long").as("chunk_tokens"))
         .where(col("chunk_tokens") >= minTokens)
+    }
+
+  /** `cdcchunk`: CONTENT-DEFINED chunking (the Rabin/CDC idea from
+    * dedup storage, at word granularity): a chunk boundary falls after
+    * any word whose md5-derived bucket ≡ 0 (mod `divisor`), so expected
+    * chunk length ≈ `divisor` words and — the whole point — boundaries
+    * move WITH the content: insert a paragraph at the front of a doc
+    * and every later chunk still hashes identically, where fixed
+    * windows (`chunk`) all shift and nothing matches. Compose with
+    * exact `dedup` on `chunk_hash` for shift-tolerant substring dedup
+    * across a corpus. The md5-bucket boundary (not a rolling
+    * polynomial) keeps the rule engine-portable — the same idiom as
+    * `datasplit`/`hashsample`.
+    *
+    * Options: `idField` (default doc_id), `field` (default text),
+    * `divisor` (default 16). Output: id, chunk_index, chunk_text,
+    * chunk_hash, chunk_tokens. Pure per-row HOF fold + one posexplode —
+    * no shuffle at any corpus size. Chunks are never empty (a group
+    * only increments AFTER a word); null/empty text yields no rows. */
+  def cdcChunk(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.functions.col
+      val id = spec.strOr("idField", "doc_id")
+      val f = col(spec.strOr("field", "text"))
+      val d = spec.int("divisor", 16)
+      require(d >= 2, s"cdcchunk: divisor must be >= 2, got $d")
+      val words = filter(split(trim(f), "\\s+"), w => w =!= "")
+      def isBoundary(w: Column): Column =
+        pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"), lit(d)) === 0
+      // exclusive prefix count of boundaries = each word's chunk id
+      val grps = aggregate(words,
+        struct(array().cast("array<int>").as("ids"), lit(0).as("run")),
+        (acc, w) => struct(
+          concat(acc.getField("ids"), array(acc.getField("run"))).as("ids"),
+          (acc.getField("run") + when(isBoundary(w), 1).otherwise(0)).as("run")),
+        acc => acc.getField("ids"))
+      val pairs = zip_with(words, grps, (w, g) => struct(w.as("w"), g.as("g")))
+      val chunks = transform(
+        // try_element_at: ANSI element_at throws on the empty-text empty
+        // array; null → one empty chunk, filtered below
+        sequence(lit(0), coalesce(try_element_at(grps, lit(-1)), lit(0))),
+        g => array_join(transform(
+          filter(pairs, p => p.getField("g") === g),
+          p => p.getField("w")), " "))
+      df.select(col(id), posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
+        .where(col("chunk_text") =!= "")
+        .select(col(id), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_text"), md5(col("chunk_text")).as("chunk_hash"),
+          size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"))
     }
 
   /** `hashsample`: keep a deterministic `fraction` of rows by the same

@@ -355,6 +355,32 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("cdcchunk: boundaries move WITH content — prepended text leaves later chunks identical") {
+    val base = (1 to 200).map(i => s"tok${i * 37 % 101}").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, "INSERTED new words at the very front . " + base), // the shift
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = stage("cdcchunk", "divisor" -> 8)(df)
+      .select("doc_id", "chunk_index", "chunk_hash", "chunk_tokens").collect()
+    val h1 = out.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+    val h2 = out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    // every chunk of doc1 except (at most) its FIRST survives the prepend:
+    // with fixed windows (the `chunk` stage) NOTHING would survive
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    val surviving = d1.drop(1).map(_.getString(2))
+    assert(surviving.nonEmpty && surviving.forall(h2.contains),
+      s"CDC shift-tolerance broken: ${surviving.count(h2.contains)}/${surviving.length}")
+    // chunks are never empty; indexes dense from 0; tokens sum to doc words
+    assert(out.forall(_.getLong(3) >= 1L))
+    assert(d1.map(_.getLong(1)).toSeq == d1.indices.map(_.toLong))
+    assert(d1.map(_.getLong(3)).sum == 200L)
+    // empty / null docs yield no rows
+    assert(!out.exists(r => r.getLong(0) >= 3L))
+    val e = intercept[Exception](stage("cdcchunk", "divisor" -> 1)(df))
+    assert(e.getMessage.contains("divisor"))
+  }
+
   test("piimask: typed entities mask with counts; entity subset; unknown refused") {
     val df = Seq(
       (1L, "mail a@b.io and c.d+x@e.co.uk, ip 10.0.0.1, ssn 123-45-6789, " +
