@@ -658,10 +658,41 @@ object SimilarityStages {
     }
   }
 
+  /** Centroid persistence (the BPE saveMerges/loadMerges pattern):
+    * cluster one reference snapshot, export, apply verbatim later —
+    * retraining per batch would renumber every cluster id. Format: one
+    * centroid per line, comma-separated `Double.toString` components
+    * (exact roundtrip). */
+  private[graft] def writeCentroids(path: String, cb: Array[Array[Double]]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      cb.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+  }
+
+  private[graft] def readCentroids(path: String): Array[Array[Double]] = {
+    val p = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.exists(p),
+      s"kmeans: loadCentroids file not found: $path")
+    val cb = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.nonEmpty).map(_.split(",").map(_.toDouble)).toArray
+    require(cb.nonEmpty, s"kmeans: loadCentroids file is empty: $path")
+    require(cb.map(_.length).distinct.length == 1,
+      s"kmeans: loadCentroids rows have mixed dimensions: $path")
+    cb
+  }
+
   private def assignClusters(df: DataFrame, vec: String, idOrd: Column,
                              k: Int, lloydIters: Int, trainRows: Int,
-                             coarseProbe: Int = 2): DataFrame =
-    trainFromSample(df, vec, idOrd, k, lloydIters, trainRows) match {
+                             coarseProbe: Int = 2,
+                             preloaded: Option[Array[Array[Double]]] = None,
+                             savePath: Option[String] = None): DataFrame =
+    preloaded.orElse {
+      val trained = trainFromSample(df, vec, idOrd, k, lloydIters, trainRows)
+      savePath.foreach(p => trained.foreach(writeCentroids(p, _)))
+      trained
+    } match {
       case None =>
         df.withColumn("cluster", lit(null).cast("long"))
           .withColumn("centroid_sim", lit(null).cast("double"))
@@ -700,7 +731,9 @@ object SimilarityStages {
       require(k > 0, "kmeans: k must be positive")
       assignClusters(df, vec, col(id), k,
         spec.int("lloydIters", 5), spec.int("trainRows", k * 40),
-        spec.int("coarseProbe", 2))
+        spec.int("coarseProbe", 2),
+        preloaded = spec.str("loadCentroids").map(readCentroids),
+        savePath = spec.str("saveCentroids"))
     }
 
   /** `semanticdedup` transformer — embedding-cluster-bucketed near-dup

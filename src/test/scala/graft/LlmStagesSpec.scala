@@ -714,6 +714,31 @@ class LlmStagesSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("kmeans centroid persistence: save/load assigns identically, no retrain drift") {
+    val rows = (0 until 12).map { i =>
+      val v = if (i % 3 == 0) Seq(1.0f, 0.02f * i, 0f)
+              else if (i % 3 == 1) Seq(0f, 1.0f, 0.02f * i)
+              else Seq(0.02f * i, 0f, 1.0f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = java.nio.file.Files.createTempDirectory("graft_km_model")
+      .resolve("centroids.txt").toString
+    val trained = stage("kmeans", "k" -> 3, "saveCentroids" -> model)(df)
+      .select("vec_id", "cluster", "centroid_sim")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(new java.io.File(model).length() > 0)
+    // loading the exported centroids reproduces clusters AND sims exactly,
+    // even on a DIFFERENT input frame (two rows dropped — a retrain would
+    // shift centroids; the loaded model must not)
+    val loaded = stage("kmeans", "loadCentroids" -> model)(df.where(col("vec_id") < 10))
+      .select("vec_id", "cluster", "centroid_sim")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loaded == trained.filter(_._1 < 10))
+    val e = intercept[Exception](stage("kmeans", "loadCentroids" -> "/no/such.txt")(df))
+    assert(e.getMessage.contains("loadCentroids"))
+  }
+
   test("semanticdedup: keeps min id per near-dup group; pairs mode; guard fires") {
     // group A: ids 1,2,3 nearly parallel; group B: ids 10,11 parallel on
     // an orthogonal axis; id 20 isolated
