@@ -178,7 +178,14 @@ object Xml {
         if (at < 0) return null
         val end = doc.indexOf(close, at)
         if (end < 0) sys.error(s"xml: unterminated <$rowTag> record at char $at")
-        val inner = doc.indexOf(open, at + open.length)
+        // nested-record probe needs the SAME name-boundary rule as the
+        // opener scan: a child named <pageX> inside a <page> is legal
+        var inner = doc.indexOf(open, at + open.length)
+        while (inner >= 0 && inner < end &&
+               inner + open.length < doc.length &&
+               (Character.isLetterOrDigit(doc.charAt(inner + open.length)) ||
+                doc.charAt(inner + open.length) == '_'))
+          inner = doc.indexOf(open, inner + 1)
         if (inner >= 0 && inner < end)
           sys.error(s"xml: nested <$rowTag> at char $inner — rowTag records must not nest")
         i = end + close.length

@@ -15,6 +15,10 @@ class XmlParserSpec extends AnyFunSuite {
     val nested = "<page><page><id>1</id></page></page>"
     val e = intercept[RuntimeException](Xml.records(nested, "page").toList)
     assert(e.getMessage.contains("nest"))
+    // a child whose name merely STARTS with rowTag is not nesting
+    val prefixChild = "<page><pagex>ok</pagex><id>1</id></page>"
+    assert(Xml.records(prefixChild, "page").toList.size == 1)
+    assert(Xml.recordFields(prefixChild, "page")("pagex") == "ok")
     val unterminated = "<page><id>1</id>"
     val e2 = intercept[RuntimeException](Xml.records(unterminated, "page").toList)
     assert(e2.getMessage.contains("unterminated"))
