@@ -2645,6 +2645,21 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "mad_outliers" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // robust per-group outliers: (x − median)/MAD — mean/std move
+      // with the outliers they're meant to flag, median/MAD don't (50%
+      // breakdown). Exact medians; raw MAD (no consistency factor)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"zscore": {"field": "o_totalprice",
+          "keyField": "o_orderpriority", "method": "mad",
+          "outField": "price_rz", "threshold": 3.5}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "price_rz", "price_rz_outlier")
+        .orderBy("o_orderkey")
+    },
     "cdc_chunks" -> { (s, dir) =>
       val c = ctx(s, dir)
       // content-defined chunking: boundaries derive from word-content
@@ -4655,6 +4670,15 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "mad_outliers" ->
+      ("WITH med AS (SELECT o_orderpriority, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS m FROM orders GROUP BY 1), " +
+       "dev AS (SELECT o.o_orderkey, o.o_orderpriority, CAST(o.o_totalprice AS DOUBLE) AS x, med.m FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority), " +
+       "mad AS (SELECT o_orderpriority, quantile_cont(abs(x - m), 0.5) AS md FROM dev GROUP BY 1) " +
+       "SELECT d.o_orderkey, d.o_orderpriority, " +
+       "CASE WHEN mad.md > 0 THEN (d.x - d.m) / mad.md END AS price_rz, " +
+       "CASE WHEN mad.md > 0 THEN abs((d.x - d.m) / mad.md) > 3.5 END AS price_rz_outlier " +
+       "FROM dev d JOIN mad ON d.o_orderpriority = mad.o_orderpriority " +
+       "ORDER BY o_orderkey"),
     "cdc_chunks" ->
       (s"WITH words AS (SELECT doc_id, i, ($toks)[i] AS tok " +
        s"FROM documents, UNNEST(generate_series(1, len($toks))) AS t(i) " +

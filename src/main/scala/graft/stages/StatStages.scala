@@ -146,6 +146,37 @@ object StatStages {
         s"zscore: output column '$outField' already exists — set `outField`")
       val threshold = spec.str("threshold").map(_.toDouble)
 
+      // `method: "mad"` — robust standardization: (x − median)/MAD with
+      // MAD = median(|x − median|). Mean/std move with every outlier
+      // they're supposed to flag (masking); the 50% breakdown point of
+      // median/MAD doesn't. RAW MAD (no 1.4826 normal-consistency
+      // factor): scale thresholds accordingly (≈ 3.5 raw ≈ 2.36σ-style)
+      // — the factor would add a float multiply that buys nothing for
+      // flagging. Exact medians via the percentile aggregate (the
+      // `quantiles` stage's hash-exact-vs-quantile_cont equivalence);
+      // two keyed aggs + two null-safe joins, never a window.
+      if (spec.strOr("method", "std").toLowerCase == "mad") {
+        val x = col(fld).cast("double")
+        def attach(base: DataFrame, agg: DataFrame): DataFrame =
+          if (keys.nonEmpty) {
+            val r = agg.toDF(agg.columns.map(c =>
+              if (keys.contains(c)) s"__k_$c" else c): _*)
+            val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+            base.join(r, cond, "left").drop(keys.map(k => s"__k_$k"): _*)
+          } else base.crossJoin(broadcast(agg))
+        val med = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*) else df.groupBy())
+          .agg(percentile(x, lit(0.5)).as("__med"))
+        val withMed = attach(df, med)
+        val mad = (if (keys.nonEmpty) withMed.groupBy(keys.map(col): _*)
+                   else withMed.groupBy())
+          .agg(percentile(abs(x - col("__med")), lit(0.5)).as("__mad"))
+        val joined = attach(withMed, mad)
+        val z = when(col("__mad") > 0, (x - col("__med")) / col("__mad"))
+        val withZ = joined.withColumn(outField, z)
+        val withFlag = threshold.fold(withZ)(t =>
+          withZ.withColumn(s"${outField}_outlier", abs(col(outField)) > t))
+        withFlag.drop("__med", "__mad")
+      } else {
       val integral = df.schema(fld).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _: NumericType => false
@@ -179,5 +210,6 @@ object StatStages {
       val withFlag = threshold.fold(withZ)(t =>
         withZ.withColumn(s"${outField}_outlier", abs(col(outField)) > t))
       withFlag.drop("__n", "__s", "__ss")
+      }
     }
 }

@@ -39,6 +39,30 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgConfigK"))
   }
 
+  test("zscore method=mad: robust to the outlier it flags; zero-MAD group nulls") {
+    // group a: {1,2,3,4,100} — median 3, deviations {2,1,0,1,97} → MAD 1;
+    // the outlier's robust z = 97 (mean/std would be dragged to z≈1.8
+    // and MISS it at any sane threshold — the masking failure)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("k", "x")
+    val out = StatStages.zscore(ComponentSpec("zscore", Map(
+      "field" -> "x", "keyField" -> "k", "method" -> "mad",
+      "threshold" -> "10")), newCtx())(df)
+      .orderBy("k", "x").select("k", "x", "x_z", "x_z_outlier").collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getDouble(2)).toSeq == Seq(-2.0, -1.0, 0.0, 1.0, 97.0))
+    assert(a.map(_.getBoolean(3)).toSeq == Seq(false, false, false, false, true))
+    // constant group: MAD 0 → null z and null flag, not a div-by-zero
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // classic std method on the same data: the outlier's |z| stays < 2 —
+    // the documented reason mad exists
+    val std = StatStages.zscore(ComponentSpec("zscore", Map(
+      "field" -> "x", "keyField" -> "k")), newCtx())(df)
+      .where(col("x") === 100.0).select("x_z").as[Double].head()
+    assert(std < 2.0, s"std z of the gross outlier was $std")
+  }
+
   test("zscore: hand-computed group values; zero-variance group yields null z") {
     val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 5L)).toDF("k", "x")
     val out = StatStages.zscore(ComponentSpec("zscore",
