@@ -2645,6 +2645,18 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "label_encode" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // categorical → dense ids in SORTED value order (deterministic
+      // across runs/partitionings — dense_rank is the oracle spelling)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"labelencode": {"field": "c_mktsegment"}}],
+        "loader": {"memory": {}} }""")
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_id")
+        .orderBy("c_custkey")
+    },
     "mad_outliers" -> { (s, dir) =>
       val c = ctx(s, dir)
       // robust per-group outliers: (x − median)/MAD — mean/std move
@@ -4670,6 +4682,10 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "label_encode" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+       "CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS c_mktsegment_id " +
+       "FROM customer ORDER BY c_custkey"),
     "mad_outliers" ->
       ("WITH med AS (SELECT o_orderpriority, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS m FROM orders GROUP BY 1), " +
        "dev AS (SELECT o.o_orderkey, o.o_orderpriority, CAST(o.o_totalprice AS DOUBLE) AS x, med.m FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority), " +

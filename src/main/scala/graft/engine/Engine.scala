@@ -111,6 +111,7 @@ object Engine {
     "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
     "zscore"        -> graft.stages.StatStages.zscore _,
     "quantiles"     -> graft.stages.StatStages.quantiles _,
+    "labelencode"   -> graft.stages.StatStages.labelEncode _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,

@@ -16,6 +16,60 @@ import org.apache.spark.sql.types._
   * into one partition). AQE broadcasts the stats side when small. */
 object StatStages {
 
+  /** `labelencode`: categorical → dense integer ids (0-based, assigned
+    * in SORTED value order so the mapping is deterministic across runs,
+    * partitionings, and engines — a hash or first-seen id would not
+    * be). The feature-engineering staple before any numeric model, and
+    * the join-key compression trick (a 40-byte string key becomes an
+    * 8-byte long for every downstream exchange).
+    *
+    * Options: `field` (required), `outputField` (default `<field>_id`),
+    * `startAt` (default 0). NULL encodes as NULL. Vocabulary persistence
+    * (the BPE/kmeans pattern): `saveMapping` writes value→id lines;
+    * `loadMapping` applies a prior mapping verbatim — unseen values get
+    * NULL ids (surface them, don't renumber history).
+    *
+    * Scale shape: distinct + a window over the DISTINCT set (vocabulary-
+    * sized, not corpus-sized) + one broadcast-eligible join back. */
+  def labelEncode(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("labelencode: `field` required"))
+      require(df.columns.contains(f), s"labelencode: no column '$f'")
+      val out = spec.strOr("outputField", s"${f}_id")
+      val start = spec.long("startAt").getOrElse(0L)
+      val spark = ctx.spark
+      val mapping: DataFrame = spec.str("loadMapping") match {
+        case Some(path) =>
+          val p = java.nio.file.Paths.get(path)
+          require(java.nio.file.Files.exists(p),
+            s"labelencode: loadMapping file not found: $path")
+          val rows = scala.jdk.CollectionConverters
+            .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+            .filter(_.nonEmpty).map { line =>
+              val tab = line.indexOf('\t')
+              require(tab > 0, s"labelencode: bad mapping line '$line' in $path")
+              (line.substring(0, tab), line.substring(tab + 1).toLong)
+            }.toSeq
+          import spark.implicits._
+          rows.toDF("__val", "__id")
+        case None =>
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("__val"))
+          val m = df.select(col(f).cast("string").as("__val"))
+            .where(col("__val").isNotNull).distinct()
+            .withColumn("__id", row_number().over(w).cast("long") - 1 + start)
+          spec.str("saveMapping").foreach { path =>
+            val p = java.nio.file.Paths.get(path)
+            Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+            val lines = m.orderBy("__id").collect()
+              .map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+            java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+          }
+          m
+      }
+      df.join(broadcast(mapping), col(f).cast("string") <=> col("__val"), "left")
+        .withColumn(out, col("__id")).drop("__val", "__id")
+    }
+
   /** `hllsketch`: mergeable distinct-count sketches (Apache DataSketches
     * HLL via Spark's `hll_sketch_agg`) — the 100-TB spelling of
     * count-distinct rollups. A sketch is a small binary that MERGES:

@@ -39,6 +39,35 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgConfigK"))
   }
 
+  test("labelencode: sorted deterministic ids, null passthrough, mapping persistence") {
+    val ctx = newCtx()
+    val df = Seq("banana", "apple", "cherry", "apple", null)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "fruit")
+    val out = StatStages.labelEncode(ComponentSpec("labelencode",
+      Map("field" -> "fruit")), ctx)(df)
+      .orderBy("id").select("fruit", "fruit_id").collect()
+    // sorted order: apple=0, banana=1, cherry=2; null stays null
+    assert(out.map(r => (r.getString(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq(("banana", 1L), ("apple", 0L), ("cherry", 2L), ("apple", 0L), (null, -1L)))
+    // persistence: save, apply to data with an UNSEEN value → null id
+    val model = java.nio.file.Files.createTempDirectory("graft_le")
+      .resolve("map.tsv").toString
+    StatStages.labelEncode(ComponentSpec("labelencode",
+      Map("field" -> "fruit", "saveMapping" -> model)), ctx)(df).collect()
+    val later = Seq((1L, "cherry"), (2L, "durian")).toDF("id", "fruit")
+    val applied = StatStages.labelEncode(ComponentSpec("labelencode",
+      Map("field" -> "fruit", "loadMapping" -> model)), ctx)(later)
+      .orderBy("id").select("fruit_id").collect()
+    assert(applied(0).getLong(0) == 2L)
+    assert(applied(1).isNullAt(0)) // unseen: surfaced, never renumbered
+    // startAt shifts the base
+    val shifted = StatStages.labelEncode(ComponentSpec("labelencode",
+      Map("field" -> "fruit", "startAt" -> 10)), ctx)(df)
+      .where(col("fruit") === "apple").select("fruit_id").as[Long].head()
+    assert(shifted == 10L)
+  }
+
   test("zscore method=mad: robust to the outlier it flags; zero-MAD group nulls") {
     // group a: {1,2,3,4,100} — median 3, deviations {2,1,0,1,97} → MAD 1;
     // the outlier's robust z = 97 (mean/std would be dragged to z≈1.8
