@@ -2645,6 +2645,18 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "feature_hash" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // hashing-trick featurization: fixed k dims, no vocabulary pass;
+      // the oracle recomputes the same md5 bucket/sign arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"featurehash": {"k": 16}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), array_join(col("features"), ",").as("features_str"))
+        .orderBy("doc_id")
+    },
     "label_encode" -> { (s, dir) =>
       val c = ctx(s, dir)
       // categorical → dense ids in SORTED value order (deterministic
@@ -4682,6 +4694,12 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "feature_hash" ->
+      (s"SELECT doc_id, array_to_string(list_transform(generate_series(0, 15), j -> " +
+       s"coalesce(list_sum(list_transform(list_filter($toks, w -> w <> ''), w -> " +
+       raw"CASE WHEN ('0x' || substr(md5(w), 1, 6))::BIGINT % 16 = j THEN " +
+       raw"(CASE WHEN ('0x' || substr(md5(w), 7, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0)), ',') AS features_str " +
+       "FROM documents ORDER BY doc_id"),
     "label_encode" ->
       ("SELECT c_custkey, c_mktsegment, " +
        "CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS c_mktsegment_id " +

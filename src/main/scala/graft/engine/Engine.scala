@@ -112,6 +112,7 @@ object Engine {
     "zscore"        -> graft.stages.StatStages.zscore _,
     "quantiles"     -> graft.stages.StatStages.quantiles _,
     "labelencode"   -> graft.stages.StatStages.labelEncode _,
+    "featurehash"   -> graft.stages.StatStages.featureHash _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,

@@ -16,6 +16,47 @@ import org.apache.spark.sql.types._
   * into one partition). AQE broadcasts the stats side when small. */
 object StatStages {
 
+  /** `featurehash`: the hashing trick (Weinberger et al. 2009) — text to
+    * a FIXED-dimension feature vector with no vocabulary pass at all:
+    * each token adds ±1 at dimension md5(token) mod k (the second hash
+    * nibble picks the sign, which keeps collision noise zero-mean).
+    * The featurization that never needs a fit step, never grows with
+    * the vocabulary, and maps unseen tokens consistently — the
+    * counterpart to [[labelEncode]]'s exact-vocabulary path.
+    *
+    * Options: `field` (default "text"), `k` (dimensions, default 64),
+    * `outputField` (default "features", array<long>), `signed`
+    * (default true; false = plain bucket counts). md5 buckets (not a
+    * faster hash) keep the vector engine-portable — the repo's
+    * datasplit/cdcchunk idiom. NULL text → NULL vector.
+    *
+    * Scale shape: ONE per-row HOF fold (O(tokens·k) array copies per
+    * row — k is small by design); zero shuffles, fuses into the scan. */
+  def featureHash(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.strOr("field", "text")
+      require(df.columns.contains(f), s"featurehash: no column '$f'")
+      val k = spec.int("k", 64)
+      require(k >= 2 && k <= 4096, s"featurehash: k must be in [2, 4096], got $k")
+      val signed = spec.bool("signed", dflt = true)
+      val words = filter(split(trim(col(f).cast("string")), "\\s+"), w => w =!= "")
+      def bucket(w: Column): Column =
+        pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"), lit(k)).cast("int")
+      def signOf(w: Column): Column =
+        if (!signed) lit(1L)
+        else when(pmod(conv(substring(md5(w), 7, 1), 16, 10).cast("long"), lit(2)) === 0,
+          lit(1L)).otherwise(lit(-1L))
+      val vec = aggregate(words,
+        array_repeat(lit(0L), k),
+        (acc, w) => {
+          val b = bucket(w)
+          val s = signOf(w)
+          transform(acc, (v, i) => when(i === b, v + s).otherwise(v))
+        })
+      df.withColumn(spec.strOr("outputField", "features"),
+        when(col(f).isNotNull, vec))
+    }
+
   /** `labelencode`: categorical → dense integer ids (0-based, assigned
     * in SORTED value order so the mapping is deterministic across runs,
     * partitionings, and engines — a hash or first-seen id would not

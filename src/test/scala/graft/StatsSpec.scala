@@ -39,6 +39,28 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgConfigK"))
   }
 
+  test("featurehash: fixed dims, zero-mean signs, unseen tokens map consistently") {
+    val ctx = newCtx()
+    val df = Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = StatStages.featureHash(ComponentSpec("featurehash",
+      Map("k" -> 8)), ctx)(df).orderBy("doc_id")
+      .select("features").collect()
+    val v1 = out(0).getSeq[Long](0)
+    val v2 = out(1).getSeq[Long](0)
+    assert(v1.length == 8 && v2.length == 8)
+    // linearity: doc1 = 2×alpha + 1×beta, so v1 - 2·v2 is beta's one-hot
+    val beta = v1.zip(v2).map { case (a, b) => a - 2 * b }
+    assert(beta.map(math.abs).sum == 1)
+    assert(out(2).getSeq[Long](0).forall(_ == 0L)) // empty text → zero vector
+    assert(out(3).isNullAt(0))                     // null text → null
+    // unsigned mode: plain counts, total = token count
+    val counts = StatStages.featureHash(ComponentSpec("featurehash",
+      Map("k" -> 8, "signed" -> false)), ctx)(df)
+      .where(col("doc_id") === 1).select("features").head().getSeq[Long](0)
+    assert(counts.sum == 3 && counts.forall(_ >= 0))
+  }
+
   test("labelencode: sorted deterministic ids, null passthrough, mapping persistence") {
     val ctx = newCtx()
     val df = Seq("banana", "apple", "cherry", "apple", null)
