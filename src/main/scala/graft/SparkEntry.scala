@@ -2645,6 +2645,32 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "semi_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // keyed existence filter: orders whose customer is in BUILDING —
+      // left rows never duplicate (the right is non-unique per key in
+      // general), right columns never attach
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"semijoin": {
+          "right": "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+          "leftOn": "o_custkey", "rightOn": "c_custkey"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    },
+    "anti_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the complement: orders of customers NOT in BUILDING
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"antijoin": {
+          "right": "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+          "leftOn": "o_custkey", "rightOn": "c_custkey"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    },
     "feature_hash" -> { (s, dir) =>
       val c = ctx(s, dir)
       // hashing-trick featurization: fixed k dims, no vocabulary pass;
@@ -4694,6 +4720,14 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "semi_join" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
+       "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+       "ORDER BY o_orderkey"),
+    "anti_join" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN " +
+       "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+       "ORDER BY o_orderkey"),
     "feature_hash" ->
       (s"SELECT doc_id, array_to_string(list_transform(generate_series(0, 15), j -> " +
        s"coalesce(list_sum(list_transform(list_filter($toks, w -> w <> ''), w -> " +

@@ -140,6 +140,8 @@ object Engine {
     "union"         -> graft.stages.SetOps.union _,
     "except"        -> graft.stages.SetOps.except _,
     "intersect"     -> graft.stages.SetOps.intersect _,
+    "semijoin"      -> graft.stages.SetOps.semijoin _,
+    "antijoin"      -> graft.stages.SetOps.antijoin _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

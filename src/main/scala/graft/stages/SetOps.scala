@@ -57,4 +57,57 @@ object SetOps {
       if (spec.bool("all", dflt = false)) df.intersectAll(right)
       else df.intersect(right)
     }
+
+  /** `semijoin` / `antijoin`: KEYED existence filtering against another
+    * table or SELECT — keep rows whose key exists (semi) / doesn't
+    * exist (anti) on the right, NEVER attaching right columns or
+    * duplicating left rows the way an inner join against a non-unique
+    * right would. `except`/`intersect` compare whole rows; these
+    * compare by key — the everyday ETL shapes (orders of known
+    * customers, docs not yet processed) that `decontaminate`/
+    * `crossdedup` specialize for content hashes.
+    *
+    * Options: `right` (table or SELECT), `on` (comma-separated keys —
+    * same names both sides) or `leftOn`/`rightOn` (parallel lists).
+    * NULL keys: SQL semi/anti-join semantics (a null key never
+    * matches, so anti KEEPS null-keyed rows — the safe default for
+    * "not yet processed"; set `nullSafe: true` for <=> matching).
+    *
+    * Scale: Spark's LeftSemi/LeftAnti plans — right side reduced to
+    * its keys before the exchange, broadcast when small (AQE), and
+    * semi/anti short-circuit per key (no fan-out). */
+  private def keyedExistence(kind: String)(
+      spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      import org.apache.spark.sql.functions.col
+      val right = rightOf(spec, ctx)
+      val (lks, rks) = spec.str("on") match {
+        case Some(on) =>
+          val ks = on.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          (ks, ks)
+        case None =>
+          val l = spec.strOr("leftOn", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val r = spec.strOr("rightOn", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(l.nonEmpty && l.length == r.length,
+            s"$kind: need `on` or parallel `leftOn`/`rightOn` key lists")
+          (l, r)
+      }
+      lks.foreach(k => require(df.columns.contains(k), s"$kind: no left column '$k'"))
+      rks.foreach(k => require(right.columns.contains(k), s"$kind: no right column '$k'"))
+      // project the right side to its keys BEFORE the exchange — the
+      // planner would prune anyway for semi/anti, but making it
+      // explicit keeps renamed-key joins unambiguous
+      val rkeys = right.select(rks.map(col): _*).toDF(rks.map("__r_" + _): _*)
+      val nullSafe = spec.bool("nullSafe", dflt = false)
+      val cond = lks.zip(rks).map { case (l, r) =>
+        if (nullSafe) col(l) <=> col("__r_" + r) else col(l) === col("__r_" + r)
+      }.reduce(_ && _)
+      df.join(rkeys, cond, if (kind == "semijoin") "left_semi" else "left_anti")
+    }
+
+  def semijoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    keyedExistence("semijoin")(spec, ctx)
+
+  def antijoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    keyedExistence("antijoin")(spec, ctx)
 }

@@ -921,6 +921,36 @@ class EngineSpec extends SparkSpec {
     assert(amc.where(col("k") === 7).select("v").head().isNullAt(0))
   }
 
+  test("semijoin/antijoin: keyed existence — no fan-out, null-key SQL semantics") {
+    import spark.implicits._
+    import graft.spec.ComponentSpec
+    val ctx = newCtx()
+    val left = Seq[(Integer, String)]((1, "x"), (2, "y"), (3, "z"),
+      (null, "n")).toDF("k", "v")
+    // non-unique right: key 1 appears TWICE — an inner join would fan out
+    Seq(Tuple1(1), Tuple1(1), Tuple1(3)).toDF("rk").createOrReplaceTempView("sj_r")
+    def op(name: String, opts: (String, Any)*) =
+      Engine.transformers(name)(ComponentSpec(name,
+        Map[String, Any]("right" -> "sj_r", "leftOn" -> "k",
+          "rightOn" -> "rk") ++ opts.toMap), ctx)(left)
+    val semi = op("semijoin")
+    assert(semi.columns.toSeq == Seq("k", "v"))           // no right columns
+    assert(semi.select("v").as[String].collect().sorted.toSeq == Seq("x", "z"))
+    // anti keeps the null-keyed row: null never matches (safe default)
+    assert(op("antijoin").select("v").as[String].collect().sorted.toSeq ==
+      Seq("n", "y"))
+    // nullSafe: a null on both sides matches
+    Seq(Tuple1(null.asInstanceOf[Integer])).toDF("rk")
+      .createOrReplaceTempView("sj_null")
+    val ns = Engine.transformers("semijoin")(ComponentSpec("semijoin",
+      Map[String, Any]("right" -> "sj_null", "leftOn" -> "k",
+        "rightOn" -> "rk", "nullSafe" -> true)), ctx)(left)
+    assert(ns.select("v").as[String].collect().toSeq == Seq("n"))
+    // shared `on` spelling + missing-column guard
+    val e = intercept[Exception](op("semijoin", "leftOn" -> "nope"))
+    assert(e.getMessage.contains("no left column"))
+  }
+
   test("dryRun: config compiles and analyzes, loader never acts") {
     val path = writeNationCsv()
     val out = s"$tmp/dryrun_out"
