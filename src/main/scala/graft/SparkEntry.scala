@@ -2645,6 +2645,19 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "minmax_scale" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // bounded-range scaler: per-priority price to [0,1] — the same
+      // IEEE tree on both sides, constant groups null
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"minmaxscale": {"field": "o_totalprice",
+          "keyField": "o_orderpriority", "outField": "price_01"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "price_01")
+        .orderBy("o_orderkey")
+    },
     "semi_join" -> { (s, dir) =>
       val c = ctx(s, dir)
       // keyed existence filter: orders whose customer is in BUILDING —
@@ -4720,6 +4733,12 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "minmax_scale" ->
+      ("WITH s AS (SELECT o_orderpriority, min(CAST(o_totalprice AS DOUBLE)) AS mn, max(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders GROUP BY 1) " +
+       "SELECT o.o_orderkey, o.o_orderpriority, " +
+       "CASE WHEN s.mx > s.mn THEN (CAST(o.o_totalprice AS DOUBLE) - s.mn) / (s.mx - s.mn) END AS price_01 " +
+       "FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority " +
+       "ORDER BY o_orderkey"),
     "semi_join" ->
       ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +

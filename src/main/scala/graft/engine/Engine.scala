@@ -113,6 +113,7 @@ object Engine {
     "quantiles"     -> graft.stages.StatStages.quantiles _,
     "labelencode"   -> graft.stages.StatStages.labelEncode _,
     "featurehash"   -> graft.stages.StatStages.featureHash _,
+    "minmaxscale"   -> graft.stages.StatStages.minMaxScale _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,

@@ -16,6 +16,36 @@ import org.apache.spark.sql.types._
   * into one partition). AQE broadcasts the stats side when small. */
 object StatStages {
 
+  /** `minmaxscale`: per-group min-max normalization to [0, 1] —
+    * (x − min)/(max − min), the bounded-range scaler (zscore's
+    * standardization is unbounded). Options: `field` (required),
+    * `keyField` (optional comma-separated), `outField` (default
+    * `<field>_scaled`). Constant groups (max == min) yield null, not a
+    * division error. One hash agg (map-side combine) + a null-safe key
+    * join — never a window over all rows (the StatStages shape). */
+  def minMaxScale(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("minmaxscale: `field` required"))
+      require(df.columns.contains(fld), s"minmaxscale: no column '$fld'")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(k => require(df.columns.contains(k), s"minmaxscale: no key column '$k'"))
+      val outField = spec.strOr("outField", s"${fld}_scaled")
+      val x = col(fld).cast("double")
+      val stats = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*) else df.groupBy())
+        .agg(min(x).as("__mn"), max(x).as("__mx"))
+      val joined =
+        if (keys.nonEmpty) {
+          val r = stats.toDF(stats.columns.map(c =>
+            if (keys.contains(c)) s"__k_$c" else c): _*)
+          val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+          df.join(r, cond, "left").drop(keys.map(k => s"__k_$k"): _*)
+        } else df.crossJoin(broadcast(stats))
+      joined.withColumn(outField,
+          when(col("__mx") > col("__mn"), (x - col("__mn")) / (col("__mx") - col("__mn"))))
+        .drop("__mn", "__mx")
+    }
+
   /** `featurehash`: the hashing trick (Weinberger et al. 2009) — text to
     * a FIXED-dimension feature vector with no vocabulary pass at all:
     * each token adds ±1 at dimension md5(token) mod k (the second hash

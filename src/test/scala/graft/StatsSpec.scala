@@ -39,6 +39,22 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgConfigK"))
   }
 
+  test("minmaxscale: [0,1] per group, constant group nulls, null-safe keys") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0),
+      ("b", 5.0), ("b", 5.0),
+      (null.asInstanceOf[String], 7.0), (null.asInstanceOf[String], 9.0))
+      .toDF("k", "x")
+    val out = StatStages.minMaxScale(ComponentSpec("minmaxscale",
+      Map("field" -> "x", "keyField" -> "k")), newCtx())(df)
+      .orderBy("k", "x").select("k", "x", "x_scaled").collect()
+    val a = out.filter(r => !r.isNullAt(0) && r.getString(0) == "a")
+    assert(a.map(_.getDouble(2)).toSeq == Seq(0.0, 0.5, 1.0))
+    val b = out.filter(r => !r.isNullAt(0) && r.getString(0) == "b")
+    assert(b.forall(_.isNullAt(2)))       // constant group → null
+    val n = out.filter(_.isNullAt(0))     // null key forms its own group
+    assert(n.map(_.getDouble(2)).toSeq == Seq(0.0, 1.0))
+  }
+
   test("featurehash: fixed dims, zero-mean signs, unseen tokens map consistently") {
     val ctx = newCtx()
     val df = Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, ""),
