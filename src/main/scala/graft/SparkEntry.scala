@@ -122,6 +122,8 @@ object SparkEntry {
       // block-pattern PNGs whose average-hash is planted doc_id
       // arithmetic (the image near-dup query's input)
       graft.multimodal.MediaFixtures.ensurePhash(spark, sfDir, s"$dir/phash_parquet")
+      // PNGs carrying planted tEXt/zTXt/iTXt chunks (mm_meta's input)
+      graft.multimodal.MediaFixtures.ensureMetaPng(spark, sfDir, s"$dir/metapng_parquet")
       // multilingual text: one held-out sentence per doc_id, language
       // keyed by doc_id % Languages.length — the langid query must recover the key
       // from the TEXT; the oracle recomputes the arithmetic. The cache
@@ -2645,6 +2647,19 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "mm_textmeta" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      val fx = fixtures(s, dir)
+      // PNG textual metadata: planted tEXt (latin1), zTXt (deflate) and
+      // iTXt (utf8) chunks recovered from real bytes; the oracle is the
+      // plant arithmetic. One in nine payloads has no chunks at all.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/metapng_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_meta": {"idField": "media_id"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("media_id")
+    },
     "minmax_scale" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-range scaler: per-priority price to [0,1] — the same
@@ -4733,6 +4748,12 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "mm_textmeta" ->
+      ("SELECT doc_id AS media_id, " +
+       "CAST(CASE WHEN doc_id % 9 = 4 THEN 0 ELSE 3 END AS INTEGER) AS n_meta, " +
+       "CASE WHEN doc_id % 9 = 4 THEN '' ELSE " +
+       "'author=user' || CAST(doc_id % 50 AS VARCHAR) || '; note=n' || CAST(doc_id AS VARCHAR) || '; rank=' || CAST(doc_id * 7 % 1000 AS VARCHAR) END AS meta_kv " +
+       "FROM documents ORDER BY media_id"),
     "minmax_scale" ->
       ("WITH s AS (SELECT o_orderpriority, min(CAST(o_totalprice AS DOUBLE)) AS mn, max(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders GROUP BY 1) " +
        "SELECT o.o_orderkey, o.o_orderpriority, " +

@@ -132,6 +132,7 @@ object Engine {
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
     "mm_phash"      -> graft.multimodal.MultimodalStages.phash _,
+    "mm_meta"       -> graft.multimodal.MultimodalStages.textMeta _,
     "mm_frame_sample" -> graft.multimodal.MultimodalStages.frameSample _,
     "mm_frame_decode" -> graft.multimodal.MultimodalStages.frameDecode _,
     "hammingpairs"  -> graft.dedup.DedupStages.hammingPairs _,

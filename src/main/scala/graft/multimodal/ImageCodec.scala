@@ -202,4 +202,118 @@ object ImageCodec {
 
   private def fail(id: Long, why: String): Nothing =
     sys.error(s"mm_decode: media_id=$id: $why")
+
+  // ---- PNG textual metadata (tEXt / zTXt / iTXt chunks) ----
+  // Chunk grammar is the public PNG spec (ISO 15948 §11.3.4): length(4BE)
+  // + type(4) + data + crc32(4); textual chunks carry key\0… payloads.
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && PngSig.indices.forall(i => b(i) == PngSig(i))
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) sys.error("png: truncated compressed text")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def beInt(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** All textual key→value entries of a PNG, in chunk order. */
+  def pngText(id: Long, bytes: Array[Byte]): Seq[(String, String)] = {
+    if (!isPng(bytes))
+      fail(id, "not a PNG — textual metadata chunks are a PNG surface " +
+        "(tEXt/zTXt/iTXt); other formats report none")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val len = beInt(bytes, i)
+      if (len < 0 || i + 8 + len + 4 > bytes.length)
+        fail(id, s"png: chunk at byte $i overruns the payload")
+      val typ = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val data = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)
+      def upTo0(from: Int): Int = {
+        var j = from; while (j < data.length && data(j) != 0) j += 1; j
+      }
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      typ match {
+        case "tEXt" =>
+          val z = upTo0(0)
+          out += new String(data, 0, z, latin1) ->
+            new String(data, math.min(z + 1, data.length),
+              math.max(0, data.length - z - 1), latin1)
+        case "zTXt" =>
+          val z = upTo0(0) // key \0 method(1) deflate-data
+          val txt = inflate(java.util.Arrays.copyOfRange(data, z + 2, data.length))
+          out += new String(data, 0, z, latin1) -> new String(txt, latin1)
+        case "iTXt" =>
+          val z = upTo0(0)
+          val compFlag = data(z + 1)
+          val langEnd = upTo0(z + 3)
+          val tkeyEnd = upTo0(langEnd + 1)
+          val raw = java.util.Arrays.copyOfRange(data, tkeyEnd + 1, data.length)
+          val txt = if (compFlag == 1) inflate(raw) else raw
+          out += new String(data, 0, z, latin1) ->
+            new String(txt, java.nio.charset.StandardCharsets.UTF_8)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      i += 8 + len + 4
+    }
+    out.toSeq
+  }
+
+  /** Splice textual chunks into an existing PNG (before IEND) — the
+    * fixture writer for [[pngText]]. `compressed=true` entries become
+    * zTXt, utf8 entries iTXt, plain latin1 tEXt. */
+  def addPngText(png: Array[Byte],
+                 entries: Seq[(String, String, String)]): Array[Byte] = {
+    require(isPng(png), "addPngText: not a PNG")
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      crc.update(t); crc.update(data)
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val built = entries.flatMap { case (kind, k, v) =>
+      kind match {
+        case "text" => Seq(chunk("tEXt",
+          k.getBytes(latin1) ++ Array(0.toByte) ++ v.getBytes(latin1)))
+        case "ztxt" =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(v.getBytes(latin1)); d.finish()
+          val buf = new Array[Byte](v.length * 2 + 64)
+          val n = d.deflate(buf); d.end()
+          Seq(chunk("zTXt", k.getBytes(latin1) ++ Array(0.toByte, 0.toByte) ++
+            buf.take(n)))
+        case "itxt" => Seq(chunk("iTXt",
+          k.getBytes(latin1) ++ Array(0.toByte, 0.toByte, 0.toByte) ++
+            "en".getBytes(latin1) ++ Array(0.toByte) ++ Array(0.toByte) ++
+            v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        case other => sys.error(s"addPngText: unknown kind '$other'")
+      }
+    }
+    // IEND = the final 12 bytes of a well-formed PNG
+    val at = png.length - 12
+    require(new String(png, at + 4, 4,
+      java.nio.charset.StandardCharsets.US_ASCII) == "IEND",
+      "addPngText: payload does not end with IEND")
+    png.take(at) ++ built.flatten ++ png.drop(at)
+  }
 }

@@ -409,6 +409,35 @@ object MediaFixtures {
   private def markerName(spark: SparkSession, sfDir: String): String =
     s"_graft_v${Version}_${docKey(spark, sfDir)}"
 
+  /** PNG-with-textual-chunks fixture (mm_meta's input): every doc gets
+    * a PNG; ids with `id % 9 != 4` carry three planted entries — a
+    * tEXt `author`, a zTXt `rank` (deflate path) and an iTXt `note`
+    * (utf8 path) — all pure doc_id arithmetic for the oracle. */
+  def ensureMetaPng(spark: SparkSession, sfDir: String, outPath: String): String = {
+    val marker = new java.io.File(outPath, markerName(spark, sfDir) + "_meta1")
+    if (!marker.exists()) {
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"))
+        .as(Encoders.scalaLong)
+        .repartition(FixtureFiles)
+        .mapPartitions(_.map { id =>
+          val png = ImageCodec.encode(frame(id), "png")
+          val out =
+            if (id % 9 == 4) png // no textual chunks at all
+            else ImageCodec.addPngText(png, Seq(
+              ("text", "author", s"user${id % 50}"),
+              ("ztxt", "rank", s"${id * 7 % 1000}"),
+              ("itxt", "note", s"n$id")))
+          (id, out)
+        })(enc)
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(outPath)
+      marker.createNewFile()
+    }
+    outPath
+  }
+
   /** Write the fixture parquet once per (sfDir, outPath, Version);
     * idempotent. */
   def ensure(spark: SparkSession, sfDir: String, outPath: String): String = {

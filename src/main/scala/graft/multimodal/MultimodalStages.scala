@@ -90,6 +90,41 @@ object MultimodalStages {
       } else meta
     }
 
+  /** Typed contract for textual metadata extracted from a payload. */
+  final case class TextMeta(media_id: Long, n_meta: Int, meta_kv: String)
+
+  /** `mm_meta`: textual metadata extraction from image payloads — PNG
+    * tEXt/zTXt/iTXt chunks (ISO 15948 §11.3.4; authoring tools and
+    * crawl provenance live there), walked pure-byte with inflate for
+    * the compressed forms. Output: `n_meta` + `meta_kv` (sorted
+    * `k=v` pairs joined by `; ` — a STRING, not a map, per the driver
+    * compare contract). Non-PNG payloads are a typed error naming the
+    * supported surface (`onUndecodable: skip` drops them — crawl
+    * posture). Options: `idField`, `payloadField`, `onUndecodable`.
+    * Partition-parallel mapPartitions like every mm_* decode. */
+  def textMeta(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_meta: unknown onUndecodable '$other' (error|skip)")
+      }
+      val enc = Encoders.product[TextMeta]
+      val pairs = df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      def one(i: Long, bytes: Array[Byte]): TextMeta = {
+        val kv = ImageCodec.pngText(i, bytes).sortBy(_._1)
+        TextMeta(i, kv.length, kv.map { case (k, v) => s"$k=$v" }.mkString("; "))
+      }
+      pairs.mapPartitions { iter =>
+        if (skip) iter.flatMap { case (i, bytes) =>
+          try Some(one(i, bytes)) catch { case scala.util.control.NonFatal(_) => None } }
+        else iter.map { case (i, bytes) => one(i, bytes) }
+      }(enc).toDF()
+    }
+
   /** `mm_audio`: partition-parallel audio metadata decode of a binary
     * payload into [[AudioCodec.AudioMeta]] columns — real sample rate /
     * channels / sample count from the bytes. Container-sniffing:

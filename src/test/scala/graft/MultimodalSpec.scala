@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   * decoder must recover them from the BYTES (the same contract the
   * driver's DuckDB oracle checks at sf0.01). */
 class MultimodalSpec extends SparkSpec {
+
+  test("mm_meta: PNG tEXt/zTXt/iTXt recovery, non-PNG typed error, skip mode") {
+    import graft.multimodal.ImageCodec
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val png = ImageCodec.encode(img, "png")
+    val withText = ImageCodec.addPngText(png, Seq(
+      ("text", "a", "plain"), ("ztxt", "b", "deflated value"),
+      ("itxt", "c", "unicode é中")))
+    // the spliced payload still DECODES as a valid image
+    assert(ImageCodec.decode(1L, withText).width == 4)
+    val kv = ImageCodec.pngText(1L, withText).toMap
+    assert(kv == Map("a" -> "plain", "b" -> "deflated value",
+      "c" -> "unicode é中"))
+    assert(ImageCodec.pngText(2L, png).isEmpty)
+    val jpg = ImageCodec.encode(img, "jpg")
+    val e = intercept[RuntimeException](ImageCodec.pngText(3L, jpg))
+    assert(e.getMessage.contains("PNG"))
+    // truncated chunk overruns fail loud with the offset
+    val cut = withText.take(withText.length - 20)
+    val e2 = intercept[RuntimeException](ImageCodec.pngText(4L, cut))
+    assert(e2.getMessage.contains("overruns") || e2.getMessage.contains("truncated"))
+    // stage: skip mode drops the non-PNG row instead of failing
+    import spark.implicits._
+    val df = Seq((1L, withText), (2L, jpg)).toDF("doc_id", "payload")
+    val out = graft.multimodal.MultimodalStages.textMeta(
+      graft.spec.ComponentSpec("mm_meta", Map("onUndecodable" -> "skip")),
+      newCtx())(df).collect()
+    assert(out.length == 1 && out.head.getInt(1) == 3)
+  }
   import spark.implicits._
 
   private def stage(name: String, opts: (String, Any)*)(
