@@ -2647,6 +2647,25 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "robots_filter" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // RFC 9309 verdicts: four hosts — specific-agent group eclipsing
+      // '*' (a.com), wildcard pattern (b.com), empty-disallow allow-all
+      // eclipse (c.com), absent from the cache (d.com). Block/allow is
+      // pure doc_id arithmetic for the oracle; the engine must parse
+      // the real robots bodies, pick groups and do longest-match.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('https://', element_at(array('a.com', 'b.com', 'c.com', 'd.com'), cast(doc_id % 4 as int) + 1), element_at(array(concat('/private/p', cast(doc_id as string)), concat('/private/ok', cast(doc_id as string)), concat('/pub/p', cast(doc_id as string))), cast(doc_id % 3 as int) + 1)) AS url FROM __input"}},
+          {"robotsfilter": {"agent": "graftbot", "robots":
+            "SELECT * FROM (VALUES ('a.com', '# cache\\nUser-Agent: graftbot\\nDisallow: /private/\\nAllow: /private/ok\\nUser-agent: *\\nDisallow: /'), ('b.com', 'User-agent: *\\nDisallow: /pub*'), ('c.com', 'User-agent: graftbot\\nDisallow:\\nUser-agent: *\\nDisallow: /')) AS t(host, robots_txt)"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "robots_allowed")
+        .orderBy("doc_id")
+    },
     "mm_textmeta" -> { (s, dir) =>
       val c = ctx(s, dir)
       val fx = fixtures(s, dir)
@@ -4748,6 +4767,12 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "robots_filter" ->
+      ("SELECT doc_id, CASE " +
+       "WHEN doc_id % 4 = 0 THEN doc_id % 3 <> 0 " +
+       "WHEN doc_id % 4 = 1 THEN doc_id % 3 <> 2 " +
+       "ELSE true END AS robots_allowed " +
+       "FROM documents ORDER BY doc_id"),
     "mm_textmeta" ->
       ("SELECT doc_id AS media_id, " +
        "CAST(CASE WHEN doc_id % 9 = 4 THEN 0 ELSE 3 END AS INTEGER) AS n_meta, " +

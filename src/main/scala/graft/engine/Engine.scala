@@ -84,6 +84,7 @@ object Engine {
     "wikitext"      -> graft.text.TextStages.wikitext _,
     "piimask"       -> graft.text.TextStages.piiMask _,
     "urlfilter"     -> graft.text.WebStages.urlfilter _,
+    "robotsfilter"  -> graft.text.WebStages.robotsfilter _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,

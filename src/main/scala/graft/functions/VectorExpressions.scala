@@ -445,6 +445,18 @@ object VectorExpressions {
         },
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_robots_allowed",
+        (exprs: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val agent = exprs(2) match {
+            case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+            case other => sys.error(
+              s"graft_robots_allowed: agent must be a string literal, got $other")
+          }
+          graft.text.RobotsAllowed(exprs.head, exprs(1), agent)
+        },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_wikitext_clean",
         (exprs: Seq[Expression]) => graft.text.WikitextClean(exprs.head),
         "built-in")

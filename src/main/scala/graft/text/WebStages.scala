@@ -252,6 +252,51 @@ object WebStages {
       }
     }
 
+  /** `robotsfilter`: RFC 9309 robots.txt verdicts — the third leg of
+    * crawl hygiene (with urlnormalize/urlfilter): join the corpus to a
+    * per-host robots cache and flag every URL allowed/blocked for the
+    * configured agent. Group precedence (specific agent eclipses `*`),
+    * longest-match rules with `*`/`$`, allow-wins-ties — see
+    * [[graft.text.Robots]].
+    *
+    * Options: `robots` (table or SELECT with `host`, `robots_txt`
+    * columns — the fetch cache every crawler maintains), `agent`
+    * (default "*"), `field` (default "url"), `action` flag (default —
+    * boolean `robots_allowed`) or filter. A host ABSENT from the cache
+    * is allowed (no robots.txt = no restrictions), as is a null URL.
+    *
+    * Scale: ONE host-keyed join (robots caches are tiny per corpus —
+    * broadcast-eligible) + a codegen'd per-row verdict with a
+    * per-executor parse cache (bodies repeat per host, rows per page). */
+  def robotsfilter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "url")
+      require(df.columns.contains(f), s"robotsfilter: no column '$f'")
+      val agent = spec.strOr("agent", "*")
+      val robots = ctx.tableOrSql(spec.str("robots").getOrElse(
+        sys.error("robotsfilter: `robots` (table or SELECT with host, robots_txt) required")))
+      require(robots.columns.contains("host") && robots.columns.contains("robots_txt"),
+        s"robotsfilter: robots side needs host + robots_txt columns, has ${robots.columns.mkString(",")}")
+      val u = col(f).cast("string")
+      val host = lower(urlPart(u, "host"))
+      val path = regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+      val r = robots.select(lower(col("host")).as("__rb_host"),
+        col("robots_txt").cast("string").as("__rb_txt"))
+      val joined = df.join(r, host === col("__rb_host"), "left")
+      val verdict = when(u.isNull || col("__rb_txt").isNull, lit(true))
+        .otherwise(call_function("graft_robots_allowed",
+          when(path === "", lit("/")).otherwise(path),
+          col("__rb_txt"), lit(agent)))
+      val out = joined.withColumn("robots_allowed", verdict)
+        .drop("__rb_host", "__rb_txt")
+      spec.strOr("action", "flag").toLowerCase match {
+        case "flag" => out
+        case "filter" => out.where(col("robots_allowed")).drop("robots_allowed")
+        case other => sys.error(s"robotsfilter: action must be flag|filter, got $other")
+      }
+    }
+
   /** `groupcap`: cap the number of rows kept per group — the per-domain
     * quota of web curation (a boilerplate-heavy domain must not dominate
     * the corpus). Keeps the FIRST `maxPerGroup` rows per `groupField`

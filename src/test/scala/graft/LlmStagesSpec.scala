@@ -406,6 +406,29 @@ class LlmStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown entities"))
   }
 
+  test("robots: RFC 9309 group precedence, longest-match, wildcards, anchors") {
+    import graft.text.Robots
+    val txt = "User-agent: graftbot\nDisallow: /a/\nAllow: /a/ok\n" +
+      "Disallow: /*.pdf$\nUser-agent: *\nDisallow: /"
+    def ok(p: String) = Robots.check(txt, "graftbot", p)
+    assert(!ok("/a/x"))
+    assert(ok("/a/ok-page"))       // longer allow beats shorter disallow
+    assert(ok("/b"))               // specific group eclipses the '*' ban
+    assert(!ok("/docs/file.pdf"))  // wildcard + end anchor
+    assert(ok("/docs/file.pdf?x")) // anchor: query chars break the match
+    // unknown agent falls to '*'
+    assert(!Robots.check(txt, "otherbot", "/b"))
+    // agent prefix matching: product tokens with versions
+    assert(Robots.check(txt, "graftbot/2.1", "/b"))
+    // empty-disallow group = allow-all that still eclipses '*'
+    val allowAll = "User-agent: graftbot\nDisallow:\nUser-agent: *\nDisallow: /"
+    assert(Robots.check(allowAll, "graftbot", "/anything"))
+    // allow wins length ties
+    assert(Robots.allowed(Seq(Robots.Rule(false, "/p"), Robots.Rule(true, "/p")), "/page"))
+    // comments and blank lines are noise; no rules → allowed
+    assert(Robots.check("# nothing here\n\n", "graftbot", "/x"))
+  }
+
   test("urlfilter: domain (incl. subdomain) and pattern blocks; filter action") {
     val df = Seq(
       (1L, "https://ok.org/a"),
