@@ -227,21 +227,23 @@ object SplitStages {
       val words = filter(split(trim(f), "\\s+"), w => w =!= "")
       def isBoundary(w: Column): Column =
         pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"), lit(d)) === 0
-      // exclusive prefix count of boundaries = each word's chunk id
-      val grps = aggregate(words,
-        struct(array().cast("array<int>").as("ids"), lit(0).as("run")),
-        (acc, w) => struct(
-          concat(acc.getField("ids"), array(acc.getField("run"))).as("ids"),
-          (acc.getField("run") + when(isBoundary(w), 1).otherwise(0)).as("run")),
-        acc => acc.getField("ids"))
-      val pairs = zip_with(words, grps, (w, g) => struct(w.as("w"), g.as("g")))
-      val chunks = transform(
-        // try_element_at: ANSI element_at throws on the empty-text empty
-        // array; null → one empty chunk, filtered below
-        sequence(lit(0), coalesce(try_element_at(grps, lit(-1)), lit(0))),
-        g => array_join(transform(
-          filter(pairs, p => p.getField("g") === g),
-          p => p.getField("w")), " "))
+      // ONE direct fold building the chunk list: each word appends to
+      // the open chunk; a boundary word closes it. The closed-chunks
+      // array copies only once per CHUNK (≈ n/divisor times), not per
+      // word — the exclusive-prefix-ids formulation copied an O(n)
+      // array per word and measured 6x slower at the 100x stress scale.
+      val chunks = aggregate(words,
+        struct(array().cast("array<string>").as("done"), lit("").as("cur")),
+        (acc, w) => {
+          val cur2 = when(acc.getField("cur") === "", w)
+            .otherwise(concat(acc.getField("cur"), lit(" "), w))
+          when(isBoundary(w),
+            struct(concat(acc.getField("done"), array(cur2)).as("done"),
+              lit("").as("cur")))
+            .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+        },
+        acc => when(acc.getField("cur") === "", acc.getField("done"))
+          .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
       df.select(col(id), posexplode(chunks).as(Seq("chunk_index", "chunk_text")))
         .where(col("chunk_text") =!= "")
         .select(col(id), col("chunk_index").cast("long").as("chunk_index"),

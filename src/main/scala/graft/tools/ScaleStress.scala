@@ -267,7 +267,8 @@ object ScaleStress {
       "interval_join", "boilerplate",
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
-      "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse")
+      "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
+      "cdc_chunk")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -459,6 +460,16 @@ object ScaleStress {
             {"wikitext": {}},
             {"code": {"language": "sql", "code":
               "SELECT doc_id FROM __input WHERE length(text) > 10"}}],
+          "loader": {"memory": {}} }""",
+        // content-defined chunking: per-row O(tokens·groups) fold +
+        // posexplode — must track linear in total tokens; the hash agg
+        // over chunk_hash references the output (count-elimination trap)
+        "cdc_chunk" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"cdcchunk": {"divisor": 8}},
+            {"code": {"language": "sql", "code":
+              "SELECT chunk_hash, count(*) AS n FROM __input GROUP BY 1 HAVING count(*) > 1"}}],
           "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
