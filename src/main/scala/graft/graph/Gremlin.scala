@@ -302,6 +302,16 @@ object Gremlin {
           // offset preserves the sort, so a following limit/tail keeps
           // paging the SAME order instead of re-pinning canonically
           carryOrder = true
+        case ("sample", Seq(n: Long)) =>
+          if (n <= 0 || n > Int.MaxValue) fail(s"sample($n) out of range")
+          // Gremlin's sample is random; a distributed engine needs the
+          // REPRODUCIBLE spelling (retries, shared keyed frames) — a
+          // hash-ordered pick: uniform-ish over the traverser set,
+          // deterministic for a given frame, planned as one TakeOrdered
+          frame = frame
+            .orderBy((xxhash64(frame.columns.sorted.map(col): _*).asc +:
+              frame.columns.sorted.map(col(_).asc)).toIndexedSeq: _*)
+            .limit(n.toInt)
         case ("tail", args) =>
           val n = args match {
             case Nil => 1L
@@ -1009,7 +1019,7 @@ object Gremlin {
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/E/hasLabel/has/hasId/out/in/both/" +
             "outE/inE/bothE (+ inV/outV/otherV/bothV)/dedup/" +
-            "limit/range/skip/tail/id/label/constant/" +
+            "limit/range/skip/tail/sample/id/label/constant/" +
             "values/valueMap/elementMap/simplePath/" +
             "count/sum/mean/min/max/fold/groupCount[.by('col')]/" +
             "group().by('k')[.by(<aggregate>)]/" +

@@ -334,6 +334,14 @@ class GraphSpec extends SparkSpec {
       .select("sum").as[Long].head() == 35L)
     // skip past the end is empty, not an error
     assert(g("g.V().order().by('w', 'desc').skip(9).values('id')").count() == 0L)
+    // sample(n): n rows, deterministic across evaluations, subset of V
+    val s1 = g("g.V().sample(3).values('id')").select("value")
+      .as[String].collect().sorted.toSeq
+    val s2 = g("g.V().sample(3).values('id')").select("value")
+      .as[String].collect().sorted.toSeq
+    assert(s1.length == 3 && s1 == s2)
+    assert(s1.toSet.subsetOf(Set("a", "b", "c", "d", "e")))
+    assert(g("g.V().sample(99).values('id')").count() == 5L) // n > size = all
   }
 
   test("gremlin: group().by().by() result map and project() per-traverser columns") {
