@@ -2647,6 +2647,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "avro_export" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // loader→extractor roundtrip: export typed columns (long, string,
+      // double, boolean) as Object Container Files, read them back with
+      // the avro extractor, match the source table exactly
+      val out = s"/tmp/graft_avro_out_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"language": "sql", "code":
+          "SELECT c_custkey, c_name, cast(c_acctbal as double) AS bal, c_custkey % 2 = 0 AS even FROM __input"}}],
+        "loader": {"avro": {"path": "$out"}} }""")
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$out"}},
+        "extractor": {"avro": {}},
+        "loader": {"memory": {}} }""")
+        .orderBy("c_custkey")
+    },
     "robots_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       // RFC 9309 verdicts: four hosts — specific-agent group eclipsing
@@ -4767,6 +4785,10 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "avro_export" ->
+      ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, " +
+       "CAST(c_acctbal AS DOUBLE) AS bal, c_custkey % 2 = 0 AS even " +
+       "FROM customer ORDER BY c_custkey"),
     "robots_filter" ->
       ("SELECT doc_id, CASE " +
        "WHEN doc_id % 4 = 0 THEN doc_id % 3 <> 0 " +

@@ -773,7 +773,7 @@ object Loaders {
   /** The names [[load]] dispatches on — dryRun validates against this
     * set (and the per-format required options below) without acting. */
   val KnownLoaders: Set[String] = Set("output", "memory", "parquet", "orc",
-    "csv", "jsonl", "jdbc", "graph", "orientdb")
+    "csv", "jsonl", "jdbc", "graph", "orientdb", "avro")
 
   /** dryRun-time loader validation: unknown names and missing required
     * options fail the pre-flight exactly like the real run would, with
@@ -781,7 +781,7 @@ object Loaders {
   def validate(ctx: EtlContext, spec: ComponentSpec): Unit = {
     if (!KnownLoaders(spec.name)) sys.error(s"unknown loader ${spec.name}")
     spec.name match {
-      case "parquet" | "orc" | "csv" | "jsonl" =>
+      case "parquet" | "orc" | "csv" | "jsonl" | "avro" =>
         spec.str("path").getOrElse(sys.error(s"${spec.name} loader: path required"))
         if (spec.name == "parquet" && spec.strOr("mode", "overwrite") == "upsert")
           spec.str("key").getOrElse(sys.error("parquet loader: upsert requires key"))
@@ -874,6 +874,16 @@ object Loaders {
         val csvParts = spec.strList("partitionBy")
         if (csvParts.nonEmpty) w = w.partitionBy(csvParts: _*)
         w.csv(path)
+        true
+
+      case "avro" =>
+        // Object Container File export via the stock generic writer
+        // (no spark-avro DataSource on this classpath) — one deflate
+        // container per partition, executor-side; see sources/Avro.write
+        graft.sources.Avro.write(applyDeclaredSchema(df, spec),
+          OrientExpr.resolveString(
+            spec.str("path").getOrElse(sys.error("avro loader: path required")), vars),
+          spec)
         true
 
       case "jsonl" =>

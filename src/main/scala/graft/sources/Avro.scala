@@ -91,6 +91,76 @@ object Avro {
     finally in.close()
   }
 
+  /** Writer (the loader side): one Object Container File per partition
+    * (deflate codec), written executor-side — the generation
+    * parallelizes like the read. Column mapping mirrors [[read]]:
+    * integers widen to long, floats to double, bool/string/binary map
+    * directly, and every other type (timestamps, decimals, structs,
+    * arrays, maps) exports as its string/JSON rendering — lossless for
+    * interchange, re-parse downstream. All fields are nullable unions. */
+  def write(df: DataFrame, path: String, spec: ComponentSpec): Unit = {
+    import org.apache.spark.sql.functions.{col => c, to_json}
+    val spark = df.sparkSession
+    val prepared = df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => c(f.name).cast("long").as(f.name)
+        case FloatType | DoubleType => c(f.name).cast("double").as(f.name)
+        case BooleanType | StringType | BinaryType => c(f.name)
+        case _: StructType | _: ArrayType | _: MapType => to_json(c(f.name)).as(f.name)
+        case _ => c(f.name).cast("string").as(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val names = prepared.schema.fields.map(_.name)
+    val kinds = prepared.schema.fields.map(_.dataType match {
+      case LongType => 'l'; case DoubleType => 'd'; case BooleanType => 'b'
+      case BinaryType => 'y'; case _ => 's'
+    })
+    val dir = new java.io.File(path)
+    if (spec.strOr("mode", "overwrite") == "overwrite" && dir.exists())
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    dir.mkdirs()
+    val schemaJson = {
+      var b = org.apache.avro.SchemaBuilder.record("row").fields()
+      names.zip(kinds).foreach { case (n, k) =>
+        val t = k match {
+          case 'l' => "long"; case 'd' => "double"; case 'b' => "boolean"
+          case 'y' => "bytes"; case _ => "string"
+        }
+        b = b.name(n).`type`().unionOf().nullType().and()
+          .`type`(t).endUnion().nullDefault()
+      }
+      b.endRecord().toString
+    }
+    prepared.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(schema, new java.io.File(dir, f"part-$pid%05d.avro"))
+        try rows.foreach { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            val v: AnyRef =
+              if (r.isNullAt(i)) null
+              else kinds(i) match {
+                case 'l' => java.lang.Long.valueOf(r.getLong(i))
+                case 'd' => java.lang.Double.valueOf(r.getDouble(i))
+                case 'b' => java.lang.Boolean.valueOf(r.getBoolean(i))
+                case 'y' => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+                case _ => r.getString(i)
+              }
+            rec.put(i, v)
+            i += 1
+          }
+          w.append(rec)
+        } finally w.close()
+      }
+    }
+  }
+
   def read(spark: SparkSession, path: String, spec: ComponentSpec): DataFrame = {
     val avroSchema = headerSchema(path)
     require(avroSchema.getType == Schema.Type.RECORD,

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.Xml
 import graft.text.Wikitext
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit coverage for the XML record extractor and the wikitext cleaner. */
@@ -94,6 +95,32 @@ class AvroSpec extends SparkSpec {
     w.create(schema, f)
     recs.foreach(w.append)
     w.close()
+  }
+
+  test("avro writer: partition-parallel containers, nulls, overwrite clears") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_w").toString
+    val df = spark.range(100).select(col("id"),
+      concat(lit("n"), col("id")).as("name"),
+      when(col("id") % 7 === 0, lit(null).cast("string")).otherwise(lit("v")).as("opt"))
+      .repartition(4)
+    graft.sources.Avro.write(df, dir, graft.spec.ComponentSpec("avro", Map()))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 4)
+    val back = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$dir"}},
+      "extractor": {"avro": {}},
+      "loader": {"memory": {}} }""")
+    assert(back.count() == 100)
+    assert(back.where(col("opt").isNull).count() == 15)
+    assert(back.where(col("id") === 42).select("name").as[String].head() == "n42")
+    // overwrite replaces, never appends
+    graft.sources.Avro.write(df.limit(10).coalesce(1), dir,
+      graft.spec.ComponentSpec("avro", Map()))
+    val again = Engine.runJson(newCtx(), s"""{
+      "source": {"file": {"path": "$dir"}},
+      "extractor": {"avro": {}},
+      "loader": {"memory": {}} }""")
+    assert(again.count() == 10)
   }
 
   test("avro extractor: widening, nullable unions, enum, bytes; drift fails loud") {
