@@ -257,8 +257,17 @@ object Engine {
         a
       }
     } catch { case e: EtlHaltException =>
+      ctx.releaseCache()
       ctx.fireListeners(_.onHalt(ctx, e.getMessage)); throw e
     }
+    // Run-scoped cache release (ADVICE r13): an acted pipeline is done
+    // with its persisted frames (keyedByTid etc.) — unpersist them now
+    // so a long session does not accumulate CacheManager entries. A
+    // plan-handoff pipeline (memory loader: the terminal action runs
+    // later, outside the engine) moves its frames to the bounded
+    // session-level FIFO instead, which evicts the oldest once full.
+    if (acted) ctx.releaseCache()
+    else EtlContext.adoptSessionPersisted(ctx.drainPersisted())
     if (acted) {
       (extractObs, loadObs) match {
         case (Some(eo), Some(lo)) =>

@@ -130,6 +130,26 @@ final class EtlContext(val spark: SparkSession) {
     halt.foreach(m => throw new EtlHaltException(m))
   }
 
+  /** Run-scoped persisted frames (Gremlin keyed-by-tid correlation
+    * frames and any other stage-internal `.persist()` whose lifetime is
+    * one pipeline). CacheManager entries are keyed by logical plan and
+    * never GC-reclaimed, so without explicit release a long session
+    * running many traversals accumulates cached plans — and a later
+    * identical plan fragment could be served stale cached bytes after
+    * the underlying files were rewritten. Engine.run releases these
+    * after an acted-on pipeline completes; plan-handoff pipelines
+    * (memory loader — no action here) hand them to the bounded
+    * session-level registry in [[EtlContext.adoptSessionPersisted]]. */
+  private val persistedFrames = ArrayBuffer.empty[DataFrame]
+  def registerPersisted(df: DataFrame): Unit =
+    synchronized { persistedFrames += df }
+  private[engine] def drainPersisted(): Vector[DataFrame] =
+    synchronized { val v = persistedFrames.toVector; persistedFrames.clear(); v }
+  /** Unpersist every run-scoped frame (non-blocking — correctness never
+    * depends on the cache: keyed frames are re-evaluation-stable by
+    * construction, the persist is purely a shared-read optimization). */
+  def releaseCache(): Unit = drainPersisted().foreach(_.unpersist(false))
+
   def varMap: Map[String, Any] = vars.toMap
 
   def registerTable(name: String, df: DataFrame): Unit = {
@@ -166,6 +186,32 @@ object EtlContext {
   /** One micro-batch of a telemetry-enabled streaming pipeline. */
   final case class BatchStats(batchId: Long, inputRows: Long,
                               rowsPerSec: Double, batchDurationMs: Long)
+
+  /** Session-level bounded FIFO of persisted frames whose pipeline ended
+    * WITHOUT an action (memory-loader plan handoff: the terminal action
+    * happens later, outside the engine, so unpersisting at Engine.run
+    * end would drop the shared-read benefit the persist exists for).
+    * The cap bounds cache accumulation across a long session running
+    * many traversals: once full, the oldest frame — whose consuming
+    * action has long since run — is evicted. CacheManager dedups
+    * identical plans, so re-running the same query does not grow the
+    * live cache, only this bookkeeping, which the cap also bounds. */
+  private val sessionPersisted = new java.util.ArrayDeque[DataFrame]
+  private val SessionCacheCap = 16
+  def adoptSessionPersisted(dfs: Seq[DataFrame]): Unit = synchronized {
+    dfs.foreach(sessionPersisted.addLast)
+    while (sessionPersisted.size > SessionCacheCap)
+      sessionPersisted.removeFirst().unpersist(false)
+  }
+  /** Evict every session-adopted frame now (e.g. after the backing
+    * files of a fixture directory were rewritten mid-session). */
+  def clearSessionCache(): Unit = synchronized {
+    while (!sessionPersisted.isEmpty)
+      sessionPersisted.removeFirst().unpersist(false)
+  }
+  /** Visible for specs. */
+  private[graft] def sessionCacheSize: Int =
+    synchronized(sessionPersisted.size)
 }
 
 /** Pipeline-lifecycle listener — the Spark mapping of the reference's

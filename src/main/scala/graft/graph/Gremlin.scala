@@ -624,7 +624,7 @@ object Gremlin {
             fail("project() and its by(..) modulators must end the traversal")
           val bys = mods.map(parseByMod("project", _)).toList
           val needTid = bys.exists(_.isInstanceOf[ByAgg])
-          var out = if (needTid) keyedByTid(frame) else frame
+          var out = if (needTid) keyedByTid(ctx, frame) else frame
           bys.zip(names).foreach {
             case (ByProp(c), n) => out = out.withColumn(s"__pr_$n", col(c))
             case (ByAgg(hops, agg, prop), n) =>
@@ -775,7 +775,7 @@ object Gremlin {
           // IDENTICAL rows, which are interchangeable by definition
           if (trackPath)
             fail("coalesce() together with path() is not in the translated subset")
-          val keyed = keyedByTid(frame)
+          val keyed = keyedByTid(ctx, frame)
           var rest = keyed
           val picked = chains.map { c =>
             val b = applyBranch(ctx, rest, idLabel, c.asInstanceOf[RawChain].src)
@@ -795,7 +795,7 @@ object Gremlin {
           // via the same left-anti precedence on the correlation id
           if (trackPath)
             fail("optional() together with path() is not in the translated subset")
-          val keyed = keyedByTid(frame)
+          val keyed = keyedByTid(ctx, frame)
           val took = applyBranch(ctx, keyed, idLabel, chain.src)
           val kept = keyed.join(took.select("__tid").distinct(), Seq("__tid"), "left_anti")
           val ocommon = Seq(took, kept).map(_.columns.toSeq)
@@ -967,7 +967,7 @@ object Gremlin {
                   // aggregated the old binding — so every local() keying
                   // goes through keyedByTid (deterministic sort before
                   // numbering, lazily checkpointed)
-                  val keyed = keyedByTid(frame)
+                  val keyed = keyedByTid(ctx, frame)
                   val chainSrc = (Seq(hops).filter(_.nonEmpty) ++
                     prop.map(p => s"values('$p')")).mkString(".")
                   val sub = if (chainSrc.isEmpty) keyed
@@ -997,7 +997,7 @@ object Gremlin {
               // retry-stable traverser key (see the ByAgg case above —
               // the window below shuffles on __tid, so a bare monotonic
               // id could rebind rows mid-retry)
-              val keyed = keyedByTid(frame)
+              val keyed = keyedByTid(ctx, frame)
               val prefixSrc = lst.dropRight(1).map(_._3).mkString.stripPrefix(".")
               val sub = applyBranch(ctx, keyed, idLabel, prefixSrc)
               // deterministic per-traverser order: ALL columns, sorted.
@@ -1129,12 +1129,18 @@ object Gremlin {
     * every keyed driver query — coalesce 0.98→0.91 s, optional
     * 0.85→0.75, not 0.60→0.53 at sf0.1 — and needs no partition-count
     * pin.) */
-  private def keyedByTid(frame: DataFrame): DataFrame = {
+  private def keyedByTid(ctx: EtlContext, frame: DataFrame): DataFrame = {
     val allCols = frame.columns.map(col).toSeq
-    frame.repartition(allCols: _*)
+    val keyed = frame.repartition(allCols: _*)
       .sortWithinPartitions(allCols: _*)
       .withColumn("__tid", monotonically_increasing_id())
       .persist()
+    // lifetime bookkeeping: Engine.run unpersists after the pipeline's
+    // action (or hands off to the bounded session registry for
+    // plan-handoff pipelines) — CacheManager entries are never
+    // GC-reclaimed, so an unregistered persist would leak per traversal
+    ctx.registerPersisted(keyed)
+    keyed
   }
 
   /** `where(<chain>)` / `not(<chain>)`: keep traversers whose anonymous
@@ -1147,7 +1153,7 @@ object Gremlin {
     if (trackPath)
       fail(s"${if (semi) "where" else "not"}(<traversal>) together with " +
         "path() is not in the translated subset")
-    val keyed = keyedByTid(frame)
+    val keyed = keyedByTid(ctx, frame)
     val matched = applyBranch(ctx, keyed, idLabel, src)
       .select("__tid").distinct()
     keyed.join(matched, Seq("__tid"), if (semi) "left_semi" else "left_anti")

@@ -241,7 +241,10 @@ object ImageCodec {
     var done = false
     while (!done && i + 8 <= bytes.length) {
       val len = beInt(bytes, i)
-      if (len < 0 || i + 8 + len + 4 > bytes.length)
+      // Long arithmetic: a corrupt length near Int.MaxValue would wrap
+      // the Int sum negative, pass the guard, and surface as a raw
+      // ArrayIndexOutOfBounds instead of this typed decode error
+      if (len < 0 || i.toLong + 8 + len + 4 > bytes.length)
         fail(id, s"png: chunk at byte $i overruns the payload")
       val typ = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val data = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)

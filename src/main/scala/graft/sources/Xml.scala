@@ -117,8 +117,7 @@ object Xml {
         val e = body.indexOf("-->", lt); i = if (e < 0) body.length else e + 3
       } else {
         var j = lt + 1
-        while (j < body.length && (Character.isLetterOrDigit(body.charAt(j)) ||
-               body.charAt(j) == '_' || body.charAt(j) == ':' || body.charAt(j) == '-')) j += 1
+        while (j < body.length && isNameChar(body.charAt(j))) j += 1
         val name = body.substring(lt + 1, j)
         if (name.isEmpty) { i = lt + 1 }
         else {
@@ -135,10 +134,16 @@ object Xml {
               val nextOpen = body.indexOf(open, k)
               val nextClose = body.indexOf(close, k)
               if (nextClose < 0) k = body.length
-              else if (nextOpen >= 0 && nextOpen < nextClose &&
-                       nextOpen + open.length < body.length &&
-                       !Character.isLetterOrDigit(body.charAt(nextOpen + open.length))) {
-                depth += 1; k = nextOpen + open.length
+              // name-boundary rule MUST match the tag-name scan above:
+              // `<id_x>` inside `<id>` is a DIFFERENT element, not a
+              // nested <id> open — '_'/':'/'-' continue a name too. A
+              // false open (name continues) is SKIPPED and the scan
+              // resumes: a true open may still sit before nextClose.
+              else if (nextOpen >= 0 && nextOpen < nextClose) {
+                if (nextOpen + open.length < body.length &&
+                    isNameChar(body.charAt(nextOpen + open.length)))
+                  k = nextOpen + open.length // false open: rescan
+                else { depth += 1; k = nextOpen + open.length }
               } else {
                 depth -= 1
                 if (depth == 0) closeAt = nextClose
@@ -161,6 +166,12 @@ object Xml {
                   k: String, v: String): Unit =
     m(k) = m.get(k).map(_ + "\n" + v).getOrElse(v)
 
+  /** The ONE name-continuation rule (tag-name scan, matching-close depth
+    * scan, records() opener/nesting probes all share it): a char that
+    * extends an element name, so `<id_x>` is never mistaken for `<id>`. */
+  private def isNameChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == ':' || c == '-'
+
   /** Slice a document into its `<rowTag …>…</rowTag>` records. */
   def records(doc: String, rowTag: String): Iterator[String] = {
     val open = "<" + rowTag
@@ -172,8 +183,7 @@ object Xml {
         var at = doc.indexOf(open, i)
         // the tag name must END here (reject <pageX when rowTag=page)
         while (at >= 0 && at + open.length < doc.length &&
-               (Character.isLetterOrDigit(doc.charAt(at + open.length)) ||
-                doc.charAt(at + open.length) == '_'))
+               isNameChar(doc.charAt(at + open.length)))
           at = doc.indexOf(open, at + 1)
         if (at < 0) return null
         val end = doc.indexOf(close, at)
@@ -183,8 +193,7 @@ object Xml {
         var inner = doc.indexOf(open, at + open.length)
         while (inner >= 0 && inner < end &&
                inner + open.length < doc.length &&
-               (Character.isLetterOrDigit(doc.charAt(inner + open.length)) ||
-                doc.charAt(inner + open.length) == '_'))
+               isNameChar(doc.charAt(inner + open.length)))
           inner = doc.indexOf(open, inner + 1)
         if (inner >= 0 && inner < end)
           sys.error(s"xml: nested <$rowTag> at char $inner — rowTag records must not nest")

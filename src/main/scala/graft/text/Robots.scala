@@ -28,8 +28,15 @@ object Robots {
     var sawExact = false
     var current: List[String] = Nil       // agents of the OPEN group
     var collecting = false                // rules seen since the agent lines
+    // RFC 9309 §2.2.1 token match, tightened to TOKEN boundaries: the
+    // group's token must equal the agent or be a whole-token prefix of
+    // it (next agent char not alphanumeric — `googlebot` governs
+    // `googlebot-images` but `g` does NOT govern `graftbot`)
     def isMine(agents: List[String]): (Boolean, Boolean) =
-      (agents.exists(g => g == a || (g.nonEmpty && a.startsWith(g))), agents.contains("*"))
+      (agents.exists(g => g.nonEmpty && g != "*" &&
+        (g == a || (a.startsWith(g) &&
+          !Character.isLetterOrDigit(a.charAt(g.length))))),
+       agents.contains("*"))
     for (raw <- robotsTxt.split("\r?\n")) {
       val line = raw.indexOf('#') match {
         case -1 => raw.trim
@@ -80,8 +87,10 @@ object Robots {
       i += 1
     }
     // a final '*' already consumed the tail; otherwise an anchored
-    // pattern must land exactly at the end
-    if (anchored && !p.endsWith("*")) pos == path.length || p.isEmpty
+    // pattern must land exactly at the end — including the bare `$`
+    // pattern, which matches ONLY the empty path (an `isEmpty` escape
+    // here would turn `Disallow: $` into disallow-everything)
+    if (anchored && !p.endsWith("*")) pos == path.length
     else true
   }
 

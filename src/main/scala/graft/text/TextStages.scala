@@ -513,10 +513,14 @@ object TextStages {
             array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
             x => x.getField("l")), delim).as("__newtext"),
           (count(lit(1)) =!= countDistinct(col("__pos"))).as("__iddup"))
-        df.join(rebuilt, col(idF) === rebuilt("__id"), "left")
+        // null-safe key match: a null-id doc must still hit its rebuilt
+        // group (groupBy puts nulls in ONE group) and the __iddup
+        // duplicate-interleave guard — a plain === would never match
+        // null and silently wipe the doc's text to ''
+        df.join(rebuilt, col(idF) <=> rebuilt("__id"), "left")
           .withColumn(field, when(col("__iddup"),
               raise_error(concat(lit(s"boilerplate: duplicate $idF "),
-                col(idF).cast("string"),
+                coalesce(col(idF).cast("string"), lit("NULL")),
                 lit(" — the rebuild would interleave two documents; " +
                   "dedupe ids first"))))
             // a NULL text stays NULL (a missing doc is not an

@@ -1244,4 +1244,47 @@ class EngineSpec extends SparkSpec {
       (1L, "has,comma", Some("x")), (2L, "has\"quote", None),
       (3L, " padded ", Some("NULLISH")), (4L, "", Some("y"))))
   }
+
+  test("run-scoped persist lifecycle: acted release, bounded session adoption") {
+    import graft.engine.EtlContext
+    import org.apache.spark.storage.StorageLevel
+    import SparkSpec.spark.implicits._
+    // direct contract: releaseCache unpersists every registered frame
+    val ctx = newCtx()
+    val df = Seq(1, 2, 3).toDF("x").persist()
+    ctx.registerPersisted(df)
+    df.count()
+    assert(df.storageLevel.useMemory)
+    ctx.releaseCache()
+    assert(df.storageLevel == StorageLevel.NONE)
+    // session registry: FIFO capped at 16, eviction unpersists oldest
+    EtlContext.clearSessionCache()
+    val frames = (1 to 20).map(i => spark.range(i.toLong).toDF().persist())
+    EtlContext.adoptSessionPersisted(frames)
+    assert(EtlContext.sessionCacheSize == 16)
+    assert(frames.take(4).forall(_.storageLevel == StorageLevel.NONE))
+    assert(frames.drop(4).forall(_.storageLevel.useMemory))
+    EtlContext.clearSessionCache()
+    assert(frames.forall(_.storageLevel == StorageLevel.NONE))
+    assert(EtlContext.sessionCacheSize == 0)
+    // engine path: a memory-loader (plan-handoff) traversal whose
+    // keyedByTid persists land in the SESSION registry, not the run
+    // ctx — the action runs later, outside the engine
+    val before = EtlContext.sessionCacheSize
+    val gctx = newCtx()
+    val out = Engine.runJson(gctx, s"""{
+      "source": {"file": {"path": "$sfDir/customer.parquet"}},
+      "extractor": {"parquet": {}},
+      "transformers": [
+        {"code": {"language": "sql", "code":
+          "SELECT *, CASE WHEN c_custkey % 2 = 1 THEN NULL ELSE c_custkey + 1 END AS succ FROM __input"}},
+        {"vertex": {"class": "customer", "idField": "c_custkey"}},
+        {"edge": {"joinFieldName": "succ", "lookup": "customer.c_custkey",
+                  "class": "next", "direction": "out"}},
+        {"command": {"command": "g.V().coalesce(out('next'), has('id'))"}}],
+      "loader": {"memory": {}} }""")
+    assert(EtlContext.sessionCacheSize > before)
+    assert(out.count() > 0) // handoff plan still acts fine after adoption
+    EtlContext.clearSessionCache()
+  }
 }

@@ -319,6 +319,27 @@ class LlmStagesSpec extends SparkSpec {
     val msgs = Iterator.iterate[Throwable](de)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("duplicate"), msgs)
+    // a NULL id is a valid (single) group key: the rebuild join is
+    // null-safe, so the doc keeps its surviving lines instead of being
+    // silently wiped to '' by a never-matching === join
+    val nullId = Seq((java.lang.Long.valueOf(1L), "k\nx"),
+      (java.lang.Long.valueOf(2L), "k\ny"),
+      (java.lang.Long.valueOf(3L), "k"),
+      (null.asInstanceOf[java.lang.Long], "k\nkept line"))
+      .toDF("doc_id", "text")
+    val nid = stage("boilerplate", "minDocs" -> 3)(nullId)
+      .orderBy(col("doc_id").asc_nulls_last)
+      .select("text").as[String].collect().toSeq
+    assert(nid == Seq("x", "y", "", "kept line"))
+    // TWO null-id docs still trip the interleave guard (one group)
+    val nullDup = Seq((java.lang.Long.valueOf(1L), "a\nb"),
+      (null.asInstanceOf[java.lang.Long], "p\nq"),
+      (null.asInstanceOf[java.lang.Long], "r\ns")).toDF("doc_id", "text")
+    val ne = intercept[Exception](
+      stage("boilerplate", "minDocs" -> 3)(nullDup).collect())
+    val nmsgs = Iterator.iterate[Throwable](ne)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(nmsgs.contains("duplicate"), nmsgs)
   }
 
   test("gopherfilter: per-rule flags on constructed pass/fail docs; filter action") {
@@ -427,6 +448,19 @@ class LlmStagesSpec extends SparkSpec {
     assert(Robots.allowed(Seq(Robots.Rule(false, "/p"), Robots.Rule(true, "/p")), "/page"))
     // comments and blank lines are noise; no rules → allowed
     assert(Robots.check("# nothing here\n\n", "graftbot", "/x"))
+    // token-boundary matching: a group token is NOT a bare string
+    // prefix — 'g' does not govern 'graftbot' (falls to '*'), while
+    // 'graftbot' still governs 'graftbot-images' at the '-' boundary
+    val prefixy = "User-agent: g\nDisallow: /g-only\n" +
+      "User-agent: graftbot\nDisallow: /gb\nUser-agent: *\nDisallow: /star"
+    assert(Robots.check(prefixy, "graftbot", "/g-only"))
+    assert(!Robots.check(prefixy, "graftbot", "/gb"))
+    assert(!Robots.check(prefixy, "graftbot-images", "/gb"))
+    assert(!Robots.check(prefixy, "gx", "/star")) // 'g' ≠ token prefix of 'gx'
+    // bare '$' pattern: anchors the EMPTY path only — it must not read
+    // as disallow-everything
+    assert(Robots.check("User-agent: *\nDisallow: $", "graftbot", "/x"))
+    assert(!Robots.check("User-agent: *\nDisallow: $", "graftbot", ""))
   }
 
   test("urlfilter: domain (incl. subdomain) and pattern blocks; filter action") {

@@ -31,6 +31,14 @@ class MultimodalSpec extends SparkSpec {
     val cut = withText.take(withText.length - 20)
     val e2 = intercept[RuntimeException](ImageCodec.pngText(4L, cut))
     assert(e2.getMessage.contains("overruns") || e2.getMessage.contains("truncated"))
+    // a corrupt chunk length near Int.MaxValue must hit the SAME typed
+    // error, not wrap the Int bounds check negative and surface as a
+    // raw ArrayIndexOutOfBounds from copyOfRange
+    val huge = png.clone()
+    huge(8) = 0x7f.toByte; huge(9) = 0xff.toByte // IHDR length → ~2^31
+    huge(10) = 0xff.toByte; huge(11) = 0xf0.toByte
+    val e3 = intercept[RuntimeException](ImageCodec.pngText(5L, huge))
+    assert(e3.getMessage != null && e3.getMessage.contains("overruns"), e3.toString)
     // stage: skip mode drops the non-PNG row instead of failing
     import spark.implicits._
     val df = Seq((1L, withText), (2L, jpg)).toDF("doc_id", "payload")

@@ -47,6 +47,25 @@ class XmlParserSpec extends AnyFunSuite {
     assert(f("a") == "outer <a>inner</a> tail")
     assert(f("b") == "ok")
   }
+
+  test("depth scan name boundary: <id_x>/<id-x>/<id:x> are NOT nested <id> opens") {
+    // '_'/':'/'-' continue an element name — the close-tag depth scan
+    // must use the same boundary rule as the tag-name scan, or
+    // <id_x> inside <id> never returns to depth 0
+    val rec = "<page><id>7<id_x>nope</id_x></id><v>ok</v></page>"
+    val f = Xml.recordFields(rec, "page")
+    assert(f("id") == "7<id_x>nope</id_x>")
+    assert(!f.contains("id_x")) // not a DIRECT child — it sits inside <id>
+    assert(f("v") == "ok")
+    val dash = "<page><id>9<id-x>d</id-x></id></page>"
+    assert(Xml.recordFields(dash, "page")("id") == "9<id-x>d</id-x>")
+    val colon = "<page><id>3<id:x>c</id:x></id></page>"
+    assert(Xml.recordFields(colon, "page")("id") == "3<id:x>c</id:x>")
+    // a FALSE open before the close must rescan, not swallow the close:
+    // a true nested <id> after <id_x/> still needs its own close
+    val mixed = "<page><id>a<id_x/><id>b</id>c</id></page>"
+    assert(Xml.recordFields(mixed, "page")("id") == "a<id_x/><id>b</id>c")
+  }
 }
 
 class WikitextSpec extends AnyFunSuite {
