@@ -3860,6 +3860,23 @@ object SparkEntry {
         .select("doc_id", "term", "tf", "df", "score", "term_rank")
         .orderBy("doc_id", "term_rank")
     },
+    "dsir_weight" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // DSIR-style importance weight vs a target slice (docs ≡ 0 mod 7
+      // stand in for the "domain to match"): integer-bits log-ratio of
+      // target vs source unigram probabilities, count-weighted per doc.
+      // Integer arithmetic end-to-end (length(bin(x)) both engines) —
+      // hash-exact, no libm logs.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"dsirweight": {"idField": "doc_id",
+          "field": "text",
+          "target": "SELECT text FROM documents WHERE doc_id % 7 = 0"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("dsir_weight"))
+        .orderBy("doc_id")
+    },
     "bm25_search" -> { (s, dir) =>
       val c = ctx(s, dir)
       // BM25 top-20 for a 3-term query; linear idf keeps every score one
@@ -5274,6 +5291,21 @@ object SparkEntry {
       "SELECT doc_id, term, tf, df, score, CAST(row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS term_rank " +
       "FROM scored QUALIFY term_rank <= 3 ORDER BY doc_id, term_rank"
+    },
+    "dsir_weight" -> {
+      val toks = raw"unnest(regexp_split_to_array(trim(lower(text)), '\s+'))"
+      s"WITH tok AS (SELECT doc_id, t AS w FROM (SELECT doc_id, $toks AS t FROM documents)), " +
+      s"ttok AS (SELECT t AS w FROM (SELECT $toks AS t FROM documents WHERE doc_id % 7 = 0)), " +
+      "dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "src AS (SELECT w, count(*) AS cs FROM tok GROUP BY 1), " +
+      "tgt AS (SELECT w, count(*) AS ct FROM ttok GROUP BY 1), " +
+      "tot AS (SELECT (SELECT count(*) FROM tok) AS ns, (SELECT count(*) FROM ttok) AS nt), " +
+      "per AS (SELECT dt.doc_id, CAST(sum(dt.c * " +
+      "((length(bin(COALESCE(tgt.ct, 0) + 1)) - length(bin(tot.nt + 1))) - " +
+      "(length(bin(src.cs + 1)) - length(bin(tot.ns + 1))))) AS BIGINT) AS w " +
+      "FROM dt JOIN src USING (w) LEFT JOIN tgt USING (w) CROSS JOIN tot GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(COALESCE(per.w, 0) AS BIGINT) AS dsir_weight " +
+      "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id ORDER BY d.doc_id"
     },
     "bm25_search" -> {
       // mirrors the bm25 stage's exact IEEE dag (linear idf, per-term

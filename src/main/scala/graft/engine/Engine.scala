@@ -105,6 +105,7 @@ object Engine {
     "tokeninfo"     -> graft.text.TextStages.tokenInfo _,
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
+    "dsirweight"    -> graft.text.TextStages.dsirWeight _,
     "bm25"          -> graft.text.TextStages.bm25 _,
     "corpusstats"   -> graft.text.TextStages.corpusstats _,
     "distinctcount" -> graft.text.TextStages.distinctCount _,

@@ -268,7 +268,7 @@ object ScaleStress {
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
-      "cdc_chunk")
+      "cdc_chunk", "dsir_weight")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -277,6 +277,7 @@ object ScaleStress {
       val events = ensureEvents(spark, 10000L * factor, s"/tmp/graft_stress_events_f$factor")
       val hashes = ensureHashes(spark, 20000L * factor, s"/tmp/graft_stress_hash_f$factor")
       spark.read.parquet(events).createOrReplaceTempView("stress_events")
+      spark.read.parquet(docs).createOrReplaceTempView("stress_docs")
       // semanticdedup: cells must GROW with N (candidates ≈ (nProbe·N)²/k);
       // k ∝ N keeps per-cell work flat, but the bounded driver trainer is
       // the documented trade — sample capped, so training stays O(k·cap·dim)
@@ -345,6 +346,18 @@ object ScaleStress {
             {"boilerplate": {"minDocs": 50}},
             {"code": {"language": "sql", "code":
               "SELECT doc_id FROM __input WHERE length(text) % 2 >= 0"}}],
+          "loader": {"memory": {}} }""",
+        // DSIR importance weighting: token explode → (doc, token) hash
+        // agg (map-side combine) → two VOCABULARY joins (rows ∝ distinct
+        // tokens, not corpus tokens) → per-doc sum; the trailing filter
+        // references the weight so Catalyst cannot eliminate the join
+        "dsir_weight" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"dsirweight": {"target":
+              "SELECT text FROM stress_docs WHERE doc_id % 7 = 0"}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE dsir_weight IS NOT NULL"}}],
           "loader": {"memory": {}} }""",
         // banded pigeonhole over PRECOMPUTED fingerprints (the mm_phash
         // downstream): near-linear as random 16-bit blocks stay sparse

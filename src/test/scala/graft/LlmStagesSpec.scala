@@ -342,6 +342,39 @@ class LlmStagesSpec extends SparkSpec {
     assert(nmsgs.contains("duplicate"), nmsgs)
   }
 
+  test("dsirweight: integer-bits target/source log-ratio, hand-computed") {
+    // source: d1 'a a b' (A uppercased: lowercase folds), d2 'a c',
+    // d3 null → weight 0. target: one doc 'a c d'.
+    // Ns=5 (a=3,b=1,c=1), Nt=3 (a=1,c=1,d=1); L(Ns+1)=L(6)=3=L(4)=L(Nt+1)
+    // bits(w)=L(ct+1)-L(cs+1): a→2-3=-1, b→1-2=-1, c→2-2=0
+    // d1 = 2·(-1)+(-1) = -3; d2 = -1+0 = -1
+    Seq("a c d").toDF("text").createOrReplaceTempView("__dsir_target")
+    val df = Seq((1L, "A a b"), (2L, "a c"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = stage("dsirweight",
+      "target" -> "SELECT text FROM __dsir_target")(df)
+      .orderBy("doc_id").select("dsir_weight").as[Long].collect().toSeq
+    assert(out == Seq(-3L, -1L, 0L))
+    // a doc matching the target exactly scores HIGHER than an
+    // off-domain doc (the selection property the weight exists for)
+    val df2 = Seq((1L, "a c d"), (2L, "b b b b")).toDF("doc_id", "text")
+    val w2 = stage("dsirweight",
+      "target" -> "SELECT text FROM __dsir_target")(df2)
+      .orderBy("doc_id").select("dsir_weight").as[Long].collect().toSeq
+    assert(w2.head > w2.last, w2.toString)
+    // lowercase: false keeps 'A' distinct from 'a'
+    val cased = stage("dsirweight", "lowercase" -> false,
+      "target" -> "SELECT text FROM __dsir_target")(df)
+      .orderBy("doc_id").select("dsir_weight").as[Long].collect().toSeq
+    // d1 'A a b': Ns=5 (A=1,a=2,b=1,c=1), Nt=3; L(6)=3,L(4)=3
+    // bits: A→L(1)-L(2)=-1, a→L(2)-L(3)=0, b→L(1)-L(2)=-1, c→L(2)-L(2)=0
+    // d1 = -1+0-1 = -2; d2 = 0+0 = 0
+    assert(cased == Seq(-2L, 0L, 0L))
+    // named migration error when target is missing
+    val e = intercept[Exception](stage("dsirweight")(df))
+    assert(e.getMessage.contains("target"))
+  }
+
   test("gopherfilter: per-rule flags on constructed pass/fail docs; filter action") {
     val good = ("the quick brown fox jumps over a lazy dog and then runs " +
       "to the hills with great speed because that is what foxes have " +
