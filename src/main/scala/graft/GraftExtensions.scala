@@ -121,6 +121,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HtmlLinks(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_link_pairs"),
+      info("graft_html_link_pairs",
+        "graft_html_link_pairs(html) - (href, anchor text) structs in document order"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_html_link_pairs", 1, exprs)
+        graft.functions.HtmlLinkPairs(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp_sig"),
       info("graft_srp_sig",
         "graft_srp_sig(vec, nBits, maxDim) - signed-random-projection LSH signature packed into a long"),

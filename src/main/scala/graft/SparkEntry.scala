@@ -1452,6 +1452,23 @@ object SparkEntry {
         .select("o_orderpriority", "p25", "p50", "p90")
         .orderBy("o_orderpriority")
     },
+    "winsorize_clip" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-group quantile clipping on exact integer cents: bounds are
+      // the same type-7 percentiles the quantiles query proved
+      // bit-identical, the clamp is two IEEE comparisons — hash-exact
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"}},
+          {"winsorize": {"field": "cents", "keyField": "o_orderpriority",
+            "lower": 0.1, "upper": 0.9, "flagField": "clipped"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "cents_w", "clipped")
+        .orderBy("o_orderkey")
+    },
     "zscore_outliers" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-group standardization from ONE hash aggregation joined back
@@ -2468,6 +2485,17 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "split").orderBy("doc_id")
     },
+    "kfold_split" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // k-fold CV assignment with a holdout round: fold = md5-bucket
+      // mod k (key-stable, engine-portable), fold 2 marked test
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"kfold": {"k": 7, "holdout": 2, "salt": "cv"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "fold", "role").orderBy("doc_id")
+    },
     "pack_chunks" -> { (s, dir) =>
       val c = ctx(s, dir)
       // token-budget packing: tokenize → ordered prefix-sum chunking
@@ -3011,6 +3039,23 @@ object SparkEntry {
         .select(col("doc_id"), col("title"), col("extracted"),
           array_join(col("links"), ",").as("links_str"))
         .orderBy("doc_id")
+    },
+    "html_links" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // crawl link-graph extraction: each page gets doc_id % 3 links
+      // (href + anchor with an entity and a nested tag); htmllinks
+      // explodes to one labeled edge per link, zero-link pages dropped.
+      // The oracle regenerates the same edge list from the arithmetic.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('<html><body><p>Page ', cast(doc_id as string), '</p>', CASE WHEN doc_id % 3 >= 1 THEN concat('<a href=\\"https://s', cast((doc_id*7) % 100 as string), '.ex.com/p', cast(doc_id as string), '-0\\">go &amp; see <b>', cast(doc_id as string), '</b>-0</a>') ELSE '' END, CASE WHEN doc_id % 3 >= 2 THEN concat('<a href=\\"https://s', cast((doc_id*7+1) % 100 as string), '.ex.com/p', cast(doc_id as string), '-1\\">go &amp; see <b>', cast(doc_id as string), '</b>-1</a>') ELSE '' END, '</body></html>') AS html FROM __input"}},
+          {"htmllinks": {"field": "html", "posField": "link_pos"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("link_pos"), col("href"), col("anchor"))
+        .orderBy("doc_id", "link_pos")
     },
     "regex_mask" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -4358,6 +4403,13 @@ object SparkEntry {
        "SELECT o_orderpriority, quantile_cont(cents, 0.25) AS p25, " +
        "quantile_cont(cents, 0.5) AS p50, quantile_cont(cents, 0.9) AS p90 " +
        "FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "winsorize_clip" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+       "b AS (SELECT o_orderpriority, quantile_cont(cents, 0.1) AS lo, quantile_cont(cents, 0.9) AS hi FROM o GROUP BY 1) " +
+       "SELECT o.o_orderkey, o.o_orderpriority, " +
+       "least(greatest(CAST(o.cents AS DOUBLE), b.lo), b.hi) AS cents_w, " +
+       "(CAST(o.cents AS DOUBLE) < b.lo OR CAST(o.cents AS DOUBLE) > b.hi) AS clipped " +
+       "FROM o JOIN b USING (o_orderpriority) ORDER BY o_orderkey"),
     // both engines sum cents and cents^2 EXACTLY (decimal(38,0) /
     // HUGEINT), convert once to double, then apply the identical
     // (x - s/n) / sqrt((ss - s*s/n)/n) operation order — hash-exact
@@ -4714,6 +4766,11 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split " +
        "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 6))::BIGINT % 10000 AS b " +
        "FROM documents) ORDER BY doc_id"),
+    "kfold_split" ->
+      ("SELECT doc_id, CAST(b % 7 AS BIGINT) AS fold, " +
+       "CASE WHEN b % 7 = 2 THEN 'test' ELSE 'train' END AS role " +
+       "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cv'), 1, 6))::BIGINT % 10000 AS b " +
+       "FROM documents) ORDER BY doc_id"),
     "pack_chunks" ->
       (s"SELECT doc_id, CAST(floor(CAST(cum - n AS DOUBLE) / 2048) AS BIGINT) AS chunk_id, " +
        s"CAST((cum - n) % 2048 AS BIGINT) AS chunk_offset FROM " +
@@ -4941,6 +4998,14 @@ object SparkEntry {
        "UNION ALL SELECT 'warcinfo', count(DISTINCT doc_id % 16), " +
        "CAST(count(DISTINCT doc_id % 16) * strlen('software: graft/13' || chr(13) || chr(10)) AS BIGINT) " +
        "FROM documents) ORDER BY warc_type"),
+    "html_links" ->
+      ("WITH n AS (SELECT doc_id, doc_id % 3 AS nl FROM documents), " +
+       "links AS (SELECT doc_id, j AS link_pos, " +
+       "'https://s' || CAST((doc_id*7+j) % 100 AS VARCHAR) || '.ex.com/p' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS href, " +
+       "'go & see ' || CAST(doc_id AS VARCHAR) || ' -' || CAST(j AS VARCHAR) AS anchor " +
+       "FROM n, UNNEST(range(nl)) AS t(j)) " +
+       "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href, anchor " +
+       "FROM links ORDER BY doc_id, link_pos"),
     "html_extract" ->
       (raw"SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, " +
        raw"trim('Doc ' || chr(CAST(65 + doc_id % 26 AS INTEGER)) || ' link ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted, " +

@@ -86,6 +86,7 @@ object Engine {
     "urlfilter"     -> graft.text.WebStages.urlfilter _,
     "robotsfilter"  -> graft.text.WebStages.robotsfilter _,
     "datasplit"     -> graft.split.SplitStages.datasplit _,
+    "kfold"         -> graft.split.SplitStages.kfold _,
     "hashsample"    -> graft.split.SplitStages.hashsample _,
     "zorder"        -> graft.split.SplitStages.zorder _,
     "stratifiedsample" -> graft.split.SplitStages.stratifiedSample _,
@@ -94,6 +95,7 @@ object Engine {
     "urlparse"      -> graft.text.WebStages.urlparse _,
     "urlnormalize"  -> graft.text.WebStages.urlnormalize _,
     "htmlextract"   -> graft.text.WebStages.htmlextract _,
+    "htmllinks"     -> graft.text.WebStages.htmllinks _,
     "normalizetext" -> graft.text.TextStages.normalizetext _,
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,
@@ -113,6 +115,7 @@ object Engine {
     "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
     "zscore"        -> graft.stages.StatStages.zscore _,
     "quantiles"     -> graft.stages.StatStages.quantiles _,
+    "winsorize"     -> graft.stages.StatStages.winsorize _,
     "labelencode"   -> graft.stages.StatStages.labelEncode _,
     "featurehash"   -> graft.stages.StatStages.featureHash _,
     "minmaxscale"   -> graft.stages.StatStages.minMaxScale _,

@@ -130,20 +130,35 @@ object Html {
     s.length
   }
 
-  /** Full single-pass parse. Returns (text, titleOrNull, hrefs). */
-  def parse(html: String): (String, String, java.util.ArrayList[UTF8String]) = {
+  /** Full single-pass parse. Returns (text, titleOrNull, hrefs, pairs)
+    * where pairs are (href, collapsed anchor text) for every
+    * `<a href=…>` element — the labeled edge list a crawl link graph is
+    * built from. A new `<a>` implicitly closes an open one (nested
+    * anchors are invalid HTML); an anchor open at EOF still flushes. */
+  def parse(html: String)
+      : (String, String, java.util.ArrayList[UTF8String],
+         java.util.ArrayList[Array[UTF8String]]) = {
     val all = new Out            // whole-document text
     val body = new Out           // text after a <body> open tag
     val title = new Out
     val hrefs = new java.util.ArrayList[UTF8String]()
+    val pairs = new java.util.ArrayList[Array[UTF8String]]()
     var sawBody = false
     var inBody = false
     var inTitle = false
+    var inAnchor = false
+    var curHref: UTF8String = null
+    var anchor = new Out
+    def flushAnchor(): Unit = {
+      if (inAnchor && curHref != null)
+        pairs.add(Array(curHref, UTF8String.fromString(anchor.toString)))
+      inAnchor = false; curHref = null
+    }
     var i = 0
     val n = html.length
     def emit(c: Char): Unit = {
       if (inTitle) title.ch(c)
-      else { all.ch(c); if (inBody) body.ch(c) }
+      else { all.ch(c); if (inBody) body.ch(c); if (inAnchor) anchor.ch(c) }
     }
     while (i < n) {
       val c = html.charAt(i)
@@ -151,7 +166,7 @@ object Html {
         if (html.regionMatches(i, "<!--", 0, 4)) {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
-          all.ws(); if (inBody) body.ws()
+          all.ws(); if (inBody) body.ws(); if (inAnchor) anchor.ws()
         } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           val end = html.indexOf('>', i + 1)          // doctype / processing instr
           i = if (end < 0) n else end + 1
@@ -162,10 +177,21 @@ object Html {
           if (name.isEmpty) { emit('<'); i += 1 }    // bare '<' in text
           else {
             val afterName = nameAt + name.length
+            val hrefsBefore = hrefs.size()
             i = attrs(html, afterName,
               if (!closing && name == "a") hrefs else null)
+            if (name == "a") {
+              flushAnchor() // a close OR a new open ends the current one
+              if (!closing) {
+                inAnchor = true
+                curHref =
+                  if (hrefs.size() > hrefsBefore) hrefs.get(hrefs.size() - 1)
+                  else null
+                anchor = new Out
+              }
+            }
             // every tag is at least a whitespace boundary in the text
-            all.ws(); if (inBody) body.ws()
+            all.ws(); if (inBody) body.ws(); if (inAnchor) anchor.ws()
             if (!closing && RawText(name)) {
               // raw-text element: scan to the case-insensitive close tag
               val close = "</" + name
@@ -193,12 +219,14 @@ object Html {
         val o = if (inTitle) title else all
         val next = entity(html, i, o)
         if (!inTitle && inBody) entity(html, i, body)
+        if (!inTitle && inAnchor) entity(html, i, anchor)
         i = next
       } else { emit(c); i += 1 }
     }
+    flushAnchor() // unterminated <a …> at EOF still yields its pair
     val text = (if (sawBody) body else all).toString
     val t = title.toString
-    (text, if (t.isEmpty) null else t, hrefs)
+    (text, if (t.isEmpty) null else t, hrefs, pairs)
   }
 
   // ---- static entry points used by codegen ----
@@ -213,6 +241,18 @@ object Html {
 
   def linksU(html: UTF8String): GenericArrayData =
     new GenericArrayData(parse(html.toString)._3.toArray)
+
+  def linkPairsU(html: UTF8String): GenericArrayData = {
+    val pairs = parse(html.toString)._4
+    val rows = new Array[Any](pairs.size())
+    var i = 0
+    while (i < rows.length) {
+      val p = pairs.get(i)
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(p(0), p(1))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
 }
 
 private[functions] trait HtmlStringInput { self: UnaryExpression =>
@@ -264,5 +304,26 @@ case class HtmlLinks(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Html.linksU($c)")
   override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
+/** `(href, anchor text)` structs in document order — the labeled edge
+  * list of the crawl link graph. Anchor text is entity-decoded and
+  * whitespace-collapsed by the same one-pass walk as the body text;
+  * `<a>` without href yields no pair (its text still flows into the
+  * page text). */
+case class HtmlLinkPairs(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_link_pairs"
+  override def nullSafeEval(input: Any): Any =
+    Html.linkPairsU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Html.linkPairsU($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinkPairs =
     copy(child = newChild)
 }

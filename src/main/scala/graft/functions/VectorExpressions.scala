@@ -485,6 +485,10 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => HtmlLinks(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_link_pairs",
+        (exprs: Seq[Expression]) => HtmlLinkPairs(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_srp_sig",
         (exprs: Seq[Expression]) => {
           def intLit(e: Expression, what: String): Int = e match {
@@ -584,6 +588,10 @@ object VectorExpressions {
 
   /** `<a href>` values of an HTML string in document order. */
   def htmlLinks(html: Column): Column = call_function("graft_html_links", html)
+
+  /** `(href, anchor)` structs of an HTML string in document order. */
+  def htmlLinkPairs(html: Column): Column =
+    call_function("graft_html_link_pairs", html)
 
   /** Native distinct word-n-gram shingle hashes of a string column. */
   def shingleHashes(text: Column, n: Int): Column =

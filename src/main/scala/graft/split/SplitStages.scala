@@ -60,6 +60,40 @@ object SplitStages {
       df.withColumn(spec.strOr("outputField", "split"), labeled)
     }
 
+  /** `kfold`: deterministic k-fold cross-validation assignment — every
+    * row gets `fold` ∈ [0, k) from the same salted md5 bucket the other
+    * split stages use (content-independent, rerun-stable, portable to
+    * any engine with md5). With `holdout` set, a `role` column marks
+    * the holdout fold "test" and the rest "train" — one config per CV
+    * round, k configs sweep the folds. Folds are bucket % k over the
+    * 10000-bucket space, so sizes differ by at most one bucket's worth
+    * when 10000 % k != 0 (documented, deterministic).
+    *
+    * Options: `k` (default 5), `keyField` (default doc_id) / `keyExpr`,
+    * `salt`, `foldField` (default fold), `holdout` (optional fold
+    * index), `roleField` (default role). Pure per-row projection —
+    * fuses into the scan, zero shuffle. */
+  def kfold(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val k = spec.int("k", 5)
+      require(k >= 2, s"kfold: k must be >= 2, got $k")
+      require(k <= Buckets, s"kfold: k must be <= $Buckets, got $k")
+      val key = spec.str("keyExpr") match {
+        case Some(e) => expr(e)
+        case None => col(spec.strOr("keyField", "doc_id"))
+      }
+      val fold = (bucket(key, spec.strOr("salt", "")) % k).cast("long")
+      val out = df.withColumn(spec.strOr("foldField", "fold"), fold)
+      spec.long("holdout").map(_.toInt) match {
+        case Some(h) =>
+          require(h >= 0 && h < k, s"kfold: holdout must be in [0, $k), got $h")
+          out.withColumn(spec.strOr("roleField", "role"),
+            when(col(spec.strOr("foldField", "fold")) === h, lit("test"))
+              .otherwise(lit("train")))
+        case None => out
+      }
+    }
+
   /** `pack`: contiguous token-budget packing — assign each document a
     * `chunk_id` so that consecutive documents (in `orderField` order)
     * accumulate into chunks of at most ~`budget` tokens:

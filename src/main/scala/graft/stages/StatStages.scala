@@ -239,6 +239,70 @@ object StatStages {
       }: _*)
     }
 
+  /** `winsorize`: quantile clipping — cap a numeric column at its
+    * [lower, upper] quantiles (per group when `keyField` is set), the
+    * standard outlier-robust normalization before scaling/aggregation.
+    * Bounds are type-7 percentiles (pos = p·(n−1), linear
+    * interpolation — the same definition both Spark's `percentile` and
+    * DuckDB's `quantile_cont` implement, bit-identical on exact-integer
+    * inputs). Output is DOUBLE (`<field>_w` by default); a NULL input
+    * stays NULL (Spark's greatest/least skip nulls — explicitly
+    * guarded, a null is a missing value, not -inf).
+    *
+    * Options: `field` (required, numeric), `keyField` (optional,
+    * comma-separated), `lower` (default 0.05), `upper` (default 0.95),
+    * `mode` exact|approx (exact buffers each group's values — bounded
+    * groups only; approx is the GK-sketch scale mode), `accuracy`
+    * (approx, default 10000), `outputField`, `flagField` (optional —
+    * adds a boolean "was clipped" column).
+    *
+    * Scale shape: ONE hash aggregation for the bounds + a null-safe
+    * join back on the group keys (broadcast — group-cardinality rows),
+    * then a per-row projection. Never a window over all rows. */
+  def winsorize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("winsorize: `field` required"))
+      require(df.columns.contains(fld), s"winsorize: no column '$fld'")
+      require(df.schema(fld).dataType.isInstanceOf[NumericType],
+        s"winsorize: '$fld' must be numeric, is ${df.schema(fld).dataType.simpleString}")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(k => require(df.columns.contains(k), s"winsorize: no key column '$k'"))
+      val lo = spec.str("lower").map(_.toDouble).getOrElse(0.05)
+      val hi = spec.str("upper").map(_.toDouble).getOrElse(0.95)
+      require(lo >= 0 && hi <= 1 && lo < hi,
+        s"winsorize: need 0 <= lower < upper <= 1, got [$lo, $hi]")
+      val mode = spec.strOr("mode", "exact")
+      require(Set("approx", "exact")(mode),
+        s"winsorize: mode must be approx|exact, got '$mode'")
+      val probsArr = array(lit(lo), lit(hi))
+      val aggCol = mode match {
+        case "exact" => percentile(col(fld), probsArr)
+        case _ => percentile_approx(col(fld), probsArr,
+          lit(spec.int("accuracy", 10000)))
+      }
+      val bounds = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*)
+                    else df.groupBy())
+        .agg(element_at(aggCol, 1).cast("double").as("__wlo"),
+             element_at(aggCol, 2).cast("double").as("__whi"))
+      val joined =
+        if (keys.isEmpty) df.crossJoin(broadcast(bounds))
+        else df.join(broadcast(bounds.select(
+          (keys.map(k => col(k).as(s"__wk_$k")) ++
+            Seq(col("__wlo"), col("__whi"))): _*)),
+          keys.map(k => col(k) <=> col(s"__wk_$k")).reduce(_ && _), "left")
+      val x = col(fld).cast("double")
+      val clipped = when(x.isNull, lit(null).cast("double"))
+        .otherwise(least(greatest(x, col("__wlo")), col("__whi")))
+      val outF = spec.strOr("outputField", s"${fld}_w")
+      val out = joined.withColumn(outF, clipped)
+      val flagged = spec.str("flagField") match {
+        case Some(fl) => out.withColumn(fl, x.isNotNull && (x < col("__wlo") || x > col("__whi")))
+        case None => out
+      }
+      flagged.drop((Seq("__wlo", "__whi") ++ keys.map(k => s"__wk_$k")): _*)
+    }
+
   /** `zscore`: per-group standardization `z = (x − mean) / stddev_pop`
     * plus an optional outlier flag.
     *

@@ -196,6 +196,53 @@ object WebStages {
       }
     }
 
+  /** `htmllinks`: the labeled out-link EDGE LIST of an HTML column —
+    * one output row per `<a href=…>` element with its entity-decoded
+    * `href` and whitespace-collapsed anchor text, in document order
+    * with a 0-based `linkPos`. This is the step that turns a crawl into
+    * a LINK GRAPH: feed (page id → href) into the `edge`/graph stages
+    * (PageRank over the crawl, anchor-text aggregation per target — the
+    * classic web-corpus signals). Same single-pass parser as
+    * htmlextract ([[graft.functions.Html]]); an `<a>` without href
+    * emits nothing (its text still belongs to the page text).
+    *
+    * Options: `field` (default "html"), `hrefField` (default "href"),
+    * `anchorField` (default "anchor"), `posField` (default "linkPos"),
+    * `keepHtml` (default false — the exploded frame usually feeds a
+    * graph build, not another HTML pass), `emptyPages` (default
+    * "drop"; "keep" emits one row with null href/anchor/pos so pages
+    * without links survive a census).
+    *
+    * Scale posture: one codegen'd native expression + posexplode — a
+    * per-row flatMap that fuses into the scan; zero shuffle, link rows
+    * never hold the page bytes unless `keepHtml`. */
+  def htmllinks(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "html")
+      require(df.columns.contains(f), s"htmllinks: no column '$f'")
+      val hrefF = spec.strOr("hrefField", "href")
+      val anchorF = spec.strOr("anchorField", "anchor")
+      val posF = spec.strOr("posField", "linkPos")
+      val keep = spec.bool("keepHtml", dflt = false)
+      val keepEmpty = spec.strOr("emptyPages", "drop").toLowerCase match {
+        case "drop" => false
+        case "keep" => true
+        case other => sys.error(s"htmllinks: emptyPages must be drop|keep, got $other")
+      }
+      val pairs = graft.functions.VectorExpressions
+        .htmlLinkPairs(col(f).cast("string"))
+      val carried = df.columns.filterNot(c => !keep && c == f).toSeq
+      val exploded = df.select(
+        (carried.map(col) :+ posexplode_outer(pairs).as(Seq("__lp", "__pair"))): _*)
+      val out = exploded
+        .withColumn(hrefF, col("__pair.href"))
+        .withColumn(anchorF, col("__pair.anchor"))
+        .withColumn(posF, col("__lp").cast("long"))
+        .drop("__lp", "__pair")
+      if (keepEmpty) out else out.where(col(hrefF).isNotNull)
+    }
+
   /** `urlparse`: decompose a URL column into `<prefix><part>` columns.
     * Options: `field` (default url), `parts` (default [host, domain,
     * path]), `prefix` (default `url_`). Pure per-row regex projection —

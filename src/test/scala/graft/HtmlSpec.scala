@@ -71,6 +71,28 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(links(h) == Seq("http://x/1?a=1&b=2", "http://x/2", "http://x/3"))
   }
 
+  test("link pairs: anchor text collapsed + decoded; no-href/implicit-close/EOF edges") {
+    import graft.functions.Html
+    def pairs(h: String) =
+      Html.parse(h)._4.toArray.toSeq.map { case a: Array[org.apache.spark.unsafe.types.UTF8String] =>
+        (a(0).toString, a(1).toString) }
+    val h = """<a href="http://x/1?a=1&amp;b=2">go &amp; see <b>it</b>-now</a>""" +
+      """<a name="x">no href text</a><a href='http://x/2'>two"""
+    // nested <b> is a whitespace boundary; entity decodes; the second
+    // anchor has no href (no pair); the third is open at EOF and flushes
+    assert(pairs(h) == Seq(
+      ("http://x/1?a=1&b=2", "go & see it -now"),
+      ("http://x/2", "two")))
+    // a new <a> implicitly closes the open one (invalid nesting)
+    assert(pairs("""<a href="u1">one<a href="u2">two</a>""") ==
+      Seq(("u1", "one"), ("u2", "two")))
+    // comments inside an anchor are boundaries, not text
+    assert(pairs("""<a href="u">x<!-- hidden -->y</a>""") == Seq(("u", "x y")))
+    // link-only hrefs still collect in the flat list identically
+    assert(Html.parse(h)._3.toArray.toSeq.map(_.toString) ==
+      Seq("http://x/1?a=1&b=2", "http://x/2"))
+  }
+
   test("empty and degenerate inputs") {
     assert(text("") == "")
     assert(text("<p></p>") == "")
@@ -105,6 +127,35 @@ class HtmlStageSpec extends SparkSpec {
       assert(r.getString(2) == (s"${r.getString(4)} next").trim)
       assert(r.getString(3) == s"/d/$id")
     }
+  }
+
+  test("htmllinks stage: one edge row per link, emptyPages modes, keepHtml") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ctx = newCtx()
+    val df = Seq(
+      (1L, """<a href="u1">one</a><a href="u2">two &amp; half</a>"""),
+      (2L, "<p>no links at all</p>"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "html")
+    val out = graft.text.WebStages.htmllinks(
+      graft.spec.ComponentSpec("htmllinks", Map()), ctx)(df)
+      .orderBy("doc_id", "linkPos").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq(
+      (1L, "u1", "one", 0L), (1L, "u2", "two & half", 1L)))
+    assert(!out.head.schema.fieldNames.contains("html")) // dropped by default
+    // emptyPages keep: link-less and null-html pages survive with nulls
+    val kept = graft.text.WebStages.htmllinks(
+      graft.spec.ComponentSpec("htmllinks",
+        Map("emptyPages" -> "keep", "keepHtml" -> true)), ctx)(df)
+      .orderBy(col("doc_id"), col("linkPos").asc_nulls_last).collect()
+    assert(kept.length == 4)
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L, 1L, 2L, 3L))
+    assert(kept(2).isNullAt(kept(2).fieldIndex("href")))
+    assert(kept.head.schema.fieldNames.contains("html")) // keepHtml
+    val e = intercept[Exception](graft.text.WebStages.htmllinks(
+      graft.spec.ComponentSpec("htmllinks", Map("emptyPages" -> "maybe")), ctx)(df))
+    assert(e.getMessage.contains("emptyPages"))
   }
 
   test("htmlextract: null html row yields null outputs") {

@@ -694,6 +694,28 @@ class LlmStagesSpec extends SparkSpec {
     assert(a.forall { case (k, v) => grown(k) == v })
   }
 
+  test("kfold: folds partition the bucket space; holdout role; validation") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val out = stage("kfold", "k" -> 4, "salt" -> "cv", "holdout" -> 1)(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.forall { case (_, f, _) => f >= 0 && f < 4 })
+    assert(out.forall { case (_, f, role) =>
+      role == (if (f == 1) "test" else "train") })
+    // every fold is populated and roughly balanced
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.forall(n => math.abs(n - 500) < 150), sizes.toString)
+    // repartitioning never moves a key's fold
+    val b = stage("kfold", "k" -> 4, "salt" -> "cv")(df.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, f, _) => b(id) == f })
+    // fold agrees with datasplit's md5 bucket arithmetic (one authority)
+    val e1 = intercept[Exception](stage("kfold", "k" -> 1)(df))
+    assert(e1.getMessage.contains("k must be"))
+    val e2 = intercept[Exception](stage("kfold", "k" -> 4, "holdout" -> 9)(df))
+    assert(e2.getMessage.contains("holdout"))
+  }
+
   test("hashsample: deterministic subset of the datasplit bucket space") {
     val df = (0L until 2000L).toDF("doc_id")
     val kept = stage("hashsample", "keyField" -> "doc_id", "fraction" -> "0.25")(df)

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def stage(name: String, opts: (String, Any)*) =
+    graft.engine.Engine.transformers(name)(ComponentSpec(name, opts.toMap), newCtx())
+
   test("hllsketch/hllmerge: merge of shard sketches == one whole-table sketch") {
     val ctx = newCtx()
     // 10k values split across 7 shards: the merged estimate must be
@@ -178,6 +181,39 @@ class StatsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"zscore must not window:\n$plan")
     assert(plan.contains("HashAggregate"), s"expected hash agg:\n$plan")
+  }
+
+  test("winsorize: hand-computed clips per group; nulls stay null; flag column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group a: values 0..10 -> p10 = 1.0, p90 = 9.0 (type-7)
+    val a = (0 to 10).map(v => ("a", java.lang.Long.valueOf(v.toLong)))
+    val b = Seq(("b", java.lang.Long.valueOf(100L)), ("b", java.lang.Long.valueOf(200L)),
+      ("b", null.asInstanceOf[java.lang.Long]))
+    val df = (a ++ b).toDF("g", "x")
+    val out = stage("winsorize", "field" -> "x", "keyField" -> "g",
+      "lower" -> "0.1", "upper" -> "0.9", "flagField" -> "clip")(df)
+      .orderBy(col("g"), col("x").asc_nulls_last).collect()
+    val av = out.filter(_.getString(0) == "a").map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(av.toSeq == Seq((1.0, true), (1.0, false), (2.0, false), (3.0, false),
+      (4.0, false), (5.0, false), (6.0, false), (7.0, false), (8.0, false),
+      (9.0, false), (9.0, true)))
+    // null input -> null output, not a clamp to the lower bound
+    val bn = out.filter(r => r.getString(0) == "b" && r.isNullAt(1))
+    assert(bn.length == 1 && bn.head.isNullAt(2) && !bn.head.getBoolean(3))
+    // global mode (no keyField): one bound pair for the whole frame
+    val g = stage("winsorize", "field" -> "x", "lower" -> "0.1",
+      "upper" -> "0.9")(df.select("x"))
+      .agg(max("x_w"), min("x_w")).head()
+    assert(g.getDouble(0) <= 200.0 && g.getDouble(1) >= 0.0)
+    // null-safe group key: a null g clips within ITS group, row kept
+    val withNullKey = Seq((null.asInstanceOf[String], 5L), (null.asInstanceOf[String], 15L))
+      .toDF("g", "x")
+    val nk = stage("winsorize", "field" -> "x", "keyField" -> "g")(withNullKey)
+    assert(nk.count() == 2)
+    val e = intercept[Exception](
+      stage("winsorize", "field" -> "x", "lower" -> "0.9", "upper" -> "0.5")(df))
+    assert(e.getMessage.contains("lower"))
   }
 
   test("quantiles exact: type-7 interpolation per group; global mode; prob naming") {
