@@ -1306,6 +1306,31 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .orderBy("id")
     },
+    "graph_kcore" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // k=2 core over a PLANTED mixed graph (fixed key ranges, so the
+      // structure is identical at every sf): 4-cliques on keys
+      // [0,200) (keys start at 0 in this fixture) survive, degree-1 pairs on [200,500) drop in one
+      // round, a path on [500,514] peels one layer PER ROUND (the
+      // iterative fixed point this query exists to exercise), a cycle
+      // on [1000,1040] survives at degree 2. The oracle is pure key
+      // arithmetic over the survivor set.
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW kc_ids AS SELECT 'v' || CAST(c_custkey AS STRING) AS vid FROM customer"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'v' || CAST(a AS STRING) AS src_id, 'v' || CAST(b AS STRING) AS dst_id FROM (SELECT x.c_custkey AS a, y.c_custkey AS b FROM __input x JOIN __input y ON x.c_custkey < 200 AND y.c_custkey < 200 AND x.c_custkey div 4 = y.c_custkey div 4 AND x.c_custkey < y.c_custkey UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 200 AND c_custkey < 500 AND c_custkey % 2 = 0 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 500 AND c_custkey < 514 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 1000 AND c_custkey < 1040 UNION ALL SELECT 1000, 1040 FROM __input WHERE c_custkey = 1000)"}},
+          {"vertex": {"class": "kc", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "kc_ids.vid",
+                    "class": "kc_edge", "direction": "out"}},
+          {"kcore": {"k": 2}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("degree"))
+        .orderBy("id")
+    },
     "graph_bfs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-hop BFS distances from customer c1 over the same
@@ -4320,6 +4345,11 @@ object SparkEntry {
       steps +
       " SELECT id, community FROM l3 ORDER BY id"
     },
+    "graph_kcore" ->
+      ("SELECT 'v' || CAST(c_custkey AS VARCHAR) AS id, " +
+       "CAST(CASE WHEN c_custkey < 200 THEN 3 ELSE 2 END AS BIGINT) AS degree " +
+       "FROM customer WHERE c_custkey < 200 OR (c_custkey >= 1000 AND c_custkey <= 1040) " +
+       "ORDER BY id"),
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +
        "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +

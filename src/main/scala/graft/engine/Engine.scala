@@ -59,6 +59,7 @@ object Engine {
     "pagerank"       -> graft.graph.GraphStages.pageRank _,
     "motif"          -> graft.graph.GraphStages.motif _,
     "connectedcomponents" -> graft.graph.GraphStages.connectedComponentsStage _,
+    "kcore"          -> graft.graph.GraphStages.kcore _,
     "bfs"            -> graft.graph.GraphStages.bfs _,
     "shortestpaths"  -> graft.graph.GraphStages.shortestPaths _,
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,

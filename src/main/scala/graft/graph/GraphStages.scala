@@ -369,6 +369,66 @@ object GraphStages {
       }
     }
 
+  /** `kcore`: the k-core of the undirected graph — the maximal subgraph
+    * in which every vertex keeps degree ≥ k — by iterative peeling:
+    * repeatedly drop vertices whose CURRENT degree is below k until a
+    * fixed point (Seidman 1983, the standard cohesion filter; in a
+    * data-curation graph it isolates the densely-interlinked page/host
+    * cores spam farms and link deserts fall out of). Direction is
+    * ignored (edges symmetrize); parallel edges and self-loops dedup
+    * away (a self-loop is not cohesion).
+    *
+    * Options: `k` (required, ≥ 1), `label` (optional edge-label
+    * filter), `maxIter` (default 50 — peeling a path of length L at
+    * k=2 takes ~L/2 rounds; the bound fails LOUD rather than silently
+    * returning a non-core), `checkpointDir` (reliable checkpoints for
+    * the per-round truncation; default localCheckpoint). Output:
+    * (`id`, `degree`) of surviving vertices — degree measured INSIDE
+    * the core.
+    *
+    * Scale shape: each round is one hash-aggregated degree count over
+    * the surviving edge set + two anti-joins against the (shrinking)
+    * drop set, checkpointed per round (the documented iterative-stage
+    * pattern — lineage would otherwise nest per round). Exchanges carry
+    * (id, id) pairs only. The loop's driver-side check reads ONE
+    * aggregate row per round (`low.isEmpty` via limit(1)) — no
+    * data-path collect. */
+  def kcore(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("kcore: no edges — apply an `edge` stage first"))
+      val k = spec.long("k").map(_.toInt).getOrElse(
+        sys.error("kcore: `k` required (>= 1)"))
+      require(k >= 1, s"kcore: k must be >= 1, got $k")
+      val maxIter = spec.int("maxIter", 50)
+      val checkpoint = Stages.checkpointerOf(spec, ctx)
+      val edges1 = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      // symmetrize + dedup, drop self-loops; everything downstream is
+      // (a, b) string pairs
+      val sym0 = edges1.select(col("src").cast("string").as("a"),
+                               col("dst").cast("string").as("b"))
+      var live = checkpoint(
+        sym0.union(sym0.select(col("b").as("a"), col("a").as("b")))
+          .where(col("a") =!= col("b")).distinct())
+      var done = false
+      var rounds = 0
+      while (!done) {
+        rounds += 1
+        require(rounds <= maxIter,
+          s"kcore: no fixed point after $maxIter rounds — raise maxIter " +
+          "(a long path peels one layer per round)")
+        val deg = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        val low = deg.where(col("__d") < k).select(col("a").as("__drop"))
+        if (low.limit(1).isEmpty) done = true
+        else {
+          live = checkpoint(
+            live.join(low, col("a") === col("__drop"), "left_anti")
+                .join(low, col("b") === col("__drop"), "left_anti"))
+        }
+      }
+      live.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    }
+
   /** `bfs`: minimum-hop distances from a source vertex set — bounded
     * breadth-first expansion over the edges table (the set-oriented form
     * of a Gremlin `repeat(out()).times(k)` traversal). Options:

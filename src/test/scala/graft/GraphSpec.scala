@@ -955,6 +955,38 @@ class GraphSpec extends SparkSpec {
       "z" -> None)) // no edges → null neighbors, row passes through
   }
 
+  test("kcore: iterative peel — cascades, cycles survive, path has no 2-core") {
+    def core(k: Int, edges: Seq[(String, String)],
+             opts: Map[String, Any] = Map.empty) = {
+      val ctx = newCtx()
+      ctx.addEdges(edges.toDF("src", "dst").withColumn("label", lit("e")))
+      graft.graph.GraphStages.kcore(
+        ComponentSpec("kcore", Map("k" -> k) ++ opts), ctx)(spark.emptyDataFrame)
+        .as[(String, Long)].collect().toMap
+    }
+    // triangle + tail: d peels, which LOWERS c — but c keeps degree 2
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    assert(core(2, tri) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // cascade: removing the tail vertex drops its neighbor next round
+    // (e-f-triangle chain: f peels only AFTER e does)
+    val chainTri = tri ++ Seq(("d", "e"))
+    assert(core(2, chainTri) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // a path peels one layer per round down to the empty 2-core
+    val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"))
+    assert(core(2, path) == Map.empty)
+    // a cycle IS its own 2-core; direction/self-loops/parallels ignored
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "x"), ("y", "x"))
+    assert(core(2, cyc) == Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+    // k=3 kills the triangle too
+    assert(core(3, tri) == Map.empty)
+    // bounded rounds fail LOUD, never a silent non-core
+    val long = (1 to 12).map(i => (s"q$i", s"q${i + 1}"))
+    val e = intercept[Exception](core(2, long, Map("maxIter" -> 2)))
+    assert(e.getMessage.contains("maxIter"))
+    val e2 = intercept[Exception](core(0, tri))
+    assert(e2.getMessage.contains("k must be"))
+  }
+
   test("connectedcomponents: min-id labels, direction ignored, singletons kept") {
     val ctx = newCtx()
     // two components: {a,b,x,y} (direction mixed) and {p,q}
