@@ -268,7 +268,7 @@ object ScaleStress {
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
-      "cdc_chunk", "dsir_weight")
+      "cdc_chunk", "dsir_weight", "kcore_peel")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -483,6 +483,23 @@ object ScaleStress {
             {"cdcchunk": {"divisor": 8}},
             {"code": {"language": "sql", "code":
               "SELECT chunk_hash, count(*) AS n FROM __input GROUP BY 1 HAVING count(*) > 1"}}],
+          "loader": {"memory": {}} }""",
+        // k-core peel at scale: n/4 planted 4-cliques (every vertex
+        // degree 3) + a degree-1 tail on every 8th vertex — k=3 peels
+        // the tails in ONE round and reaches the fixed point in the
+        // next, so rounds are CONSTANT and the leg measures the
+        // per-round degree-agg + anti-join cost ∝ edges
+        "kcore_peel" -> s"""{
+          "begin": [{"console": {"commands": [
+            "CREATE OR REPLACE TEMPORARY VIEW kcs_ids AS SELECT CAST(doc_id AS STRING) AS vid FROM parquet.`$docs` UNION ALL SELECT CAST(doc_id + $n AS STRING) AS vid FROM parquet.`$docs` WHERE doc_id % 8 = 0"]}}],
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT CAST(x.doc_id AS STRING) AS src_id, CAST(y.doc_id AS STRING) AS dst_id FROM __input x JOIN __input y ON x.doc_id div 4 = y.doc_id div 4 AND x.doc_id < y.doc_id UNION ALL SELECT CAST(doc_id AS STRING), CAST(doc_id + $n AS STRING) FROM __input WHERE doc_id % 8 = 0"}},
+            {"vertex": {"class": "kc", "idField": "src_id"}},
+            {"edge": {"joinFieldName": "dst_id", "lookup": "kcs_ids.vid",
+                      "class": "e", "direction": "out"}},
+            {"kcore": {"k": 3}}],
           "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
