@@ -201,7 +201,18 @@ object Gremlin {
     // and `hasLabel` after a hop must match EITHER class, never
     // silently lose one. Duplicate registrations of the SAME (id,
     // label) do collapse (that's re-registration, not a second vertex).
-    val idLabel = vertices.select(col("id"), col("label")).distinct()
+    // (id, label) class-vertex catalog, persisted for the traversal's
+    // lifetime: every hop re-attaches labels through this frame (the
+    // class-vertex multiplicity contract), and without the persist each
+    // attach re-scans + re-aggregates the vertex table — a 3-attach
+    // chain paid the aggregation three times (command_gremlin plan
+    // audit, r14). Lazy persist: no build-time job, dryRun stays
+    // compile-only; Engine.run / the session FIFO release it.
+    val idLabel = {
+      val d = vertices.select(col("id"), col("label")).distinct().persist()
+      ctx.registerPersisted(d)
+      d
+    }
     val trackPath = steps.exists(s => s._1 == "path" || s._1 == "simplePath")
     // g.V(id, …): start from the named vertices (filter BEFORE path
     // tracking so the path roots at the start set). g.E(): start in
