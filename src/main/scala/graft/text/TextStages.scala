@@ -715,7 +715,11 @@ object TextStages {
     * corpus), `targetField` (default = `field`), `field` (default
     * text), `idField` (default doc_id), `lowercase` (default true),
     * `outputField` (default dsir_weight). Docs with no tokens (null
-    * text) weigh 0. */
+    * text) weigh 0. Selection (the resampling half of DSIR, both
+    * optional and composable): `minWeight` keeps only rows at or above
+    * the threshold (a filter — pushes past the join); `topK` keeps the
+    * K highest-weight docs exactly (TakeOrdered over (weight desc, id
+    * asc) — ids and weights only, never a global sort of the rows). */
   def dsirWeight(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
@@ -745,9 +749,21 @@ object TextStages {
           (L(coalesce(col("__ct"), lit(0L)) + 1) - L(col("__nt") + 1)) -
           (L(col("__cs") + 1) - L(col("__ns") + 1)))
         .groupBy("__id").agg(sum(col("__c") * col("__bits")).as("__dsir"))
-      df.join(perDoc, col(id) <=> col("__id"), "left")
+      val scored = df.join(perDoc, col(id) <=> col("__id"), "left")
         .withColumn(outF, coalesce(col("__dsir"), lit(0L)))
         .drop("__id", "__dsir")
+      val floored = spec.long("minWeight") match {
+        case Some(m) => scored.where(col(outF) >= m)
+        case None => scored
+      }
+      spec.long("topK").map(_.toInt) match {
+        case Some(kk) =>
+          require(kk >= 1, s"dsirweight: topK must be >= 1, got $kk")
+          // exact top-K selection: TakeOrdered on (weight desc, id asc)
+          // — the deterministic resampling cut
+          floored.orderBy(col(outF).desc, col(id).asc).limit(kk)
+        case None => floored
+      }
     }
 
   /** `tokeninfo`: corpus self-information quality score — per document,

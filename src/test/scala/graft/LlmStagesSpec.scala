@@ -370,6 +370,13 @@ class LlmStagesSpec extends SparkSpec {
     // bits: A→L(1)-L(2)=-1, a→L(2)-L(3)=0, b→L(1)-L(2)=-1, c→L(2)-L(2)=0
     // d1 = -1+0-1 = -2; d2 = 0+0 = 0
     assert(cased == Seq(-2L, 0L, 0L))
+    // selection: minWeight floors, topK cuts exactly (desc weight, asc id)
+    val sel = stage("dsirweight", "target" -> "SELECT text FROM __dsir_target",
+      "minWeight" -> -1)(df).select("doc_id").as[Long].collect().toSeq.sorted
+    assert(sel == Seq(2L, 3L)) // d1 (-3) floored out
+    val top = stage("dsirweight", "target" -> "SELECT text FROM __dsir_target",
+      "topK" -> 2)(df).select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(3L, 2L)) // weights 0 > -1 > -3; ties broken by id
     // named migration error when target is missing
     val e = intercept[Exception](stage("dsirweight")(df))
     assert(e.getMessage.contains("target"))
