@@ -1331,6 +1331,28 @@ object SparkEntry {
         .select(col("id"), col("degree"))
         .orderBy("id")
     },
+    "graph_coreness" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // full core decomposition over the same planted graph as
+      // graph_kcore (level-order peel: removed at level kk → coreness
+      // kk-1): cliques 3, pairs and the path 1, the cycle 2 — all pure
+      // key arithmetic for the oracle
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW kc2_ids AS SELECT 'v' || CAST(c_custkey AS STRING) AS vid FROM customer"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'v' || CAST(a AS STRING) AS src_id, 'v' || CAST(b AS STRING) AS dst_id FROM (SELECT x.c_custkey AS a, y.c_custkey AS b FROM __input x JOIN __input y ON x.c_custkey < 200 AND y.c_custkey < 200 AND x.c_custkey div 4 = y.c_custkey div 4 AND x.c_custkey < y.c_custkey UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 200 AND c_custkey < 500 AND c_custkey % 2 = 0 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 500 AND c_custkey < 514 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 1000 AND c_custkey < 1040 UNION ALL SELECT 1000, 1040 FROM __input WHERE c_custkey = 1000)"}},
+          {"vertex": {"class": "kc", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "kc2_ids.vid",
+                    "class": "kc_edge", "direction": "out"}},
+          {"kcore": {"mode": "coreness"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("coreness"))
+        .orderBy("id")
+    },
     "graph_bfs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-hop BFS distances from customer c1 over the same
@@ -4349,6 +4371,11 @@ object SparkEntry {
       ("SELECT 'v' || CAST(c_custkey AS VARCHAR) AS id, " +
        "CAST(CASE WHEN c_custkey < 200 THEN 3 ELSE 2 END AS BIGINT) AS degree " +
        "FROM customer WHERE c_custkey < 200 OR (c_custkey >= 1000 AND c_custkey <= 1040) " +
+       "ORDER BY id"),
+    "graph_coreness" ->
+      ("SELECT 'v' || CAST(c_custkey AS VARCHAR) AS id, " +
+       "CAST(CASE WHEN c_custkey < 200 THEN 3 WHEN c_custkey < 515 THEN 1 ELSE 2 END AS BIGINT) AS coreness " +
+       "FROM customer WHERE c_custkey < 515 OR (c_custkey BETWEEN 1000 AND 1040) " +
        "ORDER BY id"),
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +

@@ -397,8 +397,13 @@ object GraphStages {
     Stages.common(spec, ctx) { _ =>
       val edges0 = ctx.edges.getOrElse(
         sys.error("kcore: no edges — apply an `edge` stage first"))
-      val k = spec.long("k").map(_.toInt).getOrElse(
-        sys.error("kcore: `k` required (>= 1)"))
+      val mode = spec.strOr("mode", "core")
+      require(Set("core", "coreness")(mode),
+        s"kcore: mode must be core|coreness, got '$mode'")
+      val k =
+        if (mode == "core") spec.long("k").map(_.toInt).getOrElse(
+          sys.error("kcore: `k` required (>= 1)"))
+        else spec.long("k").map(_.toInt).getOrElse(Int.MaxValue)
       require(k >= 1, s"kcore: k must be >= 1, got $k")
       val maxIter = spec.int("maxIter", 50)
       val checkpoint = Stages.checkpointerOf(spec, ctx)
@@ -410,23 +415,56 @@ object GraphStages {
       var live = checkpoint(
         sym0.union(sym0.select(col("b").as("a"), col("a").as("b")))
           .where(col("a") =!= col("b")).distinct())
-      var done = false
       var rounds = 0
-      while (!done) {
+      def bound(): Unit = {
         rounds += 1
         require(rounds <= maxIter,
-          s"kcore: no fixed point after $maxIter rounds — raise maxIter " +
-          "(a long path peels one layer per round)")
-        val deg = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
-        val low = deg.where(col("__d") < k).select(col("a").as("__drop"))
-        if (low.limit(1).isEmpty) done = true
-        else {
-          live = checkpoint(
+          s"kcore: no fixed point after $maxIter total rounds — raise " +
+          "maxIter (a long path peels one layer per round; coreness " +
+          "mode sums rounds across every k level)")
+      }
+      /** Peel at threshold `kk` to the fixed point; returns the
+        * (possibly empty) surviving edge frame. */
+      def peel(kk: Int): Unit = {
+        var done = false
+        while (!done) {
+          bound()
+          val deg = live.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+          val low = deg.where(col("__d") < kk).select(col("a").as("__drop"))
+          if (low.limit(1).isEmpty) done = true
+          else live = checkpoint(
             live.join(low, col("a") === col("__drop"), "left_anti")
                 .join(low, col("b") === col("__drop"), "left_anti"))
         }
       }
-      live.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+      if (mode == "core") {
+        peel(k)
+        live.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+      } else {
+        // full decomposition (Batagelj–Zaveršnik level order, set form):
+        // peel at kk = 1, 2, … — a vertex removed while processing
+        // level kk has coreness kk − 1; survivors of the final level
+        // (capped by `k` when given) keep that level's value
+        var level = 1
+        var parts = List.empty[DataFrame]
+        var remaining = live.select(col("a").as("id")).distinct()
+        var drained = remaining.limit(1).isEmpty
+        while (!drained && level <= k) {
+          peel(level)
+          val after = live.select(col("a").as("id")).distinct()
+          val removed = remaining.join(after, Seq("id"), "left_anti")
+            .withColumn("coreness", lit(level - 1).cast("long"))
+          parts ::= removed
+          remaining = checkpoint(after)
+          drained = remaining.limit(1).isEmpty
+          if (!drained && level == k) // k-cap: survivors hold level k
+            parts ::= remaining.withColumn("coreness", lit(level).cast("long"))
+          level += 1
+        }
+        if (parts.isEmpty)
+          remaining.withColumn("coreness", lit(0L)) // edgeless input
+        else parts.reduce(_ unionByName _)
+      }
     }
 
   /** `bfs`: minimum-hop distances from a source vertex set — bounded

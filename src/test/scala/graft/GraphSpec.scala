@@ -985,6 +985,22 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("maxIter"))
     val e2 = intercept[Exception](core(0, tri))
     assert(e2.getMessage.contains("k must be"))
+    // mode: coreness — full decomposition: triangle 2, tail/path 1
+    def coreness(edges: Seq[(String, String)], opts: Map[String, Any] = Map.empty) = {
+      val ctx = newCtx()
+      ctx.addEdges(edges.toDF("src", "dst").withColumn("label", lit("e")))
+      graft.graph.GraphStages.kcore(
+        ComponentSpec("kcore", Map("mode" -> "coreness") ++ opts),
+        ctx)(spark.emptyDataFrame)
+        .as[(String, Long)].collect().toMap
+    }
+    assert(coreness(chainTri) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L,
+      "d" -> 1L, "e" -> 1L))
+    assert(coreness(path) ==
+      Map("p1" -> 1L, "p2" -> 1L, "p3" -> 1L, "p4" -> 1L, "p5" -> 1L))
+    // k-cap: survivors of the capped level report coreness k
+    assert(coreness(chainTri, Map("k" -> 1)) == Map("a" -> 1L, "b" -> 1L,
+      "c" -> 1L, "d" -> 1L, "e" -> 1L))
   }
 
   test("connectedcomponents: min-id labels, direction ignored, singletons kept") {
