@@ -207,4 +207,53 @@ class PropertySpec extends SparkSpec {
         ((w, h, nf, ts, dur)), s"params w=$w h=$h nf=$nf ts=$ts dur=$dur v1=$v1")
     }
   }
+
+  test("winsorize: outputs within bounds, unflagged rows unchanged, count kept") {
+    val valGen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
+    samples(valGen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val df = vs.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("id", "x")
+      val out = graft.engine.Engine.transformers("winsorize")(
+        graft.spec.ComponentSpec("winsorize", Map("field" -> "x",
+          "lower" -> "0.1", "upper" -> "0.9", "flagField" -> "f")),
+        newCtx())(df).collect()
+      assert(out.length == vs.length, s"case $i: row count changed")
+      out.foreach { r =>
+        val x = r.getLong(1).toDouble
+        val w = r.getDouble(2)
+        if (!r.getBoolean(3)) assert(w == x, s"case $i: unflagged row moved")
+        else assert(w != x, s"case $i: flagged row kept its value")
+      }
+      // all clipped rows land on at most TWO values (the two bounds)
+      val clipVals = out.filter(_.getBoolean(3)).map(_.getDouble(2)).distinct
+      assert(clipVals.length <= 2, s"case $i: clip values $clipVals")
+      // clipping is monotone: order by x == order by winsorized (ties allowed)
+      val sorted = out.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        if (a.getLong(1) <= b.getLong(1)) assert(a.getDouble(2) <= b.getDouble(2))
+      case _ => () }
+    }
+  }
+
+  test("kcore/coreness consistency: k-core ids == vertices with coreness >= k") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0, 11), Gen.chooseNum(0, 11)))
+    samples(edgeGen, 6).zipWithIndex.foreach { case (raw, i) =>
+      val edges = raw.map { case (a, b) => (s"n$a", s"n$b") }
+      def run(opts: Map[String, Any]) = {
+        val ctx = newCtx()
+        ctx.addEdges(edges.toDF("src", "dst")
+          .withColumn("label", org.apache.spark.sql.functions.lit("e")))
+        graft.graph.GraphStages.kcore(
+          graft.spec.ComponentSpec("kcore", opts), ctx)(spark.emptyDataFrame)
+          .as[(String, Long)].collect().toMap
+      }
+      val cn = run(Map("mode" -> "coreness"))
+      for (k <- 1 to 3) {
+        val core = run(Map("k" -> k)).keySet
+        val expect = cn.filter(_._2 >= k).keySet
+        assert(core == expect,
+          s"case $i k=$k: core=$core coreness>=k=$expect (cn=$cn)")
+      }
+    }
+  }
 }
