@@ -4368,15 +4368,26 @@ object SparkEntry {
       " SELECT id, community FROM l3 ORDER BY id"
     },
     "graph_kcore" ->
-      ("SELECT 'v' || CAST(c_custkey AS VARCHAR) AS id, " +
-       "CAST(CASE WHEN c_custkey < 200 THEN 3 ELSE 2 END AS BIGINT) AS degree " +
-       "FROM customer WHERE c_custkey < 200 OR (c_custkey >= 1000 AND c_custkey <= 1040) " +
-       "ORDER BY id"),
+      // group-size-aware (fixture keys may start at 0 OR 1 after a
+      // regeneration): a clique of size s survives k=2 iff s >= 3,
+      // at in-core degree s-1
+      ("WITH g AS (SELECT c_custkey, c_custkey // 4 AS grp FROM customer WHERE c_custkey < 200), " +
+       "sz AS (SELECT grp, count(*) AS s FROM g GROUP BY 1) " +
+       "SELECT 'v' || CAST(g.c_custkey AS VARCHAR) AS id, CAST(sz.s - 1 AS BIGINT) AS degree " +
+       "FROM g JOIN sz USING (grp) WHERE sz.s >= 3 " +
+       "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(2 AS BIGINT) " +
+       "FROM customer WHERE c_custkey BETWEEN 1000 AND 1040 ORDER BY id"),
     "graph_coreness" ->
-      ("SELECT 'v' || CAST(c_custkey AS VARCHAR) AS id, " +
-       "CAST(CASE WHEN c_custkey < 200 THEN 3 WHEN c_custkey < 515 THEN 1 ELSE 2 END AS BIGINT) AS coreness " +
-       "FROM customer WHERE c_custkey < 515 OR (c_custkey BETWEEN 1000 AND 1040) " +
-       "ORDER BY id"),
+      // group-size-aware like graph_kcore: a clique of size s has
+      // coreness s-1 (size-1 groups have no edges and are absent)
+      ("WITH g AS (SELECT c_custkey, c_custkey // 4 AS grp FROM customer WHERE c_custkey < 200), " +
+       "sz AS (SELECT grp, count(*) AS s FROM g GROUP BY 1) " +
+       "SELECT 'v' || CAST(g.c_custkey AS VARCHAR) AS id, CAST(sz.s - 1 AS BIGINT) AS coreness " +
+       "FROM g JOIN sz USING (grp) WHERE sz.s >= 2 " +
+       "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(1 AS BIGINT) " +
+       "FROM customer WHERE c_custkey >= 200 AND c_custkey < 515 " +
+       "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(2 AS BIGINT) " +
+       "FROM customer WHERE c_custkey BETWEEN 1000 AND 1040 ORDER BY id"),
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +
        "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +
