@@ -1353,6 +1353,28 @@ object SparkEntry {
         .select(col("id"), col("coreness"))
         .orderBy("id")
     },
+    "graph_clustering" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-vertex triangles + local clustering coefficient over the
+      // planted graph: clique members close all their wedges (coef 1.0
+      // exactly — 2T/(d(d-1)) = 6/6 for 4-cliques), pairs/path/cycle
+      // close none (coef 0.0); every value is key arithmetic
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW kc3_ids AS SELECT 'v' || CAST(c_custkey AS STRING) AS vid FROM customer"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'v' || CAST(a AS STRING) AS src_id, 'v' || CAST(b AS STRING) AS dst_id FROM (SELECT x.c_custkey AS a, y.c_custkey AS b FROM __input x JOIN __input y ON x.c_custkey < 200 AND y.c_custkey < 200 AND x.c_custkey div 4 = y.c_custkey div 4 AND x.c_custkey < y.c_custkey UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 200 AND c_custkey < 500 AND c_custkey % 2 = 0 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 500 AND c_custkey < 514 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 1000 AND c_custkey < 1040 UNION ALL SELECT 1000, 1040 FROM __input WHERE c_custkey = 1000)"}},
+          {"vertex": {"class": "kc", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "kc3_ids.vid",
+                    "class": "kc_edge", "direction": "out"}},
+          {"clusteringcoef": {}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("degree"), col("triangles"), col("clustering_coef"))
+        .orderBy("id")
+    },
     "graph_bfs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-hop BFS distances from customer c1 over the same
@@ -4387,6 +4409,21 @@ object SparkEntry {
        "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(1 AS BIGINT) " +
        "FROM customer WHERE c_custkey >= 200 AND c_custkey < 515 " +
        "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(2 AS BIGINT) " +
+       "FROM customer WHERE c_custkey BETWEEN 1000 AND 1040 ORDER BY id"),
+    "graph_clustering" ->
+      // size-aware like graph_kcore: a clique of size s gives degree
+      // s-1, triangles (s-1)(s-2)/2, coef 1.0 (s >= 3)
+      ("WITH g AS (SELECT c_custkey, c_custkey // 4 AS grp FROM customer WHERE c_custkey < 200), " +
+       "sz AS (SELECT grp, count(*) AS s FROM g GROUP BY 1) " +
+       "SELECT 'v' || CAST(g.c_custkey AS VARCHAR) AS id, CAST(sz.s - 1 AS BIGINT) AS degree, " +
+       "CAST((sz.s - 1) * (sz.s - 2) // 2 AS BIGINT) AS triangles, " +
+       "CAST(CASE WHEN sz.s >= 3 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS clustering_coef " +
+       "FROM g JOIN sz USING (grp) WHERE sz.s >= 2 " +
+       "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) " +
+       "FROM customer WHERE c_custkey >= 200 AND c_custkey < 500 " +
+       "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(CASE WHEN c_custkey IN (500, 514) THEN 1 ELSE 2 END AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) " +
+       "FROM customer WHERE c_custkey BETWEEN 500 AND 514 " +
+       "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) " +
        "FROM customer WHERE c_custkey BETWEEN 1000 AND 1040 ORDER BY id"),
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +

@@ -60,6 +60,7 @@ object Engine {
     "motif"          -> graft.graph.GraphStages.motif _,
     "connectedcomponents" -> graft.graph.GraphStages.connectedComponentsStage _,
     "kcore"          -> graft.graph.GraphStages.kcore _,
+    "clusteringcoef" -> graft.graph.GraphStages.clusteringCoef _,
     "bfs"            -> graft.graph.GraphStages.bfs _,
     "shortestpaths"  -> graft.graph.GraphStages.shortestPaths _,
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,

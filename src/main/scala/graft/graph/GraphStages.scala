@@ -467,6 +467,67 @@ object GraphStages {
       }
     }
 
+  /** `clusteringcoef`: per-vertex triangle count + local clustering
+    * coefficient `2·T(v) / (deg(v)·(deg(v)−1))` — the standard local
+    * cohesion signal (Watts–Strogatz 1998); in a crawl link graph it
+    * separates genuinely interlinked communities (coef → 1) from
+    * star-shaped spam hubs (coef → 0). Direction ignored, self-loops
+    * and parallel edges dedup away.
+    *
+    * Scale shape — the compact-forward / degree-ordered algorithm
+    * (Latapy 2008): orient every edge from the (degree, id)-smaller
+    * endpoint to the larger, form wedges only at each edge's LOW-rank
+    * center, and close them against the oriented edge list. Per-vertex
+    * wedge fan-out is bounded by the graph's degeneracy, not its max
+    * degree — a celebrity hub contributes its edges as wedge TIPS, not
+    * as a quadratic center. Exchanges carry id/degree pairs only; the
+    * per-vertex expansion is one explode of the found triangles.
+    * Output: (`id`, `degree`, `triangles`, `clustering_coef`) for every
+    * vertex with at least one (non-self-loop) edge; degree < 2 → 0.0.
+    * Options: `label` (optional edge-label filter). */
+  def clusteringCoef(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("clusteringcoef: no edges — apply an `edge` stage first"))
+      val edges1 = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val sym0 = edges1.select(col("src").cast("string").as("a"),
+                               col("dst").cast("string").as("b"))
+      val sym = sym0.union(sym0.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+      val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+      // degree-ordered orientation: keep each undirected edge once, as
+      // lo → hi with (d, id) rank(lo) < rank(hi)
+      val withD = sym
+        .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      val oriented = withD.where(
+          col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+        .select(col("a").as("lo"), col("b").as("hi"),
+                col("db").as("dhi"))
+      // wedges at the low-rank center v: two oriented edges v→x, v→y,
+      // pair canonicalized by the SAME rank so the closing edge is
+      // already oriented x→y
+      val e1 = oriented.select(col("lo").as("v"), col("hi").as("x"),
+        col("dhi").as("dx"))
+      val e2 = oriented.select(col("lo").as("v"), col("hi").as("y"),
+        col("dhi").as("dy"))
+      val wedges = e1.join(e2, Seq("v"))
+        .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      val triangles = wedges.join(
+        oriented.select(col("lo").as("x"), col("hi").as("y")), Seq("x", "y"))
+        .select(col("v"), col("x"), col("y"))
+      val perVertex = triangles
+        .select(explode(array(col("v"), col("x"), col("y"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("triangles"))
+      deg.join(perVertex, Seq("id"), "left")
+        .select(col("id"), col("d").as("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("d") < 2, lit(0.0)).otherwise(
+            (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+              (col("d") * (col("d") - 1)).cast("double"))
+            .as("clustering_coef"))
+    }
+
   /** `bfs`: minimum-hop distances from a source vertex set — bounded
     * breadth-first expansion over the edges table (the set-oriented form
     * of a Gremlin `repeat(out()).times(k)` traversal). Options:

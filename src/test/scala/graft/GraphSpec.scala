@@ -1003,6 +1003,35 @@ class GraphSpec extends SparkSpec {
       "c" -> 1L, "d" -> 1L, "e" -> 1L))
   }
 
+  test("clusteringcoef: per-vertex triangles and coef; hubs stay cheap wedge tips") {
+    def coef(edges: Seq[(String, String)]) = {
+      val ctx = newCtx()
+      ctx.addEdges(edges.toDF("src", "dst").withColumn("label", lit("e")))
+      graft.graph.GraphStages.clusteringCoef(
+        ComponentSpec("clusteringcoef", Map.empty), ctx)(spark.emptyDataFrame)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    // triangle + tail: a,b close their one wedge (coef 1); c has 3
+    // neighbors, one closed pair of 3 (coef 1/3); d degree-1 → 0
+    val out = coef(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
+    assert(out("a") == ((2L, 1L, 1.0)))
+    assert(out("b") == ((2L, 1L, 1.0)))
+    assert(out("c") == ((3L, 1L, 1.0 / 3.0)))
+    assert(out("d") == ((1L, 0L, 0.0)))
+    // star hub: many neighbors, zero triangles — coef 0, no blow-up
+    val star = (1 to 20).map(i => ("hub", s"s$i"))
+    val so = coef(star)
+    assert(so("hub") == ((20L, 0L, 0.0)) && so("s1") == ((1L, 0L, 0.0)))
+    // direction / parallels / self-loops are noise
+    val messy = coef(Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"),
+      ("c", "a"), ("a", "c")))
+    assert(messy("a") == ((2L, 1L, 1.0)))
+    // 4-clique: every vertex closes all 3 of its wedges
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"k$i", s"k$j")
+    assert(coef(k4).values.toSet == Set((3L, 3L, 1.0)))
+  }
+
   test("connectedcomponents: min-id labels, direction ignored, singletons kept") {
     val ctx = newCtx()
     // two components: {a,b,x,y} (direction mixed) and {p,q}
