@@ -2744,6 +2744,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "mix_source").orderBy("mix_source", "doc_id")
     },
+    "mixture_tokens" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // token-budgeted training mixture: 60k-token budget split 2:1
+      // between two tagged sources (web 40k, code 20k); each part takes
+      // documents in deterministic salted-md5 order until its token
+      // share fills (whitespace token counts)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mixture": {"keyField": "doc_id",
+          "columns": ["doc_id", "lang", "text"],
+          "budget": 60000,
+          "parts": [
+            {"path": "$dir/documents.parquet", "fraction": 2, "name": "web"},
+            {"path": "$dir/documents.parquet", "fraction": 1, "name": "code"}]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "mix_source").orderBy("mix_source", "doc_id")
+    },
     "avro_export" -> { (s, dir) =>
       val c = ctx(s, dir)
       // loader→extractor roundtrip: export typed columns (long, string,
@@ -4964,6 +4982,18 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, lang, 'code' FROM documents " +
        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'code'), 1, 6))::BIGINT % 10000 < 1500" +
        ") ORDER BY mix_source, doc_id"),
+    "mixture_tokens" ->
+      ("WITH tok AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 " +
+       "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t FROM documents), " +
+       "wk AS (SELECT doc_id FROM (SELECT doc_id, SUM(t) OVER (" +
+       "ORDER BY md5(CAST(doc_id AS VARCHAR) || 'web'), CAST(doc_id AS VARCHAR) " +
+       "ROWS UNBOUNDED PRECEDING) AS cum FROM tok) WHERE cum <= 40000), " +
+       "ck AS (SELECT doc_id FROM (SELECT doc_id, SUM(t) OVER (" +
+       "ORDER BY md5(CAST(doc_id AS VARCHAR) || 'code'), CAST(doc_id AS VARCHAR) " +
+       "ROWS UNBOUNDED PRECEDING) AS cum FROM tok) WHERE cum <= 20000) " +
+       "SELECT doc_id, 'web' AS mix_source FROM wk " +
+       "UNION ALL SELECT doc_id, 'code' FROM ck " +
+       "ORDER BY mix_source, doc_id"),
     "avro_export" ->
       ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, " +
        "CAST(c_acctbal AS DOUBLE) AS bal, c_custkey % 2 = 0 AS even " +

@@ -228,6 +228,7 @@ object Engine {
       Some(o)
     } else None
     var loadObs: Option[org.apache.spark.sql.Observation] = None
+    var completedNormally = false
     val acted = try {
       for (t <- remaining) {
         val fn = transformers.getOrElse(t.name, sys.error(s"unknown transformer ${t.name}"))
@@ -250,7 +251,7 @@ object Engine {
       // pre-flight like the real run would), the optimized plan prints
       // to stderr, and pending observe checks are DISCARDED (no action
       // ran — leaving them would poison the next real run).
-      if (dryRun) {
+      val actedNow = if (dryRun) {
         spec.loader.foreach(Loaders.validate(ctx, _))
         System.err.println("[graft] dryRun plan:\n" +
           df.queryExecution.optimizedPlan.treeString)
@@ -262,9 +263,19 @@ object Engine {
         if (a) ctx.drainChecks()
         a
       }
-    } catch { case e: EtlHaltException =>
-      ctx.releaseCache()
-      ctx.fireListeners(_.onHalt(ctx, e.getMessage)); throw e
+      completedNormally = true
+      actedNow
+    } catch {
+      case e: EtlHaltException =>
+        ctx.fireListeners(_.onHalt(ctx, e.getMessage)); throw e
+    } finally {
+      // Run-scoped cache release on EVERY failure path (ADVICE r14):
+      // a halt, an analysis error, or a runtime failure must all drop
+      // the run's registered persists — CacheManager entries are never
+      // GC-reclaimed, so any leak here is permanent for the session.
+      // The success path below decides release-vs-adopt; signal it by
+      // only releasing here when the try block did NOT complete.
+      if (!completedNormally) ctx.releaseCache()
     }
     // Run-scoped cache release (ADVICE r13): an acted pipeline is done
     // with its persisted frames (keyedByTid etc.) — unpersist them now

@@ -209,8 +209,19 @@ object Gremlin {
     // audit, r14). Lazy persist: no build-time job, dryRun stays
     // compile-only; Engine.run / the session FIFO release it.
     val idLabel = {
-      val d = vertices.select(col("id"), col("label")).distinct().persist()
-      ctx.registerPersisted(d)
+      val d = vertices.select(col("id"), col("label")).distinct()
+      // several traversals in one session share a vertex frame: the
+      // CacheManager keys by analyzed plan, so Dataset.storageLevel on
+      // a fresh-but-plan-identical frame reports the existing entry —
+      // re-persisting it only logs "already cached" noise and churns
+      // the session FIFO (r14 verdict). First traversal persists and
+      // registers; later ones reuse the live entry (its owner's
+      // release/FIFO eviction just falls back to recompute — correct,
+      // merely slower).
+      if (d.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        d.persist()
+        ctx.registerPersisted(d)
+      }
       d
     }
     val trackPath = steps.exists(s => s._1 == "path" || s._1 == "simplePath")
@@ -966,8 +977,16 @@ object Gremlin {
           lst.last match {
             case (a, "", _) if ByAggs(a) =>
               if (trackPath)
+                // a faithful translation does not exist in this model:
+                // path() tracks a TYPED id array per traverser, while a
+                // local aggregate appends a VALUE (count/sum/avg…) of a
+                // different type to the path — Gremlin's heterogeneous
+                // path is not representable as one Spark array column
                 fail("local(<aggregate>) together with path() is not in " +
-                  "the translated subset")
+                  "the translated subset — compute the aggregate without " +
+                  "path() (e.g. project('p','n').by(path()).by(out()." +
+                  "count()) keyed per traverser), or migrate to the " +
+                  "`motif` transformer / graphdegree stage")
               parseByMod("local", List(chain)) match {
                 case ByAgg(hops, agg, prop) =>
                   // the keyed id must be retry-stable even when ONE
@@ -1002,8 +1021,16 @@ object Gremlin {
               }
             case ("limit", nTxt, _) if nTxt.matches("\\d+") && lst.size > 1 =>
               if (trackPath)
+                // same representability gap as local(<aggregate>): the
+                // per-traverser top-n re-keys rows by __tid, and the
+                // sub-chain's hops would have to extend __path inside
+                // the keyed scope — run the limited expansion without
+                // path(), or track paths with an explicit repeat().emit()
                 fail("local(<chain>.limit(n)) together with path() is not " +
-                  "in the translated subset")
+                  "in the translated subset — drop path() around the " +
+                  "per-traverser top-n, or expand hops with " +
+                  "repeat(..).emit().path() and cap afterwards; richer " +
+                  "traversals migrate to the `motif` transformer")
               val n = nTxt.toInt
               // retry-stable traverser key (see the ByAgg case above —
               // the window below shuffles on __tid, so a bare monotonic

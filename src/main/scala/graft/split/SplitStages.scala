@@ -433,11 +433,28 @@ object SplitStages {
     * Sampling reuses the [[hashsample]] bucket with the PART NAME in
     * the salt, so the same document can ride in two parts
     * independently. Pure scan + filter + union — no shuffle; Spark
-    * plans each part's scan with its own pushed-down filter. */
+    * plans each part's scan with its own pushed-down filter.
+    *
+    * TOKEN-BUDGET mode (`budget: <long>`): real training mixes are
+    * specified in TOKENS per source, not row fractions. With `budget`
+    * set, each part's `fraction` is a WEIGHT (any positive number;
+    * normalized over the declared parts) and the stage takes documents
+    * from each part in deterministic salted-md5 order until that
+    * part's share `floor(budget * w / Σw)` of tokens fills — the last
+    * document that would overflow the share is excluded. Token counts
+    * come from `tokenField` (an existing per-doc count column) or are
+    * computed as the whitespace token count of `field` (default
+    * `text`). Scale shape: the per-part running sum is TWO-LEVEL — a
+    * 256-bucket (md5-prefix) token-sum aggregate, an exclusive prefix
+    * over those 256 rows, then an intra-bucket running-sum window
+    * PARTITIONED by bucket — so no part ever sorts its full row set in
+    * one partition; ordering by (md5 hex, key) is prefix-consistent
+    * with the bucketing. */
   def mixture(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val keyField = spec.strOr("keyField", "doc_id")
       val salt = spec.strOr("salt", "")
+      val budget = spec.long("budget")
       val parts = spec.list("parts").map {
         case m: Map[_, _] =>
           val mm = m.asInstanceOf[Map[String, Any]]
@@ -451,7 +468,10 @@ object SplitStages {
       }
       require(parts.nonEmpty, "mixture: parts required")
       parts.foreach { case (_, f, n) =>
-        require(f > 0 && f <= 1, s"mixture: fraction for part '$n' in (0,1], got $f") }
+        if (budget.isEmpty)
+          require(f > 0 && f <= 1, s"mixture: fraction for part '$n' in (0,1], got $f")
+        else
+          require(f > 0, s"mixture: weight for part '$n' must be > 0, got $f") }
       // default projection = the FIRST part's schema, applied to EVERY
       // side (each part projecting its own schema would make
       // heterogeneous parts fail the union below)
@@ -461,10 +481,57 @@ object SplitStages {
         case Nil => firstPartCols
         case cs => cs
       }
-      def sampled(part: DataFrame, frac: Double, name: String): DataFrame =
-        part
-          .where(bucket(col(keyField), salt + name) < math.round(frac * Buckets))
-          .select(cols.map(col) :+ lit(name).as("mix_source"): _*)
+      // token expression for budget mode: an existing count column, or
+      // the whitespace token count of `field` (0 for blank docs) —
+      // spelled to match the DuckDB oracle's regexp_split_to_array
+      lazy val tokCol: Column = spec.str("tokenField") match {
+        case Some(f) => col(f).cast("long")
+        case None =>
+          val t = trim(col(spec.strOr("field", "text")))
+          when(t === "", lit(0L)).otherwise(size(split(t, "\\s+")).cast("long"))
+      }
+      val weightSum = parts.map(_._2).sum +
+        (if (spec.bool("includeInput", dflt = false) && budget.isDefined)
+           spec.str("inputFraction").map(_.toDouble).getOrElse(1.0) else 0.0)
+      def sampled(part: DataFrame, frac: Double, name: String): DataFrame = budget match {
+        case None =>
+          part
+            .where(bucket(col(keyField), salt + name) < math.round(frac * Buckets))
+            .select(cols.map(col) :+ lit(name).as("mix_source"): _*)
+        case Some(b) =>
+          val share = (BigDecimal(b) * frac / weightSum).toLong // floor
+          // deterministic take order: lowercase md5 hex of (key ||
+          // salt || name); bucket = first 2 hex chars, so ordering by
+          // (hash, key) is identical to (bucket, hash, key)
+          val hash = md5(concat(col(keyField).cast("string"),
+            lit(salt + name)).cast("binary"))
+          // helper columns computed BEFORE the projection: `keyField`
+          // and the token source need not survive into `columns`
+          val rows = part
+            .withColumn("__h", hash)
+            .withColumn("__b", substring(col("__h"), 1, 2))
+            .withColumn("__k", col(keyField).cast("string"))
+            .withColumn("__tok", tokCol)
+            .select(cols.map(col) ++ Seq(lit(name).as("mix_source"),
+              col("__h"), col("__b"), col("__k"), col("__tok")): _*)
+          // level 1: 256 bucket totals → exclusive prefix (256-row
+          // window, trivially single-partition) → broadcast back
+          val pre = rows.groupBy("__b").agg(sum("__tok").as("__bt"))
+            .withColumn("__pre", coalesce(sum(col("__bt")).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+                .rowsBetween(Long.MinValue, -1)), lit(0L)))
+            .select("__b", "__pre")
+          // level 2: intra-bucket running sum, PARTITIONED by bucket —
+          // the part's rows never sort through one partition
+          val intra = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__b"))
+            .orderBy(col("__h"), col("__k"))
+            .rowsBetween(Long.MinValue, 0)
+          rows.join(broadcast(pre), "__b")
+            .withColumn("__cum", col("__pre") + sum(col("__tok")).over(intra))
+            .where(col("__cum") <= share)
+            .drop("__h", "__b", "__k", "__tok", "__pre", "__cum")
+      }
       val partFrames = parts.map { case (path, frac, name) =>
         sampled(ctx.spark.read.parquet(path), frac, name)
       }

@@ -502,8 +502,8 @@ object TextStages {
         // null-safe <=> join measured ~1.8x slower here — it blocks the
         // not-null pushdown on both sides. All real ids map to
         // '=' + cast(string) (injective per atomic type), null to a
-        // bare space no real surrogate can equal.
-        val sid = when(col(idF).isNull, lit(" "))
+        // lone NUL (U+0000) no real surrogate can equal.
+        val sid = when(col(idF).isNull, lit("\u0000"))
           .otherwise(concat(lit("="), col(idF).cast("string")))
         val lines = df.select(sid.as("__id"),
           posexplode(split(col(field), java.util.regex.Pattern.quote(delim)))
@@ -759,9 +759,18 @@ object TextStages {
       spec.long("topK").map(_.toInt) match {
         case Some(kk) =>
           require(kk >= 1, s"dsirweight: topK must be >= 1, got $kk")
-          // exact top-K selection: TakeOrdered on (weight desc, id asc)
-          // — the deterministic resampling cut
-          floored.orderBy(col(outF).desc, col(id).asc).limit(kk)
+          // exact top-K selection, ids+weights only: TakeOrdered runs
+          // over the narrow (id, weight) projection — document text
+          // never rides the take's shuffle — then a broadcast semi-join
+          // recovers the K winning rows (ADVICE r14: the previous
+          // direct orderBy.limit carried the full row through the take)
+          val winners = floored
+            .select(col(id).as("__kid"), col(outF).as("__kw"))
+            .orderBy(col("__kw").desc, col("__kid").asc).limit(kk)
+            .select("__kid")
+          floored
+            .join(broadcast(winners), col(id) <=> col("__kid"), "left_semi")
+            .orderBy(col(outF).desc, col(id).asc)
         case None => floored
       }
     }

@@ -268,7 +268,7 @@ object ScaleStress {
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
-      "cdc_chunk", "dsir_weight", "kcore_peel")
+      "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -500,6 +500,29 @@ object ScaleStress {
             {"edge": {"joinFieldName": "dst_id", "lookup": "kcs_ids.vid",
                       "class": "e", "direction": "out"}},
             {"kcore": {"k": 3}}],
+          "loader": {"memory": {}} }""",
+        // local clustering coefficient under a PLANTED CELEBRITY HUB:
+        // n/4 4-cliques (each vertex: 3 clique edges) + one hub adjacent
+        // to every 8th vertex — hub degree n/8 grows linearly, so a
+        // naive wedge enumeration centered at the hub would be
+        // quadratic ((n/8)² pairs); the degree-ordered orientation
+        // (Latapy 2008) keeps the hub strictly a wedge TIP and the leg
+        // must track ∝ edges. The trailing filter references the
+        // triangle/coef outputs (count-elimination trap: a bare count()
+        // would let Catalyst drop the unique-keyed left join entirely)
+        "clustering_coef" -> s"""{
+          "begin": [{"console": {"commands": [
+            "CREATE OR REPLACE TEMPORARY VIEW ccf_ids AS SELECT CAST(doc_id AS STRING) AS vid FROM parquet.`$docs` UNION ALL SELECT 'HUB' AS vid"]}}],
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT CAST(x.doc_id AS STRING) AS src_id, CAST(y.doc_id AS STRING) AS dst_id FROM __input x JOIN __input y ON x.doc_id div 4 = y.doc_id div 4 AND x.doc_id < y.doc_id UNION ALL SELECT CAST(doc_id AS STRING), 'HUB' FROM __input WHERE doc_id % 8 = 0"}},
+            {"vertex": {"class": "cc", "idField": "src_id"}},
+            {"edge": {"joinFieldName": "dst_id", "lookup": "ccf_ids.vid",
+                      "class": "e", "direction": "out"}},
+            {"clusteringcoef": {}},
+            {"code": {"language": "sql", "code":
+              "SELECT id FROM __input WHERE triangles >= 1 AND clustering_coef > 0.5"}}],
           "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},

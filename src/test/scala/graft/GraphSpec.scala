@@ -303,6 +303,43 @@ class GraphSpec extends SparkSpec {
     val e2 = intercept[RuntimeException](g("g.V().out().sack()"))
     assert(e2.getMessage.contains("unsupported step"))
     assert(e2.getMessage.contains("motif"))
+    // local() × path(): legal Gremlin with no faithful translation here
+    // (heterogeneous path values / keyed-scope hops) — must fail LOUD
+    // with named migrations, never silently drop the path (r14 verdict)
+    val e3 = intercept[RuntimeException](
+      g("g.V().local(out().count()).path()"))
+    assert(e3.getMessage.contains("local(<aggregate>) together with path()"))
+    assert(e3.getMessage.contains("motif"))
+    val e4 = intercept[RuntimeException](
+      g("g.V().local(out().limit(1)).path()"))
+    assert(e4.getMessage.contains("local(<chain>.limit(n)) together with path()"))
+    assert(e4.getMessage.contains("repeat(..).emit().path()"))
+  }
+
+  test("gremlin: idLabel catalog persists once across traversals sharing a vertex frame") {
+    // r14 verdict #6: several traversals over one vertex frame must not
+    // re-persist the plan-identical (id, label) catalog — the second
+    // context REUSES the live cache entry and must not own (or release)
+    // it. CacheManager keys by analyzed plan, so storageLevel on a
+    // fresh-but-identical frame observes the shared entry.
+    import org.apache.spark.storage.StorageLevel
+    val verts = Seq(("a", "p"), ("b", "p"), ("c", "q")).toDF("id", "label")
+    val edges = Seq(("a", "b", "knows")).toDF("src", "dst", "label")
+    val probe = verts.select(col("id"), col("label")).distinct()
+    assert(probe.storageLevel == StorageLevel.NONE)
+    def run(ctx: graft.engine.EtlContext): Unit = {
+      ctx.addVertices(verts); ctx.addEdges(edges)
+      graft.stages.Stages.command(
+        ComponentSpec("command", Map("command" -> "g.V().out('knows')")), ctx)(
+        spark.emptyDataFrame).count()
+    }
+    val ctx1 = newCtx(); run(ctx1)
+    assert(probe.storageLevel != StorageLevel.NONE) // ctx1 persisted it
+    val ctx2 = newCtx(); run(ctx2)                  // reuses, never re-persists
+    ctx2.releaseCache()                             // non-owner: no-op on it
+    assert(probe.storageLevel != StorageLevel.NONE)
+    ctx1.releaseCache()                             // owner drops it
+    assert(probe.storageLevel == StorageLevel.NONE)
   }
 
   test("gremlin: paging steps skip/tail carry the order; id/label/constant projections") {

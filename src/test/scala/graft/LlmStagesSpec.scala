@@ -1252,6 +1252,40 @@ class LlmStagesSpec extends SparkSpec {
     assert(hetero.where(col("mix_source") === "wide").count() > 0)
   }
 
+  test("mixture: token budget takes per-part shares in deterministic md5 order") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mixture-tok")
+      .resolve("part_src").toString
+    // doc i carries exactly i%7+1 whitespace tokens
+    (1L to 400L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    def run(budget: Long): Map[String, Seq[(Long, Long)]] =
+      stage("mixture", "keyField" -> "doc_id", "budget" -> budget,
+        "parts" -> Seq(
+          Map("path" -> path, "fraction" -> 3, "name" -> "web"),
+          Map("path" -> path, "fraction" -> 1, "name" -> "code")))(
+        spark.emptyDataFrame)
+        .select(col("doc_id"), col("mix_source"),
+          size(split(col("text"), "\\s+")).cast("long").as("tok"))
+        .collect().map(r => (r.getString(1), (r.getLong(0), r.getLong(2))))
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = run(800) // web share 600, code share 200
+    // each part's taken token mass fills its share without overflowing:
+    // within maxTokens-1 == 6 of the cut (the next doc would overflow)
+    val webTok = out("web").map(_._2).sum
+    val codeTok = out("code").map(_._2).sum
+    assert(webTok <= 600 && webTok > 600 - 7, s"web=$webTok")
+    assert(codeTok <= 200 && codeTok > 200 - 7, s"code=$codeTok")
+    // deterministic prefix property: a smaller budget's take is a
+    // PREFIX of a larger one's (same md5 order, same salt)
+    val small = run(400) // web 300, code 100
+    assert(small("web").map(_._1).toSet.subsetOf(out("web").map(_._1).toSet))
+    assert(small("code").map(_._1).toSet.subsetOf(out("code").map(_._1).toSet))
+    // parts take DIFFERENT documents (independent salted order)
+    assert(out("web").map(_._1).toSet != out("code").map(_._1).toSet)
+    // reproducible
+    assert(run(800) == out)
+  }
+
   test("urlnormalize: case/port/tracking/fragment/param-order canonicalization") {
     val urls = Seq(
       ("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#top",

@@ -657,4 +657,28 @@ class PlanSpec extends SparkSpec {
       s"binned interval join must be an equi-join:\n$plan")
     assert(plan.contains("Join"), s"expected a hash equi-join:\n$plan")
   }
+
+  test("clusteringcoef: shared deg/oriented lineage persists — one symmetrize pass") {
+    // r14 verdict #5: deg is read 3× and oriented 3× (e1, e2, closing
+    // join); without persists the symmetrize+distinct+join lineage
+    // re-runs per reference. The persisted frames surface as
+    // InMemoryTableScan nodes, and the raw edge relation must appear in
+    // the executed plan ONLY under cache-materialization scans.
+    val ctx = newCtx()
+    import spark.implicits._
+    ctx.addEdges((1L to 500L).flatMap(i =>
+      Seq((s"v${i % 50}", s"v${(i * 7) % 50}", "e"))).toDF("src", "dst", "label"))
+    val out = graft.graph.GraphStages.clusteringCoef(
+      graft.spec.ComponentSpec("clusteringcoef", Map.empty), ctx)(
+      spark.emptyDataFrame)
+    val plan = planOf(out)
+    assert(plan.contains("InMemoryTableScan"),
+      s"deg/oriented must read from cache, not recompute:\n$plan")
+    // the final assembly reads deg + oriented (e1/e2/closing) from
+    // cache: at most cache-materialization scans touch the edge rows,
+    // so the executed plan's in-memory scans dominate its join inputs
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"e1, e2 and the closing join must all hit the cache:\n$plan")
+    ctx.releaseCache()
+  }
 }
