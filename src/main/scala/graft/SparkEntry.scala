@@ -1375,6 +1375,33 @@ object SparkEntry {
         .select(col("id"), col("degree"), col("triangles"), col("clustering_coef"))
         .orderBy("id")
     },
+    "graph_scc" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // strongly connected components over a PLANTED directed graph
+      // (fixed key range, identical at every sf): directed 4-cycles on
+      // keys [0,160) in groups of 4 — each complete group is one SCC —
+      // plus ONE-WAY "report" edges from every group minimum to the
+      // global minimum, which must NOT merge components (undirected CC
+      // would collapse the whole graph). Ids zero-padded so
+      // lexicographic == numeric; the oracle is pure key arithmetic
+      // (complete group → scc = group min; partial boundary group is a
+      // path → singletons)
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW scc_ids AS SELECT 'v' || lpad(CAST(c_custkey AS STRING), 6, '0') AS vid FROM customer WHERE c_custkey < 160"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "WITH v AS (SELECT c_custkey AS k FROM __input WHERE c_custkey < 160), mn AS (SELECT min(k) AS mk FROM v GROUP BY k div 4), m0 AS (SELECT min(k) AS k0 FROM v) SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0') AS src_id, 'v' || lpad(CAST(b.k AS STRING), 6, '0') AS dst_id FROM v a JOIN v b ON b.k = (a.k div 4) * 4 + ((a.k % 4) + 1) % 4 UNION ALL SELECT 'v' || lpad(CAST(mn.mk AS STRING), 6, '0'), 'v' || lpad(CAST(m0.k0 AS STRING), 6, '0') FROM mn, m0 WHERE mn.mk <> m0.k0"}},
+          {"vertex": {"class": "sv", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "scc_ids.vid",
+                    "class": "e", "direction": "out"}},
+          {"scc": {}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("scc_id"))
+        .orderBy("id")
+    },
     "graph_bfs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-hop BFS distances from customer c1 over the same
@@ -2262,6 +2289,44 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("event_id", "rolling_n", "rolling_sum_cents")
         .orderBy("event_id")
+    },
+    "funnel_steps" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // ordered conversion funnel: view → click → purchase, later steps
+      // strictly after the previous completion and within 24 h of entry;
+      // per-step filtered min-aggregates + narrow key joins (k−1 bounded
+      // joins, never a per-key sort of the event history)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT user_id, ts, event_type FROM events"}},
+          {"funnel": {"keyField": "user_id", "tsField": "ts",
+            "steps": ["view", "click", "purchase"], "window": 86400}}],
+        "loader": {"memory": {}} }""")
+        .select(col("key"), col("steps_completed"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"))
+        .orderBy("key")
+    },
+    "cohort_retention" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // weekly retention triangle: cohort = week of first event, active
+      // = distinct users with any event in cohort week + k; shuffles
+      // carry (user, date, int) triples only. The event stream is
+      // sparsified (1-in-11) so first events SPREAD across weeks —
+      // otherwise every user cohorts into week one and the triangle
+      // degenerates to a single row per period
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT user_id, ts FROM events WHERE event_id % 11 = 0"}},
+          {"cohortretention": {"keyField": "user_id", "tsField": "ts",
+            "period": "week"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("cohort"), col("period"), col("active"))
+        .orderBy("cohort", "period")
     },
     "resample_agg" -> { (s, dir) =>
       val c = ctx(s, dir)
@@ -4111,6 +4176,22 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
+    "decontaminate_score" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // WIMBD-style overlap FRACTION against the same eval set: distinct
+      // matching 5-gram shingles / distinct doc shingles — a threshold
+      // signal instead of the drop mode's any-overlap verdict
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id >= 20"}},
+          {"decontaminate": {"idField": "doc_id", "field": "text",
+            "shingleSize": 5, "mode": "score",
+            "against": "SELECT text FROM documents WHERE doc_id < 20"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "contamination").orderBy("doc_id")
+    },
   )
 
   // -----------------------------------------------------------------------
@@ -4443,6 +4524,16 @@ object SparkEntry {
        "FROM customer WHERE c_custkey BETWEEN 500 AND 514 " +
        "UNION ALL SELECT 'v' || CAST(c_custkey AS VARCHAR), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) " +
        "FROM customer WHERE c_custkey BETWEEN 1000 AND 1040 ORDER BY id"),
+    "graph_scc" ->
+      // complete (n=4) groups are directed cycles → one SCC keyed by
+      // the group minimum; a partial boundary group (keys may start at
+      // 0 or 1) is a path → every member its own singleton SCC
+      ("WITH v AS (SELECT c_custkey AS k, c_custkey // 4 AS g FROM customer WHERE c_custkey < 160), " +
+       "sz AS (SELECT g, count(*) AS n, min(k) AS mn FROM v GROUP BY 1) " +
+       "SELECT 'v' || lpad(CAST(v.k AS VARCHAR), 6, '0') AS id, " +
+       "CASE WHEN sz.n = 4 THEN 'v' || lpad(CAST(sz.mn AS VARCHAR), 6, '0') " +
+       "ELSE 'v' || lpad(CAST(v.k AS VARCHAR), 6, '0') END AS scc_id " +
+       "FROM v JOIN sz ON v.g = sz.g ORDER BY id"),
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +
        "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +
@@ -4728,6 +4819,28 @@ object SparkEntry {
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
        "RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) " +
        "ORDER BY event_id"),
+    "funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+       "WHERE event_type = 'view' GROUP BY 1), " +
+       "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+       "JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' " +
+       "AND e.ts > s1.t1 AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000 GROUP BY 1), " +
+       "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+       "JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id " +
+       "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 " +
+       "AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000 GROUP BY 1) " +
+       "SELECT s1.user_id AS key, CAST(CASE WHEN t3 IS NOT NULL THEN 3 " +
+       "WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS steps_completed, " +
+       "epoch_us(t1) AS first_us, epoch_us(coalesce(t3, t2, t1)) AS last_us " +
+       "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+       "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY key"),
+    "cohort_retention" ->
+      ("WITH b AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS p FROM events WHERE event_id % 11 = 0), " +
+       "f AS (SELECT user_id, min(p) AS c FROM b GROUP BY 1), " +
+       "a AS (SELECT DISTINCT b.user_id, f.c, " +
+       "date_diff('day', f.c, b.p) // 7 AS period FROM b JOIN f ON b.user_id = f.user_id) " +
+       "SELECT strftime(c, '%Y-%m-%d') AS cohort, CAST(period AS INTEGER) AS period, " +
+       "count(*) AS active FROM a GROUP BY 1, 2 ORDER BY cohort, period"),
     "resample_agg" ->
       ("SELECT event_type, " +
        "CAST(CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) * 21600000000 AS BIGINT) AS bucket_us, " +
@@ -5558,6 +5671,17 @@ object SparkEntry {
       s"(SELECT DISTINCT unnest($sh5) AS s FROM documents WHERE doc_id < 20)) " +
       s"SELECT doc_id, n_chars FROM documents, ev " +
       s"WHERE doc_id >= 20 AND len(list_intersect($sh5, ev.l)) = 0 ORDER BY doc_id"
+    },
+    "decontaminate_score" -> {
+      val sh5 =
+        s"CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')] " +
+        s"ELSE list_distinct(list_transform(generate_series(1, len($toks) - 4), " +
+        s"i -> ${(0 until 5).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})) END"
+      s"WITH ev AS (SELECT list(s) AS l FROM " +
+      s"(SELECT DISTINCT unnest($sh5) AS s FROM documents WHERE doc_id < 20)) " +
+      s"SELECT doc_id, CAST(len(list_intersect($sh5, ev.l)) AS DOUBLE) / " +
+      s"CAST(len($sh5) AS DOUBLE) AS contamination " +
+      s"FROM documents, ev WHERE doc_id >= 20 ORDER BY doc_id"
     },
   )
 }

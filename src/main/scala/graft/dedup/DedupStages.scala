@@ -424,6 +424,29 @@ object DedupStages {
               col(id) === col("__did"), "left")
             .withColumn("contaminated", coalesce(col("__c"), lit(false)))
             .drop("__did", "__c")
+        case "score" =>
+          // WIMBD-style overlap FRACTION instead of a binary verdict:
+          // `contamination` = distinct eval-matching shingles / distinct
+          // doc shingles (0.0 for shingle-less docs) — lets the caller
+          // threshold ("drop > 20% overlap") rather than nuke any doc
+          // sharing one n-gram. Totals come from the UNFILTERED shingle
+          // stream (a bloom prefilter only thins the matching side; its
+          // false positives still die in the exact join), so the ratio
+          // is exact either way. One IEEE division of two exact integer
+          // counts — hash-stable across engines.
+          val tot = docShingles0.groupBy("__did")
+            .agg(countDistinct(col("__ds")).as("__tot"))
+          val hit = docShingles
+            .join(evalShingles, col("__ds") === col("__es"), "left_semi")
+            .groupBy("__did").agg(countDistinct(col("__ds")).as("__hit"))
+          df.join(tot, col(id) === col("__did"), "left").drop("__did")
+            .join(hit.withColumnRenamed("__did", "__did2"),
+              col(id) === col("__did2"), "left").drop("__did2")
+            .withColumn("contamination",
+              when(col("__tot").isNull, lit(0.0)).otherwise(
+                coalesce(col("__hit"), lit(0L)).cast("double") /
+                  col("__tot").cast("double")))
+            .drop("__tot", "__hit")
         case other => sys.error(s"decontaminate: unknown mode $other")
       }
     }

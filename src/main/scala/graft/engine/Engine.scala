@@ -64,6 +64,7 @@ object Engine {
     "bfs"            -> graft.graph.GraphStages.bfs _,
     "shortestpaths"  -> graft.graph.GraphStages.shortestPaths _,
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,
+    "scc"            -> graft.graph.GraphStages.scc _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers
     "dedup"         -> graft.dedup.DedupStages.dedup _,
@@ -153,6 +154,8 @@ object Engine {
     "antijoin"      -> graft.stages.SetOps.antijoin _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
+    "funnel"        -> graft.temporal.TemporalStages.funnel _,
+    "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,
   )
 

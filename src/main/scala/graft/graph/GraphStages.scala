@@ -687,4 +687,93 @@ object GraphStages {
       df.join(nbrs, col(idField).cast("string") === col("__gk"), "left")
         .drop("__gk")
     }
+
+  /** `scc`: strongly connected components of the DIRECTED edge set —
+    * the directed companion to `connectedcomponents` (which
+    * symmetrizes). Forward-backward min-label coloring (Orzan's
+    * coloring algorithm; the Pregel-style SCC of Slota et al. 2014):
+    * each outer round propagates the minimum id along OUT-edges to a
+    * fixed point (F(v) = min id in v's forward closure) and along
+    * IN-edges (B(v) = min of the backward closure); F(v) == B(v) == c
+    * means c is reachable from v in BOTH directions, so v ∈ SCC(c) —
+    * and c, being the minimum of a superset of SCC(c) that contains
+    * it, IS that SCC's smallest member. The coincident vertices emit
+    * with `scc_id = c` (always ≥ 1 per round: the remaining global
+    * minimum's SCC), leave the graph, and the rest repeats.
+    *
+    * Scale shape: every exchange carries (id, label) string pairs
+    * only; each propagation round is one hash join + one min
+    * aggregate (map-side partial) and checkpoints, so the logical
+    * plan never grows with the iteration count. Total rounds ∝
+    * graph diameter × SCC-DAG depth — bounded by LOUD `maxIter`
+    * (default 50) that names itself when a pathological chain
+    * exceeds it. Ids compare as STRINGS (scc_id = lexicographically
+    * smallest member) — zero-pad numeric ids when numeric order
+    * matters.
+    *
+    * Options: `label` (optional edge-label filter), `maxIter`.
+    * Output: (`id`, `scc_id`) for every vertex incident to an edge.
+    * The reference has no SCC (its graph surface is per-record
+    * vertex/edge creation, OEdgeTransformer.java:40-47); this extends
+    * the graph family the same way kcore/clusteringcoef do. */
+  def scc(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("scc: no edges — apply an `edge` stage first"))
+      val maxIter = spec.int("maxIter", 50)
+      val checkpoint = Stages.checkpointerOf(spec, ctx)
+      val edges1 = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      var live = checkpoint(edges1
+        .select(col("src").cast("string").as("s"), col("dst").cast("string").as("d"))
+        .where(col("s") =!= col("d")).distinct())
+      var remaining = checkpoint(live.select(col("s").as("id"))
+        .union(live.select(col("d").as("id"))).distinct())
+      var rounds = 0
+      def bound(): Unit = {
+        rounds += 1
+        require(rounds <= maxIter,
+          s"scc: no fixed point after $maxIter total propagation rounds — " +
+          "raise maxIter (rounds grow with graph diameter and with the " +
+          "depth of the condensation DAG; a long directed chain pays one " +
+          "round per hop)")
+      }
+      /** Min id over the closure following s→d (forward) or d→s
+        * (backward), to a fixed point. */
+      def closureMin(forward: Boolean): DataFrame = {
+        val (from, to) = if (forward) ("s", "d") else ("d", "s")
+        var lbl = remaining.select(col("id"), col("id").as("lbl"))
+        var done = false
+        while (!done) {
+          bound()
+          val cand = live.join(lbl.withColumnRenamed("id", "__n"),
+              col(to) === col("__n"))
+            .select(col(from).as("id"), col("lbl"))
+          val next = checkpoint(lbl.unionByName(cand)
+            .groupBy("id").agg(min("lbl").as("lbl")))
+          val changed = next.join(lbl.withColumnRenamed("lbl", "__old"), "id")
+            .where(col("lbl") < col("__old"))
+          if (changed.limit(1).isEmpty) done = true
+          lbl = next
+        }
+        lbl
+      }
+      var parts = List.empty[DataFrame]
+      var drained = remaining.limit(1).isEmpty
+      while (!drained) {
+        val f = closureMin(forward = true)
+        val b = closureMin(forward = false)
+        val emitted = checkpoint(
+          f.join(b.withColumnRenamed("lbl", "__b"), "id")
+            .where(col("lbl") === col("__b"))
+            .select(col("id"), col("lbl").as("scc_id")))
+        parts ::= emitted
+        remaining = checkpoint(remaining.join(emitted, Seq("id"), "left_anti"))
+        live = checkpoint(live
+          .join(emitted.select(col("id").as("s")), Seq("s"), "left_anti")
+          .join(emitted.select(col("id").as("d")), Seq("d"), "left_anti"))
+        drained = remaining.limit(1).isEmpty
+      }
+      if (parts.isEmpty) remaining.withColumn("scc_id", col("id"))
+      else parts.reduce(_ unionByName _)
+    }
 }

@@ -289,6 +289,105 @@ object TemporalStages {
       df.select(df.columns.map(col).toSeq ++ aggs: _*)
     }
 
+  /** `funnel`: ordered-step conversion funnel over an event stream —
+    * the product-analytics primitive ("view → click → purchase within
+    * 24 h"). Per key, step 1 completes at the EARLIEST matching event;
+    * each later step at the earliest matching event STRICTLY AFTER the
+    * previous step's completion (and, with `window` set, no later than
+    * `window` seconds after step 1 — the classic conversion window
+    * anchored at entry). A key that skips a step stalls there: later
+    * step events never advance it.
+    *
+    * Options: `steps` (ordered list of event-type values, required,
+    * ≥ 2), `keyField` (default user_id), `tsField` (default ts),
+    * `typeField` (default event_type), `window` (seconds, optional).
+    * Output: one row per key that completed step 1 —
+    * (`key`, `steps_completed`, `first_ts`, `last_ts`) where last_ts
+    * is the completion time of the furthest step reached.
+    *
+    * Scale shape: one filtered min-aggregate per step (the type filter
+    * pushes to the scan; partial min combines map-side) + one narrow
+    * hash join per step on the key — k−1 bounded joins over
+    * (key, 3 timestamps) frames, never a per-key sort of the full
+    * event history and never a window over unbounded state. */
+  def funnel(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val typ = spec.strOr("typeField", "event_type")
+      val steps = spec.strList("steps")
+      require(steps.size >= 2, s"funnel: `steps` needs >= 2 entries, got ${steps.size}")
+      val winMicros = spec.str("window").map(s => (s.toDouble * 1e6).toLong)
+      winMicros.foreach(w => require(w > 0, "funnel: window must be positive"))
+      val base = df.select(col(key).as("__k"), epochMicros(df, ts).as("__t"),
+        col(typ).as("__e"))
+      var cur = base.where(col("__e") === steps.head)
+        .groupBy("__k").agg(min("__t").as("__t1"))
+        .select(col("__k"), col("__t1"), col("__t1").as("__tprev"),
+          lit(1).as("__n"))
+      for (i <- 1 until steps.size) {
+        val inWindow = winMicros.fold(lit(true))(w => col("__t") <= col("__t1") + w)
+        val stepMin = base.where(col("__e") === steps(i))
+          .join(cur.select("__k", "__t1", "__tprev"), "__k")
+          .where(col("__t") > col("__tprev") && inWindow)
+          .groupBy("__k").agg(min("__t").as("__ti"))
+        // contiguity guard: only keys sitting exactly at step i advance —
+        // a key stalled earlier must ignore later-step events
+        val advanced = col("__ti").isNotNull && col("__n") === lit(i)
+        cur = cur.join(stepMin, Seq("__k"), "left")
+          .withColumn("__tprev", when(advanced, col("__ti")).otherwise(col("__tprev")))
+          .withColumn("__n", when(advanced, lit(i + 1)).otherwise(col("__n")))
+          .drop("__ti")
+      }
+      cur.select(col("__k").as("key"), col("__n").as("steps_completed"),
+        timestamp_micros(col("__t1")).as("first_ts"),
+        timestamp_micros(col("__tprev")).as("last_ts"))
+    }
+
+  /** `cohortretention`: cohort × period activity matrix — the
+    * retention triangle ("of the users whose first event fell in week
+    * W, how many were active in week W+k"). Cohort = the `period`
+    * truncation of the key's FIRST event; a key is active in period k
+    * when any of its events falls in cohort + k periods.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `period` ∈ week (default) | day, `maxPeriods` (optional cap on
+    * the emitted period index). Output: (`cohort` yyyy-MM-dd string,
+    * `period` int, `active` count of distinct keys).
+    *
+    * Scale shape: one min-aggregate for first events (map-side
+    * partial), one key join to attach cohorts, one distinct over
+    * (key, cohort, period) — all shuffles carry (key, date, int)
+    * triples, never event payloads; the final per-(cohort, period)
+    * count is a trivially small aggregate. */
+  def cohortRetention(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val period = spec.strOr("period", "week")
+      require(Set("week", "day")(period),
+        s"cohortretention: period must be week|day, got '$period'")
+      val days = if (period == "week") 7 else 1
+      // event times arrive as native timestamps or epoch seconds (the
+      // fixture drift rule) — truncate in timestamp space
+      val tsCol = df.schema(ts).dataType match {
+        case TimestampType | TimestampNTZType => col(ts)
+        case _ => timestamp_micros(epochMicros(df, ts))
+      }
+      val base = df.select(col(key).as("__k"),
+        to_date(date_trunc(period, tsCol)).as("__p"))
+      val first = base.groupBy("__k").agg(min("__p").as("__c"))
+      val act = base.join(first, "__k")
+        .select(col("__k"), col("__c"),
+          (datediff(col("__p"), col("__c")) / days).cast("int").as("period"))
+        .distinct()
+      val capped = spec.long("maxPeriods").fold(act)(m =>
+        act.where(col("period") <= m))
+      capped.groupBy(date_format(col("__c"), "yyyy-MM-dd").as("cohort"),
+          col("period"))
+        .agg(count(lit(1)).as("active"))
+    }
+
   /** `resample`: align events to a fixed time grid — the pandas
     * `resample` / time-series `GROUP BY time()` primitive. Buckets every
     * row into `every`-second windows (bucket = floor(epochMicros /

@@ -992,6 +992,40 @@ class GraphSpec extends SparkSpec {
       "z" -> None)) // no edges → null neighbors, row passes through
   }
 
+  test("scc: directed cycles are components; one-way edges never merge") {
+    def scc(edges: Seq[(String, String)],
+            opts: Map[String, Any] = Map.empty): Map[String, String] = {
+      val ctx = newCtx()
+      ctx.addEdges(edges.toDF("src", "dst").withColumn("label", lit("e")))
+      graft.graph.GraphStages.scc(
+        ComponentSpec("scc", opts), ctx)(spark.emptyDataFrame)
+        .as[(String, String)].collect().toMap
+    }
+    // two 3-cycles bridged by ONE one-way edge: separate SCCs (the
+    // undirected connectedcomponents stage would merge them)
+    val two = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"))
+    assert(scc(two) == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+    // a pure DAG: every vertex its own singleton
+    val dag = Seq(("d1", "d2"), ("d2", "d3"), ("d1", "d3"))
+    assert(scc(dag) == Map("d1" -> "d1", "d2" -> "d2", "d3" -> "d3"))
+    // back-edge closes the chain into ONE component; a dangling tail
+    // off the cycle stays out of it
+    val cyc = Seq(("m1", "m2"), ("m2", "m3"), ("m3", "m1"), ("m3", "t"))
+    assert(scc(cyc) == Map("m1" -> "m1", "m2" -> "m1", "m3" -> "m1", "t" -> "t"))
+    // nested: outer DAG over three SCCs of mixed sizes, scc_id is the
+    // lexicographic minimum member (2-cycle, singleton, 2-cycle)
+    val mixed = Seq(("p", "q"), ("q", "p"), ("p", "r"), ("r", "s"),
+      ("s", "u"), ("u", "s"))
+    assert(scc(mixed) == Map("p" -> "p", "q" -> "p", "r" -> "r",
+      "s" -> "s", "u" -> "s"))
+    // bounded rounds fail LOUD on a long chain with a tiny budget
+    val long = (1 to 30).map(i => (f"w$i%02d", f"w${i + 1}%02d"))
+    val e = intercept[Exception](scc(long, Map("maxIter" -> 3)))
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("kcore: iterative peel — cascades, cycles survive, path has no 2-core") {
     def core(k: Int, edges: Seq[(String, String)],
              opts: Map[String, Any] = Map.empty) = {

@@ -677,6 +677,17 @@ class LlmStagesSpec extends SparkSpec {
       "against" -> "WITH e AS (SELECT text FROM decon_eval) SELECT text FROM e")(df)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(withCte == Seq(2L, 4L))
+    // score mode: exact distinct-shingle overlap fractions. doc 1 has
+    // 16 distinct 5-gram shingles over w1..w20; those inside eval's
+    // w10..w25 window are the ones starting at w10..w16 → 7/16. doc 3
+    // (w15..w35, 17 shingles) matches starts w15..w21 ∩ eval starts
+    // ≤ w21 → shingles w15..w21 fully inside w10..w25 means start ≥ 15
+    // and start+4 ≤ 25 → starts 15..21 = 7 → 7/17. disjoint docs 0.0.
+    val scored = stage("decontaminate", "shingleSize" -> 5, "mode" -> "score",
+      "against" -> "SELECT text FROM decon_eval")(df)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(scored == Map(1L -> 7.0 / 16.0, 2L -> 0.0,
+      3L -> 7.0 / 17.0, 4L -> 0.0))
   }
 
   test("datasplit: deterministic, key-stable, fractions approximately honored") {

@@ -446,4 +446,74 @@ class TemporalSpec extends SparkSpec {
       ComponentSpec("resample", Map("keyField" -> "k")), ctx)(df))
     assert(noEvery.getMessage.contains("every"))
   }
+
+  test("funnel: strict ordering, stall contiguity, conversion window") {
+    val ctx = newCtx()
+    // numeric (epoch-second) times keep every expectation enumerable
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, 10.0, "a"), (1L, 20.0, "b"), (1L, 30.0, "c"),
+      // u2: step-3 event BEFORE step 2 — must not count (strictly after)
+      (2L, 10.0, "a"), (2L, 15.0, "c"), (2L, 20.0, "b"),
+      // u3: skips step 2 entirely — a later 'c' never advances past 1
+      (3L, 10.0, "a"), (3L, 40.0, "c"),
+      // u4: same-instant step 2 (ts == t1) is NOT strictly after
+      (4L, 10.0, "a"), (4L, 10.0, "b"),
+      // u5: never enters the funnel
+      (5L, 10.0, "b"), (5L, 20.0, "c"))
+      .toDF("u", "t", "e")
+    def run(opts: (String, Any)*): Map[Long, (Int, Long, Long)] =
+      TemporalStages.funnel(ComponentSpec("funnel",
+        Map("keyField" -> "u", "tsField" -> "t", "typeField" -> "e",
+          "steps" -> Seq("a", "b", "c")) ++ opts.toMap), ctx)(ev)
+        .select(col("key"), col("steps_completed"),
+          unix_micros(col("first_ts")), unix_micros(col("last_ts")))
+        .as[(Long, Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val out = run()
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // u5 never enters
+    assert(out(1L) == ((3, 10000000L, 30000000L)))
+    assert(out(2L) == ((2, 10000000L, 20000000L))) // early 'c' ignored
+    assert(out(3L) == ((1, 10000000L, 10000000L))) // skipped step stalls
+    assert(out(4L) == ((1, 10000000L, 10000000L))) // same instant ≠ after
+    // window anchored at step 1: u1's step 3 at t1+20 falls outside a
+    // 15-second window, step 2 at t1+10 stays inside
+    val win = run("window" -> 15)
+    assert(win(1L) == ((2, 10000000L, 20000000L)))
+    // fewer than 2 steps rejected
+    val err = intercept[Exception](TemporalStages.funnel(ComponentSpec(
+      "funnel", Map("steps" -> Seq("a"))), ctx)(ev))
+    assert(err.getMessage.contains("steps"))
+  }
+
+  test("cohortretention: cohort = first-event period; distinct keys per period") {
+    val ctx = newCtx()
+    val ev = Seq(
+      // u1 first in week of 2024-01-01 (Mon), active weeks 0, 1, 1 (dup)
+      (1L, "2024-01-02 10:00:00", ""), (1L, "2024-01-08 10:00:00", ""),
+      (1L, "2024-01-09 10:00:00", ""),
+      // u2 same cohort, active week 0 only
+      (2L, "2024-01-03 00:00:00", ""),
+      // u3 cohorts one week later, active weeks 0 and 2
+      (3L, "2024-01-10 00:00:00", ""), (3L, "2024-01-22 12:00:00", ""))
+      .toDF("u", "tss", "pad")
+      .select(col("u"), to_timestamp(col("tss")).as("ts"))
+    val out = TemporalStages.cohortRetention(ComponentSpec("cohortretention",
+      Map("keyField" -> "u", "tsField" -> "ts")), ctx)(ev)
+      .select("cohort", "period", "active")
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
+    // maxPeriods caps the triangle; day period uses day units
+    val capped = TemporalStages.cohortRetention(ComponentSpec("cohortretention",
+      Map("keyField" -> "u", "tsField" -> "ts", "maxPeriods" -> 0)), ctx)(ev)
+      .select("period").as[Int].collect().toSet
+    assert(capped == Set(0))
+    val daily = TemporalStages.cohortRetention(ComponentSpec("cohortretention",
+      Map("keyField" -> "u", "tsField" -> "ts", "period" -> "day")), ctx)(ev)
+      .where(col("cohort") === "2024-01-10")
+      .select("period").as[Int].collect().toSet
+    assert(daily == Set(0, 12)) // jan 10 → jan 22 = 12 days
+  }
 }
