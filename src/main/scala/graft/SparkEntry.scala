@@ -4192,6 +4192,35 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "contamination").orderBy("doc_id")
     },
+    "readability_score" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // Flesch reading ease with deterministic heuristics (whitespace
+      // words, [.!?]+ sentences, vowel-group syllables) — the score is
+      // the identical IEEE op tree in both engines, hash-exact
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"readability": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score")
+        .orderBy("doc_id")
+    },
+    "retrieval_eval" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // ranking metrics over an arithmetic-planted candidate set (10
+      // queries, synthetic scores with ties broken by doc id, every
+      // 7th doc relevant): hits@5 / precision@5 / MRR per query
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id % 10 AS query_id, doc_id, CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS score, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label FROM __input"}},
+          {"retrievaleval": {"k": 5}}],
+        "loader": {"memory": {}} }""")
+        .select("query_id", "hits_at_k", "precision_at_k", "mrr")
+        .orderBy("query_id")
+    },
   )
 
   // -----------------------------------------------------------------------
@@ -5683,5 +5712,32 @@ object SparkEntry {
       s"CAST(len($sh5) AS DOUBLE) AS contamination " +
       s"FROM documents, ev WHERE doc_id >= 20 ORDER BY doc_id"
     },
+    "readability_score" ->
+      (s"WITH c AS (SELECT doc_id, $toks AS w, " +
+       raw"len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> len(trim(x)) > 0)) AS rawsent, " +
+       "trim(text) = '' AS blank FROM documents) " +
+       "SELECT doc_id, " +
+       "CAST(CASE WHEN blank THEN 0 ELSE len(w) END AS BIGINT) AS n_words, " +
+       "CAST(greatest(1, rawsent) AS BIGINT) AS n_sentences, " +
+       "CAST(CASE WHEN blank THEN 0 ELSE list_sum(list_transform(w, " +
+       "x -> greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))))) END AS BIGINT) AS n_syllables, " +
+       "CASE WHEN blank THEN NULL ELSE " +
+       "CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * " +
+       "(CAST(CASE WHEN blank THEN 0 ELSE len(w) END AS DOUBLE) / CAST(greatest(1, rawsent) AS DOUBLE)) - " +
+       "CAST(84.6 AS DOUBLE) * " +
+       "(CAST(CASE WHEN blank THEN 0 ELSE list_sum(list_transform(w, " +
+       "x -> greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))))) END AS DOUBLE) / " +
+       "CAST(CASE WHEN blank THEN 0 ELSE len(w) END AS DOUBLE)) END AS flesch_score " +
+       "FROM c ORDER BY doc_id"),
+    "retrieval_eval" ->
+      ("WITH c AS (SELECT doc_id % 10 AS q, doc_id AS d, " +
+       "CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS s, " +
+       "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS l FROM documents), " +
+       "r AS (SELECT q, l, row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rk FROM c) " +
+       "SELECT q AS query_id, " +
+       "CAST(max(CASE WHEN rk <= 5 AND l > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k, " +
+       "CAST(sum(CASE WHEN rk <= 5 AND l > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS precision_at_k, " +
+       "CAST(coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN l > 0 THEN rk END), 0.0) AS DOUBLE) AS mrr " +
+       "FROM r GROUP BY q ORDER BY query_id"),
   )
 }

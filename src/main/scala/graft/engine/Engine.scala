@@ -111,6 +111,7 @@ object Engine {
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
     "dsirweight"    -> graft.text.TextStages.dsirWeight _,
+    "readability"   -> graft.text.TextStages.readability _,
     "bm25"          -> graft.text.TextStages.bm25 _,
     "corpusstats"   -> graft.text.TextStages.corpusstats _,
     "distinctcount" -> graft.text.TextStages.distinctCount _,
@@ -130,6 +131,7 @@ object Engine {
     "cosinedup"     -> graft.similarity.SimilarityStages.cosineDup _,
     "kmeans"        -> graft.similarity.SimilarityStages.kmeans _,
     "quantize"      -> graft.similarity.SimilarityStages.quantize _,
+    "retrievaleval" -> graft.similarity.SimilarityStages.retrievalEval _,
     "randproject"   -> graft.similarity.SimilarityStages.randproject _,
     "tablediff"     -> graft.stages.DiffStage.tablediff _,
     "semanticdedup" -> graft.similarity.SimilarityStages.semanticDedup _,

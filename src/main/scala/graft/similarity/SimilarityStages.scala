@@ -917,4 +917,51 @@ object SimilarityStages {
           sys.error(s"quantize: unknown mode '$other' (quantize|dequantize)")
       }
     }
+
+  /** `retrievaleval`: ranking-quality metrics over scored (query,
+    * candidate) rows — the evaluation companion to the similarity /
+    * BM25 stages (RecallProbe's job, productized). Candidates rank per
+    * query by (`scoreField` desc, `docField` asc — the deterministic
+    * tie-break every ranking stage here uses); a candidate is relevant
+    * when `labelField` > 0. Per query:
+    *  - `hits_at_k`   — 1 when any relevant candidate ranks ≤ k;
+    *  - `precision_at_k` — relevant-in-top-k / k (ONE IEEE division of
+    *    two exact integers — hash-stable);
+    *  - `mrr` — 1 / rank of the first relevant candidate (one exact
+    *    division; 0.0 when none).
+    * nDCG is deliberately absent: its log2 discount takes different
+    * final-ulp paths across engines' libm, so it cannot be
+    * oracle-verified hash-exactly — MRR and precision carry the same
+    * ordering signal deterministically.
+    *
+    * Scale shape: ONE row_number window PARTITIONED by query (parallel
+    * across queries; per-query candidate lists are already bounded by
+    * the upstream retrieval's k') + one hash aggregate over (query,
+    * rank, label) triples — candidate payloads never ride the shuffle.
+    * Options: `queryField` (default query_id), `docField` (doc_id),
+    * `scoreField` (score), `labelField` (label), `k` (default 10). */
+  def retrievalEval(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val q = spec.strOr("queryField", "query_id")
+      val d = spec.strOr("docField", "doc_id")
+      val s = spec.strOr("scoreField", "score")
+      val l = spec.strOr("labelField", "label")
+      val k = spec.int("k", 10)
+      require(k >= 1, s"retrievaleval: k must be >= 1, got $k")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__q")).orderBy(col("__s").desc, col("__d").asc)
+      val ranked = df
+        .select(col(q).as("__q"), col(d).as("__d"),
+          col(s).as("__s"), (col(l) > 0).as("__rel"))
+        .withColumn("__rk", row_number().over(w))
+        .select(col("__q"), col("__rk"), col("__rel"))
+      ranked.groupBy(col("__q").as(q))
+        .agg(
+          max(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
+            .as("hits_at_k"),
+          (sum(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
+            .cast("double") / lit(k.toDouble)).as("precision_at_k"),
+          coalesce(lit(1.0) / min(when(col("__rel"), col("__rk"))), lit(0.0))
+            .as("mrr"))
+    }
 }

@@ -53,6 +53,47 @@ object TextStages {
         d.columns.filter(_.startsWith("ts_"))).map(col).toIndexedSeq: _*)
     }
 
+  /** `readability`: Flesch reading-ease scoring with fully deterministic
+    * count heuristics — the classic text-difficulty signal for corpus
+    * curation (dumbed-down SEO spam and OCR garbage both score at the
+    * extremes). Words = whitespace tokens; sentences = non-blank
+    * segments between `[.!?]+` runs (floored at 1 when the doc has
+    * words); syllables(word) = vowel-group count `[aeiouy]+` in the
+    * lowercased word, floored at 1 (the standard heuristic — exact
+    * syllabification needs a dictionary; this one is engine-portable).
+    * `flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words)`, null for word-less docs — the arithmetic is the SAME
+    * IEEE op tree both engines evaluate, so results hash-match
+    * bit-exactly. Pure per-row projection (codegen'd HOFs), fuses into
+    * the scan — zero shuffle at any scale.
+    * Options: `field` (default text), `outputPrefix` (default none).
+    * Output: input + `n_words`, `n_sentences`, `n_syllables`,
+    * `flesch_score`. */
+  def readability(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = col(spec.strOr("field", "text"))
+      val p = spec.strOr("outputPrefix", "")
+      val toks = tokens(f)
+      val nWords = when(trim(f) === "", lit(0L))
+        .otherwise(size(toks).cast("long"))
+      val nSent = greatest(lit(1L),
+        size(filter(split(f, "[.!?]+"), s => length(trim(s)) > 0)).cast("long"))
+      val nSyl = when(trim(f) === "", lit(0L)).otherwise(
+        aggregate(toks, lit(0L), (acc, w) => acc +
+          greatest(lit(1L),
+            size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))).cast("long"))))
+      df.withColumn(s"${p}n_words", nWords)
+        .withColumn(s"${p}n_sentences", nSent)
+        .withColumn(s"${p}n_syllables", nSyl)
+        .withColumn(s"${p}flesch_score",
+          when(col(s"${p}n_words") === 0, lit(null).cast("double")).otherwise(
+            lit(206.835) -
+              lit(1.015) * (col(s"${p}n_words").cast("double") /
+                col(s"${p}n_sentences").cast("double")) -
+              lit(84.6) * (col(s"${p}n_syllables").cast("double") /
+                col(s"${p}n_words").cast("double"))))
+    }
+
   /** `qualityfilter`: threshold-based document filtering — the standard
     * pretraining-corpus cleaning pass. Keeps rows satisfying ALL
     * configured bounds; each bound is optional. Options: `field`,

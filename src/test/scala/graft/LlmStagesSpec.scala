@@ -690,6 +690,54 @@ class LlmStagesSpec extends SparkSpec {
       3L -> 7.0 / 17.0, 4L -> 0.0))
   }
 
+  test("readability: deterministic word/sentence/syllable counts and Flesch score") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),        // 6 words, 2 sentences
+      (2L, "Incomprehensibilities everywhere"), // in-com-pre-hen-si-bi-li-ties = 8 groups
+      (3L, ""),                                  // blank: zero counts, null score
+      (4L, "xyz 123"))                           // vowel-less words floor at 1 syllable
+      .toDF("doc_id", "text")
+    val out = stage("readability")(df)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1 syllables: the(1) cat(1) sat.(1) the(1) dog(1) ran!(1) = 6
+    assert(out(1L) == ((6L, 2L, 6L,
+      Some(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)))))
+    // doc 2: 2 words, 1 sentence (no terminator still floors at 1).
+    // Vowel groups: incomprehensibilities → i,o,e,e,i,i,i,ie = 8
+    // (trailing i+e merge into one group); everywhere → e,e,y,e,e = 5
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1L && out(2L)._3 == 8L + 5L)
+    assert(out(3L) == ((0L, 1L, 0L, None)))
+    assert(out(4L) == ((2L, 1L, 2L,
+      Some(206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (2.0 / 2.0)))))
+  }
+
+  test("retrievaleval: hits@k, precision@k and MRR with deterministic tie-break") {
+    // q1: relevant docs at ranks 2 and 4 (scores desc, ties by doc asc);
+    // q2: no relevant candidate; q3: relevant exactly at rank 1
+    val df = Seq(
+      ("q1", "d1", 9.0, 0), ("q1", "d2", 8.0, 1), ("q1", "d3", 8.0, 0),
+      ("q1", "d4", 7.0, 1), ("q1", "d5", 6.0, 0),
+      ("q2", "d1", 5.0, 0), ("q2", "d2", 4.0, 0),
+      ("q3", "d9", 1.0, 1))
+      .toDF("query_id", "doc_id", "score", "label")
+    val out = stage("retrievaleval", "k" -> 3)(df)
+      .select("query_id", "hits_at_k", "precision_at_k", "mrr")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("q1") == ((1L, 1.0 / 3.0, 1.0 / 2.0))) // d2 ties d3, doc asc wins
+    assert(out("q2") == ((0L, 0.0, 0.0)))
+    assert(out("q3") == ((1L, 1.0 / 3.0, 1.0)))
+    // rank-4 relevance is outside k=3 for q1's precision but MRR uses
+    // the GLOBAL first relevant rank (2 here) regardless of k
+    val k1 = stage("retrievaleval", "k" -> 1)(df)
+      .where(col("query_id") === "q1")
+      .select("hits_at_k", "precision_at_k", "mrr")
+      .as[(Long, Double, Double)].head()
+    assert(k1 == ((0L, 0.0, 1.0 / 2.0)))
+  }
+
   test("datasplit: deterministic, key-stable, fractions approximately honored") {
     val df = (0L until 2000L).toDF("doc_id")
     val opts = Seq("keyField" -> "doc_id", "salt" -> "s1",
