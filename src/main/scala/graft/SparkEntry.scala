@@ -4221,6 +4221,52 @@ object SparkEntry {
         .select("query_id", "hits_at_k", "precision_at_k", "mrr")
         .orderBy("query_id")
     },
+    "event_deltas" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-user inter-event gaps + integer-cents spend deltas: ONE
+      // keyed window (event_id breaks timestamp ties for a total order)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"delta": {"keyField": "user_id", "tsField": "ts",
+            "tieField": "event_id", "valueFields": ["cents"]}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "dt_us", "cents_delta").orderBy("event_id")
+    },
+    "skew_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // salted hot-key equi-join: orders × customer on (key, salt) with
+      // the dimension replicated 8×; the result must be EXACTLY the
+      // plain join's rows
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_custkey FROM input"}},
+          {"skewjoin": {"right":
+            "SELECT c_custkey AS o_custkey, c_name, c_nationkey FROM customer",
+            "on": "o_custkey", "saltBuckets": 8}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
+        .orderBy("o_orderkey")
+    },
+    "mm_audio_levels" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // PCM SAMPLE statistics from the real WAV bytes: peak amplitude,
+      // RMS energy, zero ratio — the oracle recomputes the fixture's
+      // per-sample arithmetic ((id·31 + i·7) mod 8192) independently
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/audio_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_audio_stats": {"idField": "media_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "n_values", "peak_abs", "rms", "zero_ratio")
+        .orderBy("media_id")
+    },
   )
 
   // -----------------------------------------------------------------------
@@ -5739,5 +5785,24 @@ object SparkEntry {
        "CAST(sum(CASE WHEN rk <= 5 AND l > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS precision_at_k, " +
        "CAST(coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN l > 0 THEN rk END), 0.0) AS DOUBLE) AS mrr " +
        "FROM r GROUP BY q ORDER BY query_id"),
+    "event_deltas" ->
+      ("SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us, " +
+       "cents - lag(cents) OVER w AS cents_delta " +
+       "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+       "ORDER BY event_id"),
+    "skew_join" ->
+      ("SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey " +
+       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "ORDER BY o_orderkey"),
+    "mm_audio_levels" ->
+      ("WITH d AS (SELECT doc_id, (500 + doc_id * 13 % 1000) * (1 + doc_id % 2) AS nv FROM documents), " +
+       "s AS (SELECT doc_id, nv, unnest(range(0, CAST(nv AS BIGINT))) AS i FROM d), " +
+       "v AS (SELECT doc_id, nv, (doc_id * 31 + i * 7) % 8192 AS val FROM s) " +
+       "SELECT doc_id AS media_id, CAST(max(nv) AS BIGINT) AS n_values, " +
+       "CAST(max(val) AS BIGINT) AS peak_abs, " +
+       "sqrt(CAST(sum(val * val) AS DOUBLE) / CAST(max(nv) AS DOUBLE)) AS rms, " +
+       "CAST(sum(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(max(nv) AS DOUBLE) AS zero_ratio " +
+       "FROM v GROUP BY doc_id ORDER BY media_id"),
   )
 }

@@ -53,6 +53,7 @@ object Engine {
     "link"    -> LookupStages.link _,
     "edge"    -> LookupStages.edge _,
     "etl"     -> LookupStages.etl _,
+    "skewjoin" -> LookupStages.skewjoin _,
     "block"   -> blockTransformer _,
     "graphdegree"    -> graft.graph.GraphStages.graphDegree _,
     "graphneighbors" -> graft.graph.GraphStages.graphNeighbors _,
@@ -140,6 +141,7 @@ object Engine {
     "mm_resize"     -> graft.multimodal.MultimodalStages.resize _,
     "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
+    "mm_audio_stats" -> graft.multimodal.MultimodalStages.audioStats _,
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
     "mm_phash"      -> graft.multimodal.MultimodalStages.phash _,
     "mm_meta"       -> graft.multimodal.MultimodalStages.textMeta _,
@@ -156,6 +158,7 @@ object Engine {
     "antijoin"      -> graft.stages.SetOps.antijoin _,
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
+    "delta"         -> graft.temporal.TemporalStages.delta _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

@@ -40,6 +40,52 @@ object AudioCodec {
     } finally in.close()
   }
 
+  /** Per-sample PCM statistics for a decoded payload. */
+  final case class AudioStats(media_id: Long, n_values: Long, peak_abs: Long,
+                              rms: Double, zero_ratio: Double)
+
+  /** Decode the PCM SAMPLES (not just the header) of a 16-bit WAV/AIFF
+    * payload and aggregate: `n_values` (samples × channels), `peak_abs`
+    * (max |value|), `rms` = sqrt(Σv²/n), `zero_ratio` = zeros/n. The
+    * accumulation is pure 64-bit integer (Σv² of 16-bit samples
+    * overflows a long only past 2^33 values — far beyond a row-sized
+    * payload); the two closing ops (one division, one sqrt) are both
+    * IEEE-correctly-rounded, so results hash-match across engines. */
+  def stats(id: Long, payload: Array[Byte]): AudioStats = {
+    if (payload == null || payload.isEmpty)
+      sys.error(s"mm_audio_stats: media_id=$id: empty payload")
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          sys.error(s"mm_audio_stats: media_id=$id: not a parsable audio " +
+            s"payload (JDK-supported: WAV/AIFF/AU PCM): ${e.getMessage}")
+      }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
+        sys.error(s"mm_audio_stats: media_id=$id: needs 16-bit signed " +
+          s"PCM, got ${fmt.getSampleSizeInBits}-bit ${fmt.getEncoding}")
+      val bytes = in.readAllBytes()
+      val big = fmt.isBigEndian
+      var i = 0; var n = 0L; var peak = 0L; var sumSq = 0L; var zeros = 0L
+      while (i + 1 < bytes.length) {
+        val v: Int =
+          if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort.toInt
+          else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort.toInt
+        val a = math.abs(v.toLong)
+        if (a > peak) peak = a
+        sumSq += v.toLong * v
+        if (v == 0) zeros += 1
+        n += 1; i += 2
+      }
+      AudioStats(id, n, peak,
+        if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n),
+        if (n == 0) 0.0 else zeros.toDouble / n)
+    } finally in.close()
+  }
+
   // ------------------------------------------------ compressed formats
   // Pure-byte frame-header walks, the same pattern as [[VideoCodec]]'s
   // MP4 box parse: the payload's own framing carries sample rate,

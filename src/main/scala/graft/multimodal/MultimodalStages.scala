@@ -153,6 +153,34 @@ object MultimodalStages {
         }(metaEnc).toDF()
     }
 
+  /** `mm_audio_stats`: partition-parallel PCM SAMPLE statistics — peak
+    * amplitude, RMS energy and zero (silence) ratio straight from the
+    * 16-bit samples, the loudness/silence screen a speech-corpus
+    * pipeline runs before transcription. Same decode seam as
+    * [[audio]]; integer accumulation, two correctly-rounded closing
+    * ops (see [[AudioCodec.stats]]), zero exchanges. Options:
+    * `idField` (default doc_id), `payloadField` (default payload),
+    * `onUndecodable` error|skip. */
+  def audioStats(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val skip = spec.strOr("onUndecodable", "error") match {
+        case "skip" => true
+        case "error" => false
+        case other => sys.error(s"mm_audio_stats: unknown onUndecodable '$other' (error|skip)")
+      }
+      val statsEnc = Encoders.product[AudioCodec.AudioStats]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          if (skip) iter.flatMap { case (i, bytes) =>
+            try Some(AudioCodec.stats(i, bytes))
+            catch { case scala.util.control.NonFatal(_) => None } }
+          else iter.map { case (i, bytes) => AudioCodec.stats(i, bytes) }
+        }(statsEnc).toDF()
+    }
+
   /** `mm_video`: partition-parallel MP4 container metadata decode —
     * REAL pure-byte ISO BMFF box parsing (see [[VideoCodec]]): the
     * video track's `tkhd` width/height, `mvhd` timescale/duration, and

@@ -497,4 +497,52 @@ object LookupStages {
             struct(col(keyFieldName), col(valueFieldName))))).as(fieldName))
       case other => sys.error(s"etl: unsupported fieldType $other")
     }
+
+  /** `skewjoin`: salted equi-join for HOT keys — the standard cure when
+    * one join key carries a disproportionate share of the rows and a
+    * plain shuffle join funnels them through one reducer. The LEFT
+    * (big, skewed) side gets a deterministic per-row salt in
+    * [0, saltBuckets) — `xxhash64` over the whole row, so identical
+    * rows co-salt but a hot KEY spreads across all buckets; the RIGHT
+    * side replicates once per bucket (explode of a literal sequence —
+    * acceptable because the right side is the dimension-sized one);
+    * the join runs on (key, salt), splitting each hot key into
+    * saltBuckets independent reducers. Result rows are EXACTLY the
+    * plain join's (the salt always matches one replica). AQE's skew
+    * handling covers sort-merge splits at runtime; this stage is the
+    * config-level guarantee for when a pipeline author knows the skew
+    * up front (e.g. joining a crawl against a domain dimension where
+    * one domain is half the corpus).
+    * Options: `right` (table or SELECT, required), `on` (join key,
+    * required — must exist on both sides), `saltBuckets` (default 16),
+    * `joinType` inner (default) | left, `rightPrefix` (optional,
+    * prefixes every attached right column). */
+  def skewjoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val right0 = ctx.tableOrSql(spec.str("right").getOrElse(
+        sys.error("skewjoin: `right` (table or SELECT) required")))
+      val on = spec.str("on").getOrElse(sys.error("skewjoin: `on` key required"))
+      val n = spec.int("saltBuckets", 16)
+      require(n >= 2, s"skewjoin: saltBuckets must be >= 2, got $n")
+      val joinType = spec.strOr("joinType", "inner") match {
+        case t @ ("inner" | "left") => t
+        case other => sys.error(s"skewjoin: joinType must be inner|left, got '$other'")
+      }
+      val prefix = spec.strOr("rightPrefix", "")
+      val rightCols = right0.columns.filterNot(_ == on)
+      rightCols.map(prefix + _).foreach { c =>
+        if (df.columns.contains(c)) sys.error(
+          s"skewjoin: right column '$c' collides with a left column — " +
+          "set `rightPrefix` or alias it in the `right` SELECT")
+      }
+      val right = right0.select(col(on).as("__sjk") +:
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+        .withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
+      val left = df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(n)))
+      left.join(right,
+          left(on) === col("__sjk") && left("__salt") === right("__salt"),
+          joinType)
+        .drop(right("__salt")).drop("__salt", "__sjk")
+    }
 }

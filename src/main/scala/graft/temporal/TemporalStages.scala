@@ -289,6 +289,30 @@ object TemporalStages {
       df.select(df.columns.map(col).toSeq ++ aggs: _*)
     }
 
+  /** `delta`: per-key ordered lag deltas — the telemetry primitive
+    * ("time since this user's previous event", "counter increment per
+    * reading"). Rows order per key by (`tsField`, optional `tieField`
+    * for a total order under equal timestamps); the stage emits
+    * `dt_us` (micros since the key's previous row; null on each key's
+    * first row) and, per `valueFields` entry f, `<f>_delta` =
+    * f − lag(f). ONE window spec serves every output — one keyed
+    * exchange + one per-partition sort at any scale.
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (optional), `valueFields` (optional list of numeric
+    * columns). */
+  def delta(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val tsUs = epochMicros(df, ts)
+      val ord = tsUs.asc +: spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      val base = df.withColumn("dt_us", tsUs - lag(tsUs, 1).over(w))
+      spec.strList("valueFields").foldLeft(base) { (d, f) =>
+        d.withColumn(s"${f}_delta", col(f) - lag(col(f), 1).over(w))
+      }
+    }
+
   /** `funnel`: ordered-step conversion funnel over an event stream —
     * the product-analytics primitive ("view → click → purchase within
     * 24 h"). Per key, step 1 completes at the EARLIEST matching event;

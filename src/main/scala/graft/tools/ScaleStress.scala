@@ -268,7 +268,8 @@ object ScaleStress {
       "hamming_pairs", "semantic_dedup", "ivfpq_topk", "minhash_pairs",
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
-      "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef")
+      "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
+      "scc_color")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -523,6 +524,28 @@ object ScaleStress {
             {"clusteringcoef": {}},
             {"code": {"language": "sql", "code":
               "SELECT id FROM __input WHERE triangles >= 1 AND clustering_coef > 0.5"}}],
+          "loader": {"memory": {}} }""",
+        // SCC coloring at scale: n/4 directed 4-cycles + a one-way
+        // report edge from every cycle minimum to a hub whose id sorts
+        // FIRST ('A…') — round 1 emits exactly the hub (everything
+        // forward-reaches it, only it back-reaches itself), round 2 the
+        // now-isolated cycles. Outer rounds CONSTANT by construction,
+        // inner propagation rounds constant (cycle length 4), so the
+        // leg measures the per-round join + min-agg cost ∝ edges. The
+        // trailing filter references scc_id (count-elimination trap).
+        "scc_color" -> s"""{
+          "begin": [{"console": {"commands": [
+            "CREATE OR REPLACE TEMPORARY VIEW sccs_ids AS SELECT 'v' || lpad(CAST(doc_id AS STRING), 9, '0') AS vid FROM parquet.`$docs` UNION ALL SELECT 'AHUB' AS vid"]}}],
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT 'v' || lpad(CAST(x.doc_id AS STRING), 9, '0') AS src_id, 'v' || lpad(CAST(y.doc_id AS STRING), 9, '0') AS dst_id FROM __input x JOIN __input y ON y.doc_id = (x.doc_id div 4) * 4 + ((x.doc_id % 4) + 1) % 4 UNION ALL SELECT 'v' || lpad(CAST(doc_id AS STRING), 9, '0'), 'AHUB' FROM __input WHERE doc_id % 4 = 0"}},
+            {"vertex": {"class": "sv", "idField": "src_id"}},
+            {"edge": {"joinFieldName": "dst_id", "lookup": "sccs_ids.vid",
+                      "class": "e", "direction": "out"}},
+            {"scc": {}},
+            {"code": {"language": "sql", "code":
+              "SELECT id FROM __input WHERE scc_id <> id"}}],
           "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},

@@ -310,4 +310,39 @@ class LookupSpec extends SparkSpec {
       col("o_custkey") === col("c_custkey")).count()
     assert(out.count() == expected)
   }
+
+  test("skewjoin: salted join equals the plain join exactly; left keeps misses once") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // a HOT key (k=1 on 400 of 500 rows) + keys with no dimension match
+    val left = (1L to 500L).map(i =>
+      (i, if (i <= 400) 1L else i % 7)).toDF("rid", "k")
+    Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+      .createOrReplaceTempView("sj_dim")
+    def run(jt: String) = graft.stages.LookupStages.skewjoin(
+      ComponentSpec("skewjoin", Map("right" -> "sj_dim", "on" -> "k",
+        "saltBuckets" -> 4, "joinType" -> jt)), ctx)(left)
+    val inner = run("inner").select("rid", "k", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val plain = left.join(spark.table("sj_dim"), Seq("k"))
+      .select(col("rid"), col("k"), col("name"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(inner == plain && inner.size > 400)
+    // left join: unmatched rows survive EXACTLY once with a null name
+    val lj = run("left")
+    assert(lj.count() == 500)
+    assert(lj.where(col("name").isNull).count() ==
+      left.join(spark.table("sj_dim"), Seq("k"), "left_anti").count())
+    // the executed join really runs on (key, salt) — the salt column
+    // must appear in the join keys, and no nested-loop fallback
+    val plan = run("inner").queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt must be a join key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    // collision guard names the fix
+    val err = intercept[Exception](graft.stages.LookupStages.skewjoin(
+      ComponentSpec("skewjoin", Map("right" -> "sj_dim", "on" -> "k")),
+      ctx)(left.withColumn("name", lit("x"))))
+    assert(err.getMessage.contains("rightPrefix"))
+  }
 }

@@ -357,6 +357,31 @@ class MultimodalSpec extends SparkSpec {
       pairs.toString)
   }
 
+  test("audio stats: PCM sample aggregation recovers the planted arithmetic") {
+    import graft.multimodal.{AudioCodec, MediaFixtures => MF}
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L)) {
+      val st = AudioCodec.stats(id, MF.audioPayload(id))
+      val nv = MF.audioSamples(id) * MF.audioChannels(id)
+      val vals = (0L until nv).map(i => (id * 31 + i * 7) % 8192)
+      assert(st.n_values == nv, s"id=$id n")
+      assert(st.peak_abs == vals.max, s"id=$id peak")
+      val sumSq = vals.map(v => v * v).sum
+      assert(st.rms == math.sqrt(sumSq.toDouble / nv), s"id=$id rms")
+      assert(st.zero_ratio ==
+        vals.count(_ == 0).toDouble / nv, s"id=$id zeros")
+    }
+    // negative samples: hand-built 16-bit LE WAV with known values
+    val pcm = Array[Short](-32768, 0, 100, -5)
+    val bytes = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xFF).toByte; bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte }
+    val st = AudioCodec.stats(9L, AudioCodec.encodeWav(bytes, 44100, 1))
+    assert(st.n_values == 4 && st.peak_abs == 32768L && st.zero_ratio == 0.25)
+    // non-PCM/undecodable payloads fail LOUD naming the row
+    val e = intercept[Exception](AudioCodec.stats(3L, Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("media_id=3"))
+  }
+
   test("compressed audio: MP3/ADTS frame walks recover the planted arithmetic") {
     import graft.multimodal.{AudioCodec, MediaFixtures => MF}
     // a spread of ids covering: ID3v2 present/absent, ID3v1 trailer,

@@ -447,6 +447,24 @@ class TemporalSpec extends SparkSpec {
     assert(noEvery.getMessage.contains("every"))
   }
 
+  test("delta: per-key ordered lag gaps; tie-break; first row null") {
+    val ctx = newCtx()
+    val ev = Seq(
+      ("u1", 10.0, 1L, 100L), ("u1", 20.0, 2L, 130L), ("u1", 20.0, 3L, 90L),
+      ("u2", 5.0, 4L, 7L))
+      .toDF("u", "t", "eid", "v")
+    val out = TemporalStages.delta(ComponentSpec("delta",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "valueFields" -> Seq("v"))), ctx)(ev)
+      .select(col("eid"), col("dt_us"), col("v_delta"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((None, None)))                        // key's first row
+    assert(out(2L) == ((Some(10000000L), Some(30L))))
+    assert(out(3L) == ((Some(0L), Some(-40L))))              // tie: eid orders
+    assert(out(4L) == ((None, None)))                        // other key
+  }
+
   test("funnel: strict ordering, stall contiguity, conversion window") {
     val ctx = newCtx()
     // numeric (epoch-second) times keep every expectation enumerable
