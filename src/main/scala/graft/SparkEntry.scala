@@ -3781,6 +3781,20 @@ object SparkEntry {
         .select("media_id", "width", "height", "channels", "n_frames")
         .orderBy("media_id")
     },
+    "mm_exif" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // pure-byte EXIF walk over the mixed-format media fixture: only
+      // the JPEGs carry an APP1 (skip-mode drops the rest); orientation
+      // / make / model are planted doc_id arithmetic the oracle
+      // recomputes without any decoder
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/media_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_exif": {"idField": "media_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "orientation", "exif_make", "exif_model")
+        .orderBy("media_id")
+    },
     "mm_frames" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // animated GIFs: the decoder reads the REAL frame count from the
@@ -5581,6 +5595,12 @@ object SparkEntry {
        "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels, " +
        "CAST(1 AS INTEGER) AS n_frames " +
        "FROM documents WHERE doc_id % 5 <> 4 ORDER BY media_id"),
+    "mm_exif" ->
+      ("SELECT doc_id AS media_id, " +
+       "CAST(1 + doc_id % 8 AS INTEGER) AS orientation, " +
+       "'maker' || CAST(doc_id % 7 AS VARCHAR) AS exif_make, " +
+       "'model' || CAST(doc_id * 3 % 13 AS VARCHAR) AS exif_model " +
+       "FROM documents WHERE doc_id % 5 = 1 ORDER BY media_id"),
     "mm_frames" ->
       ("SELECT doc_id AS media_id, " +
        "CAST(unnest(generate_series(0, CAST(doc_id % 6 AS INTEGER), 2)) AS BIGINT) AS frame_idx " +

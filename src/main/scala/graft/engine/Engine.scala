@@ -142,6 +142,7 @@ object Engine {
     "mm_frames"     -> graft.multimodal.MultimodalStages.frames _,
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
     "mm_audio_stats" -> graft.multimodal.MultimodalStages.audioStats _,
+    "mm_exif"       -> graft.multimodal.MultimodalStages.exif _,
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
     "mm_phash"      -> graft.multimodal.MultimodalStages.phash _,
     "mm_meta"       -> graft.multimodal.MultimodalStages.textMeta _,

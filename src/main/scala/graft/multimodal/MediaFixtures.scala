@@ -50,10 +50,54 @@ object MediaFixtures {
     img
   }
 
+  // EXIF plant (JPEG ids only): orientation / make / model are pure
+  // doc_id arithmetic; the APP1 segment spliced after SOI is a REAL
+  // little-endian TIFF block the mm_exif parser must walk
+  def exifOrientation(id: Long): Int = (1 + id % 8).toInt
+  def exifMake(id: Long): String = s"maker${id % 7}"
+  def exifModel(id: Long): String = s"model${id * 3 % 13}"
+
+  /** Build the `FF E1` APP1 segment: `Exif\0\0` + II-TIFF with IFD0
+    * entries 0x010F Make (ASCII), 0x0110 Model (ASCII), 0x0112
+    * Orientation (SHORT) — offsets relative to the TIFF header start,
+    * exactly per TIFF 6.0 / EXIF 2.3 layout. */
+  def exifApp1(id: Long): Array[Byte] = {
+    val make = exifMake(id).getBytes("US-ASCII") :+ 0.toByte
+    val model = exifModel(id).getBytes("US-ASCII") :+ 0.toByte
+    val tiff = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    tiff.write('I'); tiff.write('I'); le16(42); le32(8) // header, IFD0 at 8
+    le16(3)                                             // 3 entries
+    val dataStart = 8 + 2 + 3 * 12 + 4                  // after next-IFD ptr
+    // entries ascending by tag id (TIFF requirement)
+    le16(0x010F); le16(2); le32(make.length); le32(dataStart)
+    le16(0x0110); le16(2); le32(model.length); le32(dataStart + make.length)
+    le16(0x0112); le16(3); le32(1); le16(exifOrientation(id)); le16(0)
+    le32(0)                                             // no IFD1
+    tiff.write(make); tiff.write(model)
+    val t = tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xFF); seg.write(0xE1)
+    val len = 2 + 6 + t.length                          // incl. length field
+    seg.write((len >> 8) & 0xFF); seg.write(len & 0xFF)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(t)
+    seg.toByteArray
+  }
+
   /** Encode the payload for one doc_id. */
   def payload(id: Long): Array[Byte] = (id % 5) match {
     case 0 | 3 => ImageCodec.encode(frame(id), "png")
-    case 1 => ImageCodec.encode(frame(id), "jpg")
+    case 1 =>
+      // splice the EXIF APP1 right after SOI — a real camera layout
+      val j = ImageCodec.encode(frame(id), "jpg")
+      val app1 = exifApp1(id)
+      val out = new Array[Byte](j.length + app1.length)
+      out(0) = j(0); out(1) = j(1) // FF D8
+      System.arraycopy(app1, 0, out, 2, app1.length)
+      System.arraycopy(j, 2, out, 2 + app1.length, j.length - 2)
+      out
     case 2 => ImageCodec.encode(frame(id), "bmp")
     case _ => ImageCodec.encodeGif(Seq.fill(gifFrames(id))(frame(id)))
   }
@@ -389,7 +433,7 @@ object MediaFixtures {
 
   // v3: multi-file fixture layout (FixtureFiles) — bump regenerates
   // every cached /tmp fixture
-  val Version = 3
+  val Version = 4 // v4: EXIF APP1 planted into the JPEG payloads
 
   /** Content key of the doc_id population every fixture derives from:
     * the driver REGENERATES testdata between rounds without notice

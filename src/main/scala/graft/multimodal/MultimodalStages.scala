@@ -153,6 +153,41 @@ object MultimodalStages {
         }(metaEnc).toDF()
     }
 
+  /** `mm_exif`: pure-byte EXIF extraction from JPEG payloads — the
+    * camera-metadata pass of an image-corpus pipeline (orientation
+    * decides a rotate, make/model drive per-device dedup and filtering).
+    * Walks the JPEG marker stream to APP1 `Exif\0\0` and parses the
+    * embedded TIFF IFD0 (both byte orders) with no imaging library —
+    * see [[ExifCodec]]. Rows without EXIF (non-JPEG or no APP1) are
+    * SKIPPED by default (`onMissing: skip`) or emitted with null
+    * metadata (`onMissing: null`); a malformed TIFF inside a present
+    * EXIF always fails loud. Partition-parallel projection, zero
+    * exchanges. Options: `idField` (default doc_id), `payloadField`
+    * (default payload), `onMissing` skip|null. */
+  def exif(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val keepMissing = spec.strOr("onMissing", "skip") match {
+        case "skip" => false
+        case "null" => true
+        case other => sys.error(s"mm_exif: unknown onMissing '$other' (skip|null)")
+      }
+      val enc = Encoders.product[ExifCodec.ExifMeta]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          iter.flatMap { case (i, bytes) =>
+            ExifCodec.parse(i, bytes) match {
+              case some @ Some(_) => some
+              case None if keepMissing =>
+                Some(ExifCodec.ExifMeta(i, None, None, None))
+              case None => None
+            }
+          }
+        }(enc).toDF()
+    }
+
   /** `mm_audio_stats`: partition-parallel PCM SAMPLE statistics — peak
     * amplitude, RMS energy and zero (silence) ratio straight from the
     * 16-bit samples, the loudness/silence screen a speech-corpus

@@ -357,6 +357,46 @@ class MultimodalSpec extends SparkSpec {
       pairs.toString)
   }
 
+  test("exif: APP1 TIFF walk recovers planted tags; MM endian; non-JPEG → None") {
+    import graft.multimodal.{ExifCodec, MediaFixtures => MF}
+    // fixture JPEGs (id % 5 == 1) carry the planted IFD0
+    for (id <- Seq(1L, 6L, 11L, 16L, 21L)) {
+      val m = ExifCodec.parse(id, MF.payload(id)).get
+      assert(m.orientation.contains(MF.exifOrientation(id)), s"id=$id orient")
+      assert(m.exif_make.contains(MF.exifMake(id)), s"id=$id make")
+      assert(m.exif_model.contains(MF.exifModel(id)), s"id=$id model")
+    }
+    // non-JPEG formats and EXIF-less JPEGs both yield None, not errors
+    assert(ExifCodec.parse(0L, MF.payload(0L)).isEmpty)  // PNG
+    assert(ExifCodec.parse(2L, MF.payload(2L)).isEmpty)  // BMP
+    assert(ExifCodec.parse(1L, graft.multimodal.ImageCodec.encode(
+      new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB), "jpg")).isEmpty)
+    // big-endian (MM) TIFF: hand-built APP1 with an inline-value Make
+    val mm = {
+      val t = new java.io.ByteArrayOutputStream()
+      def be16(v: Int): Unit = { t.write((v >> 8) & 0xFF); t.write(v & 0xFF) }
+      def be32(v: Int): Unit = { be16((v >>> 16) & 0xFFFF); be16(v & 0xFFFF) }
+      t.write('M'); t.write('M'); be16(42); be32(8)
+      be16(2)
+      be16(0x010F); be16(2); be32(4); t.write("Fuj".getBytes); t.write(0) // inline
+      be16(0x0112); be16(3); be32(1); be16(6); be16(0)
+      be32(0)
+      val tiff = t.toByteArray
+      val seg = new java.io.ByteArrayOutputStream()
+      seg.write(0xFF); seg.write(0xD8) // SOI
+      seg.write(0xFF); seg.write(0xE1)
+      val len = 2 + 6 + tiff.length
+      seg.write((len >> 8) & 0xFF); seg.write(len & 0xFF)
+      seg.write("Exif".getBytes); seg.write(0); seg.write(0)
+      seg.write(tiff)
+      seg.write(0xFF); seg.write(0xD9) // EOI
+      seg.toByteArray
+    }
+    val got = ExifCodec.parse(7L, mm).get
+    assert(got == ExifCodec.ExifMeta(7L, Some(6), Some("Fuj"), None))
+  }
+
   test("audio stats: PCM sample aggregation recovers the planted arithmetic") {
     import graft.multimodal.{AudioCodec, MediaFixtures => MF}
     for (id <- Seq(0L, 1L, 2L, 3L, 7L)) {

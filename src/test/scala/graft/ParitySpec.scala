@@ -301,4 +301,26 @@ class ParitySpec extends SparkSpec {
     assert(out.count() == 25)
     assert(out.select("tag").distinct().head().getString(0) == "gold")
   }
+
+  test("SparkEntry: no duplicate query or oracle names in the SOURCE") {
+    // Map literals silently keep the LAST duplicate key — a re-added
+    // query name shadows the original and the graded pair can even
+    // split (query resolves to one definition, oracle to the other;
+    // r15 caught a stream_enrich duplicate exactly this way). Guard at
+    // the source-text level, where duplicates are still visible.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val qNames = """(?m)^    "([a-z0-9_]+)" -> \{ \(s, dir\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val qDupes = qNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(qDupes.isEmpty, s"duplicate query definitions: ${qDupes.mkString(", ")}")
+    // oracle entries are every other 4-space `"name" ->` binding (plain
+    // string, paren-concat, or `-> {`-block forms)
+    val oNames = """(?m)^    "([a-z0-9_]+)" ->(?! \{ \(s, dir\))""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val oDupes = oNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(oDupes.isEmpty, s"duplicate oracle definitions: ${oDupes.mkString(", ")}")
+    // and the runtime maps stay 1:1 where an oracle exists
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
 }
