@@ -4268,6 +4268,23 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
         .orderBy("o_orderkey")
     },
+    "correlate_fit" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-event-type Pearson r + OLS fit over integer-valued signals:
+      // co-moment sums accumulate exactly in decimal, the closing IEEE
+      // op tree is identical in both engines — hash-exact doubles
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_type, CAST(round(value * 100) AS BIGINT) % 1000 AS x, event_id % 97 AS y FROM events"}},
+          {"correlate": {"xField": "x", "yField": "y",
+            "groupBy": "event_type"}}],
+        "loader": {"memory": {}} }""")
+        .select("event_type", "n", "r", "slope", "intercept")
+        .orderBy("event_type")
+    },
     "mm_audio_levels" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // PCM SAMPLE statistics from the real WAV bytes: peak amplitude,
@@ -5815,6 +5832,19 @@ object SparkEntry {
       ("SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey " +
        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
        "ORDER BY o_orderkey"),
+    "correlate_fit" ->
+      ("WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) % 1000 AS x, event_id % 97 AS y FROM events), " +
+       "a AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+       "CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy FROM b GROUP BY 1), " +
+       "c AS (SELECT event_type, n, sx, sy, " +
+       "CAST(n AS DOUBLE) * sxy - sx * sy AS cov, " +
+       "CAST(n AS DOUBLE) * sxx - sx * sx AS vx, " +
+       "CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM a) " +
+       "SELECT event_type, n, " +
+       "CASE WHEN vx > 0 AND vy > 0 THEN cov / (sqrt(vx) * sqrt(vy)) END AS r, " +
+       "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
+       "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
+       "FROM c ORDER BY event_type"),
     "mm_audio_levels" ->
       ("WITH d AS (SELECT doc_id, (500 + doc_id * 13 % 1000) * (1 + doc_id % 2) AS nv FROM documents), " +
        "s AS (SELECT doc_id, nv, unnest(range(0, CAST(nv AS BIGINT))) AS i FROM d), " +

@@ -124,6 +124,7 @@ object Engine {
     "labelencode"   -> graft.stages.StatStages.labelEncode _,
     "featurehash"   -> graft.stages.StatStages.featureHash _,
     "minmaxscale"   -> graft.stages.StatStages.minMaxScale _,
+    "correlate"     -> graft.stages.StatStages.correlate _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,

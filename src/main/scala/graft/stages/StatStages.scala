@@ -401,4 +401,54 @@ object StatStages {
       withFlag.drop("__n", "__s", "__ss")
       }
     }
+
+  /** `correlate`: per-group Pearson correlation + ordinary-least-squares
+    * fit between two INTEGER-valued columns — the drift/relationship
+    * check a feature pipeline runs between signals (e.g. token count vs
+    * quality score). Built for ORACLE-EXACT floats: the five co-moment
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY in decimal(38)
+    * (a float sum's value depends on partition order — never
+    * hash-stable), and the closing expression is the identical IEEE op
+    * tree in both engines:
+    * `r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx·Σx) · sqrt(n·Σy² − Σy·Σy))`,
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)`,
+    * `intercept = (Σy − slope·Σx) / n`.
+    * Exactness envelope: the decimal intermediates convert to double
+    * exactly while `n·Σxy < 2^53` — pre-scale or sample inputs beyond
+    * that (documented, LOUD nothing; the sums themselves never
+    * overflow decimal(38)). Degenerate groups (zero variance on either
+    * side) emit null r/slope/intercept rather than ±Inf.
+    * ONE hash aggregation with map-side combine; `groupBy` (optional,
+    * comma-separated) keys the output, else one global row.
+    * Options: `xField`, `yField` (required), `groupBy`. Output:
+    * (group keys…, n, r, slope, intercept). */
+  def correlate(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val xF = spec.str("xField").getOrElse(sys.error("correlate: xField required"))
+      val yF = spec.str("yField").getOrElse(sys.error("correlate: yField required"))
+      val keys = spec.str("groupBy").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Nil)
+      val x = col(xF).cast(DecimalType(38, 0))
+      val y = col(yF).cast(DecimalType(38, 0))
+      val agg = (if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*))
+        .agg(count(lit(1)).as("__n"),
+          sum(x).as("__sx"), sum(y).as("__sy"),
+          sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+          sum(y * y).as("__syy"))
+      val n = col("__n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val cov = n * d("__sxy") - d("__sx") * d("__sy")
+      val vx = n * d("__sxx") - d("__sx") * d("__sx")
+      val vy = n * d("__syy") - d("__sy") * d("__sy")
+      val slope = cov / vx
+      agg
+        .withColumn("r", when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
+          .otherwise(lit(null).cast("double")))
+        .withColumn("slope", when(vx > 0, slope).otherwise(lit(null).cast("double")))
+        .withColumn("intercept",
+          when(vx > 0, (d("__sy") - slope * d("__sx")) / n)
+            .otherwise(lit(null).cast("double")))
+        .withColumnRenamed("__n", "n")
+        .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+    }
 }

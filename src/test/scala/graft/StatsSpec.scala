@@ -268,4 +268,37 @@ class StatsSpec extends SparkSpec {
     assert(intercept[Exception](mk(Map("field" -> "x", "outField" -> "k")))
       .getMessage.contains("outField"))
   }
+
+  test("correlate: exact co-moments — perfect fit, degenerate groups, global row") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // group a: y = 3x + 2 exactly → r = 1, slope 3, intercept 2;
+    // group b: constant x → zero variance, null fit;
+    // group c: perfectly anti-correlated → r = -1
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 8L), ("a", 3L, 11L), ("a", 4L, 14L),
+      ("b", 7L, 1L), ("b", 7L, 9L),
+      ("c", 1L, 4L), ("c", 2L, 2L), ("c", 3L, 0L))
+      .toDF("g", "x", "y")
+    val out = graft.stages.StatStages.correlate(ComponentSpec("correlate",
+      Map("xField" -> "x", "yField" -> "y", "groupBy" -> "g")), ctx)(df)
+      .select("g", "n", "r", "slope", "intercept")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // r lands within one ulp of ±1 (sqrt(vx)·sqrt(vy) rounds twice —
+    // deterministically: the oracle compare is hash-exact on the same
+    // value); slope/intercept come out exactly
+    assert(out("a")._1 == 4L && math.abs(out("a")._2.get - 1.0) < 1e-15)
+    assert(out("a")._3 == Some(3.0) && out("a")._4 == Some(2.0))
+    assert(out("b") == ((2L, None, None, None)))
+    assert(math.abs(out("c")._2.get + 1.0) < 1e-15)
+    // no groupBy → one global row over everything
+    val g = graft.stages.StatStages.correlate(ComponentSpec("correlate",
+      Map("xField" -> "x", "yField" -> "y")), ctx)(df)
+    assert(g.count() == 1 && g.select("n").as[Long].head() == 9L)
+    // missing required option fails loud
+    assert(intercept[Exception](graft.stages.StatStages.correlate(
+      ComponentSpec("correlate", Map("yField" -> "y")), ctx)(df))
+      .getMessage.contains("xField"))
+  }
 }
