@@ -4268,6 +4268,23 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
         .orderBy("o_orderkey")
     },
+    "quantile_bins" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-priority spend quartiles: exact type-7 cut points (the
+      // winsorize-proven rule), bin = count of cuts strictly below —
+      // pure comparisons after bit-identical cuts, hash-exact
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM input"}},
+          {"quantilebin": {"field": "cents", "bins": 4,
+            "keyField": "o_orderpriority"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "cents_bin")
+        .orderBy("o_orderkey")
+    },
     "correlate_fit" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-event-type Pearson r + OLS fit over integer-valued signals:
@@ -5832,6 +5849,11 @@ object SparkEntry {
       ("SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey " +
        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
        "ORDER BY o_orderkey"),
+    "quantile_bins" ->
+      ("WITH s AS (SELECT o_orderpriority, quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75]) AS cuts FROM orders GROUP BY 1) " +
+       "SELECT o.o_orderkey, o.o_orderpriority, " +
+       "CAST(len(list_filter(s.cuts, c -> CAST(round(o.o_totalprice * 100) AS BIGINT) > c)) AS INTEGER) AS cents_bin " +
+       "FROM orders o JOIN s USING (o_orderpriority) ORDER BY o_orderkey"),
     "correlate_fit" ->
       ("WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) % 1000 AS x, event_id % 97 AS y FROM events), " +
        "a AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +

@@ -120,6 +120,7 @@ object Engine {
     "fuzzyjoin"     -> graft.text.FuzzyJoinStage.fuzzyjoin _,
     "zscore"        -> graft.stages.StatStages.zscore _,
     "quantiles"     -> graft.stages.StatStages.quantiles _,
+    "quantilebin"   -> graft.stages.StatStages.quantileBin _,
     "winsorize"     -> graft.stages.StatStages.winsorize _,
     "labelencode"   -> graft.stages.StatStages.labelEncode _,
     "featurehash"   -> graft.stages.StatStages.featureHash _,

@@ -239,6 +239,45 @@ object StatStages {
       }: _*)
     }
 
+  /** `quantilebin`: equal-frequency binning — assign each row the bin
+    * index of its value among `bins` quantile buckets (per group with
+    * `keyField`), the feature-engineering discretizer ("which spend
+    * quartile is this order in"). Cut points are type-7 percentiles
+    * (the [[winsorize]] rule — bit-identical in Spark `percentile` and
+    * DuckDB `quantile_cont` on exact-integer inputs); the bin is the
+    * COUNT OF CUTS STRICTLY BELOW the value (pure comparisons, no
+    * further float math), so a value equal to a cut stays in the lower
+    * bin and the whole assignment is hash-exact. NULL values keep a
+    * NULL bin. ONE exact-percentile aggregate (bounded-cardinality
+    * groups — same contract as quantiles' exact mode) broadcast-joined
+    * back; the data side never shuffles.
+    * Options: `field` (required, numeric), `bins` (default 4),
+    * `keyField` (optional, comma-separated), `outputField` (default
+    * `<field>_bin`). */
+  def quantileBin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("quantilebin: `field` required"))
+      require(df.columns.contains(fld), s"quantilebin: no column '$fld'")
+      require(df.schema(fld).dataType.isInstanceOf[NumericType],
+        s"quantilebin: '$fld' must be numeric, is ${df.schema(fld).dataType.simpleString}")
+      val k = spec.int("bins", 4)
+      require(k >= 2, s"quantilebin: bins must be >= 2, got $k")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(kf => require(df.columns.contains(kf), s"quantilebin: no key column '$kf'"))
+      val outF = spec.strOr("outputField", s"${fld}_bin")
+      val probs = (1 until k).map(i => lit(i.toDouble / k))
+      val cuts = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*) else df.groupBy())
+        .agg(percentile(col(fld), array(probs: _*)).as("__cuts"))
+      val joined =
+        if (keys.isEmpty) df.crossJoin(broadcast(cuts))
+        else df.join(broadcast(cuts), keys)
+      joined.withColumn(outF,
+          when(col(fld).isNull, lit(null).cast("int")).otherwise(
+            size(filter(col("__cuts"), c => col(fld).cast("double") > c))))
+        .drop("__cuts")
+    }
+
   /** `winsorize`: quantile clipping — cap a numeric column at its
     * [lower, upper] quantiles (per group when `keyField` is set), the
     * standard outlier-robust normalization before scaling/aggregation.

@@ -269,6 +269,36 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("outField"))
   }
 
+  test("quantilebin: equal-frequency bins, cut ties stay low, nulls stay null") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // values 1..8 in one group: quartile cuts (type-7) at 2.75, 4.5,
+    // 6.25 → bins 0,0,1,1,2,2,3,3
+    val df = ((1L to 8L).map(v => ("g", Some(v))) :+ (("g", None: Option[Long])))
+      .toDF("k", "v")
+    val out = graft.stages.StatStages.quantileBin(ComponentSpec("quantilebin",
+      Map("field" -> "v", "bins" -> 4, "keyField" -> "k")), ctx)(df)
+      .select("v", "v_bin").as[(Option[Long], Option[Int])].collect().toMap
+    assert(out == Map(Some(1L) -> Some(0), Some(2L) -> Some(0),
+      Some(3L) -> Some(1), Some(4L) -> Some(1), Some(5L) -> Some(2),
+      Some(6L) -> Some(2), Some(7L) -> Some(3), Some(8L) -> Some(3),
+      None -> None))
+    // a value EQUAL to a cut stays in the LOWER bin: constant tail
+    // makes the median an exact data value
+    val tie = Seq(1L, 5L, 5L, 9L).map(("t", _)).toDF("k", "v")
+    val tied = graft.stages.StatStages.quantileBin(ComponentSpec("quantilebin",
+      Map("field" -> "v", "bins" -> 2, "keyField" -> "k")), ctx)(tie)
+      .select("v", "v_bin").as[(Long, Int)].collect().toSet
+    assert(tied == Set((1L, 0), (5L, 0), (9L, 1))) // median 5.0, 5 !> 5
+    // global (key-less) path + bad-config guards
+    val g = graft.stages.StatStages.quantileBin(ComponentSpec("quantilebin",
+      Map("field" -> "v", "bins" -> 2)), ctx)(tie)
+    assert(g.where(col("v_bin") === 1).count() == 1)
+    assert(intercept[Exception](graft.stages.StatStages.quantileBin(
+      ComponentSpec("quantilebin", Map("field" -> "v", "bins" -> 1)), ctx)(tie))
+      .getMessage.contains("bins"))
+  }
+
   test("correlate: exact co-moments — perfect fit, degenerate groups, global row") {
     val ctx = newCtx()
     import spark.implicits._
