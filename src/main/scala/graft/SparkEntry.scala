@@ -3209,6 +3209,25 @@ object SparkEntry {
         .select(col("doc_id"), col("link_pos"), col("href"), col("anchor"))
         .orderBy("doc_id", "link_pos")
     },
+    "html_tables" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // structured table extraction: every page carries a header+data
+      // table (entities in a header cell, an IMPLICIT final </td>),
+      // even pages a second table whose first cell CONTAINS a nested
+      // table (depth-1 subset: its text flows into the cell). Cells
+      // join to one string (the driver compare chokes on list columns)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('<html><body><h1>T</h1><table><tr><th>k</th><th>v &amp; w</th></tr><tr><td>a', cast(doc_id % 50 as string), '</td><td>b', cast(doc_id % 7 as string), '</tr></table>', CASE WHEN doc_id % 2 = 0 THEN '<table><tr><td>x<table><tr><td>inner</td></tr></table>y</td><td>z</td></tr></table>' ELSE '' END, '</body></html>') AS html FROM __input"}},
+          {"htmltables": {"field": "html"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("doc_id"), col("table_idx"), col("row_idx"),
+          array_join(col("cells"), "|").as("cells_str"))
+        .orderBy("doc_id", "table_idx", "row_idx")
+    },
     "regex_mask" -> { (s, dir) =>
       val c = ctx(s, dir)
       // PII-style masking pass — regexes restricted to the Java∩RE2
@@ -5377,6 +5396,12 @@ object SparkEntry {
        "FROM n, UNNEST(range(nl)) AS t(j)) " +
        "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href, anchor " +
        "FROM links ORDER BY doc_id, link_pos"),
+    "html_tables" ->
+      ("SELECT doc_id, CAST(t AS INTEGER) AS table_idx, CAST(r AS INTEGER) AS row_idx, cells_str FROM (" +
+       "SELECT doc_id, 0 AS t, 0 AS r, 'k|v & w' AS cells_str FROM documents " +
+       "UNION ALL SELECT doc_id, 0, 1, 'a' || CAST(doc_id % 50 AS VARCHAR) || '|b' || CAST(doc_id % 7 AS VARCHAR) FROM documents " +
+       "UNION ALL SELECT doc_id, 1, 0, 'x inner y|z' FROM documents WHERE doc_id % 2 = 0" +
+       ") ORDER BY doc_id, table_idx, row_idx"),
     "html_extract" ->
       (raw"SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, " +
        raw"trim('Doc ' || chr(CAST(65 + doc_id % 26 AS INTEGER)) || ' link ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted, " +

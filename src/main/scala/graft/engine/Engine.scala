@@ -100,6 +100,7 @@ object Engine {
     "urlnormalize"  -> graft.text.WebStages.urlnormalize _,
     "htmlextract"   -> graft.text.WebStages.htmlextract _,
     "htmllinks"     -> graft.text.WebStages.htmllinks _,
+    "htmltables"    -> graft.text.WebStages.htmltables _,
     "normalizetext" -> graft.text.TextStages.normalizetext _,
     "groupcap"      -> graft.text.WebStages.groupcap _,
     "pack"          -> graft.split.SplitStages.pack _,

@@ -229,7 +229,100 @@ object Html {
     (text, if (t.isEmpty) null else t, hrefs, pairs)
   }
 
+  /** Single-pass TABLE extraction: every `<td>`/`<th>` cell's decoded,
+    * collapsed text, grouped into rows and top-level tables in document
+    * order. Implicit closes per the HTML parser contract (`<td>a<td>b`,
+    * `<tr>` runs without `</tr>`) are honored by flush-on-open; a
+    * NESTED `<table>` inside a cell is not extracted separately — its
+    * text flows into the containing cell (documented subset: depth-1
+    * tables only). Empty rows (no cells) are dropped. */
+  def tables(html: String): java.util.ArrayList[(Int, Int, Array[UTF8String])] = {
+    val out = new java.util.ArrayList[(Int, Int, Array[UTF8String])]()
+    var tableIdx = -1    // index of the CURRENT top-level table, -1 outside
+    var depth = 0        // <table> nesting depth
+    var rowIdx = 0
+    var inCell = false
+    var cell = new Out
+    var row = new java.util.ArrayList[UTF8String]()
+    def flushCell(): Unit = if (inCell) {
+      row.add(UTF8String.fromString(cell.toString)); inCell = false
+    }
+    def flushRow(): Unit = {
+      flushCell()
+      if (!row.isEmpty) {
+        out.add((tableIdx, rowIdx, row.toArray(new Array[UTF8String](row.size()))))
+        rowIdx += 1
+      }
+      row = new java.util.ArrayList[UTF8String]()
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          if (inCell) cell.ws()
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameAt = if (closing) i + 2 else i + 1
+          val name = tagName(html, nameAt)
+          if (name.isEmpty) { if (inCell) cell.ch('<'); i += 1 }
+          else {
+            i = attrs(html, nameAt + name.length, null)
+            name match {
+              case "table" if !closing =>
+                depth += 1
+                if (depth == 1) { tableIdx += 1; rowIdx = 0 }
+              case "table" =>
+                if (depth == 1) flushRow()
+                depth = math.max(0, depth - 1)
+              case "tr" if depth == 1 =>
+                flushRow() // open implicitly closes the previous row
+              case "td" | "th" if depth == 1 =>
+                if (!closing) { flushCell(); inCell = true; cell = new Out }
+                else flushCell()
+              case rt if !closing && RawText(rt) =>
+                val close = "</" + rt
+                var j = i; var found = -1
+                while (found < 0 && j <= n - close.length) {
+                  if (html.regionMatches(true, j, close, 0, close.length)) found = j
+                  j += 1
+                }
+                if (found < 0) i = n
+                else { val gt = html.indexOf('>', found); i = if (gt < 0) n else gt + 1 }
+              case _ => ()
+            }
+            if (inCell) cell.ws() // any tag is a whitespace boundary
+          }
+        }
+      } else if (c == '&') {
+        if (inCell) i = entity(html, i, cell)
+        else i += 1
+      } else { if (inCell) cell.ch(c); i += 1 }
+    }
+    flushRow() // unterminated table at EOF still yields its rows
+    out
+  }
+
   // ---- static entry points used by codegen ----
+
+  def tablesU(html: UTF8String): GenericArrayData = {
+    val ts = tables(html.toString)
+    val rows = new Array[Any](ts.size())
+    var i = 0
+    while (i < rows.length) {
+      val (t, r, cells) = ts.get(i)
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        t, r, new GenericArrayData(cells.asInstanceOf[Array[Any]]))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
 
   def textU(html: UTF8String): UTF8String =
     UTF8String.fromString(parse(html.toString)._1)
@@ -312,6 +405,29 @@ case class HtmlLinks(child: Expression)
   * whitespace-collapsed by the same one-pass walk as the body text;
   * `<a>` without href yields no pair (its text still flows into the
   * page text). */
+/** `(table_idx, row_idx, cells)` structs for every row of every
+  * TOP-LEVEL `<table>` in document order — cells entity-decoded and
+  * whitespace-collapsed; implicit `<td>`/`<tr>` closes honored; a
+  * nested table's text flows into its containing cell (depth-1 subset,
+  * see [[Html.tables]]). */
+case class HtmlTables(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("table_idx", IntegerType, nullable = false),
+      StructField("row_idx", IntegerType, nullable = false),
+      StructField("cells", ArrayType(StringType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_tables"
+  override def nullSafeEval(input: Any): Any =
+    Html.tablesU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Html.tablesU($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlTables =
+    copy(child = newChild)
+}
+
 case class HtmlLinkPairs(child: Expression)
     extends UnaryExpression with HtmlStringInput {
   override def dataType: DataType = ArrayType(

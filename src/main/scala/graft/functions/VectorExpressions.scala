@@ -489,6 +489,10 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => HtmlLinkPairs(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_tables",
+        (exprs: Seq[Expression]) => HtmlTables(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_srp_sig",
         (exprs: Seq[Expression]) => {
           def intLit(e: Expression, what: String): Int = e match {
@@ -592,6 +596,10 @@ object VectorExpressions {
   /** `(href, anchor)` structs of an HTML string in document order. */
   def htmlLinkPairs(html: Column): Column =
     call_function("graft_html_link_pairs", html)
+
+  /** `(table_idx, row_idx, cells)` structs for every top-level
+    * `<table>` row of an HTML string, in document order. */
+  def htmlTables(html: Column): Column = call_function("graft_html_tables", html)
 
   /** Native distinct word-n-gram shingle hashes of a string column. */
   def shingleHashes(text: Column, n: Int): Column =

@@ -243,6 +243,46 @@ object WebStages {
       if (keepEmpty) out else out.where(col(hrefF).isNotNull)
     }
 
+  /** `htmltables`: explode every TOP-LEVEL `<table>` row of an HTML
+    * column into (tableField, rowField, cellsField) — the structured
+    * side-channel of web curation (tables carry the densest factual
+    * content a text extractor flattens into mush). Cells are
+    * entity-decoded and whitespace-collapsed by the same one-pass
+    * codegen'd walk as the other `graft_html_*` expressions; implicit
+    * `<td>`/`<tr>` closes honored; nested tables flow into their
+    * containing cell (documented depth-1 subset). Pages without tables
+    * drop (or keep with nulls via `emptyPages: keep`). One projection +
+    * one posexplode — no shuffle; at crawl scale rows fan out
+    * proportionally to actual table content.
+    * Options: `field` (default html), `tableField`/`rowField`/
+    * `cellsField` (defaults table_idx/row_idx/cells), `keepHtml`
+    * (default false), `emptyPages` drop|keep. */
+  def htmltables(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "html")
+      require(df.columns.contains(f), s"htmltables: no column '$f'")
+      val tF = spec.strOr("tableField", "table_idx")
+      val rF = spec.strOr("rowField", "row_idx")
+      val cF = spec.strOr("cellsField", "cells")
+      val keep = spec.bool("keepHtml", dflt = false)
+      val keepEmpty = spec.strOr("emptyPages", "drop").toLowerCase match {
+        case "drop" => false
+        case "keep" => true
+        case other => sys.error(s"htmltables: emptyPages must be drop|keep, got $other")
+      }
+      val rows = graft.functions.VectorExpressions.htmlTables(col(f).cast("string"))
+      val carried = df.columns.filterNot(c => !keep && c == f).toSeq
+      val exploded = df.select(
+        (carried.map(col) :+ explode_outer(rows).as("__trow")): _*)
+      val out = exploded
+        .withColumn(tF, col("__trow.table_idx"))
+        .withColumn(rF, col("__trow.row_idx"))
+        .withColumn(cF, col("__trow.cells"))
+        .drop("__trow")
+      if (keepEmpty) out else out.where(col(tF).isNotNull)
+    }
+
   /** `urlparse`: decompose a URL column into `<prefix><part>` columns.
     * Options: `field` (default url), `parts` (default [host, domain,
     * path]), `prefix` (default `url_`). Pure per-row regex projection —

@@ -93,6 +93,34 @@ class HtmlParserSpec extends AnyFunSuite {
       Seq("http://x/1?a=1&b=2", "http://x/2"))
   }
 
+  test("tables: rows/cells in order; implicit closes; nested flows into cell") {
+    def tbl(h: String): Seq[(Int, Int, Seq[String])] =
+      scala.jdk.CollectionConverters.ListHasAsScala(Html.tables(h))
+        .asScala.map { case (t, r, cs) => (t, r, cs.toSeq.map(_.toString)) }.toSeq
+    // headers + data, entities, attributes on cells
+    assert(tbl("<table class=\"x\"><tr><th>k</th><th>v &amp; w</th></tr>" +
+               "<tr><td colspan=\"2\">a  b</td></tr></table>") ==
+      Seq((0, 0, Seq("k", "v & w")), (0, 1, Seq("a b"))))
+    // implicit closes: <td>a<td>b and <tr> without </tr>
+    assert(tbl("<table><tr><td>a<td>b<tr><td>c</table>") ==
+      Seq((0, 0, Seq("a", "b")), (0, 1, Seq("c"))))
+    // thead/tbody wrappers are transparent; inline tags are boundaries
+    assert(tbl("<table><thead><tr><td>h<b>x</b></td></tr></thead>" +
+               "<tbody><tr><td>d</td></tr></tbody></table>") ==
+      Seq((0, 0, Seq("h x")), (0, 1, Seq("d"))))
+    // a nested table's text flows into the containing cell (depth-1
+    // subset); two top-level tables index independently
+    assert(tbl("<table><tr><td>x<table><tr><td>in</td></tr></table>y</td>" +
+               "<td>z</td></tr></table><table><tr><td>q</td></tr></table>") ==
+      Seq((0, 0, Seq("x in y", "z")), (1, 0, Seq("q"))))
+    // unterminated table at EOF still flushes; no tables → empty;
+    // text outside cells is ignored
+    assert(tbl("<table><tr><td>tail") == Seq((0, 0, Seq("tail"))))
+    assert(tbl("<p>no tables</p>").isEmpty)
+    assert(tbl("<table>loose<tr>words<td>c</td></tr></table>") ==
+      Seq((0, 0, Seq("c"))))
+  }
+
   test("empty and degenerate inputs") {
     assert(text("") == "")
     assert(text("<p></p>") == "")
