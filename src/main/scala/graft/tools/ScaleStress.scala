@@ -269,7 +269,7 @@ object ScaleStress {
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
-      "scc_color")
+      "scc_color", "mixture_budget")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -546,6 +546,23 @@ object ScaleStress {
             {"scc": {}},
             {"code": {"language": "sql", "code":
               "SELECT id FROM __input WHERE scc_id <> id"}}],
+          "loader": {"memory": {}} }""",
+        // token-budget mixture at scale: the budget grows ∝ N (so the
+        // take is always a real fraction) but the claim under test is
+        // the running-sum MACHINERY — per-part bucket token sums + the
+        // bucket-PARTITIONED intra window must track ∝ rows, proving no
+        // single-partition global sort hides in the plan. The trailing
+        // filter references text (count-elimination trap).
+        "mixture_budget" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"mixture": {"keyField": "doc_id", "budget": ${n * 40},
+              "columns": ["doc_id", "text"],
+              "parts": [
+                {"path": "$docs", "fraction": 3, "name": "w"},
+                {"path": "$docs", "fraction": 1, "name": "c"}]}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS kept FROM __input WHERE length(text) > 0"}}],
           "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
