@@ -4287,6 +4287,39 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
         .orderBy("o_orderkey")
     },
+    "unpivot_melt" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // wide → long melt: three same-typed value columns (one with
+      // planted NULLs that must DROP) against one id; pure Expand
+      // projection, no shuffle
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, CAST(o_custkey AS BIGINT) AS cust, CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(o_orderkey % 7 AS BIGINT) END AS septile FROM input"}},
+          {"unpivot": {"ids": ["o_orderkey"],
+            "values": ["price_cents", "cust", "septile"]}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "variable", "value")
+        .orderBy("o_orderkey", "variable")
+    },
+    "impute_missing" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-type median imputation of planted NULLs (type-7 exact
+      // percentile over the non-null rows — the winsorize rule, so the
+      // filled doubles hash-match)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, event_type, CASE WHEN event_id % 11 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(round(value * 100) AS BIGINT) END AS cents FROM events"}},
+          {"impute": {"field": "cents", "strategy": "median",
+            "keyField": "event_type"}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cents_imputed").orderBy("event_id")
+    },
     "quantile_bins" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-priority spend quartiles: exact type-7 cut points (the
@@ -5874,6 +5907,22 @@ object SparkEntry {
       ("SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey " +
        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
        "ORDER BY o_orderkey"),
+    "unpivot_melt" ->
+      ("WITH b AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, " +
+       "CAST(o_custkey AS BIGINT) AS cust, " +
+       "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey % 7 END AS septile FROM orders) " +
+       "SELECT o_orderkey, variable, CAST(value AS BIGINT) AS value FROM (" +
+       "SELECT o_orderkey, 'price_cents' AS variable, price_cents AS value FROM b " +
+       "UNION ALL SELECT o_orderkey, 'cust', cust FROM b " +
+       "UNION ALL SELECT o_orderkey, 'septile', septile FROM b) " +
+       "WHERE value IS NOT NULL ORDER BY o_orderkey, variable"),
+    "impute_missing" ->
+      ("WITH b AS (SELECT event_id, event_type, CASE WHEN event_id % 11 = 0 THEN NULL " +
+       "ELSE CAST(round(value * 100) AS BIGINT) END AS cents FROM events), " +
+       "m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM b " +
+       "WHERE cents IS NOT NULL GROUP BY 1) " +
+       "SELECT b.event_id, coalesce(CAST(b.cents AS DOUBLE), m.med) AS cents_imputed " +
+       "FROM b JOIN m ON b.event_type = m.event_type ORDER BY event_id"),
     "quantile_bins" ->
       ("WITH s AS (SELECT o_orderpriority, quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75]) AS cuts FROM orders GROUP BY 1) " +
        "SELECT o.o_orderkey, o.o_orderpriority, " +

@@ -127,6 +127,8 @@ object Engine {
     "featurehash"   -> graft.stages.StatStages.featureHash _,
     "minmaxscale"   -> graft.stages.StatStages.minMaxScale _,
     "correlate"     -> graft.stages.StatStages.correlate _,
+    "impute"        -> graft.stages.StatStages.impute _,
+    "unpivot"       -> graft.stages.CubeStages.unpivot _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,

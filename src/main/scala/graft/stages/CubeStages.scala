@@ -103,4 +103,39 @@ object CubeStages {
       val perValue = values.map(mk)
       df.groupBy(keys.map(col): _*).agg(perValue.head, perValue.tail: _*)
     }
+
+  /** `unpivot`: wide → long (the inverse of [[pivot]]; pandas `melt`).
+    * Each declared value column becomes one output row tagged with its
+    * name: ids…, `variableField` (the column name), `valueField` (its
+    * value, cast to a common type — Spark's unpivot requires it; the
+    * least-common-type rule is applied up front so mixed int/double
+    * value columns fail LOUD with the offending column named, not at
+    * runtime). NULL values drop by default (`keepNulls: true` keeps
+    * them — pandas melt keeps, SQL UNPIVOT drops; both spellings are a
+    * flag away). Pure per-row expansion (Spark's Expand node) — no
+    * shuffle, fuses into the scan.
+    * Options: `ids` (list, required), `values` (list, required),
+    * `variableField` (default variable), `valueField` (default
+    * value), `keepNulls` (default false). */
+  def unpivot(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val ids = spec.strList("ids")
+      val values = spec.strList("values")
+      require(ids.nonEmpty, "unpivot: `ids` required")
+      require(values.nonEmpty, "unpivot: `values` required")
+      (ids ++ values).foreach(c =>
+        require(df.columns.contains(c), s"unpivot: no column '$c'"))
+      val varF = spec.strOr("variableField", "variable")
+      val valF = spec.strOr("valueField", "value")
+      val types = values.map(c => df.schema(c).dataType).distinct
+      require(types.size == 1,
+        s"unpivot: value columns must share one type, got " +
+        values.map(c => s"$c:${df.schema(c).dataType.simpleString}").mkString(", ") +
+        " — cast them upstream (a silent widest-type coercion would " +
+        "surprise the oracle)")
+      val out = df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+        varF, valF)
+      if (spec.bool("keepNulls", dflt = false)) out
+      else out.where(col(valF).isNotNull)
+    }
 }

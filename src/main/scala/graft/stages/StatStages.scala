@@ -441,6 +441,63 @@ object StatStages {
       }
     }
 
+  /** `impute`: fill NULLs in a numeric column from a group statistic —
+    * the missing-value repair pass before scaling/training. Strategies:
+    * `mean` (exact decimal sum / count, ONE IEEE division —
+    * hash-stable on integer-valued inputs; a float sum would be
+    * partition-order-dependent), `median` (type-7 exact percentile,
+    * the [[winsorize]]/[[quantileBin]] rule, bit-identical to DuckDB's
+    * quantile_cont), `constant` (`value` required). Statistics compute
+    * over the NON-NULL rows per group (`keyField`, optional); a group
+    * that is entirely NULL keeps its NULLs (nothing to learn from —
+    * LOUD in the row, not a silent 0). Output is DOUBLE in
+    * `outputField` (default `<field>_imputed`); the input column is
+    * untouched. One hash aggregate broadcast back — the data side
+    * never shuffles.
+    * Options: `field` (required, numeric), `strategy` mean|median|
+    * constant (default mean), `value`, `keyField`, `outputField`. */
+  def impute(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(sys.error("impute: `field` required"))
+      require(df.columns.contains(fld), s"impute: no column '$fld'")
+      require(df.schema(fld).dataType.isInstanceOf[NumericType],
+        s"impute: '$fld' must be numeric, is ${df.schema(fld).dataType.simpleString}")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(k => require(df.columns.contains(k), s"impute: no key column '$k'"))
+      val outF = spec.strOr("outputField", s"${fld}_imputed")
+      val strategy = spec.strOr("strategy", "mean")
+      val filled: DataFrame = strategy match {
+        case "constant" =>
+          val v = spec.str("value").map(_.toDouble).getOrElse(
+            sys.error("impute: `value` required for strategy constant"))
+          df.withColumn(outF, coalesce(col(fld).cast("double"), lit(v)))
+        case "mean" | "median" =>
+          if (strategy == "mean")
+            require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+                .contains(df.schema(fld).dataType),
+              s"impute: mean strategy needs an INTEGRAL column (got " +
+              s"${df.schema(fld).dataType.simpleString}) — a float sum is " +
+              "partition-order-dependent and the decimal cast would " +
+              "silently truncate fractions; round/scale upstream (cents)")
+          val statCol =
+            if (strategy == "mean")
+              (sum(col(fld).cast(DecimalType(38, 0))).cast("double") /
+                count(col(fld)).cast("double")).as("__stat")
+            else percentile(col(fld), lit(0.5)).cast("double").as("__stat")
+          val stats = (if (keys.nonEmpty) df.groupBy(keys.map(col): _*)
+                       else df.groupBy()).agg(statCol)
+          val joined =
+            if (keys.isEmpty) df.crossJoin(broadcast(stats))
+            else df.join(broadcast(stats), keys, "left")
+          joined.withColumn(outF, coalesce(col(fld).cast("double"), col("__stat")))
+            .drop("__stat")
+        case other =>
+          sys.error(s"impute: unknown strategy '$other' (mean|median|constant)")
+      }
+      filled
+    }
+
   /** `correlate`: per-group Pearson correlation + ordinary-least-squares
     * fit between two INTEGER-valued columns — the drift/relationship
     * check a feature pipeline runs between signals (e.g. token count vs

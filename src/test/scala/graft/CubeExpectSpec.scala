@@ -59,6 +59,29 @@ class CubeExpectSpec extends SparkSpec {
     assert(sums == Seq(("eu", Some(7L), None), ("us", Some(30L), Some(5L))))
   }
 
+  test("unpivot: wide→long; null values drop unless kept; mixed types loud") {
+    val ctx = newCtx()
+    val wide = Seq((1L, Some(10L), Some(20L)), (2L, Some(30L), None))
+      .toDF("id", "x", "y")
+    def run(opts: (String, Any)*) = CubeStages.unpivot(ComponentSpec("unpivot",
+      Map("ids" -> Seq("id"), "values" -> Seq("x", "y")) ++ opts.toMap),
+      ctx)(wide)
+    val out = run().orderBy("id", "variable")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L)))
+    // keepNulls keeps the (2, y, null) row
+    assert(run("keepNulls" -> true).count() == 4)
+    // custom output names; no shuffle in the plan (Expand projection)
+    val named = run("variableField" -> "k", "valueField" -> "v")
+    assert(named.columns.toSeq == Seq("id", "k", "v"))
+    assert(!named.queryExecution.executedPlan.toString.contains("Exchange"))
+    // mixed value types are refused with the columns named
+    val e = intercept[Exception](CubeStages.unpivot(ComponentSpec("unpivot",
+      Map("ids" -> Seq("id"), "values" -> Seq("x", "s"))), ctx)(
+      Seq((1L, 2L, "t")).toDF("id", "x", "s")))
+    assert(e.getMessage.contains("share one type") && e.getMessage.contains("s:string"))
+  }
+
   test("flatten: recursive struct promotion, single-array explode, collisions loud") {
     val ctx = newCtx()
     val df = Seq((1L, ("x", (2L, "y")), Seq(10L, 20L)))

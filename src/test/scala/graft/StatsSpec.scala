@@ -269,6 +269,33 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("outField"))
   }
 
+  test("impute: mean/median/constant fills; all-null group stays null; mean guards type") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", None),
+      ("b", Some(5L)), ("b", None), ("c", None))
+      .toDF("g", "v")
+    def run(opts: (String, Any)*): Map[(String, Option[Long]), Option[Double]] =
+      graft.stages.StatStages.impute(ComponentSpec("impute",
+        Map("field" -> "v", "keyField" -> "g") ++ opts.toMap), ctx)(df)
+        .select(col("g"), col("v"), col("v_imputed"))
+        .as[(String, Option[Long], Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val mean = run("strategy" -> "mean")
+    assert(mean(("a", None)) == Some(15.0) && mean(("b", None)) == Some(5.0))
+    assert(mean(("a", Some(10L))) == Some(10.0)) // non-null passes through
+    assert(mean(("c", None)).isEmpty)            // all-null group stays null
+    val med = run("strategy" -> "median")
+    assert(med(("a", None)) == Some(15.0) && med(("b", None)) == Some(5.0))
+    val const = run("strategy" -> "constant", "value" -> -1)
+    assert(const(("c", None)) == Some(-1.0))
+    // mean over a float column fails LOUD (decimal cast would truncate)
+    val e = intercept[Exception](graft.stages.StatStages.impute(
+      ComponentSpec("impute", Map("field" -> "x", "strategy" -> "mean")),
+      ctx)(Seq(1.5).toDF("x")))
+    assert(e.getMessage.contains("INTEGRAL"))
+  }
+
   test("quantilebin: equal-frequency bins, cut ties stay low, nulls stay null") {
     val ctx = newCtx()
     import spark.implicits._
