@@ -658,6 +658,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a hash equi-join:\n$plan")
   }
 
+  test("funnel: per-step min-aggs + key joins — no window over event history") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val ev = (1L to 5000L).map(i => (i % 400, i.toDouble, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("u", "t", "e")
+    val out = graft.temporal.TemporalStages.funnel(
+      graft.spec.ComponentSpec("funnel", Map("keyField" -> "u",
+        "tsField" -> "t", "typeField" -> "e",
+        "steps" -> Seq("a", "b", "c"), "window" -> 100)), ctx)(ev)
+    val plan = planOf(out)
+    // the per-key progression must come from filtered min-aggregates +
+    // narrow key joins — a Window here would sort every key's full
+    // event history; partial aggregation must appear (map-side combine)
+    assert(!plan.contains("Window"), s"funnel must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
+    assert("partial_min|partial.*min|HashAggregate".r.findFirstIn(plan).isDefined,
+      s"expected hash aggregates:\n$plan")
+  }
+
+  test("retrievaleval: ONE query-partitioned window; metrics from (q, rank, rel) triples") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val cand = (1L to 4000L).map(i =>
+      (s"q${i % 50}", s"d$i", (i * 37 % 100).toDouble, (i % 7 == 0)))
+      .toDF("query_id", "doc_id", "score", "rel")
+      .withColumn("label", when(col("rel"), 1).otherwise(0)).drop("rel")
+    val out = graft.similarity.SimilarityStages.retrievalEval(
+      graft.spec.ComponentSpec("retrievaleval", Map("k" -> 5)), ctx)(cand)
+    // AQE's toString prints the final AND the initial plan — count
+    // windows in the FINAL section only
+    val plan = planOf(out).split("== Initial Plan ==").head
+    // exactly one Window (the per-query row_number), PARTITIONED by the
+    // query key — a global (partition-less) sort would funnel every
+    // candidate through one task
+    assert("Window ".r.findAllIn(plan).size == 1, s"one window expected:\n$plan")
+    assert(plan.contains("windowspecdefinition(__q"),
+      s"window must partition by query:\n$plan")
+  }
+
   test("clusteringcoef: shared deg/oriented lineage persists — one symmetrize pass") {
     // r14 verdict #5: deg is read 3× and oriented 3× (e1, e2, closing
     // join); without persists the symmetrize+distinct+join lineage
