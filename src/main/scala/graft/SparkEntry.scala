@@ -1699,6 +1699,33 @@ object SparkEntry {
           floor(col("rank") * lit(1e6) + lit(0.499999)).cast("bigint").as("rank_ppm"))
         .orderBy("id")
     },
+    "pagerank_personalized" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // PERSONALIZED PageRank (seeded teleport — the crawl-frontier /
+      // seed-expansion primitive) over the customer +1/+3 lattice
+      // (shortest_paths' graph: every custkey is a vertex at any SF, so
+      // the seeds '7','11' always exist and the loud seed check holds).
+      // Each vertex has at most TWO in-edges, so every per-dst
+      // contribution sum is a single commutative IEEE add — no
+      // summation-order noise anywhere (the ppm guard band still applies)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT *, c_custkey + 1 AS nxt1, c_custkey + 3 AS nxt3 FROM __input"}},
+          {"vertex": {"class": "customer", "idField": "c_custkey"}},
+          {"edge": {"joinFieldName": "nxt1", "lookup": "customer.c_custkey",
+                    "class": "step1", "direction": "out"}},
+          {"edge": {"joinFieldName": "nxt3", "lookup": "customer.c_custkey",
+                    "class": "step3", "direction": "out"}},
+          {"pagerank": {"iterations": 5, "damping": "0.85",
+                        "sourceIds": "7,11"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"),
+          floor(col("rank") * lit(1e6) + lit(0.499999)).cast("bigint").as("rank_ppm"))
+        .orderBy("id")
+    },
     "partitioned_write" -> { (s, dir) =>
       val c = ctx(s, dir)
       // hive-style partitioned layout (the cluster-by analogue of the
@@ -4254,6 +4281,23 @@ object SparkEntry {
         .select("query_id", "hits_at_k", "precision_at_k", "mrr")
         .orderBy("query_id")
     },
+    "retrieval_ndcg" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // NDCG@5 over the same planted candidate set: discount weights
+      // are 1e-6 fixed-point integers round(1e6/log2(i+1)) inlined in
+      // both plans (SimilarityStages.ndcgWeights), so DCG/IDCG are
+      // exact integer sums and the metric one IEEE division — hash-exact
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id % 10 AS query_id, doc_id, CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS score, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label FROM __input"}},
+          {"retrievaleval": {"k": 5, "ndcg": true}}],
+        "loader": {"memory": {}} }""")
+        .select("query_id", "mrr", "ndcg_at_k")
+        .orderBy("query_id")
+    },
     "event_deltas" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-user inter-event gaps + integer-cents spend deltas: ONE
@@ -4771,6 +4815,30 @@ object SparkEntry {
       "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
       "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src), " +
       "p0 AS (SELECT id, 1.0 / nc.n AS rank FROM nodes, nc), " + steps + " " +
+      "SELECT id, CAST(floor(rank * 1e6 + 0.499999) AS BIGINT) AS rank_ppm FROM p5 ORDER BY id"
+    },
+    "pagerank_personalized" -> {
+      // seeded teleport over the +1/+3 custkey lattice: the reset CASE
+      // mirrors the engine's lit(0.15) * reset two-step arithmetic
+      // (0.15*0.5 for seeds, 0.15*0.0 else — both exact halvings, so
+      // decimal-vs-binary literal parsing agrees); each dst has ≤ 2
+      // contributors → one commutative IEEE add per group, zero
+      // sum-order noise. p0 IS the reset vector (PPR init)
+      val reset = "CASE WHEN n.id IN ('7', '11') THEN 1.0 / 2 ELSE 0.0 END"
+      val steps = (1 to 5).map(i =>
+        s"p$i AS (SELECT n.id, 0.15 * ($reset) + 0.85 * coalesce(s.csum, 0) AS rank " +
+        s"FROM nodes n LEFT JOIN " +
+        s"(SELECT e.dst, sum(p.rank / dg.d) AS csum FROM p${i - 1} p " +
+        s"JOIN e ON e.src = p.id JOIN deg dg ON dg.src = p.id GROUP BY e.dst) s " +
+        s"ON s.dst = n.id)").mkString(", ")
+      "WITH e AS (" +
+      "SELECT CAST(c.c_custkey AS VARCHAR) AS src, CAST(c.c_custkey + 1 AS VARCHAR) AS dst " +
+      "FROM customer c WHERE EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = c.c_custkey + 1) " +
+      "UNION ALL SELECT CAST(c.c_custkey AS VARCHAR), CAST(c.c_custkey + 3 AS VARCHAR) " +
+      "FROM customer c WHERE EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = c.c_custkey + 3)), " +
+      "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)), " +
+      "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src), " +
+      "p0 AS (SELECT n.id, " + reset + " AS rank FROM nodes n), " + steps + " " +
       "SELECT id, CAST(floor(rank * 1e6 + 0.499999) AS BIGINT) AS rank_ppm FROM p5 ORDER BY id"
     },
     "graph_neighbors" ->
@@ -5897,6 +5965,28 @@ object SparkEntry {
        "CAST(sum(CASE WHEN rk <= 5 AND l > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS precision_at_k, " +
        "CAST(coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN l > 0 THEN rk END), 0.0) AS DOUBLE) AS mrr " +
        "FROM r GROUP BY q ORDER BY query_id"),
+    "retrieval_ndcg" -> {
+      // the SAME fixed-point discount integers the engine inlines
+      // (SimilarityStages.ndcgWeights) — identity by construction, so
+      // DCG/IDCG are exact integer sums in both engines and ndcg is one
+      // IEEE division of two < 2^53 exact values
+      val w = graft.similarity.SimilarityStages.ndcgWeights(5)
+      val wl = w.mkString("[", ", ", "]")
+      val pl = w.scanLeft(0L)(_ + _).tail.mkString("[", ", ", "]")
+      "WITH c AS (SELECT doc_id % 10 AS q, doc_id AS d, " +
+      "CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS s, " +
+      "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS l FROM documents), " +
+      "r AS (SELECT q, l, row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rk FROM c), " +
+      "a AS (SELECT q, " +
+      "CAST(coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN l > 0 THEN rk END), 0.0) AS DOUBLE) AS mrr, " +
+      s"CAST(sum(CASE WHEN rk <= 5 AND l > 0 THEN list_extract($wl, CAST(rk AS INTEGER)) ELSE 0 END) AS BIGINT) AS dcg, " +
+      "CAST(sum(CASE WHEN l > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nrel FROM r GROUP BY q) " +
+      "SELECT q AS query_id, mrr, " +
+      "CASE WHEN nrel > 0 THEN CAST(dcg AS DOUBLE) / " +
+      s"CAST(list_extract($pl, CAST(least(nrel, 5) AS INTEGER)) AS DOUBLE) " +
+      "ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_k " +
+      "FROM a ORDER BY query_id"
+    },
     "event_deltas" ->
       ("SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us, " +
        "cents - lag(cents) OVER w AS cents_delta " +
@@ -5922,7 +6012,7 @@ object SparkEntry {
        "m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM b " +
        "WHERE cents IS NOT NULL GROUP BY 1) " +
        "SELECT b.event_id, coalesce(CAST(b.cents AS DOUBLE), m.med) AS cents_imputed " +
-       "FROM b JOIN m ON b.event_type = m.event_type ORDER BY event_id"),
+       "FROM b LEFT JOIN m ON b.event_type = m.event_type ORDER BY event_id"),
     "quantile_bins" ->
       ("WITH s AS (SELECT o_orderpriority, quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), [0.25, 0.5, 0.75]) AS cuts FROM orders GROUP BY 1) " +
        "SELECT o.o_orderkey, o.o_orderpriority, " +

@@ -43,7 +43,14 @@ object GraphStages {
     * SQL oracle). Options: `iterations` (default 5), `damping`
     * (default 0.85), `weighted` (default false — out-rank splits
     * proportionally to the `edge` stage's `weightField` instead of
-    * uniformly). Output: (id, rank).
+    * uniformly), `sourceIds` (optional, comma-separated — PERSONALIZED
+    * PageRank: the teleport mass concentrates uniformly on the listed
+    * seed vertices instead of spreading over all n, and ranks
+    * initialize to the same seeded reset vector. This is the
+    * crawl-frontier / seed-expansion primitive: scores measure
+    * proximity to the seeds, pairing with `htmllinks`→`edge`. Unknown
+    * seed ids fail loud — silent mass loss otherwise). Output:
+    * (id, rank).
     *
     * Scale shape: each iteration is one equi-join of the edge list with
     * the rank vector plus a hash aggregation on dst — the canonical
@@ -99,7 +106,33 @@ object GraphStages {
       val deg = ckpt(edges.groupBy("src").agg(
         (if (weighted) sum("__w") else count(lit(1)).cast("double"))
           .as("__deg")))
-      var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      // Personalized reset vector: uniform 1/|S| over the seed set when
+      // `sourceIds` is given, else the classic uniform 1/n. The reset
+      // column rides the (already tiny) per-node select — no extra
+      // shuffle; the seed membership test is an `isin` over a literal
+      // list (seed sets are human-sized; a frontier-sized seed TABLE
+      // would be a different stage contract).
+      val seeds = spec.str("sourceIds")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+      val reset: org.apache.spark.sql.Column = seeds match {
+        case Some(ss) =>
+          // unknown seeds would silently lose teleport mass — fail loud
+          // (one bounded job over the checkpointed node set)
+          val found = nodes.where(col("id").isin(ss: _*)).count()
+          require(found == ss.size,
+            s"pagerank: sourceIds lists ${ss.size} seeds but only $found " +
+            "are vertices of the graph — check ids (personalized " +
+            "teleport mass must sum to 1)")
+          when(col("id").isin(ss: _*), lit(1.0 / ss.size)).otherwise(lit(0.0))
+        case None => lit(1.0 / n)
+      }
+      // classic path keeps the single-rounded `teleport / n` double the
+      // unrolled SQL oracle spells; the seeded path multiplies the reset
+      // column (oracle mirrors the same two-step arithmetic)
+      val teleportTerm: org.apache.spark.sql.Column =
+        if (seeds.isDefined) lit(teleport) * reset else lit(teleport / n)
+      var ranks = nodes.select(col("id"), reset.as("rank"))
       for (i <- 0 until iters) {
         val contrib =
           if (weighted) col("rank") * col("__w") / col("__deg")
@@ -112,7 +145,7 @@ object GraphStages {
           .groupBy("__cid").agg(sum("__c").as("__csum"))
         ranks = nodes.join(contribs, col("id") === col("__cid"), "left")
           .select(col("id"),
-            (lit(teleport / n) + lit(d) * coalesce(col("__csum"), lit(0.0))).as("rank"))
+            (teleportTerm + lit(d) * coalesce(col("__csum"), lit(0.0))).as("rank"))
         // checkpointEvery <= 0 means "never checkpoint" (and must not
         // divide by zero)
         if (ckptEvery > 0 && i % ckptEvery == ckptEvery - 1 && i != iters - 1)

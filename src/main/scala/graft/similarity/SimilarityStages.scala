@@ -928,18 +928,25 @@ object SimilarityStages {
     *  - `precision_at_k` — relevant-in-top-k / k (ONE IEEE division of
     *    two exact integers — hash-stable);
     *  - `mrr` — 1 / rank of the first relevant candidate (one exact
-    *    division; 0.0 when none).
-    * nDCG is deliberately absent: its log2 discount takes different
-    * final-ulp paths across engines' libm, so it cannot be
-    * oracle-verified hash-exactly — MRR and precision carry the same
-    * ordering signal deterministically.
+    *    division; 0.0 when none);
+    *  - `ndcg_at_k` (when `ndcg: true`) — binary-relevance NDCG@k with
+    *    the standard `1/log2(rank+1)` discount QUANTIZED to 1e-6
+    *    fixed-point integers (`round(1e6/log2(i+1))`, computed once on
+    *    the driver and inlined as literals in BOTH the Spark plan and
+    *    the oracle SQL). DCG and ideal-DCG then accumulate as exact
+    *    integer sums — order-independent, engine-portable — and the
+    *    metric is ONE IEEE division of the two. A raw libm log2 in the
+    *    aggregate would take different final-ulp paths across engines
+    *    and break hash-exact verification; the quantized weights are
+    *    ordering-identical to exact NDCG for any k < 10^6.
     *
     * Scale shape: ONE row_number window PARTITIONED by query (parallel
     * across queries; per-query candidate lists are already bounded by
     * the upstream retrieval's k') + one hash aggregate over (query,
     * rank, label) triples — candidate payloads never ride the shuffle.
     * Options: `queryField` (default query_id), `docField` (doc_id),
-    * `scoreField` (score), `labelField` (label), `k` (default 10). */
+    * `scoreField` (score), `labelField` (label), `k` (default 10),
+    * `ndcg` (default false). */
   def retrievalEval(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val q = spec.strOr("queryField", "query_id")
@@ -948,6 +955,7 @@ object SimilarityStages {
       val l = spec.strOr("labelField", "label")
       val k = spec.int("k", 10)
       require(k >= 1, s"retrievaleval: k must be >= 1, got $k")
+      val withNdcg = spec.bool("ndcg", dflt = false)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__q")).orderBy(col("__s").desc, col("__d").asc)
       val ranked = df
@@ -955,13 +963,33 @@ object SimilarityStages {
           col(s).as("__s"), (col(l) > 0).as("__rel"))
         .withColumn("__rk", row_number().over(w))
         .select(col("__q"), col("__rk"), col("__rel"))
-      ranked.groupBy(col("__q").as(q))
+      val base = ranked.groupBy(col("__q").as(q))
         .agg(
           max(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
             .as("hits_at_k"),
           (sum(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
             .cast("double") / lit(k.toDouble)).as("precision_at_k"),
           coalesce(lit(1.0) / min(when(col("__rel"), col("__rk"))), lit(0.0))
-            .as("mrr"))
+            .as("mrr"),
+          sum(when(col("__rk") <= k && col("__rel"),
+              element_at(typedLit(ndcgWeights(k)), col("__rk").cast("int")))
+            .otherwise(0L)).as("__dcg"),
+          sum(when(col("__rel"), 1L).otherwise(0L)).as("__nrel"))
+      if (!withNdcg) base.drop("__dcg", "__nrel")
+      else base
+        .withColumn("ndcg_at_k", when(col("__nrel") > 0,
+            col("__dcg").cast("double") /
+              element_at(typedLit(ndcgWeights(k).scanLeft(0L)(_ + _).tail),
+                least(col("__nrel"), lit(k.toLong)).cast("int"))
+                .cast("double"))
+          .otherwise(lit(0.0)))
+        .drop("__dcg", "__nrel")
     }
+
+  /** 1e-6 fixed-point discount weights `round(1e6 / log2(i+1))` for
+    * ranks i = 1..k — see [[retrievalEval]]'s ndcg docs. Deterministic:
+    * Java's StrictMath-backed log on the driver, rounded once; the same
+    * integers are inlined into the oracle SQL. */
+  private[graft] def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
 }

@@ -502,15 +502,22 @@ object SplitStages {
           val share = (BigDecimal(b) * frac / weightSum).toLong // floor
           // deterministic take order: lowercase md5 hex of (key ||
           // salt || name); bucket = first 2 hex chars, so ordering by
-          // (hash, key) is identical to (bucket, hash, key)
-          val hash = md5(concat(col(keyField).cast("string"),
-            lit(salt + name)).cast("binary"))
+          // (hash, key) is identical to (bucket, hash, key).
+          // NULL keys coalesce to a sentinel BEFORE hashing — a null
+          // key would otherwise null the md5 and the row would silently
+          // vanish from the __b join and the __cum filter (ADVICE r15);
+          // with the sentinel, null-keyed docs participate
+          // deterministically (they all share one hash, ordered
+          // adjacently — fine: the key is an identity, not a weight)
+          val keyStr = coalesce(col(keyField).cast("string"),
+            lit(" __graft_null_key__"))
+          val hash = md5(concat(keyStr, lit(salt + name)).cast("binary"))
           // helper columns computed BEFORE the projection: `keyField`
           // and the token source need not survive into `columns`
           val rows = part
             .withColumn("__h", hash)
             .withColumn("__b", substring(col("__h"), 1, 2))
-            .withColumn("__k", col(keyField).cast("string"))
+            .withColumn("__k", keyStr)
             .withColumn("__tok", tokCol)
             .select(cols.map(col) ++ Seq(lit(name).as("mix_source"),
               col("__h"), col("__b"), col("__k"), col("__tok")): _*)

@@ -516,7 +516,11 @@ object LookupStages {
     * Options: `right` (table or SELECT, required), `on` (join key,
     * required — must exist on both sides), `saltBuckets` (default 16),
     * `joinType` inner (default) | left, `rightPrefix` (optional,
-    * prefixes every attached right column). */
+    * prefixes every attached right column), `maxRightRows` (default
+    * 10,000,000 — bounded probe; the right side is REPLICATED
+    * saltBuckets×, so an oversized right silently multiplies shuffle
+    * volume; past the bound the stage fails loud with the salt-factor
+    * math instead). */
   def skewjoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val right0 = ctx.tableOrSql(spec.str("right").getOrElse(
@@ -524,6 +528,20 @@ object LookupStages {
       val on = spec.str("on").getOrElse(sys.error("skewjoin: `on` key required"))
       val n = spec.int("saltBuckets", 16)
       require(n >= 2, s"skewjoin: saltBuckets must be >= 2, got $n")
+      // Bounded size probe (same pattern as the etl stage's tuple cap
+      // above): replication cost is saltBuckets × |right|, so a large
+      // right side is a config error, not something to absorb silently.
+      val maxRight = spec.long("maxRightRows").getOrElse(10000000L)
+      require(maxRight > 0, s"skewjoin: maxRightRows must be > 0, got $maxRight")
+      val probeLimit = math.min(maxRight + 1, Int.MaxValue.toLong).toInt
+      val probed = right0.limit(probeLimit).count()
+      if (probed > maxRight) sys.error(
+        s"skewjoin: right side exceeds maxRightRows=$maxRight rows — it is " +
+        s"replicated saltBuckets=$n times before the join (> ${n}×$maxRight " +
+        "rows shuffled). skewjoin is for a dimension-sized right against a " +
+        "hot-keyed left; for two large tables use a plain join with AQE " +
+        "skew handling, or raise maxRightRows if the replication cost is " +
+        "intended")
       val joinType = spec.strOr("joinType", "inner") match {
         case t @ ("inner" | "left") => t
         case other => sys.error(s"skewjoin: joinType must be inner|left, got '$other'")
@@ -538,8 +556,15 @@ object LookupStages {
       val right = right0.select(col(on).as("__sjk") +:
         rightCols.map(c => col(c).as(prefix + c)): _*)
         .withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
+      // Left salt: join key + a per-row disambiguator. Hashing the key
+      // alone would co-salt the whole hot key (the skew we're curing);
+      // hashing the whole row (pre-r16) co-salted exact-duplicate rows —
+      // common after narrow projections of a hot key. The disambiguator
+      // (monotonically_increasing_id) spreads duplicates round-robin;
+      // the OUTPUT is salt-invariant (every salt value matches exactly
+      // one right replica), so non-determinism under retry is harmless.
       val left = df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(n)))
+        pmod(xxhash64(col(on), monotonically_increasing_id()), lit(n)))
       left.join(right,
           left(on) === col("__sjk") && left("__salt") === right("__salt"),
           joinType)

@@ -124,9 +124,28 @@ object StatStages {
           import spark.implicits._
           rows.toDF("__val", "__id")
         case None =>
-          val w = org.apache.spark.sql.expressions.Window.orderBy(col("__val"))
-          val m = df.select(col(f).cast("string").as("__val"))
+          val distinctVals = df.select(col(f).cast("string").as("__val"))
             .where(col("__val").isNotNull).distinct()
+          // Cardinality guard: the id assignment below is a global
+          // (single-partition) window over the DISTINCT set plus, with
+          // saveMapping, a driver collect — vocabulary-sized by design.
+          // Nothing structural stops a user pointing this at a
+          // high-cardinality column, where that sort IS the job; probe
+          // with a bounded limit+count and fail loud naming the
+          // migration instead of silently becoming a single-reducer sort.
+          val maxCard = spec.long("maxCardinality").getOrElse(1000000L)
+          require(maxCard > 0,
+            s"labelencode: maxCardinality must be > 0, got $maxCard")
+          val cardProbe = math.min(maxCard + 1, Int.MaxValue.toLong).toInt
+          if (distinctVals.limit(cardProbe).count() > maxCard) sys.error(
+            s"labelencode: column '$f' has more than $maxCard distinct " +
+            "values — label encoding assigns ids through a vocabulary-" +
+            "sized global sort, which does not scale to high-cardinality " +
+            "columns. Use `featurehash` for a fixed-width hashed id, or " +
+            "raise maxCardinality if the vocabulary is genuinely this " +
+            "large and the single-partition sort cost is accepted")
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("__val"))
+          val m = distinctVals
             .withColumn("__id", row_number().over(w).cast("long") - 1 + start)
           spec.str("saveMapping").foreach { path =>
             val p = java.nio.file.Paths.get(path)
@@ -522,6 +541,18 @@ object StatStages {
     Stages.common(spec, ctx) { df =>
       val xF = spec.str("xField").getOrElse(sys.error("correlate: xField required"))
       val yF = spec.str("yField").getOrElse(sys.error("correlate: yField required"))
+      // Same integral contract as impute's mean strategy: the exact-sum
+      // path casts to decimal(38,0), which SILENTLY ROUNDS fractional
+      // inputs — a double column would yield quietly-wrong r/slope.
+      Seq(xF, yF).foreach { f =>
+        require(df.columns.contains(f), s"correlate: no column '$f'")
+        require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+            .contains(df.schema(f).dataType),
+          s"correlate: '$f' must be an INTEGRAL column (got " +
+          s"${df.schema(f).dataType.simpleString}) — the exact decimal " +
+          "sums would silently round fractions; scale upstream (cents, " +
+          "micros) to integers first")
+      }
       val keys = spec.str("groupBy").map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Nil)
       val x = col(xF).cast(DecimalType(38, 0))

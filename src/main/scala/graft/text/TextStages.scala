@@ -809,9 +809,13 @@ object TextStages {
             .select(col(id).as("__kid"), col(outF).as("__kw"))
             .orderBy(col("__kw").desc, col("__kid").asc).limit(kk)
             .select("__kid")
+          // semi-join recovery can return MORE than K rows when ids
+          // repeat or are null (all null-id rows co-match via <=>);
+          // re-apply the limit so the contract stays "exactly K rows",
+          // matching the pre-rewrite orderBy.limit semantics (ADVICE r15)
           floored
             .join(broadcast(winners), col(id) <=> col("__kid"), "left_semi")
-            .orderBy(col(outF).desc, col(id).asc)
+            .orderBy(col(outF).desc, col(id).asc).limit(kk)
         case None => floored
       }
     }

@@ -38,6 +38,34 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr("b") - 0.13875) < 1e-12)
   }
 
+  test("pagerank personalized: seeded teleport, PPR init, unknown seeds fail loud") {
+    val ctx = newCtx()
+    ctx.addEdges(Seq(("a", "b"), ("b", "c"))
+      .toDF("src", "dst").withColumn("label", lit("e")))
+    val pr = graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("iterations" -> 5, "sourceIds" -> "a")),
+      ctx)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reset mass all on a: a = 0.15·1 every round; b = 0.85·a once a
+    // stabilizes; c = 0.85·b — proximity to the seed, not global rank
+    assert(math.abs(pr("a") - 0.15) < 1e-12)
+    assert(math.abs(pr("b") - 0.85 * 0.15) < 1e-12)
+    assert(math.abs(pr("c") - 0.85 * 0.85 * 0.15) < 1e-12)
+    // two seeds split the teleport mass 1/|S| each
+    val pr2 = graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("iterations" -> 5, "sourceIds" -> "a,c")),
+      ctx)(spark.emptyDataFrame)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr2("a") - 0.15 * 0.5) < 1e-12)
+    assert(math.abs(pr2("c") - (0.15 * 0.5 + 0.85 * pr2("b"))) < 1e-12)
+    // a seed that is not a vertex would silently lose teleport mass —
+    // fail loud instead
+    val e = intercept[Exception](graft.graph.GraphStages.pageRank(
+      ComponentSpec("pagerank", Map("sourceIds" -> "a,zz")), ctx)(
+      spark.emptyDataFrame))
+    assert(e.getMessage.contains("sourceIds"), e.getMessage)
+  }
+
   test("pagerank weighted: out-rank splits by edge weight; unweighted edges coalesce to 1") {
     val ctx = newCtx()
     // a → b (w=3), a → c (w=1): a's rank splits 3:1

@@ -380,6 +380,12 @@ class LlmStagesSpec extends SparkSpec {
     // named migration error when target is missing
     val e = intercept[Exception](stage("dsirweight")(df))
     assert(e.getMessage.contains("target"))
+    // topK under DUPLICATE ids returns exactly K rows (ADVICE r15: the
+    // semi-join recovery alone co-matched every duplicate of a winner)
+    val dupDf = Seq((1L, "a c d"), (1L, "a c d"), (2L, "b b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    assert(stage("dsirweight", "target" -> "SELECT text FROM __dsir_target",
+      "topK" -> 2)(dupDf).count() == 2)
   }
 
   test("gopherfilter: per-rule flags on constructed pass/fail docs; filter action") {
@@ -736,6 +742,34 @@ class LlmStagesSpec extends SparkSpec {
       .select("hits_at_k", "precision_at_k", "mrr")
       .as[(Long, Double, Double)].head()
     assert(k1 == ((0L, 0.0, 1.0 / 2.0)))
+  }
+
+  test("retrievaleval: ndcg_at_k from fixed-point integer discounts") {
+    val w = graft.similarity.SimilarityStages.ndcgWeights(3)
+    assert(w == Seq(1000000L, 630930L, 500000L)) // round(1e6/log2(i+1))
+    // q1: relevant at ranks 2 and 3 → dcg = w2+w3, ideal (2 relevant)
+    // = w1+w2; q2: nothing relevant → 0.0 by convention
+    val df = Seq(
+      ("q1", "d1", 3.0, 0), ("q1", "d2", 2.0, 1), ("q1", "d3", 1.0, 1),
+      ("q2", "d1", 5.0, 0))
+      .toDF("query_id", "doc_id", "score", "label")
+    val out = stage("retrievaleval", "k" -> 3, "ndcg" -> true)(df)
+      .select("query_id", "ndcg_at_k").as[(String, Double)].collect().toMap
+    assert(out("q1") == (w(1) + w(2)).toDouble / (w(0) + w(1)).toDouble)
+    assert(out("q2") == 0.0)
+    // ideal ranking scores exactly 1.0 (dcg == idcg, same integers)
+    val ideal = Seq(("q", "d1", 2.0, 1), ("q", "d2", 1.0, 0))
+      .toDF("query_id", "doc_id", "score", "label")
+    assert(stage("retrievaleval", "k" -> 3, "ndcg" -> true)(ideal)
+      .select("ndcg_at_k").as[Double].head() == 1.0)
+    // MORE relevant docs than k: ideal truncates at k (least(nrel, k))
+    val many = (1 to 5).map(i => ("q", s"d$i", 10.0 - i, 1))
+      .toDF("query_id", "doc_id", "score", "label")
+    assert(stage("retrievaleval", "k" -> 3, "ndcg" -> true)(many)
+      .select("ndcg_at_k").as[Double].head() == 1.0)
+    // default stays the three-metric schema — no ndcg column
+    assert(!stage("retrievaleval", "k" -> 3)(df)
+      .columns.contains("ndcg_at_k"))
   }
 
   test("datasplit: deterministic, key-stable, fractions approximately honored") {
@@ -1343,6 +1377,21 @@ class LlmStagesSpec extends SparkSpec {
     assert(out("web").map(_._1).toSet != out("code").map(_._1).toSet)
     // reproducible
     assert(run(800) == out)
+  }
+
+  test("mixture: budget mode keeps NULL-keyed rows via the sentinel hash") {
+    // ADVICE r15: a null keyField used to null the md5 → the row
+    // silently vanished from the bucket join and the cumulative filter
+    val path = java.nio.file.Files.createTempDirectory("graft-mixture-null")
+      .resolve("part_src").toString
+    Seq((Some(1L), "w w"), (None: Option[Long], "w w w"), (Some(2L), "w"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+    val out = stage("mixture", "keyField" -> "doc_id", "budget" -> 100L,
+      "parts" -> Seq(Map("path" -> path, "fraction" -> 1, "name" -> "p")))(
+      spark.emptyDataFrame)
+    // budget covers every row: all 3 participate, including the null key
+    assert(out.count() == 3)
+    assert(out.where(col("doc_id").isNull).count() == 1)
   }
 
   test("urlnormalize: case/port/tracking/fragment/param-order canonicalization") {

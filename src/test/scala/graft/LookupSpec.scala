@@ -345,4 +345,34 @@ class LookupSpec extends SparkSpec {
       ctx)(left.withColumn("name", lit("x"))))
     assert(err.getMessage.contains("rightPrefix"))
   }
+
+  test("skewjoin: right-side size guard; duplicate left rows spread across salts") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, 1L)).toDF("rid", "k")
+    (1L to 50L).map(i => (i, s"n$i")).toDF("k", "name")
+      .createOrReplaceTempView("sj_big_dim")
+    // planted oversized right (50 rows > maxRightRows 10): the stage
+    // must fail LOUD with the replication math, not silently shuffle
+    // saltBuckets × |right|
+    val e = intercept[Exception](graft.stages.LookupStages.skewjoin(
+      ComponentSpec("skewjoin", Map("right" -> "sj_big_dim", "on" -> "k",
+        "maxRightRows" -> 10)), ctx)(left))
+    assert(e.getMessage.contains("maxRightRows"), e.getMessage)
+    assert(e.getMessage.contains("replicated"), e.getMessage)
+    // EXACT-DUPLICATE left rows (narrow projection of a hot key — the
+    // ADVICE r15 hazard: a whole-row hash co-salts them into one
+    // reducer): results stay exact and the plan salts by key + a
+    // per-row disambiguator, not the row content
+    val dup = Seq.fill(200)((1L, "payload")).toDF("k", "v")
+    val out = graft.stages.LookupStages.skewjoin(
+      ComponentSpec("skewjoin", Map("right" -> "sj_big_dim", "on" -> "k",
+        "saltBuckets" -> 4)), ctx)(dup)
+    assert(out.count() == 200)
+    // the executed plan can fold a local-relation projection away —
+    // assert on the analyzed plan, where the salt expression is visible
+    val plan = out.queryExecution.analyzed.toString
+    assert(plan.contains("monotonically_increasing_id"),
+      s"salt must carry a per-row disambiguator:\n$plan")
+  }
 }

@@ -357,5 +357,28 @@ class StatsSpec extends SparkSpec {
     assert(intercept[Exception](graft.stages.StatStages.correlate(
       ComponentSpec("correlate", Map("yField" -> "y")), ctx)(df))
       .getMessage.contains("xField"))
+    // non-integral input fails loud (ADVICE r15: the decimal(38,0)
+    // exact-sum cast would silently ROUND fractional x/y — the same
+    // contract impute's mean strategy enforces)
+    val frac = Seq((1.5, 2L), (2.5, 3L)).toDF("x", "y")
+    val fe = intercept[Exception](graft.stages.StatStages.correlate(
+      ComponentSpec("correlate", Map("xField" -> "x", "yField" -> "y")),
+      ctx)(frac))
+    assert(fe.getMessage.contains("INTEGRAL"), fe.getMessage)
+  }
+
+  test("labelencode: cardinality guard fails loud naming featurehash") {
+    val ctx = newCtx()
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "cat")
+    // past the documented bound the global-window id assignment IS the
+    // job — the guard must name the scalable migration
+    val e = intercept[Exception](StatStages.labelEncode(ComponentSpec(
+      "labelencode", Map("field" -> "cat", "maxCardinality" -> 5)), ctx)(df))
+    assert(e.getMessage.contains("featurehash"), e.getMessage)
+    assert(e.getMessage.contains("5"))
+    // at the bound exactly (10 distinct ≤ 10) it still encodes
+    val ok = StatStages.labelEncode(ComponentSpec("labelencode",
+      Map("field" -> "cat", "maxCardinality" -> 10)), ctx)(df)
+    assert(ok.where(col("cat_id").isNotNull).count() == 10)
   }
 }
