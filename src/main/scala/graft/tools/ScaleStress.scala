@@ -269,7 +269,7 @@ object ScaleStress {
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
-      "scc_color", "mixture_budget")
+      "scc_color", "mixture_budget", "funnel_steps")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -564,6 +564,20 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT count(*) AS kept FROM __input WHERE length(text) > 0"}}],
           "loader": {"memory": {}} }""",
+        // 4-step funnel: users ∝ N (~66 events each), step labels from
+        // eid % 4 — the S−1 sequential keyed min-agg joins must be
+        // linear-flat (no windows over event rows); the trailing filter
+        // references steps_completed (count-elimination trap)
+        "funnel_steps" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT user_id, t, concat('s', CAST(eid % 4 AS STRING)) AS event_type FROM __input"}},
+            {"funnel": {"keyField": "user_id", "tsField": "t",
+              "steps": ["s0", "s1", "s2", "s3"]}},
+            {"code": {"language": "sql", "code":
+              "SELECT key FROM __input WHERE steps_completed >= 2"}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [
@@ -584,7 +598,7 @@ object ScaleStress {
         val nDisp = name match {
           case "cosine_dup" | "semantic_dedup" => m
           case "asof_join" | "asof_nearest" | "range_join" |
-               "interval_join" => 10000L * factor
+               "interval_join" | "funnel_steps" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }
@@ -675,6 +689,40 @@ object ScaleStress {
       val t = { val a = once(); val b = once(); math.min(a, b) }
       results(("upsert_delta", factor)) = t
       println(f"[stress] upsert_delta       factor=$factor%-2d n=$n%-6d min-of-2 = $t%7.2fs (table=${n} rows, delta=200)")
+    }
+    // skewjoin leg (r15 verdict #3): the docs fixture's PLANTED 20% hot
+    // domain joined against its ~1001-row domain dimension with
+    // broadcast DISABLED — the regime the stage exists for (a right
+    // side past the broadcast threshold, a hot left key funnelling one
+    // sort-merge reducer). Times the salted plan AND the plain shuffle
+    // join; the claim is beats-or-tracks at 100× under skew. The
+    // trailing filter references a right column (count-elimination trap).
+    for (factor <- Seq(1, 10, 100) if enabled("skew_join")) {
+      val n = 5000L * factor
+      val docs = ensureDocs(spark, n, s"/tmp/graft_stress_docs_f$factor")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW skj_dim AS " +
+        s"SELECT domain, count(*) AS dn FROM parquet.`$docs` GROUP BY 1")
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val salted = time2(s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"skewjoin": {"right": "SELECT domain, dn FROM skj_dim",
+              "on": "domain", "saltBuckets": 16}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE dn > 0"}}],
+          "loader": {"memory": {}} }""")
+        val plain = time2(s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT t.doc_id FROM __input t JOIN skj_dim d ON t.domain = d.domain WHERE d.dn > 0"}}],
+          "loader": {"memory": {}} }""")
+        results(("skewjoin_salted", factor)) = salted
+        results(("skewjoin_plain", factor)) = plain
+        println(f"[stress] skewjoin_salted    factor=$factor%-2d n=$n%-6d min-of-2 = $salted%7.2fs (plain shuffle join $plain%.2fs)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     }
     println("[stress] scaling exponents (1.0 = linear in N; the 10->100 column")
     println("[stress] is the honest one — fixed job-launch cost dominates factor 1):")
