@@ -365,9 +365,11 @@ object Bench {
           val e = m.createObjectNode()
           e.put("immediate", math.rint(imm * 1000) / 1000)
           e.put("deferred", math.rint(dfr * 1000) / 1000)
-          n.set(k, e)
+          // set's T is invoked-position-inferred: inside a lambda it
+          // lands on Nothing and the emitted checkcast throws — pin it
+          n.set[com.fasterxml.jackson.databind.JsonNode](k, e)
         }
-        root.set("deferred_rechecks", n)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("deferred_rechecks", n)
       }
       try m.writerWithDefaultPrettyPrinter()
         .writeValue(new java.io.File("BENCH_DETAIL.json"), root)

@@ -4398,6 +4398,66 @@ object SparkEntry {
         .select("event_type", "n", "r", "slope", "intercept")
         .orderBy("event_type")
     },
+    "cumulate_running" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-user running event count + exact integer-cents running
+      // spend: ONE keyed window, event_id completes the total order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"cumulate": {"keyField": "user_id", "tsField": "ts",
+            "tieField": "event_id", "valueFields": ["cents"]}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cum_n", "cents_cumsum").orderBy("event_id")
+    },
+    "kanonymity_filter" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // k-anonymity release filter over a (nullable event_type, user)
+      // quasi tuple: rows in groups smaller than k=3 are withheld;
+      // planted NULLs must form their own group (null-safe grouping)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS etype, user_id FROM events"}},
+          {"kanonymity": {"fields": ["etype", "user_id"], "k": 3}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "etype", "user_id").orderBy("event_id")
+    },
+    "chi_square" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // χ² feature–class association (nullable feature, binary class):
+      // exact long contingency counts, decimal cross-product diff, one
+      // fixed-order IEEE finish — hash-exact doubles
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END AS feature, user_id % 2 AS class FROM events"}},
+          {"chisquare": {"featureField": "feature", "classField": "class"}}],
+        "loader": {"memory": {}} }""")
+        .select("feature", "class", "n11", "n_feature", "n_class", "n", "chi2")
+        .orderBy("feature", "class")
+    },
+    "collocations_pmi" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // corpus bigram collocations ranked by integer-bits PMI (the
+      // tokeninfo length(bin(·)) rule — no libm log): one corpus agg,
+      // marginals re-aggregate the pair table
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"collocations": {"field": "text", "minCount": 3}}],
+        "loader": {"memory": {}} }""")
+        .select("w1", "w2", "n_xy", "n_x", "n_y", "pmi_bits")
+        .orderBy("w1", "w2")
+    },
     "mm_audio_levels" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // PCM SAMPLE statistics from the real WAV bytes: peak amplitude,
@@ -6031,6 +6091,50 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "cumulate_running" ->
+      ("SELECT event_id, count(*) OVER w AS cum_n, " +
+       "CAST(sum(cents) OVER w AS BIGINT) AS cents_cumsum " +
+       "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id"),
+    "kanonymity_filter" ->
+      ("WITH b AS (SELECT event_id, CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS etype, user_id FROM events), " +
+       "c AS (SELECT etype, user_id, count(*) AS kn FROM b GROUP BY 1, 2) " +
+       "SELECT b.event_id, b.etype, b.user_id FROM b JOIN c " +
+       "ON b.etype IS NOT DISTINCT FROM c.etype AND b.user_id = c.user_id " +
+       "WHERE c.kn >= 3 ORDER BY event_id"),
+    "chi_square" ->
+      ("WITH b AS (SELECT CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END AS feature, user_id % 2 AS class FROM events), " +
+       "p AS (SELECT feature, class, count(*) AS n11 FROM b GROUP BY 1, 2), " +
+       "f AS (SELECT feature, CAST(sum(n11) AS BIGINT) AS n_feature FROM p GROUP BY 1), " +
+       "c AS (SELECT class, CAST(sum(n11) AS BIGINT) AS n_class FROM p GROUP BY 1), " +
+       "t AS (SELECT CAST(sum(n11) AS BIGINT) AS n FROM p), " +
+       "j AS (SELECT p.feature, p.class, p.n11, f.n_feature, c.n_class, t.n, " +
+       "CAST(p.n11 * (t.n - f.n_feature - c.n_class + p.n11) " +
+       "- (f.n_feature - p.n11) * (c.n_class - p.n11) AS DOUBLE) AS diff, " +
+       "CAST(f.n_feature AS DOUBLE) * CAST(t.n - f.n_feature AS DOUBLE) " +
+       "* CAST(c.n_class AS DOUBLE) * CAST(t.n - c.n_class AS DOUBLE) AS den " +
+       "FROM p JOIN f ON p.feature IS NOT DISTINCT FROM f.feature " +
+       "JOIN c ON p.class = c.class CROSS JOIN t) " +
+       "SELECT feature, class, n11, n_feature, n_class, n, " +
+       "CASE WHEN den > 0 THEN CAST(n AS DOUBLE) * diff * diff / den END AS chi2 " +
+       "FROM j ORDER BY feature NULLS FIRST, class"),
+    "collocations_pmi" ->
+      ("WITH t AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l FROM documents), " +
+       "bg AS (SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM t WHERE len(l) >= 2), " +
+       "cb AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY 1, 2), " +
+       "cl AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cb GROUP BY 1), " +
+       "cr AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cb GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cb), " +
+       "j AS (SELECT cb.w1, cb.w2, cb.n_xy, cl.n_x, cr.n_y, " +
+       "CAST(tot.n * cb.n_xy AS BIGINT) AS a, CAST(cl.n_x * cr.n_y AS BIGINT) AS b " +
+       "FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot " +
+       "WHERE cb.n_xy >= 3) " +
+       "SELECT w1, w2, n_xy, n_x, n_y, " +
+       "CASE WHEN a >= b THEN CAST(length(bin(a // b)) AS BIGINT) " +
+       "ELSE -CAST(length(bin(b // a)) AS BIGINT) END AS pmi_bits " +
+       "FROM j ORDER BY w1, w2"),
     "mm_audio_levels" ->
       ("WITH d AS (SELECT doc_id, (500 + doc_id * 13 % 1000) * (1 + doc_id % 2) AS nv FROM documents), " +
        "s AS (SELECT doc_id, nv, unnest(range(0, CAST(nv AS BIGINT))) AS i FROM d), " +

@@ -110,6 +110,7 @@ object Engine {
     "tokenize"      -> graft.text.TextStages.tokenize _,
     "bpe"           -> graft.text.TextStages.bpe _,
     "tokeninfo"     -> graft.text.TextStages.tokenInfo _,
+    "collocations"  -> graft.text.TextStages.collocations _,
     "sentencesplit" -> graft.text.TextStages.sentenceSplit _,
     "tfidf"         -> graft.text.TextStages.tfidf _,
     "dsirweight"    -> graft.text.TextStages.dsirWeight _,
@@ -128,6 +129,8 @@ object Engine {
     "minmaxscale"   -> graft.stages.StatStages.minMaxScale _,
     "correlate"     -> graft.stages.StatStages.correlate _,
     "impute"        -> graft.stages.StatStages.impute _,
+    "kanonymity"    -> graft.stages.StatStages.kAnonymity _,
+    "chisquare"     -> graft.stages.StatStages.chiSquare _,
     "unpivot"       -> graft.stages.CubeStages.unpivot _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
@@ -165,6 +168,7 @@ object Engine {
     "sessionize"    -> graft.temporal.TemporalStages.sessionizeBatch _,
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
     "delta"         -> graft.temporal.TemporalStages.delta _,
+    "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

@@ -578,4 +578,115 @@ object StatStages {
         .withColumnRenamed("__n", "n")
         .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
     }
+
+  /** `kanonymity`: k-anonymity enforcement over quasi-identifier
+    * columns — the privacy companion of `piimask` (masking handles
+    * DIRECT identifiers; re-identification risk lives in quasi-
+    * identifier COMBINATIONS, and the standard bar is "every released
+    * row shares its quasi tuple with ≥ k−1 others", Sweeney 2002).
+    * Null quasi values form their own group (null-safe grouping), so
+    * rows can't dodge the bar by carrying nulls.
+    *
+    * Options: `fields` (quasi-identifier columns, required), `k`
+    * (default 2), `action` ∈ filter (default — drop rows in groups
+    * smaller than k) | flag (keep all rows, add boolean `outputField`)
+    * | suppress (keep all rows, NULL the quasi columns in small groups
+    * — the release-everything-but-generalize posture), `outputField`
+    * (default k_anonymous, flag mode only).
+    *
+    * Scale shape: ONE hash aggregation over the quasi tuple (map-side
+    * combine) + one equi-join back on the tuple — group counts ride a
+    * (tuple, long) frame; AQE broadcasts when the tuple space is
+    * small. Never a window over every row. */
+  def kAnonymity(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fields = spec.strList("fields")
+      require(fields.nonEmpty, "kanonymity: `fields` (quasi-identifier columns) required")
+      fields.foreach(f =>
+        require(df.columns.contains(f), s"kanonymity: no column '$f'"))
+      val k = spec.int("k", 2)
+      require(k >= 2, s"kanonymity: k must be >= 2, got $k")
+      val action = spec.strOr("action", "filter")
+      val outF = spec.strOr("outputField", "k_anonymous")
+      val counts = df.groupBy(fields.map(col): _*)
+        .agg(count(lit(1)).as("__kn"))
+        .select(fields.map(f => col(f).as(s"__q_$f")) :+ col("__kn"): _*)
+      val cond = fields.map(f => df(f) <=> counts(s"__q_$f")).reduce(_ && _)
+      val joined = df.join(counts, cond)
+        .drop(fields.map(f => s"__q_$f"): _*)
+      val anon = col("__kn") >= k
+      (action match {
+        case "filter" => joined.where(anon)
+        case "flag" => joined.withColumn(outF, anon)
+        case "suppress" => fields.foldLeft(joined) { (d, f) =>
+          d.withColumn(f, when(anon, col(f))) }
+        case other => sys.error(
+          s"kanonymity: action must be filter|flag|suppress, got '$other'")
+      }).drop("__kn")
+    }
+
+  /** `chisquare`: χ² feature–class association over categorical
+    * observation rows — the classic feature-selection statistic for
+    * classifier-based corpus curation (which tokens/domains/attributes
+    * separate the reference class from the rest). Input: one row per
+    * observation carrying `featureField` and `classField` (tokenize +
+    * explode upstream for term-level selection). Output: one row per
+    * (feature, class) pair — `n11` (co-occurrences), `n_feature`,
+    * `n_class`, `n` marginals and `chi2`, the 2×2 statistic
+    * `n·(O11·O22 − O12·O21)² / (m1·m2·m3·m4)`.
+    *
+    * Determinism: the counts are exact longs; the contingency products
+    * run in decimal(38,0) (no silent long overflow), convert to double
+    * once, and `chi2` is then a FIXED-ORDER chain of IEEE multiplies
+    * and one division — correctly-rounded ops, bit-identical across
+    * engines when the oracle spells the same order (no libm anywhere).
+    * Exactness envelope: products below 2^53 convert exactly (the
+    * fixture scale by orders of magnitude); beyond, the value is still
+    * deterministic per engine but the decimal→double rounding step may
+    * differ from another engine's int128→double in the last ulp
+    * (documented; the CLAUDE.md HUGEINT rule). Degenerate marginals
+    * (feature in every row, single class…) yield null, not ±Inf.
+    *
+    * Scale shape: ONE corpus-sized hash aggregation to (feature,
+    * class) pair counts; every later step is over the PAIR table —
+    * feature marginals re-aggregate it, class marginals and the grand
+    * total broadcast back (class cardinality is small by problem
+    * shape). Joins are null-safe; features/classes may be null. */
+  def chiSquare(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fF = spec.strOr("featureField", "feature")
+      val cF = spec.strOr("classField", "class")
+      Seq(fF, cF).foreach(f =>
+        require(df.columns.contains(f), s"chisquare: no column '$f'"))
+      val minCount = spec.long("minCount").getOrElse(1L)
+      val pairs = df.groupBy(col(fF).as("__f"), col(cF).as("__c"))
+        .agg(count(lit(1)).as("n11"))
+      val fTot = pairs.groupBy(col("__f").as("__f2"))
+        .agg(sum("n11").as("n_feature"))
+      val cTot = pairs.groupBy(col("__c").as("__c2"))
+        .agg(sum("n11").as("n_class"))
+      val tot = pairs.agg(sum("n11").as("n"))
+      def dec(c: Column) = c.cast(DecimalType(19, 0))
+      val o11 = col("n11")
+      val o12 = col("n_feature") - col("n11")
+      val o21 = col("n_class") - col("n11")
+      val o22 = col("n") - col("n_feature") - col("n_class") + col("n11")
+      // diff in decimal(38): exact at any count scale, ONE rounding on
+      // the double cast; chi2 then multiplies/divides in a fixed order
+      val diff = (dec(o11) * dec(o22) - dec(o12) * dec(o21)).cast("double")
+      val m1 = col("n_feature").cast("double")
+      val m2 = (col("n") - col("n_feature")).cast("double")
+      val m3 = col("n_class").cast("double")
+      val m4 = (col("n") - col("n_class")).cast("double")
+      val den = m1 * m2 * m3 * m4
+      pairs
+        .join(fTot, col("__f") <=> col("__f2")).drop("__f2")
+        .join(broadcast(cTot), col("__c") <=> col("__c2")).drop("__c2")
+        .crossJoin(broadcast(tot))
+        .where(col("n11") >= minCount)
+        .withColumn("chi2", when(den > 0,
+            col("n").cast("double") * diff * diff / den)
+          .otherwise(lit(null).cast("double")))
+        .withColumnRenamed("__f", fF).withColumnRenamed("__c", cF)
+    }
 }

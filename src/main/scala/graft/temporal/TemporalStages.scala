@@ -313,6 +313,42 @@ object TemporalStages {
       }
     }
 
+  /** `cumulate`: keyed running aggregates over an ordered event history
+    * — the running-total feature family (`lifetime spend so far`,
+    * `events to date`) that [[delta]]'s adjacent differences don't
+    * cover. Per key, ordered by (`tsField`, `tieField`): each listed
+    * value field gains `<f>_cumsum` (rows-unbounded-preceding THROUGH
+    * the current row) and the row gains one `cum_n` running count.
+    * Integral value fields accumulate exactly (long sums — determinism
+    * envelope |Σ| < 2^63, the fixture scale's by construction); the
+    * `tieField` must complete a TOTAL order or run-to-run row order
+    * within equal timestamps would shuffle the running values.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended), `valueFields` (list, may be empty for
+    * count-only).
+    *
+    * Scale shape: ONE keyed window — state per task is a single
+    * partition's key groups, nothing global; the exchange carries the
+    * input rows once. The 100-TB posture is the same as every keyed
+    * window here: partitions by key hash, per-key history sorted
+    * within its partition (skewed keys are the user's salting
+    * decision — running sums are order-defined, so unlike [[graft.stages.LookupStages.skewjoin]]
+    * there is no transparent salt that preserves semantics). */
+  def cumulate(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val tsUs = epochMicros(df, ts)
+      val ord = tsUs.asc +: spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = df.withColumn("cum_n", count(lit(1)).over(w))
+      spec.strList("valueFields").foldLeft(base) { (d, f) =>
+        d.withColumn(s"${f}_cumsum", sum(col(f)).over(w))
+      }
+    }
+
   /** `funnel`: ordered-step conversion funnel over an event stream —
     * the product-analytics primitive ("view → click → purchase within
     * 24 h"). Per key, step 1 completes at the EARLIEST matching event;

@@ -887,6 +887,60 @@ object TextStages {
           col("info_bits").cast("double") / col("n_info_tokens").cast("double")))
     }
 
+  /** `collocations`: corpus bigram association mining — the phrase /
+    * multi-word-expression signal (vocabulary building, tokenizer-merge
+    * candidates, "new york"-style units) ranked by an INTEGER-BITS
+    * pointwise mutual information. For each adjacent bigram (w1, w2):
+    * `a = n·n_xy`, `b = n_x·n_y` (n = total bigrams, n_x/n_y = left /
+    * right marginals), and
+    * `pmi_bits = +(floor(log2(a div b)) + 1)` when a ≥ b,
+    * `−(floor(log2(b div a)) + 1)` otherwise — the `length(bin(·))`
+    * trick (tokeninfo's rule): pure integer arithmetic, no libm log
+    * whose final ulps differ across engines, monotone in the PMI ratio.
+    * Positive bits ⇒ the pair co-occurs more than independence
+    * predicts (a collocation); deeply negative ⇒ anti-associated.
+    * Envelope: exact while `n·n_xy` fits a long (n < 2^63/max-count —
+    * re-scope per shard past that).
+    *
+    * Options: `field` (default text), `lowercase` (default true),
+    * `minCount` (default 5 — rare-bigram noise floor). Output: one row
+    * per surviving bigram (`w1`, `w2`, `n_xy`, `n_x`, `n_y`,
+    * `pmi_bits`) — a QUERY stage (replaces the stream, like tfidf's
+    * corpus view).
+    *
+    * Scale shape: bigrams via one per-row zip_with + explode → ONE
+    * corpus hash aggregation to pair counts; marginals RE-AGGREGATE the
+    * pair table (vocabulary-sized, never corpus rows again) and join
+    * back vocabulary-keyed; the grand total broadcasts as one row. */
+  def collocations(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f0 = col(spec.strOr("field", "text"))
+      val f = if (spec.bool("lowercase", dflt = true)) lower(f0) else f0
+      val minCount = spec.long("minCount").getOrElse(5L)
+      require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+      val tarr = filter(tokens(f), t => t =!= "")
+      val win = greatest(size(tarr) - 1, lit(0))
+      val bgs = zip_with(slice(tarr, lit(1), win), slice(tarr, lit(2), win),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val stream = df.select(explode(bgs).as("__bg"))
+        .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      val cntBg = stream.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      val cntL = cntBg.groupBy(col("w1").as("__l")).agg(sum("n_xy").as("n_x"))
+      val cntR = cntBg.groupBy(col("w2").as("__r")).agg(sum("n_xy").as("n_y"))
+      val tot = cntBg.agg(sum("n_xy").as("__n"))
+      cntBg
+        .join(cntL, col("w1") === col("__l")).drop("__l")
+        .join(cntR, col("w2") === col("__r")).drop("__r")
+        .crossJoin(broadcast(tot))
+        .where(col("n_xy") >= minCount)
+        .withColumn("__a", col("__n") * col("n_xy"))
+        .withColumn("__b", col("n_x") * col("n_y"))
+        .withColumn("pmi_bits", when(col("__a") >= col("__b"),
+            length(bin(expr("__a div __b"))).cast("long"))
+          .otherwise(-length(bin(expr("__b div __a"))).cast("long")))
+        .drop("__n", "__a", "__b")
+    }
+
   /** `bm25`: Okapi BM25 relevance search — score every document against
     * a literal query string and keep the top `k` (score desc, id asc —
     * fully deterministic). The retrieval-side companion to [[tfidf]]'s

@@ -1600,6 +1600,31 @@ class LlmStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("n must be 1"), e.getMessage)
   }
 
+  // ------------------------------------------------------- collocations
+  test("collocations: integer-bits PMI matches hand computation; minCount prunes") {
+    // one bigram per doc: (x,z)×4, (w,y)×4, (x,y)×1 → n=9;
+    // left marginals x=5 w=4, right z=4 y=5
+    val df = (Seq.fill(4)("X z") ++ Seq.fill(4)("w y") :+ "x y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = stage("collocations", "minCount" -> 1)(df)
+      .select("w1", "w2", "n_xy", "n_x", "n_y", "pmi_bits")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out.size == 3)
+    // (x,z): a = 9·4 = 36, b = 5·4 = 20 → +len(bin(36 div 20 = 1)) = +1
+    assert(out(("x", "z")) == ((4L, 5L, 4L, 1L)))   // X folded by lowercase
+    assert(out(("w", "y")) == ((4L, 4L, 5L, 1L)))
+    // (x,y) is ANTI-associated: a = 9, b = 25 → −len(bin(25 div 9 = 2)) = −2
+    assert(out(("x", "y")) == ((1L, 5L, 5L, -2L)))
+    // default minCount=5 prunes everything here; explicit 4 keeps the two
+    // frequent pairs (marginals still count the pruned pair's mass)
+    val kept = stage("collocations", "minCount" -> 4)(df)
+      .select("w1").as[String].collect().toSet
+    assert(kept == Set("x", "w"))
+    assert(intercept[Exception](stage("collocations", "minCount" -> 0)(df))
+      .getMessage.contains("minCount"))
+  }
+
   // -------------------------------------------------------------- tfidf
   test("tfidf: linear-idf scores and ranks match hand computation") {
     // 3 docs; "rare" only in doc 1, "common" in all

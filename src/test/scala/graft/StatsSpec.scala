@@ -381,4 +381,77 @@ class StatsSpec extends SparkSpec {
       Map("field" -> "cat", "maxCardinality" -> 10)), ctx)(df)
     assert(ok.where(col("cat_id").isNotNull).count() == 10)
   }
+
+  test("kanonymity: filter/flag/suppress actions; nulls form a group; guards") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // quasi groups: (a,1)×3, (a,2)×2, (null,1)×2, (b,1)×1
+    val df = (Seq.fill(3)((Some("a"), 1L)) ++ Seq.fill(2)((Some("a"), 2L)) ++
+      Seq.fill(2)((None: Option[String], 1L)) :+ ((Some("b"), 1L)))
+      .zipWithIndex.map { case ((q1, q2), i) => (i.toLong, q1, q2) }
+      .toDF("id", "q1", "q2")
+    def run(opts: (String, Any)*) = StatStages.kAnonymity(ComponentSpec(
+      "kanonymity", Map("fields" -> Seq("q1", "q2")) ++ opts.toMap), ctx)(df)
+    // filter (default): only the singleton (b,1) row is withheld; the
+    // NULL quasi group (size 2) must pass — nulls group together
+    val kept = run("k" -> 2).select("q1", "q2")
+      .as[(Option[String], Long)].collect().toSeq
+    assert(kept.size == 7 && !kept.contains((Some("b"), 1L)))
+    assert(kept.count(_._1.isEmpty) == 2)
+    // k=3 keeps only the size-3 group
+    assert(run("k" -> 3).count() == 3)
+    // flag keeps every row and marks the small group false
+    val flags = run("k" -> 2, "action" -> "flag")
+      .select("q1", "q2", "k_anonymous")
+      .as[(Option[String], Long, Boolean)].collect().toSeq
+    assert(flags.size == 8)
+    assert(flags.filter(!_._3).map(r => (r._1, r._2)) == Seq((Some("b"), 1L)))
+    // suppress keeps every row but NULLs the quasi columns in small groups
+    val sup = run("k" -> 2, "action" -> "suppress")
+      .select("id", "q1").as[(Long, Option[String])].collect().toMap
+    assert(sup.size == 8 && sup(7L).isEmpty) // the (b,1) row, quasi wiped
+    assert(sup(0L) == Some("a"))             // large groups untouched
+    // guards: missing fields, unknown column, k < 2, bad action
+    assert(intercept[Exception](run("fields" -> Seq.empty[String]))
+      .getMessage.contains("fields"))
+    assert(intercept[Exception](StatStages.kAnonymity(ComponentSpec(
+      "kanonymity", Map("fields" -> Seq("zzz"))), ctx)(df))
+      .getMessage.contains("zzz"))
+    assert(intercept[Exception](run("k" -> 1)).getMessage.contains("k"))
+    assert(intercept[Exception](run("action" -> "zap").collect())
+      .getMessage.contains("action"))
+  }
+
+  test("chisquare: 2x2 statistic matches hand computation; degenerate → null") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // (f1,c0)×3 (f1,c1)×1 (f2,c0)×1 (f2,c1)×3 (null,c0)×2 → n=10
+    val df = (Seq.fill(3)((Some("f1"), 0L)) ++ Seq((Some("f1"), 1L)) ++
+      Seq((Some("f2"), 0L)) ++ Seq.fill(3)((Some("f2"), 1L)) ++
+      Seq.fill(2)((None: Option[String], 0L)))
+      .toDF("feature", "class")
+    val out = StatStages.chiSquare(ComponentSpec("chisquare", Map()), ctx)(df)
+      .select("feature", "class", "n11", "n_feature", "n_class", "n", "chi2")
+      .as[(Option[String], Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out.size == 5)
+    // (f1,c0): O = [3,1;3,3], diff = 9−3 = 6, chi2 = 10·36/(4·6·6·4) = 0.625
+    assert(out((Some("f1"), 0L)) == ((3L, 4L, 6L, 10L, Some(0.625))))
+    // the NULL feature is a real group: O = [2,0;4,4], diff = 8,
+    // chi2 = 10·64/(2·8·6·4) = 640/384
+    assert(out((None, 0L)) == ((2L, 2L, 6L, 10L, Some(640.0 / 384.0))))
+    // minCount prunes rare pairs AFTER the marginals are fixed
+    val pruned = StatStages.chiSquare(ComponentSpec("chisquare",
+      Map("minCount" -> 2)), ctx)(df)
+    assert(pruned.count() == 3) // (f1,c1) and (f2,c0) singletons dropped
+    // single-class input: m4 = 0 → null chi2, never ±Inf
+    val degen = Seq(("f1", 0L), ("f2", 0L)).toDF("feature", "class")
+    val d = StatStages.chiSquare(ComponentSpec("chisquare", Map()), ctx)(degen)
+      .select("chi2").as[Option[Double]].collect().toSeq
+    assert(d == Seq(None, None))
+    // missing column fails loud
+    assert(intercept[Exception](StatStages.chiSquare(ComponentSpec(
+      "chisquare", Map("featureField" -> "zzz")), ctx)(df))
+      .getMessage.contains("zzz"))
+  }
 }

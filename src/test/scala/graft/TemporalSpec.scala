@@ -465,6 +465,29 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L) == ((None, None)))                        // other key
   }
 
+  test("cumulate: per-key running count and exact sums; tie-break; count-only") {
+    val ctx = newCtx()
+    val ev = Seq(
+      ("u1", 10.0, 1L, 100L), ("u1", 20.0, 2L, 130L), ("u1", 20.0, 3L, 90L),
+      ("u2", 5.0, 4L, 7L))
+      .toDF("u", "t", "eid", "v")
+    val out = TemporalStages.cumulate(ComponentSpec("cumulate",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "valueFields" -> Seq("v"))), ctx)(ev)
+      .select(col("eid"), col("cum_n"), col("v_cumsum"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 100L)))
+    assert(out(2L) == ((2L, 230L)))
+    assert(out(3L) == ((3L, 320L)))   // tie at t=20: eid completes the order
+    assert(out(4L) == ((1L, 7L)))     // other key restarts
+    // no valueFields → running count only, no *_cumsum columns
+    val countOnly = TemporalStages.cumulate(ComponentSpec("cumulate",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid")), ctx)(ev)
+    assert(countOnly.columns.toSeq ==
+      ev.columns.toSeq :+ "cum_n")
+  }
+
   test("funnel: strict ordering, stall contiguity, conversion window") {
     val ctx = newCtx()
     // numeric (epoch-second) times keep every expectation enumerable
