@@ -56,6 +56,16 @@ object SparkEntry {
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nation_dirty.csv"),
         dirty.mkString("\n").getBytes("UTF-8"))
+      // nation as FIXED-WIDTH text (the fixedwidth extractor's input):
+      // key[1..4] name[5..20] regionkey[21..22, blank every 7th → null]
+      // price[23..30] = key · 1.5 (binary-exact halves round-trip %.2f)
+      val fw = nation.map { r =>
+        val k = r.get(0).toString.toLong
+        val rk = if (k % 7 == 3) "  " else f"${r.get(2).toString.toLong}%2d"
+        f"$k%4d${r.get(1).toString}%-16s$rk${k * 1.5}%8.2f"
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "nation.fw"),
+        fw.mkString("\n").getBytes("UTF-8"))
       val gz = new java.util.zip.GZIPOutputStream(
         new java.io.FileOutputStream(s"$dir/nation.csv.gz"))
       gz.write(csvLines(header = true).mkString("\n").getBytes("UTF-8")); gz.close()
@@ -4398,6 +4408,77 @@ object SparkEntry {
         .select("event_type", "n", "r", "slope", "intercept")
         .orderBy("event_type")
     },
+    "fixedwidth_read" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // fixed-width layout recovery from real padded text: typed longs,
+      // a trimmed string, a blank-cell → null column, an exact double
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/nation.fw"}},
+        "extractor": {"fixedwidth": {"columns": [
+          "n_nationkey:1:4:long", "n_name:5:16",
+          "n_regionkey:21:2:long", "price:23:8:double"]}},
+        "loader": {"memory": {}} }""")
+        .select("n_nationkey", "n_name", "n_regionkey", "price")
+        .orderBy("n_nationkey")
+    },
+    "event_transitions" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // first-order Markov transition matrix over the event stream
+      // (planted NULL state is a real state); p = n/n_from is one IEEE
+      // division of exact longs
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id, ts, event_id, CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS state FROM events"}},
+          {"transitions": {"keyField": "user_id", "tsField": "ts",
+            "tieField": "event_id", "stateField": "state"}}],
+        "loader": {"memory": {}} }""")
+        .select("from_state", "to_state", "n", "n_from", "p")
+        .orderBy("from_state", "to_state")
+    },
+    "link_predict" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // neighborhood-overlap link prediction over the planted graph:
+      // clique pairs are all existing edges (excluded), path/cycle
+      // segments yield 1-common-neighbor candidates; adamic_adar uses
+      // the integer-bits 1/bits(deg) convention (fixed-order chain)
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW lp_ids AS SELECT 'v' || CAST(c_custkey AS STRING) AS vid FROM customer"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT 'v' || CAST(a AS STRING) AS src_id, 'v' || CAST(b AS STRING) AS dst_id FROM (SELECT x.c_custkey AS a, y.c_custkey AS b FROM __input x JOIN __input y ON x.c_custkey < 200 AND y.c_custkey < 200 AND x.c_custkey div 4 = y.c_custkey div 4 AND x.c_custkey < y.c_custkey UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 200 AND c_custkey < 500 AND c_custkey % 2 = 0 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 500 AND c_custkey < 514 UNION ALL SELECT c_custkey, c_custkey + 1 FROM __input WHERE c_custkey >= 1000 AND c_custkey < 1040 UNION ALL SELECT 1000, 1040 FROM __input WHERE c_custkey = 1000)"}},
+          {"vertex": {"class": "lp", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "lp_ids.vid",
+                    "class": "lp_edge", "direction": "out"}},
+          {"linkpredict": {}}],
+        "loader": {"memory": {}} }""")
+        .select("u", "v", "common_neighbors", "deg_u", "deg_v",
+          "jaccard", "pref_attach", "adamic_adar")
+        .orderBy("u", "v")
+    },
+    "freq_pairs" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // market-basket pair mining: orders are baskets, coarse part
+      // buckets are items; support = one exact division, lift in the
+      // integer-bits rule
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT l_orderkey AS basket, l_partkey % 50 AS item FROM input"}},
+          {"freqpairs": {"basketField": "basket", "itemField": "item",
+            "minCount": 2}}],
+        "loader": {"memory": {}} }""")
+        .select("item1", "item2", "n_pair", "n_item1", "n_item2",
+          "n_baskets", "support", "lift_bits")
+        .orderBy("item1", "item2")
+    },
     "cumulate_running" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-user running event count + exact integer-cents running
@@ -6091,6 +6172,61 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "fixedwidth_read" ->
+      ("SELECT n_nationkey, n_name, " +
+       "CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_regionkey END AS n_regionkey, " +
+       "CAST(n_nationkey AS DOUBLE) * 1.5 AS price " +
+       "FROM nation ORDER BY n_nationkey"),
+    "event_transitions" ->
+      ("WITH b AS (SELECT user_id, ts, event_id, CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS state FROM events), " +
+       "q AS (SELECT state AS from_state, lead(state) OVER w AS to_state, lead(1) OVER w AS hn FROM b " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "m AS (SELECT from_state, to_state, count(*) AS n FROM q WHERE hn IS NOT NULL GROUP BY 1, 2), " +
+       "f AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from FROM m GROUP BY 1) " +
+       "SELECT m.from_state, m.to_state, m.n, f.n_from, " +
+       "CAST(m.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p " +
+       "FROM m JOIN f ON m.from_state IS NOT DISTINCT FROM f.from_state " +
+       "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"),
+    "link_predict" ->
+      ("WITH e0 AS (SELECT 'v' || CAST(a AS VARCHAR) AS a, 'v' || CAST(b AS VARCHAR) AS b FROM " +
+       "(SELECT x.c_custkey AS a, y.c_custkey AS b FROM customer x JOIN customer y " +
+       "ON x.c_custkey < 200 AND y.c_custkey < 200 AND x.c_custkey // 4 = y.c_custkey // 4 AND x.c_custkey < y.c_custkey " +
+       "UNION ALL SELECT c_custkey, c_custkey + 1 FROM customer WHERE c_custkey >= 200 AND c_custkey < 500 AND c_custkey % 2 = 0 " +
+       "UNION ALL SELECT c_custkey, c_custkey + 1 FROM customer WHERE c_custkey >= 500 AND c_custkey < 514 " +
+       "UNION ALL SELECT c_custkey, c_custkey + 1 FROM customer WHERE c_custkey >= 1000 AND c_custkey < 1040 " +
+       "UNION ALL SELECT 1000, 1040 FROM customer WHERE c_custkey = 1000)), " +
+       "sym AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) WHERE a <> b), " +
+       "deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY 1), " +
+       "ctr AS (SELECT sym.a AS w, sym.b AS x, CAST(length(bin(deg.d)) AS INTEGER) AS wb " +
+       "FROM sym JOIN deg ON sym.a = deg.id WHERE deg.d <= 100000), " +
+       "wed AS (SELECT c1.x AS u, c2.x AS v, c1.wb FROM ctr c1 JOIN ctr c2 ON c1.w = c2.w AND c1.x < c2.x), " +
+       "cn AS (SELECT u, v, count(*) AS common_neighbors, " +
+       (1 to 63).map(k => s"CAST(sum(CASE WHEN wb = $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+         .mkString(", ") +
+       " FROM wed GROUP BY 1, 2), " +
+       "cand AS (SELECT cn.* FROM cn WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = cn.u AND sym.b = cn.v)) " +
+       "SELECT cand.u, cand.v, cand.common_neighbors, du.d AS deg_u, dv.d AS deg_v, " +
+       "CAST(cand.common_neighbors AS DOUBLE) / CAST(du.d + dv.d - cand.common_neighbors AS DOUBLE) AS jaccard, " +
+       "du.d * dv.d AS pref_attach, " +
+       (1 to 63).map(k => s"CAST(c$k AS DOUBLE) / ${k.toDouble}").mkString(" + ") +
+       " AS adamic_adar " +
+       "FROM cand JOIN deg du ON cand.u = du.id JOIN deg dv ON cand.v = dv.id " +
+       "WHERE cand.common_neighbors >= 1 ORDER BY u, v"),
+    "freq_pairs" ->
+      ("WITH i AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS it FROM lineitem), " +
+       "nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM i), " +
+       "ic AS (SELECT it, count(*) AS ni FROM i GROUP BY 1), " +
+       "p AS (SELECT x.it AS item1, y.it AS item2, count(*) AS n_pair FROM i x JOIN i y " +
+       "ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2), " +
+       "j AS (SELECT p.item1, p.item2, p.n_pair, i1.ni AS n_item1, i2.ni AS n_item2, nb.n_baskets, " +
+       "CAST(p.n_pair * nb.n_baskets AS BIGINT) AS a, CAST(i1.ni * i2.ni AS BIGINT) AS b " +
+       "FROM p JOIN ic i1 ON p.item1 = i1.it JOIN ic i2 ON p.item2 = i2.it CROSS JOIN nb " +
+       "WHERE p.n_pair >= 2) " +
+       "SELECT item1, item2, n_pair, n_item1, n_item2, n_baskets, " +
+       "CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support, " +
+       "CASE WHEN a >= b THEN CAST(length(bin(a // b)) AS BIGINT) " +
+       "ELSE -CAST(length(bin(b // a)) AS BIGINT) END AS lift_bits " +
+       "FROM j ORDER BY item1, item2"),
     "cumulate_running" ->
       ("SELECT event_id, count(*) OVER w AS cum_n, " +
        "CAST(sum(cents) OVER w AS BIGINT) AS cents_cumsum " +

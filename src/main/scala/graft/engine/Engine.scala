@@ -66,6 +66,7 @@ object Engine {
     "shortestpaths"  -> graft.graph.GraphStages.shortestPaths _,
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,
     "scc"            -> graft.graph.GraphStages.scc _,
+    "linkpredict"    -> graft.graph.GraphStages.linkPredict _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers
     "dedup"         -> graft.dedup.DedupStages.dedup _,
@@ -131,6 +132,7 @@ object Engine {
     "impute"        -> graft.stages.StatStages.impute _,
     "kanonymity"    -> graft.stages.StatStages.kAnonymity _,
     "chisquare"     -> graft.stages.StatStages.chiSquare _,
+    "freqpairs"     -> graft.stages.StatStages.freqPairs _,
     "unpivot"       -> graft.stages.CubeStages.unpivot _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
@@ -169,6 +171,7 @@ object Engine {
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
     "delta"         -> graft.temporal.TemporalStages.delta _,
     "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
+    "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

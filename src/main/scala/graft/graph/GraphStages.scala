@@ -812,4 +812,92 @@ object GraphStages {
       if (parts.isEmpty) remaining.withColumn("scc_id", col("id"))
       else parts.reduce(_ unionByName _)
     }
+
+  /** `linkpredict`: neighborhood-overlap link prediction over the
+    * accumulated edges table — the crawl-frontier / recommendation
+    * primitive ("which NOT-yet-connected pairs look like edges?").
+    * Treats the graph as undirected. For every candidate pair (u, v)
+    * with ≥ `minCommon` common neighbors and (by default) no existing
+    * edge, emits the classic scores:
+    * `common_neighbors`; `jaccard` = cn / (deg_u + deg_v − cn);
+    * `pref_attach` = deg_u · deg_v; and `adamic_adar` in the codebase's
+    * INTEGER-BITS convention — Σ over common neighbors w of
+    * 1 / bits(deg(w)) where bits = length(bin(deg)) = ⌊log2 deg⌋ + 1
+    * (the log2 analog of 1/ln deg; no libm, and the sum is evaluated
+    * as a FIXED-ORDER chain over the 63 possible bit values, so the
+    * doubles hash-match any engine spelling the same chain).
+    *
+    * Options: `label` (optional edge filter), `minCommon` (default 1),
+    * `excludeExisting` (default true — anti-join candidates against
+    * the edge set), `maxDegree` (default 100000) with `hubAction` ∈
+    * drop (default) | error: a hub of degree d generates d² candidate
+    * pairs, so wedge CENTERS above the cap are excluded (drop — the
+    * standard production approximation: scores lose only the hub's
+    * contribution) or the stage fails loud (error, bounded one-row
+    * probe). Output: (u, v) with u < v — a query stage.
+    *
+    * Scale shape: wedges come from ONE self-join of the center-capped
+    * adjacency on the center id (candidate volume bounded by
+    * Σ min(d, maxDegree)² — the cap is the knob); the score
+    * aggregation is ONE hash agg on (u, v); degree/edge joins are
+    * id-keyed frames that AQE broadcasts when small. Exchanges carry
+    * (id, id, long) rows — never neighbor lists. */
+  def linkPredict(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("linkpredict: no edges — apply an `edge` stage first"))
+      val edges1 = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val minCommon = spec.long("minCommon").getOrElse(1L)
+      val maxDegree = spec.long("maxDegree").getOrElse(100000L)
+      require(maxDegree >= 1, s"linkpredict: maxDegree must be >= 1, got $maxDegree")
+      val sym0 = edges1.select(col("src").cast("string").as("a"),
+                               col("dst").cast("string").as("b"))
+      val sym = sym0.union(sym0.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+        .persist()
+      ctx.registerPersisted(sym)
+      val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+        .persist()
+      ctx.registerPersisted(deg)
+      spec.strOr("hubAction", "drop") match {
+        case "drop" => ()
+        case "error" => // bounded probe: ONE row decides, never a full scan
+          if (!deg.where(col("d") > maxDegree).limit(1).isEmpty)
+            sys.error(s"linkpredict: a vertex exceeds maxDegree=$maxDegree " +
+              "(hubAction=error); raise maxDegree or use hubAction=drop")
+        case other => sys.error(
+          s"linkpredict: hubAction must be drop|error, got '$other'")
+      }
+      // wedge centers w carry their degree's bit-length for adamic_adar
+      val centers = sym
+        .join(deg.where(col("d") <= maxDegree)
+          .select(col("id").as("a"), length(bin(col("d"))).cast("int").as("__wb")),
+          Seq("a"))
+      val e1 = centers.select(col("a").as("__w"), col("b").as("u"), col("__wb"))
+      val e2 = centers.select(col("a").as("__w"), col("b").as("v"))
+      val wedges = e1.join(e2, Seq("__w")).where(col("u") < col("v"))
+      // ONE hash agg: pair count + per-bit-value counts (bits ∈ [1, 63])
+      val bitAggs = (1 to 63).map(k =>
+        sum(when(col("__wb") === k, 1L).otherwise(0L)).as(s"__c$k"))
+      val cn = wedges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common_neighbors"), bitAggs: _*)
+      val cand =
+        if (spec.bool("excludeExisting", dflt = true))
+          cn.join(sym, cn("u") === sym("a") && cn("v") === sym("b"), "left_anti")
+        else cn
+      // Σ_k c_k / k evaluated 1→63: a fixed left-assoc chain of exact
+      // long→double casts, correctly-rounded divisions and adds
+      val aa = (1 to 63).map(k => col(s"__c$k").cast("double") / k.toDouble)
+        .reduce(_ + _)
+      cand
+        .join(deg.select(col("id").as("u"), col("d").as("deg_u")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("d").as("deg_v")), Seq("v"))
+        .where(col("common_neighbors") >= minCommon)
+        .withColumn("jaccard", col("common_neighbors").cast("double") /
+          (col("deg_u") + col("deg_v") - col("common_neighbors")).cast("double"))
+        .withColumn("pref_attach", col("deg_u") * col("deg_v"))
+        .withColumn("adamic_adar", aa)
+        .select((Seq("u", "v", "common_neighbors", "deg_u", "deg_v",
+          "jaccard", "pref_attach", "adamic_adar").map(col)): _*)
+    }
 }

@@ -145,6 +145,48 @@ object Sources {
     case other => throw new IllegalArgumentException(s"unknown OType $other")
   }
 
+  /** `fixedwidth` extractor: classic mainframe/export fixed-width text —
+    * the column layout the reference's row/CSV pair doesn't cover but
+    * the same file-ETL audience uses daily. Operates on the source's
+    * line stream, so gzip/skipFirst/skipLast compose for free. Each
+    * `columns` entry is `name:start:len[:type]` (1-based start, OType
+    * names — the `csv` transformer's type vocabulary). Options: `trim`
+    * (default true — strip the pad spaces), `nullOnBlank` (default true
+    * — an all-blank cell is null, the fixed-width missing-value
+    * convention). A short line yields short/empty cells (→ null under
+    * nullOnBlank), never an error — trailing-column truncation is the
+    * format's normal encoding.
+    *
+    * Scale shape: a pure per-line projection (substring/trim/cast are
+    * codegen'd) over the distributed text scan — no shuffle, splittable
+    * wherever the underlying file is. */
+  def fixedWidth(lines: DataFrame, spec: ComponentSpec): DataFrame = {
+    val colSpecs = spec.strList("columns")
+    require(colSpecs.nonEmpty,
+      "fixedwidth: `columns` required — entries 'name:start:len[:type]' (1-based start)")
+    val trimCells = spec.bool("trim", dflt = true)
+    val nullBlank = spec.bool("nullOnBlank", dflt = true)
+    val parsed = colSpecs.map { c =>
+      c.split(":") match {
+        case Array(n, s, l) => (n, s.toInt, l.toInt, "string")
+        case Array(n, s, l, t) => (n, s.toInt, l.toInt, t)
+        case _ => sys.error(
+          s"fixedwidth: bad column spec '$c' — want name:start:len[:type]")
+      }
+    }
+    parsed.foreach { case (n, s, l, _) =>
+      require(s >= 1 && l >= 1,
+        s"fixedwidth: column '$n' start/len must be >= 1 (1-based offsets)") }
+    val out = parsed.map { case (n, s, l, t) =>
+      val cell = substring(col("value"), s, l)
+      val v = if (trimCells) trim(cell) else cell
+      val nulled = if (nullBlank) when(trim(cell) === "", lit(null)).otherwise(v) else v
+      (if (t.trim.toLowerCase == "string") nulled
+       else nulled.cast(oTypeToSpark(t))).as(n)
+    }
+    lines.select(out: _*)
+  }
+
   /** `jdbc` extractor (OJDBCExtractor.java:47-314): arbitrary SQL pushed
     * to the remote DB as a subquery; `fetchSize` honored; partitioned
     * parallel reads available via partitionColumn options (free in Spark,
@@ -235,6 +277,7 @@ object Sources {
         json(spark, sourcePath, multiLine = e.bool("multiLine", dflt = true))
       case Some(("jsonl", _)) => json(spark, sourcePath)
       case Some(("csv", e)) => csv(spark, sourcePath, e)
+      case Some(("fixedwidth", e)) => fixedWidth(lines, e)
       case Some(("jdbc", e)) => jdbc(spark, e)
       case Some(("parquet", _)) => spark.read.parquet(sourcePath)
       case Some(("orc", _)) => spark.read.orc(sourcePath)

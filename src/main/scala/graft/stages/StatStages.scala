@@ -689,4 +689,78 @@ object StatStages {
           .otherwise(lit(null).cast("double")))
         .withColumnRenamed("__f", fF).withColumnRenamed("__c", cF)
     }
+
+  /** `freqpairs`: frequent item-pair mining over basket rows (market-
+    * basket / co-occurrence analysis — the level-2 Apriori pass, which
+    * in practice IS the useful one at corpus scale). Input: one row per
+    * (basket, item) observation; items dedup within a basket (set
+    * semantics). Output: one row per unordered item pair (`item1` <
+    * `item2`) seen in ≥ `minCount` baskets — `n_pair`, per-item basket
+    * counts `n_item1`/`n_item2`, `n_baskets`, `support` = n_pair /
+    * n_baskets (two exact longs, ONE IEEE division) and `lift_bits`,
+    * the association strength in the codebase's integer-bits rule:
+    * ±(⌊log2(a div b)⌋ + 1) for a = n_pair·n_baskets,
+    * b = n_item1·n_item2 — positive ⇒ the pair co-occurs more than
+    * independence predicts. Envelope: exact while a and b fit a long.
+    *
+    * Options: `basketField`/`itemField` (required), `minCount`
+    * (default 2), `maxBasketSize` (default 1000) with `oversizeAction`
+    * ∈ error (default — a basket of size s yields s(s−1)/2 pairs, so
+    * the stage fails LOUD past the cap, bounded one-row probe) | drop
+    * (exclude oversized baskets, the production sampling posture).
+    *
+    * Scale shape: pair candidates come from ONE self-join of the
+    * deduped (basket, item) frame on the basket id — volume bounded by
+    * Σ size² under the cap; then ONE hash agg to the pair table. Item
+    * marginals and the basket total are aggregates of the SAME deduped
+    * frame (persisted once, run-scoped release); the one-row total
+    * broadcasts. Null baskets/items are observations of nothing — they
+    * are dropped (documented, not silent: a null item cannot pair). */
+  def freqPairs(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val bF = spec.str("basketField").getOrElse(
+        sys.error("freqpairs: `basketField` required"))
+      val iF = spec.str("itemField").getOrElse(
+        sys.error("freqpairs: `itemField` required"))
+      Seq(bF, iF).foreach(f =>
+        require(df.columns.contains(f), s"freqpairs: no column '$f'"))
+      val minCount = spec.long("minCount").getOrElse(2L)
+      val maxBasket = spec.long("maxBasketSize").getOrElse(1000L)
+      require(maxBasket >= 2, s"freqpairs: maxBasketSize must be >= 2, got $maxBasket")
+      val items0 = df.select(col(bF).as("__bk"), col(iF).as("__it"))
+        .where(col("__bk").isNotNull && col("__it").isNotNull).distinct()
+      val sizes = items0.groupBy("__bk").agg(count(lit(1)).as("__bs"))
+      val items = (spec.strOr("oversizeAction", "error") match {
+        case "error" =>
+          if (!sizes.where(col("__bs") > maxBasket).limit(1).isEmpty)
+            sys.error(s"freqpairs: a basket exceeds maxBasketSize=$maxBasket " +
+              "(s(s-1)/2 pairs per basket — raise the cap or use oversizeAction=drop)")
+          items0
+        case "drop" =>
+          items0.join(sizes.where(col("__bs") <= maxBasket).select("__bk"), Seq("__bk"))
+        case other => sys.error(
+          s"freqpairs: oversizeAction must be error|drop, got '$other'")
+      }).persist()
+      ctx.registerPersisted(items)
+      val nBaskets = items.agg(count_distinct(col("__bk")).as("n_baskets"))
+      val itemCnt = items.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+      val pairs = items.select(col("__bk"), col("__it").as("item1"))
+        .join(items.select(col("__bk"), col("__it").as("item2")), Seq("__bk"))
+        .where(col("item1") < col("item2"))
+        .groupBy("item1", "item2").agg(count(lit(1)).as("n_pair"))
+        .where(col("n_pair") >= minCount)
+      pairs
+        .join(itemCnt.select(col("__it").as("item1"), col("__ni").as("n_item1")), Seq("item1"))
+        .join(itemCnt.select(col("__it").as("item2"), col("__ni").as("n_item2")), Seq("item2"))
+        .crossJoin(broadcast(nBaskets))
+        .withColumn("support",
+          col("n_pair").cast("double") / col("n_baskets").cast("double"))
+        .withColumn("__a", col("n_pair") * col("n_baskets"))
+        .withColumn("__b", col("n_item1") * col("n_item2"))
+        .withColumn("lift_bits", when(col("__a") >= col("__b"),
+            length(bin(expr("__a div __b"))).cast("long"))
+          .otherwise(-length(bin(expr("__b div __a"))).cast("long")))
+        .select((Seq("item1", "item2", "n_pair", "n_item1", "n_item2",
+          "n_baskets", "support", "lift_bits").map(col)): _*)
+    }
 }

@@ -349,6 +349,58 @@ object TemporalStages {
       }
     }
 
+  /** `transitions`: first-order Markov transition matrix over a keyed
+    * event stream — the user-journey structure behind [[funnel]]'s
+    * fixed steps ("after a view, what happens next, how often?"). Per
+    * key, rows order by (`tsField`, `tieField`); each adjacent state
+    * pair contributes one observation. Output: one row per
+    * (`from_state`, `to_state`) — `n` (observed transitions), `n_from`
+    * (all transitions leaving `from_state`) and `p` = n / n_from (two
+    * exact longs, ONE IEEE division — hash-deterministic). A QUERY
+    * stage (replaces the stream). NULL states are real states (a
+    * missing-field marker transitions like any other — null-safe
+    * aggregation), and self-loops count unless `selfLoops` = false.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended — total order under equal timestamps),
+    * `stateField` (required), `selfLoops` (default true), `minCount`
+    * (default 1 — prune rare transitions AFTER `n_from` is fixed, so
+    * probabilities still sum to 1 over the unpruned matrix).
+    *
+    * Scale shape: ONE keyed window (lead) over the events + ONE hash
+    * aggregation to the state-pair matrix; `n_from` re-aggregates the
+    * MATRIX (state-space-sized, never event rows again) and joins back
+    * null-safely. State spaces are small by problem shape — the join
+    * broadcasts under AQE. */
+  def transitions(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val state = spec.str("stateField").getOrElse(
+        sys.error("transitions: `stateField` required"))
+      require(df.columns.contains(state), s"transitions: no column '$state'")
+      val minCount = spec.long("minCount").getOrElse(1L)
+      val tsUs = epochMicros(df, ts)
+      val ord = tsUs.asc +: spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      val pairs = df
+        .select(col(state).as("from_state"),
+          lead(col(state), 1).over(w).as("__to"),
+          lead(lit(1), 1).over(w).as("__has_next"))
+        .where(col("__has_next").isNotNull) // each key's last row: no successor
+      val pairs1 =
+        if (spec.bool("selfLoops", dflt = true)) pairs
+        else pairs.where(!(col("from_state") <=> col("__to")))
+      val matrix = pairs1
+        .groupBy(col("from_state"), col("__to").as("to_state"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = matrix.groupBy(col("from_state").as("__f"))
+        .agg(sum("n").as("n_from"))
+      matrix.join(fromTot, col("from_state") <=> col("__f")).drop("__f")
+        .where(col("n") >= minCount)
+        .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+    }
+
   /** `funnel`: ordered-step conversion funnel over an event stream —
     * the product-analytics primitive ("view → click → purchase within
     * 24 h"). Per key, step 1 completes at the EARLIEST matching event;

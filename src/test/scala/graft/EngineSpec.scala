@@ -51,6 +51,35 @@ class EngineSpec extends SparkSpec {
     assert(out.count() == 25)
   }
 
+  test("fixedwidth extractor: 1-based slices, types, blank→null, short lines, guards") {
+    val f = s"$tmp/fw.txt"
+    // layout: id[1..3] name[4..11] qty[12..14]; row 3 has a blank qty
+    // cell, row 4 is SHORT (qty column absent entirely)
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), Seq(
+      "  1alpha    42",
+      "  2beta    107",
+      "  3gamma      ",
+      "  4delta").mkString("\n").getBytes("UTF-8"))
+    val ctx = newCtx()
+    def run(cols: String*) = Engine.runJson(ctx, s"""{
+      "source": { "file": { "path": "$f" } },
+      "extractor": { "fixedwidth": { "columns": [${cols.map("\"" + _ + "\"").mkString(",")}] } },
+      "loader": { "memory": {} }
+    }""")
+    val out = run("id:1:3:long", "name:4:8", "qty:12:3:integer")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(out == Seq((1L, "alpha", Some(42)), (2L, "beta", Some(107)),
+      (3L, "gamma", None), (4L, "delta", None)))
+    assert(run("id:1:3:long").schema("id").dataType.typeName == "long")
+    // bad column spec / 0-based offset fail loud
+    assert(intercept[Exception](run("id:1").collect())
+      .getMessage.contains("fixedwidth"))
+    assert(intercept[Exception](run("id:0:3:long").collect())
+      .getMessage.contains("1-based"))
+  }
+
   test("gzip source is transparent (OFileSource gzip path)") {
     val path = s"$tmp/nation_gz"
     newCtx().table("nation").coalesce(1).write.mode("overwrite")

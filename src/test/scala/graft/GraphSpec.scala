@@ -1177,4 +1177,38 @@ class GraphSpec extends SparkSpec {
     assert(run("source" -> "a,d", "direction" -> "out") ==
       Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("linkpredict: CN/jaccard/PA/bits-AA hand values; excludeExisting; hub cap") {
+    val ctx = newCtx()
+    // triangle a-b-c plus pendant c-d: degrees a=2 b=2 c=3 d=1
+    ctx.addEdges(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst").withColumn("label", lit("e")))
+    def run(opts: (String, Any)*) = graft.graph.GraphStages.linkPredict(
+      ComponentSpec("linkpredict", opts.toMap), ctx)(spark.emptyDataFrame)
+      .select("u", "v", "common_neighbors", "deg_u", "deg_v",
+        "jaccard", "pref_attach", "adamic_adar")
+      .as[(String, String, Long, Long, Long, Double, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    // default: only NON-edges — (a,d) and (b,d), both via center c
+    // (deg 3 → bits 2 → adamic_adar = 1/2)
+    val out = run()
+    assert(out.keySet == Set(("a", "d"), ("b", "d")))
+    assert(out(("a", "d"))  == ((1L, 2L, 1L, 0.5, 2L, 0.5)))
+    assert(out(("b", "d"))  == ((1L, 2L, 1L, 0.5, 2L, 0.5)))
+    // excludeExisting=false also scores the triangle's own edges
+    // ((a,b) via c; (a,c) via b; (b,c) via a — centers of degree 2 → 1/2)
+    val all = run("excludeExisting" -> false)
+    assert(all.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"),
+      ("a", "d"), ("b", "d")))
+    assert(all(("a", "b")) == ((1L, 2L, 2L, 1.0 / 3.0, 4L, 0.5)))
+    // maxDegree=2 excludes the hub c as a wedge CENTER: d's pairs
+    // vanish; only the degree-2 centers a and b still close wedges
+    val capped = run("excludeExisting" -> false, "maxDegree" -> 2)
+    assert(capped.keySet == Set(("a", "c"), ("b", "c")))
+    // hubAction=error fails loud at the same cap
+    val e = intercept[Exception](run("maxDegree" -> 2, "hubAction" -> "error"))
+    assert(e.getMessage.contains("maxDegree"), e.getMessage)
+    // minCommon prunes: nothing here shares 2 neighbors
+    assert(run("minCommon" -> 2).isEmpty)
+  }
 }

@@ -454,4 +454,40 @@ class StatsSpec extends SparkSpec {
       "chisquare", Map("featureField" -> "zzz")), ctx)(df))
       .getMessage.contains("zzz"))
   }
+
+  test("freqpairs: pair support/lift hand values; set semantics; oversize guard") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // b1:{x,y,z} b2:{x,y} b3:{x,x,y — dup dedups} b4:{z} → 4 baskets
+    val df = Seq(("b1", "x"), ("b1", "y"), ("b1", "z"), ("b2", "x"),
+      ("b2", "y"), ("b3", "x"), ("b3", "x"), ("b3", "y"), ("b4", "z"))
+      .toDF("bk", "it")
+    def run(opts: (String, Any)*) = StatStages.freqPairs(ComponentSpec(
+      "freqpairs", Map("basketField" -> "bk", "itemField" -> "it")
+        ++ opts.toMap), ctx)(df)
+      .select("item1", "item2", "n_pair", "n_item1", "n_item2",
+        "n_baskets", "support", "lift_bits")
+      .as[(String, String, Long, Long, Long, Long, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    // default minCount=2: only (x,y) — 3 baskets of 4, support 0.75;
+    // lift a = 3·4 = 12 ≥ b = 3·3 = 9 → +len(bin(12 div 9 = 1)) = +1
+    val out = run()
+    assert(out == Map(("x", "y") -> ((3L, 3L, 3L, 4L, 0.75, 1L))))
+    // minCount=1 surfaces the rare pairs; (x,z) is ANTI-associated:
+    // a = 1·4 = 4 < b = 3·2 = 6 → −len(bin(6 div 4 = 1)) = −1
+    val all = run("minCount" -> 1)
+    assert(all.size == 3)
+    assert(all(("x", "z")) == ((1L, 3L, 2L, 4L, 0.25, -1L)))
+    assert(all(("y", "z")) == ((1L, 3L, 2L, 4L, 0.25, -1L)))
+    // oversizeAction=error (default) fails loud past maxBasketSize
+    val e = intercept[Exception](run("maxBasketSize" -> 2))
+    assert(e.getMessage.contains("maxBasketSize"), e.getMessage)
+    // drop excludes the oversized basket: (x,y) now from b2+b3 of 3 baskets
+    val dropped = run("maxBasketSize" -> 2, "oversizeAction" -> "drop")
+    assert(dropped == Map(("x", "y") -> ((2L, 2L, 2L, 3L, 2.0 / 3.0, 1L))))
+    // required options fail loud
+    assert(intercept[Exception](StatStages.freqPairs(ComponentSpec(
+      "freqpairs", Map("itemField" -> "it")), ctx)(df))
+      .getMessage.contains("basketField"))
+  }
 }

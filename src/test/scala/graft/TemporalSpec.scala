@@ -488,6 +488,43 @@ class TemporalSpec extends SparkSpec {
       ev.columns.toSeq :+ "cum_n")
   }
 
+  test("transitions: Markov matrix hand values; null state; selfLoops; minCount") {
+    val ctx = newCtx()
+    // u1: A→B→B→null→A (ties broken by eid); u2: A→B at EQUAL ts
+    val ev = Seq(
+      ("u1", 1.0, 1L, Some("A")), ("u1", 2.0, 2L, Some("B")),
+      ("u1", 3.0, 3L, Some("B")), ("u1", 4.0, 4L, None),
+      ("u1", 5.0, 5L, Some("A")),
+      ("u2", 9.0, 6L, Some("A")), ("u2", 9.0, 7L, Some("B")))
+      .toDF("u", "t", "eid", "state")
+    def run(opts: (String, Any)*) = TemporalStages.transitions(
+      ComponentSpec("transitions", Map("keyField" -> "u", "tsField" -> "t",
+        "tieField" -> "eid", "stateField" -> "state") ++ opts.toMap), ctx)(ev)
+      .select("from_state", "to_state", "n", "n_from", "p")
+      .as[(Option[String], Option[String], Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val out = run()
+    assert(out == Map(
+      (Some("A"), Some("B")) -> ((2L, 2L, 1.0)),   // u1 first hop + u2's tie-ordered hop
+      (Some("B"), Some("B")) -> ((1L, 2L, 0.5)),
+      (Some("B"), None)      -> ((1L, 2L, 0.5)),   // NULL is a real state
+      ((None: Option[String]), Some("A")) -> ((1L, 1L, 1.0))))
+    // selfLoops=false drops B→B BEFORE the matrix: B's mass renormalizes
+    val noSelf = run("selfLoops" -> false)
+    assert(!noSelf.contains((Some("B"), Some("B"))))
+    assert(noSelf((Some("B"), None)) == ((1L, 1L, 1.0)))
+    // minCount prunes AFTER n_from is fixed (p still over the full matrix)
+    val pruned = run("minCount" -> 2)
+    assert(pruned == Map((Some("A"), Some("B")) -> ((2L, 2L, 1.0))))
+    // stateField required; unknown column fails loud
+    assert(intercept[Exception](TemporalStages.transitions(
+      ComponentSpec("transitions", Map("keyField" -> "u", "tsField" -> "t")),
+      ctx)(ev)).getMessage.contains("stateField"))
+    assert(intercept[Exception](TemporalStages.transitions(
+      ComponentSpec("transitions", Map("keyField" -> "u", "tsField" -> "t",
+        "stateField" -> "zzz")), ctx)(ev)).getMessage.contains("zzz"))
+  }
+
   test("funnel: strict ordering, stall contiguity, conversion window") {
     val ctx = newCtx()
     // numeric (epoch-second) times keep every expectation enumerable
