@@ -4408,6 +4408,48 @@ object SparkEntry {
         .select("event_type", "n", "r", "slope", "intercept")
         .orderBy("event_type")
     },
+    "word_filter" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // C4-style token blocklist: whole-token hits + ratio (flag mode
+      // keeps every doc; the ratio is one exact-long division)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"wordfilter": {"words": ["slow", "big", "merge"]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "bad_n", "bad_ratio").orderBy("doc_id")
+    },
+    "regex_extract" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // entity extraction: every s-word match exploded to its own row
+      // with a stable in-document index
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"regexextract": {"field": "text",
+            "pattern": "\\\\bs[a-z]{3,}\\\\b"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "match_idx", "match")
+        .orderBy("doc_id", "match_idx")
+    },
+    "event_paths" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // frequent whole-journey paths: first 8 states per user joined
+      // '>'-separated, counted across users (event_id breaks ts ties)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id, ts, event_id, event_type FROM events"}},
+          {"eventpaths": {"keyField": "user_id", "tsField": "ts",
+            "tieField": "event_id", "stateField": "event_type",
+            "maxSteps": 8}}],
+        "loader": {"memory": {}} }""")
+        .select("path", "n_keys").orderBy("path")
+    },
     "fixedwidth_read" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // fixed-width layout recovery from real padded text: typed longs,
@@ -6172,6 +6214,19 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "word_filter" ->
+      (raw"WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l FROM documents), " +
+       "b AS (SELECT doc_id, CAST(len(list_filter(l, x -> list_contains(['slow', 'big', 'merge'], x))) AS BIGINT) AS bad_n, len(l) AS nt FROM t) " +
+       "SELECT doc_id, bad_n, CASE WHEN nt > 0 THEN CAST(bad_n AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS bad_ratio " +
+       "FROM b ORDER BY doc_id"),
+    "regex_extract" ->
+      (raw"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\bs[a-z]{3,}\b') AS l FROM documents) " +
+       "SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS match_idx, " +
+       "unnest(l) AS match FROM t ORDER BY doc_id, match_idx"),
+    "event_paths" ->
+      ("WITH p AS (SELECT array_to_string(list_slice(list(coalesce(event_type, '(null)') ORDER BY ts, event_id), 1, 8), '>') AS path " +
+       "FROM events GROUP BY user_id) " +
+       "SELECT path, count(*) AS n_keys FROM p GROUP BY path ORDER BY path"),
     "fixedwidth_read" ->
       ("SELECT n_nationkey, n_name, " +
        "CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_regionkey END AS n_regionkey, " +

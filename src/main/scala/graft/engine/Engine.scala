@@ -85,6 +85,8 @@ object Engine {
     "boilerplate"   -> graft.text.TextStages.boilerplate _,
     "gopherfilter"  -> graft.text.TextStages.gopherFilter _,
     "c4filter"      -> graft.text.TextStages.c4Filter _,
+    "wordfilter"    -> graft.text.TextStages.wordFilter _,
+    "regexextract"  -> graft.text.TextStages.regexExtract _,
     "compressratio" -> graft.text.TextStages.compressRatio _,
     "wikitext"      -> graft.text.TextStages.wikitext _,
     "piimask"       -> graft.text.TextStages.piiMask _,
@@ -172,6 +174,7 @@ object Engine {
     "delta"         -> graft.temporal.TemporalStages.delta _,
     "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
+    "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

@@ -349,6 +349,47 @@ object TemporalStages {
       }
     }
 
+  /** `eventpaths`: frequent user-journey paths — per key, the ordered
+    * state sequence rendered as one `sep`-joined string (capped at the
+    * first `maxSteps` states), then counted across keys. The
+    * whole-journey complement of [[transitions]]' one-hop matrix
+    * ("which FULL paths are common?"). Output: (`path`, `n_keys`),
+    * a query stage. NULL states render as `(null)` (a join would
+    * silently skip them); ordering inside a key is (`tsField`,
+    * `tieField`) — supply the tie-breaker or equal-timestamp paths are
+    * run-dependent.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended), `stateField` (required), `sep` (default
+    * `>`), `maxSteps` (default 100 — journeys truncate, LOUDLY capped
+    * ≥ 1; per-key state is maxSteps strings, never unbounded).
+    *
+    * Scale shape: ONE hash aggregation per key (collect_list of
+    * (ts, tie, state) structs — bounded by the maxSteps contract after
+    * slice; the collect itself carries a key's events, the same state
+    * any sessionization holds) + sort_array for a deterministic order
+    * WITHOUT a window sort, + ONE count aggregation over path strings.
+    * No global sort, no window over event rows. */
+  def eventPaths(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val state = spec.str("stateField").getOrElse(
+        sys.error("eventpaths: `stateField` required"))
+      require(df.columns.contains(state), s"eventpaths: no column '$state'")
+      val sep = spec.strOr("sep", ">")
+      val maxSteps = spec.int("maxSteps", 100)
+      require(maxSteps >= 1, s"eventpaths: maxSteps must be >= 1, got $maxSteps")
+      val tie = spec.str("tieField").map(col(_)).getOrElse(lit(0L))
+      val ev = struct(epochMicros(df, ts).as("t"), tie.as("k"),
+        coalesce(col(state).cast("string"), lit("(null)")).as("s"))
+      df.groupBy(col(key))
+        .agg(sort_array(collect_list(ev)).as("__evs"))
+        .select(array_join(
+          slice(col("__evs.s"), 1, maxSteps), sep).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_keys"))
+    }
+
   /** `transitions`: first-order Markov transition matrix over a keyed
     * event stream — the user-journey structure behind [[funnel]]'s
     * fixed steps ("after a view, what happens next, how often?"). Per

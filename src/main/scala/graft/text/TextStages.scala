@@ -293,6 +293,86 @@ object TextStages {
     * booleans and `c4_keep`; `action: "filter"` keeps passing rows and
     * swaps `text` for the cleaned lines. Pure per-row HOF arithmetic —
     * fuses into the scan, zero shuffle at any corpus size. */
+  /** `wordfilter`: token-blocklist curation — the "bad word list"
+    * rule every public pretrain pipeline carries (C4 drops a page on
+    * ANY blocklist hit; policy-tunable here). Matching is whole-token
+    * against lowercased whitespace tokens — substring matches are NOT
+    * hits ("class" is clean under a "lass" entry), which is the
+    * standard list semantics. Emits `bad_n` (hit tokens) and
+    * `bad_ratio` = bad_n / n_tokens (two exact longs, one IEEE
+    * division; 0.0 on an empty doc). Options: `words` (required
+    * blocklist), `field` (default text), `action` ∈ flag (default) |
+    * filter, `maxCount` (filter bar, default 0 — the C4 rule: any hit
+    * drops), `maxRatio` (optional alternative bar).
+    *
+    * Scale shape: a pure per-row projection — the blocklist ships in
+    * the plan as a literal array (lists are thousands of words, not
+    * data); no shuffle, no join. */
+  def wordFilter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      require(df.columns.contains(fieldName), s"wordfilter: no column '$fieldName'")
+      val words = spec.strList("words")
+      require(words.nonEmpty, "wordfilter: `words` (blocklist) required")
+      val bl = array(words.map(w => lit(w.toLowerCase)): _*)
+      val toks = filter(tokens(lower(col(fieldName))), t => t =!= "")
+      val out = df
+        .withColumn("bad_n",
+          size(filter(toks, t => array_contains(bl, t))).cast("long"))
+        .withColumn("bad_ratio",
+          when(size(toks) > 0,
+            col("bad_n").cast("double") / size(toks).cast("double"))
+          .otherwise(lit(0.0)))
+      spec.strOr("action", "flag") match {
+        case "flag" => out
+        case "filter" =>
+          val byRatio = spec.str("maxRatio").map(r =>
+            col("bad_ratio") <= lit(r.toDouble))
+          val byCount = col("bad_n") <= lit(spec.long("maxCount").getOrElse(0L))
+          out.where(byRatio.getOrElse(byCount))
+        case other => sys.error(
+          s"wordfilter: action must be flag|filter, got '$other'")
+      }
+    }
+
+  /** `regexextract`: explode every regex match of `pattern` in `field`
+    * into its own row — the entity-extraction primitive (emails, IPs,
+    * ticket ids, dates) that [[piiMask]]'s in-place masking doesn't
+    * give you. Each input row yields one output row per match carrying
+    * all input columns plus `outputField` (default `match`, capture
+    * `group` — default 0, the whole match) and `match_idx` (0-based
+    * position among the row's matches). Rows with no match DROP by
+    * default (`keepEmpty` = true keeps them with a null match and
+    * match_idx null — the left-join posture). Stick to the common
+    * regex subset (no lookbehind) if results must reproduce across
+    * engines.
+    *
+    * Scale shape: per-row `regexp_extract_all` + posexplode — a pure
+    * projection/generator, no shuffle; match counts bound the fan-out
+    * and the pattern ships in the plan. */
+  def regexExtract(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      require(df.columns.contains(fieldName), s"regexextract: no column '$fieldName'")
+      val pattern = spec.str("pattern").getOrElse(
+        sys.error("regexextract: `pattern` required"))
+      val group = spec.int("group", 0)
+      val outF = spec.strOr("outputField", "match")
+      require(!df.columns.contains(outF) && !df.columns.contains("match_idx"),
+        s"regexextract: output column '$outF'/'match_idx' collides — set outputField")
+      val matches = regexp_extract_all(
+        col(fieldName).cast("string"), lit(pattern), lit(group))
+      val base = df.withColumn("__ms", matches)
+      val exploded =
+        if (spec.bool("keepEmpty", dflt = false))
+          base.select(col("*"),
+            posexplode_outer(col("__ms")).as(Seq("match_idx", outF)))
+        else
+          base.select(col("*"), posexplode(col("__ms")).as(Seq("match_idx", outF)))
+      exploded.drop("__ms")
+        .withColumn("match_idx", col("match_idx").cast("long"))
+    }
+
   def c4Filter(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val fieldName = spec.strOr("field", "text")

@@ -1600,6 +1600,50 @@ class LlmStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("n must be 1"), e.getMessage)
   }
 
+  // --------------------------------------------------------- wordfilter
+  test("wordfilter: whole-token hits, ratio, filter actions, guards") {
+    val df = Seq((1L, "the BIG bad wolf"), (2L, "clean text"),
+      (3L, "   "), (4L, "bigger class")).toDF("doc_id", "text")
+    def run(opts: (String, Any)*) =
+      stage("wordfilter", (("words" -> Seq("big", "wolf")) +: opts): _*)(df)
+    val out = run().select("doc_id", "bad_n", "bad_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 0.5)))       // case-folded whole tokens
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(3L) == ((0L, 0.0)))       // empty doc: ratio 0, not NaN
+    assert(out(4L) == ((0L, 0.0)))       // 'bigger' is NOT a 'big' hit
+    // filter: the C4 rule (any hit drops) vs a ratio bar
+    assert(run("action" -> "filter").select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 3L, 4L))
+    assert(run("action" -> "filter", "maxRatio" -> "0.5").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(intercept[Exception](stage("wordfilter")(df))
+      .getMessage.contains("words"))
+    assert(intercept[Exception](run("action" -> "zap"))
+      .getMessage.contains("action"))
+  }
+
+  // ------------------------------------------------------- regexextract
+  test("regexextract: match explosion with stable index; groups; keepEmpty") {
+    val df = Seq((1L, "a1 b22 c333"), (2L, "xyz")).toDF("doc_id", "text")
+    def run(opts: (String, Any)*) = stage("regexextract", opts: _*)(df)
+    val out = run("pattern" -> "[0-9]+")
+      .select("doc_id", "match_idx", "match")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 0L, "1"), (1L, 1L, "22"), (1L, 2L, "333")))
+    // capture group 2 of letter+digits
+    assert(run("pattern" -> "([a-z])([0-9]+)", "group" -> 2)
+      .select("match").as[String].collect().toSet == Set("1", "22", "333"))
+    // keepEmpty keeps the matchless doc with nulls (left-join posture)
+    val kept = run("pattern" -> "[0-9]+", "keepEmpty" -> true)
+      .where(col("doc_id") === 2L).select("match_idx", "match").collect()
+    assert(kept.length == 1 && kept(0).isNullAt(0) && kept(0).isNullAt(1))
+    assert(intercept[Exception](run()).getMessage.contains("pattern"))
+    // output-name collision fails loud
+    val e = intercept[Exception](run("pattern" -> "x", "outputField" -> "text"))
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+
   // ------------------------------------------------------- collocations
   test("collocations: integer-bits PMI matches hand computation; minCount prunes") {
     // one bigram per doc: (x,z)×4, (w,y)×4, (x,y)×1 → n=9;

@@ -488,6 +488,29 @@ class TemporalSpec extends SparkSpec {
       ev.columns.toSeq :+ "cum_n")
   }
 
+  test("eventpaths: ordered journeys, null placeholder, maxSteps truncation") {
+    val ctx = newCtx()
+    val ev = Seq(
+      ("u1", 1.0, 1L, Some("A")), ("u1", 2.0, 2L, Some("B")), ("u1", 3.0, 3L, Some("C")),
+      ("u2", 1.0, 4L, Some("A")), ("u2", 2.0, 5L, Some("B")), ("u2", 3.0, 6L, Some("C")),
+      ("u3", 1.0, 7L, Some("B")), ("u3", 2.0, 8L, None))
+      .toDF("u", "t", "eid", "state")
+    def run(opts: (String, Any)*) = TemporalStages.eventPaths(
+      ComponentSpec("eventpaths", Map("keyField" -> "u", "tsField" -> "t",
+        "tieField" -> "eid", "stateField" -> "state") ++ opts.toMap), ctx)(ev)
+      .as[(String, Long)].collect().toMap
+    assert(run() == Map("A>B>C" -> 2L, "B>(null)" -> 1L))
+    // maxSteps truncates the journey prefix
+    assert(run("maxSteps" -> 2) == Map("A>B" -> 2L, "B>(null)" -> 1L))
+    assert(run("sep" -> "|", "maxSteps" -> 2) ==
+      Map("A|B" -> 2L, "B|(null)" -> 1L))
+    assert(intercept[Exception](run("maxSteps" -> 0))
+      .getMessage.contains("maxSteps"))
+    assert(intercept[Exception](TemporalStages.eventPaths(
+      ComponentSpec("eventpaths", Map("keyField" -> "u")), ctx)(ev))
+      .getMessage.contains("stateField"))
+  }
+
   test("transitions: Markov matrix hand values; null state; selfLoops; minCount") {
     val ctx = newCtx()
     // u1: A→B→B→null→A (ties broken by eid); u2: A→B at EQUAL ts
