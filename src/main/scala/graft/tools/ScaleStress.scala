@@ -269,7 +269,8 @@ object ScaleStress {
       "neardup_dedup_lsh", "cosine_dup", "resample_ffill", "group_cap",
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
-      "scc_color", "mixture_budget", "funnel_steps")
+      "scc_color", "mixture_budget", "funnel_steps",
+      "link_predict", "freq_pairs")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -578,6 +579,39 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT key FROM __input WHERE steps_completed >= 2"}}],
           "loader": {"memory": {}} }""",
+        // vertices ∝ N at FIXED degree (≤ 8 distinct out-offsets → deg
+        // ≤ ~16) plus one hub wired to every user (deg ∝ N): the
+        // maxDegree cap must exclude the hub as a wedge CENTER at every
+        // factor, keeping candidates ∝ N·deg² — linear, never the
+        // hub's N² wedges. Trailing filter references jaccard
+        // (count-elimination trap).
+        "link_predict" -> s"""{
+          "begin": [{"console": {"commands": [
+            "CREATE OR REPLACE TEMPORARY VIEW lps_ids AS SELECT DISTINCT 'u' || CAST(user_id AS STRING) AS vid FROM stress_events"]}}],
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT 'u' || CAST(user_id AS STRING) AS src_id, 'u' || CAST((user_id + eid % 8 + 1) % ${math.max(150L, 10000L * factor / 66)} AS STRING) AS dst_id FROM __input UNION ALL SELECT 'hub', 'u' || CAST(user_id AS STRING) FROM __input"}},
+            {"vertex": {"class": "lps", "idField": "src_id"}},
+            {"edge": {"joinFieldName": "dst_id", "lookup": "lps_ids.vid",
+                      "class": "lps_e", "direction": "out"}},
+            {"linkpredict": {"maxDegree": 64, "minCommon": 2}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS n FROM __input WHERE jaccard > 0.01"}}],
+          "loader": {"memory": {}} }""",
+        // baskets ∝ N at FIXED size 20 (190 pairs each): the basket
+        // self-join is linear in N under the size cap; support filter
+        // references the output (count-elimination trap)
+        "freq_pairs" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid div 20 AS basket, (eid * 31) % 500 AS item FROM __input"}},
+            {"freqpairs": {"basketField": "basket", "itemField": "item",
+              "minCount": 2}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS n FROM __input WHERE support > 0.000001"}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [
@@ -598,7 +632,8 @@ object ScaleStress {
         val nDisp = name match {
           case "cosine_dup" | "semantic_dedup" => m
           case "asof_join" | "asof_nearest" | "range_join" |
-               "interval_join" | "funnel_steps" => 10000L * factor
+               "interval_join" | "funnel_steps" |
+               "link_predict" | "freq_pairs" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }
