@@ -4408,6 +4408,54 @@ object SparkEntry {
         .select("event_type", "n", "r", "slope", "intercept")
         .orderBy("event_type")
     },
+    "one_hot" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // dummy encoding of the 5-value event_type vocabulary (planted
+      // NULLs row to all zeros); column set is the sorted vocabulary
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_type END AS etype FROM events"}},
+          {"onehot": {"field": "etype", "maxCardinality": 16}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "etype_click", "etype_error", "etype_purchase",
+          "etype_signup", "etype_view")
+        .orderBy("event_id")
+    },
+    "percent_rank" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // rank-normalized spend within each order priority: ties share a
+      // rank, (rank-1)/(n-1) is one exact-long division
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM input"}},
+          {"percentrank": {"field": "cents",
+            "groupBy": ["o_orderpriority"]}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "cents_pct")
+        .orderBy("o_orderkey")
+    },
+    "entropy_profile" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-bucket categorical entropy in floor-log2 bits (planted NULL
+      // is a real category): info_bits is an exact long, the closing
+      // division the only IEEE op
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id % 7 AS bucket, CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END AS v FROM events"}},
+          {"entropy": {"field": "v", "groupBy": ["bucket"]}}],
+        "loader": {"memory": {}} }""")
+        .select("bucket", "n", "distinct_vals", "info_bits", "entropy_bits")
+        .orderBy("bucket")
+    },
     "word_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       // C4-style token blocklist: whole-token hits + ratio (flag mode
@@ -6214,6 +6262,29 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "one_hot" ->
+      ("WITH b AS (SELECT event_id, CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_type END AS etype FROM events) " +
+       "SELECT event_id, " +
+       Seq("click", "error", "purchase", "signup", "view").map(v =>
+         s"CAST(CASE WHEN etype = '$v' THEN 1 ELSE 0 END AS BIGINT) AS etype_$v")
+         .mkString(", ") +
+       " FROM b ORDER BY event_id"),
+    "percent_rank" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+       "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cents_pct " +
+       "FROM (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+       "ORDER BY o_orderkey"),
+    "entropy_profile" ->
+      ("WITH b AS (SELECT user_id % 7 AS bucket, CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END AS v FROM events), " +
+       "vc AS (SELECT bucket, v, count(*) AS nv FROM b GROUP BY 1, 2), " +
+       "gt AS (SELECT bucket AS g, CAST(sum(nv) AS BIGINT) AS n, count(*) AS dv FROM vc GROUP BY 1), " +
+       "j AS (SELECT vc.bucket, vc.nv, gt.n, gt.dv, " +
+       "CAST(length(bin(gt.n // vc.nv)) - 1 AS BIGINT) AS bits " +
+       "FROM vc JOIN gt ON vc.bucket = gt.g) " +
+       "SELECT bucket, CAST(max(n) AS BIGINT) AS n, CAST(max(dv) AS BIGINT) AS distinct_vals, " +
+       "CAST(sum(nv * bits) AS BIGINT) AS info_bits, " +
+       "CAST(sum(nv * bits) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS entropy_bits " +
+       "FROM j GROUP BY bucket ORDER BY bucket"),
     "word_filter" ->
       (raw"WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l FROM documents), " +
        "b AS (SELECT doc_id, CAST(len(list_filter(l, x -> list_contains(['slow', 'big', 'merge'], x))) AS BIGINT) AS bad_n, len(l) AS nt FROM t) " +

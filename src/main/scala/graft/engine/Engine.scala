@@ -135,6 +135,9 @@ object Engine {
     "kanonymity"    -> graft.stages.StatStages.kAnonymity _,
     "chisquare"     -> graft.stages.StatStages.chiSquare _,
     "freqpairs"     -> graft.stages.StatStages.freqPairs _,
+    "entropy"       -> graft.stages.StatStages.entropy _,
+    "onehot"        -> graft.stages.StatStages.oneHot _,
+    "percentrank"   -> graft.stages.StatStages.percentRank _,
     "unpivot"       -> graft.stages.CubeStages.unpivot _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,

@@ -690,6 +690,139 @@ object StatStages {
         .withColumnRenamed("__f", fF).withColumnRenamed("__c", cF)
     }
 
+  /** `onehot`: one-hot (dummy) encoding of a LOW-cardinality
+    * categorical — one 0/1 column per vocabulary value, the
+    * featurization counterpart of [[labelEncode]]'s dense ids. The
+    * vocabulary is read once at plan time (bounded collect, ≤
+    * `maxCardinality` + 1 rows — one-hot is WIDE-SCHEMA by nature, so
+    * the cap is small and the overflow error names [[featureHash]] as
+    * the scalable migration). Column order is the sorted vocabulary
+    * (deterministic run to run); names are `<prefix>_<value>` with
+    * non-alphanumerics folded to `_` (a post-fold collision fails
+    * loud rather than silently merging categories). NULL input rows
+    * get all zeros (the standard dummy convention — no column claims
+    * them). `dropFirst` (default false) drops the first sorted level,
+    * the regression dummy-trap convention.
+    *
+    * Scale shape: after the bounded vocabulary probe, a pure per-row
+    * projection — the vocabulary ships in the plan, no join, no
+    * shuffle. */
+  def oneHot(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("onehot: `field` required"))
+      require(df.columns.contains(f), s"onehot: no column '$f'")
+      val prefix = spec.strOr("prefix", f)
+      val maxCard = spec.long("maxCardinality").getOrElse(64L)
+      require(maxCard >= 1, s"onehot: maxCardinality must be >= 1, got $maxCard")
+      val cap = math.min(maxCard + 1, Int.MaxValue.toLong).toInt
+      val vals = df.select(col(f).cast("string").as("__v"))
+        .where(col("__v").isNotNull).distinct()
+        .limit(cap).collect().map(_.getString(0))
+      if (vals.length > maxCard) sys.error(
+        s"onehot: column '$f' has more than $maxCard distinct values — " +
+        "one-hot creates a column per value and does not scale to high " +
+        "cardinality. Use `featurehash` for a fixed-width encoding, or " +
+        "raise maxCardinality if the vocabulary is genuinely this small")
+      val sorted = vals.sorted.toSeq
+      val keep = if (spec.bool("dropFirst", dflt = false)) sorted.drop(1) else sorted
+      def sanitize(v: String) = v.replaceAll("[^A-Za-z0-9_]", "_")
+      val names = keep.map(v => s"${prefix}_${sanitize(v)}")
+      require(names.distinct.size == names.size,
+        s"onehot: sanitized column names collide (${names.mkString(", ")}) — " +
+        "set a different `prefix` or pre-clean the values")
+      require(names.forall(!df.columns.contains(_)),
+        s"onehot: an output column already exists — set `prefix`")
+      keep.zip(names).foldLeft(df) { case (d, (v, n)) =>
+        d.withColumn(n,
+          when(col(f).cast("string") === lit(v), 1L).otherwise(0L))
+      }
+    }
+
+  /** `percentrank`: rank-normalized position of each row's `field`
+    * within its group — the distribution-free feature scaling
+    * ([[minMaxScale]]'s robust cousin: outliers can't stretch it).
+    * Emits `<field>_pct` = (rank − 1) / (n − 1) with ties sharing a
+    * rank (SQL `percent_rank` in both engines — two exact longs, one
+    * IEEE division; a single-row group scores 0.0). NULL values sort
+    * FIRST (Spark's ascending default — spell `NULLS FIRST` in any
+    * comparing oracle).
+    *
+    * Options: `field` (required), `groupBy` (list — REQUIRED unless
+    * `global` is set true: a keyless percent_rank is one global sort
+    * on a single reducer, the [[labelEncode]] hazard, so the stage
+    * refuses to default into it and names [[quantileBin]] as the
+    * scalable alternative), `outputField` (default `<field>_pct`).
+    *
+    * Scale shape: ONE keyed window — exchange on the group hash,
+    * per-partition sort, rank streamed. */
+  def percentRank(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("percentrank: `field` required"))
+      require(df.columns.contains(f), s"percentrank: no column '$f'")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"percentrank: no column '$g'"))
+      if (groupCols.isEmpty) require(spec.bool("global", dflt = false),
+        "percentrank: no `groupBy` — a keyless percent_rank is ONE " +
+        "global sort on a single reducer. Set global:true to accept " +
+        "that cost, or use `quantilebin` for a scalable binned rank")
+      val out = spec.strOr("outputField", s"${f}_pct")
+      require(!df.columns.contains(out),
+        s"percentrank: output column '$out' exists — set outputField")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col(f).asc)
+      df.withColumn(out, percent_rank().over(w))
+    }
+
+  /** `entropy`: categorical-distribution entropy per group — the
+    * data-profiling signal behind "is this column informative /
+    * near-constant / an id in disguise", and the label-balance check
+    * for classifier curation. Shannon entropy needs libm log, so the
+    * stage computes the codebase's INTEGER-BITS analog: per value v
+    * with count n_v in a group of n rows, the floor-log2 surprise
+    * ⌊log2(n div n_v)⌋ = length(bin(n div n_v)) − 1 (0 bits for a
+    * constant column, ~log2(distinct) for uniform ids — monotone in
+    * the Shannon value, bit-identical across engines). Output per
+    * group: `n`, `distinct_vals`, `info_bits` (exact long numerator
+    * Σ n_v·surprise) and `entropy_bits` = info_bits / n (ONE IEEE
+    * division). NULL is a real value (it counts as its own category)
+    * and a query stage replaces the stream.
+    *
+    * Options: `field` (required), `groupBy` (optional — global one-row
+    * result otherwise).
+    *
+    * Scale shape: ONE corpus hash aggregation to (group, value)
+    * counts; group totals RE-AGGREGATE that frame (vocabulary-sized)
+    * and join back group-keyed (broadcast when global); the closing
+    * per-group aggregation runs over the same small frame. */
+  def entropy(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.str("field").getOrElse(
+        sys.error("entropy: `field` required"))
+      require(df.columns.contains(fieldName), s"entropy: no column '$fieldName'")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"entropy: no column '$g'"))
+      val vc = df.groupBy((groupCols :+ fieldName).map(col): _*)
+        .agg(count(lit(1)).as("__nv"))
+      val gt = (if (groupCols.isEmpty) vc.groupBy()
+                else vc.groupBy(groupCols.map(g => col(g).as(s"__g_$g")): _*))
+        .agg(sum("__nv").as("__n"), count(lit(1)).as("__dv"))
+      val joined =
+        if (groupCols.isEmpty) vc.crossJoin(broadcast(gt))
+        else vc.join(gt,
+          groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
+          .drop(groupCols.map(g => s"__g_$g"): _*)
+      val surprise = (length(bin(expr("__n div __nv"))) - 1).cast("long")
+      joined
+        .withColumn("__bits", col("__nv") * surprise)
+        .groupBy(groupCols.map(col): _*)
+        .agg(max("__n").as("n"), max("__dv").as("distinct_vals"),
+          sum("__bits").as("info_bits"))
+        .withColumn("entropy_bits",
+          col("info_bits").cast("double") / col("n").cast("double"))
+    }
+
   /** `freqpairs`: frequent item-pair mining over basket rows (market-
     * basket / co-occurrence analysis — the level-2 Apriori pass, which
     * in practice IS the useful one at corpus scale). Input: one row per

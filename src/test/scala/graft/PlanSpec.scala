@@ -721,4 +721,80 @@ class PlanSpec extends SparkSpec {
       s"e1, e2 and the closing join must all hit the cache:\n$plan")
     ctx.releaseCache()
   }
+
+  test("linkpredict: cached adjacency feeds wedge join; no nested loop; one pair agg") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // ring + chords: every vertex degree ~4, plenty of wedges
+    val edges = (0L until 2000L).flatMap(i =>
+      Seq((s"v$i", s"v${(i + 1) % 2000}"), (s"v$i", s"v${(i + 7) % 2000}")))
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    ctx.addEdges(edges)
+    val out = graft.graph.GraphStages.linkPredict(
+      graft.spec.ComponentSpec("linkpredict", Map("minCommon" -> 1)),
+      ctx)(spark.emptyDataFrame)
+    val plan = planOf(out)
+    // wedges come from the PERSISTED symmetric adjacency (built once),
+    // scores from hash aggregation — never a cartesian/nested loop over
+    // candidate pairs, never a window
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"sym/deg must be cache hits, not recomputed lineage:\n$plan")
+    assert(plan.contains("HashAggregate"), s"pair agg must hash:\n$plan")
+    ctx.releaseCache()
+  }
+
+  test("freqpairs: deduped basket frame cached and self-joined; marginals re-aggregate it") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // 1997 is prime to 40: a basket's ~10 items differ (2000 would
+    // alias every basket to ONE item and the whole result to empty)
+    val rows = (1L to 20000L).map(i => (i % 1997, (i * 31) % 40))
+      .toDF("bk", "it")
+    val out = graft.stages.StatStages.freqPairs(
+      graft.spec.ComponentSpec("freqpairs",
+        Map("basketField" -> "bk", "itemField" -> "it", "minCount" -> 2)),
+      ctx)(rows)
+    val plan = planOf(out)
+    // the ONE BroadcastNestedLoopJoin is the broadcast ONE-ROW n_baskets
+    // attach (the repo's stat-attach pattern); anything beyond it — or
+    // any cartesian — would be a real pair-space blowup
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert("BroadcastNestedLoopJoin".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).size <= 1,
+      s"only the one-row total attach may nest:\n$plan")
+    // the distinct (basket, item) frame is built ONCE and read from
+    // cache by the self-join, the item marginals and the basket total
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"items frame must be a cache hit three ways:\n$plan")
+    ctx.releaseCache()
+  }
+
+  test("transitions/cumulate: ONE keyed window each, no event-row join fan-out") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val ev = (1L to 8000L).map(i =>
+      (i % 500, i.toDouble, i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("u", "t", "eid", "s")
+    val tr = graft.temporal.TemporalStages.transitions(
+      graft.spec.ComponentSpec("transitions", Map("keyField" -> "u",
+        "tsField" -> "t", "tieField" -> "eid", "stateField" -> "s")), ctx)(ev)
+    // AQE's toString prints the final AND the initial plan — count in
+    // the FINAL section only (the retrievaleval lock's rule)
+    val trPlan = planOf(tr).split("== Initial Plan ==")(0)
+    assert("Window".r.findAllIn(trPlan).size <= 1,
+      s"transitions: one lead window:\n$trPlan")
+    assert(trPlan.contains("HashAggregate"), s"matrix agg must hash:\n$trPlan")
+    val cu = graft.temporal.TemporalStages.cumulate(
+      graft.spec.ComponentSpec("cumulate", Map("keyField" -> "u",
+        "tsField" -> "t", "tieField" -> "eid",
+        "valueFields" -> Seq("eid"))), ctx)(ev)
+    val cuPlan = planOf(cu).split("== Initial Plan ==")(0)
+    // cum_n and the cumsum ride ONE window spec — a second sort/exchange
+    // would mean the specs diverged
+    assert("Exchange hashpartitioning".r.findAllIn(cuPlan).size <= 1,
+      s"cumulate: one keyed exchange:\n$cuPlan")
+  }
 }

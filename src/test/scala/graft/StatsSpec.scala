@@ -455,6 +455,80 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("zzz"))
   }
 
+  test("onehot: sorted dummy columns, null→all-zeros, dropFirst, guards") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("b!")), (3L, None), (4L, Some("a")))
+      .toDF("id", "x")
+    def run(opts: (String, Any)*) = StatStages.oneHot(ComponentSpec(
+      "onehot", Map("field" -> "x") ++ opts.toMap), ctx)(df)
+    val out = run()
+    assert(out.columns.toSeq == Seq("id", "x", "x_a", "x_b_")) // sorted, sanitized
+    val rows = out.select("id", "x_a", "x_b_")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((1L, 0L)) && rows(2L) == ((0L, 1L)))
+    assert(rows(3L) == ((0L, 0L)))                 // NULL claims no column
+    // dropFirst drops the first sorted level (dummy-trap convention)
+    assert(run("dropFirst" -> true).columns.toSeq == Seq("id", "x", "x_b_"))
+    // cardinality overflow names the migration
+    val e = intercept[Exception](run("maxCardinality" -> 1))
+    assert(e.getMessage.contains("featurehash"), e.getMessage)
+    // post-sanitize collision fails loud rather than merging categories
+    val coll = Seq((1L, "b!"), (2L, "b?")).toDF("id", "x")
+    val ce = intercept[Exception](StatStages.oneHot(ComponentSpec(
+      "onehot", Map("field" -> "x")), ctx)(coll))
+    assert(ce.getMessage.contains("collide"), ce.getMessage)
+  }
+
+  test("percentrank: tie-shared ranks per group; keyless requires global ack") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 30L), ("h", 5L))
+      .toDF("k", "v")
+    val out = StatStages.percentRank(ComponentSpec("percentrank",
+      Map("field" -> "v", "groupBy" -> Seq("k"))), ctx)(df)
+      .select("k", "v", "v_pct").as[(String, Long, Double)].collect()
+    assert(out.filter(_._1 == "g").map(r => (r._2, r._3)).sorted.toSeq ==
+      Seq((10L, 0.0), (20L, 1.0 / 3.0), (20L, 1.0 / 3.0), (30L, 1.0)))
+    assert(out.filter(_._1 == "h").map(_._3).toSeq == Seq(0.0)) // n=1 → 0
+    // keyless percent_rank is a single-reducer sort: refuse by default
+    val e = intercept[Exception](StatStages.percentRank(ComponentSpec(
+      "percentrank", Map("field" -> "v")), ctx)(df))
+    assert(e.getMessage.contains("quantilebin"), e.getMessage)
+    assert(StatStages.percentRank(ComponentSpec("percentrank",
+      Map("field" -> "v", "global" -> true)), ctx)(df).count() == 5)
+  }
+
+  test("entropy: floor-log2 bits hand values; null category; constant→0; global") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", Some("x")),
+      ("a", Some("y")), ("b", Some("z")), ("b", Some("z")),
+      ("c", Some("x")), ("c", Some("y")), ("c", None), ("c", Some("w")))
+      .toDF("g", "v")
+    val out = StatStages.entropy(ComponentSpec("entropy",
+      Map("field" -> "v", "groupBy" -> Seq("g"))), ctx)(df)
+      .select("g", "n", "distinct_vals", "info_bits", "entropy_bits")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // a: x×3 → ⌊log2(4 div 3)⌋ = 0 each, y×1 → ⌊log2 4⌋ = 2 → 2/4
+    assert(out("a") == ((4L, 2L, 2L, 0.5)))
+    // constant column: zero bits — the "is it informative" floor
+    assert(out("b") == ((2L, 1L, 0L, 0.0)))
+    // all-distinct incl. the NULL category: 4 × ⌊log2 4⌋ = 8 → 2.0
+    assert(out("c") == ((4L, 4L, 8L, 2.0)))
+    // global mode: one row over everything
+    val g = StatStages.entropy(ComponentSpec("entropy",
+      Map("field" -> "v")), ctx)(df)
+      .select("n", "distinct_vals").as[(Long, Long)].collect().toSeq
+    assert(g == Seq((10L, 5L))) // categories: x y z w and the NULL one
+    assert(intercept[Exception](StatStages.entropy(
+      ComponentSpec("entropy", Map()), ctx)(df)).getMessage.contains("field"))
+    assert(intercept[Exception](StatStages.entropy(ComponentSpec(
+      "entropy", Map("field" -> "v", "groupBy" -> Seq("zz"))), ctx)(df))
+      .getMessage.contains("zz"))
+  }
+
   test("freqpairs: pair support/lift hand values; set semantics; oversize guard") {
     val ctx = newCtx()
     import spark.implicits._
