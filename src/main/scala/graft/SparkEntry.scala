@@ -4408,6 +4408,23 @@ object SparkEntry {
         .select("event_type", "n", "r", "slope", "intercept")
         .orderBy("event_type")
     },
+    "date_features" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // UTC calendar expansion incl. ISO dow/week — engine-independent
+      // integer fields from the normalized events timeline
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, ts FROM events"}},
+          {"datefeatures": {"field": "ts",
+            "parts": ["year", "month", "day", "dow", "hour", "week", "doy"]}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "ts_year", "ts_month", "ts_day", "ts_dow",
+          "ts_hour", "ts_week", "ts_doy")
+        .orderBy("event_id")
+    },
     "one_hot" -> { (s, dir) =>
       val c = ctx(s, dir)
       // dummy encoding of the 5-value event_type vocabulary (planted
@@ -6262,6 +6279,15 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "date_features" ->
+      ("SELECT event_id, CAST(year(ts) AS INTEGER) AS ts_year, " +
+       "CAST(month(ts) AS INTEGER) AS ts_month, " +
+       "CAST(day(ts) AS INTEGER) AS ts_day, " +
+       "CAST(isodow(ts) AS INTEGER) AS ts_dow, " +
+       "CAST(hour(ts) AS INTEGER) AS ts_hour, " +
+       "CAST(week(ts) AS INTEGER) AS ts_week, " +
+       "CAST(dayofyear(ts) AS INTEGER) AS ts_doy " +
+       "FROM events ORDER BY event_id"),
     "one_hot" ->
       ("WITH b AS (SELECT event_id, CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_type END AS etype FROM events) " +
        "SELECT event_id, " +

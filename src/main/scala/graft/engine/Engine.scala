@@ -178,6 +178,7 @@ object Engine {
     "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
+    "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

@@ -349,6 +349,43 @@ object TemporalStages {
       }
     }
 
+  /** `datefeatures`: calendar feature extraction from a time column —
+    * the `<f>_year/_month/_day/_dow/_hour/...` expansion every
+    * time-aware model and partition layout wants. The column first
+    * rides [[graft.sources.Tables.normalizeTs]] (any fixture encoding
+    * → one UTC wall clock — the round-8 drift contract), so the fields
+    * are UTC-calendar and engine-independent. `dow` is ISO (1 = Monday
+    * … 7 = Sunday — the unambiguous convention; Spark's `dayofweek`
+    * 1-Sunday spelling never leaks out), `week` the ISO week.
+    *
+    * Options: `field` (default ts), `parts` (subset of year month day
+    * dow hour minute second week doy; default year month day dow
+    * hour), `prefix` (default the field name). All outputs are INT.
+    *
+    * Scale shape: pure per-row codegen'd projection — no shuffle. */
+  def dateFeatures(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df0 =>
+      val f = spec.strOr("field", "ts")
+      require(df0.columns.contains(f), s"datefeatures: no column '$f'")
+      val df = graft.sources.Tables.normalizeTs(df0, f)
+      val prefix = spec.strOr("prefix", f)
+      val c = col(f)
+      val all: Map[String, Column] = Map(
+        "year" -> year(c), "month" -> month(c), "day" -> dayofmonth(c),
+        "dow" -> (expr(s"weekday(`$f`)") + 1), // ISO: weekday is 0=Monday
+        "hour" -> hour(c), "minute" -> minute(c), "second" -> second(c),
+        "week" -> weekofyear(c), "doy" -> dayofyear(c))
+      val parts = spec.strList("parts") match {
+        case Nil => Seq("year", "month", "day", "dow", "hour")
+        case ps => ps
+      }
+      parts.foreach(p => require(all.contains(p),
+        s"datefeatures: unknown part '$p' (want ${all.keys.toSeq.sorted.mkString("|")})"))
+      parts.foldLeft(df) { (d, p) =>
+        d.withColumn(s"${prefix}_$p", all(p).cast("int"))
+      }
+    }
+
   /** `eventpaths`: frequent user-journey paths — per key, the ordered
     * state sequence rendered as one `sep`-joined string (capped at the
     * first `maxSteps` states), then counted across keys. The

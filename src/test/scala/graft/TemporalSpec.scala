@@ -488,6 +488,28 @@ class TemporalSpec extends SparkSpec {
       ev.columns.toSeq :+ "cum_n")
   }
 
+  test("datefeatures: UTC calendar fields, ISO dow/week, part guard") {
+    val ctx = newCtx()
+    val df = Seq("2024-01-01 00:30:00", "2024-03-15 12:34:56")
+      .toDF("s").withColumn("ts", col("s").cast("timestamp"))
+    val out = TemporalStages.dateFeatures(ComponentSpec("datefeatures",
+      Map("field" -> "ts", "parts" -> Seq("year", "month", "day", "dow",
+        "hour", "minute", "second", "week", "doy"))), ctx)(df)
+      .select("s", "ts_year", "ts_month", "ts_day", "ts_dow", "ts_hour",
+        "ts_minute", "ts_second", "ts_week", "ts_doy")
+      .collect().map(r => r.getString(0) -> (1 to 9).map(r.getInt)).toMap
+    // 2024-01-01 is a Monday: ISO dow 1, ISO week 1, doy 1
+    assert(out("2024-01-01 00:30:00") == Seq(2024, 1, 1, 1, 0, 30, 0, 1, 1))
+    // 2024-03-15 is a Friday: dow 5, ISO week 11, doy 75 (leap year)
+    assert(out("2024-03-15 12:34:56") == Seq(2024, 3, 15, 5, 12, 34, 56, 11, 75))
+    assert(intercept[Exception](TemporalStages.dateFeatures(
+      ComponentSpec("datefeatures", Map("field" -> "ts",
+        "parts" -> Seq("zodiac"))), ctx)(df)).getMessage.contains("zodiac"))
+    assert(intercept[Exception](TemporalStages.dateFeatures(
+      ComponentSpec("datefeatures", Map("field" -> "nope")), ctx)(df))
+      .getMessage.contains("nope"))
+  }
+
   test("eventpaths: ordered journeys, null placeholder, maxSteps truncation") {
     val ctx = newCtx()
     val ev = Seq(
