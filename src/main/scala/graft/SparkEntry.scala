@@ -4408,6 +4408,35 @@ object SparkEntry {
         .select("event_type", "n", "r", "slope", "intercept")
         .orderBy("event_type")
     },
+    "srt_parse" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // SRT cue recovery from REAL formatted subtitle text: the config
+      // RENDERS HH:MM:SS,mmm blocks from doc_id arithmetic (plus a
+      // planted WEBVTT junk header the lenient parser must drop); the
+      // oracle recomputes the arithmetic — the engine must round-trip
+      // it through the actual text format
+      def fmt(ms: String) =
+        s"lpad(CAST(($ms) div 3600000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 3600000) div 60000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 60000) div 1000 AS STRING), 2, '0'), ',', " +
+        s"lpad(CAST(($ms) % 1000 AS STRING), 3, '0')"
+      val mk = "concat('WEBVTT', chr(10), 'junk header', chr(10), chr(10), " +
+        "array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> " +
+        "concat(CAST(i + 1 AS STRING), chr(10), " +
+        fmt("doc_id * 977 + i * 2000") + ", ' --> ', " +
+        fmt("doc_id * 977 + i * 2000 + 1500") + ", chr(10), " +
+        "'cue ', CAST(doc_id AS STRING), ' line ', CAST(i AS STRING))), " +
+        "concat(chr(10), chr(10)))) AS srt"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT doc_id, $mk FROM input"}},
+          {"srtparse": {"field": "srt"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "cue_idx", "start_ms", "end_ms", "cue_text")
+        .orderBy("doc_id", "cue_idx")
+    },
     "date_features" -> { (s, dir) =>
       val c = ctx(s, dir)
       // UTC calendar expansion incl. ISO dow/week — engine-independent
@@ -6279,6 +6308,13 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "srt_parse" ->
+      ("SELECT doc_id, CAST(i + 1 AS INTEGER) AS cue_idx, " +
+       "CAST(doc_id * 977 + i * 2000 AS BIGINT) AS start_ms, " +
+       "CAST(doc_id * 977 + i * 2000 + 1500 AS BIGINT) AS end_ms, " +
+       "'cue ' || doc_id || ' line ' || i AS cue_text " +
+       "FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i FROM documents) " +
+       "ORDER BY doc_id, cue_idx"),
     "date_features" ->
       ("SELECT event_id, CAST(year(ts) AS INTEGER) AS ts_year, " +
        "CAST(month(ts) AS INTEGER) AS ts_month, " +

@@ -179,6 +179,7 @@ object Engine {
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,
+    "srtparse"      -> graft.multimodal.MultimodalStages.srtParse _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

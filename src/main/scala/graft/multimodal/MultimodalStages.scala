@@ -417,4 +417,60 @@ object MultimodalStages {
       df.withColumn("frame_idx",
           explode(sequence(lit(0), nf - 1, lit(step))))
     }
+
+  /** `srtparse`: SubRip (.srt) subtitle cue extraction — the TEXT side
+    * of the video pipeline (captions are the training text most video
+    * corpora actually yield; cue timing aligns them with
+    * [[frameSample]]'s frame_idx timeline). Each input row's `field`
+    * splits into cue blocks (blank-line separated, CRLF tolerated);
+    * every well-formed block explodes to one row carrying all input
+    * columns plus `cue_idx` (the block's own integer index line),
+    * `start_ms`/`end_ms` (from `HH:MM:SS,mmm --> HH:MM:SS,mmm`, comma
+    * or dot millis) and `cue_text` (payload lines joined with `\n`).
+    * Non-conforming blocks (WEBVTT headers, notes, trailing garbage)
+    * are DROPPED — the lenient posture real subtitle files need;
+    * `strict` = true instead fails loud on the first malformed block
+    * (bounded one-row probe, the etl-cap pattern).
+    *
+    * Scale shape: split + explode + per-block regexp projections —
+    * pure codegen'd row work, no shuffle; one task per payload
+    * partition. */
+  def srtParse(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      require(df.columns.contains(fieldName), s"srtparse: no column '$fieldName'")
+      Seq("cue_idx", "start_ms", "end_ms", "cue_text").foreach(c =>
+        require(!df.columns.contains(c), s"srtparse: output column '$c' collides"))
+      val blocks = split(col(fieldName).cast("string"), "\r?\n[ \t]*\r?\n")
+      val b = trim(col("__blk"))
+      val lines = split(b, "\r?\n")
+      val timeRe = "^(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3}) *--> *" +
+        "(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3}).*$"
+      def ms(base: Int): org.apache.spark.sql.Column =
+        (regexp_extract(element_at(lines, 2), timeRe, base).cast("long") * 3600000L +
+         regexp_extract(element_at(lines, 2), timeRe, base + 1).cast("long") * 60000L +
+         regexp_extract(element_at(lines, 2), timeRe, base + 2).cast("long") * 1000L +
+         regexp_extract(element_at(lines, 2), timeRe, base + 3).cast("long"))
+      val wellFormed = size(lines) >= 3 &&
+        element_at(lines, 1).rlike("^\\d+$") &&
+        element_at(lines, 2).rlike(timeRe)
+      val exploded = df.withColumn("__blk", explode(blocks))
+        .where(wellFormed)
+        .withColumn("cue_idx", element_at(lines, 1).cast("int"))
+        .withColumn("start_ms", ms(1))
+        .withColumn("end_ms", ms(5))
+        .withColumn("cue_text",
+          array_join(slice(lines, lit(3), size(lines) - 2), "\n"))
+        .drop("__blk")
+      if (spec.bool("strict", dflt = false)) {
+        // bounded probe: ONE malformed block decides (plan-time job,
+        // the etl-cap pattern) — lenient drop is the default contract
+        val bad = df.select(explode(blocks).as("__blk")).where(!wellFormed &&
+          trim(col("__blk")) =!= "")
+        if (!bad.limit(1).isEmpty) sys.error(
+          "srtparse: malformed cue block under strict=true — drop " +
+          "strict or clean the input (lenient mode skips bad blocks)")
+      }
+      exploded
+    }
 }

@@ -469,4 +469,28 @@ class MultimodalSpec extends SparkSpec {
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(got16 == Set((1L, 2L, 1)), got16.toString)
   }
+
+  test("srtparse: CRLF + dot-millis cues, multi-line text, junk dropped, strict") {
+    val srt = "WEBVTT\njunk\n\n" +                      // header block: dropped
+      "1\r\n00:00:01,500 --> 00:00:03,000\r\nhello\r\nworld\r\n\r\n" + // CRLF, 2 lines
+      "2\n01:02:03.250 --> 01:02:04,000\nbye\n\n" +     // dot millis
+      "not a cue at all\n\n"                            // trailing junk: dropped
+    val df = Seq((7L, srt)).toDF("media_id", "text")
+    val out = MultimodalStages.srtParse(ComponentSpec("srtparse", Map()),
+      newCtx())(df)
+      .select("media_id", "cue_idx", "start_ms", "end_ms", "cue_text")
+      .as[(Long, Int, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (7L, 1, 1500L, 3000L, "hello\nworld"), // CRLF folded by the line split
+      (7L, 2, 3723250L, 3724000L, "bye")))
+    // strict mode fails loud on the junk blocks the lenient path skips
+    val e = intercept[Exception](MultimodalStages.srtParse(
+      ComponentSpec("srtparse", Map("strict" -> true)), newCtx())(df))
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+    // output-name collision guard
+    val coll = Seq((1L, "x")).toDF("cue_idx", "text")
+    assert(intercept[Exception](MultimodalStages.srtParse(
+      ComponentSpec("srtparse", Map()), newCtx())(coll))
+      .getMessage.contains("collides"))
+  }
 }
