@@ -401,12 +401,14 @@ object TemporalStages {
     * `>`), `maxSteps` (default 100 — journeys truncate, LOUDLY capped
     * ≥ 1; per-key state is maxSteps strings, never unbounded).
     *
-    * Scale shape: ONE hash aggregation per key (collect_list of
-    * (ts, tie, state) structs — bounded by the maxSteps contract after
-    * slice; the collect itself carries a key's events, the same state
-    * any sessionization holds) + sort_array for a deterministic order
-    * WITHOUT a window sort, + ONE count aggregation over path strings.
-    * No global sort, no window over event rows. */
+    * Scale shape: ONE keyed window (row_number — Spark's window sort is
+    * disk-backed) TRUNCATES each key to its first `maxSteps` events
+    * BEFORE any collection, so the per-key aggregation buffer holds at
+    * most maxSteps structs — a 10M-event power key costs a spillable
+    * sort, never an OOM-sized collect_list (the naive
+    * collect-then-slice shape buffers the FULL history per key).
+    * sort_array then fixes the order inside the bounded list, + ONE
+    * count aggregation over path strings. No global sort. */
   def eventPaths(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val key = spec.strOr("keyField", "user_id")
@@ -417,13 +419,17 @@ object TemporalStages {
       val sep = spec.strOr("sep", ">")
       val maxSteps = spec.int("maxSteps", 100)
       require(maxSteps >= 1, s"eventpaths: maxSteps must be >= 1, got $maxSteps")
+      val tsUs = epochMicros(df, ts)
+      val ord = tsUs.asc +: spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       val tie = spec.str("tieField").map(col(_)).getOrElse(lit(0L))
-      val ev = struct(epochMicros(df, ts).as("t"), tie.as("k"),
+      val ev = struct(tsUs.as("t"), tie.as("k"),
         coalesce(col(state).cast("string"), lit("(null)")).as("s"))
-      df.groupBy(col(key))
-        .agg(sort_array(collect_list(ev)).as("__evs"))
-        .select(array_join(
-          slice(col("__evs.s"), 1, maxSteps), sep).as("path"))
+      df.select(col(key), ev.as("__ev"), row_number().over(w).as("__rn"))
+        .where(col("__rn") <= maxSteps)
+        .groupBy(col(key))
+        .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
+        .select(array_join(col("__evs.s"), sep).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_keys"))
     }
 

@@ -270,7 +270,7 @@ object ScaleStress {
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
       "scc_color", "mixture_budget", "funnel_steps",
-      "link_predict", "freq_pairs")
+      "link_predict", "freq_pairs", "event_paths")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -612,6 +612,21 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT count(*) AS n FROM __input WHERE support > 0.000001"}}],
           "loader": {"memory": {}} }""",
+        // one POWER KEY owns ~20% of all events (user 0): the window
+        // row_number truncation must bound per-key agg state at
+        // maxSteps — the naive collect-then-slice would buffer the hot
+        // key's FULL 0.2·N history in one aggregation buffer. Trailing
+        // filter references n_keys (count-elimination trap).
+        "event_paths" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT CASE WHEN eid % 5 = 0 THEN 0 ELSE user_id END AS u, t, eid, concat('s', CAST(eid % 6 AS STRING)) AS st FROM __input"}},
+            {"eventpaths": {"keyField": "u", "tsField": "t",
+              "tieField": "eid", "stateField": "st", "maxSteps": 12}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS n FROM __input WHERE n_keys >= 1 AND length(path) > 0"}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [
@@ -633,7 +648,7 @@ object ScaleStress {
           case "cosine_dup" | "semantic_dedup" => m
           case "asof_join" | "asof_nearest" | "range_join" |
                "interval_join" | "funnel_steps" |
-               "link_predict" | "freq_pairs" => 10000L * factor
+               "link_predict" | "freq_pairs" | "event_paths" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }
