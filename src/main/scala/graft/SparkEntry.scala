@@ -4645,6 +4645,23 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("event_id", "etype", "user_id").orderBy("event_id")
     },
+    "kanonymity_ldiv" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // l-diversity on top of k: release only (event_type, user-band)
+      // groups of >= 4 rows that ALSO carry >= 3 distinct value-bands
+      // of the sensitive column (flag mode keeps every row)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, event_type, user_id % 37 AS band, CAST(round(value * 100) AS BIGINT) % 5 AS sens FROM events"}},
+          {"kanonymity": {"fields": ["event_type", "band"], "k": 4,
+            "l": 3, "sensitiveField": "sens", "action": "flag"}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "event_type", "band", "k_anonymous")
+        .orderBy("event_id")
+    },
     "chi_square" -> { (s, dir) =>
       val c = ctx(s, dir)
       // χ² feature–class association (nullable feature, binary class):
@@ -6428,6 +6445,12 @@ object SparkEntry {
        "SELECT b.event_id, b.etype, b.user_id FROM b JOIN c " +
        "ON b.etype IS NOT DISTINCT FROM c.etype AND b.user_id = c.user_id " +
        "WHERE c.kn >= 3 ORDER BY event_id"),
+    "kanonymity_ldiv" ->
+      ("WITH b AS (SELECT event_id, event_type, user_id % 37 AS band, CAST(round(value * 100) AS BIGINT) % 5 AS sens FROM events), " +
+       "c AS (SELECT event_type, band, count(*) AS kn, count(DISTINCT sens) AS ld FROM b GROUP BY 1, 2) " +
+       "SELECT b.event_id, b.event_type, b.band, (c.kn >= 4 AND c.ld >= 3) AS k_anonymous " +
+       "FROM b JOIN c ON b.event_type = c.event_type AND b.band = c.band " +
+       "ORDER BY event_id"),
     "chi_square" ->
       ("WITH b AS (SELECT CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END AS feature, user_id % 2 AS class FROM events), " +
        "p AS (SELECT feature, class, count(*) AS n11 FROM b GROUP BY 1, 2), " +

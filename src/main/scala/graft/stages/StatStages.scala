@@ -592,7 +592,12 @@ object StatStages {
     * smaller than k) | flag (keep all rows, add boolean `outputField`)
     * | suppress (keep all rows, NULL the quasi columns in small groups
     * — the release-everything-but-generalize posture), `outputField`
-    * (default k_anonymous, flag mode only).
+    * (default k_anonymous, flag mode only). `l` + `sensitiveField`
+    * additionally enforce l-DIVERSITY: a released group must carry ≥ l
+    * distinct non-null sensitive values (k alone leaks when a group is
+    * sensitive-homogeneous). An all-null sensitive group counts 0
+    * distinct, so once `sensitiveField` is set even l = 1 withholds
+    * groups that reveal only nulls — documented, not a bug.
     *
     * Scale shape: ONE hash aggregation over the quasi tuple (map-side
     * combine) + one equi-join back on the tuple — group counts ride a
@@ -608,13 +613,28 @@ object StatStages {
       require(k >= 2, s"kanonymity: k must be >= 2, got $k")
       val action = spec.strOr("action", "filter")
       val outF = spec.strOr("outputField", "k_anonymous")
+      // optional l-diversity: each released quasi group must also carry
+      // >= l DISTINCT values of the sensitive column (Machanavajjhala
+      // 2006 — k alone leaks when a small group is sensitive-homogeneous)
+      val lDiv = spec.int("l", 1)
+      require(lDiv >= 1, s"kanonymity: l must be >= 1, got $lDiv")
+      val sensitive = spec.str("sensitiveField")
+      require(lDiv == 1 || sensitive.nonEmpty,
+        "kanonymity: l > 1 requires `sensitiveField` (the column whose " +
+        "values must stay diverse inside each quasi group)")
+      sensitive.foreach(sf => require(df.columns.contains(sf),
+        s"kanonymity: no column '$sf'"))
+      val aggs = count(lit(1)).as("__kn") +:
+        sensitive.map(sf => count_distinct(col(sf)).as("__ld")).toSeq
       val counts = df.groupBy(fields.map(col): _*)
-        .agg(count(lit(1)).as("__kn"))
-        .select(fields.map(f => col(f).as(s"__q_$f")) :+ col("__kn"): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(fields.map(f => col(f).as(s"__q_$f")) ++
+          (col("__kn") +: sensitive.map(_ => col("__ld")).toSeq): _*)
       val cond = fields.map(f => df(f) <=> counts(s"__q_$f")).reduce(_ && _)
       val joined = df.join(counts, cond)
         .drop(fields.map(f => s"__q_$f"): _*)
-      val anon = col("__kn") >= k
+      val anon = sensitive.fold(col("__kn") >= k)(_ =>
+        col("__kn") >= k && col("__ld") >= lDiv)
       (action match {
         case "filter" => joined.where(anon)
         case "flag" => joined.withColumn(outF, anon)
@@ -622,7 +642,7 @@ object StatStages {
           d.withColumn(f, when(anon, col(f))) }
         case other => sys.error(
           s"kanonymity: action must be filter|flag|suppress, got '$other'")
-      }).drop("__kn")
+      }).drop("__kn", "__ld")
     }
 
   /** `chisquare`: χ² feature–class association over categorical

@@ -411,6 +411,19 @@ class StatsSpec extends SparkSpec {
       .select("id", "q1").as[(Long, Option[String])].collect().toMap
     assert(sup.size == 8 && sup(7L).isEmpty) // the (b,1) row, quasi wiped
     assert(sup(0L) == Some("a"))             // large groups untouched
+    // l-diversity: the (a,1)×3 group is k-ok at k=2 but its sensitive
+    // values are HOMOGENEOUS — l=2 withholds it; (a,2) carries 2
+    // distinct sensitive values and passes
+    val ldf = Seq(("a", 1L, "s1"), ("a", 1L, "s1"), ("a", 1L, "s1"),
+      ("a", 2L, "s1"), ("a", 2L, "s2")).toDF("q1", "q2", "sens")
+    val ld = StatStages.kAnonymity(ComponentSpec("kanonymity",
+      Map("fields" -> Seq("q1", "q2"), "k" -> 2, "l" -> 2,
+        "sensitiveField" -> "sens")), ctx)(ldf)
+      .select("q2").as[Long].collect().toSeq
+    assert(ld == Seq(2L, 2L), ld.toString)
+    // l > 1 without a sensitiveField fails loud
+    assert(intercept[Exception](run("l" -> 3))
+      .getMessage.contains("sensitiveField"))
     // guards: missing fields, unknown column, k < 2, bad action
     assert(intercept[Exception](run("fields" -> Seq.empty[String]))
       .getMessage.contains("fields"))
