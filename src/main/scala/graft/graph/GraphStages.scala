@@ -890,9 +890,9 @@ object GraphStages {
       val aa = (1 to 63).map(k => col(s"__c$k").cast("double") / k.toDouble)
         .reduce(_ + _)
       cand
+        .where(col("common_neighbors") >= minCommon) // prune BEFORE the deg joins
         .join(deg.select(col("id").as("u"), col("d").as("deg_u")), Seq("u"))
         .join(deg.select(col("id").as("v"), col("d").as("deg_v")), Seq("v"))
-        .where(col("common_neighbors") >= minCommon)
         .withColumn("jaccard", col("common_neighbors").cast("double") /
           (col("deg_u") + col("deg_v") - col("common_neighbors")).cast("double"))
         .withColumn("pref_attach", col("deg_u") * col("deg_v"))
