@@ -4514,6 +4514,17 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "bad_n", "bad_ratio").orderBy("doc_id")
     },
+    "stopwords_clean" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // stop-token removal with the built-in set: kept tokens preserve
+      // form, single-space rejoin, exact removal count
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"stopwords": {"field": "text"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "text_clean", "n_removed").orderBy("doc_id")
+    },
     "regex_extract" -> { (s, dir) =>
       val c = ctx(s, dir)
       // entity extraction: every s-word match exploded to its own row
@@ -6369,6 +6380,11 @@ object SparkEntry {
        "b AS (SELECT doc_id, CAST(len(list_filter(l, x -> list_contains(['slow', 'big', 'merge'], x))) AS BIGINT) AS bad_n, len(l) AS nt FROM t) " +
        "SELECT doc_id, bad_n, CASE WHEN nt > 0 THEN CAST(bad_n AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS bad_ratio " +
        "FROM b ORDER BY doc_id"),
+    "stopwords_clean" ->
+      (raw"WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l FROM documents), " +
+       "k AS (SELECT doc_id, len(l) AS nt, list_filter(l, x -> NOT list_contains(['the', 'a', 'an', 'of', 'and', 'in', 'to', 'is'], lower(x))) AS kept FROM t) " +
+       "SELECT doc_id, array_to_string(kept, ' ') AS text_clean, " +
+       "CAST(nt - len(kept) AS BIGINT) AS n_removed FROM k ORDER BY doc_id"),
     "regex_extract" ->
       (raw"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\bs[a-z]{3,}\b') AS l FROM documents) " +
        "SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS match_idx, " +

@@ -86,6 +86,7 @@ object Engine {
     "gopherfilter"  -> graft.text.TextStages.gopherFilter _,
     "c4filter"      -> graft.text.TextStages.c4Filter _,
     "wordfilter"    -> graft.text.TextStages.wordFilter _,
+    "stopwords"     -> graft.text.TextStages.stopwordsStage _,
     "regexextract"  -> graft.text.TextStages.regexExtract _,
     "compressratio" -> graft.text.TextStages.compressRatio _,
     "wikitext"      -> graft.text.TextStages.wikitext _,

@@ -167,9 +167,13 @@ object Sources {
     val trimCells = spec.bool("trim", dflt = true)
     val nullBlank = spec.bool("nullOnBlank", dflt = true)
     val parsed = colSpecs.map { c =>
+      def num(x: String) =
+        try x.toInt catch { case _: NumberFormatException => sys.error(
+          s"fixedwidth: bad column spec '$c' — '$x' is not an integer " +
+          "(want name:start:len[:type], 1-based)") }
       c.split(":") match {
-        case Array(n, s, l) => (n, s.toInt, l.toInt, "string")
-        case Array(n, s, l, t) => (n, s.toInt, l.toInt, t)
+        case Array(n, s, l) => (n, num(s), num(l), "string")
+        case Array(n, s, l, t) => (n, num(s), num(l), t)
         case _ => sys.error(
           s"fixedwidth: bad column spec '$c' — want name:start:len[:type]")
       }

@@ -335,6 +335,38 @@ object TextStages {
       }
     }
 
+  /** `stopwords`: remove stop tokens from a text column — the
+    * vocabulary-hygiene transform upstream of [[tfidf]]/[[bm25]]/
+    * [[collocations]] (function words drown every association
+    * statistic). Matching is whole-token case-insensitive; KEPT tokens
+    * preserve their original form; the result rejoins single-spaced
+    * (original inter-token whitespace is not reconstructable after a
+    * token filter — documented). Emits `outputField` (default
+    * `<field>_clean`) and `n_removed`.
+    *
+    * Options: `field` (default text), `words` (default the built-in
+    * [[Stopwords]] set), `outputField`.
+    *
+    * Scale shape: per-row HOF filter against a plan-shipped literal
+    * array — no shuffle, no join. */
+  def stopwordsStage(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      require(df.columns.contains(fieldName), s"stopwords: no column '$fieldName'")
+      val words = spec.strList("words") match {
+        case Nil => Stopwords
+        case ws => ws
+      }
+      val out = spec.strOr("outputField", s"${fieldName}_clean")
+      require(!df.columns.contains(out) && !df.columns.contains("n_removed"),
+        s"stopwords: output column '$out'/'n_removed' collides — set outputField")
+      val bl = array(words.map(w => lit(w.toLowerCase)): _*)
+      val toks = filter(tokens(col(fieldName)), t => t =!= "")
+      val kept = filter(toks, t => !array_contains(bl, lower(t)))
+      df.withColumn(out, array_join(kept, " "))
+        .withColumn("n_removed", (size(toks) - size(kept)).cast("long"))
+    }
+
   /** `regexextract`: explode every regex match of `pattern` in `field`
     * into its own row — the entity-extraction primitive (emails, IPs,
     * ticket ids, dates) that [[piiMask]]'s in-place masking doesn't

@@ -1623,6 +1623,24 @@ class LlmStagesSpec extends SparkSpec {
       .getMessage.contains("action"))
   }
 
+  // ---------------------------------------------------------- stopwords
+  test("stopwords: whole-token case-insensitive removal preserves kept forms") {
+    val df = Seq((1L, "The cat AND the hat"), (2L, "theory of and-craft"),
+      (3L, "  ")).toDF("doc_id", "text")
+    val out = stage("stopwords")(df)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("cat hat", 3L)))          // The/AND/the fold + drop
+    assert(out(2L) == (("theory and-craft", 1L))) // substrings survive; 'of' goes
+    assert(out(3L) == (("", 0L)))
+    // custom list + collision guard
+    val custom = stage("stopwords", "words" -> Seq("cat"))(df)
+      .where(col("doc_id") === 1L).select("text_clean").as[String].head()
+    assert(custom == "The AND the hat")
+    assert(intercept[Exception](stage("stopwords", "outputField" -> "text")(df))
+      .getMessage.contains("collides"))
+  }
+
   // ------------------------------------------------------- regexextract
   test("regexextract: match explosion with stable index; groups; keepEmpty") {
     val df = Seq((1L, "a1 b22 c333"), (2L, "xyz")).toDF("doc_id", "text")
