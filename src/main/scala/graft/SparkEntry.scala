@@ -4308,6 +4308,23 @@ object SparkEntry {
         .select("query_id", "mrr", "ndcg_at_k")
         .orderBy("query_id")
     },
+    "retrieval_map" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // MAP@5 over the same planted candidate set: per-rank precisions
+      // scale by LCM(1..5)=60 so the AP numerator is an exact integer
+      // sum and the metric ONE IEEE division — hash-exact, and EXACT
+      // (not fixed-point-rounded like ndcg's discounts)
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id % 10 AS query_id, doc_id, CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS score, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label FROM __input"}},
+          {"retrievaleval": {"k": 5, "map": true}}],
+        "loader": {"memory": {}} }""")
+        .select("query_id", "precision_at_k", "map_at_k")
+        .orderBy("query_id")
+    },
     "event_deltas" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-user inter-event gaps + integer-cents spend deltas: ONE
@@ -6292,6 +6309,22 @@ object SparkEntry {
       "ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_k " +
       "FROM a ORDER BY query_id"
     },
+    "retrieval_map" ->
+      ("WITH c AS (SELECT doc_id % 10 AS q, doc_id AS d, " +
+       "CAST(doc_id * 37 % 100 AS DOUBLE) / CAST(4.0 AS DOUBLE) AS s, " +
+       "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS l FROM documents), " +
+       "r AS (SELECT q, l, row_number() OVER w AS rk, " +
+       "CAST(sum(CASE WHEN l > 0 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum FROM c " +
+       "WINDOW w AS (PARTITION BY q ORDER BY s DESC, d ASC), " +
+       "wc AS (PARTITION BY q ORDER BY s DESC, d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+       "a AS (SELECT q, " +
+       "CAST(sum(CASE WHEN rk <= 5 AND l > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hk, " +
+       "CAST(sum(CASE WHEN rk <= 5 AND l > 0 THEN cum * (60 // rk) ELSE 0 END) AS BIGINT) AS apn, " +
+       "CAST(sum(CASE WHEN l > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nrel FROM r GROUP BY q) " +
+       "SELECT q AS query_id, CAST(hk AS DOUBLE) / CAST(5.0 AS DOUBLE) AS precision_at_k, " +
+       "CASE WHEN nrel > 0 THEN CAST(apn AS DOUBLE) / CAST(least(nrel, 5) * 60 AS DOUBLE) " +
+       "ELSE CAST(0.0 AS DOUBLE) END AS map_at_k " +
+       "FROM a ORDER BY query_id"),
     "event_deltas" ->
       ("SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us, " +
        "cents - lag(cents) OVER w AS cents_delta " +

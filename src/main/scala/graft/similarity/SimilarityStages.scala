@@ -956,13 +956,29 @@ object SimilarityStages {
       val k = spec.int("k", 10)
       require(k >= 1, s"retrievaleval: k must be >= 1, got $k")
       val withNdcg = spec.bool("ndcg", dflt = false)
+      val withMap = spec.bool("map", dflt = false)
+      // MAP's per-rank precisions are rationals over i ≤ k: scale by
+      // LCM(1..k) and every term is an EXACT long (AP = one closing
+      // division). The LCM grows like e^k — bound k so the worst-case
+      // numerator k²·LCM stays far inside a long
+      require(!withMap || k <= 30,
+        s"retrievaleval: map mode supports k <= 30 (LCM(1..k) fixed-point " +
+        s"stays exact in a long there), got k=$k")
+      val mapLcm: Long =
+        if (!withMap) 1L
+        else (1 to k).foldLeft(1L)((acc, i) =>
+          acc / BigInt(acc).gcd(BigInt(i)).toLong * i)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__q")).orderBy(col("__s").desc, col("__d").asc)
       val ranked = df
         .select(col(q).as("__q"), col(d).as("__d"),
           col(s).as("__s"), (col(l) > 0).as("__rel"))
         .withColumn("__rk", row_number().over(w))
-        .select(col("__q"), col("__rk"), col("__rel"))
+        .withColumn("__cum", sum(when(col("__rel"), 1L).otherwise(0L))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+        .select(col("__q"), col("__rk"), col("__rel"), col("__cum"))
       val base = ranked.groupBy(col("__q").as(q))
         .agg(
           max(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
@@ -974,16 +990,27 @@ object SimilarityStages {
           sum(when(col("__rk") <= k && col("__rel"),
               element_at(typedLit(ndcgWeights(k)), col("__rk").cast("int")))
             .otherwise(0L)).as("__dcg"),
-          sum(when(col("__rel"), 1L).otherwise(0L)).as("__nrel"))
-      if (!withNdcg) base.drop("__dcg", "__nrel")
-      else base
-        .withColumn("ndcg_at_k", when(col("__nrel") > 0,
+          sum(when(col("__rel"), 1L).otherwise(0L)).as("__nrel"),
+          // AP numerator: Σ over relevant ranks i ≤ k of
+          // cum_rel(i) · (LCM div i) — every term an exact long
+          sum(when(col("__rk") <= k && col("__rel"),
+              col("__cum") * expr(s"${mapLcm}L div __rk"))
+            .otherwise(0L)).as("__apn"))
+      val withNd =
+        if (!withNdcg) base
+        else base.withColumn("ndcg_at_k", when(col("__nrel") > 0,
             col("__dcg").cast("double") /
               element_at(typedLit(ndcgWeights(k).scanLeft(0L)(_ + _).tail),
                 least(col("__nrel"), lit(k.toLong)).cast("int"))
                 .cast("double"))
           .otherwise(lit(0.0)))
-        .drop("__dcg", "__nrel")
+      val withAp =
+        if (!withMap) withNd
+        else withNd.withColumn("map_at_k", when(col("__nrel") > 0,
+            col("__apn").cast("double") /
+              (least(col("__nrel"), lit(k.toLong)) * mapLcm).cast("double"))
+          .otherwise(lit(0.0)))
+      withAp.drop("__dcg", "__nrel", "__apn")
     }
 
   /** 1e-6 fixed-point discount weights `round(1e6 / log2(i+1))` for

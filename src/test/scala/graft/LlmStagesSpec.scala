@@ -772,6 +772,31 @@ class LlmStagesSpec extends SparkSpec {
       .columns.contains("ndcg_at_k"))
   }
 
+  test("retrievaleval: map_at_k exact via LCM fixed-point; k bound guard") {
+    // q1 (k=3): relevant at ranks 1 and 3 → AP = (1/1 + 2/3)/2 = 5/6;
+    // q2: relevant at rank 2 only → AP = (1/2)/1; q3: none → 0.0
+    val df = Seq(
+      ("q1", "d1", 3.0, 1), ("q1", "d2", 2.0, 0), ("q1", "d3", 1.0, 1),
+      ("q2", "d1", 5.0, 0), ("q2", "d2", 4.0, 1),
+      ("q3", "d1", 1.0, 0))
+      .toDF("query_id", "doc_id", "score", "label")
+    val out = stage("retrievaleval", "k" -> 3, "map" -> true)(df)
+      .select("query_id", "map_at_k").as[(String, Double)].collect().toMap
+    // LCM(1..3)=6: apn(q1) = 1·6 + 2·2 = 10, denom = 2·6 → 10/12
+    assert(out("q1") == 10.0 / 12.0)
+    assert(out("q2") == 0.5)
+    assert(out("q3") == 0.0)
+    // more relevant than k: denominator truncates at k
+    val many = (1 to 5).map(i => ("q", s"d$i", 10.0 - i, 1))
+      .toDF("query_id", "doc_id", "score", "label")
+    assert(stage("retrievaleval", "k" -> 3, "map" -> true)(many)
+      .select("map_at_k").as[Double].head() == 1.0)
+    // the exactness envelope is enforced, not silent
+    assert(intercept[Exception](stage("retrievaleval", "k" -> 31,
+      "map" -> true)(df)).getMessage.contains("30"))
+    assert(!stage("retrievaleval", "k" -> 3)(df).columns.contains("map_at_k"))
+  }
+
   test("datasplit: deterministic, key-stable, fractions approximately honored") {
     val df = (0L until 2000L).toDF("doc_id")
     val opts = Seq("keyField" -> "doc_id", "salt" -> "s1",
