@@ -3543,6 +3543,22 @@ object SparkEntry {
                             "shingleSize": 3, "threshold": 0.015}}],
         "loader": {"memory": {}} }""").orderBy("a", "b")
     },
+    "containment_pairs" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // MAX-containment pairs: every third doc gets a planted 12-word
+      // PREFIX twin whose shingles are a strict subset — containment
+      // scores the quote/subset relation 1.0 where jaccard dilutes it
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT doc_id, text FROM input WHERE doc_id < 40 UNION ALL SELECT doc_id + 100000, array_join(slice(filter(split(trim(text), ' '), x -> x != ''), 1, 12), ' ') FROM input WHERE doc_id < 40 AND doc_id % 3 = 0"}},
+          {"ngramjaccard": {"idField": "doc_id", "field": "text",
+            "shingleSize": 3, "metric": "containment",
+            "threshold": 0.6}}],
+        "loader": {"memory": {}} }""").orderBy("a", "b")
+    },
     "minhash_pairs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // banded LSH candidates + exact verify. The oracle is the EXACT
@@ -6059,6 +6075,20 @@ object SparkEntry {
       s"WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
       s"CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.015 " +
       s"ORDER BY a, b"
+    },
+    "containment_pairs" -> {
+      val sh = shingles("corp")
+      raw"WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 40 " +
+      "UNION ALL SELECT doc_id + 100000, array_to_string(list_slice(list_filter(string_split(trim(text), ' '), x -> x <> ''), 1, 12), ' ') " +
+      "FROM documents WHERE doc_id < 40 AND doc_id % 3 = 0), " +
+      s"s AS (SELECT doc_id, $sh AS sh FROM corp) " +
+      "SELECT a.doc_id AS a, b.doc_id AS b, " +
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS containment " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.6 " +
+      "ORDER BY a, b"
     },
     "similarity_topk" -> (
       "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20), " +

@@ -314,11 +314,17 @@ object DedupStages {
 
   // -------------------------------------------------- exact n-gram jaccard
 
-  /** `ngramjaccard` transformer: EXACT all-pairs word-n-gram Jaccard over
-    * the (pre-filtered) input — the verification/oracle path. All-pairs
-    * is O(N²) by definition: the stage requires the caller to bound the
-    * input (`maxRows`, default 10k) and is meant for candidate subsets;
-    * use `minhash` for the scale path. Output (a, b, jaccard >= threshold). */
+  /** `ngramjaccard` transformer: EXACT all-pairs word-n-gram similarity
+    * over the (pre-filtered) input — the verification/oracle path.
+    * All-pairs is O(N²) by definition: the stage requires the caller to
+    * bound the input (`maxRows`, default 10k) and is meant for candidate
+    * subsets; use `minhash` for the scale path. `metric` ∈ jaccard
+    * (default — |∩|/|∪|) | containment (MAX containment |∩|/min(|A|,|B|)
+    * — catches the quote/subset relation Jaccard dilutes: a short doc
+    * fully embedded in a long one scores 1.0 here but near 0 on
+    * Jaccard; Broder's resemblance-vs-containment distinction). Both
+    * are two exact set sizes and ONE IEEE division. Output (a, b,
+    * `<metric>` >= threshold) with a < b. */
   def ngramJaccard(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
@@ -335,10 +341,19 @@ object DedupStages {
       val docs = df.select(col(id).as("__id"), wordShingles(col(field), n).as("__sh"))
       val l = docs.select(col("__id").as("a"), col("__sh").as("__sha"))
       val r = docs.select(col("__id").as("b"), col("__sh").as("__shb"))
+      val metric = spec.strOr("metric", "jaccard")
+      val score = metric match {
+        case "jaccard" => jaccard(col("__sha"), col("__shb"))
+        case "containment" =>
+          size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+            least(size(col("__sha")), size(col("__shb"))).cast("double")
+        case other => sys.error(
+          s"ngramjaccard: metric must be jaccard|containment, got '$other'")
+      }
       l.join(r, col("a") < col("b"))
-        .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
-        .where(col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .withColumn(metric, score)
+        .where(col(metric) >= threshold)
+        .select("a", "b", metric)
     }
 
   // ----------------------------------------------------- decontamination

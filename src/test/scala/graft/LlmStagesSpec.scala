@@ -203,6 +203,22 @@ class LlmStagesSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - 0.2) < 1e-12)
   }
 
+  test("ngramjaccard metric=containment: subset scores 1.0 where jaccard dilutes") {
+    // doc 2 is a strict PREFIX of doc 1: containment = 3/min(3,8) = 1.0
+    // while jaccard = 3/8
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = stage("ngramjaccard", "metric" -> "containment",
+      "threshold" -> 0.9)(df).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+    assert(stage("ngramjaccard", "metric" -> "containment", "threshold" -> 0.9)(df)
+      .columns.toSeq == Seq("a", "b", "containment"))
+    // the same pair misses a 0.9 jaccard bar
+    assert(stage("ngramjaccard", "threshold" -> 0.9)(df).collect().isEmpty)
+    assert(intercept[Exception](stage("ngramjaccard", "metric" -> "dice")(df))
+      .getMessage.contains("metric"))
+  }
+
   // ------------------------------------------------------------- text stages
   test("textstats: counts on known strings") {
     val df = Seq((1L, "the quick brown fox"), (2L, "  a  a  b  ")).toDF("doc_id", "text")
