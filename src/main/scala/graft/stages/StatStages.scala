@@ -880,10 +880,15 @@ object StatStages {
       val minCount = spec.long("minCount").getOrElse(2L)
       val maxBasket = spec.long("maxBasketSize").getOrElse(1000L)
       require(maxBasket >= 2, s"freqpairs: maxBasketSize must be >= 2, got $maxBasket")
+      // persist the deduped frame BEFORE the oversize probe: the probe
+      // job then MATERIALIZES the cache the main plan reuses — without
+      // this the distinct shuffle runs twice (probe + main)
       val items0 = df.select(col(bF).as("__bk"), col(iF).as("__it"))
         .where(col("__bk").isNotNull && col("__it").isNotNull).distinct()
+        .persist()
+      ctx.registerPersisted(items0)
       val sizes = items0.groupBy("__bk").agg(count(lit(1)).as("__bs"))
-      val items = (spec.strOr("oversizeAction", "error") match {
+      val items = spec.strOr("oversizeAction", "error") match {
         case "error" =>
           if (!sizes.where(col("__bs") > maxBasket).limit(1).isEmpty)
             sys.error(s"freqpairs: a basket exceeds maxBasketSize=$maxBasket " +
@@ -893,8 +898,7 @@ object StatStages {
           items0.join(sizes.where(col("__bs") <= maxBasket).select("__bk"), Seq("__bk"))
         case other => sys.error(
           s"freqpairs: oversizeAction must be error|drop, got '$other'")
-      }).persist()
-      ctx.registerPersisted(items)
+      }
       val nBaskets = items.agg(count_distinct(col("__bk")).as("n_baskets"))
       val itemCnt = items.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
       val pairs = items.select(col("__bk"), col("__it").as("item1"))
