@@ -4470,6 +4470,38 @@ object SparkEntry {
         .select("doc_id", "cue_idx", "start_ms", "end_ms", "cue_text")
         .orderBy("doc_id", "cue_idx")
     },
+    "mm_caption_frames" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the multimodal composition: render SRT → srtparse recovers cue
+      // timing from the text → each cue explodes to the 400 ms frame
+      // grid it covers (frame f shows at f·400 ms; covered iff
+      // start ≤ f·400 < end — pure integer division, hash-exact).
+      // This is the caption↔frame alignment table a video-text
+      // training pipeline joins features against.
+      def fmt(ms: String) =
+        s"lpad(CAST(($ms) div 3600000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 3600000) div 60000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 60000) div 1000 AS STRING), 2, '0'), ',', " +
+        s"lpad(CAST(($ms) % 1000 AS STRING), 3, '0')"
+      val mk = "concat(" +
+        "array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> " +
+        "concat(CAST(i + 1 AS STRING), chr(10), " +
+        fmt("doc_id * 977 + i * 2000") + ", ' --> ', " +
+        fmt("doc_id * 977 + i * 2000 + 1500") + ", chr(10), " +
+        "'cue ', CAST(doc_id AS STRING))), " +
+        "concat(chr(10), chr(10)))) AS srt"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT doc_id, $mk FROM input WHERE doc_id < 200"}},
+          {"srtparse": {"field": "srt"}},
+          {"command": {"command":
+            "SELECT doc_id, cue_idx, explode(sequence((start_ms + 399) div 400, (end_ms - 1) div 400)) AS frame_idx FROM input"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "cue_idx", "frame_idx")
+        .orderBy("doc_id", "cue_idx", "frame_idx")
+    },
     "date_features" -> { (s, dir) =>
       val c = ctx(s, dir)
       // UTC calendar expansion incl. ISO dow/week — engine-independent
@@ -6406,6 +6438,12 @@ object SparkEntry {
        "'cue ' || doc_id || ' line ' || i AS cue_text " +
        "FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i FROM documents) " +
        "ORDER BY doc_id, cue_idx"),
+    "mm_caption_frames" ->
+      ("WITH c AS (SELECT doc_id, i, doc_id * 977 + i * 2000 AS s " +
+       "FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i FROM documents WHERE doc_id < 200)) " +
+       "SELECT doc_id, CAST(i + 1 AS INTEGER) AS cue_idx, " +
+       "unnest(range((s + 399) // 400, (s + 1500 - 1) // 400 + 1)) AS frame_idx " +
+       "FROM c ORDER BY doc_id, cue_idx, frame_idx"),
     "date_features" ->
       ("SELECT event_id, CAST(year(ts) AS INTEGER) AS ts_year, " +
        "CAST(month(ts) AS INTEGER) AS ts_month, " +
