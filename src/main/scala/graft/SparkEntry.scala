@@ -4551,6 +4551,23 @@ object SparkEntry {
         .select("o_orderkey", "o_orderpriority", "cents_pct")
         .orderBy("o_orderkey")
     },
+    "proportion_ci" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-band purchase conversion with Wilson 95% CIs: exact counts,
+      // then one fixed-order +,−,×,÷,√ tree (all correctly-rounded
+      // IEEE) — hash-exact; planted NULLs are not trials
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id % 11 AS band, CASE WHEN event_id % 29 = 0 THEN CAST(NULL AS BOOLEAN) ELSE event_type = 'purchase' END AS converted FROM events"}},
+          {"proportions": {"successField": "converted",
+            "groupBy": ["band"]}}],
+        "loader": {"memory": {}} }""")
+        .select("band", "n", "successes", "rate", "ci_low", "ci_high")
+        .orderBy("band")
+    },
     "entropy_profile" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-bucket categorical entropy in floor-log2 bits (planted NULL
@@ -6465,6 +6482,17 @@ object SparkEntry {
        "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cents_pct " +
        "FROM (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
        "ORDER BY o_orderkey"),
+    "proportion_ci" ->
+      ("WITH b AS (SELECT user_id % 11 AS band, CASE WHEN event_id % 29 = 0 THEN NULL ELSE event_type = 'purchase' END AS converted FROM events), " +
+       "a AS (SELECT band, count(*) AS n, CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS successes " +
+       "FROM b WHERE converted IS NOT NULL GROUP BY 1), " +
+       "w AS (SELECT band, n, successes, " +
+       "CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p, " +
+       "(CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE) AS t, CAST(n AS DOUBLE) AS nd FROM a) " +
+       "SELECT band, n, successes, p AS rate, " +
+       "(p + t / CAST(2.0 AS DOUBLE)) / (CAST(1.0 AS DOUBLE) + t) - (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(4.0 AS DOUBLE) * nd * nd))) / (CAST(1.0 AS DOUBLE) + t) AS ci_low, " +
+       "(p + t / CAST(2.0 AS DOUBLE)) / (CAST(1.0 AS DOUBLE) + t) + (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(4.0 AS DOUBLE) * nd * nd))) / (CAST(1.0 AS DOUBLE) + t) AS ci_high " +
+       "FROM w ORDER BY band"),
     "entropy_profile" ->
       ("WITH b AS (SELECT user_id % 7 AS bucket, CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END AS v FROM events), " +
        "vc AS (SELECT bucket, v, count(*) AS nv FROM b GROUP BY 1, 2), " +

@@ -137,6 +137,7 @@ object Engine {
     "chisquare"     -> graft.stages.StatStages.chiSquare _,
     "freqpairs"     -> graft.stages.StatStages.freqPairs _,
     "entropy"       -> graft.stages.StatStages.entropy _,
+    "proportions"   -> graft.stages.StatStages.proportions _,
     "onehot"        -> graft.stages.StatStages.oneHot _,
     "percentrank"   -> graft.stages.StatStages.percentRank _,
     "unpivot"       -> graft.stages.CubeStages.unpivot _,

@@ -794,6 +794,57 @@ object StatStages {
       df.withColumn(out, percent_rank().over(w))
     }
 
+  /** `proportions`: per-group success rates with WILSON score
+    * confidence intervals — the A/B-test / conversion-metric primitive
+    * (plain ±1.96·√(p̂q̂/n) misbehaves at small n and p near 0/1;
+    * Wilson 1927 is the standard fix). Per group: `n` (trials),
+    * `successes`, `rate` = s/n and `ci_low`/`ci_high` from
+    * center ± half where, with t = z²/n,
+    * center = (p̂ + t/2) / (1 + t) and
+    * half = z·√(p̂(1−p̂)/n + z²/(4n²)) / (1 + t).
+    * Determinism: counts are exact longs; every later op is +,−,×,÷,√
+    * — all CORRECTLY-ROUNDED IEEE — in one fixed expression order, so
+    * an oracle spelling the same tree hash-matches (no libm anywhere;
+    * z ships as a literal, default 1.96).
+    *
+    * Options: `successField` (required — boolean, or numeric where
+    * nonzero = success; NULL rows are not trials), `groupBy` (list —
+    * global one-row result when absent), `z` (default 1.96).
+    *
+    * Scale shape: ONE hash aggregation with map-side combine; the CI
+    * arithmetic is a projection over the group-count frame. */
+  def proportions(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val sF = spec.str("successField").getOrElse(
+        sys.error("proportions: `successField` required"))
+      require(df.columns.contains(sF), s"proportions: no column '$sF'")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"proportions: no column '$g'"))
+      val z = spec.str("z").map(_.toDouble).getOrElse(1.96)
+      require(z > 0, s"proportions: z must be positive, got $z")
+      val isSuccess = df.schema(sF).dataType match {
+        case org.apache.spark.sql.types.BooleanType => col(sF)
+        case _: org.apache.spark.sql.types.NumericType => col(sF) =!= 0
+        case other => sys.error(
+          s"proportions: successField '$sF' must be boolean or numeric, got $other")
+      }
+      val agg = df.where(col(sF).isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(when(isSuccess, 1L).otherwise(0L)).as("successes"))
+      val nD = col("n").cast("double")
+      val p = col("successes").cast("double") / nD
+      val t = lit(z * z) / nD
+      val center = (p + t / lit(2.0)) / (lit(1.0) + t)
+      val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+        lit(z * z) / (lit(4.0) * nD * nD))) / (lit(1.0) + t)
+      agg
+        .withColumn("rate", p)
+        .withColumn("ci_low", center - half)
+        .withColumn("ci_high", center + half)
+    }
+
   /** `entropy`: categorical-distribution entropy per group — the
     * data-profiling signal behind "is this column informative /
     * near-constant / an id in disguise", and the label-balance check

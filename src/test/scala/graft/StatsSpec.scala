@@ -512,6 +512,43 @@ class StatsSpec extends SparkSpec {
       Map("field" -> "v", "global" -> true)), ctx)(df).count() == 5)
   }
 
+  test("proportions: Wilson CI matches an independent computation; null ≠ trial") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // g: 3/4 converted plus one NULL (not a trial); h: 0/2
+    val df = Seq(("g", Some(true)), ("g", Some(true)), ("g", Some(true)),
+      ("g", Some(false)), ("g", None), ("h", Some(false)), ("h", Some(false)))
+      .toDF("k", "c")
+    val out = StatStages.proportions(ComponentSpec("proportions",
+      Map("successField" -> "c", "groupBy" -> Seq("k"))), ctx)(df)
+      .select("k", "n", "successes", "rate", "ci_low", "ci_high")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    def wilson(s: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val p = s.toDouble / n; val t = z * z / n
+      val c0 = (p + t / 2.0) / (1.0 + t)
+      val h = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / (1.0 + t)
+      (c0 - h, c0 + h)
+    }
+    val (gl, gh) = wilson(3, 4)
+    assert(out("g")._1 == 4L && out("g")._2 == 3L && out("g")._3 == 0.75)
+    assert(math.abs(out("g")._4 - gl) < 1e-12 && math.abs(out("g")._5 - gh) < 1e-12)
+    // zero successes: the interval still has positive width (Wilson's
+    // point vs the degenerate ±z√(pq/n) = 0)
+    assert(out("h")._3 == 0.0 && out("h")._4 == wilson(0, 2)._1 &&
+      out("h")._5 > 0.1)
+    // numeric success column (nonzero = success); global one-row mode
+    val num = Seq(1L, 0L, 2L).toDF("c")
+    val g = StatStages.proportions(ComponentSpec("proportions",
+      Map("successField" -> "c")), ctx)(num)
+      .select("n", "successes").as[(Long, Long)].head()
+    assert(g == ((3L, 2L)))
+    // string success column fails loud
+    assert(intercept[Exception](StatStages.proportions(ComponentSpec(
+      "proportions", Map("successField" -> "k", "groupBy" -> Seq("k"))),
+      ctx)(df)).getMessage.contains("boolean or numeric"))
+  }
+
   test("entropy: floor-log2 bits hand values; null category; constant→0; global") {
     val ctx = newCtx()
     import spark.implicits._
