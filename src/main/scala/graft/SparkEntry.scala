@@ -4708,6 +4708,23 @@ object SparkEntry {
           "n_baskets", "support", "lift_bits")
         .orderBy("item1", "item2")
     },
+    "lag_features" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // 2-step lag + 1-step lead integer-cents features per user: all
+      // three columns ride ONE keyed window
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"lagfeatures": {"keyField": "user_id", "tsField": "ts",
+            "tieField": "event_id", "valueFields": ["cents"],
+            "lags": 2, "leads": 1}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
+        .orderBy("event_id")
+    },
     "cumulate_running" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-user running event count + exact integer-cents running
@@ -6577,6 +6594,12 @@ object SparkEntry {
        "CASE WHEN a >= b THEN CAST(length(bin(a // b)) AS BIGINT) " +
        "ELSE -CAST(length(bin(b // a)) AS BIGINT) END AS lift_bits " +
        "FROM j ORDER BY item1, item2"),
+    "lag_features" ->
+      ("SELECT event_id, lag(cents, 1) OVER w AS cents_lag1, " +
+       "lag(cents, 2) OVER w AS cents_lag2, lead(cents, 1) OVER w AS cents_lead1 " +
+       "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+       "ORDER BY event_id"),
     "cumulate_running" ->
       ("SELECT event_id, count(*) OVER w AS cum_n, " +
        "CAST(sum(cents) OVER w AS BIGINT) AS cents_cumsum " +

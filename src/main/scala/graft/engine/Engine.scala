@@ -178,6 +178,7 @@ object Engine {
     "rolling"       -> graft.temporal.TemporalStages.rolling _,
     "delta"         -> graft.temporal.TemporalStages.delta _,
     "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
+    "lagfeatures"   -> graft.temporal.TemporalStages.lagFeatures _,
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,

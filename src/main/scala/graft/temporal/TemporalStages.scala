@@ -433,6 +433,52 @@ object TemporalStages {
         .groupBy("path").agg(count(lit(1)).as("n_keys"))
     }
 
+  /** `lagfeatures`: k-step lag/lead feature columns per key — the
+    * windowed featurization [[delta]] (1-step differences) and
+    * [[cumulate]] (running totals) don't cover: "the value 1, 2, 3
+    * observations ago" as model inputs. Per listed value field f and
+    * step s ∈ 1..`lags`, emits `<f>_lag<s>` (null before the key has s
+    * history rows) and, when `leads` > 0, `<f>_lead<s>` — the label-
+    * construction direction ("what happens next"), null at the key's
+    * end. Ordering is (`tsField`, `tieField`) — supply the tie-breaker
+    * or equal-timestamp features are run-dependent.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended), `valueFields` (required), `lags`
+    * (default 1), `leads` (default 0); lags + leads bounded at 32 —
+    * wider frames belong in an aggregation, not 64 window columns.
+    *
+    * Scale shape: every column rides ONE window spec — one keyed
+    * exchange + one per-partition sort regardless of how many
+    * lag/lead steps are requested. */
+  def lagFeatures(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val fields = spec.strList("valueFields")
+      require(fields.nonEmpty, "lagfeatures: `valueFields` required")
+      fields.foreach(f =>
+        require(df.columns.contains(f), s"lagfeatures: no column '$f'"))
+      val lags = spec.int("lags", 1)
+      val leads = spec.int("leads", 0)
+      require(lags >= 0 && leads >= 0 && lags + leads >= 1,
+        s"lagfeatures: need lags >= 0, leads >= 0, lags + leads >= 1")
+      require(lags + leads <= 32,
+        s"lagfeatures: lags + leads bounded at 32 (got ${lags + leads}) — " +
+        "wider history belongs in rolling/cumulate aggregations")
+      val ord = epochMicros(df, ts).asc +:
+        spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      val withLags = fields.foldLeft(df) { (d, f) =>
+        (1 to lags).foldLeft(d) { (d2, s) =>
+          d2.withColumn(s"${f}_lag$s", lag(col(f), s).over(w)) }
+      }
+      fields.foldLeft(withLags) { (d, f) =>
+        (1 to leads).foldLeft(d) { (d2, s) =>
+          d2.withColumn(s"${f}_lead$s", lead(col(f), s).over(w)) }
+      }
+    }
+
   /** `transitions`: first-order Markov transition matrix over a keyed
     * event stream — the user-journey structure behind [[funnel]]'s
     * fixed steps ("after a view, what happens next, how often?"). Per

@@ -533,6 +533,31 @@ class TemporalSpec extends SparkSpec {
       .getMessage.contains("stateField"))
   }
 
+  test("lagfeatures: k-step lags/leads per key; tie order; width guard") {
+    val ctx = newCtx()
+    val ev = Seq(
+      ("u1", 1.0, 1L, 10L), ("u1", 2.0, 2L, 20L), ("u1", 2.0, 3L, 30L),
+      ("u2", 9.0, 4L, 99L))
+      .toDF("u", "t", "eid", "v")
+    val out = TemporalStages.lagFeatures(ComponentSpec("lagfeatures",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "valueFields" -> Seq("v"), "lags" -> 2, "leads" -> 1)), ctx)(ev)
+      .select(col("eid"), col("v_lag1"), col("v_lag2"), col("v_lead1"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((None, None, Some(20L))))
+    assert(out(2L) == ((Some(10L), None, Some(30L)))) // tie: eid orders
+    assert(out(3L) == ((Some(20L), Some(10L), None)))
+    assert(out(4L) == ((None, None, None)))           // other key isolated
+    assert(intercept[Exception](TemporalStages.lagFeatures(
+      ComponentSpec("lagfeatures", Map("keyField" -> "u", "tsField" -> "t",
+        "valueFields" -> Seq("v"), "lags" -> 40)), ctx)(ev))
+      .getMessage.contains("32"))
+    assert(intercept[Exception](TemporalStages.lagFeatures(
+      ComponentSpec("lagfeatures", Map("keyField" -> "u")), ctx)(ev))
+      .getMessage.contains("valueFields"))
+  }
+
   test("transitions: Markov matrix hand values; null state; selfLoops; minCount") {
     val ctx = newCtx()
     // u1: A→B→B→null→A (ties broken by eid); u2: A→B at EQUAL ts
