@@ -4584,6 +4584,76 @@ object SparkEntry {
         .select("bucket", "n", "distinct_vals", "info_bits", "entropy_bits")
         .orderBy("bucket")
     },
+    "classify_eval" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-class precision/recall/F1 from exact TP/FP/FN longs (one
+      // IEEE division each); planted prediction flips, null labels
+      // are not scored
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CASE WHEN event_id % 41 = 0 THEN NULL ELSE event_type END AS actual, CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS pred FROM events"}},
+          {"classifyeval": {"labelField": "actual", "predField": "pred"}}],
+        "loader": {"memory": {}} }""")
+        .select("class", "tp", "fp", "fn", "support",
+          "precision", "recall", "f1")
+        .orderBy("class")
+    },
+    "auc_score" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact tie-aware Mann-Whitney AUC per segment: integer 2U via
+      // the two-level prefix sum (no global window), ONE closing IEEE
+      // division; null scores are not scored
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id % 5 AS seg, CASE WHEN event_id % 37 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 1000 END AS score, event_type = 'purchase' AS hit FROM events"}},
+          {"auc": {"scoreField": "score", "labelField": "hit",
+            "groupBy": ["seg"]}}],
+        "loader": {"memory": {}} }""")
+        .select("seg", "n_pos", "n_neg", "auc")
+        .orderBy("seg")
+    },
+    "target_encode" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // smoothed mean target encoding of order priority against cents:
+      // exact long sums, μ one division, encoding one fixed (+,×,÷)
+      // tree; null-target rows still receive their category's encoding
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, o_orderpriority, CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents FROM orders"}},
+          {"targetencode": {"field": "o_orderpriority",
+            "targetField": "cents", "smoothing": "25",
+            "outputField": "prio_enc"}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "o_orderpriority", "prio_enc")
+        .orderBy("o_orderkey")
+    },
+    "line_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // C4 line rule over planted boilerplate (shared header + modular
+      // footers): keepfirst leaves one canonical copy in the smallest
+      // doc_id; lines rejoin in original order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT doc_id, concat('Shared Header', chr(10), text, chr(10), 'footer ', CAST(doc_id % 3 AS STRING)) AS page FROM documents"}},
+          {"linededup": {"idField": "doc_id", "field": "page",
+            "minCount": 2, "action": "keepfirst",
+            "outputField": "clean"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "clean", "n_removed")
+        .orderBy("doc_id")
+    },
     "word_filter" -> { (s, dir) =>
       val c = ctx(s, dir)
       // C4-style token blocklist: whole-token hits + ratio (flag mode
@@ -6521,6 +6591,50 @@ object SparkEntry {
        "CAST(sum(nv * bits) AS BIGINT) AS info_bits, " +
        "CAST(sum(nv * bits) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS entropy_bits " +
        "FROM j GROUP BY bucket ORDER BY bucket"),
+    "classify_eval" ->
+      ("WITH b AS (SELECT CASE WHEN event_id % 41 = 0 THEN NULL ELSE event_type END AS actual, " +
+       "CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS pred FROM events), " +
+       "s AS (SELECT actual, pred FROM b WHERE actual IS NOT NULL AND pred IS NOT NULL), " +
+       "a AS (SELECT actual AS cls, count(*) AS na, CAST(sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS BIGINT) AS tp FROM s GROUP BY 1), " +
+       "p AS (SELECT pred AS cls, count(*) AS np FROM s GROUP BY 1) " +
+       "SELECT coalesce(a.cls, p.cls) AS \"class\", CAST(coalesce(tp, 0) AS BIGINT) AS tp, " +
+       "CAST(coalesce(np, 0) - coalesce(tp, 0) AS BIGINT) AS fp, " +
+       "CAST(coalesce(na, 0) - coalesce(tp, 0) AS BIGINT) AS fn, " +
+       "CAST(coalesce(na, 0) AS BIGINT) AS support, " +
+       "CASE WHEN coalesce(np, 0) > 0 THEN CAST(coalesce(tp, 0) AS DOUBLE) / CAST(np AS DOUBLE) END AS \"precision\", " +
+       "CASE WHEN coalesce(na, 0) > 0 THEN CAST(coalesce(tp, 0) AS DOUBLE) / CAST(na AS DOUBLE) END AS recall, " +
+       "CASE WHEN coalesce(np, 0) + coalesce(na, 0) > 0 THEN CAST(2 * coalesce(tp, 0) AS DOUBLE) / CAST(coalesce(np, 0) + coalesce(na, 0) AS DOUBLE) END AS f1 " +
+       "FROM a FULL OUTER JOIN p ON a.cls = p.cls ORDER BY \"class\""),
+    "auc_score" ->
+      ("WITH b AS (SELECT user_id % 5 AS seg, CASE WHEN event_id % 37 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 1000 END AS score, " +
+       "event_type = 'purchase' AS hit FROM events), " +
+       "a AS (SELECT seg, score, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+       "CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS g FROM b " +
+       "WHERE score IS NOT NULL AND hit IS NOT NULL GROUP BY 1, 2), " +
+       "c AS (SELECT seg, p, g, CAST(coalesce(sum(g) OVER (PARTITION BY seg ORDER BY score " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb FROM a) " +
+       "SELECT seg, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(g) AS BIGINT) AS n_neg, " +
+       "CASE WHEN sum(p) > 0 AND sum(g) > 0 THEN CAST(CAST(sum(p * (2 * nb + g)) AS BIGINT) AS DOUBLE) / " +
+       "CAST(2 * CAST(sum(p) AS BIGINT) * CAST(sum(g) AS BIGINT) AS DOUBLE) END AS auc " +
+       "FROM c GROUP BY seg ORDER BY seg"),
+    "target_encode" ->
+      ("WITH b AS (SELECT o_orderkey, o_orderpriority, CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents FROM orders), " +
+       "o AS (SELECT * FROM b WHERE cents IS NOT NULL), " +
+       "g AS (SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu FROM o), " +
+       "c AS (SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS sy, count(*) AS nc FROM o GROUP BY 1) " +
+       "SELECT b.o_orderkey, b.o_orderpriority, " +
+       "coalesce((CAST(c.sy AS DOUBLE) + CAST(25 AS DOUBLE) * g.mu) / (CAST(c.nc AS DOUBLE) + CAST(25 AS DOUBLE)), g.mu) AS prio_enc " +
+       "FROM b LEFT JOIN c ON b.o_orderpriority = c.o_orderpriority, g ORDER BY o_orderkey"),
+    "line_dedup" ->
+      ("WITH d AS (SELECT doc_id, concat('Shared Header', chr(10), text, chr(10), 'footer ', CAST(doc_id % 3 AS VARCHAR)) AS page FROM documents), " +
+       "t AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d), " +
+       "e AS (SELECT doc_id, unnest(ls) AS ln FROM t), " +
+       "c AS (SELECT lower(trim(ln)) AS n, min(doc_id) AS f FROM e WHERE lower(trim(ln)) <> '' GROUP BY 1 HAVING count(*) >= 2), " +
+       "dl AS (SELECT list(n) AS dn, list(f) AS fl FROM c), " +
+       // DuckDB list_position returns 0 (not NULL) on a miss
+       "k AS (SELECT doc_id, ls, list_filter(ls, x -> lower(trim(x)) = '' OR list_position(dn, lower(trim(x))) = 0 OR fl[list_position(dn, lower(trim(x)))] = doc_id) AS kept FROM t, dl) " +
+       "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean, " +
+       "CAST(len(ls) - len(kept) AS BIGINT) AS n_removed FROM k ORDER BY doc_id"),
     "word_filter" ->
       (raw"WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l FROM documents), " +
        "b AS (SELECT doc_id, CAST(len(list_filter(l, x -> list_contains(['slow', 'big', 'merge'], x))) AS BIGINT) AS bad_n, len(l) AS nt FROM t) " +

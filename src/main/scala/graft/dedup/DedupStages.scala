@@ -696,4 +696,79 @@ object DedupStages {
           sys.error(s"substringspans: mode '$other' (stats | strip)")
       }
     }
+
+  /** `linededup`: corpus-level duplicate-LINE removal — the C4 /
+    * RefinedWeb boilerplate rule ("remove any line occurring more than
+    * once in the corpus"): navigation bars, cookie banners and footers
+    * repeat verbatim across pages while real prose doesn't. Documents
+    * split on newline; a line whose NORMALIZED form (trim + lowercase
+    * by default) occurs ≥ `minCount` times corpus-wide is a duplicate.
+    * `action` = `remove` (default) deletes every duplicate occurrence;
+    * `keepfirst` keeps the occurrences in the single document with the
+    * smallest `idField` value (one canonical copy survives, the
+    * keep-one posture of `neardupdedup`). Blank-normalized lines are
+    * structural whitespace, never counted or removed. Each document's
+    * surviving lines rejoin in ORIGINAL order; `n_removed` counts the
+    * deleted lines. Documents with a NULL text pass through with null
+    * output and n_removed = 0.
+    *
+    * Options: `idField` (default doc_id — must be orderable for
+    * keepfirst), `field` (default text), `minCount` (default 2),
+    * `normalize` (default true), `outputField` (default
+    * `<field>_clean`).
+    *
+    * Scale shape: ONE hash aggregation over exploded lines to the
+    * duplicate-line table (map-side combine collapses the repeats that
+    * make a line a duplicate in the first place), which BROADCASTS
+    * back onto the lines — a shuffle join keyed by line text would put
+    * every copy of a hot banner line on one reducer, exactly the skew
+    * this stage exists to delete. Reassembly groups by document id
+    * (the natural key) with an in-group sort of that document's lines
+    * only. The duplicate table is assumed executor-memory-sized (it
+    * holds only lines that REPEAT); for adversarial corpora fall back
+    * to `crossdedup`/`decontaminate` Bloom pre-filters. */
+  def lineDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val f = spec.strOr("field", "text")
+      Seq(id, f).foreach(c =>
+        require(df.columns.contains(c), s"linededup: no column '$c'"))
+      val minCount = spec.long("minCount").getOrElse(2L)
+      require(minCount >= 2, s"linededup: minCount must be >= 2, got $minCount")
+      val keepFirst = spec.strOr("action", "remove") match {
+        case "remove" => false
+        case "keepfirst" => true
+        case other => sys.error(
+          s"linededup: action must be remove|keepfirst, got '$other'")
+      }
+      val out = spec.strOr("outputField", s"${f}_clean")
+      require(!df.columns.contains(out),
+        s"linededup: output column '$out' exists — set outputField")
+      def norm(c: Column): Column =
+        if (spec.bool("normalize", dflt = true)) lower(trim(c)) else c
+      val lines = df.where(col(f).isNotNull)
+        .select(col(id).as("__lid"),
+          posexplode(split(col(f), "\n", -1)).as(Seq("__pos", "__ln")))
+        .withColumn("__nm", norm(col("__ln")))
+      val dups = lines.where(col("__nm") =!= "")
+        .groupBy("__nm")
+        .agg(count(lit(1)).as("__c"), min(col("__lid")).as("__fid"))
+        .where(col("__c") >= minCount)
+        .select(col("__nm").as("__dn"), col("__fid"))
+      val keep = col("__dn").isNull ||
+        (if (keepFirst) col("__lid") === col("__fid") else lit(false))
+      val rebuilt = lines
+        .join(broadcast(dups), col("__nm") === col("__dn"), "left")
+        .withColumn("__keep", keep)
+        .groupBy(col("__lid"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__ln"))))),
+            x => x.getField("__ln")), "\n").as(out),
+          sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+      df.join(rebuilt, col(id) === col("__lid"), "left")
+        .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+        .drop("__lid")
+    }
 }

@@ -77,6 +77,7 @@ object Engine {
     "decontaminate" -> graft.dedup.DedupStages.decontaminate _,
     "crossdedup"    -> graft.dedup.DedupStages.crossDedup _,
     "substringspans" -> graft.dedup.DedupStages.substringSpans _,
+    "linededup"     -> graft.dedup.DedupStages.lineDedup _,
     "textstats"     -> graft.text.TextStages.textstats _,
     "qualityfilter" -> graft.text.TextStages.qualityFilter _,
     "regexreplace"  -> graft.text.TextStages.regexReplace _,
@@ -138,6 +139,9 @@ object Engine {
     "freqpairs"     -> graft.stages.StatStages.freqPairs _,
     "entropy"       -> graft.stages.StatStages.entropy _,
     "proportions"   -> graft.stages.StatStages.proportions _,
+    "classifyeval"  -> graft.stages.StatStages.classifyEval _,
+    "auc"           -> graft.stages.StatStages.auc _,
+    "targetencode"  -> graft.stages.StatStages.targetEncode _,
     "onehot"        -> graft.stages.StatStages.oneHot _,
     "percentrank"   -> graft.stages.StatStages.percentRank _,
     "unpivot"       -> graft.stages.CubeStages.unpivot _,

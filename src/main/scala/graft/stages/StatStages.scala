@@ -971,4 +971,242 @@ object StatStages {
         .select((Seq("item1", "item2", "n_pair", "n_item1", "n_item2",
           "n_baskets", "support", "lift_bits").map(col)): _*)
     }
+
+  /** `classifyeval`: classifier evaluation from (actual, predicted)
+    * label pairs — the quality gate a labeling / distillation pipeline
+    * runs before shipping a model's outputs as training data. Per class
+    * (mode `perclass`, default): `tp`, `fp`, `fn`, `support`
+    * (= tp + fn), and `precision` = tp/(tp+fp), `recall` = tp/(tp+fn),
+    * `f1` = 2·tp/(2·tp+fp+fn) — every metric is exact longs closed by
+    * ONE correctly-rounded IEEE division, so an oracle spelling the
+    * same division hash-matches. A class with zero predictions gets
+    * null precision (not 0/0); zero support → null recall; f1 is null
+    * only when both are. Mode `overall` emits one row (`n`, `correct`,
+    * `accuracy`). Rows where either label is NULL are not scored
+    * (documented, same posture as `proportions`' NULL-is-not-a-trial).
+    *
+    * Options: `labelField`, `predField` (required, any equatable
+    * type), `mode` ∈ perclass | overall.
+    *
+    * Scale shape: TWO hash aggregations over the scored rows (by
+    * actual, by predicted — both map-side combined, class-cardinality
+    * output) full-outer-joined on the class value; no windows, no
+    * per-row comparison matrix. */
+  def classifyEval(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val lF = spec.str("labelField").getOrElse(
+        sys.error("classifyeval: `labelField` required"))
+      val pF = spec.str("predField").getOrElse(
+        sys.error("classifyeval: `predField` required"))
+      Seq(lF, pF).foreach(f =>
+        require(df.columns.contains(f), s"classifyeval: no column '$f'"))
+      val scored = df.where(col(lF).isNotNull && col(pF).isNotNull)
+      spec.strOr("mode", "perclass") match {
+        case "overall" =>
+          scored.groupBy()
+            .agg(count(lit(1)).as("n"),
+              sum(when(col(lF) === col(pF), 1L).otherwise(0L)).as("correct"))
+            .withColumn("accuracy", when(col("n") > 0,
+              col("correct").cast("double") / col("n").cast("double")))
+        case "perclass" =>
+          val actual = scored.groupBy(col(lF).as("__ca"))
+            .agg(count(lit(1)).as("__na"),
+              sum(when(col(lF) === col(pF), 1L).otherwise(0L)).as("__tp"))
+          val predicted = scored.groupBy(col(pF).as("__cp"))
+            .agg(count(lit(1)).as("__np"))
+          val tp = coalesce(col("__tp"), lit(0L))
+          val na = coalesce(col("__na"), lit(0L))
+          val np = coalesce(col("__np"), lit(0L))
+          actual.join(predicted, col("__ca") === col("__cp"), "full_outer")
+            .select(
+              coalesce(col("__ca"), col("__cp")).as("class"),
+              tp.as("tp"), (np - tp).as("fp"), (na - tp).as("fn"),
+              na.as("support"),
+              when(np > 0, tp.cast("double") / np.cast("double")).as("precision"),
+              when(na > 0, tp.cast("double") / na.cast("double")).as("recall"),
+              when(np + na > 0,
+                (tp * 2).cast("double") / (np + na).cast("double")).as("f1"))
+        case other => sys.error(
+          s"classifyeval: mode must be perclass|overall, got '$other'")
+      }
+    }
+
+  /** `auc`: EXACT ROC AUC from an integral score column — the ranking-
+    * quality number behind classifier-based data filters (quality
+    * models, toxicity scorers). Computed as the tie-aware Mann–Whitney
+    * statistic, never a per-pair comparison: with per-distinct-score
+    * positive/negative counts (p_s, g_s) and N_s = negatives at scores
+    * strictly below s, `2U = Σ_s p_s·(2·N_s + g_s)` (each positive
+    * beats every lower-scored negative, ties count ½) and
+    * `auc = 2U / (2·n_pos·n_neg)` — exact longs closed by ONE IEEE
+    * division, hash-stable against an oracle spelling the same sum.
+    * Degenerate groups (no positives or no negatives) emit null. Rows
+    * with NULL score or label are not scored. Envelope: exact while
+    * 2·n_pos·n_neg fits a long (documented; ~2^31 rows per class per
+    * group). Scores must be INTEGRAL (same contract as `correlate` —
+    * model scores quantize upstream; this also makes the bucket
+    * arithmetic below exact).
+    *
+    * Options: `scoreField`, `labelField` (boolean, or numeric where
+    * nonzero = positive; both required), `groupBy` (list — global
+    * one-row result otherwise).
+    *
+    * Scale shape: ONE hash aggregation to (group, score) counts, then
+    * the running negative count uses the codebase's TWO-LEVEL prefix
+    * sum (the `mixture` budget pattern): scores bucket into ≤256
+    * range-ordered chunks via min/max joined back group-keyed, bucket
+    * totals take a ≤256-row window per group, and the intra-bucket
+    * window is PARTITIONED by (group, bucket) — distinct scores never
+    * sort through one partition, keyless or not. */
+  def auc(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val sF = spec.str("scoreField").getOrElse(
+        sys.error("auc: `scoreField` required"))
+      val lF = spec.str("labelField").getOrElse(
+        sys.error("auc: `labelField` required"))
+      Seq(sF, lF).foreach(f =>
+        require(df.columns.contains(f), s"auc: no column '$f'"))
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(sF).dataType),
+        s"auc: scoreField '$sF' must be an INTEGRAL column (got " +
+        s"${df.schema(sF).dataType.simpleString}) — quantize model " +
+        "scores upstream (e.g. permille buckets); the rank arithmetic " +
+        "is exact longs")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"auc: no column '$g'"))
+      val isPos = df.schema(lF).dataType match {
+        case BooleanType => col(lF)
+        case _: NumericType => col(lF) =!= 0
+        case other => sys.error(
+          s"auc: labelField '$lF' must be boolean or numeric, got $other")
+      }
+      val W = org.apache.spark.sql.expressions.Window
+      // one hash agg to per-(group, score) class counts
+      val perScore = df.where(col(sF).isNotNull && col(lF).isNotNull)
+        .groupBy((groupCols :+ sF).map(col): _*)
+        .agg(sum(when(isPos, 1L).otherwise(0L)).as("__p"),
+          sum(when(isPos, 0L).otherwise(1L)).as("__g"))
+      // group score range, joined back to key the bucket arithmetic
+      // (broadcast when global); chunk divides FIRST so (score−min)/chunk
+      // can't overflow a long for any span
+      val mm = (if (groupCols.isEmpty) perScore.groupBy()
+                else perScore.groupBy(groupCols.map(g => col(g).as(s"__g_$g")): _*))
+        .agg(min(col(sF)).as("__mn"), max(col(sF)).as("__mx"))
+      val keyed =
+        if (groupCols.isEmpty) perScore.crossJoin(broadcast(mm))
+        else perScore.join(mm,
+          groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
+          .drop(groupCols.map(g => s"__g_$g"): _*)
+      // integer `div` throughout — double division would round for
+      // spans near 2^63; chunk ≥ 1 keeps every bucket in [0, 256)
+      val bucketed = keyed
+        .withColumn("__span",
+          col("__mx").cast("long") - col("__mn").cast("long") + lit(1L))
+        .withColumn("__chunk", expr("(__span + 255) div 256"))
+        .withColumn("__bkt",
+          expr(s"(cast(`$sF` as bigint) - cast(__mn as bigint)) div __chunk"))
+        .drop("__mn", "__mx", "__span", "__chunk")
+      // level 1: per-group bucket totals → exclusive prefix over ≤256
+      // rows per group
+      val bw = W.partitionBy(groupCols.map(col): _*).orderBy(col("__bkt"))
+        .rowsBetween(Long.MinValue, -1)
+      val pre = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
+        .agg(sum("__g").as("__bg"))
+        .withColumn("__pre", coalesce(sum(col("__bg")).over(bw), lit(0L)))
+        .select(groupCols.map(g => col(g).as(s"__pg_$g")) ++
+          Seq(col("__bkt").as("__pb"), col("__pre")): _*)
+      // level 2: intra-bucket running negatives, partitioned by bucket;
+      // the pre join is null-safe on the group keys (null groups are
+      // real groups)
+      val iw = W.partitionBy((groupCols :+ "__bkt").map(col): _*)
+        .orderBy(col(sF)).rowsBetween(Long.MinValue, -1)
+      val below = bucketed.join(pre,
+          (groupCols.map(g => col(g) <=> col(s"__pg_$g")) :+
+            (col("__bkt") === col("__pb"))).reduce(_ && _))
+        .drop(groupCols.map(g => s"__pg_$g") :+ "__pb": _*)
+        .withColumn("__nb", col("__pre") + coalesce(sum(col("__g")).over(iw), lit(0L)))
+      val u2 = col("__p") * (col("__nb") * 2L + col("__g"))
+      below.withColumn("__u2", u2)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum("__p").as("n_pos"), sum("__g").as("n_neg"),
+          sum("__u2").as("__u"))
+        .withColumn("auc",
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("__u").cast("double") /
+              (col("n_pos") * col("n_neg") * 2L).cast("double")))
+        .drop("__u")
+    }
+
+  /** `targetencode`: smoothed mean target encoding of a categorical
+    * column — the standard high-cardinality featurizer (`onehot`
+    * explodes past a few dozen values; `labelencode` gives ordinals
+    * with no signal). Per category c with n_c observations summing
+    * Σy_c, against global prior μ = Σy/n:
+    * `enc(c) = (Σy_c + m·μ) / (n_c + m)` — additive smoothing, m the
+    * `smoothing` weight (default 10). Determinism: sums are exact
+    * longs (target must be INTEGRAL, same contract as `correlate` /
+    * `impute` — the sum of a double column is partition-order
+    * dependent, never hash-stable); μ is one IEEE division and the
+    * encoding one fixed (+,×,÷) tree, so an oracle spelling the same
+    * tree (with the m literal CAST to DOUBLE — DuckDB folds bare
+    * decimals exactly) hash-matches. NULL category is a real category
+    * (encoded like any other); rows with NULL target contribute no
+    * statistics but still RECEIVE their category's encoding; a
+    * category with no non-null targets falls back to μ.
+    *
+    * Options: `field` (categorical, required), `targetField` (integral,
+    * required), `smoothing` (default 10), `outputField` (default
+    * `<field>_enc`), `maxCardinality` (default 1,000,000 — bounded
+    * probe; past it the stage fails LOUD naming `featurehash` as the
+    * migration, same guard as `labelencode`).
+    *
+    * Scale shape: ONE hash aggregation to the category table
+    * (vocabulary-sized under the guard) + a one-row global aggregate;
+    * the category frame BROADCASTS back onto the rows (null-safe key)
+    * — no shuffle of the data side, no windows. */
+  def targetEncode(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(
+        sys.error("targetencode: `field` required"))
+      val tF = spec.str("targetField").getOrElse(
+        sys.error("targetencode: `targetField` required"))
+      Seq(f, tF).foreach(c =>
+        require(df.columns.contains(c), s"targetencode: no column '$c'"))
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(tF).dataType),
+        s"targetencode: targetField '$tF' must be an INTEGRAL column (got " +
+        s"${df.schema(tF).dataType.simpleString}) — exact-sum determinism; " +
+        "scale upstream (cents, micros) to integers first")
+      val out = spec.strOr("outputField", s"${f}_enc")
+      require(!df.columns.contains(out),
+        s"targetencode: output column '$out' exists — set outputField")
+      val m = spec.str("smoothing").map(_.toDouble).getOrElse(10.0)
+      require(m >= 0, s"targetencode: smoothing must be >= 0, got $m")
+      val maxCard = spec.long("maxCardinality").getOrElse(1000000L)
+      require(maxCard > 0, s"targetencode: maxCardinality must be > 0, got $maxCard")
+      val obs = df.where(col(tF).isNotNull)
+      val cats = obs.groupBy(col(f).as("__tc"))
+        .agg(sum(col(tF)).as("__sy"), count(lit(1)).as("__nc"))
+      val probeLimit = math.min(maxCard + 1, Int.MaxValue.toLong).toInt
+      if (cats.limit(probeLimit).count() > maxCard) sys.error(
+        s"targetencode: '$f' has more than maxCardinality=$maxCard distinct " +
+        "values — the category table would not broadcast. Use `featurehash` " +
+        "for id-like columns, or raise maxCardinality if the size is intended")
+      val g = obs.groupBy().agg(sum(col(tF)).as("__gy"), count(lit(1)).as("__gn"))
+      val mu = col("__gy").cast("double") / col("__gn").cast("double")
+      val enc = (col("__sy").cast("double") + lit(m) * col("__mu")) /
+        (col("__nc").cast("double") + lit(m))
+      val encoded = cats.crossJoin(broadcast(g))
+        .withColumn("__mu", mu)
+        .withColumn("__enc", enc)
+        .select(col("__tc"), col("__enc"))
+      // μ rides the ROW side: a category whose targets are all NULL has
+      // no `cats` row at all, so the fallback can't come from the join
+      df.crossJoin(broadcast(g))
+        .withColumn("__mu", mu)
+        .join(broadcast(encoded), col(f) <=> col("__tc"), "left")
+        .withColumn(out, coalesce(col("__enc"), col("__mu")))
+        .drop("__tc", "__enc", "__mu", "__gy", "__gn")
+    }
 }

@@ -1986,4 +1986,46 @@ class LlmStagesSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"substringspans must never pair documents:\n$plan")
   }
+
+  test("linededup: C4 line rule — remove/keepfirst, normalization, blanks kept") {
+    val df = Seq(
+      (1L, Some("Common Header\nunique one\nfooter x")),
+      (2L, Some("common header \nunique two\nfooter x")),
+      (3L, Some("unique three\n\nfooter x")),
+      (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    def run(opts: (String, Any)*) = stage("linededup", opts: _*)(df)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, Option[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // default remove: both duplicate lines deleted everywhere; the
+    // blank line in doc 3 is structural, never counted or removed
+    val rm = run()
+    assert(rm(1L) == ((Some("unique one"), 2L)))
+    assert(rm(2L) == ((Some("unique two"), 2L)))
+    assert(rm(3L) == ((Some("unique three\n"), 1L)))
+    assert(rm(4L) == ((None, 0L)), "null text passes through")
+    // keepfirst: doc 1 (smallest id) keeps its original-form copies
+    val kf = run("action" -> "keepfirst")
+    assert(kf(1L) == ((Some("Common Header\nunique one\nfooter x"), 0L)))
+    assert(kf(2L) == ((Some("unique two"), 2L)))
+    assert(kf(3L) == ((Some("unique three\n"), 1L)))
+    // normalize=false: case/whitespace variants no longer match
+    val nn = run("normalize" -> false)
+    assert(nn(1L) == ((Some("Common Header\nunique one"), 1L)))
+    assert(nn(2L) == ((Some("common header \nunique two"), 1L)))
+    // minCount=3: only the 3-occurrence footer is a duplicate
+    val mc = run("minCount" -> 3)
+    assert(mc(1L) == ((Some("Common Header\nunique one"), 1L)))
+    // guards fail loud
+    assert(intercept[Exception](stage("linededup", "minCount" -> 1)(df))
+      .getMessage.contains("minCount"))
+    assert(intercept[Exception](stage("linededup", "action" -> "zz")(df))
+      .getMessage.contains("keepfirst"))
+    // the duplicate table joins back BROADCAST — a shuffle join keyed by
+    // line text would put every copy of a hot banner on one reducer
+    val plan = stage("linededup")(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"linededup duplicate join must broadcast:\n$plan")
+  }
 }

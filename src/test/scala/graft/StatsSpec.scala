@@ -614,4 +614,110 @@ class StatsSpec extends SparkSpec {
       "freqpairs", Map("itemField" -> "it")), ctx)(df))
       .getMessage.contains("basketField"))
   }
+
+  test("classifyeval: per-class hand values; null rows unscored; overall mode") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(
+      Some("a") -> Some("a"), Some("a") -> Some("a"), Some("a") -> Some("b"),
+      Some("b") -> Some("b"), Some("b") -> Some("a"), Some("b") -> Some("c"),
+      Some("b") -> Some("d"), Some("c") -> Some("c"),
+      None -> Some("a"), Some("a") -> None) // unscored
+      .toDF("y", "yhat")
+    val out = StatStages.classifyEval(ComponentSpec("classifyeval",
+      Map("labelField" -> "y", "predField" -> "yhat")), ctx)(df)
+      .select("class", "tp", "fp", "fn", "support", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(out("a") == ((2L, 1L, 1L, 3L,
+      Some(2.0 / 3.0), Some(2.0 / 3.0), Some(4.0 / 6.0))))
+    assert(out("b") == ((1L, 1L, 3L, 4L, Some(0.5), Some(0.25), Some(2.0 / 6.0))))
+    assert(out("c") == ((1L, 1L, 0L, 1L, Some(0.5), Some(1.0), Some(2.0 / 3.0))))
+    // predicted-only class: zero support → null recall, f1 from counts
+    assert(out("d") == ((0L, 1L, 0L, 0L, Some(0.0), None, Some(0.0))))
+    val g = StatStages.classifyEval(ComponentSpec("classifyeval",
+      Map("labelField" -> "y", "predField" -> "yhat", "mode" -> "overall")),
+      ctx)(df).select("n", "correct", "accuracy")
+      .as[(Long, Long, Double)].head()
+    assert(g == ((8L, 4L, 0.5)))
+    assert(intercept[Exception](StatStages.classifyEval(ComponentSpec(
+      "classifyeval", Map("labelField" -> "y", "predField" -> "yhat",
+        "mode" -> "zz")), ctx)(df)).getMessage.contains("perclass"))
+    assert(intercept[Exception](StatStages.classifyEval(ComponentSpec(
+      "classifyeval", Map("labelField" -> "y")), ctx)(df))
+      .getMessage.contains("predField"))
+  }
+
+  test("auc: tie-aware Mann-Whitney hand value; degenerate null; integral guard") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // pos scores {3,5,5}, neg {1,3,4}: U = 1.5 + 3 + 3 = 7.5 → 7.5/9
+    val df = Seq((3L, true), (5L, true), (5L, true),
+      (1L, false), (3L, false), (4L, false)).toDF("s", "y")
+    val out = StatStages.auc(ComponentSpec("auc",
+      Map("scoreField" -> "s", "labelField" -> "y")), ctx)(df)
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(out == ((3L, 3L, 7.5 / 9.0)))
+    // grouped: g1 as above, g2 all-positive → null auc; null rows unscored
+    val gdf = Seq(
+      (Some("g1"), Some(3L), Some(true)), (Some("g1"), Some(5L), Some(true)),
+      (Some("g1"), Some(5L), Some(true)), (Some("g1"), Some(1L), Some(false)),
+      (Some("g1"), Some(3L), Some(false)), (Some("g1"), Some(4L), Some(false)),
+      (Some("g2"), Some(9L), Some(true)), (Some("g2"), Some(2L), Some(true)),
+      (Some("g1"), None, Some(true)), (Some("g1"), Some(7L), None))
+      .toDF("g", "s", "y")
+    val byG = StatStages.auc(ComponentSpec("auc",
+      Map("scoreField" -> "s", "labelField" -> "y",
+        "groupBy" -> Seq("g"))), ctx)(gdf)
+      .select("g", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byG("g1") == ((3L, 3L, Some(7.5 / 9.0))))
+    assert(byG("g2") == ((2L, 0L, None)))
+    // perfect separation and perfect inversion
+    val sep = Seq((10L, true), (9L, true), (2L, false)).toDF("s", "y")
+    assert(StatStages.auc(ComponentSpec("auc", Map("scoreField" -> "s",
+      "labelField" -> "y")), ctx)(sep).select("auc").as[Double].head() == 1.0)
+    val inv = Seq((1L, true), (9L, false)).toDF("s", "y")
+    assert(StatStages.auc(ComponentSpec("auc", Map("scoreField" -> "s",
+      "labelField" -> "y")), ctx)(inv).select("auc").as[Double].head() == 0.0)
+    // non-integral score fails loud naming the quantize migration
+    val dbl = Seq((0.5, true)).toDF("s", "y")
+    assert(intercept[Exception](StatStages.auc(ComponentSpec("auc",
+      Map("scoreField" -> "s", "labelField" -> "y")), ctx)(dbl))
+      .getMessage.contains("INTEGRAL"))
+  }
+
+  test("targetencode: smoothed encoding hand values; null category; prior fallback") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("b"), Some(30L)), (4L, Some("b"), None),
+      (5L, Some("c"), None), (6L, None, Some(40L)))
+      .toDF("id", "cat", "y")
+    // μ = 100/4 = 25, m = 2: a → 80/4, b → 80/3, null-cat → 90/3,
+    // c (no stats) → μ
+    val out = StatStages.targetEncode(ComponentSpec("targetencode",
+      Map("field" -> "cat", "targetField" -> "y", "smoothing" -> "2")),
+      ctx)(df)
+      .select("id", "cat_enc").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 20.0 && out(2L) == 20.0)
+    assert(out(3L) == 80.0 / 3.0 && out(4L) == 80.0 / 3.0)
+    assert(out(5L) == 25.0) // prior fallback: category with no observations
+    assert(out(6L) == 30.0) // NULL is a real category
+    // non-integral target fails loud; cardinality guard names featurehash
+    val dbl = df.withColumn("y", col("y").cast("double"))
+    assert(intercept[Exception](StatStages.targetEncode(ComponentSpec(
+      "targetencode", Map("field" -> "cat", "targetField" -> "y")),
+      ctx)(dbl)).getMessage.contains("INTEGRAL"))
+    assert(intercept[Exception](StatStages.targetEncode(ComponentSpec(
+      "targetencode", Map("field" -> "cat", "targetField" -> "y",
+        "maxCardinality" -> 2)), ctx)(df))
+      .getMessage.contains("featurehash"))
+    assert(intercept[Exception](StatStages.targetEncode(ComponentSpec(
+      "targetencode", Map("field" -> "cat", "targetField" -> "y",
+        "outputField" -> "cat")), ctx)(df))
+      .getMessage.contains("exists"))
+  }
 }
