@@ -4584,6 +4584,39 @@ object SparkEntry {
         .select("bucket", "n", "distinct_vals", "info_bits", "entropy_bits")
         .orderBy("bucket")
     },
+    "gini_impurity" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact Gini impurity per bucket (entropy's no-logarithm
+      // companion): numerator and denominator exact longs, ONE IEEE
+      // division; planted NULL is a real category
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id % 7 AS bucket, CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END AS v FROM events"}},
+          {"gini": {"field": "v", "groupBy": ["bucket"]}}],
+        "loader": {"memory": {}} }""")
+        .select("bucket", "n", "distinct_vals", "gini_num", "gini")
+        .orderBy("bucket")
+    },
+    "mutual_info" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // token↔class association in integer bits over exploded document
+      // tokens: Σ n_fc · signed-floor-log2((n_fc·N)/(n_f·n_c)) is an
+      // exact long per feature, the rate ONE division
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT token, doc_id % 3 AS cls FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)"}},
+          {"mutualinfo": {"featureField": "token", "classField": "cls",
+            "minCount": 50}}],
+        "loader": {"memory": {}} }""")
+        .select("feature", "n", "mi_bits", "mi_rate")
+        .orderBy("feature")
+    },
     "classify_eval" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-class precision/recall/F1 from exact TP/FP/FN longs (one
@@ -6591,6 +6624,25 @@ object SparkEntry {
        "CAST(sum(nv * bits) AS BIGINT) AS info_bits, " +
        "CAST(sum(nv * bits) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS entropy_bits " +
        "FROM j GROUP BY bucket ORDER BY bucket"),
+    "gini_impurity" ->
+      ("WITH b AS (SELECT user_id % 7 AS bucket, CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_type END AS v FROM events), " +
+       "vc AS (SELECT bucket, v, count(*) AS nv FROM b GROUP BY 1, 2), " +
+       "a AS (SELECT bucket, CAST(sum(nv) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS distinct_vals, " +
+       "CAST(sum(nv * nv) AS BIGINT) AS ss FROM vc GROUP BY 1) " +
+       "SELECT bucket, n, distinct_vals, n * n - ss AS gini_num, " +
+       "CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini " +
+       "FROM a ORDER BY bucket"),
+    "mutual_info" ->
+      ("WITH b AS (SELECT unnest(string_split(text, ' ')) AS token, doc_id % 3 AS cls FROM documents), " +
+       "cells AS (SELECT token, cls, CAST(count(*) AS BIGINT) AS nfc FROM b WHERE token IS NOT NULL AND cls IS NOT NULL GROUP BY 1, 2), " +
+       "fm AS (SELECT token, CAST(sum(nfc) AS BIGINT) AS nf FROM cells GROUP BY 1 HAVING CAST(sum(nfc) AS BIGINT) >= 50), " +
+       "cm AS (SELECT cls, CAST(sum(nfc) AS BIGINT) AS nc FROM cells GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(nfc) AS BIGINT) AS tn FROM cells), " +
+       "j AS (SELECT cells.token, nfc, nf, nfc * tn AS a, nf * nc AS bb FROM cells JOIN fm USING (token) JOIN cm USING (cls), tot), " +
+       "k AS (SELECT token, nfc, nf, CASE WHEN a >= bb THEN CAST(length(bin(a // bb)) AS BIGINT) ELSE -CAST(length(bin(bb // a)) AS BIGINT) END AS bits FROM j) " +
+       "SELECT token AS feature, CAST(max(nf) AS BIGINT) AS n, CAST(sum(nfc * bits) AS BIGINT) AS mi_bits, " +
+       "CAST(CAST(sum(nfc * bits) AS BIGINT) AS DOUBLE) / CAST(max(nf) AS DOUBLE) AS mi_rate " +
+       "FROM k GROUP BY 1 ORDER BY feature"),
     "classify_eval" ->
       ("WITH b AS (SELECT CASE WHEN event_id % 41 = 0 THEN NULL ELSE event_type END AS actual, " +
        "CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS pred FROM events), " +

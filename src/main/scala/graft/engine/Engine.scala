@@ -140,6 +140,8 @@ object Engine {
     "entropy"       -> graft.stages.StatStages.entropy _,
     "proportions"   -> graft.stages.StatStages.proportions _,
     "classifyeval"  -> graft.stages.StatStages.classifyEval _,
+    "gini"          -> graft.stages.StatStages.gini _,
+    "mutualinfo"    -> graft.stages.StatStages.mutualInfo _,
     "auc"           -> graft.stages.StatStages.auc _,
     "targetencode"  -> graft.stages.StatStages.targetEncode _,
     "onehot"        -> graft.stages.StatStages.oneHot _,

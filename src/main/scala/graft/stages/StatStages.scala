@@ -894,6 +894,101 @@ object StatStages {
           col("info_bits").cast("double") / col("n").cast("double"))
     }
 
+  /** `gini`: EXACT Gini impurity of a categorical column per group —
+    * `entropy`'s companion with no logarithm anywhere: gini =
+    * 1 − Σ p_v² = (n² − Σ n_v²) / n², so the numerator and denominator
+    * are exact longs and the result is ONE correctly-rounded IEEE
+    * division (entropy's floor-log2 bits are monotone but quantized;
+    * gini is the exact impurity number a split-quality or
+    * label-balance check wants). 0 for a constant column,
+    * → 1 − 1/distinct for uniform. NULL is a real category. Output per
+    * group: `n`, `distinct_vals`, `gini_num` (the exact numerator),
+    * `gini`. Envelope: exact while n² fits a long (n < ~3·10⁹ rows per
+    * group).
+    *
+    * Options: `field` (required), `groupBy` (optional — global
+    * one-row result otherwise).
+    *
+    * Scale shape: same as `entropy` — ONE corpus hash aggregation to
+    * (group, value) counts, then a group-keyed re-aggregation of that
+    * vocabulary-sized frame; no joins back to the data. */
+  def gini(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.str("field").getOrElse(
+        sys.error("gini: `field` required"))
+      require(df.columns.contains(fieldName), s"gini: no column '$fieldName'")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"gini: no column '$g'"))
+      df.groupBy((groupCols :+ fieldName).map(col): _*)
+        .agg(count(lit(1)).as("__nv"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum("__nv").as("n"), count(lit(1)).as("distinct_vals"),
+          sum(col("__nv") * col("__nv")).as("__ss"))
+        .withColumn("gini_num", col("n") * col("n") - col("__ss"))
+        .withColumn("gini",
+          col("gini_num").cast("double") / (col("n") * col("n")).cast("double"))
+        .drop("__ss")
+    }
+
+  /** `mutualinfo`: feature↔class association strength per feature in
+    * the codebase's INTEGER-BITS rule — the feature-selection
+    * companion of `chisquare` (χ² ranks by deviation magnitude; MI
+    * ranks by information). Per (feature, class) cell with count n_fc,
+    * feature marginal n_f, class marginal n_c and corpus total N, the
+    * pointwise association is the signed floor-log2 ratio of
+    * a = n_fc·N against b = n_f·n_c (the `freqpairs` lift rule:
+    * +⌊log2(a div b)⌋+1 when a ≥ b, else the negative of the mirror),
+    * and `mi_bits` = Σ_c n_fc·bits_fc — an exact long, monotone in the
+    * Shannon MI numerator and bit-identical across engines.
+    * `mi_rate` = mi_bits / n_f is ONE IEEE division. Envelope: exact
+    * while n_fc·N and n_f·n_c fit a long. NULL features or classes are
+    * observations of nothing and are dropped (documented, same rule as
+    * `freqpairs`).
+    *
+    * Options: `featureField`, `classField` (required), `minCount`
+    * (default 1 — prune features with fewer total observations).
+    *
+    * Scale shape: ONE hash aggregation to (feature, class) cells;
+    * feature marginals RE-AGGREGATE that frame (vocabulary-sized) and
+    * ride a key join; class marginals and the total are tiny and
+    * BROADCAST. Nothing joins back to the raw rows. */
+  def mutualInfo(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fF = spec.str("featureField").getOrElse(
+        sys.error("mutualinfo: `featureField` required"))
+      val cF = spec.str("classField").getOrElse(
+        sys.error("mutualinfo: `classField` required"))
+      Seq(fF, cF).foreach(f =>
+        require(df.columns.contains(f), s"mutualinfo: no column '$f'"))
+      val minCount = spec.long("minCount").getOrElse(1L)
+      require(minCount >= 1, s"mutualinfo: minCount must be >= 1, got $minCount")
+      val cells = df
+        .where(col(fF).isNotNull && col(cF).isNotNull)
+        .groupBy(col(fF).as("__f"), col(cF).as("__c"))
+        .agg(count(lit(1)).as("__nfc"))
+      val fm = cells.groupBy(col("__f").as("__fm_f"))
+        .agg(sum("__nfc").as("__nf"))
+        .where(col("__nf") >= minCount)
+      val cm = cells.groupBy(col("__c").as("__cm_c"))
+        .agg(sum("__nfc").as("__nc"))
+      val tot = cells.groupBy().agg(sum("__nfc").as("__tot"))
+      cells
+        .join(fm, col("__f") === col("__fm_f"))
+        .join(broadcast(cm), col("__c") === col("__cm_c"))
+        .crossJoin(broadcast(tot))
+        .withColumn("__a", col("__nfc") * col("__tot"))
+        .withColumn("__b", col("__nf") * col("__nc"))
+        .withColumn("__bits", when(col("__a") >= col("__b"),
+            length(bin(expr("__a div __b"))).cast("long"))
+          .otherwise(-length(bin(expr("__b div __a"))).cast("long")))
+        .groupBy(col("__f").as("feature"))
+        .agg(max("__nf").as("n"),
+          sum(col("__nfc") * col("__bits")).as("mi_bits"))
+        .withColumn("mi_rate",
+          col("mi_bits").cast("double") / col("n").cast("double"))
+    }
+
   /** `freqpairs`: frequent item-pair mining over basket rows (market-
     * basket / co-occurrence analysis — the level-2 Apriori pass, which
     * in practice IS the useful one at corpus scale). Input: one row per

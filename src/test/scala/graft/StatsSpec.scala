@@ -615,6 +615,58 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("basketField"))
   }
 
+  test("gini: exact impurity hand values; null category; constant→0; global") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", Some("x")),
+      ("a", Some("y")), ("b", Some("z")), ("b", Some("z")),
+      ("c", Some("x")), ("c", Some("y")), ("c", None), ("c", Some("w")))
+      .toDF("g", "v")
+    val out = StatStages.gini(ComponentSpec("gini",
+      Map("field" -> "v", "groupBy" -> Seq("g"))), ctx)(df)
+      .select("g", "n", "distinct_vals", "gini_num", "gini")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // a: 16 − (9+1) = 6 → 0.375; b constant → 0; c all-distinct with
+    // the NULL category: 16 − 4 = 12 → 0.75
+    assert(out("a") == ((4L, 2L, 6L, 0.375)))
+    assert(out("b") == ((2L, 1L, 0L, 0.0)))
+    assert(out("c") == ((4L, 4L, 12L, 0.75)))
+    val g = StatStages.gini(ComponentSpec("gini", Map("field" -> "v")),
+      ctx)(df).select("n", "distinct_vals").as[(Long, Long)].head()
+    assert(g == ((10L, 5L)))
+    assert(intercept[Exception](StatStages.gini(
+      ComponentSpec("gini", Map()), ctx)(df)).getMessage.contains("field"))
+  }
+
+  test("mutualinfo: integer-bits association hand values; nulls dropped; minCount") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(
+      Some("f1") -> Some("A"), Some("f1") -> Some("A"), Some("f1") -> Some("A"),
+      Some("f1") -> Some("B"), Some("f2") -> Some("A"), Some("f2") -> Some("B"),
+      Some("f2") -> Some("B"), Some("f2") -> Some("B"),
+      None -> Some("A"), Some("f1") -> None) // dropped
+      .toDF("tok", "cls")
+    val out = StatStages.mutualInfo(ComponentSpec("mutualinfo",
+      Map("featureField" -> "tok", "classField" -> "cls")), ctx)(df)
+      .select("feature", "n", "mi_bits", "mi_rate")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // N=8, marginals all 4. f1A: a=24 ≥ b=16 → +1 ×3; f1B: a=8 < 16 →
+    // −len(bin(2)) = −2 ×1 → mi_bits 1; f2 symmetric
+    assert(out("f1") == ((4L, 1L, 0.25)))
+    assert(out("f2") == ((4L, 1L, 0.25)))
+    // minCount prunes whole features
+    val pruned = StatStages.mutualInfo(ComponentSpec("mutualinfo",
+      Map("featureField" -> "tok", "classField" -> "cls",
+        "minCount" -> 5)), ctx)(df)
+    assert(pruned.count() == 0L)
+    assert(intercept[Exception](StatStages.mutualInfo(ComponentSpec(
+      "mutualinfo", Map("featureField" -> "tok")), ctx)(df))
+      .getMessage.contains("classField"))
+  }
+
   test("classifyeval: per-class hand values; null rows unscored; overall mode") {
     val ctx = newCtx()
     import spark.implicits._
