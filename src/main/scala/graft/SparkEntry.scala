@@ -1412,6 +1412,29 @@ object SparkEntry {
         .select(col("id"), col("scc_id"))
         .orderBy("id")
     },
+    "topo_sort" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // DAG longest-path layering over two PLANTED components (fixed
+      // key ranges, identical at every sf): keys < 25 chained by +1
+      // and +3 edges (layer = k − min), keys [100,148) chained by +2
+      // (two parity chains, layer = (k−100) div 2) — the oracle is
+      // pure key arithmetic
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW topo_ids AS SELECT 'v' || lpad(CAST(c_custkey AS STRING), 6, '0') AS vid FROM customer WHERE c_custkey < 25 OR (c_custkey >= 100 AND c_custkey < 148)"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "WITH v AS (SELECT c_custkey AS k FROM __input WHERE c_custkey < 25), v2 AS (SELECT c_custkey AS k FROM __input WHERE c_custkey >= 100 AND c_custkey < 148) SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0') AS src_id, 'v' || lpad(CAST(b.k AS STRING), 6, '0') AS dst_id FROM v a JOIN v b ON b.k = a.k + 1 UNION ALL SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0'), 'v' || lpad(CAST(b.k AS STRING), 6, '0') FROM v a JOIN v b ON b.k = a.k + 3 UNION ALL SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0'), 'v' || lpad(CAST(b.k AS STRING), 6, '0') FROM v2 a JOIN v2 b ON b.k = a.k + 2"}},
+          {"vertex": {"class": "tv", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "topo_ids.vid",
+                    "class": "e", "direction": "out"}},
+          {"toposort": {"maxIter": 40}}],
+        "loader": {"memory": {}} }""")
+        .select(col("id"), col("layer"))
+        .orderBy("id")
+    },
     "graph_bfs" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-hop BFS distances from customer c1 over the same
@@ -4828,6 +4851,24 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "ewma_smooth" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-user EWMA of integer cents (α = 0.25, window 16): the
+      // seed-first left fold is the same op tree DuckDB's list_reduce
+      // executes, so the doubles are bit-identical
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id % 50 AS uid, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"ewma": {"field": "cents", "keyField": "uid",
+            "tsField": "ts", "tieField": "event_id",
+            "alpha": 0.25, "window": 16}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cents", "cents_ewma")
+        .orderBy("event_id")
+    },
     "cumulate_running" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-user running event count + exact integer-cents running
@@ -5260,6 +5301,15 @@ object SparkEntry {
        "CASE WHEN sz.n = 4 THEN 'v' || lpad(CAST(sz.mn AS VARCHAR), 6, '0') " +
        "ELSE 'v' || lpad(CAST(v.k AS VARCHAR), 6, '0') END AS scc_id " +
        "FROM v JOIN sz ON v.g = sz.g ORDER BY id"),
+    "topo_sort" ->
+      // +1-chained component: layer = k − min(k); +2-chained component:
+      // two parity chains from 100/101, layer = (k−100) div 2
+      ("WITH v AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 25), " +
+       "m AS (SELECT min(k) AS mk FROM v), " +
+       "c1 AS (SELECT k, k - mk AS layer FROM v, m), " +
+       "c2 AS (SELECT c_custkey AS k, (c_custkey - 100) // 2 AS layer FROM customer WHERE c_custkey >= 100 AND c_custkey < 148) " +
+       "SELECT 'v' || lpad(CAST(k AS VARCHAR), 6, '0') AS id, CAST(layer AS BIGINT) AS layer " +
+       "FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2) t ORDER BY id"),
     "graph_bfs" ->
       ("WITH RECURSIVE e AS (" +
        "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src, 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer " +
@@ -6766,6 +6816,13 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "ewma_smooth" ->
+      ("WITH b AS (SELECT event_id, user_id % 50 AS uid, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+       "w AS (SELECT event_id, cents, list(CAST(cents AS DOUBLE)) OVER " +
+       "(PARTITION BY uid ORDER BY ts, event_id ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l FROM b) " +
+       "SELECT event_id, cents, list_reduce(l, (acc, x) -> " +
+       "acc * (CAST(1 AS DOUBLE) - CAST(0.25 AS DOUBLE)) + x * CAST(0.25 AS DOUBLE)) AS cents_ewma " +
+       "FROM w ORDER BY event_id"),
     "cumulate_running" ->
       ("SELECT event_id, count(*) OVER w AS cum_n, " +
        "CAST(sum(cents) OVER w AS BIGINT) AS cents_cumsum " +

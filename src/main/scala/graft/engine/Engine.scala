@@ -66,6 +66,7 @@ object Engine {
     "shortestpaths"  -> graft.graph.GraphStages.shortestPaths _,
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,
     "scc"            -> graft.graph.GraphStages.scc _,
+    "toposort"       -> graft.graph.GraphStages.topoSort _,
     "linkpredict"    -> graft.graph.GraphStages.linkPredict _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers
@@ -185,6 +186,7 @@ object Engine {
     "delta"         -> graft.temporal.TemporalStages.delta _,
     "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
     "lagfeatures"   -> graft.temporal.TemporalStages.lagFeatures _,
+    "ewma"          -> graft.temporal.TemporalStages.ewma _,
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,

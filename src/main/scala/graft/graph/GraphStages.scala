@@ -627,6 +627,67 @@ object GraphStages {
       visited.select(col("id"), col("dist"))
     }
 
+  /** `toposort`: DAG layer assignment (longest-path layering) over the
+    * accumulated directed edges — layer(v) = 0 for sources, else
+    * 1 + max(layer of predecessors). The batch scheduling/lineage
+    * primitive: every vertex in layer k depends only on layers < k, so
+    * the layers ARE the parallel execution waves of a dependency
+    * graph. Doubles as CYCLE DETECTION: on a cyclic input the layers
+    * grow without bound and the stage fails LOUD at `maxIter` naming
+    * the cycle possibility (a silent wrong answer on a cyclic "DAG" is
+    * the worst outcome). Output: (id, layer) — a query stage.
+    * Registered edge-less vertices surface as layer-0 isolates.
+    *
+    * Options: `label` (optional edge-label filter), `maxIter` (default
+    * 50 — must exceed the DAG depth), `checkpointEvery`/`checkpointDir`
+    * like pagerank.
+    *
+    * Scale shape: each round is ONE equi-join of the (deduplicated)
+    * edge list against the (id, layer) vector + ONE hash aggregation
+    * (max per destination) — (id, layer)-only exchanges, per-round
+    * checkpoints truncating lineage; rounds = DAG depth (the
+    * propagation frontier advances one layer per round). */
+  def topoSort(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("toposort: no edges — apply an `edge` stage first"))
+      val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val maxIter = spec.int("maxIter", 50)
+      require(maxIter >= 1, s"toposort: maxIter must be >= 1, got $maxIter")
+      val ckpt = Stages.checkpointerOf(spec, ctx)
+      val e = ckpt(edges.select(col("src").as("__s"), col("dst").as("__d"))
+        .distinct())
+      val endpointIds = e.select(col("__s").as("id"))
+        .union(e.select(col("__d").as("id")))
+      val nodes = ckpt(ctx.vertices match {
+        case None => endpointIds.distinct()
+        case Some(vs) => vs.select(col("id").cast("string").as("id"))
+          .union(endpointIds).distinct()
+      })
+      var layer = ckpt(nodes.select(col("id"), lit(0L).as("layer")))
+      var round = 0
+      var changed = 1L
+      while (changed > 0) {
+        round += 1
+        require(round <= maxIter,
+          s"toposort: layers still growing after maxIter=$maxIter rounds — " +
+          "the graph has a cycle, or its depth exceeds maxIter (raise it " +
+          "for genuinely deep DAGs)")
+        val cand = e
+          .join(layer.select(col("id").as("__s"), col("layer").as("__pl")),
+            Seq("__s"))
+          .groupBy(col("__d").as("id"))
+          .agg(max(col("__pl") + 1L).as("__nl"))
+        val next = ckpt(layer.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("layer"), coalesce(col("__nl"), lit(0L))).as("layer"),
+            (coalesce(col("__nl"), lit(0L)) > col("layer")).as("__chg")))
+        changed = next.where(col("__chg")).count()
+        layer = next.drop("__chg")
+      }
+      layer
+    }
+
   /** `labelprop`: community detection by synchronous label propagation
     * (LPA) — every vertex starts labeled with its own id; each
     * iteration relabels every vertex with the label most frequent among

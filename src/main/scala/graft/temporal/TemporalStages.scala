@@ -479,6 +479,66 @@ object TemporalStages {
       }
     }
 
+  /** `ewma`: per-key exponentially weighted moving average — the
+    * standard signal smoother (`rolling`'s flat mean weights all
+    * history equally; EWMA discounts geometrically:
+    * y_t = α·x_t + (1−α)·y_{t−1}, seeded y_0 = x_0, the pandas
+    * adjust=false recursion). State is TRUNCATED to the last `window`
+    * observations per key (default 16) — the dropped weight is
+    * (1−α)^window, and bounding the frame is what keeps a hot key from
+    * collecting its whole history into one buffer.
+    *
+    * Determinism: the recursion folds LEFT-TO-RIGHT over the windowed
+    * values with the seed-from-first-element convention, one fused
+    * multiply-add tree per step — the exact op order DuckDB's
+    * `list_reduce` uses, so an oracle spelling `acc·(1−α) + x·α` (with
+    * the literals CAST to DOUBLE) is hash-exact. β = 1−α is computed
+    * ONCE in driver code (one IEEE subtract), matching the oracle's
+    * `CAST(1 AS DOUBLE) − CAST(α AS DOUBLE)`. Rows with a NULL value
+    * or NULL timestamp are DROPPED (documented — a null observation
+    * has no place in the recursion; impute upstream to keep them).
+    *
+    * Options: `field` (numeric, required), `keyField` (default
+    * user_id), `tsField` (default ts), `tieField` (recommended — total
+    * order under equal timestamps, or the fold order is tie-ambiguous),
+    * `alpha` (default 0.25, in (0,1]), `window` (default 16, in
+    * [1,1024]), `outputField` (default `<field>_ewma`).
+    *
+    * Scale shape: ONE keyed window (collect_list over a bounded ROWS
+    * frame) + a per-row fold of ≤ `window` elements — no global sort,
+    * no unbounded per-key state. */
+  def ewma(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("ewma: `field` required"))
+      require(df.columns.contains(f), s"ewma: no column '$f'")
+      require(df.schema(f).dataType.isInstanceOf[NumericType],
+        s"ewma: '$f' must be numeric, got ${df.schema(f).dataType.simpleString}")
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      Seq(key, ts).foreach(c =>
+        require(df.columns.contains(c), s"ewma: no column '$c'"))
+      val alpha = spec.str("alpha").map(_.toDouble).getOrElse(0.25)
+      require(alpha > 0 && alpha <= 1, s"ewma: alpha must be in (0,1], got $alpha")
+      val beta = 1.0 - alpha
+      val win = spec.int("window", 16)
+      require(win >= 1 && win <= 1024,
+        s"ewma: window must be in [1,1024], got $win")
+      val out = spec.strOr("outputField", s"${f}_ewma")
+      require(!df.columns.contains(out),
+        s"ewma: output column '$out' exists — set outputField")
+      val ord = epochMicros(df, ts).asc +:
+        spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+        .rowsBetween(-(win - 1), 0)
+      df.where(col(f).isNotNull && col(ts).isNotNull)
+        .withColumn("__w", collect_list(col(f).cast("double")).over(w))
+        .withColumn(out, aggregate(
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          element_at(col("__w"), 1),
+          (acc, x) => acc * lit(beta) + x * lit(alpha)))
+        .drop("__w")
+    }
+
   /** `transitions`: first-order Markov transition matrix over a keyed
     * event stream — the user-journey structure behind [[funnel]]'s
     * fixed steps ("after a view, what happens next, how often?"). Per

@@ -1211,4 +1211,26 @@ class GraphSpec extends SparkSpec {
     // minCommon prunes: nothing here shares 2 neighbors
     assert(run("minCommon" -> 2).isEmpty)
   }
+
+  test("toposort: longest-path layers on a diamond; cycle fails loud") {
+    def topo(edges: Seq[(String, String)],
+             opts: Map[String, Any] = Map.empty): Map[String, Long] = {
+      val ctx = newCtx()
+      ctx.addEdges(edges.toDF("src", "dst").withColumn("label", lit("e")))
+      graft.graph.GraphStages.topoSort(
+        ComponentSpec("toposort", opts), ctx)(spark.emptyDataFrame)
+        .as[(String, Long)].collect().toMap
+    }
+    // diamond + tail: d's layer is the LONGEST path (2), not the short one
+    val dag = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+    assert(topo(dag) == Map("a" -> 0L, "b" -> 1L, "c" -> 1L,
+      "d" -> 2L, "e" -> 3L))
+    // two independent sources converging
+    val two = Seq(("s1", "m"), ("s2", "x"), ("x", "m"))
+    assert(topo(two) == Map("s1" -> 0L, "s2" -> 0L, "x" -> 1L, "m" -> 2L))
+    // a cycle can't be layered: loud failure naming the possibility
+    val e = intercept[Exception](topo(Seq(("p", "q"), ("q", "p")),
+      Map("maxIter" -> 5)))
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
 }

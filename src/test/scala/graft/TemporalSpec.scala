@@ -664,4 +664,31 @@ class TemporalSpec extends SparkSpec {
       .select("period").as[Int].collect().toSet
     assert(daily == Set(0, 12)) // jan 10 → jan 22 = 12 days
   }
+
+  test("ewma: seeded recursion hand values; window truncation; nulls dropped") {
+    val ctx = newCtx()
+    val ev = Seq(
+      ("u1", 1.0, 1L, Some(4L)), ("u1", 2.0, 2L, Some(2L)),
+      ("u1", 3.0, 3L, Some(1L)), ("u1", 4.0, 4L, None),
+      ("u2", 1.0, 5L, Some(8L)))
+      .toDF("u", "t", "eid", "v")
+    def run(opts: (String, Any)*) = TemporalStages.ewma(ComponentSpec("ewma",
+      Map("field" -> "v", "keyField" -> "u", "tsField" -> "t",
+        "tieField" -> "eid") ++ opts.toMap), ctx)(ev)
+      .select(col("eid"), col("v_ewma")).as[(Long, Double)].collect().toMap
+    // α=0.25 seed-first recursion: 4 → 4·.75+2·.25 = 3.5 → 3.5·.75+.25
+    val out = run()
+    assert(out(1L) == 4.0 && out(2L) == 3.5 && out(3L) == 2.875)
+    assert(out(5L) == 8.0)           // other key seeds fresh
+    assert(!out.contains(4L), "null value rows are dropped")
+    // window=2 truncates: row 3 folds [2, 1] only
+    assert(run("window" -> 2)(3L) == 2.0 * 0.75 + 0.25)
+    // α=1: no memory — the value itself
+    assert(run("alpha" -> "1.0")(3L) == 1.0)
+    // guards
+    assert(intercept[Exception](run("alpha" -> "0")).getMessage.contains("alpha"))
+    assert(intercept[Exception](run("window" -> 0)).getMessage.contains("window"))
+    assert(intercept[Exception](TemporalStages.ewma(ComponentSpec("ewma",
+      Map("keyField" -> "u")), ctx)(ev)).getMessage.contains("field"))
+  }
 }
