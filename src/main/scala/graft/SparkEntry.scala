@@ -4640,6 +4640,22 @@ object SparkEntry {
         .select("feature", "n", "mi_bits", "mi_rate")
         .orderBy("feature")
     },
+    "drift_tvd" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact total-variation drift between the even half of events
+      // (with a planted 'outage' shift) and the odd-half baseline:
+      // numerator exact longs, ONE closing IEEE division
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CASE WHEN event_id % 10 = 4 THEN 'outage' ELSE event_type END AS etype FROM events WHERE event_id % 2 = 0"}},
+          {"drift": {"field": "etype",
+            "against": "SELECT event_type AS etype FROM events WHERE event_id % 2 = 1"}}],
+        "loader": {"memory": {}} }""")
+        .select("n_cur", "n_base", "distinct_vals", "tvd_num", "tvd")
+    },
     "classify_eval" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-class precision/recall/F1 from exact TP/FP/FN longs (one
@@ -6693,6 +6709,16 @@ object SparkEntry {
        "SELECT token AS feature, CAST(max(nf) AS BIGINT) AS n, CAST(sum(nfc * bits) AS BIGINT) AS mi_bits, " +
        "CAST(CAST(sum(nfc * bits) AS BIGINT) AS DOUBLE) / CAST(max(nf) AS DOUBLE) AS mi_rate " +
        "FROM k GROUP BY 1 ORDER BY feature"),
+    "drift_tvd" ->
+      ("WITH c AS (SELECT CASE WHEN event_id % 10 = 4 THEN 'outage' ELSE event_type END AS v FROM events WHERE event_id % 2 = 0), " +
+       "b AS (SELECT event_type AS v FROM events WHERE event_id % 2 = 1), " +
+       "cc AS (SELECT v, count(*) AS ca FROM c GROUP BY 1), " +
+       "bb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1), " +
+       "j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb FROM cc FULL OUTER JOIN bb ON cc.v = bb.v), " +
+       "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM j), " +
+       "k AS (SELECT CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS num, CAST(count(*) AS BIGINT) AS dv, max(na) AS na, max(nb) AS nb FROM j, t) " +
+       "SELECT na AS n_cur, nb AS n_base, dv AS distinct_vals, num AS tvd_num, " +
+       "CAST(num AS DOUBLE) / CAST(2 * na * nb AS DOUBLE) AS tvd FROM k"),
     "classify_eval" ->
       ("WITH b AS (SELECT CASE WHEN event_id % 41 = 0 THEN NULL ELSE event_type END AS actual, " +
        "CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS pred FROM events), " +

@@ -142,6 +142,7 @@ object Engine {
     "proportions"   -> graft.stages.StatStages.proportions _,
     "classifyeval"  -> graft.stages.StatStages.classifyEval _,
     "gini"          -> graft.stages.StatStages.gini _,
+    "drift"         -> graft.stages.StatStages.drift _,
     "mutualinfo"    -> graft.stages.StatStages.mutualInfo _,
     "auc"           -> graft.stages.StatStages.auc _,
     "targetencode"  -> graft.stages.StatStages.targetEncode _,

@@ -1067,6 +1067,71 @@ object StatStages {
           "n_baskets", "support", "lift_bits").map(col)): _*)
     }
 
+  /** `drift`: EXACT total-variation distance between the stream's
+    * categorical distribution and a BASELINE corpus — the distribution-
+    * shift monitor a production pipeline runs between yesterday's and
+    * today's data (`chisquare` answers "is the association significant";
+    * TVD answers "how much probability mass moved", and unlike KL it
+    * needs no logarithm and tolerates zero cells). With per-value
+    * counts c_v (current, total n_c) and b_v (baseline, total n_b):
+    * TVD = ½·Σ_v |c_v/n_c − b_v/n_b| = Σ_v |c_v·n_b − b_v·n_c| /
+    * (2·n_c·n_b) — numerator and denominator EXACT longs, the result
+    * ONE correctly-rounded IEEE division (envelope: c_v·n_b fits a
+    * long). NULL is a real category on both sides. Values present in
+    * only one corpus contribute their full mass (the full-outer join).
+    *
+    * Options: `field` (required), `against` (table name or SELECT —
+    * the baseline, required), `againstField` (default = field), `mode`
+    * ∈ summary (default — ONE row: n_cur, n_base, distinct_vals, shift
+    * in `tvd_num`/`tvd`) | detail (one row per value: value, n_cur,
+    * n_base, cur_rate, base_rate, contrib_num — ranked diagnosis of
+    * WHAT moved).
+    *
+    * Scale shape: ONE hash aggregation per corpus to vocabulary-sized
+    * value counts, full-outer-joined null-safely on the value; totals
+    * re-aggregate the JOINED frame (so both are exact over the same
+    * rows) and broadcast back as one row. Nothing rejoins the data. */
+  def drift(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("drift: `field` required"))
+      require(df.columns.contains(f), s"drift: no column '$f'")
+      val base0 = ctx.tableOrSql(spec.str("against").getOrElse(
+        sys.error("drift: `against` (table or SELECT) required")))
+      val bf = spec.strOr("againstField", f)
+      require(base0.columns.contains(bf), s"drift: baseline has no column '$bf'")
+      val cur = df.groupBy(col(f).as("__v")).agg(count(lit(1)).as("__ca"))
+      val base = base0.groupBy(col(bf).as("__bv")).agg(count(lit(1)).as("__cb"))
+      val j = cur.join(base, col("__v") <=> col("__bv"), "full_outer")
+        .select(coalesce(col("__v"), col("__bv")).as("value"),
+          coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb"))
+      val tot = j.groupBy().agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      val k = j.crossJoin(broadcast(tot))
+        .withColumn("__contrib",
+          abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+      spec.strOr("mode", "summary") match {
+        case "summary" =>
+          k.groupBy()
+            .agg(max("__na").as("n_cur"), max("__nb").as("n_base"),
+              count(lit(1)).as("distinct_vals"),
+              sum("__contrib").as("tvd_num"))
+            .withColumn("tvd", when(col("n_cur") > 0 && col("n_base") > 0,
+              col("tvd_num").cast("double") /
+                (col("n_cur") * col("n_base") * 2L).cast("double")))
+        case "detail" =>
+          k.select(col("value"),
+            col("__ca").as("n_cur"), col("__cb").as("n_base"),
+            when(col("__na") > 0,
+              col("__ca").cast("double") / col("__na").cast("double"))
+              .as("cur_rate"),
+            when(col("__nb") > 0,
+              col("__cb").cast("double") / col("__nb").cast("double"))
+              .as("base_rate"),
+            col("__contrib").as("contrib_num"))
+        case other => sys.error(s"drift: mode must be summary|detail, got '$other'")
+      }
+    }
+
   /** `classifyeval`: classifier evaluation from (actual, predicted)
     * label pairs — the quality gate a labeling / distillation pipeline
     * runs before shipping a model's outputs as training data. Per class

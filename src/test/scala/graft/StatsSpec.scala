@@ -667,6 +667,42 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("classField"))
   }
 
+  test("drift: exact TVD hand values; one-sided values; detail mode; nulls") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val cur = Seq("a", "a", "a", "b").toDF("v")
+    Seq("a", "a", "b", "b", "c", "c").toDF("v")
+      .createOrReplaceTempView("drift_base")
+    // TVD = ½(|3/4−2/6| + |1/4−2/6| + |0−2/6|) = 5/12;
+    // num = |18−8| + |6−8| + |0−8| = 20, denom = 2·4·6 = 48
+    val out = StatStages.drift(ComponentSpec("drift",
+      Map("field" -> "v", "against" -> "drift_base")), ctx)(cur)
+      .select("n_cur", "n_base", "distinct_vals", "tvd_num", "tvd")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(out == ((4L, 6L, 3L, 20L, 20.0 / 48.0)))
+    // detail mode: per-value rates and contributions, incl. the
+    // baseline-only value c
+    val det = StatStages.drift(ComponentSpec("drift",
+      Map("field" -> "v", "against" -> "drift_base", "mode" -> "detail")),
+      ctx)(cur)
+      .select("value", "n_cur", "n_base", "cur_rate", "base_rate", "contrib_num")
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(det("a") == ((3L, 2L, 0.75, 2.0 / 6.0, 10L)))
+    assert(det("c") == ((0L, 2L, 0.0, 2.0 / 6.0, 8L)))
+    // NULL is a real category on both sides (null-safe join)
+    val curN = Seq(Some("a"), None).toDF("v")
+    Seq(Option.empty[String], None).toDF("v")
+      .createOrReplaceTempView("drift_base_n")
+    // cur: a 1/2, null 1/2; base: null 2/2 → TVD = ½(1/2 + 1/2) = 0.5
+    val n = StatStages.drift(ComponentSpec("drift",
+      Map("field" -> "v", "against" -> "drift_base_n")), ctx)(curN)
+      .select("distinct_vals", "tvd").as[(Long, Double)].head()
+    assert(n == ((2L, 0.5)))
+    assert(intercept[Exception](StatStages.drift(ComponentSpec("drift",
+      Map("field" -> "v")), ctx)(cur)).getMessage.contains("against"))
+  }
+
   test("classifyeval: per-class hand values; null rows unscored; overall mode") {
     val ctx = newCtx()
     import spark.implicits._
