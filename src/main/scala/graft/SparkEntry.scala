@@ -4640,6 +4640,41 @@ object SparkEntry {
         .select("feature", "n", "mi_bits", "mi_rate")
         .orderBy("feature")
     },
+    "ab_test" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // two-proportion z of every arm against control arm 0, with a
+      // planted lift on arm 2: exact counts, one fixed IEEE tree per
+      // metric; planted NULLs are not trials
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CAST(user_id % 4 AS STRING) AS arm, CASE WHEN event_id % 29 = 0 THEN CAST(NULL AS BOOLEAN) WHEN user_id % 4 = 2 AND event_id % 17 = 0 THEN TRUE ELSE event_type = 'purchase' END AS converted FROM events"}},
+          {"abtest": {"variantField": "arm", "successField": "converted",
+            "control": "0"}}],
+        "loader": {"memory": {}} }""")
+        .select("variant", "n", "successes", "rate", "control_n",
+          "control_successes", "control_rate", "z")
+        .orderBy("variant")
+    },
+    "survival_km" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // Kaplan-Meier curves per cohort over day-quantized times with
+      // ~20% events / 80% censoring: at-risk counts exact, the factor
+      // product folds in DuckDB list_reduce's exact op order
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id % 3 AS cohort, CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_id % 28 + 1 END AS t_day, event_type = 'error' AS ev FROM events"}},
+          {"survival": {"timeField": "t_day", "eventField": "ev",
+            "groupBy": ["cohort"]}}],
+        "loader": {"memory": {}} }""")
+        .select("cohort", "time", "n_risk", "events", "censored", "survival")
+        .orderBy("cohort", "time")
+    },
     "drift_tvd" -> { (s, dir) =>
       val c = ctx(s, dir)
       // exact total-variation drift between the even half of events
@@ -6709,6 +6744,32 @@ object SparkEntry {
        "SELECT token AS feature, CAST(max(nf) AS BIGINT) AS n, CAST(sum(nfc * bits) AS BIGINT) AS mi_bits, " +
        "CAST(CAST(sum(nfc * bits) AS BIGINT) AS DOUBLE) / CAST(max(nf) AS DOUBLE) AS mi_rate " +
        "FROM k GROUP BY 1 ORDER BY feature"),
+    "ab_test" ->
+      ("WITH b AS (SELECT CAST(user_id % 4 AS VARCHAR) AS arm, CASE WHEN event_id % 29 = 0 THEN NULL WHEN user_id % 4 = 2 AND event_id % 17 = 0 THEN TRUE ELSE event_type = 'purchase' END AS converted FROM events), " +
+       "a AS (SELECT arm, count(*) AS n, CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS s FROM b WHERE converted IS NOT NULL GROUP BY 1), " +
+       "c AS (SELECT n AS n0, s AS s0 FROM a WHERE arm = '0'), " +
+       "k AS (SELECT arm, n, s, n0, s0, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p1, " +
+       "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0, " +
+       "CAST(s + s0 AS DOUBLE) / CAST(n + n0 AS DOUBLE) AS pp FROM a, c WHERE arm <> '0') " +
+       "SELECT arm AS variant, n, s AS successes, p1 AS rate, n0 AS control_n, " +
+       "s0 AS control_successes, p0 AS control_rate, " +
+       "CASE WHEN pp > 0 AND pp < 1 THEN (p1 - p0) / sqrt(pp * (CAST(1 AS DOUBLE) - pp) * " +
+       "(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE))) END AS z " +
+       "FROM k ORDER BY variant"),
+    "survival_km" ->
+      ("WITH b AS (SELECT user_id % 3 AS cohort, CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_id % 28 + 1 END AS t_day, event_type = 'error' AS ev FROM events), " +
+       "cells AS (SELECT cohort, t_day, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS cnt FROM b " +
+       "WHERE t_day IS NOT NULL AND ev IS NOT NULL GROUP BY 1, 2), " +
+       "tot AS (SELECT cohort, CAST(sum(cnt) AS BIGINT) AS n0 FROM cells GROUP BY 1), " +
+       "r AS (SELECT cells.cohort, t_day, d, cnt, n0 - CAST(coalesce(sum(cnt) OVER " +
+       "(PARTITION BY cells.cohort ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk " +
+       "FROM cells JOIN tot USING (cohort)), " +
+       "f AS (SELECT cohort, t_day, d, cnt, n_risk, CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor FROM r), " +
+       "w AS (SELECT cohort, t_day, d, cnt, n_risk, list(factor) OVER " +
+       "(PARTITION BY cohort ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l FROM f) " +
+       "SELECT cohort, t_day AS time, n_risk, d AS events, CAST(cnt - d AS BIGINT) AS censored, " +
+       "list_reduce(l, (acc, x) -> acc * x) AS survival " +
+       "FROM w ORDER BY cohort, time"),
     "drift_tvd" ->
       ("WITH c AS (SELECT CASE WHEN event_id % 10 = 4 THEN 'outage' ELSE event_type END AS v FROM events WHERE event_id % 2 = 0), " +
        "b AS (SELECT event_type AS v FROM events WHERE event_id % 2 = 1), " +

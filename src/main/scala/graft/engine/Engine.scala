@@ -143,6 +143,8 @@ object Engine {
     "classifyeval"  -> graft.stages.StatStages.classifyEval _,
     "gini"          -> graft.stages.StatStages.gini _,
     "drift"         -> graft.stages.StatStages.drift _,
+    "abtest"        -> graft.stages.StatStages.abTest _,
+    "survival"      -> graft.stages.StatStages.survival _,
     "mutualinfo"    -> graft.stages.StatStages.mutualInfo _,
     "auc"           -> graft.stages.StatStages.auc _,
     "targetencode"  -> graft.stages.StatStages.targetEncode _,

@@ -1067,6 +1067,158 @@ object StatStages {
           "n_baskets", "support", "lift_bits").map(col)): _*)
     }
 
+  /** `abtest`: two-proportion z statistics of every variant against a
+    * named CONTROL — the decision layer over [[proportions]]' per-group
+    * CIs (CIs describe each arm; the z-test compares arms). Per variant
+    * v with (n₁, s₁) against control (n₀, s₀):
+    * pooled p̂ = (s₁+s₀)/(n₁+n₀), se = √(p̂(1−p̂)(1/n₁ + 1/n₀)),
+    * z = (p₁ − p₀)/se — counts exact longs, every later op one fixed
+    * correctly-rounded IEEE tree (same determinism posture as
+    * `proportions`; an oracle spelling the identical tree with DOUBLE-
+    * cast literals hash-matches). Degenerate arms (pooled rate 0 or 1,
+    * or an empty arm) emit null z. NULL success values are not trials.
+    *
+    * Options: `variantField`, `successField` (boolean or numeric where
+    * nonzero = success; both required), `control` (the variant VALUE
+    * serving as baseline, required — the stage fails LOUD if absent).
+    * Output: one row per non-control variant — variant, n, successes,
+    * rate, control_n, control_successes, control_rate, z.
+    *
+    * Scale shape: ONE hash aggregation to the variant table
+    * (arm-cardinality), the control row broadcast back as one row. */
+  def abTest(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val vF = spec.str("variantField").getOrElse(
+        sys.error("abtest: `variantField` required"))
+      val sF = spec.str("successField").getOrElse(
+        sys.error("abtest: `successField` required"))
+      Seq(vF, sF).foreach(f =>
+        require(df.columns.contains(f), s"abtest: no column '$f'"))
+      val control = spec.str("control").getOrElse(
+        sys.error("abtest: `control` (baseline variant value) required"))
+      val isSuccess = df.schema(sF).dataType match {
+        case BooleanType => col(sF)
+        case _: NumericType => col(sF) =!= 0
+        case other => sys.error(
+          s"abtest: successField '$sF' must be boolean or numeric, got $other")
+      }
+      val arms = df.where(col(sF).isNotNull)
+        .groupBy(col(vF).cast("string").as("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(isSuccess, 1L).otherwise(0L)).as("successes"))
+      val ctl = arms.where(col("variant") === control)
+        .select(col("n").as("control_n"),
+          col("successes").as("control_successes"))
+      if (ctl.limit(1).isEmpty) sys.error(
+        s"abtest: control variant '$control' has no rows — nothing to test against")
+      val n1 = col("n").cast("double")
+      val n0 = col("control_n").cast("double")
+      val p1 = col("successes").cast("double") / n1
+      val p0 = col("control_successes").cast("double") / n0
+      val pp = (col("successes") + col("control_successes")).cast("double") /
+        (col("n") + col("control_n")).cast("double")
+      val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n0))
+      arms.where(col("variant") =!= control)
+        .crossJoin(broadcast(ctl))
+        .withColumn("rate", p1)
+        .withColumn("control_rate", p0)
+        .withColumn("z", when(pp > 0 && pp < 1, (p1 - p0) / se))
+        .select("variant", "n", "successes", "rate",
+          "control_n", "control_successes", "control_rate", "z")
+    }
+
+  /** `survival`: EXACT Kaplan–Meier survival curves — the
+    * time-to-event primitive behind churn/retention analysis
+    * ([[TemporalStages]]' cohortretention counts fixed periods; KM
+    * handles CENSORING: a subject still alive at cutoff contributes
+    * risk-time without an event). Input: one row per subject with an
+    * integral `timeField` (quantize to days/weeks upstream — same
+    * contract as `correlate`) and an `eventField` (true/nonzero =
+    * event, false/0 = censored at that time). Per distinct time t with
+    * d_t events among n_t at risk: S(t) = Π_{u ≤ t} (1 − d_u/n_u).
+    * Determinism: d and n are exact longs; each factor is ONE IEEE
+    * division + subtract, and the product folds LEFT-TO-RIGHT in
+    * ascending-time order with the seed-from-first convention — the
+    * exact op order of DuckDB's `list_reduce`, so the oracle is
+    * hash-exact (same mirror as `ewma`).
+    *
+    * Options: `timeField` (integral, required), `eventField`
+    * (required), `groupBy` (optional — global curve otherwise),
+    * `maxTimes` (default 4096 — LOUD guard on distinct times per
+    * group: the per-row fold buffer is one double per distinct time,
+    * and an unquantized float time column would make it the job).
+    * Rows with NULL time or event are not observations. Output: one
+    * row per (group, time): time, n_risk, events, censored, survival.
+    *
+    * Scale shape: ONE hash aggregation to (group, time) cells; the
+    * at-risk counts and the product fold are windows over THAT frame
+    * (≤ maxTimes rows per group, guarded — never over subject rows).
+    * Subjects shuffle once, as counts. */
+  def survival(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val tF = spec.str("timeField").getOrElse(
+        sys.error("survival: `timeField` required"))
+      val eF = spec.str("eventField").getOrElse(
+        sys.error("survival: `eventField` required"))
+      Seq(tF, eF).foreach(f =>
+        require(df.columns.contains(f), s"survival: no column '$f'"))
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(tF).dataType),
+        s"survival: timeField '$tF' must be an INTEGRAL column (got " +
+        s"${df.schema(tF).dataType.simpleString}) — quantize to " +
+        "days/weeks upstream; distinct times bound the fold buffer")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"survival: no column '$g'"))
+      val maxTimes = spec.long("maxTimes").getOrElse(4096L)
+      require(maxTimes >= 1, s"survival: maxTimes must be >= 1, got $maxTimes")
+      val isEvent = df.schema(eF).dataType match {
+        case BooleanType => col(eF)
+        case _: NumericType => col(eF) =!= 0
+        case other => sys.error(
+          s"survival: eventField '$eF' must be boolean or numeric, got $other")
+      }
+      val cells = df.where(col(tF).isNotNull && col(eF).isNotNull)
+        .groupBy((groupCols :+ tF).map(col): _*)
+        .agg(sum(when(isEvent, 1L).otherwise(0L)).as("events"),
+          count(lit(1)).as("__cnt"))
+      // LOUD per-group distinct-time guard (bounded probe over the
+      // cell frame, which is already vocabulary-sized)
+      val oversized = cells.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__nt")).where(col("__nt") > maxTimes)
+      if (!oversized.limit(1).isEmpty) sys.error(
+        s"survival: a group has more than maxTimes=$maxTimes distinct " +
+        "times — the per-row fold buffer would grow with it. Quantize " +
+        s"'$tF' coarser, or raise maxTimes if the size is intended")
+      val W = org.apache.spark.sql.expressions.Window
+      val wPre = W.partitionBy(groupCols.map(col): _*).orderBy(col(tF))
+        .rowsBetween(Long.MinValue, -1)
+      val wAll = W.partitionBy(groupCols.map(col): _*).orderBy(col(tF))
+        .rowsBetween(Long.MinValue, 0)
+      val tot = cells.groupBy(groupCols.map(g => col(g).as(s"__g_$g")): _*)
+        .agg(sum("__cnt").as("__n0"))
+      val keyed =
+        if (groupCols.isEmpty) cells.crossJoin(broadcast(tot))
+        else cells.join(tot,
+          groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
+          .drop(groupCols.map(g => s"__g_$g"): _*)
+      val withRisk = keyed
+        .withColumn("n_risk",
+          col("__n0") - coalesce(sum(col("__cnt")).over(wPre), lit(0L)))
+        .withColumn("__factor",
+          lit(1.0) - col("events").cast("double") / col("n_risk").cast("double"))
+      withRisk
+        .withColumn("__fs", collect_list(col("__factor")).over(wAll))
+        .withColumn("survival", aggregate(
+          slice(col("__fs"), lit(2), size(col("__fs")) - 1),
+          element_at(col("__fs"), 1),
+          (acc, x) => acc * x))
+        .withColumn("censored", col("__cnt") - col("events"))
+        .select((groupCols.map(col) ++ Seq(col(tF).as("time"),
+          col("n_risk"), col("events"), col("censored"),
+          col("survival"))): _*)
+    }
+
   /** `drift`: EXACT total-variation distance between the stream's
     * categorical distribution and a BASELINE corpus — the distribution-
     * shift monitor a production pipeline runs between yesterday's and

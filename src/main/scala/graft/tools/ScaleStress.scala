@@ -270,7 +270,8 @@ object ScaleStress {
       "fuzzy_join", "etl_lateral", "html_normalize", "warc_parse", "wiki_parse",
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
       "scc_color", "mixture_budget", "funnel_steps",
-      "link_predict", "freq_pairs", "event_paths")
+      "link_predict", "freq_pairs", "event_paths",
+      "line_dedup", "auc_rank", "topo_layers")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -627,6 +628,47 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT count(*) AS n FROM __input WHERE n_keys >= 1 AND length(path) > 0"}}],
           "loader": {"memory": {}} }""",
+        // corpus-level line dedup at token-line granularity: the
+        // duplicate table is bounded by the 10k zipf vocabulary, so the
+        // broadcast stays flat at every N; explode + hash agg +
+        // broadcast join + (id,pos) rebuild — linear in total tokens.
+        // Trailing filter references the rebuilt text (count-elimination
+        // trap, same as boilerplate's)
+        "line_dedup" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id, replace(text, ' ', chr(10)) AS page FROM __input"}},
+            {"linededup": {"idField": "doc_id", "field": "page",
+              "action": "keepfirst"}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE length(page_clean) % 2 >= 0"}}],
+          "loader": {"memory": {}} }""",
+        // KEYLESS exact AUC with distinct scores ∝ N — the case a naive
+        // global-window rank would sort through one partition; the
+        // two-level (256-bucket) prefix must keep it linear
+        "auc_rank" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT CAST(floor(t) AS BIGINT) AS score, kind FROM __input"}},
+            {"auc": {"scoreField": "score", "labelField": "kind"}}],
+          "loader": {"memory": {}} }""",
+        // FIXED-depth (12-layer) DAG whose width grows ∝ N: rounds stay
+        // constant while each round's join/agg grows linearly — the
+        // toposort scale contract (rounds = depth, work/round ∝ edges)
+        "topo_layers" -> s"""{
+          "begin": [{"console": {"commands": [
+            "CREATE OR REPLACE TEMPORARY VIEW topo_stress_ids AS SELECT CAST(doc_id AS STRING) AS vid FROM parquet.`$docs`"]}}],
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT CAST(doc_id AS STRING) AS src_id, CAST(doc_id + ${n / 12} AS STRING) AS dst_id FROM __input WHERE doc_id + ${n / 12} < $n"}},
+            {"vertex": {"class": "tp", "idField": "src_id"}},
+            {"edge": {"joinFieldName": "dst_id", "lookup": "topo_stress_ids.vid",
+                      "class": "e", "direction": "out"}},
+            {"toposort": {"maxIter": 20}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [
@@ -647,7 +689,7 @@ object ScaleStress {
         val nDisp = name match {
           case "cosine_dup" | "semantic_dedup" => m
           case "asof_join" | "asof_nearest" | "range_join" |
-               "interval_join" | "funnel_steps" |
+               "interval_join" | "funnel_steps" | "auc_rank" |
                "link_predict" | "freq_pairs" | "event_paths" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n

@@ -667,6 +667,77 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("classField"))
   }
 
+  test("abtest: z vs control hand value; degenerate null; missing control loud") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(("c", true), ("c", false), ("c", false), ("c", false),
+      ("v", true), ("v", true), ("v", true), ("v", false),
+      ("d", false), ("d", false))
+      .toDF("arm", "ok")
+    val out = StatStages.abTest(ComponentSpec("abtest",
+      Map("variantField" -> "arm", "successField" -> "ok",
+        "control" -> "c")), ctx)(df)
+      .select("variant", "n", "successes", "rate", "control_rate", "z")
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // v vs c: p1=3/4, p0=1/4, pooled=4/8 → z = 0.5/√(0.25·0.5) = √2
+    val zv = (3.0 / 4.0 - 1.0 / 4.0) /
+      math.sqrt(0.5 * (1.0 - 0.5) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert(out("v") == ((4L, 3L, 0.75, 0.25, Some(zv))))
+    assert(out("d")._1 == 2L && out("d")._5.isDefined)
+    assert(!out.contains("c"), "control is the baseline, not a row")
+    // pooled rate 0 → null z
+    val degen = Seq(("c", false), ("x", false)).toDF("arm", "ok")
+    val d = StatStages.abTest(ComponentSpec("abtest",
+      Map("variantField" -> "arm", "successField" -> "ok",
+        "control" -> "c")), ctx)(degen)
+      .select("z").as[Option[Double]].head()
+    assert(d.isEmpty)
+    assert(intercept[Exception](StatStages.abTest(ComponentSpec("abtest",
+      Map("variantField" -> "arm", "successField" -> "ok",
+        "control" -> "zzz")), ctx)(df).count())
+      .getMessage.contains("control"))
+  }
+
+  test("survival: Kaplan-Meier hand curve; censoring; guards") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // t=1 event, t=2 event + censored, t=3 event, t=4 censored
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("t", "e")
+    val out = StatStages.survival(ComponentSpec("survival",
+      Map("timeField" -> "t", "eventField" -> "e")), ctx)(df)
+      .select("time", "n_risk", "events", "censored", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val s1 = 1.0 - 1.0 / 5.0
+    val s2 = s1 * (1.0 - 1.0 / 4.0)
+    val s3 = s2 * (1.0 - 1.0 / 2.0)
+    assert(out(1L) == ((5L, 1L, 0L, s1)))
+    assert(out(2L) == ((4L, 1L, 1L, s2)))
+    assert(out(3L) == ((2L, 1L, 0L, s3)))
+    assert(out(4L) == ((1L, 0L, 1L, s3 * (1.0 - 0.0 / 1.0))))
+    // grouped curves are independent
+    val g = Seq(("a", 1L, true), ("a", 2L, false), ("b", 1L, false))
+      .toDF("g", "t", "e")
+    val byG = StatStages.survival(ComponentSpec("survival",
+      Map("timeField" -> "t", "eventField" -> "e",
+        "groupBy" -> Seq("g"))), ctx)(g)
+      .select("g", "time", "n_risk", "survival")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byG(("a", 1L)) == ((2L, 1.0 - 1.0 / 2.0)))
+    assert(byG(("b", 1L)) == ((1L, 1.0 - 0.0 / 1.0)))
+    // guards: distinct-time bound; integral time
+    assert(intercept[Exception](StatStages.survival(ComponentSpec(
+      "survival", Map("timeField" -> "t", "eventField" -> "e",
+        "maxTimes" -> 2)), ctx)(df)).getMessage.contains("maxTimes"))
+    val dbl = Seq((0.5, true)).toDF("t", "e")
+    assert(intercept[Exception](StatStages.survival(ComponentSpec(
+      "survival", Map("timeField" -> "t", "eventField" -> "e")),
+      ctx)(dbl)).getMessage.contains("INTEGRAL"))
+  }
+
   test("drift: exact TVD hand values; one-sided values; detail mode; nulls") {
     val ctx = newCtx()
     import spark.implicits._
