@@ -1415,22 +1415,22 @@ object SparkEntry {
     "topo_sort" -> { (s, dir) =>
       val c = ctx(s, dir)
       // DAG longest-path layering over two PLANTED components (fixed
-      // key ranges, identical at every sf): keys < 25 chained by +1
-      // and +3 edges (layer = k − min), keys [100,148) chained by +2
+      // key ranges, identical at every sf): keys < 13 chained by +1
+      // and +3 edges (layer = k − min), keys [100,124) chained by +2
       // (two parity chains, layer = (k−100) div 2) — the oracle is
       // pure key arithmetic
       Engine.runJson(c, s"""{
         "begin": [{"console": {"commands": [
-          "CREATE OR REPLACE TEMPORARY VIEW topo_ids AS SELECT 'v' || lpad(CAST(c_custkey AS STRING), 6, '0') AS vid FROM customer WHERE c_custkey < 25 OR (c_custkey >= 100 AND c_custkey < 148)"]}}],
+          "CREATE OR REPLACE TEMPORARY VIEW topo_ids AS SELECT 'v' || lpad(CAST(c_custkey AS STRING), 6, '0') AS vid FROM customer WHERE c_custkey < 13 OR (c_custkey >= 100 AND c_custkey < 124)"]}}],
         "source": {"file": {"path": "$dir/customer.parquet"}},
         "extractor": {"parquet": {}},
         "transformers": [
           {"code": {"language": "sql", "code":
-            "WITH v AS (SELECT c_custkey AS k FROM __input WHERE c_custkey < 25), v2 AS (SELECT c_custkey AS k FROM __input WHERE c_custkey >= 100 AND c_custkey < 148) SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0') AS src_id, 'v' || lpad(CAST(b.k AS STRING), 6, '0') AS dst_id FROM v a JOIN v b ON b.k = a.k + 1 UNION ALL SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0'), 'v' || lpad(CAST(b.k AS STRING), 6, '0') FROM v a JOIN v b ON b.k = a.k + 3 UNION ALL SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0'), 'v' || lpad(CAST(b.k AS STRING), 6, '0') FROM v2 a JOIN v2 b ON b.k = a.k + 2"}},
+            "WITH v AS (SELECT c_custkey AS k FROM __input WHERE c_custkey < 13), v2 AS (SELECT c_custkey AS k FROM __input WHERE c_custkey >= 100 AND c_custkey < 124) SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0') AS src_id, 'v' || lpad(CAST(b.k AS STRING), 6, '0') AS dst_id FROM v a JOIN v b ON b.k = a.k + 1 UNION ALL SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0'), 'v' || lpad(CAST(b.k AS STRING), 6, '0') FROM v a JOIN v b ON b.k = a.k + 3 UNION ALL SELECT 'v' || lpad(CAST(a.k AS STRING), 6, '0'), 'v' || lpad(CAST(b.k AS STRING), 6, '0') FROM v2 a JOIN v2 b ON b.k = a.k + 2"}},
           {"vertex": {"class": "tv", "idField": "src_id"}},
           {"edge": {"joinFieldName": "dst_id", "lookup": "topo_ids.vid",
                     "class": "e", "direction": "out"}},
-          {"toposort": {"maxIter": 40}}],
+          {"toposort": {"maxIter": 20}}],
         "loader": {"memory": {}} }""")
         .select(col("id"), col("layer"))
         .orderBy("id")
@@ -5355,10 +5355,10 @@ object SparkEntry {
     "topo_sort" ->
       // +1-chained component: layer = k − min(k); +2-chained component:
       // two parity chains from 100/101, layer = (k−100) div 2
-      ("WITH v AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 25), " +
+      ("WITH v AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 13), " +
        "m AS (SELECT min(k) AS mk FROM v), " +
        "c1 AS (SELECT k, k - mk AS layer FROM v, m), " +
-       "c2 AS (SELECT c_custkey AS k, (c_custkey - 100) // 2 AS layer FROM customer WHERE c_custkey >= 100 AND c_custkey < 148) " +
+       "c2 AS (SELECT c_custkey AS k, (c_custkey - 100) // 2 AS layer FROM customer WHERE c_custkey >= 100 AND c_custkey < 124) " +
        "SELECT 'v' || lpad(CAST(k AS VARCHAR), 6, '0') AS id, CAST(layer AS BIGINT) AS layer " +
        "FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2) t ORDER BY id"),
     "graph_bfs" ->
