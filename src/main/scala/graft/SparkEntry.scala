@@ -1412,6 +1412,45 @@ object SparkEntry {
         .select(col("id"), col("scc_id"))
         .orderBy("id")
     },
+    "class_balance" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // deterministic class-balancing undersample of a planted 15:1
+      // skew: the md5 bucket rule and the integer threshold arithmetic
+      // replicate verbatim in the oracle — row-identical, not just
+      // count-identical
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, CASE WHEN event_id % 4 < 3 THEN 'common' ELSE event_type END AS cls FROM events"}},
+          {"classbalance": {"classField": "cls", "keyField": "event_id"}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cls")
+        .orderBy("event_id")
+    },
+    "graph_metrics" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // one-row structural profile over a planted graph (a +1 chain
+      // plus block-head pointers incl. self-loops at the heads): the
+      // oracle rebuilds the same edges and aggregates — exact counts,
+      // two IEEE divisions
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW gm_ids AS SELECT CAST(c_custkey AS STRING) AS vid FROM customer WHERE c_custkey < 40"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "WITH v AS (SELECT c_custkey AS k FROM __input WHERE c_custkey < 40), heads AS (SELECT k FROM v WHERE k % 8 = 0) SELECT CAST(a.k AS STRING) AS src_id, CAST(b.k AS STRING) AS dst_id FROM v a JOIN v b ON b.k = a.k + 1 UNION ALL SELECT CAST(v.k AS STRING), CAST(h.k AS STRING) FROM v JOIN heads h ON h.k = (v.k div 8) * 8"}},
+          {"vertex": {"class": "gm", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "gm_ids.vid",
+                    "class": "e", "direction": "out"}},
+          {"graphmetrics": {}}],
+        "loader": {"memory": {}} }""")
+        .select("n_vertices", "n_edges", "max_out_degree", "max_in_degree",
+          "avg_degree", "density")
+    },
     "topo_sort" -> { (s, dir) =>
       val c = ctx(s, dir)
       // DAG longest-path layering over two PLANTED components (fixed
@@ -5352,6 +5391,27 @@ object SparkEntry {
        "CASE WHEN sz.n = 4 THEN 'v' || lpad(CAST(sz.mn AS VARCHAR), 6, '0') " +
        "ELSE 'v' || lpad(CAST(v.k AS VARCHAR), 6, '0') END AS scc_id " +
        "FROM v JOIN sz ON v.g = sz.g ORDER BY id"),
+    "class_balance" ->
+      ("WITH b AS (SELECT event_id, CASE WHEN event_id % 4 < 3 THEN 'common' ELSE event_type END AS cls FROM events), " +
+       "c AS (SELECT cls, count(*) AS nc FROM b GROUP BY 1), " +
+       "t AS (SELECT min(nc) AS tgt FROM c) " +
+       "SELECT event_id, cls FROM b JOIN c USING (cls), t " +
+       "WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || cls), 1, 6))::BIGINT % 10000 < least(10000, (tgt * 10000) // nc) " +
+       "ORDER BY event_id"),
+    "graph_metrics" ->
+      ("WITH v AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 40), " +
+       "heads AS (SELECT k FROM v WHERE k % 8 = 0), " +
+       "e0 AS (SELECT a.k AS s, b.k AS d FROM v a JOIN v b ON b.k = a.k + 1 " +
+       "UNION ALL SELECT v.k, h.k FROM v JOIN heads h ON h.k = (v.k // 8) * 8), " +
+       "e AS (SELECT DISTINCT s, d FROM e0), " +
+       "verts AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM (SELECT s AS x FROM e UNION SELECT d FROM e)), " +
+       "ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), " +
+       "od AS (SELECT CAST(max(c) AS BIGINT) AS mo FROM (SELECT s, count(*) AS c FROM e GROUP BY 1)), " +
+       "idg AS (SELECT CAST(max(c) AS BIGINT) AS mi FROM (SELECT d, count(*) AS c FROM e GROUP BY 1)) " +
+       "SELECT nv AS n_vertices, n AS n_edges, mo AS max_out_degree, mi AS max_in_degree, " +
+       "CAST(n * 2 AS DOUBLE) / CAST(nv AS DOUBLE) AS avg_degree, " +
+       "CASE WHEN nv >= 2 THEN CAST(n AS DOUBLE) / CAST(nv * (nv - 1) AS DOUBLE) END AS density " +
+       "FROM verts, ne, od, idg"),
     "topo_sort" ->
       // +1-chained component: layer = k − min(k); +2-chained component:
       // two parity chains from 100/101, layer = (k−100) div 2

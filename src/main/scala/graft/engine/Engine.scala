@@ -67,6 +67,8 @@ object Engine {
     "labelprop"      -> graft.graph.GraphStages.labelPropagation _,
     "scc"            -> graft.graph.GraphStages.scc _,
     "toposort"       -> graft.graph.GraphStages.topoSort _,
+    "graphmetrics"   -> graft.graph.GraphStages.graphMetrics _,
+    "classbalance"  -> graft.split.SplitStages.classBalance _,
     "linkpredict"    -> graft.graph.GraphStages.linkPredict _,
     // LLM training-data pipeline stages (builder brief / SURVEY.md §7.2
     // step 10) — first-class registered transformers

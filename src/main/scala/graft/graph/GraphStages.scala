@@ -627,6 +627,45 @@ object GraphStages {
       visited.select(col("id"), col("dist"))
     }
 
+  /** `graphmetrics`: one-row structural profile of the accumulated
+    * edges table — the sanity gate before running the iterative stages
+    * (a density or max-degree surprise here predicts a pagerank/kcore
+    * blow-up). Parallel edges dedupe first (structure, not
+    * multiplicity). Output: `n_vertices`, `n_edges` (distinct directed
+    * pairs), `max_out_degree`, `max_in_degree`, `avg_degree`
+    * (2E/V, one IEEE division), `density` (E/(V·(V−1)), directed
+    * convention, null for V < 2). Self-loops count as one out- and one
+    * in-edge.
+    *
+    * Options: `label` (optional edge-label filter).
+    *
+    * Scale shape: ONE distinct over (src,dst) feeding three hash
+    * aggregations (out-degrees, in-degrees, totals) — degree frames are
+    * vertex-sized, the closing combine is three one-row aggregates. */
+  def graphMetrics(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { _ =>
+      val edges0 = ctx.edges.getOrElse(
+        sys.error("graphmetrics: no edges — apply an `edge` stage first"))
+      val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
+      val e = edges.select(col("src").as("__s"), col("dst").as("__d")).distinct()
+      val outMax = e.groupBy("__s").agg(count(lit(1)).as("__od"))
+        .agg(max("__od").as("max_out_degree"))
+      val inMax = e.groupBy("__d").agg(count(lit(1)).as("__id"))
+        .agg(max("__id").as("max_in_degree"))
+      val base = e.agg(count(lit(1)).as("n_edges"))
+      val verts = e.select(col("__s").as("id")).union(e.select(col("__d").as("id")))
+        .distinct().agg(count(lit(1)).as("n_vertices"))
+      val v = col("n_vertices")
+      base.crossJoin(broadcast(verts))
+        .crossJoin(broadcast(outMax)).crossJoin(broadcast(inMax))
+        .withColumn("avg_degree",
+          (col("n_edges") * 2L).cast("double") / v.cast("double"))
+        .withColumn("density", when(v >= 2,
+          col("n_edges").cast("double") / (v * (v - 1L)).cast("double")))
+        .select("n_vertices", "n_edges", "max_out_degree", "max_in_degree",
+          "avg_degree", "density")
+    }
+
   /** `toposort`: DAG layer assignment (longest-path layering) over the
     * accumulated directed edges — layer(v) = 0 for sources, else
     * 1 + max(layer of predecessors). The batch scheduling/lineage

@@ -550,4 +550,52 @@ object SplitStages {
         else Nil
       (base ++ partFrames).reduce(_.unionByName(_))
     }
+
+  /** `classbalance`: deterministic class-balancing undersampler — the
+    * label-skew fix a classifier-training pipeline applies before
+    * fitting ("error" rows outnumber "purchase" 50:1; keep every rare
+    * row, hash-sample the common ones down). Per class c with n_c rows
+    * and target t (default: the SMALLEST class count — full balance),
+    * each row keeps iff its md5 bucket over (key ‖ '|' ‖ class ‖ salt)
+    * falls under ⌊t·10000 / n_c⌋ — the same key-stable bucket rule as
+    * `datasplit`/`hashsample` (exact integer threshold arithmetic, so
+    * the oracle replicates it verbatim; kept counts are ≈ t per class,
+    * hash-approximate like all bucket sampling, never exact-k). A
+    * row's fate depends only on (key, class, salt) — adding data never
+    * flips existing rows. NULL class is a real class (sentinel-coalesced
+    * into the hash, never silently dropped); NULL keys likewise.
+    *
+    * Options: `classField` (required), `keyField` (default doc_id),
+    * `salt` (default ""), `targetCount` (optional — undersample toward
+    * this count instead of the minimum; classes at or under it keep
+    * everything).
+    *
+    * Scale shape: ONE hash aggregation to class counts (class-
+    * cardinality) + a one-row min, both BROADCAST back; the keep
+    * decision is a pure per-row projection — no shuffle of the data. */
+  def classBalance(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val cF = spec.str("classField").getOrElse(
+        sys.error("classbalance: `classField` required"))
+      val key = spec.strOr("keyField", "doc_id")
+      Seq(cF, key).foreach(c =>
+        require(df.columns.contains(c), s"classbalance: no column '$c'"))
+      val salt = spec.strOr("salt", "")
+      val classStr = coalesce(col(cF).cast("string"), lit("__graft_null__"))
+      val counts = df.groupBy(col(cF).as("__bc"))
+        .agg(count(lit(1)).as("__nc"))
+      val target: DataFrame = spec.long("targetCount") match {
+        case Some(t) =>
+          require(t >= 1, s"classbalance: targetCount must be >= 1, got $t")
+          counts.sparkSession.range(1).select(lit(t).as("__tgt"))
+        case None => counts.groupBy().agg(min("__nc").as("__tgt"))
+      }
+      val keyStr = coalesce(col(key).cast("string"), lit("__graft_null__"))
+      df.join(broadcast(counts), col(cF) <=> col("__bc"), "left")
+        .crossJoin(broadcast(target))
+        .withColumn("__thr", least(lit(Buckets.toLong),
+          expr(s"(__tgt * $Buckets) div __nc")))
+        .where(bucket(concat(keyStr, lit("|"), classStr), salt) < col("__thr"))
+        .drop("__bc", "__nc", "__tgt", "__thr")
+    }
 }

@@ -226,4 +226,52 @@ class CubeExpectSpec extends SparkSpec {
         "column" -> "fk", "refColumn" -> "k")))), ctx)(df))
     assert(e2.getMessage.contains("refPath"), e2.getMessage)
   }
+
+  test("classbalance: rare class fully kept, common hash-sampled, deterministic") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (1001 to 1020).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "cls")
+    def run(opts: (String, Any)*) = graft.split.SplitStages.classBalance(
+      ComponentSpec("classbalance", Map("classField" -> "cls") ++ opts.toMap),
+      ctx)(df)
+    val out = run().select("doc_id", "cls").as[(Long, String)].collect()
+    val byCls = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // smallest class (b, 20 rows): threshold 10000 → every row kept
+    assert(byCls("b") == 20)
+    // common class: thr = 20·10000/400 = 500 → ≈20 of 400 (binomial;
+    // ±4.5σ bounds keep the assertion hash-stable, not flaky)
+    assert(byCls("a") >= 5 && byCls("a") <= 45, s"a kept ${byCls("a")}")
+    // key-stable: a second run keeps the identical set
+    assert(run().select("doc_id").as[Long].collect().sorted.toSeq ==
+      out.map(_._1).sorted.toSeq)
+    // explicit targetCount: classes at/under it keep everything
+    val t = run("targetCount" -> 100)
+      .select("cls").as[String].collect().groupBy(identity).view.mapValues(_.length)
+    assert(t("b") == 20 && t("a") >= 60 && t("a") <= 140, t.toMap.toString)
+    // NULL class is a real class, never silently dropped
+    val withNull = (Seq.tabulate(5)(i => (i.toLong, Option.empty[String])) ++
+      Seq.tabulate(5)(i => (100L + i, Some("x")))).toDF("doc_id", "cls")
+    val kept = graft.split.SplitStages.classBalance(ComponentSpec(
+      "classbalance", Map("classField" -> "cls")), ctx)(withNull)
+      .select("cls").as[Option[String]].collect()
+    assert(kept.count(_.isEmpty) == 5 && kept.count(_.isDefined) == 5)
+    assert(intercept[Exception](run("targetCount" -> 0).count())
+      .getMessage.contains("targetCount"))
+  }
+
+  test("graphmetrics: one-row profile; parallel edges dedupe; self-loop counts") {
+    val ctx = newCtx()
+    import spark.implicits._
+    ctx.addEdges(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "c"),
+      ("c", "c")).toDF("src", "dst").withColumn("label", lit("e")))
+    val out = graft.graph.GraphStages.graphMetrics(
+      ComponentSpec("graphmetrics", Map()), ctx)(spark.emptyDataFrame)
+      .select("n_vertices", "n_edges", "max_out_degree", "max_in_degree",
+        "avg_degree", "density")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    // distinct pairs: ab ac bc cc → E=4, V=3; out: a=2; in: c=3
+    assert(out == ((3L, 4L, 2L, 3L, 8.0 / 3.0, 4.0 / 6.0)))
+  }
 }
