@@ -4679,6 +4679,22 @@ object SparkEntry {
         .select("feature", "n", "mi_bits", "mi_rate")
         .orderBy("feature")
     },
+    "robust_scale" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // median/IQR scaling of integer cents per event type: exact
+      // percentile triples (the quantile_cont-identical interpolation),
+      // one (−,÷) tree per row
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events"}},
+          {"robustscale": {"field": "cents", "keyField": "event_type"}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cents", "cents_robust")
+        .orderBy("event_id")
+    },
     "ab_test" -> { (s, dir) =>
       val c = ctx(s, dir)
       // two-proportion z of every arm against control arm 0, with a
@@ -6804,6 +6820,12 @@ object SparkEntry {
        "SELECT token AS feature, CAST(max(nf) AS BIGINT) AS n, CAST(sum(nfc * bits) AS BIGINT) AS mi_bits, " +
        "CAST(CAST(sum(nfc * bits) AS BIGINT) AS DOUBLE) / CAST(max(nf) AS DOUBLE) AS mi_rate " +
        "FROM k GROUP BY 1 ORDER BY feature"),
+    "robust_scale" ->
+      ("WITH b AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+       "q AS (SELECT event_type, quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs FROM b GROUP BY 1) " +
+       "SELECT b.event_id, b.cents, " +
+       "CASE WHEN qs[3] > qs[1] THEN (CAST(b.cents AS DOUBLE) - qs[2]) / (qs[3] - qs[1]) END AS cents_robust " +
+       "FROM b JOIN q USING (event_type) ORDER BY event_id"),
     "ab_test" ->
       ("WITH b AS (SELECT CAST(user_id % 4 AS VARCHAR) AS arm, CASE WHEN event_id % 29 = 0 THEN NULL WHEN user_id % 4 = 2 AND event_id % 17 = 0 THEN TRUE ELSE event_type = 'purchase' END AS converted FROM events), " +
        "a AS (SELECT arm, count(*) AS n, CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS s FROM b WHERE converted IS NOT NULL GROUP BY 1), " +

@@ -146,6 +146,7 @@ object Engine {
     "gini"          -> graft.stages.StatStages.gini _,
     "drift"         -> graft.stages.StatStages.drift _,
     "abtest"        -> graft.stages.StatStages.abTest _,
+    "robustscale"   -> graft.stages.StatStages.robustScale _,
     "survival"      -> graft.stages.StatStages.survival _,
     "mutualinfo"    -> graft.stages.StatStages.mutualInfo _,
     "auc"           -> graft.stages.StatStages.auc _,

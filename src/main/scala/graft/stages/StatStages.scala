@@ -894,6 +894,62 @@ object StatStages {
           col("info_bits").cast("double") / col("n").cast("double"))
     }
 
+  /** `robustscale`: per-group median/IQR scaling —
+    * (x − median)/(q3 − q1), the outlier-immune member of the scaler
+    * family (`zscore`'s mean/stddev moves with every outlier; `minmax`
+    * is pinned BY the outliers). Exact-mode `percentile` quantiles
+    * (the same interpolation tree DuckDB's `quantile_cont` executes —
+    * evidence: the quantilebin oracle is hash-exact at both scales),
+    * then ONE fixed (−,÷) IEEE tree per row. Zero-IQR groups yield
+    * null, not a division blow-up; null values pass through null.
+    *
+    * Options: `field` (numeric, required), `keyField` (optional
+    * comma-separated), `outputField` (default `<field>_robust`),
+    * `mode` ∈ exact (default — buffers each group's values, same
+    * contract as `quantiles` exact) | approx (GK sketch, scale mode,
+    * NOT oracle-exact).
+    *
+    * Scale shape: ONE hash aggregation to per-group quantile triples +
+    * a null-safe key join back (broadcast when keyless) — the
+    * StatStages shape, never a window over rows. */
+  def robustScale(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fld = spec.str("field").getOrElse(
+        sys.error("robustscale: `field` required"))
+      require(df.columns.contains(fld), s"robustscale: no column '$fld'")
+      require(df.schema(fld).dataType.isInstanceOf[NumericType],
+        s"robustscale: '$fld' must be numeric, is ${df.schema(fld).dataType.simpleString}")
+      val keys = spec.str("keyField")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      keys.foreach(k => require(df.columns.contains(k), s"robustscale: no key column '$k'"))
+      val out = spec.strOr("outputField", s"${fld}_robust")
+      require(!df.columns.contains(out),
+        s"robustscale: output column '$out' exists — set outputField")
+      val probsArr = array(lit(0.25), lit(0.5), lit(0.75))
+      val aggCol = spec.strOr("mode", "exact") match {
+        case "exact" => percentile(col(fld), probsArr)
+        case "approx" =>
+          percentile_approx(col(fld), probsArr, lit(spec.int("accuracy", 10000)))
+        case other => sys.error(s"robustscale: mode must be exact|approx, got '$other'")
+      }
+      val q = (if (keys.nonEmpty)
+          df.groupBy(keys.map(k => col(k).as(s"__g_$k")): _*)
+        else df.groupBy())
+        .agg(aggCol.as("__qs"))
+        .select((keys.map(k => col(s"__g_$k")) ++ Seq(
+          element_at(col("__qs"), 1).as("__q1"),
+          element_at(col("__qs"), 2).as("__med"),
+          element_at(col("__qs"), 3).as("__q3"))): _*)
+      val joined =
+        if (keys.isEmpty) df.crossJoin(broadcast(q))
+        else df.join(q, keys.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _))
+          .drop(keys.map(k => s"__g_$k"): _*)
+      joined
+        .withColumn(out, when(col("__q3") > col("__q1"),
+          (col(fld).cast("double") - col("__med")) / (col("__q3") - col("__q1"))))
+        .drop("__q1", "__med", "__q3")
+    }
+
   /** `gini`: EXACT Gini impurity of a categorical column per group —
     * `entropy`'s companion with no logarithm anywhere: gini =
     * 1 − Σ p_v² = (n² − Σ n_v²) / n², so the numerator and denominator

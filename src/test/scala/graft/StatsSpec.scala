@@ -667,6 +667,33 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("classField"))
   }
 
+  test("robustscale: median/IQR hand values; zero-IQR null; keyless global") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", Some(4L)), ("g", Some(5L)), ("g", None),
+      ("c", Some(7L)), ("c", Some(7L)))
+      .toDF("k", "x")
+    val out = StatStages.robustScale(ComponentSpec("robustscale",
+      Map("field" -> "x", "keyField" -> "k")), ctx)(df)
+      .select("k", "x", "x_robust")
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // g: q1=2 med=3 q3=4 (integral indexes) → (x−3)/2
+    assert(out(("g", Some(1L))) == Some(-1.0))
+    assert(out(("g", Some(3L))) == Some(0.0))
+    assert(out(("g", Some(5L))) == Some(1.0))
+    assert(out(("g", None)).isEmpty, "null value passes through null")
+    assert(out(("c", Some(7L))).isEmpty, "zero IQR → null, not a blow-up")
+    // keyless: one global triple broadcast back
+    val g = StatStages.robustScale(ComponentSpec("robustscale",
+      Map("field" -> "x")), ctx)(df.where(col("x").isNotNull))
+    assert(g.count() == 7L)
+    assert(intercept[Exception](StatStages.robustScale(ComponentSpec(
+      "robustscale", Map("field" -> "x", "mode" -> "zz")), ctx)(df))
+      .getMessage.contains("exact|approx"))
+  }
+
   test("abtest: z vs control hand value; degenerate null; missing control loud") {
     val ctx = newCtx()
     import spark.implicits._
