@@ -5052,6 +5052,21 @@ object SparkEntry {
         .select("w1", "w2", "n_xy", "n_x", "n_y", "pmi_bits")
         .orderBy("w1", "w2")
     },
+    "cooccur_window" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // skip-gram co-occurrence at window 3 (the word2vec context):
+      // three zip streams concatenated per row, same integer-bits PMI;
+      // the oracle rebuilds pairs via a positional self-join
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"collocations": {"field": "text", "window": 3,
+            "minCount": 60}}],
+        "loader": {"memory": {}} }""")
+        .select("w1", "w2", "n_xy", "n_x", "n_y", "pmi_bits")
+        .orderBy("w1", "w2")
+    },
     "mm_audio_levels" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // PCM SAMPLE statistics from the real WAV bytes: peak amplitude,
@@ -7038,6 +7053,22 @@ object SparkEntry {
        "CAST(tot.n * cb.n_xy AS BIGINT) AS a, CAST(cl.n_x * cr.n_y AS BIGINT) AS b " +
        "FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot " +
        "WHERE cb.n_xy >= 3) " +
+       "SELECT w1, w2, n_xy, n_x, n_y, " +
+       "CASE WHEN a >= b THEN CAST(length(bin(a // b)) AS BIGINT) " +
+       "ELSE -CAST(length(bin(b // a)) AS BIGINT) END AS pmi_bits " +
+       "FROM j ORDER BY w1, w2"),
+    "cooccur_window" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l FROM documents), " +
+       "e AS (SELECT doc_id, u AS pos, l[u] AS tok FROM t, unnest(generate_series(1, len(l))) AS s(u)), " +
+       "p AS (SELECT a.tok AS w1, b.tok AS w2 FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3), " +
+       "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM p GROUP BY 1, 2), " +
+       "cl AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cb GROUP BY 1), " +
+       "cr AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cb GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cb), " +
+       "j AS (SELECT cb.w1, cb.w2, cb.n_xy, cl.n_x, cr.n_y, " +
+       "CAST(tot.n * cb.n_xy AS BIGINT) AS a, CAST(cl.n_x * cr.n_y AS BIGINT) AS b " +
+       "FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot " +
+       "WHERE cb.n_xy >= 60) " +
        "SELECT w1, w2, n_xy, n_x, n_y, " +
        "CASE WHEN a >= b THEN CAST(length(bin(a // b)) AS BIGINT) " +
        "ELSE -CAST(length(bin(b // a)) AS BIGINT) END AS pmi_bits " +

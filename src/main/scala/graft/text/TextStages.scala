@@ -1015,25 +1015,38 @@ object TextStages {
     * re-scope per shard past that).
     *
     * Options: `field` (default text), `lowercase` (default true),
-    * `minCount` (default 5 — rare-bigram noise floor). Output: one row
-    * per surviving bigram (`w1`, `w2`, `n_xy`, `n_x`, `n_y`,
-    * `pmi_bits`) — a QUERY stage (replaces the stream, like tfidf's
-    * corpus view).
+    * `minCount` (default 5 — rare-bigram noise floor), `window`
+    * (default 1 = adjacent bigrams; 2–8 adds SKIP-GRAM pairs at every
+    * offset ≤ window — the word2vec-style co-occurrence context, each
+    * offset one more zip stream concatenated per row, output schema
+    * unchanged). Output: one row per surviving pair (`w1`, `w2`,
+    * `n_xy`, `n_x`, `n_y`, `pmi_bits`) — a QUERY stage (replaces the
+    * stream, like tfidf's corpus view).
     *
-    * Scale shape: bigrams via one per-row zip_with + explode → ONE
-    * corpus hash aggregation to pair counts; marginals RE-AGGREGATE the
-    * pair table (vocabulary-sized, never corpus rows again) and join
-    * back vocabulary-keyed; the grand total broadcasts as one row. */
+    * Scale shape: pairs via `window` per-row zip_withs + ONE explode →
+    * ONE corpus hash aggregation to pair counts; marginals RE-AGGREGATE
+    * the pair table (vocabulary-sized, never corpus rows again) and
+    * join back vocabulary-keyed; the grand total broadcasts as one
+    * row. */
   def collocations(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val f0 = col(spec.strOr("field", "text"))
       val f = if (spec.bool("lowercase", dflt = true)) lower(f0) else f0
       val minCount = spec.long("minCount").getOrElse(5L)
       require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+      val window = spec.int("window", 1)
+      require(window >= 1 && window <= 8,
+        s"collocations: window must be in [1,8], got $window — each " +
+        "offset adds one full pair stream (token volume × window)")
       val tarr = filter(tokens(f), t => t =!= "")
-      val win = greatest(size(tarr) - 1, lit(0))
-      val bgs = zip_with(slice(tarr, lit(1), win), slice(tarr, lit(2), win),
-        (a, b) => struct(a.as("w1"), b.as("w2")))
+      def pairsAt(s: Int) = {
+        val w = greatest(size(tarr) - s, lit(0))
+        zip_with(slice(tarr, lit(1), w), slice(tarr, lit(1 + s), w),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+      }
+      val bgs =
+        if (window == 1) pairsAt(1)
+        else concat((1 to window).map(pairsAt): _*)
       val stream = df.select(explode(bgs).as("__bg"))
         .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       val cntBg = stream.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))

@@ -1726,6 +1726,19 @@ class LlmStagesSpec extends SparkSpec {
     assert(kept == Set("x", "w"))
     assert(intercept[Exception](stage("collocations", "minCount" -> 0)(df))
       .getMessage.contains("minCount"))
+    // window=2 adds skip-gram pairs: doc "a b c" → (a,b),(b,c) PLUS (a,c);
+    // n=3, left a=2 b=1, right b=1 c=2
+    val sg = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val w2 = stage("collocations", "minCount" -> 1, "window" -> 2)(sg)
+      .select("w1", "w2", "n_xy", "n_x", "n_y", "pmi_bits")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(w2.size == 3)
+    assert(w2(("a", "b")) == ((1L, 2L, 1L, 1L)))  // a=3 ≥ b=2 → +1
+    assert(w2(("a", "c")) == ((1L, 2L, 2L, -1L))) // a=3 < b=4 → −1
+    assert(w2(("b", "c")) == ((1L, 1L, 2L, 1L)))
+    assert(intercept[Exception](stage("collocations", "window" -> 9)(sg))
+      .getMessage.contains("window"))
   }
 
   // -------------------------------------------------------------- tfidf
