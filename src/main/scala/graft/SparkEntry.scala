@@ -4085,6 +4085,32 @@ object SparkEntry {
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     },
+    "stream_throttle" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-key rate limiting: first 50 events per key per week-window
+      // survive (event-time + event_id total order). Under availableNow
+      // the result equals the batch row_number ≤ N oracle exactly;
+      // state is one (window, count) pair per key
+      Engine.registerCode("normalize_events_ts_thr")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
+        "transformers": [
+          {"code": {"ref": "normalize_events_ts_thr"}},
+          {"code": {"language": "sql", "code":
+            "SELECT event_id, user_id % 20 AS k, ts FROM __input"}},
+          {"stream_throttle": {"keyField": "k", "tsField": "ts",
+            "tieField": "event_id", "maxPerWindow": 50,
+            "windowSec": 604800}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_thr",
+          "outputMode": "append", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      s.table("stream_thr")
+        .select("key", "ts", "tie", "window_start")
+        .orderBy("tie")
+    },
     "stream_enrich" -> { (s, dir) =>
       val c = ctx(s, dir)
       // stream-STATIC dimension join: the BATCH `code` stage runs
@@ -6535,6 +6561,12 @@ object SparkEntry {
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),
+    "stream_throttle" ->
+      ("WITH b AS (SELECT CAST(user_id % 20 AS VARCHAR) AS key, ts, event_id AS tie FROM events), " +
+       "w AS (SELECT key, ts, tie, epoch_ms(ts) // 604800000 AS win FROM b), " +
+       "r AS (SELECT key, ts, tie, win, row_number() OVER (PARTITION BY key, win ORDER BY ts, tie) AS rn FROM w) " +
+       "SELECT key, ts, tie, epoch_ms(win * 604800000) AS window_start " +
+       "FROM r WHERE rn <= 50 ORDER BY tie"),
     "stream_ingest" ->
       (raw"SELECT doc_id, trim('d' || CAST(doc_id AS VARCHAR) || ' ' || " +
        raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm " +

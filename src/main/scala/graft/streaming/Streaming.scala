@@ -148,6 +148,9 @@ object Streaming {
   final case class Session(key: String, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
   final case class SessState(start: Long, last: Long, n: Long)
+  final case class ThrottleKept(key: String, ts: java.sql.Timestamp,
+                                tie: Long, window_start: java.sql.Timestamp)
+  final case class ThrottleState(window: Long, n: Long)
 
   /** `sessionize`: gap-based session windows per key via
     * `flatMapGroupsWithState` — custom event-time state with timeout,
@@ -250,6 +253,106 @@ object Streaming {
       case cols => df.select((cols ++ keys :+ ts).distinct.map(col): _*)
     }
     kept.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
+  }
+
+  /** `stream_throttle`: per-key rate limiting — keep the FIRST
+    * `maxPerWindow` events of each key inside every tumbling
+    * `windowSec` window, drop the rest. The ingest-protection primitive
+    * (a hot crawler key or misbehaving device must not flood the
+    * pipeline) that `window_agg` can't express: it emits the surviving
+    * EVENTS, not counts. Custom state via `flatMapGroupsWithState`:
+    * one (window, count) pair per key — constant-size, evicted by
+    * event-time timeout one window past the last activity.
+    *
+    * Determinism: within a micro-batch a key's events sort by
+    * (event time, `tieField`), so "first N" is a total order, and under
+    * `availableNow` (one batch) the result equals the batch
+    * `row_number ≤ N` oracle exactly. Across batches the contract is
+    * conservative: an event from a window OLDER than the key's current
+    * one (a straggler beyond the state horizon) is DROPPED — a
+    * rate limiter never re-admits the past. Output: (key, ts, tie,
+    * window_start).
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (required — the total order under equal timestamps),
+    * `maxPerWindow` (required), `windowSec` (default 60), `watermark`
+    * (default 2× windowSec), `maxEventsPerKeyBatch` (default 1e6 —
+    * same LOUD per-key batch-buffer cap as `sessionize`).
+    *
+    * Scale shape: ONE keyed exchange into the stateful operator; state
+    * is one (long, long) per active key; the in-batch sort buffers one
+    * key's batch slice (capped loud). */
+  def streamThrottle(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    val keyF = spec.strOr("keyField", "user_id")
+    val tsF = spec.strOr("tsField", "ts")
+    val tieF = spec.str("tieField").getOrElse(
+      sys.error("stream_throttle: `tieField` required — first-N needs a total order"))
+    val maxN = spec.long("maxPerWindow").getOrElse(
+      sys.error("stream_throttle: `maxPerWindow` required"))
+    require(maxN >= 1, s"stream_throttle: maxPerWindow must be >= 1, got $maxN")
+    val winMs = spec.long("windowSec").getOrElse(60L) * 1000
+    require(winMs >= 1000, "stream_throttle: windowSec must be >= 1")
+    val wm = spec.strOr("watermark", s"${2 * winMs / 1000} seconds")
+    val maxBuf = spec.long("maxEventsPerKeyBatch").getOrElse(1000000L) match {
+      case n if n <= 0 => Long.MaxValue
+      case n => n
+    }
+    implicit val outEnc = Encoders.product[ThrottleKept]
+    implicit val stateEnc = Encoders.product[ThrottleState]
+    // the event time rides TWICE: as a Timestamp (the watermark column
+    // Spark requires inside the stateful operator) and as unix MICROS —
+    // java.sql.Timestamp.getTime is millisecond-precision, and a
+    // ms-truncated roundtrip would silently rewrite every emitted ts
+    val quadEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val quads = df.withColumn("__ts", col(tsF).cast("timestamp"))
+      .where(col("__ts").isNotNull && col(tieF).isNotNull)
+      .withWatermark("__ts", wm)
+      .select(col(keyF).cast("string"), col("__ts"),
+        col(tieF).cast("long"), unix_micros(col("__ts")))
+      .as[(String, java.sql.Timestamp, Long, Long)](quadEnc)
+    val winUs = winMs * 1000
+
+    def tsOfUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+      t
+    }
+
+    def fn(key: String, events: Iterator[(String, java.sql.Timestamp, Long, Long)],
+           state: GroupState[ThrottleState]): Iterator[ThrottleKept] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      events.foreach { e =>
+        buf += ((e._4, e._3))
+        if (buf.length > maxBuf) sys.error(
+          s"stream_throttle: key '$key' exceeded maxEventsPerKeyBatch=" +
+          s"$maxBuf in one micro-batch — pre-filter the key or raise the cap")
+      }
+      val sorted = buf.sortInPlace()(Ordering.Tuple2[Long, Long])
+      var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ThrottleKept]
+      sorted.foreach { case (us, tie) =>
+        val w = Math.floorDiv(us, winUs)
+        if (w > st.window) st = ThrottleState(w, 0L)
+        // w < st.window: straggler behind the state horizon — dropped
+        if (w == st.window && st.n < maxN) {
+          st = ThrottleState(st.window, st.n + 1)
+          out += ThrottleKept(key, tsOfUs(us), tie, tsOfUs(st.window * winUs))
+        }
+      }
+      if (st.window != Long.MinValue) {
+        state.update(st)
+        state.setTimeoutTimestamp(
+          Math.floorDiv((st.window + 1) * winUs, 1000L) + winMs)
+      }
+      out.iterator
+    }
+
+    quads.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF()
   }
 
   /** `stream_join`: stream-STREAM equi-join with an event-time band —
@@ -450,6 +553,7 @@ object Streaming {
         case "window_agg" => windowAgg(t, ctx)
         case "sessionize" => sessionize(t, ctx)
         case "stream_dedup" => streamDedup(t, ctx)
+        case "stream_throttle" => streamThrottle(t, ctx)
         case "stream_join" => streamJoin(t, ctx)
         case other => Engine.transformers.getOrElse(other,
           sys.error(s"unknown transformer $other"))(t, ctx)

@@ -356,4 +356,42 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("batch-load only"), e.getMessage)
   }
+
+  test("stream_throttle: first-N per key per window; ties by tieField; stragglers dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val df = mem.toDF().toDF("k", "ts", "eid")
+    val out = Streaming.streamThrottle(ComponentSpec("stream_throttle", Map(
+      "keyField" -> "k", "tsField" -> "ts", "tieField" -> "eid",
+      "maxPerWindow" -> 2, "windowSec" -> 600)), newCtx())(df)
+    val q = out.writeStream.format("memory").queryName("thr")
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): u1 sends 4 events — only the first 2 by
+      // (ts, eid) survive; the 10:00 tie between eid 1 and 2 orders by eid
+      mem.addData(("u1", ts(0), 2L), ("u1", ts(0), 1L),
+        ("u1", ts(2), 3L), ("u1", ts(4), 4L),
+        ("u2", ts(3), 9L))
+      q.processAllAvailable()
+      // next window: the counter resets; then a straggler from the first
+      // window arrives AFTER the key advanced — dropped, never re-admitted
+      mem.addData(("u1", ts(12), 5L), ("u1", ts(1), 6L))
+      q.processAllAvailable()
+      val kept = spark.table("thr").select("key", "tie")
+        .as[(String, Long)].collect().toSet
+      assert(kept == Set(("u1", 1L), ("u1", 2L), ("u2", 9L), ("u1", 5L)),
+        kept.toString)
+      // per-event window_start is the tumbling boundary
+      val ws = spark.table("thr").where(col("tie") === 5L)
+        .select("window_start").as[Timestamp].head()
+      assert(ws == ts(10))
+    } finally q.stop()
+    // guards fail loud
+    assert(intercept[Exception](Streaming.streamThrottle(ComponentSpec(
+      "stream_throttle", Map("maxPerWindow" -> 2)), newCtx())(df))
+      .getMessage.contains("tieField"))
+    assert(intercept[Exception](Streaming.streamThrottle(ComponentSpec(
+      "stream_throttle", Map("tieField" -> "eid")), newCtx())(df))
+      .getMessage.contains("maxPerWindow"))
+  }
 }
