@@ -271,7 +271,7 @@ object ScaleStress {
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
       "scc_color", "mixture_budget", "funnel_steps",
       "link_predict", "freq_pairs", "event_paths",
-      "line_dedup", "auc_rank", "topo_layers")
+      "line_dedup", "auc_rank", "topo_layers", "survival_curve")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -654,6 +654,20 @@ object ScaleStress {
               "SELECT CAST(floor(t) AS BIGINT) AS score, kind FROM __input"}},
             {"auc": {"scoreField": "score", "labelField": "kind"}}],
           "loader": {"memory": {}} }""",
+        // Kaplan-Meier with subjects ∝ N but a FIXED day-quantized time
+        // axis: the at-risk windows and the product fold run over the
+        // (group, time) CELL frame (≤ 90 rows per group at every
+        // factor), so subject volume only pays one hash aggregation
+        "survival_curve" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT user_id % 8 AS grp, CAST(t / 86400 AS BIGINT) % 90 + 1 AS t_day, kind = 1 AS ev FROM __input"}},
+            {"survival": {"timeField": "t_day", "eventField": "ev",
+              "groupBy": ["grp"]}},
+            {"code": {"language": "sql", "code":
+              "SELECT grp FROM __input WHERE survival >= 0"}}],
+          "loader": {"memory": {}} }""",
         // FIXED-depth (12-layer) DAG whose width grows ∝ N: rounds stay
         // constant while each round's join/agg grows linearly — the
         // toposort scale contract (rounds = depth, work/round ∝ edges)
@@ -690,6 +704,7 @@ object ScaleStress {
           case "cosine_dup" | "semantic_dedup" => m
           case "asof_join" | "asof_nearest" | "range_join" |
                "interval_join" | "funnel_steps" | "auc_rank" |
+               "survival_curve" |
                "link_predict" | "freq_pairs" | "event_paths" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
