@@ -4705,6 +4705,40 @@ object SparkEntry {
         .select("feature", "n", "mi_bits", "mi_rate")
         .orderBy("feature")
     },
+    "regression_eval" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // MAE/MSE/RMSE/R2 per event type from integral (y, yhat) pairs
+      // with planted bounded errors: exact long error sums, fixed IEEE
+      // closings; planted NULL labels are not scored
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_type, CASE WHEN event_id % 43 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 500 END AS y, CAST(round(value * 100) AS BIGINT) % 500 + event_id % 9 - 4 AS yhat FROM events"}},
+          {"regressioneval": {"labelField": "y", "predField": "yhat",
+            "groupBy": ["event_type"]}}],
+        "loader": {"memory": {}} }""")
+        .select("event_type", "n", "mae", "mse", "rmse", "r2")
+        .orderBy("event_type")
+    },
+    "calibration_bins" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // reliability curve over permille scores with a planted
+      // score-correlated label: per-bin confidence vs observed rate,
+      // exact counts, three fixed divisions
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CASE WHEN event_id % 37 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 1001 END AS score, (CAST(round(value * 100) AS BIGINT) % 1001 + event_id % 400) >= 700 AS hit FROM events"}},
+          {"calibration": {"scoreField": "score", "labelField": "hit",
+            "bins": 10, "scale": 1000}}],
+        "loader": {"memory": {}} }""")
+        .select("bin", "n", "positives", "conf", "acc", "gap")
+        .orderBy("bin")
+    },
     "robust_scale" -> { (s, dir) =>
       val c = ctx(s, dir)
       // median/IQR scaling of integer cents per event type: exact
@@ -6867,6 +6901,26 @@ object SparkEntry {
        "SELECT token AS feature, CAST(max(nf) AS BIGINT) AS n, CAST(sum(nfc * bits) AS BIGINT) AS mi_bits, " +
        "CAST(CAST(sum(nfc * bits) AS BIGINT) AS DOUBLE) / CAST(max(nf) AS DOUBLE) AS mi_rate " +
        "FROM k GROUP BY 1 ORDER BY feature"),
+    "regression_eval" ->
+      ("WITH b AS (SELECT event_type, CASE WHEN event_id % 43 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 500 END AS y, " +
+       "CAST(round(value * 100) AS BIGINT) % 500 + event_id % 9 - 4 AS yhat FROM events), " +
+       "s AS (SELECT event_type, y, yhat, yhat - y AS e FROM b WHERE y IS NOT NULL AND yhat IS NOT NULL), " +
+       "a AS (SELECT event_type, count(*) AS n, CAST(sum(abs(e)) AS BIGINT) AS sae, CAST(sum(e * e) AS BIGINT) AS sse, " +
+       "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy FROM s GROUP BY 1) " +
+       "SELECT event_type, n, CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae, " +
+       "CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) AS mse, " +
+       "sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse, " +
+       "CASE WHEN n * syy - sy * sy > 0 THEN CAST(1 AS DOUBLE) - CAST(n * sse AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE) END AS r2 " +
+       "FROM a ORDER BY event_type"),
+    "calibration_bins" ->
+      ("WITH b AS (SELECT CASE WHEN event_id % 37 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 1001 END AS score, " +
+       "(CAST(round(value * 100) AS BIGINT) % 1001 + event_id % 400) >= 700 AS hit FROM events), " +
+       "a AS (SELECT (score * 10) // 1001 AS bin, count(*) AS n, CAST(sum(score) AS BIGINT) AS ss, " +
+       "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS positives FROM b " +
+       "WHERE score IS NOT NULL AND hit IS NOT NULL GROUP BY 1), " +
+       "k AS (SELECT bin, n, positives, CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000 AS DOUBLE) AS conf, " +
+       "CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS acc FROM a) " +
+       "SELECT bin, n, positives, conf, acc, acc - conf AS gap FROM k ORDER BY bin"),
     "robust_scale" ->
       ("WITH b AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
        "q AS (SELECT event_type, quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs FROM b GROUP BY 1) " +

@@ -147,6 +147,8 @@ object Engine {
     "drift"         -> graft.stages.StatStages.drift _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,
+    "regressioneval" -> graft.stages.StatStages.regressionEval _,
+    "calibration"   -> graft.stages.StatStages.calibration _,
     "survival"      -> graft.stages.StatStages.survival _,
     "mutualinfo"    -> graft.stages.StatStages.mutualInfo _,
     "auc"           -> graft.stages.StatStages.auc _,

@@ -1123,6 +1123,114 @@ object StatStages {
           "n_baskets", "support", "lift_bits").map(col)): _*)
     }
 
+  /** `regressioneval`: regression-model evaluation from (actual,
+    * predicted) numeric pairs — [[classifyEval]]'s sibling for
+    * continuous targets. Both columns must be INTEGRAL (quantize
+    * upstream — same contract as `correlate`): the error sums then
+    * accumulate EXACTLY in longs and every metric closes in a fixed
+    * IEEE tree: `mae` = Σ|e|/n, `mse` = Σe²/n, `rmse` = √mse, and
+    * `r2` = 1 − n·Σe² / (n·Σy² − (Σy)²) — the 1-minus-ratio spelled
+    * over exact integer numerator/denominator (zero-variance actuals
+    * → null r2, not ±Inf). Rows with NULL on either side are not
+    * scored. Envelope: exact while n·Σe² fits a long.
+    *
+    * Options: `labelField`, `predField` (integral, required),
+    * `groupBy` (optional — global one-row result otherwise). Output
+    * per group: n, mae, mse, rmse, r2.
+    *
+    * Scale shape: ONE hash aggregation with map-side combine; metrics
+    * are projections over the group-count frame. */
+  def regressionEval(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val lF = spec.str("labelField").getOrElse(
+        sys.error("regressioneval: `labelField` required"))
+      val pF = spec.str("predField").getOrElse(
+        sys.error("regressioneval: `predField` required"))
+      Seq(lF, pF).foreach { f =>
+        require(df.columns.contains(f), s"regressioneval: no column '$f'")
+        require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+            .contains(df.schema(f).dataType),
+          s"regressioneval: '$f' must be an INTEGRAL column (got " +
+          s"${df.schema(f).dataType.simpleString}) — exact error sums; " +
+          "scale upstream (cents, micros) to integers first")
+      }
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"regressioneval: no column '$g'"))
+      val y = col(lF).cast("long")
+      val e = col(pF).cast("long") - y
+      val agg = df.where(col(lF).isNotNull && col(pF).isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(abs(e)).as("__sae"), sum(e * e).as("__sse"),
+          sum(y).as("__sy"), sum(y * y).as("__syy"))
+      val nD = col("n").cast("double")
+      val sstNum = col("n") * col("__syy") - col("__sy") * col("__sy")
+      agg
+        .withColumn("mae", col("__sae").cast("double") / nD)
+        .withColumn("mse", col("__sse").cast("double") / nD)
+        .withColumn("rmse", sqrt(col("__sse").cast("double") / nD))
+        .withColumn("r2", when(sstNum > 0, lit(1.0) -
+          (col("n") * col("__sse")).cast("double") / sstNum.cast("double")))
+        .drop("__sae", "__sse", "__sy", "__syy")
+    }
+
+  /** `calibration`: reliability-curve bins for a probabilistic
+    * classifier — per confidence bin, does the predicted probability
+    * match the observed rate? ([[proportions]] gives one arm's CI;
+    * calibration ranks a SCORE axis.) Scores must be INTEGRAL on a
+    * declared `scale` (e.g. permille: scale=1000) — bin
+    * b = score·bins div (scale+1), exact integer arithmetic. Per bin:
+    * `n`, `conf` = (Σscore/n)/scale (mean predicted probability — two
+    * exact longs, division then division by the scale literal) and
+    * `acc` = positives/n (ONE division), plus `gap` = acc − conf (the
+    * per-bin calibration error, sign = over/under-confidence). Rows
+    * with NULL score or label are not scored.
+    *
+    * Options: `scoreField` (integral, required), `labelField` (boolean
+    * or numeric nonzero = positive, required), `bins` (default 10),
+    * `scale` (default 1000 — the score value meaning probability 1).
+    *
+    * Scale shape: ONE hash aggregation to ≤ `bins` rows. */
+  def calibration(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val sF = spec.str("scoreField").getOrElse(
+        sys.error("calibration: `scoreField` required"))
+      val lF = spec.str("labelField").getOrElse(
+        sys.error("calibration: `labelField` required"))
+      Seq(sF, lF).foreach(f =>
+        require(df.columns.contains(f), s"calibration: no column '$f'"))
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(sF).dataType),
+        s"calibration: scoreField '$sF' must be an INTEGRAL column (got " +
+        s"${df.schema(sF).dataType.simpleString}) — quantize probabilities " +
+        "to a declared scale (default permille) upstream")
+      val bins = spec.int("bins", 10)
+      require(bins >= 2 && bins <= 10000,
+        s"calibration: bins must be in [2,10000], got $bins")
+      val scale = spec.long("scale").getOrElse(1000L)
+      require(scale >= 1, s"calibration: scale must be >= 1, got $scale")
+      val isPos = df.schema(lF).dataType match {
+        case BooleanType => col(lF)
+        case _: NumericType => col(lF) =!= 0
+        case other => sys.error(
+          s"calibration: labelField '$lF' must be boolean or numeric, got $other")
+      }
+      df.where(col(sF).isNotNull && col(lF).isNotNull)
+        .withColumn("__bin", expr(s"(cast(`$sF` as bigint) * $bins) div ${scale + 1}"))
+        .groupBy(col("__bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col(sF).cast("long")).as("__ss"),
+          sum(when(isPos, 1L).otherwise(0L)).as("__pos"))
+        .withColumn("conf",
+          col("__ss").cast("double") / col("n").cast("double") /
+            lit(scale.toDouble))
+        .withColumn("acc", col("__pos").cast("double") / col("n").cast("double"))
+        .withColumn("gap", col("acc") - col("conf"))
+        .withColumnRenamed("__pos", "positives")
+        .drop("__ss")
+    }
+
   /** `abtest`: two-proportion z statistics of every variant against a
     * named CONTROL — the decision layer over [[proportions]]' per-group
     * CIs (CIs describe each arm; the z-test compares arms). Per variant

@@ -694,6 +694,54 @@ class StatsSpec extends SparkSpec {
       .getMessage.contains("exact|approx"))
   }
 
+  test("regressioneval: MAE/MSE/RMSE/R2 hand values; zero-variance null r2") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq((10L, 12L), (20L, 18L), (30L, 30L), (40L, 44L))
+      .toDF("y", "yhat")
+    val out = StatStages.regressionEval(ComponentSpec("regressioneval",
+      Map("labelField" -> "y", "predField" -> "yhat")), ctx)(df)
+      .select("n", "mae", "mse", "rmse", "r2")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    // e = 2,−2,0,4: Σ|e|=8 Σe²=24; sst_num = 4·3000 − 100² = 2000
+    assert(out == ((4L, 2.0, 6.0, math.sqrt(6.0), Some(1.0 - 96.0 / 2000.0))))
+    // constant actuals: zero variance → null r2 (mae still defined)
+    val const = Seq((5L, 6L), (5L, 4L)).toDF("y", "yhat")
+    val c = StatStages.regressionEval(ComponentSpec("regressioneval",
+      Map("labelField" -> "y", "predField" -> "yhat")), ctx)(const)
+      .select("mae", "r2").as[(Double, Option[Double])].head()
+    assert(c == ((1.0, None)))
+    // non-integral fails loud
+    val dbl = Seq((0.5, 0.5)).toDF("y", "yhat")
+    assert(intercept[Exception](StatStages.regressionEval(ComponentSpec(
+      "regressioneval", Map("labelField" -> "y", "predField" -> "yhat")),
+      ctx)(dbl)).getMessage.contains("INTEGRAL"))
+  }
+
+  test("calibration: reliability bins hand values; integral score guard") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq((50L, false), (50L, false), (150L, true),
+      (950L, true), (990L, true), (910L, false))
+      .toDF("s", "y")
+    val out = StatStages.calibration(ComponentSpec("calibration",
+      Map("scoreField" -> "s", "labelField" -> "y")), ctx)(df)
+      .select("bin", "n", "positives", "conf", "acc", "gap")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(0L) == ((2L, 0L, 0.05, 0.0, 0.0 - 0.05)))
+    assert(out(1L) == ((1L, 1L, 0.15, 1.0, 1.0 - 0.15)))
+    val conf9 = 2850.0 / 3.0 / 1000.0
+    assert(out(9L) == ((3L, 2L, conf9, 2.0 / 3.0, 2.0 / 3.0 - conf9)))
+    assert(intercept[Exception](StatStages.calibration(ComponentSpec(
+      "calibration", Map("scoreField" -> "s", "labelField" -> "y",
+        "bins" -> 1)), ctx)(df)).getMessage.contains("bins"))
+    val dbl = Seq((0.5, true)).toDF("s", "y")
+    assert(intercept[Exception](StatStages.calibration(ComponentSpec(
+      "calibration", Map("scoreField" -> "s", "labelField" -> "y")),
+      ctx)(dbl)).getMessage.contains("INTEGRAL"))
+  }
+
   test("abtest: z vs control hand value; degenerate null; missing control loud") {
     val ctx = newCtx()
     import spark.implicits._
