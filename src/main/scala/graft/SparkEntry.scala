@@ -5017,6 +5017,39 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "change_point" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact integer CUSUM per user over a PLANTED mid-month level
+      // shift (+300 after Jan 16): the peak |n·P − t·S| position is
+      // the shift boundary; cusum_rate one IEEE division
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id % 40 AS uid, ts, CAST(round(value * 100) AS BIGINT) % 100 + CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 300 ELSE 0 END AS v FROM events"}},
+          {"changepoint": {"keyField": "uid", "tsField": "ts",
+            "tieField": "event_id", "valueField": "v"}}],
+        "loader": {"memory": {}} }""")
+        .select("uid", "n", "cp_index", "cp_ts", "cusum_max", "cusum_rate")
+        .orderBy("uid")
+    },
+    "ks_test" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact two-sample KS between the even half (20% of rows shifted
+      // +150) and the odd-half baseline: integer ECDF numerators via
+      // the two-level prefix, one closing division
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CASE WHEN event_id % 5 = 0 THEN CAST(round(value * 100) AS BIGINT) % 1000 + 150 ELSE CAST(round(value * 100) AS BIGINT) % 1000 END AS v FROM events WHERE event_id % 2 = 0"}},
+          {"kstest": {"field": "v",
+            "against": "SELECT CAST(round(value * 100) AS BIGINT) % 1000 AS v FROM events WHERE event_id % 2 = 1"}}],
+        "loader": {"memory": {}} }""")
+        .select("n_cur", "n_base", "distinct_vals", "ks_num", "ks", "ks_at")
+    },
     "ewma_smooth" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-user EWMA of integer cents (α = 0.25, window 16): the
@@ -7086,6 +7119,31 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "change_point" ->
+      ("WITH b AS (SELECT event_id, user_id % 40 AS uid, ts, CAST(round(value * 100) AS BIGINT) % 100 + CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 300 ELSE 0 END AS v FROM events), " +
+       "w AS (SELECT uid, ts, CAST(sum(v) OVER win AS BIGINT) AS p, CAST(count(*) OVER win AS BIGINT) AS rn FROM b " +
+       "WINDOW win AS (PARTITION BY uid ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+       "t AS (SELECT uid, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM b GROUP BY 1), " +
+       "k AS (SELECT w.uid, t.n, w.rn, w.ts, abs(t.n * w.p - w.rn * t.s) AS d FROM w JOIN t USING (uid) WHERE w.rn < t.n), " +
+       "r AS (SELECT uid, n, rn AS cp_index, ts AS cp_ts, d AS cusum_max, " +
+       "row_number() OVER (PARTITION BY uid ORDER BY d DESC, rn ASC) AS rk FROM k) " +
+       "SELECT uid, n, cp_index, cp_ts, cusum_max, " +
+       "CAST(cusum_max AS DOUBLE) / CAST(n * n AS DOUBLE) AS cusum_rate " +
+       "FROM r WHERE rk = 1 ORDER BY uid"),
+    "ks_test" ->
+      ("WITH c AS (SELECT CASE WHEN event_id % 5 = 0 THEN CAST(round(value * 100) AS BIGINT) % 1000 + 150 ELSE CAST(round(value * 100) AS BIGINT) % 1000 END AS v FROM events WHERE event_id % 2 = 0), " +
+       "b AS (SELECT CAST(round(value * 100) AS BIGINT) % 1000 AS v FROM events WHERE event_id % 2 = 1), " +
+       "cc AS (SELECT v, count(*) AS ca FROM c GROUP BY 1), " +
+       "bb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1), " +
+       "j AS (SELECT coalesce(cc.v, bb.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb FROM cc FULL OUTER JOIN bb ON cc.v = bb.v), " +
+       "t AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2, CAST(count(*) AS BIGINT) AS dv FROM j), " +
+       "w AS (SELECT v, CAST(sum(ca) OVER win AS BIGINT) AS c1, CAST(sum(cb) OVER win AS BIGINT) AS c2 FROM j " +
+       "WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+       "k AS (SELECT v, abs(c1 * t.n2 - c2 * t.n1) AS d, t.n1, t.n2, t.dv FROM w, t), " +
+       "r AS (SELECT *, row_number() OVER (ORDER BY d DESC, v ASC) AS rk FROM k) " +
+       "SELECT n1 AS n_cur, n2 AS n_base, dv AS distinct_vals, d AS ks_num, " +
+       "CAST(d AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks, v AS ks_at " +
+       "FROM r WHERE rk = 1"),
     "ewma_smooth" ->
       ("WITH b AS (SELECT event_id, user_id % 50 AS uid, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
        "w AS (SELECT event_id, cents, list(CAST(cents AS DOUBLE)) OVER " +

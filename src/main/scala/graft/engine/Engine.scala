@@ -145,6 +145,7 @@ object Engine {
     "classifyeval"  -> graft.stages.StatStages.classifyEval _,
     "gini"          -> graft.stages.StatStages.gini _,
     "drift"         -> graft.stages.StatStages.drift _,
+    "kstest"        -> graft.stages.StatStages.ksTest _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,
     "regressioneval" -> graft.stages.StatStages.regressionEval _,
@@ -195,6 +196,7 @@ object Engine {
     "cumulate"      -> graft.temporal.TemporalStages.cumulate _,
     "lagfeatures"   -> graft.temporal.TemporalStages.lagFeatures _,
     "ewma"          -> graft.temporal.TemporalStages.ewma _,
+    "changepoint"   -> graft.temporal.TemporalStages.changepoint _,
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,

@@ -1383,6 +1383,84 @@ object StatStages {
           col("survival"))): _*)
     }
 
+  /** `kstest`: EXACT two-sample Kolmogorov–Smirnov distance between
+    * the stream's INTEGRAL value distribution and a BASELINE corpus —
+    * [[drift]]'s companion for NUMERIC columns (TVD treats 99 vs 100
+    * as unrelated categories; KS respects the ordering). With
+    * cumulative counts C₁(v), C₂(v) over the merged distinct values
+    * and totals n₁, n₂:
+    * `D = max_v |C₁(v)/n₁ − C₂(v)/n₂| = max_v |C₁(v)·n₂ − C₂(v)·n₁|
+    * / (n₁·n₂)` — the numerator EXACT longs, the result ONE
+    * correctly-rounded IEEE division. `ks_at` is the value achieving
+    * the max (ties → smallest value, deterministic). NULL values carry
+    * no ECDF point and are dropped (documented). Envelope: exact while
+    * C·n fits a long. Output: ONE row — n_cur, n_base, distinct_vals,
+    * ks_num, ks, ks_at.
+    *
+    * Options: `field` (integral, required — same contract as
+    * `correlate`), `against` (table name or SELECT, required),
+    * `againstField` (default = field).
+    *
+    * Scale shape: ONE hash aggregation per corpus to distinct-value
+    * counts, full-outer-merged; the cumulative counts use the
+    * two-level 256-bucket prefix (the `auc` pattern) — distinct values
+    * never sort through one partition; the closing arg-max is ONE
+    * struct-max aggregation. */
+  def ksTest(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("kstest: `field` required"))
+      require(df.columns.contains(f), s"kstest: no column '$f'")
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(f).dataType),
+        s"kstest: '$f' must be an INTEGRAL column (got " +
+        s"${df.schema(f).dataType.simpleString}) — the ECDF arithmetic " +
+        "is exact longs; scale upstream (cents, micros) to integers first")
+      val base0 = ctx.tableOrSql(spec.str("against").getOrElse(
+        sys.error("kstest: `against` (table or SELECT) required")))
+      val bf = spec.strOr("againstField", f)
+      require(base0.columns.contains(bf), s"kstest: baseline has no column '$bf'")
+      val cur = df.where(col(f).isNotNull)
+        .groupBy(col(f).cast("long").as("__v")).agg(count(lit(1)).as("__ca"))
+      val base = base0.where(col(bf).isNotNull)
+        .groupBy(col(bf).cast("long").as("__bv")).agg(count(lit(1)).as("__cb"))
+      val j = cur.join(base, col("__v") === col("__bv"), "full_outer")
+        .select(coalesce(col("__v"), col("__bv")).as("__v"),
+          coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb"))
+      val mm = j.groupBy().agg(min("__v").as("__mn"), max("__v").as("__mx"),
+        sum("__ca").as("__n1"), sum("__cb").as("__n2"))
+      val keyed = j.crossJoin(broadcast(mm))
+        .withColumn("__span", col("__mx") - col("__mn") + lit(1L))
+        .withColumn("__chunk", expr("(__span + 255) div 256"))
+        .withColumn("__bkt", expr("(__v - __mn) div __chunk"))
+        .drop("__mn", "__mx", "__span", "__chunk")
+      val W = org.apache.spark.sql.expressions.Window
+      val bw = W.orderBy(col("__bkt")).rowsBetween(Long.MinValue, -1)
+      val pre = keyed.groupBy("__bkt")
+        .agg(sum("__ca").as("__ba"), sum("__cb").as("__bb"))
+        .withColumn("__pa", coalesce(sum(col("__ba")).over(bw), lit(0L)))
+        .withColumn("__pb", coalesce(sum(col("__bb")).over(bw), lit(0L)))
+        .select(col("__bkt").as("__pbk"), col("__pa"), col("__pb"))
+      // inclusive intra-bucket prefix: the ECDF at v counts v itself
+      val iw = W.partitionBy(col("__bkt")).orderBy(col("__v"))
+        .rowsBetween(Long.MinValue, 0)
+      keyed.join(broadcast(pre), col("__bkt") === col("__pbk")).drop("__pbk")
+        .withColumn("__c1", col("__pa") + sum(col("__ca")).over(iw))
+        .withColumn("__c2", col("__pb") + sum(col("__cb")).over(iw))
+        .withColumn("__d", abs(col("__c1") * col("__n2") - col("__c2") * col("__n1")))
+        .groupBy()
+        .agg(max("__n1").as("n_cur"), max("__n2").as("n_base"),
+          count(lit(1)).as("distinct_vals"),
+          max(struct(col("__d"), (-col("__v")).as("negv"), col("__v").as("v")))
+            .as("__w"))
+        .select(col("n_cur"), col("n_base"), col("distinct_vals"),
+          col("__w.__d").as("ks_num"), col("__w.v").as("ks_at"))
+        .withColumn("ks", when(col("n_cur") > 0 && col("n_base") > 0,
+          col("ks_num").cast("double") /
+            (col("n_cur") * col("n_base")).cast("double")))
+        .select("n_cur", "n_base", "distinct_vals", "ks_num", "ks", "ks_at")
+    }
+
   /** `drift`: EXACT total-variation distance between the stream's
     * categorical distribution and a BASELINE corpus — the distribution-
     * shift monitor a production pipeline runs between yesterday's and

@@ -539,6 +539,70 @@ object TemporalStages {
         .drop("__w")
     }
 
+  /** `changepoint`: EXACT CUSUM level-shift detection per key — "where
+    * did this signal change?" (the monitoring companion of [[delta]]'s
+    * "how much"). For a key's n ordered integral values with prefix
+    * sums P_t and total S, the scaled CUSUM is
+    * `C_t = n·P_t − t·S` — the classic Σ(x_i − x̄) statistic times n,
+    * EXACT in longs (no mean, no floats) — and the changepoint is the
+    * interior position t ∈ [1, n−1] maximizing |C_t| (ties → earliest
+    * t, fully deterministic). Output per key: `n`, `cp_index`
+    * (1-based; single-observation keys have no interior position and
+    * are ABSENT from the output), `cp_ts` (the timestamp AT the
+    * changepoint), `cusum_max` (the exact |C| long — compare across
+    * keys of EQUAL n only, it scales with n·Σ|x|), and `cusum_rate` =
+    * cusum_max/(n·n) as a size-comparable double (ONE IEEE division).
+    * Rows with NULL value or ts are not observations. Envelope: exact
+    * while n·P_t fits a long.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended), `valueField` (integral, required).
+    *
+    * Scale shape: ONE keyed window (prefix sum + row number) over the
+    * events + group totals joined back null-safely + ONE struct-max
+    * aggregation — no per-key buffering, no second pass. */
+  def changepoint(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val vF = spec.str("valueField").getOrElse(
+        sys.error("changepoint: `valueField` required"))
+      Seq(key, ts, vF).foreach(c =>
+        require(df.columns.contains(c), s"changepoint: no column '$c'"))
+      require(Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType)
+          .contains(df.schema(vF).dataType),
+        s"changepoint: valueField '$vF' must be an INTEGRAL column (got " +
+        s"${df.schema(vF).dataType.simpleString}) — the CUSUM is exact " +
+        "longs; scale upstream (cents, micros) to integers first")
+      val ord = epochMicros(df, ts).asc +:
+        spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+        .rowsBetween(Long.MinValue, 0)
+      val base = df.where(col(vF).isNotNull && col(ts).isNotNull)
+        .withColumn("__p", sum(col(vF).cast("long")).over(w))
+        .withColumn("__rn", count(lit(1)).over(w))
+      val totS = base.groupBy(col(key).as("__tk"))
+        .agg(max("__rn").as("__n"), sum(col(vF).cast("long")).as("__S"))
+      val joined = base.join(totS, col(key) <=> col("__tk")).drop("__tk")
+      val c = col("__n") * col("__p") - col("__rn") * col("__S")
+      joined
+        .where(col("__rn") < col("__n")) // interior positions only
+        .withColumn("__absc", abs(c))
+        .groupBy(col(key))
+        .agg(max("__n").as("n"),
+          max(struct(col("__absc"), (-col("__rn")).as("negrn"),
+            col("__rn").as("idx"), col(ts).as("cts"))).as("__w"))
+        .select(col(key), col("n"),
+          col("__w.idx").as("cp_index"), col("__w.cts").as("cp_ts"),
+          col("__w.__absc").as("cusum_max"))
+        .withColumn("cusum_rate", col("cusum_max").cast("double") /
+          (col("n") * col("n")).cast("double"))
+    }
+
   /** `transitions`: first-order Markov transition matrix over a keyed
     * event stream — the user-journey structure behind [[funnel]]'s
     * fixed steps ("after a view, what happens next, how often?"). Per

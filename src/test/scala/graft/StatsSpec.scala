@@ -813,6 +813,31 @@ class StatsSpec extends SparkSpec {
       ctx)(dbl)).getMessage.contains("INTEGRAL"))
   }
 
+  test("kstest: exact two-sample KS distance; arg-max location; integral guard") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val cur = Seq(1L, 2L, 2L, 5L).toDF("v")
+    Seq(2L, 5L, 5L, 9L).toDF("v").createOrReplaceTempView("ks_base")
+    // cums: v1 (1,0)→4; v2 (3,1)→8; v5 (4,3)→4; v9 (4,4)→0 → max 8 at 2
+    val out = StatStages.ksTest(ComponentSpec("kstest",
+      Map("field" -> "v", "against" -> "ks_base")), ctx)(cur)
+      .select("n_cur", "n_base", "distinct_vals", "ks_num", "ks", "ks_at")
+      .as[(Long, Long, Long, Long, Double, Long)].head()
+    assert(out == ((4L, 4L, 4L, 8L, 0.5, 2L)))
+    // identical samples → D = 0, location = the earliest value
+    Seq(1L, 2L).toDF("v").createOrReplaceTempView("ks_same")
+    val z = StatStages.ksTest(ComponentSpec("kstest",
+      Map("field" -> "v", "against" -> "ks_same")), ctx)(Seq(1L, 2L).toDF("v"))
+      .select("ks_num", "ks", "ks_at").as[(Long, Double, Long)].head()
+    assert(z == ((0L, 0.0, 1L)))
+    val dbl = Seq(0.5).toDF("v")
+    assert(intercept[Exception](StatStages.ksTest(ComponentSpec("kstest",
+      Map("field" -> "v", "against" -> "ks_base")), ctx)(dbl))
+      .getMessage.contains("INTEGRAL"))
+    assert(intercept[Exception](StatStages.ksTest(ComponentSpec("kstest",
+      Map("field" -> "v")), ctx)(cur)).getMessage.contains("against"))
+  }
+
   test("drift: exact TVD hand values; one-sided values; detail mode; nulls") {
     val ctx = newCtx()
     import spark.implicits._

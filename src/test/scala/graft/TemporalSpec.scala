@@ -665,6 +665,31 @@ class TemporalSpec extends SparkSpec {
     assert(daily == Set(0, 12)) // jan 10 → jan 22 = 12 days
   }
 
+  test("changepoint: exact CUSUM shift position; tie earliest; guards") {
+    val ctx = newCtx()
+    // u1: 1,1,1,9,9 — shift after position 3: C = 5·P − t·21 peaks
+    // |−48| at t=3; u2 constant → every C = 0, tie → earliest t=1
+    val ev = Seq(
+      ("u1", 1.0, 1L, 1L), ("u1", 2.0, 2L, 1L), ("u1", 3.0, 3L, 1L),
+      ("u1", 4.0, 4L, 9L), ("u1", 5.0, 5L, 9L),
+      ("u2", 1.0, 6L, 4L), ("u2", 2.0, 7L, 4L),
+      ("u3", 1.0, 8L, 5L)) // single observation: no interior → absent
+      .toDF("u", "t", "eid", "v")
+    val out = TemporalStages.changepoint(ComponentSpec("changepoint",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "valueField" -> "v")), ctx)(ev)
+      .select("u", "n", "cp_index", "cusum_max", "cusum_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("u1") == ((5L, 3L, 48L, 48.0 / 25.0)))
+    assert(out("u2") == ((2L, 1L, 0L, 0.0)))
+    assert(!out.contains("u3"))
+    val dbl = Seq(("u", 1.0, 1L, 0.5)).toDF("u", "t", "eid", "v")
+    assert(intercept[Exception](TemporalStages.changepoint(ComponentSpec(
+      "changepoint", Map("keyField" -> "u", "tsField" -> "t",
+        "valueField" -> "v")), ctx)(dbl)).getMessage.contains("INTEGRAL"))
+  }
+
   test("ewma: seeded recursion hand values; window truncation; nulls dropped") {
     val ctx = newCtx()
     val ev = Seq(
