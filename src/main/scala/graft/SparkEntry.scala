@@ -5017,6 +5017,21 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "key_concentration" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // Gini coefficient of per-key event volume under a PLANTED hot
+      // key owning ~20% of rows: exact integer rank sums (tie blocks
+      // cancel the permutation), two closing divisions
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id % 200 END AS k FROM events"}},
+          {"concentration": {"keyField": "k"}}],
+        "loader": {"memory": {}} }""")
+        .select("n_keys", "total", "max_share", "gini")
+    },
     "change_point" -> { (s, dir) =>
       val c = ctx(s, dir)
       // exact integer CUSUM per user over a PLANTED mid-month level
@@ -7119,6 +7134,14 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "key_concentration" ->
+      ("WITH b AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id % 200 END AS k FROM events), " +
+       "pk AS (SELECT k, count(*) AS vol FROM b GROUP BY 1), " +
+       "r AS (SELECT vol, row_number() OVER (ORDER BY vol) AS i FROM pk), " +
+       "t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vol) AS BIGINT) AS s, " +
+       "CAST(max(vol) AS BIGINT) AS mx, CAST(sum(CAST(i AS BIGINT) * vol) AS BIGINT) AS siv FROM r) " +
+       "SELECT n AS n_keys, s AS total, CAST(mx AS DOUBLE) / CAST(s AS DOUBLE) AS max_share, " +
+       "CAST(2 * siv - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini FROM t"),
     "change_point" ->
       ("WITH b AS (SELECT event_id, user_id % 40 AS uid, ts, CAST(round(value * 100) AS BIGINT) % 100 + CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 300 ELSE 0 END AS v FROM events), " +
        "w AS (SELECT uid, ts, CAST(sum(v) OVER win AS BIGINT) AS p, CAST(count(*) OVER win AS BIGINT) AS rn FROM b " +

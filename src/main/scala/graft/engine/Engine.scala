@@ -146,6 +146,7 @@ object Engine {
     "gini"          -> graft.stages.StatStages.gini _,
     "drift"         -> graft.stages.StatStages.drift _,
     "kstest"        -> graft.stages.StatStages.ksTest _,
+    "concentration" -> graft.stages.StatStages.concentration _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,
     "regressioneval" -> graft.stages.StatStages.regressionEval _,

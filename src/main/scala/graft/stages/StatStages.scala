@@ -1383,6 +1383,95 @@ object StatStages {
           col("survival"))): _*)
     }
 
+  /** `concentration`: EXACT volume-concentration diagnosis per group —
+    * the "how skewed is this key?" number to run BEFORE reaching for
+    * `skewjoin`/`groupcap` ([[gini]] measures label impurity;
+    * this is the Gini COEFFICIENT of volume across keys, the Lorenz
+    * inequality measure). Per key, volume = Σ `valueField` (or row
+    * count); with volumes sorted ascending at ranks i:
+    * `G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)` — Σ i·x is computed
+    * per DISTINCT volume block (v·(below·cnt + cnt(cnt+1)/2), rank
+    * permutations within a tie block cancel), so the numerator is
+    * EXACT longs and G is ONE IEEE division. 0 = uniform, → 1 =
+    * one key owns everything. Also `max_share` = the hottest key's
+    * fraction (ONE division). Volumes must be non-negative
+    * (documented — Lorenz curves are for magnitudes). Envelope: exact
+    * while n·Σx fits a long. Output per group: n_keys, total,
+    * max_share, gini.
+    *
+    * Options: `keyField` (required), `valueField` (optional integral —
+    * row count per key otherwise), `groupBy` (optional).
+    *
+    * Scale shape: ONE hash aggregation to per-key volumes, ONE more to
+    * distinct-volume blocks; the rank prefix uses the two-level
+    * 256-bucket pattern (no global window); the closing combine is a
+    * group-sized aggregation. */
+  def concentration(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.str("keyField").getOrElse(
+        sys.error("concentration: `keyField` required"))
+      require(df.columns.contains(key), s"concentration: no column '$key'")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"concentration: no column '$g'"))
+      val vol: Column = spec.str("valueField") match {
+        case Some(v) =>
+          require(df.columns.contains(v), s"concentration: no column '$v'")
+          require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+              .contains(df.schema(v).dataType),
+            s"concentration: valueField '$v' must be INTEGRAL (got " +
+            s"${df.schema(v).dataType.simpleString}) — exact rank sums")
+          sum(col(v).cast("long"))
+        case None => count(lit(1))
+      }
+      val perKey = df.groupBy((groupCols :+ key).map(col): _*)
+        .agg(vol.as("__vol"))
+      val blocks = perKey.groupBy((groupCols :+ "__vol").map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val mm = (if (groupCols.isEmpty) blocks.groupBy()
+                else blocks.groupBy(groupCols.map(g => col(g).as(s"__g_$g")): _*))
+        .agg(min("__vol").as("__mn"), max("__vol").as("__mx"))
+      val keyed =
+        if (groupCols.isEmpty) blocks.crossJoin(broadcast(mm))
+        else blocks.join(mm,
+          groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
+          .drop(groupCols.map(g => s"__g_$g"): _*)
+      val bucketed = keyed
+        .withColumn("__span", col("__mx") - col("__mn") + lit(1L))
+        .withColumn("__chunk", expr("(__span + 255) div 256"))
+        .withColumn("__bkt", expr("(__vol - __mn) div __chunk"))
+        .drop("__mn", "__mx", "__span", "__chunk")
+      val W = org.apache.spark.sql.expressions.Window
+      val bw = W.partitionBy(groupCols.map(col): _*).orderBy(col("__bkt"))
+        .rowsBetween(Long.MinValue, -1)
+      val pre = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
+        .agg(sum("__cnt").as("__bc"))
+        .withColumn("__pre", coalesce(sum(col("__bc")).over(bw), lit(0L)))
+        .select(groupCols.map(g => col(g).as(s"__pg_$g")) ++
+          Seq(col("__bkt").as("__pb"), col("__pre")): _*)
+      val iw = W.partitionBy((groupCols :+ "__bkt").map(col): _*)
+        .orderBy(col("__vol")).rowsBetween(Long.MinValue, -1)
+      val below = bucketed.join(pre,
+          (groupCols.map(g => col(g) <=> col(s"__pg_$g")) :+
+            (col("__bkt") === col("__pb"))).reduce(_ && _))
+        .drop(groupCols.map(g => s"__pg_$g") :+ "__pb": _*)
+        .withColumn("__below",
+          col("__pre") + coalesce(sum(col("__cnt")).over(iw), lit(0L)))
+      val contrib = col("__vol") * (col("__below") * col("__cnt") +
+        expr("(__cnt * (__cnt + 1)) div 2"))
+      below.withColumn("__siv", contrib)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum("__cnt").as("n_keys"),
+          sum(col("__vol") * col("__cnt")).as("total"),
+          max("__vol").as("__maxv"), sum("__siv").as("__s2"))
+        .withColumn("max_share", when(col("total") > 0,
+          col("__maxv").cast("double") / col("total").cast("double")))
+        .withColumn("gini", when(col("total") > 0,
+          (col("__s2") * 2L - (col("n_keys") + 1L) * col("total")).cast("double") /
+            (col("n_keys") * col("total")).cast("double")))
+        .drop("__maxv", "__s2")
+    }
+
   /** `kstest`: EXACT two-sample Kolmogorov–Smirnov distance between
     * the stream's INTEGRAL value distribution and a BASELINE corpus —
     * [[drift]]'s companion for NUMERIC columns (TVD treats 99 vs 100

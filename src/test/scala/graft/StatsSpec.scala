@@ -813,6 +813,36 @@ class StatsSpec extends SparkSpec {
       ctx)(dbl)).getMessage.contains("INTEGRAL"))
   }
 
+  test("concentration: exact Gini of key volumes; ties; uniform=0; groups") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // key volumes (row counts): a=1, b=1, c=3, d=5 → sorted Σi·x = 32,
+    // S=10, n=4 → G = (64 − 50)/40 = 0.35; max_share = 0.5
+    val df = (Seq("a", "b") ++ Seq.fill(3)("c") ++ Seq.fill(5)("d"))
+      .toDF("k")
+    val out = StatStages.concentration(ComponentSpec("concentration",
+      Map("keyField" -> "k")), ctx)(df)
+      .select("n_keys", "total", "max_share", "gini")
+      .as[(Long, Long, Double, Double)].head()
+    assert(out == ((4L, 10L, 0.5, 14.0 / 40.0)))
+    // uniform volumes → G = 0
+    val uni = Seq("x", "y", "z").toDF("k")
+    assert(StatStages.concentration(ComponentSpec("concentration",
+      Map("keyField" -> "k")), ctx)(uni)
+      .select("gini").as[Double].head() == 0.0)
+    // explicit integral valueField + groups
+    val g = Seq(("g1", "a", 1L), ("g1", "b", 9L), ("g2", "a", 2L),
+      ("g2", "b", 2L)).toDF("grp", "k", "v")
+    val byG = StatStages.concentration(ComponentSpec("concentration",
+      Map("keyField" -> "k", "valueField" -> "v",
+        "groupBy" -> Seq("grp"))), ctx)(g)
+      .select("grp", "gini").as[(String, Double)].collect().toMap
+    // g1: Σi·x = 1 + 18 = 19 → (38 − 30)/20 = 0.4; g2 uniform → 0
+    assert(byG("g1") == 8.0 / 20.0 && byG("g2") == 0.0)
+    assert(intercept[Exception](StatStages.concentration(ComponentSpec(
+      "concentration", Map()), ctx)(df)).getMessage.contains("keyField"))
+  }
+
   test("kstest: exact two-sample KS distance; arg-max location; integral guard") {
     val ctx = newCtx()
     import spark.implicits._
