@@ -797,4 +797,84 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(cuPlan).size <= 1,
       s"cumulate: one keyed exchange:\n$cuPlan")
   }
+
+  test("auc/kstest/concentration: two-level prefix — the data-side window partitions by bucket") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ctx = newCtx()
+    val ev = ctx.table("events")
+      .select(expr("CAST(round(value * 100) AS BIGINT) % 1000").as("s"),
+        expr("event_type = 'purchase'").as("y"),
+        expr("CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id % 200 END").as("k"))
+    def check(name: String, plan: String): Unit = {
+      // the per-value running sum must partition by the range bucket —
+      // a keyless global window would show a SinglePartition exchange
+      // feeding a windowspec with an empty partition clause. The ONLY
+      // single-partition exchange allowed is the ≤256-row level-1
+      // bucket-total prefix (and the final one-row collect).
+      assert(plan.contains("windowspecdefinition(__bkt"),
+        s"$name: level-2 window must partition by __bkt:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian:\n$plan")
+    }
+    val aucPlan = planOf(graft.stages.StatStages.auc(
+      graft.spec.ComponentSpec("auc",
+        Map("scoreField" -> "s", "labelField" -> "y")), ctx)(ev))
+    check("auc", aucPlan)
+    spark.range(1).selectExpr("CAST(id AS BIGINT) % 7 AS v")
+    ctx.table("events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) % 1000 AS v")
+      .createOrReplaceTempView("plan_ks_base")
+    val ksPlan = planOf(graft.stages.StatStages.ksTest(
+      graft.spec.ComponentSpec("kstest",
+        Map("field" -> "v", "against" -> "plan_ks_base")),
+      ctx)(ev.select(col("s").as("v"))))
+    check("kstest", ksPlan)
+    val gPlan = planOf(graft.stages.StatStages.concentration(
+      graft.spec.ComponentSpec("concentration", Map("keyField" -> "k")),
+      ctx)(ev.select("k")))
+    check("concentration", gPlan)
+  }
+
+  test("ewma/changepoint: ONE keyed exchange drives the event window; no cartesian") {
+    import org.apache.spark.sql.functions.expr
+    val ctx = newCtx()
+    val ev = ctx.table("events").select(
+      expr("event_id").as("eid"), expr("user_id % 50").as("uid"),
+      expr("ts"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val ewmaPlan = planOf(graft.temporal.TemporalStages.ewma(
+      graft.spec.ComponentSpec("ewma", Map("field" -> "cents",
+        "keyField" -> "uid", "tsField" -> "ts", "tieField" -> "eid")),
+      ctx)(ev)).split("== Initial Plan ==").head // AQE echoes both plans
+    assert("Exchange hashpartitioning".r.findAllIn(ewmaPlan).size <= 1,
+      s"ewma: one keyed exchange:\n$ewmaPlan")
+    assert(!ewmaPlan.contains("Exchange SinglePartition"),
+      s"ewma: never a global sort:\n$ewmaPlan")
+    val cpPlan = planOf(graft.temporal.TemporalStages.changepoint(
+      graft.spec.ComponentSpec("changepoint", Map("keyField" -> "uid",
+        "tsField" -> "ts", "tieField" -> "eid", "valueField" -> "cents")),
+      ctx)(ev))
+    assert(!cpPlan.contains("Exchange SinglePartition"),
+      s"changepoint: never a global sort:\n$cpPlan")
+    assert(!cpPlan.contains("CartesianProduct"),
+      s"changepoint: no cartesian:\n$cpPlan")
+  }
+
+  test("targetencode/linededup: stats broadcast back onto the rows") {
+    import org.apache.spark.sql.functions.expr
+    val ctx = newCtx()
+    val orders = ctx.table("orders").select(expr("o_orderkey"),
+      expr("o_orderpriority").as("prio"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val tePlan = planOf(graft.stages.StatStages.targetEncode(
+      graft.spec.ComponentSpec("targetencode",
+        Map("field" -> "prio", "targetField" -> "cents")), ctx)(orders))
+    assert("BroadcastHashJoin".r.findAllIn(tePlan).size >= 1,
+      s"targetencode: the category table must broadcast:\n$tePlan")
+    assert(!tePlan.contains("SortMergeJoin"),
+      s"targetencode: the data side must never shuffle for the join:\n$tePlan")
+    val ldPlan = planOf(graft.dedup.DedupStages.lineDedup(
+      graft.spec.ComponentSpec("linededup", Map()), ctx)(
+      ctx.table("documents").select("doc_id", "text")))
+    assert(ldPlan.contains("BroadcastHashJoin"),
+      s"linededup: duplicate table joins broadcast:\n$ldPlan")
+  }
 }
