@@ -5017,6 +5017,39 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "run_length" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // run-length compression of per-user event-type streams (planted
+      // NULL states are real runs): one keyed window + one hash agg
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id % 30 AS uid, ts, CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS st FROM events"}},
+          {"runlength": {"keyField": "uid", "tsField": "ts",
+            "tieField": "event_id", "stateField": "st"}}],
+        "loader": {"memory": {}} }""")
+        .select("uid", "state", "run_start", "run_end", "n_events")
+        .orderBy("uid", "run_start", "run_end")
+    },
+    "auto_corr" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // exact lag-1/2/3 autocorrelation per user over small integer
+      // values: co-moment sums exact longs scaled by n², ONE division
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id % 25 AS uid, ts, CAST(round(value * 100) AS BIGINT) % 50 AS v FROM events"}},
+          {"autocorr": {"keyField": "uid", "tsField": "ts",
+            "tieField": "event_id", "valueField": "v",
+            "lags": [1, 2, 3]}}],
+        "loader": {"memory": {}} }""")
+        .select("uid", "lag", "n", "n_pairs", "acf")
+        .orderBy("uid", "lag")
+    },
     "key_concentration" -> { (s, dir) =>
       val c = ctx(s, dir)
       // Gini coefficient of per-key event volume under a PLANTED hot
@@ -7134,6 +7167,32 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "run_length" ->
+      ("WITH b AS (SELECT event_id, user_id % 30 AS uid, ts, CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS st FROM events), " +
+       "w AS (SELECT uid, ts, st, CASE WHEN lag(1) OVER win IS NULL THEN 1 " +
+       "WHEN st IS NOT DISTINCT FROM lag(st) OVER win THEN 0 ELSE 1 END AS chg FROM b " +
+       "WINDOW win AS (PARTITION BY uid ORDER BY ts, event_id)), " +
+       "r AS (SELECT uid, ts, st, CAST(sum(chg) OVER (PARTITION BY uid ORDER BY ts " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM w) " +
+       "SELECT uid, min(st) AS state, min(ts) AS run_start, max(ts) AS run_end, " +
+       "count(*) AS n_events FROM r GROUP BY uid, run " +
+       "ORDER BY uid, run_start, run_end"),
+    "auto_corr" ->
+      ("WITH b AS (SELECT event_id, user_id % 25 AS uid, ts, CAST(round(value * 100) AS BIGINT) % 50 AS v FROM events), " +
+       "l AS (SELECT uid, v, lag(v, 1) OVER win AS l1, lag(v, 2) OVER win AS l2, lag(v, 3) OVER win AS l3 FROM b " +
+       "WINDOW win AS (PARTITION BY uid ORDER BY ts, event_id)), " +
+       "a AS (SELECT uid, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss, " +
+       "CAST(coalesce(sum(v * l1), 0) AS BIGINT) AS ab1, CAST(coalesce(sum(CASE WHEN l1 IS NOT NULL THEN v END), 0) AS BIGINT) AS a1, CAST(coalesce(sum(l1), 0) AS BIGINT) AS b1, CAST(count(l1) AS BIGINT) AS m1, " +
+       "CAST(coalesce(sum(v * l2), 0) AS BIGINT) AS ab2, CAST(coalesce(sum(CASE WHEN l2 IS NOT NULL THEN v END), 0) AS BIGINT) AS a2, CAST(coalesce(sum(l2), 0) AS BIGINT) AS b2, CAST(count(l2) AS BIGINT) AS m2, " +
+       "CAST(coalesce(sum(v * l3), 0) AS BIGINT) AS ab3, CAST(coalesce(sum(CASE WHEN l3 IS NOT NULL THEN v END), 0) AS BIGINT) AS a3, CAST(coalesce(sum(l3), 0) AS BIGINT) AS b3, CAST(count(l3) AS BIGINT) AS m3 " +
+       "FROM l GROUP BY 1), " +
+       "u AS (SELECT uid, n, s, ss, 1 AS lg, ab1 AS ab, a1 AS aa, b1 AS bb, m1 AS m FROM a " +
+       "UNION ALL SELECT uid, n, s, ss, 2, ab2, a2, b2, m2 FROM a " +
+       "UNION ALL SELECT uid, n, s, ss, 3, ab3, a3, b3, m3 FROM a) " +
+       "SELECT uid, CAST(lg AS INTEGER) AS \"lag\", n, m AS n_pairs, " +
+       "CASE WHEN n * (n * ss - s * s) > 0 AND m > 0 THEN " +
+       "CAST(n * n * ab - n * s * (aa + bb) + m * s * s AS DOUBLE) / CAST(n * (n * ss - s * s) AS DOUBLE) END AS acf " +
+       "FROM u ORDER BY uid, \"lag\""),
     "key_concentration" ->
       ("WITH b AS (SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id % 200 END AS k FROM events), " +
        "pk AS (SELECT k, count(*) AS vol FROM b GROUP BY 1), " +

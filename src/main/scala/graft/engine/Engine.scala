@@ -198,6 +198,8 @@ object Engine {
     "lagfeatures"   -> graft.temporal.TemporalStages.lagFeatures _,
     "ewma"          -> graft.temporal.TemporalStages.ewma _,
     "changepoint"   -> graft.temporal.TemporalStages.changepoint _,
+    "runlength"     -> graft.temporal.TemporalStages.runLength _,
+    "autocorr"      -> graft.temporal.TemporalStages.autocorr _,
     "transitions"   -> graft.temporal.TemporalStages.transitions _,
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,

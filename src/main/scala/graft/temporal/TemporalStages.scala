@@ -539,6 +539,125 @@ object TemporalStages {
         .drop("__w")
     }
 
+  /** `runlength`: run-length compression of a keyed state stream — one
+    * row per maximal run of consecutive equal states ("device X was in
+    * state ERROR from t₁ to t₂ across 17 events"), the state-machine
+    * summary [[sessionize]] can't express (sessions split on time
+    * gaps; runs split on VALUE changes). NULL is a real state
+    * (null-safe change detection — a null-state run is a run). Output
+    * per run: key, state, `run_start`/`run_end` (first/last event
+    * time), `n_events`. Run boundaries are deterministic given the
+    * (tsField, tieField) total order.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended), `stateField` (required).
+    *
+    * Scale shape: ONE keyed window (lag + running change count) + ONE
+    * hash aggregation on (key, run) — no per-key buffering. */
+  def runLength(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val st = spec.str("stateField").getOrElse(
+        sys.error("runlength: `stateField` required"))
+      Seq(key, ts, st).foreach(c =>
+        require(df.columns.contains(c), s"runlength: no column '$c'"))
+      val ord = epochMicros(df, ts).asc +:
+        spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      val cum = Window.partitionBy(col(key)).orderBy(ord: _*)
+        .rowsBetween(Long.MinValue, 0)
+      df.where(col(ts).isNotNull)
+        .withColumn("__chg",
+          when(lag(lit(1), 1).over(w).isNull, 1L) // each key's first row
+            .otherwise(when(col(st) <=> lag(col(st), 1).over(w), 0L)
+              .otherwise(1L)))
+        .withColumn("__run", sum(col("__chg")).over(cum))
+        .groupBy(col(key), col("__run"))
+        .agg(min(col(st)).as("state"), // constant within a run
+          min(col(ts)).as("run_start"), max(col(ts)).as("run_end"),
+          count(lit(1)).as("n_events"))
+        .drop("__run")
+    }
+
+  /** `autocorr`: EXACT lag-k autocorrelation per key over an ordered
+    * integral series — "is this signal periodic / mean-reverting /
+    * trending?" ([[ewma]] smooths; ACF diagnoses). The Box–Jenkins
+    * sample ACF with the full-series mean, computed WITHOUT floats by
+    * scaling both sides by n²: with S = Σx, SS = Σx², pair sums
+    * Σab/Σa/Σb over the m = n−k aligned pairs,
+    * `acf = (n²·Σab − n·S·(Σa+Σb) + m·S²) / (n·(n·SS − S²))` — exact
+    * longs closed by ONE IEEE division (constant series → null).
+    * Envelope: exact while n²·Σab fits a long (documented — scale or
+    * window the series upstream past ~10⁹ value·row mass). Rows with
+    * NULL value or ts are not observations. Output per (key, lag):
+    * n, n_pairs, acf.
+    *
+    * Options: `keyField` (default user_id), `tsField` (default ts),
+    * `tieField` (recommended), `valueField` (integral, required),
+    * `lags` (list, default [1], each in [1,64]).
+    *
+    * Scale shape: ONE keyed window carrying every requested lag (the
+    * lagfeatures shape) + ONE hash aggregation per key; the per-lag
+    * stacking explodes the AGGREGATED frame (key-cardinality), never
+    * the events. */
+  def autocorr(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val key = spec.strOr("keyField", "user_id")
+      val ts = spec.strOr("tsField", "ts")
+      val vF = spec.str("valueField").getOrElse(
+        sys.error("autocorr: `valueField` required"))
+      Seq(key, ts, vF).foreach(c =>
+        require(df.columns.contains(c), s"autocorr: no column '$c'"))
+      require(Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType)
+          .contains(df.schema(vF).dataType),
+        s"autocorr: valueField '$vF' must be an INTEGRAL column (got " +
+        s"${df.schema(vF).dataType.simpleString}) — the co-moment sums " +
+        "are exact longs; scale upstream to integers first")
+      val lags = spec.list("lags") match {
+        case Nil => Seq(1)
+        case l => l.map(_.toString.toInt)
+      }
+      lags.foreach(k => require(k >= 1 && k <= 64,
+        s"autocorr: each lag must be in [1,64], got $k"))
+      val ord = epochMicros(df, ts).asc +:
+        spec.str("tieField").map(col(_).asc).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      val x = col(vF).cast("long")
+      val base = lags.foldLeft(
+        df.where(col(vF).isNotNull && col(ts).isNotNull)) { (d, k) =>
+        d.withColumn(s"__l$k", lag(x, k).over(w))
+      }
+      val perLag = lags.flatMap { k =>
+        val b = col(s"__l$k")
+        Seq(sum(x * b).as(s"__ab$k"),
+          sum(when(b.isNotNull, x)).as(s"__a$k"),
+          sum(b).as(s"__b$k"),
+          count(b).as(s"__m$k"))
+      }
+      val aggCols = Seq(sum(x).as("__s"), sum(x * x).as("__ss")) ++ perLag
+      val agged = base.groupBy(col(key))
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+      val stacked = agged.select(col(key), col("n"), col("__s"), col("__ss"),
+        explode(array(lags.map(k => struct(lit(k).as("lag"),
+          coalesce(col(s"__ab$k"), lit(0L)).as("ab"),
+          coalesce(col(s"__a$k"), lit(0L)).as("a"),
+          coalesce(col(s"__b$k"), lit(0L)).as("b"),
+          col(s"__m$k").as("m"))): _*)).as("__e"))
+      val num = col("n") * col("n") * col("__e.ab") -
+        col("n") * col("__s") * (col("__e.a") + col("__e.b")) +
+        col("__e.m") * col("__s") * col("__s")
+      val den = col("n") * (col("n") * col("__ss") - col("__s") * col("__s"))
+      stacked.select(col(key), col("n"),
+          col("__e.lag").as("lag"), col("__e.m").as("n_pairs"),
+          when(den > 0 && col("__e.m") > 0,
+            num.cast("double") / den.cast("double")).as("acf"))
+    }
+
   /** `changepoint`: EXACT CUSUM level-shift detection per key — "where
     * did this signal change?" (the monitoring companion of [[delta]]'s
     * "how much"). For a key's n ordered integral values with prefix

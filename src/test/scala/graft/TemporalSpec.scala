@@ -665,6 +665,65 @@ class TemporalSpec extends SparkSpec {
     assert(daily == Set(0, 12)) // jan 10 → jan 22 = 12 days
   }
 
+  test("runlength: maximal state runs; null-state runs; per-key isolation") {
+    val ctx = newCtx()
+    val ev = Seq(
+      ("u1", 1.0, 1L, Some("A")), ("u1", 2.0, 2L, Some("A")),
+      ("u1", 3.0, 3L, Some("B")), ("u1", 4.0, 4L, Some("B")),
+      ("u1", 5.0, 5L, Some("B")), ("u1", 6.0, 6L, Some("A")),
+      ("u1", 7.0, 7L, None), ("u1", 8.0, 8L, None),
+      ("u2", 1.0, 9L, Some("X")))
+      .toDF("u", "t", "eid", "st")
+    val out = TemporalStages.runLength(ComponentSpec("runlength",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "stateField" -> "st")), ctx)(ev)
+      .select("u", "state", "run_start", "run_end", "n_events")
+      .as[(String, Option[String], Double, Double, Long)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4, r._5))).toMap
+    assert(out.size == 5)
+    assert(out(("u1", 1.0)) == ((Some("A"), 2.0, 2L)))
+    assert(out(("u1", 3.0)) == ((Some("B"), 5.0, 3L)))
+    assert(out(("u1", 6.0)) == ((Some("A"), 6.0, 1L)))
+    assert(out(("u1", 7.0)) == ((None, 8.0, 2L)), "null state is a real run")
+    assert(out(("u2", 1.0)) == ((Some("X"), 1.0, 1L)))
+    assert(intercept[Exception](TemporalStages.runLength(ComponentSpec(
+      "runlength", Map("keyField" -> "u")), ctx)(ev))
+      .getMessage.contains("stateField"))
+  }
+
+  test("autocorr: exact lag-k ACF hand values; constant null; integral guard") {
+    val ctx = newCtx()
+    // x = 1,2,1,2,1: alternating → strongly negative at lag 1
+    val ev = (1 to 5).map(i =>
+      ("u", i.toDouble, i.toLong, if (i % 2 == 1) 1L else 2L))
+      .toDF("u", "t", "eid", "v")
+    val out = TemporalStages.autocorr(ComponentSpec("autocorr",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "valueField" -> "v", "lags" -> Seq(1, 2))), ctx)(ev)
+      .select("lag", "n", "n_pairs", "acf")
+      .as[(Int, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // k=1: (200 − 420 + 196)/30 = −0.8; k=2: (150 − 280 + 147)/30
+    assert(out(1) == ((5L, 4L, Some(-24.0 / 30.0))))
+    assert(out(2) == ((5L, 3L, Some(17.0 / 30.0))))
+    // constant series: zero variance → null
+    val const = Seq(("u", 1.0, 1L, 3L), ("u", 2.0, 2L, 3L))
+      .toDF("u", "t", "eid", "v")
+    val c = TemporalStages.autocorr(ComponentSpec("autocorr",
+      Map("keyField" -> "u", "tsField" -> "t", "tieField" -> "eid",
+        "valueField" -> "v")), ctx)(const)
+      .select("acf").as[Option[Double]].head()
+    assert(c.isEmpty)
+    val dbl = Seq(("u", 1.0, 1L, 0.5)).toDF("u", "t", "eid", "v")
+    assert(intercept[Exception](TemporalStages.autocorr(ComponentSpec(
+      "autocorr", Map("keyField" -> "u", "tsField" -> "t",
+        "valueField" -> "v")), ctx)(dbl)).getMessage.contains("INTEGRAL"))
+    assert(intercept[Exception](TemporalStages.autocorr(ComponentSpec(
+      "autocorr", Map("keyField" -> "u", "tsField" -> "t",
+        "valueField" -> "v", "lags" -> Seq(99))), ctx)(ev))
+      .getMessage.contains("lag"))
+  }
+
   test("changepoint: exact CUSUM shift position; tie earliest; guards") {
     val ctx = newCtx()
     // u1: 1,1,1,9,9 — shift after position 3: C = 5·P − t·21 peaks
