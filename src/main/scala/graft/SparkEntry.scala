@@ -5017,6 +5017,38 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "url_resolve" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // RFC 3986 resolution over planted reference shapes (absolute /
+      // protocol-relative / root-relative / ../up / plain): the engine
+      // resolves generally, the oracle is pure doc_id arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT doc_id, concat('https://site', CAST(doc_id % 7 AS STRING), '.example.com/a/b/c/page.html') AS base_url, CASE doc_id % 5 WHEN 0 THEN concat('https://other.org/abs', CAST(doc_id AS STRING)) WHEN 1 THEN concat('//cdn.example.net/x', CAST(doc_id AS STRING)) WHEN 2 THEN concat('/root/r', CAST(doc_id AS STRING)) WHEN 3 THEN concat('../up', CAST(doc_id AS STRING)) ELSE concat('rel/s', CAST(doc_id AS STRING)) END AS href FROM documents"}},
+          {"urlresolve": {}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "resolved_url")
+        .orderBy("doc_id")
+    },
+    "benford_digits" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // leading-digit forensics over order cents (natural magnitudes):
+      // exact digit counts; the Benford expectations ship as the SAME
+      // driver-computed double literal in engine and oracle
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"}},
+          {"benford": {"field": "cents"}}],
+        "loader": {"memory": {}} }""")
+        .select("digit", "n_digit", "n", "observed", "expected", "gap")
+        .orderBy("digit")
+    },
     "run_length" -> { (s, dir) =>
       val c = ctx(s, dir)
       // run-length compression of per-user event-type streams (planted
@@ -7167,6 +7199,33 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "url_resolve" ->
+      ("SELECT doc_id, CASE doc_id % 5 " +
+       "WHEN 0 THEN 'https://other.org/abs' || CAST(doc_id AS VARCHAR) " +
+       "WHEN 1 THEN 'https://cdn.example.net/x' || CAST(doc_id AS VARCHAR) " +
+       "WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/root/r' || CAST(doc_id AS VARCHAR) " +
+       "WHEN 3 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b/up' || CAST(doc_id AS VARCHAR) " +
+       "ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b/c/rel/s' || CAST(doc_id AS VARCHAR) END AS resolved_url " +
+       "FROM documents ORDER BY doc_id"),
+    "benford_digits" -> {
+      // the Benford expectations are the SAME Java doubles the stage
+      // ships. The `e0` exponent is LOAD-BEARING: a plain decimal
+      // literal parses as DECIMAL and DuckDB's DECIMAL→DOUBLE cast
+      // double-rounds (digit 3 came back 1 ulp off); an exponent
+      // literal goes straight through strtod, correctly rounded
+      val bp = (1 to 9).map(d =>
+        s"WHEN $d THEN ${graft.stages.StatStages.BenfordP(d)}e0")
+        .mkString(" ")
+      "WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders), " +
+      "c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS nd FROM b " +
+      "WHERE v IS NOT NULL AND v > 0 GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM c) " +
+      "SELECT digit, CAST(nd AS BIGINT) AS n_digit, n, " +
+      "CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS observed, " +
+      s"CASE digit $bp END AS expected, " +
+      s"CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) - CASE digit $bp END AS gap " +
+      "FROM c, t ORDER BY digit"
+    },
     "run_length" ->
       ("WITH b AS (SELECT event_id, user_id % 30 AS uid, ts, CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS st FROM events), " +
        "w AS (SELECT uid, ts, st, CASE WHEN lag(1) OVER win IS NULL THEN 1 " +

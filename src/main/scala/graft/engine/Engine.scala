@@ -147,6 +147,8 @@ object Engine {
     "drift"         -> graft.stages.StatStages.drift _,
     "kstest"        -> graft.stages.StatStages.ksTest _,
     "concentration" -> graft.stages.StatStages.concentration _,
+    "benford"       -> graft.stages.StatStages.benford _,
+    "urlresolve"    -> graft.text.WebStages.urlresolve _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,
     "regressioneval" -> graft.stages.StatStages.regressionEval _,

@@ -1383,6 +1383,65 @@ object StatStages {
           col("survival"))): _*)
     }
 
+  /** `benford`: first-significant-digit distribution against Benford's
+    * law — the fraud/fabrication forensic for naturally-occurring
+    * magnitudes (amounts, populations, file sizes follow
+    * P(d) = log₁₀(1 + 1/d); fabricated numbers usually don't). Per
+    * (group, digit 1–9): `n_digit`, `n`, `observed` = n_d/n (exact
+    * longs, ONE division), `expected` (the Benford probability — a
+    * DRIVER-computed Java double shipped as a literal, so an oracle
+    * embedding `Double.toString` of the same constant is bit-identical
+    * — no per-engine libm log), and `gap` = observed − expected (one
+    * subtract; sign = excess/deficit). The first digit comes from the
+    * decimal STRING head (no float log10). Rows with NULL or
+    * non-positive values carry no leading digit and are dropped
+    * (documented). Digits absent from a group emit no row.
+    *
+    * Options: `field` (INTEGRAL, required — Benford applies to
+    * magnitudes; scale upstream), `groupBy` (optional).
+    *
+    * Scale shape: ONE hash aggregation to ≤ 9 rows per group; group
+    * totals re-aggregate that frame. */
+  def benford(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("benford: `field` required"))
+      require(df.columns.contains(f), s"benford: no column '$f'")
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(f).dataType),
+        s"benford: '$f' must be an INTEGRAL column (got " +
+        s"${df.schema(f).dataType.simpleString}) — the leading digit " +
+        "comes from the exact decimal string; scale upstream")
+      val groupCols = spec.strList("groupBy")
+      groupCols.foreach(g =>
+        require(df.columns.contains(g), s"benford: no column '$g'"))
+      val digit = substring(col(f).cast("string"), 1, 1).cast("int")
+      val counts = df.where(col(f).isNotNull && col(f) > 0)
+        .groupBy((groupCols.map(col) :+ digit.as("digit")): _*)
+        .agg(count(lit(1)).as("n_digit"))
+      val tot = (if (groupCols.isEmpty) counts.groupBy()
+                 else counts.groupBy(groupCols.map(g => col(g).as(s"__g_$g")): _*))
+        .agg(sum("n_digit").as("n"))
+      val keyed =
+        if (groupCols.isEmpty) counts.crossJoin(broadcast(tot))
+        else counts.join(tot,
+          groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
+          .drop(groupCols.map(g => s"__g_$g"): _*)
+      val expected = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+        when(col("digit") === d, lit(BenfordP(d))).otherwise(acc)
+      }
+      keyed
+        .withColumn("observed",
+          col("n_digit").cast("double") / col("n").cast("double"))
+        .withColumn("expected", expected)
+        .withColumn("gap", col("observed") - col("expected"))
+    }
+
+  /** Benford first-digit probabilities log₁₀(1 + 1/d), computed ONCE in
+    * Java arithmetic — `Double.toString` of these round-trips exactly,
+    * which is how the oracle embeds the identical literals. */
+  val BenfordP: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d)).toMap
+
   /** `concentration`: EXACT volume-concentration diagnosis per group —
     * the "how skewed is this key?" number to run BEFORE reaching for
     * `skewjoin`/`groupcap` ([[gini]] measures label impurity;

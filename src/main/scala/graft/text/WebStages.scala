@@ -287,6 +287,64 @@ object WebStages {
     * Options: `field` (default url), `parts` (default [host, domain,
     * path]), `prefix` (default `url_`). Pure per-row regex projection —
     * fuses into the scan, no shuffle, codegen'd. */
+  /** `urlresolve`: RFC 3986 relative-reference resolution — the step
+    * between `htmllinks` (whose hrefs come out of pages RELATIVE) and
+    * everything downstream that wants absolute URLs (urlnormalize,
+    * urlfilter, the crawl frontier). Handles the reference classes:
+    * absolute (`scheme:` — passes through), protocol-relative (`//h/p`
+    * — takes the base scheme), root-relative (`/p`), and path-relative
+    * (`p`, `./p`, `../p` — resolved against the base DIRECTORY with
+    * dot-segment removal; `..` past the root clamps at root, RFC
+    * 5.2.4's loud edge). Simplifications (documented): duplicate
+    * slashes collapse and a trailing slash is not preserved
+    * (urlnormalize-compatible), and `?`/`#` are treated as ordinary
+    * path characters during segment removal (strip queries downstream
+    * if unwanted). NULL base or ref → null output; an EMPTY ref → the
+    * base itself.
+    *
+    * Options: `baseField` (default base_url), `refField` (default
+    * href), `outputField` (default resolved_url).
+    *
+    * Scale shape: a pure per-row projection — regex extracts + ONE
+    * bounded segment fold (paths are dozens of segments; the
+    * per-element array append is quadratic ONLY in that tiny bound). */
+  def urlresolve(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val baseF = spec.strOr("baseField", "base_url")
+      val refF = spec.strOr("refField", "href")
+      val out = spec.strOr("outputField", "resolved_url")
+      Seq(baseF, refF).foreach(c =>
+        require(df.columns.contains(c), s"urlresolve: no column '$c'"))
+      require(!df.columns.contains(out),
+        s"urlresolve: output column '$out' exists — set outputField")
+      val base = col(baseF).cast("string")
+      val ref = col(refF).cast("string")
+      val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+      val origin = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+      val basePath0 =
+        regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+      val basePath = when(basePath0 === "", lit("/")).otherwise(basePath0)
+      val baseDir = when(regexp_extract(basePath, "^(.*/)", 1) === "", lit("/"))
+        .otherwise(regexp_extract(basePath, "^(.*/)", 1))
+      def removeDots(p: Column): Column = {
+        val folded = aggregate(split(p, "/"),
+          array().cast("array<string>"),
+          (acc, x) => when(x === "." || x === "", acc)
+            .when(x === "..",
+              when(size(acc) > 0, slice(acc, lit(1), size(acc) - 1))
+                .otherwise(acc))
+            .otherwise(concat(acc, array(x))))
+        concat(lit("/"), array_join(folded, "/"))
+      }
+      df.withColumn(out,
+        when(base.isNull || ref.isNull, lit(null).cast("string"))
+          .when(ref.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
+          .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+          .when(ref.startsWith("/"), concat(origin, removeDots(ref)))
+          .when(ref === "", base)
+          .otherwise(concat(origin, removeDots(concat(baseDir, ref)))))
+    }
+
   def urlparse(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val field = spec.strOr("field", "url")

@@ -2000,6 +2000,57 @@ class LlmStagesSpec extends SparkSpec {
       s"substringspans must never pair documents:\n$plan")
   }
 
+  test("urlresolve: RFC 3986 reference classes; dot removal clamps at root") {
+    val base = "https://ex.com/a/b/c/page.html"
+    val df = Seq(
+      (1L, base, Some("https://o.org/x")), // absolute passes through
+      (2L, base, Some("//cdn.net/y")),     // protocol-relative
+      (3L, base, Some("/root/z")),         // root-relative
+      (4L, base, Some("w")),               // path-relative
+      (5L, base, Some("./w")),
+      (6L, base, Some("../w")),
+      (7L, base, Some("../../../../w")),   // past root: clamps
+      (8L, base, Some("")),                // empty ref → base
+      (9L, base, Option.empty[String]),
+      (10L, "https://ex.com", Some("x"))) // authority-only base
+      .toDF("id", "base_url", "href")
+    val out = stage("urlresolve")(df)
+      .select("id", "resolved_url").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L) == Some("https://o.org/x"))
+    assert(out(2L) == Some("https://cdn.net/y"))
+    assert(out(3L) == Some("https://ex.com/root/z"))
+    assert(out(4L) == Some("https://ex.com/a/b/c/w"))
+    assert(out(5L) == Some("https://ex.com/a/b/c/w"))
+    assert(out(6L) == Some("https://ex.com/a/b/w"))
+    assert(out(7L) == Some("https://ex.com/w"))
+    assert(out(8L) == Some(base))
+    assert(out(9L).isEmpty)
+    assert(out(10L) == Some("https://ex.com/x"))
+    assert(intercept[Exception](stage("urlresolve",
+      "outputField" -> "href")(df)).getMessage.contains("exists"))
+  }
+
+  test("benford: leading-digit distribution vs driver-literal expectations") {
+    val df = Seq(Some(1L), Some(1L), Some(19L), Some(2L), Some(25L),
+      Some(31L), Some(0L), Some(-5L), None).toDF("v")
+    val out = graft.stages.StatStages.benford(
+      graft.spec.ComponentSpec("benford", Map("field" -> "v")), newCtx())(df)
+      .select("digit", "n_digit", "n", "observed", "expected", "gap")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // zero/negative/null carry no leading digit: n = 6
+    assert(out.keySet == Set(1, 2, 3))
+    val p1 = graft.stages.StatStages.BenfordP(1)
+    assert(out(1) == ((3L, 6L, 0.5, p1, 0.5 - p1)))
+    assert(out(2)._1 == 2L && out(3)._1 == 1L)
+    assert(math.abs(out(1)._4 - 0.3010299956639812) < 1e-15)
+    val dbl = Seq(0.5).toDF("v")
+    assert(intercept[Exception](graft.stages.StatStages.benford(
+      graft.spec.ComponentSpec("benford", Map("field" -> "v")),
+      newCtx())(dbl)).getMessage.contains("INTEGRAL"))
+  }
+
   test("linededup: C4 line rule — remove/keepfirst, normalization, blanks kept") {
     val df = Seq(
       (1L, Some("Common Header\nunique one\nfooter x")),
