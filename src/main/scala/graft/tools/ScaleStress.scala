@@ -271,7 +271,8 @@ object ScaleStress {
       "cdc_chunk", "dsir_weight", "kcore_peel", "clustering_coef",
       "scc_color", "mixture_budget", "funnel_steps",
       "link_predict", "freq_pairs", "event_paths",
-      "line_dedup", "auc_rank", "topo_layers", "survival_curve")
+      "line_dedup", "auc_rank", "topo_layers", "survival_curve",
+      "changepoint_cusum")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -668,6 +669,19 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT grp FROM __input WHERE survival >= 0"}}],
           "loader": {"memory": {}} }""",
+        // exact CUSUM with users ∝ N (~66 events each): one keyed
+        // window + one struct-max agg — per-key state is a running sum,
+        // never a buffer. Trailing filter references the output
+        "changepoint_cusum" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, t, CAST(eid % 97 AS BIGINT) + CASE WHEN t > 1296000 THEN 200 ELSE 0 END AS v FROM __input"}},
+            {"changepoint": {"keyField": "user_id", "tsField": "t",
+              "tieField": "eid", "valueField": "v"}},
+            {"code": {"language": "sql", "code":
+              "SELECT user_id FROM __input WHERE cusum_max >= 0"}}],
+          "loader": {"memory": {}} }""",
         // FIXED-depth (12-layer) DAG whose width grows ∝ N: rounds stay
         // constant while each round's join/agg grows linearly — the
         // toposort scale contract (rounds = depth, work/round ∝ edges)
@@ -704,7 +718,7 @@ object ScaleStress {
           case "cosine_dup" | "semantic_dedup" => m
           case "asof_join" | "asof_nearest" | "range_join" |
                "interval_join" | "funnel_steps" | "auc_rank" |
-               "survival_curve" |
+               "survival_curve" | "changepoint_cusum" |
                "link_predict" | "freq_pairs" | "event_paths" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
