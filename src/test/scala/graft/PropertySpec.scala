@@ -256,4 +256,109 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("auc symmetry: auc(-score) == 1 - auc(score) on random labeled scores") {
+    val rowGen = Gen.zip(Gen.choose(-50L, 50L), Gen.oneOf(true, false))
+    for ((rows, i) <- samples(Gen.nonEmptyListOf(rowGen).map(_.take(40)), 8).zipWithIndex) {
+      val df = rows.toDF("s", "y")
+      def aucOf(d: org.apache.spark.sql.DataFrame): Option[Double] =
+        graft.stages.StatStages.auc(ComponentSpec("auc",
+          Map("scoreField" -> "s", "labelField" -> "y")), newCtx())(d)
+          .select("auc").as[Option[Double]].head()
+      val a = aucOf(df)
+      val b = aucOf(df.withColumn("s", -col("s")))
+      (a, b) match {
+        case (Some(x), Some(y)) =>
+          assert(math.abs(x + y - 1.0) < 1e-12, s"case $i: $x + $y != 1")
+        case (None, None) => // single-class sample: both degenerate
+        case other => fail(s"case $i: asymmetric degeneracy $other")
+      }
+    }
+  }
+
+  test("drift TVD: symmetric, in [0,1], zero against itself (8 cases)") {
+    val listGen = Gen.nonEmptyListOf(Gen.choose(0, 5)).map(_.take(30))
+    for (((xs, ys), i) <- samples(Gen.zip(listGen, listGen), 8).zipWithIndex) {
+      val ctx = newCtx()
+      xs.toDF("v").createOrReplaceTempView(s"prop_drift_a$i")
+      ys.toDF("v").createOrReplaceTempView(s"prop_drift_b$i")
+      def tvd(cur: Seq[Int], view: String): Double =
+        graft.stages.StatStages.drift(ComponentSpec("drift",
+          Map("field" -> "v", "against" -> view)), ctx)(cur.toDF("v"))
+          .select("tvd").as[Double].head()
+      val ab = tvd(xs, s"prop_drift_b$i")
+      val ba = tvd(ys, s"prop_drift_a$i")
+      assert(math.abs(ab - ba) < 1e-12, s"case $i: TVD not symmetric")
+      assert(ab >= 0.0 && ab <= 1.0, s"case $i: TVD $ab outside [0,1]")
+      assert(tvd(xs, s"prop_drift_a$i") == 0.0, s"case $i: self-TVD != 0")
+    }
+  }
+
+  test("survival: curves are non-increasing in [0,1]; all-event tail hits 0") {
+    val rowGen = Gen.zip(Gen.choose(1L, 12L), Gen.oneOf(true, false))
+    for ((rows, i) <- samples(Gen.nonEmptyListOf(rowGen).map(_.take(40)), 8).zipWithIndex) {
+      val df = rows.toDF("t", "e")
+      val curve = graft.stages.StatStages.survival(ComponentSpec("survival",
+        Map("timeField" -> "t", "eventField" -> "e")), newCtx())(df)
+        .select("time", "survival").as[(Long, Double)].collect().sortBy(_._1)
+      curve.foreach { case (_, s) =>
+        assert(s >= 0.0 && s <= 1.0, s"case $i: S outside [0,1]") }
+      curve.sliding(2).foreach {
+        case Array((_, a), (_, b)) =>
+          assert(b <= a + 1e-15, s"case $i: survival increased $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("classifyeval totality: sum(tp)+sum(fn) == scored rows == sum(tp)+sum(fp)") {
+    val rowGen = Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3))
+    for ((rows, i) <- samples(Gen.nonEmptyListOf(rowGen).map(_.take(50)), 8).zipWithIndex) {
+      val df = rows.toDF("y", "yhat")
+      val per = graft.stages.StatStages.classifyEval(ComponentSpec(
+        "classifyeval", Map("labelField" -> "y", "predField" -> "yhat")),
+        newCtx())(df)
+        .select("tp", "fp", "fn").as[(Long, Long, Long)].collect()
+      val n = rows.size.toLong
+      assert(per.map(r => r._1 + r._3).sum == n, s"case $i: tp+fn != n")
+      assert(per.map(r => r._1 + r._2).sum == n, s"case $i: tp+fp != n")
+    }
+  }
+
+  test("ewma bounds: smoothed value stays inside the window's [min,max]") {
+    val rowGen = Gen.choose(-100L, 100L)
+    for ((vals, i) <- samples(Gen.nonEmptyListOf(rowGen).map(_.take(30)), 8).zipWithIndex) {
+      val df = vals.zipWithIndex.map { case (v, j) => ("k", j.toDouble, j.toLong, v) }
+        .toDF("u", "t", "eid", "v")
+      val out = graft.temporal.TemporalStages.ewma(ComponentSpec("ewma",
+        Map("field" -> "v", "keyField" -> "u", "tsField" -> "t",
+          "tieField" -> "eid", "window" -> 8)), newCtx())(df)
+        .select("eid", "v_ewma").as[(Long, Double)].collect().toMap
+      vals.zipWithIndex.foreach { case (_, j) =>
+        val w = vals.slice(math.max(0, j - 7), j + 1)
+        val e = out(j.toLong)
+        assert(e >= w.min - 1e-9 && e <= w.max + 1e-9,
+          s"case $i pos $j: ewma $e outside [${w.min},${w.max}]")
+      }
+    }
+  }
+
+  test("concentration: gini in [0, 1-1/k]; uniform -> 0; ordering-invariant") {
+    val volGen = Gen.nonEmptyListOf(Gen.choose(1L, 20L)).map(_.take(12))
+    for ((vols, i) <- samples(volGen, 8).zipWithIndex) {
+      val rows = vols.zipWithIndex.flatMap { case (v, j) =>
+        Seq.fill(v.toInt)(s"k$j") }
+      def gini(rs: Seq[String]): Double =
+        graft.stages.StatStages.concentration(ComponentSpec("concentration",
+          Map("keyField" -> "k")), newCtx())(rs.toDF("k"))
+          .select("gini").as[Double].head()
+      val g = gini(rows)
+      val k = vols.size.toDouble
+      assert(g >= -1e-12 && g <= 1.0 - 1.0 / k + 1e-12,
+        s"case $i: gini $g outside [0, 1-1/$k]")
+      assert(math.abs(gini(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(i)).shuffle(rows)) - g) < 1e-15,
+        s"case $i: gini depends on row order")
+    }
+  }
 }
