@@ -3308,6 +3308,25 @@ object SparkEntry {
         .select(col("doc_id"), col("link_pos"), col("href"), col("anchor"))
         .orderBy("doc_id", "link_pos")
     },
+    "crawl_frontier" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the crawl composition: htmllinks explodes RELATIVE hrefs out of
+      // planted pages, urlresolve absolutizes them against each page's
+      // base — the frontier list a crawler would enqueue. The oracle
+      // regenerates the resolved URLs from the same arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('https://site', cast(doc_id % 7 as string), '.ex.com/a/b/page.html') AS base_url, concat('<html><body>', CASE WHEN doc_id % 3 >= 1 THEN concat('<a href=\\"../up', cast(doc_id as string), '\\">u</a>') ELSE '' END, CASE WHEN doc_id % 3 >= 2 THEN concat('<a href=\\"/r', cast(doc_id as string), '\\">r</a>') ELSE '' END, '</body></html>') AS html FROM __input"}},
+          {"htmllinks": {"field": "html", "posField": "link_pos"}},
+          {"urlresolve": {"baseField": "base_url", "refField": "href",
+            "outputField": "frontier"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "link_pos", "frontier")
+        .orderBy("doc_id", "link_pos")
+    },
     "html_tables" -> { (s, dir) =>
       val c = ctx(s, dir)
       // structured table extraction: every page carries a header+data
@@ -6369,6 +6388,15 @@ object SparkEntry {
        "FROM n, UNNEST(range(nl)) AS t(j)) " +
        "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href, anchor " +
        "FROM links ORDER BY doc_id, link_pos"),
+    "crawl_frontier" ->
+      ("WITH l AS (SELECT doc_id, 0 AS link_pos, " +
+       "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/a/up' || CAST(doc_id AS VARCHAR) AS frontier " +
+       "FROM documents WHERE doc_id % 3 >= 1 " +
+       "UNION ALL SELECT doc_id, 1, " +
+       "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/r' || CAST(doc_id AS VARCHAR) " +
+       "FROM documents WHERE doc_id % 3 >= 2) " +
+       "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, frontier " +
+       "FROM l ORDER BY doc_id, link_pos"),
     "html_tables" ->
       ("SELECT doc_id, CAST(t AS INTEGER) AS table_idx, CAST(r AS INTEGER) AS row_idx, cells_str FROM (" +
        "SELECT doc_id, 0 AS t, 0 AS r, 'k|v & w' AS cells_str FROM documents " +
