@@ -5036,6 +5036,23 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "schema_diff" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // data-contract diff between two PROJECTIONS of the same fixture
+      // (drift-proof: the compared types are pinned by the query's own
+      // casts): both / type_mismatch / left_only / right_only
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT doc_id, text, CAST(n_chars AS INT) AS n_chars, lang FROM documents"}},
+          {"schemadiff": {"against":
+            "SELECT doc_id, CAST(text AS BINARY) AS text, n_chars, source FROM documents"}}],
+        "loader": {"memory": {}} }""")
+        .select("column", "type_left", "type_right", "status")
+        .orderBy("column")
+    },
     "url_resolve" -> { (s, dir) =>
       val c = ctx(s, dir)
       // RFC 3986 resolution over planted reference shapes (absolute /
@@ -7227,6 +7244,14 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "schema_diff" ->
+      ("SELECT * FROM (VALUES " +
+       "('doc_id', 'bigint', 'bigint', 'both'), " +
+       "('lang', 'string', NULL, 'left_only'), " +
+       "('n_chars', 'int', 'bigint', 'type_mismatch'), " +
+       "('source', NULL, 'string', 'right_only'), " +
+       "('text', 'string', 'binary', 'type_mismatch')) " +
+       "AS t(\"column\", type_left, type_right, status) ORDER BY \"column\""),
     "url_resolve" ->
       ("SELECT doc_id, CASE doc_id % 5 " +
        "WHEN 0 THEN 'https://other.org/abs' || CAST(doc_id AS VARCHAR) " +

@@ -148,6 +148,7 @@ object Engine {
     "kstest"        -> graft.stages.StatStages.ksTest _,
     "concentration" -> graft.stages.StatStages.concentration _,
     "benford"       -> graft.stages.StatStages.benford _,
+    "schemadiff"    -> graft.stages.StatStages.schemaDiff _,
     "urlresolve"    -> graft.text.WebStages.urlresolve _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,

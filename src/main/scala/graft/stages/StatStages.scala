@@ -1383,6 +1383,49 @@ object StatStages {
           col("survival"))): _*)
     }
 
+  /** `schemadiff`: data-contract comparison of the stream's schema
+    * against a reference table — the evolution check a pipeline runs
+    * before appending to an existing dataset ([[Loaders]]'s
+    * applyDeclaredSchema enforces a declared contract; schemadiff
+    * DIAGNOSES an undeclared one). One row per column name present on
+    * either side: `column`, `type_left` / `type_right` (Spark
+    * simpleString, null when absent), `nullable_left`/`nullable_right`,
+    * and `status` ∈ both | type_mismatch | left_only | right_only.
+    * A QUERY stage (replaces the stream). Purely metadata — NO jobs
+    * run against either table.
+    *
+    * Options: `against` (table name or SELECT, required). */
+  def schemaDiff(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val right = ctx.tableOrSql(spec.str("against").getOrElse(
+        sys.error("schemadiff: `against` (table or SELECT) required")))
+      val l = df.schema.map(f => f.name -> f).toMap
+      val r = right.schema.map(f => f.name -> f).toMap
+      val names = (df.schema.map(_.name) ++
+        right.schema.map(_.name).filterNot(l.contains))
+      val rows: Seq[(String, Option[String], Option[String],
+          Option[Boolean], Option[Boolean], String)] = names.map { n =>
+        (l.get(n), r.get(n)) match {
+          case (Some(a), Some(b)) =>
+            val status =
+              if (a.dataType.simpleString == b.dataType.simpleString) "both"
+              else "type_mismatch"
+            (n, Some(a.dataType.simpleString), Some(b.dataType.simpleString),
+              Some(a.nullable), Some(b.nullable), status)
+          case (Some(a), None) =>
+            (n, Some(a.dataType.simpleString), None, Some(a.nullable),
+              None, "left_only")
+          case (None, Some(b)) =>
+            (n, None, Some(b.dataType.simpleString), None, Some(b.nullable),
+              "right_only")
+          case _ => sys.error("unreachable")
+        }
+      }
+      import ctx.spark.implicits._
+      rows.toDF("column", "type_left", "type_right",
+        "nullable_left", "nullable_right", "status")
+    }
+
   /** `benford`: first-significant-digit distribution against Benford's
     * law — the fraud/fabrication forensic for naturally-occurring
     * magnitudes (amounts, populations, file sizes follow

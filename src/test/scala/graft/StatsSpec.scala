@@ -843,6 +843,25 @@ class StatsSpec extends SparkSpec {
       "concentration", Map()), ctx)(df)).getMessage.contains("keyField"))
   }
 
+  test("schemadiff: both/mismatch/only classifications; metadata-only") {
+    val ctx = newCtx()
+    import spark.implicits._
+    Seq((1L, "x", 2.0)).toDF("id", "a", "c")
+      .createOrReplaceTempView("sd_right")
+    val left = Seq((1L, 1, true)).toDF("id", "a", "b")
+    val out = StatStages.schemaDiff(ComponentSpec("schemadiff",
+      Map("against" -> "sd_right")), ctx)(left)
+      .select("column", "type_left", "type_right", "status")
+      .as[(String, Option[String], Option[String], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("id") == ((Some("bigint"), Some("bigint"), "both")))
+    assert(out("a") == ((Some("int"), Some("string"), "type_mismatch")))
+    assert(out("b") == ((Some("boolean"), None, "left_only")))
+    assert(out("c") == ((None, Some("double"), "right_only")))
+    assert(intercept[Exception](StatStages.schemaDiff(ComponentSpec(
+      "schemadiff", Map()), ctx)(left)).getMessage.contains("against"))
+  }
+
   test("kstest: exact two-sample KS distance; arg-max location; integral guard") {
     val ctx = newCtx()
     import spark.implicits._
