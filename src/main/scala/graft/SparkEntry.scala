@@ -5036,6 +5036,23 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "t_closeness" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // t-closeness over quasi buckets with ONE planted sensitive-
+      // homogeneous group (bucket 0 all 'error'): exact per-group TVD
+      // incl. absent-value mass, one division, flag mode keeps rows
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, user_id % 12 AS q, CASE WHEN user_id % 12 = 0 THEN 'error' ELSE event_type END AS s FROM events"}},
+          {"tcloseness": {"fields": ["q"], "sensitiveField": "s",
+            "t": "0.08", "action": "flag"}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "q", "tvd", "t_close")
+        .orderBy("event_id")
+    },
     "schema_diff" -> { (s, dir) =>
       val c = ctx(s, dir)
       // data-contract diff between two PROJECTIONS of the same fixture
@@ -7244,6 +7261,18 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "t_closeness" ->
+      ("WITH b AS (SELECT event_id, user_id % 12 AS q, CASE WHEN user_id % 12 = 0 THEN 'error' ELSE event_type END AS s FROM events), " +
+       "cells AS (SELECT q, s, count(*) AS cgv FROM b GROUP BY 1, 2), " +
+       "gv AS (SELECT s, CAST(sum(cgv) AS BIGINT) AS cv FROM cells GROUP BY 1), " +
+       "tt AS (SELECT CAST(sum(cgv) AS BIGINT) AS n FROM cells), " +
+       "sz AS (SELECT q, CAST(sum(cgv) AS BIGINT) AS ng FROM cells GROUP BY 1), " +
+       "g AS (SELECT cells.q, CAST(sum(abs(cgv * n - cv * ng)) AS BIGINT) AS present, " +
+       "CAST(sum(cv) AS BIGINT) AS cvsum, max(ng) AS ng, max(n) AS n " +
+       "FROM cells JOIN gv USING (s) JOIN sz USING (q), tt GROUP BY 1), " +
+       "v AS (SELECT q, CAST(present + ng * (n - cvsum) AS DOUBLE) / CAST(2 * ng * n AS DOUBLE) AS tvd FROM g) " +
+       "SELECT b.event_id, b.q, v.tvd, v.tvd <= 0.08 AS t_close " +
+       "FROM b JOIN v USING (q) ORDER BY event_id"),
     "schema_diff" ->
       ("SELECT * FROM (VALUES " +
        "('doc_id', 'bigint', 'bigint', 'both'), " +

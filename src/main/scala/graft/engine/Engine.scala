@@ -149,6 +149,7 @@ object Engine {
     "concentration" -> graft.stages.StatStages.concentration _,
     "benford"       -> graft.stages.StatStages.benford _,
     "schemadiff"    -> graft.stages.StatStages.schemaDiff _,
+    "tcloseness"    -> graft.stages.StatStages.tCloseness _,
     "urlresolve"    -> graft.text.WebStages.urlresolve _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,

@@ -645,6 +645,81 @@ object StatStages {
       }).drop("__kn", "__ld")
     }
 
+  /** `tcloseness`: t-closeness enforcement — the third member of the
+    * privacy trio ([[kAnonymity]]'s k bounds group SIZE, its l option
+    * bounds sensitive VARIETY; t-closeness bounds the sensitive
+    * DISTRIBUTION's distance from the corpus, Li 2007 — a group can be
+    * large and diverse yet still leak by skew). The distance is the
+    * EXACT total-variation form (the `drift` rational): per quasi
+    * group g with per-value counts c_gv, group size n_g, global value
+    * counts c_v and corpus size n,
+    * `tvd_num(g) = Σ_{v∈g} |c_gv·n − c_v·n_g| + n_g·(n − Σ_{v∈g} c_v)`
+    * (the closing term is the mass of values ABSENT from the group)
+    * and `tvd = tvd_num / (2·n_g·n)` — exact longs, ONE division.
+    * Groups with tvd > t fail. NULL sensitive values are real values;
+    * NULL quasi values form real groups (null-safe throughout).
+    *
+    * Options: `fields` (quasi columns, required), `sensitiveField`
+    * (required), `t` (required, in (0,1]), `action` ∈ filter (default
+    * — drop failing groups' rows) | flag (keep all rows, add boolean
+    * `outputField` + the group's `tvd`), `outputField` (default
+    * t_close).
+    *
+    * Scale shape: ONE hash aggregation to (quasi, value) cells; global
+    * value counts and the corpus total re-aggregate vocabulary-sized
+    * frames and BROADCAST; the verdict joins back null-safely on the
+    * quasi key — the same shape as kanonymity. Envelope: exact while
+    * c_gv·n fits a long. */
+  def tCloseness(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fields = spec.strList("fields")
+      require(fields.nonEmpty, "tcloseness: `fields` (quasi columns) required")
+      fields.foreach(f =>
+        require(df.columns.contains(f), s"tcloseness: no column '$f'"))
+      val sF = spec.str("sensitiveField").getOrElse(
+        sys.error("tcloseness: `sensitiveField` required"))
+      require(df.columns.contains(sF), s"tcloseness: no column '$sF'")
+      val t = spec.str("t").map(_.toDouble).getOrElse(
+        sys.error("tcloseness: `t` (max TVD, in (0,1]) required"))
+      require(t > 0 && t <= 1, s"tcloseness: t must be in (0,1], got $t")
+      val action = spec.strOr("action", "filter")
+      val outF = spec.strOr("outputField", "t_close")
+      val cells = df.groupBy((fields.map(col) :+ col(sF).as("__sv")): _*)
+        .agg(count(lit(1)).as("__cgv"))
+      val gv = cells.groupBy(col("__sv").as("__gv")).agg(sum("__cgv").as("__cv"))
+      val tot = cells.groupBy().agg(sum("__cgv").as("__n"))
+      // the group size n_g is needed INSIDE the |…| sum — a window-free
+      // two-pass: group sizes first, joined back onto the cells
+      val sizes = cells.groupBy(fields.map(f => col(f).as(s"__s_$f")): _*)
+        .agg(sum("__cgv").as("__ng0"))
+      val cellsG = cells.join(sizes,
+        fields.map(f => col(f) <=> col(s"__s_$f")).reduce(_ && _))
+        .drop(fields.map(f => s"__s_$f"): _*)
+      val groups = cellsG
+        .join(broadcast(gv), col("__sv") <=> col("__gv"))
+        .crossJoin(broadcast(tot))
+        .groupBy(fields.map(col): _*)
+        .agg(max("__ng0").as("__ng"),
+          sum(abs(col("__cgv") * col("__n") - col("__cv") * col("__ng0")))
+            .as("__present"),
+          sum("__cv").as("__cvsum"), max("__n").as("__nn"))
+        .withColumn("__num",
+          col("__present") + col("__ng") * (col("__nn") - col("__cvsum")))
+        .withColumn("__tvd", col("__num").cast("double") /
+          (col("__ng") * col("__nn") * 2L).cast("double"))
+        .select(fields.map(f => col(f).as(s"__q_$f")) :+ col("__tvd"): _*)
+      val cond = fields.map(f => df(f) <=> groups(s"__q_$f")).reduce(_ && _)
+      val joined = df.join(groups, cond).drop(fields.map(f => s"__q_$f"): _*)
+      val ok = col("__tvd") <= t
+      action match {
+        case "filter" => joined.where(ok).drop("__tvd")
+        case "flag" => joined.withColumn(outF, ok)
+          .withColumnRenamed("__tvd", "tvd")
+        case other => sys.error(
+          s"tcloseness: action must be filter|flag, got '$other'")
+      }
+    }
+
   /** `chisquare`: χ² feature–class association over categorical
     * observation rows — the classic feature-selection statistic for
     * classifier-based corpus curation (which tokens/domains/attributes

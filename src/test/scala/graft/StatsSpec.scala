@@ -843,6 +843,38 @@ class StatsSpec extends SparkSpec {
       "concentration", Map()), ctx)(df)).getMessage.contains("keyField"))
   }
 
+  test("tcloseness: exact TVD per quasi group; absent-value mass; actions") {
+    val ctx = newCtx()
+    import spark.implicits._
+    // global {a:3, b:3}: homogeneous groups sit at TVD 0.5 (present
+    // term 6 + absent term 6 over 2·2·6); the balanced group at 0
+    val df = Seq(("q1", "a"), ("q1", "a"), ("q2", "b"), ("q2", "b"),
+      ("q3", "a"), ("q3", "b")).toDF("q", "s")
+    def run(opts: (String, Any)*) = StatStages.tCloseness(ComponentSpec(
+      "tcloseness", Map("fields" -> Seq("q"), "sensitiveField" -> "s")
+        ++ opts.toMap), ctx)(df)
+    val flagged = run("t" -> "0.4", "action" -> "flag")
+      .select("q", "tvd", "t_close").as[(String, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toSet
+    assert(flagged == Set("q1" -> ((0.5, false)), "q2" -> ((0.5, false)),
+      "q3" -> ((0.0, true))))
+    // filter drops the skewed groups' rows
+    assert(run("t" -> "0.4").select("q").as[String].collect().toSeq
+      .forall(_ == "q3"))
+    assert(run("t" -> "0.6").count() == 6L, "t=0.6 admits everything")
+    // NULL sensitive values and NULL quasi keys are real — no row loss
+    val withNulls = Seq((Some("q1"), Some("a")), (Some("q1"), None),
+      (None, Some("a")), (None, None)).toDF("q", "s")
+    assert(StatStages.tCloseness(ComponentSpec("tcloseness",
+      Map("fields" -> Seq("q"), "sensitiveField" -> "s", "t" -> "1.0",
+        "action" -> "flag")), ctx)(withNulls).count() == 4L)
+    assert(intercept[Exception](run("t" -> "1.5").count())
+      .getMessage.contains("t must"))
+    assert(intercept[Exception](StatStages.tCloseness(ComponentSpec(
+      "tcloseness", Map("fields" -> Seq("q"), "sensitiveField" -> "s")),
+      ctx)(df)).getMessage.contains("`t`"))
+  }
+
   test("schemadiff: both/mismatch/only classifications; metadata-only") {
     val ctx = newCtx()
     import spark.implicits._
