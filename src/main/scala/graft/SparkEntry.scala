@@ -5036,6 +5036,22 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "vocab_overlap" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // vocabulary fit of the even-doc half against the odd-doc
+      // reference: exact distinct/mass counts, three single divisions
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT text FROM documents WHERE doc_id % 2 = 0"}},
+          {"vocaboverlap": {"against":
+            "SELECT text FROM documents WHERE doc_id % 2 = 1"}}],
+        "loader": {"memory": {}} }""")
+        .select("v_cur", "v_base", "v_both", "jaccard",
+          "oov_types", "oov_tokens")
+    },
     "t_closeness" -> { (s, dir) =>
       val c = ctx(s, dir)
       // t-closeness over quasi buckets with ONE planted sensitive-
@@ -7261,6 +7277,21 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "vocab_overlap" ->
+      (raw"WITH c AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS t FROM documents WHERE doc_id % 2 = 0), " +
+       raw"r AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS rt FROM documents WHERE doc_id % 2 = 1), " +
+       "cc AS (SELECT t, CAST(count(*) AS BIGINT) AS ca FROM c GROUP BY 1), " +
+       "rr AS (SELECT rt FROM r GROUP BY 1), " +
+       "j AS (SELECT cc.t, rr.rt, coalesce(cc.ca, 0) AS ca FROM cc FULL OUTER JOIN rr ON cc.t = rr.rt), " +
+       "a AS (SELECT CAST(sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_cur, " +
+       "CAST(sum(CASE WHEN rt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_base, " +
+       "CAST(sum(CASE WHEN t IS NOT NULL AND rt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_both, " +
+       "CAST(sum(ca) AS BIGINT) AS mass_cur, " +
+       "CAST(sum(CASE WHEN rt IS NULL THEN ca ELSE 0 END) AS BIGINT) AS mass_oov FROM j) " +
+       "SELECT v_cur, v_base, v_both, " +
+       "CAST(v_both AS DOUBLE) / CAST(v_cur + v_base - v_both AS DOUBLE) AS jaccard, " +
+       "CAST(v_cur - v_both AS DOUBLE) / CAST(v_cur AS DOUBLE) AS oov_types, " +
+       "CAST(mass_oov AS DOUBLE) / CAST(mass_cur AS DOUBLE) AS oov_tokens FROM a"),
     "t_closeness" ->
       ("WITH b AS (SELECT event_id, user_id % 12 AS q, CASE WHEN user_id % 12 = 0 THEN 'error' ELSE event_type END AS s FROM events), " +
        "cells AS (SELECT q, s, count(*) AS cgv FROM b GROUP BY 1, 2), " +

@@ -150,6 +150,7 @@ object Engine {
     "benford"       -> graft.stages.StatStages.benford _,
     "schemadiff"    -> graft.stages.StatStages.schemaDiff _,
     "tcloseness"    -> graft.stages.StatStages.tCloseness _,
+    "vocaboverlap"  -> graft.text.TextStages.vocabOverlap _,
     "urlresolve"    -> graft.text.WebStages.urlresolve _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,

@@ -999,6 +999,62 @@ object TextStages {
           col("info_bits").cast("double") / col("n_info_tokens").cast("double")))
     }
 
+  /** `vocaboverlap`: vocabulary agreement between the stream's corpus
+    * and a REFERENCE corpus — the tokenizer/domain-fit diagnostic ("how
+    * much of the new data does the trained vocabulary cover?"). ONE
+    * summary row: `v_cur`/`v_base`/`v_both` (distinct-token counts and
+    * their intersection), `jaccard` = both/(cur+base−both), `oov_types`
+    * (current vocabulary fraction absent from the reference) and
+    * `oov_tokens` (the MASS-weighted version — the fraction of current
+    * token OCCURRENCES whose type the reference lacks; the number that
+    * predicts tokenizer fallback rates). All counts exact longs, each
+    * rate ONE IEEE division. Tokenization matches the corpus stages
+    * (whitespace split, optional lowercase).
+    *
+    * Options: `against` (table name or SELECT, required), `field`
+    * (default text), `againstField` (default = field), `lowercase`
+    * (default true).
+    *
+    * Scale shape: one token hash aggregation per corpus (map-side
+    * combine) → vocabulary-sized frames; ONE full-outer join on the
+    * token; one-row combine. Documents never pair. */
+  def vocabOverlap(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.strOr("field", "text")
+      require(df.columns.contains(f), s"vocaboverlap: no column '$f'")
+      val base0 = ctx.tableOrSql(spec.str("against").getOrElse(
+        sys.error("vocaboverlap: `against` (table or SELECT) required")))
+      val bf = spec.strOr("againstField", f)
+      require(base0.columns.contains(bf), s"vocaboverlap: baseline has no column '$bf'")
+      val lc = spec.bool("lowercase", dflt = true)
+      def toks(c: Column) = {
+        val base = if (lc) lower(c) else c
+        filter(tokens(base), t => t =!= "")
+      }
+      val cur = df.select(explode(toks(col(f))).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as("__ca"))
+      val ref = base0.select(explode(toks(col(bf))).as("__rt"))
+        .groupBy("__rt").agg(count(lit(1)).as("__cb"))
+      cur.join(ref, col("__t") === col("__rt"), "full_outer")
+        .groupBy()
+        .agg(
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("v_cur"),
+          sum(when(col("__rt").isNotNull, 1L).otherwise(0L)).as("v_base"),
+          sum(when(col("__t").isNotNull && col("__rt").isNotNull, 1L)
+            .otherwise(0L)).as("v_both"),
+          sum(coalesce(col("__ca"), lit(0L))).as("__massCur"),
+          sum(when(col("__rt").isNull, coalesce(col("__ca"), lit(0L)))
+            .otherwise(0L)).as("__massOov"))
+        .withColumn("jaccard", when(col("v_cur") + col("v_base") > col("v_both"),
+          col("v_both").cast("double") /
+            (col("v_cur") + col("v_base") - col("v_both")).cast("double")))
+        .withColumn("oov_types", when(col("v_cur") > 0,
+          (col("v_cur") - col("v_both")).cast("double") / col("v_cur").cast("double")))
+        .withColumn("oov_tokens", when(col("__massCur") > 0,
+          col("__massOov").cast("double") / col("__massCur").cast("double")))
+        .drop("__massCur", "__massOov")
+    }
+
   /** `collocations`: corpus bigram association mining — the phrase /
     * multi-word-expression signal (vocabulary building, tokenizer-merge
     * candidates, "new york"-style units) ranked by an INTEGER-BITS

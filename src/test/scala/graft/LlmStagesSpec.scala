@@ -2000,6 +2000,31 @@ class LlmStagesSpec extends SparkSpec {
       s"substringspans must never pair documents:\n$plan")
   }
 
+  test("vocaboverlap: jaccard + type/mass OOV hand values; lowercase fold") {
+    val ctx = newCtx()
+    Seq((1L, "a B b c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("vo_cur_unused") // silence unused-view lint
+    Seq((1L, "b c c d d")).toDF("doc_id", "text")
+      .createOrReplaceTempView("vo_ref")
+    val cur = Seq((1L, "a B b c")).toDF("doc_id", "text")
+    val out = graft.text.TextStages.vocabOverlap(ComponentSpec(
+      "vocaboverlap", Map("against" -> "vo_ref")), ctx)(cur)
+      .select("v_cur", "v_base", "v_both", "jaccard", "oov_types", "oov_tokens")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // cur {a,b,c} (B folds), mass a1 b2 c1; ref {b,c,d}; both {b,c}
+    assert(out == ((3L, 3L, 2L, 2.0 / 4.0, 1.0 / 3.0, 1.0 / 4.0)))
+    // identical corpora: jaccard 1, OOV 0
+    val same = graft.text.TextStages.vocabOverlap(ComponentSpec(
+      "vocaboverlap", Map("against" -> "vo_ref")), ctx)(
+      spark.table("vo_ref"))
+      .select("jaccard", "oov_types", "oov_tokens")
+      .as[(Double, Double, Double)].head()
+    assert(same == ((1.0, 0.0, 0.0)))
+    assert(intercept[Exception](graft.text.TextStages.vocabOverlap(
+      ComponentSpec("vocaboverlap", Map()), ctx)(cur))
+      .getMessage.contains("against"))
+  }
+
   test("urlresolve: RFC 3986 reference classes; dot removal clamps at root") {
     val base = "https://ex.com/a/b/c/page.html"
     val df = Seq(
