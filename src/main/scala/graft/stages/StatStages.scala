@@ -713,8 +713,11 @@ object StatStages {
       val ok = col("__tvd") <= t
       action match {
         case "filter" => joined.where(ok).drop("__tvd")
-        case "flag" => joined.withColumn(outF, ok)
-          .withColumnRenamed("__tvd", "tvd")
+        case "flag" =>
+          require(!df.columns.contains("tvd"),
+            "tcloseness: flag mode emits a `tvd` column but the input " +
+            "already has one — rename it upstream")
+          joined.withColumn(outF, ok).withColumnRenamed("__tvd", "tvd")
         case other => sys.error(
           s"tcloseness: action must be filter|flag, got '$other'")
       }

@@ -544,10 +544,12 @@ object TemporalStages {
     * state ERROR from t₁ to t₂ across 17 events"), the state-machine
     * summary [[sessionize]] can't express (sessions split on time
     * gaps; runs split on VALUE changes). NULL is a real state
-    * (null-safe change detection — a null-state run is a run). Output
-    * per run: key, state, `run_start`/`run_end` (first/last event
-    * time), `n_events`. Run boundaries are deterministic given the
-    * (tsField, tieField) total order.
+    * (null-safe change detection — a null-state run is a run; a NULL
+    * TIMESTAMP however is not an observation and its row is dropped —
+    * an unordered event can't sit inside a run). Output per run: key,
+    * state, `run_start`/`run_end` (first/last event time), `n_events`.
+    * Run boundaries are deterministic given the (tsField, tieField)
+    * total order.
     *
     * Options: `keyField` (default user_id), `tsField` (default ts),
     * `tieField` (recommended), `stateField` (required).
