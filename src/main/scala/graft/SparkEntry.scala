@@ -5036,6 +5036,22 @@ object SparkEntry {
         .select("event_id", "cents_lag1", "cents_lag2", "cents_lead1")
         .orderBy("event_id")
     },
+    "bucketize_fixed" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // fixed-edge binning of order cents (the production-stable
+      // feature-store contract): pure integer comparisons
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"}},
+          {"bucketize": {"field": "cents",
+            "splits": [1000000, 5000000, 10000000, 20000000, 30000000]}}],
+        "loader": {"memory": {}} }""")
+        .select("o_orderkey", "cents", "cents_bin")
+        .orderBy("o_orderkey")
+    },
     "vocab_overlap" -> { (s, dir) =>
       val c = ctx(s, dir)
       // vocabulary fit of the even-doc half against the odd-doc
@@ -7277,6 +7293,14 @@ object SparkEntry {
        "FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
        "ORDER BY event_id"),
+    "bucketize_fixed" ->
+      ("SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+       "CAST((CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= 1000000 THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= 5000000 THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= 10000000 THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= 20000000 THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS cents_bin " +
+       "FROM orders ORDER BY o_orderkey"),
     "vocab_overlap" ->
       (raw"WITH c AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS t FROM documents WHERE doc_id % 2 = 0), " +
        raw"r AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS rt FROM documents WHERE doc_id % 2 = 1), " +

@@ -151,6 +151,7 @@ object Engine {
     "schemadiff"    -> graft.stages.StatStages.schemaDiff _,
     "tcloseness"    -> graft.stages.StatStages.tCloseness _,
     "vocaboverlap"  -> graft.text.TextStages.vocabOverlap _,
+    "bucketize"     -> graft.stages.StatStages.bucketize _,
     "urlresolve"    -> graft.text.WebStages.urlresolve _,
     "abtest"        -> graft.stages.StatStages.abTest _,
     "robustscale"   -> graft.stages.StatStages.robustScale _,

@@ -1504,6 +1504,44 @@ object StatStages {
         "nullable_left", "nullable_right", "status")
     }
 
+  /** `bucketize`: explicit-splits binning — the PRODUCTION-STABLE
+    * variant of [[quantiles]]/quantilebin (those derive edges from the
+    * corpus, so yesterday's bin 3 is not today's bin 3; bucketize
+    * takes the edges as config, the contract a feature store needs).
+    * For sorted integral `splits` s₁ < … < s_k, bin(x) = #{i : sᵢ ≤ x}
+    * — 0 below every split, k at/above the last; pure integer
+    * comparisons, no floats anywhere. NULL values bin to null.
+    *
+    * Options: `field` (integral, required), `splits` (sorted distinct
+    * integer list, required, ≤ 10000), `outputField` (default
+    * `<field>_bin`).
+    *
+    * Scale shape: a pure per-row projection (the splits ship in the
+    * plan as literals) — no shuffle, no aggregation. */
+  def bucketize(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val f = spec.str("field").getOrElse(sys.error("bucketize: `field` required"))
+      require(df.columns.contains(f), s"bucketize: no column '$f'")
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(f).dataType),
+        s"bucketize: '$f' must be an INTEGRAL column (got " +
+        s"${df.schema(f).dataType.simpleString}) — integer edges make the " +
+        "binning exact; scale upstream (cents, micros) to integers first")
+      val splits = spec.list("splits").map(_.toString.toLong)
+      require(splits.nonEmpty, "bucketize: `splits` required")
+      require(splits.size <= 10000,
+        s"bucketize: at most 10000 splits, got ${splits.size}")
+      require(splits == splits.sorted && splits.distinct == splits,
+        "bucketize: splits must be sorted and distinct")
+      val out = spec.strOr("outputField", s"${f}_bin")
+      require(!df.columns.contains(out),
+        s"bucketize: output column '$out' exists — set outputField")
+      val x = col(f).cast("long")
+      val bin = splits.map(s => when(x >= s, 1L).otherwise(0L))
+        .reduce(_ + _)
+      df.withColumn(out, when(col(f).isNotNull, bin))
+    }
+
   /** `benford`: first-significant-digit distribution against Benford's
     * law — the fraud/fabrication forensic for naturally-occurring
     * magnitudes (amounts, populations, file sizes follow

@@ -843,6 +843,30 @@ class StatsSpec extends SparkSpec {
       "concentration", Map()), ctx)(df)).getMessage.contains("keyField"))
   }
 
+  test("bucketize: explicit-edge bins; boundaries inclusive; null passes; guards") {
+    val ctx = newCtx()
+    import spark.implicits._
+    val df = Seq(Some(-5L), Some(0L), Some(9L), Some(10L), Some(11L),
+      Some(99L), Some(100L), None).toDF("v")
+    val out = StatStages.bucketize(ComponentSpec("bucketize",
+      Map("field" -> "v", "splits" -> Seq(0, 10, 100))), ctx)(df)
+      .select("v", "v_bin").as[(Option[Long], Option[Long])].collect().toMap
+    assert(out(Some(-5L)) == Some(0L))
+    assert(out(Some(0L)) == Some(1L), "edges are inclusive lower bounds")
+    assert(out(Some(9L)) == Some(1L))
+    assert(out(Some(10L)) == Some(2L))
+    assert(out(Some(99L)) == Some(2L))
+    assert(out(Some(100L)) == Some(3L))
+    assert(out(None).isEmpty)
+    assert(intercept[Exception](StatStages.bucketize(ComponentSpec(
+      "bucketize", Map("field" -> "v", "splits" -> Seq(10, 0))),
+      ctx)(df)).getMessage.contains("sorted"))
+    val dbl = Seq(0.5).toDF("v")
+    assert(intercept[Exception](StatStages.bucketize(ComponentSpec(
+      "bucketize", Map("field" -> "v", "splits" -> Seq(1))), ctx)(dbl))
+      .getMessage.contains("INTEGRAL"))
+  }
+
   test("tcloseness: exact TVD per quasi group; absent-value mass; actions") {
     val ctx = newCtx()
     import spark.implicits._
