@@ -1451,6 +1451,26 @@ object SparkEntry {
         .select("n_vertices", "n_edges", "max_out_degree", "max_in_degree",
           "avg_degree", "density")
     },
+    "graph_assort" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // directed degree assortativity over the same planted graph as
+      // graph_metrics: exact decimal co-moments over (out-deg(src),
+      // in-deg(dst)) edge pairs, the correlate finishing tree
+      Engine.runJson(c, s"""{
+        "begin": [{"console": {"commands": [
+          "CREATE OR REPLACE TEMPORARY VIEW ga_ids AS SELECT CAST(c_custkey AS STRING) AS vid FROM customer WHERE c_custkey < 40"]}}],
+        "source": {"file": {"path": "$dir/customer.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "WITH v AS (SELECT c_custkey AS k FROM __input WHERE c_custkey < 40), heads AS (SELECT k FROM v WHERE k % 8 = 0) SELECT CAST(a.k AS STRING) AS src_id, CAST(b.k AS STRING) AS dst_id FROM v a JOIN v b ON b.k = a.k + 1 UNION ALL SELECT CAST(v.k AS STRING), CAST(h.k AS STRING) FROM v JOIN heads h ON h.k = (v.k div 8) * 8"}},
+          {"vertex": {"class": "ga", "idField": "src_id"}},
+          {"edge": {"joinFieldName": "dst_id", "lookup": "ga_ids.vid",
+                    "class": "e", "direction": "out"}},
+          {"graphmetrics": {"assortativity": true}}],
+        "loader": {"memory": {}} }""")
+        .select("n_vertices", "n_edges", "assortativity")
+    },
     "topo_sort" -> { (s, dir) =>
       val c = ctx(s, dir)
       // DAG longest-path layering over two PLANTED components (fixed
@@ -5701,6 +5721,24 @@ object SparkEntry {
        "CAST(n * 2 AS DOUBLE) / CAST(nv AS DOUBLE) AS avg_degree, " +
        "CASE WHEN nv >= 2 THEN CAST(n AS DOUBLE) / CAST(nv * (nv - 1) AS DOUBLE) END AS density " +
        "FROM verts, ne, od, idg"),
+    "graph_assort" ->
+      ("WITH v AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 40), " +
+       "heads AS (SELECT k FROM v WHERE k % 8 = 0), " +
+       "e0 AS (SELECT a.k AS s, b.k AS d FROM v a JOIN v b ON b.k = a.k + 1 " +
+       "UNION ALL SELECT v.k, h.k FROM v JOIN heads h ON h.k = (v.k // 8) * 8), " +
+       "e AS (SELECT DISTINCT s, d FROM e0), " +
+       "verts AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM (SELECT s AS x FROM e UNION SELECT d FROM e)), " +
+       "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_e FROM e), " +
+       "od AS (SELECT s, count(*) AS odg FROM e GROUP BY 1), " +
+       "ig AS (SELECT d, count(*) AS idg FROM e GROUP BY 1), " +
+       "p AS (SELECT od.odg AS x, ig.idg AS y FROM e JOIN od USING (s) JOIN ig USING (d)), " +
+       "a AS (SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+       "CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy FROM p), " +
+       "c AS (SELECT n, CAST(n AS DOUBLE) * sxy - sx * sy AS cov, " +
+       "CAST(n AS DOUBLE) * sxx - sx * sx AS vx, CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM a) " +
+       "SELECT verts.nv AS n_vertices, ne.n_e AS n_edges, " +
+       "CASE WHEN vx > 0 AND vy > 0 THEN cov / (sqrt(vx) * sqrt(vy)) END AS assortativity " +
+       "FROM verts, ne, c"),
     "topo_sort" ->
       // +1-chained component: layer = k − min(k); +2-chained component:
       // two parity chains from 100/101, layer = (k−100) div 2

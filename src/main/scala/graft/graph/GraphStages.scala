@@ -637,26 +637,33 @@ object GraphStages {
     * convention, null for V < 2). Self-loops count as one out- and one
     * in-edge.
     *
-    * Options: `label` (optional edge-label filter).
+    * Options: `label` (optional edge-label filter), `assortativity`
+    * (default false — append the DIRECTED degree assortativity: the
+    * Pearson correlation over edges between the source's out-degree
+    * and the destination's in-degree, positive = hubs link to hubs.
+    * Exact-decimal co-moment sums with one double finishing tree, the
+    * `correlate` determinism recipe; degenerate → null).
     *
     * Scale shape: ONE distinct over (src,dst) feeding three hash
     * aggregations (out-degrees, in-degrees, totals) — degree frames are
-    * vertex-sized, the closing combine is three one-row aggregates. */
+    * vertex-sized, the closing combine is three one-row aggregates; the
+    * assortativity pass re-joins the degree frames onto the edge list
+    * (vertex-keyed) and adds one more one-row aggregate. */
   def graphMetrics(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { _ =>
       val edges0 = ctx.edges.getOrElse(
         sys.error("graphmetrics: no edges — apply an `edge` stage first"))
       val edges = spec.str("label").fold(edges0)(l => edges0.where(col("label") === l))
       val e = edges.select(col("src").as("__s"), col("dst").as("__d")).distinct()
-      val outMax = e.groupBy("__s").agg(count(lit(1)).as("__od"))
-        .agg(max("__od").as("max_out_degree"))
-      val inMax = e.groupBy("__d").agg(count(lit(1)).as("__id"))
-        .agg(max("__id").as("max_in_degree"))
+      val outDeg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
+      val inDeg = e.groupBy("__d").agg(count(lit(1)).as("__id"))
+      val outMax = outDeg.agg(max("__od").as("max_out_degree"))
+      val inMax = inDeg.agg(max("__id").as("max_in_degree"))
       val base = e.agg(count(lit(1)).as("n_edges"))
       val verts = e.select(col("__s").as("id")).union(e.select(col("__d").as("id")))
         .distinct().agg(count(lit(1)).as("n_vertices"))
       val v = col("n_vertices")
-      base.crossJoin(broadcast(verts))
+      val metrics = base.crossJoin(broadcast(verts))
         .crossJoin(broadcast(outMax)).crossJoin(broadcast(inMax))
         .withColumn("avg_degree",
           (col("n_edges") * 2L).cast("double") / v.cast("double"))
@@ -664,6 +671,26 @@ object GraphStages {
           col("n_edges").cast("double") / (v * (v - 1L)).cast("double")))
         .select("n_vertices", "n_edges", "max_out_degree", "max_in_degree",
           "avg_degree", "density")
+      if (!spec.bool("assortativity", dflt = false)) metrics
+      else {
+        import org.apache.spark.sql.types.DecimalType
+        val x = col("__od").cast(DecimalType(38, 0))
+        val y = col("__id").cast(DecimalType(38, 0))
+        val agg = e.join(outDeg, Seq("__s")).join(inDeg, Seq("__d"))
+          .groupBy()
+          .agg(count(lit(1)).as("__n"),
+            sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+            sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+        val n = col("__n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val cov = n * d("__sxy") - d("__sx") * d("__sy")
+        val vx = n * d("__sxx") - d("__sx") * d("__sx")
+        val vy = n * d("__syy") - d("__sy") * d("__sy")
+        val r = agg.select(
+          when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
+            .as("assortativity"))
+        metrics.crossJoin(broadcast(r))
+      }
     }
 
   /** `toposort`: DAG layer assignment (longest-path layering) over the

@@ -273,5 +273,21 @@ class CubeExpectSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double, Double)].head()
     // distinct pairs: ab ac bc cc → E=4, V=3; out: a=2; in: c=3
     assert(out == ((3L, 4L, 2L, 3L, 8.0 / 3.0, 4.0 / 6.0)))
+    // assortativity over (out-deg(src), in-deg(dst)) pairs:
+    // (2,1),(2,3),(1,3),(1,3) → cov·n = −4, vx = 4, vy = 12
+    val r = graft.graph.GraphStages.graphMetrics(
+      ComponentSpec("graphmetrics", Map("assortativity" -> true)), ctx)(
+      spark.emptyDataFrame)
+      .select("assortativity").as[Option[Double]].head()
+    assert(r == Some(-4.0 / (math.sqrt(4.0) * math.sqrt(12.0))))
+    // a constant-degree graph has no degree variance → null
+    val ctx2 = newCtx()
+    ctx2.addEdges(Seq(("p", "q"), ("q", "r")).toDF("src", "dst")
+      .withColumn("label", lit("e")))
+    val r2 = graft.graph.GraphStages.graphMetrics(
+      ComponentSpec("graphmetrics", Map("assortativity" -> true)), ctx2)(
+      spark.emptyDataFrame)
+      .select("assortativity").as[Option[Double]].head()
+    assert(r2.isEmpty)
   }
 }
