@@ -4678,6 +4678,22 @@ object SparkEntry {
         .select("o_orderkey", "o_orderpriority", "cents_pct")
         .orderBy("o_orderkey")
     },
+    "percent_rank_global" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // KEYLESS percent_rank over integral cents — the scalable
+      // two-level rank-prefix path (no single-partition sort), exact
+      // percent_rank semantics incl. shared ties and NULLS FIRST
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT event_id, CASE WHEN event_id % 53 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 750 END AS cents FROM events"}},
+          {"percentrank": {"field": "cents", "global": true}}],
+        "loader": {"memory": {}} }""")
+        .select("event_id", "cents", "cents_pct")
+        .orderBy("event_id")
+    },
     "proportion_ci" -> { (s, dir) =>
       val c = ctx(s, dir)
       // per-band purchase conversion with Wilson 95% CIs: exact counts,
@@ -7105,6 +7121,11 @@ object SparkEntry {
        "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cents_pct " +
        "FROM (SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
        "ORDER BY o_orderkey"),
+    "percent_rank_global" ->
+      ("WITH b AS (SELECT event_id, CASE WHEN event_id % 53 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) % 750 END AS cents FROM events) " +
+       "SELECT event_id, cents, " +
+       "percent_rank() OVER (ORDER BY cents ASC NULLS FIRST) AS cents_pct " +
+       "FROM b ORDER BY event_id"),
     "proportion_ci" ->
       ("WITH b AS (SELECT user_id % 11 AS band, CASE WHEN event_id % 29 = 0 THEN NULL ELSE event_type = 'purchase' END AS converted FROM events), " +
        "a AS (SELECT band, count(*) AS n, CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS successes " +

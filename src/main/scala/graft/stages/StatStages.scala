@@ -846,13 +846,19 @@ object StatStages {
     * comparing oracle).
     *
     * Options: `field` (required), `groupBy` (list — REQUIRED unless
-    * `global` is set true: a keyless percent_rank is one global sort
-    * on a single reducer, the [[labelEncode]] hazard, so the stage
-    * refuses to default into it and names [[quantileBin]] as the
-    * scalable alternative), `outputField` (default `<field>_pct`).
+    * `global` is set true), `outputField` (default `<field>_pct`).
+    * Keyless `global:true` with an INTEGRAL field takes the SCALABLE
+    * path: per-distinct-value counts + the two-level 256-bucket rank
+    * prefix (the `auc` pattern) joined back by value — identical
+    * percent_rank results (ties share the first peer's rank, NULL is
+    * the lowest value), and nothing ever sorts through one partition.
+    * A keyless NON-integral field still costs one global sort on a
+    * single reducer (the [[labelEncode]] hazard) — `global:true`
+    * accepts that explicitly; [[quantileBin]] is the binned
+    * alternative.
     *
-    * Scale shape: ONE keyed window — exchange on the group hash,
-    * per-partition sort, rank streamed. */
+    * Scale shape (grouped): ONE keyed window — exchange on the group
+    * hash, per-partition sort, rank streamed. */
   def percentRank(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val f = spec.str("field").getOrElse(sys.error("percentrank: `field` required"))
@@ -861,15 +867,55 @@ object StatStages {
       groupCols.foreach(g =>
         require(df.columns.contains(g), s"percentrank: no column '$g'"))
       if (groupCols.isEmpty) require(spec.bool("global", dflt = false),
-        "percentrank: no `groupBy` — a keyless percent_rank is ONE " +
-        "global sort on a single reducer. Set global:true to accept " +
-        "that cost, or use `quantilebin` for a scalable binned rank")
+        "percentrank: no `groupBy` — a keyless percent_rank over a " +
+        "non-integral field is ONE global sort on a single reducer. Set " +
+        "global:true to accept that (integral fields take a scalable " +
+        "distributed path), or use `quantilebin` for a binned rank")
       val out = spec.strOr("outputField", s"${f}_pct")
       require(!df.columns.contains(out),
         s"percentrank: output column '$out' exists — set outputField")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(groupCols.map(col): _*).orderBy(col(f).asc)
-      df.withColumn(out, percent_rank().over(w))
+      val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(df.schema(f).dataType)
+      if (groupCols.isEmpty && integral) {
+        // scalable keyless path: percent_rank(v) = below(v) / (n−1)
+        // (ties share the first peer's rank); below via the two-level
+        // prefix over distinct values, NULL the lowest (null-safe
+        // grouping + a null-first bucket)
+        val counts = df.groupBy(col(f).as("__v")).agg(count(lit(1)).as("__c"))
+        val mm = counts.groupBy().agg(min("__v").as("__mn"),
+          max("__v").as("__mx"), sum("__c").as("__n"))
+        val keyed = counts.crossJoin(broadcast(mm))
+          .withColumn("__span",
+            col("__mx").cast("long") - col("__mn").cast("long") + lit(1L))
+          .withColumn("__chunk", expr("(__span + 255) div 256"))
+          .withColumn("__bkt",
+            when(col("__v").isNull, lit(-1L))
+              .otherwise(expr(
+                "(cast(__v as bigint) - cast(__mn as bigint)) div __chunk")))
+          .drop("__mn", "__mx", "__span", "__chunk")
+        val W = org.apache.spark.sql.expressions.Window
+        val bw = W.orderBy(col("__bkt")).rowsBetween(Long.MinValue, -1)
+        val pre = keyed.groupBy("__bkt").agg(sum("__c").as("__bc"))
+          .withColumn("__pre", coalesce(sum(col("__bc")).over(bw), lit(0L)))
+          .select(col("__bkt").as("__pb"), col("__pre"))
+        val iw = W.partitionBy(col("__bkt")).orderBy(col("__v").asc)
+          .rowsBetween(Long.MinValue, -1)
+        val below = keyed.join(broadcast(pre), col("__bkt") === col("__pb"))
+          .withColumn("__below",
+            col("__pre") + coalesce(sum(col("__c")).over(iw), lit(0L)))
+          .select(col("__v").as("__jv"), col("__below"), col("__n"))
+        // value-cardinality frame: NOT force-broadcast (ids would blow
+        // the driver); the value-keyed shuffle join is the scalable path
+        df.join(below, col(f) <=> col("__jv"))
+          .withColumn(out, when(col("__n") > 1,
+            col("__below").cast("double") / (col("__n") - 1L).cast("double"))
+            .otherwise(lit(0.0)))
+          .drop("__jv", "__below", "__n")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col(f).asc)
+        df.withColumn(out, percent_rank().over(w))
+      }
     }
 
   /** `proportions`: per-group success rates with WILSON score

@@ -510,6 +510,25 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("quantilebin"), e.getMessage)
     assert(StatStages.percentRank(ComponentSpec("percentrank",
       Map("field" -> "v", "global" -> true)), ctx)(df).count() == 5)
+    // keyless INTEGRAL path (two-level rank prefix) must equal the
+    // percent_rank window EXACTLY, ties + NULL-first included
+    val kv = Seq(Some(10L), Some(20L), Some(20L), Some(40L), None,
+      Some(-3L), Some(40L), Some(7L)).toDF("v")
+    val fast = StatStages.percentRank(ComponentSpec("percentrank",
+      Map("field" -> "v", "global" -> true)), ctx)(kv)
+      .select("v", "v_pct").as[(Option[Long], Double)].collect()
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    val ref = kv.withColumn("v_pct", percent_rank().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v").asc)))
+      .select("v", "v_pct").as[(Option[Long], Double)].collect()
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    assert(fast.toSeq == ref.toSeq)
+    // the distributed path must not sort all rows through one partition
+    val plan = StatStages.percentRank(ComponentSpec("percentrank",
+      Map("field" -> "v", "global" -> true)), ctx)(kv)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__bkt"),
+      s"keyless integral percentrank must window by bucket:\n$plan")
   }
 
   test("proportions: Wilson CI matches an independent computation; null ≠ trial") {
