@@ -724,9 +724,14 @@ object DedupStages {
     * every copy of a hot banner line on one reducer, exactly the skew
     * this stage exists to delete. Reassembly groups by document id
     * (the natural key) with an in-group sort of that document's lines
-    * only. The duplicate table is assumed executor-memory-sized (it
-    * holds only lines that REPEAT); for adversarial corpora fall back
-    * to `crossdedup`/`decontaminate` Bloom pre-filters. */
+    * only. The duplicate table holds only lines that REPEAT, which is
+    * executor-memory-sized for real corpora — but nothing about the
+    * input enforces that (an adversarial corpus where every line is
+    * duplicated makes the broadcast table the whole corpus), so the
+    * table is probed with a bounded `limit(maxDupLines+1).count()`
+    * (persisted first so the aggregation runs once) and fails LOUD
+    * past `maxDupLines` (default 2,000,000), naming the
+    * `crossdedup`/`decontaminate` Bloom pre-filter migration. */
   def lineDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
@@ -755,6 +760,23 @@ object DedupStages {
         .agg(count(lit(1)).as("__c"), min(col("__lid")).as("__fid"))
         .where(col("__c") >= minCount)
         .select(col("__nm").as("__dn"), col("__fid"))
+        .persist()
+      ctx.registerPersisted(dups)
+      // Broadcast-size guard (same fail-LOUD pattern as labelencode's
+      // maxCardinality / freqpairs' maxBasketSize): bounded probe, never
+      // an unbounded count, and the persist above means the probe's
+      // aggregation is the same one the broadcast reuses.
+      val maxDup = spec.long("maxDupLines").getOrElse(2000000L)
+      require(maxDup > 0,
+        s"linededup: maxDupLines must be > 0, got $maxDup")
+      val dupProbe = math.min(maxDup + 1, Int.MaxValue.toLong).toInt
+      if (dups.limit(dupProbe).count() > maxDup) sys.error(
+        s"linededup: more than $maxDup distinct duplicated lines — the " +
+        "duplicate-line table is broadcast to every executor and this " +
+        "corpus's table is no longer executor-memory-sized. Use " +
+        "`crossdedup`/`decontaminate` (Bloom pre-filter + exact join) " +
+        "for adversarial corpora, or raise maxDupLines if executors " +
+        "genuinely have the memory")
       val keep = col("__dn").isNull ||
         (if (keepFirst) col("__lid") === col("__fid") else lit(false))
       val rebuilt = lines

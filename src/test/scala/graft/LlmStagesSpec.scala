@@ -2116,5 +2116,21 @@ class LlmStagesSpec extends SparkSpec {
     val plan = stage("linededup")(df).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"linededup duplicate join must broadcast:\n$plan")
+    // broadcast-size guard: an adversarial corpus (every line duplicated)
+    // makes the dup table the whole corpus — must fail LOUD naming the
+    // Bloom migration, not OOM executors at broadcast time
+    val adversarial = (0L until 40L).flatMap(d =>
+      Seq((d, Some((0 until 5).map(i => s"dup line ${d % 20} $i")
+        .mkString("\n"))))).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      stage("linededup", "maxDupLines" -> 50)(adversarial).count())
+    assert(e.getMessage.contains("crossdedup") &&
+      e.getMessage.contains("maxDupLines"), e.getMessage)
+    assert(intercept[Exception](
+      stage("linededup", "maxDupLines" -> 0)(df)).getMessage
+      .contains("maxDupLines"))
+    // …and a corpus under the bound still works with the guard engaged
+    val ok = stage("linededup", "maxDupLines" -> 50)(df)
+    assert(ok.where(col("n_removed") > 0).count() == 3)
   }
 }
