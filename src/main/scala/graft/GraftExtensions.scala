@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       messageParameters = Map("message" -> s"$what must be an int literal, got $other"))
   }
 
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"$what must be a double literal, got $other"))
+  }
+
   private def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
     if (exprs.length != n)
       throw new org.apache.spark.sql.AnalysisException(
@@ -206,6 +214,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("graft_topk", 3, exprs)
         graft.functions.TopKByScore(exprs.head, exprs(1), intLit(exprs(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      info("graft_kll_agg",
+        "graft_kll_agg(value, k) - mergeable KLL quantile-sketch aggregate of a double column; returns the sketch binary"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_kll_agg", 2, exprs)
+        graft.functions.KllAgg(exprs.head, intLit(exprs(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge",
+        "graft_kll_merge(sketch) - union KLL sketch binaries to a coarser grain"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_kll_merge", 1, exprs)
+        graft.functions.KllMergeAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile",
+        "graft_kll_quantile(sketch, p) - inclusive-rank quantile estimate of a KLL sketch binary"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_kll_quantile", 2, exprs)
+        graft.functions.KllQuantile(exprs.head, dblLit(exprs(1), "p"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_n"),
+      info("graft_kll_n",
+        "graft_kll_n(sketch) - exact stream length a KLL sketch has absorbed"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_kll_n", 1, exprs)
+        graft.functions.KllN(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_agg"),
+      info("graft_freq_agg",
+        "graft_freq_agg(item, weight, maxMapSize) - mergeable frequent-items sketch aggregate; returns the sketch binary"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_freq_agg", 3, exprs)
+        graft.functions.FreqAgg(exprs.head, exprs(1), intLit(exprs(2), "maxMapSize"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_merge"),
+      info("graft_freq_merge",
+        "graft_freq_merge(sketch, maxMapSize) - union frequent-items sketch binaries to a coarser grain"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_freq_merge", 2, exprs)
+        graft.functions.FreqMergeAgg(exprs.head, intLit(exprs(1), "maxMapSize"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      info("graft_freq_items",
+        "graft_freq_items(sketch, k) - NO_FALSE_NEGATIVES frequent items of a sketch binary as array<struct<item,est,lb,ub>>"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_freq_items", 2, exprs)
+        graft.functions.FreqItems(exprs.head, intLit(exprs(1), "k"))
       }))
   }
 }

@@ -3217,6 +3217,63 @@ object SparkEntry {
             "SELECT x.n_exact, abs(i.distinct_est - x.n_exact) <= 0.05 * x.n_exact AS est_ok FROM __input i CROSS JOIN (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders) x"}}],
         "loader": {"memory": {}} }""")
     },
+    "kll_rollup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // mergeable QUANTILE sketches (kllsketch/kllmerge — the quantile
+      // analogue of hll_rollup): per-returnflag KLL of l_quantity,
+      // unioned to the global grain WITHOUT rescanning the raw table.
+      // KLL compaction is randomized, so the driver row is the
+      // deterministic rank-error VERDICT: each estimated quantile's
+      // exact CDF rank (computed by the engine itself from lineitem)
+      // must sit within 5% of its target rank (k=200 => ~1.65% of rank
+      // at 99% confidence, so 5% is ~3 sigma); n_values is EXACT by
+      // construction and must equal the row count.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"kllsketch": {"field": "l_quantity", "groupBy": "l_returnflag"}},
+          {"kllmerge": {"probs": [0.25, 0.5, 0.75]}},
+          {"code": {"language": "sql", "code":
+            "SELECT i.n_values = count(*) AS n_ok, abs(avg(CASE WHEN l.l_quantity <= i.p25 THEN 1.0 ELSE 0.0 END) - 0.25) <= 0.05 AS p25_ok, abs(avg(CASE WHEN l.l_quantity <= i.p50 THEN 1.0 ELSE 0.0 END) - 0.5) <= 0.05 AS p50_ok, abs(avg(CASE WHEN l.l_quantity <= i.p75 THEN 1.0 ELSE 0.0 END) - 0.75) <= 0.05 AS p75_ok FROM lineitem l CROSS JOIN __input i GROUP BY i.p25, i.p50, i.p75, i.n_values"}}],
+        "loader": {"memory": {}} }""")
+    },
+    "topk_rollup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // mergeable HEAVY-HITTERS sketches in the EXACT regime: item
+      // cardinality (5 order priorities) far under maxMapSize means the
+      // Misra-Gries map never purges, so the shard-merged counts are
+      // exact and HASH-EXACT against a plain GROUP BY oracle — the
+      // identity the spec locks, demonstrated on real data.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"topksketch": {"itemField": "o_orderpriority", "groupBy": "o_orderstatus"}},
+          {"topkmerge": {}}],
+        "loader": {"memory": {}} }""")
+        .orderBy(col("est").desc, col("item"))
+    },
+    "topk_heavy" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the PURGE regime: ~60% of rows collapse to one planted 'hot'
+      // item while ~997 cold items churn through an 8-counter sketch.
+      // NO_FALSE_NEGATIVES guarantees any item with true count above
+      // the deterministic error threshold (~n/6 here) survives every
+      // purge and merge — the verdict asserts presence and that the
+      // engine's own exact hot count sits inside [lb, ub].
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT CASE WHEN o_orderkey % 10 < 6 THEN 'hot' ELSE concat('cold', CAST(o_orderkey % 997 AS STRING)) END AS item FROM __input"}},
+          {"topksketch": {"itemField": "item", "maxMapSize": 8}},
+          {"topkmerge": {"maxMapSize": 8}},
+          {"code": {"language": "sql", "code":
+            "SELECT count(*) AS hot_rows, bool_and(i.lb <= x.n_hot AND x.n_hot <= i.ub) AS bounds_ok FROM __input i CROSS JOIN (SELECT count(*) AS n_hot FROM orders WHERE o_orderkey % 10 < 6) x WHERE i.item = 'hot'"}}],
+        "loader": {"memory": {}} }""")
+    },
     "c4_clean" -> { (s, dir) =>
       val c = ctx(s, dir)
       // C4 line-level cleaning: six constructed lines per page — a good
@@ -6456,6 +6513,14 @@ object SparkEntry {
        "true AS est_ok FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
     "hll_merge" ->
       "SELECT count(DISTINCT o_custkey) AS n_exact, true AS est_ok FROM orders",
+    "kll_rollup" ->
+      ("SELECT true AS n_ok, true AS p25_ok, true AS p50_ok, " +
+       "true AS p75_ok"),
+    "topk_rollup" ->
+      ("SELECT o_orderpriority AS item, count(*) AS est, count(*) AS lb, " +
+       "count(*) AS ub FROM orders GROUP BY 1 ORDER BY est DESC, item"),
+    "topk_heavy" ->
+      "SELECT CAST(1 AS BIGINT) AS hot_rows, true AS bounds_ok",
     "c4_clean" ->
       (raw"WITH pages AS (SELECT doc_id, " +
        "'A good first line with enough words to pass.' AS l1, " +

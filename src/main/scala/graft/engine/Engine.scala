@@ -166,6 +166,10 @@ object Engine {
     "unpivot"       -> graft.stages.CubeStages.unpivot _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
+    "kllsketch"     -> graft.stages.StatStages.kllSketch _,
+    "kllmerge"      -> graft.stages.StatStages.kllMerge _,
+    "topksketch"    -> graft.stages.StatStages.topkSketch _,
+    "topkmerge"     -> graft.stages.StatStages.topkMerge _,
     "similarity"    -> graft.similarity.SimilarityStages.similarity _,
     "similaritylsh" -> graft.similarity.SimilarityStages.similarityLsh _,
     "similarityivf" -> graft.similarity.SimilarityStages.similarityIvf _,

@@ -561,6 +561,48 @@ object VectorExpressions {
           TopKByScore(exprs.head, exprs(1), k) // analyzer wraps AggregateFunction
         },
         "built-in")
+      def intLit(e: Expression, fn: String, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => sys.error(s"$fn: $what must be an int literal, got $other")
+      }
+      def dblLit(e: Expression, fn: String, what: String): Double = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toDouble
+        case other => sys.error(s"$fn: $what must be a double literal, got $other")
+      }
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_kll_agg",
+        (exprs: Seq[Expression]) =>
+          KllAgg(exprs.head, intLit(exprs(1), "graft_kll_agg", "k")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_kll_merge",
+        (exprs: Seq[Expression]) => KllMergeAgg(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_kll_quantile",
+        (exprs: Seq[Expression]) =>
+          KllQuantile(exprs.head, dblLit(exprs(1), "graft_kll_quantile", "p")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_kll_n",
+        (exprs: Seq[Expression]) => KllN(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_freq_agg",
+        (exprs: Seq[Expression]) =>
+          FreqAgg(exprs.head, exprs(1), intLit(exprs(2), "graft_freq_agg", "maxMapSize")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_freq_merge",
+        (exprs: Seq[Expression]) =>
+          FreqMergeAgg(exprs.head, intLit(exprs(1), "graft_freq_merge", "maxMapSize")),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_freq_items",
+        (exprs: Seq[Expression]) =>
+          FreqItems(exprs.head, intLit(exprs(1), "graft_freq_items", "k")),
+        "built-in")
     }
 
   /** Native dot product of two float/double array columns. */
@@ -660,5 +702,36 @@ object VectorExpressions {
     * partial top-k; see [[TopKByScore]]. */
   def topK(score: Column, id: Column, k: Int): Column =
     call_function("graft_topk", score, id,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Mergeable KLL quantile-sketch aggregate of a double column. */
+  def kllAgg(value: Column, k: Int): Column =
+    call_function("graft_kll_agg", value,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Union of KLL sketch binaries to a coarser grain. */
+  def kllMerge(sketch: Column): Column = call_function("graft_kll_merge", sketch)
+
+  /** Inclusive-rank quantile estimate of a KLL sketch binary. */
+  def kllQuantile(sketch: Column, p: Double): Column =
+    call_function("graft_kll_quantile", sketch,
+      org.apache.spark.sql.functions.lit(p))
+
+  /** Exact stream length a KLL sketch has absorbed. */
+  def kllN(sketch: Column): Column = call_function("graft_kll_n", sketch)
+
+  /** Mergeable frequent-items sketch aggregate of (item, weight). */
+  def freqAgg(item: Column, weight: Column, maxMapSize: Int): Column =
+    call_function("graft_freq_agg", item, weight,
+      org.apache.spark.sql.functions.lit(maxMapSize))
+
+  /** Union of frequent-items sketch binaries to a coarser grain. */
+  def freqMerge(sketch: Column, maxMapSize: Int): Column =
+    call_function("graft_freq_merge", sketch,
+      org.apache.spark.sql.functions.lit(maxMapSize))
+
+  /** NO_FALSE_NEGATIVES frequent items of a sketch binary. */
+  def freqItems(sketch: Column, k: Int): Column =
+    call_function("graft_freq_items", sketch,
       org.apache.spark.sql.functions.lit(k))
 }

@@ -205,6 +205,140 @@ object StatStages {
       else df.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
     }
 
+  /** `kllsketch`: mergeable QUANTILE sketches (Apache DataSketches KLL
+    * via the native [[graft.functions.KllAgg]] aggregate) — the rollup
+    * counterpart of [[quantiles]], and the quantile analogue of
+    * [[hllSketch]]: compute a ~3 KB sketch per fine grain (per day, per
+    * shard) once, then [[kllMerge]] re-aggregates to any coarser grain
+    * without rescanning the raw table — exactly what exact
+    * `percentile` cannot do (quantiles don't sum). ONE hash aggregation
+    * with map-side combine; the exchange carries sketches, not values.
+    *
+    * KLL compaction is randomized, so estimates are gated by the
+    * deterministic RANK-ERROR bound (≤ getNormalizedRankError at 99 %
+    * confidence, ~1.65 % of rank at the default k), the hll_rollup
+    * verdict recipe — never hash-exact estimate oracles.
+    *
+    * Options: `field` (required numeric — cast to double), `groupBy`
+    * (comma-separated; absent = one global sketch), `k` (default 200),
+    * `out` (default "kll_sketch"). */
+  def kllSketch(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.str("field").getOrElse(sys.error("kllsketch: field required"))
+      require(df.columns.contains(f), s"kllsketch: no column '$f'")
+      require(df.schema(f).dataType.isInstanceOf[NumericType],
+        s"kllsketch: '$f' must be numeric, is ${df.schema(f).dataType.simpleString}")
+      val k = spec.int("k", 200)
+      require(k >= 8 && k <= 65535, s"kllsketch: k out of range [8, 65535]: $k")
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      keys.foreach(c => require(df.columns.contains(c), s"kllsketch: no column '$c'"))
+      val agg = graft.functions.VectorExpressions
+        .kllAgg(col(f).cast("double"), k).as(spec.strOr("out", "kll_sketch"))
+      if (keys.isEmpty) df.agg(agg)
+      else df.groupBy(keys.map(col).toIndexedSeq: _*).agg(agg)
+    }
+
+  /** `kllmerge`: union previously-built KLL sketches to a coarser grain
+    * and surface quantile estimates. Options: `field` (sketch column,
+    * default "kll_sketch"), `groupBy` (coarser keys; absent = one global
+    * row), `probs` (default [0.5] — one `p<percent>` double column per
+    * prob, the [[quantiles]] naming rule), `keepSketch` (default false —
+    * true also keeps the merged binary for further rollups). Also emits
+    * `n_values`: the EXACT total stream length (KLL tracks n exactly),
+    * so a rollup self-reports its support. */
+  def kllMerge(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "kll_sketch")
+      require(df.columns.contains(f), s"kllmerge: no column '$f'")
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      keys.foreach(c => require(df.columns.contains(c), s"kllmerge: no column '$c'"))
+      val probs = spec.list("probs") match {
+        case Nil => Seq(0.5)
+        case l => l.map(_.toString.toDouble)
+      }
+      probs.foreach(p => require(p >= 0 && p <= 1, s"kllmerge: prob $p outside [0, 1]"))
+      def nameOf(p: Double): String =
+        "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+          .replace(".", "_").replace("-", "m")
+      val merged = graft.functions.VectorExpressions.kllMerge(col(f))
+      val agged = (if (keys.isEmpty) df.groupBy()
+                   else df.groupBy(keys.map(col).toIndexedSeq: _*))
+        .agg(merged.as("__sk"))
+      val qs = probs.map(p => graft.functions.VectorExpressions
+        .kllQuantile(col("__sk"), p).as(nameOf(p)))
+      val n = graft.functions.VectorExpressions.kllN(col("__sk")).as("n_values")
+      val keep = if (spec.bool("keepSketch", dflt = false))
+        Seq(col("__sk").as(f + "_merged")) else Nil
+      agged.select(keys.map(col) ++ qs ++ Seq(n) ++ keep: _*)
+    }
+
+  /** `topksketch`: mergeable HEAVY-HITTERS sketches (DataSketches
+    * frequent-items / Misra–Gries family via [[graft.functions.FreqAgg]])
+    * — the rollup counterpart of the single-pass ngram top-k: a bounded
+    * `maxMapSize`-counter sketch per fine grain that [[topkMerge]]
+    * unions to any coarser grain without rescan. Every item whose true
+    * count exceeds the sketch's error threshold (≈ n/maxMapSize,
+    * deterministic) is GUARANTEED present (NO_FALSE_NEGATIVES) with
+    * lb ≤ true ≤ ub bounds; estimate VALUES are merge-order-dependent,
+    * so oracles gate on the bounds, never the estimates.
+    *
+    * Options: `itemField` (required — cast to string), `weightField`
+    * (optional long weight, e.g. a token count; default 1 per row),
+    * `groupBy`, `maxMapSize` (power of two, default 1024), `out`
+    * (default "freq_sketch"). */
+  def topkSketch(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.str("itemField").getOrElse(
+        sys.error("topksketch: itemField required"))
+      require(df.columns.contains(f), s"topksketch: no column '$f'")
+      val w = spec.str("weightField").map { wf =>
+        require(df.columns.contains(wf), s"topksketch: no column '$wf'")
+        col(wf).cast("long")
+      }.getOrElse(lit(1L))
+      val maxMap = spec.int("maxMapSize", 1024)
+      require(maxMap >= 8 && Integer.bitCount(maxMap) == 1,
+        s"topksketch: maxMapSize must be a power of two >= 8, got $maxMap")
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      keys.foreach(c => require(df.columns.contains(c), s"topksketch: no column '$c'"))
+      val agg = graft.functions.VectorExpressions
+        .freqAgg(col(f).cast("string"), w, maxMap)
+        .as(spec.strOr("out", "freq_sketch"))
+      if (keys.isEmpty) df.agg(agg)
+      else df.groupBy(keys.map(col).toIndexedSeq: _*).agg(agg)
+    }
+
+  /** `topkmerge`: union frequent-items sketches to a coarser grain and
+    * explode the NO_FALSE_NEGATIVES item set — one row per (coarse keys,
+    * item) with `est`/`lb`/`ub` long columns, ordered inside each group
+    * by (est DESC, item ASC). Options: `field` (default "freq_sketch"),
+    * `groupBy`, `k` (default 0 = all qualifying items), `maxMapSize`
+    * (merge-buffer size, default 1024). */
+  def topkMerge(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "freq_sketch")
+      require(df.columns.contains(f), s"topkmerge: no column '$f'")
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      keys.foreach(c => require(df.columns.contains(c), s"topkmerge: no column '$c'"))
+      val k = spec.int("k", 0)
+      require(k >= 0, s"topkmerge: k must be >= 0, got $k")
+      val maxMap = spec.int("maxMapSize", 1024)
+      require(maxMap >= 8 && Integer.bitCount(maxMap) == 1,
+        s"topkmerge: maxMapSize must be a power of two >= 8, got $maxMap")
+      val merged = graft.functions.VectorExpressions.freqMerge(col(f), maxMap)
+      val agged = (if (keys.isEmpty) df.groupBy()
+                   else df.groupBy(keys.map(col).toIndexedSeq: _*))
+        .agg(graft.functions.VectorExpressions
+          .freqItems(merged, k).as("__items"))
+      agged.select(keys.map(col) :+ explode(col("__items")).as("__it"): _*)
+        .select(keys.map(col) ++ Seq(
+          col("__it.item").as("item"), col("__it.est").as("est"),
+          col("__it.lb").as("lb"), col("__it.ub").as("ub")): _*)
+    }
+
   /** `quantiles`: per-group quantiles of a numeric column.
     *
     * Options: `field` (required), `keyField` (optional, comma-
@@ -1221,7 +1355,11 @@ object StatStages {
               "(s(s-1)/2 pairs per basket — raise the cap or use oversizeAction=drop)")
           items0
         case "drop" =>
-          items0.join(sizes.where(col("__bs") <= maxBasket).select("__bk"), Seq("__bk"))
+          // deliberately NOT a broadcast: `sizes` is basket-cardinality-
+          // sized (unbounded at corpus scale) and comes straight from a
+          // groupBy on __bk, so the semi-join reuses that exchange — the
+          // only new shuffle is the one items0's self-join needs anyway
+          items0.join(sizes.where(col("__bs") <= maxBasket), Seq("__bk"), "left_semi")
         case other => sys.error(
           s"freqpairs: oversizeAction must be error|drop, got '$other'")
       }

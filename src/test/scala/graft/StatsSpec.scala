@@ -42,6 +42,95 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgConfigK"))
   }
 
+  test("kllsketch/kllmerge: shard-merge identity (no-compaction regime) + rank bound") {
+    val ctx = newCtx()
+    // EXACT regime: n per shard ≤ k means KLL never compacts — the
+    // sketch retains every value, so shard-merge must EQUAL the exact
+    // type-sorted quantiles (the only regime where a randomized sketch
+    // admits an identity spec)
+    val df = spark.range(400).select((col("id") % 4).as("shard"),
+      col("id").cast("double").as("v"))
+    val perShard = StatStages.kllSketch(ComponentSpec("kllsketch",
+      Map("field" -> "v", "groupBy" -> "shard", "k" -> 512)), ctx)(df)
+    assert(perShard.count() == 4)
+    val m = StatStages.kllMerge(ComponentSpec("kllmerge",
+      Map("probs" -> Seq(0.0, 0.5, 1.0))), ctx)(perShard)
+      .select("p0", "p50", "p100", "n_values").head()
+    assert(m.getLong(3) == 400L, "KLL tracks n exactly through merges")
+    assert(m.getDouble(0) == 0.0 && m.getDouble(2) == 399.0)
+    assert(m.getDouble(1) == 199.0 || m.getDouble(1) == 200.0) // inclusive median of 0..399
+    // BOUND regime: 50k values through k=200 sketches (compaction
+    // happens) — the merged p50 must sit within the 99% rank-error
+    // envelope of the true median (~1.65% of rank at k=200; assert 5%)
+    val big = spark.range(50000).select((col("id") % 8).as("shard"),
+      col("id").cast("double").as("v"))
+    val bigMerged = StatStages.kllMerge(ComponentSpec("kllmerge", Map()), ctx)(
+      StatStages.kllSketch(ComponentSpec("kllsketch",
+        Map("field" -> "v", "groupBy" -> "shard")), ctx)(big))
+      .select("p50", "n_values").head()
+    assert(bigMerged.getLong(1) == 50000L)
+    assert(math.abs(bigMerged.getDouble(0) - 25000.0) <= 0.05 * 50000,
+      s"merged p50 ${bigMerged.getDouble(0)} outside the rank bound")
+    // keepSketch surfaces the merged binary for further rollups
+    val kept = StatStages.kllMerge(ComponentSpec("kllmerge",
+      Map("keepSketch" -> true)), ctx)(perShard)
+    assert(kept.columns.toSeq == Seq("p50", "n_values", "kll_sketch_merged"))
+    // guards fail loud at plan time
+    assert(intercept[IllegalArgumentException](StatStages.kllSketch(
+      ComponentSpec("kllsketch", Map("field" -> "v", "k" -> 4)), ctx)(df))
+      .getMessage.contains("k out of range"))
+    assert(intercept[Exception](StatStages.kllMerge(
+      ComponentSpec("kllmerge", Map("probs" -> Seq(1.5))), ctx)(perShard))
+      .getMessage.contains("outside [0, 1]"))
+  }
+
+  test("topksketch/topkmerge: exact regime identity + guaranteed heavy hitter") {
+    val ctx = newCtx()
+    // EXACT regime: distinct items < maxMapSize means the MG map never
+    // purges — merged counts are exact (est == lb == ub == true count)
+    val df = spark.range(3000).select((col("id") % 3).as("shard"),
+      concat(lit("item"), col("id") % 10).as("w"))
+    val perShard = StatStages.topkSketch(ComponentSpec("topksketch",
+      Map("itemField" -> "w", "groupBy" -> "shard", "maxMapSize" -> 64)),
+      ctx)(df)
+    assert(perShard.count() == 3)
+    val merged = StatStages.topkMerge(ComponentSpec("topkmerge",
+      Map("maxMapSize" -> 64)), ctx)(perShard)
+      .select("item", "est", "lb", "ub").collect()
+    assert(merged.length == 10)
+    assert(merged.forall(r => r.getLong(1) == 300L &&
+      r.getLong(2) == 300L && r.getLong(3) == 300L),
+      "no-purge regime must be exact through shard merges")
+    // weightField: weighted counts (item0 gets 10x) and k truncation
+    val weighted = StatStages.topkMerge(ComponentSpec("topkmerge",
+      Map("maxMapSize" -> 64, "k" -> 1)), ctx)(
+      StatStages.topkSketch(ComponentSpec("topksketch",
+        Map("itemField" -> "w", "maxMapSize" -> 64,
+            "weightField" -> "wt")), ctx)(
+        df.withColumn("wt", when(col("w") === "item0", 10L).otherwise(1L))))
+      .select("item", "est").collect()
+    assert(weighted.toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("item0", 3000L)))
+    // PURGE regime: 100 distinct through an 8-counter map with one
+    // planted heavy hitter (60% of mass) — NO_FALSE_NEGATIVES must
+    // return it with lb <= true <= ub
+    val zipf = spark.range(10000).select(
+      when(col("id") % 10 < 6, lit("hot"))
+        .otherwise(concat(lit("cold"), col("id") % 100)).as("w"))
+    val hot = StatStages.topkMerge(ComponentSpec("topkmerge",
+      Map("maxMapSize" -> 8)), ctx)(
+      StatStages.topkSketch(ComponentSpec("topksketch",
+        Map("itemField" -> "w", "maxMapSize" -> 8)), ctx)(zipf))
+      .where(col("item") === "hot").select("lb", "ub").collect()
+    assert(hot.length == 1, "a 60%-mass item is guaranteed present")
+    assert(hot.head.getLong(0) <= 6000L && 6000L <= hot.head.getLong(1))
+    // guards fail loud
+    assert(intercept[IllegalArgumentException](StatStages.topkSketch(
+      ComponentSpec("topksketch",
+        Map("itemField" -> "w", "maxMapSize" -> 100)), ctx)(df))
+      .getMessage.contains("power of two"))
+  }
+
   test("minmaxscale: [0,1] per group, constant group nulls, null-safe keys") {
     val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0),
       ("b", 5.0), ("b", 5.0),
