@@ -5041,6 +5041,30 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("path", "n_keys").orderBy("path")
     },
+    "journey_markov" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the journey stack END-TO-END in one config (the crawl_frontier
+      // composition pattern): eventpaths mines whole journeys, adjacent
+      // pairs weighted by journey counts rebuild the transition matrix,
+      // and a windowed rank yields the Markov next-step ranking ("after
+      // state X, the 3 likeliest next states"). p is one IEEE division
+      // of two exact longs — hash-deterministic against the oracle.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/region.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT user_id, ts, event_id, event_type FROM events"}},
+          {"eventpaths": {"keyField": "user_id", "tsField": "ts",
+            "tieField": "event_id", "stateField": "event_type",
+            "maxSteps": 8}},
+          {"code": {"language": "sql", "code":
+            "SELECT v AS from_state, element_at(seq, CAST(i + 2 AS INT)) AS to_state, sum(n_keys) AS n FROM (SELECT split(path, '>') AS seq, n_keys FROM __input) LATERAL VIEW posexplode(seq) t AS i, v WHERE i < size(seq) - 1 GROUP BY 1, 2"}},
+          {"code": {"language": "sql", "code":
+            "SELECT from_state, to_state, n, n_from, CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p, next_rank FROM (SELECT from_state, to_state, n, n_from, rank() OVER (PARTITION BY from_state ORDER BY n DESC, to_state) AS next_rank FROM (SELECT from_state, to_state, n, sum(n) OVER (PARTITION BY from_state) AS n_from FROM __input)) WHERE next_rank <= 3"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("from_state", "next_rank", "to_state")
+    },
     "fixedwidth_read" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // fixed-width layout recovery from real padded text: typed longs,
@@ -7356,6 +7380,17 @@ object SparkEntry {
       ("WITH p AS (SELECT array_to_string(list_slice(list(coalesce(event_type, '(null)') ORDER BY ts, event_id), 1, 8), '>') AS path " +
        "FROM events GROUP BY user_id) " +
        "SELECT path, count(*) AS n_keys FROM p GROUP BY path ORDER BY path"),
+    "journey_markov" ->
+      ("WITH p AS (SELECT array_to_string(list_slice(list(coalesce(event_type, '(null)') ORDER BY ts, event_id), 1, 8), '>') AS path " +
+       "FROM events GROUP BY user_id), " +
+       "pc AS (SELECT path, count(*) AS n_keys FROM p GROUP BY path), " +
+       "sq AS (SELECT string_split(path, '>') AS seq, n_keys FROM pc), " +
+       "pairs AS (SELECT seq[i] AS from_state, seq[i + 1] AS to_state, CAST(sum(n_keys) AS BIGINT) AS n " +
+       "FROM sq, UNNEST(generate_series(1, len(seq) - 1)) AS t(i) GROUP BY 1, 2), " +
+       "m AS (SELECT from_state, to_state, n, CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from FROM pairs), " +
+       "r AS (SELECT from_state, to_state, n, n_from, rank() OVER (PARTITION BY from_state ORDER BY n DESC, to_state) AS next_rank FROM m) " +
+       "SELECT from_state, to_state, n, n_from, CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p, next_rank " +
+       "FROM r WHERE next_rank <= 3 ORDER BY from_state, next_rank, to_state"),
     "fixedwidth_read" ->
       ("SELECT n_nationkey, n_name, " +
        "CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_regionkey END AS n_regionkey, " +
