@@ -272,7 +272,8 @@ object ScaleStress {
       "scc_color", "mixture_budget", "funnel_steps",
       "link_predict", "freq_pairs", "event_paths",
       "line_dedup", "auc_rank", "topo_layers", "survival_curve",
-      "changepoint_cusum")
+      "changepoint_cusum", "collocations_win", "cumulate_run",
+      "percent_rank")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -697,6 +698,43 @@ object ScaleStress {
                       "class": "e", "direction": "out"}},
             {"toposort": {"maxIter": 20}}],
           "loader": {"memory": {}} }""",
+        // skip-gram collocations at window=3: each offset adds one full
+        // positional pair stream (3x token volume through ONE hash agg
+        // after the concat) — must stay linear in tokens. Trailing
+        // filter references n_xy (count-elimination trap)
+        "collocations_win" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"collocations": {"field": "text", "window": 3, "minCount": 5}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS n FROM __input WHERE n_xy >= 5"}}],
+          "loader": {"memory": {}} }""",
+        // keyed running aggregates with users ∝ N (~66 events each):
+        // ONE keyed window carries cum_n and every cumsum — per-key
+        // state is a running sum, never a buffer. Trailing filter
+        // references the cumsum (count-elimination trap)
+        "cumulate_run" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, t, CAST(eid % 97 AS BIGINT) AS v FROM __input"}},
+            {"cumulate": {"keyField": "user_id", "tsField": "t",
+              "tieField": "eid", "valueFields": ["v"]}},
+            {"code": {"language": "sql", "code":
+              "SELECT user_id FROM __input WHERE v_cumsum >= 0"}}],
+          "loader": {"memory": {}} }""",
+        // KEYLESS global percent_rank over distinct integral scores ∝ N
+        // — the case a naive global window would single-partition; the
+        // two-level bucket prefix (3102c8d) must keep it linear
+        "percent_rank" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, (eid * 31) % 1000000007 AS score FROM __input"}},
+            {"percentrank": {"field": "score", "global": true}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS n FROM __input WHERE score_pct >= 0"}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [
@@ -719,7 +757,8 @@ object ScaleStress {
           case "asof_join" | "asof_nearest" | "range_join" |
                "interval_join" | "funnel_steps" | "auc_rank" |
                "survival_curve" | "changepoint_cusum" |
-               "link_predict" | "freq_pairs" | "event_paths" => 10000L * factor
+               "link_predict" | "freq_pairs" | "event_paths" |
+               "cumulate_run" | "percent_rank" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }
