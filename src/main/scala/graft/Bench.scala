@@ -255,7 +255,15 @@ object Bench {
       Thread.sleep((delay * 1000).toLong)
       prelimWarned.map { case (name, t) =>
         val fn = selected(name)
-        val t3 = timeOnce(name, fn)
+        val t3raw = timeOnce(name, fn)
+        // a re-check that CRASHES measured its time-to-failure, not the
+        // plan — min() with it would silently clear a real warning.
+        // Keep the immediate value (∞ sentinel) and leave the warning up
+        val t3 = if (failed(name)) {
+          System.err.println(s"[bench] $name: deferred re-check FAILED — " +
+            "keeping the immediate measurement and its warning")
+          Double.PositiveInfinity
+        } else t3raw
         System.err.println(f"[bench] $name: deferred re-check $t3%.1fs " +
           f"(immediate defended $t%.1fs)")
         name -> (t, t3)
@@ -364,7 +372,8 @@ object Bench {
         deferredDetail.toSeq.sortBy(_._1).foreach { case (k, (imm, dfr)) =>
           val e = m.createObjectNode()
           e.put("immediate", math.rint(imm * 1000) / 1000)
-          e.put("deferred", math.rint(dfr * 1000) / 1000)
+          // ∞ = the re-check crashed (see above); -1 keeps the JSON valid
+          e.put("deferred", if (dfr.isInfinite) -1.0 else math.rint(dfr * 1000) / 1000)
           // set's T is invoked-position-inferred: inside a lambda it
           // lands on Nothing and the emitted checkcast throws — pin it
           n.set[com.fasterxml.jackson.databind.JsonNode](k, e)

@@ -3217,6 +3217,80 @@ object SparkEntry {
             "SELECT x.n_exact, abs(i.distinct_est - x.n_exact) <= 0.05 * x.n_exact AS est_ok FROM __input i CROSS JOIN (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders) x"}}],
         "loader": {"memory": {}} }""")
     },
+    "bloom_join" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // bloom-prefiltered semi join: the sketch pass only shrinks what
+      // reaches the exchange; the exact join removes every false
+      // positive, so the result is ROW-IDENTICAL to a plain semi join —
+      // hash-exact against DuckDB's IN
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"bloomjoin": {"right":
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+            "leftOn": "o_custkey", "rightOn": "c_custkey"}},
+          {"code": {"language": "sql", "code":
+            "SELECT o_orderkey, o_custkey FROM __input"}}],
+        "loader": {"memory": {}} }""").orderBy("o_orderkey")
+    },
+    "bloom_join_anti" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // anti mode: definite-absent rows (bloom-negative) never reach
+      // the exchange and are kept directly; the probe-positive sliver
+      // resolves through the exact anti join
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"bloomjoin": {"right":
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+            "leftOn": "o_custkey", "rightOn": "c_custkey", "mode": "anti"}},
+          {"code": {"language": "sql", "code":
+            "SELECT o_orderkey, o_custkey FROM __input"}}],
+        "loader": {"memory": {}} }""").orderBy("o_orderkey")
+    },
+    "checksum_rollup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // mergeable content fingerprints: per-returnflag checksums of
+      // lineitem MERGED must equal the whole-table checksum EXACTLY (no
+      // sketch error), and one flipped shipdate in one row must change
+      // it. xxhash64 isn't portable to DuckDB, so the verdict is the
+      // driver row (engine-internal identities), oracle = exact count +
+      // literal booleans.
+      def sums(json: String) = Engine.runJson(ctx(s, dir), json)
+      val grain = s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"checksum": {"fields": ["l_orderkey", "l_linenumber", "l_shipdate"],
+            "groupBy": "l_returnflag"}},
+          {"checksummerge": {}}],
+        "loader": {"memory": {}} }"""
+      val whole = s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"checksum": {"fields": ["l_orderkey", "l_linenumber", "l_shipdate"]}}],
+        "loader": {"memory": {}} }"""
+      val tampered = s"""{
+        "source": {"file": {"path": "$dir/lineitem.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT l_orderkey, l_linenumber, CASE WHEN l_orderkey = 0 THEN DATE '1901-02-03' ELSE l_shipdate END AS l_shipdate FROM __input"}},
+          {"checksum": {"fields": ["l_orderkey", "l_linenumber", "l_shipdate"]}}],
+        "loader": {"memory": {}} }"""
+      def one(json: String, p: String) = sums(json).select(
+        col("n_rows").as(s"${p}_n"), col("xor64").as(s"${p}_x"),
+        col("sum_mod").as(s"${p}_s"))
+      one(grain, "g").crossJoin(one(whole, "w")).crossJoin(one(tampered, "t"))
+        .select(col("w_n").as("n_rows"),
+          (col("g_n") === col("w_n") && col("g_x") === col("w_x") &&
+            col("g_s") === col("w_s")).as("merge_identity"),
+          (col("t_x") =!= col("w_x") || col("t_s") =!= col("w_s"))
+            .as("tamper_detected"))
+    },
     "kll_rollup" -> { (s, dir) =>
       val c = ctx(s, dir)
       // mergeable QUANTILE sketches (kllsketch/kllmerge — the quantile
@@ -6537,6 +6611,17 @@ object SparkEntry {
        "true AS est_ok FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
     "hll_merge" ->
       "SELECT count(DISTINCT o_custkey) AS n_exact, true AS est_ok FROM orders",
+    "bloom_join" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
+       "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+       "ORDER BY o_orderkey"),
+    "bloom_join_anti" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN " +
+       "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+       "ORDER BY o_orderkey"),
+    "checksum_rollup" ->
+      ("SELECT count(*) AS n_rows, true AS merge_identity, " +
+       "true AS tamper_detected FROM lineitem"),
     "kll_rollup" ->
       ("SELECT true AS n_ok, true AS p25_ok, true AS p50_ok, " +
        "true AS p75_ok"),
@@ -7524,10 +7609,10 @@ object SparkEntry {
     },
     "run_length" ->
       ("WITH b AS (SELECT event_id, user_id % 30 AS uid, ts, CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS st FROM events), " +
-       "w AS (SELECT uid, ts, st, CASE WHEN lag(1) OVER win IS NULL THEN 1 " +
+       "w AS (SELECT uid, ts, event_id, st, CASE WHEN lag(1) OVER win IS NULL THEN 1 " +
        "WHEN st IS NOT DISTINCT FROM lag(st) OVER win THEN 0 ELSE 1 END AS chg FROM b " +
        "WINDOW win AS (PARTITION BY uid ORDER BY ts, event_id)), " +
-       "r AS (SELECT uid, ts, st, CAST(sum(chg) OVER (PARTITION BY uid ORDER BY ts " +
+       "r AS (SELECT uid, ts, st, CAST(sum(chg) OVER (PARTITION BY uid ORDER BY ts, event_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM w) " +
        "SELECT uid, min(st) AS state, min(ts) AS run_start, max(ts) AS run_end, " +
        "count(*) AS n_events FROM r GROUP BY uid, run " +

@@ -709,8 +709,10 @@ object DedupStages {
     * keep-one posture of `neardupdedup`). Blank-normalized lines are
     * structural whitespace, never counted or removed. Each document's
     * surviving lines rejoin in ORIGINAL order; `n_removed` counts the
-    * deleted lines. Documents with a NULL text pass through with null
-    * output and n_removed = 0.
+    * deleted lines. Documents with a NULL text OR a NULL id pass
+    * through with null output and n_removed = 0 (null-id docs also
+    * never count toward line frequencies — an unidentifiable doc
+    * can't participate in id-keyed dedup).
     *
     * Options: `idField` (default doc_id — must be orderable for
     * keepfirst), `field` (default text), `minCount` (default 2),
@@ -751,7 +753,13 @@ object DedupStages {
         s"linededup: output column '$out' exists — set outputField")
       def norm(c: Column): Column =
         if (spec.bool("normalize", dflt = true)) lower(trim(c)) else c
-      val lines = df.where(col(f).isNotNull)
+      // Null-ID rows do not participate (the freqpairs null-key rule,
+      // documented): they pass through like null-text rows (out NULL,
+      // n_removed 0). Without this filter their lines inflate every
+      // doc's duplicate counts while the doc itself can never be
+      // rebuilt (null ids all land in ONE rebuild group), and keepfirst
+      // could drop every copy of a line confined to null-id docs.
+      val lines = df.where(col(f).isNotNull && col(id).isNotNull)
         .select(col(id).as("__lid"),
           posexplode(split(col(f), "\n", -1)).as(Seq("__pos", "__ln")))
         .withColumn("__nm", norm(col("__ln")))

@@ -166,6 +166,9 @@ object Engine {
     "unpivot"       -> graft.stages.CubeStages.unpivot _,
     "hllsketch"     -> graft.stages.StatStages.hllSketch _,
     "hllmerge"      -> graft.stages.StatStages.hllMerge _,
+    "checksum"      -> graft.stages.StatStages.checksum _,
+    "checksummerge" -> graft.stages.StatStages.checksumMerge _,
+    "bloomjoin"     -> graft.stages.SetOps.bloomjoin _,
     "kllsketch"     -> graft.stages.StatStages.kllSketch _,
     "kllmerge"      -> graft.stages.StatStages.kllMerge _,
     "topksketch"    -> graft.stages.StatStages.topkSketch _,

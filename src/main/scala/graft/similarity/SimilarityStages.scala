@@ -970,32 +970,47 @@ object SimilarityStages {
           acc / BigInt(acc).gcd(BigInt(i)).toLong * i)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__q")).orderBy(col("__s").desc, col("__d").asc)
-      val ranked = df
+      val ranked0 = df
         .select(col(q).as("__q"), col(d).as("__d"),
           col(s).as("__s"), (col(l) > 0).as("__rel"))
         .withColumn("__rk", row_number().over(w))
-        .withColumn("__cum", sum(when(col("__rel"), 1L).otherwise(0L))
-          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, org.apache.spark.sql.expressions.Window
-            .currentRow)))
-        .select(col("__q"), col("__rk"), col("__rel"), col("__cum"))
-      val base = ranked.groupBy(col("__q").as(q))
-        .agg(
-          max(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
-            .as("hits_at_k"),
-          (sum(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
-            .cast("double") / lit(k.toDouble)).as("precision_at_k"),
-          coalesce(lit(1.0) / min(when(col("__rel"), col("__rk"))), lit(0.0))
-            .as("mrr"),
-          sum(when(col("__rk") <= k && col("__rel"),
+      val ranked = (if (withMap) // only AP reads the running relevance
+          ranked0.withColumn("__cum", sum(when(col("__rel"), 1L).otherwise(0L))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, org.apache.spark.sql.expressions.Window
+              .currentRow)))
+        else ranked0)
+        .select(Seq(col("__q"), col("__rk"), col("__rel")) ++
+          (if (withMap) Seq(col("__cum")) else Nil): _*)
+      // the ndcg/map aggregates (and the inlined k-element weight
+      // literal) are built ONLY when requested — the default
+      // hits/precision/mrr path must not pay per-row element_at over
+      // an unused array or ship dropped sums through the exchange
+      val coreAggs = Seq(
+        max(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
+          .as("hits_at_k"),
+        (sum(when(col("__rk") <= k && col("__rel"), 1L).otherwise(0L))
+          .cast("double") / lit(k.toDouble)).as("precision_at_k"),
+        coalesce(lit(1.0) / min(when(col("__rel"), col("__rk"))), lit(0.0))
+          .as("mrr"))
+      val extraAggs =
+        (if (withNdcg)
+          Seq(sum(when(col("__rk") <= k && col("__rel"),
               element_at(typedLit(ndcgWeights(k)), col("__rk").cast("int")))
-            .otherwise(0L)).as("__dcg"),
-          sum(when(col("__rel"), 1L).otherwise(0L)).as("__nrel"),
+            .otherwise(0L)).as("__dcg"))
+         else Nil) ++
+        (if (withNdcg || withMap)
+          Seq(sum(when(col("__rel"), 1L).otherwise(0L)).as("__nrel"))
+         else Nil) ++
+        (if (withMap)
           // AP numerator: Σ over relevant ranks i ≤ k of
           // cum_rel(i) · (LCM div i) — every term an exact long
-          sum(when(col("__rk") <= k && col("__rel"),
+          Seq(sum(when(col("__rk") <= k && col("__rel"),
               col("__cum") * expr(s"${mapLcm}L div __rk"))
             .otherwise(0L)).as("__apn"))
+         else Nil)
+      val aggs = coreAggs ++ extraAggs
+      val base = ranked.groupBy(col("__q").as(q)).agg(aggs.head, aggs.tail: _*)
       val withNd =
         if (!withNdcg) base
         else base.withColumn("ndcg_at_k", when(col("__nrel") > 0,

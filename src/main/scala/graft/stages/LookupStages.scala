@@ -501,9 +501,12 @@ object LookupStages {
   /** `skewjoin`: salted equi-join for HOT keys — the standard cure when
     * one join key carries a disproportionate share of the rows and a
     * plain shuffle join funnels them through one reducer. The LEFT
-    * (big, skewed) side gets a deterministic per-row salt in
-    * [0, saltBuckets) — `xxhash64` over the whole row, so identical
-    * rows co-salt but a hot KEY spreads across all buckets; the RIGHT
+    * (big, skewed) side gets a per-row salt in [0, saltBuckets) —
+    * `xxhash64(key, monotonically_increasing_id)`, so even IDENTICAL
+    * duplicate rows of a hot key spread across all buckets (the r16
+    * change; the salt is NOT retry-deterministic — see the inline
+    * comment — which is safe because the result set is salt-invariant);
+    * the RIGHT
     * side replicates once per bucket (explode of a literal sequence —
     * acceptable because the right side is the dimension-sized one);
     * the join runs on (key, salt), splitting each hot key into

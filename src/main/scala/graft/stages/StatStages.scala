@@ -16,6 +16,21 @@ import org.apache.spark.sql.types._
   * into one partition). AQE broadcasts the stats side when small. */
 object StatStages {
 
+  /** `max − min + 1` of two long columns with a LOUD overflow guard for
+    * the two-level bucket paths (percentrank/concentration/kstest/auc):
+    * a value span at or beyond 2^63 (a Long.MinValue sentinel mixed
+    * with positive ids is enough) overflows the subtraction — ANSI
+    * mode would throw an opaque ArithmeticException mid-job, non-ANSI
+    * would silently corrupt every bucket id. `try_subtract`/`try_add`
+    * surface the overflow as null, turned into a named error here. */
+  private def spanOf(mx: Column, mn: Column, stage: String): Column = {
+    val span = try_add(try_subtract(mx, mn), lit(1L))
+    when(span.isNull, raise_error(lit(
+      s"$stage: value span of the field exceeds 2^63 — min and max are " +
+      "too far apart (sentinel values like Long.MinValue mixed with " +
+      "real data?); shift or scale the field upstream"))).otherwise(span)
+  }
+
   /** `minmaxscale`: per-group min-max normalization to [0, 1] —
     * (x − min)/(max − min), the bounded-range scaler (zscore's
     * standardization is unbounded). Options: `field` (required),
@@ -337,6 +352,88 @@ object StatStages {
         .select(keys.map(col) ++ Seq(
           col("__it.item").as("item"), col("__it.est").as("est"),
           col("__it.lb").as("lb"), col("__it.ub").as("ub")): _*)
+    }
+
+  /** `checksum`: order-independent, MERGEABLE content fingerprints —
+    * the value-level complement of `schemadiff` (which diffs structure)
+    * and the migration-validation primitive: checksum the source table
+    * per grain, checksum the rewritten/compacted/migrated copy, compare
+    * — any flipped value, lost row or duplicated row shows, with no
+    * row-by-row join. Per row, ONE xxhash64 over a null-position mask
+    * plus the listed fields (the mask disambiguates (null, x) from
+    * (x, null) — Spark's hash folds null args as a no-op); per group,
+    * three independent aggregates of that row hash:
+    *
+    *  - `n_rows` — count;
+    *  - `xor64` — bit_xor of row hashes (order-independent; blind to a
+    *    row appearing an EVEN number of times, which is why it is not
+    *    alone);
+    *  - `sum_mod` — Σ row-hash as DECIMAL(38) mod 2^64, rendered as a
+    *    string (duplicates ADD, covering xor64's blind spot; decimal
+    *    keeps the sum exact — a long sum would overflow ANSI).
+    *
+    * All three are MERGEABLE: [[checksumMerge]] re-aggregates a grain
+    * table to any coarser grain (xor of xors, sum of sums mod 2^64,
+    * sum of counts) with shard-merge ≡ whole-table identity EXACTLY —
+    * no sketch error, unlike hll/kll.
+    *
+    * Options: `fields` (default all non-grouped columns, schema order),
+    * `groupBy` (grain keys; absent = one global row), max 63 fields
+    * (the null mask is one long).
+    *
+    * Scale shape: ONE hash aggregation with map-side combine; the
+    * exchange carries (grain, 3 longs). */
+  def checksum(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      keys.foreach(c => require(df.columns.contains(c), s"checksum: no column '$c'"))
+      val fields = spec.strList("fields") match {
+        case Nil => df.columns.filterNot(keys.contains).toSeq
+        case fs => fs
+      }
+      require(fields.nonEmpty, "checksum: no fields left to checksum")
+      fields.foreach(f => require(df.columns.contains(f), s"checksum: no column '$f'"))
+      require(fields.size <= 63,
+        s"checksum: at most 63 fields (null mask is one long), got ${fields.size}")
+      val mask = fields.zipWithIndex.map { case (f, i) =>
+        when(col(f).isNull, lit(1L << i)).otherwise(lit(0L)) }.reduce(_ + _)
+      val rh = xxhash64(mask +: fields.map(col): _*)
+      val aggs = Seq(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__rh)").as("xor64"),
+        sum(col("__rh").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sum"))
+      val g = df.withColumn("__rh", rh)
+      val agged = (if (keys.isEmpty) g.groupBy()
+                   else g.groupBy(keys.map(col).toIndexedSeq: _*))
+        .agg(aggs.head, aggs.tail: _*)
+      agged.withColumn("sum_mod",
+          pmod(col("__sum"), lit(BigDecimal("18446744073709551616")))
+            .cast("decimal(38,0)").cast("string"))
+        .drop("__sum")
+    }
+
+  /** `checksummerge`: union [[checksum]] grain rows to a coarser grain
+    * — xor of xors, Σ sum_mod mod 2^64, Σ n_rows. Exact identity with
+    * the whole-table checksum (mod is additive-compatible). Options:
+    * `groupBy` (coarser keys; absent = one global row). */
+  def checksumMerge(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      Seq("n_rows", "xor64", "sum_mod").foreach(c => require(
+        df.columns.contains(c), s"checksummerge: no column '$c' — input " +
+        "must be a checksum grain table"))
+      val keys = spec.strOr("groupBy", "").split(",").map(_.trim).filter(_.nonEmpty)
+      keys.foreach(c => require(df.columns.contains(c), s"checksummerge: no column '$c'"))
+      val agged = (if (keys.isEmpty) df.groupBy()
+                   else df.groupBy(keys.map(col).toIndexedSeq: _*))
+        .agg(sum("n_rows").as("n_rows"),
+          expr("bit_xor(xor64)").as("xor64"),
+          sum(col("sum_mod").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("__sum"))
+      agged.withColumn("sum_mod",
+          pmod(col("__sum"), lit(BigDecimal("18446744073709551616")))
+            .cast("decimal(38,0)").cast("string"))
+        .drop("__sum")
     }
 
   /** `quantiles`: per-group quantiles of a numeric column.
@@ -771,7 +868,10 @@ object StatStages {
         col("__kn") >= k && col("__ld") >= lDiv)
       (action match {
         case "filter" => joined.where(anon)
-        case "flag" => joined.withColumn(outF, anon)
+        case "flag" =>
+          require(!df.columns.contains(outF),
+            s"kanonymity: flag output column '$outF' exists — set outputField")
+          joined.withColumn(outF, anon)
         case "suppress" => fields.foldLeft(joined) { (d, f) =>
           d.withColumn(f, when(anon, col(f))) }
         case other => sys.error(
@@ -851,6 +951,8 @@ object StatStages {
           require(!df.columns.contains("tvd"),
             "tcloseness: flag mode emits a `tvd` column but the input " +
             "already has one — rename it upstream")
+          require(!df.columns.contains(outF),
+            s"tcloseness: flag output column '$outF' exists — set outputField")
           joined.withColumn(outF, ok).withColumnRenamed("__tvd", "tvd")
         case other => sys.error(
           s"tcloseness: action must be filter|flag, got '$other'")
@@ -1019,9 +1121,9 @@ object StatStages {
         val mm = counts.groupBy().agg(min("__v").as("__mn"),
           max("__v").as("__mx"), sum("__c").as("__n"))
         val keyed = counts.crossJoin(broadcast(mm))
-          .withColumn("__span",
-            col("__mx").cast("long") - col("__mn").cast("long") + lit(1L))
-          .withColumn("__chunk", expr("(__span + 255) div 256"))
+          .withColumn("__span", spanOf(col("__mx").cast("long"),
+            col("__mn").cast("long"), "percentrank"))
+          .withColumn("__chunk", expr("(__span - 1) div 256 + 1"))
           .withColumn("__bkt",
             when(col("__v").isNull, lit(-1L))
               .otherwise(expr(
@@ -1478,8 +1580,16 @@ object StatStages {
         case other => sys.error(
           s"calibration: labelField '$lF' must be boolean or numeric, got $other")
       }
+      // range contract enforced IN-PLAN (no extra probe job): a score
+      // outside [0, scale] would silently pollute bin 0 / emit phantom
+      // bins past `bins` — fail loud at the first offending row instead
       df.where(col(sF).isNotNull && col(lF).isNotNull)
-        .withColumn("__bin", expr(s"(cast(`$sF` as bigint) * $bins) div ${scale + 1}"))
+        .withColumn("__bin", coalesce(
+          when(col(sF) < 0 || col(sF) > scale, raise_error(concat(
+            lit(s"calibration: score in '$sF' outside [0, $scale] (got "),
+            col(sF).cast("string"),
+            lit(") — quantize to the declared scale upstream")))),
+          expr(s"(cast(`$sF` as bigint) * $bins) div ${scale + 1}")))
         .groupBy(col("__bin").as("bin"))
         .agg(count(lit(1)).as("n"),
           sum(col(sF).cast("long")).as("__ss"),
@@ -1839,8 +1949,8 @@ object StatStages {
           groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _))
           .drop(groupCols.map(g => s"__g_$g"): _*)
       val bucketed = keyed
-        .withColumn("__span", col("__mx") - col("__mn") + lit(1L))
-        .withColumn("__chunk", expr("(__span + 255) div 256"))
+        .withColumn("__span", spanOf(col("__mx"), col("__mn"), "concentration"))
+        .withColumn("__chunk", expr("(__span - 1) div 256 + 1"))
         .withColumn("__bkt", expr("(__vol - __mn) div __chunk"))
         .drop("__mn", "__mx", "__span", "__chunk")
       val W = org.apache.spark.sql.expressions.Window
@@ -1921,8 +2031,8 @@ object StatStages {
       val mm = j.groupBy().agg(min("__v").as("__mn"), max("__v").as("__mx"),
         sum("__ca").as("__n1"), sum("__cb").as("__n2"))
       val keyed = j.crossJoin(broadcast(mm))
-        .withColumn("__span", col("__mx") - col("__mn") + lit(1L))
-        .withColumn("__chunk", expr("(__span + 255) div 256"))
+        .withColumn("__span", spanOf(col("__mx"), col("__mn"), "kstest"))
+        .withColumn("__chunk", expr("(__span - 1) div 256 + 1"))
         .withColumn("__bkt", expr("(__v - __mn) div __chunk"))
         .drop("__mn", "__mx", "__span", "__chunk")
       val W = org.apache.spark.sql.expressions.Window
@@ -1942,8 +2052,11 @@ object StatStages {
         .groupBy()
         .agg(max("__n1").as("n_cur"), max("__n2").as("n_base"),
           count(lit(1)).as("distinct_vals"),
-          max(struct(col("__d"), (-col("__v")).as("negv"), col("__v").as("v")))
-            .as("__w"))
+          // tie-break prefers the SMALLEST value at max D; -1−v is the
+          // overflow-free strict order reversal (-v throws on
+          // Long.MinValue under ANSI; bitwise NOT wraps cleanly)
+          max(struct(col("__d"), (lit(-1L) - col("__v")).as("negv"),
+            col("__v").as("v"))).as("__w"))
         .select(col("n_cur"), col("n_base"), col("distinct_vals"),
           col("__w.__d").as("ks_num"), col("__w.v").as("ks_at"))
         .withColumn("ks", when(col("n_cur") > 0 && col("n_base") > 0,
@@ -2146,9 +2259,9 @@ object StatStages {
       // integer `div` throughout — double division would round for
       // spans near 2^63; chunk ≥ 1 keeps every bucket in [0, 256)
       val bucketed = keyed
-        .withColumn("__span",
-          col("__mx").cast("long") - col("__mn").cast("long") + lit(1L))
-        .withColumn("__chunk", expr("(__span + 255) div 256"))
+        .withColumn("__span", spanOf(col("__mx").cast("long"),
+          col("__mn").cast("long"), "auc"))
+        .withColumn("__chunk", expr("(__span - 1) div 256 + 1"))
         .withColumn("__bkt",
           expr(s"(cast(`$sF` as bigint) - cast(__mn as bigint)) div __chunk"))
         .drop("__mn", "__mx", "__span", "__chunk")

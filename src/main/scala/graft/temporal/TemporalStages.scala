@@ -392,7 +392,9 @@ object TemporalStages {
     * whole-journey complement of [[transitions]]' one-hop matrix
     * ("which FULL paths are common?"). Output: (`path`, `n_keys`),
     * a query stage. NULL states render as `(null)` (a join would
-    * silently skip them); ordering inside a key is (`tsField`,
+    * silently skip them); NULL-timestamp rows are DROPPED (the
+    * ewma/runlength contract — an unordered event can't sit inside a
+    * journey); ordering inside a key is (`tsField`,
     * `tieField`) — supply the tie-breaker or equal-timestamp paths are
     * run-dependent.
     *
@@ -425,7 +427,12 @@ object TemporalStages {
       val tie = spec.str("tieField").map(col(_)).getOrElse(lit(0L))
       val ev = struct(tsUs.as("t"), tie.as("k"),
         coalesce(col(state).cast("string"), lit("(null)")).as("s"))
-      df.select(col(key), ev.as("__ev"), row_number().over(w).as("__rn"))
+      // NULL-timestamp rows are dropped (the ewma/runlength/changepoint
+      // contract): an unordered event can't sit inside a journey, and
+      // Spark sorts nulls FIRST while SQL oracles default them LAST —
+      // the silent-divergence hole a fixture regen would open
+      df.where(col(ts).isNotNull)
+        .select(col(key), ev.as("__ev"), row_number().over(w).as("__rn"))
         .where(col("__rn") <= maxSteps)
         .groupBy(col(key))
         .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
@@ -734,7 +741,9 @@ object TemporalStages {
     * exact longs, ONE IEEE division — hash-deterministic). A QUERY
     * stage (replaces the stream). NULL states are real states (a
     * missing-field marker transitions like any other — null-safe
-    * aggregation), and self-loops count unless `selfLoops` = false.
+    * aggregation) but NULL-TIMESTAMP rows are dropped (the
+    * ewma/runlength contract), and self-loops count unless
+    * `selfLoops` = false.
     *
     * Options: `keyField` (default user_id), `tsField` (default ts),
     * `tieField` (recommended — total order under equal timestamps),
@@ -758,7 +767,9 @@ object TemporalStages {
       val tsUs = epochMicros(df, ts)
       val ord = tsUs.asc +: spec.str("tieField").map(col(_).asc).toSeq
       val w = Window.partitionBy(col(key)).orderBy(ord: _*)
-      val pairs = df
+      // NULL-timestamp rows are dropped (the ewma/runlength/changepoint
+      // contract — see eventPaths); NULL STATES remain real states
+      val pairs = df.where(col(ts).isNotNull)
         .select(col(state).as("from_state"),
           lead(col(state), 1).over(w).as("__to"),
           lead(lit(1), 1).over(w).as("__has_next"))

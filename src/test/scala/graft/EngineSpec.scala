@@ -980,6 +980,54 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("no left column"))
   }
 
+  test("bloomjoin: semi/anti identical to the exact joins, probe before the exchange") {
+    import spark.implicits._
+    import graft.spec.ComponentSpec
+    val ctx = newCtx()
+    // 500 left keys, 40 right keys at ~8% match rate + a null key each
+    // side — bloom FPs must be removed by the exact join, null semantics
+    // must match semijoin's exactly
+    val left = (0 until 500).map(i => (Integer.valueOf(i % 250), s"v$i")) :+
+      ((null.asInstanceOf[Integer], "vnull"))
+    val leftDf = left.toDF("k", "v")
+    ((0 until 40).map(i => Integer.valueOf(i * 7 % 250)) :+
+      null.asInstanceOf[Integer]).toDF("rk").createOrReplaceTempView("bj_r")
+    def op(name: String, opts: (String, Any)*) =
+      Engine.transformers(name)(ComponentSpec(name,
+        Map[String, Any]("right" -> "bj_r", "leftOn" -> "k",
+          "rightOn" -> "rk") ++ opts.toMap), ctx)(leftDf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("v").as[String].collect().sorted.toSeq
+    // semi and anti both row-identical to the exact stages; together
+    // they partition the input
+    val bSemi = rows(op("bloomjoin"))
+    val bAnti = rows(op("bloomjoin", "mode" -> "anti"))
+    assert(bSemi == rows(op("semijoin")))
+    assert(bAnti == rows(op("antijoin")))
+    assert((bSemi ++ bAnti).sorted == rows(leftDf))
+    assert(bAnti.contains("vnull"), "anti keeps null-keyed rows")
+    // nullSafe parity
+    assert(rows(op("bloomjoin", "nullSafe" -> true)) ==
+      rows(op("semijoin", "nullSafe" -> true)))
+    // plan shape: the bloom probe must sit in a Filter BEFORE the join.
+    // A LocalRelation input would let ConvertToLocalRelation fold the
+    // probe at plan time — assert over a parquet-backed scan, the shape
+    // production sees
+    val pq = java.nio.file.Files.createTempDirectory("graft_bj").toString
+    leftDf.write.mode("overwrite").parquet(pq)
+    val plan = Engine.transformers("bloomjoin")(ComponentSpec("bloomjoin",
+      Map[String, Any]("right" -> "bj_r", "leftOn" -> "k", "rightOn" -> "rk")),
+      ctx)(spark.read.parquet(pq))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloomjoin must probe the sketch in-plan:\n$plan")
+    // guards
+    assert(intercept[Exception](op("bloomjoin", "mode" -> "zz"))
+      .getMessage.contains("semi|anti"))
+    assert(intercept[Exception](op("bloomjoin", "fpp" -> "1.5"))
+      .getMessage.contains("fpp"))
+  }
+
   test("dryRun: config compiles and analyzes, loader never acts") {
     val path = writeNationCsv()
     val out = s"$tmp/dryrun_out"

@@ -42,6 +42,46 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgConfigK"))
   }
 
+  test("checksum/checksummerge: shard-merge identity, sensitivity, null-position") {
+    val ctx = newCtx()
+    val df = spark.range(10000).select((col("id") % 7).as("shard"),
+      col("id").as("a"), concat(lit("s"), col("id") % 100).as("b"))
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      d.select("n_rows", "xor64", "sum_mod").as[(Long, Long, String)].head()
+    val whole = sums(StatStages.checksum(ComponentSpec("checksum",
+      Map("fields" -> Seq("a", "b"))), ctx)(df))
+    assert(whole._1 == 10000L)
+    // EXACT shard-merge identity (no sketch error): per-shard grains
+    // merged == the whole-table checksum
+    val grains = StatStages.checksum(ComponentSpec("checksum",
+      Map("fields" -> Seq("a", "b"), "groupBy" -> "shard")), ctx)(df)
+    assert(grains.count() == 7)
+    val merged = sums(StatStages.checksumMerge(
+      ComponentSpec("checksummerge", Map()), ctx)(grains))
+    assert(merged == whole)
+    // order independence: a reversed input checksums identically
+    val rev = sums(StatStages.checksum(ComponentSpec("checksum",
+      Map("fields" -> Seq("a", "b"))), ctx)(df.orderBy(col("a").desc)))
+    assert(rev == whole)
+    // sensitivity: one flipped value, one lost row, one duplicated row
+    // all change at least one component
+    def tampered(d: org.apache.spark.sql.DataFrame) =
+      sums(StatStages.checksum(ComponentSpec("checksum",
+        Map("fields" -> Seq("a", "b"))), ctx)(d))
+    assert(tampered(df.withColumn("b",
+      when(col("a") === 5000, lit("flip")).otherwise(col("b")))) != whole)
+    assert(tampered(df.where(col("a") =!= 5000)) != whole)
+    assert(tampered(df.unionAll(df.where(col("a") === 5000))) != whole)
+    // the null-position mask: (null, x) and (x, null) rows differ
+    val n1 = Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+    val n2 = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    assert(tampered(n1) != tampered(n2))
+    // guards
+    assert(intercept[Exception](StatStages.checksumMerge(
+      ComponentSpec("checksummerge", Map()), ctx)(df)).getMessage
+      .contains("checksum grain table"))
+  }
+
   test("kllsketch/kllmerge: shard-merge identity (no-compaction regime) + rank bound") {
     val ctx = newCtx()
     // EXACT regime: n per shard ≤ k means KLL never compacts — the
