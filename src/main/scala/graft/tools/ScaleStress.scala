@@ -273,7 +273,7 @@ object ScaleStress {
       "link_predict", "freq_pairs", "event_paths",
       "line_dedup", "auc_rank", "topo_layers", "survival_curve",
       "changepoint_cusum", "collocations_win", "cumulate_run",
-      "percent_rank")
+      "percent_rank", "bloom_semi", "checksum_grain")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -735,6 +735,33 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT count(*) AS n FROM __input WHERE score_pct >= 0"}}],
           "loader": {"memory": {}} }""",
+        // bloom-prefiltered semi join: left events ∝ N against a FIXED
+        // 500-key right side at ~5% match rate — the probe is a per-row
+        // codegen filter, the exchange carries only the surviving
+        // sliver, so the leg must track the scan (linear), never the
+        // join. Trailing filter references the joined output
+        "bloom_semi" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT eid, user_id, (eid * 31) % 10000 AS k FROM __input"}},
+            {"bloomjoin": {"right":
+              "SELECT DISTINCT (eid * 17) % 10000 AS rk FROM stress_events WHERE eid < 1000",
+              "leftOn": "k", "rightOn": "rk"}},
+            {"code": {"language": "sql", "code":
+              "SELECT count(*) AS n FROM __input WHERE k >= 0"}}],
+          "loader": {"memory": {}} }""",
+        // mergeable checksum at a users-∝-N grain: ONE hash agg with
+        // map-side combine, exchange carries (grain, 3 longs); the
+        // merge re-aggregates the GRAIN table (never the rows again)
+        "checksum_grain" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"checksum": {"fields": ["eid", "t", "kind"], "groupBy": "user_id"}},
+            {"checksummerge": {}},
+            {"code": {"language": "sql", "code":
+              "SELECT n_rows FROM __input WHERE xor64 IS NOT NULL"}}],
+          "loader": {"memory": {}} }""",
         "etl_lateral" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
           "transformers": [
@@ -758,7 +785,8 @@ object ScaleStress {
                "interval_join" | "funnel_steps" | "auc_rank" |
                "survival_curve" | "changepoint_cusum" |
                "link_predict" | "freq_pairs" | "event_paths" |
-               "cumulate_run" | "percent_rank" => 10000L * factor
+               "cumulate_run" | "percent_rank" | "bloom_semi" |
+               "checksum_grain" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }
