@@ -3635,6 +3635,24 @@ object SparkEntry {
         .select("doc_id", "n_info_tokens", "info_bits", "bits_per_token")
         .orderBy("doc_id")
     },
+    "perplexity_filter" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // bigram CROSS-entropy vs a reference corpus (every 7th doc) —
+      // the KenLM/CCNet quality-filter posture: counts from the TARGET
+      // model, add-one smoothing over the target vocabulary V for
+      // unseen transitions; bits stay pure integers
+      // (L(c_pre+V) − L(c_bg+1)), hash-exact vs the mirrored DuckDB
+      // arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"tokeninfo": {"idField": "doc_id",
+          "field": "text", "n": 2,
+          "target": "SELECT text FROM documents WHERE doc_id % 7 = 0"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "n_info_tokens", "info_bits", "bits_per_token")
+        .orderBy("doc_id")
+    },
     "tokeninfo" -> { (s, dir) =>
       val c = ctx(s, dir)
       // corpus self-information score: integer bits per token
@@ -6876,6 +6894,21 @@ object SparkEntry {
        "d AS (SELECT bg.doc_id, count(*) AS nt, " +
        "CAST(sum(length(bin(cp.cpre // cb.cbg))) AS BIGINT) AS bits " +
        "FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) GROUP BY 1) " +
+       "SELECT doc.doc_id, CAST(coalesce(d.nt, 0) AS BIGINT) AS n_info_tokens, " +
+       "CAST(coalesce(d.bits, 0) AS BIGINT) AS info_bits, " +
+       "CASE WHEN coalesce(d.nt, 0) > 0 THEN CAST(d.bits AS DOUBLE) / d.nt END AS bits_per_token " +
+       "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id ORDER BY doc.doc_id"),
+    "perplexity_filter" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l FROM documents), " +
+       "bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM t WHERE len(l) >= 2), " +
+       "tt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS l FROM documents WHERE doc_id % 7 = 0), " +
+       "tbg AS (SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM tt WHERE len(l) >= 2), " +
+       "cb AS (SELECT w1, w2, count(*) AS cbg FROM tbg GROUP BY 1, 2), " +
+       "cp AS (SELECT w1, count(*) AS cpre FROM tbg GROUP BY 1), " +
+       "v AS (SELECT count(DISTINCT u) AS vv FROM (SELECT unnest(l) AS u FROM tt)), " +
+       "d AS (SELECT bg.doc_id, count(*) AS nt, " +
+       "CAST(sum(length(bin(coalesce(cp.cpre, 0) + v.vv)) - length(bin(coalesce(cb.cbg, 0) + 1))) AS BIGINT) AS bits " +
+       "FROM bg LEFT JOIN cb USING (w1, w2) LEFT JOIN cp USING (w1) CROSS JOIN v GROUP BY 1) " +
        "SELECT doc.doc_id, CAST(coalesce(d.nt, 0) AS BIGINT) AS n_info_tokens, " +
        "CAST(coalesce(d.bits, 0) AS BIGINT) AS info_bits, " +
        "CASE WHEN coalesce(d.nt, 0) > 0 THEN CAST(d.bits AS DOUBLE) / d.nt END AS bits_per_token " +

@@ -954,6 +954,16 @@ object TextStages {
     * continuations scores low bits/token, garbled or rare-transition
     * text scores high).
     *
+    * `target` (table name or SELECT, optional; `targetField` defaults
+    * to `field`): score against a REFERENCE corpus's model instead of
+    * the stream's own — the KenLM/CCNet quality-filter posture ("how
+    * Wikipedia-like is this page"), cross-entropy where self mode is
+    * entropy. Unseen n-grams force add-one smoothing over the target
+    * vocabulary V: n=1 `bits = L(N_t + V) − L(c_t(tok) + 1)`, n=2
+    * `bits = L(c_t(w1·) + V) − L(c_t(w1 w2) + 1)` with L(x) =
+    * floor(log2 x)+1 — still pure integer arithmetic, still
+    * monotone-correct (c_bg ≤ c_pre ⇒ bits ≥ 0), oracle-exact.
+    *
     * Scale shape: tokenize+explode → corpus term counts (ONE hash agg,
     * map-side combine) → join counts on term (vocabulary-keyed: AQE
     * broadcasts small vocabularies, shuffle-hash otherwise — vocab
@@ -969,28 +979,78 @@ object TextStages {
       val order = spec.int("n", 1)
       require(order == 1 || order == 2,
         s"tokeninfo: n must be 1 (unigram) or 2 (bigram), got $order")
-      val perDoc = if (order == 1) {
-        val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
-          .where(col("__tok") =!= "")
-        val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
-        val total = toks.agg(count(lit(1)).as("__n"))
-        toks.join(counts, "__tok").crossJoin(total)
-          .withColumn("__bits", length(bin(expr("__n div __cnt"))).cast("long"))
-          .groupBy("__id")
-          .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
-      } else {
-        val tarr = filter(tokens(f), t => t =!= "")
-        val win = greatest(size(tarr) - 1, lit(0))
-        val bgs = zip_with(slice(tarr, lit(1), win), slice(tarr, lit(2), win),
+      val tgtOpt = spec.str("target").map(ctx.tableOrSql)
+      val tgtF = spec.strOr("targetField", spec.strOr("field", "text"))
+      tgtOpt.foreach(t => require(t.columns.contains(tgtF),
+        s"tokeninfo: target has no column '$tgtF'"))
+      def tgtCol(t: DataFrame): Column = {
+        val c = t(tgtF)
+        if (spec.bool("lowercase", dflt = true)) lower(c) else c
+      }
+      def L(c: Column) = length(bin(c)).cast("long")
+      def bigramsOf(arr: Column): Column = {
+        val win = greatest(size(arr) - 1, lit(0))
+        zip_with(slice(arr, lit(1), win), slice(arr, lit(2), win),
           (a, b) => struct(a.as("w1"), b.as("w2")))
-        val stream = df.select(col(id).as("__id"), explode(bgs).as("__bg"))
-          .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
-        val cntBg = stream.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cbg"))
-        val cntPre = stream.groupBy("__w1").agg(count(lit(1)).as("__cpre"))
-        stream.join(cntBg, Seq("__w1", "__w2")).join(cntPre, Seq("__w1"))
-          .withColumn("__bits", length(bin(expr("__cpre div __cbg"))).cast("long"))
-          .groupBy("__id")
-          .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+      }
+      val perDoc = (order, tgtOpt) match {
+        case (1, None) =>
+          val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
+            .where(col("__tok") =!= "")
+          val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+          val total = toks.agg(count(lit(1)).as("__n"))
+          toks.join(counts, "__tok").crossJoin(total)
+            .withColumn("__bits", length(bin(expr("__n div __cnt"))).cast("long"))
+            .groupBy("__id")
+            .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+        case (1, Some(tgt)) =>
+          // cross-entropy vs the reference unigram model, add-one
+          // smoothed over the reference vocabulary V
+          val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
+            .where(col("__tok") =!= "")
+          val tCnt = tgt.select(explode(tokens(tgtCol(tgt))).as("__tok"))
+            .where(col("__tok") =!= "")
+            .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+          val totals = tCnt.agg(coalesce(sum("__cnt"), lit(0L)).as("__nt"),
+            count(lit(1)).as("__v"))
+          toks.join(tCnt, Seq("__tok"), "left").crossJoin(broadcast(totals))
+            .withColumn("__bits",
+              L(col("__nt") + col("__v")) -
+                L(coalesce(col("__cnt"), lit(0L)) + 1))
+            .groupBy("__id")
+            .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+        case (2, None) =>
+          val stream = df.select(col(id).as("__id"),
+              explode(bigramsOf(filter(tokens(f), t => t =!= ""))).as("__bg"))
+            .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+          val cntBg = stream.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cbg"))
+          val cntPre = stream.groupBy("__w1").agg(count(lit(1)).as("__cpre"))
+          stream.join(cntBg, Seq("__w1", "__w2")).join(cntPre, Seq("__w1"))
+            .withColumn("__bits", length(bin(expr("__cpre div __cbg"))).cast("long"))
+            .groupBy("__id")
+            .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
+        case (_, Some(tgt)) =>
+          // bigram cross-entropy vs the reference LM (the KenLM-filter
+          // posture) — counts from the TARGET, smoothing vocabulary =
+          // the target's distinct unigrams
+          val stream = df.select(col(id).as("__id"),
+              explode(bigramsOf(filter(tokens(f), t => t =!= ""))).as("__bg"))
+            .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+          val tToks = tgt.select(filter(tokens(tgtCol(tgt)), t => t =!= "").as("__ta"))
+          val tStream = tToks.select(explode(bigramsOf(col("__ta"))).as("__bg"))
+            .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+          val cntBg = tStream.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cbg"))
+          val cntPre = tStream.groupBy("__w1").agg(count(lit(1)).as("__cpre"))
+          val vTot = tToks.select(explode(col("__ta")).as("__t"))
+            .agg(count_distinct(col("__t")).as("__v"))
+          stream.join(cntBg, Seq("__w1", "__w2"), "left")
+            .join(cntPre, Seq("__w1"), "left")
+            .crossJoin(broadcast(vTot))
+            .withColumn("__bits",
+              L(coalesce(col("__cpre"), lit(0L)) + col("__v")) -
+                L(coalesce(col("__cbg"), lit(0L)) + 1))
+            .groupBy("__id")
+            .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
       }
       df.join(perDoc, col(id) === col("__id"), "left").drop("__id")
         .withColumn("n_info_tokens", coalesce(col("n_info_tokens"), lit(0L)))

@@ -1641,6 +1641,28 @@ class LlmStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("n must be 1"), e.getMessage)
   }
 
+  test("tokeninfo target: cross-entropy bits vs a reference model, add-one smoothed") {
+    // target corpus "a b a c": bigrams (a b)=1, (b a)=1, (a c)=1;
+    // prefixes a.=2, b.=1; vocab V = 3 (a, b, c)
+    Seq(Tuple1("a b a c")).toDF("text").createOrReplaceTempView("ti_ref")
+    val df = Seq((1L, "a b"), (2L, "a z")).toDF("doc_id", "text")
+    val out = stage("tokeninfo", "n" -> 2, "target" -> "ti_ref")(df)
+      .select("doc_id", "n_info_tokens", "info_bits")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1 (a b): L(cpre(a)+V) - L(cbg(a,b)+1) = L(5) - L(2) = 3 - 2 = 1
+    // doc 2 (a z): unseen bigram -> L(2+3) - L(0+1) = 3 - 1 = 2
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+    // unigram target mode: N_t = 4, V = 3 -> seen 'a' (c=2): L(7)-L(3) = 3-2 = 1;
+    // unseen 'z': L(7)-L(1) = 3-1 = 2
+    val u = stage("tokeninfo", "target" -> "ti_ref")(
+      Seq((1L, "a z")).toDF("doc_id", "text"))
+      .select("info_bits").as[Long].head()
+    assert(u == 3L) // 1 (a) + 2 (z)
+    // a target lacking the field fails loud
+    assert(intercept[Exception](stage("tokeninfo",
+      "target" -> "SELECT 1 AS x")(df)).getMessage.contains("no column"))
+  }
+
   // --------------------------------------------------------- wordfilter
   test("wordfilter: whole-token hits, ratio, filter actions, guards") {
     val df = Seq((1L, "the BIG bad wolf"), (2L, "clean text"),
