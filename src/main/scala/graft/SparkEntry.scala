@@ -3459,6 +3459,29 @@ object SparkEntry {
         .select(col("doc_id"), col("link_pos"), col("href"), col("anchor"))
         .orderBy("doc_id", "link_pos")
     },
+    "anchor_text" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the web-corpus ANCHOR-TEXT signal, end-to-end: pages carry
+      // relative links with anchor text, htmllinks explodes (href,
+      // anchor) pairs, urlresolve absolutizes each against its page's
+      // base, then one aggregation per TARGET collects in-link count,
+      // distinct linking pages, and the sorted anchor bag (joined to a
+      // string — list columns crash the driver compare). Oracle
+      // regenerates the same arithmetic.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('https://t', cast(doc_id % 7 as string), '.ex.com/dir/page.html') AS base_url, concat('<html><body><a href=\\"/p', cast(doc_id % 50 as string), '\\">go ', cast(doc_id % 5 as string), '</a></body></html>') AS html FROM __input"}},
+          {"htmllinks": {"field": "html"}},
+          {"urlresolve": {"baseField": "base_url", "refField": "href",
+            "outputField": "target"}},
+          {"code": {"language": "sql", "code":
+            "SELECT target, count(*) AS n_links, count(DISTINCT doc_id) AS n_sources, array_join(array_sort(collect_list(anchor)), '|') AS anchors FROM __input GROUP BY target"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("target")
+    },
     "crawl_frontier" -> { (s, dir) =>
       val c = ctx(s, dir)
       // the crawl composition: htmllinks explodes RELATIVE hrefs out of
@@ -6700,6 +6723,13 @@ object SparkEntry {
        "FROM n, UNNEST(range(nl)) AS t(j)) " +
        "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href, anchor " +
        "FROM links ORDER BY doc_id, link_pos"),
+    "anchor_text" ->
+      ("WITH l AS (SELECT doc_id, " +
+       "'https://t' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/p' || CAST(doc_id % 50 AS VARCHAR) AS target, " +
+       "'go ' || CAST(doc_id % 5 AS VARCHAR) AS anchor FROM documents) " +
+       "SELECT target, count(*) AS n_links, count(DISTINCT doc_id) AS n_sources, " +
+       "array_to_string(list_sort(list(anchor)), '|') AS anchors " +
+       "FROM l GROUP BY target ORDER BY target"),
     "crawl_frontier" ->
       ("WITH l AS (SELECT doc_id, 0 AS link_pos, " +
        "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/a/up' || CAST(doc_id AS VARCHAR) AS frontier " +
