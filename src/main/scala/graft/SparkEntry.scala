@@ -4250,6 +4250,24 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("bright"))
         .orderBy("media_id", "frame_idx")
     },
+    "scene_cuts" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // scene-cut detection END-TO-END: every frame of every MJPEG
+      // track pixel-decodes (step 1), then one keyed lag window flags
+      // brightness flips — the fixture alternates bright/dark per
+      // frame, so cuts = frames − 1 and the first cut sits at index 1,
+      // all recomputable by the oracle from the plant arithmetic while
+      // the engine must recover it from real JPEG bytes
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/mjpeg_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"mm_frame_decode": {"idField": "media_id", "step": 1}},
+          {"code": {"language": "sql", "code":
+            "SELECT media_id, count(*) AS n_frames, CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts, CAST(min(CASE WHEN cut THEN frame_idx END) AS BIGINT) AS first_cut FROM (SELECT media_id, frame_idx, bright != lag(bright) OVER (PARTITION BY media_id ORDER BY frame_idx) AS cut FROM __input) GROUP BY media_id"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("media_id")
+    },
     "mm_phash_dedup" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // image near-dup end-to-end: REAL pixel decode → 64-bit
@@ -7083,6 +7101,10 @@ object SparkEntry {
        "FROM documents d CROSS JOIN generate_series(0, 7, 2) AS g(i) " +
        "WHERE g.i < 3 + d.doc_id % 6 " +
        "ORDER BY media_id, frame_idx"),
+    "scene_cuts" ->
+      ("SELECT d.doc_id AS media_id, CAST(3 + d.doc_id % 6 AS BIGINT) AS n_frames, " +
+       "CAST(2 + d.doc_id % 6 AS BIGINT) AS n_cuts, CAST(1 AS BIGINT) AS first_cut " +
+       "FROM documents d ORDER BY media_id"),
     // the planted-partner arithmetic (MediaFixtures.phashPattern): the
     // engine must recover each (id-1, id) pair from real PNG pixels;
     // rows_match kills false pairs, so no hash values need expressing
