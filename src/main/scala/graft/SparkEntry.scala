@@ -3762,6 +3762,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
     },
+    "neardup_keepbest" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // quality-aware canonical selection: the HIGHEST-n_chars member
+      // of each near-dup component survives (smallest id on ties) —
+      // the RefinedWeb keep-the-best-copy posture. Oracle: the same
+      // recursive transitive closure, keeper = no reachable member
+      // with a better (score, id) key.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT * FROM input WHERE doc_id < 250"}},
+          {"neardupdedup": {"idField": "doc_id", "field": "text",
+            "mode": "exact", "shingleSize": 3, "threshold": 0.5,
+            "scoreField": "n_chars"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    },
     "neardup_dedup_lsh" -> { (s, dir) =>
       val c = ctx(s, dir)
       // the scale path: banded-LSH pairs feed the same component pass.
@@ -6810,6 +6828,21 @@ object SparkEntry {
       "UNION SELECT r.src, s2.b AS dst FROM reach r JOIN sym s2 ON r.dst = s2.a) " +
       "SELECT doc_id, lang, source, n_chars FROM documents d WHERE doc_id < 250 " +
       "AND NOT EXISTS (SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id) " +
+      "ORDER BY doc_id"
+    },
+    "neardup_keepbest" -> {
+      val sh = shingles("documents")
+      s"WITH RECURSIVE s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 250), " +
+      "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5), " +
+      "sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), " +
+      "reach(src, dst) AS (SELECT a AS src, b AS dst FROM sym " +
+      "UNION SELECT r.src, s2.b AS dst FROM reach r JOIN sym s2 ON r.dst = s2.a) " +
+      "SELECT doc_id, lang, source, n_chars FROM documents d WHERE doc_id < 250 " +
+      "AND NOT EXISTS (SELECT 1 FROM reach r JOIN documents m ON m.doc_id = r.dst " +
+      "WHERE r.src = d.doc_id AND (m.n_chars > d.n_chars OR " +
+      "(m.n_chars = d.n_chars AND m.doc_id < d.doc_id))) " +
       "ORDER BY doc_id"
     },
     "substring_spans" -> (substringSpanCte(4) +

@@ -571,15 +571,27 @@ object DedupStages {
   }
 
   /** `neardupdedup` transformer: DROP near-duplicate documents, keeping
-    * the minimum-id document per connected component of the near-dup
-    * pair graph (transitive: A≈B and B≈C drops both B and C even when
-    * A,C aren't directly similar). Documents in no pair pass through.
+    * ONE document per connected component of the near-dup pair graph
+    * (transitive: A≈B and B≈C drops both B and C even when A,C aren't
+    * directly similar). Documents in no pair pass through.
+    *
+    * Canonical selection: minimum id by default; with `scoreField` set
+    * (numeric), the HIGHEST-scoring member survives instead (smallest
+    * id on ties, NULL scores lose to any real score) — the
+    * RefinedWeb/C4 posture of keeping the best-quality copy of a
+    * duplicate cluster (longest / highest quality score / most recent)
+    * rather than an arbitrary one.
     *
     * Pair generation: `mode: "minhash"` (default — banded LSH, the
     * scale path) or `"exact"` (all-pairs exact Jaccard — the
     * oracle-checkable verification path, O(N²): small inputs only).
     * Options: those of [[minhash]]/[[ngramJaccard]] plus `maxIter`
-    * (component propagation cap, default 12). */
+    * (component propagation cap, default 12) and `scoreField`.
+    *
+    * Scale shape of the selection: every frame after pair generation is
+    * PAIR-GRAPH-sized (members of at least one near-dup pair), never
+    * the corpus — the score fetch is one id-keyed join, the argmax two
+    * component-keyed aggregations. */
   def neardupDedup(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "doc_id")
@@ -591,8 +603,30 @@ object DedupStages {
       }).select("a", "b")
       val comps = connectedComponents(pairs, spec.int("maxIter", 12),
         graft.stages.Stages.checkpointerOf(spec, ctx))
-      val losers = comps.where(col("id") =!= col("comp"))
-        .select(col("id").as("__drop"))
+      val losers = spec.str("scoreField") match {
+        case None => comps.where(col("id") =!= col("comp"))
+          .select(col("id").as("__drop"))
+        case Some(sf) =>
+          require(df.columns.contains(sf), s"neardupdedup: no column '$sf'")
+          require(df.schema(sf).dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType],
+            s"neardupdedup: scoreField '$sf' must be numeric, is " +
+            df.schema(sf).dataType.simpleString)
+          // ids are opaque (any orderable type) — argmax in two
+          // component-keyed aggregations instead of a typed struct-max
+          val scored = comps.join(
+            df.select(col(id).as("__sid"),
+              coalesce(col(sf).cast("double"),
+                lit(Double.NegativeInfinity)).as("__sc")),
+            col("id") === col("__sid")).drop("__sid")
+          val best = scored.groupBy(col("comp").as("__bc"))
+            .agg(max("__sc").as("__bs"))
+          val winners = scored.join(best,
+              col("comp") === col("__bc") && col("__sc") === col("__bs"))
+            .groupBy(col("comp").as("__wc")).agg(min(col("id")).as("__keep"))
+          scored.join(winners, col("comp") === col("__wc"))
+            .where(col("id") =!= col("__keep")).select(col("id").as("__drop"))
+      }
       df.join(losers, col(id) === col("__drop"), "left_anti")
     }
 

@@ -156,6 +156,20 @@ class LlmStagesSpec extends SparkSpec {
       val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
       assert(kept == Seq(1L, 4L, 5L), s"mode=$mode kept $kept")
     }
+    // keepBest: with a quality score the HIGHEST-scoring member of each
+    // component survives instead of the min id (ties -> smaller id;
+    // null scores lose; unpaired docs keep their null score untouched)
+    val scored = df.withColumn("q",
+      when(col("doc_id") === 2, 9.0)            // chain winner
+        .when(col("doc_id") === 5, 3.0).when(col("doc_id") === 6, 3.0) // tie
+        .when(col("doc_id") === 4, lit(null).cast("double"))  // unpaired null
+        .otherwise(1.0))
+    val best = stage("neardupdedup", "mode" -> "exact", "threshold" -> 0.6,
+      "scoreField" -> "q")(scored)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(best == Seq(2L, 4L, 5L), s"keepBest kept $best")
+    assert(intercept[Exception](stage("neardupdedup", "mode" -> "exact",
+      "scoreField" -> "text")(df)).getMessage.contains("must be numeric"))
   }
 
   test("connectedComponents: chain converges to the min label") {
