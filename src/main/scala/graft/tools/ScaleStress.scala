@@ -273,7 +273,7 @@ object ScaleStress {
       "link_predict", "freq_pairs", "event_paths",
       "line_dedup", "auc_rank", "topo_layers", "survival_curve",
       "changepoint_cusum", "collocations_win", "cumulate_run",
-      "percent_rank", "bloom_semi", "checksum_grain")
+      "percent_rank", "bloom_semi", "checksum_grain", "kll_grain")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -751,6 +751,19 @@ object ScaleStress {
             {"code": {"language": "sql", "code":
               "SELECT count(*) AS n FROM __input WHERE k >= 0"}}],
           "loader": {"memory": {}} }""",
+        // mergeable KLL rollup: per-grain sketch (ObjectHashAggregate,
+        // map-side partials — each task ships one ~3 KB sketch) then a
+        // 64-row merge; must track the scan, never buffer values
+        "kll_grain" -> s"""{
+          "source": {"file": {"path": "$events"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT user_id % 64 AS grain, t FROM __input"}},
+            {"kllsketch": {"field": "t", "groupBy": "grain"}},
+            {"kllmerge": {"probs": [0.5, 0.99]}},
+            {"code": {"language": "sql", "code":
+              "SELECT n_values FROM __input WHERE p50 IS NOT NULL"}}],
+          "loader": {"memory": {}} }""",
         // mergeable checksum at a users-∝-N grain: ONE hash agg with
         // map-side combine, exchange carries (grain, 3 longs); the
         // merge re-aggregates the GRAIN table (never the rows again)
@@ -786,7 +799,7 @@ object ScaleStress {
                "survival_curve" | "changepoint_cusum" |
                "link_predict" | "freq_pairs" | "event_paths" |
                "cumulate_run" | "percent_rank" | "bloom_semi" |
-               "checksum_grain" => 10000L * factor
+               "checksum_grain" | "kll_grain" => 10000L * factor
           case "hamming_pairs" => 20000L * factor
           case _ => n
         }

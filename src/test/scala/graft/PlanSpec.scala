@@ -877,4 +877,36 @@ class PlanSpec extends SparkSpec {
     assert(ldPlan.contains("BroadcastHashJoin"),
       s"linededup: duplicate table joins broadcast:\n$ldPlan")
   }
+
+  test("kllsketch/topksketch/checksum: ONE aggregation with map-side partials") {
+    import org.apache.spark.sql.functions.expr
+    val ctx = newCtx()
+    val li = ctx.table("lineitem").select(expr("l_returnflag"),
+      expr("l_quantity"), expr("l_orderkey"))
+    // sketch aggregates run in ObjectHashAggregate with a partial pass:
+    // each task reduces its slice to one sketch BEFORE the exchange —
+    // the property that makes a 100 TB rollup one scan
+    val kllPlan = planOf(graft.stages.StatStages.kllSketch(
+      graft.spec.ComponentSpec("kllsketch",
+        Map("field" -> "l_quantity", "groupBy" -> "l_returnflag")), ctx)(li))
+    assert(kllPlan.contains("ObjectHashAggregate") &&
+      "partial_graft_kll_agg".r.findAllIn(kllPlan).nonEmpty,
+      s"kllsketch: map-side partial sketch aggregation expected:\n$kllPlan")
+    val fqPlan = planOf(graft.stages.StatStages.topkSketch(
+      graft.spec.ComponentSpec("topksketch",
+        Map("itemField" -> "l_returnflag")), ctx)(li))
+    assert(fqPlan.contains("ObjectHashAggregate") &&
+      "partial_graft_freq_agg".r.findAllIn(fqPlan).nonEmpty,
+      s"topksketch: map-side partial sketch aggregation expected:\n$fqPlan")
+    // checksum is plain HashAggregate (codegen'd long/decimal state),
+    // still with a partial pass and no extra exchange
+    val ckPlan = planOf(graft.stages.StatStages.checksum(
+      graft.spec.ComponentSpec("checksum",
+        Map("groupBy" -> "l_returnflag")), ctx)(li))
+    // AQE prints Initial + Final plan sections, so every physical node
+    // appears twice: ONE real exchange == at most 2 string occurrences
+    assert("partial_bit_xor".r.findAllIn(ckPlan).nonEmpty &&
+      "Exchange".r.findAllIn(ckPlan).size <= 2,
+      s"checksum: one exchange, partial aggregation:\n$ckPlan")
+  }
 }
