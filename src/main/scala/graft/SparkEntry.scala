@@ -3902,6 +3902,24 @@ object SparkEntry {
         "loader": {"memory": {}} }""")
         .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
     },
+    "similarity_cross" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // CROSS-TABLE brute-force ANN: fresh queries (one table) search a
+      // reference corpus (another) — self-exclusion off because the id
+      // namespaces differ. Query and base sides here are disjoint
+      // slices of embeddings, so the oracle is a plain windowed top-k.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/embeddings.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command":
+            "SELECT vec_id, embedding FROM input WHERE vec_id >= 50"}},
+          {"similarity": {"idField": "vec_id", "field": "embedding",
+            "k": 5, "queryTable":
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10"}}],
+        "loader": {"memory": {}} }""")
+        .select("q_id", "n_id", "rank").orderBy("q_id", "rank")
+    },
     "similarity_lsh" -> { (s, dir) =>
       // recall < 1 by design, so the driver row is a deterministic
       // VERDICT table: recall@5 of the SRP-LSH path vs the brute-force
@@ -7060,6 +7078,14 @@ object SparkEntry {
       "CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.6 " +
       "ORDER BY a, b"
     },
+    "similarity_cross" -> (
+      "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10), " +
+      "b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 50), " +
+      "scored AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_dot_product(q.e, b.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))) DESC, " +
+      "b.vec_id ASC) AS rank FROM q, b) " +
+      "SELECT q_id, n_id, rank FROM scored WHERE rank <= 5 ORDER BY q_id, rank"),
     "similarity_topk" -> (
       "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20), " +
       "b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +

@@ -133,7 +133,7 @@ object SimilarityStages {
     * never shuffles for scoring; the only exchange is the Q×k-sized
     * top-k aggregation. */
   def topk(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
-           k: Int): DataFrame = {
+           k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.ensure(queries.sparkSession)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
@@ -142,7 +142,11 @@ object SimilarityStages {
     // join adds none) — see [[spread]]
     val b = spread(base.select(col(idCol).as("n_id"), col(vecCol).as("__bv"))
       .withColumn("__bn", norm(col("__bv"))))
-    val scored = b.join(q, col("q_id") =!= col("n_id"))
+    // self-exclusion only makes sense when query and base ids share a
+    // namespace (same-table search); a CROSS-TABLE search must not drop
+    // coincidentally-equal ids
+    val cond = if (excludeSelf) col("q_id") =!= col("n_id") else lit(true)
+    val scored = b.join(q, cond)
       .select(col("q_id"), col("n_id"),
         cosine(col("__qv"), col("__bv"), col("__qn"), col("__bn")).as("cosine"))
     rankTopK(scored, k)
@@ -151,20 +155,39 @@ object SimilarityStages {
   /** `similarity` transformer — brute-force top-k. Options: `idField`
     * (default vec_id), `field` (default embedding), `k` (default 10),
     * `queryIds` (optional list restricting the query side; default: all
-    * rows are queries — use `queryFilter` SQL for a predicate). */
+    * rows are queries — use `queryFilter` SQL for a predicate).
+    *
+    * `queryTable` (table name or SELECT, optional): CROSS-TABLE search
+    * — queries come from another table (e.g. fresh documents searching
+    * a reference corpus) instead of the stream itself.
+    * `queryIdField`/`queryVecField` default to `idField`/`field`;
+    * `queryFilter` applies to the query table BEFORE renaming.
+    * Self-exclusion is disabled (ids live in different namespaces). */
   def similarity(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       val id = spec.strOr("idField", "vec_id")
       val vec = spec.strOr("field", "embedding")
       val k = spec.int("k", 10)
-      val queries = spec.str("queryFilter") match {
-        case Some(f) => df.where(f)
-        case None => spec.strList("queryIds") match {
-          case Nil => df
-          case ids => df.where(col(id).isInCollection(ids.map(_.toLong)))
-        }
+      spec.str("queryTable") match {
+        case Some(qt) =>
+          val q0 = ctx.tableOrSql(qt)
+          val qid = spec.strOr("queryIdField", id)
+          val qv = spec.strOr("queryVecField", vec)
+          Seq(qid, qv).foreach(c => require(q0.columns.contains(c),
+            s"similarity: queryTable has no column '$c'"))
+          val q1 = spec.str("queryFilter").map(q0.where).getOrElse(q0)
+            .select(col(qid).as(id), col(qv).as(vec))
+          topk(q1, df, id, vec, k, excludeSelf = false)
+        case None =>
+          val queries = spec.str("queryFilter") match {
+            case Some(f) => df.where(f)
+            case None => spec.strList("queryIds") match {
+              case Nil => df
+              case ids => df.where(col(id).isInCollection(ids.map(_.toLong)))
+            }
+          }
+          topk(queries, df, id, vec, k)
       }
-      topk(queries, df, id, vec, k)
     }
 
   // ----------------------------------------------------------- SRP-LSH

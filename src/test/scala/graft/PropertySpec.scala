@@ -361,4 +361,54 @@ class PropertySpec extends SparkSpec {
         s"case $i: gini depends on row order")
     }
   }
+
+  test("checksum: any shard partition merges to the whole-table triple (8 cases)") {
+    // the merge LAW behind the migration-validation contract: for a
+    // random table and a RANDOM partition into 1..5 shards, per-shard
+    // checksums merged must equal the whole-table checksum exactly
+    val rowGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 50L), Gen.option(Gen.alphaNumStr.map(_.take(6)))))
+      .map(_.take(40))
+    for ((rows, i) <- samples(rowGen, 8).zipWithIndex) {
+      val nShards = i % 5 + 1
+      val df = rows.zipWithIndex
+        .map { case ((a, b), j) => (j % nShards, a, b.orNull) }
+        .toDF("shard", "a", "b")
+      def triple(d: org.apache.spark.sql.DataFrame) =
+        d.select("n_rows", "xor64", "sum_mod")
+          .as[(Long, Long, String)].head()
+      val whole = triple(graft.stages.StatStages.checksum(
+        ComponentSpec("checksum", Map("fields" -> Seq("a", "b"))),
+        newCtx())(df))
+      val merged = triple(graft.stages.StatStages.checksumMerge(
+        ComponentSpec("checksummerge", Map()), newCtx())(
+        graft.stages.StatStages.checksum(ComponentSpec("checksum",
+          Map("fields" -> Seq("a", "b"), "groupBy" -> "shard")),
+          newCtx())(df)))
+      assert(merged == whole, s"case $i shards=$nShards")
+    }
+  }
+
+  test("kll: n is exact and quantiles within-range under random shardings (6 cases)") {
+    val valGen = Gen.nonEmptyListOf(Gen.choose(-1000, 1000)).map(_.take(60))
+    for ((vals, i) <- samples(valGen, 6).zipWithIndex) {
+      val nShards = i % 4 + 1
+      val df = vals.zipWithIndex
+        .map { case (v, j) => (j % nShards, v.toDouble) }.toDF("shard", "v")
+      val merged = graft.stages.StatStages.kllMerge(
+        ComponentSpec("kllmerge", Map("probs" -> Seq(0.0, 0.5, 1.0))),
+        newCtx())(graft.stages.StatStages.kllSketch(
+          ComponentSpec("kllsketch", Map("field" -> "v",
+            "groupBy" -> "shard", "k" -> 256)), newCtx())(df))
+        .select("p0", "p50", "p100", "n_values")
+        .as[(Double, Double, Double, Long)].head()
+      assert(merged._4 == vals.size.toLong, s"case $i: n inexact")
+      // n <= k: no compaction, so min/max are EXACT and the median is a
+      // real element of the multiset
+      assert(merged._1 == vals.min.toDouble && merged._3 == vals.max.toDouble,
+        s"case $i: extremes drifted")
+      assert(vals.map(_.toDouble).contains(merged._2),
+        s"case $i: median ${merged._2} not an element")
+    }
+  }
 }
