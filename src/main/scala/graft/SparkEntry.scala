@@ -2594,6 +2594,44 @@ object SparkEntry {
           unix_micros(col("wstart")).as("w_us"), col("n_in_hour"))
         .orderBy("event_id", "w_us")
     },
+    "stream_distinct" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // streaming + mergeable sketch: per-window per-type distinct-user
+      // ESTIMATE where the HLL buffer is the streaming state (a few KB
+      // per window/key — exact count-distinct would buffer every user).
+      // HLL is deterministic (order-independent per-bucket max), so the
+      // verdict joins the batch-exact distinct and asserts the 5% bound
+      // (lgK 12 ≈ 1.6% ≈ 3 sigma); oracle = exact counts + literal true
+      Engine.registerCode("normalize_events_ts_sd")(df =>
+        graft.sources.Tables.normalizeTs(df, "ts"))
+      val q = graft.streaming.Streaming.run(c, graft.spec.PipelineSpec.parse(s"""{
+        "source": {"stream": {"path": "$dir", "format": "parquet",
+          "pathGlobFilter": "events.parquet",
+          "schema": "${graft.sources.Tables.rawSchemaDDL(s, dir, "events")}"}},
+        "transformers": [
+          {"code": {"ref": "normalize_events_ts_sd"}},
+          {"window_agg": {"tsField": "ts", "watermark": "1 hour",
+            "window": "1 hour", "groupBy": ["event_type"],
+            "aggs": ["distinct_est:user_id"]}}],
+        "loader": {"streamsink": {"format": "memory", "name": "stream_dist",
+          "outputMode": "complete", "trigger": "availableNow"}} }"""))
+      q.awaitTermination()
+      val est = s.table("stream_dist")
+        .select(col("window_start"), col("event_type"),
+          col("distinct_user_id"))
+      val exact = graft.sources.Tables
+        .normalizeTs(s.read.parquet(s"$dir/events.parquet"), "ts")
+        .groupBy(window(col("ts"), "1 hour").as("__w"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .select(col("__w.start").as("__ws"),
+          col("event_type").as("__et"), col("n_exact"))
+      est.join(exact, est("window_start") === col("__ws") &&
+          est("event_type") <=> col("__et"))
+        .select(est("window_start"), est("event_type"), col("n_exact"),
+          (abs(col("distinct_user_id") - col("n_exact")) <=
+            lit(0.05) * col("n_exact")).as("est_ok"))
+        .orderBy("window_start", "event_type")
+    },
     "stream_window" -> { (s, dir) =>
       val c = ctx(s, dir)
       // Structured Streaming end-to-end: file stream source → event-time
@@ -7174,6 +7212,10 @@ object SparkEntry {
     "stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type FROM events " +
        "ORDER BY user_id, event_type"),
+    "stream_distinct" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS est_ok " +
+       "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     "stream_throttle" ->
       ("WITH b AS (SELECT CAST(user_id % 20 AS VARCHAR) AS key, ts, event_id AS tie FROM events), " +
        "w AS (SELECT key, ts, tie, epoch_ms(ts) // 604800000 AS win FROM b), " +

@@ -132,6 +132,12 @@ object Streaming {
           case Array("avg", f) => avg(col(f)).as(s"avg_$f")
           case Array("min", f) => min(col(f)).as(s"min_$f")
           case Array("max", f) => max(col(f)).as(s"max_$f")
+          // mergeable-sketch distinct estimate per window: the HLL
+          // buffer IS the streaming state (a few KB per window/key),
+          // where exact count-distinct would buffer every value
+          case Array("distinct_est", f) =>
+            hll_sketch_estimate(hll_sketch_agg(col(f), lit(12)))
+              .as(s"distinct_$f")
           case other => sys.error(s"window_agg: unknown agg ${other.mkString(":")}")
         }
       }
