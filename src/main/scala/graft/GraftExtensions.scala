@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def dblLit(e: Expression, what: String): Double = e match {
     case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
     case Literal(v: Int, IntegerType) => v.toDouble
+    // SQL parses exact numeric literals (0.5) as DecimalType — the
+    // natural spelling graft_kll_quantile(s, 0.5) must work
+    case Literal(v: org.apache.spark.sql.types.Decimal,
+        _: org.apache.spark.sql.types.DecimalType) => v.toDouble
     case other => throw new org.apache.spark.sql.AnalysisException(
       errorClass = "INTERNAL_ERROR",
       messageParameters = Map("message" -> s"$what must be a double literal, got $other"))

@@ -568,6 +568,10 @@ object VectorExpressions {
       def dblLit(e: Expression, fn: String, what: String): Double = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, DoubleType) => v
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toDouble
+        // SQL parses exact numeric literals (0.5) as DecimalType
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.sql.types.Decimal,
+            _: org.apache.spark.sql.types.DecimalType) => v.toDouble
         case other => sys.error(s"$fn: $what must be a double literal, got $other")
       }
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -734,4 +738,19 @@ object VectorExpressions {
   def freqItems(sketch: Column, k: Int): Column =
     call_function("graft_freq_items", sketch,
       org.apache.spark.sql.functions.lit(k))
+
+  /** ONE xxhash64 over a null-position mask plus the columns — the
+    * shared row/key hash of `checksum` and `bloomjoin`. The mask is
+    * what disambiguates (null, x) from (x, null): Spark's hash
+    * functions fold null arguments as a no-op on the running state, so
+    * without it those tuples collide. At most 63 columns (one long of
+    * mask bits) — callers enforce with their own named error. */
+  def maskedRowHash(cols: Seq[Column]): Column = {
+    import org.apache.spark.sql.functions.{lit, when, xxhash64}
+    require(cols.nonEmpty && cols.size <= 63,
+      s"maskedRowHash: 1..63 columns required, got ${cols.size}")
+    val mask = cols.zipWithIndex.map { case (c, i) =>
+      when(c.isNull, lit(1L << i)).otherwise(lit(0L)) }.reduce(_ + _)
+    xxhash64(mask +: cols: _*)
+  }
 }

@@ -176,8 +176,15 @@ object SimilarityStages {
           Seq(qid, qv).foreach(c => require(q0.columns.contains(c),
             s"similarity: queryTable has no column '$c'"))
           val q1 = spec.str("queryFilter").map(q0.where).getOrElse(q0)
-            .select(col(qid).as(id), col(qv).as(vec))
-          topk(q1, df, id, vec, k, excludeSelf = false)
+          // queryIds applies to the QUERY TABLE here — silently ignoring
+          // it would top-k the whole table when a same-table config
+          // migrates to queryTable
+          val q2 = spec.strList("queryIds") match {
+            case Nil => q1
+            case ids => q1.where(col(qid).isInCollection(ids.map(_.toLong)))
+          }
+          topk(q2.select(col(qid).as(id), col(qv).as(vec)),
+            df, id, vec, k, excludeSelf = false)
         case None =>
           val queries = spec.str("queryFilter") match {
             case Some(f) => df.where(f)

@@ -136,8 +136,12 @@ object SetOps {
     *
     * Options: `right`, `on` or `leftOn`/`rightOn`, `nullSafe`, `mode`
     * (semi default), `fpp` (default 0.01), `expectedItems` (optional —
-    * derived from a bounded count of the distinct right keys when
-    * absent; an UNDERSIZED bloom stays correct, it just filters less).
+    * when absent, derived by COUNTING the persisted distinct right
+    * keys: one extra job at stage-build, but it materializes exactly
+    * the cache the sketch build and the exact join then reuse
+    * (freqpairs' persist-before-probe shape), so the right side still
+    * scans once; pin expectedItems to skip that job. An UNDERSIZED
+    * bloom stays correct, it just filters less).
     *
     * Scale shape: right keys project + distinct ONCE (persisted across
     * the sizing count, the sketch build and the exact join — run-scoped
@@ -168,14 +172,12 @@ object SetOps {
         s"bloomjoin: mode must be semi|anti, got '$mode'")
       val fpp = spec.str("fpp").map(_.toDouble).getOrElse(0.01)
       require(fpp > 0 && fpp < 1, s"bloomjoin: fpp must be in (0, 1), got $fpp")
-      // one long per key tuple; the null-position mask disambiguates
-      // (null, x) from (x, null) — xxhash64 folds null args as a no-op
-      def keyHash(cols: Seq[String], of: String => org.apache.spark.sql.Column) = {
-        val mask = cols.zipWithIndex.map { case (c, i) =>
-          when(of(c).isNull, lit(1L << i)).otherwise(lit(0L)) }
-          .reduce(_ + _)
-        xxhash64(mask +: cols.map(of): _*)
-      }
+      // one long per key tuple — the shared null-mask row hash (see
+      // VectorExpressions.maskedRowHash: disambiguates (null, x) from
+      // (x, null), which plain xxhash64 folds together)
+      require(lks.size <= 63, s"bloomjoin: at most 63 key columns, got ${lks.size}")
+      def keyHash(cols: Seq[String], of: String => org.apache.spark.sql.Column) =
+        graft.functions.VectorExpressions.maskedRowHash(cols.map(of))
       val rkeys = right.select(rks.map(col): _*).toDF(rks.map("__r_" + _): _*)
         .distinct().persist()
       ctx.registerPersisted(rkeys)

@@ -25,7 +25,10 @@ object StatStages {
     * surface the overflow as null, turned into a named error here. */
   private def spanOf(mx: Column, mn: Column, stage: String): Column = {
     val span = try_add(try_subtract(mx, mn), lit(1L))
-    when(span.isNull, raise_error(lit(
+    // raise ONLY on a real overflow: NULL min/max (an all-NULL field —
+    // legal input, every value lands in the null bucket) must keep its
+    // pre-guard NULL span, not a misleading 2^63 error
+    when(mx.isNotNull && mn.isNotNull && span.isNull, raise_error(lit(
       s"$stage: value span of the field exceeds 2^63 — min and max are " +
       "too far apart (sentinel values like Long.MinValue mixed with " +
       "real data?); shift or scale the field upstream"))).otherwise(span)
@@ -395,9 +398,7 @@ object StatStages {
       fields.foreach(f => require(df.columns.contains(f), s"checksum: no column '$f'"))
       require(fields.size <= 63,
         s"checksum: at most 63 fields (null mask is one long), got ${fields.size}")
-      val mask = fields.zipWithIndex.map { case (f, i) =>
-        when(col(f).isNull, lit(1L << i)).otherwise(lit(0L)) }.reduce(_ + _)
-      val rh = xxhash64(mask +: fields.map(col): _*)
+      val rh = graft.functions.VectorExpressions.maskedRowHash(fields.map(col))
       val aggs = Seq(
         count(lit(1)).as("n_rows"),
         expr("bit_xor(__rh)").as("xor64"),

@@ -1005,12 +1005,16 @@ object TextStages {
             .agg(count(lit(1)).as("n_info_tokens"), sum("__bits").as("info_bits"))
         case (1, Some(tgt)) =>
           // cross-entropy vs the reference unigram model, add-one
-          // smoothed over the reference vocabulary V
+          // smoothed over the reference vocabulary V. The count table
+          // is persisted: totals and the token join otherwise each
+          // re-tokenize the (possibly large) reference corpus
           val toks = df.select(col(id).as("__id"), explode(tokens(f)).as("__tok"))
             .where(col("__tok") =!= "")
           val tCnt = tgt.select(explode(tokens(tgtCol(tgt))).as("__tok"))
             .where(col("__tok") =!= "")
             .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+            .persist()
+          ctx.registerPersisted(tCnt)
           val totals = tCnt.agg(coalesce(sum("__cnt"), lit(0L)).as("__nt"),
             count(lit(1)).as("__v"))
           toks.join(tCnt, Seq("__tok"), "left").crossJoin(broadcast(totals))
@@ -1036,7 +1040,12 @@ object TextStages {
           val stream = df.select(col(id).as("__id"),
               explode(bigramsOf(filter(tokens(f), t => t =!= ""))).as("__bg"))
             .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+          // persist the reference token arrays: cntBg, cntPre and the
+          // vocabulary total otherwise EACH re-tokenize the reference
+          // corpus (three full scans of the large side per run)
           val tToks = tgt.select(filter(tokens(tgtCol(tgt)), t => t =!= "").as("__ta"))
+            .persist()
+          ctx.registerPersisted(tToks)
           val tStream = tToks.select(explode(bigramsOf(col("__ta"))).as("__bg"))
             .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
           val cntBg = tStream.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cbg"))

@@ -115,6 +115,13 @@ class StatsSpec extends SparkSpec {
     val kept = StatStages.kllMerge(ComponentSpec("kllmerge",
       Map("keepSketch" -> true)), ctx)(perShard)
     assert(kept.columns.toSeq == Seq("p50", "n_values", "kll_sketch_merged"))
+    // SQL surface: the natural decimal spelling 0.5 must work (SQL
+    // parses it as DecimalType, not Double — r17 review)
+    graft.functions.VectorExpressions.ensure(spark)
+    val sqlQ = spark.sql("SELECT graft_kll_quantile(" +
+      "graft_kll_agg(CAST(id AS DOUBLE), 200), 0.5) AS p50 FROM range(101)")
+      .as[Double].head()
+    assert(sqlQ == 50.0, s"SQL decimal-literal quantile: $sqlQ")
     // guards fail loud at plan time
     assert(intercept[IllegalArgumentException](StatStages.kllSketch(
       ComponentSpec("kllsketch", Map("field" -> "v", "k" -> 4)), ctx)(df))
@@ -658,6 +665,18 @@ class StatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(__bkt"),
       s"keyless integral percentrank must window by bucket:\n$plan")
+    // an all-NULL field is legal input: min/max aggregate to NULL and
+    // the span overflow guard must NOT fire (r17 review: spanOf raised
+    // its misleading 2^63 error on the NULL span)
+    val allNull = Seq(Option.empty[Long], Option.empty[Long]).toDF("v")
+    assert(StatStages.percentRank(ComponentSpec("percentrank",
+      Map("field" -> "v", "global" -> true)), ctx)(allNull).count() == 2)
+    // ...while a REAL 2^63 span fails loud with the named error
+    val wide = Seq(Long.MinValue, 1L).toDF("v")
+    val ov = intercept[Exception](StatStages.percentRank(ComponentSpec(
+      "percentrank", Map("field" -> "v", "global" -> true)), ctx)(wide)
+      .collect())
+    assert(ov.getMessage.contains("2^63"), ov.getMessage)
   }
 
   test("proportions: Wilson CI matches an independent computation; null ≠ trial") {
