@@ -141,6 +141,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HtmlLinkPairs(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_meta"),
+      info("graft_html_meta",
+        "graft_html_meta(html) - (key, content) structs for <meta> name/property/http-equiv and <link rel=canonical>, document order"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_html_meta", 1, exprs)
+        graft.functions.HtmlMetaPairs(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp_sig"),
       info("graft_srp_sig",
         "graft_srp_sig(vec, nBits, maxDim) - signed-random-projection LSH signature packed into a long"),

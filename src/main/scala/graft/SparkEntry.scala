@@ -3497,6 +3497,22 @@ object SparkEntry {
         .select(col("doc_id"), col("link_pos"), col("href"), col("anchor"))
         .orderBy("doc_id", "link_pos")
     },
+    "html_meta" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // page-metadata extraction: planted description (with an entity),
+      // og:title, canonical link; every 3rd page omits og:title (null
+      // column) — the oracle regenerates the decoded arithmetic
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('<html><head><meta name=\\"Description\\" content=\\"desc ', cast(doc_id % 9 as string), ' &amp; more\\">', CASE WHEN doc_id % 3 = 0 THEN '' ELSE concat('<meta property=\\"og:title\\" content=\\"T', cast(doc_id % 5 as string), '\\">') END, '<link rel=\\"canonical\\" href=\\"https://c.ex.com/p', cast(doc_id % 50 as string), '\\"></head><body>b</body></html>') AS html FROM __input"}},
+          {"htmlmeta": {"keys": ["description", "og:title", "canonical", "robots"]}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "description", "og_title", "canonical", "robots")
+        .orderBy("doc_id")
+    },
     "anchor_text" -> { (s, dir) =>
       val c = ctx(s, dir)
       // the web-corpus ANCHOR-TEXT signal, end-to-end: pages carry
@@ -6815,6 +6831,13 @@ object SparkEntry {
        "FROM n, UNNEST(range(nl)) AS t(j)) " +
        "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href, anchor " +
        "FROM links ORDER BY doc_id, link_pos"),
+    "html_meta" ->
+      ("SELECT doc_id, " +
+       "'desc ' || CAST(doc_id % 9 AS VARCHAR) || ' & more' AS description, " +
+       "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'T' || CAST(doc_id % 5 AS VARCHAR) END AS og_title, " +
+       "'https://c.ex.com/p' || CAST(doc_id % 50 AS VARCHAR) AS canonical, " +
+       "CAST(NULL AS VARCHAR) AS robots " +
+       "FROM documents ORDER BY doc_id"),
     "anchor_text" ->
       ("WITH l AS (SELECT doc_id, " +
        "'https://t' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/p' || CAST(doc_id % 50 AS VARCHAR) AS target, " +

@@ -108,6 +108,7 @@ object Engine {
     "urlnormalize"  -> graft.text.WebStages.urlnormalize _,
     "htmlextract"   -> graft.text.WebStages.htmlextract _,
     "htmllinks"     -> graft.text.WebStages.htmllinks _,
+    "htmlmeta"      -> graft.text.WebStages.htmlmeta _,
     "htmltables"    -> graft.text.WebStages.htmltables _,
     "normalizetext" -> graft.text.TextStages.normalizetext _,
     "groupcap"      -> graft.text.WebStages.groupcap _,

@@ -309,7 +309,132 @@ object Html {
     out
   }
 
+  /** Generic attribute scan from `start` (just past the tag name) to
+    * the closing '>': returns (lowercased name → entity-decoded value)
+    * for every `name="v"` / `name='v'` / `name=bare` attribute, plus
+    * the index after '>'. Valueless attributes map to "". */
+  private def scanAttrs(s: String, start: Int)
+      : (java.util.HashMap[String, String], Int) = {
+    val m = new java.util.HashMap[String, String]()
+    var i = start
+    val n = s.length
+    while (i < n) {
+      var c = s.charAt(i)
+      if (c == '>') return (m, i + 1)
+      if (c == '/' || Character.isWhitespace(c)) { i += 1 }
+      else {
+        // attribute name: letters/digits plus the -, :, _ of data-/og: attrs
+        var j = i
+        while (j < n && (Character.isLetterOrDigit(s.charAt(j)) ||
+          s.charAt(j) == '-' || s.charAt(j) == ':' || s.charAt(j) == '_')) j += 1
+        if (j == i) { i += 1 } // stray char
+        else {
+          val name = s.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+          i = j
+          while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+          if (i < n && s.charAt(i) == '=') {
+            i += 1
+            while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+            if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+              val q = s.charAt(i)
+              val end = s.indexOf(q, i + 1)
+              val raw = if (end < 0) s.substring(i + 1) else s.substring(i + 1, end)
+              val o = new Out
+              var k = 0
+              while (k < raw.length) {
+                if (raw.charAt(k) == '&') k = entity(raw, k, o)
+                else { o.ch(raw.charAt(k)); k += 1 }
+              }
+              m.putIfAbsent(name, o.toString)
+              i = if (end < 0) n else end + 1
+            } else { // bare value: to whitespace or '>'
+              val vStart = i
+              while (i < n && !Character.isWhitespace(s.charAt(i)) &&
+                s.charAt(i) != '>') i += 1
+              m.putIfAbsent(name, s.substring(vStart, i))
+            }
+          } else m.putIfAbsent(name, "")
+        }
+      }
+      if (i < n) { c = s.charAt(i); () }
+    }
+    (m, n)
+  }
+
+  /** Single-pass `<meta>` / `<link rel="canonical">` extraction:
+    * (key, content) pairs in document order, where key is the meta's
+    * `name`/`property`/`http-equiv` (lowercased, in that precedence)
+    * and content its entity-decoded `content`; a canonical link emits
+    * ("canonical", href). Raw-text elements (script/style) are skipped
+    * whole, so a meta-looking string inside JavaScript never leaks. */
+  def metas(html: String): java.util.ArrayList[Array[UTF8String]] = {
+    val out = new java.util.ArrayList[Array[UTF8String]]()
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.regionMatches(lt, "<!--", 0, 4)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
+        val end = html.indexOf('>', lt + 1)
+        i = if (end < 0) n else end + 1
+      } else {
+        val closing = lt + 1 < n && html.charAt(lt + 1) == '/'
+        val nameAt = if (closing) lt + 2 else lt + 1
+        val name = tagName(html, nameAt)
+        if (name.isEmpty) i = lt + 1
+        else if (!closing && (name == "meta" || name == "link")) {
+          val (am, after) = scanAttrs(html, nameAt + name.length)
+          if (name == "meta") {
+            val key = Option(am.get("name")).filter(_.nonEmpty)
+              .orElse(Option(am.get("property")).filter(_.nonEmpty))
+              .orElse(Option(am.get("http-equiv")).filter(_.nonEmpty))
+            val content = Option(am.get("content"))
+            for (k <- key; v <- content) out.add(Array(
+              UTF8String.fromString(k.toLowerCase(java.util.Locale.ROOT)),
+              UTF8String.fromString(v)))
+          } else {
+            val rel = Option(am.get("rel")).map(_.toLowerCase(java.util.Locale.ROOT))
+            val href = Option(am.get("href"))
+            if (rel.contains("canonical") && href.nonEmpty) out.add(Array(
+              UTF8String.fromString("canonical"),
+              UTF8String.fromString(href.get)))
+          }
+          i = after
+        } else if (!closing && RawText(name)) {
+          val close = "</" + name
+          var j = lt + 1
+          var found = -1
+          while (found < 0 && j <= n - close.length) {
+            if (html.regionMatches(true, j, close, 0, close.length)) found = j
+            j += 1
+          }
+          if (found < 0) i = n
+          else { val gt = html.indexOf('>', found); i = if (gt < 0) n else gt + 1 }
+        } else {
+          val gt = html.indexOf('>', lt + 1)
+          i = if (gt < 0) n else gt + 1
+        }
+      }
+    }
+    out
+  }
+
   // ---- static entry points used by codegen ----
+
+  def metasU(html: UTF8String): GenericArrayData = {
+    val ps = metas(html.toString)
+    val rows = new Array[Any](ps.size())
+    var i = 0
+    while (i < rows.length) {
+      val p = ps.get(i)
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(p(0), p(1))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
 
   def tablesU(html: UTF8String): GenericArrayData = {
     val ts = tables(html.toString)
@@ -425,6 +550,24 @@ case class HtmlTables(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Html.tablesU($c)")
   override protected def withNewChildInternal(newChild: Expression): HtmlTables =
+    copy(child = newChild)
+}
+
+/** `<meta>` / canonical-link (key, content) pairs in document order —
+  * see [[Html.metas]]. */
+case class HtmlMetaPairs(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("content", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_meta"
+  override def nullSafeEval(input: Any): Any =
+    Html.metasU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Html.metasU($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlMetaPairs =
     copy(child = newChild)
 }
 

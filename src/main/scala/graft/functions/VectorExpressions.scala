@@ -489,6 +489,10 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => HtmlLinkPairs(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_meta",
+        (exprs: Seq[Expression]) => HtmlMetaPairs(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_html_tables",
         (exprs: Seq[Expression]) => HtmlTables(exprs.head),
         "built-in")

@@ -243,6 +243,46 @@ object WebStages {
       if (keepEmpty) out else out.where(col(hrefF).isNotNull)
     }
 
+  /** `htmlmeta`: typed columns from `<meta>` tags and the canonical
+    * link — the page-metadata side of web curation (description and
+    * og:* drive snippet/title quality signals; `canonical` is the
+    * dedup key crawlers trust over the fetch URL; `robots` carries
+    * noindex). One column per requested key, holding the FIRST
+    * occurrence's entity-decoded content (meta name/property/
+    * http-equiv, lowercased; "canonical" = the `<link rel=canonical>`
+    * href); null when the page lacks it. Raw-text elements are skipped
+    * whole, so meta-looking strings inside scripts never leak.
+    *
+    * Options: `field` (default html), `keys` (required — e.g.
+    * ["description", "og:title", "canonical", "robots"]); output
+    * column names are the keys with non-alphanumerics folded to '_'
+    * (`og:title` → `og_title`). `keepHtml` (default false).
+    *
+    * Scale shape: ONE codegen'd single-pass parse per row feeding pure
+    * array projections — no shuffle, no explode. */
+  def htmlmeta(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "html")
+      require(df.columns.contains(f), s"htmlmeta: no column '$f'")
+      val keys = spec.strList("keys").map(_.toLowerCase(java.util.Locale.ROOT))
+      require(keys.nonEmpty, "htmlmeta: `keys` required (e.g. " +
+        """["description", "og:title", "canonical"])""")
+      def colName(k: String) = k.map(c => if (c.isLetterOrDigit) c else '_')
+      keys.foreach(k => require(!df.columns.contains(colName(k)),
+        s"htmlmeta: output column '${colName(k)}' exists — rename upstream"))
+      val withPairs = df.withColumn("__mp",
+        call_function("graft_html_meta", col(f).cast("string")))
+      val out = keys.foldLeft(withPairs) { (d, k) =>
+        // first occurrence wins (the HTML precedence rule); try_ form —
+        // ANSI element_at throws on the empty no-such-meta array
+        d.withColumn(colName(k),
+          try_element_at(filter(col("__mp"), p => p.getField("key") === lit(k)),
+            lit(1)).getField("content"))
+      }.drop("__mp")
+      if (spec.bool("keepHtml", dflt = false)) out else out.drop(f)
+    }
+
   /** `htmltables`: explode every TOP-LEVEL `<table>` row of an HTML
     * column into (tableField, rowField, cellsField) — the structured
     * side-channel of web curation (tables carry the densest factual

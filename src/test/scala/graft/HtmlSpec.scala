@@ -186,6 +186,46 @@ class HtmlStageSpec extends SparkSpec {
     assert(e.getMessage.contains("emptyPages"))
   }
 
+  test("htmlmeta: name/property/http-equiv precedence, canonical, quirks") {
+    val html = """<!doctype html><html><head>
+      |<META NAME="Description" content="A &amp; B page">
+      |<meta name=description content=duplicate-ignored>
+      |<meta property="og:title" content='The &quot;Title&quot;'>
+      |<meta http-equiv="Content-Type" content="text/html">
+      |<meta name="keywords">
+      |<link rel="canonical" href="https://ex.com/a?x=1&amp;y=2">
+      |<script>var s = '<meta name="fake" content="nope">';</script>
+      |</head><body>text</body></html>""".stripMargin
+    val df = spark.sql(s"SELECT 1 AS id, '${html.replace("'", "''").replace("\n", " ")}' AS html")
+    val ctx = newCtx()
+    val out = graft.text.WebStages.htmlmeta(graft.spec.ComponentSpec("htmlmeta",
+      Map("keys" -> Seq("description", "og:title", "canonical",
+        "content-type", "keywords", "absent"))), ctx)(df).collect().head
+    assert(out.getAs[String]("description") == "A & B page",
+      "first occurrence wins, case-folded name, entities decoded")
+    assert(out.getAs[String]("og_title") == "The \"Title\"")
+    assert(out.getAs[String]("canonical") == "https://ex.com/a?x=1&y=2")
+    assert(out.getAs[String]("content_type") == "text/html")
+    assert(out.isNullAt(out.fieldIndex("keywords")), "meta without content")
+    assert(out.isNullAt(out.fieldIndex("absent")))
+    // fake meta inside script never leaks (SQL surface doubles as the
+    // registration check)
+    graft.functions.VectorExpressions.ensure(spark)
+    val keys = spark.sql(s"SELECT graft_html_meta('${html.replace("'", "''").replace("\n", " ")}') AS p")
+      .selectExpr("transform(p, x -> x.key) AS ks").collect().head
+      .getAs[scala.collection.Seq[String]]("ks")
+    assert(!keys.contains("fake"), s"script meta leaked: $keys")
+    assert(keys.count(_ == "description") == 2, "both head metas listed in order")
+    // null html and guards
+    val nl = graft.text.WebStages.htmlmeta(graft.spec.ComponentSpec("htmlmeta",
+      Map("keys" -> Seq("description"))), ctx)(
+      spark.sql("SELECT cast(null as string) AS html")).collect().head
+    assert(nl.isNullAt(nl.fieldIndex("description")))
+    assert(intercept[Exception](graft.text.WebStages.htmlmeta(
+      graft.spec.ComponentSpec("htmlmeta", Map()), ctx)(df))
+      .getMessage.contains("keys"))
+  }
+
   test("htmlextract: null html row yields null outputs") {
     val df = spark.sql("SELECT cast(null as string) AS html " +
       "UNION ALL SELECT '<body>x</body>'")
