@@ -3513,6 +3513,25 @@ object SparkEntry {
         .select("doc_id", "description", "og_title", "canonical", "robots")
         .orderBy("doc_id")
     },
+    "canonical_dedup" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the crawler-dedup composition: htmlmeta extracts each page's
+      // canonical URL, then exact dedup keeps the FIRST doc per
+      // canonical — fetch-URL aliases collapse to one page, which is
+      // what rel=canonical exists for. 50 planted canonicals → keepers
+      // are doc_id 0..49 by the min-id tie-break (oracle arithmetic).
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, concat('<html><head><link rel=\\"canonical\\" href=\\"https://c.ex.com/p', cast(doc_id % 50 as string), '\\"></head><body>b</body></html>') AS html FROM __input"}},
+          {"htmlmeta": {"keys": ["canonical"]}},
+          {"dedup": {"keyFields": ["canonical"],
+            "tiebreakField": "doc_id", "keep": "first"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "canonical").orderBy("doc_id")
+    },
     "anchor_text" -> { (s, dir) =>
       val c = ctx(s, dir)
       // the web-corpus ANCHOR-TEXT signal, end-to-end: pages carry
@@ -6831,6 +6850,9 @@ object SparkEntry {
        "FROM n, UNNEST(range(nl)) AS t(j)) " +
        "SELECT doc_id, CAST(link_pos AS BIGINT) AS link_pos, href, anchor " +
        "FROM links ORDER BY doc_id, link_pos"),
+    "canonical_dedup" ->
+      ("SELECT doc_id, 'https://c.ex.com/p' || CAST(doc_id AS VARCHAR) AS canonical " +
+       "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     "html_meta" ->
       ("SELECT doc_id, " +
        "'desc ' || CAST(doc_id % 9 AS VARCHAR) || ' & more' AS description, " +
