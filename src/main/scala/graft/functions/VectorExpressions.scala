@@ -389,6 +389,46 @@ object SrpSig {
   }
 }
 
+/** Bloom-filter membership probe whose serialized sketch arrives via a
+  * Spark BROADCAST variable rather than a plan literal. Semantically
+  * identical to Spark's `BloomFilterMightContain(lit(bytes), value)`
+  * (null value → null, otherwise mightContainLong), but the task binary
+  * and the driver plan carry only the broadcast HANDLE — the bytes move
+  * once per executor. The filter deserializes lazily per executor and
+  * the probe stays inside whole-stage codegen via a reference-object
+  * method call. */
+case class BloomMightContainBcast(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint probe value, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain_bcast"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bcast.value))
+
+  def mightContain(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any =
+    mightContain(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbeBcast", this,
+      classOf[BloomMightContainBcast].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContain($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private val registered =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
@@ -674,6 +714,18 @@ object VectorExpressions {
     * serialized `util.sketch.BloomFilter`), `value` a long column. */
   def bloomMightContain(sketch: Column, value: Column): Column =
     call_function("graft_might_contain", sketch, value)
+
+  /** Codegen'd Bloom-filter probe whose sketch rides a BROADCAST
+    * variable instead of a plan literal — the large-sketch carrier for
+    * `bloomjoin` (a GB-scale literal would bloat the driver plan and
+    * every task binary; the broadcast ships once per executor via the
+    * torrent mechanism and the tasks carry only the handle). */
+  def bloomMightContainBcast(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      value: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BloomMightContainBcast(bcast,
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(value)))
 
   /** Native SRP-LSH signature of a float/double array column. */
   def srpSig(vec: Column, nBits: Int, dim: Int): Column =

@@ -828,21 +828,30 @@ object SimilarityStages {
             .select(col("__id"), col("__v"), col("__n"),
               col("__ce.cell").as("cell"))
       }
-      if (maxClusterRows > 0) {
-        val worst = probedV.groupBy("cell").agg(count(lit(1)).as("__cnt"))
-          .agg(max("__cnt")).head() match {
-            case r if r.isNullAt(0) => 0L
-            case r => r.getLong(0)
-          }
-        require(worst <= maxClusterRows,
-          s"semanticdedup: largest cell holds $worst rows > " +
-          s"maxClusterRows=$maxClusterRows — the within-cell compare is " +
-          "quadratic per cell; raise `k` (more, smaller cells) or " +
-          "maxClusterRows if the cost is intended")
-      }
-      val l = probedV.select(col("cell"), col("__id").as("a"),
+      // per-cell size contract enforced IN-PLAN (the calibration
+      // raise_error pattern): a window count over the SAME cell
+      // partitioning the self-join shuffles on anyway — the exchange
+      // is shared, the sort-merge join would sort by cell regardless —
+      // replaces the r17 eager max-cell `.head()` job that cost one
+      // full extra pass of the probed frame at stage-build
+      val guarded =
+        if (maxClusterRows <= 0) probedV
+        else probedV
+          .withColumn("__cellcnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+          .where(coalesce(
+            when(col("__cellcnt") > maxClusterRows, raise_error(concat(
+              lit("semanticdedup: cell "), col("cell").cast("string"),
+              lit(" holds "), col("__cellcnt").cast("string"),
+              lit(s" rows > maxClusterRows=$maxClusterRows — the " +
+                "within-cell compare is quadratic per cell; raise `k` " +
+                "(more, smaller cells) or maxClusterRows if the cost " +
+                "is intended")))),
+            lit(true)))
+          .drop("__cellcnt")
+      val l = guarded.select(col("cell"), col("__id").as("a"),
         col("__v").as("__av"), col("__n").as("__an"))
-      val r = probedV.select(col("cell"), col("__id").as("b"),
+      val r = guarded.select(col("cell"), col("__id").as("b"),
         col("__v").as("__bv"), col("__n").as("__bn"))
       val pairs = l.join(r, Seq("cell")).where(col("a") < col("b"))
         .select(col("a"), col("b"),

@@ -141,14 +141,36 @@ object SetOps {
     * the cache the sketch build and the exact join then reuse
     * (freqpairs' persist-before-probe shape), so the right side still
     * scans once; pin expectedItems to skip that job. An UNDERSIZED
-    * bloom stays correct, it just filters less).
+    * bloom stays correct, it just filters less). `sketchLitMaxBytes`
+    * (default 4 MiB — a sketch at most this large ships as a plan
+    * literal; larger ones ride a broadcast variable so the driver plan
+    * and task binaries carry only the handle), `maxSketchBytes`
+    * (default 512 MiB — a loud named error above this: at 1B right
+    * keys / fpp 0.01 the sketch is ~1.2 GB, which no carrier makes
+    * sane; raise `fpp`, pre-reduce the right side, or use
+    * semijoin/antijoin).
+    *
+    * Key types: the probe hashes each key tuple to ONE long, and
+    * xxhash64 is TYPE-sensitive (an int 7 and a bigint 7 hash
+    * differently even though `===` would coerce and match) — so
+    * differing left/right key types are hashed at the same widened
+    * type `===` would compare at (numeric widening, date→timestamp);
+    * incompatible pairs fail loud rather than silently dropping
+    * matches.
     *
     * Scale shape: right keys project + distinct ONCE (persisted across
     * the sizing count, the sketch build and the exact join — run-scoped
     * release); the sketch aggregation is distributed with map-side
     * partials; the left side's probe stays inside whole-stage codegen.
     * The win is the exchange: at a 1 % match rate, 99 % of a 100 TB
-    * left side never shuffles. */
+    * left side never shuffles. Anti mode deliberately scans the left
+    * side TWICE (the probe-negative keep branch and the probe-positive
+    * exact branch are separate subtrees): that trades a second
+    * columnar scan for never exchanging the probe-negative majority —
+    * the right trade when the match rate is low and shuffle dominates,
+    * which is this stage's stated target; when the left SCAN itself
+    * dominates (very wide rows, high match rate), plain [[antijoin]]
+    * is the right stage. */
   def bloomjoin(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
     Stages.common(spec, ctx) { df =>
       import org.apache.spark.sql.functions._
@@ -176,8 +198,30 @@ object SetOps {
       // VectorExpressions.maskedRowHash: disambiguates (null, x) from
       // (x, null), which plain xxhash64 folds together)
       require(lks.size <= 63, s"bloomjoin: at most 63 key columns, got ${lks.size}")
+      // xxhash64 is type-sensitive where === is type-coercing: hash each
+      // differing pair at the widened type === would compare at, or fail
+      // loud — a silent type mismatch would drop matching rows in semi
+      // mode and keep them in anti mode
+      import org.apache.spark.sql.types.{DataType, NumericType, DateType, TimestampType, DoubleType}
+      val hashTypes: Seq[Option[DataType]] = lks.zip(rks).map { case (l, r) =>
+        val (lt, rt) = (df.schema(l).dataType, right.schema(r).dataType)
+        (lt, rt) match {
+          case (a, b) if a == b => None
+          case (a: NumericType, b: NumericType) =>
+            Some(org.apache.spark.sql.catalyst.analysis.TypeCoercion
+              .findWiderTypeForTwo(a, b).getOrElse(DoubleType))
+          case (DateType, TimestampType) | (TimestampType, DateType) =>
+            Some(TimestampType)
+          case (a, b) => sys.error(
+            s"bloomjoin: key types differ for left '$l' (${a.simpleString}) vs " +
+            s"right '$r' (${b.simpleString}) with no safe hash coercion — " +
+            "cast upstream or use semijoin/antijoin")
+        }
+      }
       def keyHash(cols: Seq[String], of: String => org.apache.spark.sql.Column) =
-        graft.functions.VectorExpressions.maskedRowHash(cols.map(of))
+        graft.functions.VectorExpressions.maskedRowHash(
+          cols.zip(hashTypes).map { case (c, t) =>
+            t.fold(of(c))(of(c).cast(_)) })
       val rkeys = right.select(rks.map(col): _*).toDF(rks.map("__r_" + _): _*)
         .distinct().persist()
       ctx.registerPersisted(rkeys)
@@ -187,8 +231,21 @@ object SetOps {
       val bloom = rHashed.stat.bloomFilter("__kh", expected, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
-      val probe = graft.functions.VectorExpressions
-        .bloomMightContain(lit(bos.toByteArray), keyHash(lks, df.apply))
+      val sketchBytes = bos.toByteArray
+      val litMax = spec.long("sketchLitMaxBytes").getOrElse(4L << 20)
+      val maxBytes = spec.long("maxSketchBytes").getOrElse(512L << 20)
+      require(sketchBytes.length <= maxBytes,
+        s"bloomjoin: serialized Bloom sketch is ${sketchBytes.length} bytes > " +
+        s"maxSketchBytes=$maxBytes — raise `fpp`, lower `expectedItems`, " +
+        "pre-reduce the right side, or use semijoin/antijoin")
+      val probeVal = keyHash(lks, df.apply)
+      val probe =
+        if (sketchBytes.length <= litMax)
+          graft.functions.VectorExpressions
+            .bloomMightContain(lit(sketchBytes), probeVal)
+        else
+          graft.functions.VectorExpressions.bloomMightContainBcast(
+            ctx.spark.sparkContext.broadcast(sketchBytes), probeVal)
       val nullSafe = spec.bool("nullSafe", dflt = false)
       val cond = lks.zip(rks).map { case (l, r) =>
         if (nullSafe) df(l) <=> col("__r_" + r) else df(l) === col("__r_" + r)

@@ -269,6 +269,16 @@ object WebStages {
       require(keys.nonEmpty, "htmlmeta: `keys` required (e.g. " +
         """["description", "og:title", "canonical"])""")
       def colName(k: String) = k.map(c => if (c.isLetterOrDigit) c else '_')
+      // two requested keys folding to one column (og:title vs og_title)
+      // would silently overwrite the earlier extraction — fail loud
+      locally {
+        val collided = keys.groupBy(colName).filter(_._2.distinct.size > 1)
+        require(collided.isEmpty,
+          s"htmlmeta: keys collide after name folding — " +
+          collided.map { case (c, ks) =>
+            ks.distinct.mkString("'", "', '", s"' -> column '$c'") }
+            .mkString("; ") + "; rename or drop one of each pair")
+      }
       keys.foreach(k => require(!df.columns.contains(colName(k)),
         s"htmlmeta: output column '${colName(k)}' exists — rename upstream"))
       val withPairs = df.withColumn("__mp",

@@ -1028,6 +1028,54 @@ class EngineSpec extends SparkSpec {
       .getMessage.contains("fpp"))
   }
 
+  test("bloomjoin: type-coerced key hash, broadcast carrier, sketch-size guard") {
+    import spark.implicits._
+    import graft.spec.ComponentSpec
+    val ctx = newCtx()
+    // int left keys vs BIGINT right keys: === coerces and matches, and
+    // the bloom hash must too (xxhash64 is type-sensitive — r18 fix;
+    // before it, semi silently dropped every matching row)
+    val left = (0 until 100).map(i => (i % 50, s"v$i")).toDF("k", "v")
+    (0 until 10).map(i => (i * 5).toLong).toDF("rk")
+      .createOrReplaceTempView("bj_long")
+    def op(opts: (String, Any)*) =
+      Engine.transformers("bloomjoin")(ComponentSpec("bloomjoin",
+        Map[String, Any]("right" -> "bj_long", "leftOn" -> "k",
+          "rightOn" -> "rk") ++ opts.toMap), ctx)(left)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("v").as[String].collect().sorted.toSeq
+    val exact = rows(Engine.transformers("semijoin")(ComponentSpec("semijoin",
+      Map[String, Any]("right" -> "bj_long", "leftOn" -> "k",
+        "rightOn" -> "rk")), ctx)(left))
+    assert(exact.nonEmpty, "fixture must have matches")
+    assert(rows(op()) == exact)
+    assert(rows(op("mode" -> "anti")) == rows(left).diff(exact))
+    // forcing the BROADCAST carrier (sketchLitMaxBytes=0) changes the
+    // sketch's ride, not the rows
+    assert(rows(op("sketchLitMaxBytes" -> 0)) == exact)
+    assert(rows(op("sketchLitMaxBytes" -> 0, "mode" -> "anti")) ==
+      rows(left).diff(exact))
+    // decimal vs double also hash-coerces (both sides widen to double)
+    Seq(BigDecimal(1), BigDecimal(3)).toDF("rk")
+      .createOrReplaceTempView("bj_dec")
+    val dleft = Seq((1.0d, "a"), (2.0d, "b"), (3.0d, "c")).toDF("k", "v")
+    val dsemi = Engine.transformers("bloomjoin")(ComponentSpec("bloomjoin",
+      Map[String, Any]("right" -> "bj_dec", "leftOn" -> "k",
+        "rightOn" -> "rk")), ctx)(dleft)
+    assert(rows(dsemi) == Seq("a", "c"))
+    // incompatible key types fail LOUD, not silently empty
+    Seq("1", "2").toDF("rk").createOrReplaceTempView("bj_str")
+    val te = intercept[Exception] {
+      Engine.transformers("bloomjoin")(ComponentSpec("bloomjoin",
+        Map[String, Any]("right" -> "bj_str", "leftOn" -> "k",
+          "rightOn" -> "rk")), ctx)(left)
+    }
+    assert(te.getMessage.contains("no safe hash coercion"), te.getMessage)
+    // sketch-size ceiling fails loud with the named knob
+    val se = intercept[Exception](op("maxSketchBytes" -> 1))
+    assert(se.getMessage.contains("maxSketchBytes"), se.getMessage)
+  }
+
   test("dryRun: config compiles and analyzes, loader never acts") {
     val path = writeNationCsv()
     val out = s"$tmp/dryrun_out"

@@ -224,6 +224,14 @@ class HtmlStageSpec extends SparkSpec {
     assert(intercept[Exception](graft.text.WebStages.htmlmeta(
       graft.spec.ComponentSpec("htmlmeta", Map()), ctx)(df))
       .getMessage.contains("keys"))
+    // keys that FOLD to the same output column (og:title vs og_title)
+    // would silently overwrite — fail loud, naming both keys (r18)
+    val ce = intercept[Exception](graft.text.WebStages.htmlmeta(
+      graft.spec.ComponentSpec("htmlmeta",
+        Map("keys" -> Seq("og:title", "og_title", "description"))), ctx)(df))
+    assert(ce.getMessage.contains("collide") &&
+      ce.getMessage.contains("og:title") && ce.getMessage.contains("og_title"),
+      ce.getMessage)
   }
 
   test("htmlextract: null html row yields null outputs") {

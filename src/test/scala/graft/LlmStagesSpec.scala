@@ -1025,11 +1025,46 @@ class LlmStagesSpec extends SparkSpec {
       "nProbe" -> 2, "emit" -> "pairs")(df)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
-    val e = intercept[Exception] {
-      stage("semanticdedup", "k" -> 1, "nProbe" -> 1,
-        "maxClusterRows" -> 3)(df)
-    }
+    // the cell-size guard is IN-PLAN (r18: the eager max-cell `.head()`
+    // job is gone) — it fires on the ACTION, not at stage-build, and
+    // rides the window count over the same cell exchange the self-join
+    // needs anyway
+    // (emit=pairs keeps the whole stage lazy — emit=dedup's CC loop
+    // would materialize, and fire the guard, during stage build)
+    val guarded = stage("semanticdedup", "k" -> 1, "nProbe" -> 1,
+      "maxClusterRows" -> 3, "emit" -> "pairs")(df) // no exception yet
+    val e = intercept[Exception] { guarded.collect() }
     assert(e.getMessage.contains("maxClusterRows"))
+    // emit=dedup surfaces the same guard from its build-time CC loop
+    val e2 = intercept[Exception] {
+      stage("semanticdedup", "k" -> 1, "nProbe" -> 1,
+        "maxClusterRows" -> 3)(df).collect()
+    }
+    assert(e2.getMessage.contains("maxClusterRows"))
+    // plan-build runs the SAME jobs with and without the guard (the
+    // k-means training sample is inherent; the guard must add none)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(counter)
+      try { counter.n.set(0); body;
+        // bus delivery is async; build jobs have already COMPLETED by
+        // here, so their start events are posted — drain briefly
+        Thread.sleep(1000); counter.n.get }
+      finally spark.sparkContext.removeSparkListener(counter)
+    }
+    val without = jobsDuring {
+      stage("semanticdedup", "k" -> 3, "maxClusterRows" -> 0,
+        "emit" -> "pairs")(df) }
+    val withGuard = jobsDuring {
+      stage("semanticdedup", "k" -> 3, "maxClusterRows" -> 100,
+        "emit" -> "pairs")(df) }
+    assert(withGuard == without,
+      s"guard must add no plan-build job: $withGuard vs $without")
   }
 
   test("semanticdedup two-level assignment (k > 128): planted pairs still found") {
