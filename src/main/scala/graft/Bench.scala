@@ -230,11 +230,14 @@ object Bench {
     // 0.82 s — the worst ratio in the run invisible). A query warns when
     // its excess over the ambient-adjusted anchor tops
     // [[MinWarnExcessSeconds]] OR it breaches the 2× re-run bar.
-    def warnsAt(name: String, t: Double): Boolean = stored.get(name) match {
-      case Some(a) => t > WarnFactor * ambient * a &&
-        (t - ambient * a > MinWarnExcessSeconds || t > RerunFactor * ambient * a)
-      case None => false
-    }
+    def warnsAtWindow(name: String, t: Double, window: Double): Boolean =
+      stored.get(name) match {
+        case Some(a) => t > WarnFactor * window * a &&
+          (t - window * a > MinWarnExcessSeconds || t > RerunFactor * window * a)
+        case None => false
+      }
+    def warnsAt(name: String, t: Double): Boolean =
+      warnsAtWindow(name, t, ambient)
     // WINDOW DECORRELATION (r15 verdict task #8): the defense re-run of
     // a late-alphabet query lands seconds after its first measurement —
     // inside the same steal window, so a multi-minute steal episode
@@ -247,12 +250,29 @@ object Bench {
     // sees immediate vs deferred per warned query.
     val prelimWarned = defended.collect {
       case (name, t, _) if !failed(name) && warnsAt(name, t) => name -> t }
+    // BURST normalization at re-check time (r18): the suite-median
+    // ambient can't see a steal burst local to the deferred window —
+    // r16/r17 shipped chronic warnings (similarity_topk, simplepath)
+    // that solo probes reproduced only alongside a 2× canary. Re-measure
+    // the canary RIGHT BEFORE the re-checks: a warning now clears only
+    // if the deferred value fits under the bar scaled by the larger of
+    // ambient and the re-check window's own canary ratio. A real plan
+    // regression inflates the query but not the canary, so it still
+    // warns; only box-attributable slowness is absorbed. Clamped like
+    // ambient; reported times stay RAW.
+    var recheckBurst = 1.0
     val deferredDetail = if (prelimWarned.isEmpty) Map.empty[String, (Double, Double)] else {
       val delay = sys.env.get("SPARK_GRAFT_DEFER_DELAY_SEC")
         .flatMap(_.toDoubleOption).getOrElse(45.0)
       System.err.println(f"[bench] ${prelimWarned.size} preliminary " +
         f"warnings — deferred re-check after $delay%.0fs decorrelation delay")
       Thread.sleep((delay * 1000).toLong)
+      recheckBurst = canaryAnchor.filter(_ >= 0.05).map { a =>
+        math.min(AmbientCap, math.max(1.0, canarySeconds(spark) / a))
+      }.getOrElse(1.0)
+      System.err.println(f"[bench] deferred-window canary ratio " +
+        f"$recheckBurst%.2fx (warn bars for re-checked queries scale by " +
+        f"max(ambient, this))")
       prelimWarned.map { case (name, t) =>
         val fn = selected(name)
         val t3raw = timeOnce(name, fn)
@@ -276,12 +296,25 @@ object Bench {
       }
     }
     val warnings = defendedFinal.flatMap { case (name, t, _) =>
-      if (warnsAt(name, t)) {
+      // a deferred re-check gets its own window's bar (burst-normalized
+      // — see recheckBurst above): the warning survives only when BOTH
+      // windows independently reproduce the breach
+      val deferredClears = deferredDetail.get(name).exists {
+        case (_, t3) => t3.isFinite &&
+          !warnsAtWindow(name, t3, math.max(ambient, recheckBurst))
+      }
+      if (warnsAt(name, t) && !deferredClears) {
         System.err.println(f"[bench] WARNING $name: defended $t%.1fs still " +
           f"> ${WarnFactor}x ambient-adjusted ($ambient%.2fx) anchor " +
           f"${stored(name)}%.1fs after deferred re-check — plan regression")
         Some(name -> t)
-      } else None
+      } else {
+        if (warnsAt(name, t) && deferredClears)
+          System.err.println(f"[bench] $name: immediate $t%.1fs breached, " +
+            f"but the deferred re-check fits its burst-normalized bar " +
+            f"(canary $recheckBurst%.2fx) — box steal, not a plan change")
+        None
+      }
     }
     // Canary gate (ADVICE r14): the one pattern the median normalizes
     // away is a UNIFORM code-level slowdown — every query slower by the
@@ -358,6 +391,7 @@ object Bench {
       root.put("ambient", math.rint(ambient * 100) / 100)
       root.put("canary_sec", math.rint(canaryT * 1000) / 1000)
       root.put("uniform_slowdown", uniformSlowdown)
+      root.put("deferred_canary_ratio", math.rint(recheckBurst * 100) / 100)
       def putMap(name: String, entries: Seq[(String, Double)]): Unit = {
         val n = m.createObjectNode()
         entries.sortBy(_._1).foreach { case (k, v) =>
