@@ -275,12 +275,37 @@ object MediaFixtures {
   def videoDuration(id: Long): Long =
     videoFrames(id).toLong * (VideoTimescale / videoFps(id))
 
+  /** ids ≡ 1 (mod 3) get a MULTI-CHUNK mdat layout (v5): alternating
+    * chunk sample counts (multi-entry run-length `stsc`) with gap
+    * filler bytes between chunks — the layout real crawl MP4s have,
+    * where single-base offset arithmetic slices garbage and only the
+    * full §8.7.4 sample-to-chunk walk recovers the frames. All pure
+    * doc_id arithmetic; frame BYTES (and thus the oracle) unchanged. */
+  def videoChunkSizes(id: Long): Seq[Int] =
+    if (id % 3 != 1) Nil
+    else {
+      val a = 2 + (id % 5).toInt
+      val b = 1 + (id % 4).toInt
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var left = videoFrames(id)
+      var useA = true
+      while (left > 0) {
+        val c = math.min(left, if (useA) a else b)
+        buf += c; left -= c; useA = !useA
+      }
+      buf.toSeq
+    }
+  def videoChunkGap(id: Long): Int =
+    if (id % 3 != 1) 0 else (1 + id % 7).toInt
+
   /** Real MP4 bytes for one doc_id; every 4th file uses version-1
     * (64-bit time) headers so the fixture corpus exercises both box
-    * layouts the parser handles. */
+    * layouts the parser handles; every 3rd file (ids ≡ 1 mod 3) uses
+    * the multi-chunk gapped layout above. */
   def videoPayload(id: Long): Array[Byte] =
     VideoCodec.encodeMp4(videoWidth(id), videoHeight(id), videoFrames(id),
-      VideoTimescale, videoDuration(id), seed = id, v1Headers = id % 4 == 3)
+      VideoTimescale, videoDuration(id), seed = id, v1Headers = id % 4 == 3,
+      chunkSizes = videoChunkSizes(id), interChunkGap = videoChunkGap(id))
 
   /** The video fixture frame: (media_id, payload), one MP4 per doc. */
   def videoFrame(spark: SparkSession, sfDir: String): DataFrame = {
@@ -433,7 +458,7 @@ object MediaFixtures {
 
   // v3: multi-file fixture layout (FixtureFiles) — bump regenerates
   // every cached /tmp fixture
-  val Version = 4 // v4: EXIF APP1 planted into the JPEG payloads
+  val Version = 5 // v5: multi-chunk gapped stsc/stco video layout (ids ≡ 1 mod 3)
 
   /** Content key of the doc_id population every fixture derives from:
     * the driver REGENERATES testdata between rounds without notice

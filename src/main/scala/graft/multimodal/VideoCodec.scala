@@ -154,12 +154,16 @@ object VideoCodec {
 
   /** REAL container-level frame sampling: every `step`-th sample's
     * BYTES sliced out of `mdat` by walking the sample tables — `stsz`
-    * (constant or per-sample sizes) for lengths, `stco`/`co64` for the
-    * chunk base — no codec, pure byte arithmetic. Single-chunk tracks
-    * (`stco` entry count 1 — the writer's layout and the common
-    * single-chunk case) are supported; multi-chunk tracks raise a
-    * typed error naming the box (extend with `stsc` chunk mapping when
-    * a corpus needs it). Same error wrapper contract as [[decode]]. */
+    * (constant or per-sample sizes) for lengths, `stsc` for the
+    * sample-to-chunk runs, `stco`/`co64` for the per-chunk byte bases —
+    * no codec, pure byte arithmetic. The full ISO 14496-12 §8.7.4 walk
+    * (r18): chunks may hold different sample counts and sit at
+    * arbitrary (even gapped or reordered) mdat positions, the layout
+    * real crawl MP4s routinely have; a missing `stsc` on a single-chunk
+    * track falls back to everything-in-chunk-1 (some writers omit it).
+    * Malformed tables (non-monotone first_chunk, zero samples_per_chunk,
+    * samples overrunning the chunk table) raise a typed error naming
+    * the box. Same error wrapper contract as [[decode]]. */
   def sampleFrames(id: Long, payload: Array[Byte], step: Int,
                    maxFrames: Int): Seq[FrameSample] = {
     if (payload == null || payload.length < 8) fail(id, "empty/short payload")
@@ -206,30 +210,73 @@ object VideoCodec {
       if (constSize != 0L) constSize
       else { need(stsz, 12 + 4 * (i + 1), "per-sample size table")
              u32(payload, stsz.start + 12 + 4 * i) }
-    val base = child(payload, stbl, "stco") match {
-      case Some(stco) =>
-        need(stco, 8, "chunk offsets")
-        if (u32(payload, stco.start + 4) != 1L)
-          fail(id, "multi-chunk stco — frame sampling supports single-chunk " +
-            "tracks (stsc chunk mapping not implemented)")
-        u32(payload, stco.start + 8)
-      case None => child(payload, stbl, "co64") match {
-        case Some(co64) =>
-          need(co64, 16, "chunk offsets")
-          if (u32(payload, co64.start + 4) != 1L)
-            fail(id, "multi-chunk co64 — frame sampling supports single-chunk tracks")
-          u64(payload, co64.start + 8)
-        case None => fail(id, "no stco/co64 box")
+    // chunk byte bases: stco (u32) or co64 (u64), one offset per chunk
+    val (chunkCount, chunkOffsetOf): (Int, Int => Long) =
+      child(payload, stbl, "stco") match {
+        case Some(stco) =>
+          need(stco, 8, "chunk offsets")
+          val n = u32(payload, stco.start + 4).toInt
+          need(stco, 8 + 4 * n, "chunk offset table")
+          (n, (c: Int) => u32(payload, stco.start + 8 + 4 * c))
+        case None => child(payload, stbl, "co64") match {
+          case Some(co64) =>
+            need(co64, 8, "chunk offsets")
+            val n = u32(payload, co64.start + 4).toInt
+            need(co64, 8 + 8 * n, "chunk offset table")
+            (n, (c: Int) => u64(payload, co64.start + 8 + 8 * c))
+          case None => fail(id, "no stco/co64 box")
+        }
       }
+    if (chunkCount < 1 && count > 0) fail(id, "empty chunk offset table")
+    // sample-to-chunk runs (ISO 14496-12 §8.7.4): entry e covers chunks
+    // [first_chunk(e), first_chunk(e+1)) at samples_per_chunk(e) each
+    val runs: Array[(Int, Int)] = child(payload, stbl, "stsc") match {
+      case Some(stsc) =>
+        need(stsc, 8, "sample-to-chunk")
+        val n = u32(payload, stsc.start + 4).toInt
+        need(stsc, 8 + 12 * n, "sample-to-chunk table")
+        Array.tabulate(n)(e => (
+          u32(payload, stsc.start + 8 + 12 * e).toInt,   // first_chunk, 1-based
+          u32(payload, stsc.start + 12 + 12 * e).toInt)) // samples_per_chunk
+      case None if chunkCount == 1 => Array((1, Int.MaxValue))
+      case None => fail(id, "no stsc box on a multi-chunk track")
     }
-    // prefix offsets: constant-size tracks are pure arithmetic; a size
-    // table walks once. Slices bounds-check against the payload so a
-    // lying offset is a typed error, not an out-of-bounds read.
+    if (count > 0) {
+      if (runs.isEmpty || runs.head._1 != 1)
+        fail(id, "stsc table must start at chunk 1")
+      var e = 1
+      while (e < runs.length) {
+        if (runs(e)._1 <= runs(e - 1)._1)
+          fail(id, "stsc first_chunk not strictly increasing")
+        e += 1
+      }
+      if (runs.exists(_._2 <= 0))
+        fail(id, "stsc samples_per_chunk must be positive")
+    }
+    // walk samples in order, advancing chunks per the stsc runs; each
+    // chunk restarts the byte offset at its stco/co64 base. Slices
+    // bounds-check against the payload so a lying offset is a typed
+    // error, not an out-of-bounds read.
     val out = Seq.newBuilder[FrameSample]
     var taken = 0
     var i = 0
-    var off = base
+    var chunk = 0   // 0-based chunk index
+    var runIdx = 0
+    var inChunk = 0 // samples consumed in the current chunk
+    var off = if (count > 0) chunkOffsetOf(0) else 0L
+    def spcAt(chunk0: Int): Int = {
+      while (runIdx + 1 < runs.length && runs(runIdx + 1)._1 <= chunk0 + 1)
+        runIdx += 1
+      runs(runIdx)._2
+    }
     while (i < count && taken < maxFrames) {
+      if (inChunk == spcAt(chunk)) {
+        chunk += 1
+        if (chunk >= chunkCount)
+          fail(id, s"sample $i overruns the chunk table ($chunkCount chunks)")
+        inChunk = 0
+        off = chunkOffsetOf(chunk)
+      }
       val sz = sizeOf(i).toInt
       if (i % step == 0) {
         if (off < 0 || off + sz > payload.length)
@@ -240,6 +287,7 @@ object VideoCodec {
         taken += 1
       }
       off += sz
+      inChunk += 1
       i += 1
     }
     out.result()
@@ -286,32 +334,62 @@ object VideoCodec {
     * version-1 mvhd/tkhd (64-bit times) — the parser handles both. */
   def encodeMp4(width: Int, height: Int, nFrames: Int, timescale: Long,
                 duration: Long, seed: Long = 0L,
-                v1Headers: Boolean = false): Array[Byte] =
+                v1Headers: Boolean = false,
+                chunkSizes: Seq[Int] = Nil,
+                interChunkGap: Int = 0): Array[Byte] =
     buildMp4(width, height, nFrames, timescale, duration, v1Headers,
-      mdatPayload = Array.tabulate(nFrames)(i => ((seed * 31 + i * 7) % 251).toByte),
+      samples = Seq.tabulate(nFrames)(i =>
+        Array(((seed * 31 + i * 7) % 251).toByte)),
       stszPayload = concat(be32(1), be32(nFrames.toLong)), // constant 1-byte samples
-      fourcc = "mp4v")
+      fourcc = "mp4v", chunkSizes = chunkSizes, interChunkGap = interChunkGap)
 
   /** Encode a minimal valid MP4 whose single video track carries REAL
     * self-contained image frames (the MJPEG layout: each sample is one
     * complete encoded image, e.g. a JPEG) — per-sample `stsz` size
     * table, `jpeg` sample entry, same single-chunk mdat-before-moov
-    * box tree as [[encodeMp4]]. */
+    * box tree as [[encodeMp4]].
+    *
+    * `chunkSizes` (r18): when non-empty, must partition the frames —
+    * the mdat splits into that many chunks separated by `interChunkGap`
+    * filler bytes (bytes belonging to NO sample, the way real muxers
+    * interleave audio chunks between video ones), with a run-length
+    * `stsc` + per-chunk `stco`. Single-base offset arithmetic produces
+    * garbage on such a file; only the full §8.7.4 walk recovers the
+    * frames — the fixture shape for the multi-entry-stsc contract. */
   def encodeMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
                   timescale: Long, duration: Long,
-                  v1Headers: Boolean = false): Array[Byte] =
+                  v1Headers: Boolean = false,
+                  chunkSizes: Seq[Int] = Nil,
+                  interChunkGap: Int = 0): Array[Byte] =
     buildMp4(width, height, frames.length, timescale, duration, v1Headers,
-      mdatPayload = concat(frames: _*),
+      samples = frames,
       stszPayload = concat(be32(0) +: be32(frames.length.toLong) +:
         frames.map(f => be32(f.length.toLong)): _*),
-      fourcc = "jpeg")
+      fourcc = "jpeg", chunkSizes = chunkSizes, interChunkGap = interChunkGap)
 
   private def buildMp4(width: Int, height: Int, nFrames: Int, timescale: Long,
                        duration: Long, v1Headers: Boolean,
-                       mdatPayload: Array[Byte], stszPayload: Array[Byte],
-                       fourcc: String): Array[Byte] = {
+                       samples: Seq[Array[Byte]], stszPayload: Array[Byte],
+                       fourcc: String, chunkSizes: Seq[Int] = Nil,
+                       interChunkGap: Int = 0): Array[Byte] = {
     val ftyp = box("ftyp", concat("isom".getBytes("ISO-8859-1"), be32(0x200),
       "isom".getBytes("ISO-8859-1"), "mp41".getBytes("ISO-8859-1")))
+    // chunk layout: partition the samples, join chunks with gap filler
+    // bytes (part of NO sample), record each chunk's absolute offset
+    val spcs = if (chunkSizes.isEmpty) Seq(samples.length) else chunkSizes
+    require(chunkSizes.isEmpty ||
+      (chunkSizes.forall(_ > 0) && chunkSizes.sum == samples.length),
+      s"chunkSizes must partition the ${samples.length} samples, got $chunkSizes")
+    val chunks: Seq[Array[Byte]] = {
+      val it = samples.iterator
+      spcs.map(n => concat(Seq.fill(n)(it.next()): _*))
+    }
+    val gap = Array.fill(interChunkGap)(0x5A.toByte)
+    val mdatPayload = concat(chunks.zipWithIndex.flatMap { case (c, i) =>
+      if (i == 0) Seq(c) else Seq(gap, c) }: _*)
+    val mdatBase = ftyp.length + 8L
+    val chunkOffsets = chunks.scanLeft(mdatBase) {
+      (o, c) => o + c.length + interChunkGap }.init
     val mdat = box("mdat", mdatPayload)
 
     def times(n: Int) = // creation/modification zeros: v1 = u64, v0 = u32
@@ -343,9 +421,16 @@ object VideoCodec {
     val stsd = full("stsd", 0, concat(be32(1), sampleEntry))
     val stts = full("stts", 0, concat(be32(1), be32(nFrames.toLong),
       be32(if (nFrames == 0) 0L else duration / math.max(nFrames, 1))))
-    val stsc = full("stsc", 0, concat(be32(1), be32(1), be32(nFrames.toLong), be32(1)))
+    // stsc: run-length entries over the per-chunk sample counts
+    val scRuns = spcs.zipWithIndex
+      .filter { case (s, i) => i == 0 || spcs(i - 1) != s }
+      .map { case (s, i) => (i + 1, s) } // (first_chunk 1-based, spc)
+    val stsc = full("stsc", 0, concat(be32(scRuns.length.toLong) +:
+      scRuns.flatMap { case (fc, s) =>
+        Seq(be32(fc.toLong), be32(s.toLong), be32(1)) }: _*))
     val stsz = full("stsz", 0, stszPayload)
-    val stco = full("stco", 0, concat(be32(1), be32(ftyp.length + 8L))) // mdat payload
+    val stco = full("stco", 0,
+      concat(be32(chunkOffsets.length.toLong) +: chunkOffsets.map(be32): _*))
     val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
     val minf = box("minf", concat(vmhd, dinf, stbl))
     val mdia = box("mdia", concat(mdhd, hdlr, minf))

@@ -280,6 +280,55 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("sampleFrames: multi-entry stsc + gapped chunks — the full §8.7.4 walk") {
+    import graft.multimodal.VideoCodec
+    // 8 frames of distinct sizes in chunks of (3, 2, 2, 1) with 5 junk
+    // bytes between chunks: single-base arithmetic would slice garbage
+    // from frame 3 on; the stsc walk must recover every frame exactly
+    val frames = (0 until 8).map(i => Array.tabulate(i + 2)(j => (i * 16 + j).toByte))
+    val mp4 = VideoCodec.encodeMjpeg(32, 24, frames, 600L, 480L,
+      chunkSizes = Seq(3, 2, 2, 1), interChunkGap = 5)
+    val got = VideoCodec.sampleFrames(7L, mp4, 1, 64)
+    assert(got.length == 8)
+    got.foreach { s =>
+      assert(s.frame.toSeq == frames(s.frame_idx).toSeq,
+        s"frame ${s.frame_idx} bytes wrong — chunk walk broken") }
+    // step sampling still walks every sample's size/chunk position
+    val stepped = VideoCodec.sampleFrames(7L, mp4, 3, 64)
+    assert(stepped.map(_.frame_idx) == Seq(0, 3, 6))
+    assert(stepped.forall(s => s.frame.toSeq == frames(s.frame_idx).toSeq))
+    // uniform chunks compress to ONE stsc run but still need per-chunk
+    // stco bases when gapped
+    val uni = VideoCodec.encodeMjpeg(32, 24, frames, 600L, 480L,
+      chunkSizes = Seq(2, 2, 2, 2), interChunkGap = 3)
+    assert(VideoCodec.sampleFrames(8L, uni, 1, 64)
+      .forall(s => s.frame.toSeq == frames(s.frame_idx).toSeq))
+    // the fixture's multi-chunk ids (≡ 1 mod 3) roundtrip through the
+    // driver arithmetic: first_byte = (id*31 + idx*7) % 251
+    val id = 7L
+    assert(graft.multimodal.MediaFixtures.videoChunkSizes(id).length > 1)
+    val fx = graft.multimodal.MediaFixtures.videoPayload(id)
+    val fs = VideoCodec.sampleFrames(id, fx, 4, 1000)
+    assert(fs.nonEmpty)
+    fs.foreach(s => assert(s.first_byte == ((id * 31 + s.frame_idx * 7) % 251).toInt,
+      s"fixture id=$id frame=${s.frame_idx}"))
+    // malformed tables fail LOUD with the box named
+    def corruptStsc(bytes: Array[Byte], patch: (Array[Byte], Int) => Unit): Array[Byte] = {
+      val c = bytes.clone()
+      val i = { // find the stsc box payload start
+        var p = -1
+        for (o <- 0 until c.length - 4)
+          if (p < 0 && c(o) == 's' && c(o + 1) == 't' && c(o + 2) == 's' && c(o + 3) == 'c') p = o + 4
+        p
+      }
+      patch(c, i); c
+    }
+    // first_chunk of entry 0 -> 2 (table must start at chunk 1)
+    val bad1 = corruptStsc(mp4, (c, i) => c(i + 4 + 4 + 3) = 2.toByte)
+    val e1 = intercept[Exception](VideoCodec.sampleFrames(1L, bad1, 1, 64))
+    assert(e1.getMessage.contains("stsc"), e1.getMessage)
+  }
+
   test("mm_frame_decode: MJPEG frames pixel-decode to per-frame dims + brightness") {
     val id = 9L // 3 + 9 % 6 = 6 frames; step 2 → idx 0, 2, 4
     val df = Seq((id, MediaFixtures.mjpegPayload(id))).toDF("media_id", "payload")
