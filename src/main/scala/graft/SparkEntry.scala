@@ -2097,6 +2097,29 @@ object SparkEntry {
       s.read.parquet(s"$db/supplier")
         .withColumn("schema_ok", lit(ok)).orderBy("s_suppkey")
     },
+    "pipeline_stats" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // per-run stats ARTIFACT (the reference's listener intent,
+      // OImporterListener.java:27-41, as queryable data): a fixed
+      // telemetry pipeline — flow-skip drops the high-price tail, a
+      // WARNING-policy link counts unresolved customers — then the
+      // context's one-row counter frame. Every count is recomputable
+      // by the oracle from the tables; elapsed_ms excluded (wall time)
+      val out = s"/tmp/graft_stats_${math.abs(dir.hashCode)}"
+      Engine.runJson(c, s"""{
+        "config": {"telemetry": true},
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"flow": {"operation": "skip", "if": "o_totalprice > 150000"}},
+          {"link": {"joinFieldName": "o_custkey",
+            "lookup": "SELECT c_custkey FROM customer WHERE c_custkey <= 500",
+            "linkFieldName": "cust_link",
+            "unresolvedLinkAction": "WARNING"}}],
+        "loader": {"parquet": {"path": "$out"}} }""")
+      c.statsFrame()
+        .select("rows_extracted", "rows_loaded", "warnings", "errors")
+    },
     "block_code" -> { (s, dir) =>
       val c = ctx(s, dir)
       // begin-phase `code` block (OCodeBlock.java:33-67): a named driver
@@ -5756,6 +5779,12 @@ object SparkEntry {
     "orientdb_plocal" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal, true AS schema_ok " +
        "FROM supplier ORDER BY s_suppkey"),
+    "pipeline_stats" ->
+      ("SELECT (SELECT count(*) FROM orders) AS rows_extracted, " +
+       "(SELECT count(*) FROM orders WHERE NOT (o_totalprice > 150000)) AS rows_loaded, " +
+       "(SELECT count(*) FROM orders WHERE NOT (o_totalprice > 150000) " +
+       "AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 500)) AS warnings, " +
+       "CAST(0 AS BIGINT) AS errors"),
     "block_code" ->
       "SELECT count(*) AS n_top FROM nation WHERE n_nationkey < 10",
     "etl_map_entries" ->

@@ -63,6 +63,27 @@ final class EtlContext(val spark: SparkSession) {
     * telemetry — OETLProcessor.java:545-585 parity). */
   var lastStats: Option[EtlContext.RunStats] = None
 
+  /** The last acted-on run's counters as a QUERYABLE one-row frame —
+    * the per-run stats artifact completing the reference's listener
+    * intent (OImporterListener.java:27-41 exposes the same counters to
+    * callbacks the reference never wires; here they are data). Columns:
+    * rows_extracted / rows_loaded (the telemetry observe pair),
+    * warnings / errors (the deferred-check accumulators the link/csv
+    * policies bump), elapsed_ms. Requires a completed run with
+    * `config: {telemetry: true}` and an ACTING loader (parquet/output/
+    * orientdb/… — the memory plan-handoff defers its action past the
+    * engine), else fails loud naming both knobs. */
+  def statsFrame(): org.apache.spark.sql.DataFrame = {
+    val st = lastStats.getOrElse(sys.error(
+      "statsFrame: no completed telemetry run on this context — set " +
+      "config {\"telemetry\": true} and use an acting loader " +
+      "(parquet/output/orientdb), not the memory plan-handoff"))
+    import spark.implicits._
+    Seq((st.extracted, st.loaded, warnings.value: Long, errors.value: Long,
+      st.elapsedMs)).toDF(
+      "rows_extracted", "rows_loaded", "warnings", "errors", "elapsed_ms")
+  }
+
   /** Per-micro-batch throughput rows of telemetry-enabled streaming
     * pipelines (the same rows/sec contract at batch granularity —
     * OETLProcessor.java:545-585's periodic dump maps to one row per

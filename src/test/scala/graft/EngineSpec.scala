@@ -1164,6 +1164,17 @@ class EngineSpec extends SparkSpec {
     assert(stats.extracted == 25L)
     assert(stats.loaded == 20L) // 5 rows skipped between the two probes
     assert(stats.elapsedMs >= 0L)
+    // the QUERYABLE one-row artifact (r18 — listener-intent parity):
+    // same counters as data, warnings/errors from the accumulators
+    val row = ctx.statsFrame()
+      .select("rows_extracted", "rows_loaded", "warnings", "errors")
+      .collect().head
+    assert(row.getLong(0) == 25L && row.getLong(1) == 20L)
+    assert(row.getLong(2) == 0L && row.getLong(3) == 0L)
+    // a fresh context without a telemetry run fails loud, naming the knob
+    val bare = newCtx()
+    val e = intercept[Exception](bare.statsFrame())
+    assert(e.getMessage.contains("telemetry"), e.getMessage)
   }
 
   test("streaming telemetry: per-batch rows/sec rows for a 2-batch availableNow run") {
