@@ -677,6 +677,78 @@ object Stages {
     })
   }
 
+  /** Expand JS template literals (`` `a${expr}b` ``) to dialect string
+    * concatenation BEFORE any other shim pass:
+    * `('' + 'a' + (expr) + 'b')`. The scanner is quote-aware (a
+    * backtick inside '…'/"…" is data); `${}` scans balanced braces
+    * (quote-aware, nested templates ride as quoted regions) and the
+    * interpolated expression recursively expands. A backslash escapes
+    * the next template char (`` \` ``, `\$`, `\\`). The `''` seed keeps
+    * a bare `${x}` template a STRING — the dialect's `+` concatenates
+    * once a side is stringy (OrientExpr.scala's stringy routing). */
+  private[graft] def jsExpandTemplates(code: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var escaped = false
+    while (i < code.length) {
+      val c = code.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; sb.append(c); i += 1 }
+      else if (c == '`') {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val text = new StringBuilder
+        def flushText(): Unit = if (text.nonEmpty) {
+          parts += "'" + text.toString
+            .replace("\\", "\\\\").replace("'", "\\'") + "'"
+          text.clear()
+        }
+        i += 1
+        var closed = false
+        while (i < code.length && !closed) {
+          val t = code.charAt(i)
+          if (t == '\\' && i + 1 < code.length) {
+            text.append(code.charAt(i + 1)); i += 2
+          } else if (t == '`') { closed = true; i += 1 }
+          else if (t == '$' && i + 1 < code.length && code.charAt(i + 1) == '{') {
+            flushText()
+            var depth = 1; var j = i + 2; var q: Char = 0; var esc = false
+            while (j < code.length && depth > 0) {
+              val e = code.charAt(j)
+              if (q != 0) {
+                if (esc) esc = false
+                else if (e == '\\') esc = true
+                else if (e == q) q = 0
+              } else e match {
+                case '\'' | '"' | '`' => q = e
+                case '{' => depth += 1
+                case '}' => depth -= 1
+                case _ => ()
+              }
+              j += 1
+            }
+            require(depth == 0,
+              "code: unterminated ${…} in JS template literal")
+            parts += "(" + jsExpandTemplates(code.substring(i + 2, j - 1)) + ")"
+            i = j
+          } else { text.append(t); i += 1 }
+        }
+        require(closed, "code: unterminated JS template literal")
+        flushText()
+        sb.append(
+          if (parts.isEmpty) "''"
+          else if (parts.length == 1 && parts.head.startsWith("'")) parts.head
+          else ("''" +: parts).mkString("(", " + ", ")"))
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Unroll literal-bounded `for` loops:
     * `for (var i = A; i (<|<=) B; i(++|+= S)) { body }` expands to the
     * body repeated per iteration with `i` substituted as a literal
@@ -1205,7 +1277,20 @@ object Stages {
   }
 
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
-    val (defree, fns) = jsExtractFunctions(jsExpandObjects(code))
+    // try/catch NAMED-fail (not a silent mis-parse): per-row error
+    // recovery has no plan spelling — the engine's typed policies own it
+    raw"\btry\s*\{".r.findAllMatchIn(code)
+      .find(m => !inJsLiteral(code, m.start)).foreach { _ =>
+        sys.error("code: JS try/catch cannot compile to a plan — per-row " +
+          "error handling belongs to the engine's typed policies (csv " +
+          "per-field errors, link unresolvedLinkAction, flow/expect " +
+          "guards); for genuinely imperative recovery use a Scala hook " +
+          "via `ref` (Engine.registerCode)")
+      }
+    // template literals expand to stringy concatenation first, so every
+    // later pass sees only '…'/"…" literals
+    val templated = jsExpandTemplates(code)
+    val (defree, fns) = jsExtractFunctions(jsExpandObjects(templated))
     // alternate the two unrollers to a fixpoint: a while nested in a for
     // body only becomes literal-bounded after the for substitutes its
     // counter (and vice versa)

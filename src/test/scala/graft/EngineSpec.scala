@@ -703,6 +703,70 @@ class EngineSpec extends SparkSpec {
     assert(lrow2.getAs[Number]("real").longValue == 7L)
   }
 
+  test("code JS shim: template literals expand; try/catch fails named (r18)") {
+    val path = writeNationCsv()
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "var who = record.n_name; record.msg = `key=$${record.n_nationkey} name=$${who}!`; record.plain = `just; text`; record.bare = `$${record.n_regionkey}`; record.q = `it's $${1 + 1}`;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val r = out.filter(col("n_nationkey") === 3).head()
+    assert(r.getAs[String]("msg") ==
+      s"key=3 name=${r.getAs[String]("n_name")}!")
+    // a ';' inside a template is data (the expansion runs before the
+    // statement split)
+    assert(r.getAs[String]("plain") == "just; text")
+    // a bare `${x}` stays a STRING (the '' seed forces concat semantics)
+    assert(r.getAs[String]("bare") ==
+      r.getAs[Number]("n_regionkey").toString)
+    // single quotes inside the template escape into the dialect literal
+    assert(r.getAs[String]("q") == "it's 2")
+    // templates interpolate into conditions too
+    val cond = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "if (`r$${record.n_regionkey}` === 'r2') record.hit = 1; else record.hit = 0;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(cond.where(col("hit") === 1).count() ==
+      cond.where(col("n_regionkey") === 2).count())
+    // try/catch: LOUD named migration error, not a silent mis-parse —
+    // and `try {` inside a string literal stays data
+    val e = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "code": { "language": "javascript", "code":
+          "try { record.x = 1; } catch (err) { record.x = 0; }" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(e.getMessage.contains("try/catch") &&
+      e.getMessage.contains("registerCode"), e.getMessage)
+    val litTry = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.note = 'try { x } catch'; record.ok = 1;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(litTry.head().getAs[String]("note") == "try { x } catch")
+    // unterminated template fails named
+    val e2 = intercept[Exception] {
+      Engine.runJson(newCtx(), s"""{
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "code": { "language": "javascript", "code":
+          "record.x = `oops;" } } ],
+        "loader": { "memory": {} }
+      }""")
+    }
+    assert(e2.getMessage.contains("unterminated"), e2.getMessage)
+  }
+
   test("code JS shim: ternaries, Math.*, bounded while, .length, string methods") {
     val path = writeNationCsv()
     // ternary chain (right-associative) + Math + .length property +
