@@ -827,6 +827,24 @@ object SparkEntry {
         .select(col("id"), col("count"))
         .orderBy("id")
     },
+    "command_gremlin_match" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // match() (r18): pattern-join of traversal fragments sharing as()
+      // tags, SOLUTION-set semantics (distinct bindings) — so the
+      // oracle is exactly the SQL join the patterns denote: order pairs
+      // sharing their placing customer, with the customer bound
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"vertex": {"class": "order", "idField": "o_orderkey"}},
+          {"edge": {"joinFieldName": "o_custkey", "lookup": "customer.c_custkey",
+                    "class": "placed", "direction": "out"}},
+          {"command": {"command":
+            "g.V().hasLabel('order').match(__.as('o').out('placed').as('c'), __.as('o2').out('placed').as('c')).select('o', 'c', 'o2')"}}],
+        "loader": {"memory": {}} }""")
+        .orderBy("o", "c", "o2")
+    },
     "command_gremlin_repeat" -> { (s, dir) =>
       val c = ctx(s, dir)
       // bounded-loop traversal with bound-vertex state: successor graph
@@ -5836,6 +5854,13 @@ object SparkEntry {
       ("SELECT CAST(o2.o_orderkey AS VARCHAR) AS id, 'order' AS label " +
        "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
        "ORDER BY id"),
+    // match() solution-set = the SQL join its patterns denote
+    "command_gremlin_match" ->
+      ("SELECT CAST(a.o_orderkey AS VARCHAR) AS o, " +
+       "CAST(a.o_custkey AS VARCHAR) AS c, " +
+       "CAST(b.o_orderkey AS VARCHAR) AS o2 " +
+       "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey " +
+       "ORDER BY o, c, o2"),
     // bag concatenation across both union branches, then one count per
     // id: orders-placed (customer branch) + 1 where the id is an order
     "command_gremlin_union" ->

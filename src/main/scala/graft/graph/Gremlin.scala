@@ -1053,6 +1053,109 @@ object Gremlin {
               // stateless: identical to inlining the chain
               frame = applyBranch(ctx, frame, idLabel, chain.src)
           }
+        case ("match", pats) if pats.nonEmpty &&
+            pats.forall(_.isInstanceOf[RawChain]) =>
+          // match() (r18): pattern-join of traversal fragments sharing
+          // as() tags. Pattern = as('t1').<hasLabel/has/hasNot/out/in/
+          // both>*[.as('t2')] — a trailing as binds the landing, a
+          // filter-only pattern constrains its start tag, and
+          // as('a')…as('a') closes a cycle. Semantics: the SOLUTION set
+          // (DISTINCT tag bindings — the relational reading a SQL
+          // oracle mirrors with joins); the TinkerPop solver's
+          // traverser-bag multiplicities are out of subset. The
+          // incoming traversers bind the FIRST pattern's start tag;
+          // afterwards the traverser sits at that binding with every
+          // tag in scope for select()/where(eq)/groupCount().
+          // Scale shape: each pattern is one edges-join relation,
+          // deduped to bindings BEFORE the pattern-join, and the join
+          // order is the greedy connected chain — never a cartesian.
+          requireVertexSpace(frame, "match")
+          if (trackPath)
+            fail("match() together with path()/simplePath() is not in " +
+              "the translated subset")
+          case class MPat(startTag: String, endTag: Option[String],
+                          mids: List[(String, List[Any])], src: String)
+          val parsed = pats.map { raw =>
+            val src = raw.asInstanceOf[RawChain].src
+            val body = "." + src.trim
+            val st = Step.findAllMatchIn(body)
+              .map(m => (m.group(1), parseArgs(m.group(2)))).toList
+            val consumed = Step.findAllMatchIn(body).map(_.matched).mkString
+            if (consumed != body || st.isEmpty)
+              fail(s"match pattern '$src': cannot parse as a step chain")
+            st.head match {
+              case ("as", List(t: String)) =>
+                val rest = st.tail
+                rest.lastOption match {
+                  case Some(("as", List(e: String))) =>
+                    MPat(t, Some(e), rest.dropRight(1), src)
+                  case _ => MPat(t, None, rest, src)
+                }
+              case _ => fail(s"match pattern '$src' must start with as('tag')")
+            }
+          }
+          def propGuard(p: MPat, f: DataFrame, k: String): Unit =
+            if (!f.columns.contains(k))
+              fail(s"match pattern '${p.src}': '$k' is not a column after " +
+                "a hop — properties live on the start element; move the " +
+                "filter before the hops or re-anchor the pattern")
+          def relation(p: MPat): DataFrame = {
+            var f = vertices.withColumn(s"__as_${p.startTag}", col("id"))
+            p.mids.foreach {
+              case ("hasLabel", Seq(l: String)) => f = f.where(col("label") === l)
+              case ("has", args2) =>
+                args2.headOption.foreach {
+                  case k: String => propGuard(p, f, k)
+                  case _ => ()
+                }
+                f = f.where(hasCond(args2))
+              case ("hasNot", Seq(k: String)) =>
+                propGuard(p, f, k); f = f.where(col(k).isNull)
+              case ("out", args2) if args2.forall(_.isInstanceOf[String]) =>
+                f = hop(ctx, f, idLabel, args2.map(_.toString), "src", "dst")
+              case ("in", args2) if args2.forall(_.isInstanceOf[String]) =>
+                f = hop(ctx, f, idLabel, args2.map(_.toString), "dst", "src")
+              case ("both", args2) if args2.forall(_.isInstanceOf[String]) =>
+                f = hop(ctx, f, idLabel, args2.map(_.toString), "src", "dst")
+                  .unionByName(
+                    hop(ctx, f, idLabel, args2.map(_.toString), "dst", "src"))
+              case (o2, a2) =>
+                fail(s"match pattern step '$o2(${a2.mkString(", ")})' is " +
+                  "not in the match subset (hasLabel/has/hasNot/out/in/" +
+                  "both between the as() anchors)")
+            }
+            val startC = col(s"__as_${p.startTag}")
+            p.endTag match {
+              case Some(e) if e == p.startTag => // cycle closes on itself
+                f.where(startC === col("id"))
+                  .select(startC.as(p.startTag)).distinct()
+              case Some(e) =>
+                f.select(startC.as(p.startTag), col("id").as(e)).distinct()
+              case None => f.select(startC.as(p.startTag)).distinct()
+            }
+          }
+          var sol = frame.select(col("id").as(parsed.head.startTag)).distinct()
+          var bound = Set(parsed.head.startTag)
+          var remaining = parsed.toList
+          while (remaining.nonEmpty) {
+            remaining.find(p => bound(p.startTag) || p.endTag.exists(bound)) match {
+              case None => fail("match(): patterns " +
+                remaining.map(p => s"'${p.src}'").mkString(", ") +
+                s" share no tag with {${bound.toSeq.sorted.mkString(", ")}} " +
+                "— a disconnected pattern set is a cartesian binding " +
+                "space; chain the patterns through shared as() tags")
+              case Some(p) =>
+                remaining = remaining.filterNot(_ eq p)
+                val rel = relation(p)
+                val shared = rel.columns.filter(bound).toSeq
+                sol = sol.join(rel, shared)
+                bound ++= rel.columns
+            }
+          }
+          val tagCols = bound.toSeq.sorted.map(t => col(t).as(s"__as_$t"))
+          frame = sol
+            .select(tagCols :+ col(parsed.head.startTag).as("id"): _*)
+            .join(idLabel, Seq("id"), "left")
         case (other, args) =>
           fail(s"unsupported step '$other(${args.mkString(", ")})' — the " +
             "translated subset is V/E/hasLabel/has/hasId/out/in/both/" +
@@ -1068,7 +1171,8 @@ object Gremlin {
             "order().by(..)/range(lo,hi)/path()/" +
             "union(chain, …)/coalesce(chain, …)/optional(chain)/" +
             "choose(filter, chain[, chain])/" +
-            "branch(selector).option(v, chain)…; " +
+            "branch(selector).option(v, chain)…/" +
+            "match(as('a').<hops>.as('b'), …)(solution-set semantics); " +
             "richer traversals migrate to the `motif` transformer " +
             "(pattern \"(a)-[e:label]->(b); …\") or the graph stages " +
             "(graphdegree/graphneighbors/pagerank)")
@@ -1388,8 +1492,12 @@ object Gremlin {
           else Cmp(op, vs)
         // Gremlin Order tokens arrive bare (`Order.decr` shortened form)
         case "asc" | "desc" | "incr" | "decr" => a
-        // an anonymous sub-traversal (union branch) — kept raw and
-        // translated by the step that consumes it
+        // an anonymous sub-traversal (union branch / match pattern) —
+        // kept raw and translated by the step that consumes it; the
+        // canonical `__.` spelling strips to the bare chain
+        case chain if chain.startsWith("__.") &&
+            ChainArg.pattern.matcher(chain.stripPrefix("__.")).matches() =>
+          RawChain(chain.stripPrefix("__."))
         case chain if ChainArg.pattern.matcher(chain).matches() => RawChain(chain)
         case _ => parseScalar(a)
       }

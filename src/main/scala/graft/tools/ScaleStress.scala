@@ -273,7 +273,8 @@ object ScaleStress {
       "link_predict", "freq_pairs", "event_paths",
       "line_dedup", "auc_rank", "topo_layers", "survival_curve",
       "changepoint_cusum", "collocations_win", "cumulate_run",
-      "percent_rank", "bloom_semi", "checksum_grain", "kll_grain")
+      "percent_rank", "bloom_semi", "checksum_grain", "kll_grain",
+      "similarity_cross")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -283,6 +284,12 @@ object ScaleStress {
       val hashes = ensureHashes(spark, 20000L * factor, s"/tmp/graft_stress_hash_f$factor")
       spark.read.parquet(events).createOrReplaceTempView("stress_events")
       spark.read.parquet(docs).createOrReplaceTempView("stress_docs")
+      spark.read.parquet(vecs).createOrReplaceTempView("stress_vecs")
+      // similarity_cross: the QUERY batch grows with N, the reference
+      // corpus stays FIXED (the f1 vector table) — the r17 queryTable
+      // contract's growth axis (fresh documents searching a frozen
+      // index). Work = |Q|·|corpus| cosines → the exponent must be ~1.
+      val corpusFixed = ensureVecs(spark, 2000L, "/tmp/graft_stress_vecs_f1")
       // semanticdedup: cells must GROW with N (candidates ≈ (nProbe·N)²/k);
       // k ∝ N keeps per-cell work flat, but the bounded driver trainer is
       // the documented trade — sample capped, so training stays O(k·cap·dim)
@@ -389,6 +396,12 @@ object ScaleStress {
             "nProbe": 4, "lloydIters": 2,
             "trainRows": ${math.min(math.max(16L, m / 250) * 40, 20000)},
             "pqM": 16, "pqK": 16, "refine": 4}}],
+          "loader": {"memory": {}} }""",
+        "similarity_cross" -> s"""{
+          "source": {"file": {"path": "$corpusFixed"}}, "extractor": {"parquet": {}},
+          "transformers": [{"similarity": {"idField": "vec_id",
+            "field": "embedding", "k": 5,
+            "queryTable": "SELECT vec_id, embedding FROM stress_vecs"}}],
           "loader": {"memory": {}} }""",
         "minhash_pairs" -> s"""{
           "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
@@ -793,7 +806,7 @@ object ScaleStress {
         val t = time2(json)
         results((name, factor)) = t
         val nDisp = name match {
-          case "cosine_dup" | "semantic_dedup" => m
+          case "cosine_dup" | "semantic_dedup" | "similarity_cross" => m
           case "asof_join" | "asof_nearest" | "range_join" |
                "interval_join" | "funnel_steps" | "auc_rank" |
                "survival_curve" | "changepoint_cusum" |

@@ -344,6 +344,54 @@ class GraphSpec extends SparkSpec {
     assert(e4.getMessage.contains("repeat(..).emit().path()"))
   }
 
+  test("gremlin: match() pattern-join — solution-set bindings; named fails (r18)") {
+    val ctx = newCtx()
+    ctx.addVertices(Seq(("a", "person"), ("b", "person"), ("d", "person"),
+      ("c", "city"), ("e", "city")).toDF("id", "label"))
+    ctx.addEdges(Seq(("a", "b", "knows"), ("d", "a", "knows"),
+      ("b", "c", "lives"), ("a", "e", "lives")).toDF("src", "dst", "label"))
+    def g(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx)(spark.emptyDataFrame)
+    // two chained patterns; bare and __. spellings both parse
+    val out = g("g.V().match(__.as('x').out('knows').as('y'), " +
+        "as('y').out('lives').as('z')).select('x', 'z')")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("a", "c"), ("d", "e")))
+    // filter-only pattern constrains its tag; single select re-enters
+    // vertex space (id + label)
+    val fo = g("g.V().match(__.as('x').out('knows').as('y'), " +
+        "__.as('y').hasLabel('person')).select('y')")
+      .select("id").as[String].collect().toSet
+    assert(fo == Set("a", "b"))
+    // the incoming traversers bind the first pattern's start tag
+    val pinned = g("g.V('a').match(__.as('x').out('knows').as('y'))" +
+        ".select('x', 'y')").as[(String, String)].collect().toSet
+    assert(pinned == Set(("a", "b")))
+    // terminal aggregate over the solution set
+    assert(g("g.V().match(__.as('x').out('knows').as('y')).count()")
+      .select("count").as[Long].head() == 2L)
+    // a cycle pattern (as('p')…as('p')) closes on itself
+    val ctx2 = newCtx()
+    ctx2.addVertices(Seq(("a", "person"), ("b", "person"), ("z", "person"))
+      .toDF("id", "label"))
+    ctx2.addEdges(Seq(("a", "b", "knows"), ("b", "a", "knows"),
+      ("b", "z", "knows")).toDF("src", "dst", "label"))
+    def g2(script: String) = graft.stages.Stages.command(
+      ComponentSpec("command", Map("command" -> script)), ctx2)(spark.emptyDataFrame)
+    val cyc = g2("g.V().match(__.as('p').out('knows').as('q'), " +
+        "__.as('q').out('knows').as('p')).select('p', 'q')")
+      .as[(String, String)].collect().toSet
+    assert(cyc == Set(("a", "b"), ("b", "a")))
+    // named fails: disconnected patterns, unsupported pattern step
+    val e = intercept[RuntimeException](g("g.V().match(" +
+      "__.as('x').out('knows').as('y'), __.as('p').out('lives').as('q'))" +
+      ".select('x')"))
+    assert(e.getMessage.contains("share no tag"), e.getMessage)
+    val e2 = intercept[RuntimeException](g(
+      "g.V().match(__.as('x').values('id').as('y')).select('x')"))
+    assert(e2.getMessage.contains("match subset"), e2.getMessage)
+  }
+
   test("gremlin: idLabel catalog persists once across traversals sharing a vertex frame") {
     // r14 verdict #6: several traversals over one vertex frame must not
     // re-persist the plan-identical (id, label) catalog — the second
