@@ -3313,6 +3313,28 @@ object SparkEntry {
             "SELECT o_orderkey, o_custkey FROM __input"}}],
         "loader": {"memory": {}} }""").orderBy("o_orderkey")
     },
+    "bloom_join_bcast" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the r18 BROADCAST sketch carrier (sketchLitMaxBytes: 0 forces
+      // every sketch onto the broadcast path — at real scale only
+      // GB-class sketches take it) + a type-coerced key hash: the left
+      // key arrives as BIGINT while the right stays INT, the pair ===
+      // would silently mismatch under the r17 raw-type hash. Result
+      // must stay row-identical to the exact semi join.
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/orders.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM __input"}},
+          {"bloomjoin": {"right":
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+            "leftOn": "o_custkey", "rightOn": "c_custkey",
+            "sketchLitMaxBytes": 0}},
+          {"code": {"language": "sql", "code":
+            "SELECT o_orderkey, o_custkey FROM __input"}}],
+        "loader": {"memory": {}} }""").orderBy("o_orderkey")
+    },
     "bloom_join_anti" -> { (s, dir) =>
       val c = ctx(s, dir)
       // anti mode: definite-absent rows (bloom-negative) never reach
@@ -6839,6 +6861,13 @@ object SparkEntry {
        "ORDER BY o_orderkey"),
     "bloom_join_anti" ->
       ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN " +
+       "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+       "ORDER BY o_orderkey"),
+    // broadcast-carrier + type-coerced hash: same rows as bloom_join
+    // with the left key widened to BIGINT
+    "bloom_join_bcast" ->
+      ("SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey " +
+       "FROM orders WHERE o_custkey IN " +
        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
        "ORDER BY o_orderkey"),
     "checksum_rollup" ->
