@@ -208,6 +208,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("VideoCodec: chunked stsc walk recovers every frame exactly (30 cases)") {
+    import graft.multimodal.VideoCodec
+    val gen = for {
+      nf <- Gen.choose(1, 30)
+      sizes <- Gen.listOfN(nf, Gen.choose(1, 20))
+      gap <- Gen.choose(0, 9)
+      cuts <- Gen.listOfN(nf, Gen.choose(1, 5)) // greedy partition widths
+    } yield (sizes, gap, cuts)
+    samples(gen, 30).foreach { case (sizes, gap, cuts) =>
+      val frames = sizes.zipWithIndex.map { case (n, i) =>
+        Array.tabulate(n)(j => (i * 31 + j * 7).toByte) }
+      // partition nf into chunk sample-counts from the cut widths
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var left = frames.length
+      var ci = 0
+      while (left > 0) {
+        val c = math.min(left, cuts(ci % cuts.length)); chunks += c
+        left -= c; ci += 1
+      }
+      val mp4 = VideoCodec.encodeMjpeg(8, 8, frames, 600L, 480L,
+        chunkSizes = chunks.toSeq, interChunkGap = gap)
+      val got = VideoCodec.sampleFrames(5L, mp4, 1, 1000)
+      assert(got.length == frames.length,
+        s"chunks=$chunks gap=$gap: ${got.length} != ${frames.length}")
+      got.foreach(s => assert(s.frame.toSeq == frames(s.frame_idx).toSeq,
+        s"frame ${s.frame_idx} bytes wrong (chunks=$chunks gap=$gap)"))
+    }
+  }
+
+  test("jsExpandTemplates: identity on template-free code; expansion concatenates") {
+    // backtick-free inputs (including quoted strings with $ and braces)
+    // must pass through BYTE-identical
+    val tfGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(s => s.take(8)),
+      Gen.oneOf("'a$b'", "\"x{y}\"", "record.x = 1;", "${", "}", "$",
+        "if (a) b = 'c;d';"))).map(_.mkString(" "))
+    samples(tfGen, 30).foreach { code =>
+      assert(graft.stages.Stages.jsExpandTemplates(code) == code, code)
+    }
+    // plain-text templates become ONE dialect literal with ' and \ escaped
+    val txtGen = Gen.listOf(Gen.oneOf("a", "b c", "it's", "x;y", "1+1"))
+      .map(_.mkString(" "))
+    samples(txtGen, 20).foreach { txt =>
+      val out = graft.stages.Stages.jsExpandTemplates(s"record.x = `$txt`;")
+      val lit = "'" + txt.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val expected =
+        if (txt.isEmpty) "record.x = '';" else s"record.x = $lit;"
+      assert(out == expected, s"txt=`$txt` -> $out")
+    }
+  }
+
   test("winsorize: outputs within bounds, unflagged rows unchanged, count kept") {
     val valGen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
     samples(valGen, 8).zipWithIndex.foreach { case (vs, i) =>
