@@ -906,6 +906,16 @@ object Gremlin {
             fail(s"where($op('$tag')): no as('$tag') binding upstream")
           frame = frame.where(
             if (op == "eq") col("id") === col(bound) else col("id") =!= col(bound))
+        case ("where", Seq(a: String, Pred(op, tag))) =>
+          // two-tag compare — where('a', neq('b')): the de-mirror /
+          // distinctness filter over match()/as() bindings
+          Seq(a, tag).foreach { t =>
+            if (!frame.columns.contains(s"__as_$t"))
+              fail(s"where('$a', $op('$tag')): no as('$t') binding upstream")
+          }
+          frame = frame.where(
+            if (op == "eq") col(s"__as_$a") === col(s"__as_$tag")
+            else col(s"__as_$a") =!= col(s"__as_$tag"))
         case ("where", Seq(chain: RawChain)) =>
           // existence filter: keep traversers whose anonymous
           // sub-traversal yields at least one result — a LEFT SEMI on
@@ -1166,7 +1176,7 @@ object Gremlin {
             "group().by('k')[.by(<aggregate>)]/" +
             "project('a', …).by(<prop|chain.aggregate>)…/" +
             "local(<chain[.aggregate|.limit(n)]>)/" +
-            "as/where(eq|neq)/select[.by('prop')…]/" +
+            "as/where(eq|neq)/where('a', eq|neq('b'))/select[.by('prop')…]/" +
             "repeat(..) with times(k)/until(filter)/emit()/" +
             "order().by(..)/range(lo,hi)/path()/" +
             "union(chain, …)/coalesce(chain, …)/optional(chain)/" +

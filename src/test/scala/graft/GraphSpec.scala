@@ -382,6 +382,12 @@ class GraphSpec extends SparkSpec {
         "__.as('q').out('knows').as('p')).select('p', 'q')")
       .as[(String, String)].collect().toSet
     assert(cyc == Set(("a", "b"), ("b", "a")))
+    // two-tag where over match bindings: orders pairs with x != y
+    val neq = g("g.V().match(__.as('x').out('knows').as('y'), " +
+        "__.as('x').out('lives').as('z')).where('y', neq('z'))" +
+        ".select('x', 'y', 'z')")
+      .as[(String, String, String)].collect().toSet
+    assert(neq == Set(("a", "b", "e"))) // d has no lives edge; y=b != z=e
     // named fails: disconnected patterns, unsupported pattern step
     val e = intercept[RuntimeException](g("g.V().match(" +
       "__.as('x').out('knows').as('y'), __.as('p').out('lives').as('q'))" +
