@@ -288,6 +288,9 @@ object Engine {
     // barrier in the plan — free pipelines stay byte-identical.
     val telemetry = configFlag(spec, "telemetry")
     val t0 = System.nanoTime
+    // counter baselines: the accumulators are context-lifetime, the
+    // RunStats contract is per-run — record deltas, not live values
+    val (warn0, err0) = (ctx.warnings.value: Long, ctx.errors.value: Long)
     val extractObs = if (telemetry) {
       val o = ctx.newObservation("rows_extracted")
       df = df.observe(o, org.apache.spark.sql.functions.count(
@@ -358,7 +361,9 @@ object Engine {
           val elapsedMs = (System.nanoTime - t0) / 1000000L
           val extracted = ctx.observedValue(eo, "rows")
           val loaded = ctx.observedValue(lo, "rows")
-          ctx.lastStats = Some(EtlContext.RunStats(extracted, loaded, elapsedMs))
+          ctx.lastStats = Some(EtlContext.RunStats(extracted, loaded, elapsedMs,
+            warnings = (ctx.warnings.value: Long) - warn0,
+            errors = (ctx.errors.value: Long) - err0))
           val secs = math.max(elapsedMs, 1L) / 1000.0
           System.err.println(
             f"[graft] extracted $extracted rows, loaded $loaded rows in " +

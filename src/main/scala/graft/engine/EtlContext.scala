@@ -79,7 +79,10 @@ final class EtlContext(val spark: SparkSession) {
       "config {\"telemetry\": true} and use an acting loader " +
       "(parquet/output/orientdb), not the memory plan-handoff"))
     import spark.implicits._
-    Seq((st.extracted, st.loaded, warnings.value: Long, errors.value: Long,
+    // warnings/errors are the RUN's deltas recorded in RunStats, not
+    // the live context-lifetime accumulators — a reused context must
+    // not attribute an earlier run's counts to this one
+    Seq((st.extracted, st.loaded, st.warnings, st.errors,
       st.elapsedMs)).toDF(
       "rows_extracted", "rows_loaded", "warnings", "errors", "elapsed_ms")
   }
@@ -201,8 +204,12 @@ final class EtlContext(val spark: SparkSession) {
 }
 
 object EtlContext {
-  /** Extract/load row counts + wall time of one acted-on pipeline run. */
-  final case class RunStats(extracted: Long, loaded: Long, elapsedMs: Long)
+  /** Extract/load row counts + wall time of one acted-on pipeline run,
+    * plus that run's OWN warning/error counter deltas (the accumulators
+    * are context-lifetime; a reused context must not attribute an
+    * earlier run's warnings to the current one — r18 review). */
+  final case class RunStats(extracted: Long, loaded: Long, elapsedMs: Long,
+                            warnings: Long = 0L, errors: Long = 0L)
 
   /** One micro-batch of a telemetry-enabled streaming pipeline. */
   final case class BatchStats(batchId: Long, inputRows: Long,
@@ -230,6 +237,28 @@ object EtlContext {
     while (!sessionPersisted.isEmpty)
       sessionPersisted.removeFirst().unpersist(false)
   }
+
+  /** Session-level bounded FIFO of BROADCAST variables created at
+    * stage-build (bloomjoin's large-sketch carrier): the returned plan
+    * may execute well after Engine.run ends (memory handoff, a driver
+    * counting the acted frame again), so run-scoped destroy is unsafe —
+    * but never destroying leaks up to maxSketchBytes per invocation for
+    * the application lifetime (r18 review). Same contract as
+    * [[adoptSessionPersisted]]: once the FIFO is full, the oldest
+    * broadcast — whose consuming action has long since run — is
+    * destroyed. */
+  private val sessionBroadcasts =
+    new java.util.ArrayDeque[org.apache.spark.broadcast.Broadcast[_]]
+  private val SessionBroadcastCap = 8
+  def adoptSessionBroadcast(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    synchronized {
+      sessionBroadcasts.addLast(b)
+      while (sessionBroadcasts.size > SessionBroadcastCap)
+        sessionBroadcasts.removeFirst().destroy()
+    }
+  /** Visible for specs. */
+  private[graft] def sessionBroadcastCount: Int =
+    synchronized(sessionBroadcasts.size)
   /** Visible for specs. */
   private[graft] def sessionCacheSize: Int =
     synchronized(sessionPersisted.size)

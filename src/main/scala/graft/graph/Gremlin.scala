@@ -1083,6 +1083,21 @@ object Gremlin {
           if (trackPath)
             fail("match() together with path()/simplePath() is not in " +
               "the translated subset")
+          // pre-existing as() bindings: TinkerPop's solver would JOIN
+          // against them; this translation re-binds the first pattern's
+          // start tag to the incoming traversers, which would silently
+          // change the answer — fail loud instead (r18 review)
+          locally {
+            val preBound = frame.columns.filter(_.startsWith("__as_"))
+              .map(_.stripPrefix("__as_"))
+            if (preBound.nonEmpty)
+              fail(s"match() after as(${preBound.mkString("'", "', '", "'")}) " +
+                "bindings is not in the translated subset — TinkerPop " +
+                "joins the patterns against existing bindings; place the " +
+                "match directly after the start/hops (its first pattern's " +
+                "start tag binds the incoming traversers) or migrate to " +
+                "the motif transformer")
+          }
           case class MPat(startTag: String, endTag: Option[String],
                           mids: List[(String, List[Any])], src: String)
           val parsed = pats.map { raw =>

@@ -243,9 +243,13 @@ object SetOps {
         if (sketchBytes.length <= litMax)
           graft.functions.VectorExpressions
             .bloomMightContain(lit(sketchBytes), probeVal)
-        else
-          graft.functions.VectorExpressions.bloomMightContainBcast(
-            ctx.spark.sparkContext.broadcast(sketchBytes), probeVal)
+        else {
+          // the broadcast outlives this run (the returned plan may
+          // execute later) — bounded session FIFO owns its lifetime
+          val bc = ctx.spark.sparkContext.broadcast(sketchBytes)
+          graft.engine.EtlContext.adoptSessionBroadcast(bc)
+          graft.functions.VectorExpressions.bloomMightContainBcast(bc, probeVal)
+        }
       val nullSafe = spec.bool("nullSafe", dflt = false)
       val cond = lks.zip(rks).map { case (l, r) =>
         if (nullSafe) df(l) <=> col("__r_" + r) else df(l) === col("__r_" + r)

@@ -682,8 +682,9 @@ object Stages {
     * `('' + 'a' + (expr) + 'b')`. The scanner is quote-aware (a
     * backtick inside '…'/"…" is data); `${}` scans balanced braces
     * (quote-aware, nested templates ride as quoted regions) and the
-    * interpolated expression recursively expands. A backslash escapes
-    * the next template char (`` \` ``, `\$`, `\\`). The `''` seed keeps
+    * interpolated expression recursively expands. Backslash escapes
+    * follow JS: `\n`/`\t`/`\r` are control chars, any other escaped
+    * char is itself (`` \` ``, `\$`, `\\`). The `''` seed keeps
     * a bare `${x}` template a STRING — the dialect's `+` concatenates
     * once a side is stringy (OrientExpr.scala's stringy routing). */
   private[graft] def jsExpandTemplates(code: String): String = {
@@ -704,8 +705,13 @@ object Stages {
         val parts = scala.collection.mutable.ArrayBuffer.empty[String]
         val text = new StringBuilder
         def flushText(): Unit = if (text.nonEmpty) {
+          // control chars re-encode as dialect escapes (OrientExpr
+          // decodes \n \t \r inside string literals) — a RAW newline in
+          // the emitted literal would break the statement-anchored shim
+          // regexes, which never span lines
           parts += "'" + text.toString
-            .replace("\\", "\\\\").replace("'", "\\'") + "'"
+            .replace("\\", "\\\\").replace("'", "\\'")
+            .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "'"
           text.clear()
         }
         i += 1
@@ -713,7 +719,16 @@ object Stages {
         while (i < code.length && !closed) {
           val t = code.charAt(i)
           if (t == '\\' && i + 1 < code.length) {
-            text.append(code.charAt(i + 1)); i += 2
+            // JS escape semantics: \n/\t/\r are control chars, anything
+            // else escapes to the char itself (\` \$ \\ \' …) — dropping
+            // the backslash blindly would corrupt `a\nb` to "anb" (r18)
+            text.append(code.charAt(i + 1) match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case c => c
+            })
+            i += 2
           } else if (t == '`') { closed = true; i += 1 }
           else if (t == '$' && i + 1 < code.length && code.charAt(i + 1) == '{') {
             flushText()
@@ -1277,19 +1292,22 @@ object Stages {
   }
 
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
+    // template literals expand to stringy concatenation first, so every
+    // later pass sees only '…'/"…" literals
+    val templated = jsExpandTemplates(code)
     // try/catch NAMED-fail (not a silent mis-parse): per-row error
-    // recovery has no plan spelling — the engine's typed policies own it
-    raw"\btry\s*\{".r.findAllMatchIn(code)
-      .find(m => !inJsLiteral(code, m.start)).foreach { _ =>
+    // recovery has no plan spelling — the engine's typed policies own
+    // it. Scanned AFTER template expansion so a 'try {' that was
+    // template TEXT sits inside a '…' literal and stays data (r18
+    // review: jsLiteralSpans is backtick-unaware)
+    raw"\btry\s*\{".r.findAllMatchIn(templated)
+      .find(m => !inJsLiteral(templated, m.start)).foreach { _ =>
         sys.error("code: JS try/catch cannot compile to a plan — per-row " +
           "error handling belongs to the engine's typed policies (csv " +
           "per-field errors, link unresolvedLinkAction, flow/expect " +
           "guards); for genuinely imperative recovery use a Scala hook " +
           "via `ref` (Engine.registerCode)")
       }
-    // template literals expand to stringy concatenation first, so every
-    // later pass sees only '…'/"…" literals
-    val templated = jsExpandTemplates(code)
     val (defree, fns) = jsExtractFunctions(jsExpandObjects(templated))
     // alternate the two unrollers to a fixpoint: a while nested in a for
     // body only becomes literal-bounded after the for substitutes its

@@ -1144,9 +1144,10 @@ object TextStages {
     * (default 1 = adjacent bigrams; 2–8 adds SKIP-GRAM pairs at every
     * offset ≤ window — the word2vec-style co-occurrence context, each
     * offset one more zip stream concatenated per row, output schema
-    * unchanged), `maxPairs` (optional, default off — loud bounded-probe
-    * guard on the exploded pair volume, the linededup maxDupLines
-    * pattern). Output: one row per surviving pair (`w1`, `w2`,
+    * unchanged), `maxPairs` (optional, default off — loud IN-PLAN guard
+    * on the total pair volume, raised at the action; rides the
+    * already-computed grand total so it costs nothing when compliant).
+    * Output: one row per surviving pair (`w1`, `w2`,
     * `n_xy`, `n_x`, `n_y`, `pmi_bits`) — a QUERY stage (replaces the
     * stream, like tfidf's corpus view).
     *
@@ -1176,19 +1177,7 @@ object TextStages {
         else concat((1 to window).map(pairsAt): _*)
       val stream = df.select(explode(bgs).as("__bg"))
         .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-      // optional pair-volume guard (the linededup maxDupLines pattern:
-      // bounded limit-probe, loud fail — never a silent cap): window
-      // mode is deliberately linear in token-pairs (the suite's only
-      // near-exp-1.0 leg), so a corpus 100× bigger than intended should
-      // fail with a named knob, not run for hours
-      spec.long("maxPairs").filter(_ > 0).foreach { mp =>
-        val probe = math.min(mp + 1, Int.MaxValue.toLong).toInt
-        if (stream.limit(probe).count() > mp) sys.error(
-          s"collocations: pair stream exceeds maxPairs=$mp — window=" +
-          s"$window multiplies the corpus token volume; lower `window`, " +
-          "pre-filter/sample the corpus upstream, or raise maxPairs if " +
-          "the cost is intended")
-      }
+      val maxPairs = spec.long("maxPairs").filter(_ > 0)
       val cntBg = stream.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
       val cntL = cntBg.groupBy(col("w1").as("__l")).agg(sum("n_xy").as("n_x"))
       val cntR = cntBg.groupBy(col("w2").as("__r")).agg(sum("n_xy").as("n_y"))
@@ -1197,6 +1186,22 @@ object TextStages {
         .join(cntL, col("w1") === col("__l")).drop("__l")
         .join(cntR, col("w2") === col("__r")).drop("__r")
         .crossJoin(broadcast(tot))
+        // optional pair-volume contract enforced IN-PLAN (the
+        // calibration raise_error pattern — the grand total `__n` is
+        // already computed and broadcast, so the guard costs nothing;
+        // the r18 first cut was an eager limit-probe that re-exploded
+        // the whole corpus once extra on every compliant run). Loud
+        // fail at the action, never a silent cap.
+        .where(maxPairs.fold(lit(true)) { mp =>
+          coalesce(
+            when(col("__n") > mp, raise_error(concat(
+              lit("collocations: "), col("__n").cast("string"),
+              lit(s" token pairs exceed maxPairs=$mp — window=$window " +
+                "multiplies the corpus token volume; lower `window`, " +
+                "pre-filter/sample the corpus upstream, or raise " +
+                "maxPairs if the cost is intended")))),
+            lit(true))
+        })
         .where(col("n_xy") >= minCount)
         .withColumn("__a", col("__n") * col("n_xy"))
         .withColumn("__b", col("n_x") * col("n_y"))

@@ -754,6 +754,20 @@ class EngineSpec extends SparkSpec {
       "loader": { "memory": {} }
     }""")
     assert(litTry.head().getAs[String]("note") == "try { x } catch")
+    // 'try {' as TEMPLATE text is also data (the guard scans after
+    // expansion — r18 review), and \n inside a template is a real
+    // newline, not the letter n
+    val tmplTry = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.note = `try { it } later`; record.nl = `a\\\\nb`;" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val trow = tmplTry.head()
+    assert(trow.getAs[String]("note") == "try { it } later")
+    assert(trow.getAs[String]("nl") == "a\nb",
+      s"got ${trow.getAs[String]("nl").replace("\n", "<NL>")}")
     // unterminated template fails named
     val e2 = intercept[Exception] {
       Engine.runJson(newCtx(), s"""{
@@ -1115,8 +1129,13 @@ class EngineSpec extends SparkSpec {
     assert(rows(op()) == exact)
     assert(rows(op("mode" -> "anti")) == rows(left).diff(exact))
     // forcing the BROADCAST carrier (sketchLitMaxBytes=0) changes the
-    // sketch's ride, not the rows
+    // sketch's ride, not the rows; the broadcast lands in the bounded
+    // session FIFO (r18 review: run-scoped destroy is unsafe, never
+    // destroying leaks — the FIFO owns the lifetime)
+    val bcBefore = graft.engine.EtlContext.sessionBroadcastCount
     assert(rows(op("sketchLitMaxBytes" -> 0)) == exact)
+    assert(graft.engine.EtlContext.sessionBroadcastCount > 0 ||
+      bcBefore > 0, "broadcast carrier must register in the session FIFO")
     assert(rows(op("sketchLitMaxBytes" -> 0, "mode" -> "anti")) ==
       rows(left).diff(exact))
     // decimal vs double also hash-coerces (both sides widen to double)
@@ -1239,6 +1258,27 @@ class EngineSpec extends SparkSpec {
     val bare = newCtx()
     val e = intercept[Exception](bare.statsFrame())
     assert(e.getMessage.contains("telemetry"), e.getMessage)
+    // warnings are PER-RUN deltas on a reused context (r18 review): two
+    // identical WARNING-link runs each report their own count, not the
+    // accumulated total
+    val shared = newCtx()
+    def warnRun(): Long = {
+      val out2 = java.nio.file.Files.createTempDirectory("graft_stats2").toString
+      Engine.runJson(shared, s"""{
+        "config": { "telemetry": true },
+        "source": { "file": { "path": "$path" } },
+        "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+        "transformers": [ { "link": { "joinFieldName": "n_regionkey",
+          "lookup": "SELECT 0 AS rk", "linkFieldName": "lnk",
+          "unresolvedLinkAction": "WARNING" } } ],
+        "loader": { "parquet": { "path": "$out2" } }
+      }""")
+      shared.statsFrame().select("warnings").collect().head.getLong(0)
+    }
+    val w1 = warnRun()
+    val w2 = warnRun()
+    assert(w1 > 0, "fixture must produce unresolved links")
+    assert(w2 == w1, s"per-run delta, not cumulative: $w2 vs $w1")
   }
 
   test("streaming telemetry: per-batch rows/sec rows for a 2-batch availableNow run") {

@@ -396,6 +396,12 @@ class GraphSpec extends SparkSpec {
     val e2 = intercept[RuntimeException](g(
       "g.V().match(__.as('x').values('id').as('y')).select('x')"))
     assert(e2.getMessage.contains("match subset"), e2.getMessage)
+    // match() after an as() binding would silently re-bind in this
+    // translation where TinkerPop joins — named fail instead (r18)
+    val e3 = intercept[RuntimeException](g(
+      "g.V().as('a').out('knows').match(__.as('a').out('lives').as('b'))" +
+      ".select('a', 'b')"))
+    assert(e3.getMessage.contains("match() after as('a')"), e3.getMessage)
   }
 
   test("gremlin: idLabel catalog persists once across traversals sharing a vertex frame") {

@@ -1810,10 +1810,11 @@ class LlmStagesSpec extends SparkSpec {
     assert(w2(("b", "c")) == ((1L, 1L, 2L, 1L)))
     assert(intercept[Exception](stage("collocations", "window" -> 9)(sg))
       .getMessage.contains("window"))
-    // maxPairs (r18): loud bounded-probe guard on the exploded pair
-    // volume; a generous bound changes nothing
+    // maxPairs (r18): loud IN-PLAN guard on the total pair volume —
+    // fires at the ACTION (zero plan-build cost); a generous bound
+    // changes nothing
     val e = intercept[Exception](
-      stage("collocations", "minCount" -> 1, "maxPairs" -> 2)(df))
+      stage("collocations", "minCount" -> 1, "maxPairs" -> 2)(df).collect())
     assert(e.getMessage.contains("maxPairs"), e.getMessage)
     val same = stage("collocations", "minCount" -> 1, "maxPairs" -> 1000)(df)
       .select("w1", "w2").as[(String, String)].collect().toSet
