@@ -1146,6 +1146,20 @@ class EngineSpec extends SparkSpec {
       Map[String, Any]("right" -> "bj_dec", "leftOn" -> "k",
         "rightOn" -> "rk")), ctx)(dleft)
     assert(rows(dsemi) == Seq("a", "c"))
+    // plan shape: the BCAST probe also sits in a Filter BEFORE the join
+    // (parquet-backed — a LocalRelation would fold the probe at plan
+    // time) and the expression names the broadcast carrier
+    locally {
+      val pq = java.nio.file.Files.createTempDirectory("graft_bjb").toString
+      left.write.mode("overwrite").parquet(pq)
+      val plan = Engine.transformers("bloomjoin")(ComponentSpec("bloomjoin",
+        Map[String, Any]("right" -> "bj_long", "leftOn" -> "k",
+          "rightOn" -> "rk", "sketchLitMaxBytes" -> 0)),
+        ctx)(spark.read.parquet(pq))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain_bcast"),
+        s"broadcast-carrier probe must be in-plan:\n$plan")
+    }
     // incompatible key types fail LOUD, not silently empty
     Seq("1", "2").toDF("rk").createOrReplaceTempView("bj_str")
     val te = intercept[Exception] {
