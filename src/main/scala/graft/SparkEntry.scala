@@ -4388,6 +4388,21 @@ object SparkEntry {
         .select("media_id", "sample_rate", "channels", "n_samples")
         .orderBy("media_id")
     },
+    "mm_id3" -> { (s, dir) =>
+      val c = ctx(s, dir); val fx = fixtures(s, dir)
+      // REAL ID3v2 text-frame walk (v2.3 plain + v2.4 syncsafe/UTF-8,
+      // trailing tag padding): title/artist/album are doc_id arithmetic
+      // the oracle recomputes; untagged payloads (odd ids, ADTS) keep a
+      // null row via onMissing, absent TALB frames are null
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$fx/ca_parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"mm_id3": {"idField": "media_id",
+          "onMissing": "null"}}],
+        "loader": {"memory": {}} }""")
+        .select("media_id", "title", "artist", "album")
+        .orderBy("media_id")
+    },
     "mm_frame_sample" -> { (s, dir) =>
       val c = ctx(s, dir); val fx = fixtures(s, dir)
       // real frame sampling from real MP4 bytes: every 4th sample's
@@ -7300,6 +7315,13 @@ object SparkEntry {
        "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END AS INTEGER) AS sample_rate, " +
        "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
        "CAST(500 + (doc_id * 13) % 1000 AS BIGINT) AS n_samples " +
+       "FROM documents ORDER BY media_id"),
+    // ID3v2 plants: tags on even ids (ADTS ids are odd), TALB on %4=0
+    "mm_id3" ->
+      ("SELECT doc_id AS media_id, " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'Title ' || CAST(doc_id % 23 AS VARCHAR) END AS title, " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'artist' || CAST(doc_id % 7 AS VARCHAR) END AS artist, " +
+       "CASE WHEN doc_id % 4 = 0 THEN 'album' || CAST(doc_id * 3 % 11 AS VARCHAR) END AS album " +
        "FROM documents ORDER BY media_id"),
     // MP3: frames × 1152 (MPEG-1 Layer III); ADTS (doc_id%4=3): × 1024
     "mm_audio_compressed" ->

@@ -191,6 +191,7 @@ object Engine {
     "mm_audio"      -> graft.multimodal.MultimodalStages.audio _,
     "mm_audio_stats" -> graft.multimodal.MultimodalStages.audioStats _,
     "mm_exif"       -> graft.multimodal.MultimodalStages.exif _,
+    "mm_id3"        -> graft.multimodal.MultimodalStages.id3 _,
     "mm_video"      -> graft.multimodal.MultimodalStages.video _,
     "mm_phash"      -> graft.multimodal.MultimodalStages.phash _,
     "mm_meta"       -> graft.multimodal.MultimodalStages.textMeta _,

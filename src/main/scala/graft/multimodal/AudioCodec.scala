@@ -40,6 +40,70 @@ object AudioCodec {
     } finally in.close()
   }
 
+  /** ID3v2 text-frame metadata of one MP3 payload. */
+  final case class Id3Meta(media_id: Long, title: Option[String],
+                           artist: Option[String], album: Option[String])
+
+  /** Parse the leading ID3v2 tag's TEXT frames (the crawl-metadata trio
+    * TIT2/TPE1/TALB and any other `T…` frame) to a frameId → text map —
+    * empty when the payload carries no tag. Versions 2.3 (plain u32
+    * frame sizes) and 2.4 (syncsafe) supported; v2.2 (3-byte ids),
+    * extended headers, unsynchronisation, and compressed/encrypted
+    * frames are typed errors naming the row (never a silent mis-walk).
+    * Text decodes per the encoding byte: 0 latin-1, 1 UTF-16 (BOM),
+    * 2 UTF-16BE, 3 UTF-8; trailing NULs stripped. Padding (a zero
+    * where a frame id should start) ends the walk. */
+  def id3Text(id: Long, payload: Array[Byte]): Map[String, String] = {
+    if (payload == null || payload.length < 10 ||
+        payload(0) != 'I' || payload(1) != 'D' || payload(2) != '3')
+      return Map.empty
+    val ver = payload(3) & 0xFF
+    if (ver != 3 && ver != 4)
+      sys.error(s"mm_id3: media_id=$id: ID3v2.$ver is outside the parsed " +
+        "subset (v2.3/v2.4)")
+    val flags = payload(5) & 0xFF
+    if (flags != 0)
+      sys.error(s"mm_id3: media_id=$id: ID3v2 header flags 0x" +
+        f"$flags%02X (unsynchronisation/extended header) not supported")
+    val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
+      (u8(payload, 8) << 7) | u8(payload, 9)
+    val end = math.min(10 + size, payload.length)
+    var pos = 10
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    while (pos + 10 <= end && payload(pos) != 0) {
+      val fid = new String(payload, pos, 4, "ISO-8859-1")
+      if (!fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+        sys.error(s"mm_id3: media_id=$id: malformed frame id '$fid' at byte $pos")
+      val n =
+        if (ver == 4) (u8(payload, pos + 4) << 21) | (u8(payload, pos + 5) << 14) |
+          (u8(payload, pos + 6) << 7) | u8(payload, pos + 7)
+        else (u8(payload, pos + 4) << 24) | (u8(payload, pos + 5) << 16) |
+          (u8(payload, pos + 6) << 8) | u8(payload, pos + 7)
+      val fflags = (u8(payload, pos + 8) << 8) | u8(payload, pos + 9)
+      if ((fflags & 0x00FF) != 0) // v2.3 low byte / v2.4 format flags:
+        sys.error(s"mm_id3: media_id=$id: frame $fid carries format flags 0x" +
+          f"$fflags%04X (compression/encryption) — not supported")
+      if (pos + 10 + n > end)
+        sys.error(s"mm_id3: media_id=$id: frame $fid spans past the tag " +
+          s"(${pos + 10 + n} > $end)")
+      if (fid.startsWith("T") && n >= 1 && !out.contains(fid)) {
+        val enc = u8(payload, pos + 10)
+        val cs = enc match {
+          case 0 => "ISO-8859-1"
+          case 1 => "UTF-16"
+          case 2 => "UTF-16BE"
+          case 3 => "UTF-8"
+          case other => sys.error(
+            s"mm_id3: media_id=$id: frame $fid text encoding $other unknown")
+        }
+        val txt = new String(payload, pos + 11, n - 1, cs)
+        out += fid -> txt.replaceAll("\\u0000+$", "")
+      }
+      pos += 10 + n
+    }
+    out.toMap
+  }
+
   /** Per-sample PCM statistics for a decoded payload. */
   final case class AudioStats(media_id: Long, n_values: Long, peak_abs: Long,
                               rms: Double, zero_ratio: Double)

@@ -175,18 +175,48 @@ object MediaFixtures {
   def caSamples(id: Long): Long =
     caFrames(id).toLong * (if (caIsAdts(id)) 1024 else 1152)
 
+  // ID3v2 text-frame plants (v6): pure doc_id arithmetic, the EXIF
+  // protocol — the oracle recomputes these, mm_id3 must recover them
+  // from real tag bytes. TALB absent on ids % 4 != 0 (the null case);
+  // ids % 8 == 2 write an ID3v2.4 tag (syncsafe frame sizes, UTF-8
+  // text), everything else v2.3 (plain u32 sizes, latin-1).
+  def id3Title(id: Long): String = s"Title ${id % 23}"
+  def id3Artist(id: Long): String = s"artist${id % 7}"
+  def id3Album(id: Long): String = s"album${id * 3 % 11}"
+  def id3HasTag(id: Long): Boolean = id % 2 == 0 && !caIsAdts(id)
+  def id3HasAlbum(id: Long): Boolean = id % 4 == 0
+
   /** MPEG-1 Layer III frames at 128 kbps; even ids get a leading ID3v2
-    * tag, ids % 6 == 0 a trailing ID3v1 block — both must be skipped.
-    * Filler bytes have the high bit set so they can never fake a 'TAG'
-    * marker. */
+    * tag with REAL text frames (title/artist/± album + zero padding),
+    * ids % 6 == 0 a trailing ID3v1 block — the frame walk must skip
+    * both. */
   def mp3Payload(id: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     if (id % 2 == 0) {
-      val body = (id % 40).toInt
-      bos.write(Array[Byte]('I', 'D', '3', 3, 0, 0), 0, 6)
+      val v4 = id % 8 == 2
+      def frame(fid: String, text: String): Array[Byte] = {
+        val enc: Byte = if (v4) 3 else 0 // UTF-8 vs latin-1
+        val body = enc +: text.getBytes(
+          if (v4) "UTF-8" else "ISO-8859-1")
+        val n = body.length
+        val size =
+          if (v4) Array[Byte](((n >> 21) & 0x7F).toByte,
+            ((n >> 14) & 0x7F).toByte, ((n >> 7) & 0x7F).toByte,
+            (n & 0x7F).toByte) // v2.4: syncsafe
+          else Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
+            (n >>> 8).toByte, n.toByte) // v2.3: plain u32
+        fid.getBytes("ISO-8859-1") ++ size ++ Array[Byte](0, 0) ++ body
+      }
+      val frames = frame("TIT2", id3Title(id)) ++
+        frame("TPE1", id3Artist(id)) ++
+        (if (id3HasAlbum(id)) frame("TALB", id3Album(id))
+         else Array.empty[Byte]) ++
+        new Array[Byte]((id % 5).toInt) // tag padding (zeros)
+      val body = frames.length
+      bos.write(Array[Byte]('I', 'D', '3', if (v4) 4 else 3, 0, 0), 0, 6)
       bos.write(((body >> 21) & 0x7F)); bos.write(((body >> 14) & 0x7F))
       bos.write(((body >> 7) & 0x7F)); bos.write((body & 0x7F))
-      var i = 0; while (i < body) { bos.write(((id + i) % 120).toInt | 0x80); i += 1 }
+      bos.write(frames, 0, frames.length)
     }
     val srIdx = (id % 3).toInt // 0=44100, 1=48000, 2=32000 (MPEG-1 table)
     val rate = caRate(id)
@@ -458,7 +488,7 @@ object MediaFixtures {
 
   // v3: multi-file fixture layout (FixtureFiles) — bump regenerates
   // every cached /tmp fixture
-  val Version = 5 // v5: multi-chunk gapped stsc/stco video layout (ids ≡ 1 mod 3)
+  val Version = 6 // v6: real ID3v2 text frames in the MP3 payloads (+v5 multi-chunk stsc video)
 
   /** Content key of the doc_id population every fixture derives from:
     * the driver REGENERATES testdata between rounds without notice

@@ -188,6 +188,39 @@ object MultimodalStages {
         }(enc).toDF()
     }
 
+  /** `mm_id3`: pure-byte ID3v2 text-frame extraction from MP3 payloads
+    * — the audio-side metadata twin of [[exif]] (title/artist/album are
+    * the dedup/attribution keys an audio-crawl pipeline joins on before
+    * any expensive decode). Walks the leading ID3v2.3/2.4 tag only
+    * (frame sizes + encodings per the spec, see [[AudioCodec.id3Text]]);
+    * payloads without a tag follow `onMissing` (skip drops them, null
+    * keeps a row with null columns — ADTS/untagged files in a mixed
+    * crawl). Malformed tags are typed errors naming the row. Output:
+    * (idField, title, artist, album) from TIT2/TPE1/TALB; absent frames
+    * are null. Per-row byte parsing — zero exchanges, codegen-adjacent
+    * mapPartitions like the other codecs. */
+  def id3(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val id = spec.strOr("idField", "doc_id")
+      val payload = spec.strOr("payloadField", "payload")
+      val keepMissing = spec.strOr("onMissing", "skip") match {
+        case "skip" => false
+        case "null" => true
+        case other => sys.error(s"mm_id3: unknown onMissing '$other' (skip|null)")
+      }
+      val enc = Encoders.product[AudioCodec.Id3Meta]
+      df.select(col(id).cast("long"), col(payload).cast("binary"))
+        .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions { iter =>
+          iter.flatMap { case (i, bytes) =>
+            val tags = AudioCodec.id3Text(i, bytes)
+            if (tags.isEmpty && !keepMissing) None
+            else Some(AudioCodec.Id3Meta(i,
+              tags.get("TIT2"), tags.get("TPE1"), tags.get("TALB")))
+          }
+        }(enc).toDF()
+    }
+
   /** `mm_audio_stats`: partition-parallel PCM SAMPLE statistics — peak
     * amplitude, RMS energy and zero (silence) ratio straight from the
     * 16-bit samples, the loudness/silence screen a speech-corpus

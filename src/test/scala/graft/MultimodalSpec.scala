@@ -280,6 +280,46 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("mm_id3: v2.3/v2.4 text frames recover; untagged/ADTS follow onMissing") {
+    import graft.multimodal.{AudioCodec, MediaFixtures}
+    // direct parser: v2.3 (id=4: latin-1, TALB present) and v2.4
+    // (id=10: syncsafe sizes, UTF-8) both recover the plant exactly
+    for (id <- Seq(4L, 10L, 12L, 26L)) {
+      val tags = AudioCodec.id3Text(id, MediaFixtures.mp3Payload(id))
+      assert(tags.get("TIT2").contains(MediaFixtures.id3Title(id)), s"id=$id")
+      assert(tags.get("TPE1").contains(MediaFixtures.id3Artist(id)), s"id=$id")
+      assert(tags.get("TALB") ==
+        (if (MediaFixtures.id3HasAlbum(id)) Some(MediaFixtures.id3Album(id))
+         else None), s"id=$id")
+    }
+    // no tag (odd MP3) and ADTS → empty map
+    assert(AudioCodec.id3Text(5L, MediaFixtures.mp3Payload(5L)).isEmpty)
+    assert(AudioCodec.id3Text(3L, MediaFixtures.compressedAudioPayload(3L)).isEmpty)
+    // the engine stage: skip vs null missing policies
+    val df = Seq(4L, 5L, 3L).map(id => (id, MediaFixtures.compressedAudioPayload(id)))
+      .toDF("media_id", "payload")
+    val kept = stage("mm_id3", "idField" -> "media_id")(df)
+      .select("media_id").as[Long].collect().toSeq
+    assert(kept == Seq(4L))
+    val nulls = stage("mm_id3", "idField" -> "media_id",
+      "onMissing" -> "null")(df).orderBy("media_id").collect()
+    assert(nulls.length == 3)
+    assert(nulls(1).getAs[String]("title") == MediaFixtures.id3Title(4L))
+    assert(nulls(0).isNullAt(1) && nulls(2).isNullAt(1))
+    // the mm_audio frame walk still skips the REAL tag (sample counts
+    // unchanged by the v6 plant)
+    val meta = AudioCodec.decodeMp3(4L, MediaFixtures.compressedAudioPayload(4L))
+    assert(meta.n_samples == MediaFixtures.caSamples(4L))
+    // malformed: a frame whose size spans past the tag is a typed
+    // error naming the row (TIT2 starts at byte 10; its u32 size sits
+    // at 14..17)
+    val bad = MediaFixtures.mp3Payload(4L).clone()
+    bad(14) = 0x7F.toByte
+    val e = intercept[Exception](AudioCodec.id3Text(4L, bad))
+    assert(e.getMessage.contains("media_id=4") &&
+      e.getMessage.contains("spans past"), e.getMessage)
+  }
+
   test("sampleFrames: multi-entry stsc + gapped chunks — the full §8.7.4 walk") {
     import graft.multimodal.VideoCodec
     // 8 frames of distinct sizes in chunks of (3, 2, 2, 1) with 5 junk
