@@ -4974,6 +4974,47 @@ object SparkEntry {
         .select("doc_id", "cue_idx", "start_ms", "end_ms", "cue_text")
         .orderBy("doc_id", "cue_idx")
     },
+    "vtt_parse" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // WebVTT cue recovery from REAL rendered caption files: the
+      // format's quirks all planted — optional cue-id lines (even i),
+      // settings on the first cue, an HOURLESS MM:SS.mmm timing when it
+      // fits, a NOTE block, markup tags stripped by default — and every
+      // recovered field is doc_id arithmetic the oracle recomputes
+      def fmtH(ms: String) =
+        s"lpad(CAST(($ms) div 3600000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 3600000) div 60000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 60000) div 1000 AS STRING), 2, '0'), '.', " +
+        s"lpad(CAST(($ms) % 1000 AS STRING), 3, '0')"
+      def fmtNoH(ms: String) = // only rendered when the cue sits under 1h
+        s"lpad(CAST(($ms) div 60000 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($ms) % 60000) div 1000 AS STRING), 2, '0'), '.', " +
+        s"lpad(CAST(($ms) % 1000 AS STRING), 3, '0')"
+      def ts(ms: String) =
+        s"CASE WHEN i = 1 AND ($ms) + 1500 < 3600000 " +
+        s"THEN concat(${fmtNoH(ms)}) ELSE concat(${fmtH(ms)}) END"
+      val cue =
+        "concat(CASE WHEN i % 2 = 0 THEN concat('cue-', CAST(doc_id AS STRING), " +
+        "'-', CAST(i AS STRING), chr(10)) ELSE '' END, " +
+        ts("doc_id * 977 + i * 2000") + ", ' --> ', " +
+        ts("doc_id * 977 + i * 2000 + 1500") + ", " +
+        "CASE WHEN i = 0 THEN ' position:50%' ELSE '' END, chr(10), " +
+        "'line <b>', CAST(doc_id AS STRING), '</b> t', CAST(i AS STRING))"
+      val mk = "concat('WEBVTT', chr(10), 'Kind: captions', chr(10), chr(10), " +
+        "'NOTE planted comment', chr(10), chr(10), " +
+        s"array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), i -> $cue), " +
+        "concat(chr(10), chr(10)))) AS vtt"
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"command": {"command": "SELECT doc_id, $mk FROM input"}},
+          {"vttparse": {"field": "vtt"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "cue_id", "start_ms", "end_ms", "cue_settings",
+          "cue_text")
+        .orderBy("doc_id", "start_ms")
+    },
     "mm_caption_frames" -> { (s, dir) =>
       val c = ctx(s, dir)
       // the multimodal composition: render SRT → srtparse recovers cue
@@ -7597,6 +7638,15 @@ object SparkEntry {
        "CASE WHEN vx > 0 THEN cov / vx END AS slope, " +
        "CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / CAST(n AS DOUBLE) END AS intercept " +
        "FROM c ORDER BY event_type"),
+    "vtt_parse" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN i % 2 = 0 THEN 'cue-' || doc_id || '-' || i END AS cue_id, " +
+       "CAST(doc_id * 977 + i * 2000 AS BIGINT) AS start_ms, " +
+       "CAST(doc_id * 977 + i * 2000 + 1500 AS BIGINT) AS end_ms, " +
+       "CASE WHEN i = 0 THEN 'position:50%' END AS cue_settings, " +
+       "'line ' || doc_id || ' t' || i AS cue_text " +
+       "FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i FROM documents) " +
+       "ORDER BY doc_id, start_ms"),
     "srt_parse" ->
       ("SELECT doc_id, CAST(i + 1 AS INTEGER) AS cue_idx, " +
        "CAST(doc_id * 977 + i * 2000 AS BIGINT) AS start_ms, " +

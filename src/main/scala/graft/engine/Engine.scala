@@ -219,6 +219,7 @@ object Engine {
     "eventpaths"    -> graft.temporal.TemporalStages.eventPaths _,
     "datefeatures"  -> graft.temporal.TemporalStages.dateFeatures _,
     "srtparse"      -> graft.multimodal.MultimodalStages.srtParse _,
+    "vttparse"      -> graft.multimodal.MultimodalStages.vttParse _,
     "funnel"        -> graft.temporal.TemporalStages.funnel _,
     "cohortretention" -> graft.temporal.TemporalStages.cohortRetention _,
     "resample"      -> graft.temporal.TemporalStages.resample _,

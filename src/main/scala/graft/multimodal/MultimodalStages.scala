@@ -506,4 +506,86 @@ object MultimodalStages {
       }
       exploded
     }
+
+  /** `vttparse`: WebVTT cue extraction — the dominant caption format of
+    * actual web/video crawls (YouTube captions, HTML5 `<track>`), the
+    * sibling of [[srtParse]] with the format's own quirks honored:
+    * the `WEBVTT` file signature (optional BOM; non-VTT rows yield no
+    * cues — or fail loud with `strict`), dot-millisecond timestamps
+    * with an OPTIONAL hours part (`MM:SS.mmm`), an optional free-text
+    * cue identifier line above the timing line, cue SETTINGS after the
+    * end timestamp (`position:50% line:0`, kept verbatim in
+    * `cue_settings`), and NOTE/STYLE/REGION blocks skipped. Markup
+    * tags (`<v Name>`, `<i>`, `<c.class>`) strip from `cue_text` by
+    * default (`stripTags: false` keeps them raw).
+    *
+    * Output per cue: all input columns + `cue_id` (string, null when
+    * the block has no identifier line), `start_ms`/`end_ms`,
+    * `cue_settings` (null when absent), `cue_text` (payload lines
+    * joined with `\n`). Options: `field` (default text), `stripTags`
+    * (default true), `strict` (default false).
+    *
+    * Scale shape: identical to srtparse — split + explode + per-block
+    * regexp projections, pure codegen'd row work, no shuffle. */
+  def vttParse(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      val fieldName = spec.strOr("field", "text")
+      require(df.columns.contains(fieldName), s"vttparse: no column '$fieldName'")
+      Seq("cue_id", "start_ms", "end_ms", "cue_settings", "cue_text").foreach(c =>
+        require(!df.columns.contains(c), s"vttparse: output column '$c' collides"))
+      val isVtt = col(fieldName).cast("string").rlike("^\\uFEFF?WEBVTT")
+      val blocks = split(col(fieldName).cast("string"), "\r?\n[ \t]*\r?\n")
+      val b = trim(col("__blk"))
+      val lines = split(b, "\r?\n")
+      // hours optional (MM:SS.mmm is legal VTT); settings ride after the
+      // end timestamp. Groups: 1=h1 2=m1 3=s1 4=ms1 5=h2 6=m2 7=s2 8=ms2
+      // 9=settings
+      val timeRe = "^(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})\\.(\\d{3})" +
+        " *--> *(?:(\\d{1,4}):)?(\\d{2}):(\\d{2})\\.(\\d{3})" +
+        "(?:[ \t]+(.*\\S))?[ \t]*$"
+      // the timing line is line 1 (no id) or line 2 (free-text id above)
+      val l1Times = element_at(lines, 1).rlike(timeRe)
+      val tline = when(l1Times, element_at(lines, 1))
+        .otherwise(element_at(lines, 2))
+      def grp(n: Int) = regexp_extract(tline, timeRe, n)
+      def ms(base: Int): org.apache.spark.sql.Column =
+        when(grp(base) === "", lit(0L)).otherwise(grp(base).cast("long")) * 3600000L +
+          grp(base + 1).cast("long") * 60000L +
+          grp(base + 2).cast("long") * 1000L + grp(base + 3).cast("long")
+      val headerish = element_at(lines, 1)
+        .rlike("^\\uFEFF?(WEBVTT|NOTE|STYLE|REGION)\\b")
+      val wellFormed = isVtt && !headerish &&
+        (l1Times || (size(lines) >= 2 && element_at(lines, 2).rlike(timeRe)))
+      val textStart = when(l1Times, lit(2)).otherwise(lit(3))
+      val rawText = array_join(
+        slice(lines, textStart, greatest(size(lines) - textStart + 1, lit(0))), "\n")
+      val cueText =
+        if (spec.bool("stripTags", dflt = true))
+          regexp_replace(rawText, "<[^>]*>", "")
+        else rawText
+      val exploded = df.withColumn("__blk", explode(blocks))
+        .where(wellFormed)
+        .withColumn("cue_id",
+          when(l1Times, lit(null).cast("string")).otherwise(element_at(lines, 1)))
+        .withColumn("start_ms", ms(1))
+        .withColumn("end_ms", ms(5))
+        .withColumn("cue_settings",
+          when(grp(9) === "", lit(null).cast("string")).otherwise(grp(9)))
+        .withColumn("cue_text", cueText)
+        .drop("__blk")
+      if (spec.bool("strict", dflt = false)) {
+        // bounded probes (the srtparse contract): a non-VTT payload or
+        // one malformed block decides
+        val nonVtt = df.where(!isVtt)
+        if (!nonVtt.limit(1).isEmpty) sys.error(
+          "vttparse: payload without the WEBVTT signature under " +
+          "strict=true — lenient mode yields no cues for such rows")
+        val bad = df.where(isVtt).select(explode(blocks).as("__blk"))
+          .where(!wellFormed && !headerish && trim(col("__blk")) =!= "")
+        if (!bad.limit(1).isEmpty) sys.error(
+          "vttparse: malformed cue block under strict=true — drop " +
+          "strict or clean the input (lenient mode skips bad blocks)")
+      }
+      exploded
+    }
 }

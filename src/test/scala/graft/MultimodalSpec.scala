@@ -582,4 +582,45 @@ class MultimodalSpec extends SparkSpec {
       ComponentSpec("srtparse", Map()), newCtx())(coll))
       .getMessage.contains("collides"))
   }
+
+  test("vttparse: signature gate, optional ids/hours, settings, NOTE skip, tags") {
+    val vtt = "﻿WEBVTT - demo\nKind: captions\n\n" + // header block
+      "NOTE a comment\nspanning lines\n\n" +              // NOTE block: dropped
+      "intro cue\n00:01.000 --> 00:04.250 position:50% line:0\n" +
+      "<v Ann>Hi <i>there</i>\n\n" +                      // id + settings + tags
+      "01:02:03.250 --> 01:02:04.000\nbye\nnow\n\n" +     // hours form, no id
+      "garbage block\nnot a timing\n\n"                   // junk: dropped
+    val df = Seq((7L, vtt)).toDF("media_id", "text")
+    val out = MultimodalStages.vttParse(ComponentSpec("vttparse", Map()),
+      newCtx())(df)
+      .select("media_id", "cue_id", "start_ms", "end_ms", "cue_settings", "cue_text")
+      .as[(Long, Option[String], Long, Long, Option[String], String)]
+      .collect().sortBy(_._3).toSeq
+    assert(out == Seq(
+      (7L, Some("intro cue"), 1000L, 4250L, Some("position:50% line:0"),
+        "Hi there"),
+      (7L, None, 3723250L, 3724000L, None, "bye\nnow")), out.toString)
+    // stripTags=false keeps markup verbatim
+    val raw = MultimodalStages.vttParse(
+      ComponentSpec("vttparse", Map("stripTags" -> false)), newCtx())(df)
+      .orderBy("start_ms").select("cue_text").as[String].head()
+    assert(raw == "<v Ann>Hi <i>there</i>")
+    // a non-VTT payload yields no cues leniently, fails loud in strict
+    val notVtt = Seq((9L, "1\n00:00:01.000 --> 00:00:02.000\nx"))
+      .toDF("media_id", "text")
+    assert(MultimodalStages.vttParse(ComponentSpec("vttparse", Map()),
+      newCtx())(notVtt).count() == 0)
+    assert(intercept[Exception](MultimodalStages.vttParse(
+      ComponentSpec("vttparse", Map("strict" -> true)), newCtx())(notVtt))
+      .getMessage.contains("WEBVTT"))
+    // strict also names malformed blocks inside a real VTT
+    assert(intercept[Exception](MultimodalStages.vttParse(
+      ComponentSpec("vttparse", Map("strict" -> true)), newCtx())(df))
+      .getMessage.contains("malformed"))
+    // collision guard
+    assert(intercept[Exception](MultimodalStages.vttParse(
+      ComponentSpec("vttparse", Map()), newCtx())(
+      Seq((1L, "x")).toDF("cue_id", "text")))
+      .getMessage.contains("collides"))
+  }
 }
