@@ -3543,6 +3543,31 @@ object SparkEntry {
           array_join(col("links"), ",").as("links_str"))
         .orderBy("doc_id")
     },
+    "html_markdown" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // HTML → Markdown: render a structured page from doc_id
+      // arithmetic (heading level cycles 1..3, emphasis, a nested
+      // ordered list, a link, head/script decoys) — the oracle writes
+      // the EXACT markdown string the emitter must produce
+      val page = """concat('<html><head><title>junk</title>""" +
+        """<script>var h = \"<h1>fake</h1>\";</script></head><body>""" +
+        """<h', cast(1 + doc_id % 3 as string), '>Doc ', cast(doc_id as string), """ +
+        """'</h', cast(1 + doc_id % 3 as string), '>""" +
+        """<p>para <b>one</b> of ', cast(doc_id as string), '</p>""" +
+        """<ul><li>item 0</li><li>item <i>', cast(doc_id % 5 as string), """ +
+        """'</i></li><li>outer<ol><li>n1</li><li>n2</li></ol></li></ul>""" +
+        """<p>see <a href=\"https://ex.com/', cast(doc_id as string), """ +
+        """'\">link ', cast(doc_id as string), '</a></p></body></html>') AS html"""
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/documents.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [
+          {"code": {"language": "sql", "code":
+            "SELECT doc_id, $page FROM __input"}},
+          {"htmlmarkdown": {"field": "html"}}],
+        "loader": {"memory": {}} }""")
+        .select("doc_id", "markdown").orderBy("doc_id")
+    },
     "html_links" -> { (s, dir) =>
       val c = ctx(s, dir)
       // crawl link-graph extraction: each page gets doc_id % 3 links
@@ -7025,6 +7050,14 @@ object SparkEntry {
       (raw"SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, " +
        raw"trim('Doc ' || chr(CAST(65 + doc_id % 26 AS INTEGER)) || ' link ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted, " +
        raw"'https://ex.com/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS links_str " +
+       "FROM documents ORDER BY doc_id"),
+    "html_markdown" ->
+      ("SELECT doc_id, " +
+       "repeat('#', CAST(1 + doc_id % 3 AS INTEGER)) || ' Doc ' || doc_id || chr(10) || chr(10) || " +
+       "'para **one** of ' || doc_id || chr(10) || chr(10) || " +
+       "'- item 0' || chr(10) || '- item *' || (doc_id % 5) || '*' || chr(10) || " +
+       "'- outer' || chr(10) || '  1. n1' || chr(10) || '  2. n2' || chr(10) || chr(10) || " +
+       "'see [link ' || doc_id || '](https://ex.com/' || doc_id || ')' AS markdown " +
        "FROM documents ORDER BY doc_id"),
     "regex_mask" ->
       (raw"SELECT doc_id, regexp_replace(regexp_replace(text, '\btable\b', '<TBL>', 'g'), " +

@@ -109,6 +109,7 @@ object Engine {
     "htmlextract"   -> graft.text.WebStages.htmlextract _,
     "htmllinks"     -> graft.text.WebStages.htmllinks _,
     "htmlmeta"      -> graft.text.WebStages.htmlmeta _,
+    "htmlmarkdown"  -> graft.text.WebStages.htmlmarkdown _,
     "htmltables"    -> graft.text.WebStages.htmltables _,
     "normalizetext" -> graft.text.TextStages.normalizetext _,
     "groupcap"      -> graft.text.WebStages.groupcap _,

@@ -361,6 +361,194 @@ object Html {
     (m, n)
   }
 
+  /** Markdown emitter: block separation as pending newlines plus a
+    * next-line prefix (heading hashes, list markers, blockquote '>'),
+    * single-space whitespace collapse within a line — the [[Out]]
+    * discipline lifted to block structure. */
+  private final class Md {
+    val sb = new java.lang.StringBuilder
+    private var pendingNl = 0
+    private var pendingWs = false
+    private var prefixNext = ""
+    /** Request ≥`nl` newlines before the next content, which will be
+      * prefixed with `prefix` (later block() calls override both). */
+    def block(nl: Int, prefix: String): Unit = {
+      if (sb.length > 0) pendingNl = math.max(pendingNl, nl)
+      prefixNext = prefix
+      pendingWs = false
+    }
+    def ws(): Unit =
+      if (sb.length > 0 && pendingNl == 0) pendingWs = true
+    private def flushSep(): Unit = {
+      if (pendingNl > 0) {
+        var k = 0
+        while (k < pendingNl) { sb.append('\n'); k += 1 }
+        pendingNl = 0; pendingWs = false
+      } else if (pendingWs) { sb.append(' '); pendingWs = false }
+      if (prefixNext.nonEmpty) { sb.append(prefixNext); prefixNext = "" }
+    }
+    /** Inline marker / pre-rendered fragment: separators flush, the
+      * string appends verbatim (no per-char collapse). */
+    def mark(s: String): Unit = if (s.nonEmpty) { flushSep(); sb.append(s) }
+    def ch(c: Char): Unit = {
+      if (Character.isWhitespace(c)) { ws(); return }
+      flushSep(); sb.append(c)
+    }
+    def cp(code: Int): Unit =
+      if (Character.isValidCodePoint(code) && code != 0) {
+        if (code == 0xa0 || (code <= 0xffff && Character.isWhitespace(code.toChar))) ws()
+        else { flushSep(); sb.appendCodePoint(code) }
+      }
+    override def toString: String = sb.toString
+  }
+
+  /** Single-pass HTML → Markdown: the curation format most LLM-data
+    * pipelines prefer over flat text (structure survives — headings,
+    * lists, emphasis, links — while markup noise goes). Best-effort
+    * CommonMark subset, documented:
+    *  - `h1..h6` → `#…` headings; `p`/`div`/`section`/`article`/
+    *    `table`/`tr`/`pre` → paragraph breaks; `br` → line break
+    *  - `ul`/`ol`/`li` → `-` / `1.` items, nested lists indent two
+    *    spaces per level (ordered counters per level)
+    *  - `b`/`strong` → `**`, `i`/`em` → `*`, `code` → backticks
+    *    (marker pairs follow the tags; unbalanced HTML yields
+    *    unbalanced markers — best-effort, never a crash)
+    *  - `<a href>` → `[text](href)` (anchor text captured through its
+    *    own emitter; nested/unterminated anchors follow [[parse]]'s
+    *    implicit-close rule); `<img>` → `![alt](src)`
+    *  - `blockquote` → a `> `-prefixed block (first line only —
+    *    documented subset); `<head>` content, script/style raw text
+    *    and comments are skipped whole
+    * Whitespace collapses per line exactly like [[parse]]; `<pre>`
+    * content collapses too (documented — use the raw HTML for exact
+    * code blocks). */
+  def markdown(html: String): String = {
+    val md = new Md
+    var inHead = false
+    var inAnchor = false
+    var curHref: String = null
+    var anchor = new Md
+    val listOrdered = new java.util.ArrayList[Boolean]()
+    val listCounter = new java.util.ArrayList[Int]()
+    def out: Md = if (inAnchor) anchor else md
+    def flushAnchor(): Unit = {
+      if (inAnchor) {
+        val txt = anchor.toString.trim
+        if (curHref != null && curHref.nonEmpty)
+          md.mark("[" + txt + "](" + curHref + ")")
+        else md.mark(txt)
+      }
+      inAnchor = false; curHref = null
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          out.ws()
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameAt = if (closing) i + 2 else i + 1
+          val name = tagName(html, nameAt)
+          if (name.isEmpty) { out.ch('<'); i += 1 }
+          else {
+            val afterName = nameAt + name.length
+            // tags that need their attributes take the map; the rest skip
+            val wantsAttrs = !closing && (name == "a" || name == "img")
+            val (attrMap, after) =
+              if (wantsAttrs) scanAttrs(html, afterName)
+              else (null, attrs(html, afterName, null))
+            i = after
+            name match {
+              case "head" => inHead = !closing
+              case _ if inHead => () // head content never renders
+              case "a" =>
+                flushAnchor()
+                if (!closing) {
+                  inAnchor = true
+                  curHref = if (attrMap != null) attrMap.get("href") else null
+                  anchor = new Md
+                }
+              case "img" if !closing =>
+                val src = if (attrMap == null) null else attrMap.get("src")
+                val alt = Option(if (attrMap == null) null else attrMap.get("alt")).getOrElse("")
+                if (src != null && src.nonEmpty)
+                  out.mark("![" + alt + "](" + src + ")")
+              case h if h.length == 2 && h.charAt(0) == 'h' &&
+                  h.charAt(1) >= '1' && h.charAt(1) <= '6' =>
+                if (!closing) md.block(2, "#" * (h.charAt(1) - '0') + " ")
+                else md.block(2, "")
+              case "p" | "div" | "section" | "article" | "table" | "tr" |
+                   "pre" =>
+                md.block(2, "")
+              case "br" => out.block(1, "")
+              case "blockquote" =>
+                if (!closing) md.block(2, "> ") else md.block(2, "")
+              case "ul" | "ol" =>
+                if (!closing) {
+                  listOrdered.add(name == "ol"); listCounter.add(0)
+                  md.block(if (listOrdered.size() == 1) 2 else 1, "")
+                } else if (!listOrdered.isEmpty) {
+                  listOrdered.remove(listOrdered.size() - 1)
+                  listCounter.remove(listCounter.size() - 1)
+                  md.block(if (listOrdered.isEmpty) 2 else 1, "")
+                }
+              case "li" if !closing =>
+                val depth = math.max(listOrdered.size() - 1, 0)
+                val marker =
+                  if (!listOrdered.isEmpty && listOrdered.get(depth)) {
+                    listCounter.set(depth, listCounter.get(depth) + 1)
+                    s"${listCounter.get(depth)}. "
+                  } else "- "
+                md.block(1, "  " * depth + marker)
+              case "b" | "strong" => out.mark("**")
+              case "i" | "em" => out.mark("*")
+              case "code" => out.mark("`")
+              case _ => out.ws()
+            }
+            if (!closing && RawText(name)) {
+              val close = "</" + name
+              var j = i
+              var found = -1
+              while (found < 0 && j <= n - close.length) {
+                if (html.regionMatches(true, j, close, 0, close.length)) found = j
+                j += 1
+              }
+              if (found < 0) i = n
+              else {
+                val gt = html.indexOf('>', found)
+                i = if (gt < 0) n else gt + 1
+              }
+            }
+          }
+        }
+      } else if (c == '&') {
+        if (inHead) { val skip = new Out; i = entity(html, i, skip) }
+        else {
+          // decode through a throwaway Out, then feed the result —
+          // keeps one entity table for every walk
+          val o = new Out; o.ch('.')  // seed so ws() registers
+          val next = entity(html, i, o)
+          val t = o.toString
+          if (t.length <= 1) out.ws() // entity collapsed to whitespace
+          else t.substring(1).foreach(out.ch)
+          i = next
+        }
+      } else { if (!inHead) out.ch(c) else () ; i += 1 }
+    }
+    flushAnchor()
+    md.toString.trim
+  }
+
+  def markdownU(html: UTF8String): UTF8String =
+    UTF8String.fromString(markdown(html.toString))
+
   /** Single-pass `<meta>` / `<link rel="canonical">` extraction:
     * (key, content) pairs in document order, where key is the meta's
     * `name`/`property`/`http-equiv` (lowercased, in that precedence)
@@ -492,6 +680,20 @@ case class HtmlToText(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Html.textU($c)")
   override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+    copy(child = newChild)
+}
+
+/** Single-pass HTML → Markdown (see [[Html.markdown]] for the
+  * documented CommonMark subset). */
+case class HtmlMarkdown(child: Expression)
+    extends UnaryExpression with HtmlStringInput {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_markdown"
+  override def nullSafeEval(input: Any): Any =
+    Html.markdownU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Html.markdownU($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlMarkdown =
     copy(child = newChild)
 }
 

@@ -533,6 +533,10 @@ object VectorExpressions {
         (exprs: Seq[Expression]) => HtmlMetaPairs(exprs.head),
         "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_html_markdown",
+        (exprs: Seq[Expression]) => HtmlMarkdown(exprs.head),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_html_tables",
         (exprs: Seq[Expression]) => HtmlTables(exprs.head),
         "built-in")

@@ -196,6 +196,28 @@ object WebStages {
       }
     }
 
+  /** `htmlmarkdown`: HTML → Markdown conversion of an HTML column —
+    * the curation format most LLM-data pipelines prefer over flat text
+    * (headings/lists/emphasis/links survive as structure while markup
+    * noise goes; see [[graft.functions.Html.markdown]] for the
+    * documented CommonMark subset and its best-effort edges). Same
+    * codegen'd single-pass walk as htmlextract — one projection per
+    * row, no shuffle, no UDF.
+    * Options: `field` (default html), `outputField` (default
+    * markdown), `keepHtml` (default false). */
+  def htmlmarkdown(spec: ComponentSpec, ctx: EtlContext): DataFrame => DataFrame =
+    Stages.common(spec, ctx) { df =>
+      graft.functions.VectorExpressions.ensure(ctx.spark)
+      val f = spec.strOr("field", "html")
+      require(df.columns.contains(f), s"htmlmarkdown: no column '$f'")
+      val outF = spec.strOr("outputField", "markdown")
+      require(!df.columns.contains(outF),
+        s"htmlmarkdown: output column '$outF' exists — rename upstream")
+      val out = df.withColumn(outF,
+        call_function("graft_html_markdown", col(f).cast("string")))
+      if (spec.bool("keepHtml", dflt = false)) out else out.drop(f)
+    }
+
   /** `htmllinks`: the labeled out-link EDGE LIST of an HTML column —
     * one output row per `<a href=…>` element with its entity-decoded
     * `href` and whitespace-collapsed anchor text, in document order

@@ -234,6 +234,47 @@ class HtmlStageSpec extends SparkSpec {
       ce.getMessage)
   }
 
+  test("htmlmarkdown: headings, lists, emphasis, links, images, quirks") {
+    import graft.functions.Html
+    val html = """<html><head><title>skip me</title>
+      |<script>var x = '<h1>fake</h1>';</script></head><body>
+      |<h2>Doc &amp; Title</h2>
+      |<p>para <b>bold</b> and <i>ital</i> text</p>
+      |<ul><li>first</li><li>second <code>c()</code></li>
+      |<li>outer<ol><li>n1</li><li>n2</li></ol></li></ul>
+      |<p>see <a href="http://ex.com/a?x=1&amp;y=2">the link</a> and
+      |<img src="pic.png" alt="a pic"> here</p>
+      |<blockquote>quoted words</blockquote>
+      |<pre>code   block</pre>
+      |</body></html>""".stripMargin
+    val md = Html.markdown(html)
+    assert(md ==
+      "## Doc & Title\n\n" +
+      "para **bold** and *ital* text\n\n" +
+      "- first\n- second `c()`\n- outer\n  1. n1\n  2. n2\n\n" +
+      "see [the link](http://ex.com/a?x=1&y=2) and ![a pic](pic.png) here\n\n" +
+      "> quoted words\n\n" +
+      "code block", s"got:\n$md")
+    // head content and raw-text never leak; anchors without href keep text
+    assert(!md.contains("skip me") && !md.contains("fake"))
+    assert(Html.markdown("<body><a>naked anchor</a></body>") == "naked anchor")
+    // unterminated anchor still flushes; nested <a> implicitly closes
+    assert(Html.markdown("<a href='u'>x") == "[x](u)")
+    // null / stage surface
+    val ctx = newCtx()
+    val df = spark.sql(
+      "SELECT 1 AS id, '<body><h1>T</h1><p>b</p></body>' AS html " +
+      "UNION ALL SELECT 2, cast(null as string)")
+    val out = graft.text.WebStages.htmlmarkdown(
+      graft.spec.ComponentSpec("htmlmarkdown", Map()), ctx)(df)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("markdown") == "# T\n\nb")
+    assert(out(1).isNullAt(out(1).fieldIndex("markdown")))
+    assert(intercept[Exception](graft.text.WebStages.htmlmarkdown(
+      graft.spec.ComponentSpec("htmlmarkdown", Map("field" -> "nope")), ctx)(df))
+      .getMessage.contains("no column"))
+  }
+
   test("htmlextract: null html row yields null outputs") {
     val df = spark.sql("SELECT cast(null as string) AS html " +
       "UNION ALL SELECT '<body>x</body>'")
