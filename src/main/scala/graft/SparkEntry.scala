@@ -2016,6 +2016,21 @@ object SparkEntry {
           col("band"), col("root").cast("long").as("root"), col("tag"))
         .orderBy("c_custkey")
     },
+    "code_js_switch" -> { (s, dir) =>
+      val c = ctx(s, dir)
+      // the r18 surface in one script: a template literal interpolating
+      // a field, and a switch with multi-statement cases + default
+      // expanding to guarded assignments
+      Engine.runJson(c, s"""{
+        "source": {"file": {"path": "$dir/nation.parquet"}},
+        "extractor": {"parquet": {}},
+        "transformers": [{"code": {"language": "javascript", "code":
+          "record.msg = `nation $${record.n_name} in r$${record.n_regionkey}`; switch (record.n_regionkey) { case 0: record.zone = 'africa'; record.prio = 1; break; case 2: record.zone = 'asia'; record.prio = 2; break; default: record.zone = 'other'; }"}}],
+        "loader": {"memory": {}} }""")
+        .select(col("n_nationkey"), col("msg"), col("zone"),
+          col("prio").cast("long").as("prio"))
+        .orderBy("n_nationkey")
+    },
     "code_js_arrays" -> { (s, dir) =>
       val c = ctx(s, dir)
       // the round-13 JS array + function surface in one script: an
@@ -6447,6 +6462,12 @@ object SparkEntry {
        "CASE WHEN length(lower(c_mktsegment)) >= 10 THEN lower(c_mktsegment) " +
        "ELSE lpad(lower(c_mktsegment), 10, '.') END AS tag " +
        "FROM customer ORDER BY c_custkey"),
+    "code_js_switch" ->
+      ("SELECT n_nationkey, " +
+       "'nation ' || n_name || ' in r' || n_regionkey AS msg, " +
+       "CASE CAST(n_regionkey AS INT) WHEN 0 THEN 'africa' WHEN 2 THEN 'asia' ELSE 'other' END AS zone, " +
+       "CAST(CASE CAST(n_regionkey AS INT) WHEN 0 THEN 1 WHEN 2 THEN 2 END AS BIGINT) AS prio " +
+       "FROM nation ORDER BY n_nationkey"),
     "code_js_arrays" ->
       ("SELECT n_nationkey, " +
        "CAST(n_nationkey * 2 AS VARCHAR) || '-' || CAST(n_regionkey * 2 AS VARCHAR) || '-14' AS csv3, " +

@@ -764,6 +764,107 @@ object Stages {
     sb.toString
   }
 
+  /** Expand `switch (sel) { case v: record.x = e; break; … default: … }`
+    * to independent guarded assignments:
+    * `if ((sel) === (v)) record.x = e;` per case statement, with the
+    * default's statements guarded by the conjunction of every case's
+    * negation. Contract (named fails for the rest):
+    *  - every non-final section must end with `break;` (fall-through
+    *    has no one-pass guarded-assignment spelling);
+    *  - case bodies hold `record.<field> = expr;` assignments only
+    *    (locals/compound ops inside a case would need statement-level
+    *    `if` blocks the shim doesn't model);
+    *  - the selector must not READ a column any case assigns (each
+    *    emitted `if` re-evaluates the selector AFTER earlier writes —
+    *    the same hazard the if/else-chain guard rejects). */
+  private[graft] def jsExpandSwitch(code: String): String = {
+    val Head = raw"\bswitch\s*\(".r
+    var cur = code
+    var rounds = 0
+    var continue = true
+    while (continue) {
+      rounds += 1
+      require(rounds <= 32, "code: JS switch nesting too deep to expand")
+      Head.findAllMatchIn(cur).find(m => !inJsLiteral(cur, m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          val openParen = m.end - 1
+          val closeParen = closingParen(cur, openParen)
+          require(closeParen > openParen, "code: unbalanced switch selector")
+          val sel = cur.substring(openParen + 1, closeParen).trim
+          val openBrace = cur.indexOf('{', closeParen)
+          require(openBrace > 0 &&
+            cur.substring(closeParen + 1, openBrace).trim.isEmpty,
+            "code: switch body must be a braced block")
+          val closeBrace = closingBrace(cur, openBrace)
+          require(closeBrace > openBrace, "code: unbalanced switch body")
+          val body = cur.substring(openBrace + 1, closeBrace)
+          // label positions (case …: / default:), literal-aware
+          val Label = raw"\b(case\b[^:{}]*|default\s*):".r
+          val labels = Label.findAllMatchIn(body)
+            .filterNot(lm => inJsLiteral(body, lm.start)).toList
+          require(labels.nonEmpty,
+            "code: switch without case/default labels")
+          require(body.substring(0, labels.head.start).trim.isEmpty,
+            "code: statements before the first case label in a switch")
+          val sections = labels.zipWithIndex.map { case (lm, k) =>
+            val until =
+              if (k + 1 < labels.length) labels(k + 1).start else body.length
+            val label = lm.group(1).trim
+            val value =
+              if (label == "default" || label.matches(raw"default\s*")) None
+              else Some(label.stripPrefix("case").trim)
+            (value, body.substring(lm.end, until))
+          }
+          sections.flatMap(_._1).foreach(v => require(v.nonEmpty,
+            "code: empty case label in a switch"))
+          val parsed = sections.zipWithIndex.map { case ((value, text), k) =>
+            var stmts = jsStatements(text)
+            val hadBreak = stmts.lastOption.contains("break")
+            if (hadBreak) stmts = stmts.dropRight(1)
+            require(hadBreak || k == sections.length - 1,
+              "code: switch case without a trailing `break;` falls " +
+              "through — no one-pass guarded-assignment spelling exists; " +
+              "duplicate the shared statements per case or use a Scala " +
+              "hook via `ref` (Engine.registerCode)")
+            require(stmts.forall(s =>
+              JsAssign.pattern.matcher(s).matches()),
+              "code: switch case bodies translate record.<field> = expr; " +
+              "assignments only — move locals/compound ops outside the " +
+              "switch or use a Scala hook via `ref`")
+            (value, stmts)
+          }
+          // selector-read-after-write hazard (the if/else-chain rule)
+          val assigned = parsed.flatMap(_._2).collect {
+            case JsAssign(f, _) => f }.distinct
+          val selBare = withoutJsLiterals(sel)
+          assigned.foreach { f =>
+            require(!selBare.matches(raw"(?is).*\b" +
+                java.util.regex.Pattern.quote(f) + raw"\b.*"),
+              s"code: switch selector reads record.$f, which a case " +
+              "assigns — each emitted guard re-evaluates the selector " +
+              "AFTER earlier writes; switch on a differently-named " +
+              "column instead")
+          }
+          val caseConds = parsed.collect {
+            case (Some(v), _) => s"($sel) === ($v)" }
+          val emitted = parsed.flatMap {
+            case (Some(v), stmts) =>
+              stmts.map(s => s"if (($sel) === ($v)) $s;")
+            case (None, stmts) =>
+              if (caseConds.isEmpty) stmts.map(_ + ";")
+              else {
+                val noneMatch = caseConds.map(c => s"!($c)").mkString(" && ")
+                stmts.map(s => s"if ($noneMatch) $s;")
+              }
+          }.mkString(" ")
+          cur = cur.substring(0, m.start) + emitted +
+            cur.substring(closeBrace + 1)
+      }
+    }
+    cur
+  }
+
   /** Unroll literal-bounded `for` loops:
     * `for (var i = A; i (<|<=) B; i(++|+= S)) { body }` expands to the
     * body repeated per iteration with `i` substituted as a literal
@@ -1293,8 +1394,9 @@ object Stages {
 
   private def jsShim(code: String, ctx: EtlContext): DataFrame => DataFrame = { df =>
     // template literals expand to stringy concatenation first, so every
-    // later pass sees only '…'/"…" literals
-    val templated = jsExpandTemplates(code)
+    // later pass sees only '…'/"…" literals; switch blocks then expand
+    // to guarded assignments
+    val templated = jsExpandSwitch(jsExpandTemplates(code))
     // try/catch NAMED-fail (not a silent mis-parse): per-row error
     // recovery has no plan spelling — the engine's typed policies own
     // it. Scanned AFTER template expansion so a 'try {' that was

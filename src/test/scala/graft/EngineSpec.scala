@@ -781,6 +781,55 @@ class EngineSpec extends SparkSpec {
     assert(e2.getMessage.contains("unterminated"), e2.getMessage)
   }
 
+  test("code JS shim: switch expands to guarded assignments; named fails (r18)") {
+    val path = writeNationCsv()
+    val out = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "switch (record.n_regionkey) { case 0: record.zone = 'africa'; record.prio = 1; break; case 2: record.zone = 'asia'; break; default: record.zone = 'other'; }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    val rows = out.select("n_regionkey", "zone", "prio").collect()
+    rows.foreach { r =>
+      val reg = r.getInt(0)
+      val expected = reg match {
+        case 0 => "africa"; case 2 => "asia"; case _ => "other" }
+      assert(r.getAs[String]("zone") == expected, s"region $reg")
+      if (reg == 0) assert(r.getAs[Number]("prio").longValue == 1L)
+      else assert(r.isNullAt(r.fieldIndex("prio")), s"region $reg prio")
+    }
+    // a string-valued selector + 'switch (' inside a literal stays data
+    val lit = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "record.note = 'switch (x) { case 1: }'; switch (record.n_name) { case 'NATION_3': record.hit = 1; break; default: record.hit = 0; }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(lit.head().getAs[String]("note") == "switch (x) { case 1: }")
+    assert(lit.where(col("hit") === 1).count() ==
+      lit.where(col("n_name") === "NATION_3").count())
+    // named fails: fall-through, non-assignment body, selector hazard
+    def reject(code: String, needle: String) = {
+      val e = intercept[Exception] {
+        Engine.runJson(newCtx(), s"""{
+          "source": { "file": { "path": "$path" } },
+          "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+          "transformers": [ { "code": { "language": "javascript", "code": "$code" } } ],
+          "loader": { "memory": {} }
+        }""")
+      }
+      assert(e.getMessage.contains(needle), s"`$code` -> ${e.getMessage}")
+    }
+    reject("switch (record.n_regionkey) { case 0: record.z = 1; case 1: record.z = 2; break; }",
+      "falls through")
+    reject("switch (record.n_regionkey) { case 0: var t = 1; break; }",
+      "assignments only")
+    reject("switch (record.n_regionkey) { case 0: record.n_regionkey = 9; break; }",
+      "selector reads")
+  }
+
   test("code JS shim: ternaries, Math.*, bounded while, .length, string methods") {
     val path = writeNationCsv()
     // ternary chain (right-associative) + Math + .length property +
