@@ -5021,8 +5021,11 @@ object SparkEntry {
       // settings on the first cue, an HOURLESS MM:SS.mmm timing when it
       // fits, a NOTE block, markup tags stripped by default — and every
       // recovered field is doc_id arithmetic the oracle recomputes
+      // hours pad to AT LEAST two digits — lpad TRUNCATES longer strings
+      // (a 100+-hour timestamp at a bigger sf would corrupt silently)
       def fmtH(ms: String) =
-        s"lpad(CAST(($ms) div 3600000 AS STRING), 2, '0'), ':', " +
+        s"CASE WHEN ($ms) div 3600000 < 10 THEN '0' ELSE '' END, " +
+        s"CAST(($ms) div 3600000 AS STRING), ':', " +
         s"lpad(CAST((($ms) % 3600000) div 60000 AS STRING), 2, '0'), ':', " +
         s"lpad(CAST((($ms) % 60000) div 1000 AS STRING), 2, '0'), '.', " +
         s"lpad(CAST(($ms) % 1000 AS STRING), 3, '0')"

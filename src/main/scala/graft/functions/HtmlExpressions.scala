@@ -394,11 +394,6 @@ object Html {
       if (Character.isWhitespace(c)) { ws(); return }
       flushSep(); sb.append(c)
     }
-    def cp(code: Int): Unit =
-      if (Character.isValidCodePoint(code) && code != 0) {
-        if (code == 0xa0 || (code <= 0xffff && Character.isWhitespace(code.toChar))) ws()
-        else { flushSep(); sb.appendCodePoint(code) }
-      }
     override def toString: String = sb.toString
   }
 
@@ -422,6 +417,11 @@ object Html {
     * Whitespace collapses per line exactly like [[parse]]; `<pre>`
     * content collapses too (documented — use the raw HTML for exact
     * code blocks). */
+  /** Tags legal inside <head> — anything else opening while inHead
+    * implies the head closed implicitly (HTML5). */
+  private val MarkdownHeadOnly = Set("head", "title", "meta", "link",
+    "base", "style", "script", "noscript", "template", "html")
+
   def markdown(html: String): String = {
     val md = new Md
     var inHead = false
@@ -465,8 +465,14 @@ object Html {
               if (wantsAttrs) scanAttrs(html, afterName)
               else (null, attrs(html, afterName, null))
             i = after
+            // real crawl pages routinely omit </head>: any opening tag
+            // that isn't head-only content implies the head ended (the
+            // HTML5 implicit close), else the whole document renders
+            // empty markdown
+            if (inHead && !closing && !MarkdownHeadOnly(name)) inHead = false
             name match {
               case "head" => inHead = !closing
+              case "body" => inHead = false; md.block(2, "")
               case _ if inHead => () // head content never renders
               case "a" =>
                 flushAnchor()

@@ -79,6 +79,11 @@ object AudioCodec {
           (u8(payload, pos + 6) << 7) | u8(payload, pos + 7)
         else (u8(payload, pos + 4) << 24) | (u8(payload, pos + 5) << 16) |
           (u8(payload, pos + 6) << 8) | u8(payload, pos + 7)
+      // a v2.3 size byte with the top bit set would go NEGATIVE and walk
+      // pos backwards into an unnamed ArrayIndexOutOfBounds — typed fail
+      if (n < 0)
+        sys.error(s"mm_id3: media_id=$id: frame $fid declares a negative " +
+          s"size ($n) at byte $pos — corrupt tag")
       val fflags = (u8(payload, pos + 8) << 8) | u8(payload, pos + 9)
       if ((fflags & 0x00FF) != 0) // v2.3 low byte / v2.4 format flags:
         sys.error(s"mm_id3: media_id=$id: frame $fid carries format flags 0x" +

@@ -766,17 +766,22 @@ object Stages {
 
   /** Expand `switch (sel) { case v: record.x = e; break; … default: … }`
     * to independent guarded assignments:
-    * `if ((sel) === (v)) record.x = e;` per case statement, with the
-    * default's statements guarded by the conjunction of every case's
-    * negation. Contract (named fails for the rest):
+    * `if (coalesce((sel) === (v), false) && !…earlier cases…) record.x
+    * = e;` per case statement, with the default's statements guarded by
+    * the conjunction of every case's negation. The coalesce keeps a
+    * NULL selector matching no case and running the default (JS: null
+    * === v is false); excluding earlier cases keeps JS's
+    * first-match-only semantics under duplicate/overlapping values.
+    * Contract (named fails for the rest):
     *  - every non-final section must end with `break;` (fall-through
     *    has no one-pass guarded-assignment spelling);
     *  - case bodies hold `record.<field> = expr;` assignments only
     *    (locals/compound ops inside a case would need statement-level
     *    `if` blocks the shim doesn't model);
-    *  - the selector must not READ a column any case assigns (each
-    *    emitted `if` re-evaluates the selector AFTER earlier writes —
-    *    the same hazard the if/else-chain guard rejects). */
+    *  - neither the selector nor any case-value expression may READ a
+    *    column any case assigns (each emitted `if` re-evaluates them
+    *    AFTER earlier writes — the same hazard the if/else-chain guard
+    *    rejects). */
   private[graft] def jsExpandSwitch(code: String): String = {
     val Head = raw"\bswitch\s*\(".r
     var cur = code
@@ -834,27 +839,41 @@ object Stages {
               "switch or use a Scala hook via `ref`")
             (value, stmts)
           }
-          // selector-read-after-write hazard (the if/else-chain rule)
+          // read-after-write hazard (the if/else-chain rule): the
+          // selector AND every case-value expression re-evaluate in each
+          // emitted guard AFTER earlier case writes — any of them
+          // reading an assigned column silently diverges from JS
           val assigned = parsed.flatMap(_._2).collect {
             case JsAssign(f, _) => f }.distinct
-          val selBare = withoutJsLiterals(sel)
+          val readTexts = withoutJsLiterals(sel) +:
+            parsed.collect { case (Some(v), _) => withoutJsLiterals(v) }
           assigned.foreach { f =>
-            require(!selBare.matches(raw"(?is).*\b" +
-                java.util.regex.Pattern.quote(f) + raw"\b.*"),
-              s"code: switch selector reads record.$f, which a case " +
-              "assigns — each emitted guard re-evaluates the selector " +
-              "AFTER earlier writes; switch on a differently-named " +
-              "column instead")
+            readTexts.foreach { t =>
+              require(!t.matches(raw"(?is).*\b" +
+                  java.util.regex.Pattern.quote(f) + raw"\b.*"),
+                s"code: switch selector or a case value reads record.$f, " +
+                "which a case assigns — the emitted guards re-evaluate " +
+                "them AFTER earlier writes; switch on a differently-named " +
+                "column instead")
+            }
           }
-          val caseConds = parsed.collect {
-            case (Some(v), _) => s"($sel) === ($v)" }
+          // null-safe matched-tests (a NULL selector matches no case and
+          // runs the default, like JS); each case excludes every EARLIER
+          // case so duplicate/overlapping values keep JS's
+          // first-match-only semantics
+          val matchedOf = parsed.collect {
+            case (Some(v), _) => s"coalesce(($sel) === ($v), false)" }
+          var caseIdx = 0
           val emitted = parsed.flatMap {
-            case (Some(v), stmts) =>
-              stmts.map(s => s"if (($sel) === ($v)) $s;")
+            case (Some(_), stmts) =>
+              val cond = (matchedOf(caseIdx) +:
+                matchedOf.take(caseIdx).map(c => s"!($c)")).mkString(" && ")
+              caseIdx += 1
+              stmts.map(s => s"if ($cond) $s;")
             case (None, stmts) =>
-              if (caseConds.isEmpty) stmts.map(_ + ";")
+              if (matchedOf.isEmpty) stmts.map(_ + ";")
               else {
-                val noneMatch = caseConds.map(c => s"!($c)").mkString(" && ")
+                val noneMatch = matchedOf.map(c => s"!($c)").mkString(" && ")
                 stmts.map(s => s"if ($noneMatch) $s;")
               }
           }.mkString(" ")

@@ -827,7 +827,40 @@ class EngineSpec extends SparkSpec {
     reject("switch (record.n_regionkey) { case 0: var t = 1; break; }",
       "assignments only")
     reject("switch (record.n_regionkey) { case 0: record.n_regionkey = 9; break; }",
-      "selector reads")
+      "which a case assigns")
+    // a case VALUE reading an assigned column is the same hazard
+    reject("switch (record.n_regionkey) { case 0: record.z = 1; break; case record.z: record.y = 2; break; }",
+      "which a case assigns")
+    // a NULL selector matches no case and runs the DEFAULT (JS
+    // semantics; the guards are coalesce-null-safe)
+    val nullSel = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [
+        { "code": { "language": "sql", "code":
+          "SELECT n_nationkey, CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey END AS reg FROM __input" } },
+        { "code": { "language": "javascript", "code":
+          "switch (record.reg) { case 0: record.zone = 'zero'; break; default: record.zone = 'other'; }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    nullSel.collect().foreach { r =>
+      val expected =
+        if (r.isNullAt(r.fieldIndex("reg"))) "other"
+        else if (r.getInt(r.fieldIndex("reg")) == 0) "zero" else "other"
+      assert(r.getAs[String]("zone") == expected,
+        s"key ${r.getInt(0)} reg ${r.get(r.fieldIndex("reg"))}")
+    }
+    assert(nullSel.where(col("reg").isNull).count() > 0, "fixture needs nulls")
+    // duplicate case values: FIRST match only (JS), not last-write-wins
+    val dup = Engine.runJson(newCtx(), s"""{
+      "source": { "file": { "path": "$path" } },
+      "extractor": { "csv": { "columns": ["n_nationkey:integer", "n_name:string", "n_regionkey:integer"] } },
+      "transformers": [ { "code": { "language": "javascript", "code":
+        "switch (record.n_regionkey) { case 0: record.x = 1; break; case 0: record.x = 2; break; default: record.x = 9; }" } } ],
+      "loader": { "memory": {} }
+    }""")
+    assert(dup.where(col("n_regionkey") === 0).select("x").collect()
+      .forall(_.getAs[Number](0).longValue == 1L), "first match wins")
   }
 
   test("code JS shim: ternaries, Math.*, bounded while, .length, string methods") {

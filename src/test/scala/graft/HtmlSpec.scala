@@ -260,6 +260,14 @@ class HtmlStageSpec extends SparkSpec {
     assert(Html.markdown("<body><a>naked anchor</a></body>") == "naked anchor")
     // unterminated anchor still flushes; nested <a> implicitly closes
     assert(Html.markdown("<a href='u'>x") == "[x](u)")
+    // a page that OMITS </head> (routine in crawls) must not render
+    // empty: <body> or any flow tag implies the head closed
+    assert(Html.markdown(
+      "<html><head><title>t</title><body><p>hello</p></body></html>") ==
+      "hello")
+    assert(Html.markdown(
+      "<html><head><meta charset='u'><h1>T</h1><p>b</p></html>") ==
+      "# T\n\nb")
     // null / stage surface
     val ctx = newCtx()
     val df = spark.sql(

@@ -318,6 +318,12 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[Exception](AudioCodec.id3Text(4L, bad))
     assert(e.getMessage.contains("media_id=4") &&
       e.getMessage.contains("spans past"), e.getMessage)
+    // a v2.3 frame size with the TOP BIT set is a negative Int — typed
+    // error, never a backwards walk into ArrayIndexOutOfBounds
+    val neg = MediaFixtures.mp3Payload(4L).clone()
+    neg(14) = 0xFF.toByte
+    val e2 = intercept[Exception](AudioCodec.id3Text(4L, neg))
+    assert(e2.getMessage.contains("negative"), e2.getMessage)
   }
 
   test("sampleFrames: multi-entry stsc + gapped chunks — the full §8.7.4 walk") {
