@@ -214,7 +214,14 @@ object Bench {
     val defended = raw.map { case (name, fn, t1) =>
       val anchor = stored.getOrElse(name, DefaultAnchor)
       if (t1 > RerunFactor * ambient * anchor) {
-        val t2 = timeOnce(name, fn)
+        // sub-second-anchor queries: steal bursts are their whole
+        // amplitude (0.3 s of steal on a 0.35 s query reads as 2×), so
+        // the defense takes min-of-2 — an extra sample costs under a
+        // second and crushes exactly the noise that made
+        // similarity_topk warn spuriously three rounds running
+        val t2 =
+          if (anchor < 1.0) math.min(timeOnce(name, fn), timeOnce(name, fn))
+          else timeOnce(name, fn)
         System.err.println(
           f"[bench] $name: $t1%.1fs > ${RerunFactor * ambient * anchor}%.1fs " +
           f"(${RerunFactor}x ambient-adjusted anchor $anchor%.1fs) — " +
@@ -275,7 +282,10 @@ object Bench {
         f"max(ambient, this))")
       prelimWarned.map { case (name, t) =>
         val fn = selected(name)
-        val t3raw = timeOnce(name, fn)
+        val t3raw =
+          if (stored.getOrElse(name, DefaultAnchor) < 1.0)
+            math.min(timeOnce(name, fn), timeOnce(name, fn))
+          else timeOnce(name, fn)
         // a re-check that CRASHES measured its time-to-failure, not the
         // plan — min() with it would silently clear a real warning.
         // Keep the immediate value (∞ sentinel) and leave the warning up
