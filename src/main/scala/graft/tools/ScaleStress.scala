@@ -274,7 +274,7 @@ object ScaleStress {
       "line_dedup", "auc_rank", "topo_layers", "survival_curve",
       "changepoint_cusum", "collocations_win", "cumulate_run",
       "percent_rank", "bloom_semi", "checksum_grain", "kll_grain",
-      "similarity_cross")
+      "similarity_cross", "html_markdown")
     for (factor <- Seq(1, 10, 100) if batchLegs.exists(enabled)) {
       val n = 5000L * factor // sf0.1-equivalent docs × factor
       val m = 2000L * factor
@@ -468,6 +468,19 @@ object ScaleStress {
               "stripAccents": true, "lower": true}},
             {"code": {"language": "sql", "code":
               "SELECT doc_id FROM __input WHERE length(t2) > 10"}}],
+          "loader": {"memory": {}} }""",
+        // markdown walk over rendered structured pages: the r18 walk of
+        // the one-pass parser family — per-row, must track
+        // html_normalize's linearity; the length filter forces the full
+        // conversion, never just the scan
+        "html_markdown" -> s"""{
+          "source": {"file": {"path": "$docs"}}, "extractor": {"parquet": {}},
+          "transformers": [
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id, concat('<html><head><title>D', cast(doc_id as string), '</title></head><body><h2>T</h2><ul><li>a</li><li>b</li></ul><p>see <a href=\\"u\\">l</a> ', text, '</p></body></html>') AS html FROM __input"}},
+            {"htmlmarkdown": {"field": "html"}},
+            {"code": {"language": "sql", "code":
+              "SELECT doc_id FROM __input WHERE length(markdown) > 10"}}],
           "loader": {"memory": {}} }""",
         // WARC framing walk + HTTP split: 64 gz shards regardless of N
         // (records per shard ∝ N) — the filter references body, forcing
